@@ -1,0 +1,231 @@
+package graft
+
+/** DuckDB oracle SQL — one ANSI-SQL twin per oracled entry in
+  * [[SparkEntry.queries]] (driver runs these against the same parquet
+  * tables at sf0.01 and hash-compares; see BASELINE.md).
+  *
+  * Authoring rules (keep in sync with SparkEntry):
+  *   - identical column aliases on both sides;
+  *   - only hash-stable output types: string / bigint / boolean / double
+  *     (double sums computed exactly in decimal first, then cast);
+  *   - DuckDB `regexp_replace` needs the 'g' flag to match Spark's
+  *     replace-all default;
+  *   - timestamps are formatted to strings (`strftime` ↔ `date_format`).
+  */
+object OracleSql {
+
+  private val q01 = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      COUNT(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus"""
+
+  private val q02 = """
+    SELECT o_orderpriority,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority"""
+
+  private val q03 = """
+    SELECT DISTINCT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice,
+      'rule_based_abn' AS match_method, CAST(100.0 AS DOUBLE) AS match_score,
+      'high' AS match_confidence
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"""
+
+  private val q04 = """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"""
+
+  private val q05 = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)"""
+
+  private val q06 = """
+    SELECT DISTINCT l_suppkey, l_returnflag, l_linestatus FROM lineitem"""
+
+  private val q07 = """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1"""
+
+  private val q08 = """
+    WITH cprep AS (
+      SELECT c_custkey AS crawl_id, c_name AS crawl_name, c_nationkey AS block FROM customer),
+    sprep AS (
+      SELECT s_suppkey AS abr_id, s_name AS abr_name, s_nationkey AS block FROM supplier),
+    rule AS (
+      SELECT DISTINCT crawl_id, crawl_name, abr_id, abr_name,
+        'rule_based_abn' AS match_method, CAST(100.0 AS DOUBLE) AS match_score,
+        'high' AS match_confidence
+      FROM cprep JOIN sprep ON crawl_id = abr_id),
+    residue AS (
+      SELECT * FROM cprep WHERE crawl_id NOT IN (SELECT crawl_id FROM rule)),
+    blocked AS (
+      SELECT r.crawl_id, r.crawl_name, s.abr_id, s.abr_name,
+        CAST(100.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) -
+          CAST(levenshtein(r.crawl_name, s.abr_name) AS DOUBLE) /
+          greatest(length(r.crawl_name), length(s.abr_name))) AS match_score
+      FROM residue r JOIN sprep s ON r.block = s.block),
+    fuzzy AS (
+      SELECT crawl_id, crawl_name, abr_id, abr_name, 'fuzzy' AS match_method,
+        match_score,
+        CASE WHEN match_score >= 65.0 THEN 'high' ELSE 'medium' END AS match_confidence
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY crawl_id ORDER BY match_score DESC, abr_id) AS rn
+        FROM blocked WHERE match_score >= 40.0) WHERE rn = 1)
+    SELECT crawl_id, crawl_name, abr_id, abr_name, match_method, match_score, match_confidence FROM rule
+    UNION ALL
+    SELECT crawl_id, crawl_name, abr_id, abr_name, match_method, match_score, match_confidence FROM fuzzy"""
+
+  private val q09 = """
+    SELECT p_partkey,
+      upper(trim(regexp_replace(regexp_replace(p_name, '[^A-Za-z0-9 &]', ' ', 'g'), '\s+', ' ', 'g'))) AS clean_name,
+      regexp_extract(p_name, '^(\w+)', 1) AS first_token
+    FROM part"""
+
+  private val q10 = """
+    WITH t AS (
+      SELECT c_custkey,
+        'Contact ' || c_name || ' phone 02 9876 5432 email ' ||
+        lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) ||
+        '@example.com.au postcode 2000 VIC' AS text
+      FROM customer)
+    SELECT c_custkey,
+      array_to_string(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0), ';') AS emails,
+      array_to_string(regexp_extract_all(text, '(?:\+61\s?[2-478](?:[ -]?\d){8}|\(0[2-478]\)(?:[ -]?\d){8}|0[2-478](?:[ -]?\d){8})', 0), ';') AS phones,
+      nullif(regexp_extract(text, '\b(0[289][0-9]{2}|[1-9][0-9]{3})\b', 1), '') AS postcode
+    FROM t"""
+
+  private val q11 = """
+    WITH t AS (
+      SELECT c_custkey, lpad(CAST(c_custkey AS VARCHAR), 11, '0') AS abn_candidate
+      FROM customer)
+    SELECT c_custkey, abn_candidate,
+      ((CAST(substr(abn_candidate,1,1) AS INT) - 1) * 10 +
+        CAST(substr(abn_candidate,2,1) AS INT) * 1 +
+        CAST(substr(abn_candidate,3,1) AS INT) * 3 +
+        CAST(substr(abn_candidate,4,1) AS INT) * 5 +
+        CAST(substr(abn_candidate,5,1) AS INT) * 7 +
+        CAST(substr(abn_candidate,6,1) AS INT) * 9 +
+        CAST(substr(abn_candidate,7,1) AS INT) * 11 +
+        CAST(substr(abn_candidate,8,1) AS INT) * 13 +
+        CAST(substr(abn_candidate,9,1) AS INT) * 15 +
+        CAST(substr(abn_candidate,10,1) AS INT) * 17 +
+        CAST(substr(abn_candidate,11,1) AS INT) * 19) % 89 = 0 AS abn_ok
+    FROM t"""
+
+  private val q12 = """
+    SELECT event_type,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      COUNT(*) AS n_events
+    FROM events GROUP BY event_type"""
+
+  private val q13 = """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+      event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2"""
+
+  private val q14 = """
+    SELECT r_name, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2"""
+
+  private val q15 = """
+    SELECT o_orderkey AS id, 'high_value' AS bucket, o_totalprice AS totalprice
+    FROM orders WHERE o_totalprice > 200000
+    UNION ALL
+    SELECT o_orderkey AS id, 'low_value' AS bucket, CAST(NULL AS DOUBLE) AS totalprice
+    FROM orders WHERE o_totalprice < 10000"""
+
+  private val q20 = """
+    SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+      COUNT(*) AS n_copies
+    FROM documents GROUP BY 1"""
+
+  private val q21 = """
+    SELECT doc_id, n_chars,
+      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT) AS n_subwords,
+      CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+        len(string_split_regex(trim(text), '\s+')) AS mean_token_len,
+      CAST(len(regexp_extract_all(text, '(?i)\b(the|a|an|of|and|to|in|is|it|for|on|with|as|at|by|or|be|this|that|from)\b', 0)) AS DOUBLE) /
+        len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
+    FROM documents"""
+
+  private val q22 = """
+    WITH h AS (
+      SELECT doc_id, lang,
+        len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|ein|mit|auf|für)\b', 0)) AS de_h,
+        len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|for|with|it)\b', 0)) AS en_h,
+        len(regexp_extract_all(text, '(?i)\b(el|la|de|que|los|las|una|por|como|para)\b', 0)) AS es_h,
+        len(regexp_extract_all(text, '(?i)\b(le|les|des|une|est|dans|pour|qui|avec|sur)\b', 0)) AS fr_h,
+        len(regexp_extract_all(text, '(?i)\b(的|是|在|了|我|有|和|不|人|这)\b', 0)) AS zh_h
+      FROM documents)
+    SELECT doc_id, lang,
+      CASE
+        WHEN zh_h > 0 AND zh_h >= greatest(de_h, en_h, es_h, fr_h) THEN 'zh'
+        WHEN fr_h > 0 AND fr_h >= greatest(de_h, en_h, es_h) THEN 'fr'
+        WHEN es_h > 0 AND es_h >= greatest(de_h, en_h) THEN 'es'
+        WHEN en_h > 0 AND en_h >= de_h THEN 'en'
+        WHEN de_h > 0 THEN 'de'
+        ELSE 'und' END AS lang_id
+    FROM h"""
+
+  private val q23 = """
+    SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents"""
+
+  private val q24 = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 8),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+    p AS (
+      SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+      FROM q, c WHERE neighbor_id != query_id)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM p) WHERE rank <= 10"""
+
+  private val q25 = """
+    SELECT doc_id, sha256(text) AS content_sha, CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents"""
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_revenue_by_priority" -> q02,
+    "q03_rule_join" -> q03,
+    "q04_semi_join" -> q04,
+    "q05_anti_join" -> q05,
+    "q06_distinct" -> q06,
+    "q07_window_top1" -> q07,
+    "q08_match_cascade" -> q08,
+    "q09_clean_names" -> q09,
+    "q10_extract_contacts" -> q10,
+    "q11_abn_validate" -> q11,
+    "q12_json_extract" -> q12,
+    "q13_hourly_windows" -> q13,
+    "q14_region_monthly" -> q14,
+    "q15_union_stages" -> q15,
+    "q20_dedup_exact" -> q20,
+    "q21_token_stats" -> q21,
+    "q22_lang_id" -> q22,
+    "q23_fingerprint" -> q23,
+    "q24_cosine_topk" -> q24,
+    "q25_binary_meta" -> q25
+  ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
+}

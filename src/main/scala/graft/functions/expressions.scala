@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst scalar expressions (SURVEY.md §2.9): the only compute in
+  * the reference pipeline that Spark's builtin function library cannot
+  * express. All are deterministic, null-intolerant, and codegen via a
+  * static call into the kernel objects so fuzzy-join scoring stays inside
+  * whole-stage codegen (no UDF/serialization overhead in the hot join path).
+  */
+
+/** `rapidfuzz.fuzz.token_sort_ratio` parity — SURVEY.md §2.8 X1. */
+case class TokenSortRatio(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_sort_ratio"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    SimKernel.tokenSortRatioUTF8(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SimKernel.tokenSortRatioUTF8($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenSortRatio =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `rapidfuzz.fuzz.ratio` (Indel ratio) parity — SURVEY.md §2.8 X2. */
+case class IndelRatio(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "indel_ratio"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    SimKernel.indelRatioUTF8(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SimKernel.indelRatioUTF8($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IndelRatio =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ABN mod-89 checksum validity — SURVEY.md §2.7 F4. */
+case class AbnValid(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "abn_valid"
+
+  override protected def nullSafeEval(v: Any): Any =
+    AbnKernel.isValidUTF8(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AbnKernel.isValidUTF8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AbnValid =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash fingerprint of a token array — the custom kernel behind
+  * [[graft.operators.Dedup.simhashNearDup]]. Input: array<string>. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SimHashKernel.simhash64(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashKernel.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column-level entry points + SQL registration. */
+object exprs {
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def ex(c: Column): Expression = Bridge.expression(c)
+
+  def token_sort_ratio(a: Column, b: Column): Column =
+    col(TokenSortRatio(ex(a), ex(b)))
+  def indel_ratio(a: Column, b: Column): Column =
+    col(IndelRatio(ex(a), ex(b)))
+  def abn_valid(a: Column): Column = col(AbnValid(ex(a)))
+  def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
+
+  /** Register `token_sort_ratio`, `indel_ratio`, `abn_valid` for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "token_sort_ratio", es => TokenSortRatio(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "indel_ratio", es => IndelRatio(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "abn_valid", es => AbnValid(es.head), "scala_udf")
+  }
+}

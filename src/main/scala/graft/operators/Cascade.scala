@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.exprs
+
+/** The reference's three-stage entity-match cascade
+  * (/root/reference/transform/entity_matching.py, SURVEY.md §2.4/§3.3),
+  * re-expressed as one lazy Spark DAG:
+  *
+  *   ruleMatches (J1 exact-key join) → residue (J3 anti-join)
+  *   → fuzzyMatches (J2 blocking semi-join + J4 blocked similarity join
+  *     + per-key argmax) → residue → llmMatches (J5, pluggable strategy)
+  *   → unionByName (U1).
+  *
+  * Scale notes (100 TB design):
+  *   - The blocked fuzzy join is a plain equi-join on the blocking key, so
+  *     it hash-partitions across executors; AQE splits skewed blocks
+  *     (metro postcodes). Similarity scoring is a codegen'd expression
+  *     ([[graft.functions.TokenSortRatio]]), so the O(block²) inner scoring
+  *     loop stays inside whole-stage codegen.
+  *   - The argmax is `row_number` over (blockKey-partitioned) windows —
+  *     no driver-side loops; the reference's 50k-row chunk pagination
+  *     (entity_matching.py:95-110) is deliberately dropped: Spark computes
+  *     the global argmax in one distributed pass (SURVEY.md §2.4 fine print).
+  *   - A deterministic tie-break (score desc, right key asc) replaces the
+  *     reference's scan-order-dependent `extractOne` tie-break.
+  */
+object Cascade {
+
+  /** Config mirroring the reference's thresholds
+    * (entity_matching.py:137,155,168,231,248-249). */
+  final case class MatchConfig(
+      fuzzyAcceptThreshold: Double = 80.0,
+      fuzzyHighConfidence: Double = 92.0,
+      llmScore: Double = 95.0,
+      enableLlm: Boolean = false)
+
+  /** J1 — rule-based exact-key inner join + DISTINCT + literal match
+    * metadata (entity_matching.py:113-135). Keys are trimmed at clean time,
+    * so a plain equi-join (broadcast-able when one side is small). */
+  def ruleMatch(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    left.join(right, left(leftKey) === right(rightKey), "inner")
+      .distinct()
+      .withColumn("match_method", lit("rule_based_abn"))
+      .withColumn("match_score", lit(100.0))
+      .withColumn("match_confidence", lit("high"))
+  }
+
+  /** J3 — cascade residue: left rows whose `key` matched nothing yet
+    * (entity_matching.py:172-173,256-257,272-273). */
+  def residue(left: DataFrame, matched: DataFrame, leftKey: String,
+      matchedKey: String): DataFrame =
+    left.join(matched.select(col(matchedKey).as(leftKey)).distinct(),
+      Seq(leftKey), "left_anti")
+
+  /** J2 + J4 — blocked fuzzy similarity join with per-left-row argmax.
+    *
+    * @param blockKey   equi-join blocking column present on both sides
+    *                   (postcode in the reference); turns O(N·M) scoring
+    *                   into per-block products, hash-partitioned.
+    * @param score      similarity expression over the JOINED output's
+    *                   column names (left/right column names must not
+    *                   collide apart from blockKey), scale 0..100.
+    * @param leftId     unique left-row id for the argmax window.
+    * @param tieBreak   deterministic tie-break columns (right-side key asc).
+    */
+  def fuzzyMatch(
+      left: DataFrame, right: DataFrame, blockKey: String,
+      score: Column,
+      leftId: String, tieBreak: Seq[String],
+      cfg: MatchConfig = MatchConfig()): DataFrame = {
+    // J2: restrict the (large) right side to blocks that exist on the left —
+    // the reference's `postcode IN (SELECT DISTINCT postcode …)` semi-join
+    // (entity_matching.py:100-103).
+    val blocked = right.join(
+      left.select(blockKey).distinct(), Seq(blockKey), "left_semi")
+    val scored = left.join(blocked, Seq(blockKey), "inner")
+      .withColumn("match_score", score)
+      .filter(col("match_score") >= cfg.fuzzyAcceptThreshold)
+    val w = Window.partitionBy(col(leftId))
+      .orderBy(col("match_score").desc +: tieBreak.map(col(_).asc): _*)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .withColumn("match_method", lit("fuzzy"))
+      .withColumn("match_confidence",
+        when(col("match_score") >= cfg.fuzzyHighConfidence, "high")
+          .otherwise("medium"))
+  }
+
+  /** U1 — union stage outputs with differing column sets, null-padding
+    * (entity_matching.py:297, :57-66). */
+  def unionStages(stages: Seq[DataFrame]): DataFrame =
+    stages.reduce(_.unionByName(_, allowMissingColumns = true))
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language identification, and document fingerprinting.
+  * Everything is a codegen'd column expression (no UDFs) so the scoring
+  * pass fuses into a single whole-stage-codegen scan of the corpus —
+  * the shape you want when the corpus is 100 TB and this is a map-only job.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: tokens further split on letter/digit/punct
+    * boundaries (a cheap deterministic proxy for a real tokenizer's piece
+    * count). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of non-alphanumeric, non-whitespace chars to total length. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
+        .cast("double") / length(text))
+
+  /** Ratio of digit chars to total length. */
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[0-9]", "")))
+        .cast("double") / length(text))
+
+  /** Mean whitespace-token length. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks))
+  }
+
+  private val EnStopwords = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by", "or", "be", "this", "that", "from")
+
+  /** English-stopword hit ratio: fraction of tokens that are common English
+    * stopwords — the classic cheap quality / language signal. */
+  def stopwordRatio(text: Column): Column = {
+    val pattern = "(?i)\\b(" + EnStopwords.mkString("|") + ")\\b"
+    val hits = size(regexp_extract_all(text, lit(pattern), lit(0)))
+    val toks = tokenCount(text)
+    when(toks === 0, 0.0).otherwise(hits.cast("double") / toks)
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword presence and
+    * reasonable token lengths, penalizes punctuation/digit noise. Weights
+    * are engine policy (the reference has no equivalent; this is the
+    * standard C4/Gopher-style rule family). */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(50, 20000), 1.0).otherwise(0.5)
+    val mtl = meanTokenLength(text)
+    val mtlOk = when(mtl.between(3.0, 12.0), 1.0).otherwise(0.5)
+    val noise = punctRatio(text) + digitRatio(text)
+    round(
+      greatest(lit(0.0), least(lit(1.0),
+        lit(0.25) * lenOk + lit(0.25) * mtlOk +
+          lit(0.3) * least(lit(1.0), stopwordRatio(text) * 4) +
+          lit(0.2) * greatest(lit(0.0), lit(1.0) - noise * 4))), 6)
+  }
+
+  /** N-gram-heuristic language ID over a small per-language function-word
+    * inventory. Returns the argmax language code, or 'und' when no
+    * function words hit. Deterministic tie-break: language code ascending. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por", "como", "para"),
+    "fr" -> Seq("le", "les", "des", "une", "est", "dans", "pour", "qui", "avec", "sur"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "不", "人", "这"))
+
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val pattern = "(?i)\\b(" + words.mkString("|") + ")\\b"
+      struct(size(regexp_extract_all(text, lit(pattern), lit(0))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // argmax by hits; ties broken by language code descending (deterministic)
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Content-defined fingerprint: md5 of the whitespace/case-normalized
+    * text (exact-dedup key), plus [[winnowFingerprint]] for near-dup use. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** 64-bit rolling fingerprint: simhash over word 3-grams — robust to
+    * small edits, used as the compact near-dup sketch. */
+  def winnowFingerprint(text: Column, ngram: Int = 3): Column =
+    graft.functions.exprs.simhash64(Dedup.shingles(text, ngram))
+
+  /** One-pass corpus profile: all metrics as columns. */
+  def profile(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordCount(t))
+      .withColumn("punct_ratio", round(punctRatio(t), 6))
+      .withColumn("digit_ratio", round(digitRatio(t), 6))
+      .withColumn("mean_token_len", round(meanTokenLength(t), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_id", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

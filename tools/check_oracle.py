@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Dev-only self-check mimicking the driver's correctness gate:
+read each Verify output parquet, run its oracle SQL in DuckDB over the same
+sf dir, and compare sorted rows exactly (schema + values). Strictly a
+development tool — the Scala library never depends on this.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            want = con.execute(sql).fetchdf()
+            g_cols = sorted(got.columns)
+            w_cols = sorted(want.columns)
+            if g_cols != w_cols:
+                print(f"FAIL {name}: columns {g_cols} vs {w_cols}")
+                failures += 1
+                continue
+            g = sorted([tuple(norm(v) for v in row)
+                        for row in got[g_cols].itertuples(index=False)])
+            w = sorted([tuple(norm(v) for v in row)
+                        for row in want[w_cols].itertuples(index=False)])
+            if len(g) != len(w):
+                print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+                failures += 1
+                continue
+            bad = [(a, b) for a, b in zip(g, w) if a != b]
+            if bad:
+                print(f"FAIL {name}: {len(bad)} mismatched rows; first: "
+                      f"{bad[0][0]} vs {bad[0][1]}")
+                failures += 1
+            else:
+                print(f"PASS {name} ({len(g)} rows)")
+        except Exception as e:
+            print(f"ERROR {name}: {e}")
+            failures += 1
+    print(f"\n{'ALL GREEN' if failures == 0 else str(failures) + ' FAILURES'}")
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
