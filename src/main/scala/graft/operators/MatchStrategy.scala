@@ -79,6 +79,10 @@ object LlmMatch {
         left(leftId).cast("string") === picks("__left_id"), "inner")
       .join(right,
         picks("__picked_key") === right(rightKey).cast("string"), "inner")
+      // the reference's post-LLM lookup joins on the returned key alone
+      // (entity_matching.py:236-237); the right side's copy of the blocking
+      // column is redundant in the output
+      .drop(right(blockKey))
       .drop("__left_id", "__picked_key")
       .withColumn("match_method", lit("LLM"))
       .withColumn("match_score", lit(llmScore))

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Dedup}
+
+/** Dedup + ANN operators over seeded corpora with planted duplicates —
+  * verifying the LSH candidate generators against ground truth / the
+  * brute-force baseline. */
+class DedupAnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(42)
+  private val vocab = Vector("spark", "data", "row", "group", "join",
+    "filter", "sort", "merge", "hash", "scan", "query", "batch", "stream",
+    "window", "table", "key", "value", "fast", "slow", "small")
+
+  /** 60 base docs + 20 planted near-dups (one word changed) + 5 exact dups. */
+  private lazy val docs = {
+    val base = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(30)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val nearDups = (0 until 20).map { i =>
+      val (_, text) = base(i)
+      val words = text.split(" ")
+      words(rng.nextInt(words.length)) = "changed"
+      (1000L + i, words.mkString(" "))
+    }
+    val exactDups = (0 until 5).map(i => (2000L + i, base(i)._2))
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val d = Dedup.exact(docs, "text", "doc_id")
+    assert(d.count() == 80) // 85 rows - 5 exact dups
+    val dups = d.filter(col("n_copies") === 2).collect()
+    assert(dups.length == 5)
+    dups.foreach(r => assert(r.getAs[Long]("keep_id") < 5L)) // base kept
+  }
+
+  test("minhash LSH finds all planted near-dup pairs (and the exact dups)") {
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id",
+        ngram = 3, numHashes = 16, bands = 8, jaccardThreshold = 0.4)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    (0 until 20).foreach { i =>
+      assert(pairs.contains((i.toLong, 1000L + i)),
+        s"missing planted near-dup pair ($i, ${1000 + i})")
+    }
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, 2000L + i)))
+    }
+  }
+
+  test("simhash hamming distance is small for near-dups, large for random") {
+    val pairs = Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 16)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val planted = (0 until 20).count(i => pairs.contains((i.toLong, 1000L + i)))
+    assert(planted >= 18, s"simhash found only $planted/20 planted pairs")
+  }
+
+  test("ngram jaccard join verifies exact similarity") {
+    val pairs = Dedup.ngramJaccardJoin(docs, "text", "doc_id",
+        ngram = 3, threshold = 0.9)
+      .collect()
+    // exact dups have jaccard 1.0
+    val exact = pairs.filter(_.getAs[Double]("jaccard") == 1.0)
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    (0 until 5).foreach(i => assert(exact.contains((i.toLong, 2000L + i))))
+  }
+
+  test("embedding near-dup finds identical vectors across LSH buckets") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))
+    }
+    val planted = (0 until 10).map(i => (500L + i, vecs(i)._2))
+    val df = (vecs ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, "embedding", "vec_id",
+        cosineThreshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    (0 until 10).foreach(i => assert(pairs.contains((i.toLong, 500L + i)),
+      s"missing identical-vector pair ($i, ${500 + i})"))
+  }
+
+  test("LSH top-k achieves high recall@10 against brute force") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 5)
+    val exact = Ann.bruteForceTopK(vecs, queries, "embedding", "vec_id",
+        "vec_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(vecs, queries, "embedding", "vec_id",
+        "vec_id", k = 10, planes = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall@10 = $recall")
+  }
+
+  test("brute-force top-k is exact: rank 1 neighbor has the max cosine") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Ann.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "embedding", "vec_id", "vec_id", k = 40)
+    val rows = got.orderBy("rank").collect()
+    assert(rows.length == 39) // self excluded
+    val cosines = rows.map(_.getAs[Double]("cosine"))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+  }
+}
