@@ -41,13 +41,14 @@ object Ann {
   }
 
   /** Sign-bit signature of a vector against the seeded hyperplanes,
-    * packed into a long: bit j = (v · plane_j) > 0. Pure built-ins — the
-    * planes are literal arrays folded into the plan (constant at codegen). */
+    * packed into a long: bit j = (v · plane_j) > 0. The planes enter the
+    * plan as single array LITERALS (`typedlit`), not per-row CreateArray
+    * nodes — constant-folded once, not rebuilt for every row. */
   def hyperplaneSignature(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
     val ps = planesFor(dim, planes, seed)
     val v = transform(vec, _.cast("double"))
     val bits = ps.zipWithIndex.map { case (p, j) =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = typedlit(p.toSeq)
       val d = aggregate(zip_with(v, planeLit, (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
       when(d > 0, lit(1L << j)).otherwise(lit(0L))
@@ -84,9 +85,10 @@ object Ann {
       k: Int, planes: Int = 8, tables: Int = 4, seed: Long = 42L,
       excludeSelf: Boolean = true): DataFrame = {
     val dim = dimOf(corpus, vecCol)
+    // signatures-only exploded view: the vector array is NOT duplicated
+    // across the `tables` rows of the bucket-join shuffle
     def withSigs(df: DataFrame, id: String, out: String): DataFrame =
       df.select(col(id).as(out),
-          transform(col(vecCol), _.cast("double")).as(s"__v_$out"),
           posexplode(array((0 until tables).map(t =>
             hyperplaneSignature(col(vecCol), dim, planes, seed + t)): _*))
             .as(Seq("table", "sig")))
@@ -94,9 +96,16 @@ object Ann {
     val q = withSigs(queries, queryIdCol, "query_id")
     val cand = c.join(q, Seq("table", "sig"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.withColumn("cosine",
-      cosine(col("__v_query_id"), col("__v_neighbor_id")))
+      .select("query_id", "neighbor_id").distinct()
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), _.cast("double")).as("__v_neighbor_id"))
+    val qv = queries.select(col(queryIdCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("__v_query_id"))
+    val scored = cand
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("cosine",
+        cosine(col("__v_query_id"), col("__v_neighbor_id")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -82,11 +82,16 @@ object Cascade {
     val scored = left.join(blocked, Seq(blockKey), "inner")
       .withColumn("match_score", score)
       .filter(col("match_score") >= cfg.fuzzyAcceptThreshold)
-    val w = Window.partitionBy(col(leftId))
-      .orderBy(col("match_score").desc +: tieBreak.map(col(_).asc): _*)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    // per-left-row argmax as a partial-aggregating min_by (map-side
+    // combine, no sort shuffle — cheaper than window row_number at scale);
+    // ordering key (-score, tieBreak...) == (score desc, tieBreak asc)
+    val others = scored.columns.filter(_ != leftId).toSeq
+    val orderKey = struct(
+      (negate(col("match_score")) +: tieBreak.map(col)): _*)
+    scored
+      .groupBy(col(leftId))
+      .agg(min_by(struct(others.map(col): _*), orderKey).as("__best"))
+      .select(col(leftId) +: others.map(c => col(s"__best.`$c`").as(c)): _*)
       .withColumn("match_method", lit("fuzzy"))
       .withColumn("match_confidence",
         when(col("match_score") >= cfg.fuzzyHighConfidence, "high")

@@ -30,12 +30,36 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** MinHash signature: k independent hash functions, each the min over the
-    * shingle set of a seeded 64-bit hash. Seeding = mixing a per-function
-    * constant into `xxhash64`, all inside codegen'd higher-order funcs. */
-  def minhashSignature(shingleSet: Column, k: Int): Column =
+  /** Hashed word n-gram shingle set as a two-projection plan: tokens are
+    * hashed ONCE into a materialized intermediate column, then each window
+    * of n token-hashes is combined with a fixed-width `xxhash64`. The
+    * intermediate MUST be its own projection — inlining it would make
+    * Catalyst re-evaluate the token-hash transform for every element_at
+    * reference (O(tokens²·n)). Downstream shuffles carry 8-byte longs
+    * instead of n-gram strings; collision probability per pair is ~2⁻⁶⁴.
+    * Returns (doc, sh) with `sh: array<bigint>`. */
+  def shingleHashSet(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val th = col("__th")
+    docs
+      .select(col(idCol).as("doc"),
+        transform(split(trim(col(textCol)), "\\s+"), t => xxhash64(t))
+          .as("__th"))
+      .select(col("doc"),
+        when(size(th) >= n,
+          array_distinct(transform(
+            sequence(lit(0), size(th) - n),
+            i => xxhash64((1 to n).map(o => element_at(th, i + lit(o))): _*))))
+          .otherwise(array(xxhash64(th))).as("sh"))
+  }
+
+  /** MinHash signature over hashed shingles: the k independent hash
+    * functions re-hash the fixed-width shingle hash with a per-function
+    * salt (`xxhash64(h, j)`) — overflow-free under ANSI mode (no raw
+    * 64-bit multiplies). */
+  def minhashSignature(shingleHashSet: Column, k: Int): Column =
     array((0 until k).map { j =>
-      array_min(transform(shingleSet, s => xxhash64(s, lit(j))))
+      array_min(transform(shingleHashSet, h => xxhash64(h, lit(j))))
     }: _*)
 
   /** MinHash + LSH banding: returns candidate near-duplicate pairs
@@ -52,47 +76,60 @@ object Dedup {
       jaccardThreshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = docs
-      .select(col(idCol).as("doc"), shingles(col(textCol), ngram).as("sh"))
+    val sig = shingleHashSet(docs, textCol, idCol, ngram)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // bucket join carries ONLY (band, band_sig, doc id) — the shingle
+    // arrays never enter the candidate-generation shuffle
     val banded = sig.select(
-      col("doc"), col("sh"),
+      col("doc"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
           (0 until rows).map(r => col("sig").getItem(b * rows + r)): _*))
       }: _*)).as(Seq("band", "band_sig")))
-    val a = banded.select(col("band"), col("band_sig"),
-      col("doc").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("band_sig"),
-      col("doc").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "band_sig"))
+    val a = banded.select(col("band"), col("band_sig"), col("doc").as("id_a"))
+    val b = banded.select(col("band"), col("band_sig"), col("doc").as("id_b"))
+    val candidates = a.join(b, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify each candidate pair exactly ONCE against the shingle sets
+    val shA = sig.select(col("doc").as("id_a"), col("sh").as("sh_a"))
+    val shB = sig.select(col("doc").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .groupBy("id_a", "id_b").agg(first("jaccard").as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
-  /** Exact n-gram Jaccard similarity join over a blocked candidate set:
-    * every pair sharing at least one shingle (inverted-index join on the
-    * shingle itself — the classic "prefix/posting" candidate generator).
-    * Use only with a length/frequency filter at real scale; MinHash-LSH is
-    * the scale path. */
+  /** Exact n-gram Jaccard similarity join via posting-list counting:
+    * |A∩B| = the number of co-occurring distinct shingles = COUNT per pair
+    * of the inverted-index self-join, and |A∪B| = |A|+|B|-|A∩B|. Per-doc
+    * set sizes ride along on the posting rows (one window pass) so the
+    * whole join needs exactly TWO evaluations of the shingle subplan and
+    * never shuffles a shingle array. Ubiquitous shingles make the
+    * self-join grow quadratically — that is inherent to inverted-index
+    * candidate generation; MinHash-LSH is the scale path. */
   def ngramJaccardJoin(
       docs: DataFrame, textCol: String, idCol: String,
       ngram: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"),
-      shingles(col(textCol), ngram).as("sh"))
-    val posting = sh.select(col("doc"), col("sh"), explode(col("sh")).as("g"))
-    val pairs = posting.select(col("g"), col("doc").as("id_a"), col("sh").as("sh_a"))
-      .join(posting.select(col("g"), col("doc").as("id_b"), col("sh").as("sh_b")),
-        Seq("g"))
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleHashSet(docs, textCol, idCol, ngram)
+    // explode_outer, NOT explode: InferFiltersFromGenerate would add
+    // size(sh)>0 / isnotnull(sh) filters whose pushdown re-inlines the
+    // whole shingle expression into a per-row Filter (catastrophic — the
+    // subplan is expensive); the outer variant is exempt, and `sh` is
+    // non-empty by construction so the semantics are identical
+    val posting = sh.select(col("doc"), explode_outer(col("sh")).as("g"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc"))))
+    val a = posting.select(col("g"), col("doc").as("id_a"), col("n").as("n_a"))
+    val b = posting.select(col("g"), col("doc").as("id_b"), col("n").as("n_b"))
+    a.join(b, Seq("g"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
-    pairs.select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("c"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -132,13 +169,18 @@ object Dedup {
     val sigExpr = Ann.hyperplaneSignature(col(vecCol), dim, planes, seed)
     val sig = embs.select(col(idCol).as("vid"),
       transform(col(vecCol), _.cast("double")).as("v"), sigExpr.as("bucket"))
-    val a = sig.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
-    val b = sig.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+    // candidate generation shuffles only (bucket, id); vectors are joined
+    // back and cosine computed once per DISTINCT candidate pair
+    val a = sig.select(col("bucket"), col("vid").as("id_a"))
+    val b = sig.select(col("bucket"), col("vid").as("id_b"))
+    val candidates = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(sig.select(col("vid").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(sig.select(col("vid").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Ann.cosine(col("v_a"), col("v_b")).as("cosine"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("cosine") >= cosineThreshold)
   }
 }
