@@ -148,6 +148,50 @@ object OracleSql {
     SELECT o_orderkey AS id, 'low_value' AS bucket, CAST(NULL AS DOUBLE) AS totalprice
     FROM orders WHERE o_totalprice < 10000"""
 
+  private val q16 = """
+    SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_total,
+      CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+        AS BIGINT) AS order_seq
+    FROM orders"""
+
+  private val q17 = """
+    WITH avgs AS (
+      SELECT s_nationkey AS nk,
+        CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          AS nation_avg
+      FROM supplier GROUP BY s_nationkey)
+    SELECT s_suppkey, s_name, s_acctbal, nation_avg
+    FROM supplier JOIN avgs ON s_nationkey = nk
+    WHERE s_acctbal > nation_avg"""
+
+  private val q18 = """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'"""
+
+  private val q19 = """
+    SELECT p_partkey, to_json(string_split(p_name, ' ')) AS name_tokens_json
+    FROM part"""
+
+  private val q26 = """
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS total_chars
+    FROM documents WHERE doc_id IN (SELECT doc_id FROM keepers)
+    GROUP BY lang"""
+
+  private val q27 = """
+    SELECT doc_id,
+      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE n_chars BETWEEN 100 AND 10000
+      AND CAST(len(regexp_extract_all(text, '(?i)\b(the|a|an|of|and|to|in|is|it|for|on|with|as|at|by|or|be|this|that|from)\b', 0)) AS DOUBLE) /
+        len(string_split_regex(trim(text), '\s+')) > 0.05"""
+
   private val q20 = """
     SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
       COUNT(*) AS n_copies
@@ -221,6 +265,12 @@ object OracleSql {
     "q13_hourly_windows" -> q13,
     "q14_region_monthly" -> q14,
     "q15_union_stages" -> q15,
+    "q16_rolling_agg" -> q16,
+    "q17_above_avg" -> q17,
+    "q18_hash_sample" -> q18,
+    "q19_to_json" -> q19,
+    "q26_dedup_pipeline" -> q26,
+    "q27_quality_filter" -> q27,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,
     "q22_lang_id" -> q22,

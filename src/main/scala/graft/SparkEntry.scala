@@ -228,6 +228,48 @@ object SparkEntry {
     Cascade.unionStages(Seq(hi, lo))
   }
 
+  /** Window frames — running revenue per customer (rows-frame cumulative
+    * sum over exact decimal arithmetic). */
+  def q16RollingAgg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").as("running_total"),
+      row_number().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey")))
+        .cast("long").as("order_seq"))
+  }
+
+  /** Join-aggregate-rejoin: suppliers with above-nation-average balance
+    * (the manual-predicate-pushdown shape of SURVEY.md §4, left to
+    * Catalyst here). */
+  def q17AboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val avgs = sup.groupBy(col("s_nationkey").as("nk"))
+      .agg((sum(col("s_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("nation_avg"))
+    sup.join(avgs, sup("s_nationkey") === avgs("nk"))
+      .filter(col("s_acctbal") > col("nation_avg"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("nation_avg"))
+  }
+
+  /** Deterministic hash sampling (reproducible corpus subsets — a
+    * training-data staple; md5-prefix bucket ≈ 1/16 sample). */
+  def q18HashSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** F13 — safe_jsonify analog: structured values serialized to JSON
+    * strings (data_cleaning.py:78-89). */
+  def q19ToJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      to_json(split(col("p_name"), " ")).as("name_tokens_json"))
+
   // ------------------------------------- training-data pipeline extensions
 
   /** Exact dedup over documents (hash-groupBy). */
@@ -262,6 +304,30 @@ object SparkEntry {
     t(s, dir, "documents").select(
       col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  /** Operator composition: exact-dedup keep-list joined back to the
+    * corpus, then counted per language — the canonical dedup pipeline
+    * shape (dedup → filter → downstream agg). */
+  def q26DedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keepers = Dedup.exact(docs, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), dsum(col("n_chars")).as("total_chars"))
+  }
+
+  /** Quality gating over the text-profile metrics (C4-style rule filter). */
+  def q27QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    val toks = size(split(trim(text), "\\s+")).cast("long")
+    val stopRatio = size(regexp_extract_all(text,
+      lit("(?i)\\b(the|a|an|of|and|to|in|is|it|for|on|with|as|at|by|or|be|this|that|from)\\b"),
+      lit(0))).cast("double") / toks
+    t(s, dir, "documents")
+      .filter(col("n_chars").between(100, 10000) && stopRatio > 0.05)
+      .select(col("doc_id"), toks.as("n_tokens"))
+  }
 
   /** Brute-force cosine top-k ANN (exact baseline; double arithmetic). */
   def q24CosineTopK(s: SparkSession, dir: String): DataFrame = {
@@ -366,6 +432,12 @@ object SparkEntry {
     "q13_hourly_windows" -> (q13HourlyWindows _),
     "q14_region_monthly" -> (q14RegionMonthly _),
     "q15_union_stages" -> (q15UnionStages _),
+    "q16_rolling_agg" -> (q16RollingAgg _),
+    "q17_above_avg" -> (q17AboveAvg _),
+    "q18_hash_sample" -> (q18HashSample _),
+    "q19_to_json" -> (q19ToJson _),
+    "q26_dedup_pipeline" -> (q26DedupPipeline _),
+    "q27_quality_filter" -> (q27QualityFilter _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q21_token_stats" -> (q21TokenStats _),
     "q22_lang_id" -> (q22LangId _),
