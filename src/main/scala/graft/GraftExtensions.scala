@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.{AbnValid, IndelRatio, SimHash64, TokenSortRatio}
+
+/** SparkSessionExtensions installer: makes the engine's custom expressions
+  * available to pure-SQL users at session build time —
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT token_sort_ratio(a, b) FROM t")
+  * }}}
+  *
+  * or via `spark.sql.extensions=graft.GraftExtensions`. (No custom
+  * optimizer rules or strategies are required for reference parity —
+  * SURVEY.md §4; this is the registration point where a similarity-join
+  * rewrite rule would land.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+    e.injectFunction((FunctionIdentifier("token_sort_ratio"),
+      info("token_sort_ratio",
+        "token_sort_ratio(a, b) - rapidfuzz token_sort_ratio (0..100)"),
+      (es: Seq[Expression]) => TokenSortRatio(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("indel_ratio"),
+      info("indel_ratio", "indel_ratio(a, b) - rapidfuzz fuzz.ratio (0..100)"),
+      (es: Seq[Expression]) => IndelRatio(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("abn_valid"),
+      info("abn_valid", "abn_valid(s) - ABN mod-89 checksum validity"),
+      (es: Seq[Expression]) => AbnValid(es.head)))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions: custom expressions reach pure-SQL users via
+  * SparkSessionExtensions (shares the existing SparkContext). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("withExtensions registers the engine functions for SQL") {
+    TestSpark.session // ensure context exists
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT token_sort_ratio('a b', 'b a') AS ts, " +
+          "indel_ratio('kitten', 'sitting') AS ir, " +
+          "abn_valid('51824753556') AS ok, " +
+          "simhash64(array('x', 'y')) AS sh").head()
+      assert(r.getDouble(0) == 100.0)
+      assert(math.abs(r.getDouble(1) - 61.5385) < 5e-4)
+      assert(r.getBoolean(2))
+      assert(r.getLong(3) != 0L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
