@@ -19,6 +19,7 @@ import graft.functions.{AbnValid, IndelRatio, SimHash64, TokenSortRatio}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.SimilarityPrefilter)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
     def info(name: String, usage: String) =
