@@ -192,6 +192,16 @@ object OracleSql {
       AND CAST(len(regexp_extract_all(text, '(?i)\b(the|a|an|of|and|to|in|is|it|for|on|with|as|at|by|or|be|this|that|from)\b', 0)) AS DOUBLE) /
         len(string_split_regex(trim(text), '\s+')) > 0.05"""
 
+  private val q28 = """
+    SELECT user_id,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id"""
+
   private val q20 = """
     SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
       COUNT(*) AS n_copies
@@ -271,6 +281,7 @@ object OracleSql {
     "q19_to_json" -> q19,
     "q26_dedup_pipeline" -> q26,
     "q27_quality_filter" -> q27,
+    "q28_pivot" -> q28,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,
     "q22_lang_id" -> q22,

@@ -270,6 +270,17 @@ object SparkEntry {
       col("p_partkey"),
       to_json(split(col("p_name"), " ")).as("name_tokens_json"))
 
+  /** Pivot shape via conditional aggregation (engine-portable form of
+    * `groupBy(...).pivot("event_type").count()`). */
+  def q28Pivot(s: SparkSession, dir: String): DataFrame = {
+    def cnt(et: String) =
+      sum(when(col("event_type") === et, 1L).otherwise(0L)).as(s"n_$et")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(cnt("click"), cnt("error"), cnt("purchase"), cnt("signup"),
+        cnt("view"), dsum(col("value")).as("total_value"))
+  }
+
   // ------------------------------------- training-data pipeline extensions
 
   /** Exact dedup over documents (hash-groupBy). */
@@ -438,6 +449,7 @@ object SparkEntry {
     "q19_to_json" -> (q19ToJson _),
     "q26_dedup_pipeline" -> (q26DedupPipeline _),
     "q27_quality_filter" -> (q27QualityFilter _),
+    "q28_pivot" -> (q28Pivot _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q21_token_stats" -> (q21TokenStats _),
     "q22_lang_id" -> (q22LangId _),
