@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal/interval join operators Spark lacks natively, composed from
+  * relational primitives so they scale on partitioned data (preference
+  * order (a) of the build rules — no custom physical operator needed).
+  */
+object TemporalJoins {
+
+  /** As-of join (backward): for every left row, attach the LATEST right
+    * row whose `rightTime` ≤ `leftTime`, per join key. Left rows with no
+    * earlier right row get nulls.
+    *
+    * Implementation: tag both sides, union, and run one
+    * `last(_, ignoreNulls)` window ordered by (time, side-tag) — a single
+    * hash-partitioned shuffle on the key, no per-row point lookups, no
+    * broadcast requirement on either side. At equal timestamps the right
+    * row sorts before the left row, so an exact-time match IS taken
+    * (standard as-of semantics).
+    *
+    * @param tolerance optional max staleness in the same units as the
+    *                  time columns (epoch-based numeric); matches older
+    *                  than `leftTime - tolerance` are nulled out.
+    */
+  def asofJoinBackward(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightCols = right.columns.filterNot(c => c == key).toSeq
+
+    val l = left.select(
+      col(key).as("__k"),
+      col(leftTime).cast("long").as("__t"),
+      lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__l"))
+    val r = right.select(
+      col(key).as("__k"),
+      col(rightTime).cast("long").as("__t"),
+      lit(0).as("__side"),
+      lit(null).cast(l.schema("__l").dataType).as("__l"),
+      struct(rightCols.map(col): _*).as("__r"))
+    val lPadded = l.withColumn("__r", lit(null).cast(r.schema("__r").dataType))
+
+    // __r as the final sort key makes ties on (time, side) deterministic:
+    // among equal-timestamp right rows the struct-max row wins
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = lPadded.unionByName(r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__match_t", last(
+        when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val withTol = tolerance match {
+      case Some(tol) => picked.withColumn("__match",
+        when(col("__match_t") >= col("__t") - tol, col("__match")))
+      case None => picked
+    }
+    withTol.select(
+      leftCols.map(c => col(s"__l.`$c`").as(c)) ++
+        rightCols.map(c => col(s"__match.`$c`").as(c)): _*)
+  }
+
+  /** Range (interval-containment) join: points ⋈ ranges where
+    * `start ≤ point ≤ end`, without a cross product: both sides explode to
+    * fixed-width bins of the point domain, equi-join on (bin), then exact
+    * containment filter. Shuffle volume is O(points + ranges·spanBins) —
+    * choose `binWidth` near the median range span.
+    */
+  def rangeJoinPoints(
+      points: DataFrame, pointCol: String,
+      ranges: DataFrame, startCol: String, endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0)
+    val p = points.withColumn("__bin",
+      (col(pointCol).cast("long") / binWidth).cast("long"))
+    val r = ranges.withColumn("__bin", explode(sequence(
+      (col(startCol).cast("long") / binWidth).cast("long"),
+      (col(endCol).cast("long") / binWidth).cast("long"))))
+    p.join(r, Seq("__bin"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bin")
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TemporalJoins
+
+class TemporalJoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  test("as-of backward join picks the latest earlier (or equal) right row") {
+    import spark.implicits._
+    val trades = Seq(
+      ("A", 10L, "t1"), ("A", 20L, "t2"), ("A", 5L, "t0"), ("B", 15L, "t3"))
+      .toDF("sym", "ts", "trade")
+    val quotes = Seq(
+      ("A", 8L, 1.0), ("A", 10L, 2.0), ("A", 19L, 3.0), ("B", 99L, 9.0))
+      .toDF("sym", "qts", "px")
+    val got = TemporalJoins.asofJoinBackward(trades, quotes, "sym", "ts", "qts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    assert(got == Set(
+      ("A", 10L, "t1", Some(2.0)),  // equal-time quote matches
+      ("A", 20L, "t2", Some(3.0)),
+      ("A", 5L, "t0", None),        // no earlier quote
+      ("B", 15L, "t3", None)))      // B's only quote is later
+  }
+
+  test("as-of join respects tolerance") {
+    import spark.implicits._
+    val l = Seq(("A", 100L, "x")).toDF("k", "ts", "v")
+    val r = Seq(("A", 10L, 1.0)).toDF("k", "rts", "px")
+    val strict = TemporalJoins.asofJoinBackward(l, r, "k", "ts", "rts",
+      tolerance = Some(50L)).collect().head
+    assert(strict.isNullAt(4)) // 90 units stale > 50 tolerance
+    val loose = TemporalJoins.asofJoinBackward(l, r, "k", "ts", "rts",
+      tolerance = Some(200L)).collect().head
+    assert(loose.getDouble(4) == 1.0)
+  }
+
+  test("as-of join matches a brute-force reference on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val lefts = Seq.fill(200)((s"k${rng.nextInt(5)}", rng.nextInt(1000).toLong))
+    val rights = Seq.fill(100)((s"k${rng.nextInt(5)}", rng.nextInt(1000).toLong,
+      rng.nextDouble()))
+    val lDf = lefts.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      .toDF("k", "ts", "lid")
+    val rDf = rights.toDF("k", "rts", "px")
+    val got = TemporalJoins.asofJoinBackward(lDf, rDf, "k", "ts", "rts")
+      .collect().map(r => r.getLong(2) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    lefts.zipWithIndex.foreach { case ((k, t), i) =>
+      val want = rights.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(i.toLong) == want, s"left $i ($k, $t)")
+    }
+  }
+
+  test("range join equals the naive theta join") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val points = (0 until 300).map(i => (i.toLong, rng.nextInt(10000).toLong))
+      .toDF("pid", "p")
+    val ranges = (0 until 50).map { i =>
+      val s = rng.nextInt(9000).toLong
+      (i.toLong, s, s + rng.nextInt(800).toLong)
+    }.toDF("rid", "s", "e")
+    val got = TemporalJoins.rangeJoinPoints(points, "p", ranges, "s", "e", 500L)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.crossJoin(ranges)
+      .filter(col("p") >= col("s") && col("p") <= col("e"))
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+}
