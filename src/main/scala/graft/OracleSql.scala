@@ -259,6 +259,15 @@ object OracleSql {
     SELECT doc_id, sha256(text) AS content_sha, CAST(strlen(text) AS BIGINT) AS n_bytes
     FROM documents"""
 
+  private val q36 = """
+    SELECT e.event_id, strftime(o.o_orderdate, '%Y-%m-%d') AS last_order_date
+    FROM events e ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"""
+
+  private val q37 = """
+    SELECT event_id, c_custkey FROM events JOIN customer
+      ON value >= c_acctbal AND value <= c_acctbal + 50.0"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_priority" -> q02,
@@ -282,6 +291,8 @@ object OracleSql {
     "q26_dedup_pipeline" -> q26,
     "q27_quality_filter" -> q27,
     "q28_pivot" -> q28,
+    "q36_asof_join" -> q36,
+    "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,
     "q22_lang_id" -> q22,

@@ -134,7 +134,11 @@ object SparkEntry {
       .select("crawl_id", "crawl_name", "abr_id", "abr_name",
         "match_method", "match_score", "match_confidence")
 
-    val residue = Cascade.residue(cPrep, rule, "crawl_id", "crawl_id")
+    // the rule stage matches on key equality, so the residue anti-join can
+    // key on the (small) supplier id set directly instead of re-evaluating
+    // the rule join+distinct subtree (same result, one less subplan copy)
+    val residue = Cascade.residue(cPrep,
+      sPrep.select(col("abr_id").as("crawl_id")), "crawl_id", "crawl_id")
 
     val score =
       lit(100.0) * (lit(1.0) -
@@ -348,6 +352,30 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** As-of join (backward): latest order at-or-before each event, per
+    * user — oracled against DuckDB's native ASOF JOIN. Only the matched
+    * DATE is projected so equal-date ties collapse to one value. */
+  def q36AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val o = t(s, dir, "orders").select(
+      col("o_custkey").as("user_id"), col("o_orderdate"))
+    operators.TemporalJoins.asofJoinBackward(e, o, "user_id", "ts", "o_orderdate")
+      .select(col("event_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"))
+  }
+
+  /** Range-containment join (bin-bucketed): events whose value falls in
+    * [acctbal, acctbal+50] — oracled against the plain theta join. */
+  def q37RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val points = Tables.events(s, dir).select(col("event_id"), col("value"))
+    val ranges = t(s, dir, "customer").select(
+      col("c_custkey"), col("c_acctbal").as("lo"),
+      (col("c_acctbal") + 50.0).as("hi"))
+    operators.TemporalJoins.rangeJoinPoints(points, "value", ranges, "lo", "hi",
+        binWidth = 50L)
+      .select(col("event_id"), col("c_custkey"))
+  }
+
   // --------------------------- rows-only checks (not ANSI-SQL-expressible)
 
   /** Near-dup corpus for the sketch-based dedup demos: every doc plus a
@@ -450,6 +478,8 @@ object SparkEntry {
     "q26_dedup_pipeline" -> (q26DedupPipeline _),
     "q27_quality_filter" -> (q27QualityFilter _),
     "q28_pivot" -> (q28Pivot _),
+    "q36_asof_join" -> (q36AsofJoin _),
+    "q37_range_join" -> (q37RangeJoin _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q21_token_stats" -> (q21TokenStats _),
     "q22_lang_id" -> (q22LangId _),

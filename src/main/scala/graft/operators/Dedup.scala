@@ -176,9 +176,13 @@ object Dedup {
     val candidates = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // join back to a signature-FREE projection — re-evaluating the
+    // hyperplane dot products for the verify joins would triple that work
+    val vecs = embs.select(col(idCol).as("vid"),
+      transform(col(vecCol), _.cast("double")).as("v"))
     candidates
-      .join(sig.select(col("vid").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-      .join(sig.select(col("vid").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .join(vecs.select(col("vid").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Ann.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= cosineThreshold)

@@ -32,14 +32,18 @@ object TemporalJoins {
     val leftCols = left.columns.toSeq
     val rightCols = right.columns.filterNot(c => c == key).toSeq
 
+    // normalize any time flavor (timestamp, timestamp_ntz, date, epoch
+    // numeric) to epoch seconds; ANSI forbids a direct ntz→long cast
+    def toEpoch(c: Column): Column = c.cast("timestamp").cast("long")
+
     val l = left.select(
       col(key).as("__k"),
-      col(leftTime).cast("long").as("__t"),
+      toEpoch(col(leftTime)).as("__t"),
       lit(1).as("__side"),
       struct(leftCols.map(col): _*).as("__l"))
     val r = right.select(
       col(key).as("__k"),
-      col(rightTime).cast("long").as("__t"),
+      toEpoch(col(rightTime)).as("__t"),
       lit(0).as("__side"),
       lit(null).cast(l.schema("__l").dataType).as("__l"),
       struct(rightCols.map(col): _*).as("__r"))
