@@ -7,6 +7,7 @@ object TestSpark {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      .withExtensions(new GraftExtensions)
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
