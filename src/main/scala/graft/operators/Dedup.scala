@@ -73,11 +73,18 @@ object Dedup {
   def minhashLsh(
       docs: DataFrame, textCol: String, idCol: String,
       ngram: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5,
+      materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = shingleHashSet(docs, textCol, idCol, ngram)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // the shingle frame feeds candidate generation AND both verify joins;
+    // DataFrame reuse duplicates subplans (no auto CTE materialization in
+    // Spark), so stage-materialize it once — the same boundary a
+    // production dedup pipeline gets by persisting candidates between
+    // stages. lazy (eager=false): nothing runs until the query executes.
+    val shRaw = shingleHashSet(docs, textCol, idCol, ngram)
+    val sh0 = if (materialize) shRaw.localCheckpoint(false) else shRaw
+    val sig = sh0.withColumn("sig", minhashSignature(col("sh"), numHashes))
     // bucket join carries ONLY (band, band_sig, doc id) — the shingle
     // arrays never enter the candidate-generation shuffle
     val banded = sig.select(
@@ -111,9 +118,12 @@ object Dedup {
     * candidate generation; MinHash-LSH is the scale path. */
   def ngramJaccardJoin(
       docs: DataFrame, textCol: String, idCol: String,
-      ngram: Int = 3, threshold: Double = 0.8): DataFrame = {
+      ngram: Int = 3, threshold: Double = 0.8,
+      materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleHashSet(docs, textCol, idCol, ngram)
+    val shRaw = shingleHashSet(docs, textCol, idCol, ngram)
+    // both posting branches re-evaluate the shingle subplan otherwise
+    val sh = if (materialize) shRaw.localCheckpoint(false) else shRaw
     // explode_outer, NOT explode: InferFiltersFromGenerate would add
     // size(sh)>0 / isnotnull(sh) filters whose pushdown re-inlines the
     // whole shingle expression into a per-row Filter (catastrophic — the
