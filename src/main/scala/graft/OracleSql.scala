@@ -268,6 +268,24 @@ object OracleSql {
     SELECT event_id, c_custkey FROM events JOIN customer
       ON value >= c_acctbal AND value <= c_acctbal + 50.0"""
 
+  private val q38 = """
+    SELECT term, COUNT(DISTINCT doc) AS df, COUNT(*) AS tf_total FROM (
+      SELECT doc_id AS doc, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents)
+    GROUP BY term HAVING COUNT(DISTINCT doc) >= 2"""
+
+  private val q39 = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    positions AS (
+      SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+      FROM toks WHERE len(t) >= 2),
+    bigrams AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram FROM positions)
+    SELECT bigram, COUNT(*) AS n FROM bigrams
+    GROUP BY bigram HAVING COUNT(*) >= 5"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_priority" -> q02,
@@ -292,6 +310,8 @@ object OracleSql {
     "q27_quality_filter" -> q27,
     "q28_pivot" -> q28,
     "q36_asof_join" -> q36,
+    "q38_term_stats" -> q38,
+    "q39_bigrams" -> q39,
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,

@@ -352,6 +352,26 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** Corpus term statistics (df + total tf per term) — TF-IDF building
+    * block, integer-only so it hash-matches across engines. */
+  def q38TermStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.termStats(t(s, dir, "documents"), "text", "doc_id")
+      .filter(col("df") >= 2)
+
+  /** Bigram counts over the corpus (n-gram co-occurrence statistics). */
+  def q39Bigrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + lit(1)),
+          element_at(toks, i + lit(2)))))
+      .otherwise(array())
+    t(s, dir, "documents")
+      .select(explode_outer(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+  }
+
   /** As-of join (backward): latest order at-or-before each event, per
     * user — oracled against DuckDB's native ASOF JOIN. Only the matched
     * DATE is projected so equal-date ties collapse to one value. */
@@ -479,6 +499,8 @@ object SparkEntry {
     "q27_quality_filter" -> (q27QualityFilter _),
     "q28_pivot" -> (q28Pivot _),
     "q36_asof_join" -> (q36AsofJoin _),
+    "q38_term_stats" -> (q38TermStats _),
+    "q39_bigrams" -> (q39Bigrams _),
     "q37_range_join" -> (q37RangeJoin _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q21_token_stats" -> (q21TokenStats _),

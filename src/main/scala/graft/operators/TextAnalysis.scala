@@ -102,6 +102,32 @@ object TextAnalysis {
   def winnowFingerprint(text: Column, ngram: Int = 3): Column =
     graft.functions.exprs.simhash64(Dedup.shingles(text, ngram))
 
+  /** Term → (document frequency, total term frequency) corpus statistics:
+    * the building block for TF-IDF / BM25 and vocabulary pruning. Pure
+    * integer aggregation (explode → two-level count). */
+  def termStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    docs.select(col(idCol).as("doc"), explode_outer(toks).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc")).as("df"),
+        count(lit(1)).as("tf_total"))
+  }
+
+  /** TF-IDF scores per (doc, term): tf · ln(N / df). Log arithmetic stays
+    * Scala/Spark-side (libm ln is not bit-identical across engines, so
+    * this is spec-verified rather than DuckDB-oracled — the integer stats
+    * underneath are oracled via [[termStats]]). */
+  def tfIdf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val n = docs.count().toDouble
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val tf = docs.select(col(idCol).as("doc"), explode_outer(toks).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .withColumn("tfidf", col("tf") * log(lit(n) / col("df")))
+      .select("doc", "term", "tf", "df", "tfidf")
+  }
+
   /** One-pass corpus profile: all metrics as columns. */
   def profile(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
