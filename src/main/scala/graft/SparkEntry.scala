@@ -442,6 +442,23 @@ object SparkEntry {
       "embedding", "vec_id", "vec_id", k = 10, planes = 6, tables = 4)
   }
 
+  /** Multimodal → embedding → ANN composition: documents as binary media
+    * payloads, per-partition decode stub extracting an 8-dim feature
+    * vector, brute-force cosine top-3 over the extracted features. The
+    * end-to-end shape of a media-similarity pipeline (rows-only — the
+    * decode stage is Dataset-API mapPartitions). */
+  def q40MediaPipeline(s: SparkSession, dir: String): DataFrame = {
+    import operators.Multimodal
+    val media = Multimodal.fromText(
+      t(s, dir, "documents").filter(col("doc_id") < 200),
+      "doc_id", "text", "image")
+    val feats = Multimodal.featurize(media, Multimodal.Decoder.Deterministic)
+      .toDF().select(col("id").as("vec_id"), col("feature").as("embedding"))
+    Ann.bruteForceTopK(feats, feats.filter(col("vec_id") < 4),
+        "embedding", "vec_id", "vec_id", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   /** token_sort_ratio custom expression (rapidfuzz-parity kernel) over a
     * blocked fuzzy join — rows-only here; kernel parity is ScalaTest'd. */
   def q35TokenSortFuzzy(s: SparkSession, dir: String): DataFrame = {
@@ -513,7 +530,8 @@ object SparkEntry {
     "q32_ngram_jaccard" -> (q32NgramJaccard _),
     "q33_embed_neardup" -> (q33EmbedNearDup _),
     "q34_lsh_topk" -> (q34LshTopK _),
-    "q35_token_sort_fuzzy" -> (q35TokenSortFuzzy _))
+    "q35_token_sort_fuzzy" -> (q35TokenSortFuzzy _),
+    "q40_media_pipeline" -> (q40MediaPipeline _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression guards: the properties that make these queries
+  * scale (pruning, pushdown, broadcast dims, partial aggregation) asserted
+  * against the optimized/executed plans so they cannot silently regress.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.count() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: column pruning reaches the lineitem scan") {
+    val plan = executed("q01_pricing_summary")
+    val scanLine = plan.split("\n").find(_.contains("ReadSchema")).get
+    // only the 6 referenced columns, not the full 11-column schema
+    assert(!scanLine.contains("l_orderkey"), scanLine)
+    assert(!scanLine.contains("l_partkey"), scanLine)
+    assert(scanLine.contains("l_quantity"))
+  }
+
+  test("q01: shipdate predicate is pushed into the parquet scan") {
+    val plan = executed("q01_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      plan.split("\n").find(_.contains("PushedFilters")).mkString)
+  }
+
+  test("q14: all three dimension joins broadcast (no sort-merge)") {
+    val plan = executed("q14_region_monthly")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "dims must not sort-merge")
+  }
+
+  test("q01: aggregation is partial (map-side combine present)") {
+    val plan = executed("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial + final HashAggregate")
+  }
+
+  test("q06: distinct executes as hash aggregate, not sort") {
+    val plan = executed("q06_distinct")
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("q08: fuzzy argmax is an aggregate, not a window sort") {
+    val plan = executed("q08_match_cascade")
+    assert(plan.contains("min_by") || plan.contains("HashAggregate"),
+      "argmax should be min_by partial aggregation")
+    assert(!plan.contains("RunningWindowFunction"), "no window in cascade")
+  }
+
+  test("custom expressions stay inside whole-stage codegen (no fallback)") {
+    val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // abn_valid evaluates inside a codegen stage: the project containing it
+    // carries a codegen id marker
+    assert("\\*\\(\\d+\\)".r.findAllIn(plan).nonEmpty,
+      s"no whole-stage codegen stages in plan:\n${plan.take(1500)}")
+  }
+}
