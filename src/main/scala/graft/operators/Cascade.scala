@@ -69,17 +69,35 @@ object Cascade {
     * @param leftId     unique left-row id for the argmax window.
     * @param tieBreak   deterministic tie-break columns (right-side key asc).
     */
+  /** @param saltBlocks when > 1, the blocking equi-join is salted: the
+    *                    left side gets a deterministic per-row salt and the
+    *                    right side is replicated per salt value, spreading
+    *                    a hot block (metro postcodes) over `saltBlocks`
+    *                    tasks. Result-identical to the unsalted join; use
+    *                    when AQE skew splitting isn't enough because one
+    *                    block exceeds a single task's memory. */
   def fuzzyMatch(
       left: DataFrame, right: DataFrame, blockKey: String,
       score: Column,
       leftId: String, tieBreak: Seq[String],
-      cfg: MatchConfig = MatchConfig()): DataFrame = {
+      cfg: MatchConfig = MatchConfig(),
+      saltBlocks: Int = 1): DataFrame = {
     // J2: restrict the (large) right side to blocks that exist on the left —
     // the reference's `postcode IN (SELECT DISTINCT postcode …)` semi-join
     // (entity_matching.py:100-103).
     val blocked = right.join(
       left.select(blockKey).distinct(), Seq(blockKey), "left_semi")
-    val scored = left.join(blocked, Seq(blockKey), "inner")
+    val joined =
+      if (saltBlocks <= 1) left.join(blocked, Seq(blockKey), "inner")
+      else {
+        val saltedLeft = left.withColumn("__salt",
+          pmod(xxhash64(col(leftId)), lit(saltBlocks.toLong)).cast("int"))
+        val replicated = blocked.withColumn("__salt",
+          explode(array((0 until saltBlocks).map(i => lit(i)): _*)))
+        saltedLeft.join(replicated, Seq(blockKey, "__salt"), "inner")
+          .drop("__salt")
+      }
+    val scored = joined
       .withColumn("match_score", score)
       .filter(col("match_score") >= cfg.fuzzyAcceptThreshold)
     // per-left-row argmax as a partial-aggregating min_by (map-side

@@ -40,6 +40,22 @@ class SkewAndBucketSpec extends AnyFunSuite {
     assert(two == single)
   }
 
+  test("salted fuzzyMatch equals the unsalted cascade stage") {
+    import spark.implicits._
+    val left = (1 to 500).map(i => (i.toLong, s"name variant $i", (i % 3).toLong))
+      .toDF("lid", "lname", "blk")
+    val right = (1 to 40).map(i => (i.toLong, s"name variant ${i * 10}", (i % 3).toLong))
+      .toDF("rid", "rname", "blk")
+    val score = graft.functions.exprs.token_sort_ratio(col("lname"), col("rname"))
+    def run(salt: Int) = graft.operators.Cascade.fuzzyMatch(
+        left, right, "blk", score, "lid", Seq("rid"),
+        graft.operators.Cascade.MatchConfig(60.0, 80.0), saltBlocks = salt)
+      .select("lid", "rid", "match_score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(run(1).toSeq == run(6).toSeq)
+    assert(run(1).nonEmpty)
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
