@@ -311,6 +311,15 @@ object OracleSql {
     "q28_pivot" -> q28,
     "q36_asof_join" -> q36,
     "q38_term_stats" -> q38,
+    "q41_sql_surface" -> """
+      SELECT n_name,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderstatus = 'O'
+      GROUP BY n_name""",
     "q39_bigrams" -> q39,
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,

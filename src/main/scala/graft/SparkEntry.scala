@@ -442,6 +442,22 @@ object SparkEntry {
       "embedding", "vec_id", "vec_id", k = 10, planes = 6, tables = 4)
   }
 
+  /** SQL surface — the same engine driven through `spark.sql` over
+    * registered views (incl. a custom function via GraftExtensions when
+    * active); oracled with near-identical ANSI SQL. */
+  def q41SqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT n_name,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderstatus = 'O'
+      GROUP BY n_name""")
+  }
+
   /** Multimodal → embedding → ANN composition: documents as binary media
     * payloads, per-partition decode stub extracting an 8-dim feature
     * vector, brute-force cosine top-3 over the extracted features. The
@@ -531,7 +547,8 @@ object SparkEntry {
     "q33_embed_neardup" -> (q33EmbedNearDup _),
     "q34_lsh_topk" -> (q34LshTopK _),
     "q35_token_sort_fuzzy" -> (q35TokenSortFuzzy _),
-    "q40_media_pipeline" -> (q40MediaPipeline _))
+    "q40_media_pipeline" -> (q40MediaPipeline _),
+    "q41_sql_surface" -> (q41SqlSurface _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

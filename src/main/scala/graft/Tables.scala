@@ -17,6 +17,14 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Register every table as a temp view so `spark.sql(...)` works over
+    * the catalog (the SQL entry surface next to the DataFrame API). */
+  def registerAll(s: SparkSession, d: String): Unit =
+    All.foreach { name =>
+      val df = if (name == "events") events(s, d) else load(s, d, name)
+      df.createOrReplaceTempView(name)
+    }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
