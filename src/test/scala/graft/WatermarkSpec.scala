@@ -15,9 +15,12 @@ class WatermarkSpec extends AnyFunSuite {
   test("append-mode window emits closed windows and drops too-late events") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("wm")
+    // exactly ONE file per logical batch: multiple part-files would be
+    // consumed as separate micro-batches (maxFilesPerTrigger=1) in
+    // arbitrary order, advancing the watermark past same-batch events
     def write(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
       rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .write.parquet(dir.resolve(name).toString)
+        .coalesce(1).write.parquet(dir.resolve(name).toString)
     def at(h: Int, m: Int) =
       java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
 
