@@ -358,15 +358,18 @@ object SparkEntry {
     TextAnalysis.termStats(t(s, dir, "documents"), "text", "doc_id")
       .filter(col("df") >= 2)
 
-  /** Bigram counts over the corpus (n-gram co-occurrence statistics). */
+  /** Bigram counts over the corpus (n-gram co-occurrence statistics).
+    * The token array is materialized in its own projection first —
+    * inlining it would re-run split() for every element_at reference. */
   def q39Bigrams(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(lower(col("text"))), "\\s+")
+    val toks = col("__toks")
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(0), size(toks) - 2),
         i => concat_ws(" ", element_at(toks, i + lit(1)),
           element_at(toks, i + lit(2)))))
       .otherwise(array())
     t(s, dir, "documents")
+      .select(split(trim(lower(col("text"))), "\\s+").as("__toks"))
       .select(explode_outer(bigrams).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 5)
