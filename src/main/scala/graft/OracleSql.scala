@@ -321,6 +321,13 @@ object OracleSql {
       WHERE o_orderstatus = 'O'
       GROUP BY n_name""",
     "q39_bigrams" -> q39,
+    "q42_length_quantiles" -> """
+      SELECT lang,
+        quantile_cont(n_chars, 0.5) AS p50,
+        quantile_cont(n_chars, 0.9) AS p90,
+        MIN(n_chars) AS min_chars,
+        MAX(n_chars) AS max_chars
+      FROM documents GROUP BY lang""",
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,

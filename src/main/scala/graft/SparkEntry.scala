@@ -445,6 +445,17 @@ object SparkEntry {
       "embedding", "vec_id", "vec_id", k = 10, planes = 6, tables = 4)
   }
 
+  /** Exact percentiles (linear interpolation) of document lengths per
+    * language — the order-statistics aggregate family. */
+  def q42LengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
   /** SQL surface — the same engine driven through `spark.sql` over
     * registered views (incl. a custom function via GraftExtensions when
     * active); oracled with near-identical ANSI SQL. */
@@ -551,7 +562,8 @@ object SparkEntry {
     "q34_lsh_topk" -> (q34LshTopK _),
     "q35_token_sort_fuzzy" -> (q35TokenSortFuzzy _),
     "q40_media_pipeline" -> (q40MediaPipeline _),
-    "q41_sql_surface" -> (q41SqlSurface _))
+    "q41_sql_surface" -> (q41SqlSurface _),
+    "q42_length_quantiles" -> (q42LengthQuantiles _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
