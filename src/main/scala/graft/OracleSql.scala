@@ -321,6 +321,23 @@ object OracleSql {
       WHERE o_orderstatus = 'O'
       GROUP BY n_name""",
     "q39_bigrams" -> q39,
+    "q43_sessions" -> """
+      WITH g AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR date_diff('second', lag(ts) OVER w, ts) > 1800
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id, ts,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM g)
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        COUNT(*) AS n_events,
+        CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_secs
+      FROM s GROUP BY user_id, session_seq""",
     "q42_length_quantiles" -> """
       SELECT lang,
         quantile_cont(n_chars, 0.5) AS p50,

@@ -445,6 +445,25 @@ object SparkEntry {
       "embedding", "vec_id", "vec_id", k = 10, planes = 6, tables = 4)
   }
 
+  /** Gap-based sessionization as a batch query (the SQL twin of
+    * [[graft.streaming.EventStreams.sessionize]]): session boundaries
+    * where the per-user inter-event gap exceeds 30 minutes, realized as a
+    * cumulative sum over a lag window. */
+  def q43Sessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapSecs = unix_timestamp(col("ts")) -
+      lag(unix_timestamp(col("ts")), 1).over(w)
+    val isNew = when(gapSecs.isNull || gapSecs > 1800, 1L).otherwise(0L)
+    Tables.events(s, dir)
+      .withColumn("session_seq", sum(isNew).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_secs"))
+  }
+
   /** Exact percentiles (linear interpolation) of document lengths per
     * language — the order-statistics aggregate family. */
   def q42LengthQuantiles(s: SparkSession, dir: String): DataFrame =
@@ -563,7 +582,8 @@ object SparkEntry {
     "q35_token_sort_fuzzy" -> (q35TokenSortFuzzy _),
     "q40_media_pipeline" -> (q40MediaPipeline _),
     "q41_sql_surface" -> (q41SqlSurface _),
-    "q42_length_quantiles" -> (q42LengthQuantiles _))
+    "q42_length_quantiles" -> (q42LengthQuantiles _),
+    "q43_sessions" -> (q43Sessions _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -148,10 +148,12 @@ object Dedup {
     * sharing a chunk are verified by Hamming distance. */
   def simhashNearDup(
       docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8, materialize: Boolean = true): DataFrame = {
     import graft.functions.exprs
-    val h = docs.select(col(idCol).as("doc"),
+    val hRaw = docs.select(col(idCol).as("doc"),
       exprs.simhash64(split(trim(col(textCol)), "\\s+")).as("sim"))
+    // both sides of the band self-join re-derive the fingerprint otherwise
+    val h = if (materialize) hRaw.localCheckpoint(false) else hRaw
     val banded = h.select(col("doc"), col("sim"),
       posexplode(array((0 until 4).map { b =>
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL))
@@ -177,8 +179,10 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val dim = Ann.dimOf(embs, vecCol)
     val sigExpr = Ann.hyperplaneSignature(col(vecCol), dim, planes, seed)
+    // materialized once: both band-join sides reuse the signature frame
     val sig = embs.select(col(idCol).as("vid"),
       transform(col(vecCol), _.cast("double")).as("v"), sigExpr.as("bucket"))
+      .localCheckpoint(false)
     // candidate generation shuffles only (bucket, id); vectors are joined
     // back and cosine computed once per DISTINCT candidate pair
     val a = sig.select(col("bucket"), col("vid").as("id_a"))
