@@ -28,7 +28,7 @@ object Cleaning {
     * in that priority order — a single alternation with the compound TLDs
     * first reproduces that. */
   def extractCompanyName(domain: Column): Column =
-    initcap(translate(
+    exprs.py_title(translate(
       regexp_replace(domain,
         "\\.(?:com\\.au|net\\.au|org\\.au|au|com|net|org)$", ""),
       "-_", "  "))
@@ -72,9 +72,12 @@ object Cleaning {
     nullif(regexp_extract(text, "\\b(0[289][0-9]{2}|[1-9][0-9]{3})\\b", 1), lit(""))
 
   /** F9 — company-name normalization: non-[alnum space &] → space, collapse,
-    * trim, title-case; null-safe (transform/data_cleaning.py:56-61). */
+    * trim, title-case; null-safe (transform/data_cleaning.py:56-61).
+    * Title-casing uses [[graft.functions.PyTitle]] for exact Python
+    * `str.title()` parity ("3d"→"3D", "o'brien"→"O'Brien" — `initcap`
+    * differs on those boundaries, SURVEY.md §7.3). */
   def cleanCompanyName(name: Column): Column =
-    initcap(trim(regexp_replace(
+    exprs.py_title(trim(regexp_replace(
       regexp_replace(name, "[^A-Za-z0-9 &]", " "), "\\s+", " ")))
 
   /** F10 — strip non-digits; empty → null (transform/data_cleaning.py:64-68). */

@@ -90,6 +90,23 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Python `str.title()` parity — SURVEY.md §2.7 F9 divergence note. */
+case class PyTitle(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "py_title"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TitleKernel.titleUTF8(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TitleKernel.titleUTF8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PyTitle =
+    copy(child = newChild)
+}
+
 /** Column-level entry points + SQL registration. */
 object exprs {
   private def col(e: Expression): Column = Bridge.column(e)
@@ -101,6 +118,7 @@ object exprs {
     col(IndelRatio(ex(a), ex(b)))
   def abn_valid(a: Column): Column = col(AbnValid(ex(a)))
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
+  def py_title(a: Column): Column = col(PyTitle(ex(a)))
 
   /** Register `token_sort_ratio`, `indel_ratio`, `abn_valid` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -62,8 +62,12 @@ class CleaningSpec extends AnyFunSuite {
 
   test("F9 cleanCompanyName: punctuation → space, collapse, title-case; " +
       "& kept (data_cleaning.py:56-61)") {
+    // Python str.title() parity: '&' is a boundary, so "mining&CO" →
+    // "Mining&Co" (initcap would give "Mining&co")
     assert(one(Cleaning.cleanCompanyName(col("x")),
-      "  ACME***mining&CO (pty.) ltd ") == "Acme Mining&co Pty Ltd")
+      "  ACME***mining&CO (pty.) ltd ") == "Acme Mining&Co Pty Ltd")
+    assert(one(Cleaning.cleanCompanyName(col("x")), "o'brien & sons 3d") ==
+      "O Brien & Sons 3D")
     assert(one(Cleaning.cleanCompanyName(col("x")), null) == null)
   }
 
