@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{AbnValid, IndelRatio, SimHash64, TokenSortRatio}
+import graft.functions.{AbnValid, IndelRatio, PyTitle, SimHash64, TokenSortRatio}
 
 /** SparkSessionExtensions installer: makes the engine's custom expressions
   * available to pure-SQL users at session build time —
@@ -37,5 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("py_title"),
+      info("py_title", "py_title(s) - Python str.title() semantics"),
+      (es: Seq[Expression]) => PyTitle(es.head)))
   }
 }

@@ -51,13 +51,21 @@ object LlmMatch {
       leftId: String, leftName: String,
       rightKey: String, rightName: String,
       strategy: MatchStrategy,
-      llmScore: Double = 95.0): DataFrame = {
+      llmScore: Double = 95.0,
+      maxCandidates: Int = 256): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
 
+    // candidate lists are bounded (deterministically, by right key) BEFORE
+    // collect_list: an external adjudicator's context window is finite,
+    // and an unbounded hot block would otherwise balloon a single row
+    val w = Window.partitionBy(col(leftId)).orderBy(col(rightKey).asc)
     val candidates = left.select(col(leftId), col(leftName), col(blockKey))
       .join(right.select(col(rightKey), col(rightName), col(blockKey)),
         Seq(blockKey), "inner")
+      .withColumn("__cand_rank", row_number().over(w))
+      .filter(col("__cand_rank") <= maxCandidates)
       .groupBy(col(leftId), col(leftName))
       .agg(collect_list(struct(col(rightKey).cast("string").as("k"),
         col(rightName).cast("string").as("n"))).as("cands"))
