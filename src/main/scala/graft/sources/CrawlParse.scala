@@ -66,6 +66,14 @@ object CrawlParse {
     def fetch(warcFile: String, offset: Long, length: Long): String
   }
 
+  /** §3.2 composition — the whole Common Crawl entry point as one lazy
+    * DAG: index rows → per-partition WARC fetch → field extraction →
+    * stg.common_crawl_raw_companies shape. (The reference runs this as a
+    * serial driver loop with one HTTP round-trip per page,
+    * commoncrawl_scraper.py:211-222.) */
+  def ingest(index: DataFrame, fetcher: Fetcher): DataFrame =
+    parse(fetchPages(index, fetcher))
+
   /** Run the fetch stage: index rows (url, warc_filename, offset, length) →
     * (url, html) via per-partition fetcher fan-out. */
   def fetchPages(index: DataFrame, fetcher: Fetcher): DataFrame = {

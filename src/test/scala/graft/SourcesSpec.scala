@@ -95,6 +95,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(!r.getAs[String]("snippet").contains("color"))
   }
 
+  test("S2-S5 composition: index -> fetch -> parse in one DAG") {
+    import spark.implicits._
+    val index = Seq(("https://www.acme.com.au/", "w.gz", 0L, 10L))
+      .toDF("url", "warc_filename", "offset", "length")
+    val fetcher = new CrawlParse.Fetcher {
+      override def fetch(f: String, off: Long, len: Long): String = html
+    }
+    val staged = CrawlParse.ingest(index, fetcher).collect()
+    assert(staged.length == 1)
+    assert(staged.head.getAs[String]("domain") == "acme.com.au")
+    assert(staged.head.getAs[String]("abn") == "51824753556")
+  }
+
   test("S4: fetch stage runs per-partition with an injected fetcher") {
     import spark.implicits._
     val index = Seq(
