@@ -99,8 +99,11 @@ class SourcesSpec extends AnyFunSuite {
     import spark.implicits._
     val index = Seq(("https://www.acme.com.au/", "w.gz", 0L, 10L))
       .toDF("url", "warc_filename", "offset", "length")
+    // local copy: the fetcher closure must not capture the (non-serializable)
+    // suite instance
+    val page = html
     val fetcher = new CrawlParse.Fetcher {
-      override def fetch(f: String, off: Long, len: Long): String = html
+      override def fetch(f: String, off: Long, len: Long): String = page
     }
     val staged = CrawlParse.ingest(index, fetcher).collect()
     assert(staged.length == 1)
