@@ -321,6 +321,33 @@ object OracleSql {
       WHERE o_orderstatus = 'O'
       GROUP BY n_name""",
     "q39_bigrams" -> q39,
+    "q44_top_parts_per_brand" -> """
+      SELECT p_brand, p_partkey, p_retailprice, price_rank FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+          CAST(dense_rank() OVER (PARTITION BY p_brand
+            ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS price_rank
+        FROM part) WHERE price_rank <= 3""",
+    "q45_set_ops" -> """
+      SELECT c_nationkey, 'both' AS relation FROM (
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      UNION ALL
+      SELECT c_nationkey, 'building_only' AS relation FROM (
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')""",
+    "q46_null_semantics" -> """
+      WITH t AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 7 <> 0 THEN c_custkey % 10000 END AS a,
+          CASE WHEN c_custkey % 3 <> 0 THEN c_custkey % 10000 END AS b
+        FROM customer)
+      SELECT c_custkey, a, b,
+        (a IS NOT DISTINCT FROM b) AS nullsafe_eq,
+        COALESCE(a, b, -1) AS first_present,
+        NULLIF(COALESCE(a, 0), 0) AS zero_to_null
+      FROM t""",
     "q43_sessions" -> """
       WITH g AS (
         SELECT user_id, event_id, ts,

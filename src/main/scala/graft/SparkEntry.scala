@@ -445,6 +445,46 @@ object SparkEntry {
       "embedding", "vec_id", "vec_id", k = 10, planes = 6, tables = 4)
   }
 
+  /** dense_rank top-3 per group (rank family beyond row_number). */
+  def q44TopPartsPerBrand(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    t(s, dir, "part")
+      .withColumn("price_rank", dense_rank().over(w).cast("long"))
+      .filter(col("price_rank") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        col("price_rank"))
+  }
+
+  /** Set operations: segments' customer keys INTERSECT / EXCEPT. */
+  def q45SetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey"))
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_nationkey"))
+    val both = building.intersect(machinery)
+      .withColumn("relation", lit("both"))
+    val onlyBuilding = building.except(machinery)
+      .withColumn("relation", lit("building_only"))
+    both.unionByName(onlyBuilding)
+  }
+
+  /** Null semantics battery: null-safe equality (<=>), coalesce, nullif,
+    * nvl2-style conditionals over sparsely-null derived columns. */
+  def q46NullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val pcLike = when(col("c_custkey") % 7 =!= 0,
+      col("c_custkey") % 10000).otherwise(lit(null))
+    val alt = when(col("c_custkey") % 3 =!= 0,
+      col("c_custkey") % 10000).otherwise(lit(null))
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      pcLike.as("a"), alt.as("b"),
+      (pcLike <=> alt).as("nullsafe_eq"),
+      coalesce(pcLike, alt, lit(-1L)).as("first_present"),
+      nullif(coalesce(pcLike, lit(0L)), lit(0L)).as("zero_to_null"))
+  }
+
   /** Gap-based sessionization as a batch query (the SQL twin of
     * [[graft.streaming.EventStreams.sessionize]]): session boundaries
     * where the per-user inter-event gap exceeds 30 minutes, realized as a
@@ -583,7 +623,10 @@ object SparkEntry {
     "q40_media_pipeline" -> (q40MediaPipeline _),
     "q41_sql_surface" -> (q41SqlSurface _),
     "q42_length_quantiles" -> (q42LengthQuantiles _),
-    "q43_sessions" -> (q43Sessions _))
+    "q43_sessions" -> (q43Sessions _),
+    "q44_top_parts_per_brand" -> (q44TopPartsPerBrand _),
+    "q45_set_ops" -> (q45SetOps _),
+    "q46_null_semantics" -> (q46NullSemantics _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -43,21 +43,23 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: columns {g_cols} vs {w_cols}")
                 failures += 1
                 continue
-            g = sorted([tuple(norm(v) for v in row)
-                        for row in got[g_cols].itertuples(index=False)])
-            w = sorted([tuple(norm(v) for v in row)
-                        for row in want[w_cols].itertuples(index=False)])
-            if len(g) != len(w):
-                print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            from collections import Counter
+            g = Counter(tuple(norm(v) for v in row)
+                        for row in got[g_cols].itertuples(index=False))
+            w = Counter(tuple(norm(v) for v in row)
+                        for row in want[w_cols].itertuples(index=False))
+            if sum(g.values()) != sum(w.values()):
+                print(f"FAIL {name}: rows {sum(g.values())} vs {sum(w.values())}")
                 failures += 1
                 continue
-            bad = [(a, b) for a, b in zip(g, w) if a != b]
-            if bad:
-                print(f"FAIL {name}: {len(bad)} mismatched rows; first: "
-                      f"{bad[0][0]} vs {bad[0][1]}")
+            if g != w:
+                only_g = list((g - w).items())[:1]
+                only_w = list((w - g).items())[:1]
+                print(f"FAIL {name}: multiset mismatch; spark-only {only_g} "
+                      f"oracle-only {only_w}")
                 failures += 1
             else:
-                print(f"PASS {name} ({len(g)} rows)")
+                print(f"PASS {name} ({sum(g.values())} rows)")
         except Exception as e:
             print(f"ERROR {name}: {e}")
             failures += 1
