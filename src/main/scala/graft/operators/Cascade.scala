@@ -1,10 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-
-import graft.functions.exprs
 
 /** The reference's three-stage entity-match cascade
   * (/root/reference/transform/entity_matching.py, SURVEY.md §2.4/§3.3),
@@ -21,7 +18,7 @@ import graft.functions.exprs
   *     (metro postcodes). Similarity scoring is a codegen'd expression
   *     ([[graft.functions.TokenSortRatio]]), so the O(block²) inner scoring
   *     loop stays inside whole-stage codegen.
-  *   - The argmax is `row_number` over (blockKey-partitioned) windows —
+  *   - The argmax is a `min_by` partial aggregation (map-side combine) —
   *     no driver-side loops; the reference's 50k-row chunk pagination
   *     (entity_matching.py:95-110) is deliberately dropped: Spark computes
   *     the global argmax in one distributed pass (SURVEY.md §2.4 fine print).
