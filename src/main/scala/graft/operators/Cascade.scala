@@ -65,14 +65,13 @@ object Cascade {
     *                   collide apart from blockKey), scale 0..100.
     * @param leftId     unique left-row id for the argmax window.
     * @param tieBreak   deterministic tie-break columns (right-side key asc).
-    */
-  /** @param saltBlocks when > 1, the blocking equi-join is salted: the
-    *                    left side gets a deterministic per-row salt and the
-    *                    right side is replicated per salt value, spreading
-    *                    a hot block (metro postcodes) over `saltBlocks`
-    *                    tasks. Result-identical to the unsalted join; use
-    *                    when AQE skew splitting isn't enough because one
-    *                    block exceeds a single task's memory. */
+    * @param saltBlocks when > 1, the blocking equi-join is salted: the
+    *                   left side gets a deterministic per-row salt and the
+    *                   right side is replicated per salt value, spreading
+    *                   a hot block (metro postcodes) over `saltBlocks`
+    *                   tasks. Result-identical to the unsalted join; use
+    *                   when AQE skew splitting isn't enough because one
+    *                   block exceeds a single task's memory. */
   def fuzzyMatch(
       left: DataFrame, right: DataFrame, blockKey: String,
       score: Column,
