@@ -55,6 +55,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("RunningWindowFunction"), "no window in cascade")
   }
 
+  test("partitioned layout prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("prune").toString + "/t"
+    Seq(("a", "rule_based_abn"), ("b", "fuzzy"), ("c", "LLM"))
+      .toDF("domain", "match_method")
+      .write.partitionBy("match_method").parquet(p)
+    val pruned = spark.read.parquet(p)
+      .filter(col("match_method") === "fuzzy")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*match_method[^\\]]*\\].*"),
+      s"partition pruning missing:\n${plan.take(1200)}")
+    assert(pruned.count() == 1)
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
