@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{AbnKernel, TitleKernel}
+
+/** Additional kernel properties beyond the core parity suites. */
+class KernelPropertySpec extends AnyFunSuite {
+
+  test("TitleKernel matches recorded CPython str.title() outputs") {
+    val recorded = Seq(
+      "o'brien co" -> "O'Brien Co",
+      "3d systems" -> "3D Systems",
+      "acme mining&co pty ltd" -> "Acme Mining&Co Pty Ltd",
+      "ACME  &  X" -> "Acme  &  X",
+      "café münchen" -> "Café München",
+      "" -> "",
+      "a" -> "A",
+      "x9y z" -> "X9Y Z")
+    recorded.foreach { case (in, want) =>
+      assert(TitleKernel.title(in) == want, s"title($in)")
+    }
+  }
+
+  test("TitleKernel is idempotent") {
+    val rng = new scala.util.Random(42)
+    val chars = "abcDEF 123&'-é"
+    (1 to 200).foreach { _ =>
+      val s = Seq.fill(rng.nextInt(20))(chars(rng.nextInt(chars.length))).mkString
+      assert(TitleKernel.title(TitleKernel.title(s)) == TitleKernel.title(s), s)
+    }
+  }
+
+  test("ABN checksum catches every adjacent-digit transposition " +
+      "(weight deltas < 89 prime)") {
+    val rng = new scala.util.Random(42)
+    val abns = Iterator
+      .continually("%011d".format(math.abs(rng.nextLong()) % 100000000000L))
+      .filter(AbnKernel.isValid).take(30).toSeq
+    abns.foreach { abn =>
+      for (i <- 0 until 10 if abn(i) != abn(i + 1)) {
+        val swapped = abn.updated(i, abn(i + 1)).updated(i + 1, abn(i))
+        assert(!AbnKernel.isValid(swapped), s"$abn -> $swapped")
+      }
+    }
+  }
+
+  test("hashed shingles agree with string shingles on set size (no " +
+      "collisions at corpus scale)") {
+    val spark = TestSpark.session
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0 until 100).map { i =>
+      (i.toLong, Seq.fill(20)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val stringSizes = docs
+      .select(col("doc_id"),
+        size(graft.operators.Dedup.shingles(col("text"), 3)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hashedSizes = graft.operators.Dedup
+      .shingleHashSet(docs, "text", "doc_id", 3)
+      .select(col("doc"), size(col("sh")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stringSizes == hashedSizes)
+  }
+}
