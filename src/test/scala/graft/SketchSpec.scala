@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch aggregates: HLL distinct-count sketches (mergeable across
+  * partitions/groups — the cardinality side of the sketch family next to
+  * [[graft.functions.MinHashAgg]]'s similarity sketches). */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val dir = "/root/testdata/sf0.01"
+
+  test("hll sketch estimate tracks exact distinct counts within 5%") {
+    val li = Tables.lineitem(spark, dir)
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("approx"))
+      .head()
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"exact=$exact approx=$approx")
+  }
+
+  test("hll sketches merge across groups (union tracks the exact count)") {
+    val li = Tables.lineitem(spark, dir)
+    val perFlag = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    val merged = perFlag.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0).toDouble
+    val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0).toDouble
+    // merged estimate is itself approximate — hold it to the same 5% band
+    assert(math.abs(merged - exact) / exact < 0.05,
+      s"merged=$merged exact=$exact")
+  }
+
+  test("approx_count_distinct (HLL++) also within 5%") {
+    val li = Tables.lineitem(spark, dir)
+    val row = li.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey")).as("approx")).head()
+    assert(math.abs(row.getLong(1).toDouble - row.getLong(0)) / row.getLong(0) < 0.05)
+  }
+}

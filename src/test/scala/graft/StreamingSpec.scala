@@ -39,13 +39,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("sliding windows produce overlapping buckets") {
-    val got = EventStreams.slidingRates(Tables.events(spark, dir),
-      window = "1 hour", slide = "15 minutes")
-    // ~4x as many buckets as tumbling
-    val tumbling = EventStreams.tumblingCounts(Tables.events(spark, dir))
-      .select("window_start").distinct().count()
-    assert(got.count() > 2 * tumbling)
+  test("sliding windows match a brute-force bucket computation") {
+    val events = Tables.events(spark, dir)
+    val got = EventStreams.slidingRates(events,
+        window = "1 hour", slide = "15 minutes")
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    // brute force: each event lands in the 4 slide-aligned windows
+    // covering it
+    val slideMs = 15L * 60 * 1000
+    val windowMs = 60L * 60 * 1000
+    val want = events.select("ts").collect()
+      .map(_.getTimestamp(0).getTime)
+      .flatMap { t =>
+        val lastStart = t - (t % slideMs)
+        (0L until (windowMs / slideMs)).map(i => lastStart - i * slideMs)
+          .filter(ws => t >= ws && t < ws + windowMs)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(got == want)
+    assert(got.nonEmpty)
   }
 
   test("mapGroupsWithState sessionization summarizes per user") {
