@@ -515,6 +515,13 @@ object SparkEntry {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
 
+  /** Deterministic stratified sampling (bottom-k by seeded hash via the
+    * BottomK TypedImperativeAggregate) — rows-only: DuckDB's hash differs,
+    * but the output is fully deterministic and bounded (10 per lang). */
+  def q47StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.stratifiedSample(
+      t(s, dir, "documents"), "lang", "doc_id", k = 10)
+
   /** SQL surface — the same engine driven through `spark.sql` over
     * registered views (incl. a custom function via GraftExtensions when
     * active); oracled with near-identical ANSI SQL. */
@@ -626,7 +633,8 @@ object SparkEntry {
     "q43_sessions" -> (q43Sessions _),
     "q44_top_parts_per_brand" -> (q44TopPartsPerBrand _),
     "q45_set_ops" -> (q45SetOps _),
-    "q46_null_semantics" -> (q46NullSemantics _))
+    "q46_null_semantics" -> (q46NullSemantics _),
+    "q47_stratified_sample" -> (q47StratifiedSample _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -41,6 +41,18 @@ class FormatsAndTypedSpec extends AnyFunSuite {
     assert(back.filter(col("url").isNotNull).count() == 2) // malformed skipped
   }
 
+  test("parquet schema evolution: mergeSchema unions column sets") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "name").write.parquet(p + "/v=1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(p + "/v=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(p)
+    assert(back.columns.toSet == Set("id", "name", "score", "v"))
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old rows null-pad
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+  }
+
   test("typed Dataset[AbrCompany] round trip and typed transforms") {
     import spark.implicits._
     val rows = Seq(
