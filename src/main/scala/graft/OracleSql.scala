@@ -321,6 +321,16 @@ object OracleSql {
       WHERE o_orderstatus = 'O'
       GROUP BY n_name""",
     "q39_bigrams" -> q39,
+    "q48_funnel" -> """
+      WITH s AS (
+        SELECT user_id, MIN(ts) AS first_signup FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+      p AS (
+        SELECT user_id, MAX(ts) AS last_purchase FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id)
+      SELECT COUNT(*) AS n_converted
+      FROM s JOIN p USING (user_id)
+      WHERE last_purchase > first_signup""",
     "q44_top_parts_per_brand" -> """
       SELECT p_brand, p_partkey, p_retailprice, price_rank FROM (
         SELECT p_brand, p_partkey, p_retailprice,

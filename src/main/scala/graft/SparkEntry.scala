@@ -515,6 +515,19 @@ object SparkEntry {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
 
+  /** Funnel conversion: users whose first signup precedes a later
+    * purchase (two-aggregate join on event-time ordering). */
+  def q48Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_signup"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(max(col("ts")).as("last_purchase"))
+    signups.join(purchases, Seq("user_id"))
+      .filter(col("last_purchase") > col("first_signup"))
+      .agg(count(lit(1)).as("n_converted"))
+  }
+
   /** Deterministic stratified sampling (bottom-k by seeded hash via the
     * BottomK TypedImperativeAggregate) — rows-only: DuckDB's hash differs,
     * but the output is fully deterministic and bounded (10 per lang). */
@@ -634,7 +647,8 @@ object SparkEntry {
     "q44_top_parts_per_brand" -> (q44TopPartsPerBrand _),
     "q45_set_ops" -> (q45SetOps _),
     "q46_null_semantics" -> (q46NullSemantics _),
-    "q47_stratified_sample" -> (q47StratifiedSample _))
+    "q47_stratified_sample" -> (q47StratifiedSample _),
+    "q48_funnel" -> (q48Funnel _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

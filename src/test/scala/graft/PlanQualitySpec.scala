@@ -71,6 +71,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pruned.count() == 1)
   }
 
+  test("nested struct access prunes to the referenced subfield") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("nested").toString + "/t"
+    Seq((1L, ("a", 10, "drop-me"))).toDF("id", "payload")
+      .select(col("id"), col("payload").cast(
+        "struct<name:string,size:int,unused:string>").as("payload"))
+      .write.parquet(p)
+    val df = spark.read.parquet(p).select(col("payload.name"))
+    val scan = df.queryExecution.executedPlan.toString
+      .split("\n").find(_.contains("ReadSchema")).get
+    assert(scan.contains("name") && !scan.contains("unused"),
+      s"nested pruning missing: $scan")
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
