@@ -143,6 +143,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus MinHash-LSH join — the INCREMENTAL dedup form: find
+    * near-duplicate pairs between a new batch and a historical corpus
+    * without self-joining either side. Same banding as [[minhashLsh]];
+    * candidate generation is an equi-join of the two banded sides, so a
+    * small new batch probes a huge corpus at cost proportional to the
+    * batch, not the corpus. */
+  def minhashLshJoin(
+      newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      ngram: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def banded(docs: DataFrame, side: String): (DataFrame, DataFrame) = {
+      val sh = shingleHashSet(docs, textCol, idCol, ngram)
+        .localCheckpoint(false)
+      val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+      (sig.select(col("doc").as(s"${side}_id"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(concat_ws(",",
+            (0 until rows).map(r => col("sig").getItem(b * rows + r)): _*))
+        }: _*)).as(Seq("band", "band_sig"))),
+        sh.select(col("doc").as(s"${side}_id"), col("sh").as(s"sh_$side")))
+    }
+    val (newBanded, newSh) = banded(newDocs, "new")
+    val (corpusBanded, corpusSh) = banded(corpus, "corpus")
+    val candidates = newBanded.join(corpusBanded, Seq("band", "band_sig"))
+      .select("new_id", "corpus_id").distinct()
+    candidates
+      .join(newSh, Seq("new_id"))
+      .join(corpusSh, Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        (size(array_intersect(col("sh_new"), col("sh_corpus"))).cast("double") /
+          size(array_union(col("sh_new"), col("sh_corpus")))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** Incremental exact + near dedup: keep only the new-batch rows that are
+    * neither exact copies (fingerprint) nor near-duplicates (LSH join)
+    * of the historical corpus. */
+  def incrementalDedup(
+      newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val exactDups = newDocs.join(
+      corpus.select(md5(col(textCol)).as("__fp")).distinct(),
+      md5(col(textCol)) === col("__fp"), "left_semi")
+    val nearDupIds = minhashLshJoin(newDocs, corpus, textCol, idCol,
+        jaccardThreshold = jaccardThreshold)
+      .select(col("new_id").as(idCol)).distinct()
+    newDocs
+      .join(exactDups.select(idCol), Seq(idCol), "left_anti")
+      .join(nearDupIds, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup: 64-bit simhash over tokens (custom codegen'd
     * expression), banded into 16-bit chunks for LSH bucketing; candidates
     * sharing a chunk are verified by Hamming distance. */

@@ -72,6 +72,27 @@ class DedupAnnSpec extends AnyFunSuite {
     (0 until 5).foreach(i => assert(exact.contains((i.toLong, 2000L + i))))
   }
 
+  test("incremental dedup drops new rows duplicating the corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "pack my box with five dozen liquor jugs for the party"))
+      .toDF("doc_id", "text")
+    val newBatch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again today"), // exact
+      (101L, "the quick brown fox jumps over the lazy cat again today"), // near
+      (102L, "a completely novel document about spark engines and joins"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(newBatch, corpus, "text", "doc_id",
+      jaccardThreshold = 0.5)
+    assert(kept.collect().map(_.getLong(0)).toSeq == Seq(102L))
+    val pairs = Dedup.minhashLshJoin(newBatch, corpus, "text", "doc_id",
+      jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 1L)))
+    assert(pairs.contains((101L, 1L)))
+  }
+
   test("embedding near-dup finds identical vectors across LSH buckets") {
     val vecs = (0 until 50).map { i =>
       (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))
