@@ -29,25 +29,39 @@ object AbrXml {
 
   /** Project the nested XML rows into the flat stg.abr_raw_companies
     * shape ([[graft.model.AbrCompany]]), incl. the reference's address
-    * synthesis (abr_parser.py:66) and yyyyMMdd date parse (:55). */
+    * synthesis (abr_parser.py:66) and yyyyMMdd date parse (:55).
+    *
+    * Schema-robust: XML inference only materializes fields that OCCUR in
+    * the scanned files, so every optional path is resolved against the
+    * actual schema and falls back to null when absent (a partial extract
+    * without BusinessAddress elements must not fail the whole load). */
   def toStaging(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    /** col(path) if every step exists in the schema, else null. */
+    def safeField(path: String): org.apache.spark.sql.Column = {
+      val steps = path.split("\\.")
+      val exists = steps.foldLeft(Option(raw.schema: org.apache.spark.sql.types.DataType)) {
+        case (Some(st: StructType), step) =>
+          st.fields.find(_.name == step).map(_.dataType)
+        case _ => None
+      }.isDefined
+      if (exists) col(path).cast("string") else lit(null).cast("string")
+    }
     // ABN element may carry text + attributes → struct with _VALUE;
     // tolerate both shapes (plain string when attributes are absent).
-    val abnIsStruct = raw.schema("ABN").dataType
-      .isInstanceOf[org.apache.spark.sql.types.StructType]
-    val abn = if (abnIsStruct) col("ABN._VALUE").cast("string")
-      else col("ABN").cast("string")
-    val status = if (abnIsStruct) col("ABN._status").cast("string")
+    val abnIsStruct = raw.schema("ABN").dataType.isInstanceOf[StructType]
+    val abn = if (abnIsStruct) safeField("ABN._VALUE") else col("ABN").cast("string")
+    val status = if (abnIsStruct) safeField("ABN._status")
       else lit(null).cast("string")
-    val statusDate = if (abnIsStruct) col("ABN._ABNStatusFromDate").cast("string")
+    val statusDate = if (abnIsStruct) safeField("ABN._ABNStatusFromDate")
       else lit(null).cast("string")
-    val state = col("MainEntity.BusinessAddress.AddressDetails.State").cast("string")
-    val pc = col("MainEntity.BusinessAddress.AddressDetails.Postcode").cast("string")
+    val state = safeField("MainEntity.BusinessAddress.AddressDetails.State")
+    val pc = safeField("MainEntity.BusinessAddress.AddressDetails.Postcode")
     raw.select(
       abn.as("abn"),
-      col("MainEntity.NonIndividualName.NonIndividualNameText").cast("string")
+      safeField("MainEntity.NonIndividualName.NonIndividualNameText")
         .as("entity_name"),
-      col("EntityType.EntityTypeText").cast("string").as("entity_type"),
+      safeField("EntityType.EntityTypeText").as("entity_type"),
       status.as("entity_status"),
       Cleaning.synthesizeAddress(state, pc).as("address"),
       pc.as("postcode"),

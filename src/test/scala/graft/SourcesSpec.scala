@@ -95,6 +95,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(!r.getAs[String]("snippet").contains("color"))
   }
 
+  test("S1 robustness: ABR rows with missing optional elements yield nulls") {
+    val sparse =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<Transfer>
+        |<ABR><ABN status="Active">51824753556</ABN>
+        |  <EntityType><EntityTypeText>Company</EntityTypeText></EntityType>
+        |  <MainEntity><NonIndividualName>
+        |    <NonIndividualNameText>No Address Co</NonIndividualNameText>
+        |  </NonIndividualName></MainEntity>
+        |</ABR>
+        |</Transfer>""".stripMargin
+    val dir = Files.createTempDirectory("abrxml-sparse")
+    Files.writeString(dir.resolve("p.xml"), sparse)
+    val got = AbrXml.toStaging(AbrXml.read(spark, dir.toString + "/*.xml"))
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("abn") == "51824753556")
+    assert(r.getAs[String]("entity_name") == "No Address Co")
+    assert(r.getAs[String]("address") == null)     // no BusinessAddress
+    assert(r.getAs[String]("postcode") == null)
+    assert(r.getAs[java.sql.Date]("start_date") == null) // no status date
+  }
+
+  test("S5 robustness: pathological HTML (no title, unclosed tags)") {
+    import spark.implicits._
+    val bad = "<html><body><p>just text, ABN: 51 824 753 556 <div>unclosed"
+    val pages = Seq(("https://x.com.au/", bad)).toDF("url", "html")
+    val r = CrawlParse.parse(pages).collect().head
+    assert(r.getAs[String]("title") == "")          // missing title → empty
+    assert(r.getAs[String]("abn") == "51824753556") // extraction still works
+    assert(r.getAs[String]("structured_data") == "[]") // no ld+json
+  }
+
   test("S2-S5 composition: index -> fetch -> parse in one DAG") {
     import spark.implicits._
     val index = Seq(("https://www.acme.com.au/", "w.gz", 0L, 10L))
