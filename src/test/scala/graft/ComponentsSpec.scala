@@ -28,6 +28,35 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 99L -> 99L))
   }
 
+  test("random graph matches a union-find reference") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val n = 200
+    val edges = Seq.fill(150)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // union-find reference
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0 until n).map { i =>
+      // canonical representative = min id in component
+      val root = find(i)
+      val minId = (0 until n).filter(j => find(j) == root).min
+      i.toLong -> minId.toLong
+    }.toMap
+    val got = Components.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b", maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only vertices that appear in edges are labeled by the operator
+    got.foreach { case (id, comp) =>
+      assert(comp == want(id.toInt), s"vertex $id: got $comp want ${want(id.toInt)}")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("end-to-end: minhash pairs -> components -> one keeper per cluster") {
     import spark.implicits._
     val docs = Seq(
