@@ -117,4 +117,24 @@ object Pipeline {
   def run(spark: SparkSession, stgAbr: DataFrame, stgCrawl: DataFrame,
       cfg: Config = Config()): DataFrame =
     matchEntities(spark, cleanCrawl(stgCrawl), cleanAbr(stgAbr), cfg)
+
+  /** Attach per-stage match metrics via `Dataset.observe`: the counters
+    * ride the job itself (no second pass over the data) and are readable
+    * from the returned Observation after any action — the production
+    * monitoring hook for the cascade (the reference only had progress
+    * prints, e.g. entity_matching.py:269). */
+  def withMatchMetrics(matches: DataFrame):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("match_metrics")
+    val observed = matches.observe(obs,
+      count(lit(1)).as("n_matches"),
+      sum(when(col("match_method") === "rule_based_abn", 1L).otherwise(0L))
+        .as("n_rule"),
+      sum(when(col("match_method") === "fuzzy", 1L).otherwise(0L))
+        .as("n_fuzzy"),
+      sum(when(col("match_method") === "LLM", 1L).otherwise(0L))
+        .as("n_llm"),
+      min(col("match_score")).as("min_score"))
+    (observed, obs)
+  }
 }

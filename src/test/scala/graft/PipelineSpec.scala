@@ -51,6 +51,13 @@ class PipelineSpec extends AnyFunSuite {
       Pipeline.cleanAbr(stgAbr), Validate.companyRules)
     assert(Validate.valid(checked).count() == 2)
 
+    // observe-metrics ride the write action itself (no extra pass)
+    val (observed, obs) = Pipeline.withMatchMetrics(out)
+    observed.count()
+    val m = obs.get
+    assert(m("n_matches") == 2L && m("n_rule") == 1L && m("n_fuzzy") == 1L)
+    assert(m("n_llm") == 0L)
+
     // K4 sink: partitioned by match method, reloadable
     val p = java.nio.file.Files.createTempDirectory("dwh").toString + "/m"
     Sinks.writeMatches(out, p)
