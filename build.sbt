@@ -14,6 +14,10 @@ Test / fork := true
 // session conf — parallel suite execution races on that shared state
 Test / parallelExecution := false
 run / fork := true
+// Forked run output must reach stdout RAW (no sbt `[info] ` log prefix):
+// the driver parses Bench's single JSON line from stdout, and a logger
+// prefix breaks `json.loads` (BENCH_r01.json recorded `parsed: null`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
