@@ -286,6 +286,114 @@ object OracleSql {
     SELECT bigram, COUNT(*) AS n FROM bigrams
     GROUP BY bigram HAVING COUNT(*) >= 5"""
 
+  /** Exact n-gram Jaccard join (q32): brute-force twin over word 5-gram
+    * sets — list_intersect/list_distinct reproduce Spark's
+    * array_intersect/array_distinct on distinct shingle sets, and the
+    * jaccard double is an exact small-integer ratio in both engines. */
+  private val q32 = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+        regexp_replace(text, '\s+\S+$', '', 'g') AS text FROM documents
+    ), filtered AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM corpus WHERE doc_id % 10 = 0
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform(
+            generate_series(1, len(toks)-4),
+            i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]))
+        ELSE [array_to_string(toks, ' ')] END AS gset
+      FROM filtered
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE) /
+        (len(a.gset) + len(b.gset) - len(list_intersect(a.gset, b.gset))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE) /
+        (len(a.gset) + len(b.gset) - len(list_intersect(a.gset, b.gset))) >= 0.6"""
+
+  /** Embedding near-dup (q33): brute-force cosine over all pairs. Safe
+    * because the corpus's max non-copy cosine is ≤0.60 at every SF — the
+    * ≥0.99 output is exactly the identical-copy pairs, far from any
+    * float-rounding boundary. */
+  private val q33 = """
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99"""
+
+  /** Stratified sample (q47): row_number over the same md5-derived 60-bit
+    * key BottomK uses ([[graft.operators.Sampling.portableKey]]). */
+  private val q47 = """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        ORDER BY ('0x'||substr(md5(doc_id::VARCHAR || ':42'),1,15))::BIGINT,
+          doc_id) AS rn
+      FROM documents) WHERE rn <= 10"""
+
+  /** md5-MinHash+LSH (q49): full sketch replication — shingles, 8 minhash
+    * permutations (lexicographic min of md5 hex), 4 bands of 2, bucket
+    * self-join, exact-Jaccard verify. */
+  private val q49 = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+        regexp_replace(text, '\s+\S+$', '', 'g') AS text FROM documents
+    ), filtered AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM corpus WHERE doc_id % 5 = 0
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+          generate_series(1, len(toks)-2),
+          i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]))
+        ELSE [array_to_string(toks, ' ')] END AS gset
+      FROM filtered
+    ), sig AS (
+      SELECT doc_id, list_transform(generate_series(0,7),
+        j -> list_min(list_transform(gset, g -> md5(j::VARCHAR || ':' || g)))) AS sig
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, b AS band, md5(sig[2*b+1] || ',' || sig[2*b+2]) AS band_sig
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS b) g
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+      CAST(len(list_intersect(sa.gset, sb.gset)) AS DOUBLE) /
+        (len(sa.gset) + len(sb.gset) - len(list_intersect(sa.gset, sb.gset))) AS jaccard
+    FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+              JOIN sh sb ON cand.id_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.gset, sb.gset)) AS DOUBLE) /
+        (len(sa.gset) + len(sb.gset) - len(list_intersect(sa.gset, sb.gset))) >= 0.5"""
+
+  /** Portable SimHash (q50): 60-bit md5 token hashes, per-bit majority
+    * vote recombined with shifts — the relational (unnest + group-by)
+    * formulation of the same per-row kernel. */
+  private val q50 = """
+    WITH hs AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(unnest(string_split_regex(trim(text), '\s+'))), 1, 15))::BIGINT AS h
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, i, sum((h >> i) & 1) AS ones, count(*) AS n
+      FROM hs CROSS JOIN (SELECT unnest(generate_series(0,59)) AS i) g
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+      CAST(sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_priority" -> q02,
@@ -388,6 +496,11 @@ object OracleSql {
     "q22_lang_id" -> q22,
     "q23_fingerprint" -> q23,
     "q24_cosine_topk" -> q24,
-    "q25_binary_meta" -> q25
+    "q25_binary_meta" -> q25,
+    "q32_ngram_jaccard" -> q32,
+    "q33_embed_neardup" -> q33,
+    "q47_stratified_sample" -> q47,
+    "q49_minhash_oracle" -> q49,
+    "q50_simhash_oracle" -> q50
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

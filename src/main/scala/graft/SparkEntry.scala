@@ -399,7 +399,9 @@ object SparkEntry {
       .select(col("event_id"), col("c_custkey"))
   }
 
-  // --------------------------- rows-only checks (not ANSI-SQL-expressible)
+  // ------------- sketch / sampling operators (oracled where the kernel is
+  // engine-portable — md5-based variants; xxhash64 fast paths stay
+  // rows-only with ScalaTest parity/recall specs)
 
   /** Near-dup corpus for the sketch-based dedup demos: every doc plus a
     * tail-truncated variant (id + 1,000,000) — guarantees true near-dup
@@ -422,20 +424,29 @@ object SparkEntry {
     Dedup.simhashNearDup(nearDupCorpus(s, dir), "text", "doc_id",
       maxHamming = 12)
 
-  /** Exact n-gram Jaccard join over inverted-index candidates. */
+  /** Exact n-gram Jaccard join over inverted-index candidates — oracled
+    * against a brute-force word-5-gram twin (hashed-shingle Jaccard equals
+    * string-shingle Jaccard modulo ~2⁻⁶⁴ collisions). */
   def q32NgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardJoin(
       nearDupCorpus(s, dir).filter(col("doc_id") % 10 === 0),
       "text", "doc_id", ngram = 5, threshold = 0.6)
 
-  /** Embedding-cosine near-dup pairs within hyperplane-LSH buckets. */
+  /** Embedding-cosine near-dup pairs within hyperplane-LSH buckets —
+    * oracled against the brute-force DuckDB twin (`list_cosine_similarity`
+    * over all pairs): the corpus's max non-copy cosine is ≤0.60 at every
+    * SF, so the 0.99-threshold output is exactly the copy pairs, which
+    * hyperplane LSH finds with recall 1 (identical vectors share every
+    * bucket). Only the pair ids are projected — the cosine double is
+    * engine-specific in its last ulp. */
   def q33EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val corpus = emb.select(col("vec_id"), col("embedding"))
       .unionByName(emb.select((col("vec_id") + 1000000L).as("vec_id"),
         col("embedding")))
     Dedup.embeddingNearDup(corpus, "embedding", "vec_id",
-      cosineThreshold = 0.99)
+        cosineThreshold = 0.99)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** LSH-bucketed approximate top-k ANN (scale path). */
@@ -529,11 +540,32 @@ object SparkEntry {
   }
 
   /** Deterministic stratified sampling (bottom-k by seeded hash via the
-    * BottomK TypedImperativeAggregate) — rows-only: DuckDB's hash differs,
-    * but the output is fully deterministic and bounded (10 per lang). */
-  def q47StratifiedSample(s: SparkSession, dir: String): DataFrame =
-    operators.Sampling.stratifiedSample(
-      t(s, dir, "documents"), "lang", "doc_id", k = 10)
+    * BottomK TypedImperativeAggregate), keyed by the engine-portable
+    * md5-derived key so the DuckDB oracle reproduces the exact sample
+    * (row_number over the same key). */
+  def q47StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.Sampling.stratifiedSampleByKey(docs, "lang", "doc_id", k = 10,
+      operators.Sampling.portableKey(col("doc_id"), seed = 42))
+  }
+
+  /** MinHash+LSH with md5-based hash functions — the fully-oracled twin of
+    * q30: DuckDB replicates shingling, the 8-permutation minhash
+    * signature, banding, the bucket self-join, and the exact-Jaccard
+    * verify, so the whole sketch pipeline is hash-compared, not just row
+    * counts. Corpus is 1/5th of the near-dup corpus to keep the oracle's
+    * quadratic-free replication cheap. */
+  def q49MinhashOracle(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPortable(
+      nearDupCorpus(s, dir).filter(col("doc_id") % 5 === 0),
+      "text", "doc_id", ngram = 3, numHashes = 8, bands = 4,
+      jaccardThreshold = 0.5)
+
+  /** Engine-portable 60-bit SimHash fingerprint per document (md5-derived
+    * token hashes, bit-majority vote) — oracles the sketch kernel that
+    * q31's near-dup join builds on. */
+  def q50SimhashOracle(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPortable(t(s, dir, "documents"), "text", "doc_id")
 
   /** SQL surface — the same engine driven through `spark.sql` over
     * registered views (incl. a custom function via GraftExtensions when
@@ -648,7 +680,9 @@ object SparkEntry {
     "q45_set_ops" -> (q45SetOps _),
     "q46_null_semantics" -> (q46NullSemantics _),
     "q47_stratified_sample" -> (q47StratifiedSample _),
-    "q48_funnel" -> (q48Funnel _))
+    "q48_funnel" -> (q48Funnel _),
+    "q49_minhash_oracle" -> (q49MinhashOracle _),
+    "q50_simhash_oracle" -> (q50SimhashOracle _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -198,6 +198,75 @@ object Dedup {
       .join(nearDupIds, Seq(idCol), "left_anti")
   }
 
+  /** MinHash + LSH over STRING shingles with md5-derived hash functions —
+    * the engine-portable twin of [[minhashLsh]]. Same pipeline shape
+    * (shingle → k-minhash → banding → bucket self-join → exact-Jaccard
+    * verify), but every hash is md5-based so any engine with an md5
+    * builtin (DuckDB, Trino, Postgres) reproduces the output bit-for-bit
+    * — which is what lets the driver's DuckDB oracle verify the whole
+    * sketch, not just row counts. [[minhashLsh]] (xxhash64, fixed-width
+    * shingle hashes) remains the fast path: identical structure, cheaper
+    * hashes, narrower shuffles.
+    *
+    * Hash function j is `md5("<j>:" || shingle)`; the signature entry is
+    * the lexicographic min over the shingle set (md5 hex is lowercase
+    * ASCII, so string ordering agrees across engines). Band signature is
+    * `md5(sig[b*r] || "," || ... || sig[b*r+r-1])`. */
+  def minhashLshPortable(
+      docs: DataFrame, textCol: String, idCol: String,
+      ngram: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    // feeds candidate generation AND both verify joins → materialize once
+    val sh0 = docs.select(col(idCol).as("doc"),
+      shingles(col(textCol), ngram).as("gset")).localCheckpoint(false)
+    val sig = sh0.select(col("doc"),
+      array((0 until numHashes).map { j =>
+        array_min(transform(col("gset"), g => md5(concat(lit(s"$j:"), g))))
+      }: _*).as("sig"))
+    // posexplode_outer: the plain generator would get an inferred
+    // size(...)>0 filter whose pushdown re-inlines the whole minhash
+    // signature construction per row (the array is never empty anyway)
+    val banded = sig.select(col("doc"),
+      posexplode_outer(array((0 until bands).map { b =>
+        md5(concat_ws(",",
+          (0 until rows).map(r => col("sig").getItem(b * rows + r)): _*))
+      }: _*)).as(Seq("band", "band_sig")))
+    val a = banded.select(col("band"), col("band_sig"), col("doc").as("id_a"))
+    val b = banded.select(col("band"), col("band_sig"), col("doc").as("id_b"))
+    val candidates = a.join(b, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val shA = sh0.select(col("doc").as("id_a"), col("gset").as("g_a"))
+    val shB = sh0.select(col("doc").as("id_b"), col("gset").as("g_b"))
+    candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** Engine-portable 60-bit SimHash fingerprint per document: token hash =
+    * first 60 bits of md5 (via `conv`), bit i of the fingerprint set when
+    * the majority of token hashes have bit i set (ties → 0). Entirely
+    * per-row (no shuffle) — the bit-majority loop runs as a single
+    * `aggregate` over `sequence(0,59)`. The production near-dup join is
+    * [[simhashNearDup]] (codegen'd xxhash-based kernel); this variant
+    * exists so the sketch itself is verifiable in any md5-capable engine.
+    * Returns (doc_id, simhash). */
+  def simhashPortable(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      // token hashes materialized ONCE: the bit loop references __hs 60
+      // times, and an inlined alias would re-run the md5 transform per ref
+      .select(col(idCol).as("doc_id"),
+        transform(split(trim(col(textCol)), "\\s+"),
+          t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("__hs"))
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(0, 59), 0L, (acc, i) -> acc +
+          IF(2 * size(filter(__hs, h -> shiftright(h, i) % 2 = 1)) > size(__hs),
+             shiftleft(1L, i), 0L))""").as("simhash"))
+
   /** SimHash near-dup: 64-bit simhash over tokens (custom codegen'd
     * expression), banded into 16-bit chunks for LSH bucketing; candidates
     * sharing a chunk are verified by Hamming distance. */

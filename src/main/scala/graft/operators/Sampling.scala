@@ -24,9 +24,23 @@ object Sampling {
   /** Per-group deterministic k-sample (stratified). */
   def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
       k: Int, seed: Int = 42): DataFrame =
+    stratifiedSampleByKey(df, groupCol, idCol, k,
+      xxhash64(col(idCol), lit(seed)))
+
+  /** Engine-portable deterministic sort key: the first 60 bits of
+    * `md5("<id>:<seed>")`. Any md5-capable engine reproduces it
+    * (`('0x'||substr(md5(id||':'||seed),1,15))::BIGINT` in DuckDB), which
+    * lets an external oracle verify the sample exactly; `xxhash64` stays
+    * the fast default key. */
+  def portableKey(id: org.apache.spark.sql.Column, seed: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(id.cast("string"), lit(s":$seed"))), 1, 15),
+      16, 10).cast("long")
+
+  /** Per-group bottom-k by an arbitrary deterministic key column. */
+  def stratifiedSampleByKey(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, key: org.apache.spark.sql.Column): DataFrame =
     df.groupBy(col(groupCol))
-      .agg(BottomK.bottom_k(
-        xxhash64(col(idCol), lit(seed)), col(idCol), k).as("sample"))
+      .agg(BottomK.bottom_k(key, col(idCol), k).as("sample"))
       .select(col(groupCol), explode(col("sample")).as("s"))
       .select(col(groupCol), col("s.value").cast("long").as(idCol))
 }

@@ -72,6 +72,51 @@ class DedupAnnSpec extends AnyFunSuite {
     (0 until 5).foreach(i => assert(exact.contains((i.toLong, 2000L + i))))
   }
 
+  test("portable minhash LSH finds exact dups with recall 1 and verifies jaccard") {
+    val got = Dedup.minhashLshPortable(docs, "text", "doc_id",
+        ngram = 3, numHashes = 8, bands = 4, jaccardThreshold = 0.4)
+      .collect()
+    val pairs = got.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // identical shingle sets → identical signatures → every band collides
+    (0 until 5).foreach(i => assert(pairs.contains((i.toLong, 2000L + i))))
+    // planted one-word-changed near-dups: P(collision) ≈ 0.999 each at
+    // j≈0.9 with 4 bands of 2 — deterministic hashes, so a fixed outcome
+    val planted = (0 until 20).count(i => pairs.contains((i.toLong, 1000L + i)))
+    assert(planted >= 17, s"portable minhash found only $planted/20 planted pairs")
+    got.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.4))
+  }
+
+  /** JVM reference of the portable 60-bit simhash (md5 via MessageDigest),
+    * used to pin [[Dedup.simhashPortable]]'s conv/shift/majority plumbing
+    * exactly. */
+  private def simhashRef(text: String): Long = {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val hs = text.trim.split("\\s+").map(h60)
+    (0 until 60).foldLeft(0L) { (acc, i) =>
+      val ones = hs.count(h => ((h >> i) & 1L) == 1L)
+      if (2 * ones > hs.length) acc | (1L << i) else acc
+    }
+  }
+
+  test("portable simhash matches the JVM md5 reference bit-for-bit") {
+    val got = Dedup.simhashPortable(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+      .toMap
+    val texts = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got.size == texts.size)
+    texts.foreach { case (id, text) =>
+      assert(got(id) == simhashRef(text), s"simhash mismatch for doc $id")
+    }
+    // near-dups land close in hamming space; fingerprints are 60-bit
+    got.values.foreach(v => assert(v >= 0L && v < (1L << 60)))
+  }
+
   test("incremental dedup drops new rows duplicating the corpus") {
     import spark.implicits._
     val corpus = Seq(

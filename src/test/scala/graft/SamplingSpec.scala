@@ -39,6 +39,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(s1.head < 100 || s1.last > 400)
   }
 
+  test("portable-key stratified sample matches a JVM md5 reference") {
+    def keyRef(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:42".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val got = Sampling.stratifiedSampleByKey(docs, "lang", "doc_id", 10,
+        Sampling.portableKey(col("doc_id"), seed = 42))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = docs.select("lang", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(
+        _.map(_._2).sortBy(id => (keyRef(id), id)).take(10).toSet).toMap
+    assert(got == want)
+  }
+
   test("stratified sample keeps k per group") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val got = Sampling.stratifiedSample(docs, "lang", "doc_id", 10)
