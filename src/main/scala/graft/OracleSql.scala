@@ -12,7 +12,49 @@ package graft
   *     replace-all default;
   *   - timestamps are formatted to strings (`strftime` ↔ `date_format`).
   */
+/** Sketch-pipeline constants shared by [[SparkEntry]] (the Spark queries)
+  * and [[OracleSql]] (the DuckDB twins, whose SQL is GENERATED from these
+  * values) — changing a parameter changes both sides together instead of
+  * silently desyncing the oracle (ADVICE r2). */
+object SketchParams {
+  /** q49 md5-MinHash-LSH: word n-gram size, hash count, band count,
+    * verify threshold, and the doc_id % `corpusMod` == 0 corpus filter. */
+  object q49 {
+    val ngram = 3; val numHashes = 8; val bands = 4
+    val jaccardThreshold = 0.5; val corpusMod = 5
+  }
+  /** q32 exact n-gram Jaccard join: n-gram size, threshold, corpus filter. */
+  object q32 {
+    val ngram = 5; val jaccardThreshold = 0.6; val corpusMod = 10
+  }
+}
+
 object OracleSql {
+
+  /** Engine-portable whitespace normalization (same class as
+    * `SparkEntry.normText`): collapses runs of the explicit whitespace
+    * class so `\s+` tokenization downstream is engine-agnostic. */
+  private def normSql(col: String): String =
+    s"""trim(regexp_replace($col, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"""
+
+  /** The near-dup corpus CTE (every doc + a tail-truncated variant),
+    * normalized — the SQL twin of `SparkEntry.nearDupCorpus`. */
+  private def nearDupCorpusSql: String = s"""
+    SELECT doc_id, ${normSql("text")} AS text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+      regexp_replace(${normSql("text")}, ' [^ ]+$$', '', 'g') AS text
+    FROM documents"""
+
+  /** Distinct word n-gram shingle set over `toks` (the SQL twin of
+    * `Dedup.shingles`). */
+  private def shingleSql(n: Int): String = {
+    val gram = (0 until n).map(o => if (o == 0) "toks[i]" else s"toks[i+$o]")
+      .mkString("||' '||")
+    s"""CASE WHEN len(toks) >= $n THEN list_distinct(list_transform(
+          generate_series(1, len(toks)-${n - 1}), i -> $gram))
+        ELSE [array_to_string(toks, ' ')] END"""
+  }
 
   private val q01 = """
     SELECT l_returnflag, l_linestatus,
@@ -286,25 +328,21 @@ object OracleSql {
     SELECT bigram, COUNT(*) AS n FROM bigrams
     GROUP BY bigram HAVING COUNT(*) >= 5"""
 
-  /** Exact n-gram Jaccard join (q32): brute-force twin over word 5-gram
+  /** Exact n-gram Jaccard join (q32): brute-force twin over word n-gram
     * sets — list_intersect/list_distinct reproduce Spark's
     * array_intersect/array_distinct on distinct shingle sets, and the
-    * jaccard double is an exact small-integer ratio in both engines. */
-  private val q32 = """
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc_id,
-        regexp_replace(text, '\s+\S+$', '', 'g') AS text FROM documents
+    * jaccard double is an exact small-integer ratio in both engines.
+    * Generated from [[SketchParams.q32]] — the same constants the Spark
+    * side uses. */
+  private def q32: String = {
+    val p = SketchParams.q32
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
     ), filtered AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-      FROM corpus WHERE doc_id % 10 = 0
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM corpus WHERE doc_id % ${p.corpusMod} = 0
     ), sh AS (
-      SELECT doc_id,
-        CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform(
-            generate_series(1, len(toks)-4),
-            i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]))
-        ELSE [array_to_string(toks, ' ')] END AS gset
+      SELECT doc_id, ${shingleSql(p.ngram)} AS gset
       FROM filtered
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -312,7 +350,8 @@ object OracleSql {
         (len(a.gset) + len(b.gset) - len(list_intersect(a.gset, b.gset))) AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE) /
-        (len(a.gset) + len(b.gset) - len(list_intersect(a.gset, b.gset))) >= 0.6"""
+        (len(a.gset) + len(b.gset) - len(list_intersect(a.gset, b.gset))) >= ${p.jaccardThreshold}"""
+  }
 
   /** Embedding near-dup (q33): brute-force cosine over all pairs. Safe
     * because the corpus's max non-copy cosine is ≤0.60 at every SF — the
@@ -329,40 +368,43 @@ object OracleSql {
     WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99"""
 
   /** Stratified sample (q47): row_number over the same md5-derived 60-bit
-    * key BottomK uses ([[graft.operators.Sampling.portableKey]]). */
+    * key BottomK uses ([[graft.operators.Sampling.portableKey]]). The
+    * tie-break mirrors BottomK's (key, value-as-string) ordering — equal
+    * keys resolve by the VARCHAR form of the id, so parity holds even if
+    * the 60-bit key ever collides. */
   private val q47 = """
     SELECT lang, doc_id FROM (
       SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
         ORDER BY ('0x'||substr(md5(doc_id::VARCHAR || ':42'),1,15))::BIGINT,
-          doc_id) AS rn
+          doc_id::VARCHAR) AS rn
       FROM documents) WHERE rn <= 10"""
 
-  /** md5-MinHash+LSH (q49): full sketch replication — shingles, 8 minhash
-    * permutations (lexicographic min of md5 hex), 4 bands of 2, bucket
-    * self-join, exact-Jaccard verify. */
-  private val q49 = """
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc_id,
-        regexp_replace(text, '\s+\S+$', '', 'g') AS text FROM documents
+  /** md5-MinHash+LSH (q49): full sketch replication — shingles, minhash
+    * permutations (lexicographic min of md5 hex), banding, bucket
+    * self-join, exact-Jaccard verify. Generated from
+    * [[SketchParams.q49]] — the same constants the Spark side passes to
+    * `Dedup.minhashLshPortable`, so a parameter change can never desync
+    * the oracle. */
+  private def q49: String = {
+    val p = SketchParams.q49
+    val rows = p.numHashes / p.bands
+    val bandConcat = (1 to rows).map(r => s"sig[$rows*b+$r]")
+      .mkString(" || ',' || ")
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
     ), filtered AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-      FROM corpus WHERE doc_id % 5 = 0
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM corpus WHERE doc_id % ${p.corpusMod} = 0
     ), sh AS (
-      SELECT doc_id,
-        CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
-          generate_series(1, len(toks)-2),
-          i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]))
-        ELSE [array_to_string(toks, ' ')] END AS gset
+      SELECT doc_id, ${shingleSql(p.ngram)} AS gset
       FROM filtered
     ), sig AS (
-      SELECT doc_id, list_transform(generate_series(0,7),
+      SELECT doc_id, list_transform(generate_series(0,${p.numHashes - 1}),
         j -> list_min(list_transform(gset, g -> md5(j::VARCHAR || ':' || g)))) AS sig
       FROM sh
     ), banded AS (
-      SELECT doc_id, b AS band, md5(sig[2*b+1] || ',' || sig[2*b+2]) AS band_sig
-      FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS b) g
+      SELECT doc_id, b AS band, md5($bandConcat) AS band_sig
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0,${p.bands - 1})) AS b) g
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
@@ -375,16 +417,23 @@ object OracleSql {
     FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
               JOIN sh sb ON cand.id_b = sb.doc_id
     WHERE CAST(len(list_intersect(sa.gset, sb.gset)) AS DOUBLE) /
-        (len(sa.gset) + len(sb.gset) - len(list_intersect(sa.gset, sb.gset))) >= 0.5"""
+        (len(sa.gset) + len(sb.gset) - len(list_intersect(sa.gset, sb.gset))) >= ${p.jaccardThreshold}"""
+  }
 
   /** Portable SimHash (q50): 60-bit md5 token hashes, per-bit majority
     * vote recombined with shifts — the relational (unnest + group-by)
-    * formulation of the same per-row kernel. */
-  private val q50 = """
-    WITH hs AS (
+    * formulation of the same per-row kernel. Text is
+    * whitespace-normalized, and NULL / token-less docs are filtered
+    * explicitly (matching the Spark side) — DuckDB's unnest would
+    * silently drop them while the Spark kernel emits a row (ADVICE r2). */
+  private def q50: String = s"""
+    WITH src AS (
+      SELECT doc_id, ${normSql("text")} AS text FROM documents
+      WHERE text IS NOT NULL AND ${normSql("text")} <> ''
+    ), hs AS (
       SELECT doc_id,
-        ('0x' || substr(md5(unnest(string_split_regex(trim(text), '\s+'))), 1, 15))::BIGINT AS h
-      FROM documents
+        ('0x' || substr(md5(unnest(string_split_regex(trim(text), '\\s+'))), 1, 15))::BIGINT AS h
+      FROM src
     ), bits AS (
       SELECT doc_id, i, sum((h >> i) & 1) AS ones, count(*) AS n
       FROM hs CROSS JOIN (SELECT unnest(generate_series(0,59)) AS i) g

@@ -403,14 +403,27 @@ object SparkEntry {
   // engine-portable — md5-based variants; xxhash64 fast paths stay
   // rows-only with ScalaTest parity/recall specs)
 
+  /** Engine-portable whitespace normalization: collapse every run of the
+    * EXPLICIT whitespace class to one space and trim. Java `\s` and RE2
+    * `\s` disagree on `\x0B`, Java `$` matches before a final newline, and
+    * Java `split` drops trailing empty tokens — normalizing with an
+    * explicit class first removes every such edge, so downstream `\s+`
+    * tokenization behaves identically in Spark and DuckDB regardless of
+    * the input's whitespace shape (ADVICE r2). */
+  private def normText(c: Column): Column =
+    trim(regexp_replace(c, "[ \\t\\n\\x0B\\f\\r]+", " "))
+
   /** Near-dup corpus for the sketch-based dedup demos: every doc plus a
     * tail-truncated variant (id + 1,000,000) — guarantees true near-dup
-    * pairs exist so the operators demonstrably fire. */
+    * pairs exist so the operators demonstrably fire. Text is
+    * whitespace-normalized first so the truncation regex and all
+    * downstream tokenization are engine-portable. */
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("text"))
     val variants = docs.select(
       (col("doc_id") + 1000000L).as("doc_id"),
-      regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+      regexp_replace(col("text"), " [^ ]+$", "").as("text"))
     docs.unionByName(variants)
   }
 
@@ -427,10 +440,12 @@ object SparkEntry {
   /** Exact n-gram Jaccard join over inverted-index candidates — oracled
     * against a brute-force word-5-gram twin (hashed-shingle Jaccard equals
     * string-shingle Jaccard modulo ~2⁻⁶⁴ collisions). */
-  def q32NgramJaccard(s: SparkSession, dir: String): DataFrame =
+  def q32NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q32
     Dedup.ngramJaccardJoin(
-      nearDupCorpus(s, dir).filter(col("doc_id") % 10 === 0),
-      "text", "doc_id", ngram = 5, threshold = 0.6)
+      nearDupCorpus(s, dir).filter(col("doc_id") % p.corpusMod === 0),
+      "text", "doc_id", ngram = p.ngram, threshold = p.jaccardThreshold)
+  }
 
   /** Embedding-cosine near-dup pairs within hyperplane-LSH buckets —
     * oracled against the brute-force DuckDB twin (`list_cosine_similarity`
@@ -555,17 +570,26 @@ object SparkEntry {
     * verify, so the whole sketch pipeline is hash-compared, not just row
     * counts. Corpus is 1/5th of the near-dup corpus to keep the oracle's
     * quadratic-free replication cheap. */
-  def q49MinhashOracle(s: SparkSession, dir: String): DataFrame =
+  def q49MinhashOracle(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q49
     Dedup.minhashLshPortable(
-      nearDupCorpus(s, dir).filter(col("doc_id") % 5 === 0),
-      "text", "doc_id", ngram = 3, numHashes = 8, bands = 4,
-      jaccardThreshold = 0.5)
+      nearDupCorpus(s, dir).filter(col("doc_id") % p.corpusMod === 0),
+      "text", "doc_id", ngram = p.ngram, numHashes = p.numHashes,
+      bands = p.bands, jaccardThreshold = p.jaccardThreshold)
+  }
 
   /** Engine-portable 60-bit SimHash fingerprint per document (md5-derived
     * token hashes, bit-majority vote) — oracles the sketch kernel that
-    * q31's near-dup join builds on. */
+    * q31's near-dup join builds on. NULL / token-less texts are filtered
+    * identically on both sides (DuckDB's unnest would silently drop them
+    * from the oracle while the Spark kernel would emit simhash 0 —
+    * ADVICE r2), and the text is whitespace-normalized first. */
   def q50SimhashOracle(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPortable(t(s, dir, "documents"), "text", "doc_id")
+    Dedup.simhashPortable(
+      t(s, dir, "documents")
+        .select(col("doc_id"), normText(col("text")).as("text"))
+        .filter(col("text").isNotNull && col("text") =!= ""),
+      "text", "doc_id")
 
   /** SQL surface — the same engine driven through `spark.sql` over
     * registered views (incl. a custom function via GraftExtensions when

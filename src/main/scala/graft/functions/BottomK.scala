@@ -22,7 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * hazards — the training-data sampling primitive
   * ([[graft.operators.Sampling]]).
   *
-  * Output: `array<struct<key: bigint, value: string>>`, ascending by key.
+  * Output: `array<struct<key: bigint, value: string>>`, ascending by
+  * (key, value): the value participates in the ordering, so equal keys
+  * (hash collisions) resolve by lexicographic value compare instead of
+  * partition arrival order — the result is deterministic even when the
+  * key hash collides, and an external oracle reproduces it with
+  * `ORDER BY key, CAST(value AS VARCHAR)`.
   */
 case class BottomK(
     keyExpr: Expression,
@@ -41,9 +46,23 @@ case class BottomK(
     StructField("value", StringType))), containsNull = false)
   override def prettyName: String = "bottom_k"
 
-  // max-heap on key: the head is the largest retained key, evicted first
+  // total order on (key, value); null values sort first so they can never
+  // displace a real value under an equal key
+  private val kvOrdering: Ordering[(Long, UTF8String)] =
+    new Ordering[(Long, UTF8String)] {
+      override def compare(x: (Long, UTF8String), y: (Long, UTF8String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else if (x._2 eq null) { if (y._2 eq null) 0 else -1 }
+        else if (y._2 eq null) 1
+        else x._2.compareTo(y._2)
+      }
+    }
+
+  // max-heap on (key, value): the head is the largest retained entry,
+  // evicted first
   private def newHeap() =
-    mutable.PriorityQueue.empty[(Long, UTF8String)](Ordering.by(_._1))
+    mutable.PriorityQueue.empty[(Long, UTF8String)](kvOrdering)
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Long, UTF8String)] =
     newHeap()
@@ -54,12 +73,17 @@ case class BottomK(
     val keyVal = keyExpr.eval(input)
     if (keyVal != null) {
       val key = keyVal.asInstanceOf[Long]
-      if (buf.size < k || key < buf.head._1) {
+      // cheap key-only gate first; the value is only evaluated when the
+      // key alone cannot reject the row (admissible or tied with head)
+      if (buf.size < k || key <= buf.head._1) {
         val v = valueExpr.eval(input)
         val vCopy = if (v == null) null
           else v.asInstanceOf[UTF8String].clone() // unsafe rows are reused
-        buf.enqueue((key, vCopy))
-        if (buf.size > k) buf.dequeue()
+        val kv = (key, vCopy)
+        if (buf.size < k || kvOrdering.lt(kv, buf.head)) {
+          buf.enqueue(kv)
+          if (buf.size > k) buf.dequeue()
+        }
       }
     }
     buf
@@ -69,7 +93,7 @@ case class BottomK(
       a: mutable.PriorityQueue[(Long, UTF8String)],
       b: mutable.PriorityQueue[(Long, UTF8String)]): mutable.PriorityQueue[(Long, UTF8String)] = {
     b.foreach { kv =>
-      if (a.size < k || kv._1 < a.head._1) {
+      if (a.size < k || kvOrdering.lt(kv, a.head)) {
         a.enqueue(kv)
         if (a.size > k) a.dequeue()
       }
@@ -78,7 +102,7 @@ case class BottomK(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Long, UTF8String)]): Any = {
-    val sorted = buf.toArray.sortBy(_._1)
+    val sorted = buf.toArray.sorted(kvOrdering)
     new GenericArrayData(sorted.map { case (key, v) =>
       InternalRow(key, v): Any
     })

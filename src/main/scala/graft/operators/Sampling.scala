@@ -31,7 +31,9 @@ object Sampling {
     * `md5("<id>:<seed>")`. Any md5-capable engine reproduces it
     * (`('0x'||substr(md5(id||':'||seed),1,15))::BIGINT` in DuckDB), which
     * lets an external oracle verify the sample exactly; `xxhash64` stays
-    * the fast default key. */
+    * the fast default key. Key collisions don't break parity: BottomK
+    * orders by (key, value-as-string), so the oracle's
+    * `ORDER BY key, id::VARCHAR` reproduces the pick even on a collision. */
   def portableKey(id: org.apache.spark.sql.Column, seed: Int): org.apache.spark.sql.Column =
     conv(substring(md5(concat(id.cast("string"), lit(s":$seed"))), 1, 15),
       16, 10).cast("long")
