@@ -443,7 +443,78 @@ object OracleSql {
       CAST(sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id"""
 
+  /** Portable-LSH ANN (q51): the sign matrix is re-derived from md5, the
+    * hyperplane projections are integer-exact over floor-quantized
+    * coordinates (so bucketing can never diverge on float rounding), and
+    * the in-bucket ranking mirrors q24's cosine ordering. Planes/scale/k
+    * must match `SparkEntry.q51LshAnnOracle` (planes=4, scale=1000,
+    * k=10). */
+  private val q51 = """
+    WITH sig AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        list_sum(list_transform(generate_series(0, 3), j ->
+          CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), i ->
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+            (CASE WHEN substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 1) < '8'
+              THEN 1 ELSE -1 END))) > 0
+          THEN (1::BIGINT << j) ELSE 0 END)) AS sig
+      FROM embeddings)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+      FROM sig q JOIN sig c ON q.sig = c.sig AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 8) WHERE rank <= 10"""
+
+  private val q52 = """
+    SELECT coalesce(r_name, '(all)') AS region,
+      coalesce(n_name, '(all)') AS nation,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)"""
+
+  /** Moments (q53): exact decimal power sums, one final double expression
+    * with the IDENTICAL shape as the Spark side — the only doubles are
+    * produced by the same casts and arithmetic tree, so bits match. */
+  private val q53 = """
+    WITH a AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+      sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
+      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_price,
+      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        AS corr_qty_price
+    FROM a"""
+
+  private val q54 = """
+    WITH toks AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS t FROM part),
+    ex AS (
+      SELECT p_partkey, unnest(list_transform(generate_series(1, len(t)),
+        i -> {'pos': i, 'token': t[i]})) AS s
+      FROM toks)
+    SELECT p_partkey, CAST(s.pos AS BIGINT) AS pos, s.token AS token FROM ex"""
+
   val all: Map[String, String] = Map(
+    "q51_ann_lsh_oracle" -> q51,
+    "q52_rollup" -> q52,
+    "q53_stats_moments" -> q53,
+    "q54_explode_tokens" -> q54,
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_priority" -> q02,
     "q03_rule_join" -> q03,

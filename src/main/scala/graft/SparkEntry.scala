@@ -655,6 +655,85 @@ object SparkEntry {
       sha2(col("text").cast("binary"), 256).as("content_sha"),
       octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
 
+  /** Portable-LSH ANN, fully oracled: md5-derived ±1 hyperplanes over
+    * floor-quantized (integer-exact) coordinates bucket the corpus, exact
+    * cosine ranks within buckets — DuckDB replicates bucketing AND ranking,
+    * so the whole ANN pipeline is hash-compared (the oracled twin of q34's
+    * fast multi-table xxhash path). */
+  def q51LshAnnOracle(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.lshTopKPortable(emb, emb.filter(col("vec_id") < 8),
+        "embedding", "vec_id", "vec_id", k = 10, planes = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** IVF (inverted-file) ANN: k-means coarse quantizer, nprobe-list probe,
+    * exact cosine within the probed lists — the tunable recall/cost scale
+    * path (rows-only; exactness at nprobe=nlist and recall bounds are
+    * ScalaTest'd in AnnIvfSpec). */
+  def q55IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+      "embedding", "vec_id", "vec_id", k = 10, nlist = 8, nprobe = 3)
+  }
+
+  /** Multi-level aggregation: ROLLUP over (region, nation) — subtotal and
+    * grand-total rows in one pass (partial-agg friendly; the NULL group
+    * markers are coalesced to '(all)' for engine-portable output). */
+  def q52Rollup(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        col("revenue"), col("n_orders"))
+  }
+
+  /** Statistical moments per group — stddev / variance / correlation
+    * computed from EXACT decimal power sums (Σx, Σx², Σxy) with one final
+    * double expression, so the result is bit-deterministic across engines
+    * and partition orders (the built-in streaming stddev/corr are
+    * order-dependent in their low bits and would never hash-match). */
+  def q53StatsMoments(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val agged = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val mxx = n * d("sxx") - d("sx") * d("sx")
+    val myy = n * d("syy") - d("sy") * d("sy")
+    agged.select(col("l_returnflag"), col("n"),
+      (d("sx") / n).as("mean_qty"),
+      sqrt(mxx / (n * (n - lit(1.0)))).as("stddev_qty"),
+      (myy / (n * (n - lit(1.0)))).as("var_price"),
+      ((n * d("sxy") - d("sx") * d("sy")) / (sqrt(mxx) * sqrt(myy)))
+        .as("corr_qty_price"))
+  }
+
+  /** Generator surface: posexplode of a token array — one row per
+    * (row, position, token), the normalized form of the reference's
+    * array-valued extraction columns (F6/F7 kept-as-list semantics,
+    * exploded on demand). */
+  def q54ExplodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        posexplode(split(col("p_name"), " ")).as(Seq("pos", "token")))
+      .select(col("p_partkey"), (col("pos") + 1).cast("long").as("pos"),
+        col("token"))
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -706,7 +785,12 @@ object SparkEntry {
     "q47_stratified_sample" -> (q47StratifiedSample _),
     "q48_funnel" -> (q48Funnel _),
     "q49_minhash_oracle" -> (q49MinhashOracle _),
-    "q50_simhash_oracle" -> (q50SimhashOracle _))
+    "q50_simhash_oracle" -> (q50SimhashOracle _),
+    "q51_ann_lsh_oracle" -> (q51LshAnnOracle _),
+    "q52_rollup" -> (q52Rollup _),
+    "q53_stats_moments" -> (q53StatsMoments _),
+    "q54_explode_tokens" -> (q54ExplodeTokens _),
+    "q55_ivf_topk" -> (q55IvfTopK _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

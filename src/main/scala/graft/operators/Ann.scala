@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
   *
-  * Two strategies:
+  * Four strategies:
   *   - [[bruteForceTopK]]: exact — broadcast the (small) query set against
   *     the corpus, score every pair, per-query top-k window. The baseline
   *     and the verifier for the approximate paths. Scales in the corpus
@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   *     sign-bit signatures, score only within shared buckets. The 100 TB
   *     path: candidate generation is an equi-join on the signature, so no
   *     full cross product ever materializes.
+  *   - [[ivfTopK]]: IVF (inverted-file) — a k-means coarse quantizer
+  *     partitions the corpus into `nlist` inverted lists; each query
+  *     probes only its `nprobe` nearest lists. Recall/cost is tunable at
+  *     query time, and `nprobe = nlist` degrades gracefully to the exact
+  *     result — the standard serving trade-off (FAISS-style), expressed
+  *     relationally.
+  *   - [[lshTopKPortable]]: single-table hyperplane LSH whose planes are
+  *     ±1 signs derived from md5 and whose projections are computed in
+  *     exact integer arithmetic over floor-quantized coordinates — any
+  *     md5-capable engine reproduces the bucketing bit-for-bit, which is
+  *     what lets the DuckDB oracle verify the whole ANN pipeline.
   *
   * All arithmetic is done in double (floats are widened first) with
   * sequential fold order, so results are bit-deterministic.
@@ -106,6 +117,161 @@ object Ann {
       .join(cv, Seq("neighbor_id"))
       .withColumn("cosine",
         cosine(col("__v_query_id"), col("__v_neighbor_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  // ------------------------------------------------------------------- IVF
+
+  /** Squared L2 distance between an array<double> column and a literal
+    * centroid (sequential fold — deterministic). */
+  private def sqDistToLit(v: Column, centroid: Seq[Double]): Column =
+    aggregate(zip_with(v, typedlit(centroid), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** (distance, index) struct array sorted ascending — distances ties
+    * break to the lower index by the struct field order. Each distance
+    * expression is evaluated exactly ONCE (an argmin via least()+when()
+    * chains would re-evaluate every distance several times). */
+  private def sortedCentroidDists(v: Column, centroids: Seq[Seq[Double]]): Column =
+    array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDistToLit(v, c).as("d"), lit(i).as("i")) }: _*))
+
+  /** Index of the nearest centroid (argmin of squared L2, ties to the
+    * lower index). */
+  private def nearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column =
+    element_at(sortedCentroidDists(v, centroids), 1).getField("i")
+
+  /** K-means coarse quantizer: `iters` Lloyd iterations over the corpus,
+    * initialized from a DETERMINISTIC hash-sample (the `nlist` vectors
+    * with the smallest `xxhash64(id, seed)` — reproducible, no `rand()`).
+    * Assignment runs distributed; only the nlist×dim centroid matrix ever
+    * reaches the driver (the same model-state boundary MLlib's KMeans
+    * uses), so the corpus can be arbitrarily large. */
+  def kmeansCentroids(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, iters: Int = 2, seed: Int = 42): Seq[Seq[Double]] = {
+    val vecs = corpus.select(col(idCol).as("__id"),
+      transform(col(vecCol), _.cast("double")).as("__v"))
+    var centroids: Seq[Seq[Double]] =
+      vecs.withColumn("__h", xxhash64(col("__id"), lit(seed)))
+        .orderBy(col("__h"), col("__id"))
+        .limit(nlist)
+        .select(col("__v")).collect()
+        .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    (0 until iters).foreach { _ =>
+      // mean per (cluster, dimension): one narrow shuffle of
+      // (cluster, dim_index, value) triples — scales with corpus size.
+      // The assignment is computed in its OWN projection before the
+      // generator — inlined into the posexplode select it would be
+      // re-evaluated once per exploded dimension (dim× the work)
+      val updated = vecs
+        .select(nearestCentroid(col("__v"), centroids).as("__c"), col("__v"))
+        .select(col("__c"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy(col("__c"), col("__d"))
+        .agg(avg(col("__x")).as("__m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq }
+      // empty clusters keep their previous centroid
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toIndexedSeq
+    }
+    centroids
+  }
+
+  /** IVF top-k: assign the corpus to inverted lists once (nearest
+    * centroid), probe the `nprobe` nearest lists per query, exact cosine
+    * within the probed lists, per-query top-k. The candidate join is an
+    * equi-join on the list id — per-query work is proportional to the
+    * probed fraction (nprobe/nlist) of the corpus, and `nprobe = nlist`
+    * recovers the exact [[bruteForceTopK]] result. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String,
+      k: Int, nlist: Int = 8, nprobe: Int = 2, kmeansIters: Int = 2,
+      seed: Int = 42, excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "1 <= nprobe <= nlist")
+    val centroids = kmeansCentroids(corpus, vecCol, idCol, nlist,
+      kmeansIters, seed)
+    val lists = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), _.cast("double")).as("__cv"))
+      .withColumn("__list", nearestCentroid(col("__cv"), centroids))
+    // nprobe nearest lists per query: distances to nlist literal
+    // centroids, sorted as a (dist, index) struct array — per-row, no
+    // shuffle, no UDF
+    val qv = queries.select(col(queryIdCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("__qv"))
+    val probes = sortedCentroidDists(col("__qv"), centroids)
+    val probed = qv
+      .withColumn("__probe",
+        slice(transform(probes, p => p.getField("i")), 1, nprobe))
+      .select(col("query_id"), col("__qv"),
+        explode(col("__probe")).as("__list"))
+    val scored = lists.join(broadcast(probed), Seq("__list"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+        else lit(true))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  // ------------------------------------------------- portable LSH (oracle)
+
+  /** ±1 hyperplane sign for (plane j, 1-based dimension i): +1 iff the
+    * first hex digit of `md5("<j>:<i>")` is in 0–7. Pure public md5 — any
+    * engine derives the identical sign matrix. */
+  def portableSign(j: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) < 8) 1L else -1L
+  }
+
+  /** Packed sign-bit signature over floor-quantized coordinates: bit j =
+    * (Σ_i floor(v_i·scale)·sign(j,i)) > 0. Quantization (exact double
+    * widen → ·scale → floor) and the ±1 dot product are INTEGER
+    * arithmetic, so the bucketing has zero float-rounding risk across
+    * engines. */
+  def portableSignature(vec: Column, dim: Int, planes: Int,
+      scale: Int = 1000): Column = {
+    val q = transform(vec, x => floor(x.cast("double") * scale).cast("long"))
+    val bits = (0 until planes).map { j =>
+      val signs = typedlit((1 to dim).map(i => portableSign(j, i)))
+      val proj = aggregate(zip_with(q, signs, (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Single-table portable-LSH top-k: bucket by [[portableSignature]],
+    * exact cosine within shared buckets, per-query top-k. The DuckDB twin
+    * reproduces the bucket partition exactly (integer arithmetic + md5
+    * signs) and the ranking to the same tie-break, so the whole ANN
+    * pipeline is hash-verifiable ([[graft.OracleSql]] q51). */
+  def lshTopKPortable(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String,
+      k: Int, planes: Int = 4, scale: Int = 1000,
+      excludeSelf: Boolean = true): DataFrame = {
+    val dim = dimOf(corpus, vecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), _.cast("double")).as("__cv"),
+      portableSignature(col(vecCol), dim, planes, scale).as("__sig"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("__qv"),
+      portableSignature(col(vecCol), dim, planes, scale).as("__sig"))
+    val scored = c.join(broadcast(q), Seq("__sig"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+        else lit(true))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
