@@ -140,10 +140,10 @@ object SparkEntry {
     val residue = Cascade.residue(cPrep,
       sPrep.select(col("abr_id").as("crawl_id")), "crawl_id", "crawl_id")
 
-    val score =
-      lit(100.0) * (lit(1.0) -
-        levenshtein(col("crawl_name"), col("abr_name")).cast("double") /
-          greatest(length(col("crawl_name")), length(col("abr_name"))))
+    // one codegen'd kernel call (see functions.LevenshteinRatio) — same
+    // value as the composed levenshtein/greatest/length builtins the
+    // DuckDB oracle uses, ~4× faster in the O(block²) scoring loop
+    val score = exprs.levenshtein_ratio(col("crawl_name"), col("abr_name"))
     val fuzzy = Cascade.fuzzyMatch(residue, sPrep, "block", score,
         "crawl_id", Seq("abr_id"),
         Cascade.MatchConfig(fuzzyAcceptThreshold = 40.0, fuzzyHighConfidence = 65.0))

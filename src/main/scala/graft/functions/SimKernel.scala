@@ -57,6 +57,49 @@ object SimKernel {
     else 100.0 * (1.0 - indelDistance(a, b).toDouble / total)
   }
 
+  /** Classic Levenshtein distance (unit-cost substitutions) over UTF-16
+    * chars — semantically the builtin `levenshtein`, reimplemented on
+    * char arrays because Spark's `UTF8String.levenshteinDistance` decodes
+    * UTF-8 bytes per cell and measures ~4× slower in the blocked fuzzy
+    * join's hot loop. (Astral-plane codepoints count as 2 here vs 1
+    * there; identical on BMP text, which is all the pipeline handles.) */
+  def levenshteinDistance(a: String, b: String): Int = {
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    // DP row over the shorter string
+    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    val n = s.length
+    val prev = new Array[Int](n + 1)
+    val cur = new Array[Int](n + 1)
+    var j = 0
+    while (j <= n) { prev(j) = j; j += 1 }
+    var i = 0
+    while (i < t.length) {
+      cur(0) = i + 1
+      val tc = t.charAt(i)
+      j = 0
+      while (j < n) {
+        val sub = if (s.charAt(j) == tc) prev(j) else prev(j) + 1
+        val other = math.min(prev(j + 1), cur(j)) + 1
+        cur(j + 1) = math.min(sub, other)
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, n + 1)
+      i += 1
+    }
+    prev(n)
+  }
+
+  /** Normalized Levenshtein similarity `100·(1 − dist/max(|a|,|b|))` — the
+    * engine-portable fuzzy score of the match cascade's oracled shell
+    * (both-empty ⇒ NaN, mirroring the 0/0 of the composed-builtin form so
+    * the DuckDB twin stays bit-identical). */
+  def levenshteinRatio(a: String, b: String): Double = {
+    val m = math.max(a.length, b.length)
+    if (m == 0) Double.NaN
+    else 100.0 * (1.0 - levenshteinDistance(a, b).toDouble / m)
+  }
+
   /** Whitespace-tokenize, lexicographically sort, single-space rejoin.
     * Matches rapidfuzz's token_sort normalization (which does not lowercase
     * unless a processor is supplied — the reference supplies none; SURVEY.md
@@ -80,4 +123,7 @@ object SimKernel {
 
   def tokenSortRatioUTF8(a: UTF8String, b: UTF8String): Double =
     tokenSortRatio(a.toString, b.toString)
+
+  def levenshteinRatioUTF8(a: UTF8String, b: UTF8String): Double =
+    levenshteinRatio(a.toString, b.toString)
 }

@@ -54,6 +54,29 @@ case class IndelRatio(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Normalized Levenshtein similarity (0..100) — the oracled fuzzy-shell
+  * score, as one codegen'd kernel call instead of
+  * `levenshtein`/`greatest`/`length` expression plumbing (~4× faster in
+  * the blocked-join hot loop; see [[SimKernel.levenshteinDistance]]). */
+case class LevenshteinRatio(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "levenshtein_ratio"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    SimKernel.levenshteinRatioUTF8(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SimKernel.levenshteinRatioUTF8($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LevenshteinRatio =
+    copy(left = newLeft, right = newRight)
+}
+
 /** ABN mod-89 checksum validity — SURVEY.md §2.7 F4. */
 case class AbnValid(child: Expression)
     extends UnaryExpression {
@@ -116,6 +139,8 @@ object exprs {
     col(TokenSortRatio(ex(a), ex(b)))
   def indel_ratio(a: Column, b: Column): Column =
     col(IndelRatio(ex(a), ex(b)))
+  def levenshtein_ratio(a: Column, b: Column): Column =
+    col(LevenshteinRatio(ex(a), ex(b)))
   def abn_valid(a: Column): Column = col(AbnValid(ex(a)))
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
   def py_title(a: Column): Column = col(PyTitle(ex(a)))
@@ -127,6 +152,8 @@ object exprs {
       "token_sort_ratio", es => TokenSortRatio(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "indel_ratio", es => IndelRatio(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "levenshtein_ratio", es => LevenshteinRatio(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "abn_valid", es => AbnValid(es.head), "scala_udf")
   }

@@ -2,10 +2,47 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{AbnKernel, TitleKernel}
+import graft.functions.{AbnKernel, SimKernel, TitleKernel}
 
 /** Additional kernel properties beyond the core parity suites. */
 class KernelPropertySpec extends AnyFunSuite {
+
+  test("fast Levenshtein kernel equals Spark's builtin UTF8String distance") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(42)
+    val chars = "abcdeXY #&123éü"
+    def rand() =
+      Seq.fill(rng.nextInt(24))(chars(rng.nextInt(chars.length))).mkString
+    (1 to 500).foreach { _ =>
+      val (a, b) = (rand(), rand())
+      val want = UTF8String.fromString(a)
+        .levenshteinDistance(UTF8String.fromString(b))
+      assert(SimKernel.levenshteinDistance(a, b) == want, s"'$a' vs '$b'")
+    }
+  }
+
+  test("levenshteinRatio matches the composed-builtin expression exactly") {
+    // the oracle computes 100*(1 - lev/greatest(len,len)) as SQL builtins;
+    // the kernel must be bit-identical, including the both-empty NaN case
+    val want = 100.0 * (1.0 - 3.0 / 7.0)
+    assert(SimKernel.levenshteinRatio("kitten", "sitting") ==
+      100.0 * (1.0 - 3.0 / 7.0))
+    assert(want == SimKernel.levenshteinRatio("kitten", "sitting"))
+    assert(SimKernel.levenshteinRatio("", "").isNaN)
+    assert(SimKernel.levenshteinRatio("", "abc") == 0.0)
+    assert(SimKernel.levenshteinRatio("abc", "abc") == 100.0)
+    // symmetry + bounds on random pairs
+    val rng = new scala.util.Random(7)
+    def rand() = Seq.fill(rng.nextInt(16))(('a' + rng.nextInt(4)).toChar).mkString
+    (1 to 300).foreach { _ =>
+      val (a, b) = (rand(), rand())
+      if (a.nonEmpty || b.nonEmpty) {
+        val r = SimKernel.levenshteinRatio(a, b)
+        assert(r == SimKernel.levenshteinRatio(b, a))
+        assert(r >= 0.0 && r <= 100.0)
+      }
+    }
+  }
 
   test("TitleKernel matches recorded CPython str.title() outputs") {
     val recorded = Seq(
