@@ -113,6 +113,27 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Batch md5-MinHash signature (array<string> shingles → array<string> of
+  * k per-hash-function minima) — see [[MinHashKernel.md5SigUTF8]]. */
+case class MinHashMd5Sig(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_md5_sig"
+
+  override protected def nullSafeEval(v: Any): Any =
+    MinHashKernel.md5SigUTF8(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.md5SigUTF8($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashMd5Sig =
+    copy(child = newChild)
+}
+
 /** Python `str.title()` parity — SURVEY.md §2.7 F9 divergence note. */
 case class PyTitle(child: Expression)
     extends UnaryExpression {
@@ -142,6 +163,8 @@ object exprs {
   def levenshtein_ratio(a: Column, b: Column): Column =
     col(LevenshteinRatio(ex(a), ex(b)))
   def abn_valid(a: Column): Column = col(AbnValid(ex(a)))
+  def minhash_md5_sig(gset: Column, k: Int): Column =
+    col(MinHashMd5Sig(ex(gset), k))
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
   def py_title(a: Column): Column = col(PyTitle(ex(a)))
 

@@ -221,10 +221,11 @@ object Dedup {
     // feeds candidate generation AND both verify joins → materialize once
     val sh0 = docs.select(col(idCol).as("doc"),
       shingles(col(textCol), ngram).as("gset")).localCheckpoint(false)
+    // one batch kernel call per row (reused digest, raw-byte minima) —
+    // byte-identical to array_min(transform(gset, g -> md5("<j>:"||g)))
+    // per hash function, ~4× cheaper (see functions.MinHashKernel)
     val sig = sh0.select(col("doc"),
-      array((0 until numHashes).map { j =>
-        array_min(transform(col("gset"), g => md5(concat(lit(s"$j:"), g))))
-      }: _*).as("sig"))
+      graft.functions.exprs.minhash_md5_sig(col("gset"), numHashes).as("sig"))
     // posexplode_outer: the plain generator would get an inferred
     // size(...)>0 filter whose pushdown re-inlines the whole minhash
     // signature construction per row (the array is never empty anyway)

@@ -68,6 +68,27 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashMd5Sig batch kernel equals the composed md5/array_min builtins") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.session
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+      .select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("gset"))
+    val k = 4
+    val composed = array((0 until k).map { j =>
+      array_min(transform(col("gset"), g => md5(concat(lit(s"$j:"), g))))
+    }: _*)
+    val diff = docs
+      .select(col("doc_id"),
+        graft.functions.exprs.minhash_md5_sig(col("gset"), k).as("fast"),
+        composed.as("slow"))
+      .filter(not(col("fast") <=> col("slow")))
+      .count()
+    assert(diff === 0)
+  }
+
   test("ABN checksum catches every adjacent-digit transposition " +
       "(weight deltas < 89 prime)") {
     val rng = new scala.util.Random(42)
