@@ -510,8 +510,17 @@ object OracleSql {
       FROM toks)
     SELECT p_partkey, CAST(s.pos AS BIGINT) AS pos, s.token AS token FROM ex"""
 
+  private val q57 = """
+    SELECT lang, doc_id, n_chars,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)"""
+
   val all: Map[String, String] = Map(
     "q51_ann_lsh_oracle" -> q51,
+    "q57_window_distribution" -> q57,
     "q52_rollup" -> q52,
     "q53_stats_moments" -> q53,
     "q54_explode_tokens" -> q54,

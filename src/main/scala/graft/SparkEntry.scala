@@ -734,6 +734,37 @@ object SparkEntry {
       .select(col("p_partkey"), (col("pos") + 1).cast("long").as("pos"),
         col("token"))
 
+  /** Full near-dup resolution pipeline: MinHash-LSH pairs → connected
+    * components → per-cluster canonical representative + cluster size —
+    * the composition that turns pair detection into an actual dedup
+    * decision (rows-only: label propagation is iterative, not
+    * SQL-expressible; component semantics are ScalaTest'd against a
+    * union-find reference in ComponentsSpec). */
+  def q56DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(s, dir)
+    val pairs = Dedup.minhashLsh(corpus, "text", "doc_id",
+      ngram = 3, numHashes = 16, bands = 4, jaccardThreshold = 0.5)
+    operators.Components.dedupAssignments(
+        corpus, "doc_id", pairs, "id_a", "id_b")
+      .groupBy(col("keep_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") >= 2)
+  }
+
+  /** Window distribution family — ntile quartiles, percent_rank,
+    * cume_dist over document lengths per language (the rank-function
+    * surface beyond row_number/dense_rank; the doubles are
+    * integer-derived ratios, so they hash-match across engines). */
+  def q57WindowDistribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    t(s, dir, "documents").select(
+      col("lang"), col("doc_id"), col("n_chars"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -790,7 +821,9 @@ object SparkEntry {
     "q52_rollup" -> (q52Rollup _),
     "q53_stats_moments" -> (q53StatsMoments _),
     "q54_explode_tokens" -> (q54ExplodeTokens _),
-    "q55_ivf_topk" -> (q55IvfTopK _))
+    "q55_ivf_topk" -> (q55IvfTopK _),
+    "q56_dedup_clusters" -> (q56DedupClusters _),
+    "q57_window_distribution" -> (q57WindowDistribution _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
