@@ -34,15 +34,19 @@ object Components {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("neighbor_min"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      // the previous label rides along into the checkpoint so the
+      // convergence check is a filter+count over the checkpointed frame —
+      // one materializing action per iteration instead of a second
+      // join+count against the old labels
+      val updated = labels.withColumnRenamed("component", "old")
+        .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("neighbor_min"), col("component")))
-            .as("component"))
+          least(col("old"), coalesce(col("neighbor_min"), col("old")))
+            .as("component"),
+          col("old"))
         .localCheckpoint(false)
-      val changed = updated.join(labels.withColumnRenamed("component", "old"),
-          Seq("id"))
-        .filter(col("component") =!= col("old")).count()
-      labels = updated
+      val changed = updated.filter(col("component") =!= col("old")).count()
+      labels = updated.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }
