@@ -518,7 +518,110 @@ object OracleSql {
     FROM documents
     WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)"""
 
+  private val q58 = """
+    SELECT coalesce(c_mktsegment, '(all)') AS segment,
+      coalesce(o_orderstatus, '(all)') AS status,
+      CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE(c_mktsegment, o_orderstatus)"""
+
+  private val q59 = """
+    WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
+    SELECT p_partkey,
+      CAST(len(toks) AS BIGINT) AS n_toks,
+      CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_len,
+      CAST(len(list_filter(toks, t -> length(t) > 5)) AS BIGINT) AS n_long,
+      len(list_filter(toks, t -> t LIKE '%al%')) > 0 AS has_al,
+      CAST(list_sum(list_transform(generate_series(1, len(toks)),
+        i -> length(toks[i]) * length(toks[len(toks) - i + 1]))) AS BIGINT) AS zip_dot,
+      array_to_string(list_transform(toks, t -> upper(t)), ',') AS upper_joined
+    FROM t"""
+
+  private val q60 = """
+    SELECT user_id, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id"""
+
+  private val q61 = """
+    WITH hi AS (
+      SELECT o_custkey AS k_hi, COUNT(*) AS n_high FROM orders
+      WHERE o_totalprice > 180000 GROUP BY o_custkey),
+    fin AS (
+      SELECT o_custkey AS k_fin, COUNT(*) AS n_finished FROM orders
+      WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+    SELECT coalesce(k_hi, k_fin) AS custkey,
+      coalesce(n_high, 0) AS n_high,
+      coalesce(n_finished, 0) AS n_finished
+    FROM hi FULL OUTER JOIN fin ON k_hi = k_fin"""
+
+  private val q62 = """
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name"""
+
+  private val q63 = """
+    SELECT o_custkey, o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      strftime(lag(o_orderdate) OVER w, '%Y-%m-%d') AS prev_date,
+      strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS next_date,
+      CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)
+        AS days_since_prev,
+      first_value(o_orderkey) OVER wf AS first_order,
+      last_value(o_orderkey) OVER wf AS last_order,
+      nth_value(o_orderkey, 2) OVER wf AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+
+  private val q64 = """
+    SELECT c_custkey, c_name,
+      (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')"""
+
+  private val q65 = """
+    SELECT p_partkey,
+      translate(p_name, ' -', '_:') AS translated,
+      lpad(p_name, 30, '.') AS padded,
+      reverse(p_name) AS reversed,
+      repeat(left(p_name, 2), 3) AS repeated,
+      CAST(strpos(p_name, 'al') AS BIGINT) AS al_pos,
+      right(p_name, 4) AS tail4,
+      CAST(ascii(p_name) AS BIGINT) AS first_byte,
+      substr(p_name, 3, 5) AS mid5
+    FROM part"""
+
+  private val q66 = """
+    SELECT o_orderkey,
+      CAST(year(o_orderdate) AS BIGINT) AS yr,
+      CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      CAST(month(o_orderdate) AS BIGINT) AS mon,
+      CAST(day(o_orderdate) AS BIGINT) AS dom,
+      CAST((dayofweek(o_orderdate) + 6) % 7 + 1 AS BIGINT) AS iso_dow,
+      CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+      strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+      strftime(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS plus_30d,
+      strftime(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE), '%Y-%m-%d') AS plus_2m,
+      CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS BIGINT) AS days_to_eoh
+    FROM orders"""
+
   val all: Map[String, String] = Map(
+    "q58_cube" -> q58,
+    "q59_array_ops" -> q59,
+    "q60_salted_agg" -> q60,
+    "q61_full_outer" -> q61,
+    "q62_collect_sorted" -> q62,
+    "q63_window_nav" -> q63,
+    "q64_subqueries" -> q64,
+    "q65_string_funcs" -> q65,
+    "q66_date_ops" -> q66,
     "q51_ann_lsh_oracle" -> q51,
     "q57_window_distribution" -> q57,
     "q52_rollup" -> q52,

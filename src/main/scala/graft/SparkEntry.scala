@@ -765,6 +765,157 @@ object SparkEntry {
       cume_dist().over(w).as("cume"))
   }
 
+  /** CUBE over (segment, status) with grouping_id — all four grouping
+    * combinations in one pass (the full grouping-sets surface beyond
+    * q52's ROLLUP). Spark and DuckDB agree on the grouping_id bit order
+    * (first cube column = most significant bit). */
+  def q58Cube(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("gid"), col("revenue"), col("n_orders"))
+  }
+
+  /** Higher-order array functions — transform / filter / exists /
+    * aggregate(fold) / positional zip — over token arrays, all
+    * integer-or-string outputs so the oracle hash-matches. These are the
+    * array-column primitives a training pipeline uses on tokenized text
+    * without exploding (no shuffle, whole-stage codegen). */
+  def q59ArrayOps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), split(col("p_name"), " ").as("toks"))
+      .select(col("p_partkey"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr("aggregate(transform(toks, t -> length(t)), 0L, (acc, x) -> acc + x)")
+          .as("total_len"),
+        size(expr("filter(toks, t -> length(t) > 5)")).cast("long").as("n_long"),
+        expr("exists(toks, t -> t like '%al%')").as("has_al"),
+        expr("""aggregate(zip_with(toks, reverse(toks),
+          (a, b) -> length(a) * length(b)), 0L, (acc, x) -> acc + x)""")
+          .as("zip_dot"),
+        array_join(expr("transform(toks, t -> upper(t))"), ",").as("upper_joined"))
+
+  /** Skew-salted two-phase aggregation: partial aggregate on
+    * (key, salt16), final merge on key — the standard hot-key shuffle
+    * mitigation, oracled against the plain GROUP BY (the salt is an
+    * internal rewrite; results are identical by construction). At 100 TB
+    * this bounds any single reducer's input to 1/16th of the hottest key. */
+  def q60SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("__salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("user_id"), col("__salt"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("value").cast("decimal(18,2)")).as("v"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        sum(col("v")).cast("double").as("total_value"))
+
+  /** Full outer join of two aggregates — the join-type surface beyond
+    * inner/semi/anti/left: per-customer high-value order count vs
+    * finished-order count, null-padded on both sides. */
+  def q61FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val hi = o.filter(col("o_totalprice") > 180000)
+      .groupBy(col("o_custkey").as("k_hi"))
+      .agg(count(lit(1)).as("n_high"))
+    val fin = o.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("k_fin"))
+      .agg(count(lit(1)).as("n_finished"))
+    hi.join(fin, col("k_hi") === col("k_fin"), "full_outer")
+      .select(coalesce(col("k_hi"), col("k_fin")).as("custkey"),
+        coalesce(col("n_high"), lit(0L)).as("n_high"),
+        coalesce(col("n_finished"), lit(0L)).as("n_finished"))
+  }
+
+  /** Ordered collect: per-region sorted nation list as one string
+    * (collect_list → array_sort → array_join ≡ string_agg ORDER BY) —
+    * deterministic despite collect_list's arbitrary arrival order. */
+  def q62CollectSorted(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"),
+        count(lit(1)).as("n_nations"))
+  }
+
+  /** Window navigation family — lag / lead / first_value / last_value /
+    * nth_value over per-customer order timelines (frames pinned to the
+    * full partition where the default frame would truncate). */
+  def q63WindowNav(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def fmt(c: Column) = date_format(c, "yyyy-MM-dd")
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      fmt(col("o_orderdate")).as("order_date"),
+      fmt(lag(col("o_orderdate"), 1).over(w)).as("prev_date"),
+      fmt(lead(col("o_orderdate"), 1).over(w)).as("next_date"),
+      datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+        .cast("long").as("days_since_prev"),
+      first(col("o_orderkey")).over(full).as("first_order"),
+      last(col("o_orderkey")).over(full).as("last_order"),
+      nth_value(col("o_orderkey"), 2).over(full).as("second_order"))
+  }
+
+  /** SQL surface: correlated scalar subquery + EXISTS / NOT EXISTS
+    * predicates through `spark.sql` — the subquery-decorrelation path
+    * (Catalyst rewrites these to aggregates + joins). */
+  def q64Subqueries(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT c_custkey, c_name,
+        (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""")
+  }
+
+  /** String-function battery — translate / lpad / rpad / reverse / repeat /
+    * instr / left / right / ascii / substring over part names (the scalar
+    * string surface beyond the regex family, all engine-portable). */
+  def q65StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      translate(col("p_name"), " -", "_:").as("translated"),
+      lpad(col("p_name"), 30, ".").as("padded"),
+      reverse(col("p_name")).as("reversed"),
+      expr("repeat(left(p_name, 2), 3)").as("repeated"),
+      instr(col("p_name"), "al").cast("long").as("al_pos"),
+      expr("right(p_name, 4)").as("tail4"),
+      ascii(col("p_name")).cast("long").as("first_byte"),
+      substring(col("p_name"), 3, 5).as("mid5"))
+
+  /** Date/time battery — year / quarter / month / day / dayofweek /
+    * ISO week / last_day / date_add / add_months / datediff over order
+    * dates (dayofweek normalized to the ISO 1=Monday..7=Sunday convention
+    * both engines can derive). */
+  def q66DateOps(s: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate")
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(d).cast("long").as("yr"),
+      quarter(d).cast("long").as("qtr"),
+      month(d).cast("long").as("mon"),
+      dayofmonth(d).cast("long").as("dom"),
+      ((dayofweek(d) + 5) % 7 + 1).cast("long").as("iso_dow"),
+      weekofyear(d).cast("long").as("iso_week"),
+      date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+      date_format(date_add(d, 30), "yyyy-MM-dd").as("plus_30d"),
+      date_format(add_months(d, 2), "yyyy-MM-dd").as("plus_2m"),
+      datediff(lit("1998-12-31").cast("date"), d).cast("long").as("days_to_eoh"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -823,7 +974,16 @@ object SparkEntry {
     "q54_explode_tokens" -> (q54ExplodeTokens _),
     "q55_ivf_topk" -> (q55IvfTopK _),
     "q56_dedup_clusters" -> (q56DedupClusters _),
-    "q57_window_distribution" -> (q57WindowDistribution _))
+    "q57_window_distribution" -> (q57WindowDistribution _),
+    "q58_cube" -> (q58Cube _),
+    "q59_array_ops" -> (q59ArrayOps _),
+    "q60_salted_agg" -> (q60SaltedAgg _),
+    "q61_full_outer" -> (q61FullOuter _),
+    "q62_collect_sorted" -> (q62CollectSorted _),
+    "q63_window_nav" -> (q63WindowNav _),
+    "q64_subqueries" -> (q64Subqueries _),
+    "q65_string_funcs" -> (q65StringFuncs _),
+    "q66_date_ops" -> (q66DateOps _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
