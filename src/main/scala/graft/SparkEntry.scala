@@ -715,11 +715,17 @@ object SparkEntry {
     def d(c: String) = col(c).cast("double")
     val mxx = n * d("sxx") - d("sx") * d("sx")
     val myy = n * d("syy") - d("sy") * d("sy")
+    // final stats are ROUNDED to a fixed grain: the decimal→double cast of
+    // a power sum beyond 2^53 is double-rounded in DuckDB (int128 → double,
+    // then /10^scale) but single-rounded in Java (BigDecimal.doubleValue),
+    // so the raw doubles can differ in the last ulp at some SFs; rounding
+    // collapses both to the identical representable value (both engines
+    // round half-away-from-zero, and v·10^d stays under 2^53 here)
     agged.select(col("l_returnflag"), col("n"),
-      (d("sx") / n).as("mean_qty"),
-      sqrt(mxx / (n * (n - lit(1.0)))).as("stddev_qty"),
-      (myy / (n * (n - lit(1.0)))).as("var_price"),
-      ((n * d("sxy") - d("sx") * d("sy")) / (sqrt(mxx) * sqrt(myy)))
+      round((d("sx") / n), 6).as("mean_qty"),
+      round(sqrt(mxx / (n * (n - lit(1.0)))), 6).as("stddev_qty"),
+      round(myy / (n * (n - lit(1.0))), 2).as("var_price"),
+      round((n * d("sxy") - d("sx") * d("sy")) / (sqrt(mxx) * sqrt(myy)), 9)
         .as("corr_qty_price"))
   }
 
@@ -763,6 +769,30 @@ object SparkEntry {
       ntile(4).over(w).cast("long").as("quartile"),
       percent_rank().over(w).as("pct_rank"),
       cume_dist().over(w).as("cume"))
+  }
+
+  /** Incremental (cross-corpus) dedup — the production ingestion shape: a
+    * new batch is screened against the historical corpus with an exact
+    * fingerprint anti-join plus a two-sided MinHash-LSH join, keeping only
+    * genuinely novel documents. The batch here is half near-duplicates
+    * (tail-truncated copies, which must be dropped) and half novel text
+    * (character-reversed, which must survive) — rows-only, the join kernel
+    * itself is spec'd in DedupAnnSpec. Candidate generation probes the
+    * corpus at cost proportional to the BATCH, not the corpus — the
+    * property that makes this viable against a 100 TB history. */
+  def q67IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("text"))
+    val nearDups = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), " [^ ]+$", "").as("text"))
+    val novel = docs.filter(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", lit("novel"), col("doc_id"), reverse(col("text")))
+          .as("text"))
+    Dedup.incrementalDedup(nearDups.unionByName(novel), docs,
+        "text", "doc_id", jaccardThreshold = 0.5)
+      .select(col("doc_id"))
   }
 
   /** CUBE over (segment, status) with grouping_id — all four grouping
@@ -983,7 +1013,8 @@ object SparkEntry {
     "q63_window_nav" -> (q63WindowNav _),
     "q64_subqueries" -> (q64Subqueries _),
     "q65_string_funcs" -> (q65StringFuncs _),
-    "q66_date_ops" -> (q66DateOps _))
+    "q66_date_ops" -> (q66DateOps _),
+    "q67_incremental_dedup" -> (q67IncrementalDedup _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
