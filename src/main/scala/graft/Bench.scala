@@ -35,6 +35,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // repeat the headline WITHOUT the per-query map: the full line above can
+    // exceed a bounded log-tail window as the query count grows (r3's
+    // recorded artifact was truncated mid-line and parsed as null), so a
+    // short trailer guarantees the total always lands in the capture
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,6 +27,18 @@ object SketchParams {
   object q32 {
     val ngram = 5; val jaccardThreshold = 0.6; val corpusMod = 10
   }
+  /** q67 portable incremental dedup: md5-MinHash-LSH join parameters for
+    * the batch-vs-corpus screen. */
+  object q67 {
+    val ngram = 3; val numHashes = 8; val bands = 4
+    val jaccardThreshold = 0.5
+  }
+  /** q68 portable IVF ANN: coarse-quantizer size, probe count, top-k,
+    * coordinate quantization scale, query filter. */
+  object q68 {
+    val nlist = 8; val nprobe = 3; val k = 10; val scale = 1000
+    val maxQueryId = 8
+  }
 }
 
 object OracleSql {
@@ -379,19 +391,20 @@ object OracleSql {
           doc_id::VARCHAR) AS rn
       FROM documents) WHERE rn <= 10"""
 
-  /** md5-MinHash+LSH (q49): full sketch replication — shingles, minhash
-    * permutations (lexicographic min of md5 hex), banding, bucket
-    * self-join, exact-Jaccard verify. Generated from
-    * [[SketchParams.q49]] — the same constants the Spark side passes to
-    * `Dedup.minhashLshPortable`, so a parameter change can never desync
-    * the oracle. */
-  private def q49: String = {
+  /** The q49 minhash sketch as a reusable CTE chain ending in
+    * `pairs(id_a, id_b, jaccard)`: corpus → mod-filter → shingles →
+    * md5-minhash signatures (lexicographic min of md5 hex) → banding →
+    * bucket self-join → exact-Jaccard verify. Shared by q49 (pair list)
+    * and q56 (connected components over the same pair list). Generated
+    * from [[SketchParams.q49]] — the same constants the Spark side passes
+    * to `Dedup.minhashLshPortable`, so a parameter change can never
+    * desync the oracles. */
+  private def minhashPairCtes: String = {
     val p = SketchParams.q49
     val rows = p.numHashes / p.bands
     val bandConcat = (1 to rows).map(r => s"sig[$rows*b+$r]")
       .mkString(" || ',' || ")
-    s"""
-    WITH corpus AS ($nearDupCorpusSql
+    s"""corpus AS ($nearDupCorpusSql
     ), filtered AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
       FROM corpus WHERE doc_id % ${p.corpusMod} = 0
@@ -410,14 +423,101 @@ object OracleSql {
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.band_sig = b.band_sig
       WHERE a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b,
+        CAST(len(list_intersect(sa.gset, sb.gset)) AS DOUBLE) /
+          (len(sa.gset) + len(sb.gset) - len(list_intersect(sa.gset, sb.gset))) AS jaccard
+      FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+                JOIN sh sb ON cand.id_b = sb.doc_id
+      WHERE CAST(len(list_intersect(sa.gset, sb.gset)) AS DOUBLE) /
+          (len(sa.gset) + len(sb.gset) - len(list_intersect(sa.gset, sb.gset))) >= ${p.jaccardThreshold}
+    )"""
+  }
+
+  /** md5-MinHash+LSH (q49): the pair list from [[minhashPairCtes]]. */
+  private def q49: String =
+    s"""
+    WITH $minhashPairCtes
+    SELECT id_a, id_b, jaccard FROM pairs"""
+
+  /** Dedup clusters (q56): connected components over the q49 pair list by
+    * a recursive min-reachable-id CTE — every node's component label is
+    * the minimum id reachable through the (symmetric) pair edges, which
+    * is exactly what the Spark side's iterative label propagation
+    * converges to (`Components.connectedComponents`). Unpaired corpus
+    * docs map to themselves; clusters of size 1 are dropped on both
+    * sides. */
+  private def q56: String =
+    s"""
+    WITH RECURSIVE $minhashPairCtes, edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    ), assign AS (
+      SELECT COALESCE(c.component, f.doc_id) AS keep_id
+      FROM filtered f LEFT JOIN comp c ON f.doc_id = c.id
     )
-    SELECT id_a, id_b,
-      CAST(len(list_intersect(sa.gset, sb.gset)) AS DOUBLE) /
-        (len(sa.gset) + len(sb.gset) - len(list_intersect(sa.gset, sb.gset))) AS jaccard
-    FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
-              JOIN sh sb ON cand.id_b = sb.doc_id
-    WHERE CAST(len(list_intersect(sa.gset, sb.gset)) AS DOUBLE) /
-        (len(sa.gset) + len(sb.gset) - len(list_intersect(sa.gset, sb.gset))) >= ${p.jaccardThreshold}"""
+    SELECT keep_id, COUNT(*) AS cluster_size FROM assign
+    GROUP BY keep_id HAVING COUNT(*) >= 2"""
+
+  /** Portable incremental dedup (q67): full decision replication — the
+    * synthetic batch (tail-truncated near-dups + token-rewritten novel
+    * docs), md5 fingerprint screen, two-sided md5-MinHash banding, bucket
+    * join, exact-Jaccard verify, both anti-joins. Generated from
+    * [[SketchParams.q67]], the same constants the Spark side passes to
+    * `Dedup.incrementalDedupPortable`. */
+  private def q67: String = {
+    val p = SketchParams.q67
+    val rows = p.numHashes / p.bands
+    val bandConcat = (1 to rows).map(r => s"sig[$rows*b+$r]")
+      .mkString(" || ',' || ")
+    def sigCtes(side: String): String = s"""${side}_toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM $side
+    ), ${side}_sh AS (
+      SELECT doc_id, ${shingleSql(p.ngram)} AS gset FROM ${side}_toks
+    ), ${side}_sig AS (
+      SELECT doc_id, list_transform(generate_series(0,${p.numHashes - 1}),
+        j -> list_min(list_transform(gset, g -> md5(j::VARCHAR || ':' || g)))) AS sig
+      FROM ${side}_sh
+    ), ${side}_band AS (
+      SELECT doc_id, b AS band, md5($bandConcat) AS band_sig
+      FROM ${side}_sig CROSS JOIN (SELECT unnest(generate_series(0,${p.bands - 1})) AS b) g
+    )"""
+    s"""
+    WITH corpus AS (
+      SELECT doc_id, ${normSql("text")} AS text FROM documents
+    ), batch AS (
+      SELECT doc_id + 1000000 AS doc_id,
+        regexp_replace(text, ' [^ ]+$$', '', 'g') AS text
+      FROM corpus WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+        concat_ws(' ', 'novel', doc_id,
+          regexp_replace(text, '([^ ]+)', 'x\\1x', 'g')) AS text
+      FROM corpus WHERE doc_id % 7 = 1
+    ), ${sigCtes("corpus")}, ${sigCtes("batch")}, cand AS (
+      SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+      FROM batch_band nb JOIN corpus_band cb
+        ON nb.band = cb.band AND nb.band_sig = cb.band_sig
+    ), near AS (
+      SELECT DISTINCT new_id
+      FROM cand JOIN batch_sh bs ON cand.new_id = bs.doc_id
+                JOIN corpus_sh cs ON cand.corpus_id = cs.doc_id
+      WHERE CAST(len(list_intersect(bs.gset, cs.gset)) AS DOUBLE) /
+          (len(bs.gset) + len(cs.gset) - len(list_intersect(bs.gset, cs.gset))) >= ${p.jaccardThreshold}
+    ), exact AS (
+      SELECT b.doc_id FROM batch b
+      WHERE md5(b.text) IN (SELECT md5(text) FROM corpus)
+    )
+    SELECT doc_id FROM batch
+    WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+      AND doc_id NOT IN (SELECT new_id FROM near)"""
   }
 
   /** Portable SimHash (q50): 60-bit md5 token hashes, per-bit majority
@@ -733,6 +833,8 @@ object OracleSql {
     "q33_embed_neardup" -> q33,
     "q47_stratified_sample" -> q47,
     "q49_minhash_oracle" -> q49,
-    "q50_simhash_oracle" -> q50
+    "q50_simhash_oracle" -> q50,
+    "q56_dedup_clusters" -> q56,
+    "q67_incremental_dedup" -> q67
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

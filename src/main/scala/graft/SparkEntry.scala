@@ -719,8 +719,12 @@ object SparkEntry {
     // a power sum beyond 2^53 is double-rounded in DuckDB (int128 → double,
     // then /10^scale) but single-rounded in Java (BigDecimal.doubleValue),
     // so the raw doubles can differ in the last ulp at some SFs; rounding
-    // collapses both to the identical representable value (both engines
-    // round half-away-from-zero, and v·10^d stays under 2^53 here)
+    // collapses both to the same value in practice. Residual risk, not a
+    // guarantee: Spark rounds the SHORTEST-DECIMAL form of the double
+    // (BigDecimal.valueOf, HALF_UP) while DuckDB rounds in double
+    // arithmetic (round(v·10^d)/10^d), so a value within ~1 ulp of a .5
+    // boundary at the rounded digit could still land on adjacent values —
+    // none of the fixture sums sit on such a boundary (ADVICE r3)
     agged.select(col("l_returnflag"), col("n"),
       round((d("sx") / n), 6).as("mean_qty"),
       round(sqrt(mxx / (n * (n - lit(1.0)))), 6).as("stddev_qty"),
@@ -741,15 +745,22 @@ object SparkEntry {
         col("token"))
 
   /** Full near-dup resolution pipeline: MinHash-LSH pairs → connected
-    * components → per-cluster canonical representative + cluster size —
-    * the composition that turns pair detection into an actual dedup
-    * decision (rows-only: label propagation is iterative, not
-    * SQL-expressible; component semantics are ScalaTest'd against a
-    * union-find reference in ComponentsSpec). */
+    * components (iterative label propagation) → per-cluster canonical
+    * representative + cluster size — the composition that turns pair
+    * detection into an actual dedup decision. Built on the PORTABLE md5
+    * pair kernel over the q49 corpus so the DuckDB oracle replicates the
+    * ENTIRE pipeline: the same pair list (q49's CTE chain) fed through a
+    * recursive min-reachable-id CTE reproduces the component labels, so
+    * the cluster assignment is hash-verified end-to-end (the xxhash fast
+    * path for pair generation stays q30; component semantics are
+    * additionally ScalaTest'd against a union-find reference in
+    * ComponentsSpec). */
   def q56DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val corpus = nearDupCorpus(s, dir)
-    val pairs = Dedup.minhashLsh(corpus, "text", "doc_id",
-      ngram = 3, numHashes = 16, bands = 4, jaccardThreshold = 0.5)
+    val p = SketchParams.q49
+    val corpus = nearDupCorpus(s, dir).filter(col("doc_id") % p.corpusMod === 0)
+    val pairs = Dedup.minhashLshPortable(corpus, "text", "doc_id",
+      ngram = p.ngram, numHashes = p.numHashes, bands = p.bands,
+      jaccardThreshold = p.jaccardThreshold)
     operators.Components.dedupAssignments(
         corpus, "doc_id", pairs, "id_a", "id_b")
       .groupBy(col("keep_id"))
@@ -774,24 +785,35 @@ object SparkEntry {
   /** Incremental (cross-corpus) dedup — the production ingestion shape: a
     * new batch is screened against the historical corpus with an exact
     * fingerprint anti-join plus a two-sided MinHash-LSH join, keeping only
-    * genuinely novel documents. The batch here is half near-duplicates
-    * (tail-truncated copies, which must be dropped) and half novel text
-    * (character-reversed, which must survive) — rows-only, the join kernel
-    * itself is spec'd in DedupAnnSpec. Candidate generation probes the
-    * corpus at cost proportional to the BATCH, not the corpus — the
-    * property that makes this viable against a 100 TB history. */
+    * genuinely novel documents. The batch here is part near-duplicates
+    * (tail-truncated copies, which must be dropped) and part novel text
+    * (every token rewritten, so it shares no shingle with the corpus —
+    * must survive). Built on the PORTABLE md5 kernels
+    * ([[graft.operators.Dedup.incrementalDedupPortable]]) so the DuckDB
+    * oracle replicates the whole decision — fingerprint screen, banded
+    * candidate generation, exact-Jaccard verify, both anti-joins — and
+    * the result is hash-verified, not rows-only (the xxhash fast path is
+    * [[graft.operators.Dedup.incrementalDedup]], spec'd in DedupAnnSpec).
+    * Candidate generation probes the corpus at cost proportional to the
+    * BATCH, not the corpus — the property that makes this viable against
+    * a 100 TB history. */
   def q67IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q67
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), normText(col("text")).as("text"))
     val nearDups = docs.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         regexp_replace(col("text"), " [^ ]+$", "").as("text"))
+    // novel = every token rewritten (x<tok>x) + a unique prefix: zero
+    // shared shingles with the corpus, and — unlike character reversal —
+    // reproducible identically in any regex-capable engine
     val novel = docs.filter(col("doc_id") % 7 === 1)
       .select((col("doc_id") + 2000000L).as("doc_id"),
-        concat_ws(" ", lit("novel"), col("doc_id"), reverse(col("text")))
-          .as("text"))
-    Dedup.incrementalDedup(nearDups.unionByName(novel), docs,
-        "text", "doc_id", jaccardThreshold = 0.5)
+        concat_ws(" ", lit("novel"), col("doc_id"),
+          regexp_replace(col("text"), "([^ ]+)", "x$1x")).as("text"))
+    Dedup.incrementalDedupPortable(nearDups.unionByName(novel), docs,
+        "text", "doc_id", ngram = p.ngram, numHashes = p.numHashes,
+        bands = p.bands, jaccardThreshold = p.jaccardThreshold)
       .select(col("doc_id"))
   }
 

@@ -248,6 +248,66 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
+  /** Cross-corpus MinHash-LSH join with md5-derived hashes — the
+    * engine-portable twin of [[minhashLshJoin]] (same structure as
+    * [[minhashLshPortable]] but two-sided): a new batch probes a
+    * historical corpus through the (band, band_sig) equi-join, and every
+    * hash is md5-based so an external engine replicates candidate
+    * generation AND the exact-Jaccard verify bit-for-bit. This is what
+    * lets the driver's DuckDB oracle verify the whole incremental-dedup
+    * decision, not just row counts. */
+  def minhashLshJoinPortable(
+      newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      ngram: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def banded(docs: DataFrame, side: String): (DataFrame, DataFrame) = {
+      // the shingle frame feeds banding AND the verify join → materialize
+      val sh = docs.select(col(idCol).as(s"${side}_id"),
+        shingles(col(textCol), ngram).as("gset")).localCheckpoint(false)
+      val sig = sh.select(col(s"${side}_id"),
+        graft.functions.exprs.minhash_md5_sig(col("gset"), numHashes).as("sig"))
+      (sig.select(col(s"${side}_id"),
+        posexplode_outer(array((0 until bands).map { b =>
+          md5(concat_ws(",",
+            (0 until rows).map(r => col("sig").getItem(b * rows + r)): _*))
+        }: _*)).as(Seq("band", "band_sig"))),
+        sh.select(col(s"${side}_id"), col("gset").as(s"g_$side")))
+    }
+    val (newBanded, newSh) = banded(newDocs, "new")
+    val (corpusBanded, corpusSh) = banded(corpus, "corpus")
+    val candidates = newBanded.join(corpusBanded, Seq("band", "band_sig"))
+      .select("new_id", "corpus_id").distinct()
+    candidates
+      .join(newSh, Seq("new_id"))
+      .join(corpusSh, Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        (size(array_intersect(col("g_new"), col("g_corpus"))).cast("double") /
+          size(array_union(col("g_new"), col("g_corpus")))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** Incremental exact + near dedup on the engine-portable kernels (md5
+    * fingerprint + [[minhashLshJoinPortable]]) — same decision procedure
+    * as [[incrementalDedup]], fully replicable by an external oracle. */
+  def incrementalDedupPortable(
+      newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      ngram: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val exactDups = newDocs.join(
+      corpus.select(md5(col(textCol)).as("__fp")).distinct(),
+      md5(col(textCol)) === col("__fp"), "left_semi")
+    val nearDupIds = minhashLshJoinPortable(newDocs, corpus, textCol, idCol,
+        ngram, numHashes, bands, jaccardThreshold)
+      .select(col("new_id").as(idCol)).distinct()
+    newDocs
+      .join(exactDups.select(idCol), Seq(idCol), "left_anti")
+      .join(nearDupIds, Seq(idCol), "left_anti")
+  }
+
   /** Engine-portable 60-bit SimHash fingerprint per document: token hash =
     * first 60 bits of md5 (via `conv`), bit i of the fingerprint set when
     * the majority of token hashes have bit i set (ties → 0). Entirely

@@ -79,13 +79,27 @@ object TemporalJoins {
   def rangeJoinPoints(
       points: DataFrame, pointCol: String,
       ranges: DataFrame, startCol: String, endCol: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long, maxBinsPerRange: Int = 10000): DataFrame = {
     require(binWidth > 0)
+    require(maxBinsPerRange > 0)
     val p = points.withColumn("__bin",
       (col(pointCol).cast("long") / binWidth).cast("long"))
-    val r = ranges.withColumn("__bin", explode(sequence(
-      (col(startCol).cast("long") / binWidth).cast("long"),
-      (col(endCol).cast("long") / binWidth).cast("long"))))
+    val startBin = (col(startCol).cast("long") / binWidth).cast("long")
+    val endBin = (col(endCol).cast("long") / binWidth).cast("long")
+    // a single range spanning ≫ binWidth bins would explode into an
+    // unbounded row blowup (the sequence() is per-row); fail fast with a
+    // tuning hint instead of silently materializing it. The guard is folded
+    // into the sequence's end bound so it sits on the evaluated path and
+    // cannot be pruned away as an unused column.
+    val guardedEnd =
+      when(endBin - startBin < lit(maxBinsPerRange.toLong), endBin)
+        .otherwise(raise_error(concat(
+          lit(s"rangeJoinPoints: a range spans more than $maxBinsPerRange " +
+            "bins; raise binWidth toward the median range span " +
+            "(or maxBinsPerRange if the blowup is intended): span="),
+          (col(endCol).cast("long") - col(startCol).cast("long"))
+            .cast("string"))).cast("long"))
+    val r = ranges.withColumn("__bin", explode(sequence(startBin, guardedEnd)))
     p.join(r, Seq("__bin"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")
