@@ -566,6 +566,78 @@ object OracleSql {
       FROM sig q JOIN sig c ON q.sig = c.sig AND c.vec_id != q.vec_id
       WHERE q.vec_id < 8) WHERE rank <= 10"""
 
+  /** Portable IVF ANN (q68): the quantizer is the nlist vectors with the
+    * smallest (60-bit md5 key, id); assignment and probing are integer
+    * squared-L2 over floor-quantized coordinates (exact in both engines);
+    * in-list ranking mirrors q24/q51's cosine ordering. Generated from
+    * [[SketchParams.q68]] — the same constants the Spark side passes to
+    * `Ann.ivfTopKPortable`. */
+  private def q68: String = {
+    val p = SketchParams.q68
+    s"""
+    WITH cvecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT)) AS q
+      FROM embeddings
+    ), cent AS (
+      SELECT rn - 1 AS ci, cq FROM (
+        SELECT q AS cq, row_number() OVER (ORDER BY
+          ('0x' || substr(md5(vec_id::VARCHAR || ':ivf'), 1, 15))::BIGINT,
+          vec_id) AS rn
+        FROM cvecs) WHERE rn <= ${p.nlist}
+    ), dists AS (
+      SELECT c.vec_id, ct.ci,
+        list_sum(list_transform(generate_series(1, len(c.q)),
+          i -> (c.q[i] - ct.cq[i]) * (c.q[i] - ct.cq[i]))) AS d
+      FROM cvecs c CROSS JOIN cent ct
+    ), assign AS (
+      SELECT vec_id, ci AS list FROM (
+        SELECT vec_id, ci,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+        FROM dists) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, ci AS list FROM (
+        SELECT vec_id, ci,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+        FROM dists WHERE vec_id < ${p.maxQueryId}) WHERE rn <= ${p.nprobe}
+    ), cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON p.list = a.list
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT cand.query_id, cand.neighbor_id,
+        row_number() OVER (PARTITION BY cand.query_id
+          ORDER BY list_cosine_similarity(qv.v, cv.v) DESC, cand.neighbor_id) AS rank
+      FROM cand JOIN cvecs qv ON qv.vec_id = cand.query_id
+                JOIN cvecs cv ON cv.vec_id = cand.neighbor_id)
+    WHERE rank <= ${p.k}"""
+  }
+
+  /** Salted fuzzy join (q69): the oracle is the UNSALTED blocked join +
+    * per-left-row argmax — the salt is an internal plan rewrite with
+    * identical results by construction (same adjudication as q60's salted
+    * aggregation). Mirrors q08's fuzzy stage without the rule/residue
+    * prefix. */
+  private val q69 = """
+    WITH cprep AS (
+      SELECT c_custkey AS crawl_id, c_name AS crawl_name, c_nationkey AS block FROM customer),
+    sprep AS (
+      SELECT s_suppkey AS abr_id, s_name AS abr_name, s_nationkey AS block FROM supplier),
+    blocked AS (
+      SELECT c.crawl_id, c.crawl_name, s.abr_id, s.abr_name,
+        CAST(100.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) -
+          CAST(levenshtein(c.crawl_name, s.abr_name) AS DOUBLE) /
+          greatest(length(c.crawl_name), length(s.abr_name))) AS match_score
+      FROM cprep c JOIN sprep s ON c.block = s.block)
+    SELECT crawl_id, crawl_name, abr_id, abr_name, 'fuzzy' AS match_method,
+      match_score,
+      CASE WHEN match_score >= 65.0 THEN 'high' ELSE 'medium' END AS match_confidence
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY crawl_id ORDER BY match_score DESC, abr_id) AS rn
+      FROM blocked WHERE match_score >= 40.0) WHERE rn = 1"""
+
   private val q52 = """
     SELECT coalesce(r_name, '(all)') AS region,
       coalesce(n_name, '(all)') AS nation,
@@ -835,6 +907,8 @@ object OracleSql {
     "q49_minhash_oracle" -> q49,
     "q50_simhash_oracle" -> q50,
     "q56_dedup_clusters" -> q56,
-    "q67_incremental_dedup" -> q67
+    "q67_incremental_dedup" -> q67,
+    "q68_ivf_oracle" -> q68,
+    "q69_salted_fuzzy" -> q69
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -817,6 +817,22 @@ object SparkEntry {
       .select(col("doc_id"))
   }
 
+  /** IVF ANN, fully oracled ([[graft.operators.Ann.ivfTopKPortable]]):
+    * md5-hash-sampled coarse quantizer, integer-exact assignment and
+    * probing over floor-quantized coordinates, exact-cosine in-list
+    * ranking — DuckDB replicates the list partition, the probe sets, and
+    * the ranking, so the IVF pipeline shape (q55's fast path) is
+    * hash-verified end-to-end, closing the last rows-only ANN path. */
+  def q68IvfOracle(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q68
+    val emb = t(s, dir, "embeddings")
+    Ann.ivfTopKPortable(emb, emb.filter(col("vec_id") < p.maxQueryId),
+        "embedding", "vec_id", "vec_id", k = p.k, nlist = p.nlist,
+        nprobe = p.nprobe, scale = p.scale)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** CUBE over (segment, status) with grouping_id — all four grouping
     * combinations in one pass (the full grouping-sets surface beyond
     * q52's ROLLUP). Spark and DuckDB agree on the grouping_id bit order
@@ -968,6 +984,32 @@ object SparkEntry {
       datediff(lit("1998-12-31").cast("date"), d).cast("long").as("days_to_eoh"))
   }
 
+  /** Salted blocked fuzzy join — the hot-block mitigation path of the
+    * match cascade under a correctness gate: same scoring and argmax as
+    * q08's fuzzy stage but with `saltBlocks = 4`, so the blocking
+    * equi-join runs salted (left rows deterministically salted, right
+    * side replicated per salt) and any single block's scoring work is
+    * spread over 4 tasks. The salt is an internal rewrite — results are
+    * identical to the unsalted join by construction — so the DuckDB
+    * oracle is the PLAIN blocked join + argmax (the q60 pattern: oracle
+    * the semantics, exercise the skew plan). */
+  def q69SaltedFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val cPrep = t(s, dir, "customer").select(
+      col("c_custkey").as("crawl_id"), col("c_name").as("crawl_name"),
+      col("c_nationkey").as("block"))
+    val sPrep = t(s, dir, "supplier").select(
+      col("s_suppkey").as("abr_id"), col("s_name").as("abr_name"),
+      col("s_nationkey").as("block"))
+    val score = exprs.levenshtein_ratio(col("crawl_name"), col("abr_name"))
+    Cascade.fuzzyMatch(cPrep, sPrep, "block", score,
+        "crawl_id", Seq("abr_id"),
+        Cascade.MatchConfig(fuzzyAcceptThreshold = 40.0,
+          fuzzyHighConfidence = 65.0),
+        saltBlocks = 4)
+      .select("crawl_id", "crawl_name", "abr_id", "abr_name",
+        "match_method", "match_score", "match_confidence")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1036,7 +1078,9 @@ object SparkEntry {
     "q64_subqueries" -> (q64Subqueries _),
     "q65_string_funcs" -> (q65StringFuncs _),
     "q66_date_ops" -> (q66DateOps _),
-    "q67_incremental_dedup" -> (q67IncrementalDedup _))
+    "q67_incremental_dedup" -> (q67IncrementalDedup _),
+    "q68_ivf_oracle" -> (q68IvfOracle _),
+    "q69_salted_fuzzy" -> (q69SaltedFuzzy _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

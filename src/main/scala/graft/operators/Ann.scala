@@ -251,6 +251,72 @@ object Ann {
     bits.reduce(_ + _)
   }
 
+  /** Engine-portable IVF top-k — the oracled twin of [[ivfTopK]]: the
+    * coarse quantizer is the `nlist` corpus vectors with the smallest
+    * (md5-derived key, id) — a deterministic hash-sample instead of
+    * Lloyd-refined k-means, which an external engine can re-derive — and
+    * assignment/probing run in EXACT INTEGER arithmetic over
+    * floor-quantized coordinates (squared L2 of longs), so the list
+    * partition and the probe sets can never diverge on float rounding.
+    * In-list ranking is exact cosine over the full double vectors with
+    * the same tie-break as [[bruteForceTopK]]; only (query_id,
+    * neighbor_id, rank) are projected — the cosine double is
+    * engine-specific in its last ulp. Structure (assign once / probe
+    * nprobe lists / equi-join on list id) is identical to the fast path,
+    * so the oracle verifies the IVF pipeline shape end-to-end.
+    * Quantizer-quality refinement stays in [[kmeansCentroids]]. */
+  def ivfTopKPortable(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String,
+      k: Int, nlist: Int = 8, nprobe: Int = 3, scale: Int = 1000,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "1 <= nprobe <= nlist")
+    def quantize(v: Column): Column =
+      transform(v, x => floor(x.cast("double") * scale).cast("long"))
+    // deterministic quantizer: nlist quantized vectors with the smallest
+    // (md5("<id>:ivf") prefix, id) — only nlist×dim longs reach the driver
+    val centroids: Seq[Seq[Long]] = corpus
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+      .withColumn("__key",
+        conv(substring(md5(concat(col("__id").cast("string"), lit(":ivf"))),
+          1, 15), 16, 10).cast("long"))
+      .orderBy(col("__key"), col("__id"))
+      .limit(nlist)
+      .select(col("__q")).collect()
+      .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    // integer squared L2 to a literal centroid (exact, engine-agnostic)
+    def sqDist(v: Column, c: Seq[Long]): Column =
+      aggregate(zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d)
+    // (dist, index) structs sorted ascending — ties to the lower index
+    def sortedDists(v: Column): Column =
+      array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(sqDist(v, c).as("d"), lit(i).as("i")) }: _*))
+    val lists = corpus.select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), _.cast("double")).as("__cv"),
+        quantize(col(vecCol)).as("__q"))
+      .withColumn("__list",
+        element_at(sortedDists(col("__q")), 1).getField("i"))
+      .drop("__q")
+    val probed = queries.select(col(queryIdCol).as("query_id"),
+        transform(col(vecCol), _.cast("double")).as("__qv"),
+        quantize(col(vecCol)).as("__q"))
+      .withColumn("__probe",
+        slice(transform(sortedDists(col("__q")), p => p.getField("i")),
+          1, nprobe))
+      .select(col("query_id"), col("__qv"),
+        explode(col("__probe")).as("__list"))
+    val scored = lists.join(broadcast(probed), Seq("__list"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+        else lit(true))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Single-table portable-LSH top-k: bucket by [[portableSignature]],
     * exact cosine within shared buckets, per-query top-k. The DuckDB twin
     * reproduces the bucket partition exactly (integer arithmetic + md5

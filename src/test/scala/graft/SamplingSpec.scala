@@ -58,6 +58,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("bottom_k resolves forced key collisions by value, for any partitioning") {
+    import spark.implicits._
+    // ALL keys collide: the pick is decided purely by the value's
+    // lexicographic order — q47's oracle parity must not rest on the
+    // 60-bit md5 key being collision-free (ADVICE r2 / VERDICT r3)
+    val rows = scala.util.Random.shuffle((1 to 500).toList)
+      .map(i => (7L, f"v$i%03d"))
+    for (parts <- Seq(1, 3, 16)) {
+      val got = rows.toDF("key", "value").repartition(parts)
+        .agg(BottomK.bottom_k(col("key"), col("value"), 5).as("s"))
+        .select(explode(col("s")).as("e"))
+        .select(col("e.key"), col("e.value"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == (1 to 5).map(i => (7L, f"v$i%03d")), s"parts=$parts")
+    }
+    // partial collisions: keys from a 2-value domain, ties resolve by value
+    // within the colliding key before the next key is considered
+    val mixed = (1 to 100).map(i => ((i % 2).toLong, f"v$i%03d"))
+    val got2 = mixed.toDF("key", "value").repartition(7)
+      .agg(BottomK.bottom_k(col("key"), col("value"), 3).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.key"), col("e.value"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got2 == mixed.sorted.take(3))
+    // null values sort before real values under an equal key (can never be
+    // displaced by a non-null tie)
+    val withNull = Seq((1L, null: String), (1L, "a"), (1L, "b"), (0L, "z"))
+    val got3 = withNull.toDF("key", "value").repartition(2)
+      .agg(BottomK.bottom_k(col("key"), col("value"), 3).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.key"), col("e.value"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got3 == Seq((0L, "z"), (1L, null), (1L, "a")))
+  }
+
   test("stratified sample keeps k per group") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val got = Sampling.stratifiedSample(docs, "lang", "doc_id", 10)
