@@ -1,0 +1,115 @@
+package graft.operators
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** J5 — the config-gated HTTP adjudication client behind
+  * [[MatchStrategy]]: a chat-completions call per unmatched row, mirroring
+  * the reference's adjudication semantics
+  * (/root/reference/transform/entity_matching.py:228-248):
+  *
+  *   - temperature-0, single user message (:229-232);
+  *   - a reply of "none" (any case) abstains (:234);
+  *   - any other reply is treated as the picked candidate KEY and
+  *     validated against the candidate list — the reference looks the
+  *     returned key up post-hoc and an unknown key throws into the
+  *     catch-and-continue, i.e. abstains (:237, :252-254);
+  *   - transport/server errors retry with exponential backoff, then
+  *     abstain (the reference's per-row `except: continue`, :252-254);
+  *     4xx responses abstain without retrying.
+  *
+  * The production default stays [[DeterministicStub]] — the gate
+  * ([[HttpLlmStrategy.fromEnv]]) only activates this client when an
+  * endpoint is explicitly configured, mirroring the reference's
+  * `enable_llm=False` default (entity_matching.py:303). The request/
+  * response shape is the public OpenAI-compatible chat-completions JSON;
+  * the prompt is this library's own wording, not the reference's.
+  *
+  * Scale shape: instances are shipped to executors by [[LlmMatch]];
+  * the HttpClient is @transient-lazy per executor JVM, candidate lists
+  * arrive pre-bounded (LlmMatch caps them before collect_list), and each
+  * partition issues its rows' calls serially — fan-out parallelism is the
+  * partition count, keeping request concurrency explicitly bounded.
+  */
+final class HttpLlmStrategy(
+    endpoint: String,
+    model: String = "gpt-4",
+    apiKey: Option[String] = None,
+    timeoutSeconds: Long = 30L,
+    maxRetries: Int = 2) extends MatchStrategy {
+
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(timeoutSeconds)).build()
+  @transient private lazy val mapper = new ObjectMapper()
+
+  override def adjudicate(
+      leftName: String, candidates: Seq[(String, String)]): Option[String] = {
+    if (leftName == null || candidates.isEmpty) return None
+    val body = requestJson(leftName, candidates)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      try {
+        val b = HttpRequest.newBuilder(URI.create(endpoint))
+          .timeout(Duration.ofSeconds(timeoutSeconds))
+          .header("Content-Type", "application/json")
+        apiKey.foreach(k => b.header("Authorization", s"Bearer $k"))
+        val resp = client.send(
+          b.POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() >= 500)
+          throw new java.io.IOException(s"server error ${resp.statusCode()}")
+        if (resp.statusCode() >= 400) return None
+        val content = mapper.readTree(resp.body())
+          .path("choices").path(0).path("message").path("content")
+          .asText("").trim
+        return if (content.isEmpty || content.equalsIgnoreCase("none")) None
+        else candidates.collectFirst { case (k, _) if k == content => k }
+      } catch {
+        case _: Exception if attempt < maxRetries =>
+          Thread.sleep(100L << attempt)
+          attempt += 1
+        case _: Exception => return None
+      }
+    }
+    None
+  }
+
+  private def requestJson(
+      leftName: String, candidates: Seq[(String, String)]): String = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    root.put("temperature", 0)
+    val m = root.putArray("messages").addObject()
+    m.put("role", "user")
+    m.put("content", prompt(leftName, candidates))
+    mapper.writeValueAsString(root)
+  }
+
+  private def prompt(
+      leftName: String, candidates: Seq[(String, String)]): String = {
+    val opts = candidates.map { case (k, n) => s"  $k: $n" }.mkString("\n")
+    s"""Entity resolution: decide which candidate refers to the same
+       |real-world company as the query name, if any.
+       |Query name: $leftName
+       |Candidates (key: name):
+       |$opts
+       |Reply with exactly one candidate key, or None if not confident.""".stripMargin
+  }
+}
+
+object HttpLlmStrategy {
+  /** Config gate: the real client activates only when
+    * `GRAFT_LLM_ENDPOINT` is set (optional `GRAFT_LLM_MODEL`,
+    * `GRAFT_LLM_API_KEY`); otherwise the deterministic stub — the
+    * reference's `enable_llm=False` default (entity_matching.py:303). */
+  def fromEnv(env: Map[String, String] = sys.env): MatchStrategy =
+    env.get("GRAFT_LLM_ENDPOINT") match {
+      case Some(ep) => new HttpLlmStrategy(ep,
+        model = env.getOrElse("GRAFT_LLM_MODEL", "gpt-4"),
+        apiKey = env.get("GRAFT_LLM_API_KEY"))
+      case None => new DeterministicStub()
+    }
+}
