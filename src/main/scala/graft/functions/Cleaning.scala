@@ -103,16 +103,35 @@ object Cleaning {
     "ACT" -> "ACT", "AUSTRALIAN CAPITAL TERRITORY" -> "ACT")
 
   /** F12 — uppercase + strip dots + collapse spaces, exact alias lookup,
-    * fuzzy fallback (indel ratio > 85 against the 16 alias keys), else null
-    * (transform/data_cleaning.py:43-53). */
-  def standardizeState(state: Column): Column = {
+    * fuzzy fallback against the 16 alias keys (score > 85), else null
+    * (transform/data_cleaning.py:43-53). The fallback scorer is
+    * [[SimKernel.wratio]] — `process.extractOne`'s DEFAULT scorer, which
+    * is what the reference actually invokes (data_cleaning.py:50) —
+    * with fuzzywuzzy's disjoint-token-set quirk rejected (see the WRatio
+    * kernel scaladoc; bug-compatible WRatio would floor every
+    * length-mismatched score at 85.5 and map junk onto a state).
+    * [[standardizeStateIndel]] keeps the earlier Indel fallback; the two
+    * agree on every alias key and near-exact typo (CleaningSpec), WRatio
+    * additionally accepts containment-style inputs ("NSW AUSTRALIA"). */
+  def standardizeState(state: Column): Column =
+    standardizeStateWith(state, exprs.wratio)
+
+  /** F12 with the Indel-ratio fallback (the pre-WRatio variant, kept for
+    * the recorded scorer-divergence comparison). */
+  def standardizeStateIndel(state: Column): Column =
+    standardizeStateWith(state, exprs.indel_ratio)
+
+  private def standardizeStateWith(
+      state: Column, scorer: (Column, Column) => Column): Column = {
     val norm = cleanText(upper(regexp_replace(state, "\\.", " ")))
     val exact = StateMapping.foldLeft(lit(null).cast("string")) {
       case (acc, (k, v)) => when(norm === lit(k), lit(v)).otherwise(acc)
     }
-    // fuzzy fallback: argmax indel_ratio over the 16 keys, accept if > 85
+    // fuzzy fallback: argmax of the scorer over the 16 keys, accept > 85;
+    // ties break to the lexicographically largest (score, std) struct,
+    // deterministic — the reference's extractOne is scan-order-dependent
     val scored = StateMapping.keys.toSeq.sorted.map { k =>
-      struct(exprs.indel_ratio(norm, lit(k)).as("score"),
+      struct(scorer(norm, lit(k)).as("score"),
         lit(StateMapping(k)).as("std"))
     }
     val best = array_max(array(scored: _*))

@@ -77,6 +77,29 @@ case class LevenshteinRatio(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `fuzz.WRatio` parity (the `process.extractOne` default scorer) — the
+  * reference's F12 fuzzy fallback (data_cleaning.py:50); see
+  * [[SimKernel.wratio]] for the composition and the two documented
+  * refinements over bug-compatible fuzzywuzzy. */
+case class WRatio(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "wratio"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    SimKernel.wratioUTF8(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SimKernel.wratioUTF8($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WRatio =
+    copy(left = newLeft, right = newRight)
+}
+
 /** ABN mod-89 checksum validity — SURVEY.md §2.7 F4. */
 case class AbnValid(child: Expression)
     extends UnaryExpression {
@@ -162,6 +185,8 @@ object exprs {
     col(IndelRatio(ex(a), ex(b)))
   def levenshtein_ratio(a: Column, b: Column): Column =
     col(LevenshteinRatio(ex(a), ex(b)))
+  def wratio(a: Column, b: Column): Column =
+    col(WRatio(ex(a), ex(b)))
   def abn_valid(a: Column): Column = col(AbnValid(ex(a)))
   def minhash_md5_sig(gset: Column, k: Int): Column =
     col(MinHashMd5Sig(ex(gset), k))
@@ -177,6 +202,8 @@ object exprs {
       "indel_ratio", es => IndelRatio(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "levenshtein_ratio", es => LevenshteinRatio(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "wratio", es => WRatio(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "abn_valid", es => AbnValid(es.head), "scala_udf")
   }

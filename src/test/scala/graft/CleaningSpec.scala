@@ -88,6 +88,25 @@ class CleaningSpec extends AnyFunSuite {
     assert(one(Cleaning.standardizeState(col("x")), "Quebec") == null)
   }
 
+  test("F12 scorer divergence record: WRatio vs Indel fallback (VERDICT r3 nit)") {
+    import graft.functions.Cleaning
+    // the two scorers agree on every alias key and on near-exact typos —
+    // the accept/reject behavior the 16-alias domain actually exercises
+    val agreeing = Cleaning.StateMapping.keys.toSeq ++ Seq(
+      "nsw", "Victorias", "Queenslnd", "TASMANIAA", "Quebec", "zzz", "")
+    agreeing.foreach { in =>
+      assert(
+        one(Cleaning.standardizeState(col("x")), in) ==
+          one(Cleaning.standardizeStateIndel(col("x")), in),
+        s"scorers diverge on '$in'")
+    }
+    // the recorded divergence: WRatio (extractOne's real default) accepts
+    // containment-style inputs through its partial alignment; the plain
+    // Indel ratio rejects them. WRatio is the reference-parity behavior.
+    assert(one(Cleaning.standardizeState(col("x")), "NSW Australia") == "NSW")
+    assert(one(Cleaning.standardizeStateIndel(col("x")), "NSW Australia") == null)
+  }
+
   test("F14 address synthesis: both-present else null (abr_parser.py:66)") {
     val df = Seq(("NSW", "2000"), (null, "2000"), ("NSW", null))
       .toDF("st", "pc")
