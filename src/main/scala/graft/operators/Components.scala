@@ -53,6 +53,71 @@ object Components {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star rounds —
+    * converges in O(log² n) rounds versus label propagation's
+    * O(component diameter), so it is the variant to use when components
+    * can be long chains (linked-record graphs, web graphs) rather than
+    * the tiny-diameter clusters near-dup pairs produce. Public algorithm:
+    * Kiveris et al., "Connected Components in MapReduce and Beyond"
+    * (SoCC'14).
+    *
+    *   - large-star: every node attaches its LARGER neighbors to the
+    *     minimum of its neighborhood (incl. itself);
+    *   - small-star: in the smaller←larger orientation, every node and
+    *     its smaller neighbors attach to the neighborhood minimum.
+    *
+    * Both steps are distributed groupBy+join passes over the edge list;
+    * each round truncates lineage (localCheckpoint). The fixed point is a
+    * star forest rooted at each component's minimum id; same output
+    * contract as [[connectedComponents]]. */
+  def connectedComponentsStar(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    var edges = pairs.select(
+        least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint(false)
+    var nEdges = edges.count()
+    var converged = nEdges == 0
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetric adjacency
+      val sym = edges.select(col("lo").as("v"), col("hi").as("u"))
+        .unionByName(edges.select(col("hi").as("v"), col("lo").as("u")))
+      val mins = sym.groupBy("v").agg(min("u").as("minu"))
+        .select(col("v"), least(col("v"), col("minu")).as("m"))
+      val large = sym.join(mins, Seq("v"))
+        .filter(col("u") > col("v"))
+        .select(least(col("u"), col("m")).as("lo"),
+          greatest(col("u"), col("m")).as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct()
+      // small-star on the smaller←larger orientation
+      val oriented = large.select(col("hi").as("u"), col("lo").as("v"))
+      val sm = oriented.groupBy("u").agg(min("v").as("m"))
+      val next = oriented.join(sm, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(sm.select(col("u").as("a"), col("m").as("b")))
+        .select(least(col("a"), col("b")).as("lo"),
+          greatest(col("a"), col("b")).as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct()
+        .localCheckpoint(false)
+      // set equality via counts (both sides distinct):
+      // |next| == |edges| == |next ∪ edges|  ⇔  next == edges
+      val nNext = next.count()
+      converged = nNext == nEdges &&
+        next.unionByName(edges).distinct().count() == nEdges
+      edges = next
+      nEdges = nNext
+      iter += 1
+    }
+    // fixed point is a star forest: hi attaches to its root lo; roots
+    // label themselves (min() collapses the duplicate root rows)
+    edges.select(col("hi").as("id"), col("lo").as("component"))
+      .unionByName(edges.select(col("lo").as("id"), col("lo").as("component")))
+      .groupBy("id").agg(min("component").as("component"))
+  }
+
   /** Dedup keep-list from near-dup pairs over a corpus: every id mapped to
     * its canonical representative (component minimum); ids with no dup
     * pair map to themselves. */

@@ -115,11 +115,16 @@ object Dedup {
     * whole join needs exactly TWO evaluations of the shingle subplan and
     * never shuffles a shingle array. Ubiquitous shingles make the
     * self-join grow quadratically — that is inherent to inverted-index
-    * candidate generation; MinHash-LSH is the scale path. */
+    * candidate generation; at scale either cap them with `maxDf`
+    * (standard in the dedup literature: shingles present in more than
+    * `maxDf` docs carry no discriminative signal and are dropped BEFORE
+    * the self-join; Jaccard is then computed exactly over the retained
+    * shingle space, per-doc sizes re-counted after the filter) or use
+    * MinHash-LSH as the sweep path. */
   def ngramJaccardJoin(
       docs: DataFrame, textCol: String, idCol: String,
       ngram: Int = 3, threshold: Double = 0.8,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true, maxDf: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shRaw = shingleHashSet(docs, textCol, idCol, ngram)
     // both posting branches re-evaluate the shingle subplan otherwise
@@ -129,7 +134,21 @@ object Dedup {
     // whole shingle expression into a per-row Filter (catastrophic — the
     // subplan is expensive); the outer variant is exempt, and `sh` is
     // non-empty by construction so the semantics are identical
-    val posting = sh.select(col("doc"), explode_outer(col("sh")).as("g"))
+    val posting0 = sh.select(col("doc"), explode_outer(col("sh")).as("g"))
+    val capped = maxDf match {
+      case Some(cap) =>
+        // keep-list semi-join, NOT a window over g: per-shingle df is a
+        // map-side-combined aggregation, so a viral shingle never lands
+        // as one giant window partition on a single task
+        val keep = posting0.groupBy(col("g"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select(col("g"))
+        posting0.join(keep, Seq("g"), "left_semi")
+      case None => posting0
+    }
+    // per-doc sizes counted AFTER the cap so the Jaccard stays exact over
+    // the retained shingle space
+    val posting = capped
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc"))))
     val a = posting.select(col("g"), col("doc").as("id_a"), col("n").as("n_a"))
     val b = posting.select(col("g"), col("doc").as("id_b"), col("n").as("n_b"))

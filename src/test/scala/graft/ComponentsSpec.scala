@@ -57,6 +57,56 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("large-star/small-star: long chain converges in O(log) rounds to min roots") {
+    import spark.implicits._
+    // a 64-node chain has diameter 63: label propagation needs 63 rounds,
+    // the star algorithm a handful — 10 iterations must suffice here
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Components.connectedComponentsStar(chain, "id_a", "id_b",
+        maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("large-star/small-star matches the union-find reference on a random graph") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val n = 300
+    val edges = Seq.fill(260)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val minOf = (0 until n).groupBy(find).map { case (_, ids) => ids.min }
+      .toSet // component minima
+    val want = (0 until n).map { i =>
+      val root = find(i)
+      i.toLong -> (0 until n).filter(j => find(j) == root).min.toLong
+    }.toMap
+    val got = Components.connectedComponentsStar(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, comp) =>
+      assert(comp == want(id.toInt), s"vertex $id: got $comp want ${want(id.toInt)}")
+    }
+    assert(got.nonEmpty && got.values.toSet.subsetOf(minOf.map(_.toLong)))
+    // and agrees with label propagation on the same graph
+    val lp = Components.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b", maxIter = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lp)
+  }
+
+  test("large-star/small-star: empty pair list yields empty labels") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Components.connectedComponentsStar(empty, "id_a", "id_b").count() == 0)
+  }
+
   test("end-to-end: minhash pairs -> components -> one keeper per cluster") {
     import spark.implicits._
     val docs = Seq(

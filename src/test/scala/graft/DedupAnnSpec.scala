@@ -72,6 +72,31 @@ class DedupAnnSpec extends AnyFunSuite {
     (0 until 5).foreach(i => assert(exact.contains((i.toLong, 2000L + i))))
   }
 
+  test("ngram jaccard df-cap drops ubiquitous shingles, keeps exactness over the rest") {
+    import spark.implicits._
+    // every doc shares the ubiquitous "spam spam spam" prefix; the real
+    // signal is the distinct tail. Uncapped, the prefix shingle posts to
+    // every doc (quadratic candidates + inflated jaccard for unrelated
+    // pairs); capped, jaccard is exact over the non-ubiquitous space.
+    val docs = Seq(
+      (1L, "spam spam spam alpha beta gamma delta"),
+      (2L, "spam spam spam alpha beta gamma delta"),  // true dup of 1
+      (3L, "spam spam spam zeta eta theta iota"))     // unrelated tail
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardJoin(docs, "text", "doc_id",
+        ngram = 3, threshold = 0.9, maxDf = Some(2))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard")))
+    // (1,2) survive with jaccard 1.0 over their retained shingles;
+    // 3 pairs with nothing (its only shared shingles were df=3-capped)
+    assert(capped.toSeq == Seq((1L, 2L, 1.0)))
+    // sanity: uncapped, the ubiquitous prefix creates cross pairs too
+    val uncapped = Dedup.ngramJaccardJoin(docs, "text", "doc_id",
+        ngram = 3, threshold = 0.1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(uncapped.contains((1L, 3L)) && uncapped.contains((2L, 3L)))
+  }
+
   test("portable minhash LSH finds exact dups with recall 1 and verifies jaccard") {
     val got = Dedup.minhashLshPortable(docs, "text", "doc_id",
         ngram = 3, numHashes = 8, bands = 4, jaccardThreshold = 0.4)
