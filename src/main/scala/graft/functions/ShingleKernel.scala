@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass distinct word n-gram shingle kernel — the batch form of
+  * [[graft.operators.Dedup.shingles]]'s builtin chain
+  * (`array_distinct(transform(sequence(...), i -> concat_ws(" ",
+  * slice(split(trim(text), "\\s+"), i, n))))`), which Catalyst evaluates
+  * as nested higher-order functions with per-element array allocations.
+  * One scan, one reused StringBuilder, insertion-ordered dedup — same
+  * output SET (order matches first-occurrence, like `array_distinct`),
+  * byte-identical elements, so the md5-portable sketch pipelines
+  * (q49/q56/q67) keep their DuckDB twins while the shingle stage drops
+  * out of the profile.
+  *
+  * Tokenization parity: tokens are maximal runs of non-whitespace where
+  * whitespace is Java regex `\s` = `[ \t\n\x0B\f\r]` (what
+  * `split(trim(text), "\\s+")` matches); fewer than n tokens degrade to
+  * the single all-tokens shingle, and an empty/blank text yields the
+  * single empty shingle — both exactly as the builtin chain behaves.
+  */
+object ShingleKernel {
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Distinct word n-grams of `text`, first-occurrence order.
+    * Tokenization is EXACTLY `split(trim(text), "\\s+")` in Spark:
+    * `trim` strips ASCII spaces only, and Spark's split uses limit=-1
+    * Java-split semantics — a leading separator contributes one empty
+    * first field and a trailing separator one empty last field (only
+    * reachable when the text starts/ends with non-space whitespace;
+    * asserted equal to the builtin chain in `KernelPropertySpec`). */
+  def wordNgrams(text: String, n: Int): Array[String] = {
+    // Spark trim(): ASCII spaces only
+    var lo = 0
+    var hi = text.length
+    while (lo < hi && text.charAt(lo) == ' ') lo += 1
+    while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+    val toks = new java.util.ArrayList[String](64)
+    if (lo == hi) toks.add("") // split("", "\s+") == [""]
+    else {
+      if (isWs(text.charAt(lo))) toks.add("") // leading empty field
+      var i = lo
+      while (i < hi) {
+        while (i < hi && isWs(text.charAt(i))) i += 1
+        if (i < hi) {
+          val start = i
+          while (i < hi && !isWs(text.charAt(i))) i += 1
+          toks.add(text.substring(start, i))
+        }
+      }
+      if (isWs(text.charAt(hi - 1))) toks.add("") // trailing empty field
+    }
+    val m = toks.size()
+    val sb = new java.lang.StringBuilder(64)
+    if (m < n) {
+      // fewer than n tokens → one shingle of all tokens ("" when blank:
+      // split(trim(""), "\s+") yields [""] and concat_ws gives "")
+      var j = 0
+      while (j < m) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(j))
+        j += 1
+      }
+      return Array(sb.toString)
+    }
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    var s = 0
+    while (s + n <= m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(s + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      s += 1
+    }
+    val out = new Array[String](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  /** UTF8String entry point for generated code: array<string> result. */
+  def wordNgramsUTF8(text: UTF8String, n: Int): ArrayData = {
+    val grams = wordNgrams(text.toString, n)
+    val arr = new Array[Any](grams.length)
+    var i = 0
+    while (i < grams.length) {
+      arr(i) = UTF8String.fromString(grams(i))
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+}

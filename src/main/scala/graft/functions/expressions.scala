@@ -157,6 +157,27 @@ case class MinHashMd5Sig(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles in one codegen'd pass — replaces the
+  * nested transform/concat_ws/slice builtin chain in the md5-portable
+  * sketch pipelines (same output set; see [[ShingleKernel]]). */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleKernel.wordNgramsUTF8(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernel.wordNgramsUTF8($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 /** Python `str.title()` parity — SURVEY.md §2.7 F9 divergence note. */
 case class PyTitle(child: Expression)
     extends UnaryExpression {
@@ -190,6 +211,8 @@ object exprs {
   def abn_valid(a: Column): Column = col(AbnValid(ex(a)))
   def minhash_md5_sig(gset: Column, k: Int): Column =
     col(MinHashMd5Sig(ex(gset), k))
+  def word_ngrams(text: Column, n: Int): Column =
+    col(WordNgrams(ex(text), n))
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
   def py_title(a: Column): Column = col(PyTitle(ex(a)))
 

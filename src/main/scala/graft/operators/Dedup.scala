@@ -19,9 +19,22 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingle set (distinct) of a text column — pure built-ins:
-    * `slice` over the token array via `transform(sequence(...))`. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingle set (distinct) of a text column — one codegen'd
+    * kernel pass ([[graft.functions.ShingleKernel]]). Equivalent builtin
+    * chain (kept as the executable spec; `KernelPropertySpec` asserts
+    * set-equality between the two): `array_distinct(transform(
+    * sequence(0, size(toks)-n), i -> concat_ws(" ", slice(toks, i+1, n))))`
+    * over `toks = split(trim(text), "\\s+")`, degrading to the single
+    * all-tokens shingle below n tokens. The builtin form evaluates as
+    * nested higher-order functions with per-element array slices — the
+    * kernel is one scan with a reused buffer, which matters because the
+    * shingle stage runs once per document in every sketch pipeline. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.exprs.word_ngrams(text, n)
+
+  /** The pure-builtin twin of [[shingles]] (the executable spec the
+    * kernel is property-tested against). */
+  def shinglesBuiltin(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")
     when(size(toks) >= n,
       array_distinct(transform(

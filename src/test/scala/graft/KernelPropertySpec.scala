@@ -103,6 +103,33 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("word_ngrams kernel == builtin shingle chain (set AND order) on " +
+      "random + adversarial texts") {
+    val spark = TestSpark.session
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "de", "e", "zeta-1", "x.y")
+    val random = (0 until 120).map { i =>
+      Seq.fill(1 + rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+        .mkString(if (i % 3 == 0) "  " else " ")
+    }
+    val adversarial = Seq("", " ", "\t\n", "one", "one two",
+      "  leading", "trailing  ", "ab\fc\rd", "x x x x x x")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = (random ++ adversarial).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .select(col("id"),
+          graft.operators.Dedup.shingles(col("text"), n).as("kernel"),
+          graft.operators.Dedup.shinglesBuiltin(col("text"), n).as("builtin"))
+        .collect()
+      df.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n id=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("hashed shingles agree with string shingles on set size (no " +
       "collisions at corpus scale)") {
     val spark = TestSpark.session
