@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -96,5 +97,76 @@ object ShingleKernel {
       i += 1
     }
     new GenericArrayData(arr)
+  }
+
+  // ------------------------- hashed fast path (xxhash64-parity, 1 pass)
+
+  /** Distinct xxhash64'd word n-grams — the fused form of
+    * [[graft.operators.Dedup.shingleHashSet]]'s two-projection builtin
+    * chain, BIT-IDENTICAL to it: token hash = `xxhash64(token)`
+    * (`XXH64.hashUTF8String`, seed 42), n-gram hash = `xxhash64(h_1 ..
+    * h_n)` (seed-chained `XXH64.hashLong`), and fewer than n tokens
+    * degrade to the chained hash of all token hashes, exactly like
+    * `xxhash64(token_hash_array)`. Property-asserted equal in
+    * `KernelPropertySpec`. Tokenization as [[wordNgrams]] (trim spaces,
+    * split limit=-1). Runs directly over the UTF8String's bytes — the
+    * whitespace class is pure ASCII, so a byte scan is UTF-8 safe and
+    * tokens are hashed in place without materializing substrings. */
+  def wordNgramHashesUTF8(text: UTF8String, n: Int): ArrayData = {
+    val SEED = 42L
+    val numBytes = text.numBytes()
+    // Spark trim(): ASCII spaces only
+    var lo = 0
+    var hi = numBytes
+    while (lo < hi && text.getByte(lo) == ' '.toByte) lo += 1
+    while (hi > lo && text.getByte(hi - 1) == ' '.toByte) hi -= 1
+    def isWsB(b: Byte): Boolean =
+      b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+        b == 0x0b.toByte || b == '\f'.toByte || b == '\r'.toByte
+    // token hashes (limit=-1 split semantics: leading/trailing empty
+    // fields when the trimmed text starts/ends with non-space whitespace).
+    // Tokens hash via hashUnsafeBytes over the in-place byte range —
+    // identical to xxhash64(token) (hashUTF8String hashes the same byte
+    // sequence; value-parity is property-asserted).
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val emptyHash = XXH64.hashUnsafeBytes(base, off, 0, SEED)
+    val hashes = new java.util.ArrayList[java.lang.Long](64)
+    if (lo == hi) hashes.add(emptyHash)
+    else {
+      if (isWsB(text.getByte(lo))) hashes.add(emptyHash)
+      var i = lo
+      while (i < hi) {
+        while (i < hi && isWsB(text.getByte(i))) i += 1
+        if (i < hi) {
+          val start = i
+          while (i < hi && !isWsB(text.getByte(i))) i += 1
+          hashes.add(XXH64.hashUnsafeBytes(base, off + start, i - start, SEED))
+        }
+      }
+      if (isWsB(text.getByte(hi - 1))) hashes.add(emptyHash)
+    }
+    val m = hashes.size()
+    if (m < n) {
+      // xxhash64(array<bigint>) seed-chains the elements
+      var h = SEED
+      var j = 0
+      while (j < m) { h = XXH64.hashLong(hashes.get(j), h); j += 1 }
+      return new GenericArrayData(Array[Any](h))
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long](m * 2)
+    var s = 0
+    while (s + n <= m) {
+      var h = SEED
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(hashes.get(s + j), h); j += 1 }
+      seen.add(h)
+      s += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
   }
 }

@@ -178,6 +178,27 @@ case class WordNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Distinct xxhash64'd word n-grams in one codegen'd pass — the fused,
+  * bit-identical form of the hashed-shingle builtin chain (see
+  * [[ShingleKernel.wordNgramHashesUTF8]]). */
+case class WordNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngram_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleKernel.wordNgramHashesUTF8(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernel.wordNgramHashesUTF8($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashes =
+    copy(child = newChild)
+}
+
 /** Python `str.title()` parity — SURVEY.md §2.7 F9 divergence note. */
 case class PyTitle(child: Expression)
     extends UnaryExpression {
@@ -213,6 +234,8 @@ object exprs {
     col(MinHashMd5Sig(ex(gset), k))
   def word_ngrams(text: Column, n: Int): Column =
     col(WordNgrams(ex(text), n))
+  def word_ngram_hashes(text: Column, n: Int): Column =
+    col(WordNgramHashes(ex(text), n))
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
   def py_title(a: Column): Column = col(PyTitle(ex(a)))
 

@@ -43,15 +43,25 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** Hashed word n-gram shingle set as a two-projection plan: tokens are
-    * hashed ONCE into a materialized intermediate column, then each window
-    * of n token-hashes is combined with a fixed-width `xxhash64`. The
-    * intermediate MUST be its own projection — inlining it would make
-    * Catalyst re-evaluate the token-hash transform for every element_at
-    * reference (O(tokens²·n)). Downstream shuffles carry 8-byte longs
+  /** Hashed word n-gram shingle set — one codegen'd kernel pass
+    * ([[graft.functions.ShingleKernel.wordNgramHashesUTF8]]): tokens are
+    * xxhash64'd in place over the UTF-8 bytes, windows of n token-hashes
+    * seed-chained, distinct. Downstream shuffles carry 8-byte longs
     * instead of n-gram strings; collision probability per pair is ~2⁻⁶⁴.
+    * Bit-identical to [[shingleHashSetBuiltin]] (property-asserted).
     * Returns (doc, sh) with `sh: array<bigint>`. */
   def shingleHashSet(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      graft.functions.exprs.word_ngram_hashes(col(textCol), n).as("sh"))
+
+  /** The pure-builtin twin of [[shingleHashSet]] (the executable spec the
+    * kernel is property-tested against): tokens hashed ONCE into a
+    * materialized intermediate column, then each window of n token-hashes
+    * combined with a fixed-width `xxhash64`. The intermediate MUST be its
+    * own projection — inlining it would make Catalyst re-evaluate the
+    * token-hash transform for every element_at reference (O(tokens²·n)). */
+  def shingleHashSetBuiltin(docs: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     val th = col("__th")
     docs

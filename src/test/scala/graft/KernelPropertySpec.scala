@@ -130,6 +130,33 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("word_ngram_hashes kernel == builtin hashed-shingle chain " +
+      "(exact values AND order), incl. multibyte text") {
+    val spark = TestSpark.session
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "de", "e", "zeta-1",
+      "日本語", "naïve", "x.y")
+    val random = (0 until 120).map { i =>
+      Seq.fill(1 + rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+        .mkString(if (i % 3 == 0) "  " else " ")
+    }
+    val adversarial = Seq("", " ", "\t\n", "one", "one two",
+      "  leading", "trailing  ", "ab\fc\rd", "日本 語 テスト")
+    for (n <- Seq(1, 3, 5)) {
+      val df = (random ++ adversarial).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val kernel = graft.operators.Dedup
+        .shingleHashSet(df, "text", "doc_id", n)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val builtin = graft.operators.Dedup
+        .shingleHashSetBuiltin(df, "text", "doc_id", n)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(kernel == builtin, s"n=$n")
+    }
+  }
+
   test("hashed shingles agree with string shingles on set size (no " +
       "collisions at corpus scale)") {
     val spark = TestSpark.session
