@@ -80,6 +80,35 @@ object EventStreams {
       }
   }
 
+  /** Streaming incremental dedup — the continuous-ingestion form of
+    * [[graft.operators.Dedup.incrementalDedup]]: each micro-batch of
+    * documents is screened against the static historical corpus (exact
+    * fingerprint + MinHash-LSH anti-joins) and only novel documents reach
+    * the sink. The screen is a multi-stage batch program (aggregations,
+    * distinct, self-banding) that Structured Streaming cannot run
+    * incrementally in a single query, so the correct boundary is
+    * `foreachBatch` — the batch operator applied per micro-batch, the
+    * same pattern the engine uses for its dwh sink bridge
+    * (`ForeachBatchSpec`). At scale the corpus side's banded signatures
+    * are precomputed once (not per batch): pass `corpus` as the saved
+    * signature frame's source and the per-batch cost is the probe alone.
+    *
+    * Returns the started query; novel rows append to `sinkPath`. */
+  def dedupedIngest(
+      docsStream: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      sinkPath: String, checkpointPath: String,
+      jaccardThreshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup
+          .incrementalDedup(batch.toDF(), corpus, textCol, idCol,
+            jaccardThreshold = jaccardThreshold)
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+
   /** Wire a parquet-backed stream with the events schema (used by tests:
     * one-file-per-trigger batch drive via memory sink). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
