@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{AbnValid, IndelRatio, PyTitle, SimHash64, TokenSortRatio}
+import graft.functions.{AbnValid, IndelRatio, PyTitle, SimHash64, TokenSortRatio, WRatio, WordNgramHashes, WordNgrams}
 
 /** SparkSessionExtensions installer: makes the engine's custom expressions
   * available to pure-SQL users at session build time —
@@ -40,5 +40,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("py_title"),
       info("py_title", "py_title(s) - Python str.title() semantics"),
       (es: Seq[Expression]) => PyTitle(es.head)))
+    e.injectFunction((FunctionIdentifier("wratio"),
+      info("wratio", "wratio(a, b) - fuzz.WRatio composite similarity (0..100)"),
+      (es: Seq[Expression]) => WRatio(es.head, es(1))))
+    def litInt(ex: Expression): Int = ex.eval(null).asInstanceOf[Number].intValue()
+    e.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(text, n) - distinct word n-gram shingles"),
+      (es: Seq[Expression]) => WordNgrams(es.head, litInt(es(1)))))
+    e.injectFunction((FunctionIdentifier("word_ngram_hashes"),
+      info("word_ngram_hashes",
+        "word_ngram_hashes(text, n) - distinct xxhash64'd word n-grams"),
+      (es: Seq[Expression]) => WordNgramHashes(es.head, litInt(es(1)))))
   }
 }

@@ -252,5 +252,13 @@ object exprs {
       "wratio", es => WRatio(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "abn_valid", es => AbnValid(es.head), "scala_udf")
+    // n arrives as a literal in SQL: word_ngrams(text, 3)
+    def litInt(e: Expression): Int =
+      e.eval(null).asInstanceOf[Number].intValue()
+    reg.createOrReplaceTempFunction(
+      "word_ngrams", es => WordNgrams(es.head, litInt(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "word_ngram_hashes",
+      es => WordNgramHashes(es.head, litInt(es(1))), "scala_udf")
   }
 }

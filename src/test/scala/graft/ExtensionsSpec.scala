@@ -22,11 +22,17 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT token_sort_ratio('a b', 'b a') AS ts, " +
           "indel_ratio('kitten', 'sitting') AS ir, " +
           "abn_valid('51824753556') AS ok, " +
-          "simhash64(array('x', 'y')) AS sh").head()
+          "simhash64(array('x', 'y')) AS sh, " +
+          "wratio('NSW AUSTRALIA', 'NSW') AS wr, " +
+          "word_ngrams('a b c d', 3) AS wn, " +
+          "size(word_ngram_hashes('a b c d', 3)) AS nh").head()
       assert(r.getDouble(0) == 100.0)
       assert(math.abs(r.getDouble(1) - 61.5385) < 5e-4)
       assert(r.getBoolean(2))
       assert(r.getLong(3) != 0L)
+      assert(math.abs(r.getDouble(4) - 90.0) < 1e-9)
+      assert(r.getSeq[String](5) == Seq("a b c", "b c d"))
+      assert(r.getInt(6) == 2)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -55,6 +55,45 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("RunningWindowFunction"), "no window in cascade")
   }
 
+  test("q68: queries prune + broadcast; corpus never cartesians (r4)") {
+    val plan = executed("q68_ivf_oracle")
+    assert(plan.contains("LessThan(vec_id,8)"), "query filter must push down")
+    assert(plan.contains("BroadcastHashJoin"), "probe join must broadcast")
+    assert(!plan.contains("CartesianProduct"), "no cartesian in IVF probe")
+  }
+
+  test("q69: salt replication via Generate, argmax stays a partial aggregate (r4)") {
+    val plan = executed("q69_salted_fuzzy")
+    assert(plan.contains("Generate"), "salted right side replicates via explode")
+    assert(plan.contains("min_by") || "HashAggregate".r.findAllIn(plan).size >= 2,
+      "argmax should be min_by partial aggregation")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q56/q67: sketch pipelines never cartesian (r4)") {
+    // the shingle stage itself is localCheckpoint-materialized, so the
+    // final executed plans show the truncated lineage; the kernel's
+    // presence is asserted on the stage plan below
+    assert(!executed("q56_dedup_clusters").contains("CartesianProduct"))
+    assert(!executed("q67_incremental_dedup").contains("CartesianProduct"))
+  }
+
+  test("shingle stages run the fused kernels, one projection, no generators (r4)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    val portable = docs.select(
+      graft.operators.Dedup.shingles(col("text"), 3).as("g"))
+      .queryExecution.optimizedPlan.toString
+    assert(portable.contains("word_ngrams"), portable.take(500))
+    val hashed = graft.operators.Dedup
+      .shingleHashSet(docs, "text", "doc_id", 3)
+      .queryExecution.optimizedPlan.toString
+    assert(hashed.contains("word_ngram_hashes"), hashed.take(500))
+    // the fused form must not re-introduce the higher-order-function
+    // chain (transform/slice) the kernels replaced
+    assert(!hashed.contains("transform("), hashed.take(500))
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
