@@ -761,8 +761,12 @@ object SparkEntry {
     val pairs = Dedup.minhashLshPortable(corpus, "text", "doc_id",
       ngram = p.ngram, numHashes = p.numHashes, bands = p.bands,
       jaccardThreshold = p.jaccardThreshold)
+    // converged loops exit early, so the generous budget is free; if a
+    // pathological chain cluster ever exceeds it, the operator now throws
+    // (matching the exact recursive-CTE oracle) instead of silently
+    // returning mid-propagation labels
     operators.Components.dedupAssignments(
-        corpus, "doc_id", pairs, "id_a", "id_b")
+        corpus, "doc_id", pairs, "id_a", "id_b", maxIter = 25)
       .groupBy(col("keep_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .filter(col("cluster_size") >= 2)

@@ -138,16 +138,18 @@ object SimKernel {
   // Scores are doubles on the 0..100 scale (no per-stage int rounding).
 
   /** fuzzywuzzy `utils.full_process` with `force_ascii=True`: drop
-    * non-ASCII chars, replace each ASCII non-alphanumeric with a space
-    * (runs are NOT collapsed — faithful to the reference), lowercase,
-    * trim. */
+    * non-ASCII chars, replace each ASCII non-word char with a space
+    * (the reference's regex is `\W`, so underscores are word chars and
+    * survive; runs are NOT collapsed — faithful to the reference),
+    * lowercase, trim. */
   def fullProcess(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c < 128) {
-        if (Character.isLetterOrDigit(c)) sb.append(Character.toLowerCase(c))
+        if (Character.isLetterOrDigit(c) || c == '_')
+          sb.append(Character.toLowerCase(c))
         else sb.append(' ')
       }
       i += 1
@@ -220,7 +222,8 @@ object SimKernel {
       math.max(base,
         math.max(tokenSortRatio(p1, p2), tokenSetRatio(p1, p2)) * 0.95)
     else {
-      val partialScale = if (lenRatio < 8.0) 0.9 else 0.6
+      // fuzzywuzzy drops to 0.6 only STRICTLY above 8 (`if len_ratio > 8`)
+      val partialScale = if (lenRatio > 8.0) 0.6 else 0.9
       math.max(base, math.max(
         partialRatio(p1, p2) * partialScale,
         math.max(partialTokenSortRatio(p1, p2), partialTokenSetRatio(p1, p2))

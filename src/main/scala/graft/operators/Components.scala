@@ -50,6 +50,13 @@ object Components {
       converged = changed == 0
       iter += 1
     }
+    // mid-propagation labels are plausible-looking but WRONG (a node may
+    // carry a non-minimum reachable id) — fail fast rather than hand a
+    // dedup pipeline a silently split clustering. Long-chain graphs that
+    // legitimately need many rounds should use [[connectedComponentsStar]].
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations; " +
+        "raise maxIter or use connectedComponentsStar (O(log^2 n) rounds)")
     labels
   }
 
@@ -111,6 +118,13 @@ object Components {
       nEdges = nNext
       iter += 1
     }
+    // the final labeling below is only valid at the star-forest fixed
+    // point (every remaining edge's lo IS the component root) — a
+    // mid-convergence edge can point at a non-root, so exhausting the
+    // iteration budget must be an error, not a wrong answer
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds " +
+        "(O(log^2 n) expected); raise maxIter")
     // fixed point is a star forest: hi attaches to its root lo; roots
     // label themselves (min() collapses the duplicate root rows)
     edges.select(col("hi").as("id"), col("lo").as("component"))
@@ -123,8 +137,9 @@ object Components {
     * pair map to themselves. */
   def dedupAssignments(
       corpus: DataFrame, idCol: String,
-      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val comps = connectedComponents(pairs, aCol, bCol)
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 10): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol, maxIter)
     corpus.select(col(idCol).as("id"))
       .join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("keep_id"))

@@ -197,20 +197,12 @@ object Dedup {
       ngram: Int = 3, numHashes: Int = 16, bands: Int = 4,
       jaccardThreshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    def banded(docs: DataFrame, side: String): (DataFrame, DataFrame) = {
-      val sh = shingleHashSet(docs, textCol, idCol, ngram)
-        .localCheckpoint(false)
-      val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
-      (sig.select(col("doc").as(s"${side}_id"),
-        posexplode(array((0 until bands).map { b =>
-          xxhash64(concat_ws(",",
-            (0 until rows).map(r => col("sig").getItem(b * rows + r)): _*))
-        }: _*)).as(Seq("band", "band_sig"))),
-        sh.select(col("doc").as(s"${side}_id"), col("sh").as(s"sh_$side")))
-    }
-    val (newBanded, newSh) = banded(newDocs, "new")
-    val (corpusBanded, corpusSh) = banded(corpus, "corpus")
+    val (newBanded, newSh) =
+      bandedXx(newDocs, textCol, idCol, ngram, numHashes, bands,
+        "new", eager = false)
+    val (corpusBanded, corpusSh) =
+      bandedXx(corpus, textCol, idCol, ngram, numHashes, bands,
+        "corpus", eager = false)
     val candidates = newBanded.join(corpusBanded, Seq("band", "band_sig"))
       .select("new_id", "corpus_id").distinct()
     candidates
@@ -220,6 +212,87 @@ object Dedup {
         (size(array_intersect(col("sh_new"), col("sh_corpus"))).cast("double") /
           size(array_union(col("sh_new"), col("sh_corpus")))).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** One side of the xxhash fast-path LSH join: banded signatures
+    * `(band, band_sig, <side>_id)` plus the shingle sets
+    * `(<side>_id, sh_<side>)` the verify join needs. The shingle frame is
+    * checkpointed (eagerly when the caller will reuse the frames across
+    * many probe batches, lazily for a one-shot join); posexplode_outer
+    * dodges the InferFiltersFromGenerate re-inlining trap (the band array
+    * is a non-empty literal array, so semantics are identical). */
+  private def bandedXx(
+      docs: DataFrame, textCol: String, idCol: String,
+      ngram: Int, numHashes: Int, bands: Int,
+      side: String, eager: Boolean): (DataFrame, DataFrame) = {
+    val rows = numHashes / bands
+    val sh = shingleHashSet(docs, textCol, idCol, ngram)
+      .localCheckpoint(eager)
+    val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    (sig.select(col("doc").as(s"${side}_id"),
+      posexplode_outer(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until rows).map(r => col("sig").getItem(b * rows + r)): _*))
+      }: _*)).as(Seq("band", "band_sig"))),
+      sh.select(col("doc").as(s"${side}_id"), col("sh").as(s"sh_$side")))
+  }
+
+  /** Corpus-side incremental-dedup state, computed ONCE and probed by any
+    * number of batches: the distinct exact fingerprints, the banded LSH
+    * signatures, and the shingle sets the verify join needs. All three
+    * frames are eagerly materialized (localCheckpoint), so a probe pays
+    * corpus-side cost zero times — the shape that keeps a streaming
+    * ingest's per-batch latency proportional to the BATCH, not the
+    * history. At durable-production scale the same three frames would
+    * live as bucketed tables; the boundary (probe joins against
+    * precomputed frames) is identical. */
+  final case class PreparedCorpus private[operators] (
+      fingerprints: DataFrame, // (__fp) distinct md5(text)
+      banded: DataFrame,       // (band, band_sig, corpus_id)
+      shingleSets: DataFrame,  // (corpus_id, sh_corpus)
+      ngram: Int, numHashes: Int, bands: Int)
+
+  def prepareCorpus(
+      corpus: DataFrame, textCol: String, idCol: String,
+      ngram: Int = 3, numHashes: Int = 16, bands: Int = 4): PreparedCorpus = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val (banded, sh) =
+      bandedXx(corpus, textCol, idCol, ngram, numHashes, bands,
+        "corpus", eager = true)
+    PreparedCorpus(
+      corpus.select(md5(col(textCol)).as("__fp")).distinct()
+        .localCheckpoint(true),
+      banded.localCheckpoint(true),
+      sh, ngram, numHashes, bands)
+  }
+
+  /** [[incrementalDedup]] against a [[PreparedCorpus]]: identical output,
+    * but the corpus-side pipeline never re-executes — each call computes
+    * only the new batch's shingles/signatures and probes the prepared
+    * frames. This is the per-micro-batch body of
+    * [[graft.streaming.EventStreams.dedupedIngest]]. */
+  def incrementalDedupPrepared(
+      newDocs: DataFrame, prepared: PreparedCorpus,
+      textCol: String, idCol: String,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val (newBanded, newSh) =
+      bandedXx(newDocs, textCol, idCol, prepared.ngram, prepared.numHashes,
+        prepared.bands, "new", eager = false)
+    val nearDupIds = newBanded
+      .join(prepared.banded, Seq("band", "band_sig"))
+      .select("new_id", "corpus_id").distinct()
+      .join(newSh, Seq("new_id"))
+      .join(prepared.shingleSets, Seq("corpus_id"))
+      .select(col("new_id"),
+        (size(array_intersect(col("sh_new"), col("sh_corpus"))).cast("double") /
+          size(array_union(col("sh_new"), col("sh_corpus")))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("new_id").as(idCol)).distinct()
+    val exactDups = newDocs.join(prepared.fingerprints,
+      md5(col(textCol)) === col("__fp"), "left_semi")
+    newDocs
+      .join(exactDups.select(idCol), Seq(idCol), "left_anti")
+      .join(nearDupIds, Seq(idCol), "left_anti")
   }
 
   /** Incremental exact + near dedup: keep only the new-batch rows that are

@@ -17,9 +17,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *     validated against the candidate list — the reference looks the
   *     returned key up post-hoc and an unknown key throws into the
   *     catch-and-continue, i.e. abstains (:237, :252-254);
-  *   - transport/server errors retry with exponential backoff, then
-  *     abstain (the reference's per-row `except: continue`, :252-254);
-  *     4xx responses abstain without retrying.
+  *   - transport/server (IOException / 5xx) errors retry with exponential
+  *     backoff, then abstain (the reference's per-row `except: continue`,
+  *     :252-254); 4xx responses and malformed 200 bodies abstain without
+  *     retrying (not transient — a retry would only re-bill the call).
   *
   * The production default stays [[DeterministicStub]] — the gate
   * ([[HttpLlmStrategy.fromEnv]]) only activates this client when an
@@ -62,14 +63,24 @@ final class HttpLlmStrategy(
         if (resp.statusCode() >= 500)
           throw new java.io.IOException(s"server error ${resp.statusCode()}")
         if (resp.statusCode() >= 400) return None
-        val content = mapper.readTree(resp.body())
-          .path("choices").path(0).path("message").path("content")
-          .asText("").trim
-        return if (content.isEmpty || content.equalsIgnoreCase("none")) None
-        else candidates.collectFirst { case (k, _) if k == content => k }
+        // a 200 with an unparseable body is NOT transient — retrying it
+        // would just re-bill the same call maxRetries times; abstain now
+        return try {
+          val content = mapper.readTree(resp.body())
+            .path("choices").path(0).path("message").path("content")
+            .asText("").trim
+          if (content.isEmpty || content.equalsIgnoreCase("none")) None
+          else candidates.collectFirst { case (k, _) if k == content => k }
+        } catch { case _: Exception => None }
       } catch {
-        case _: Exception if attempt < maxRetries =>
-          Thread.sleep(100L << attempt)
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt(); return None
+        // only transport/server errors are transient; anything else
+        // (bad endpoint URI, serialization bug) abstains without retry
+        case _: java.io.IOException if attempt < maxRetries =>
+          try Thread.sleep(100L << attempt)
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt(); return None }
           attempt += 1
         case _: Exception => return None
       }

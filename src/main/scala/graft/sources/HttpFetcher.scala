@@ -56,9 +56,14 @@ final class HttpFetcher(
   * are a gzip stream (multi-member concatenation is handled), walk the
   * records, and return the first `WARC-Type: response` record's HTTP
   * payload (status line + headers stripped). The reference delegates this
-  * to warcio's ArchiveIterator (commoncrawl_scraper.py:176-178); a
-  * CC point-fetch range holds one complete record (sometimes preceded by
-  * request/metadata records), so a linear walk suffices.
+  * to warcio's ArchiveIterator + `content_stream()`
+  * (commoncrawl_scraper.py:176-178), which also decodes the HTTP message's
+  * `Transfer-Encoding: chunked` framing and gzip/deflate
+  * `Content-Encoding` — both replicated here (captured CC payloads keep
+  * the origin server's framing, so chunk-size lines would otherwise leak
+  * into the extracted text). A CC point-fetch range holds one complete
+  * record (sometimes preceded by request/metadata records), so a linear
+  * walk suffices.
   */
 object WarcRecords {
 
@@ -73,29 +78,86 @@ object WarcRecords {
       if (pos >= bytes.length) return ""
       val hdrEnd = indexOf(bytes, pos, CrlfCrlf)
       if (hdrEnd < 0) return ""
-      val headers = new String(bytes, pos, hdrEnd - pos, StandardCharsets.US_ASCII)
-      val hmap = headers.split("\r\n").iterator
-        .map(_.split(":", 2))
-        .collect { case Array(k, v) => k.trim.toLowerCase -> v.trim }
-        .toMap
+      val hmap = headerMap(bytes, pos, hdrEnd)
       val len = hmap.get("content-length").flatMap(_.toLongOption).getOrElse(-1L)
       if (len < 0) return ""
       val blockStart = hdrEnd + 4
       val blockEnd = math.min(blockStart + len, bytes.length.toLong).toInt
       if (hmap.get("warc-type").exists(_.equalsIgnoreCase("response"))) {
         // the block is an HTTP response message: drop its status line and
-        // headers, keep the entity body
+        // headers, decode the entity body's framing/encoding
         val httpHdrEnd = indexOf(bytes, blockStart, CrlfCrlf)
-        val bodyStart =
-          if (httpHdrEnd >= 0 && httpHdrEnd + 4 <= blockEnd) httpHdrEnd + 4
-          else blockStart
-        return decodeUtf8Ignore(bytes, bodyStart, blockEnd - bodyStart)
+        if (httpHdrEnd < 0 || httpHdrEnd + 4 > blockEnd)
+          return decodeUtf8Ignore(bytes, blockStart, blockEnd - blockStart)
+        val http = headerMap(bytes, blockStart, httpHdrEnd)
+        var body = java.util.Arrays.copyOfRange(bytes, httpHdrEnd + 4, blockEnd)
+        if (http.get("transfer-encoding")
+              .exists(_.toLowerCase.contains("chunked")))
+          body = dechunk(body)
+        http.get("content-encoding").map(_.trim.toLowerCase).foreach {
+          case "gzip" | "x-gzip" => body = gunzipLenient(body)
+          case "deflate" => body = inflateLenient(body)
+          case _ => // identity / unknown: pass through, as warcio does
+        }
+        return decodeUtf8Ignore(body, 0, body.length)
       }
       pos = blockEnd
     }
     ""
   }
 
+  private def headerMap(bytes: Array[Byte], from: Int, until: Int): Map[String, String] =
+    new String(bytes, from, until - from, StandardCharsets.US_ASCII)
+      .split("\r\n").iterator
+      .map(_.split(":", 2))
+      .collect { case Array(k, v) => k.trim.toLowerCase -> v.trim }
+      .toMap
+
+  /** RFC 7230 chunked-framing decode. Lenient like warcio's
+    * ChunkedDataReader: an unparseable FIRST chunk-size line means the
+    * body was not actually chunked (pass it through untouched); a
+    * mid-stream truncation/malformation returns what was decoded so far. */
+  private def dechunk(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var pos = 0
+    var first = true
+    while (pos < body.length) {
+      val lineEnd = indexOf(body, pos, Crlf)
+      if (lineEnd < 0) return if (first) body else out.toByteArray
+      val line = new String(body, pos, lineEnd - pos, StandardCharsets.US_ASCII)
+      val sizeHex = line.split(";", 2)(0).trim // chunk extensions ignored
+      val size =
+        try java.lang.Long.parseLong(sizeHex, 16)
+        catch { case _: NumberFormatException =>
+          return if (first) body else out.toByteArray }
+      if (size == 0) return out.toByteArray // terminator (trailers ignored)
+      first = false
+      val dataStart = lineEnd + 2
+      if (dataStart >= body.length) return out.toByteArray
+      val dataEnd = math.min(dataStart + size, body.length.toLong).toInt
+      out.write(body, dataStart, dataEnd - dataStart)
+      pos = dataEnd + 2 // skip the chunk's trailing CRLF
+    }
+    out.toByteArray
+  }
+
+  private def gunzipLenient(body: Array[Byte]): Array[Byte] =
+    try new GZIPInputStream(new ByteArrayInputStream(body)).readAllBytes()
+    catch { case _: Exception => body } // warcio falls back to raw bytes
+
+  private def inflateLenient(body: Array[Byte]): Array[Byte] =
+    try new java.util.zip.InflaterInputStream(
+      new ByteArrayInputStream(body)).readAllBytes()
+    catch {
+      case _: Exception =>
+        // many servers send raw-deflate (no zlib wrapper); retry nowrap
+        try new java.util.zip.InflaterInputStream(
+          new ByteArrayInputStream(body),
+          new java.util.zip.Inflater(true)).readAllBytes()
+        catch { case _: Exception => body }
+    }
+
+  private val Crlf = "\r\n".getBytes(StandardCharsets.US_ASCII)
   private val CrlfCrlf = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
 
   private def indexOf(haystack: Array[Byte], from: Int, needle: Array[Byte]): Int = {

@@ -89,25 +89,30 @@ object EventStreams {
     * incrementally in a single query, so the correct boundary is
     * `foreachBatch` — the batch operator applied per micro-batch, the
     * same pattern the engine uses for its dwh sink bridge
-    * (`ForeachBatchSpec`). At scale the corpus side's banded signatures
-    * are precomputed once (not per batch): pass `corpus` as the saved
-    * signature frame's source and the per-batch cost is the probe alone.
+    * (`ForeachBatchSpec`). The corpus side (fingerprints, banded LSH
+    * signatures, shingle sets) is computed ONCE here, before the query
+    * starts ([[graft.operators.Dedup.prepareCorpus]], eagerly
+    * materialized), and every micro-batch probes those frames — so
+    * per-batch cost is proportional to the batch, not the history.
     *
     * Returns the started query; novel rows append to `sinkPath`. */
   def dedupedIngest(
       docsStream: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String,
       sinkPath: String, checkpointPath: String,
-      jaccardThreshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+      jaccardThreshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
+    val prepared = graft.operators.Dedup
+      .prepareCorpus(corpus, textCol, idCol)
     docsStream.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.operators.Dedup
-          .incrementalDedup(batch.toDF(), corpus, textCol, idCol,
+          .incrementalDedupPrepared(batch.toDF(), prepared, textCol, idCol,
             jaccardThreshold = jaccardThreshold)
           .write.mode("append").parquet(sinkPath)
       }
       .start()
+  }
 
   /** Wire a parquet-backed stream with the events schema (used by tests:
     * one-file-per-trigger batch drive via memory sink). */

@@ -101,6 +101,21 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == lp)
   }
 
+  test("exhausting the iteration budget throws instead of returning wrong labels") {
+    import spark.implicits._
+    // diameter-5 chain: min label needs 5 propagation rounds to reach the
+    // tail — maxIter = 2 must fail fast, not hand back a split clustering
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Components.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    val ex2 = intercept[IllegalStateException] {
+      Components.connectedComponentsStar(chain, "id_a", "id_b", maxIter = 1)
+    }
+    assert(ex2.getMessage.contains("did not converge"))
+  }
+
   test("large-star/small-star: empty pair list yields empty labels") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

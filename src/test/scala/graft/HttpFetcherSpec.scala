@@ -95,6 +95,50 @@ class HttpFetcherSpec extends AnyFunSuite {
     assert(new HttpFetcher("http://127.0.0.1:1").fetch("f.warc.gz", 0, 10) == "")
   }
 
+  private def warcRecordRaw(httpHeaders: String, body: Array[Byte]): Array[Byte] = {
+    val http = (s"HTTP/1.1 200 OK\r\n$httpHeaders\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8) ++ body
+    (s"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: ${http.length}\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8) ++ http ++
+      "\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+  }
+
+  private def chunked(payload: Array[Byte], chunkSize: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    payload.grouped(chunkSize).foreach { c =>
+      out.write(s"${c.length.toHexString}\r\n".getBytes(StandardCharsets.US_ASCII))
+      out.write(c)
+      out.write("\r\n".getBytes(StandardCharsets.US_ASCII))
+    }
+    out.write("0\r\n\r\n".getBytes(StandardCharsets.US_ASCII))
+    out.toByteArray
+  }
+
+  test("chunked transfer-encoding is decoded (warcio content_stream parity)") {
+    val rec = warcRecordRaw("Transfer-Encoding: chunked",
+      chunked(html.getBytes(StandardCharsets.UTF_8), 7))
+    val got = WarcRecords.firstResponseBody(rec)
+    assert(got == html) // no hex size lines or chunk CRLFs leak into text
+  }
+
+  test("chunked + gzip content-encoding compose; deflate decodes too") {
+    val rec = warcRecordRaw(
+      "Transfer-Encoding: chunked\r\nContent-Encoding: gzip",
+      chunked(gzip(html.getBytes(StandardCharsets.UTF_8)), 11))
+    assert(WarcRecords.firstResponseBody(rec) == html)
+    val bos = new ByteArrayOutputStream()
+    val d = new java.util.zip.DeflaterOutputStream(bos)
+    d.write(html.getBytes(StandardCharsets.UTF_8)); d.close()
+    val rec2 = warcRecordRaw("Content-Encoding: deflate", bos.toByteArray)
+    assert(WarcRecords.firstResponseBody(rec2) == html)
+  }
+
+  test("a 'chunked' header over a non-chunked body passes through (lenient fallback)") {
+    val rec = warcRecordRaw("Transfer-Encoding: chunked",
+      "plain text, not actually chunked".getBytes(StandardCharsets.UTF_8))
+    assert(WarcRecords.firstResponseBody(rec) == "plain text, not actually chunked")
+  }
+
   test("malformed UTF-8 bytes are dropped, not replaced (decode errors=ignore parity)") {
     val good = "ok".getBytes(StandardCharsets.UTF_8)
     val body = good ++ Array(0xff.toByte, 0xfe.toByte) ++ good

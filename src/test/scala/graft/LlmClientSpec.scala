@@ -91,8 +91,11 @@ class LlmClientSpec extends AnyFunSuite {
       assert(new HttpLlmStrategy(ep).adjudicate("Acme", cands).isEmpty)
       assert(calls.get() == 1)
     }
-    withServer(Seq(200 -> "{not json")) { (ep, _, _) =>
-      assert(new HttpLlmStrategy(ep, maxRetries = 0).adjudicate("Acme", cands).isEmpty)
+    // a malformed 200 body is not transient: must abstain after ONE call
+    // even with retries available (retrying would just re-bill the call)
+    withServer(Seq(200 -> "{not json")) { (ep, calls, _) =>
+      assert(new HttpLlmStrategy(ep, maxRetries = 2).adjudicate("Acme", cands).isEmpty)
+      assert(calls.get() == 1)
     }
   }
 

@@ -6,11 +6,37 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.EventStreams
 
 /** Streaming incremental dedup: micro-batches of documents screened
-  * against a static corpus via foreachBatch + Dedup.incrementalDedup —
-  * near-dups of the corpus are dropped per batch, novel docs append to
-  * the sink, and the screen re-runs independently for every batch. */
+  * against a static corpus via foreachBatch — corpus-side state
+  * (fingerprints, banded signatures, shingle sets) is prepared ONCE
+  * before the query starts, each batch only probes it; near-dups of the
+  * corpus are dropped per batch and novel docs append to the sink. */
 class StreamingDedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.session
+
+  test("prepared-corpus probe returns exactly the one-shot incrementalDedup result") {
+    import spark.implicits._
+    val corpus = (1L to 40L).map(i =>
+      (i, s"corpus document number $i with some shared words of substance"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "corpus document number 7 with some shared words of substance"), // exact
+      // trailing whitespace: different md5 (survives the exact screen) but
+      // an IDENTICAL shingle set (split+trim), so Jaccard = 1.0 and the
+      // band collision is guaranteed — a deterministic near-dup drop
+      (102L, "corpus document number 9 with some shared words of substance  "),
+      (103L, "entirely novel words that resemble nothing in the history"))
+      .toDF("doc_id", "text")
+    val oneShot = graft.operators.Dedup
+      .incrementalDedup(batch, corpus, "text", "doc_id", jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val prepared = graft.operators.Dedup.prepareCorpus(corpus, "text", "doc_id")
+    val viaPrepared = graft.operators.Dedup
+      .incrementalDedupPrepared(batch, prepared, "text", "doc_id",
+        jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaPrepared == oneShot)
+    assert(viaPrepared == Seq(103L))
+  }
 
   test("micro-batched ingest keeps only documents novel vs the corpus") {
     import spark.implicits._

@@ -16,6 +16,8 @@ class WRatioSpec extends AnyFunSuite {
     assert(fullProcess("  Acme-Widgets  Pty. Ltd ") == "acme widgets  pty  ltd")
     assert(fullProcess("café") == "caf") // é dropped (force_ascii)
     assert(fullProcess("!!!") == "")
+    // \W preserves underscores as word chars — one token, not three
+    assert(fullProcess("SOUTH_AUSTRALIA_HOLDINGS") == "south_australia_holdings")
   }
 
   test("partialRatio: perfect substring window scores 100; empty scores 0") {
@@ -48,6 +50,9 @@ class WRatioSpec extends AnyFunSuite {
     // extreme length ratio > 8 drops the partial scale to 0.6
     val longSide = ("nsw " * 7).trim + " extra words here" // len >= 8 * 3
     assert(wratio(longSide, "nsw") <= 60.0 + 1e-9)
+    // boundary: len_ratio EXACTLY 8 keeps scale 0.9 (fuzzywuzzy `> 8`)
+    assert(math.abs(wratio("sa dept of mines", "sa") - 90.0) < 1e-9) // 16/2 = 8
+    assert(wratio("abcdefghX", "a") <= 60.0 + 1e-9) // 9/1 > 8 -> 0.6
     // junk vs a state alias stays under the reference's 85 gate
     assert(wratio("xyzzy", "queensland") < 85.0)
     assert(wratio("quebec", "queensland") < 85.0)
