@@ -71,11 +71,26 @@ object Soak {
         concat_ws(" ", lit("novel"), col("doc_id"),
           regexp_replace(col("text"), "([^ ]+)", "x$1x")).as("text"))
         .filter(col("doc_id") % 2 === 1))
-    val kept = timed("incremental dedup (batch vs corpus)") {
+    val kept = timed("incremental dedup (batch vs corpus, one-shot)") {
       operators.Dedup.incrementalDedup(batch, docs, "text", "doc_id",
         jaccardThreshold = 0.5).count()
     }
     println(s"[soak]   -> ${batch.count()} batch docs, $kept kept")
+
+    // the streaming-ingest shape: corpus-side state paid once, then each
+    // probe is batch-proportional — the second probe shows the steady state
+    val prepared = timed("prepareCorpus (one-time corpus-side cost)") {
+      operators.Dedup.prepareCorpus(docs, "text", "doc_id")
+    }
+    val keptP = timed("incremental dedup (prepared probe #1)") {
+      operators.Dedup.incrementalDedupPrepared(batch, prepared, "text",
+        "doc_id", jaccardThreshold = 0.5).count()
+    }
+    require(keptP == kept, s"prepared probe diverged: $keptP != $kept")
+    timed("incremental dedup (prepared probe #2, steady state)") {
+      operators.Dedup.incrementalDedupPrepared(batch, prepared, "text",
+        "doc_id", jaccardThreshold = 0.5).count()
+    }
     spark.stop()
   }
 }
