@@ -894,6 +894,46 @@ object OracleSql {
         MIN(n_chars) AS min_chars,
         MAX(n_chars) AS max_chars
       FROM documents GROUP BY lang""",
+    "q70_repetition_stats" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents),
+      c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word),
+      top AS (
+        SELECT doc_id, word, cnt,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, word) AS rn
+        FROM c),
+      agg AS (
+        SELECT doc_id, SUM(cnt) AS n_words, COUNT(*) AS n_distinct,
+          SUM(cnt * length(word)) AS word_chars,
+          SUM(CASE WHEN cnt > 1 THEN cnt * length(word) ELSE 0 END) AS dup_word_chars
+        FROM c GROUP BY doc_id)
+      SELECT a.doc_id, CAST(a.n_words AS BIGINT) AS n_words,
+        CAST(a.n_distinct AS BIGINT) AS n_distinct,
+        t.word AS top_word, CAST(t.cnt AS BIGINT) AS top_cnt,
+        CAST(t.cnt AS DOUBLE) / a.n_words AS top_word_frac,
+        CAST(a.dup_word_chars AS DOUBLE) / a.word_chars AS dup_char_frac
+      FROM agg a JOIN top t ON a.doc_id = t.doc_id AND t.rn = 1""",
+    "q71_gopher_quality" -> """
+      WITH m AS (
+        SELECT doc_id,
+          len(string_split_regex(trim(text), '\s+')) AS n_words,
+          length(replace(text, ' ', '')) AS word_chars,
+          (CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END) +
+          (CASE WHEN ' ' || text || ' ' LIKE '% a %' THEN 1 ELSE 0 END) +
+          (CASE WHEN ' ' || text || ' ' LIKE '% of %' THEN 1 ELSE 0 END) +
+          (CASE WHEN ' ' || text || ' ' LIKE '% and %' THEN 1 ELSE 0 END) +
+          (CASE WHEN ' ' || text || ' ' LIKE '% to %' THEN 1 ELSE 0 END) AS sw
+        FROM documents)
+      SELECT doc_id,
+        CAST(n_words AS BIGINT) AS n_words,
+        CAST(word_chars AS BIGINT) AS word_chars,
+        CAST(word_chars AS DOUBLE) / n_words AS mean_word_len,
+        CAST(sw AS BIGINT) AS stopwords_present,
+        (n_words BETWEEN 40 AND 100000)
+          AND (CAST(word_chars AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+          AND sw >= 2 AS keep
+      FROM m""",
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,

@@ -1014,6 +1014,19 @@ object SparkEntry {
         "match_method", "match_score", "match_confidence")
   }
 
+  /** Word-repetition statistics (Gopher §A1.1 repetitious-content family
+    * at n=1): top-word fraction + duplicated-word char fraction per doc.
+    * Two partial-aggregated hash aggs, no windows
+    * ([[graft.operators.TextAnalysis.repetitionStats]]). */
+  def q70RepetitionStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(t(s, dir, "documents"), "text", "doc_id")
+
+  /** Gopher-style quality gate: word-count bounds, mean-word-length
+    * bounds, distinct probe-stopwords present — single codegen'd scan,
+    * zero shuffles ([[graft.operators.TextAnalysis.gopherQuality]]). */
+  def q71GopherQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherQuality(t(s, dir, "documents"), "text", "doc_id")
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1084,7 +1097,9 @@ object SparkEntry {
     "q66_date_ops" -> (q66DateOps _),
     "q67_incremental_dedup" -> (q67IncrementalDedup _),
     "q68_ivf_oracle" -> (q68IvfOracle _),
-    "q69_salted_fuzzy" -> (q69SaltedFuzzy _))
+    "q69_salted_fuzzy" -> (q69SaltedFuzzy _),
+    "q70_repetition_stats" -> (q70RepetitionStats _),
+    "q71_gopher_quality" -> (q71GopherQuality _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -128,6 +128,87 @@ object TextAnalysis {
       .select("doc", "term", "tf", "df", "tfidf")
   }
 
+  /** Word-repetition statistics per document — the Gopher-style
+    * repetitious-content signal family (Rae et al. 2021 §A1.1 measure
+    * "fraction of characters in the most common n-gram / in duplicated
+    * n-grams", here at n=1 over whitespace words; the n>1 variants are
+    * [[Dedup.shingles]] + the same two aggregations):
+    *
+    *   - `top_word_frac`: occurrences of the most frequent word / total
+    *     words (argmax tie-break: lexicographically smallest word);
+    *   - `dup_char_frac`: word-chars inside words occurring more than
+    *     once / total word-chars.
+    *
+    * Scale shape: two aggregations, (doc,word) → (doc), both map-side
+    * partial-combined, no windows. The first is a pure HashAggregate;
+    * the second plans as a partial+final SortAggregate because the
+    * argmax carries the word STRING through the buffer (Spark cannot
+    * hash-aggregate variable-length buffer fields) — the sort key is
+    * just `doc`, the partial combine still runs before the exchange, so
+    * the shuffle carries one row per doc per task; a window or
+    * join-back formulation would sort the same frame plus extra
+    * shuffles, so this is the cheapest argmax-with-string shape. */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("doc_id"),
+        // explode_outer: the plain generator's inferred size()>0 filter
+        // would re-inline the split per row (same trap as the sketches)
+        explode_outer(split(trim(col(textCol)), "\\s+")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"),
+        // min over (-cnt, word) = argmax by cnt, ties to the smallest word
+        min_by(col("word"), struct((-col("cnt")).as("nc"), col("word")))
+          .as("top_word"),
+        sum(col("cnt") * length(col("word"))).as("word_chars"),
+        sum(when(col("cnt") > 1, col("cnt") * length(col("word")))
+          .otherwise(0L)).as("dup_word_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        col("top_word"), col("top_cnt"),
+        (col("top_cnt").cast("double") / col("n_words")).as("top_word_frac"),
+        (col("dup_word_chars").cast("double") / col("word_chars"))
+          .as("dup_char_frac"))
+  }
+
+  /** Gopher-style document quality gate (Rae et al. 2021 §A1.1): word
+    * count bounds, mean word length bounds, and a minimum number of
+    * distinct probe stopwords present — the published rule is "≥ 2 of
+    * {the, be, to, of, and, that, have, with}"; the probe list here is
+    * parameterizable with a compact default. Single codegen'd scan, NO
+    * shuffle: every metric is a column expression, so at 100 TB this is
+    * a map-only pass fused with the parquet read. All metrics are
+    * integer-derived (counts and exact int/int division), which is what
+    * keeps the verdict engine-portable. */
+  def gopherQuality(
+      docs: DataFrame, textCol: String, idCol: String,
+      minWords: Long = 40L, maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      probeWords: Seq[String] = Seq("the", "a", "of", "and", "to"),
+      minStopwords: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val nWords = size(split(trim(t), "\\s+")).cast("long")
+    val wordChars = length(translate(t, " ", "")).cast("long")
+    val meanLen = wordChars.cast("double") / nWords
+    // distinct probe words PRESENT (not hit counts): space-padded
+    // containment, exact on whitespace-tokenized text
+    val stopwordsPresent = probeWords
+      .map(w => when(concat(lit(" "), t, lit(" ")).contains(s" $w "), 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    docs.select(
+      col(idCol).as("doc_id"),
+      nWords.as("n_words"),
+      wordChars.as("word_chars"),
+      meanLen.as("mean_word_len"),
+      stopwordsPresent.as("stopwords_present"),
+      (nWords.between(minWords, maxWords) &&
+        meanLen.between(minMeanLen, maxMeanLen) &&
+        stopwordsPresent >= minStopwords).as("keep"))
+  }
+
   /** One-pass corpus profile: all metrics as columns. */
   def profile(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

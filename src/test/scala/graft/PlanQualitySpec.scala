@@ -70,6 +70,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q70: word stage hash-aggregates, doc stage keeps a map-side partial, no window (r4)") {
+    val plan = executed("q70_repetition_stats")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "(doc,word) count stage must be partial+final HashAggregate")
+    // the argmax carries the word string, so the doc stage is a
+    // SortAggregate — what matters is the partial combine BEFORE the
+    // exchange (shuffle carries one row per doc per task)
+    assert(plan.contains("partial_min_by") || plan.contains("partial_min"),
+      "doc stage must partial-aggregate map-side")
+    assert(!plan.contains("Window"), "repetition stats must not use windows")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q71: quality gate is a single map-only scan (zero exchanges) (r4)") {
+    val plan = executed("q71_gopher_quality")
+    assert(!plan.contains("Exchange"), s"must not shuffle:\n${plan.take(1500)}")
+    // '*(n)' prefixes mark whole-stage-codegen'd operators
+    assert(plan.contains("*(1)"), "metrics must stay in whole-stage codegen")
+  }
+
   test("q56/q67: sketch pipelines never cartesian (r4)") {
     // the shingle stage itself is localCheckpoint-materialized, so the
     // final executed plans show the truncated lineage; the kernel's

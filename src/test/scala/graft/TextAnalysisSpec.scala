@@ -9,6 +9,40 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.session
   import spark.implicits._
 
+  test("repetitionStats: top-word and duplicated-char fractions, tie-break to smallest word") {
+    val docs = Seq(
+      (1L, "b b a a c"),      // tie a/b at 2 -> top_word "a"; dup chars 4/5
+      (2L, "x y z"),          // no repeats
+      (3L, "w w w w"))        // fully repetitious
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got(1L) == ((5L, 3L, "a", 2L, 0.4, 0.8)))
+    assert(got(2L) == ((3L, 3L, "x", 1L, 1.0 / 3, 0.0)))
+    assert(got(3L) == ((4L, 1L, "w", 4L, 1.0, 1.0)))
+  }
+
+  test("gopherQuality: bounds and stopword gate, single scan with no shuffle") {
+    val longGood = (("the cat sat on a mat of fur and felt to rest " * 5).trim)
+    val tooShort = "the quick brown fox of june"
+    val noStops = (("zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq " * 5).trim)
+    val docs = Seq((1L, longGood), (2L, tooShort), (3L, noStops))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(docs, "text", "doc_id",
+      minWords = 40L, minMeanLen = 2.0)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(got(1L)._1 == 60L && got(1L)._2 == 5L && got(1L)._3) // keep
+    assert(got(2L)._1 == 6L && !got(2L)._3)                     // too short
+    assert(got(3L)._2 == 0L && !got(3L)._3)                     // no stopwords
+    // map-only contract: the physical plan must contain no exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopherQuality must not shuffle:\n$plan")
+  }
+
   test("token counting") {
     val df = Seq("the quick brown fox", "one", "a  b\t c").toDF("text")
     val got = df.select(TextAnalysis.tokenCount(col("text")).as("n"))
