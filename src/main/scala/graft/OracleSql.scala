@@ -934,6 +934,30 @@ object OracleSql {
           AND (CAST(word_chars AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
           AND sw >= 2 AS keep
       FROM m""",
+    "q72_bigram_repetition" -> """
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+          i -> toks[i] || ' ' || toks[i+1])) AS gram
+        FROM tok WHERE len(toks) >= 2),
+      c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram),
+      top AS (
+        SELECT doc_id, gram, cnt,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+        FROM c),
+      agg AS (
+        SELECT doc_id, SUM(cnt) AS n_ngrams, COUNT(*) AS n_distinct,
+          SUM(cnt * length(gram)) AS gram_chars,
+          SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup_chars
+        FROM c GROUP BY doc_id)
+      SELECT a.doc_id, CAST(a.n_ngrams AS BIGINT) AS n_ngrams,
+        CAST(a.n_distinct AS BIGINT) AS n_distinct,
+        t.gram AS top_ngram, CAST(t.cnt AS BIGINT) AS top_cnt,
+        CAST(t.cnt AS DOUBLE) / a.n_ngrams AS top_ngram_frac,
+        CAST(a.dup_chars AS DOUBLE) / a.gram_chars AS dup_char_frac
+      FROM agg a JOIN top t ON a.doc_id = t.doc_id AND t.rn = 1""",
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,

@@ -1027,6 +1027,13 @@ object SparkEntry {
   def q71GopherQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherQuality(t(s, dir, "documents"), "text", "doc_id")
 
+  /** Bigram repetition statistics — the n=2 Gopher repetition measure
+    * ("fraction of characters in the most common 2-gram"); occurrences
+    * counted without dedup, docs under 2 words excluded
+    * ([[graft.operators.TextAnalysis.ngramRepetitionStats]]). */
+  def q72BigramRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramRepetitionStats(t(s, dir, "documents"), "text", "doc_id", 2)
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1099,7 +1106,8 @@ object SparkEntry {
     "q68_ivf_oracle" -> (q68IvfOracle _),
     "q69_salted_fuzzy" -> (q69SaltedFuzzy _),
     "q70_repetition_stats" -> (q70RepetitionStats _),
-    "q71_gopher_quality" -> (q71GopherQuality _))
+    "q71_gopher_quality" -> (q71GopherQuality _),
+    "q72_bigram_repetition" -> (q72BigramRepetition _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -148,28 +148,52 @@ object TextAnalysis {
     * the shuffle carries one row per doc per task; a window or
     * join-back formulation would sort the same frame plus extra
     * shuffles, so this is the cheapest argmax-with-string shape. */
-  def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val counts = docs
-      .select(col(idCol).as("doc_id"),
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    repetitionFrom(
+      docs.select(col(idCol).as("doc_id"),
         // explode_outer: the plain generator's inferred size()>0 filter
         // would re-inline the split per row (same trap as the sketches)
-        explode_outer(split(trim(col(textCol)), "\\s+")).as("word"))
-      .groupBy(col("doc_id"), col("word"))
+        explode_outer(split(trim(col(textCol)), "\\s+")).as("u")),
+      nTotal = "n_words", topUnit = "top_word", topFrac = "top_word_frac")
+
+  /** Word n-gram repetition statistics — the n>1 members of the Gopher
+    * family ("fraction of characters in the most common 2/3/4-gram",
+    * "…in duplicated 5..10-grams"). Unlike [[Dedup.shingles]] these
+    * n-grams are NOT de-duplicated (every occurrence counts) and docs
+    * shorter than n words are excluded. Same two-aggregation scale shape
+    * as [[repetitionStats]]. */
+  def ngramRepetitionStats(
+      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n >= 2, "use repetitionStats for n = 1")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+    repetitionFrom(
+      docs.filter(size(toks) >= n)
+        .select(col(idCol).as("doc_id"), explode_outer(grams).as("u")),
+      nTotal = "n_ngrams", topUnit = "top_ngram", topFrac = "top_ngram_frac")
+  }
+
+  /** Shared repetition aggregation over occurrence rows `(doc_id, u)`. */
+  private def repetitionFrom(
+      occ: DataFrame, nTotal: String, topUnit: String,
+      topFrac: String): DataFrame = {
+    val counts = occ.groupBy(col("doc_id"), col("u"))
       .agg(count(lit(1)).as("cnt"))
     counts.groupBy(col("doc_id")).agg(
-        sum(col("cnt")).as("n_words"),
+        sum(col("cnt")).as(nTotal),
         count(lit(1)).as("n_distinct"),
         max(col("cnt")).as("top_cnt"),
-        // min over (-cnt, word) = argmax by cnt, ties to the smallest word
-        min_by(col("word"), struct((-col("cnt")).as("nc"), col("word")))
-          .as("top_word"),
-        sum(col("cnt") * length(col("word"))).as("word_chars"),
-        sum(when(col("cnt") > 1, col("cnt") * length(col("word")))
-          .otherwise(0L)).as("dup_word_chars"))
-      .select(col("doc_id"), col("n_words"), col("n_distinct"),
-        col("top_word"), col("top_cnt"),
-        (col("top_cnt").cast("double") / col("n_words")).as("top_word_frac"),
-        (col("dup_word_chars").cast("double") / col("word_chars"))
+        // min over (-cnt, u) = argmax by cnt, ties to the smallest unit
+        min_by(col("u"), struct((-col("cnt")).as("nc"), col("u")))
+          .as(topUnit),
+        sum(col("cnt") * length(col("u"))).as("__chars"),
+        sum(when(col("cnt") > 1, col("cnt") * length(col("u")))
+          .otherwise(0L)).as("__dup_chars"))
+      .select(col("doc_id"), col(nTotal), col("n_distinct"),
+        col(topUnit), col("top_cnt"),
+        (col("top_cnt").cast("double") / col(nTotal)).as(topFrac),
+        (col("__dup_chars").cast("double") / col("__chars"))
           .as("dup_char_frac"))
   }
 

@@ -24,6 +24,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) == ((4L, 1L, "w", 4L, 1.0, 1.0)))
   }
 
+  test("ngramRepetitionStats: occurrences counted (no dedup), short docs excluded") {
+    val docs = Seq(
+      (1L, "a b a b a"), // bigrams: "a b","b a","a b","b a" -> tie, top "a b"
+      (2L, "x y z"),     // "x y","y z" -> no repeats
+      (3L, "q"))         // 1 word < n=2 -> excluded
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramRepetitionStats(docs, "text", "doc_id", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((4L, 2L, "a b", 2L, 0.5, 1.0)))
+    assert(got(2L) == ((2L, 2L, "x y", 1L, 0.5, 0.0)))
+  }
+
   test("gopherQuality: bounds and stopword gate, single scan with no shuffle") {
     val longGood = (("the cat sat on a mat of fur and felt to rest " * 5).trim)
     val tooShort = "the quick brown fox of june"
