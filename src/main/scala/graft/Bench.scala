@@ -34,7 +34,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the long per-query line gets a distinct metric name so nothing that
+    // filters/aggregates on metric=="total" can double-count it against the
+    // short trailer below
+    println(s"""{"metric":"total_per_query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // repeat the headline WITHOUT the per-query map: the full line above can
     // exceed a bounded log-tail window as the query count grows (r3's
     // recorded artifact was truncated mid-line and parsed as null), so a

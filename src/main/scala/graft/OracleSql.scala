@@ -576,7 +576,7 @@ object OracleSql {
     val p = SketchParams.q68
     s"""
     WITH cvecs AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      SELECT vec_id,
         list_transform(embedding,
           x -> CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT)) AS q
       FROM embeddings
@@ -609,7 +609,14 @@ object OracleSql {
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
       SELECT cand.query_id, cand.neighbor_id,
         row_number() OVER (PARTITION BY cand.query_id
-          ORDER BY list_cosine_similarity(qv.v, cv.v) DESC, cand.neighbor_id) AS rank
+          ORDER BY
+            CAST(list_sum(list_transform(generate_series(1, len(qv.q)),
+                i -> qv.q[i] * cv.q[i])) AS DOUBLE) /
+            sqrt(CAST(list_sum(list_transform(generate_series(1, len(qv.q)),
+                  i -> qv.q[i] * qv.q[i])) AS DOUBLE) *
+                CAST(list_sum(list_transform(generate_series(1, len(cv.q)),
+                  i -> cv.q[i] * cv.q[i])) AS DOUBLE)) DESC,
+            cand.neighbor_id) AS rank
       FROM cand JOIN cvecs qv ON qv.vec_id = cand.query_id
                 JOIN cvecs cv ON cv.vec_id = cand.neighbor_id)
     WHERE rank <= ${p.k}"""
@@ -912,7 +919,7 @@ object OracleSql {
         CAST(a.n_distinct AS BIGINT) AS n_distinct,
         t.word AS top_word, CAST(t.cnt AS BIGINT) AS top_cnt,
         CAST(t.cnt AS DOUBLE) / a.n_words AS top_word_frac,
-        CAST(a.dup_word_chars AS DOUBLE) / a.word_chars AS dup_char_frac
+        CAST(a.dup_word_chars AS DOUBLE) / NULLIF(a.word_chars, 0) AS dup_char_frac
       FROM agg a JOIN top t ON a.doc_id = t.doc_id AND t.rn = 1""",
     "q71_gopher_quality" -> """
       WITH m AS (
@@ -956,7 +963,7 @@ object OracleSql {
         CAST(a.n_distinct AS BIGINT) AS n_distinct,
         t.gram AS top_ngram, CAST(t.cnt AS BIGINT) AS top_cnt,
         CAST(t.cnt AS DOUBLE) / a.n_ngrams AS top_ngram_frac,
-        CAST(a.dup_chars AS DOUBLE) / a.gram_chars AS dup_char_frac
+        CAST(a.dup_chars AS DOUBLE) / NULLIF(a.gram_chars, 0) AS dup_char_frac
       FROM agg a JOIN top t ON a.doc_id = t.doc_id AND t.rn = 1""",
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,

@@ -258,10 +258,11 @@ object Ann {
     * assignment/probing run in EXACT INTEGER arithmetic over
     * floor-quantized coordinates (squared L2 of longs), so the list
     * partition and the probe sets can never diverge on float rounding.
-    * In-list ranking is exact cosine over the full double vectors with
-    * the same tie-break as [[bruteForceTopK]]; only (query_id,
-    * neighbor_id, rank) are projected — the cosine double is
-    * engine-specific in its last ulp. Structure (assign once / probe
+    * In-list ranking is cosine over the QUANTIZED vectors — integer dot
+    * and norms, then one shape-identical double multiply/sqrt/divide on
+    * both engines, so the ordering key (not just the tie-break) is
+    * bit-reproducible; only (query_id, neighbor_id, rank) are
+    * projected. Structure (assign once / probe
     * nprobe lists / equi-join on list id) is identical to the fast path,
     * so the oracle verifies the IVF pipeline shape end-to-end.
     * Quantizer-quality refinement stays in [[kmeansCentroids]]. */
@@ -293,23 +294,33 @@ object Ann {
       array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
         struct(sqDist(v, c).as("d"), lit(i).as("i")) }: _*))
     val lists = corpus.select(col(idCol).as("neighbor_id"),
-        transform(col(vecCol), _.cast("double")).as("__cv"),
-        quantize(col(vecCol)).as("__q"))
+        quantize(col(vecCol)).as("__cq"))
       .withColumn("__list",
-        element_at(sortedDists(col("__q")), 1).getField("i"))
-      .drop("__q")
+        element_at(sortedDists(col("__cq")), 1).getField("i"))
     val probed = queries.select(col(queryIdCol).as("query_id"),
-        transform(col(vecCol), _.cast("double")).as("__qv"),
-        quantize(col(vecCol)).as("__q"))
+        quantize(col(vecCol)).as("__qq"))
       .withColumn("__probe",
-        slice(transform(sortedDists(col("__q")), p => p.getField("i")),
+        slice(transform(sortedDists(col("__qq")), p => p.getField("i")),
           1, nprobe))
-      .select(col("query_id"), col("__qv"),
+      .select(col("query_id"), col("__qq"),
         explode(col("__probe")).as("__list"))
+    // exact integer dot product of two quantized vectors — both engines
+    // compute the identical BIGINT
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, d) => acc + d)
     val scored = lists.join(broadcast(probed), Seq("__list"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
         else lit(true))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      // in-list ranking cosine over the QUANTIZED vectors: the dot and the
+      // two norms are exact integers in both engines, and the final
+      // double expression (one multiply, one sqrt, one divide — written
+      // with the same shape in the q68 oracle SQL) is a chain of
+      // correctly-rounded IEEE ops, so the ordering key is bit-identical
+      // across engines — no last-ulp rank flip (round-4 advice, Ann:312)
+      .withColumn("cosine",
+        idot(col("__qq"), col("__cq")).cast("double") /
+          sqrt(idot(col("__qq"), col("__qq")).cast("double") *
+            idot(col("__cq"), col("__cq")).cast("double")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -30,7 +30,11 @@ object Dedup {
     * kernel is one scan with a reused buffer, which matters because the
     * shingle stage runs once per document in every sketch pipeline. */
   def shingles(text: Column, n: Int): Column =
-    graft.functions.exprs.word_ngrams(text, n)
+    // the kernel is null-intolerant (null text -> NULL), but the shingle
+    // contract predates it: null/empty docs yield the single empty shingle
+    // [""] so they still pair with each other in the sketch pipelines.
+    // coalesce restores that contract over the kernel's fast path.
+    coalesce(graft.functions.exprs.word_ngrams(text, n), array(lit("")))
 
   /** The pure-builtin twin of [[shingles]] (the executable spec the
     * kernel is property-tested against). */

@@ -91,8 +91,13 @@ object TemporalJoins {
     // tuning hint instead of silently materializing it. The guard is folded
     // into the sequence's end bound so it sits on the evaluated path and
     // cannot be pruned away as an unused column.
+    // null start/end must stay a silent drop (sequence(null,..) -> null ->
+    // explode emits nothing), so short-circuit them before the guard: a null
+    // `endBin - startBin < max` is not-true and would otherwise fall through
+    // to raise_error.
     val guardedEnd =
-      when(endBin - startBin < lit(maxBinsPerRange.toLong), endBin)
+      when(startBin.isNull || endBin.isNull, lit(null).cast("long"))
+        .when(endBin - startBin < lit(maxBinsPerRange.toLong), endBin)
         .otherwise(raise_error(concat(
           lit(s"rangeJoinPoints: a range spans more than $maxBinsPerRange " +
             "bins; raise binWidth toward the median range span " +

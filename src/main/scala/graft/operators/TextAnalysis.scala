@@ -193,7 +193,10 @@ object TextAnalysis {
       .select(col("doc_id"), col(nTotal), col("n_distinct"),
         col(topUnit), col("top_cnt"),
         (col("top_cnt").cast("double") / col(nTotal)).as(topFrac),
-        (col("__dup_chars").cast("double") / col("__chars"))
+        // a whitespace-only doc has one empty-string unit -> __chars = 0;
+        // 0/0 is NULL in Spark but NaN in DuckDB, so pin both engines to
+        // NULL via nullif (oracle side uses NULLIF(.., 0) to match).
+        (col("__dup_chars").cast("double") / nullif(col("__chars"), lit(0L)))
           .as("dup_char_frac"))
   }
 

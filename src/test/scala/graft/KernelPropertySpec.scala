@@ -114,7 +114,7 @@ class KernelPropertySpec extends AnyFunSuite {
       Seq.fill(1 + rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
         .mkString(if (i % 3 == 0) "  " else " ")
     }
-    val adversarial = Seq("", " ", "\t\n", "one", "one two",
+    val adversarial = Seq(null, "", " ", "\t\n", "one", "one two",
       "  leading", "trailing  ", "ab\fc\rd", "x x x x x x")
     for (n <- Seq(1, 2, 3, 5)) {
       val df = (random ++ adversarial).zipWithIndex

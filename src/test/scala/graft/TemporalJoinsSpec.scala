@@ -74,4 +74,24 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.nonEmpty)
   }
+
+  test("range join silently drops null-bounded ranges, still fails fast on wide ones") {
+    import spark.implicits._
+    val points = Seq((1L, 100L)).toDF("pid", "p")
+    val ranges = Seq(
+      (1L, Some(50L), Some(150L)),     // matches
+      (2L, None, Some(150L)),          // null start -> dropped, NOT an abort
+      (3L, Some(50L), None))           // null end -> dropped
+      .toDF("rid", "s", "e")
+    val got = TemporalJoins.rangeJoinPoints(points, "p", ranges, "s", "e", 10L)
+      .select("rid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+    // a non-null range spanning too many bins still raises the tuning error
+    val wide = Seq((9L, Some(0L), Some(1000000L))).toDF("rid", "s", "e")
+    val ex = intercept[Exception] {
+      TemporalJoins.rangeJoinPoints(points, "p", wide, "s", "e", 1L,
+        maxBinsPerRange = 10).count()
+    }
+    assert(ex.getMessage.contains("rangeJoinPoints"))
+  }
 }

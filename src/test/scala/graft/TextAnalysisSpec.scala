@@ -24,6 +24,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) == ((4L, 1L, "w", 4L, 1.0, 1.0)))
   }
 
+  test("repetitionStats: whitespace-only doc yields NULL dup_char_frac, not 0/0") {
+    val docs = Seq((1L, "   "), (2L, "a a")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "text", "doc_id")
+      .select("doc_id", "dup_char_frac").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).isEmpty)       // one empty-string token, zero chars -> NULL
+    assert(got(2L).contains(1.0))
+  }
+
   test("ngramRepetitionStats: occurrences counted (no dedup), short docs excluded") {
     val docs = Seq(
       (1L, "a b a b a"), // bigrams: "a b","b a","a b","b a" -> tie, top "a b"
