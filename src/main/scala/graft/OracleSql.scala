@@ -645,6 +645,32 @@ object OracleSql {
       SELECT *, row_number() OVER (PARTITION BY crawl_id ORDER BY match_score DESC, abr_id) AS rn
       FROM blocked WHERE match_score >= 40.0) WHERE rn = 1"""
 
+  /** Portable token-sort fuzzy join (q73): q35's exact shape — token-sort
+    * normalization, blocked join, score threshold, per-block aggregate —
+    * with the score as plain levenshtein ratio so DuckDB reproduces it
+    * natively. The double expression mirrors the Spark side shape exactly
+    * (one multiply, one divide over an exact integer distance). */
+  private val q73 = """
+    WITH cprep AS (
+      SELECT c_custkey, c_nationkey AS block,
+        array_to_string(list_sort(string_split_regex(
+          trim(regexp_replace(c_name, '[#0]+', ' ', 'g')), '\s+')), ' ') AS cname
+      FROM customer),
+    sprep AS (
+      SELECT s_suppkey, s_nationkey AS block,
+        array_to_string(list_sort(string_split_regex(
+          trim(regexp_replace(s_name, '[#0]+', ' ', 'g')), '\s+')), ' ') AS sname
+      FROM supplier),
+    scored AS (
+      SELECT c.block,
+        CAST(100.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) -
+          CAST(levenshtein(c.cname, s.sname) AS DOUBLE) /
+          greatest(length(c.cname), length(s.sname))) AS score
+      FROM cprep c JOIN sprep s ON c.block = s.block)
+    SELECT CAST(block AS BIGINT) AS block, COUNT(*) AS n_pairs,
+      MAX(score) AS max_score
+    FROM scored WHERE score >= 50.0 GROUP BY block"""
+
   private val q52 = """
     SELECT coalesce(r_name, '(all)') AS region,
       coalesce(n_name, '(all)') AS nation,
@@ -980,6 +1006,7 @@ object OracleSql {
     "q56_dedup_clusters" -> q56,
     "q67_incremental_dedup" -> q67,
     "q68_ivf_oracle" -> q68,
-    "q69_salted_fuzzy" -> q69
+    "q69_salted_fuzzy" -> q69,
+    "q73_token_sort_oracle" -> q73
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

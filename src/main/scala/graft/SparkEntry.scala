@@ -645,6 +645,35 @@ object SparkEntry {
         max(col("score")).as("max_score"))
   }
 
+  /** Portable twin of [[q35TokenSortFuzzy]] — the fuzzy-join path's
+    * hash-verified gate (same adjudication pattern as the
+    * q49/q50/q51/q68 sketch twins): IDENTICAL token-sort normalization,
+    * blocked join, threshold, and per-block aggregate shape, but scored
+    * with plain levenshtein ratio, which both engines compute natively
+    * over the same strings. The Indel kernel q35 uses is itself
+    * property-tested against recorded rapidfuzz values in
+    * `SimKernelSpec`; together the two close the fuzzy family's gate. */
+  def q73TokenSortOracle(s: SparkSession, dir: String): DataFrame = {
+    def tokenSorted(c: Column): Column =
+      array_join(sort_array(split(trim(c), "\\s+")), " ")
+    val c = t(s, dir, "customer").select(
+      col("c_custkey"), col("c_nationkey").as("block"),
+      tokenSorted(regexp_replace(col("c_name"), "[#0]+", " ")).as("cname"))
+    val sup = t(s, dir, "supplier").select(
+      col("s_suppkey"), col("s_nationkey").as("block"),
+      tokenSorted(regexp_replace(col("s_name"), "[#0]+", " ")).as("sname"))
+    c.join(sup, Seq("block"))
+      .withColumn("score",
+        lit(100.0) * (lit(1.0) -
+          levenshtein(col("cname"), col("sname")).cast("double") /
+            greatest(length(col("cname")), length(col("sname")))))
+      .filter(col("score") >= 50.0)
+      .groupBy(col("block")).agg(count(lit(1)).as("n_pairs"),
+        max(col("score")).as("max_score"))
+      .select(col("block").cast("long").as("block"),
+        col("n_pairs"), col("max_score"))
+  }
+
   /** Multimodal plumbing demo: binary payload column + deterministic
     * metadata extraction (decode stub lives in
     * [[graft.operators.Multimodal]]; here the SQL-expressible metadata
@@ -1107,7 +1136,8 @@ object SparkEntry {
     "q69_salted_fuzzy" -> (q69SaltedFuzzy _),
     "q70_repetition_stats" -> (q70RepetitionStats _),
     "q71_gopher_quality" -> (q71GopherQuality _),
-    "q72_bigram_repetition" -> (q72BigramRepetition _))
+    "q72_bigram_repetition" -> (q72BigramRepetition _),
+    "q73_token_sort_oracle" -> (q73TokenSortOracle _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
