@@ -166,11 +166,20 @@ object TextAnalysis {
       docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     require(n >= 2, "use repetitionStats for n = 1")
     val toks = split(trim(col(textCol)), "\\s+")
-    val grams = transform(sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
-    repetitionFrom(
-      docs.filter(size(toks) >= n)
-        .select(col(idCol).as("doc_id"), explode_outer(grams).as("u")),
+    // Materialize the token array ONCE and explode a start-index sequence,
+    // forming each gram by slicing the materialized column. Building the
+    // gram array inside a `transform` lambda instead inlines the split
+    // expression into the lambda body, re-tokenizing the document per gram
+    // — O(words²) splits per doc, measured 8× slower at sf0.1.
+    val occ = docs
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), col("__toks"),
+        explode_outer(sequence(lit(1), size(col("__toks")) - (n - 1)))
+          .as("__i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("__toks"), col("__i"), lit(n))).as("u"))
+    repetitionFrom(occ,
       nTotal = "n_ngrams", topUnit = "top_ngram", topFrac = "top_ngram_frac")
   }
 
