@@ -39,6 +39,15 @@ object SketchParams {
     val nlist = 8; val nprobe = 3; val k = 10; val scale = 1000
     val maxQueryId = 8
   }
+  /** q74 decontamination: word n-gram size and the benchmark split
+    * (doc_id % benchMod == benchRem held out as the "eval set"). */
+  object q74 {
+    val ngram = 4; val benchMod = 11; val benchRem = 3
+  }
+  /** q76 exact-substring dup join: character window size and stride. */
+  object q76 {
+    val window = 40; val stride = 10
+  }
 }
 
 object OracleSql {
@@ -671,6 +680,70 @@ object OracleSql {
       MAX(score) AS max_score
     FROM scored WHERE score >= 50.0 GROUP BY block"""
 
+  /** Decontamination screen (q74): distinct benchmark n-gram set joined
+    * against corpus doc n-grams. Generated from [[SketchParams.q74]] —
+    * shingleSql mirrors `Dedup.shingles` exactly (incl. the sub-n-token
+    * degenerate shingle). */
+  private def q74: String = {
+    val p = SketchParams.q74
+    s"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(${normSql("text")}, '\\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(${shingleSql(p.ngram)}) AS g FROM d
+    ), bench AS (
+      SELECT DISTINCT g FROM g WHERE doc_id % ${p.benchMod} = ${p.benchRem}
+    ), corpus_hits AS (
+      SELECT g.doc_id, count(*) AS n_hit_grams
+      FROM g JOIN bench USING (g)
+      WHERE g.doc_id % ${p.benchMod} <> ${p.benchRem}
+      GROUP BY g.doc_id)
+    SELECT d.doc_id,
+      coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+      coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+    FROM d LEFT JOIN corpus_hits h USING (doc_id)
+    WHERE d.doc_id % ${p.benchMod} <> ${p.benchRem}"""
+  }
+
+  /** PII redaction (q75): identical regex masking — the patterns live in
+    * the java/RE2 intersection precisely so this twin is byte-exact. */
+  private def q75: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9 -]{6,}[0-9]"
+    s"""
+    WITH blob AS (
+      SELECT c_custkey,
+        c_name || ' <' || lower(regexp_replace(c_name, ' ', '.', 'g')) ||
+        '@example.com> ph +61 4' ||
+        lpad(CAST(c_custkey % 100000000 AS VARCHAR), 8, '0') ||
+        ' seg ' || c_mktsegment AS contact
+      FROM customer)
+    SELECT c_custkey,
+      regexp_replace(regexp_replace(contact,
+        '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g') AS redacted,
+      len(regexp_extract_all(contact, '$email')) AS n_emails,
+      len(regexp_extract_all(contact, '$phone')) AS n_phones
+    FROM blob"""
+  }
+
+  /** Exact-substring dup join (q76): strided md5 character windows over
+    * the near-dup corpus; md5 hex is identical across engines so the
+    * join + count replicate exactly. Generated from [[SketchParams.q76]]. */
+  private def q76: String = {
+    val p = SketchParams.q76
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
+    ), wd AS (
+      SELECT DISTINCT doc_id, wh FROM (
+        SELECT doc_id, md5(substr(text, CAST(i AS INT), ${p.window})) AS wh
+        FROM corpus, unnest(generate_series(1, len(text) - ${p.window - 1},
+          ${p.stride})) AS t(i)))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM wd a JOIN wd b ON a.wh = b.wh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2"""
+  }
+
   private val q52 = """
     SELECT coalesce(r_name, '(all)') AS region,
       coalesce(n_name, '(all)') AS nation,
@@ -1007,6 +1080,9 @@ object OracleSql {
     "q67_incremental_dedup" -> q67,
     "q68_ivf_oracle" -> q68,
     "q69_salted_fuzzy" -> q69,
-    "q73_token_sort_oracle" -> q73
+    "q73_token_sort_oracle" -> q73,
+    "q74_decontaminate" -> q74,
+    "q75_pii_redact" -> q75,
+    "q76_substring_dup" -> q76
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -674,6 +674,51 @@ object SparkEntry {
         col("n_pairs"), col("max_score"))
   }
 
+  /** Benchmark decontamination screen ([[graft.operators.Dedup.decontaminate]]):
+    * corpus docs sharing word n-grams with a held-out benchmark split
+    * (`doc_id % benchMod == benchRem`). Broadcast semi-probe + one narrow
+    * groupBy — no corpus-sized shuffle. Params from [[SketchParams.q74]]
+    * generate both sides. */
+  def q74Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q74
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("text"))
+    val isBench = col("doc_id") % p.benchMod === p.benchRem
+    operators.Dedup.decontaminate(
+      docs.filter(!isBench), docs.filter(isBench),
+      "text", "doc_id", p.ngram)
+  }
+
+  /** PII redaction ([[graft.functions.Pii]]): emails masked to [EMAIL],
+    * phone-shaped digit runs to [PHONE], with per-row match counts. The
+    * contact blob is derived in-query from customer fields (the fixture
+    * carries no raw contact columns) — same derived-input pattern as the
+    * near-dup corpus. Map-only, fused with the scan. */
+  def q75PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val contact = concat(
+      col("c_name"), lit(" <"),
+      lower(regexp_replace(col("c_name"), " ", ".")), lit("@example.com> ph +61 4"),
+      lpad((col("c_custkey") % 100000000L).cast("string"), 8, "0"),
+      lit(" seg "), col("c_mktsegment"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), contact.as("__contact"))
+      .select(col("c_custkey"),
+        functions.Pii.redact(col("__contact")).as("redacted"),
+        functions.Pii.emailCount(col("__contact")).as("n_emails"),
+        functions.Pii.phoneCount(col("__contact")).as("n_phones"))
+  }
+
+  /** Exact-substring duplication join
+    * ([[graft.operators.Dedup.exactSubstringDupJoin]]) over the near-dup
+    * corpus: doc pairs sharing ≥1 identical `window`-char strided
+    * substring, + the distinct shared-window count. md5 window keys keep
+    * the self-join shuffle narrow. Params from [[SketchParams.q76]]. */
+  def q76SubstringDup(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q76
+    operators.Dedup.exactSubstringDupJoin(
+      nearDupCorpus(s, dir), "text", "doc_id", p.window, p.stride)
+  }
+
   /** Multimodal plumbing demo: binary payload column + deterministic
     * metadata extraction (decode stub lives in
     * [[graft.operators.Multimodal]]; here the SQL-expressible metadata
@@ -1137,7 +1182,10 @@ object SparkEntry {
     "q70_repetition_stats" -> (q70RepetitionStats _),
     "q71_gopher_quality" -> (q71GopherQuality _),
     "q72_bigram_repetition" -> (q72BigramRepetition _),
-    "q73_token_sort_oracle" -> (q73TokenSortOracle _))
+    "q73_token_sort_oracle" -> (q73TokenSortOracle _),
+    "q74_decontaminate" -> (q74Decontaminate _),
+    "q75_pii_redact" -> (q75PiiRedact _),
+    "q76_substring_dup" -> (q76SubstringDup _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -505,4 +505,81 @@ object Dedup {
         Ann.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= cosineThreshold)
   }
+
+  /** Benchmark decontamination screen: for every corpus document, count
+    * the distinct word n-grams it shares with a held-out benchmark set
+    * (the standard training-data hygiene pass — GPT-3 appendix C /
+    * Brown et al. 2020 screen train docs for 13-gram collisions with
+    * eval sets; n is a parameter here because the right value depends on
+    * tokenizer granularity).
+    *
+    * Scale shape: the benchmark gram set is tiny next to a 100 TB corpus
+    * (benchmarks are thousands of documents, the corpus billions), so it
+    * is explicitly `broadcast()` — the screen is then a map-side
+    * broadcast-hash semi-probe fused with the corpus scan + one narrow
+    * groupBy on doc id: no corpus-sized shuffle anywhere. (At extreme
+    * benchmark sizes, drop the hint and let AQE pick a shuffle join; the
+    * logic is unchanged.) Returns one row per corpus doc:
+    * (doc_id, n_hit_grams, contaminated). */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, ngram: Int): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode_outer(shingles(col(textCol), ngram)).as("g"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol).as("doc_id"),
+        explode_outer(shingles(col(textCol), ngram)).as("g"))
+      // shingle sets are distinct per doc, so plain count == distinct count
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Exact-substring duplication join (strided character windows): doc
+    * pairs sharing at least one identical `window`-char substring sampled
+    * every `stride` characters, with the count of distinct shared
+    * windows. The cheap relational cousin of suffix-array exact-substring
+    * dedup (Lee et al. 2021 "Deduplicating Training Data Makes Language
+    * Models Better" §4.1 EXACTSUBSTR): windows are md5'd so the self-join
+    * shuffles 16-byte keys, never text, and each doc contributes
+    * ≤ len/stride rows.
+    *
+    * Symmetric striding (this form) detects offset-ALIGNED duplication —
+    * shared prefixes, whole-document copies, and any clone whose copy
+    * starts at the same position mod `stride`. For the general guarantee
+    * (any shared substring of length ≥ window+stride−1) run one side at
+    * stride 1 and only the other strided; full EXACTSUBSTR needs the
+    * suffix-array pass, which is not a relational operator. Docs shorter
+    * than `window` cannot contain a window and are excluded. */
+  def exactSubstringDupJoin(
+      docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 40, stride: Int = 10,
+      materialize: Boolean = true): DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be >= 1")
+    val txt = col("__text")
+    val winsRaw = docs
+      // text materialized ONCE: the substr below references it per window,
+      // and an inlined expression would re-normalize per reference
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .filter(length(txt) >= window)
+      .select(col("doc_id"), txt,
+        explode_outer(sequence(lit(1), length(txt) - (window - 1),
+          lit(stride))).as("__i"))
+      .select(col("doc_id"),
+        md5(txt.substr(col("__i"), lit(window))).as("wh"))
+      .distinct()
+    // both self-join sides reuse the window frame → materialize once
+    val wins = if (materialize) winsRaw.localCheckpoint(false) else winsRaw
+    val a = wins.select(col("wh"), col("doc_id").as("id_a"))
+    val b = wins.select(col("wh"), col("doc_id").as("id_b"))
+    a.join(b, Seq("wh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -114,6 +114,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!hashed.contains("transform("), hashed.take(500))
   }
 
+  test("q74: benchmark gram set broadcasts; screen never cartesians (r5)") {
+    val plan = executed("q74_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    // the gram probe must not sort-merge — the benchmark side is tiny
+    // by design and the hint pins it to a broadcast
+    assert(!plan.contains("SortMergeJoin"), "gram probe must broadcast")
+  }
+
+  test("q75: redaction is a single map-only scan (zero exchanges) (r5)") {
+    val plan = executed("q75_pii_redact")
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
+  test("q76: window self-join shuffles md5 keys, no cartesian (r5)") {
+    val plan = executed("q76_substring_dup")
+    assert(!plan.contains("CartesianProduct"))
+    // the pair aggregation keeps a map-side partial
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      plan.take(2000))
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
