@@ -48,6 +48,10 @@ object SketchParams {
   object q76 {
     val window = 40; val stride = 10
   }
+  /** q77 C4-style span dedup: words per non-overlapping span. */
+  object q77 {
+    val spanWords = 10
+  }
 }
 
 object OracleSql {
@@ -744,6 +748,38 @@ object OracleSql {
     GROUP BY 1, 2"""
   }
 
+  /** C4-style span dedup (q77): identical segmentation, md5 span keys,
+    * primitive-long first-occurrence encoding, ordered reassembly.
+    * Generated from [[SketchParams.q77]]. */
+  private def q77: String = {
+    val w = SketchParams.q77.spanWords
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
+    ), tok AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus
+    ), keyed AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        array_to_string(toks[i:i+${w - 1}], ' ') AS span,
+        md5(array_to_string(toks[i:i+${w - 1}], ' ')) AS k
+      FROM tok, unnest(generate_series(1, greatest(len(toks), 1), $w)) AS t(i)
+    ), firsts AS (
+      SELECT k, min(doc_id * 100000 + pos) AS keep FROM keyed GROUP BY k
+    ), kept AS (
+      SELECT keyed.* FROM keyed JOIN firsts USING (k)
+      WHERE doc_id * 100000 + pos = keep
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text,
+        count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ), base AS (
+      SELECT doc_id, CAST(ceil(CAST(greatest(len(toks), 1) AS DOUBLE) / $w)
+        AS BIGINT) AS n_spans
+      FROM tok)
+    SELECT base.doc_id, coalesce(rebuilt.text, '') AS text, n_spans,
+      n_spans - coalesce(n_kept, 0) AS n_dropped
+    FROM base LEFT JOIN rebuilt USING (doc_id)"""
+  }
+
   private val q52 = """
     SELECT coalesce(r_name, '(all)') AS region,
       coalesce(n_name, '(all)') AS nation,
@@ -1083,6 +1119,7 @@ object OracleSql {
     "q73_token_sort_oracle" -> q73,
     "q74_decontaminate" -> q74,
     "q75_pii_redact" -> q75,
-    "q76_substring_dup" -> q76
+    "q76_substring_dup" -> q76,
+    "q77_span_dedup" -> q77
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -719,6 +719,17 @@ object SparkEntry {
       nearDupCorpus(s, dir), "text", "doc_id", p.window, p.stride)
   }
 
+  /** C4-style span dedup ([[graft.operators.Dedup.spanDedup]]): drop
+    * every globally-repeated `spanWords`-word span except its first
+    * occurrence and reassemble documents — the near-dup corpus's
+    * truncated twins lose their duplicated spans. Params from
+    * [[SketchParams.q77]]. */
+  def q77SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q77
+    operators.Dedup.spanDedup(nearDupCorpus(s, dir), "text", "doc_id",
+      p.spanWords)
+  }
+
   /** Multimodal plumbing demo: binary payload column + deterministic
     * metadata extraction (decode stub lives in
     * [[graft.operators.Multimodal]]; here the SQL-expressible metadata
@@ -1185,7 +1196,8 @@ object SparkEntry {
     "q73_token_sort_oracle" -> (q73TokenSortOracle _),
     "q74_decontaminate" -> (q74Decontaminate _),
     "q75_pii_redact" -> (q75PiiRedact _),
-    "q76_substring_dup" -> (q76SubstringDup _))
+    "q76_substring_dup" -> (q76SubstringDup _),
+    "q77_span_dedup" -> (q77SpanDedup _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

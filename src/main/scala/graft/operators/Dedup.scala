@@ -540,6 +540,69 @@ object Dedup {
         (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Span-level dedup (C4-style): segment every document into
+    * non-overlapping `spanWords`-word spans, keep only the globally FIRST
+    * occurrence of each distinct span (first = smallest (doc, position)),
+    * and reassemble each document from its surviving spans in original
+    * order (Raffel et al. 2020 §2.2 discard repeated three-sentence
+    * spans; word spans here because span boundaries are tokenizer policy,
+    * not operator semantics).
+    *
+    * Scale shape: spans are keyed by md5 so the first-occurrence
+    * aggregation shuffles 16-byte digests + one long, never text; the
+    * keep-decision joins back on the same digest; reassembly is one
+    * groupBy(doc) over the surviving spans (collect_list of (pos, span) —
+    * bounded by document length, the same per-group bound every
+    * doc-reassembly carries). Three narrow shuffles total, no windows, no
+    * driver state. The global "first" is a total order over
+    * (doc, position), so the result is deterministic under any
+    * parallelism. The (doc, position) order is encoded as
+    * `doc_id * 100000 + pos` (one primitive long, partial-aggregated
+    * min) — valid while documents stay under 100k tokens; for longer
+    * documents switch the encoding factor or min over a struct.
+    * Returns (doc_id, text, n_spans, n_dropped). */
+  def spanDedup(
+      docs: DataFrame, textCol: String, idCol: String,
+      spanWords: Int): DataFrame = {
+    require(spanWords >= 1, "spanWords must be >= 1")
+    val toks = col("__toks")
+    val spans = docs
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col("doc_id"), toks,
+        explode_outer(sequence(lit(1), greatest(size(toks), lit(1)),
+          lit(spanWords))).as("__i"))
+      .select(col("doc_id"), col("__i").as("pos"),
+        concat_ws(" ", slice(toks, col("__i"), lit(spanWords))).as("span"))
+    val keyed = spans.select(col("doc_id"), col("pos"), col("span"),
+      md5(col("span")).as("__k"))
+    // globally-first occurrence per distinct span: one narrow aggregation
+    // over (digest, encoded (doc,pos)) — the encoding is a single long so
+    // the min is a partial-aggregated primitive, not a struct compare
+    val firsts = keyed
+      .groupBy(col("__k"))
+      .agg(min(col("doc_id") * 100000L + col("pos")).as("__keep"))
+    val kept = keyed.join(firsts, Seq("__k"))
+      .filter(col("doc_id") * 100000L + col("pos") === col("__keep"))
+    val rebuilt = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("span")))),
+          s => s.getField("span"))).as("text"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        // same degenerate-doc contract as the explode branch: an
+        // empty/null text still contributes one (empty) span
+        ceil(greatest(size(split(trim(col(textCol)), "\\s+")), lit(1))
+          .cast("double") / spanWords).cast("long").as("n_spans"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        col("n_spans"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Exact-substring duplication join (strided character windows): doc
     * pairs sharing at least one identical `window`-char substring sampled
     * every `stride` characters, with the count of distinct shared

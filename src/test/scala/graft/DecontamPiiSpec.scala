@@ -52,6 +52,23 @@ class DecontamPiiSpec extends AnyFunSuite {
     assert(rows(3L)._2 == 2L && rows(3L)._3 == 1L)
   }
 
+  test("span dedup keeps first occurrence, reassembles in order") {
+    val docs = Seq(
+      // doc 1: two spans, the second repeats doc 1's first span
+      (1L, "a b c a b c"),
+      // doc 2 repeats doc 1's span then adds a fresh one
+      (2L, "a b c x y z"),
+      // doc 3 entirely fresh
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "text", "doc_id", spanWords = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("n_dropped"))).toMap
+    assert(out(1L) == (("a b c", 2L, 1L))) // internal repeat dropped
+    assert(out(2L) == (("x y z", 2L, 1L))) // cross-doc repeat dropped
+    assert(out(3L) == (("p q r s t u", 2L, 0L)))
+  }
+
   test("exact-substring join finds aligned clones and skips short docs") {
     val base = ("x" * 35) + ("y" * 35) + ("z" * 35) // 105 chars
     val docs = Seq(
