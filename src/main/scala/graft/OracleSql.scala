@@ -52,6 +52,10 @@ object SketchParams {
   object q77 {
     val spanWords = 10
   }
+  /** q78 sequence packing: token budget per training shard. */
+  object q78 {
+    val maxTokensPerShard = 2000L
+  }
 }
 
 object OracleSql {
@@ -780,6 +784,29 @@ object OracleSql {
     FROM base LEFT JOIN rebuilt USING (doc_id)"""
   }
 
+  /** Sequence packing (q78): global exclusive prefix sum over token
+    * counts in doc_id order → fixed-budget shard ids. DuckDB computes the
+    * naive single-window form; the Spark side's two-phase distributed
+    * scan must agree exactly. Generated from [[SketchParams.q78]]. */
+  private def q78: String = {
+    val m = SketchParams.q78.maxTokensPerShard
+    s"""
+    WITH d AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(${normSql("text")}, '\\s+')) AS BIGINT)
+          AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+          AS tok_offset
+      FROM d)
+    SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+      CAST(floor(tok_offset / $m.0) AS BIGINT) AS shard_id
+    FROM c"""
+  }
+
   private val q52 = """
     SELECT coalesce(r_name, '(all)') AS region,
       coalesce(n_name, '(all)') AS nation,
@@ -1120,6 +1147,7 @@ object OracleSql {
     "q74_decontaminate" -> q74,
     "q75_pii_redact" -> q75,
     "q76_substring_dup" -> q76,
-    "q77_span_dedup" -> q77
+    "q77_span_dedup" -> q77,
+    "q78_shard_pack" -> q78
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -730,6 +730,19 @@ object SparkEntry {
       p.spanWords)
   }
 
+  /** Sequence packing ([[graft.operators.Packing.assignShards]]): lay
+    * the corpus out as a token stream in doc_id order, chunk into
+    * fixed-budget training shards. Two-phase distributed prefix sum —
+    * the DuckDB oracle runs the naive global window; exact agreement is
+    * the gate. Params from [[SketchParams.q78]]. */
+  def q78ShardPack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      operators.TextAnalysis.tokenCount(normText(col("text")))
+        .cast("long").as("n_tokens"))
+    operators.Packing.assignShards(docs, "n_tokens", "doc_id",
+      SketchParams.q78.maxTokensPerShard)
+  }
+
   /** Multimodal plumbing demo: binary payload column + deterministic
     * metadata extraction (decode stub lives in
     * [[graft.operators.Multimodal]]; here the SQL-expressible metadata
@@ -1197,7 +1210,8 @@ object SparkEntry {
     "q74_decontaminate" -> (q74Decontaminate _),
     "q75_pii_redact" -> (q75PiiRedact _),
     "q76_substring_dup" -> (q76SubstringDup _),
-    "q77_span_dedup" -> (q77SpanDedup _))
+    "q77_span_dedup" -> (q77SpanDedup _),
+    "q78_shard_pack" -> (q78ShardPack _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data pipelines: lay the corpus out as
+  * one token stream (in a deterministic document order) and chunk it
+  * into fixed token-budget shards — the step that turns a cleaned corpus
+  * into training-shard assignments.
+  *
+  * The semantics are a global exclusive prefix sum over token counts;
+  * the naive formulation (`sum().over(Window.orderBy(id))` with no
+  * partition spec) collapses the whole corpus into ONE window partition
+  * — the classic scale killer. This operator computes the same result
+  * distributed, the textbook two-phase scan:
+  *
+  *   1. range-partition by the order column (each partition owns a
+  *      contiguous id range, Spark's range partitioner keeps partition
+  *      index order aligned with range order);
+  *   2. per-partition token subtotals — P rows — go to the driver, which
+  *      prefix-sums them into per-partition offsets (model-state
+  *      boundary, same as IVF centroids: bytes ∝ partitions, never rows);
+  *   3. broadcast the offsets back; each row's global exclusive cumsum =
+  *      its within-partition cumsum (a window PARTITIONED by the pinned
+  *      partition id — parallel across partitions) + its partition's
+  *      offset.
+  *
+  * The partition id is computed once and the frame localCheckpoint'ed so
+  * steps 2 and 3 see the SAME physical partitioning (spark_partition_id
+  * is plan-dependent; pinning it is what makes the join key stable).
+  * Output is independent of `numParts` — any range partitioning yields
+  * the same global order (asserted against the single-window naive form
+  * in PackingSpec).
+  *
+  * Returns (idCol, <tokenCol>, tok_offset, shard_id): `tok_offset` the
+  * exclusive global cumsum, `shard_id = floor(tok_offset / maxTokensPerShard)`
+  * — documents straddling a boundary belong to the shard their first
+  * token lands in (standard contiguous chunking; greedy bin-packing is a
+  * different, order-destroying policy).
+  */
+object Packing {
+
+  def assignShards(
+      docs: DataFrame, tokenCol: String, idCol: String,
+      maxTokensPerShard: Long, numParts: Int = 0): DataFrame = {
+    require(maxTokensPerShard >= 1, "maxTokensPerShard must be >= 1")
+    val spark = docs.sparkSession
+    val parts =
+      if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
+    // 1. contiguous id ranges per partition; pid pinned by materializing
+    val parted = docs
+      .select(col(idCol), col(tokenCol))
+      .repartitionByRange(parts, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    // 2. P subtotal rows -> driver -> exclusive offsets (range partitioner
+    // assigns ascending ranges to ascending partition ids)
+    val subtotals = parted.groupBy(col("__pid"))
+      .agg(sum(col(tokenCol)).as("__t"))
+      .collect()
+      .map(r => (r.getAs[Int]("__pid"), r.getAs[Long]("__t")))
+      .sortBy(_._1)
+    val offsets = subtotals
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+      .init.zip(subtotals)
+      .map { case ((_, off), (pid, _)) => (pid, off) }
+    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    // 3. within-partition running sum (parallel across partitions) + offset
+    val win = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn("tok_offset",
+        sum(col(tokenCol)).over(win) + col("__off") - col(tokenCol))
+      .select(col(idCol), col(tokenCol),
+        col("tok_offset"),
+        floor(col("tok_offset") / maxTokensPerShard).as("shard_id"))
+  }
+
+  /** The naive single-window executable spec (one window partition = one
+    * task; test-only reference, never the production path). */
+  private[graft] def assignShardsNaive(
+      docs: DataFrame, tokenCol: String, idCol: String,
+      maxTokensPerShard: Long): DataFrame = {
+    val win = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), col(tokenCol))
+      .withColumn("tok_offset",
+        sum(col(tokenCol)).over(win) - col(tokenCol))
+      .select(col(idCol), col(tokenCol), col("tok_offset"),
+        floor(col("tok_offset") / maxTokensPerShard).as("shard_id"))
+  }
+}

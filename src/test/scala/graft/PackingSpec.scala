@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Packing
+
+/** Distributed two-phase prefix sum ≡ the naive single-window form,
+  * independent of partition count. */
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(7)
+  private lazy val docs = (0 until 300)
+    .map(i => (i.toLong, 1L + rng.nextInt(100).toLong))
+    .toDF("doc_id", "n_tokens")
+
+  private def collectMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("tok_offset"), r.getAs[Long]("shard_id"))).toMap
+
+  test("two-phase scan matches naive window at any partition count") {
+    val naive = collectMap(
+      Packing.assignShardsNaive(docs, "n_tokens", "doc_id", 500L))
+    for (parts <- Seq(1, 3, 8)) {
+      val dist = collectMap(
+        Packing.assignShards(docs, "n_tokens", "doc_id", 500L, parts))
+      assert(dist == naive, s"mismatch at numParts=$parts")
+    }
+  }
+
+  test("offsets are an exclusive prefix sum; shards cover the stream") {
+    val rows = Packing.assignShards(docs, "n_tokens", "doc_id", 500L, 4)
+      .orderBy("doc_id").collect()
+    var acc = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tok_offset") == acc)
+      acc += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("shard_id") == r.getAs[Long]("tok_offset") / 500L)
+    }
+  }
+}
