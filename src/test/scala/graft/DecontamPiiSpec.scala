@@ -52,6 +52,40 @@ class DecontamPiiSpec extends AnyFunSuite {
     assert(rows(3L)._2 == 2L && rows(3L)._3 == 1L)
   }
 
+  test("decontamination screens a stream against a static benchmark") {
+    // the same broadcast gram probe runs per micro-batch (stream-static):
+    // explode grams -> semi-probe the static benchmark set -> per-doc agg
+    val dir = java.nio.file.Files.createTempDirectory("decontam-stream")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.write.parquet(dir.resolve("in").toString + "/p")
+    val isBench = col("doc_id") % 11 === 3
+    val benchGrams = broadcast(
+      docs.filter(isBench)
+        .select(explode_outer(Dedup.shingles(col("text"), 4)).as("g"))
+        .distinct())
+    val stream = spark.readStream
+      .schema(docs.schema).parquet(dir.resolve("in").toString + "/*")
+      .filter(!isBench)
+      .select(col("doc_id"), explode_outer(Dedup.shingles(col("text"), 4)).as("g"))
+      .join(benchGrams, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("decontam_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("decontam_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit_grams")).toMap
+      val batch = Dedup.decontaminate(
+          docs.filter(!isBench), docs.filter(isBench), "text", "doc_id", 4)
+        .filter(col("contaminated"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("n_hit_grams")).toMap
+      assert(got == batch)
+      assert(got.nonEmpty, "fixture should contain contaminated docs")
+    } finally q.stop()
+  }
+
   test("span dedup keeps first occurrence, reassembles in order") {
     val docs = Seq(
       // doc 1: two spans, the second repeats doc 1's first span

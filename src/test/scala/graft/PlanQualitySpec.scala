@@ -136,6 +136,24 @@ class PlanQualitySpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("q77: span dedup is windowless hash aggregation, no cartesian (r5)") {
+    val plan = executed("q77_span_dedup")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Window"), "reassembly must be groupBy, not window")
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      plan.take(2000))
+  }
+
+  test("q78: packing window is partitioned by pinned pid, offsets broadcast (r5)") {
+    val plan = executed("q78_shard_pack")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the running-sum window must be partitioned (parallel), never the
+    // naive empty-partition global window
+    val winSpec = plan.split("\n").find(_.contains("windowspecdefinition"))
+    assert(winSpec.exists(_.contains("__pid")),
+      s"window not partitioned by __pid: ${winSpec.getOrElse("<none>")}")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
