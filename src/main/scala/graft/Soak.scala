@@ -91,6 +91,23 @@ object Soak {
       operators.Dedup.incrementalDedupPrepared(batch, prepared, "text",
         "doc_id", jaccardThreshold = 0.5).count()
     }
+
+    // r5 shapes: span dedup (3 narrow shuffles + per-doc reassembly) and
+    // the strided substring self-join — the replicas share everything
+    // after the marker token, so both paths fire heavily
+    val spanStats = timed("span dedup (10-word spans)") {
+      operators.Dedup.spanDedup(docs, "text", "doc_id", spanWords = 10)
+        .agg(sum(col("n_dropped")).as("dropped"),
+          sum(col("n_spans")).as("spans"))
+        .collect()(0)
+    }
+    println(s"[soak]   -> ${spanStats.getAs[Long]("dropped")} of " +
+      s"${spanStats.getAs[Long]("spans")} spans dropped")
+    val subPairs = timed("exact-substring dup join (w=40, stride=10)") {
+      operators.Dedup.exactSubstringDupJoin(docs, "text", "doc_id",
+        window = 40, stride = 10).count()
+    }
+    println(s"[soak]   -> $subPairs substring-dup pairs")
     spark.stop()
   }
 }
