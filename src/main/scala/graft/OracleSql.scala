@@ -807,6 +807,25 @@ object OracleSql {
     FROM c"""
   }
 
+  /** Interval-overlap join (q79): DuckDB runs the plain theta join the
+    * binned Spark plan must reproduce exactly. Day numbers via
+    * date-difference so both engines stay in integer arithmetic. */
+  private val q79 = """
+    WITH a AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS a_key,
+        CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS a_start,
+        CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' + o_orderkey % 20 AS BIGINT) AS a_end
+      FROM orders WHERE o_orderkey % 100 = 0),
+    b AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS b_key,
+        CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS b_start,
+        CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' + o_orderkey % 30 AS BIGINT) AS b_end
+      FROM orders WHERE o_orderkey % 100 = 1)
+    SELECT a_key, b_key,
+      CAST(least(a_end, b_end) - greatest(a_start, b_start) + 1 AS BIGINT)
+        AS overlap_days
+    FROM a JOIN b ON a_start <= b_end AND b_start <= a_end"""
+
   private val q52 = """
     SELECT coalesce(r_name, '(all)') AS region,
       coalesce(n_name, '(all)') AS nation,
@@ -1148,6 +1167,7 @@ object OracleSql {
     "q75_pii_redact" -> q75,
     "q76_substring_dup" -> q76,
     "q77_span_dedup" -> q77,
-    "q78_shard_pack" -> q78
+    "q78_shard_pack" -> q78,
+    "q79_interval_join" -> q79
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

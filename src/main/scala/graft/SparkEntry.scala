@@ -743,6 +743,26 @@ object SparkEntry {
       SketchParams.q78.maxTokensPerShard)
   }
 
+  /** Interval-overlap join
+    * ([[graft.operators.TemporalJoins.rangeJoinIntervals]]): two derived
+    * interval sets (order date + keyed span) joined on overlap via
+    * binning with first-shared-bin dedup — oracled against DuckDB's
+    * plain theta join. */
+  def q79IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    def side(rem: Int, spanMod: Int, p: String): DataFrame =
+      t(s, dir, "orders").filter(col("o_orderkey") % 100 === rem)
+        .select(col("o_orderkey").cast("long").as(s"${p}_key"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as(s"${p}_start"),
+          (unix_date(to_date(col("o_orderdate"))) + col("o_orderkey") % spanMod)
+            .cast("long").as(s"${p}_end"))
+    operators.TemporalJoins.rangeJoinIntervals(
+        side(0, 20, "a"), "a_start", "a_end",
+        side(1, 30, "b"), "b_start", "b_end", binWidth = 16L)
+      .select(col("a_key"), col("b_key"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start")) + 1).as("overlap_days"))
+  }
+
   /** Multimodal plumbing demo: binary payload column + deterministic
     * metadata extraction (decode stub lives in
     * [[graft.operators.Multimodal]]; here the SQL-expressible metadata
@@ -1211,7 +1231,8 @@ object SparkEntry {
     "q75_pii_redact" -> (q75PiiRedact _),
     "q76_substring_dup" -> (q76SubstringDup _),
     "q77_span_dedup" -> (q77SpanDedup _),
-    "q78_shard_pack" -> (q78ShardPack _))
+    "q78_shard_pack" -> (q78ShardPack _),
+    "q79_interval_join" -> (q79IntervalJoin _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

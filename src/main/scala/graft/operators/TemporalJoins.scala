@@ -84,29 +84,68 @@ object TemporalJoins {
     require(maxBinsPerRange > 0)
     val p = points.withColumn("__bin",
       (col(pointCol).cast("long") / binWidth).cast("long"))
-    val startBin = (col(startCol).cast("long") / binWidth).cast("long")
-    val endBin = (col(endCol).cast("long") / binWidth).cast("long")
-    // a single range spanning ≫ binWidth bins would explode into an
-    // unbounded row blowup (the sequence() is per-row); fail fast with a
-    // tuning hint instead of silently materializing it. The guard is folded
-    // into the sequence's end bound so it sits on the evaluated path and
-    // cannot be pruned away as an unused column.
-    // null start/end must stay a silent drop (sequence(null,..) -> null ->
-    // explode emits nothing), so short-circuit them before the guard: a null
-    // `endBin - startBin < max` is not-true and would otherwise fall through
-    // to raise_error.
-    val guardedEnd =
-      when(startBin.isNull || endBin.isNull, lit(null).cast("long"))
-        .when(endBin - startBin < lit(maxBinsPerRange.toLong), endBin)
-        .otherwise(raise_error(concat(
-          lit(s"rangeJoinPoints: a range spans more than $maxBinsPerRange " +
-            "bins; raise binWidth toward the median range span " +
-            "(or maxBinsPerRange if the blowup is intended): span="),
-          (col(endCol).cast("long") - col(startCol).cast("long"))
-            .cast("string"))).cast("long"))
-    val r = ranges.withColumn("__bin", explode(sequence(startBin, guardedEnd)))
+    val r = ranges.withColumn("__bin", explode(sequence(
+      (col(startCol).cast("long") / binWidth).cast("long"),
+      guardedEndBin("rangeJoinPoints", startCol, endCol, binWidth,
+        maxBinsPerRange))))
     p.join(r, Seq("__bin"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")
+  }
+
+  /** Interval-overlap join: left intervals ⋈ right intervals where
+    * `[lStart,lEnd]` and `[rStart,rEnd]` overlap (inclusive bounds),
+    * without a cross product. Both sides explode to fixed-width bins;
+    * candidates meet on the bin equi-join; a matched pair is emitted
+    * ONLY at the first bin the two intervals share
+    * (`bin == max(startBinL, startBinR)`), so multi-bin overlaps
+    * dedup by construction — no `distinct()` shuffle — and the exact
+    * predicate `lStart ≤ rEnd ∧ rStart ≤ lEnd` filters bin-only
+    * coincidences. Shuffle volume is O((|L|+|R|)·spanBins); choose
+    * `binWidth` near the median interval span. Interval columns must be
+    * numeric (cast dates to day numbers first); the two frames' column
+    * sets must be disjoint. */
+  def rangeJoinIntervals(
+      left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      binWidth: Long, maxBinsPerRange: Int = 10000): DataFrame = {
+    require(binWidth > 0)
+    require(maxBinsPerRange > 0)
+    def binned(df: DataFrame, s: String, e: String, label: String) =
+      df.withColumn("__sb", (col(s).cast("long") / binWidth).cast("long"))
+        .withColumn("__bin", explode(sequence(col("__sb"),
+          guardedEndBin(label, s, e, binWidth, maxBinsPerRange))))
+    val l = binned(left, lStart, lEnd, "rangeJoinIntervals(left)")
+      .withColumnRenamed("__sb", "__lsb")
+    val r = binned(right, rStart, rEnd, "rangeJoinIntervals(right)")
+      .withColumnRenamed("__sb", "__rsb")
+    l.join(r, Seq("__bin"))
+      .filter(col("__bin") === greatest(col("__lsb"), col("__rsb")))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("__bin", "__lsb", "__rsb")
+  }
+
+  /** Fail-fast guarded end bin shared by the range joins: a single range
+    * spanning ≫ binWidth bins would explode into an unbounded per-row
+    * blowup, so exceeding `maxBinsPerRange` raises with a tuning hint.
+    * The guard is folded into the sequence's end bound so it sits on the
+    * evaluated path and cannot be pruned away as an unused column. Null
+    * start/end stay a silent drop (sequence(null,..) → null → explode
+    * emits nothing), short-circuited BEFORE the guard: a null
+    * `endBin - startBin < max` is not-true and would otherwise fall
+    * through to raise_error. */
+  private def guardedEndBin(
+      op: String, startCol: String, endCol: String,
+      binWidth: Long, maxBinsPerRange: Int): Column = {
+    val startBin = (col(startCol).cast("long") / binWidth).cast("long")
+    val endBin = (col(endCol).cast("long") / binWidth).cast("long")
+    when(startBin.isNull || endBin.isNull, lit(null).cast("long"))
+      .when(endBin - startBin < lit(maxBinsPerRange.toLong), endBin)
+      .otherwise(raise_error(concat(
+        lit(s"$op: a range spans more than $maxBinsPerRange " +
+          "bins; raise binWidth toward the median range span " +
+          "(or maxBinsPerRange if the blowup is intended): span="),
+        (col(endCol).cast("long") - col(startCol).cast("long"))
+          .cast("string"))).cast("long"))
   }
 }

@@ -75,6 +75,26 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("interval-overlap join equals the naive theta join, no duplicate pairs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    def intervals(n: Int, pre: String) = (0 until n).map { i =>
+      val s = rng.nextInt(9000).toLong
+      (i.toLong, s, s + rng.nextInt(1200).toLong)
+    }.toDF(s"${pre}id", s"${pre}s", s"${pre}e")
+    val a = intervals(80, "a")
+    val b = intervals(60, "b")
+    val rows = TemporalJoins.rangeJoinIntervals(a, "as", "ae", b, "bs", "be", 500L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // no duplicate emissions despite multi-bin overlaps
+    assert(rows.length == rows.toSet.size, "pair emitted more than once")
+    val want = a.crossJoin(b)
+      .filter(col("as") <= col("be") && col("bs") <= col("ae"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.toSet == want)
+    assert(want.nonEmpty)
+  }
+
   test("range join silently drops null-bounded ranges, still fails fast on wide ones") {
     import spark.implicits._
     val points = Seq((1L, 100L)).toDF("pid", "p")
