@@ -42,4 +42,34 @@ class SketchSpec extends AnyFunSuite {
       approx_count_distinct(col("l_orderkey")).as("approx")).head()
     assert(math.abs(row.getLong(1).toDouble - row.getLong(0)) / row.getLong(0) < 0.05)
   }
+
+  test("count-min sketch: estimates are one-sided within eps*N (heavy hitters)") {
+    val li = Tables.lineitem(spark, dir)
+    val eps = 0.005
+    val cms = li.stat.countMinSketch(col("l_returnflag"),
+      eps = eps, confidence = 0.99, seed = 42)
+    val exact = li.groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    exact.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      assert(est >= c, s"count-min must never under-count: $k $est < $c")
+      assert(est <= c + (eps * n).toLong,
+        s"$k over-counted beyond the eps*N bound: $est vs $c")
+    }
+  }
+
+  test("bloom filter: zero false negatives, false-positive rate near fpp") {
+    val cust = Tables.customer(spark, dir)
+    val n = cust.count()
+    val bf = cust.stat.bloomFilter(col("c_custkey"), n, 0.03)
+    // every inserted key must hit
+    val misses = cust.select(col("c_custkey")).collect()
+      .count(r => !bf.mightContain(r.getLong(0)))
+    assert(misses == 0, s"$misses false negatives")
+    // disjoint probe keys: fp rate should be near the requested 3%
+    val probes = (1 to 20000).map(i => 10000000L + i)
+    val fp = probes.count(bf.mightContain).toDouble / probes.size
+    assert(fp < 0.09, s"false-positive rate $fp far above requested 0.03")
+  }
 }
