@@ -573,8 +573,15 @@ object Dedup {
           lit(spanWords))).as("__i"))
       .select(col("doc_id"), col("__i").as("pos"),
         concat_ws(" ", slice(toks, col("__i"), lit(spanWords))).as("span"))
-    val keyed = spans.select(col("doc_id"), col("pos"), col("span"),
-      md5(col("span")).as("__k"))
+    // the encoded order is only total while pos < 100000; a longer doc
+    // must fail fast, not silently misorder first-occurrence decisions
+    // (folded into the evaluated pos column so it cannot be pruned away)
+    val guardedPos = when(col("pos") < 100000L, col("pos"))
+      .otherwise(raise_error(lit(
+        "spanDedup: document exceeds 100000 tokens; switch the " +
+          "(doc, pos) encoding factor or min over a struct")).cast("long"))
+    val keyed = spans.select(col("doc_id"), guardedPos.as("pos"),
+      col("span"), md5(col("span")).as("__k"))
     // globally-first occurrence per distinct span: one narrow aggregation
     // over (digest, encoded (doc,pos)) — the encoding is a single long so
     // the min is a partial-aggregated primitive, not a struct compare
