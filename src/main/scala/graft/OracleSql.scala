@@ -335,6 +335,11 @@ object OracleSql {
     FROM events e ASOF LEFT JOIN orders o
       ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"""
 
+  private val q80 = """
+    SELECT e.event_id, strftime(o.o_orderdate, '%Y-%m-%d') AS next_order_date
+    FROM events e ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate"""
+
   private val q37 = """
     SELECT event_id, c_custkey FROM events JOIN customer
       ON value >= c_acctbal AND value <= c_acctbal + 50.0"""
@@ -1168,6 +1173,7 @@ object OracleSql {
     "q76_substring_dup" -> q76,
     "q77_span_dedup" -> q77,
     "q78_shard_pack" -> q78,
-    "q79_interval_join" -> q79
+    "q79_interval_join" -> q79,
+    "q80_asof_forward" -> q80
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

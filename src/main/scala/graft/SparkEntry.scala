@@ -763,6 +763,19 @@ object SparkEntry {
           greatest(col("a_start"), col("b_start")) + 1).as("overlap_days"))
   }
 
+  /** As-of join (forward): earliest order at-or-after each event, per
+    * user — oracled against DuckDB's native forward ASOF JOIN. Mirror of
+    * [[q36AsofJoin]]; only the matched DATE is projected so equal-date
+    * ties collapse to one value. */
+  def q80AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val o = t(s, dir, "orders").select(
+      col("o_custkey").as("user_id"), col("o_orderdate"))
+    operators.TemporalJoins.asofJoinForward(e, o, "user_id", "ts", "o_orderdate")
+      .select(col("event_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("next_order_date"))
+  }
+
   /** Multimodal plumbing demo: binary payload column + deterministic
     * metadata extraction (decode stub lives in
     * [[graft.operators.Multimodal]]; here the SQL-expressible metadata
@@ -1232,7 +1245,8 @@ object SparkEntry {
     "q76_substring_dup" -> (q76SubstringDup _),
     "q77_span_dedup" -> (q77SpanDedup _),
     "q78_shard_pack" -> (q78ShardPack _),
-    "q79_interval_join" -> (q79IntervalJoin _))
+    "q79_interval_join" -> (q79IntervalJoin _),
+    "q80_asof_forward" -> (q80AsofForward _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

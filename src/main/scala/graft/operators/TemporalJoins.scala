@@ -28,7 +28,28 @@ object TemporalJoins {
   def asofJoinBackward(
       left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None): DataFrame =
+    asofJoin(left, right, key, leftTime, rightTime, tolerance,
+      forward = false)
+
+  /** As-of join (forward): for every left row, attach the EARLIEST right
+    * row whose `rightTime` ≥ `leftTime`, per join key — the mirror of
+    * [[asofJoinBackward]] (same single-shuffle union+window plan, time
+    * traversed descending). An exact-time match is taken; among
+    * equal-timestamp right rows the struct-min row wins (the mirror of
+    * backward's struct-max). `tolerance` nulls matches farther than
+    * `leftTime + tolerance`. */
+  def asofJoinForward(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      tolerance: Option[Long] = None): DataFrame =
+    asofJoin(left, right, key, leftTime, rightTime, tolerance,
+      forward = true)
+
+  private def asofJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      tolerance: Option[Long], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightCols = right.columns.filterNot(c => c == key).toSeq
 
@@ -49,10 +70,17 @@ object TemporalJoins {
       struct(rightCols.map(col): _*).as("__r"))
     val lPadded = l.withColumn("__r", lit(null).cast(r.schema("__r").dataType))
 
-    // __r as the final sort key makes ties on (time, side) deterministic:
-    // among equal-timestamp right rows the struct-max row wins
+    // backward walks time ascending (last non-null __r = latest earlier
+    // right row); forward walks it descending (last non-null = earliest
+    // later right row). Right rows sort before left rows at equal time in
+    // BOTH directions, so exact-time matches are always taken. __r as the
+    // final sort key makes ties among equal-timestamp right rows
+    // deterministic: struct-max wins backward, struct-min forward.
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc, col("__r").asc)
+      .orderBy(
+        (if (forward) col("__t").desc else col("__t").asc),
+        col("__side").asc,
+        (if (forward) col("__r").desc else col("__r").asc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val picked = lPadded.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
@@ -61,6 +89,8 @@ object TemporalJoins {
       .filter(col("__side") === 1)
 
     val withTol = tolerance match {
+      case Some(tol) if forward => picked.withColumn("__match",
+        when(col("__match_t") <= col("__t") + tol, col("__match")))
       case Some(tol) => picked.withColumn("__match",
         when(col("__match_t") >= col("__t") - tol, col("__match")))
       case None => picked

@@ -26,6 +26,47 @@ class TemporalJoinsSpec extends AnyFunSuite {
       ("B", 15L, "t3", None)))      // B's only quote is later
   }
 
+  test("as-of forward join picks the earliest later (or equal) right row") {
+    import spark.implicits._
+    val trades = Seq(
+      ("A", 10L, "t1"), ("A", 20L, "t2"), ("A", 99L, "t9"), ("B", 15L, "t3"))
+      .toDF("sym", "ts", "trade")
+    val quotes = Seq(
+      ("A", 8L, 1.0), ("A", 10L, 2.0), ("A", 19L, 3.0), ("B", 5L, 9.0))
+      .toDF("sym", "qts", "px")
+    val got = TemporalJoins.asofJoinForward(trades, quotes, "sym", "ts", "qts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    assert(got == Set(
+      ("A", 10L, "t1", Some(2.0)),  // equal-time quote matches
+      ("A", 20L, "t2", None),       // latest quote is 19 < 20
+      ("A", 99L, "t9", None),
+      ("B", 15L, "t3", None)))      // B's only quote is earlier
+  }
+
+  test("as-of forward join matches brute force on random data (with tolerance)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val lefts = (0 until 200).map(i =>
+      ("k" + rng.nextInt(5), rng.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "lt", "lid")
+    val rights = (0 until 150).map(i =>
+      ("k" + rng.nextInt(5), rng.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "rt", "rid")
+    val got = TemporalJoins.asofJoinForward(lefts, rights, "k", "lt", "rt",
+        tolerance = Some(100L))
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.get(4)).map(_ => r.getAs[Long]("rt"))).toMap
+    val rightRows = rights.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    lefts.collect().foreach { l =>
+      val (k, lt, lid) = (l.getString(0), l.getLong(1), l.getLong(2))
+      val want = rightRows.filter(r => r._1 == k && r._2 >= lt && r._2 <= lt + 100)
+        .map(_._2).sorted.headOption
+      assert(got(lid) == want, s"lid=$lid k=$k lt=$lt")
+    }
+  }
+
   test("as-of join respects tolerance") {
     import spark.implicits._
     val l = Seq(("A", 100L, "x")).toDF("k", "ts", "v")
