@@ -56,6 +56,38 @@ object SketchParams {
   object q78 {
     val maxTokensPerShard = 2000L
   }
+  /** q81 SemDeDup semantic dedup: cluster count, coordinate quantization
+    * scale, cosine dup threshold, the perturbation and id offset that
+    * build the near-dup twin corpus. */
+  object q81 {
+    val nlist = 8; val scale = 1000; val threshold = 0.99
+    val perturb = 0.0005; val idOffset = 1000000L
+  }
+  /** q82 mixture sampling: md5-Bernoulli resolution, seed, and the
+    * per-macro-source target rates (source name mod 3 buckets). */
+  object q82 {
+    val seed = 7; val resolution = 1000000L; val grpMod = 3
+    val rates: Map[String, Double] =
+      Map("web" -> 0.25, "books" -> 0.75, "code" -> 0.5)
+  }
+  /** q83 int8-quantized ANN: quantization levels, top-k, query filter. */
+  object q83 {
+    val levels = 127; val k = 10; val maxQueryId = 8
+  }
+  /** q84 KMV distinct sketch: sketch size and hash seed. */
+  object q84 {
+    val k = 64; val seed = 11
+  }
+  /** q85 overlapping chunking: window chars and stride. */
+  object q85 {
+    val width = 120; val stride = 90
+  }
+  /** q86 domain gating: dup-injection split (doc_id % dupMod re-added
+    * under idOffset) and the (unique fraction, mean chars) gate. */
+  object q86 {
+    val dupMod = 7; val idOffset = 1000000L
+    val minUniqueFrac = 0.8; val minAvgChars = 290.0
+  }
 }
 
 object OracleSql {

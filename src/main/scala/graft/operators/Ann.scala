@@ -234,6 +234,44 @@ object Ann {
     if (((d(0) >> 4) & 0xf) < 8) 1L else -1L
   }
 
+  /** Floor quantization of a float/double vector to longs at `scale` —
+    * the integer domain every portable kernel scores in (exact double
+    * widen → ·scale → floor; zero float-rounding risk across engines). */
+  private[operators] def quantizeVec(v: Column, scale: Int): Column =
+    transform(v, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors — both engines
+    * compute the identical BIGINT. */
+  private[operators] def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, d) => acc + d)
+
+  /** Deterministic coarse quantizer shared by the portable IVF / semantic
+    * dedup paths: the `nlist` quantized corpus vectors with the smallest
+    * (60-bit md5("<id>:ivf") prefix, id) — a hash-sample an external
+    * engine can re-derive; only nlist×dim longs reach the driver. */
+  private[operators] def portableCentroids(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, scale: Int): Seq[Seq[Long]] = corpus
+    .select(col(idCol).as("__id"), quantizeVec(col(vecCol), scale).as("__q"))
+    .withColumn("__key",
+      conv(substring(md5(concat(col("__id").cast("string"), lit(":ivf"))),
+        1, 15), 16, 10).cast("long"))
+    .orderBy(col("__key"), col("__id"))
+    .limit(nlist)
+    .select(col("__q")).collect()
+    .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+
+  /** (integer squared-L2 distance, centroid index) structs sorted
+    * ascending — ties to the lower index. Exact, engine-agnostic. */
+  private[operators] def centroidSortedDists(
+      centroids: Seq[Seq[Long]], v: Column): Column = {
+    def sqDist(c: Seq[Long]): Column =
+      aggregate(zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d)
+    array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(c).as("d"), lit(i).as("i")) }: _*))
+  }
+
   /** Packed sign-bit signature over floor-quantized coordinates: bit j =
     * (Σ_i floor(v_i·scale)·sign(j,i)) > 0. Quantization (exact double
     * widen → ·scale → floor) and the ±1 dot product are INTEGER
@@ -272,27 +310,9 @@ object Ann {
       k: Int, nlist: Int = 8, nprobe: Int = 3, scale: Int = 1000,
       excludeSelf: Boolean = true): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "1 <= nprobe <= nlist")
-    def quantize(v: Column): Column =
-      transform(v, x => floor(x.cast("double") * scale).cast("long"))
-    // deterministic quantizer: nlist quantized vectors with the smallest
-    // (md5("<id>:ivf") prefix, id) — only nlist×dim longs reach the driver
-    val centroids: Seq[Seq[Long]] = corpus
-      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
-      .withColumn("__key",
-        conv(substring(md5(concat(col("__id").cast("string"), lit(":ivf"))),
-          1, 15), 16, 10).cast("long"))
-      .orderBy(col("__key"), col("__id"))
-      .limit(nlist)
-      .select(col("__q")).collect()
-      .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
-    // integer squared L2 to a literal centroid (exact, engine-agnostic)
-    def sqDist(v: Column, c: Seq[Long]): Column =
-      aggregate(zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
-    // (dist, index) structs sorted ascending — ties to the lower index
-    def sortedDists(v: Column): Column =
-      array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(sqDist(v, c).as("d"), lit(i).as("i")) }: _*))
+    def quantize(v: Column): Column = quantizeVec(v, scale)
+    val centroids = portableCentroids(corpus, vecCol, idCol, nlist, scale)
+    def sortedDists(v: Column): Column = centroidSortedDists(centroids, v)
     val lists = corpus.select(col(idCol).as("neighbor_id"),
         quantize(col(vecCol)).as("__cq"))
       .withColumn("__list",
@@ -304,10 +324,6 @@ object Ann {
           1, nprobe))
       .select(col("query_id"), col("__qq"),
         explode(col("__probe")).as("__list"))
-    // exact integer dot product of two quantized vectors — both engines
-    // compute the identical BIGINT
-    def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, d) => acc + d)
     val scored = lists.join(broadcast(probed), Seq("__list"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
         else lit(true))
@@ -354,5 +370,86 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space with the deterministic coarse quantizer,
+    * then WITHIN each cluster mark a vector as a duplicate when a
+    * lower-id cluster-mate has cosine similarity >= `threshold` — the
+    * lowest id in each semantic near-dup group survives.
+    *
+    * Scale shape: candidate generation is an equi-join on the cluster id,
+    * never an all-pairs product; per-vector norms are computed ONCE in the
+    * cluster-assignment projection (not per candidate pair); the pair list
+    * carries only (id, quantized vec, norm). Cluster population is bounded
+    * by choosing `nlist` ∝ corpus size (SemDeDup's own knob) — at 100 TB
+    * the quantizer comes from [[kmeansCentroids]] and `nlist` is large;
+    * the assignment/prune shape is identical.
+    *
+    * Fully engine-portable: assignment is integer squared-L2 over
+    * floor-quantized coordinates, and the cosine ordering key is the q68
+    * bit-reproducible chain (exact integer dot/norms, then one double
+    * multiply/sqrt/divide). Output: (vec_id, list_id, is_dup). */
+  def semanticDedupPortable(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, nlist: Int = 8, scale: Int = 1000): DataFrame = {
+    val centroids = portableCentroids(corpus, vecCol, idCol, nlist, scale)
+    val lists = corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        quantizeVec(col(vecCol), scale).as("__q"))
+      .withColumn("list_id",
+        element_at(centroidSortedDists(centroids, col("__q")), 1)
+          .getField("i").cast("long"))
+      .withColumn("__n", idot(col("__q"), col("__q")))
+    val a = lists.select(col("vec_id").as("__a_id"), col("__q").as("__aq"),
+      col("__n").as("__an"), col("list_id"))
+    val b = lists.select(col("vec_id").as("__b_id"), col("__q").as("__bq"),
+      col("__n").as("__bn"), col("list_id"))
+    val dups = a.join(b, Seq("list_id"))
+      .filter(col("__a_id") < col("__b_id"))
+      .withColumn("cosine",
+        idot(col("__aq"), col("__bq")).cast("double") /
+          sqrt(col("__an").cast("double") * col("__bn").cast("double")))
+      .filter(col("cosine") >= threshold)
+      .select(col("__b_id").as("vec_id")).distinct()
+    lists.select(col("vec_id"), col("list_id"))
+      .join(dups.withColumn("__dup", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
+  /** Scalar-quantized (int8-style) exact top-k: every coordinate is floor
+    * quantized to `levels` (default 127 → values fit a signed byte), and
+    * ALL scoring runs in the integer domain — the memory/bandwidth story
+    * at 100 TB is 4× fewer bytes per vector in the scored corpus (1 byte
+    * vs float4 per dim; here carried as longs because Spark arrays are
+    * boxed either way, but a columnar store would pack bytes), with
+    * ranking by cosine over the quantized values. Engine-portable by the
+    * same argument as [[ivfTopKPortable]]: exact integer dot/norms, one
+    * identical-shape double chain for the ordering key. Output includes
+    * the exact integer dot (`qdot`) so the oracle verifies the integer
+    * kernel itself, not only the rank. */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String,
+      k: Int, levels: Int = 127, excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        quantizeVec(col(vecCol), levels).as("__cq"))
+      .withColumn("__cn", idot(col("__cq"), col("__cq")))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        quantizeVec(col(vecCol), levels).as("__qq"))
+      .withColumn("__qn", idot(col("__qq"), col("__qq")))
+    val scored = c.join(broadcast(q),
+        if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("qdot", idot(col("__qq"), col("__cq")))
+      .withColumn("cosine",
+        col("qdot").cast("double") /
+          sqrt(col("__qn").cast("double") * col("__cn").cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "qdot")
   }
 }

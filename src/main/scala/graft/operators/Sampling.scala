@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.BottomK
+import graft.functions.{BottomK, KmvSketch}
 
 /** Deterministic sampling for training-data pipelines, built on the
   * [[graft.functions.BottomK]] bounded-state aggregate: sample = the k
@@ -45,4 +45,51 @@ object Sampling {
       .agg(BottomK.bottom_k(key, col(idCol), k).as("sample"))
       .select(col(groupCol), explode(col("sample")).as("s"))
       .select(col(groupCol), col("s.value").cast("long").as(idCol))
+
+  /** Deterministic source-mixture sampling — the training-data "mixing"
+    * primitive (sample each source at its target rate to hit a corpus
+    * recipe, as in The Pile / Dolma): keep a row iff
+    * `portableKey(id, seed) mod resolution < floor(rate(group)·resolution)`.
+    *
+    * Purely map-side (no shuffle, no `rand()` re-execution hazard): the
+    * keep decision is a deterministic function of (id, seed), so retries,
+    * re-runs, and an external oracle all select the identical subset, and
+    * the realized rate converges to the target at 1/sqrt(n) per source.
+    * Rates are resolved to integer thresholds once on the driver; unknown
+    * groups drop (threshold 0). */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+      rates: Map[String, Double], seed: Int = 7,
+      resolution: Long = 1000000L): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val thresholds = rates.map { case (g, r) =>
+      g -> math.floor(r * resolution).toLong }
+    val thresholdExpr = thresholds.foldLeft(lit(0L)) { case (acc, (g, t)) =>
+      when(col(groupCol) === lit(g), lit(t)).otherwise(acc) }
+    df.filter(portableKey(col(idCol), seed) % resolution < thresholdExpr)
+  }
+
+  /** Per-group approximate distinct count via the [[KmvSketch]] bounded
+    * k-minimum-values sketch: exact when the group holds < k distinct
+    * values (the sketch simply contains them all), otherwise the standard
+    * KMV estimator (k-1)·2^60 / R_k with ~1/sqrt(k-2) relative error.
+    * The `exact_distinct` column is the verification twin (an exact
+    * distinct aggregate) — at 100 TB you'd emit only the sketch columns
+    * and skip that shuffle-heavy exact pass. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int, seed: Int = 42): DataFrame = {
+    // (k-1)·2^60 as one exact double literal (63·2^60 has a 6-bit
+    // mantissa) — the oracle SQL embeds the identical literal
+    val numer = (k - 1).toDouble * math.pow(2, 60)
+    df.groupBy(col(groupCol))
+      .agg(
+        KmvSketch.kmv_sketch(portableKey(col(valueCol), seed), k).as("__sk"),
+        countDistinct(col(valueCol)).as("exact_distinct"))
+      .select(col(groupCol),
+        col("exact_distinct"),
+        size(col("__sk")).cast("long").as("sketch_size"),
+        when(size(col("__sk")) < k, size(col("__sk")).cast("double"))
+          .otherwise(lit(numer) / element_at(col("__sk"), k).cast("double"))
+          .as("est_distinct"))
+  }
 }

@@ -245,6 +245,60 @@ object TextAnalysis {
         stopwordsPresent >= minStopwords).as("keep"))
   }
 
+  /** RAG-style overlapping character chunking: fixed `width` windows
+    * every `stride` chars (stride < width ⇒ overlap of width−stride), one
+    * chunk for docs shorter than `width`, with 1-based char offsets so a
+    * retriever can map hits back into the source. Map-only: an
+    * index-explode over `sequence(0, nChunks-1)` plus `substr` — no
+    * shuffle, fuses into the scan, and at 100 TB parallelism is the scan
+    * partitioning (a doc's chunks stay in its partition). Chunk-count
+    * arithmetic is explicit floor-of-division so an external engine
+    * reproduces the window layout bit-for-bit. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    val len = length(col(textCol))
+    // ceil((len-width)/stride) extra chunks after the first, floored at 0
+    val lastIdx = greatest(lit(0),
+      floor((len - lit(width) + lit(stride - 1)).cast("double") / stride)
+        .cast("int"))
+    docs.select(col(idCol), col(textCol), lastIdx.as("__last"))
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0), col("__last"))).as("chunk_idx"))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride + 1).cast("long").as("chunk_start"),
+        col(textCol).substr(col("chunk_idx") * stride + 1, lit(width))
+          .as("chunk"))
+      .withColumn("chunk_chars", length(col("chunk")).cast("long"))
+  }
+
+  /** Domain/source-level curation stats (the RefinedWeb-style "judge the
+    * site, not just the page" pass): per domain, document count, distinct
+    * content count (md5 of the text — exact dedup's digest), mean doc
+    * length, and a `passed` gate on (unique fraction, mean length).
+    * One narrow shuffle on the domain key; the per-domain state is a few
+    * counters, so a 100 TB corpus with millions of domains aggregates
+    * with map-side partials and no skew concern beyond AQE's reach.
+    * `avg_chars`/`unique_frac` are single divisions of exact integer
+    * aggregates — bit-identical across engines. */
+  def domainStats(docs: DataFrame, domainCol: String, textCol: String,
+      minUniqueFrac: Double, minAvgChars: Double): DataFrame =
+    docs.groupBy(col(domainCol).as("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col(textCol))).as("n_unique"),
+        sum(length(col(textCol)).cast("long")).as("total_chars"))
+      .select(col("domain"), col("n_docs"), col("n_unique"),
+        (col("total_chars").cast("double") / col("n_docs").cast("double"))
+          .as("avg_chars"),
+        (col("n_unique").cast("double") / col("n_docs").cast("double"))
+          .as("unique_frac"))
+      .withColumn("passed",
+        col("unique_frac") >= minUniqueFrac &&
+          col("avg_chars") >= minAvgChars)
+
   /** One-pass corpus profile: all metrics as columns. */
   def profile(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
