@@ -61,7 +61,7 @@ object SketchParams {
     * build the near-dup twin corpus. */
   object q81 {
     val nlist = 8; val scale = 1000; val threshold = 0.99
-    val perturb = 0.0005; val idOffset = 1000000L
+    val perturb = 0.0005; val idOffset = 1000000L; val twinMod = 4
   }
   /** q82 mixture sampling: md5-Bernoulli resolution, seed, and the
     * per-macro-source target rates (source name mod 3 buckets). */
@@ -676,6 +676,194 @@ object OracleSql {
     WHERE rank <= ${p.k}"""
   }
 
+  /** Exact integer dot product over two BIGINT list columns — the SQL
+    * twin of `Ann.idot`. */
+  private def idotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+
+  /** SemDeDup semantic dedup (q81): corpus ∪ perturbed twins, portable
+    * md5-sampled centroids, exact integer L2 assignment, in-cluster
+    * pairs at integer-exact cosine ≥ threshold → keep-min-id. Mirrors
+    * q68's CTE structure; the SQL twin of `Dedup.semanticDedup`. */
+  private def q81: String = {
+    val p = SketchParams.q81
+    s"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + ${p.idOffset} AS vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE) + ${p.perturb}) AS v
+      FROM embeddings WHERE vec_id % ${p.twinMod} = 0
+    ), cvecs AS (
+      SELECT vec_id,
+        list_transform(v, x -> CAST(floor(x * ${p.scale}) AS BIGINT)) AS q
+      FROM corpus
+    ), cent AS (
+      SELECT rn - 1 AS ci, cq FROM (
+        SELECT q AS cq, row_number() OVER (ORDER BY
+          ('0x' || substr(md5(vec_id::VARCHAR || ':ivf'), 1, 15))::BIGINT,
+          vec_id) AS rn
+        FROM cvecs) WHERE rn <= ${p.nlist}
+    ), dists AS (
+      SELECT c.vec_id, ct.ci,
+        list_sum(list_transform(generate_series(1, len(c.q)),
+          i -> (c.q[i] - ct.cq[i]) * (c.q[i] - ct.cq[i]))) AS d
+      FROM cvecs c CROSS JOIN cent ct
+    ), assign AS (
+      SELECT vec_id, ci AS cluster FROM (
+        SELECT vec_id, ci,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+        FROM dists) WHERE rn = 1
+    ), pairs AS (
+      SELECT b.vec_id AS dup_id, a.vec_id AS keep_id, a.cluster
+      FROM assign a JOIN assign b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    )
+    SELECT p.dup_id, MIN(p.keep_id) AS keeper_id,
+      CAST(p.cluster AS BIGINT) AS cluster
+    FROM pairs p
+      JOIN cvecs qa ON qa.vec_id = p.keep_id
+      JOIN cvecs qb ON qb.vec_id = p.dup_id
+    WHERE CAST(${idotSql("qa.q", "qb.q")} AS DOUBLE) /
+        sqrt(CAST(${idotSql("qa.q", "qa.q")} AS DOUBLE) *
+          CAST(${idotSql("qb.q", "qb.q")} AS DOUBLE)) >= ${p.threshold}
+    GROUP BY p.dup_id, p.cluster"""
+  }
+
+  /** Mixture sampling (q82): md5-Bernoulli keep per macro-source at the
+    * configured rates — the SQL twin of `Sampling.mixtureSample`. The
+    * CASE thresholds are generated from the SAME rate map as the Spark
+    * call. */
+  private def q82: String = {
+    val p = SketchParams.q82
+    val cases = p.rates.toSeq.sortBy(_._1).map { case (g, r) =>
+      s"WHEN '$g' THEN ${math.floor(r * p.resolution).toLong}"
+    }.mkString(" ")
+    s"""
+    WITH d AS (
+      SELECT doc_id,
+        (['web', 'books', 'code'])[
+          (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % ${p.grpMod}) + 1
+        ] AS macro_source
+      FROM documents)
+    SELECT doc_id, macro_source FROM d
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':${p.seed}'), 1, 15))::BIGINT
+        % ${p.resolution} <
+      CASE macro_source $cases ELSE 0 END"""
+  }
+
+  /** Quantized brute-force ANN (q83): floor quantization to `levels`,
+    * exact integer dots (emitted as `qdot`), cosine rank — the SQL twin
+    * of `Ann.quantizedTopK`. */
+  private def q83: String = {
+    val p = SketchParams.q83
+    s"""
+    WITH q AS (
+      SELECT vec_id, list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * ${p.levels}) AS BIGINT)) AS qv
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, qv, ${idotSql("qv", "qv")} AS nrm FROM q)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+      CAST(qdot AS BIGINT) AS qdot
+    FROM (
+      SELECT qn.vec_id AS query_id, cn.vec_id AS neighbor_id,
+        ${idotSql("qn.qv", "cn.qv")} AS qdot,
+        row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+          CAST(${idotSql("qn.qv", "cn.qv")} AS DOUBLE) /
+            sqrt(CAST(qn.nrm AS DOUBLE) * CAST(cn.nrm AS DOUBLE)) DESC,
+          cn.vec_id) AS rank
+      FROM n qn JOIN n cn ON cn.vec_id != qn.vec_id
+      WHERE qn.vec_id < ${p.maxQueryId})
+    WHERE rank <= ${p.k}"""
+  }
+
+  /** KMV distinct sketch (q84): the k-th smallest distinct md5 key per
+    * group and the identical (k-1)·2^60 / R_k estimator — the SQL twin
+    * of `Sampling.kmvDistinct`. 1152921504606846976 = 2^60, exactly
+    * representable as DOUBLE, so the numerator literal is the same IEEE
+    * value the Scala side computes. */
+  private def q84: String = {
+    val p = SketchParams.q84
+    s"""
+    WITH keys AS (
+      SELECT o_orderpriority,
+        ('0x' || substr(md5(o_custkey::VARCHAR || ':${p.seed}'), 1, 15))::BIGINT
+          AS key,
+        o_custkey
+      FROM orders
+    ), dk AS (SELECT DISTINCT o_orderpriority, key FROM keys),
+    rk AS (
+      SELECT o_orderpriority, key,
+        row_number() OVER (PARTITION BY o_orderpriority ORDER BY key) AS rn
+      FROM dk
+    ), sk AS (
+      SELECT o_orderpriority, COUNT(*) AS sketch_size,
+        MAX(CASE WHEN rn = ${p.k} THEN key END) AS rk_k
+      FROM rk WHERE rn <= ${p.k} GROUP BY o_orderpriority
+    ), ex AS (
+      SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_distinct
+      FROM keys GROUP BY o_orderpriority)
+    SELECT ex.o_orderpriority,
+      CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+      CAST(sk.sketch_size AS BIGINT) AS sketch_size,
+      CASE WHEN sk.sketch_size < ${p.k} THEN CAST(sk.sketch_size AS DOUBLE)
+        ELSE (${p.k - 1}.0 * 1152921504606846976.0) / CAST(sk.rk_k AS DOUBLE)
+      END AS est_distinct
+    FROM ex JOIN sk USING (o_orderpriority)"""
+  }
+
+  /** Overlapping character chunking (q85): fixed windows every `stride`
+    * chars over normalized text — the SQL twin of
+    * `TextAnalysis.chunkDocuments` (explicit floor-of-division chunk
+    * count, inclusive generate_series). */
+  private def q85: String = {
+    val p = SketchParams.q85
+    s"""
+    WITH d AS (
+      SELECT doc_id, ${normSql("text")} AS text FROM documents
+    ), m AS (
+      SELECT doc_id, text, length(text) AS n,
+        CASE WHEN length(text) <= ${p.width} THEN 0
+          ELSE (length(text) - ${p.width} + ${p.stride - 1}) // ${p.stride}
+        END AS last_idx
+      FROM d)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      CAST(i * ${p.stride} + 1 AS BIGINT) AS chunk_start,
+      substr(text, CAST(i * ${p.stride} + 1 AS INT), ${p.width}) AS chunk,
+      CAST(length(substr(text, CAST(i * ${p.stride} + 1 AS INT), ${p.width}))
+        AS BIGINT) AS chunk_chars
+    FROM m, unnest(generate_series(0, last_idx)) AS t(i)"""
+  }
+
+  /** Domain curation gate (q86): per-source doc/unique counts and the
+    * (unique fraction, mean chars) gate over the dup-injected corpus —
+    * the SQL twin of `TextAnalysis.domainStats`. Single divisions of
+    * exact integer aggregates; bit-identical across engines. */
+  private def q86: String = {
+    val p = SketchParams.q86
+    s"""
+    WITH corpus AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      SELECT source, text FROM documents WHERE doc_id % ${p.dupMod} = 0
+    ), a AS (
+      SELECT source AS domain, COUNT(*) AS n_docs,
+        COUNT(DISTINCT md5(text)) AS n_unique,
+        SUM(length(text)) AS total_chars
+      FROM corpus GROUP BY source)
+    SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+      CAST(n_unique AS BIGINT) AS n_unique,
+      CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_chars,
+      CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS unique_frac,
+      (CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          >= ${p.minUniqueFrac})
+        AND (CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          >= ${p.minAvgChars}) AS passed
+    FROM a"""
+  }
+
   /** Salted fuzzy join (q69): the oracle is the UNSALTED blocked join +
     * per-left-row argmax — the salt is an internal plan rewrite with
     * identical results by construction (same adjudication as q60's salted
@@ -1183,6 +1371,12 @@ object OracleSql {
         CAST(t.cnt AS DOUBLE) / a.n_ngrams AS top_ngram_frac,
         CAST(a.dup_chars AS DOUBLE) / NULLIF(a.gram_chars, 0) AS dup_char_frac
       FROM agg a JOIN top t ON a.doc_id = t.doc_id AND t.rn = 1""",
+    "q81_semantic_dedup" -> q81,
+    "q82_mixture_sample" -> q82,
+    "q83_quantized_topk" -> q83,
+    "q84_kmv_distinct" -> q84,
+    "q85_doc_chunks" -> q85,
+    "q86_domain_gate" -> q86,
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,

@@ -1165,6 +1165,98 @@ object SparkEntry {
   def q72BigramRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.ngramRepetitionStats(t(s, dir, "documents"), "text", "doc_id", 2)
 
+  /** SemDeDup semantic dedup ([[graft.operators.Dedup.semanticDedup]]):
+    * the full embedding corpus plus a perturbed twin of every 4th vector
+    * (each coordinate shifted by `perturb` — cosine ≈ 1 to its source),
+    * clustered by the portable coarse quantizer; in-cluster pairs at
+    * cosine ≥ threshold drop the higher id. The DuckDB oracle replicates
+    * clustering AND the integer-exact cosine, so the whole SemDeDup
+    * pipeline is hash-compared. Params from [[SketchParams.q81]]. */
+  def q81SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q81
+    val emb = t(s, dir, "embeddings")
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val twins = emb.filter(col("vec_id") % p.twinMod === 0)
+      .select((col("vec_id") + p.idOffset).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + p.perturb).as("embedding"))
+    Dedup.semanticDedup(base.unionByName(twins), "embedding", "vec_id",
+      p.threshold, p.nlist, p.scale)
+  }
+
+  /** Mixture/domain-weighted sampling
+    * ([[graft.operators.Sampling.mixtureSample]]): documents are mapped
+    * to three macro-sources (source index mod 3 → web/books/code) and
+    * kept with per-macro-source rates via the md5-derived Bernoulli —
+    * the map-only deterministic downsampling a training-mix config
+    * compiles to. Params from [[SketchParams.q82]]. */
+  def q82MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q82
+    val macroSrc = element_at(
+      array(lit("web"), lit("books"), lit("code")),
+      (regexp_extract(col("source"), "(\\d+)", 1).cast("int") % p.grpMod) + 1)
+    operators.Sampling.mixtureSample(
+      t(s, dir, "documents")
+        .select(col("doc_id"), macroSrc.as("macro_source")),
+      "doc_id", "macro_source", p.rates, p.seed, p.resolution)
+  }
+
+  /** Int8-style quantized brute-force ANN
+    * ([[graft.operators.Ann.quantizedTopK]]): corpus and queries floor-
+    * quantized to `levels` integer steps, exact integer dot products
+    * (surfaced as `qdot` so the oracle verifies the kernel, not only the
+    * rank), cosine-ranked top-k. Params from [[SketchParams.q83]]. */
+  def q83QuantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q83
+    val emb = t(s, dir, "embeddings")
+    Ann.quantizedTopK(emb, emb.filter(col("vec_id") < p.maxQueryId),
+        "embedding", "vec_id", "vec_id", p.k, p.levels)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("qdot"))
+  }
+
+  /** KMV distinct-count sketch
+    * ([[graft.operators.Sampling.kmvDistinct]]): per order-priority, the
+    * bounded k-minimum-values estimate of distinct customers next to the
+    * exact count — the oracle recomputes the k-th smallest md5 key and
+    * the identical estimator expression. Params from
+    * [[SketchParams.q84]]. */
+  def q84KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q84
+    operators.Sampling.kmvDistinct(t(s, dir, "orders"),
+      "o_orderpriority", "o_custkey", p.k, p.seed)
+  }
+
+  /** RAG-style overlapping character chunking
+    * ([[graft.operators.TextAnalysis.chunkDocuments]]): fixed-width
+    * windows every `stride` chars over normalized text with 1-based
+    * offsets — map-only, fuses into the scan. Params from
+    * [[SketchParams.q85]]. */
+  def q85DocChunks(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q85
+    TextAnalysis.chunkDocuments(
+      t(s, dir, "documents")
+        .select(col("doc_id"), normText(col("text")).as("text")),
+      "doc_id", "text", p.width, p.stride)
+  }
+
+  /** Domain-level curation gate
+    * ([[graft.operators.TextAnalysis.domainStats]]): per source, doc
+    * count / distinct-content count / mean length and a (unique
+    * fraction, mean chars) gate, over the corpus with every `dupMod`-th
+    * document re-injected as an exact duplicate — the RefinedWeb-style
+    * "judge the site" pass. Params from [[SketchParams.q86]]. */
+  def q86DomainGate(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q86
+    val docs = t(s, dir, "documents").select(col("source"), col("text"))
+    val dups = t(s, dir, "documents")
+      .filter(col("doc_id") % p.dupMod === 0)
+      .select(col("source"), col("text"))
+    TextAnalysis.domainStats(docs.unionByName(dups), "source", "text",
+      p.minUniqueFrac, p.minAvgChars)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1246,7 +1338,13 @@ object SparkEntry {
     "q77_span_dedup" -> (q77SpanDedup _),
     "q78_shard_pack" -> (q78ShardPack _),
     "q79_interval_join" -> (q79IntervalJoin _),
-    "q80_asof_forward" -> (q80AsofForward _))
+    "q80_asof_forward" -> (q80AsofForward _),
+    "q81_semantic_dedup" -> (q81SemanticDedup _),
+    "q82_mixture_sample" -> (q82MixtureSample _),
+    "q83_quantized_topk" -> (q83QuantizedTopK _),
+    "q84_kmv_distinct" -> (q84KmvDistinct _),
+    "q85_doc_chunks" -> (q85DocChunks _),
+    "q86_domain_gate" -> (q86DomainGate _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

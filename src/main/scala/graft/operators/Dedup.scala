@@ -652,4 +652,57 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster embeddings with a coarse quantizer, compare pairs ONLY
+    * within a cluster, and drop every member whose cosine to a lower-id
+    * member reaches `cosineThreshold` (keep-min-id policy). Returns the
+    * dropped rows as (dup_id, keeper_id, cluster) where `keeper_id` is
+    * the smallest qualifying in-cluster neighbor.
+    *
+    * Engine-portable by construction: assignment uses
+    * [[Ann.portableCentroids]] (md5-hash-sampled, exact integer squared
+    * L2 over floor-quantized coordinates) and the pair cosine is the
+    * same integer-dot / shape-identical-double chain as
+    * [[Ann.ivfTopKPortable]], so an external engine reproduces cluster
+    * membership AND the threshold comparison bit-for-bit.
+    *
+    * Scale: the in-cluster self-join is Σ|cluster|² — SemDeDup's
+    * published trade-off. `nlist` must grow with the corpus (the paper
+    * uses ~10⁴–10⁵ clusters at web scale) so cluster sizes stay bounded;
+    * pairs straddling cluster boundaries are missed by design. One
+    * shuffle on the cluster id; only (cluster, id, quantized vec) rows
+    * move. */
+  def semanticDedup(
+      embs: DataFrame, vecCol: String, idCol: String,
+      cosineThreshold: Double, nlist: Int = 8,
+      scale: Int = 1000): DataFrame = {
+    val centroids = Ann.portableCentroids(embs, vecCol, idCol, nlist, scale)
+    // quantize + assign once; both self-join sides reuse the frame
+    val assigned = embs.select(col(idCol).as("vid"),
+        Ann.quantizeVec(col(vecCol), scale).as("qv"))
+      .withColumn("cluster",
+        element_at(Ann.centroidSortedDists(centroids, col("qv")), 1)
+          .getField("i"))
+      .localCheckpoint(false)
+    val a = assigned.select(col("cluster"), col("vid").as("dup_id"),
+      col("qv").as("qa"))
+    val b = assigned.select(col("cluster"), col("vid").as("keep_id"),
+      col("qv").as("qb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("keep_id") < col("dup_id"))
+      // integer dot/norms; one multiply+sqrt+divide of exact integers on
+      // both engines → bit-identical threshold comparison (q68 argument)
+      .withColumn("cosine",
+        Ann.idot(col("qa"), col("qb")).cast("double") /
+          sqrt(Ann.idot(col("qa"), col("qa")).cast("double") *
+            Ann.idot(col("qb"), col("qb")).cast("double")))
+      .filter(col("cosine") >= cosineThreshold)
+      // cluster is functionally dependent on dup_id (one cluster per id),
+      // so grouping on both keeps the plan a plain partial-agg min
+      .groupBy(col("dup_id"), col("cluster"))
+      .agg(min(col("keep_id")).as("keeper_id"))
+      .select(col("dup_id"), col("keeper_id"),
+        col("cluster").cast("long").as("cluster"))
+  }
 }
