@@ -88,6 +88,23 @@ object SketchParams {
     val dupMod = 7; val idOffset = 1000000L
     val minUniqueFrac = 0.8; val minAvgChars = 290.0
   }
+  /** q87 URL canonicalization: the doc_id residues that synthesize the
+    * scheme / www / trailing-slash / query-order / fragment variants,
+    * and the path page-number modulus. */
+  object q87 {
+    val schemeMod = 2; val wwwMod = 3; val trailMod = 5
+    val queryMod = 4; val fragMod = 6; val pageMod = 40
+  }
+  /** q89 Z-order layout: interleave bit width, the two derived
+    * dimensions' moduli, and the range-bucket count. */
+  object q89 {
+    val bits = 10; val aMod = 1024; val bMul = 37; val bMod = 1024
+    val nBuckets = 16
+  }
+  /** q90 balanced resampling: md5-Bernoulli seed and resolution. */
+  object q90 {
+    val seed = 13; val resolution = 1000000L
+  }
 }
 
 object OracleSql {
@@ -864,6 +881,131 @@ object OracleSql {
     FROM a"""
   }
 
+  /** URL canonicalization (q87): synthesize the same URL variants from
+    * the same doc_id residues, canonicalize (lowercase, strip scheme /
+    * www / fragment, sort query params, trim trailing path slashes),
+    * group by page identity — the SQL twin of
+    * `Urls.canonicalizeUrl`. */
+  private def q87: String = {
+    val p = SketchParams.q87
+    s"""
+    WITH u AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % ${p.schemeMod} = 0 THEN 'https://'
+          ELSE 'http://' END) ||
+        (CASE WHEN doc_id % ${p.wwwMod} = 0 THEN 'www.' ELSE '' END) ||
+        source || '.example.com/' || lang || '/page' ||
+        CAST(doc_id % ${p.pageMod} AS VARCHAR) ||
+        (CASE WHEN doc_id % ${p.trailMod} = 0 THEN '/' ELSE '' END) ||
+        (CASE WHEN doc_id % ${p.queryMod} = 0 THEN '?utm=1&b=2&a=3'
+          WHEN doc_id % ${p.queryMod} = 1 THEN '?a=3&utm=1&b=2'
+          ELSE '' END) ||
+        (CASE WHEN doc_id % ${p.fragMod} = 0 THEN '#sec1' ELSE '' END)
+          AS url
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(lower(trim(url)),
+          '^https?://', ''), '^www\\.', ''), '#.*$$', '') AS nf
+      FROM u
+    ), parts AS (
+      SELECT doc_id,
+        regexp_replace(split_part(nf, '?', 1), '/+$$', '') AS path,
+        split_part(nf, '?', 2) AS qs
+      FROM c
+    ), canon AS (
+      SELECT doc_id,
+        path || (CASE WHEN qs = '' THEN ''
+          ELSE '?' || array_to_string(list_sort(string_split(qs, '&')), '&')
+          END) AS curl
+      FROM parts)
+    SELECT curl, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+    FROM canon GROUP BY curl"""
+  }
+
+  /** Character diversity (q88): per-(doc, letter) counts then per-doc
+    * modal letter and the integer-exact Simpson index — the SQL twin of
+    * `TextAnalysis.charDiversity` (same two-aggregation shape as
+    * q70/q72). */
+  private val q88: String = """
+    WITH d AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') AS s
+      FROM documents
+    ), o AS (
+      SELECT doc_id, unnest(string_split(s, '')) AS ch
+      FROM d WHERE length(s) > 0
+    ), c AS (
+      SELECT doc_id, ch, COUNT(*) AS cnt FROM o GROUP BY doc_id, ch
+    ), top AS (
+      SELECT doc_id, ch, cnt,
+        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ch) AS rn
+      FROM c
+    ), agg AS (
+      SELECT doc_id, SUM(cnt) AS n_letters, COUNT(*) AS n_distinct_chars,
+        SUM(cnt * cnt) AS sum_sq
+      FROM c GROUP BY doc_id)
+    SELECT a.doc_id, CAST(a.n_letters AS BIGINT) AS n_letters,
+      CAST(a.n_distinct_chars AS BIGINT) AS n_distinct_chars,
+      t.ch AS top_char, CAST(t.cnt AS BIGINT) AS top_cnt,
+      CAST(a.sum_sq AS BIGINT) AS sum_sq,
+      CAST(a.sum_sq AS DOUBLE) / CAST(a.n_letters * a.n_letters AS DOUBLE)
+        AS simpson
+    FROM agg a JOIN top t ON a.doc_id = t.doc_id AND t.rn = 1"""
+
+  /** Z-order key + buckets (q89): the Morton interleave expression is
+    * GENERATED from the same bit-count parameter as the Spark plan
+    * (`Layout.zorderKeySql`), so the bit layout can never diverge. */
+  private def q89: String = {
+    val p = SketchParams.q89
+    val zkeySql = graft.operators.Layout.zorderKeySql(
+      s"(p_partkey % ${p.aMod})", s"((p_size * ${p.bMul}) % ${p.bMod})",
+      p.bits)
+    s"""
+    WITH z AS (
+      SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+        CAST($zkeySql AS BIGINT) AS zkey
+      FROM part)
+    SELECT p_partkey, zkey,
+      CAST(ntile(${p.nBuckets}) OVER (ORDER BY zkey, p_partkey) AS BIGINT)
+        AS zbucket
+    FROM z"""
+  }
+
+  /** Balanced resampling (q90): per-language token totals, the
+    * (grand/n)/total weight chain with the SAME association as the
+    * Spark side, floor + md5-Bernoulli extra copy, rows repeated via
+    * generate_series — the SQL twin of `Sampling.balancedResample`. */
+  private def q90: String = {
+    val p = SketchParams.q90
+    s"""
+    WITH d AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split_regex(${normSql("text")}, '\\s+')) AS BIGINT)
+          AS n_tokens
+      FROM documents
+    ), tot AS (
+      SELECT lang, SUM(n_tokens) AS t FROM d GROUP BY lang
+    ), g AS (
+      SELECT SUM(t) AS g, COUNT(*) AS n FROM tot
+    ), w AS (
+      SELECT lang,
+        (CAST(g.g AS DOUBLE) / CAST(g.n AS DOUBLE)) / CAST(tot.t AS DOUBLE)
+          AS w
+      FROM tot CROSS JOIN g
+    ), c AS (
+      SELECT d.doc_id, d.lang,
+        CAST(floor(w.w) AS BIGINT) +
+          (CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR || ':${p.seed}'),
+              1, 15))::BIGINT % ${p.resolution} <
+            CAST(floor((w.w - floor(w.w)) * ${p.resolution}.0) AS BIGINT)
+          THEN 1 ELSE 0 END) AS copies
+      FROM d JOIN w USING (lang))
+    SELECT doc_id, lang, CAST(i AS BIGINT) AS rep
+    FROM c, unnest(generate_series(1, copies)) AS u(i)
+    WHERE copies > 0"""
+  }
+
   /** Salted fuzzy join (q69): the oracle is the UNSALTED blocked join +
     * per-left-row argmax — the salt is an internal plan rewrite with
     * identical results by construction (same adjudication as q60's salted
@@ -1377,6 +1519,10 @@ object OracleSql {
     "q84_kmv_distinct" -> q84,
     "q85_doc_chunks" -> q85,
     "q86_domain_gate" -> q86,
+    "q87_url_canonical" -> q87,
+    "q88_char_diversity" -> q88,
+    "q89_zorder" -> q89,
+    "q90_lang_balance" -> q90,
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,

@@ -1257,6 +1257,71 @@ object SparkEntry {
       p.minUniqueFrac, p.minAvgChars)
   }
 
+  /** URL canonicalization + dedup ([[graft.functions.Urls.canonicalizeUrl]]):
+    * URLs synthesized in-query from document fields (the fixture carries
+    * no URL column — same derived-input pattern as q75's contacts) with
+    * scheme / www / trailing-slash / query-order / fragment variants;
+    * canonicalization collapses the variants and one hash agg groups by
+    * page identity. Params from [[SketchParams.q87]]. */
+  def q87UrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q87
+    val url = concat(
+      when(col("doc_id") % p.schemeMod === 0, lit("https://"))
+        .otherwise(lit("http://")),
+      when(col("doc_id") % p.wwwMod === 0, lit("www.")).otherwise(lit("")),
+      col("source"), lit(".example.com/"), col("lang"), lit("/page"),
+      (col("doc_id") % p.pageMod).cast("string"),
+      when(col("doc_id") % p.trailMod === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % p.queryMod === 0, lit("?utm=1&b=2&a=3"))
+        .when(col("doc_id") % p.queryMod === 1, lit("?a=3&utm=1&b=2"))
+        .otherwise(lit("")),
+      when(col("doc_id") % p.fragMod === 0, lit("#sec1")).otherwise(lit("")))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        functions.Urls.canonicalizeUrl(url).as("curl"))
+      .groupBy(col("curl"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+  }
+
+  /** Character-diversity quality stats
+    * ([[graft.operators.TextAnalysis.charDiversity]]): per-doc letter
+    * counts, modal letter, and the integer-exact Simpson concentration
+    * index — the log-free repetitiveness screen. */
+  def q88CharDiversity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charDiversity(t(s, dir, "documents"), "text", "doc_id")
+
+  /** Z-order layout key + range buckets
+    * ([[graft.operators.Layout.zorderKey]]): Morton-interleaved key over
+    * two derived part dimensions, bucketed by an exact ntile window (the
+    * oracle-checkable stand-in for production `repartitionByRange`).
+    * Params from [[SketchParams.q89]]. */
+  def q89Zorder(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q89
+    val zk = operators.Layout.zorderKey(
+      col("p_partkey") % p.aMod, (col("p_size") * p.bMul) % p.bMod, p.bits)
+    t(s, dir, "part")
+      .select(col("p_partkey").cast("long").as("p_partkey"), zk.as("zkey"))
+      .withColumn("zbucket",
+        ntile(p.nBuckets)
+          .over(Window.orderBy(col("zkey"), col("p_partkey")))
+          .cast("long"))
+  }
+
+  /** Language-balanced resampling
+    * ([[graft.operators.Sampling.balancedResample]]): every language's
+    * token volume is pulled toward the uniform share — overrepresented
+    * languages down-sample, underrepresented ones up-sample with
+    * repeated rows — via the deterministic md5-Bernoulli. Params from
+    * [[SketchParams.q90]]. */
+  def q90LangBalance(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q90
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(normText(col("text"))).cast("long")
+        .as("n_tokens"))
+    operators.Sampling.balancedResample(docs, "lang", "n_tokens",
+      "doc_id", p.seed, p.resolution)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1344,7 +1409,11 @@ object SparkEntry {
     "q83_quantized_topk" -> (q83QuantizedTopK _),
     "q84_kmv_distinct" -> (q84KmvDistinct _),
     "q85_doc_chunks" -> (q85DocChunks _),
-    "q86_domain_gate" -> (q86DomainGate _))
+    "q86_domain_gate" -> (q86DomainGate _),
+    "q87_url_canonical" -> (q87UrlCanonical _),
+    "q88_char_diversity" -> (q88CharDiversity _),
+    "q89_zorder" -> (q89Zorder _),
+    "q90_lang_balance" -> (q90LangBalance _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -92,4 +92,43 @@ object Sampling {
           .otherwise(lit(numer) / element_at(col("__sk"), k).cast("double"))
           .as("est_distinct"))
   }
+
+  /** Uniform-share resampling across groups — the "balance the language
+    * / domain mix" pass of a training-data pipeline, supporting BOTH
+    * down-sampling (weight < 1) and up-sampling (weight > 1, docs
+    * repeated): each group's target size is `grand_total / n_groups`
+    * units of `sizeCol`, its weight w = target / group_total, and every
+    * row is emitted `floor(w)` times plus one more with md5-Bernoulli
+    * probability `frac(w)` — in expectation every group contributes the
+    * same unit volume. Returns (id, group, rep) with rep = 1..copies.
+    *
+    * Deterministic end-to-end: the weight is a fixed chain of IEEE
+    * divisions of exact integer totals, the Bernoulli draw is the
+    * [[portableKey]] md5 residue against `floor(frac(w)·resolution)` —
+    * an external engine reproduces the exact copy count per row.
+    *
+    * Scale shape: one narrow per-group agg (a handful of rows),
+    * broadcast back; the selection/explode is map-only and output-bounded
+    * (≤ ceil(w) rows per input row). No corpus-sized shuffle. */
+  def balancedResample(df: DataFrame, groupCol: String, sizeCol: String,
+      idCol: String, seed: Int = 7,
+      resolution: Long = 1000000L): DataFrame = {
+    val totals = df.groupBy(col(groupCol)).agg(sum(col(sizeCol)).as("__t"))
+    val grand = totals.agg(sum(col("__t")).as("__g"),
+      count(lit(1)).as("__n"))
+    // (g / n) / t — written with the same association in the oracle SQL
+    val w = (col("__g").cast("double") / col("__n").cast("double")) /
+      col("__t").cast("double")
+    val wf = floor(w) // LongType in Spark; the oracle casts its floor()
+    val copies = wf +
+      when(portableKey(col(idCol), seed) % resolution <
+        floor((w - wf.cast("double")) * resolution.toDouble).cast("long"),
+        1L).otherwise(0L)
+    df.join(broadcast(totals), groupCol)
+      .crossJoin(broadcast(grand))
+      .withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .select(col(idCol), col(groupCol),
+        explode(sequence(lit(1L), col("__copies"))).as("rep"))
+  }
 }

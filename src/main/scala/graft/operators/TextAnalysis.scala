@@ -312,4 +312,48 @@ object TextAnalysis {
       .withColumn("lang_id", langId(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** Character-frequency concentration stats per document — a
+    * repetitiveness/quality signal (CCNet-style char-distribution
+    * screen) computed in EXACT integer arithmetic so an external engine
+    * reproduces it bit-for-bit (no log-based entropy — libm `log` is
+    * not guaranteed correctly rounded across engines; the Simpson index
+    * Σ(cntᵢ/n)² carries the same signal as one integer ratio):
+    *
+    *   - `n_letters` / `n_distinct_chars` over `[a-z]` of the lowercased
+    *     text (ASCII-restricted so char segmentation is engine-agnostic);
+    *   - `top_char`/`top_cnt`: modal letter (ties to the smallest);
+    *   - `sum_sq` = Σ cntᵢ² and `simpson` = sum_sq / n² — 1/26 ≈ 0.038
+    *     for uniform text, → 1 for single-letter spam.
+    *
+    * Docs with no `[a-z]` letters are excluded (documented contract —
+    * keeps the group-by oracle shape identical). Same two-aggregation
+    * scale shape as [[repetitionStats]]: (doc,char) → (doc), both
+    * map-side partial-combined, no windows. */
+  def charDiversity(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val cleaned = regexp_replace(lower(col(textCol)), "[^a-z]", "")
+    val occ = docs
+      .select(col(idCol).as("doc_id"), cleaned.as("__s"))
+      .filter(length(col("__s")) > 0)
+      // explode_outer: the plain generator's inferred size()>0 filter
+      // would re-inline the regexp per row (the sketch trap)
+      .select(col("doc_id"),
+        explode_outer(filter(split(col("__s"), ""),
+          c => length(c) > 0)).as("ch"))
+    val counts = occ.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_letters"),
+        count(lit(1)).as("n_distinct_chars"),
+        max(col("cnt")).as("top_cnt"),
+        min_by(col("ch"), struct((-col("cnt")).as("nc"), col("ch")))
+          .as("top_char"),
+        sum(col("cnt") * col("cnt")).as("sum_sq"))
+      .select(col("doc_id"), col("n_letters"), col("n_distinct_chars"),
+        col("top_char"), col("top_cnt"), col("sum_sq"),
+        // single division of exact integer aggregates — bit-identical
+        (col("sum_sq").cast("double") /
+          (col("n_letters") * col("n_letters")).cast("double"))
+          .as("simpson"))
+  }
 }
