@@ -60,7 +60,11 @@ object SketchParams {
     * scale, cosine dup threshold, the perturbation and id offset that
     * build the near-dup twin corpus. */
   object q81 {
-    val nlist = 8; val scale = 1000; val threshold = 0.99
+    // nlist scales with corpus size (SemDeDup's own knob): the in-cluster
+    // self-join is Σ|cluster|², so a FIXED cluster count grows quadratic
+    // with SF — 32 bounds cluster population at the bench scale (r7
+    // verdict); at production scale nlist ∝ N via the kmeans quantizer
+    val nlist = 32; val scale = 1000; val threshold = 0.99
     val perturb = 0.0005; val idOffset = 1000000L; val twinMod = 4
   }
   /** q82 mixture sampling: md5-Bernoulli resolution, seed, and the
@@ -761,7 +765,7 @@ object OracleSql {
     WITH d AS (
       SELECT doc_id,
         (['web', 'books', 'code'])[
-          (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % ${p.grpMod}) + 1
+          (TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % ${p.grpMod}) + 1
         ] AS macro_source
       FROM documents)
     SELECT doc_id, macro_source FROM d

@@ -372,52 +372,13 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
-  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
-    * Data-efficient learning at web-scale through semantic deduplication"):
-    * cluster the embedding space with the deterministic coarse quantizer,
-    * then WITHIN each cluster mark a vector as a duplicate when a
-    * lower-id cluster-mate has cosine similarity >= `threshold` — the
-    * lowest id in each semantic near-dup group survives.
-    *
-    * Scale shape: candidate generation is an equi-join on the cluster id,
-    * never an all-pairs product; per-vector norms are computed ONCE in the
-    * cluster-assignment projection (not per candidate pair); the pair list
-    * carries only (id, quantized vec, norm). Cluster population is bounded
-    * by choosing `nlist` ∝ corpus size (SemDeDup's own knob) — at 100 TB
-    * the quantizer comes from [[kmeansCentroids]] and `nlist` is large;
-    * the assignment/prune shape is identical.
-    *
-    * Fully engine-portable: assignment is integer squared-L2 over
-    * floor-quantized coordinates, and the cosine ordering key is the q68
-    * bit-reproducible chain (exact integer dot/norms, then one double
-    * multiply/sqrt/divide). Output: (vec_id, list_id, is_dup). */
-  def semanticDedupPortable(
-      corpus: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, nlist: Int = 8, scale: Int = 1000): DataFrame = {
-    val centroids = portableCentroids(corpus, vecCol, idCol, nlist, scale)
-    val lists = corpus
-      .select(col(idCol).cast("long").as("vec_id"),
-        quantizeVec(col(vecCol), scale).as("__q"))
-      .withColumn("list_id",
-        element_at(centroidSortedDists(centroids, col("__q")), 1)
-          .getField("i").cast("long"))
-      .withColumn("__n", idot(col("__q"), col("__q")))
-    val a = lists.select(col("vec_id").as("__a_id"), col("__q").as("__aq"),
-      col("__n").as("__an"), col("list_id"))
-    val b = lists.select(col("vec_id").as("__b_id"), col("__q").as("__bq"),
-      col("__n").as("__bn"), col("list_id"))
-    val dups = a.join(b, Seq("list_id"))
-      .filter(col("__a_id") < col("__b_id"))
-      .withColumn("cosine",
-        idot(col("__aq"), col("__bq")).cast("double") /
-          sqrt(col("__an").cast("double") * col("__bn").cast("double")))
-      .filter(col("cosine") >= threshold)
-      .select(col("__b_id").as("vec_id")).distinct()
-    lists.select(col("vec_id"), col("list_id"))
-      .join(dups.withColumn("__dup", lit(true)), Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), col("list_id"),
-        coalesce(col("__dup"), lit(false)).as("is_dup"))
-  }
+  /** Floor-quantize a double centroid matrix (e.g. from
+    * [[kmeansCentroids]]) into the integer domain the portable kernels
+    * score in — the bridge that lets a Lloyd-refined quantizer drive
+    * [[graft.operators.Dedup.semanticDedup]] and the portable IVF
+    * assignment at production scale. */
+  def quantizeCentroids(cs: Seq[Seq[Double]], scale: Int): Seq[Seq[Long]] =
+    cs.map(_.map(x => math.floor(x * scale).toLong))
 
   /** Scalar-quantized (int8-style) exact top-k: every coordinate is floor
     * quantized to `levels` (default 127 → values fit a signed byte), and

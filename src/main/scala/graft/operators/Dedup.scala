@@ -660,7 +660,17 @@ object Dedup {
     * dropped rows as (dup_id, keeper_id, cluster) where `keeper_id` is
     * the smallest qualifying in-cluster neighbor.
     *
-    * Engine-portable by construction: assignment uses
+    * Keeper contract (non-transitive): cosine similarity is not
+    * transitive, so a returned `keeper_id` may ITSELF appear as a
+    * `dup_id` (chains a<b<c where sim(a,b) and sim(b,c) qualify but
+    * sim(a,c) does not). Chains always point strictly downward
+    * (keeper_id < dup_id — no cycles), so a consumer that wants every
+    * keeper to survive must resolve chains to their roots first
+    * (e.g. via [[Components.connectedComponents]] over the
+    * (dup_id, keeper_id) edges); an anti-join on dup_id alone keeps
+    * exactly the non-dropped rows, which is the SemDeDup paper's policy.
+    *
+    * Engine-portable by construction: the default quantizer is
     * [[Ann.portableCentroids]] (md5-hash-sampled, exact integer squared
     * L2 over floor-quantized coordinates) and the pair cosine is the
     * same integer-dot / shape-identical-double chain as
@@ -670,33 +680,41 @@ object Dedup {
     * Scale: the in-cluster self-join is Σ|cluster|² — SemDeDup's
     * published trade-off. `nlist` must grow with the corpus (the paper
     * uses ~10⁴–10⁵ clusters at web scale) so cluster sizes stay bounded;
-    * pairs straddling cluster boundaries are missed by design. One
-    * shuffle on the cluster id; only (cluster, id, quantized vec) rows
-    * move. */
+    * pairs straddling cluster boundaries are missed by design. At
+    * production scale pass `centroids` explicitly — a Lloyd-refined
+    * quantizer from [[Ann.kmeansCentroids]] (quantized via
+    * [[Ann.quantizeCentroids]]) balances cluster populations far better
+    * than the hash sample. One shuffle on the cluster id; per-vector
+    * norms are computed ONCE in the assignment projection (one integer
+    * dot per pair in the join, not three); only
+    * (cluster, id, quantized vec, norm) rows move. */
   def semanticDedup(
       embs: DataFrame, vecCol: String, idCol: String,
       cosineThreshold: Double, nlist: Int = 8,
-      scale: Int = 1000): DataFrame = {
-    val centroids = Ann.portableCentroids(embs, vecCol, idCol, nlist, scale)
-    // quantize + assign once; both self-join sides reuse the frame
+      scale: Int = 1000,
+      centroids: Option[Seq[Seq[Long]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      Ann.portableCentroids(embs, vecCol, idCol, nlist, scale))
+    // quantize + assign + norm once; both self-join sides reuse the frame
     val assigned = embs.select(col(idCol).as("vid"),
         Ann.quantizeVec(col(vecCol), scale).as("qv"))
       .withColumn("cluster",
-        element_at(Ann.centroidSortedDists(centroids, col("qv")), 1)
+        element_at(Ann.centroidSortedDists(cents, col("qv")), 1)
           .getField("i"))
+      .withColumn("nrm", Ann.idot(col("qv"), col("qv")))
       .localCheckpoint(false)
     val a = assigned.select(col("cluster"), col("vid").as("dup_id"),
-      col("qv").as("qa"))
+      col("qv").as("qa"), col("nrm").as("na"))
     val b = assigned.select(col("cluster"), col("vid").as("keep_id"),
-      col("qv").as("qb"))
+      col("qv").as("qb"), col("nrm").as("nb"))
     a.join(b, Seq("cluster"))
       .filter(col("keep_id") < col("dup_id"))
-      // integer dot/norms; one multiply+sqrt+divide of exact integers on
-      // both engines → bit-identical threshold comparison (q68 argument)
+      // integer dot + precomputed integer norms; one multiply+sqrt+divide
+      // of exact integers on both engines → bit-identical threshold
+      // comparison (q68 argument)
       .withColumn("cosine",
         Ann.idot(col("qa"), col("qb")).cast("double") /
-          sqrt(Ann.idot(col("qa"), col("qa")).cast("double") *
-            Ann.idot(col("qb"), col("qb")).cast("double")))
+          sqrt(col("na").cast("double") * col("nb").cast("double")))
       .filter(col("cosine") >= cosineThreshold)
       // cluster is functionally dependent on dup_id (one cluster per id),
       // so grouping on both keeps the plan a plain partial-agg min

@@ -38,12 +38,29 @@ class CurationSpec extends AnyFunSuite {
       assert(byDup.contains(1000L + i), s"twin of $i not dropped")
       assert(byDup(1000L + i) < 1000L, s"twin of $i kept by another twin")
     }
-    // keep-min-id: no keeper is itself a dropped id
+    // chains point strictly downward: a keeper that was itself dropped
+    // (non-transitive similarity) must have its own keeper below it —
+    // no cycles, every chain terminates at a surviving root
     val droppedIds = byDup.keySet
-    assert(byDup.values.forall(k => !droppedIds.contains(k)) ||
-      // a keeper may be dropped relative to an even lower id — but then
-      // its own keeper must be below it (no cycles)
-      byDup.forall { case (d, k) => k < d })
+    byDup.values.toSet.intersect(droppedIds).foreach { k =>
+      assert(byDup(k) < k, s"dropped keeper $k chains upward")
+    }
+  }
+
+  test("semanticDedup with an injected kmeans quantizer finds the twins") {
+    import graft.operators.Ann
+    val learned = Ann.quantizeCentroids(
+      Ann.kmeansCentroids(vecs, "embedding", "vec_id", nlist = 4), 1000)
+    val dropped = Dedup.semanticDedup(vecs, "embedding", "vec_id",
+      cosineThreshold = 0.999, centroids = Some(learned)).collect()
+    val byDup = dropped.map(r =>
+      r.getAs[Long]("dup_id") -> r.getAs[Long]("keeper_id")).toMap
+    // a twin and its source are near-identical vectors, so ANY quantizer
+    // assigns them to the same cluster — every twin must still be dropped
+    (0 until 40 by 4).foreach { i =>
+      assert(byDup.contains(1000L + i), s"twin of $i not dropped")
+      assert(byDup(1000L + i) < 1000L, s"twin of $i kept by another twin")
+    }
   }
 
   test("semanticDedup at an unreachable threshold drops nothing") {
