@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+/** The z-order PRODUCTION write path (`Layout.scala` scaladoc):
+  * `repartitionByRange(n, zkey)` + parquet, gated by reading back the
+  * parquet row-group min/max statistics and asserting they prune scans
+  * on BOTH source dimensions — the property the Morton key exists to
+  * provide, which the oracled q89 (key math only) does not cover. */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  /** Per-row-group (min, max) of an int64 column across every parquet
+    * part-file under `dir`, straight from the file footers — exactly the
+    * statistics a min/max-pruning scan planner consults. */
+  private def rowGroupStats(dir: String, colName: String): Seq[(Long, Long)] = {
+    val conf = new Configuration()
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
+    assert(files.nonEmpty, s"no parquet part-files under $dir")
+    files.toIndexedSeq.flatMap { f =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.map { block =>
+          val cc = block.getColumns.asScala
+            .find(_.getPath.toDotString == colName)
+            .getOrElse(fail(s"column $colName missing from footer"))
+          val st = cc.getStatistics
+          (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        }.toIndexedSeq
+      } finally reader.close()
+    }
+  }
+
+  private def overlapping(stats: Seq[(Long, Long)], lo: Long, hi: Long): Int =
+    stats.count { case (mn, mx) => mx >= lo && mn <= hi }
+
+  test("repartitionByRange(zkey) parquet prunes row groups on BOTH dims") {
+    import spark.implicits._
+    // full 256x256 grid: a and b are perfectly independent, so no linear
+    // ordering can cluster both — only the interleaved key can
+    val grid = (0 until 65536).map(i => (i % 256L, i / 256L)).toDF("a", "b")
+      .withColumn("zkey", Layout.zorderKey(col("a"), col("b"), 8))
+    val dir = Files.createTempDirectory("graft_zorder").toFile.getAbsolutePath
+    grid.repartitionByRange(16, col("zkey"))
+      .write.mode("overwrite").parquet(dir)
+
+    val aStats = rowGroupStats(dir, "a")
+    val bStats = rowGroupStats(dir, "b")
+    assert(aStats.size >= 16, s"expected >=16 row groups, got ${aStats.size}")
+    // a narrow predicate on EITHER dimension must skip most row groups:
+    // contiguous z-ranges cover ~64x64 tiles, so an 11-wide band touches
+    // ~1 of 4 stripe positions (+ boundary slop from range sampling)
+    val aHits = overlapping(aStats, 10L, 20L)
+    val bHits = overlapping(bStats, 10L, 20L)
+    assert(aHits <= aStats.size / 2,
+      s"a-predicate pruned nothing: $aHits of ${aStats.size} row groups")
+    assert(bHits <= bStats.size / 2,
+      s"b-predicate pruned nothing: $bHits of ${bStats.size} row groups")
+
+    // contrast: the same data range-laid-out on `a` alone prunes a but
+    // can NEVER prune b (every a-stripe spans the full b range) — the
+    // gap between bHits above and here is the z-order win
+    val linDir = Files.createTempDirectory("graft_linear").toFile.getAbsolutePath
+    grid.repartitionByRange(16, col("a"))
+      .write.mode("overwrite").parquet(linDir)
+    val linB = rowGroupStats(linDir, "b")
+    assert(overlapping(linB, 10L, 20L) == linB.size,
+      "linear layout unexpectedly pruned the secondary dimension")
+
+    // the layout is lossless: reading back yields the identical grid
+    assert(spark.read.parquet(dir).count() == 65536L)
+    assert(spark.read.parquet(dir).select("a", "b").except(
+      grid.select("a", "b")).count() == 0L)
+  }
+}
