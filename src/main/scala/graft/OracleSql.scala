@@ -109,6 +109,19 @@ object SketchParams {
   object q90 {
     val seed = 13; val resolution = 1000000L
   }
+  /** q91 multi-probe portable LSH: hyperplane count, quantization scale,
+    * top-k, query filter, probe count (1 exact bucket + (nprobes-1)
+    * single-bit flips in plane order). */
+  object q91 {
+    val planes = 4; val scale = 1000; val k = 10
+    val maxQueryId = 8; val nprobes = 3
+  }
+  /** q92 learned-quantizer IVF: integer-domain Lloyd iterations over the
+    * md5-sampled init, then the q68 probe/rank pipeline. */
+  object q92 {
+    val nlist = 8; val iters = 2; val nprobe = 3; val k = 10
+    val scale = 1000; val maxQueryId = 8
+  }
 }
 
 object OracleSql {
@@ -1010,6 +1023,126 @@ object OracleSql {
     WHERE copies > 0"""
   }
 
+  /** Multi-probe portable LSH (q91): q51's md5-sign bucketing, but each
+    * query probes its own bucket plus `nprobes - 1` single-bit flips in
+    * plane order; in-bucket ranking is the q68 integer-exact cosine
+    * chain. Generated from [[SketchParams.q91]] — the same constants
+    * `SparkEntry.q91LshMultiProbe` passes to `Ann.lshTopKMultiProbe`. */
+  private def q91: String = {
+    val p = SketchParams.q91
+    val flips = (1 until p.nprobes)
+      .map(j => s", xor(sig, ${1L << (j - 1)})").mkString
+    s"""
+    WITH sigs AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT)) AS q,
+        list_sum(list_transform(generate_series(0, ${p.planes - 1}), j ->
+          CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), i ->
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * ${p.scale}) AS BIGINT) *
+            (CASE WHEN substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 1) < '8'
+              THEN 1 ELSE -1 END))) > 0
+          THEN (1::BIGINT << j) ELSE 0 END)) AS sig
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS query_id, q AS qq, unnest([sig$flips]) AS probe
+      FROM sigs WHERE vec_id < ${p.maxQueryId}
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY p.query_id
+          ORDER BY
+            CAST(${idotSql("p.qq", "c.q")} AS DOUBLE) /
+            sqrt(CAST(${idotSql("p.qq", "p.qq")} AS DOUBLE) *
+              CAST(${idotSql("c.q", "c.q")} AS DOUBLE)) DESC,
+            c.vec_id) AS rank
+      FROM probes p JOIN sigs c ON c.sig = p.probe AND c.vec_id != p.query_id)
+    WHERE rank <= ${p.k}"""
+  }
+
+  /** Learned-quantizer IVF (q92): the q68 probe/rank pipeline with the
+    * coarse quantizer refined by `iters` INTEGER-DOMAIN Lloyd iterations
+    * unrolled as CTEs — assignment is exact integer squared-L2 (ties to
+    * the lower index), the centroid update is the per-dimension
+    * floor-divided mean `floorDiv(Σ coord, |cluster|)` written so both
+    * engines compute mathematical floor division of exact integers, and
+    * empty clusters keep their previous centroid. The SQL twin of
+    * `Ann.kmeansCentroidsPortable` + `Ann.ivfTopKPortable(centroids=...)`;
+    * generated from [[SketchParams.q92]]. */
+  private def q92: String = {
+    val p = SketchParams.q92
+    def sqDistSql(q: String, c: String): String =
+      s"""list_sum(list_transform(generate_series(1, len($q)),
+          i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))"""
+    val lloyd = (1 to p.iters).map { n =>
+      val prev = s"cent${n - 1}"
+      s"""
+    ), d$n AS (
+      SELECT c.vec_id, ct.ci, ${sqDistSql("c.q", "ct.cq")} AS d
+      FROM cvecs c CROSS JOIN $prev ct
+    ), a$n AS (
+      SELECT vec_id, ci FROM (
+        SELECT vec_id, ci,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+        FROM d$n) WHERE rn = 1
+    ), s$n AS (
+      SELECT a.ci, t.i, SUM(c.q[t.i]) AS s, COUNT(*) AS n
+      FROM a$n a JOIN cvecs c USING (vec_id),
+        unnest(generate_series(1, len(c.q))) AS t(i)
+      GROUP BY a.ci, t.i
+    ), u$n AS (
+      SELECT ci, list(fd ORDER BY i) AS cq FROM (
+        SELECT ci, i,
+          CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS fd
+        FROM s$n)
+      GROUP BY ci
+    ), cent$n AS (
+      SELECT c0.ci, COALESCE(u.cq, c0.cq) AS cq
+      FROM $prev c0 LEFT JOIN u$n u USING (ci)"""
+    }.mkString
+    s"""
+    WITH cvecs AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT)) AS q
+      FROM embeddings
+    ), cent0 AS (
+      SELECT rn - 1 AS ci, cq FROM (
+        SELECT q AS cq, row_number() OVER (ORDER BY
+          ('0x' || substr(md5(vec_id::VARCHAR || ':ivf'), 1, 15))::BIGINT,
+          vec_id) AS rn
+        FROM cvecs) WHERE rn <= ${p.nlist}$lloyd
+    ), dists AS (
+      SELECT c.vec_id, ct.ci, ${sqDistSql("c.q", "ct.cq")} AS d
+      FROM cvecs c CROSS JOIN cent${p.iters} ct
+    ), assign AS (
+      SELECT vec_id, ci AS list FROM (
+        SELECT vec_id, ci,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+        FROM dists) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, ci AS list FROM (
+        SELECT vec_id, ci,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+        FROM dists WHERE vec_id < ${p.maxQueryId}) WHERE rn <= ${p.nprobe}
+    ), cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON p.list = a.list
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT cand.query_id, cand.neighbor_id,
+        row_number() OVER (PARTITION BY cand.query_id
+          ORDER BY
+            CAST(${idotSql("qv.q", "cv.q")} AS DOUBLE) /
+            sqrt(CAST(${idotSql("qv.q", "qv.q")} AS DOUBLE) *
+              CAST(${idotSql("cv.q", "cv.q")} AS DOUBLE)) DESC,
+            cand.neighbor_id) AS rank
+      FROM cand JOIN cvecs qv ON qv.vec_id = cand.query_id
+                JOIN cvecs cv ON cv.vec_id = cand.neighbor_id)
+    WHERE rank <= ${p.k}"""
+  }
+
   /** Salted fuzzy join (q69): the oracle is the UNSALTED blocked join +
     * per-left-row argmax — the salt is an internal plan rewrite with
     * identical results by construction (same adjudication as q60's salted
@@ -1527,6 +1660,8 @@ object OracleSql {
     "q88_char_diversity" -> q88,
     "q89_zorder" -> q89,
     "q90_lang_balance" -> q90,
+    "q91_lsh_multiprobe" -> q91,
+    "q92_ivf_kmeans" -> q92,
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,

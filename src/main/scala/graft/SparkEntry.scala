@@ -1322,6 +1322,42 @@ object SparkEntry {
       "doc_id", p.seed, p.resolution)
   }
 
+  /** Multi-probe portable LSH ANN
+    * ([[graft.operators.Ann.lshTopKMultiProbe]]): q51's single-table LSH
+    * with each query additionally probing `nprobes - 1` buckets at
+    * Hamming distance 1 — the standard recall-cliff fix, probe set
+    * derived deterministically so DuckDB replays bucketing, probing, AND
+    * the integer-exact ranking. Params from [[SketchParams.q91]]. */
+  def q91LshMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q91
+    val emb = t(s, dir, "embeddings")
+    Ann.lshTopKMultiProbe(emb, emb.filter(col("vec_id") < p.maxQueryId),
+        "embedding", "vec_id", "vec_id", k = p.k, planes = p.planes,
+        scale = p.scale, nprobes = p.nprobes)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Learned-quantizer IVF ANN
+    * ([[graft.operators.Ann.kmeansCentroidsPortable]] +
+    * [[graft.operators.Ann.ivfTopKPortable]]): the coarse quantizer is
+    * REFINED by integer-domain Lloyd iterations (floor-divided means of
+    * quantized coordinates) before driving the q68 probe/rank pipeline —
+    * the DuckDB oracle unrolls the same training iterations in SQL, so
+    * the LEARNED quantizer itself is hash-verified, not just the sweep.
+    * Params from [[SketchParams.q92]]. */
+  def q92IvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q92
+    val emb = t(s, dir, "embeddings")
+    val cents = Ann.kmeansCentroidsPortable(emb, "embedding", "vec_id",
+      p.nlist, p.iters, p.scale)
+    Ann.ivfTopKPortable(emb, emb.filter(col("vec_id") < p.maxQueryId),
+        "embedding", "vec_id", "vec_id", k = p.k, nlist = p.nlist,
+        nprobe = p.nprobe, scale = p.scale, centroids = Some(cents))
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1413,7 +1449,9 @@ object SparkEntry {
     "q87_url_canonical" -> (q87UrlCanonical _),
     "q88_char_diversity" -> (q88CharDiversity _),
     "q89_zorder" -> (q89Zorder _),
-    "q90_lang_balance" -> (q90LangBalance _))
+    "q90_lang_balance" -> (q90LangBalance _),
+    "q91_lsh_multiprobe" -> (q91LshMultiProbe _),
+    "q92_ivf_kmeans" -> (q92IvfKmeans _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -237,7 +237,7 @@ object Ann {
   /** Floor quantization of a float/double vector to longs at `scale` —
     * the integer domain every portable kernel scores in (exact double
     * widen → ·scale → floor; zero float-rounding risk across engines). */
-  private[operators] def quantizeVec(v: Column, scale: Int): Column =
+  def quantizeVec(v: Column, scale: Int): Column =
     transform(v, x => floor(x.cast("double") * scale).cast("long"))
 
   /** Exact integer dot product of two quantized vectors — both engines
@@ -261,9 +261,52 @@ object Ann {
     .select(col("__q")).collect()
     .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
 
+  /** Engine-portable Lloyd refinement of [[portableCentroids]] — a
+    * LEARNED coarse quantizer whose every step stays in exact integer
+    * arithmetic so an external engine replays it bit-for-bit:
+    * assignment is integer squared-L2 (ties to the lower index) and the
+    * centroid update is the per-dimension FLOOR-DIVIDED mean
+    * `floorDiv(Σ coord, |cluster|)` — mathematical floor division of
+    * exact integers, identical in any engine with `%` and integer
+    * division (the q92 oracle unrolls the same iterations in SQL).
+    * Empty clusters keep their previous centroid.
+    *
+    * Distribution boundary is the same as [[kmeansCentroids]]: the
+    * per-(cluster, dimension) sums are one narrow shuffle of exploded
+    * coordinates; only nlist×dim subtotal rows reach the driver per
+    * iteration. Floor-rounding costs at most 1/scale per coordinate per
+    * iteration — noise relative to quantization, while buying exact
+    * cross-engine reproducibility a float mean can never provide. */
+  def kmeansCentroidsPortable(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, iters: Int = 2, scale: Int = 1000): Seq[Seq[Long]] = {
+    val qvecs = corpus.select(col(idCol).as("__id"),
+      quantizeVec(col(vecCol), scale).as("__q"))
+    var centroids = portableCentroids(corpus, vecCol, idCol, nlist, scale)
+    (0 until iters).foreach { _ =>
+      // assignment in its OWN projection: inlined into the posexplode
+      // select it would be re-evaluated once per exploded dimension
+      val updated = qvecs
+        .select(element_at(centroidSortedDists(centroids, col("__q")), 1)
+          .getField("i").as("__c"), col("__q"))
+        .select(col("__c"), posexplode(col("__q")).as(Seq("__d", "__x")))
+        .groupBy(col("__c"), col("__d"))
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1))
+            .map(r => Math.floorDiv(r.getLong(2), r.getLong(3)))
+            .toIndexedSeq }
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toIndexedSeq
+    }
+    centroids
+  }
+
   /** (integer squared-L2 distance, centroid index) structs sorted
     * ascending — ties to the lower index. Exact, engine-agnostic. */
-  private[operators] def centroidSortedDists(
+  def centroidSortedDists(
       centroids: Seq[Seq[Long]], v: Column): Column = {
     def sqDist(c: Seq[Long]): Column =
       aggregate(zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
@@ -303,16 +346,21 @@ object Ann {
     * projected. Structure (assign once / probe
     * nprobe lists / equi-join on list id) is identical to the fast path,
     * so the oracle verifies the IVF pipeline shape end-to-end.
-    * Quantizer-quality refinement stays in [[kmeansCentroids]]. */
+    * Pass `centroids` to swap in a refined quantizer — float-domain
+    * [[kmeansCentroids]] (via [[quantizeCentroids]]) when only the Spark
+    * side must reproduce, or [[kmeansCentroidsPortable]] when the
+    * oracle replays the training too (q92). */
   def ivfTopKPortable(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, queryIdCol: String,
       k: Int, nlist: Int = 8, nprobe: Int = 3, scale: Int = 1000,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      centroids: Option[Seq[Seq[Long]]] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "1 <= nprobe <= nlist")
     def quantize(v: Column): Column = quantizeVec(v, scale)
-    val centroids = portableCentroids(corpus, vecCol, idCol, nlist, scale)
-    def sortedDists(v: Column): Column = centroidSortedDists(centroids, v)
+    val cents = centroids.getOrElse(
+      portableCentroids(corpus, vecCol, idCol, nlist, scale))
+    def sortedDists(v: Column): Column = centroidSortedDists(cents, v)
     val lists = corpus.select(col(idCol).as("neighbor_id"),
         quantize(col(vecCol)).as("__cq"))
       .withColumn("__list",
@@ -370,6 +418,54 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Multi-probe portable-LSH top-k (Lv et al. 2007, "Multi-Probe LSH:
+    * Efficient Indexing for High-Dimensional Similarity Search" — the
+    * standard fix for single-probe recall cliffs): each query probes its
+    * own [[portableSignature]] bucket PLUS `nprobes - 1` buckets at
+    * Hamming distance 1, flipping one sign bit per probe in plane order
+    * (deterministic, so the oracle re-derives the identical probe set;
+    * the paper's quality-ordered flips need per-query margins a portable
+    * twin can't replay bit-for-bit). Probed buckets are distinct, so a
+    * corpus row matches at most one probe — no candidate dedup needed.
+    * Candidates are a strict superset of [[lshTopKPortable]]'s, so
+    * recall can only improve; cost grows by ≤ nprobes× the probed
+    * corpus fraction, still an equi-join on the signature. In-bucket
+    * ranking is the q68 integer-exact cosine chain, output
+    * (query_id, neighbor_id, rank). */
+  def lshTopKMultiProbe(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String,
+      k: Int, planes: Int = 4, scale: Int = 1000, nprobes: Int = 3,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(nprobes >= 1 && nprobes <= planes + 1,
+      "1 <= nprobes <= planes + 1 (exact bucket + one flip per plane)")
+    val dim = dimOf(corpus, vecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantizeVec(col(vecCol), scale).as("__cq"),
+      portableSignature(col(vecCol), dim, planes, scale).as("__sig"))
+    val probeArr = array((0 until nprobes).map {
+      case 0 => col("__sig")
+      case j => col("__sig").bitwiseXOR(lit(1L << (j - 1)))
+    }: _*)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        quantizeVec(col(vecCol), scale).as("__qq"),
+        portableSignature(col(vecCol), dim, planes, scale).as("__sig"))
+      .select(col("query_id"), col("__qq"),
+        explode(probeArr).as("__probe"))
+    val scored = c.join(broadcast(q), c("__sig") === q("__probe"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+        else lit(true))
+      .withColumn("cosine",
+        idot(col("__qq"), col("__cq")).cast("double") /
+          sqrt(idot(col("__qq"), col("__qq")).cast("double") *
+            idot(col("__cq"), col("__cq")).cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
   }
 
   /** Floor-quantize a double centroid matrix (e.g. from

@@ -72,6 +72,54 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(cs.distinct.size === 4)
   }
 
+  test("kmeansCentroidsPortable refines the hash-sampled init, determinically") {
+    val nlist = 4
+    // iters = 0 is exactly the hash-sampled init
+    val init = Ann.kmeansCentroidsPortable(emb, "embedding", "vec_id",
+      nlist, iters = 0)
+    val learned = Ann.kmeansCentroidsPortable(emb, "embedding", "vec_id",
+      nlist, iters = 2)
+    val dim = Ann.dimOf(emb, "embedding")
+    assert(init.size === nlist && learned.size === nlist)
+    assert(learned.forall(_.size === dim))
+    // Lloyd moved centroids off the raw init vectors (a floor-divided
+    // cluster mean equals a member vector only for singleton clusters)
+    assert(init !== learned)
+    // pure integer pipeline: bit-identical across runs
+    assert(learned === Ann.kmeansCentroidsPortable(emb, "embedding",
+      "vec_id", nlist, iters = 2))
+    // refinement balances the partition: the max cluster population under
+    // the learned quantizer must not exceed the init quantizer's
+    def maxPop(cs: Seq[Seq[Long]]): Long =
+      emb.select(Ann.quantizeVec(col("embedding"), 1000).as("q"))
+        .select(element_at(Ann.centroidSortedDists(cs, col("q")), 1)
+          .getField("i").as("c"))
+        .groupBy("c").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxPop(learned) <= maxPop(init),
+      "Lloyd refinement made the worst cluster more populated")
+  }
+
+  test("multi-probe LSH recall is a floor above single-probe") {
+    val k = 5
+    val exact = asPairs(Ann.bruteForceTopK(emb, queries,
+      "embedding", "vec_id", "vec_id", k = k)).map(p => (p._1, p._2))
+    val single = asPairs(Ann.lshTopKPortable(emb, queries,
+      "embedding", "vec_id", "vec_id", k = k)).map(p => (p._1, p._2))
+    val multi = asPairs(Ann.lshTopKMultiProbe(emb, queries,
+      "embedding", "vec_id", "vec_id", k = k, nprobes = 3)).map(p => (p._1, p._2))
+    // candidates are a strict superset (probe 0 is the exact bucket), so
+    // at equal k the brute-force recall can only improve
+    val rSingle = (exact & single).size.toDouble / exact.size
+    val rMulti = (exact & multi).size.toDouble / exact.size
+    assert(rMulti >= rSingle,
+      s"multi-probe recall $rMulti below single-probe $rSingle")
+    // and the probe expansion actually fires: more scored pairs overall
+    assert(multi.size >= single.size)
+    // full flip budget (nprobes = planes + 1) stays valid
+    assert(Ann.lshTopKMultiProbe(emb, queries, "embedding", "vec_id",
+      "vec_id", k = k, nprobes = 5).count() >= multi.size)
+  }
+
   test("portableSignature matches a driver-side reference computation") {
     val rows = emb.limit(16)
       .select(col("vec_id"),
