@@ -723,4 +723,65 @@ object Dedup {
       .select(col("dup_id"), col("keeper_id"),
         col("cluster").cast("long").as("cluster"))
   }
+
+  /** Corpus-side state for repeated / streaming semantic-dedup probes:
+    * the quantized centroid matrix plus the corpus's
+    * (cluster, corpus_id, qv, nrm) assignment frame, computed and eagerly
+    * materialized ONCE — the embedding twin of [[PreparedCorpus]]. */
+  final case class PreparedEmbeddings(
+      centroids: Seq[Seq[Long]],
+      assigned: DataFrame, // (cluster, corpus_id, qv, nrm)
+      scale: Int)
+
+  /** Build [[PreparedEmbeddings]]: quantize, cluster-assign, and norm the
+    * historical corpus once (same integer kernels as [[semanticDedup]]).
+    * Pass `centroids` to reuse a Lloyd-refined quantizer
+    * ([[Ann.kmeansCentroidsPortable]] or quantized [[Ann.kmeansCentroids]]);
+    * the default is the md5 hash-sample. */
+  def prepareEmbeddings(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int = 8, scale: Int = 1000,
+      centroids: Option[Seq[Seq[Long]]] = None): PreparedEmbeddings = {
+    val cents = centroids.getOrElse(
+      Ann.portableCentroids(corpus, vecCol, idCol, nlist, scale))
+    val assigned = corpus.select(col(idCol).as("corpus_id"),
+        Ann.quantizeVec(col(vecCol), scale).as("qv"))
+      .withColumn("cluster",
+        element_at(Ann.centroidSortedDists(cents, col("qv")), 1)
+          .getField("i"))
+      .withColumn("nrm", Ann.idot(col("qv"), col("qv")))
+      .localCheckpoint(true)
+    PreparedEmbeddings(cents, assigned, scale)
+  }
+
+  /** Batch-vs-corpus semantic screen against [[PreparedEmbeddings]]:
+    * drops every batch row whose embedding has a corpus neighbor at
+    * cosine ≥ `cosineThreshold` inside its cluster and returns the
+    * survivors (the SemDeDup keep policy applied incrementally — batch
+    * rows are screened against HISTORY only, not each other; run
+    * [[semanticDedup]] inside the batch first if intra-batch dups
+    * matter). The probe is an equi-join on the cluster id against the
+    * prepared frame, so per-call cost is proportional to the batch times
+    * its probed cluster populations — never the corpus. This is the
+    * per-micro-batch body of
+    * [[graft.streaming.EventStreams.semanticDedupedIngest]]. */
+  def semanticDedupIncremental(
+      batch: DataFrame, prepared: PreparedEmbeddings,
+      vecCol: String, idCol: String,
+      cosineThreshold: Double): DataFrame = {
+    val b = batch.select(col(idCol).as("__bid"),
+        Ann.quantizeVec(col(vecCol), prepared.scale).as("__bq"))
+      .withColumn("cluster",
+        element_at(
+          Ann.centroidSortedDists(prepared.centroids, col("__bq")), 1)
+          .getField("i"))
+      .withColumn("__bn", Ann.idot(col("__bq"), col("__bq")))
+    val dupIds = b.join(prepared.assigned, Seq("cluster"))
+      .withColumn("cosine",
+        Ann.idot(col("__bq"), col("qv")).cast("double") /
+          sqrt(col("__bn").cast("double") * col("nrm").cast("double")))
+      .filter(col("cosine") >= cosineThreshold)
+      .select(col("__bid").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
 }

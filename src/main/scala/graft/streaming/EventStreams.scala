@@ -114,6 +114,36 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming semantic dedup — the embedding twin of [[dedupedIngest]]
+    * and the continuous-ingestion form of
+    * [[graft.operators.Dedup.semanticDedup]]: each micro-batch of
+    * (id, embedding) rows is screened against the static historical
+    * corpus's cluster assignments
+    * ([[graft.operators.Dedup.prepareEmbeddings]], computed once before
+    * the query starts) and only semantically novel rows reach the sink.
+    * Same `foreachBatch` boundary as the text path: the screen needs a
+    * centroid matrix + materialized corpus frame that an incremental
+    * streaming query can't build, while the per-batch probe is a plain
+    * cluster-id equi-join whose cost is batch-proportional. */
+  def semanticDedupedIngest(
+      embStream: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String,
+      sinkPath: String, checkpointPath: String,
+      cosineThreshold: Double = 0.99, nlist: Int = 8,
+      centroids: Option[Seq[Seq[Long]]] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val prepared = graft.operators.Dedup
+      .prepareEmbeddings(corpus, vecCol, idCol, nlist, centroids = centroids)
+    embStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup
+          .semanticDedupIncremental(batch.toDF(), prepared, vecCol, idCol,
+            cosineThreshold)
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+  }
+
   /** Wire a parquet-backed stream with the events schema (used by tests:
     * one-file-per-trigger batch drive via memory sink). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

@@ -80,4 +80,79 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(afterB2 == Seq(12L, 21L))
     } finally q.stop()
   }
+
+  // ------------------------------------------------- semantic (embeddings)
+
+  /** 20 well-separated corpus vectors; batch = near-dups (perturbed
+    * copies, cosine ≈ 1) + orthogonal-ish novel vectors. */
+  private def corpusVecs = {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    (0 until 20).map(i =>
+      (i.toLong, Seq.fill(16)(rng.nextDouble() * 2 - 1))).toDF("vec_id", "embedding")
+  }
+
+  test("incremental semantic screen matches batch-only semanticDedup policy") {
+    import spark.implicits._
+    val corpus = corpusVecs
+    val base = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val batch = Seq(
+      (100L, base(3).map(_ + 0.0005)),  // semantic dup of corpus vec 3
+      (101L, base(7).map(_ + 0.0005)),  // semantic dup of corpus vec 7
+      (102L, Seq.fill(16)(0.9)))        // novel direction
+      .toDF("vec_id", "embedding")
+    val prepared = graft.operators.Dedup
+      .prepareEmbeddings(corpus, "embedding", "vec_id", nlist = 4)
+    val kept = graft.operators.Dedup
+      .semanticDedupIncremental(batch, prepared, "embedding", "vec_id",
+        cosineThreshold = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(102L))
+    // the screen agrees with the one-shot operator run over corpus∪batch:
+    // exactly the batch ids semanticDedup would drop are screened out
+    val oneShot = graft.operators.Dedup
+      .semanticDedup(corpus.unionByName(batch), "embedding", "vec_id",
+        cosineThreshold = 0.999, nlist = 4)
+      .filter(col("dup_id") >= 100L)
+      .select("dup_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(oneShot == Seq(100L, 101L))
+  }
+
+  test("micro-batched semantic ingest keeps only semantically novel vectors") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("semdedup-in")
+    val sink = java.nio.file.Files.createTempDirectory("semdedup-out").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("semdedup-ck").toString
+
+    val corpus = corpusVecs
+    val base = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+    // batch 1: one semantic dup of the corpus, one novel
+    Seq((30L, base(5).map(_ + 0.0005)), (31L, Seq.fill(16)(0.8)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(inDir.resolve("b1").toString)
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+      .parquet(inDir.toString + "/*")
+    val q = EventStreams.semanticDedupedIngest(stream, corpus,
+      "embedding", "vec_id", sink, ckpt, cosineThreshold = 0.999, nlist = 4)
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(sink)
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(afterB1 == Seq(31L))
+
+      // batch 2: another corpus dup + another novel direction
+      Seq((40L, base(12).map(_ + 0.0005)),
+        (41L, (0 until 16).map(i => if (i % 2 == 0) 0.9 else -0.9)))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.parquet(inDir.resolve("b2").toString)
+      q.processAllAvailable()
+      val afterB2 = spark.read.parquet(sink)
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(afterB2 == Seq(31L, 41L))
+    } finally q.stop()
+  }
 }
