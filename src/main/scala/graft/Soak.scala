@@ -108,6 +108,51 @@ object Soak {
         window = 40, stride = 10).count()
     }
     println(s"[soak]   -> $subPairs substring-dup pairs")
+
+    // r8 shapes: the curation trio past bench SF. SemDeDup runs with
+    // nlist ∝ N (the q81 r7-verdict fix) and a Lloyd-refined quantizer —
+    // the configuration the operator docs prescribe at scale.
+    val embBase = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val embPath = s"/tmp/graft_soak_embs_r$replicas"
+    (0 until replicas).map { k =>
+      // replica k: ids shifted, every coordinate nudged by a per-replica
+      // epsilon — replicas of a vector are semantic near-dups (cosine≈1)
+      embBase.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(k * 0.0003)).as("embedding"))
+    }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(embPath)
+    val embs = spark.read.parquet(embPath)
+    val nVecs = embs.count()
+    // 32 clusters at bench SF (2k vectors), grown linearly with the
+    // corpus and capped where the literal-centroid assignment expression
+    // stops being the right plan (past the cap a centroid TABLE join is)
+    val nlist = math.min(128, math.max(32, (32L * nVecs / 2000L).toInt))
+    val cents = timed(s"kmeansCentroidsPortable (nlist=$nlist, 1 iter)") {
+      operators.Ann.kmeansCentroidsPortable(embs, "embedding", "vec_id",
+        nlist, iters = 1)
+    }
+    val nDropped = timed("semanticDedup (nlist prop. to N, learned quantizer)") {
+      operators.Dedup.semanticDedup(embs, "embedding", "vec_id",
+        cosineThreshold = 0.99, nlist = nlist, centroids = Some(cents))
+        .count()
+    }
+    println(s"[soak]   -> $nDropped of $nVecs vectors semantically dropped")
+
+    val nShards = timed("shard packing (2000-token shards)") {
+      val toks = docs.select(col("doc_id"),
+        operators.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      operators.Packing.assignShards(toks, "n_tokens", "doc_id", 2000L)
+        .agg(countDistinct(col("shard_id")).as("n")).collect()(0).getLong(0)
+    }
+    println(s"[soak]   -> $nShards shards")
+
+    val topk = timed("quantized brute-force top-k (int8 domain, 8 queries)") {
+      operators.Ann.quantizedTopK(embs, embs.filter(col("vec_id") < 8),
+        "embedding", "vec_id", "vec_id", k = 10).count()
+    }
+    println(s"[soak]   -> $topk (query, neighbor) rows")
     spark.stop()
   }
 }
