@@ -122,6 +122,11 @@ object SketchParams {
     val nlist = 8; val iters = 2; val nprobe = 3; val k = 10
     val scale = 1000; val maxQueryId = 8
   }
+  /** q93 alignment-free exact-substring dup join: character window size
+    * and the strided side's stride. */
+  object q93 {
+    val window = 40; val stride = 10; val corpusMod = 3
+  }
 }
 
 object OracleSql {
@@ -763,6 +768,28 @@ object OracleSql {
         sqrt(CAST(${idotSql("qa.q", "qa.q")} AS DOUBLE) *
           CAST(${idotSql("qb.q", "qb.q")} AS DOUBLE)) >= ${p.threshold}
     GROUP BY p.dup_id, p.cluster"""
+  }
+
+  /** Alignment-free exact-substring dup join (q93): dense side at every
+    * character offset, probe side strided — the SQL twin of
+    * `Dedup.exactSubstringDupJoinGeneral`, generated from
+    * [[SketchParams.q93]]. */
+  private def q93: String = {
+    val p = SketchParams.q93
+    def winsSql(step: Int): String = s"""
+      SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), ${p.window})) AS wh
+      FROM documents,
+        unnest(generate_series(1, length(text) - ${p.window - 1}, $step)) AS t(i)
+      WHERE length(text) >= ${p.window} AND doc_id % ${p.corpusMod} = 0"""
+    s"""
+    WITH dense AS (${winsSql(1)}
+    ), strided AS (${winsSql(p.stride)}
+    )
+    SELECT least(d.doc_id, s.doc_id) AS id_a,
+      greatest(d.doc_id, s.doc_id) AS id_b,
+      COUNT(DISTINCT d.wh) AS n_shared
+    FROM dense d JOIN strided s ON d.wh = s.wh AND d.doc_id != s.doc_id
+    GROUP BY 1, 2"""
   }
 
   /** Mixture sampling (q82): md5-Bernoulli keep per macro-source at the
@@ -1662,6 +1689,7 @@ object OracleSql {
     "q90_lang_balance" -> q90,
     "q91_lsh_multiprobe" -> q91,
     "q92_ivf_kmeans" -> q92,
+    "q93_substring_general" -> q93,
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,

@@ -1358,6 +1358,19 @@ object SparkEntry {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Alignment-free exact-substring dup join
+    * ([[graft.operators.Dedup.exactSubstringDupJoinGeneral]]): q76's
+    * strided screen upgraded to the general guarantee — any pair sharing
+    * ≥ window+stride−1 identical characters is caught regardless of copy
+    * offset (dense side at stride 1, probe side strided). Params from
+    * [[SketchParams.q93]]. */
+  def q93SubstringGeneral(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q93
+    Dedup.exactSubstringDupJoinGeneral(
+      t(s, dir, "documents").filter(col("doc_id") % p.corpusMod === 0),
+      "text", "doc_id", window = p.window, stride = p.stride)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1451,7 +1464,8 @@ object SparkEntry {
     "q89_zorder" -> (q89Zorder _),
     "q90_lang_balance" -> (q90LangBalance _),
     "q91_lsh_multiprobe" -> (q91LshMultiProbe _),
-    "q92_ivf_kmeans" -> (q92IvfKmeans _))
+    "q92_ivf_kmeans" -> (q92IvfKmeans _),
+    "q93_substring_general" -> (q93SubstringGeneral _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

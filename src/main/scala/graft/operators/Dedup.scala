@@ -622,8 +622,8 @@ object Dedup {
     * Symmetric striding (this form) detects offset-ALIGNED duplication —
     * shared prefixes, whole-document copies, and any clone whose copy
     * starts at the same position mod `stride`. For the general guarantee
-    * (any shared substring of length ≥ window+stride−1) run one side at
-    * stride 1 and only the other strided; full EXACTSUBSTR needs the
+    * (any shared substring of length ≥ window+stride−1) use
+    * [[exactSubstringDupJoinGeneral]]; full EXACTSUBSTR needs the
     * suffix-array pass, which is not a relational operator. Docs shorter
     * than `window` cannot contain a window and are excluded. */
   def exactSubstringDupJoin(
@@ -651,6 +651,47 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Alignment-FREE exact-substring dup join — the "general guarantee"
+    * variant [[exactSubstringDupJoin]]'s scaladoc prescribes: one side
+    * samples windows at EVERY character offset (stride 1), the other
+    * every `stride` chars, so ANY pair sharing a substring of length
+    * ≥ `window + stride - 1` is detected regardless of where the copy
+    * starts in either document — a strided window of one doc must land
+    * fully inside the shared span, and the dense side of the other doc
+    * contains that exact window at whatever offset it occurs.
+    *
+    * Pairs are normalized (`id_a < id_b`); `n_shared` counts DISTINCT
+    * shared window hashes (a pair can match through both side
+    * orientations). Cost: the dense side emits ~len windows per doc
+    * versus len/stride — the price of dropping the alignment assumption;
+    * both sides still shuffle only (md5, id), never text, and the
+    * candidate join remains an equi-join on the 16-byte hash. */
+  def exactSubstringDupJoinGeneral(
+      docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 40, stride: Int = 10): DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be >= 1")
+    def wins(strideN: Int, outId: String): DataFrame = {
+      val txt = col("__text")
+      docs
+        // text materialized ONCE (q76 argument: the substr below is
+        // referenced per window)
+        .select(col(idCol).as(outId), col(textCol).as("__text"))
+        .filter(length(txt) >= window)
+        .select(col(outId), txt,
+          explode_outer(sequence(lit(1), length(txt) - (window - 1),
+            lit(strideN))).as("__i"))
+        .select(col(outId),
+          md5(txt.substr(col("__i"), lit(window))).as("wh"))
+        .distinct()
+    }
+    wins(1, "id_d").join(wins(stride, "id_s"), Seq("wh"))
+      .filter(col("id_d") =!= col("id_s"))
+      .select(least(col("id_d"), col("id_s")).as("id_a"),
+        greatest(col("id_d"), col("id_s")).as("id_b"), col("wh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("wh")).as("n_shared"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

@@ -123,4 +123,32 @@ class DecontamPiiSpec extends AnyFunSuite {
     assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L })
     assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("general substring join catches unaligned copies the strided form misses") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    def randText(n: Int): String =
+      (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    // a 60-char span (>= window + stride - 1 = 49) copied at offset 0 in
+    // doc 1 but offset 3 in doc 2: the copy starts at different positions
+    // mod stride, so symmetric striding can never align windows on it
+    val span = randText(60)
+    val docs = Seq(
+      (1L, span + randText(40)),
+      (2L, randText(3) + span + randText(40)),
+      (3L, randText(100))
+    ).toDF("doc_id", "text")
+    val strided = Dedup.exactSubstringDupJoin(docs, "text", "doc_id",
+        window = 40, stride = 10)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(!strided.contains((1L, 2L)),
+      "offset-3 copy unexpectedly caught by the aligned form")
+    val general = Dedup.exactSubstringDupJoinGeneral(docs, "text", "doc_id",
+        window = 40, stride = 10)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(general.contains((1L, 2L)),
+      "general form missed the guaranteed-length unaligned copy")
+    assert(!general.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
 }
