@@ -770,6 +770,26 @@ object OracleSql {
     GROUP BY p.dup_id, p.cluster"""
   }
 
+  /** Semantic-dedup chain-root resolution (q94): the FULL q81 pipeline
+    * nested as a CTE, its (dup_id, keeper_id) edges resolved through the
+    * q56 recursive min-reachable-id component CTE — every remapped
+    * vector points at a surviving root. The SQL twin of
+    * `Dedup.semanticDedup` → `Components.dedupAssignments`. */
+  private def q94: String = s"""
+    WITH RECURSIVE sem AS ($q81
+    ), edges AS (
+      SELECT dup_id AS src, keeper_id AS dst FROM sem
+      UNION
+      SELECT keeper_id AS src, dup_id AS dst FROM sem
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src
+    ), comp AS (
+      SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id
+    )
+    SELECT id AS vec_id, keep_id FROM comp WHERE id != keep_id"""
+
   /** Alignment-free exact-substring dup join (q93): dense side at every
     * character offset, probe side strided — the SQL twin of
     * `Dedup.exactSubstringDupJoinGeneral`, generated from
@@ -1690,6 +1710,7 @@ object OracleSql {
     "q91_lsh_multiprobe" -> q91,
     "q92_ivf_kmeans" -> q92,
     "q93_substring_general" -> q93,
+    "q94_semantic_clusters" -> q94,
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,

@@ -1358,6 +1358,34 @@ object SparkEntry {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Semantic-dedup chain-root resolution
+    * ([[graft.operators.Dedup.semanticDedup]] →
+    * [[graft.operators.Components.dedupAssignments]]): because cosine
+    * similarity is not transitive, a raw keeper_id can itself be a
+    * dropped id (the documented q81 contract); resolving the
+    * (dup_id, keeper_id) edges through connected components yields, for
+    * every remapped vector, a root that is GUARANTEED to survive the
+    * dedup. The DuckDB oracle nests the full q81 pipeline inside the q56
+    * recursive min-reachable-id CTE, so the whole
+    * cluster→pair→component→root composition is hash-verified. */
+  def q94SemanticClusters(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q81
+    val emb = t(s, dir, "embeddings")
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val twins = emb.filter(col("vec_id") % p.twinMod === 0)
+      .select((col("vec_id") + p.idOffset).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + p.perturb).as("embedding"))
+    val corpus = base.unionByName(twins)
+    val dropped = Dedup.semanticDedup(corpus, "embedding", "vec_id",
+      p.threshold, p.nlist, p.scale)
+    operators.Components.dedupAssignments(
+        corpus, "vec_id", dropped, "dup_id", "keeper_id", maxIter = 25)
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as("vec_id"), col("keep_id"))
+  }
+
   /** Alignment-free exact-substring dup join
     * ([[graft.operators.Dedup.exactSubstringDupJoinGeneral]]): q76's
     * strided screen upgraded to the general guarantee — any pair sharing
@@ -1465,7 +1493,8 @@ object SparkEntry {
     "q90_lang_balance" -> (q90LangBalance _),
     "q91_lsh_multiprobe" -> (q91LshMultiProbe _),
     "q92_ivf_kmeans" -> (q92IvfKmeans _),
-    "q93_substring_general" -> (q93SubstringGeneral _))
+    "q93_substring_general" -> (q93SubstringGeneral _),
+    "q94_semantic_clusters" -> (q94SemanticClusters _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -63,6 +63,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("component resolution maps every dropped vector to a surviving root") {
+    import graft.operators.Components
+    val dropped = Dedup.semanticDedup(vecs, "embedding", "vec_id",
+      cosineThreshold = 0.999, nlist = 4)
+    val resolved = Components.dedupAssignments(
+        vecs, "vec_id", dropped, "dup_id", "keeper_id")
+      .filter(col("id") =!= col("keep_id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("keep_id"))
+    assert(resolved.nonEmpty)
+    // the q94 contract the raw keeper chain cannot give: no root is
+    // itself remapped, so anti-join + remap always lands on a survivor
+    val remapped = resolved.map(_._1).toSet
+    assert(resolved.forall { case (_, root) => !remapped.contains(root) })
+    assert(resolved.forall { case (id, root) => root < id })
+  }
+
   test("semanticDedup at an unreachable threshold drops nothing") {
     val dropped = Dedup.semanticDedup(vecs, "embedding", "vec_id",
       cosineThreshold = 1.5, nlist = 4)

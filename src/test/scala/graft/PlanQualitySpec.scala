@@ -154,6 +154,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"window not partitioned by __pid: ${winSpec.getOrElse("<none>")}")
   }
 
+  test("q91/q92: probe sides broadcast; candidate joins never cartesian (r8)") {
+    Seq("q91_lsh_multiprobe", "q92_ivf_kmeans").foreach { q =>
+      val plan = executed(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q: probe side must broadcast")
+      assert(!plan.contains("CartesianProduct"), q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("q93/q94: window/pair self-joins shuffle hash keys, no cartesian (r8)") {
+    Seq("q93_substring_general", "q94_semantic_clusters").foreach { q =>
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
