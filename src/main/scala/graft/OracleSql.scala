@@ -127,6 +127,11 @@ object SketchParams {
   object q93 {
     val window = 40; val stride = 10; val corpusMod = 3
   }
+  /** q95 DSIR-style target affinity: hashed-feature bucket count and the
+    * doc_id % seedMod == 0 split that plays the curated seed corpus. */
+  object q95 {
+    val nBuckets = 4096; val seedMod = 13
+  }
 }
 
 object OracleSql {
@@ -789,6 +794,36 @@ object OracleSql {
       SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id
     )
     SELECT id AS vec_id, keep_id FROM comp WHERE id != keep_id"""
+
+  /** DSIR-style target affinity (q95): md5-hashed word features, seed
+    * profile aggregation, exact integer bilinear scoring — the SQL twin
+    * of `Selection.targetAffinity`, generated from
+    * [[SketchParams.q95]]. */
+  private def q95: String = {
+    val p = SketchParams.q95
+    s"""
+    WITH d AS (
+      SELECT doc_id, doc_id % ${p.seedMod} = 0 AS tgt,
+        ${normSql("text")} AS text
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, tgt,
+        ('0x' || substr(md5(w), 1, 15))::BIGINT % ${p.nBuckets} AS bucket
+      FROM d, unnest(string_split(text, ' ')) AS t(w)
+      WHERE w <> ''
+    ), tgtprof AS (
+      SELECT bucket, COUNT(*) AS tcount FROM toks WHERE tgt GROUP BY bucket
+    ), cand AS (
+      SELECT doc_id, bucket, COUNT(*) AS c FROM toks
+      WHERE NOT tgt GROUP BY doc_id, bucket
+    )
+    SELECT c.doc_id, CAST(SUM(c.c) AS BIGINT) AS n_tokens,
+      CAST(SUM(c.c * COALESCE(t.tcount, 0)) AS BIGINT) AS affinity,
+      CAST(SUM(c.c * COALESCE(t.tcount, 0)) AS DOUBLE) / SUM(c.c)
+        AS rel_affinity
+    FROM cand c LEFT JOIN tgtprof t USING (bucket)
+    GROUP BY c.doc_id"""
+  }
 
   /** Alignment-free exact-substring dup join (q93): dense side at every
     * character offset, probe side strided — the SQL twin of
@@ -1711,6 +1746,7 @@ object OracleSql {
     "q92_ivf_kmeans" -> q92,
     "q93_substring_general" -> q93,
     "q94_semantic_clusters" -> q94,
+    "q95_target_affinity" -> q95,
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,

@@ -1399,6 +1399,19 @@ object SparkEntry {
       "text", "doc_id", window = p.window, stride = p.stride)
   }
 
+  /** DSIR-style targeted selection affinity
+    * ([[graft.operators.Selection.targetAffinity]]): every 13th document
+    * plays the curated seed corpus; the rest are scored by the exact
+    * integer dot of their hashed word-feature counts against the seed's
+    * aggregate profile, normalized by length — the hash-verifiable core
+    * of importance-resampling data selection. Params from
+    * [[SketchParams.q95]]. */
+  def q95TargetAffinity(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q95
+    operators.Selection.targetAffinity(t(s, dir, "documents"),
+      "text", "doc_id", col("doc_id") % p.seedMod === 0, p.nBuckets)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1494,7 +1507,8 @@ object SparkEntry {
     "q91_lsh_multiprobe" -> (q91LshMultiProbe _),
     "q92_ivf_kmeans" -> (q92IvfKmeans _),
     "q93_substring_general" -> (q93SubstringGeneral _),
-    "q94_semantic_clusters" -> (q94SemanticClusters _))
+    "q94_semantic_clusters" -> (q94SemanticClusters _),
+    "q95_target_affinity" -> (q95TargetAffinity _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
