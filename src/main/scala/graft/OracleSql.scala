@@ -132,6 +132,12 @@ object SketchParams {
   object q95 {
     val nBuckets = 4096; val seedMod = 13
   }
+  /** q96 SpaceSaving heavy hitters: counter capacity (≥ the 20-source
+    * domain at every SF ⇒ the exact, merge-order-independent regime the
+    * oracle can replicate; the sketchy regime is spec-asserted). */
+  object q96 {
+    val capacity = 64
+  }
 }
 
 object OracleSql {
@@ -1747,6 +1753,10 @@ object OracleSql {
     "q93_substring_general" -> q93,
     "q94_semantic_clusters" -> q94,
     "q95_target_affinity" -> q95,
+    "q96_heavy_sources" -> """
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(0 AS BIGINT) AS err
+      FROM documents GROUP BY lang, source""",
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,

@@ -1412,6 +1412,24 @@ object SparkEntry {
       "text", "doc_id", col("doc_id") % p.seedMod === 0, p.nBuckets)
   }
 
+  /** SpaceSaving heavy hitters per language
+    * ([[graft.functions.SpaceSaving]]): bounded-state frequent-item
+    * counters over the source domain, exploded to rows. `capacity`
+    * exceeds the domain, so the sketch is in its EXACT regime (err = 0,
+    * merge-order independent) and a plain GROUP BY count replicates it —
+    * the same exactness-gate pattern as the KMV sketch (q84). Params
+    * from [[SketchParams.q96]]. */
+  def q96HeavySources(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q96
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(graft.functions.SpaceSaving
+        .space_saving(col("source"), p.capacity).as("hh"))
+      .select(col("lang"), explode(col("hh")).as("h"))
+      .select(col("lang"), col("h.item").as("source"),
+        col("h.cnt").as("n_docs"), col("h.err").as("err"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1508,7 +1526,8 @@ object SparkEntry {
     "q92_ivf_kmeans" -> (q92IvfKmeans _),
     "q93_substring_general" -> (q93SubstringGeneral _),
     "q94_semantic_clusters" -> (q94SemanticClusters _),
-    "q95_target_affinity" -> (q95TargetAffinity _))
+    "q95_target_affinity" -> (q95TargetAffinity _),
+    "q96_heavy_sources" -> (q96HeavySources _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

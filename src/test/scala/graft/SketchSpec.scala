@@ -59,6 +59,51 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("space-saving: exact regime equals a full group-by count") {
+    import spark.implicits._
+    val rows = (0 until 3000).map(i => ("g" + (i % 2), "item" + (i % 10)))
+      .toDF("grp", "item")
+    val hh = rows.groupBy("grp")
+      .agg(graft.functions.SpaceSaving.space_saving(col("item"), 64).as("hh"))
+      .select(col("grp"), explode(col("hh")).as("h"))
+      .select(col("grp"), col("h.item"), col("h.cnt"), col("h.err"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val exact = rows.groupBy("grp", "item").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(hh.keySet == exact.keySet)
+    exact.foreach { case (k, c) =>
+      assert(hh(k) == (c, 0L), s"$k: ${hh(k)} != ($c, 0)")
+    }
+  }
+
+  test("space-saving: past capacity, frequency guarantees hold") {
+    import spark.implicits._
+    // zipf-ish: item j appears ~3000/j times over a 100-item domain
+    val stream = (1 to 100).flatMap(j => Seq.fill(3000 / j)(s"w$j"))
+    val n = stream.size.toLong
+    val cap = 8
+    val trueCounts = stream.groupBy(identity).map { case (w, s) => w -> s.size.toLong }
+    val out = stream.toDF("item").withColumn("g", lit(1))
+      .repartition(4) // force multi-partition partial buffers + merge
+      .groupBy("g")
+      .agg(graft.functions.SpaceSaving.space_saving(col("item"), cap).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.cnt"), col("h.err"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size <= cap)
+    // every item with true count > N/capacity is guaranteed present
+    trueCounts.filter(_._2 > n / cap).foreach { case (w, _) =>
+      assert(out.contains(w), s"heavy item $w missing")
+    }
+    out.foreach { case (w, (cnt, err)) =>
+      val t = trueCounts(w)
+      assert(cnt >= t, s"$w under-counted: $cnt < $t")
+      assert(cnt - err <= t, s"$w outside [cnt-err, cnt]: $cnt-$err vs $t")
+      assert(err <= n / cap + 1, s"$w err $err beyond N/capacity")
+    }
+  }
+
   test("bloom filter: zero false negatives, false-positive rate near fpp") {
     val cust = Tables.customer(spark, dir)
     val n = cust.count()
