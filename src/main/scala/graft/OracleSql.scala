@@ -138,6 +138,11 @@ object SketchParams {
   object q96 {
     val capacity = 64
   }
+  /** q97 shuffled sequence packing: shard token budget and the md5
+    * shuffle-key seed. */
+  object q97 {
+    val maxTokensPerShard = 2000L; val seed = 21
+  }
 }
 
 object OracleSql {
@@ -800,6 +805,31 @@ object OracleSql {
       SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id
     )
     SELECT id AS vec_id, keep_id FROM comp WHERE id != keep_id"""
+
+  /** Shuffled sequence packing (q97): the q78 naive cumsum computed over
+    * the (md5 shuffle key, id) order — the SQL twin of
+    * `Packing.assignShards(orderCol = shuffle_key)`, generated from
+    * [[SketchParams.q97]]. */
+  private def q97: String = {
+    val p = SketchParams.q97
+    s"""
+    WITH d AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(${normSql("text")}, '\\s+')) AS BIGINT)
+          AS n_tokens,
+        ('0x' || substr(md5(doc_id::VARCHAR || ':${p.seed}'), 1, 15))::BIGINT
+          AS k
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (ORDER BY k, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+          AS tok_offset
+      FROM d)
+    SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+      CAST(floor(tok_offset / ${p.maxTokensPerShard}.0) AS BIGINT) AS shard_id
+    FROM c"""
+  }
 
   /** DSIR-style target affinity (q95): md5-hashed word features, seed
     * profile aggregation, exact integer bilinear scoring — the SQL twin
@@ -1757,6 +1787,7 @@ object OracleSql {
       SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(0 AS BIGINT) AS err
       FROM documents GROUP BY lang, source""",
+    "q97_shuffled_pack" -> q97,
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,

@@ -1430,6 +1430,25 @@ object SparkEntry {
         col("h.cnt").as("n_docs"), col("h.err").as("err"))
   }
 
+  /** Shuffled sequence packing ([[graft.operators.Packing.assignShards]]
+    * with an explicit order column): the corpus is packed into
+    * token-budget shards in a PSEUDORANDOM permutation (60-bit md5
+    * shuffle key) instead of id order — the deterministic corpus shuffle
+    * a training run needs so shards don't inherit crawl locality. Same
+    * two-phase distributed prefix sum as q78; the oracle computes the
+    * naive cumsum over the identical (key, id) order. Params from
+    * [[SketchParams.q97]]. */
+  def q97ShuffledPack(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q97
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      operators.TextAnalysis.tokenCount(normText(col("text"))).cast("long")
+        .as("n_tokens"),
+      operators.Sampling.portableKey(col("doc_id"), p.seed)
+        .as("shuffle_key"))
+    operators.Packing.assignShards(docs, "n_tokens", "doc_id",
+      p.maxTokensPerShard, orderCol = Some("shuffle_key"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1527,7 +1546,8 @@ object SparkEntry {
     "q93_substring_general" -> (q93SubstringGeneral _),
     "q94_semantic_clusters" -> (q94SemanticClusters _),
     "q95_target_affinity" -> (q95TargetAffinity _),
-    "q96_heavy_sources" -> (q96HeavySources _))
+    "q96_heavy_sources" -> (q96HeavySources _),
+    "q97_shuffled_pack" -> (q97ShuffledPack _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

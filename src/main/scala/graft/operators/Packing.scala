@@ -41,17 +41,31 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** `orderCol`: optional explicit stream order (ties broken by idCol).
+    * The default packs in id order; passing a deterministic hash key
+    * (e.g. a 60-bit md5 of the id) packs in a PSEUDORANDOM permutation —
+    * the corpus shuffle a training run needs so shards don't inherit the
+    * crawl's source/time locality, with zero extra machinery: the same
+    * two-phase scan, just range-partitioned on the hash key. */
   def assignShards(
       docs: DataFrame, tokenCol: String, idCol: String,
-      maxTokensPerShard: Long, numParts: Int = 0): DataFrame = {
+      maxTokensPerShard: Long, numParts: Int = 0,
+      orderCol: Option[String] = None): DataFrame = {
     require(maxTokensPerShard >= 1, "maxTokensPerShard must be >= 1")
     val spark = docs.sparkSession
     val parts =
       if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
-    // 1. contiguous id ranges per partition; pid pinned by materializing
+    val okey = orderCol.getOrElse(idCol)
+    val orderKeys =
+      if (okey == idCol) Seq(col(idCol)) else Seq(col(okey), col(idCol))
+    val carried =
+      if (okey == idCol) Seq(col(idCol), col(tokenCol))
+      else Seq(col(idCol), col(tokenCol), col(okey))
+    // 1. contiguous order-key ranges per partition; pid pinned by
+    // materializing
     val parted = docs
-      .select(col(idCol), col(tokenCol))
-      .repartitionByRange(parts, col(idCol))
+      .select(carried: _*)
+      .repartitionByRange(parts, orderKeys: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(false)
     // 2. P subtotal rows -> driver -> exclusive offsets (range partitioner
@@ -67,7 +81,7 @@ object Packing {
       .map { case ((_, off), (pid, _)) => (pid, off) }
     val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
     // 3. within-partition running sum (parallel across partitions) + offset
-    val win = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    val win = Window.partitionBy(col("__pid")).orderBy(orderKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parted
       .join(broadcast(offsetsDf), Seq("__pid"))

@@ -30,6 +30,29 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("orderCol packs in the shuffled order, independent of partition count") {
+    import org.apache.spark.sql.functions._
+    val keyed = docs.withColumn("k",
+      graft.operators.Sampling.portableKey(col("doc_id"), 21))
+    // driver-side reference: exclusive cumsum over (k, doc_id) order
+    val order = keyed.select("doc_id", "n_tokens", "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    var acc = 0L
+    val expected = order.map { case (id, n, _) =>
+      val off = acc; acc += n; id -> (off, off / 500L)
+    }.toMap
+    for (parts <- Seq(1, 5)) {
+      val dist = collectMap(Packing.assignShards(keyed, "n_tokens",
+        "doc_id", 500L, parts, orderCol = Some("k")))
+      assert(dist == expected, s"mismatch at numParts=$parts")
+    }
+    // and the permutation actually reorders: some doc changes shard
+    val idOrder = collectMap(
+      Packing.assignShards(docs, "n_tokens", "doc_id", 500L, 4))
+    assert(expected.exists { case (id, (_, s)) => idOrder(id)._2 != s })
+  }
+
   test("offsets are an exclusive prefix sum; shards cover the stream") {
     val rows = Packing.assignShards(docs, "n_tokens", "doc_id", 500L, 4)
       .orderBy("doc_id").collect()
