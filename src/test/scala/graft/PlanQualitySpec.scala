@@ -171,6 +171,31 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q95: target profile broadcasts; scoring join never cartesians (r8)") {
+    val plan = executed("q95_target_affinity")
+    assert(plan.contains("BroadcastHashJoin"), "profile join must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"), "nBuckets rows must not sort-merge")
+  }
+
+  test("q96: space-saving aggregates partially (map-side combine) (r8)") {
+    val plan = executed("q96_heavy_sources")
+    // TypedImperativeAggregate runs as ObjectHashAggregate: partial +
+    // final pair around one exchange — constant-size buffers pre-reduce
+    // on the map side like any other agg
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+  }
+
+  test("q97: shuffled packing window stays partitioned by pinned pid (r8)") {
+    val plan = executed("q97_shuffled_pack")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // same guard as q78: the running sum must never collapse into the
+    // naive single-partition global window under the hash order
+    val winSpec = plan.split("\n").find(_.contains("windowspecdefinition"))
+    assert(winSpec.exists(_.contains("__pid")),
+      s"window not partitioned by __pid: ${winSpec.getOrElse("<none>")}")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
