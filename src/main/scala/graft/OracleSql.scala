@@ -143,6 +143,17 @@ object SketchParams {
   object q97 {
     val maxTokensPerShard = 2000L; val seed = 21
   }
+  /** q98 hashed linear quality classifier: feature-hash width, weight
+    * range (weights uniform in [-weightRange, weightRange]) and the
+    * weight-derivation seed. */
+  object q98 {
+    val nBuckets = 4096; val weightRange = 1000; val seed = 7
+  }
+  /** q99 fixed-point PageRank: power-iteration count, fixed-point scale
+    * (1.0 == scale) and damping percent. */
+  object q99 {
+    val iters = 3; val scale = 1000000L; val dampPct = 85
+  }
 }
 
 object OracleSql {
@@ -859,6 +870,74 @@ object OracleSql {
         AS rel_affinity
     FROM cand c LEFT JOIN tgtprof t USING (bucket)
     GROUP BY c.doc_id"""
+  }
+
+  /** Hashed linear quality classifier (q98): unigram+bigram feature
+    * hashing, per-bucket integer weight derived by a second md5 — the SQL
+    * twin of `TextAnalysis.hashedLinearScore`, generated from
+    * [[SketchParams.q98]]. */
+  private def q98: String = {
+    val p = SketchParams.q98
+    s"""
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(string_split(${normSql("text")}, ' '), w -> w <> '')
+          AS toks
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, f FROM t, unnest(toks) AS u(f)
+      UNION ALL
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS f
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+      WHERE len(toks) >= 2
+    ), wtd AS (
+      SELECT doc_id,
+        (('0x' || substr(md5('w${p.seed}:' ||
+            ((('0x' || substr(md5(f), 1, 15))::BIGINT % ${p.nBuckets})
+              )::VARCHAR), 1, 15))::BIGINT
+          % ${2L * p.weightRange + 1L}) - ${p.weightRange} AS w
+      FROM feats
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+      CAST(SUM(w) AS BIGINT) AS score, SUM(w) > 0 AS keep
+    FROM wtd GROUP BY doc_id"""
+  }
+
+  /** Fixed-point PageRank (q99): the power iterations unrolled as CTEs
+    * over the symmetrized supplier–customer graph — the SQL twin of
+    * `PageRank.pageRankFixedPoint` (BIGINT floor division on both
+    * engines: `DIV` / `//`), generated from [[SketchParams.q99]]. */
+  private def q99: String = {
+    val p = SketchParams.q99
+    val teleport = (p.scale * (100L - p.dampPct)) / 100L
+    val iterCtes = (1 to p.iters).map { i => s"""
+    r$i AS (
+      SELECT n.node,
+        CAST($teleport + (${p.dampPct} * COALESCE(s.mass, 0)) // 100
+          AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.pr // d.outdeg) AS mass
+        FROM edges e
+        JOIN r${i - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s ON n.node = s.node)"""
+    }.mkString(",")
+    s"""
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM e0
+      UNION ALL
+      SELECT b AS src, a AS dst FROM e0
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), r0 AS (
+      SELECT node, CAST(${p.scale} AS BIGINT) AS pr FROM nodes
+    ),$iterCtes
+    SELECT node, pr FROM r${p.iters}"""
   }
 
   /** Alignment-free exact-substring dup join (q93): dense side at every
@@ -1788,6 +1867,8 @@ object OracleSql {
         CAST(0 AS BIGINT) AS err
       FROM documents GROUP BY lang, source""",
     "q97_shuffled_pack" -> q97,
+    "q98_quality_classifier" -> q98,
+    "q99_pagerank" -> q99,
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,

@@ -1449,6 +1449,39 @@ object SparkEntry {
       p.maxTokensPerShard, orderCol = Some("shuffle_key"))
   }
 
+  /** Model-based quality gate
+    * ([[graft.operators.TextAnalysis.hashedLinearScore]]): fastText /
+    * CCNet-style linear classifier over hashed unigram+bigram features,
+    * with weights derived from the bucket id so the whole keep/drop
+    * decision is exact integer arithmetic the oracle replicates term by
+    * term. Params from [[SketchParams.q98]]. */
+  def q98QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q98
+    operators.TextAnalysis.hashedLinearScore(t(s, dir, "documents"),
+      "text", "doc_id", p.nBuckets, p.weightRange, p.seed)
+  }
+
+  /** Fixed-point PageRank ([[graft.operators.PageRank]]) over the
+    * symmetrized supplier–customer shipment graph (lineitem ⋈ orders):
+    * which suppliers/customers sit at the center of the trade network.
+    * Exact BIGINT fixed-point power iteration, so the DuckDB oracle
+    * unrolls the identical iterations as CTEs and the comparison is
+    * hash-exact. Params from [[SketchParams.q99]]. */
+  def q99PageRank(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q99
+    // integer node encoding (suppliers even, customers odd): BIGINT join
+    // keys shuffle and hash far cheaper than decorated strings at scale.
+    // No pre-distinct — the operator dedups the edge list exactly once.
+    val e0 = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2L).as("a"),
+        (col("o_custkey") * 2L + 1L).as("b"))
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    operators.PageRank.pageRankFixedPoint(edges, "a", "b",
+      p.iters, p.scale, p.dampPct)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1547,7 +1580,9 @@ object SparkEntry {
     "q94_semantic_clusters" -> (q94SemanticClusters _),
     "q95_target_affinity" -> (q95TargetAffinity _),
     "q96_heavy_sources" -> (q96HeavySources _),
-    "q97_shuffled_pack" -> (q97ShuffledPack _))
+    "q97_shuffled_pack" -> (q97ShuffledPack _),
+    "q98_quality_classifier" -> (q98QualityClassifier _),
+    "q99_pagerank" -> (q99PageRank _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -356,4 +356,55 @@ object TextAnalysis {
           (col("n_letters") * col("n_letters")).cast("double"))
           .as("simpson"))
   }
+
+  /** Model-based quality filtering: a linear classifier over hashed
+    * unigram+bigram features — the relational shape of fastText-style
+    * corpus filters (Joulin et al. 2016, arXiv:1607.01759; the
+    * CCNet / GPT-3 "looks like the seed corpus?" gate, Wenzek et al.
+    * 2019, arXiv:1911.00359). A trained model is a weight-per-bucket
+    * vector; here the weights are DERIVED from the bucket id through a
+    * second md5 hash (uniform in [-weightRange, weightRange]) so the
+    * entire decision — tokenize, feature-hash, dot-product, threshold —
+    * is engine-reproducible integer arithmetic with no artifact to ship.
+    * Swapping in trained weights = replacing the `w` projection with a
+    * broadcast join against a (bucket, weight) table; every other line
+    * is unchanged.
+    *
+    * Scale shape: this is the best case — features never materialize as
+    * a (doc, bucket, count) frame; the per-feature weight is computed in
+    * the projection and summed straight into one partial-aggregated
+    * groupBy(doc). One map + one hash-agg over the corpus, no joins,
+    * no windows, no driver state.
+    *
+    * Output: (doc_id, n_feats, score, keep) with `score` the exact
+    * BIGINT Σ w(bucket(f)) and `keep` = score > 0. Docs with zero
+    * tokens contribute no features and are absent (same contract as
+    * [[Selection.targetAffinity]]). */
+  def hashedLinearScore(
+      docs: DataFrame, textCol: String, idCol: String,
+      nBuckets: Int = 4096, weightRange: Int = 1000,
+      seed: Int = 7): DataFrame = {
+    require(nBuckets >= 1 && weightRange >= 1)
+    val norm = trim(regexp_replace(col(textCol), "[ \\t\\n\\x0B\\f\\r]+", " "))
+    val toks = filter(split(norm, " "), w => w =!= "")
+    val bigrams = when(size(col("__t")) >= 2,
+      transform(sequence(lit(0), size(col("__t")) - 2),
+        i => concat_ws(" ", element_at(col("__t"), i + 1),
+          element_at(col("__t"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val bucket = (conv(substring(md5(col("__f")), 1, 15), 16, 10)
+      .cast("long") % nBuckets)
+    val weight = (conv(substring(md5(concat(lit(s"w$seed:"),
+        col("__b").cast("string"))), 1, 15), 16, 10).cast("long")
+      % (2L * weightRange + 1L)) - weightRange
+    docs.select(col(idCol).as("doc_id"), toks.as("__t"))
+      .select(col("doc_id"),
+        explode(concat(col("__t"), bigrams)).as("__f"))
+      .select(col("doc_id"), bucket.as("__b"))
+      .select(col("doc_id"), weight.as("__w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__w")).as("score"))
+      .select(col("doc_id"), col("n_feats"), col("score"),
+        (col("score") > 0).as("keep"))
+  }
 }

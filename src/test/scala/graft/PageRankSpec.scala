@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PageRank
+
+/** Fixed-point PageRank: exact agreement with an in-test integer
+  * reference, partition-layout independence, and the obvious ordinal
+  * property (the hub of a star outranks its leaves). */
+class PageRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** Single-threaded integer reference: same floor-division fixed-point
+    * recurrence the operator documents. */
+  private def ref(edges: Seq[(String, String)], iters: Int,
+      scale: Long, dampPct: Int): Map[String, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val teleport = scale * (100 - dampPct) / 100
+    var r = nodes.map(_ -> scale).toMap
+    (1 to iters).foreach { _ =>
+      val mass = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      e.foreach { case (s, d) => mass(d) += r(s) / deg(s) }
+      r = nodes.map(n => n -> (teleport + dampPct * mass(n) / 100)).toMap
+    }
+    r
+  }
+
+  /** Path a-b-c-d plus spur b-e, symmetrized. */
+  private val undirected = {
+    val one = Seq("a" -> "b", "b" -> "c", "c" -> "d", "b" -> "e")
+    one ++ one.map(_.swap)
+  }
+
+  test("matches the integer reference exactly (3 iterations)") {
+    val got = PageRank.pageRankFixedPoint(
+        undirected.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == ref(undirected, 3, 1000000L, 85), got.toSeq.sorted)
+  }
+
+  test("hub outranks leaves; every rank at least teleport mass") {
+    val got = PageRank.pageRankFixedPoint(
+        undirected.toDF("src", "dst"), "src", "dst", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Seq("a", "c", "d", "e").forall(n => got("b") > got(n)), got)
+    assert(got.values.forall(_ >= 150000L), got)
+  }
+
+  test("result is independent of input partition layout") {
+    def run(parts: Int): Map[String, Long] =
+      PageRank.pageRankFixedPoint(
+          undirected.toDF("src", "dst").repartition(parts),
+          "src", "dst", iters = 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run(1) == run(7))
+  }
+
+  test("duplicate edges are deduplicated; zero iterations returns scale") {
+    val dup = (undirected ++ undirected).toDF("src", "dst")
+    val got3 = PageRank.pageRankFixedPoint(dup, "src", "dst", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got3 == ref(undirected, 3, 1000000L, 85))
+    val got0 = PageRank.pageRankFixedPoint(dup, "src", "dst", iters = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got0.values.toSet == Set(1000000L))
+  }
+
+  test("dangling nodes keep teleport-only rank (directed chain)") {
+    // directed a->b->c: c is a sink (dangling); a receives nothing
+    val directed = Seq("a" -> "b", "b" -> "c")
+    val got = PageRank.pageRankFixedPoint(
+        directed.toDF("src", "dst"), "src", "dst", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == ref(directed, 2, 1000000L, 85), got.toSeq.sorted)
+    assert(got("a") == 150000L, got) // never any inbound mass
+  }
+}

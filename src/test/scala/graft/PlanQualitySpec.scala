@@ -196,6 +196,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"window not partitioned by __pid: ${winSpec.getOrElse("<none>")}")
   }
 
+  test("q98: classifier is one scan + one partial agg — no join anywhere (r8)") {
+    val plan = executed("q98_quality_classifier")
+    assert(!plan.contains("Join"), "weights are computed, never joined")
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial + final HashAggregate")
+  }
+
+  test("q99: pagerank iterations hash-join on src, never cartesian (r8)") {
+    val plan = executed("q99_pagerank")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "inbound-mass aggregation must partial-combine")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** Hashed linear quality classifier: feature-count arithmetic, the md5
+  * weight derivation cross-checked against an in-test reference, and
+  * determinism. */
+class QualityClassifierSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** In-test twin of the operator's hash chain: md5-hex → first 15
+    * nibbles as a long → bucket → seeded second md5 → weight. */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def refWeight(feature: String, nBuckets: Int,
+      weightRange: Int, seed: Int): Long = {
+    val bucket = java.lang.Long.parseLong(
+      md5hex(feature).take(15), 16) % nBuckets
+    java.lang.Long.parseLong(
+      md5hex(s"w$seed:$bucket").take(15), 16) %
+      (2L * weightRange + 1L) - weightRange
+  }
+
+  test("score equals the sum of reference weights over unigrams+bigrams") {
+    val text = "alpha beta gamma"
+    val out = TextAnalysis.hashedLinearScore(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect().head
+    val feats = Seq("alpha", "beta", "gamma",
+      "alpha beta", "beta gamma")
+    assert(out.getAs[Long]("n_feats") == feats.size)
+    val want = feats.map(refWeight(_, 4096, 1000, 7)).sum
+    assert(out.getAs[Long]("score") == want)
+    assert(out.getAs[Boolean]("keep") == (want > 0))
+  }
+
+  test("n_feats = 2n-1; token-less docs absent; whitespace-insensitive") {
+    val docs = Seq(
+      (1L, "one"),                       // 1 feat
+      (2L, "  one\t two \n"),            // 3 feats, messy whitespace
+      (3L, "one two three four"),        // 7 feats
+      (4L, "   \t ")                     // absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_feats")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 3L, 3L -> 7L))
+    // same tokens → same score regardless of whitespace shape
+    val s = TextAnalysis.hashedLinearScore(
+        Seq((10L, "one two"), (11L, " one \n two ")).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("score")).distinct
+    assert(s.size == 1, s.toSeq)
+  }
+
+  test("deterministic, and score bounded by n_feats * weightRange") {
+    val docs = (1L to 50L).map(i =>
+      (i, s"doc $i with shared words and unique token tok$i"))
+      .toDF("doc_id", "text")
+    val run1 = TextAnalysis.hashedLinearScore(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val run2 = TextAnalysis.hashedLinearScore(docs.repartition(5),
+        "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(run1.toSeq == run2.toSeq)
+    run1.foreach { case (_, n, score) =>
+      assert(math.abs(score) <= n * 1000L, (n, score))
+    }
+  }
+}
