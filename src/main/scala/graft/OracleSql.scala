@@ -154,6 +154,12 @@ object SketchParams {
   object q99 {
     val iters = 3; val scale = 1000000L; val dampPct = 85
   }
+  /** q100 grouped top-k as a bounded-state aggregate: per-group keep
+    * count and the zero-pad width that makes the string tie-break agree
+    * with numeric id order. */
+  object q100 {
+    val k = 3; val padWidth = 12
+  }
 }
 
 object OracleSql {
@@ -938,6 +944,24 @@ object OracleSql {
       SELECT node, CAST(${p.scale} AS BIGINT) AS pr FROM nodes
     ),$iterCtes
     SELECT node, pr FROM r${p.iters}"""
+  }
+
+  /** Grouped top-k via the bounded-state BottomK aggregate (q100): the
+    * oracle is the equivalent row_number window — ORDER BY (-cents,
+    * zero-padded id) replicates the heap's (key, value) total order,
+    * generated from [[SketchParams.q100]]. */
+  private def q100: String = {
+    val p = SketchParams.q100
+    s"""
+    WITH ranked AS (
+      SELECT p_brand, p_partkey,
+        CAST(floor(p_retailprice * 100) AS BIGINT) AS cents,
+        row_number() OVER (PARTITION BY p_brand
+          ORDER BY -CAST(floor(p_retailprice * 100) AS BIGINT),
+            lpad(CAST(p_partkey AS VARCHAR), ${p.padWidth}, '0')) AS rn
+      FROM part)
+    SELECT p_brand, p_partkey, cents AS price_cents
+    FROM ranked WHERE rn <= ${p.k}"""
   }
 
   /** Alignment-free exact-substring dup join (q93): dense side at every
@@ -1869,6 +1893,7 @@ object OracleSql {
     "q97_shuffled_pack" -> q97,
     "q98_quality_classifier" -> q98,
     "q99_pagerank" -> q99,
+    "q100_topk_agg" -> q100,
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,

@@ -1482,6 +1482,30 @@ object SparkEntry {
       p.iters, p.scale, p.dampPct)
   }
 
+  /** Grouped top-k WITHOUT a window sort: the q44 answer re-expressed as
+    * a bounded-state aggregate ([[graft.functions.BottomK]] over the
+    * negated integer key) — constant memory per group and map-side
+    * partial reduction, where the row_number window shuffles and sorts
+    * every row of the group. At 100 TB the window form's per-group sort
+    * is the bottleneck; the heap form's state is k entries per group,
+    * period. Prices are floor-quantized to integer cents (the q83
+    * argument) and ties break on the zero-padded id so the heap's
+    * (key, value) order is replicable in SQL. Params from
+    * [[SketchParams.q100]]. */
+  def q100TopKAgg(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q100
+    val cents = floor(col("p_retailprice") * 100).cast("long")
+    t(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(graft.functions.BottomK.bottom_k((-cents).as("negcents"),
+        lpad(col("p_partkey").cast("string"), p.padWidth, "0"), p.k)
+        .as("top"))
+      .select(col("p_brand"), explode(col("top")).as("e"))
+      .select(col("p_brand"),
+        col("e.value").cast("long").as("p_partkey"),
+        (-col("e.key")).as("price_cents"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1582,7 +1606,8 @@ object SparkEntry {
     "q96_heavy_sources" -> (q96HeavySources _),
     "q97_shuffled_pack" -> (q97ShuffledPack _),
     "q98_quality_classifier" -> (q98QualityClassifier _),
-    "q99_pagerank" -> (q99PageRank _))
+    "q99_pagerank" -> (q99PageRank _),
+    "q100_topk_agg" -> (q100TopKAgg _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -144,6 +144,50 @@ object EventStreams {
       .start()
   }
 
+  /** Stream-stream interval join: every `trigger` event is matched to
+    * the same user's `outcome` events that land within `maxLag` after it
+    * — the funnel/attribution correlation shape, continuously. Both
+    * sides carry a watermark and the join condition bounds event time on
+    * both ends, which is exactly what Structured Streaming needs to
+    * evict join state: a trigger row can be dropped once the outcome
+    * watermark passes trigger_ts + maxLag. Without the range condition
+    * the state store would grow without bound — the 100 TB streaming
+    * failure mode.
+    *
+    * On batch frames the watermarks are no-ops and this degenerates to a
+    * plain interval join, so the same code serves backfill and live —
+    * the spec asserts that equivalence. */
+  def correlateStreams(trigger: DataFrame, outcome: DataFrame,
+      maxLag: String = "10 minutes",
+      watermark: String = "20 minutes"): DataFrame = {
+    val t = trigger.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("trigger_id"),
+        col("ts").as("trigger_ts"), col("event_type").as("trigger_type"))
+    val o = outcome.withWatermark("ts", watermark)
+      .select(col("user_id").as("__ou"), col("event_id").as("outcome_id"),
+        col("ts").as("outcome_ts"), col("event_type").as("outcome_type"))
+    t.join(o,
+        col("user_id") === col("__ou") &&
+          col("outcome_ts") >= col("trigger_ts") &&
+          col("outcome_ts") <= col("trigger_ts") + expr(s"INTERVAL $maxLag"))
+      .select(col("user_id"), col("trigger_id"), col("trigger_type"),
+        col("outcome_id"), col("outcome_type"),
+        (col("outcome_ts").cast("long") - col("trigger_ts").cast("long"))
+          .as("lag_sec"))
+  }
+
+  /** Exact streaming dedup with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps a key's fingerprint only
+    * until the watermark passes it, so duplicate events arriving within
+    * the window are suppressed while state stays proportional to the
+    * watermark horizon, not the stream's lifetime — the streaming twin
+    * of the batch exact dedup ([[graft.operators.Dedup.exactDedup]]). */
+  def dedupWithinWatermark(events: DataFrame,
+      keys: Seq[String] = Seq("event_id"),
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Wire a parquet-backed stream with the events schema (used by tests:
     * one-file-per-trigger batch drive via memory sink). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

@@ -212,6 +212,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "inbound-mass aggregation must partial-combine")
   }
 
+  test("q100: grouped top-k is a bounded-state agg, not a window sort (r8)") {
+    val plan = executed("q100_topk_agg")
+    assert(!plan.contains("Window"), "top-k must not window-sort the group")
+    // TypedImperativeAggregate: partial + final ObjectHashAggregate
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
