@@ -160,6 +160,14 @@ object SketchParams {
   object q100 {
     val k = 3; val padWidth = 12
   }
+  /** q101 SCD2 merge: which customer keys change segment / get deleted /
+    * arrive new in the day-2 snapshot, the shifted-id offset for new
+    * keys, and the two load stamps. */
+  object q101 {
+    val chgMod = 7; val delMod = 11; val newMod = 13
+    val newOffset = 1000000L
+    val day1 = "2024-01-01"; val day2 = "2024-06-01"
+  }
 }
 
 object OracleSql {
@@ -962,6 +970,49 @@ object OracleSql {
       FROM part)
     SELECT p_brand, p_partkey, cents AS price_cents
     FROM ranked WHERE rn <= ${p.k}"""
+  }
+
+  /** SCD2 snapshot merge (q101): the four-way outcome of
+    * `Scd.scd2Merge` replicated with a FULL JOIN + three projections —
+    * "unchanged" is attribute equality (IS NOT DISTINCT FROM), which is
+    * what the operator's md5 attr hash encodes. Generated from
+    * [[SketchParams.q101]]. */
+  private def q101: String = {
+    val p = SketchParams.q101
+    s"""
+    WITH o AS (
+      SELECT c_custkey, c_name, c_mktsegment, '${p.day1}' AS valid_from
+      FROM customer
+    ), i AS (
+      SELECT c_custkey, c_name,
+        CASE WHEN c_custkey % ${p.chgMod} = 0 THEN c_mktsegment || '-x'
+             ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % ${p.delMod} <> 0
+      UNION ALL
+      SELECT c_custkey + ${p.newOffset}, c_name, c_mktsegment
+      FROM customer WHERE c_custkey % ${p.newMod} = 0
+    ), j AS (
+      SELECT COALESCE(o.c_custkey, i.c_custkey) AS k,
+        o.c_custkey IS NOT NULL AS has_o,
+        i.c_custkey IS NOT NULL AS has_i,
+        o.c_name AS o_name, o.c_mktsegment AS o_seg,
+        o.valid_from AS vf,
+        i.c_name AS n_name, i.c_mktsegment AS n_seg,
+        (o.c_custkey IS NOT NULL AND i.c_custkey IS NOT NULL
+          AND o.c_name IS NOT DISTINCT FROM i.c_name
+          AND o.c_mktsegment IS NOT DISTINCT FROM i.c_mktsegment) AS same
+      FROM o FULL JOIN i ON o.c_custkey = i.c_custkey
+    )
+    SELECT k AS c_custkey, o_name AS c_name, o_seg AS c_mktsegment,
+      vf AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+      TRUE AS is_current
+    FROM j WHERE same
+    UNION ALL
+    SELECT k, o_name, o_seg, vf, '${p.day2}', FALSE
+    FROM j WHERE has_o AND NOT same
+    UNION ALL
+    SELECT k, n_name, n_seg, '${p.day2}', CAST(NULL AS VARCHAR), TRUE
+    FROM j WHERE has_i AND NOT same"""
   }
 
   /** Alignment-free exact-substring dup join (q93): dense side at every
@@ -1894,6 +1945,7 @@ object OracleSql {
     "q98_quality_classifier" -> q98,
     "q99_pagerank" -> q99,
     "q100_topk_agg" -> q100,
+    "q101_scd2_merge" -> q101,
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,

@@ -153,6 +153,26 @@ object Soak {
         "embedding", "vec_id", "vec_id", k = 10).count()
     }
     println(s"[soak]   -> $topk (query, neighbor) rows")
+
+    // r8 additions: the classifier is the map-only best case (should
+    // scale linearly); pagerank is the iterative join worst case
+    val scored = timed("hashed linear classifier (uni+bigram features)") {
+      operators.TextAnalysis.hashedLinearScore(docs, "text", "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+        .collect()(0)
+    }
+    println(s"[soak]   -> ${scored.getAs[Long]("kept")} of " +
+      s"${scored.getAs[Long]("n")} docs pass the quality gate")
+
+    val prRows = timed("fixed-point pagerank (replica-pair graph, 3 iters)") {
+      // near-dup pairs as the edge list — the graph PageRank would rank
+      // in a curation pipeline (which cluster representatives matter)
+      val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      operators.PageRank.pageRankFixedPoint(sym, "a", "b", iters = 3).count()
+    }
+    println(s"[soak]   -> $prRows ranked nodes")
     spark.stop()
   }
 }

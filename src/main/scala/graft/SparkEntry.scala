@@ -1506,6 +1506,33 @@ object SparkEntry {
         (-col("e.key")).as("price_cents"))
   }
 
+  /** SCD2 snapshot merge ([[graft.operators.Scd.scd2Merge]]): day-2 of a
+    * customer dimension — the second snapshot changes segment for
+    * custkey % chgMod, drops custkey % delMod (hard-close), and adds
+    * shifted new keys for custkey % newMod — merged into the day-1
+    * history. Deterministic derivation of both snapshots from the same
+    * parquet, so the full four-way outcome (unchanged / changed / new /
+    * deleted) is hash-verifiable. Params from [[SketchParams.q101]]. */
+  def q101Scd2(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q101
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val history = cust
+      .withColumn("valid_from", lit(p.day1))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(true))
+    val incoming = cust.filter(col("c_custkey") % p.delMod =!= 0)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % p.chgMod === 0,
+          concat(col("c_mktsegment"), lit("-x")))
+          .otherwise(col("c_mktsegment")))
+      .unionByName(cust.filter(col("c_custkey") % p.newMod === 0)
+        .select((col("c_custkey") + p.newOffset).as("c_custkey"),
+          col("c_name"), col("c_mktsegment")))
+    operators.Scd.scd2Merge(history, incoming,
+      Seq("c_custkey"), Seq("c_name", "c_mktsegment"), p.day2)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1607,7 +1634,8 @@ object SparkEntry {
     "q97_shuffled_pack" -> (q97ShuffledPack _),
     "q98_quality_classifier" -> (q98QualityClassifier _),
     "q99_pagerank" -> (q99PageRank _),
-    "q100_topk_agg" -> (q100TopKAgg _))
+    "q100_topk_agg" -> (q100TopKAgg _),
+    "q101_scd2_merge" -> (q101Scd2 _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type-2 merge — the warehouse history
+  * mechanic the reference's full-refresh sinks (SURVEY §2.9: overwrite
+  * per run, no history) deliberately skip, and the first thing a company
+  * dimension actually needs once records update in place: every business
+  * key keeps a row per version, windowed by (valid_from, valid_to] with
+  * exactly one open row. Same semantics as a dbt snapshot in `check`
+  * strategy (compare tracked attributes, not a timestamp column).
+  *
+  * Change detection is an md5 over the tracked attributes with explicit
+  * separators/sentinels (unit-separator between fields, NUL for SQL
+  * NULL), so "changed?" is engine-reproducible and never confuses
+  * `("ab","c")` with `("a","bc")` or NULL with the empty string.
+  *
+  * Scale shape: the CLOSED slice of history never moves — it is
+  * filtered out before the join and unioned back untouched (at 100 TB
+  * history dwarfs the open slice; shuffling it per load would be the
+  * bottleneck). The only shuffle is ONE equi-join between the open slice
+  * and the incoming snapshot on the business key, executed once: all
+  * four outcome classes (unchanged / changed / new / deleted) are emitted
+  * from a single generate over that join (a per-row array of 0–2 version
+  * rows, exploded) — not three filtered re-joins unioned.
+  */
+object Scd {
+
+  /** Timestamp-free column contract: `valid_from`/`valid_to` are opaque
+    * strings supplied by the caller per load (dates, ISO timestamps,
+    * batch ids — anything totally ordered), `valid_to` NULL = open. */
+  val metaCols: Seq[String] = Seq("valid_from", "valid_to", "is_current")
+
+  private def attrHash(attrCols: Seq[String]): Column =
+    md5(concat_ws("\u001F",
+      attrCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+
+  /** Merge one incoming full snapshot into an SCD2 history.
+    *
+    * @param history  existing history: key + attr + [[metaCols]] columns
+    * @param incoming new snapshot: key + attr columns (one row per key)
+    * @param keyCols  business key (non-null by contract)
+    * @param attrCols tracked attributes (change in any ⇒ new version)
+    * @param stamp    load stamp written to closed `valid_to` / new
+    *                 `valid_from`
+    * @return the full updated history (closed slice + merged open slice);
+    *         keys absent from `incoming` are closed (hard-delete policy —
+    *         pass a superset snapshot to keep them open) */
+  def scd2Merge(history: DataFrame, incoming: DataFrame,
+      keyCols: Seq[String], attrCols: Seq[String],
+      stamp: String): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty)
+    val outCols = (keyCols ++ attrCols ++ metaCols).map(col)
+    val closed = history.filter(!col("is_current")).select(outCols: _*)
+    val open = history.filter(col("is_current"))
+      .select((keyCols ++ attrCols :+ "valid_from").map(col): _*)
+      .withColumn("__oh", attrHash(attrCols))
+    val inc = incoming
+      .select((keyCols ++ attrCols).map(col): _*)
+      .withColumn("__nh", attrHash(attrCols))
+      .select(keyCols.map(col) ++
+        attrCols.map(c => col(c).as(s"__n_$c")) :+ col("__nh"): _*)
+    // ONE shuffle join, executed once: each joined row emits its 0–2
+    // version rows through a single generate (array → filter → explode)
+    val j = open.join(inc, keyCols, "full_outer")
+    val unchanged = col("__oh") === col("__nh")
+    val changedOrDel = col("__oh").isNotNull &&
+      (col("__nh").isNull || col("__nh") =!= col("__oh"))
+    val changedOrNew = col("__nh").isNotNull &&
+      (col("__oh").isNull || col("__nh") =!= col("__oh"))
+    def version(attrs: Seq[Column], from: Column, to: Column,
+        current: Boolean): Column =
+      struct(keyCols.map(col) ++
+        attrs.zip(attrCols).map { case (c, n) => c.as(n) } :+
+        from.as("valid_from") :+ to.as("valid_to") :+
+        lit(current).as("is_current"): _*)
+    val openNull = lit(null).cast("string")
+    val merged = j.select(explode(filter(array(
+        when(unchanged,
+          version(attrCols.map(col), col("valid_from"), openNull, true)),
+        when(changedOrDel,
+          version(attrCols.map(col), col("valid_from"), lit(stamp), false)),
+        when(changedOrNew,
+          version(attrCols.map(c => col(s"__n_$c")), lit(stamp), openNull,
+            true))),
+        r => r.isNotNull)).as("__v"))
+      .select(col("__v.*"))
+    closed.unionByName(merged)
+  }
+}

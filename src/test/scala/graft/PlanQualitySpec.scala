@@ -219,6 +219,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
   }
 
+  test("q101: scd2 merge joins the business key ONCE, single generate (r8)") {
+    val plan = executed("q101_scd2_merge")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly one key join, saw $joins")
+    assert(plan.contains("Generate"),
+      "outcome classes must fan out of one generate, not filtered re-joins")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

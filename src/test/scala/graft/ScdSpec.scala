@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scd
+
+/** SCD2 merge: the four outcome classes on a hand dataset, the
+  * one-open-row-per-key invariant, idempotency under an unchanged
+  * snapshot, and null-vs-empty attribute discrimination. */
+class ScdSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val keys = Seq("id")
+  private val attrs = Seq("name", "seg")
+
+  private def hist0 = Seq(
+    // (id, name, seg, valid_from, valid_to, is_current)
+    (1L, "alice", "A", "d1", null.asInstanceOf[String], true),
+    (2L, "bob", "B", "d1", null.asInstanceOf[String], true),
+    (3L, "carol", "C", "d1", null.asInstanceOf[String], true),
+    // an already-closed version that must pass through untouched
+    (2L, "bob", "OLD", "d0", "d1", false)
+  ).toDF("id", "name", "seg", "valid_from", "valid_to", "is_current")
+
+  private def snap1 = Seq(
+    (1L, "alice", "A"),   // unchanged
+    (2L, "bob", "B2"),    // changed
+    (4L, "dave", "D")     // new  (3 deleted)
+  ).toDF("id", "name", "seg")
+
+  test("four outcome classes: unchanged, changed, deleted, new") {
+    val out = Scd.scd2Merge(hist0, snap1, keys, attrs, "d2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getBoolean(5))).toSet
+    assert(out == Set(
+      (2L, "bob", "OLD", "d0", "d1", false),    // closed slice untouched
+      (1L, "alice", "A", "d1", null, true),     // unchanged stays open
+      (2L, "bob", "B", "d1", "d2", false),      // changed: old closed...
+      (2L, "bob", "B2", "d2", null, true),      // ...new version open
+      (3L, "carol", "C", "d1", "d2", false),    // deleted: closed
+      (4L, "dave", "D", "d2", null, true)       // new key open
+    ))
+  }
+
+  test("at most one open row per key; re-merging same snapshot is a no-op") {
+    val h1 = Scd.scd2Merge(hist0, snap1, keys, attrs, "d2")
+    val openCounts = h1.filter(col("is_current"))
+      .groupBy(col("id")).count().collect().map(_.getLong(1))
+    assert(openCounts.forall(_ == 1L))
+    val h2 = Scd.scd2Merge(h1, snap1, keys, attrs, "d3")
+    val a = h1.collect().map(_.toSeq).toSet
+    val b = h2.collect().map(_.toSeq).toSet
+    assert(a == b, "idempotent: identical snapshot must change nothing")
+  }
+
+  test("null and empty-string attributes are distinct versions") {
+    val h = Seq((1L, null.asInstanceOf[String], "A", "d1",
+      null.asInstanceOf[String], true))
+      .toDF("id", "name", "seg", "valid_from", "valid_to", "is_current")
+    val s = Seq((1L, "", "A")).toDF("id", "name", "seg")
+    val out = Scd.scd2Merge(h, s, keys, attrs, "d2")
+    assert(out.filter(col("is_current")).count() == 1)
+    assert(out.count() == 2, "null -> '' must be detected as a change")
+  }
+}
