@@ -156,7 +156,7 @@ object Soak {
 
     // r8 additions: the classifier is the map-only best case (should
     // scale linearly); pagerank is the iterative join worst case
-    val scored = timed("hashed linear classifier (uni+bigram features)") {
+    val scored = timed("hashed linear classifier (md5-portable)") {
       operators.TextAnalysis.hashedLinearScore(docs, "text", "doc_id")
         .agg(count(lit(1)).as("n"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
@@ -164,6 +164,11 @@ object Soak {
     }
     println(s"[soak]   -> ${scored.getAs[Long]("kept")} of " +
       s"${scored.getAs[Long]("n")} docs pass the quality gate")
+    val scoredFast = timed("hashed linear classifier (xxhash64 fast path)") {
+      operators.TextAnalysis.hashedLinearScoreFast(docs, "text", "doc_id")
+        .agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+    }
+    println(s"[soak]   -> $scoredFast docs scored (fast path)")
 
     val prRows = timed("fixed-point pagerank (replica-pair graph, 3 iters)") {
       // near-dup pairs as the edge list — the graph PageRank would rank

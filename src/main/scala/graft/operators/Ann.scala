@@ -254,8 +254,8 @@ object Ann {
       nlist: Int, scale: Int): Seq[Seq[Long]] = corpus
     .select(col(idCol).as("__id"), quantizeVec(col(vecCol), scale).as("__q"))
     .withColumn("__key",
-      conv(substring(md5(concat(col("__id").cast("string"), lit(":ivf"))),
-        1, 15), 16, 10).cast("long"))
+      graft.functions.PortableHash.md5Long60(
+        concat(col("__id").cast("string"), lit(":ivf"))))
     .orderBy(col("__key"), col("__id"))
     .limit(nlist)
     .select(col("__q")).collect()

@@ -441,7 +441,7 @@ object Dedup {
       // times, and an inlined alias would re-run the md5 transform per ref
       .select(col(idCol).as("doc_id"),
         transform(split(trim(col(textCol)), "\\s+"),
-          t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("__hs"))
+          t => graft.functions.PortableHash.md5Long60(t)).as("__hs"))
       .select(col("doc_id"),
         expr("""aggregate(sequence(0, 59), 0L, (acc, i) -> acc +
           IF(2 * size(filter(__hs, h -> shiftright(h, i) % 2 = 1)) > size(__hs),

@@ -35,8 +35,8 @@ object Sampling {
     * orders by (key, value-as-string), so the oracle's
     * `ORDER BY key, id::VARCHAR` reproduces the pick even on a collision. */
   def portableKey(id: org.apache.spark.sql.Column, seed: Int): org.apache.spark.sql.Column =
-    conv(substring(md5(concat(id.cast("string"), lit(s":$seed"))), 1, 15),
-      16, 10).cast("long")
+    graft.functions.PortableHash.md5Long60(
+      concat(id.cast("string"), lit(s":$seed")))
 
   /** Per-group bottom-k by an arbitrary deterministic key column. */
   def stratifiedSampleByKey(df: DataFrame, groupCol: String, idCol: String,

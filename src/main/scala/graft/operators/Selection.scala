@@ -42,8 +42,8 @@ object Selection {
         explode(split(norm, " ")).as("__w"))
       .filter(col("__w") =!= "")
       .select(col("doc_id"), col("__tgt"),
-        (conv(substring(md5(col("__w")), 1, 15), 16, 10).cast("long")
-          % nBuckets).as("bucket"))
+        (graft.functions.PortableHash.md5Long60(col("__w")) % nBuckets)
+          .as("bucket"))
     val target = toks.filter(col("__tgt"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("__tcount"))
     val cand = toks.filter(!col("__tgt"))

@@ -385,6 +385,37 @@ object TextAnalysis {
       nBuckets: Int = 4096, weightRange: Int = 1000,
       seed: Int = 7): DataFrame = {
     require(nBuckets >= 1 && weightRange >= 1)
+    val bucket =
+      graft.functions.PortableHash.md5Long60(col("__f")) % nBuckets
+    val weight = (graft.functions.PortableHash.md5Long60(
+        concat(lit(s"w$seed:"), col("__b").cast("string")))
+      % (2L * weightRange + 1L)) - weightRange
+    linearScore(docs, textCol, idCol, bucket, weight)
+  }
+
+  /** xxhash64 fast path of [[hashedLinearScore]] — same feature pipeline
+    * and decision shape, ~an order of magnitude cheaper per feature (two
+    * md5s become two xxhash64s), for the sweep-the-whole-corpus pass
+    * where no external oracle needs to replay the weights. `pmod`
+    * because xxhash64 spans the full long range. */
+  def hashedLinearScoreFast(
+      docs: DataFrame, textCol: String, idCol: String,
+      nBuckets: Int = 4096, weightRange: Int = 1000,
+      seed: Int = 7): DataFrame = {
+    require(nBuckets >= 1 && weightRange >= 1)
+    val bucket = pmod(xxhash64(col("__f")), lit(nBuckets.toLong))
+    val weight = pmod(xxhash64(col("__b"), lit(seed)),
+      lit(2L * weightRange + 1L)) - weightRange
+    linearScore(docs, textCol, idCol, bucket, weight)
+  }
+
+  /** Shared classifier core: tokenize → unigram+bigram features →
+    * per-feature weight in the projection → one partial-aggregated sum.
+    * `bucket` sees each feature as `__f`; `weight` sees the bucket as
+    * `__b`. */
+  private def linearScore(
+      docs: DataFrame, textCol: String, idCol: String,
+      bucket: Column, weight: Column): DataFrame = {
     val norm = trim(regexp_replace(col(textCol), "[ \\t\\n\\x0B\\f\\r]+", " "))
     val toks = filter(split(norm, " "), w => w =!= "")
     val bigrams = when(size(col("__t")) >= 2,
@@ -392,11 +423,6 @@ object TextAnalysis {
         i => concat_ws(" ", element_at(col("__t"), i + 1),
           element_at(col("__t"), i + 2))))
       .otherwise(array().cast("array<string>"))
-    val bucket = (conv(substring(md5(col("__f")), 1, 15), 16, 10)
-      .cast("long") % nBuckets)
-    val weight = (conv(substring(md5(concat(lit(s"w$seed:"),
-        col("__b").cast("string"))), 1, 15), 16, 10).cast("long")
-      % (2L * weightRange + 1L)) - weightRange
     docs.select(col(idCol).as("doc_id"), toks.as("__t"))
       .select(col("doc_id"),
         explode(concat(col("__t"), bigrams)).as("__f"))

@@ -57,6 +57,22 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(s.size == 1, s.toSeq)
   }
 
+  test("fast path: same feature counts as portable, deterministic, bounded") {
+    val docs = (1L to 30L).map(i => (i, s"shared words plus tok$i here"))
+      .toDF("doc_id", "text")
+    val portable = TextAnalysis.hashedLinearScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = TextAnalysis.hashedLinearScoreFast(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fast.map(f => f._1 -> f._2).toMap == portable,
+      "identical tokenization => identical n_feats")
+    fast.foreach { case (_, n, s) => assert(math.abs(s) <= n * 1000L) }
+    val again = TextAnalysis.hashedLinearScoreFast(docs.repartition(7),
+        "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fast.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("deterministic, and score bounded by n_feats * weightRange") {
     val docs = (1L to 50L).map(i =>
       (i, s"doc $i with shared words and unique token tok$i"))
