@@ -1946,6 +1946,22 @@ object OracleSql {
     "q99_pagerank" -> q99,
     "q100_topk_agg" -> q100,
     "q101_scd2_merge" -> q101,
+    "q102_grouped_quantiles" -> """
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        quantile_cont(n_chars, 0.25) AS p25,
+        quantile_cont(n_chars, 0.5) AS p50,
+        quantile_cont(n_chars, 0.75) AS p75
+      FROM documents GROUP BY lang""",
+    "q103_retention_cohorts" -> """
+      WITH f AS (
+        SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)
+      SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d')
+          AS cohort_week,
+        CAST(date_diff('day', date_trunc('week', f.first_ts),
+          date_trunc('week', e.ts)) // 7 AS BIGINT) AS period,
+        CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+      FROM events e JOIN f ON e.user_id = f.user_id
+      GROUP BY 1, 2""",
     "q37_range_join" -> q37,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,

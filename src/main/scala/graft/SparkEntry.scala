@@ -1533,6 +1533,47 @@ object SparkEntry {
       Seq("c_custkey"), Seq("c_name", "c_mktsegment"), p.day2)
   }
 
+  /** Grouped exact quantiles: per-language p25/p50/p75 of document
+    * length via Spark's exact `percentile` aggregate — same linear
+    * interpolation over the sorted values (`index = p·(n−1)`) DuckDB's
+    * `quantile_cont` uses, and the operands are exact BIGINTs, so the
+    * one interpolation divide is bit-identical cross-engine (the q68
+    * single-divide argument). The approximate sibling for the 100 TB
+    * sweep is `percentile_approx`/KLL — not oracled here because sketch
+    * internals are engine-specific; this exact form IS the oracle. */
+  def q102GroupedQuantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.75)").as("p75"))
+
+  /** Retention cohorts over the event stream: users grouped by the week
+    * of their FIRST event, counted distinct per week-offset since that
+    * cohort week — the standard product-analytics retention matrix.
+    * Scale shape: first-event is a user_id groupBy; the join back to
+    * events is on the same key (the exchange is reused, no second
+    * user-side shuffle); the matrix agg is a (cohort, period) groupBy
+    * with a distinct-count whose domain (users) dwarfs the matrix —
+    * at 100 TB swap the exact distinct for the KMV sketch (q84) without
+    * changing the frame shape. Week arithmetic is day-diff DIV 7 over
+    * Monday-truncated weeks so both engines agree on the offset. */
+  def q103RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val firsts = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+    ev.join(firsts, Seq("user_id"))
+      .select(col("user_id"),
+        date_format(date_trunc("week", col("first_ts")), "yyyy-MM-dd")
+          .as("cohort_week"),
+        expr("""datediff(date_trunc('week', ts),
+                         date_trunc('week', first_ts)) DIV 7""")
+          .cast("long").as("period"))
+      .groupBy(col("cohort_week"), col("period"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1635,7 +1676,9 @@ object SparkEntry {
     "q98_quality_classifier" -> (q98QualityClassifier _),
     "q99_pagerank" -> (q99PageRank _),
     "q100_topk_agg" -> (q100TopKAgg _),
-    "q101_scd2_merge" -> (q101Scd2 _))
+    "q101_scd2_merge" -> (q101Scd2 _),
+    "q102_grouped_quantiles" -> (q102GroupedQuantiles _),
+    "q103_retention_cohorts" -> (q103RetentionCohorts _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
