@@ -160,6 +160,11 @@ object SketchParams {
   object q100 {
     val k = 3; val padWidth = 12
   }
+  /** q104 curriculum packing: shard token budget (order comes from the
+    * q98 classifier score, descending). */
+  object q104 {
+    val maxTokensPerShard = 2000L
+  }
   /** q101 SCD2 merge: which customer keys change segment / get deleted /
     * arrive new in the day-2 snapshot, the shifted-id offset for new
     * keys, and the two load stamps. */
@@ -1013,6 +1018,54 @@ object OracleSql {
     UNION ALL
     SELECT k, n_name, n_seg, '${p.day2}', CAST(NULL AS VARCHAR), TRUE
     FROM j WHERE has_i AND NOT same"""
+  }
+
+  /** Curriculum packing (q104): the q98 classifier score replayed as the
+    * shard order — q98's CTE chain feeding q97's ordered cumsum,
+    * ORDER BY (-score, doc_id). Generated from [[SketchParams.q104]] and
+    * [[SketchParams.q98]]. */
+  private def q104: String = {
+    val p98 = SketchParams.q98
+    val p = SketchParams.q104
+    s"""
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(string_split(${normSql("text")}, ' '), w -> w <> '')
+          AS toks
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, f FROM t, unnest(toks) AS u(f)
+      UNION ALL
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS f
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+      WHERE len(toks) >= 2
+    ), wtd AS (
+      SELECT doc_id,
+        (('0x' || substr(md5('w${p98.seed}:' ||
+            ((('0x' || substr(md5(f), 1, 15))::BIGINT % ${p98.nBuckets})
+              )::VARCHAR), 1, 15))::BIGINT
+          % ${2L * p98.weightRange + 1L}) - ${p98.weightRange} AS w
+      FROM feats
+    ), sc AS (
+      SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score FROM wtd
+      GROUP BY doc_id
+    ), d AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(${normSql("text")}, '\\s+')) AS BIGINT)
+          AS n_tokens,
+        -COALESCE((SELECT score FROM sc WHERE sc.doc_id = documents.doc_id),
+          0) AS ord
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (ORDER BY ord, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+          AS tok_offset
+      FROM d)
+    SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+      CAST(floor(tok_offset / ${p.maxTokensPerShard}.0) AS BIGINT)
+        AS shard_id
+    FROM c"""
   }
 
   /** Alignment-free exact-substring dup join (q93): dense side at every
@@ -1952,6 +2005,7 @@ object OracleSql {
         quantile_cont(n_chars, 0.5) AS p50,
         quantile_cont(n_chars, 0.75) AS p75
       FROM documents GROUP BY lang""",
+    "q104_curriculum_pack" -> q104,
     "q103_retention_cohorts" -> """
       WITH f AS (
         SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)

@@ -1574,6 +1574,29 @@ object SparkEntry {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Curriculum-ordered packing: the q97 shard packer with the stream
+    * order supplied by the q98 quality-classifier score (descending —
+    * best-scored documents land in the earliest shards), completing the
+    * packing family: id order (q78), pseudorandom shuffle (q97),
+    * quality curriculum (q104). Same two-phase distributed prefix sum;
+    * the only new cost is the score join, which rides the classifier's
+    * single hash-agg. Params from [[SketchParams.q104]] + q98. */
+  def q104CurriculumPack(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q104
+    val q98p = SketchParams.q98
+    val docs = t(s, dir, "documents")
+    val scores = operators.TextAnalysis.hashedLinearScore(docs,
+        "text", "doc_id", q98p.nBuckets, q98p.weightRange, q98p.seed)
+      .select(col("doc_id"), col("score"))
+    val toks = docs.select(col("doc_id"),
+      operators.TextAnalysis.tokenCount(normText(col("text"))).cast("long")
+        .as("n_tokens"))
+    val ordered = toks.join(scores, Seq("doc_id"), "left")
+      .withColumn("ord", -coalesce(col("score"), lit(0L)))
+    operators.Packing.assignShards(ordered, "n_tokens", "doc_id",
+      p.maxTokensPerShard, orderCol = Some("ord"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1678,7 +1701,8 @@ object SparkEntry {
     "q100_topk_agg" -> (q100TopKAgg _),
     "q101_scd2_merge" -> (q101Scd2 _),
     "q102_grouped_quantiles" -> (q102GroupedQuantiles _),
-    "q103_retention_cohorts" -> (q103RetentionCohorts _))
+    "q103_retention_cohorts" -> (q103RetentionCohorts _),
+    "q104_curriculum_pack" -> (q104CurriculumPack _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
