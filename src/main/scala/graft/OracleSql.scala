@@ -2006,6 +2006,24 @@ object OracleSql {
         quantile_cont(n_chars, 0.75) AS p75
       FROM documents GROUP BY lang""",
     "q104_curriculum_pack" -> q104,
+    "q105_session_window" -> """
+      WITH g AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR date_diff('microsecond', lag(ts) OVER w, ts)
+                    >= 1800000000
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT user_id, ts,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM g)
+      SELECT user_id,
+        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        COUNT(*) AS n_events
+      FROM s GROUP BY user_id, seq""",
     "q103_retention_cohorts" -> """
       WITH f AS (
         SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)

@@ -1597,6 +1597,26 @@ object SparkEntry {
       p.maxTokensPerShard, orderCol = Some("ord"))
   }
 
+  /** Declarative sessionization via the built-in `session_window`
+    * aggregation — the third implementation of the session concept
+    * (q43: lag/cumsum window; `EventStreams.sessionize`:
+    * mapGroupsWithState), and the one that runs UNCHANGED as a streaming
+    * query with watermark-driven state eviction. Semantics detail the
+    * oracle must mirror: session windows are half-open `[start, last+gap)`,
+    * so a gap of exactly the threshold starts a NEW session (q43's lag
+    * form keeps it — both are valid, documented contracts), and the
+    * comparison is at full microsecond precision (every fixture event
+    * has sub-second parts; a seconds-truncated oracle would misclassify
+    * near-boundary gaps). */
+  def q105SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"))
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1702,7 +1722,8 @@ object SparkEntry {
     "q101_scd2_merge" -> (q101Scd2 _),
     "q102_grouped_quantiles" -> (q102GroupedQuantiles _),
     "q103_retention_cohorts" -> (q103RetentionCohorts _),
-    "q104_curriculum_pack" -> (q104CurriculumPack _))
+    "q104_curriculum_pack" -> (q104CurriculumPack _),
+    "q105_session_window" -> (q105SessionWindow _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
