@@ -366,14 +366,17 @@ object TextAnalysis {
     * second md5 hash (uniform in [-weightRange, weightRange]) so the
     * entire decision — tokenize, feature-hash, dot-product, threshold —
     * is engine-reproducible integer arithmetic with no artifact to ship.
-    * Swapping in trained weights = replacing the `w` projection with a
-    * broadcast join against a (bucket, weight) table; every other line
-    * is unchanged.
+    * The weights live in an nBuckets-row (bucket, weight) table built by
+    * one distributed pass and broadcast — the exact shape a TRAINED
+    * model ships in, so swapping in real weights replaces that one frame
+    * and nothing else.
     *
-    * Scale shape: this is the best case — features never materialize as
-    * a (doc, bucket, count) frame; the per-feature weight is computed in
-    * the projection and summed straight into one partial-aggregated
-    * groupBy(doc). One map + one hash-agg over the corpus, no joins,
+    * Scale shape: features never materialize as a (doc, bucket, count)
+    * frame; each feature instance broadcast-looks-up its weight (no
+    * shuffle — the weight md5 has only nBuckets distinct inputs, so it
+    * is evaluated nBuckets times, not once per feature) and sums
+    * straight into one partial-aggregated groupBy(doc). One map + one
+    * broadcast lookup + one hash-agg over the corpus; no shuffle joins,
     * no windows, no driver state.
     *
     * Output: (doc_id, n_feats, score, keep) with `score` the exact
@@ -387,10 +390,17 @@ object TextAnalysis {
     require(nBuckets >= 1 && weightRange >= 1)
     val bucket =
       graft.functions.PortableHash.md5Long60(col("__f")) % nBuckets
-    val weight = (graft.functions.PortableHash.md5Long60(
-        concat(lit(s"w$seed:"), col("__b").cast("string")))
-      % (2L * weightRange + 1L)) - weightRange
-    linearScore(docs, textCol, idCol, bucket, weight)
+    // the weight md5 has only nBuckets distinct inputs, so it is
+    // evaluated nBuckets times into a table and broadcast-joined, not
+    // recomputed per feature instance — which is also exactly the shape
+    // a TRAINED model ships in (a (bucket, weight) table; swap this
+    // frame, nothing else moves)
+    val weights = docs.sparkSession.range(nBuckets)
+      .select(col("id").as("__b"),
+        ((graft.functions.PortableHash.md5Long60(
+            concat(lit(s"w$seed:"), col("id").cast("string")))
+          % (2L * weightRange + 1L)) - weightRange).as("__w"))
+    linearScore(docs, textCol, idCol, bucket, Some(weights))
   }
 
   /** xxhash64 fast path of [[hashedLinearScore]] — same feature pipeline
@@ -406,16 +416,19 @@ object TextAnalysis {
     val bucket = pmod(xxhash64(col("__f")), lit(nBuckets.toLong))
     val weight = pmod(xxhash64(col("__b"), lit(seed)),
       lit(2L * weightRange + 1L)) - weightRange
-    linearScore(docs, textCol, idCol, bucket, weight)
+    linearScore(docs, textCol, idCol, bucket, None, weight)
   }
 
   /** Shared classifier core: tokenize → unigram+bigram features →
-    * per-feature weight in the projection → one partial-aggregated sum.
-    * `bucket` sees each feature as `__f`; `weight` sees the bucket as
-    * `__b`. */
+    * per-feature weight → one partial-aggregated sum. `bucket` sees each
+    * feature as `__f`. The weight comes either from a broadcast
+    * (`__b`, `__w`) table (the model shape) or, when `weightTable` is
+    * None, from an expression over the bucket as `__b` (the xxhash fast
+    * path, where computing beats joining). */
   private def linearScore(
       docs: DataFrame, textCol: String, idCol: String,
-      bucket: Column, weight: Column): DataFrame = {
+      bucket: Column, weightTable: Option[DataFrame],
+      weightExpr: Column = lit(0L)): DataFrame = {
     val norm = trim(regexp_replace(col(textCol), "[ \\t\\n\\x0B\\f\\r]+", " "))
     val toks = filter(split(norm, " "), w => w =!= "")
     val bigrams = when(size(col("__t")) >= 2,
@@ -423,11 +436,15 @@ object TextAnalysis {
         i => concat_ws(" ", element_at(col("__t"), i + 1),
           element_at(col("__t"), i + 2))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).as("doc_id"), toks.as("__t"))
+    val bucketed = docs.select(col(idCol).as("doc_id"), toks.as("__t"))
       .select(col("doc_id"),
         explode(concat(col("__t"), bigrams)).as("__f"))
       .select(col("doc_id"), bucket.as("__b"))
-      .select(col("doc_id"), weight.as("__w"))
+    val weighted = weightTable match {
+      case Some(w) => bucketed.join(broadcast(w), Seq("__b"))
+      case None    => bucketed.select(col("doc_id"), weightExpr.as("__w"))
+    }
+    weighted
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("__w")).as("score"))
       .select(col("doc_id"), col("n_feats"), col("score"),
