@@ -196,6 +196,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"window not partitioned by __pid: ${winSpec.getOrElse("<none>")}")
   }
 
+  test("q104: curriculum packing keeps the pinned-pid window + broadcasts (r8)") {
+    val plan = executed("q104_curriculum_pack")
+    assert(!plan.contains("SortMergeJoin"), "score+offset joins must broadcast")
+    val winSpec = plan.split("\n").find(_.contains("windowspecdefinition"))
+    assert(winSpec.exists(_.contains("__pid")),
+      s"window not partitioned by __pid: ${winSpec.getOrElse("<none>")}")
+  }
+
   test("q98: classifier scan broadcast-looks-up weights, never shuffles them (r8)") {
     val plan = executed("q98_quality_classifier")
     assert(plan.contains("BroadcastHashJoin"),

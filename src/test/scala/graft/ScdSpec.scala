@@ -55,6 +55,35 @@ class ScdSpec extends AnyFunSuite {
     assert(a == b, "idempotent: identical snapshot must change nothing")
   }
 
+  test("three-snapshot sequence accumulates a correct version chain") {
+    val snap2 = Seq(
+      (1L, "alice", "A3"),  // changed again
+      (2L, "bob", "B2"),    // unchanged vs snap1
+      (3L, "carol", "C")    // key 3 returns with its original attrs
+    ).toDF("id", "name", "seg")
+    val h2 = Scd.scd2Merge(
+      Scd.scd2Merge(hist0, snap1, keys, attrs, "d2"),
+      snap2, keys, attrs, "d3")
+    // key 1: A rides through d2 unchanged (valid_from stays d1), then
+    // closes at d3 when A3 arrives
+    val k1 = h2.filter(col("id") === 1L)
+      .collect().map(r => (r.getString(2), r.getString(3), r.getString(4),
+        r.getBoolean(5))).toSet
+    assert(k1 == Set(("A", "d1", "d3", false), ("A3", "d3", null, true)))
+    // key 3: closed at d2 (deleted), reopened at d3
+    val k3 = h2.filter(col("id") === 3L)
+      .collect().map(r => (r.getString(3), r.getString(4), r.getBoolean(5)))
+      .toSet
+    assert(k3 == Set(("d1", "d2", false), ("d3", null, true)))
+    // key 4: dropped in snap2 -> closed
+    val k4 = h2.filter(col("id") === 4L && col("is_current")).count()
+    assert(k4 == 0)
+    // global invariant: <= 1 open row per key, all versions retained
+    val opens = h2.filter(col("is_current")).groupBy(col("id")).count()
+      .collect().map(_.getLong(1))
+    assert(opens.forall(_ == 1L))
+  }
+
   test("null and empty-string attributes are distinct versions") {
     val h = Seq((1L, null.asInstanceOf[String], "A", "d1",
       null.asInstanceOf[String], true))
