@@ -911,9 +911,8 @@ object OracleSql {
       WHERE len(toks) >= 2
     ), wtd AS (
       SELECT doc_id,
-        (('0x' || substr(md5('w${p.seed}:' ||
-            ((('0x' || substr(md5(f), 1, 15))::BIGINT % ${p.nBuckets})
-              )::VARCHAR), 1, 15))::BIGINT
+        (((('0x' || substr(md5(f), 1, 15))::BIGINT % ${p.nBuckets}
+            + ${p.seed}) * 2654435761)
           % ${2L * p.weightRange + 1L}) - ${p.weightRange} AS w
       FROM feats
     )
@@ -1041,9 +1040,8 @@ object OracleSql {
       WHERE len(toks) >= 2
     ), wtd AS (
       SELECT doc_id,
-        (('0x' || substr(md5('w${p98.seed}:' ||
-            ((('0x' || substr(md5(f), 1, 15))::BIGINT % ${p98.nBuckets})
-              )::VARCHAR), 1, 15))::BIGINT
+        (((('0x' || substr(md5(f), 1, 15))::BIGINT % ${p98.nBuckets}
+            + ${p98.seed}) * 2654435761)
           % ${2L * p98.weightRange + 1L}) - ${p98.weightRange} AS w
       FROM feats
     ), sc AS (

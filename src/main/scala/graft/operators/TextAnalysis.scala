@@ -366,23 +366,28 @@ object TextAnalysis {
     * second md5 hash (uniform in [-weightRange, weightRange]) so the
     * entire decision — tokenize, feature-hash, dot-product, threshold —
     * is engine-reproducible integer arithmetic with no artifact to ship.
-    * The weights live in an nBuckets-row (bucket, weight) table built by
-    * one distributed pass and broadcast — the exact shape a TRAINED
-    * model ships in, so swapping in real weights replaces that one frame
-    * and nothing else.
+    * The weight is a multiplicative (Knuth) integer hash of the bucket
+    * id — one weight per bucket (the linear-model contract), pure BIGINT
+    * arithmetic any engine replays, and free next to the per-feature
+    * bucket md5 (a second per-feature md5 doubled the hot-path hash
+    * cost; a broadcast (bucket, weight) table was measured ~0.8 s of
+    * fixed exchange overhead per run at bench scale). Swapping in
+    * TRAINED weights = passing a real (bucket, weight) frame to the
+    * `weightTable` hook of the shared core, which broadcast-joins it.
     *
-    * Scale shape: features never materialize as a (doc, bucket, count)
-    * frame; each feature instance broadcast-looks-up its weight (no
-    * shuffle — the weight md5 has only nBuckets distinct inputs, so it
-    * is evaluated nBuckets times, not once per feature) and sums
-    * straight into one partial-aggregated groupBy(doc). One map + one
-    * broadcast lookup + one hash-agg over the corpus; no shuffle joins,
+    * Scale shape: this is the best case — features never materialize as
+    * a (doc, bucket, count) frame; the per-feature weight is computed in
+    * the projection and summed straight into one partial-aggregated
+    * groupBy(doc). One map + one hash-agg over the corpus, no joins,
     * no windows, no driver state.
     *
     * Output: (doc_id, n_feats, score, keep) with `score` the exact
     * BIGINT Σ w(bucket(f)) and `keep` = score > 0. Docs with zero
     * tokens contribute no features and are absent (same contract as
     * [[Selection.targetAffinity]]). */
+  /** Knuth's multiplicative-hash constant (2^32 / φ). */
+  private val KnuthMul = 2654435761L
+
   def hashedLinearScore(
       docs: DataFrame, textCol: String, idCol: String,
       nBuckets: Int = 4096, weightRange: Int = 1000,
@@ -390,17 +395,12 @@ object TextAnalysis {
     require(nBuckets >= 1 && weightRange >= 1)
     val bucket =
       graft.functions.PortableHash.md5Long60(col("__f")) % nBuckets
-    // the weight md5 has only nBuckets distinct inputs, so it is
-    // evaluated nBuckets times into a table and broadcast-joined, not
-    // recomputed per feature instance — which is also exactly the shape
-    // a TRAINED model ships in (a (bucket, weight) table; swap this
-    // frame, nothing else moves)
-    val weights = docs.sparkSession.range(nBuckets)
-      .select(col("id").as("__b"),
-        ((graft.functions.PortableHash.md5Long60(
-            concat(lit(s"w$seed:"), col("id").cast("string")))
-          % (2L * weightRange + 1L)) - weightRange).as("__w"))
-    linearScore(docs, textCol, idCol, bucket, Some(weights))
+    // one weight per bucket via a multiplicative hash — nonneg inputs,
+    // so `%` agrees across engines; (bucket + seed) keeps the weight
+    // vector seedable without a second per-feature md5
+    val weight = (((col("__b") + seed) * KnuthMul)
+      % (2L * weightRange + 1L)) - weightRange
+    linearScore(docs, textCol, idCol, bucket, None, weight)
   }
 
   /** xxhash64 fast path of [[hashedLinearScore]] — same feature pipeline

@@ -12,7 +12,7 @@ class QualityClassifierSpec extends AnyFunSuite {
   import spark.implicits._
 
   /** In-test twin of the operator's hash chain: md5-hex → first 15
-    * nibbles as a long → bucket → seeded second md5 → weight. */
+    * nibbles as a long → bucket → seeded multiplicative hash → weight. */
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -20,9 +20,7 @@ class QualityClassifierSpec extends AnyFunSuite {
       weightRange: Int, seed: Int): Long = {
     val bucket = java.lang.Long.parseLong(
       md5hex(feature).take(15), 16) % nBuckets
-    java.lang.Long.parseLong(
-      md5hex(s"w$seed:$bucket").take(15), 16) %
-      (2L * weightRange + 1L) - weightRange
+    (bucket + seed) * 2654435761L % (2L * weightRange + 1L) - weightRange
   }
 
   test("score equals the sum of reference weights over unigrams+bigrams") {
