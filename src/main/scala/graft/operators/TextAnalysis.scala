@@ -372,8 +372,8 @@ object TextAnalysis {
     * bucket md5 (a second per-feature md5 doubled the hot-path hash
     * cost; a broadcast (bucket, weight) table was measured ~0.8 s of
     * fixed exchange overhead per run at bench scale). Swapping in
-    * TRAINED weights = passing a real (bucket, weight) frame to the
-    * `weightTable` hook of the shared core, which broadcast-joins it.
+    * TRAINED weights = calling [[linearScoreWithWeights]] with a real
+    * (bucket, weight) frame, which broadcast-joins it.
     *
     * Scale shape: this is the best case — features never materialize as
     * a (doc, bucket, count) frame; the per-feature weight is computed in
@@ -385,9 +385,6 @@ object TextAnalysis {
     * BIGINT Σ w(bucket(f)) and `keep` = score > 0. Docs with zero
     * tokens contribute no features and are absent (same contract as
     * [[Selection.targetAffinity]]). */
-  /** Knuth's multiplicative-hash constant (2^32 / φ). */
-  private val KnuthMul = 2654435761L
-
   def hashedLinearScore(
       docs: DataFrame, textCol: String, idCol: String,
       nBuckets: Int = 4096, weightRange: Int = 1000,
@@ -400,13 +397,34 @@ object TextAnalysis {
     // vector seedable without a second per-feature md5
     val weight = (((col("__b") + seed) * KnuthMul)
       % (2L * weightRange + 1L)) - weightRange
-    linearScore(docs, textCol, idCol, bucket, None, weight)
+    linearScore(docs, textCol, idCol, bucket, Right(weight))
+  }
+
+  /** Knuth's multiplicative-hash constant (2^32 / φ). */
+  private val KnuthMul = 2654435761L
+
+  /** The trained-model form: score against a real `(bucket, weight)`
+    * table — the artifact a fastText-style filter actually ships —
+    * broadcast to every task (a model of millions of buckets is a few
+    * MB). Same feature pipeline, tokenization, and output contract as
+    * [[hashedLinearScore]]; features hashing to a bucket absent from
+    * `weights` contribute weight 0 (inner join semantics would silently
+    * shrink `n_feats`, so missing buckets are zero-filled instead). */
+  def linearScoreWithWeights(
+      docs: DataFrame, textCol: String, idCol: String,
+      weights: DataFrame, nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets >= 1)
+    val bucket =
+      graft.functions.PortableHash.md5Long60(col("__f")) % nBuckets
+    val table = weights.select(col("bucket").as("__b"),
+      col("weight").cast("long").as("__w"))
+    linearScore(docs, textCol, idCol, bucket, Left(table))
   }
 
   /** xxhash64 fast path of [[hashedLinearScore]] — same feature pipeline
-    * and decision shape, ~an order of magnitude cheaper per feature (two
-    * md5s become two xxhash64s), for the sweep-the-whole-corpus pass
-    * where no external oracle needs to replay the weights. `pmod`
+    * and decision shape, ~an order of magnitude cheaper per feature (the
+    * per-feature md5 becomes an xxhash64), for the sweep-the-whole-corpus
+    * pass where no external oracle needs to replay the weights. `pmod`
     * because xxhash64 spans the full long range. */
   def hashedLinearScoreFast(
       docs: DataFrame, textCol: String, idCol: String,
@@ -416,19 +434,18 @@ object TextAnalysis {
     val bucket = pmod(xxhash64(col("__f")), lit(nBuckets.toLong))
     val weight = pmod(xxhash64(col("__b"), lit(seed)),
       lit(2L * weightRange + 1L)) - weightRange
-    linearScore(docs, textCol, idCol, bucket, None, weight)
+    linearScore(docs, textCol, idCol, bucket, Right(weight))
   }
 
   /** Shared classifier core: tokenize → unigram+bigram features →
     * per-feature weight → one partial-aggregated sum. `bucket` sees each
-    * feature as `__f`. The weight comes either from a broadcast
-    * (`__b`, `__w`) table (the model shape) or, when `weightTable` is
-    * None, from an expression over the bucket as `__b` (the xxhash fast
-    * path, where computing beats joining). */
+    * feature as `__f`. The weight is either a broadcast (`__b`, `__w`)
+    * table (Left — the trained-model shape, zero-filled on misses) or an
+    * expression over the bucket as `__b` (Right — the derived-weight
+    * paths, where computing beats joining). */
   private def linearScore(
       docs: DataFrame, textCol: String, idCol: String,
-      bucket: Column, weightTable: Option[DataFrame],
-      weightExpr: Column = lit(0L)): DataFrame = {
+      bucket: Column, weight: Either[DataFrame, Column]): DataFrame = {
     val norm = trim(regexp_replace(col(textCol), "[ \\t\\n\\x0B\\f\\r]+", " "))
     val toks = filter(split(norm, " "), w => w =!= "")
     val bigrams = when(size(col("__t")) >= 2,
@@ -440,9 +457,10 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(concat(col("__t"), bigrams)).as("__f"))
       .select(col("doc_id"), bucket.as("__b"))
-    val weighted = weightTable match {
-      case Some(w) => bucketed.join(broadcast(w), Seq("__b"))
-      case None    => bucketed.select(col("doc_id"), weightExpr.as("__w"))
+    val weighted = weight match {
+      case Left(w) => bucketed.join(broadcast(w), Seq("__b"), "left")
+        .select(col("doc_id"), coalesce(col("__w"), lit(0L)).as("__w"))
+      case Right(e) => bucketed.select(col("doc_id"), e.as("__w"))
     }
     weighted
       .groupBy(col("doc_id"))

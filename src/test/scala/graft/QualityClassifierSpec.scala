@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TextAnalysis
@@ -69,6 +70,29 @@ class QualityClassifierSpec extends AnyFunSuite {
         "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(fast.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("trained-weights path reproduces the derived weights exactly") {
+    val docs = (1L to 20L).map(i => (i, s"alpha beta tok$i gamma"))
+      .toDF("doc_id", "text")
+    // the derived weight vector materialized as a model table
+    val model = spark.range(4096).select(col("id").as("bucket"),
+      (((col("id") + 7) * 2654435761L) % 2001L - 1000L).as("weight"))
+    val trained = TextAnalysis.linearScoreWithWeights(
+        docs, "text", "doc_id", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val derived = TextAnalysis.hashedLinearScore(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(trained == derived)
+    // missing buckets contribute 0, not dropped features: an empty
+    // model scores 0 but keeps every feature counted
+    val empty = model.filter(col("bucket") < 0)
+    val zeroed = TextAnalysis.linearScoreWithWeights(
+        docs, "text", "doc_id", empty)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(zeroed.forall { case (n, s) => n == 7L && s == 0L })
   }
 
   test("deterministic, and score bounded by n_feats * weightRange") {
