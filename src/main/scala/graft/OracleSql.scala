@@ -1066,6 +1066,45 @@ object OracleSql {
     FROM c"""
   }
 
+  /** Weighted fixed-point PageRank (q106): q99's CTE unroll with rank
+    * mass split proportionally to edge weight —
+    * `(pr * w) // Σw` replaces `pr // outdeg`. Params shared with
+    * [[SketchParams.q99]]. */
+  private def q106: String = {
+    val p = SketchParams.q99
+    val teleport = (p.scale * (100L - p.dampPct)) / 100L
+    val iterCtes = (1 to p.iters).map { i => s"""
+    r$i AS (
+      SELECT n.node,
+        CAST($teleport + (${p.dampPct} * COALESCE(s.mass, 0)) // 100
+          AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM((r.pr * e.w) // d.outdeg) AS mass
+        FROM edges e
+        JOIN r${i - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s ON n.node = s.node)"""
+    }.mkString(",")
+    s"""
+    WITH e0 AS (
+      SELECT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b,
+        COUNT(*) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT a AS src, b AS dst, w FROM e0
+      UNION ALL
+      SELECT b AS src, a AS dst, w FROM e0
+    ), deg AS (
+      SELECT src, SUM(w) AS outdeg FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), r0 AS (
+      SELECT node, CAST(${p.scale} AS BIGINT) AS pr FROM nodes
+    ),$iterCtes
+    SELECT node, pr FROM r${p.iters}"""
+  }
+
   /** Alignment-free exact-substring dup join (q93): dense side at every
     * character offset, probe side strided — the SQL twin of
     * `Dedup.exactSubstringDupJoinGeneral`, generated from
@@ -1995,6 +2034,7 @@ object OracleSql {
     "q97_shuffled_pack" -> q97,
     "q98_quality_classifier" -> q98,
     "q99_pagerank" -> q99,
+    "q106_weighted_pagerank" -> q106,
     "q100_topk_agg" -> q100,
     "q101_scd2_merge" -> q101,
     "q102_grouped_quantiles" -> """

@@ -1617,6 +1617,27 @@ object SparkEntry {
           .as("session_start"),
         col("n_events"))
 
+  /** Weighted fixed-point PageRank
+    * ([[graft.operators.PageRank.weightedPageRankFixedPoint]]): q99's
+    * supplier–customer graph with edge weight = shipment multiplicity
+    * (lineitem count per pair), so a node's rank splits proportionally
+    * to trade volume instead of uniformly. Same exact-BIGINT contract —
+    * the oracle unrolls the weighted recurrence. Params shared with
+    * [[SketchParams.q99]]. */
+  def q106WeightedPageRank(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q99
+    val e0 = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("l_suppkey") * 2L).as("a"),
+        (col("o_custkey") * 2L + 1L).as("b"))
+      .agg(count(lit(1)).as("w"))
+    val edges = e0.union(
+      e0.select(col("b").as("a"), col("a").as("b"), col("w")))
+    operators.PageRank.weightedPageRankFixedPoint(edges, "a", "b",
+      Some("w"), p.iters, p.scale, p.dampPct)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1723,7 +1744,8 @@ object SparkEntry {
     "q102_grouped_quantiles" -> (q102GroupedQuantiles _),
     "q103_retention_cohorts" -> (q103RetentionCohorts _),
     "q104_curriculum_pack" -> (q104CurriculumPack _),
-    "q105_session_window" -> (q105SessionWindow _))
+    "q105_session_window" -> (q105SessionWindow _),
+    "q106_weighted_pagerank" -> (q106WeightedPageRank _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -55,12 +55,43 @@ object PageRank {
   def pageRankFixedPoint(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, scale: Long = 1000000L, dampPct: Int = 85,
+      checkpointInterval: Int = 8): DataFrame =
+    weightedPageRankFixedPoint(edges, srcCol, dstCol, None,
+      iters, scale, dampPct, checkpointInterval)
+
+  /** Weighted variant: each edge carries a positive BIGINT weight (a
+    * shipment count, a link multiplicity, a co-occurrence strength) and
+    * a node's rank mass splits proportionally —
+    * `contrib(u→v) = (rank(u) * w(u→v)) DIV Σ_x w(u→x)` — instead of
+    * uniformly. Same exact-integer contract; the unweighted form is this
+    * with w ≡ 1 (then `rank * 1 DIV outdeg` is the classic floor
+    * division). Duplicate (src, dst) rows are pre-summed into one
+    * weighted edge, so multiplicity can be expressed either as a weight
+    * column or as repeated rows.
+    *
+    * Overflow bound: `rank * w` must stay under 2^63 — rank is at most
+    * ~scale·N/damping-sink, so keep `scale * maxWeight * N` well under
+    * 9.2e18 (at scale=1e6 that allows weights into the tens of
+    * thousands on million-node graphs; reduce `scale` for heavier
+    * graphs). */
+  def weightedPageRankFixedPoint(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String],
+      iters: Int, scale: Long = 1000000L, dampPct: Int = 85,
       checkpointInterval: Int = 8): DataFrame = {
     require(iters >= 0 && scale > 0 && dampPct >= 0 && dampPct <= 100)
     require(checkpointInterval >= 1)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = weightCol match {
+      case Some(w) => edges
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+          col(w).cast("long").as("__w"))
+        .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
+      case None => edges
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct()
+        .withColumn("__w", lit(1L))
+    }
+    val deg = e.groupBy(col("src")).agg(sum(col("__w")).as("outdeg"))
     val eDeg = e.join(deg, Seq("src"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -73,7 +104,8 @@ object PageRank {
       // (DIV, not fp division — double rounding would diverge at scale)
       val inbound = eDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), expr("pr DIV outdeg").as("contrib"))
+        .select(col("dst").as("node"),
+          expr("(pr * __w) DIV outdeg").as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("mass"))
       val next = nodes.join(inbound, Seq("node"), "left")

@@ -69,6 +69,32 @@ class PageRankSpec extends AnyFunSuite {
     assert(got0.values.toSet == Set(1000000L))
   }
 
+  test("weighted: mass splits by weight; w=1 equals the unweighted form") {
+    import spark.implicits._
+    // a -> b (w=3), a -> c (w=1): b receives 3/4 of a's damped mass
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("s", "d", "w")
+    val got = PageRank.weightedPageRankFixedPoint(edges, "s", "d",
+        Some("w"), iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") == 150000L)
+    assert(got("b") == 150000L + 85L * (1000000L * 3L / 4L) / 100L)
+    assert(got("c") == 150000L + 85L * (1000000L * 1L / 4L) / 100L)
+    // uniform weights reduce to the unweighted operator exactly
+    val uni = undirected.map { case (s, d) => (s, d, 1L) }.toDF("s", "d", "w")
+    val w1 = PageRank.weightedPageRankFixedPoint(uni, "s", "d",
+        Some("w"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w1 == ref(undirected, 3, 1000000L, 85))
+    // repeated rows fold into the edge weight: duplicating every edge
+    // doubles w and Σw together, leaving the split unchanged
+    val doubled = (undirected ++ undirected)
+      .map { case (s, d) => (s, d, 1L) }.toDF("s", "d", "w")
+    val w2 = PageRank.weightedPageRankFixedPoint(doubled, "s", "d",
+        Some("w"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w2 == w1)
+  }
+
   test("dangling nodes keep teleport-only rank (directed chain)") {
     // directed a->b->c: c is a sink (dangling); a receives nothing
     val directed = Seq("a" -> "b", "b" -> "c")
