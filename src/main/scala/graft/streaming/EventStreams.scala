@@ -188,6 +188,66 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  final case class SpendState(total: Double, nEvents: Long, alerted: Long)
+  final case class SpendAlert(user_id: Long, new_multiples: Long,
+      total_value: Double, n_events: Long)
+
+  /** Arbitrary stateful processing v2 (`transformWithState`,
+    * Spark 4.x): a per-user cumulative-spend monitor that emits one
+    * alert row each time a user's running `value` total crosses further
+    * multiples of `threshold`. The `ValueState` (total, event count,
+    * multiples already reported) lives in the state store across
+    * micro-batches — exactly what the older `mapGroupsWithState`
+    * sessionizer could express, but with the v2 API's typed state
+    * handles and TTL hooks.
+    *
+    * `new_multiples` makes the contract batch-boundary independent:
+    * Σ new_multiples over a user's alerts == floor(grand_total /
+    * threshold) no matter how the stream was chopped into batches —
+    * which is what the spec asserts against a plain batch aggregation.
+    * State is one small fixed-size record per user, the streaming
+    * bound that matters at scale. */
+  class CumulativeSpendMonitor(threshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SpendAlert] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[SpendState] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SpendState]("spend",
+        org.apache.spark.sql.Encoders.product[SpendState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SpendAlert] = {
+      val prev = Option(st.get()).getOrElse(SpendState(0.0, 0L, 0L))
+      var total = prev.total
+      var n = prev.nEvents
+      rows.foreach { e => total += e.value; n += 1 }
+      val crossed = math.floor(total / threshold).toLong
+      val fresh = crossed - prev.alerted
+      st.update(SpendState(total, n, math.max(crossed, prev.alerted)))
+      if (fresh > 0) Iterator.single(SpendAlert(key, fresh, total, n))
+      else Iterator.empty
+    }
+  }
+
+  /** Stream of threshold-crossing alerts per user — see
+    * [[CumulativeSpendMonitor]]. Requires the RocksDB state store
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`): transformWithState keeps
+    * each state variable in its own column family, which the default
+    * HDFS-backed store doesn't support. */
+  def spendAlerts(events: Dataset[Event], threshold: Double)
+      : Dataset[SpendAlert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new CumulativeSpendMonitor(threshold),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Wire a parquet-backed stream with the events schema (used by tests:
     * one-file-per-trigger batch drive via memory sink). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
