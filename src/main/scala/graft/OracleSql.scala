@@ -165,6 +165,12 @@ object SketchParams {
   object q104 {
     val maxTokensPerShard = 2000L
   }
+  /** q107 prefix-filtered set-similarity join: Jaccard threshold as the
+    * integer fraction tNum/tDen (prefix math must be engine-exact) and
+    * the corpus subsample. */
+  object q107 {
+    val tNum = 1; val tDen = 2; val corpusMod = 5
+  }
   /** q101 SCD2 merge: which customer keys change segment / get deleted /
     * arrive new in the day-2 snapshot, the shifted-id offset for new
     * keys, and the two load stamps. */
@@ -1064,6 +1070,49 @@ object OracleSql {
       CAST(floor(tok_offset / ${p.maxTokensPerShard}.0) AS BIGINT)
         AS shard_id
     FROM c"""
+  }
+
+  /** Prefix-filtered set-similarity join (q107): df-ascending per-doc
+    * token ranks, integer prefix length, length filter, exact-Jaccard
+    * verify — the SQL twin of `Dedup.prefixFilterJoin`, generated from
+    * [[SketchParams.q107]]. */
+  private def q107: String = {
+    val p = SketchParams.q107
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
+    ), t AS (
+      SELECT DISTINCT doc_id AS doc, w
+      FROM (SELECT * FROM corpus WHERE doc_id % ${p.corpusMod} = 0),
+        unnest(string_split(text, ' ')) AS u(w)
+      WHERE w <> ''
+    ), dfreq AS (
+      SELECT w, COUNT(*) AS df FROM t GROUP BY w
+    ), rk AS (
+      SELECT t.doc, t.w,
+        row_number() OVER (PARTITION BY t.doc ORDER BY dfreq.df, t.w)
+          AS rn,
+        COUNT(*) OVER (PARTITION BY t.doc) AS n
+      FROM t JOIN dfreq USING (w)
+    ), pf AS (
+      SELECT doc, w, n FROM rk
+      WHERE rn <= n - (${p.tNum} * n + ${p.tDen - 1}) // ${p.tDen} + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+        a.n AS n_a, b.n AS n_b
+      FROM pf a JOIN pf b ON a.w = b.w AND a.doc < b.doc
+      WHERE ${p.tNum} * greatest(a.n, b.n) <= ${p.tDen} * least(a.n, b.n)
+    ), sh AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_shared,
+        MIN(c.n_a) AS n_a, MIN(c.n_b) AS n_b
+      FROM cand c
+      JOIN t ta ON ta.doc = c.id_a
+      JOIN t tb ON tb.doc = c.id_b AND tb.w = ta.w
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+      CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard
+    FROM sh
+    WHERE n_shared * ${p.tDen} >= (n_a + n_b - n_shared) * ${p.tNum}"""
   }
 
   /** Weighted fixed-point PageRank (q106): q99's CTE unroll with rank
@@ -2035,6 +2084,7 @@ object OracleSql {
     "q98_quality_classifier" -> q98,
     "q99_pagerank" -> q99,
     "q106_weighted_pagerank" -> q106,
+    "q107_prefix_join" -> q107,
     "q100_topk_agg" -> q100,
     "q101_scd2_merge" -> q101,
     "q102_grouped_quantiles" -> """

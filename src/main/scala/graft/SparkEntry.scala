@@ -1638,6 +1638,18 @@ object SparkEntry {
       Some("w"), p.iters, p.scale, p.dampPct)
   }
 
+  /** Prefix-filtered exact set-similarity join
+    * ([[graft.operators.Dedup.prefixFilterJoin]], PPJoin family): word-set
+    * Jaccard pairs over the near-dup corpus with candidates drawn from
+    * df-ascending token prefixes — exact (no false negatives), integer
+    * fraction threshold. Params from [[SketchParams.q107]]. */
+  def q107PrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q107
+    Dedup.prefixFilterJoin(
+      nearDupCorpus(s, dir).filter(col("doc_id") % p.corpusMod === 0),
+      "text", "doc_id", tNum = p.tNum, tDen = p.tDen)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1745,7 +1757,8 @@ object SparkEntry {
     "q103_retention_cohorts" -> (q103RetentionCohorts _),
     "q104_curriculum_pack" -> (q104CurriculumPack _),
     "q105_session_window" -> (q105SessionWindow _),
-    "q106_weighted_pagerank" -> (q106WeightedPageRank _))
+    "q106_weighted_pagerank" -> (q106WeightedPageRank _),
+    "q107_prefix_join" -> (q107PrefixJoin _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
