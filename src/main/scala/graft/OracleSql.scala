@@ -167,9 +167,15 @@ object SketchParams {
   }
   /** q107 prefix-filtered set-similarity join: Jaccard threshold as the
     * integer fraction tNum/tDen (prefix math must be engine-exact) and
-    * the corpus subsample. */
+    * the corpus subsample. corpusMod is larger than the other dedup
+    * gates' because the synthetic corpus is prefix filtering's worst
+    * case — a ~31-word vocabulary means NO token is rare, prefixes
+    * can't discriminate, and candidates degrade toward all-pairs (the
+    * operator scaladoc documents this; on real Zipfian text the prefix
+    * is the rare tail). The gate verifies the algebra, not the
+    * selectivity. */
   object q107 {
-    val tNum = 1; val tDen = 2; val corpusMod = 5
+    val tNum = 1; val tDen = 2; val corpusMod = 25
   }
   /** q101 SCD2 merge: which customer keys change segment / get deleted /
     * arrive new in the day-2 snapshot, the shifted-id offset for new

@@ -170,6 +170,11 @@ object Soak {
     }
     println(s"[soak]   -> $scoredFast docs scored (fast path)")
 
+    // NOTE: prefixFilterJoin is deliberately NOT in the soak rotation —
+    // the synthetic corpus's ~31-word vocabulary is its structural worst
+    // case (no rare tokens ⇒ prefixes don't discriminate ⇒ candidates
+    // degrade toward all-pairs, quadratic in the replica count). The
+    // operator documents this; minhashLsh is the sweep path here.
     val prRows = timed("fixed-point pagerank (replica-pair graph, 3 iters)") {
       // near-dup pairs as the edge list — the graph PageRank would rank
       // in a curation pipeline (which cluster representatives matter)

@@ -214,11 +214,17 @@ object Dedup {
     * rank window partitions by doc (sets are small); the candidate join
     * shuffles (token, doc, n) prefix rows only; verification joins the
     * candidate pairs back to the full token postings, cost proportional
-    * to candidates × set size, never corpus². Viral tokens land in
-    * LOW-df-last position and rarely enter prefixes at all — prefix
-    * filtering is inherently more resistant to the posting-list blowup
-    * than [[ngramJaccardJoin]]'s `maxDf` cap (which changes semantics;
-    * this doesn't). */
+    * to candidates × set size, never corpus². Viral tokens sort
+    * df-last and rarely enter prefixes — more resistant to posting
+    * blowup than [[ngramJaccardJoin]]'s `maxDf` cap (which changes
+    * semantics; this doesn't).
+    *
+    * PRECONDITION for that selectivity: a Zipfian vocabulary with a
+    * rare tail, which real text has. On a degenerate corpus where every
+    * token is ubiquitous (the synthetic fixture has ~31 distinct words),
+    * prefixes cannot discriminate and candidates degrade toward
+    * all-pairs — exactness is preserved, runtime is not; use
+    * [[minhashLsh]] as the sweep there. */
   def prefixFilterJoin(
       docs: DataFrame, textCol: String, idCol: String,
       tNum: Int = 1, tDen: Int = 2,

@@ -204,6 +204,12 @@ class PlanQualitySpec extends AnyFunSuite {
       s"window not partitioned by __pid: ${winSpec.getOrElse("<none>")}")
   }
 
+  test("q107: prefix join shuffles hash keys only, never cartesian (r8)") {
+    val plan = executed("q107_prefix_join")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("q98: classifier is one scan + one partial agg — no join anywhere (r8)") {
     val plan = executed("q98_quality_classifier")
     assert(!plan.contains("Join"), "weights are computed, never joined")
