@@ -1626,12 +1626,14 @@ object SparkEntry {
     * [[SketchParams.q99]]. */
   def q106WeightedPageRank(s: SparkSession, dir: String): DataFrame = {
     val p = SketchParams.q99
+    // raw (supplier, customer, 1) rows, both directions — the operator's
+    // own (src, dst) aggregation folds multiplicity into the edge
+    // weight, so pre-counting here would just add a redundant shuffle
     val e0 = t(s, dir, "lineitem")
       .join(t(s, dir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
-      .groupBy((col("l_suppkey") * 2L).as("a"),
-        (col("o_custkey") * 2L + 1L).as("b"))
-      .agg(count(lit(1)).as("w"))
+      .select((col("l_suppkey") * 2L).as("a"),
+        (col("o_custkey") * 2L + 1L).as("b"), lit(1L).as("w"))
     val edges = e0.union(
       e0.select(col("b").as("a"), col("a").as("b"), col("w")))
     operators.PageRank.weightedPageRankFixedPoint(edges, "a", "b",
