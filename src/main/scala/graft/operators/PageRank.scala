@@ -59,9 +59,13 @@ object PageRank {
     weightedPageRankFixedPoint(edges, srcCol, dstCol, None,
       iters, scale, dampPct, checkpointInterval)
 
-  /** Weighted variant: each edge carries a positive BIGINT weight (a
-    * shipment count, a link multiplicity, a co-occurrence strength) and
-    * a node's rank mass splits proportionally —
+  /** Weighted variant: each edge carries a POSITIVE BIGINT weight (a
+    * shipment count, a link multiplicity, a co-occurrence strength —
+    * positivity is part of the contract: on negative operands Spark's
+    * `DIV` truncates toward zero while floor-division engines round
+    * down, so a negative weight would silently break the cross-engine
+    * bit-reproducibility this operator exists to provide) and a node's
+    * rank mass splits proportionally —
     * `contrib(u→v) = (rank(u) * w(u→v)) DIV Σ_x w(u→x)` — instead of
     * uniformly. Same exact-integer contract; the unweighted form is this
     * with w ≡ 1 (then `rank * 1 DIV outdeg` is the classic floor
