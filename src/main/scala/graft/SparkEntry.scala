@@ -1552,18 +1552,20 @@ object SparkEntry {
   /** Retention cohorts over the event stream: users grouped by the week
     * of their FIRST event, counted distinct per week-offset since that
     * cohort week — the standard product-analytics retention matrix.
-    * Scale shape: first-event is a user_id groupBy; the join back to
-    * events is on the same key (the exchange is reused, no second
-    * user-side shuffle); the matrix agg is a (cohort, period) groupBy
-    * with a distinct-count whose domain (users) dwarfs the matrix —
-    * at 100 TB swap the exact distinct for the KMV sketch (q84) without
+    * Scale shape: first-event rides a whole-partition `min` window over
+    * the SAME user_id shuffle the rows need anyway — ONE full shuffle of
+    * events, where the agg-then-join formulation pays two (the plan
+    * guard pinned that: the differing subtrees never got a
+    * ReusedExchange). The matrix agg is a (cohort, period) groupBy with
+    * a distinct-count whose domain (users) dwarfs the matrix — at
+    * 100 TB swap the exact distinct for the KMV sketch (q84) without
     * changing the frame shape. Week arithmetic is day-diff DIV 7 over
     * Monday-truncated weeks so both engines agree on the offset. */
   def q103RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
-    val firsts = ev.groupBy(col("user_id"))
-      .agg(min(col("ts")).as("first_ts"))
-    ev.join(firsts, Seq("user_id"))
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, dir).select(col("user_id"), col("ts"))
+      .withColumn("first_ts",
+        min(col("ts")).over(Window.partitionBy(col("user_id"))))
       .select(col("user_id"),
         date_format(date_trunc("week", col("first_ts")), "yyyy-MM-dd")
           .as("cohort_week"),

@@ -204,6 +204,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"window not partitioned by __pid: ${winSpec.getOrElse("<none>")}")
   }
 
+  test("q102/q105/q106: late-round queries never cartesian; aggs partial (r8)") {
+    Seq("q102_grouped_quantiles", "q105_session_window",
+        "q106_weighted_pagerank").foreach { q =>
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("q103: first-event is a window on ONE user_id shuffle, no join (r8)") {
+    val plan = executed("q103_retention_cohorts")
+    assert(!plan.contains("Join"),
+      "first_ts must ride the user_id window, not an agg-join (2 shuffles)")
+    val winSpec = plan.split("\n").find(_.contains("windowspecdefinition"))
+    assert(winSpec.exists(_.contains("user_id")),
+      s"window not partitioned by user_id: ${winSpec.getOrElse("<none>")}")
+  }
+
   test("q107: prefix join shuffles hash keys only, never cartesian (r8)") {
     val plan = executed("q107_prefix_join")
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
