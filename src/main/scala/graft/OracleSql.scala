@@ -464,6 +464,94 @@ object OracleSql {
     FROM events e ASOF LEFT JOIN orders o
       ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"""
 
+  /** q108 image-header decode: rebuild the identical PNG/JPEG/GIF/raw
+    * container blobs from doc_id, round-trip them through a real BLOB
+    * (`hex(unhex(...))`), then re-parse every header field by hex-string
+    * slicing — including a recursive-CTE JPEG marker scan over the
+    * variable-length COM segment — independently of the Spark-side
+    * [[graft.functions.ImageHeaderKernel]] byte parser. */
+  private val q108 = """
+    WITH RECURSIVE m AS (
+      SELECT doc_id,
+        16 + doc_id % 1000 AS w,
+        16 + (doc_id * 7) % 1000 AS h,
+        doc_id % 4 AS f,
+        CASE WHEN (doc_id // 4) % 2 = 0 THEN 1 ELSE 3 END AS jch,
+        [0,2,6][CAST((doc_id // 3) % 3 AS INT) + 1] AS pct,
+        doc_id % 17 AS k
+      FROM documents
+    ), built AS (
+      SELECT doc_id,
+        CASE f
+          WHEN 0 THEN '89504E470D0A1A0A0000000D49484452' ||
+            lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0') ||
+            '08' || lpad(hex(pct), 2, '0') || '000000'
+          WHEN 1 THEN 'FFD8FFE000104A46494600010100000100010000' ||
+            'FFFE' || lpad(hex(k + 2), 4, '0') || repeat('41', CAST(k AS INT)) ||
+            'FFC0' || lpad(hex(jch * 3 + 8), 4, '0') || '08' ||
+            lpad(hex(h), 4, '0') || lpad(hex(w), 4, '0') ||
+            lpad(hex(jch), 2, '0') || repeat('010011', CAST(jch AS INT)) || 'FFD9'
+          WHEN 2 THEN '474946383961' ||
+            substr(lpad(hex(w), 4, '0'), 3, 2) || substr(lpad(hex(w), 4, '0'), 1, 2) ||
+            substr(lpad(hex(h), 4, '0'), 3, 2) || substr(lpad(hex(h), 4, '0'), 1, 2) ||
+            '000000'
+          ELSE lpad(hex(doc_id), 16, '0')
+        END AS hx0
+      FROM m
+    ), blob AS (
+      SELECT doc_id, hex(unhex(hx0)) AS hx FROM built
+    ), png AS (
+      SELECT doc_id, 'png' AS fmt,
+        ('0x' || substr(hx, 33, 8))::INT AS width,
+        ('0x' || substr(hx, 41, 8))::INT AS height,
+        CASE ('0x' || substr(hx, 51, 2))::INT
+          WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 4
+          ELSE -1 END AS channels
+      FROM blob
+      WHERE length(hx) >= 52 AND substr(hx, 1, 16) = '89504E470D0A1A0A'
+        AND substr(hx, 25, 8) = '49484452'
+    ), gif AS (
+      SELECT doc_id, 'gif' AS fmt,
+        ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::INT AS width,
+        ('0x' || substr(hx, 19, 2) || substr(hx, 17, 2))::INT AS height,
+        3 AS channels
+      FROM blob
+      WHERE length(hx) >= 26 AND substr(hx, 1, 8) = '47494638'
+        AND substr(hx, 9, 4) IN ('3761', '3961')
+    ), jpeg AS (
+      SELECT doc_id, hx FROM blob
+      WHERE length(hx) >= 8 AND substr(hx, 1, 4) = 'FFD8'
+        AND NOT (length(hx) >= 52 AND substr(hx, 1, 16) = '89504E470D0A1A0A')
+    ), scan AS (
+      SELECT doc_id, hx, 3 AS pos FROM jpeg
+      UNION ALL
+      SELECT doc_id, hx,
+        CAST(pos + 2 + ('0x' || substr(hx, 2*pos + 3, 4))::INT AS INT) AS pos
+      FROM scan
+      WHERE substr(hx, 2*pos - 1, 2) = 'FF'
+        AND NOT (('0x' || substr(hx, 2*pos + 1, 2))::INT BETWEEN 192 AND 207
+                 AND ('0x' || substr(hx, 2*pos + 1, 2))::INT NOT IN (196, 200, 204))
+        AND substr(hx, 2*pos + 1, 2) NOT IN ('D9', 'DA')
+        AND 2*pos + 4 <= length(hx)
+    ), jparsed AS (
+      SELECT doc_id, 'jpeg' AS fmt,
+        ('0x' || substr(hx, 2*(pos + 7) - 1, 4))::INT AS width,
+        ('0x' || substr(hx, 2*(pos + 5) - 1, 4))::INT AS height,
+        ('0x' || substr(hx, 2*(pos + 9) - 1, 2))::INT AS channels
+      FROM scan
+      WHERE substr(hx, 2*pos - 1, 2) = 'FF'
+        AND ('0x' || substr(hx, 2*pos + 1, 2))::INT BETWEEN 192 AND 207
+        AND ('0x' || substr(hx, 2*pos + 1, 2))::INT NOT IN (196, 200, 204)
+    ), matched AS (
+      SELECT doc_id FROM png UNION ALL SELECT doc_id FROM gif
+      UNION ALL SELECT doc_id FROM jpeg
+    ), unknown AS (
+      SELECT b.doc_id, 'unknown' AS fmt, -1 AS width, -1 AS height, -1 AS channels
+      FROM blob b ANTI JOIN matched USING (doc_id)
+    )
+    SELECT * FROM png UNION ALL SELECT * FROM gif
+    UNION ALL SELECT * FROM jparsed UNION ALL SELECT * FROM unknown"""
+
   private val q80 = """
     SELECT e.event_id, strftime(o.o_orderdate, '%Y-%m-%d') AS next_order_date
     FROM events e ASOF LEFT JOIN orders o
@@ -2151,6 +2239,7 @@ object OracleSql {
     "q77_span_dedup" -> q77,
     "q78_shard_pack" -> q78,
     "q79_interval_join" -> q79,
-    "q80_asof_forward" -> q80
+    "q80_asof_forward" -> q80,
+    "q108_media_meta" -> q108
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

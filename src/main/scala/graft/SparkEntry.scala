@@ -1654,6 +1654,57 @@ object SparkEntry {
       "text", "doc_id", tNum = p.tNum, tDen = p.tDen)
   }
 
+  /** Real image-header decode over binary media columns
+    * ([[graft.functions.ImageHeaderKernel]]): synthesize PNG / JPEG / GIF /
+    * non-image container bytes per document (dimensions and segment padding
+    * derived from `doc_id`, so the JPEG SOFn scan walks genuinely
+    * variable-length segments), then parse format / width / height /
+    * channels back out with the codegen byte-parser expressions. The oracle
+    * rebuilds the identical blobs in DuckDB and re-parses them with
+    * hex-slicing plus a recursive-CTE JPEG marker scan — every parsed field
+    * is hash-checked against an independent implementation. Map-only (no
+    * shuffle); the parser reads ≤32 header bytes regardless of payload
+    * size, which is the 100 TB property that matters (resolution gating
+    * without pixel decode). */
+  def q108MediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ImageHeader._
+    val m = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("w", (lit(16) + col("doc_id") % 1000).cast("int"))
+      .withColumn("h", (lit(16) + (col("doc_id") * 7) % 1000).cast("int"))
+      .withColumn("f", (col("doc_id") % 4).cast("int"))
+      .withColumn("jch", when(expr("doc_id div 4") % 2 === 0, 1).otherwise(3))
+      .withColumn("pct", element_at(array(lit(0), lit(2), lit(6)),
+        (expr("doc_id div 3") % 3).cast("int") + 1))
+      .withColumn("k", (col("doc_id") % 17).cast("int"))
+    // container bytes as hex text (PNG sig+IHDR / JPEG APP0+COM+SOF0+EOI /
+    // GIF89a LSD / 8 raw bytes that match no magic), then unhex → binary
+    val hx = when(col("f") === 0,
+        concat(lit("89504E470D0A1A0A0000000D49484452"),
+          lpad(hex(col("w")), 8, "0"), lpad(hex(col("h")), 8, "0"),
+          lit("08"), lpad(hex(col("pct")), 2, "0"), lit("000000")))
+      .when(col("f") === 1,
+        concat(lit("FFD8FFE000104A46494600010100000100010000"),
+          lit("FFFE"), lpad(hex(col("k") + 2), 4, "0"), expr("repeat('41', k)"),
+          lit("FFC0"), lpad(hex(col("jch") * 3 + 8), 4, "0"), lit("08"),
+          lpad(hex(col("h")), 4, "0"), lpad(hex(col("w")), 4, "0"),
+          lpad(hex(col("jch")), 2, "0"), expr("repeat('010011', jch)"),
+          lit("FFD9")))
+      .when(col("f") === 2,
+        concat(lit("474946383961"),
+          substring(lpad(hex(col("w")), 4, "0"), 3, 2),
+          substring(lpad(hex(col("w")), 4, "0"), 1, 2),
+          substring(lpad(hex(col("h")), 4, "0"), 3, 2),
+          substring(lpad(hex(col("h")), 4, "0"), 1, 2),
+          lit("000000")))
+      .otherwise(lpad(hex(col("doc_id")), 16, "0"))
+    m.withColumn("content", unhex(hx))
+      .select(col("doc_id"),
+        imgFormat(col("content")).as("fmt"),
+        imgWidth(col("content")).as("width"),
+        imgHeight(col("content")).as("height"),
+        imgChannels(col("content")).as("channels"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1762,7 +1813,8 @@ object SparkEntry {
     "q104_curriculum_pack" -> (q104CurriculumPack _),
     "q105_session_window" -> (q105SessionWindow _),
     "q106_weighted_pagerank" -> (q106WeightedPageRank _),
-    "q107_prefix_join" -> (q107PrefixJoin _))
+    "q107_prefix_join" -> (q107PrefixJoin _),
+    "q108_media_meta" -> (q108MediaMeta _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -11,11 +11,15 @@ import graft.functions.SimHashKernel
   * Scala analog of `mapInPandas`) so heavyweight decoders amortize their
   * init across a partition.
   *
-  * The actual media decode is STUBBED (this container ships no image/audio
-  * libs): [[Decoder.Deterministic]] derives plausible metadata from a
-  * stable content hash. The Spark-side plumbing — schema, partition-sized
-  * batching, typed output rows, decoder injection — is real and tested;
-  * swapping in a JNI/FFI decoder is a one-class change.
+  * Container-header metadata (format / width / height / channels for
+  * PNG/JPEG/GIF) is a REAL byte parser — see
+  * [[graft.functions.ImageHeaderKernel]], oracled end-to-end by
+  * q108_media_meta. Only the pixel-level decode behind
+  * [[Decoder.Deterministic]] remains a stub (this container ships no
+  * codec libs): it derives plausible metadata from a stable content
+  * hash. The Spark-side plumbing — schema, partition-sized batching,
+  * typed output rows, decoder injection — is real and tested; swapping
+  * in a JNI/FFI decoder is a one-class change.
   */
 object Multimodal {
 

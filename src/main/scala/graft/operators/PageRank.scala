@@ -90,6 +90,18 @@ object PageRank {
         .select(col(srcCol).as("src"), col(dstCol).as("dst"),
           col(w).cast("long").as("__w"))
         .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
+        // positivity is enforced, not just documented: a non-positive
+        // aggregated weight would otherwise yield engine-divergent ranks
+        // (Spark DIV truncates toward zero, floor-division engines round
+        // down) or a silent NULL-drop on a zero-outdeg source — fail the
+        // job with the offending edge instead
+        .withColumn("__w",
+          when(col("__w") > 0, col("__w")).otherwise(raise_error(concat(
+            lit("weightedPageRankFixedPoint: non-positive aggregated edge weight "),
+            col("__w").cast("string"), lit(" on edge ("),
+            col("src").cast("string"), lit(" -> "), col("dst").cast("string"),
+            lit("); the positive-weight contract is required for cross-engine "),
+            lit("exactness"))).cast("long")))
       case None => edges
         .select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .distinct()

@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * exactly one open row. Same semantics as a dbt snapshot in `check`
   * strategy (compare tracked attributes, not a timestamp column).
   *
-  * Change detection is an md5 over the tracked attributes with explicit
-  * separators/sentinels (unit-separator between fields, NUL for SQL
-  * NULL), so "changed?" is engine-reproducible and never confuses
-  * `("ab","c")` with `("a","bc")` or NULL with the empty string.
+  * Change detection is an md5 over per-attribute md5 tokens: each
+  * tracked column becomes `"N"` (SQL NULL) or `"V" || md5(value)` — a
+  * fixed-width, prefix-discriminated token — and the row hash is the md5
+  * of their concatenation. Tokens carry no value bytes, so no value can
+  * impersonate a separator: `("ab","c")` vs `("a","bc")`, NULL vs the
+  * empty string, and values containing any control character all hash
+  * distinctly (a separator/sentinel scheme collides when a value
+  * contains the separator itself — ADVICE r8).
   *
   * Scale shape: the CLOSED slice of history never moves — it is
   * filtered out before the join and unioned back untouched (at 100 TB
@@ -33,8 +37,10 @@ object Scd {
   val metaCols: Seq[String] = Seq("valid_from", "valid_to", "is_current")
 
   private def attrHash(attrCols: Seq[String]): Column =
-    md5(concat_ws("\u001F",
-      attrCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+    md5(concat(attrCols.map { c =>
+      when(col(c).isNull, lit("N"))
+        .otherwise(concat(lit("V"), md5(col(c).cast("string"))))
+    }: _*))
 
   /** Merge one incoming full snapshot into an SCD2 history.
     *

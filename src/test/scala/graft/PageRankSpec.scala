@@ -95,6 +95,31 @@ class PageRankSpec extends AnyFunSuite {
     assert(w2 == w1)
   }
 
+  test("non-positive edge weights fail loudly, not silently diverge") {
+    // the positive-weight contract (scaladoc) is enforced: Spark DIV
+    // truncates toward zero on negatives while floor-division engines
+    // round down, so misuse must error rather than produce
+    // engine-divergent ranks
+    for (bad <- Seq(-1L, 0L)) {
+      val edges = Seq(("a", "b", 2L), ("a", "c", bad)).toDF("s", "d", "w")
+      val e = intercept[Exception] {
+        PageRank.weightedPageRankFixedPoint(edges, "s", "d",
+          Some("w"), iters = 1).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m =>
+        m != null && m.contains("non-positive aggregated edge weight")), e)
+    }
+    // weights summing to a positive total through negatives still fail:
+    // the guard runs on the aggregated edge, catching (+3, -3) = 0
+    val cancel = Seq(("a", "b", 3L), ("a", "b", -3L)).toDF("s", "d", "w")
+    intercept[Exception] {
+      PageRank.weightedPageRankFixedPoint(cancel, "s", "d",
+        Some("w"), iters = 1).collect()
+    }
+  }
+
   test("dangling nodes keep teleport-only rank (directed chain)") {
     // directed a->b->c: c is a sink (dangling); a receives nothing
     val directed = Seq("a" -> "b", "b" -> "c")

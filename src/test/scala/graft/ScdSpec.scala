@@ -84,6 +84,24 @@ class ScdSpec extends AnyFunSuite {
     assert(opens.forall(_ == 1L))
   }
 
+  test("values containing separator-like control chars never collide") {
+    // ADVICE r8: a concat_ws(US)/NUL-sentinel hash classified
+    // ("a\u001Fb", "c") vs ("a", "b\u001Fc") as 'unchanged'. The
+    // per-column-md5 token scheme cannot collide: tokens carry no value
+    // bytes, so no value can impersonate a field boundary.
+    val h = Seq((1L, "a\u001Fb", "c", "d1", null.asInstanceOf[String], true))
+      .toDF("id", "name", "seg", "valid_from", "valid_to", "is_current")
+    val s = Seq((1L, "a", "b\u001Fc")).toDF("id", "name", "seg")
+    val out = Scd.scd2Merge(h, s, keys, attrs, "d2")
+    assert(out.count() == 2, "shifted field boundary must classify as changed")
+    // a literal NUL value is distinct from SQL NULL (the old sentinel)
+    val h2 = Seq((1L, "\u0000", "x", "d1", null.asInstanceOf[String], true))
+      .toDF("id", "name", "seg", "valid_from", "valid_to", "is_current")
+    val s2 = Seq((1L, null.asInstanceOf[String], "x")).toDF("id", "name", "seg")
+    val out2 = Scd.scd2Merge(h2, s2, keys, attrs, "d2")
+    assert(out2.count() == 2, "NUL string -> SQL NULL must be a change")
+  }
+
   test("null and empty-string attributes are distinct versions") {
     val h = Seq((1L, null.asInstanceOf[String], "A", "d1",
       null.asInstanceOf[String], true))
