@@ -804,9 +804,23 @@ object SparkEntry {
     * path (rows-only; exactness at nprobe=nlist and recall bounds are
     * ScalaTest'd in AnnIvfSpec). */
   def q55IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
     val emb = t(s, dir, "embeddings")
+    // train-once-reuse: with SPARK_GRAFT_CENTROIDS_DIR set, the quantizer
+    // is served from its parquet artifact (doubles round-trip bit-exactly)
+    // and only the probe joins run per query — the production serving
+    // shape. Unset (the default, and what the driver gates measure), the
+    // quantizer trains inside the query as before.
+    val cents = sys.env.get("SPARK_GRAFT_CENTROIDS_DIR").map { root =>
+      val p = s"$root/q55_nlist8_iters2_seed42"
+      try Ann.loadCentroidsD(p)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        val c = Ann.kmeansCentroids(emb, "embedding", "vec_id", 8, 2, 42)
+        Ann.saveCentroidsD(c, p); c }
+    }
     Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8),
-      "embedding", "vec_id", "vec_id", k = 10, nlist = 8, nprobe = 3)
+      "embedding", "vec_id", "vec_id", k = 10, nlist = 8, nprobe = 3,
+      centroids = cents)
   }
 
   /** Multi-level aggregation: ROLLUP over (region, nation) — subtotal and
@@ -1347,10 +1361,20 @@ object SparkEntry {
     * the LEARNED quantizer itself is hash-verified, not just the sweep.
     * Params from [[SketchParams.q92]]. */
   def q92IvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
     val p = SketchParams.q92
     val emb = t(s, dir, "embeddings")
-    val cents = Ann.kmeansCentroidsPortable(emb, "embedding", "vec_id",
+    // train-once-reuse (opt-in via SPARK_GRAFT_CENTROIDS_DIR): the learned
+    // quantizer the q92 oracle hash-verifies is exactly the model worth
+    // persisting — the parquet artifact carries the verified bits across
+    // runs, and serving pays only the probe joins
+    def trained = Ann.kmeansCentroidsPortable(emb, "embedding", "vec_id",
       p.nlist, p.iters, p.scale)
+    val cents = sys.env.get("SPARK_GRAFT_CENTROIDS_DIR") match {
+      case Some(root) => Ann.trainOrLoadCentroids(
+        s"$root/q92_nlist${p.nlist}_iters${p.iters}_scale${p.scale}")(trained)
+      case None => trained
+    }
     Ann.ivfTopKPortable(emb, emb.filter(col("vec_id") < p.maxQueryId),
         "embedding", "vec_id", "vec_id", k = p.k, nlist = p.nlist,
         nprobe = p.nprobe, scale = p.scale, centroids = Some(cents))
@@ -1548,6 +1572,30 @@ object SparkEntry {
         expr("percentile(n_chars, 0.25)").as("p25"),
         expr("percentile(n_chars, 0.5)").as("p50"),
         expr("percentile(n_chars, 0.75)").as("p75"))
+
+  /** The 100 TB sweep sibling of [[q102GroupedQuantiles]]: grouped
+    * `percentile_approx` (Greenwald–Khanna quantile summaries — bounded
+    * sketch state, mergeable across partitions, one partial-agg shuffle)
+    * instead of exact `percentile` (which materializes and sorts every
+    * group). Rows-only in the driver gate BY DESIGN: the sketch's picked
+    * elements are engine-specific, so there is no cross-engine hash — the
+    * correctness contract is the documented rank-error bound
+    * (±n/accuracy), asserted per group per percentile against the exact
+    * distribution in `ApproxQuantileSpec` at sf0.1. */
+  def q109ApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"percentile_approx(n_chars, 0.25, $ApproxQuantileAccuracy)")
+          .cast("long").as("ap25"),
+        expr(s"percentile_approx(n_chars, 0.5, $ApproxQuantileAccuracy)")
+          .cast("long").as("ap50"),
+        expr(s"percentile_approx(n_chars, 0.75, $ApproxQuantileAccuracy)")
+          .cast("long").as("ap75"))
+
+  /** Sketch accuracy for [[q109ApproxQuantiles]]: rank error ≤ n/accuracy
+    * per group (shared with `ApproxQuantileSpec`'s bound assertion). */
+  val ApproxQuantileAccuracy: Int = 1000
 
   /** Retention cohorts over the event stream: users grouped by the week
     * of their FIRST event, counted distinct per week-offset since that
@@ -1814,7 +1862,8 @@ object SparkEntry {
     "q105_session_window" -> (q105SessionWindow _),
     "q106_weighted_pagerank" -> (q106WeightedPageRank _),
     "q107_prefix_join" -> (q107PrefixJoin _),
-    "q108_media_meta" -> (q108MediaMeta _))
+    "q108_media_meta" -> (q108MediaMeta _),
+    "q109_approx_quantiles" -> (q109ApproxQuantiles _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

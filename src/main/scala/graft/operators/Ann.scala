@@ -194,19 +194,20 @@ object Ann {
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, queryIdCol: String,
       k: Int, nlist: Int = 8, nprobe: Int = 2, kmeansIters: Int = 2,
-      seed: Int = 42, excludeSelf: Boolean = true): DataFrame = {
+      seed: Int = 42, excludeSelf: Boolean = true,
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "1 <= nprobe <= nlist")
-    val centroids = kmeansCentroids(corpus, vecCol, idCol, nlist,
-      kmeansIters, seed)
+    val cents = centroids.getOrElse(
+      kmeansCentroids(corpus, vecCol, idCol, nlist, kmeansIters, seed))
     val lists = corpus.select(col(idCol).as("neighbor_id"),
       transform(col(vecCol), _.cast("double")).as("__cv"))
-      .withColumn("__list", nearestCentroid(col("__cv"), centroids))
+      .withColumn("__list", nearestCentroid(col("__cv"), cents))
     // nprobe nearest lists per query: distances to nlist literal
     // centroids, sorted as a (dist, index) struct array — per-row, no
     // shuffle, no UDF
     val qv = queries.select(col(queryIdCol).as("query_id"),
       transform(col(vecCol), _.cast("double")).as("__qv"))
-    val probes = sortedCentroidDists(col("__qv"), centroids)
+    val probes = sortedCentroidDists(col("__qv"), cents)
     val probed = qv
       .withColumn("__probe",
         slice(transform(probes, p => p.getField("i")), 1, nprobe))
@@ -509,4 +510,61 @@ object Ann {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "qdot")
   }
+
+  // ------------------------------------------------- quantizer persistence
+
+  /** Persist a trained coarse quantizer (integer domain —
+    * [[portableCentroids]] / [[kmeansCentroidsPortable]]) as a tiny
+    * parquet model: one row per inverted list, `(list_id, centroid)`.
+    * BIGINT coordinates round-trip parquet bit-exactly, so a loaded model
+    * is indistinguishable from the trained one — a production pipeline
+    * trains once and serves many runs from the artifact instead of
+    * re-running Lloyd inside every query (the model is nlist×dim longs;
+    * `coalesce(1)` keeps it a single file). */
+  def saveCentroids(centroids: Seq[Seq[Long]], path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("list_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a quantizer saved by [[saveCentroids]], ordered by list id —
+    * bit-exact inverse (spec-gated in `CentroidPersistenceSpec`). */
+  def loadCentroids(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Seq[Seq[Long]] =
+    spark.read.parquet(path)
+      .select(col("list_id"), col("centroid"))
+      .orderBy(col("list_id"))
+      .collect()
+      .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+
+  /** Double-domain variants for [[kmeansCentroids]] models (used by
+    * [[ivfTopK]]): IEEE doubles also round-trip parquet bit-exactly. */
+  def saveCentroidsD(centroids: Seq[Seq[Double]], path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("list_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadCentroidsD(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Seq[Seq[Double]] =
+    spark.read.parquet(path)
+      .select(col("list_id"), col("centroid"))
+      .orderBy(col("list_id"))
+      .collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+
+  /** Train-once-reuse: load the model at `path` if present, else train
+    * via `train` and persist the result. The load path never touches the
+    * corpus — at serving time only the probe joins run. */
+  def trainOrLoadCentroids(path: String)(train: => Seq[Seq[Long]])(
+      implicit spark: org.apache.spark.sql.SparkSession): Seq[Seq[Long]] =
+    try loadCentroids(path)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      val c = train; saveCentroids(c, path); c }
 }

@@ -88,7 +88,7 @@ final class HttpLlmStrategy(
     None
   }
 
-  private def requestJson(
+  private[graft] def requestJson(
       leftName: String, candidates: Seq[(String, String)]): String = {
     val root = mapper.createObjectNode()
     root.put("model", model)
@@ -99,11 +99,24 @@ final class HttpLlmStrategy(
     mapper.writeValueAsString(root)
   }
 
-  private def prompt(
+  /** The adjudication prompt. Field ORDER mirrors the reference's
+    * (entity_matching.py:186-225): expert-role framing, then the query
+    * company, then the candidate records keyed by their return id, then
+    * the single-id-or-None return instruction (the reference's "Return
+    * only the best matching ABR record ABN if confident, otherwise
+    * return None", :225). The WORDING is this library's own — shorter
+    * role/guideline text, and candidates carry (key, name) rather than
+    * (entity_name, abn, postcode) dicts because [[MatchStrategy]] scopes
+    * adjudication to the name after postcode blocking has already run.
+    * Pinned by the `LlmClientSpec` snapshot test: any drift in field
+    * order or the reply contract (the client parses the reply as a
+    * candidate KEY; "None" abstains) fails the suite. */
+  private[graft] def prompt(
       leftName: String, candidates: Seq[(String, String)]): String = {
     val opts = candidates.map { case (k, n) => s"  $k: $n" }.mkString("\n")
-    s"""Entity resolution: decide which candidate refers to the same
-       |real-world company as the query name, if any.
+    s"""You are an expert in company entity resolution: decide which
+       |candidate record refers to the same real-world company as the
+       |query name, if any.
        |Query name: $leftName
        |Candidates (key: name):
        |$opts

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ann
+
+/** Quantizer persistence (VERDICT r8 #5): a trained IVF/SemDeDup coarse
+  * quantizer saved to parquet and loaded back must be indistinguishable
+  * from the in-memory model — bit-exact coordinates in both domains, and
+  * identical downstream query results when injected. */
+class CentroidPersistenceSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = TestSpark.session
+  private val dir = "/root/testdata/sf0.01"
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"centroids-$name").resolve("model").toString
+
+  test("integer-domain model round-trips parquet bit-exactly") {
+    implicit val s: SparkSession = spark
+    val emb = Tables.embeddings(spark, dir)
+    val trained = Ann.kmeansCentroidsPortable(
+      emb, "embedding", "vec_id", nlist = 8, iters = 2, scale = 1000)
+    val path = tmp("long")
+    Ann.saveCentroids(trained, path)
+    val loaded = Ann.loadCentroids(path)
+    assert(loaded == trained) // Seq[Seq[Long]] equality: every bit, in order
+  }
+
+  test("double-domain model round-trips parquet bit-exactly") {
+    implicit val s: SparkSession = spark
+    val emb = Tables.embeddings(spark, dir)
+    val trained = Ann.kmeansCentroids(
+      emb, "embedding", "vec_id", nlist = 8, iters = 2, seed = 42)
+    val path = tmp("double")
+    Ann.saveCentroidsD(trained, path)
+    val loaded = Ann.loadCentroidsD(path)
+    // IEEE doubles round-trip parquet exactly: compare raw bits, not ==
+    assert(loaded.size == trained.size)
+    for ((l, t) <- loaded.zip(trained)) {
+      assert(l.map(java.lang.Double.doubleToRawLongBits) ==
+        t.map(java.lang.Double.doubleToRawLongBits))
+    }
+  }
+
+  test("ivfTopKPortable with a loaded model equals the retrained run") {
+    implicit val s: SparkSession = spark
+    val emb = Tables.embeddings(spark, dir)
+    val trained = Ann.kmeansCentroidsPortable(
+      emb, "embedding", "vec_id", nlist = 8, iters = 2, scale = 1000)
+    val path = tmp("serve")
+    Ann.saveCentroids(trained, path)
+    val loaded = Ann.loadCentroids(path)
+    val q = emb.filter(col("vec_id") < 8)
+    def run(c: Seq[Seq[Long]]) = Ann.ivfTopKPortable(
+        emb, q, "embedding", "vec_id", "vec_id",
+        k = 10, nlist = 8, nprobe = 3, centroids = Some(c))
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(run(loaded) == run(trained))
+  }
+
+  test("trainOrLoadCentroids trains once, then serves from the artifact") {
+    implicit val s: SparkSession = spark
+    val emb = Tables.embeddings(spark, dir)
+    val path = tmp("once")
+    var trainings = 0
+    def train(): Seq[Seq[Long]] = {
+      trainings += 1
+      Ann.kmeansCentroidsPortable(
+        emb, "embedding", "vec_id", nlist = 4, iters = 1, scale = 1000)
+    }
+    val first = Ann.trainOrLoadCentroids(path)(train())
+    val second = Ann.trainOrLoadCentroids(path)(train())
+    assert(trainings == 1, "second call must load, not retrain")
+    assert(second == first)
+  }
+}

@@ -115,6 +115,48 @@ class LlmClientSpec extends AnyFunSuite {
     assert(real.isInstanceOf[HttpLlmStrategy])
   }
 
+  test("prompt snapshot: reference field order and reply contract are pinned") {
+    // Field order mirrors the reference prompt (entity_matching.py:186-225):
+    // expert-role framing -> query company -> candidate records keyed by
+    // their return id -> single-id-or-None return instruction (:225). The
+    // client parses the reply as a candidate KEY and treats "None" as
+    // abstention, so this snapshot IS the request/response contract: any
+    // reordering or rewording that moves a field breaks the suite, not
+    // production.
+    val s = new HttpLlmStrategy("http://unused.invalid")
+    val got = s.prompt("Acme Widgets",
+      Seq("11000022333" -> "ACME WIDGETS PTY LTD",
+          "99888877666" -> "ACME CONSULTING"))
+    val expected =
+      """You are an expert in company entity resolution: decide which
+        |candidate record refers to the same real-world company as the
+        |query name, if any.
+        |Query name: Acme Widgets
+        |Candidates (key: name):
+        |  11000022333: ACME WIDGETS PTY LTD
+        |  99888877666: ACME CONSULTING
+        |Reply with exactly one candidate key, or None if not confident.""".stripMargin
+    assert(got == expected)
+    // order invariants, asserted structurally so the intent survives a
+    // deliberate rewording: role precedes query, query precedes options,
+    // options precede the return instruction; candidates keep input order
+    val idx = Seq("expert", "Query name:", "Candidates", "11000022333",
+      "99888877666", "Reply with exactly one candidate key").map(got.indexOf)
+    assert(idx.forall(_ >= 0) && idx == idx.sorted, idx)
+    assert(got.linesIterator.toSeq.last.contains("or None"),
+      "abstention instruction must close the prompt (reference :225)")
+    // request envelope parity (entity_matching.py:229-232): temperature-0,
+    // one user message, the prompt as its content
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val env = mapper.readTree(
+      s.requestJson("Acme Widgets", Seq("11000022333" -> "ACME WIDGETS PTY LTD")))
+    assert(env.path("temperature").asInt(-1) == 0)
+    assert(env.path("messages").size() == 1)
+    assert(env.path("messages").path(0).path("role").asText() == "user")
+    assert(env.path("messages").path(0).path("content").asText()
+      .contains("Query name: Acme Widgets"))
+  }
+
   test("LlmMatch stage end-to-end through the real client class") {
     withServer(Seq(200 -> completion("2"))) { (ep, calls, _) =>
       import spark.implicits._

@@ -213,6 +213,18 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q105: declarative session windows stay a SINGLE shuffle (r9)") {
+    // the SCALE §10 decision table names session_window the batch default
+    // BECAUSE it is one user_id shuffle + in-partition merge; if a Spark
+    // upgrade or query edit ever makes it re-shuffle (e.g. a second
+    // exchange for the projection), the 100x story breaks — pin it
+    val plan = executed("q105_session_window")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles:\n" +
+      plan.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+    assert(!plan.contains("Join"), "sessionization must not join")
+  }
+
   test("q103: first-event is a window on ONE user_id shuffle, no join (r8)") {
     val plan = executed("q103_retention_cohorts")
     assert(!plan.contains("Join"),
