@@ -470,7 +470,7 @@ object OracleSql {
     * slicing — including a recursive-CTE JPEG marker scan over the
     * variable-length COM segment — independently of the Spark-side
     * [[graft.functions.ImageHeaderKernel]] byte parser. */
-  private val q108 = """
+  private val q108Ctes = """
     WITH RECURSIVE m AS (
       SELECT doc_id,
         16 + doc_id % 1000 AS w,
@@ -549,8 +549,116 @@ object OracleSql {
       SELECT b.doc_id, 'unknown' AS fmt, -1 AS width, -1 AS height, -1 AS channels
       FROM blob b ANTI JOIN matched USING (doc_id)
     )
+    """
+
+  private val q108 = q108Ctes + """
     SELECT * FROM png UNION ALL SELECT * FROM gif
     UNION ALL SELECT * FROM jparsed UNION ALL SELECT * FROM unknown"""
+
+  /** q110 resolution gate: the q108 parse chain, filtered to known
+    * formats at >=128x128, aggregated per container format (the
+    * decode-free min-resolution gate a training pipeline runs before
+    * paying for pixels). */
+  private val q110 = q108Ctes + """
+    SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_imgs,
+      CAST(SUM(width::BIGINT * height::BIGINT) AS BIGINT) AS total_pixels,
+      CAST(MAX(width) AS BIGINT) AS max_width,
+      CAST(MAX(height) AS BIGINT) AS max_height
+    FROM (SELECT * FROM png UNION ALL SELECT * FROM gif
+          UNION ALL SELECT * FROM jparsed)
+    WHERE width >= 128 AND height >= 128
+    GROUP BY fmt"""
+
+  /** q111 WAV/RIFF audio-header decode: rebuild identical RIFF
+    * containers (variable-length LIST chunk + odd-size pad before
+    * `fmt `), re-walk the chunk list with a recursive CTE over the hex
+    * image, and re-derive sample rate / channels / bit depth / exact
+    * integer duration independently of the Spark-side
+    * [[graft.functions.WavHeaderKernel]] byte parser. */
+  private val q111 = """
+    WITH RECURSIVE m AS (
+      SELECT doc_id,
+        CAST(1 + doc_id % 2 AS INT) AS nch,
+        [8000,16000,44100,48000][CAST((doc_id // 2) % 4 AS INT) + 1] AS rate,
+        [8,16,24,32][CAST((doc_id // 8) % 4 AS INT) + 1] AS bits,
+        CAST(1000 + doc_id % 50000 AS INT) AS dsize,
+        CAST(doc_id % 19 AS INT) AS k
+      FROM documents
+    ), m2 AS (
+      SELECT *, CAST(nch * bits // 8 AS INT) AS balign, k % 2 AS pad FROM m
+    ), m3 AS (
+      SELECT *, rate * balign AS brate,
+        36 + dsize + 8 + k + pad AS riffsize FROM m2
+    ), built AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 4 THEN lpad(hex(doc_id), 24, '0')
+        ELSE
+          '52494646' ||
+          substr(lpad(hex(riffsize),8,'0'),7,2) || substr(lpad(hex(riffsize),8,'0'),5,2) ||
+          substr(lpad(hex(riffsize),8,'0'),3,2) || substr(lpad(hex(riffsize),8,'0'),1,2) ||
+          '57415645' ||
+          '4C495354' ||
+          substr(lpad(hex(k),8,'0'),7,2) || substr(lpad(hex(k),8,'0'),5,2) ||
+          substr(lpad(hex(k),8,'0'),3,2) || substr(lpad(hex(k),8,'0'),1,2) ||
+          repeat('4C', k) ||
+          CASE WHEN pad = 1 THEN '00' ELSE '' END ||
+          '666D7420' || '10000000' || '0100' ||
+          substr(lpad(hex(nch),4,'0'),3,2) || substr(lpad(hex(nch),4,'0'),1,2) ||
+          substr(lpad(hex(rate),8,'0'),7,2) || substr(lpad(hex(rate),8,'0'),5,2) ||
+          substr(lpad(hex(rate),8,'0'),3,2) || substr(lpad(hex(rate),8,'0'),1,2) ||
+          substr(lpad(hex(brate),8,'0'),7,2) || substr(lpad(hex(brate),8,'0'),5,2) ||
+          substr(lpad(hex(brate),8,'0'),3,2) || substr(lpad(hex(brate),8,'0'),1,2) ||
+          substr(lpad(hex(balign),4,'0'),3,2) || substr(lpad(hex(balign),4,'0'),1,2) ||
+          substr(lpad(hex(bits),4,'0'),3,2) || substr(lpad(hex(bits),4,'0'),1,2) ||
+          '64617461' ||
+          substr(lpad(hex(dsize),8,'0'),7,2) || substr(lpad(hex(dsize),8,'0'),5,2) ||
+          substr(lpad(hex(dsize),8,'0'),3,2) || substr(lpad(hex(dsize),8,'0'),1,2)
+        END AS hx0
+      FROM m3
+    ), blob AS (
+      SELECT doc_id, hex(unhex(hx0)) AS hx FROM built
+    ), wav AS (
+      SELECT doc_id, hx FROM blob
+      WHERE length(hx) >= 24 AND substr(hx, 1, 8) = '52494646'
+        AND substr(hx, 17, 8) = '57415645'
+    ), scan AS (
+      SELECT doc_id, hx, 13 AS pos FROM wav
+      UNION ALL
+      SELECT doc_id, hx,
+        CAST(pos + 8
+          + ('0x' || substr(hx, 2*(pos+7)-1, 2) || substr(hx, 2*(pos+6)-1, 2) ||
+                  substr(hx, 2*(pos+5)-1, 2) || substr(hx, 2*(pos+4)-1, 2))::BIGINT
+          + (('0x' || substr(hx, 2*(pos+7)-1, 2) || substr(hx, 2*(pos+6)-1, 2) ||
+                  substr(hx, 2*(pos+5)-1, 2) || substr(hx, 2*(pos+4)-1, 2))::BIGINT % 2)
+          AS INT) AS pos
+      FROM scan
+      WHERE 2*(pos + 7) <= length(hx)
+    ), fmtc AS (
+      SELECT doc_id, pos + 8 AS o, hx FROM scan
+      WHERE 2*(pos + 7) <= length(hx) AND substr(hx, 2*pos - 1, 8) = '666D7420'
+    ), datac AS (
+      SELECT doc_id,
+        ('0x' || substr(hx, 2*(pos+7)-1, 2) || substr(hx, 2*(pos+6)-1, 2) ||
+              substr(hx, 2*(pos+5)-1, 2) || substr(hx, 2*(pos+4)-1, 2))::BIGINT AS dbytes
+      FROM scan
+      WHERE 2*(pos + 7) <= length(hx) AND substr(hx, 2*pos - 1, 8) = '64617461'
+    ), parsed AS (
+      SELECT f.doc_id,
+        ('0x' || substr(hx, 2*(o+7)-1, 2) || substr(hx, 2*(o+6)-1, 2) ||
+              substr(hx, 2*(o+5)-1, 2) || substr(hx, 2*(o+4)-1, 2))::INT AS sample_rate,
+        ('0x' || substr(hx, 2*(o+3)-1, 2) || substr(hx, 2*(o+2)-1, 2))::INT AS n_channels,
+        ('0x' || substr(hx, 2*(o+15)-1, 2) || substr(hx, 2*(o+14)-1, 2))::INT AS bit_depth,
+        CAST(d.dbytes * 1000 //
+          ('0x' || substr(hx, 2*(o+11)-1, 2) || substr(hx, 2*(o+10)-1, 2) ||
+                substr(hx, 2*(o+9)-1, 2) || substr(hx, 2*(o+8)-1, 2))::BIGINT
+          AS BIGINT) AS duration_ms
+      FROM fmtc f JOIN datac d USING (doc_id)
+    ), unknown AS (
+      SELECT b.doc_id, -1 AS sample_rate, -1 AS n_channels, -1 AS bit_depth,
+        CAST(-1 AS BIGINT) AS duration_ms
+      FROM blob b ANTI JOIN wav USING (doc_id)
+    )
+    SELECT * FROM parsed UNION ALL SELECT * FROM unknown"""
 
   private val q80 = """
     SELECT e.event_id, strftime(o.o_orderdate, '%Y-%m-%d') AS next_order_date
@@ -2240,6 +2348,8 @@ object OracleSql {
     "q78_shard_pack" -> q78,
     "q79_interval_join" -> q79,
     "q80_asof_forward" -> q80,
-    "q108_media_meta" -> q108
+    "q108_media_meta" -> q108,
+    "q110_media_gate" -> q110,
+    "q111_wav_meta" -> q111
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1714,8 +1714,12 @@ object SparkEntry {
     * shuffle); the parser reads ≤32 header bytes regardless of payload
     * size, which is the 100 TB property that matters (resolution gating
     * without pixel decode). */
-  def q108MediaMeta(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.ImageHeader._
+  /** Shared q108/q110 fixture: deterministic PNG / JPEG / GIF / non-image
+    * container bytes per document (dimensions, color type, and JPEG
+    * comment-segment padding all derived from `doc_id`). Returned as
+    * `(doc_id, content binary)`; the DuckDB oracles rebuild the identical
+    * blobs from the same arithmetic. */
+  private def mediaFixture(s: SparkSession, dir: String): DataFrame = {
     val m = t(s, dir, "documents").select(col("doc_id"))
       .withColumn("w", (lit(16) + col("doc_id") % 1000).cast("int"))
       .withColumn("h", (lit(16) + (col("doc_id") * 7) % 1000).cast("int"))
@@ -1745,12 +1749,96 @@ object SparkEntry {
           substring(lpad(hex(col("h")), 4, "0"), 1, 2),
           lit("000000")))
       .otherwise(lpad(hex(col("doc_id")), 16, "0"))
-    m.withColumn("content", unhex(hx))
+    m.select(col("doc_id"), unhex(hx).as("content"))
+  }
+
+  def q108MediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ImageHeader._
+    mediaFixture(s, dir)
       .select(col("doc_id"),
         imgFormat(col("content")).as("fmt"),
         imgWidth(col("content")).as("width"),
         imgHeight(col("content")).as("height"),
         imgChannels(col("content")).as("channels"))
+  }
+
+  /** Resolution gating over binary media WITHOUT pixel decode — the
+    * filter a training-data pipeline runs before paying for a real
+    * decode: parse width/height from the first ≤32 header bytes
+    * ([[graft.functions.ImageHeaderKernel]]), drop small/unknown images,
+    * aggregate the surviving corpus per container format. Map-only until
+    * one partial-agg shuffle of ≤3 groups; the binary payload itself is
+    * never shuffled (column pruning drops it after the parse
+    * projection). Oracle: same gate over the q108 CTE chain. */
+  def q110MediaGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ImageHeader._
+    mediaFixture(s, dir)
+      .select(col("doc_id"),
+        imgFormat(col("content")).as("fmt"),
+        imgWidth(col("content")).as("width"),
+        imgHeight(col("content")).as("height"))
+      .filter(col("fmt") =!= "unknown" &&
+        col("width") >= 128 && col("height") >= 128)
+      .groupBy(col("fmt"))
+      .agg(count(lit(1)).as("n_imgs"),
+        sum(col("width").cast("long") * col("height").cast("long"))
+          .as("total_pixels"),
+        max(col("width")).cast("long").as("max_width"),
+        max(col("height")).cast("long").as("max_height"))
+  }
+
+  /** Real WAV/RIFF audio-header decode ([[graft.functions.WavHeaderKernel]])
+    * — the audio sibling of q108: synthesize RIFF containers per document
+    * (sample rate / channels / bit depth / data size derived from
+    * `doc_id`; a variable-length LIST chunk with RIFF odd-size padding
+    * precedes `fmt `, so the chunk walk is genuinely exercised), then
+    * parse the fields back with the codegen byte-parser expressions,
+    * including exact integer `duration_ms = data_bytes * 1000 DIV
+    * byte_rate`. One in five payloads is a non-RIFF buffer (all fields
+    * -1). Oracle: DuckDB rebuilds identical blobs and re-walks the chunk
+    * list with a recursive CTE over the hex image. Map-only; the parser
+    * touches only chunk headers, never sample data. */
+  def q111WavMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AudioHeader._
+    def le32(c: Column): Column = {
+      val h = lpad(hex(c), 8, "0")
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def le16(c: Column): Column = {
+      val h = lpad(hex(c), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val m = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("nch", (lit(1) + col("doc_id") % 2).cast("int"))
+      .withColumn("rate", element_at(
+        array(lit(8000), lit(16000), lit(44100), lit(48000)),
+        (expr("doc_id div 2") % 4).cast("int") + 1))
+      .withColumn("bits", element_at(array(lit(8), lit(16), lit(24), lit(32)),
+        (expr("doc_id div 8") % 4).cast("int") + 1))
+      .withColumn("balign", (col("nch") * col("bits") / 8).cast("int"))
+      .withColumn("brate", col("rate") * col("balign"))
+      .withColumn("dsize", (lit(1000) + col("doc_id") % 50000).cast("int"))
+      .withColumn("k", (col("doc_id") % 19).cast("int"))
+      .withColumn("pad", (col("k") % 2).cast("int"))
+    val riffSize = lit(36) + col("dsize") + lit(8) + col("k") + col("pad")
+    val wavHex = concat(
+      lit("52494646"), le32(riffSize), lit("57415645"), // RIFF size WAVE
+      lit("4C495354"), le32(col("k")),                  // LIST k
+      expr("repeat('4C', k)"),
+      when(col("pad") === 1, "00").otherwise(""),       // odd-size pad byte
+      lit("666D7420"), le32(lit(16)), le16(lit(1)),     // 'fmt ' 16 pcm
+      le16(col("nch")), le32(col("rate")), le32(col("brate")),
+      le16(col("balign")), le16(col("bits")),
+      lit("64617461"), le32(col("dsize")))              // 'data' size
+    val hx = when(col("doc_id") % 5 === 4,
+      lpad(hex(col("doc_id")), 24, "0")).otherwise(wavHex)
+    m.select(col("doc_id"), unhex(hx).as("content"))
+      .select(col("doc_id"),
+        wavSampleRate(col("content")).as("sample_rate"),
+        wavChannels(col("content")).as("n_channels"),
+        wavBits(col("content")).as("bit_depth"),
+        wavDurationMs(col("content")).as("duration_ms"))
   }
 
   // ------------------------------------------------------------- contract
@@ -1863,7 +1951,9 @@ object SparkEntry {
     "q106_weighted_pagerank" -> (q106WeightedPageRank _),
     "q107_prefix_join" -> (q107PrefixJoin _),
     "q108_media_meta" -> (q108MediaMeta _),
-    "q109_approx_quantiles" -> (q109ApproxQuantiles _))
+    "q109_approx_quantiles" -> (q109ApproxQuantiles _),
+    "q110_media_gate" -> (q110MediaGate _),
+    "q111_wav_meta" -> (q111WavMeta _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -80,6 +80,32 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(K.width(hx("00112233445566778899AABBCCDDEEFF")) == -1)
   }
 
+  test("fuzz: random bytes and corrupted real headers never throw") {
+    val rng = new scala.util.Random(4242)
+    // pure random buffers of every small length
+    for (_ <- 1 to 2000) {
+      val b = Array.fill(rng.nextInt(64))(rng.nextInt(256).toByte)
+      K.format(b); K.width(b); K.height(b); K.channels(b)
+    }
+    // valid magics with random garbage after them — exercises every
+    // length-check branch past the signature, incl. JPEG scans whose
+    // segment lengths point anywhere
+    val magics = Seq(
+      hx("89504E470D0A1A0A"), hx("FFD8"), hx("474946383961"))
+    for (m <- magics; _ <- 1 to 2000) {
+      val tail = Array.fill(rng.nextInt(48))(rng.nextInt(256).toByte)
+      val b = m ++ tail
+      K.format(b); K.width(b); K.height(b); K.channels(b)
+    }
+    // bit-flipped real headers
+    val real = Seq(png640x480rgba, gif320x200, jpeg)
+    for (src <- real; _ <- 1 to 2000) {
+      val b = src.clone()
+      b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+      K.format(b); K.width(b); K.height(b); K.channels(b)
+    }
+  }
+
   test("expressions parse a binary column inside a Spark plan") {
     import spark.implicits._
     val df = Seq(
