@@ -1719,7 +1719,7 @@ object SparkEntry {
     * comment-segment padding all derived from `doc_id`). Returned as
     * `(doc_id, content binary)`; the DuckDB oracles rebuild the identical
     * blobs from the same arithmetic. */
-  private def mediaFixture(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def mediaFixture(s: SparkSession, dir: String): DataFrame = {
     val m = t(s, dir, "documents").select(col("doc_id"))
       .withColumn("w", (lit(16) + col("doc_id") % 1000).cast("int"))
       .withColumn("h", (lit(16) + (col("doc_id") * 7) % 1000).cast("int"))

@@ -213,6 +213,26 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q108/q111: header parse is map-only — zero shuffles, zero joins (r9)") {
+    Seq("q108_media_meta", "q111_wav_meta").foreach { q =>
+      val plan = executed(q)
+      assert(!plan.contains("Exchange"), s"$q must not shuffle")
+      assert(!plan.contains("Join"), s"$q must not join")
+    }
+  }
+
+  test("q110: gate shuffles only the fmt partial-aggregate, never payloads (r9)") {
+    val plan = executed("q110_media_gate")
+    // one partial+final agg pair over <=3 fmt groups; the binary content
+    // column dies in the parse projection before the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial + final HashAggregate")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(1500))
+    val exchangeLine = plan.split("\n").find(_.contains("Exchange hashpartitioning"))
+    assert(exchangeLine.exists(l => l.contains("fmt") && !l.contains("content")),
+      s"shuffle must key on fmt without payload: ${exchangeLine.getOrElse("<none>")}")
+  }
+
   test("q105: declarative session windows stay a SINGLE shuffle (r9)") {
     // the SCALE §10 decision table names session_window the batch default
     // BECAUSE it is one user_id shuffle + in-partition merge; if a Spark
