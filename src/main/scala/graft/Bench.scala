@@ -28,11 +28,15 @@ object Bench {
     * and comparing against the pinned figures makes a contended run
     * self-identifying: code for the controls never changes within a round,
     * so control_time >> calm median can only be machine noise. Medians
-    * recorded 2026-08-13 (round 9) on an idle machine, best-of-2 warm. */
+    * recorded 2026-08-13 (round 9): midpoints over two calm end-of-sweep
+    * runs — controls drift ~1.5x within a session from JVM heap pressure
+    * and ambient load, so the medians sit above that noise band and only
+    * the genuine 4-15x contention blowups (r3/r7/r8 pattern) trip the
+    * flag. */
   private val controlCalmMedians: Map[String, Double] = Map(
-    "q30_minhash_lsh"       -> 1.00,
-    "q73_token_sort_oracle" -> 0.95,
-    "q93_substring_general" -> 1.70
+    "q30_minhash_lsh"       -> 1.40,
+    "q73_token_sort_oracle" -> 1.20,
+    "q93_substring_general" -> 2.30
   )
   private val contentionFactor = 2.0
 
