@@ -185,6 +185,22 @@ object SketchParams {
     val newOffset = 1000000L
     val day1 = "2024-01-01"; val day2 = "2024-06-01"
   }
+  /** q112 fixed-point BM25: the keyword queries (query_id → terms, drawn
+    * from the synthetic corpus vocabulary), the idf / saturation
+    * fixed-point scales, top-k, and the tie-break pad width. */
+  object q112 {
+    val queries: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("fast", "join", "table"),
+      1L -> Seq("window", "agg", "stream"),
+      2L -> Seq("vector", "hash", "scan", "slow"))
+    val k = 10; val s1 = 10000L; val s2 = 1000000L; val padWidth = 12
+  }
+  /** q113 triangle counting: the lineitem quantity floor that thins the
+    * supplier co-order graph to a density where triangles are plentiful
+    * but the oracle's naive 3-way join stays cheap at sf0.01. */
+  object q113 {
+    val minQty = 45
+  }
 }
 
 object OracleSql {
@@ -1356,6 +1372,80 @@ object OracleSql {
     SELECT node, pr FROM r${p.iters}"""
   }
 
+  /** Fixed-point BM25 top-k retrieval (q112): the SQL twin of
+    * `TextAnalysis.bm25FixedPointTopK` — identical tf/df/dl/N/L integer
+    * statistics over the q38 tokenization, identical floored idf* and
+    * saturation factors (`//` floors, Spark `DIV` truncates: equal on
+    * these nonnegative operands), ranked by the same (-score, padded id)
+    * order the BottomK heap uses. Generated from [[SketchParams.q112]]. */
+  private def q112: String = {
+    val p = SketchParams.q112
+    val values = p.queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), q(query_id, term) AS (VALUES $values),
+    toks AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM base
+    ), tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN (SELECT term FROM q)
+      GROUP BY doc_id, dl, term
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(len(t)) AS BIGINT) AS l
+      FROM base
+    ), sc AS (
+      SELECT q.query_id, tf.doc_id,
+        ((${p.s1} * (2*n - 2*df + 1)) // (2*df + 1)) *
+        ((${p.s2} * 22 * l * tf) // (10*l*tf + 3*l + 9*dl*n)) AS s
+      FROM tf JOIN df USING (term) JOIN q USING (term) CROSS JOIN stats
+    ), agg AS (
+      SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score_q
+      FROM sc GROUP BY query_id, doc_id
+    ), ranked AS (
+      SELECT query_id, doc_id, score_q,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY -score_q,
+            lpad(CAST(doc_id AS VARCHAR), ${p.padWidth}, '0')) AS rn
+      FROM agg)
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q
+    FROM ranked WHERE rn <= ${p.k}"""
+  }
+
+  /** Per-node triangle counts (q113): the naive a<b<c 3-way self-join
+    * twin of `Components.triangleCounts` over the same supplier co-order
+    * edge set — each triangle appears exactly once in the ordered form,
+    * then fans out to its three corners. Generated from
+    * [[SketchParams.q113]]. */
+  private def q113: String = {
+    val p = SketchParams.q113
+    s"""
+    WITH ls AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_quantity >= ${p.minQty}
+    ), ed AS (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM ls x JOIN ls y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    ), tri AS (
+      SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      FROM ed e1
+      JOIN ed e2 ON e1.b = e2.a
+      JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), corners AS (
+      SELECT u AS id FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri)
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY id"""
+  }
+
   /** Alignment-free exact-substring dup join (q93): dense side at every
     * character offset, probe side strided — the SQL twin of
     * `Dedup.exactSubstringDupJoinGeneral`, generated from
@@ -2289,6 +2379,8 @@ object OracleSql {
     "q107_prefix_join" -> q107,
     "q100_topk_agg" -> q100,
     "q101_scd2_merge" -> q101,
+    "q112_bm25" -> q112,
+    "q113_triangles" -> q113,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

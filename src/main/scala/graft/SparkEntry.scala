@@ -1841,6 +1841,42 @@ object SparkEntry {
         wavDurationMs(col("content")).as("duration_ms"))
   }
 
+  /** BM25 ranked retrieval, exact-integer fixed-point twin
+    * ([[graft.operators.TextAnalysis.bm25FixedPointTopK]]): top-k
+    * documents per keyword query, scored by the floored idf*·saturation
+    * products the oracle replays term by term. The production double/ln
+    * scorer ([[graft.operators.TextAnalysis.bm25Scores]]) is
+    * spec-verified (`Bm25Spec`) per the tfIdf precedent — libm `ln` is
+    * not engine-portable. Params from [[SketchParams.q112]]. */
+  def q112Bm25(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q112
+    import s.implicits._
+    val q = p.queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    operators.TextAnalysis.bm25FixedPointTopK(
+      t(s, dir, "documents"), "text", "doc_id", q,
+      p.k, p.s1, p.s2, p.padWidth)
+  }
+
+  /** Per-node triangle counts
+    * ([[graft.operators.Components.triangleCounts]]) over the supplier
+    * co-order graph: suppliers are linked when they co-supply an order's
+    * high-quantity lines. Degree-ordered orientation Spark-side; the
+    * oracle counts the same triangles with the naive ordered 3-way
+    * self-join. Params from [[SketchParams.q113]]. */
+  def q113Triangles(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q113
+    val ls = t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= p.minQty)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val pairs = ls.as("x").join(ls.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+    operators.Components.triangleCounts(pairs, "a", "b")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1953,7 +1989,9 @@ object SparkEntry {
     "q108_media_meta" -> (q108MediaMeta _),
     "q109_approx_quantiles" -> (q109ApproxQuantiles _),
     "q110_media_gate" -> (q110MediaGate _),
-    "q111_wav_meta" -> (q111WavMeta _))
+    "q111_wav_meta" -> (q111WavMeta _),
+    "q112_bm25" -> (q112Bm25 _),
+    "q113_triangles" -> (q113Triangles _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -468,4 +468,130 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_feats"), col("score"),
         (col("score") > 0).as("keep"))
   }
+
+  // ---------------------------------------------------------------------
+  // BM25 ranked retrieval
+  // ---------------------------------------------------------------------
+
+  /** Shared BM25 statistics core: one (query_id, doc, tf, dl, df, n, l)
+    * row per (query, document, matching term).
+    *
+    * Scale shape — the corpus-sized stage is a single map + broadcast
+    * prune: tokens explode, a broadcast semi-join against the (tiny)
+    * query-term set drops every non-query term BEFORE anything shuffles,
+    * and `dl` rides in the grouping key (constant per doc) so no join
+    * back to a per-doc length table is ever needed. The only
+    * corpus-proportional shuffle is the (doc, dl, term) tf aggregation;
+    * document frequencies and the 1-row (N, ΣL) stats are tiny
+    * aggregates broadcast back onto it. Tokenization mirrors
+    * [[termStats]] / the q38 oracle (`split(trim(lower(text)), "\\s+")`)
+    * so corpus statistics agree across the text-analysis family. */
+  private def bm25Core(docs: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val terms = queries.select(col("term")).distinct()
+    val base = docs.select(col(idCol).as("doc"), toks.as("__t"))
+    val stats = base.agg(count(lit(1)).cast("long").as("n"),
+      sum(size(col("__t")).cast("long")).as("l"))
+    val tf = base
+      .select(col("doc"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy(col("doc"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df from tf (already one row per (doc, term)) — |query terms| rows
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .join(broadcast(queries), Seq("term"))
+      .crossJoin(broadcast(stats))
+  }
+
+  /** BM25 scores per (query, document) for a small set of keyword
+    * queries — the ranked-retrieval primitive of a curation pipeline
+    * (pull the most on-topic documents for a seed term set, score corpus
+    * slices against benchmark queries). `queries` is a tiny
+    * (query_id, term) table; see [[bm25Core]] for the plan shape.
+    *
+    * Lucene-form BM25:
+    *   idf(t)     = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *   score(d,q) = Σ_{t∈q} idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    *
+    * Doubles + `ln`: libm is not bit-identical across engines (the
+    * [[tfIdf]] precedent), so this form is spec-verified (`Bm25Spec`)
+    * and the DuckDB-oracled gate runs the exact-integer twin
+    * [[bm25FixedPointTopK]] over the same tf/df/dl/N/L statistics. */
+  def bm25Scores(docs: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val core = bm25Core(docs, textCol, idCol, queries)
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val sat = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl").cast("double") * col("n") / col("l")))
+    core.select(col("query_id"), col("doc"), (idf * sat).as("__s"))
+      .groupBy(col("query_id"), col("doc"))
+      .agg(sum(col("__s")).as("score"))
+      .select(col("query_id"), col("doc").as("doc_id"), col("score"))
+  }
+
+  /** Top-k of [[bm25Scores]] per query via the bounded-heap
+    * [[graft.functions.BottomK]] (the q100 argument: constant state per
+    * query, map-side partial reduction — no global sort and no window
+    * over every scored document). The heap key is the score in 2^-40
+    * fixed point (scores are O(ln N · terms), so the key stays far under
+    * 2^63); ties resolve on the zero-padded doc id. Output score_fx is
+    * that quantized key — rank-faithful to the double score within one
+    * part in 2^40. */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      padWidth: Int = 12): DataFrame = {
+    val scaled = (col("score") * lit(math.pow(2, 40))).cast("long")
+    bm25Scores(docs, textCol, idCol, queries, k1, b)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BottomK.bottom_k(-scaled,
+        lpad(col("doc_id").cast("string"), padWidth, "0"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"),
+        col("e.value").cast("long").as("doc_id"),
+        (-col("e.key")).as("score_fx"))
+  }
+
+  /** Exact-integer fixed-point twin of [[bm25TopK]] — the oracle-able
+    * form. k1 = 6/5 and b = 3/4 fold into integer constants
+    * (multiply the saturation term through by 10·L):
+    *
+    *   sat  = tf·(k1+1)/(tf + k1·(1−b+b·dl·N/L))
+    *        = 22·L·tf / (10·L·tf + 3·L + 9·dl·N)
+    *   idf* = (N − df + ½)/(df + ½) = (2N−2df+1)/(2df+1)
+    *
+    * idf* is the Robertson ratio without the ln — a monotone-in-df
+    * surrogate that keeps every factor a ratio of integers. Each factor
+    * is floored at scale s1 / s2 by integer division, so
+    *
+    *   score(d,q) = Σ_t (s1·(2N−2df+1) DIV (2df+1))
+    *                   · (s2·22·L·tf DIV (10·L·tf + 3·L + 9·dl·N))
+    *
+    * is BIGINT-exact and engine-portable: Spark `DIV` truncates toward
+    * zero, DuckDB `//` floors — identical on these all-nonnegative
+    * operands. Overflow headroom: needs s2·22·L·tf < 2^63, i.e. corpus
+    * token count L ≲ 4·10^14/tf_max at s2=10^6 — beyond that drop s2 or
+    * lift the arithmetic to DECIMAL(38,0); the production scorer is the
+    * double-typed [[bm25Scores]], where magnitude is a non-issue. */
+  def bm25FixedPointTopK(docs: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, k: Int, s1: Long = 10000L, s2: Long = 1000000L,
+      padWidth: Int = 12): DataFrame = {
+    val idfQ = expr(s"($s1 * (2*n - 2*df + 1)) DIV (2*df + 1)")
+    val satQ = expr(s"($s2 * 22 * l * tf) DIV (10*l*tf + 3*l + 9*dl*n)")
+    bm25Core(docs, textCol, idCol, queries)
+      .select(col("query_id"), col("doc"), (idfQ * satQ).as("__s"))
+      .groupBy(col("query_id"), col("doc"))
+      .agg(sum(col("__s")).as("score_q"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BottomK.bottom_k(-col("score_q"),
+        lpad(col("doc").cast("string"), padWidth, "0"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"),
+        col("e.value").cast("long").as("doc_id"),
+        (-col("e.key")).as("score_q"))
+  }
 }

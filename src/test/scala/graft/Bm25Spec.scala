@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** BM25 ranked retrieval: the double/ln production scorer
+  * ([[TextAnalysis.bm25Scores]] / [[TextAnalysis.bm25TopK]]) against
+  * hand-derived values, and the exact-integer fixed-point twin
+  * ([[TextAnalysis.bm25FixedPointTopK]], the q112 oracle gate) against
+  * hand-computed integer arithmetic.
+  *
+  * Hand corpus: d1 = "a b a", d2 = "a c", d3 = "b b b c"
+  *   N = 3, L = 9, avgdl = 3
+  *   tf: (d1,a)=2 (d1,b)=1 (d2,a)=1 (d3,b)=3;  df(a) = df(b) = 2
+  * Query 0 = {a, b} with k1 = 1.2, b = 0.75:
+  *   idf(a) = idf(b) = ln(1 + (3−2+0.5)/(2+0.5)) = ln(1.6)
+  *   sat(d1,a): 2·2.2/(2 + 1.2·(0.25+0.75·3/3)) = 4.4/3.2  = 1.375
+  *   sat(d1,b): 1·2.2/(1 + 1.2·1)               = 2.2/2.2  = 1
+  *   sat(d2,a): 1·2.2/(1 + 1.2·(0.25+0.75·2/3)) = 2.2/1.9
+  *   sat(d3,b): 3·2.2/(3 + 1.2·(0.25+0.75·4/3)) = 6.6/4.5
+  */
+class Bm25Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  private def handCorpus = {
+    import spark.implicits._
+    Seq((1L, "a b a"), (2L, "a c"), (3L, "b b b c")).toDF("doc_id", "text")
+  }
+  private def query0 = {
+    import spark.implicits._
+    Seq((0L, "a"), (0L, "b")).toDF("query_id", "term")
+  }
+
+  test("bm25Scores matches the hand-derived Lucene-form values") {
+    val got = TextAnalysis.bm25Scores(handCorpus, "text", "doc_id", query0)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val ln16 = math.log(1.6)
+    assert(math.abs(got(1L) - ln16 * (1.375 + 1.0)) < 1e-12)
+    assert(math.abs(got(2L) - ln16 * 2.2 / 1.9) < 1e-12)
+    assert(math.abs(got(3L) - ln16 * 6.6 / 4.5) < 1e-12)
+  }
+
+  test("bm25TopK ranks by score with padded-id tie-break and honors k") {
+    val got = TextAnalysis.bm25TopK(handCorpus, "text", "doc_id", query0, k = 2)
+      .orderBy(desc("score_fx")).collect()
+    assert(got.length == 2)
+    // d1 (2.375·ln1.6 ≈ 1.116) > d3 (6.6/4.5·ln1.6 ≈ 0.689) > d2
+    assert(got(0).getLong(1) == 1L && got(1).getLong(1) == 3L)
+    // score_fx is the 2^-40 fixed point of the double score
+    assert(math.abs(got(0).getLong(2) / math.pow(2, 40)
+      - math.log(1.6) * 2.375) < 1e-9)
+  }
+
+  test("fixed-point twin matches hand-computed integer arithmetic") {
+    // s1=10000, s2=1000000; idfQ = 10000·3 DIV 5 = 6000
+    //   satQ(d1,a) = 10^6·22·9·2 DIV (180+27+81)  = 396000000/288 = 1375000
+    //   satQ(d1,b) = 10^6·22·9   DIV (90+27+81)   = 198000000/198 = 1000000
+    //   satQ(d2,a) = 198000000 DIV (90+27+54=171) = 1157894 (floored)
+    //   satQ(d3,b) = 10^6·22·9·3 DIV (270+27+108) = 594000000/405 = 1466666
+    val got = TextAnalysis.bm25FixedPointTopK(
+        handCorpus, "text", "doc_id", query0, k = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got(1L) == 6000L * 1375000L + 6000L * 1000000L)
+    assert(got(2L) == 6000L * 1157894L)
+    assert(got(3L) == 6000L * 1466666L)
+  }
+
+  test("terms absent from the corpus contribute nothing; all-miss queries " +
+      "return no rows") {
+    import spark.implicits._
+    val q = Seq((0L, "a"), (0L, "zzz"), (7L, "zzz")).toDF("query_id", "term")
+    val got = TextAnalysis.bm25FixedPointTopK(
+        handCorpus, "text", "doc_id", q, k = 5)
+      .collect()
+    assert(got.forall(_.getLong(0) == 0L)) // query 7 absent entirely
+    assert(got.map(_.getLong(1)).toSet == Set(1L, 2L)) // docs containing "a"
+  }
+
+  test("fixed-point top-k agrees with its own window-ranked naive form " +
+      "on the synthetic corpus") {
+    import spark.implicits._
+    val p = SketchParams.q112
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = p.queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val topk = TextAnalysis.bm25FixedPointTopK(docs, "text", "doc_id", q,
+      p.k, p.s1, p.s2, p.padWidth)
+    // naive: full scores, window rank, same (-score, padded id) order
+    val full = TextAnalysis.bm25FixedPointTopK(docs, "text", "doc_id", q,
+      k = Int.MaxValue, p.s1, p.s2, p.padWidth)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy((-col("score_q")).asc,
+        lpad(col("doc_id").cast("string"), p.padWidth, "0"))
+    val naive = full.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= p.k).drop("rn")
+    assert(topk.collect().toSet == naive.collect().toSet)
+    assert(topk.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == p.k))
+  }
+}

@@ -122,6 +122,46 @@ class ComponentsSpec extends AnyFunSuite {
     assert(Components.connectedComponentsStar(empty, "id_a", "id_b").count() == 0)
   }
 
+  test("triangles: K4 plus a tail — 3 per clique corner, tail excluded") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} has 4 triangles, every corner in 3 of them; the
+    // pendant edge 4-5 and the disconnected path 10-11-12 close nothing.
+    // Reversed duplicates and a self-loop must normalize away.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (4L, 3L), (2L, 2L), (4L, 5L), (10L, 11L), (11L, 12L))
+      .toDF("a", "b")
+    val got = Components.triangleCounts(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: star graph (heavy hitter) has none") {
+    import spark.implicits._
+    val star = (1L to 50L).map(i => (0L, i)).toDF("a", "b")
+    assert(Components.triangleCounts(star, "a", "b").count() == 0)
+  }
+
+  test("triangles: random graph matches the adjacency-intersection reference") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    val n = 40
+    val edges = Seq.fill(220)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val adj = Array.fill(n)(collection.mutable.Set.empty[Int])
+    edges.foreach { case (a, b) =>
+      adj(a.toInt) += b.toInt; adj(b.toInt) += a.toInt
+    }
+    val want = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (u <- 0 until n; v <- adj(u) if v > u; w <- adj(u) if w > v
+         if adj(v).contains(w)) {
+      want(u.toLong) += 1; want(v.toLong) += 1; want(w.toLong) += 1
+    }
+    val got = Components.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want.toMap)
+    assert(got.nonEmpty)
+  }
+
   test("end-to-end: minhash pairs -> components -> one keeper per cluster") {
     import spark.implicits._
     val docs = Seq(

@@ -245,6 +245,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Join"), "sessionization must not join")
   }
 
+  test("q112: bm25 prunes tokens via broadcast, heaps top-k — no window, " +
+      "no cartesian beyond the 1-row stats (r9)") {
+    val plan = executed("q112_bm25")
+    // the query-term prune and the df/queries fan-out are broadcast joins;
+    // the only nested-loop is the broadcast 1-row (N, L) stats attach
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "tiny query/df tables must broadcast, not sort-merge")
+    assert(!plan.contains("CartesianProduct"), "no real cartesian")
+    assert(!plan.contains("Window"),
+      "top-k per query must be the BottomK heap, not a window sort")
+    assert(plan.contains("bottom_k") || plan.contains("BottomK"),
+      "expected the bounded-heap aggregate in the plan")
+  }
+
+  test("q113: triangle joins are all equi-keyed — no cartesian, no " +
+      "broadcast nested loop (r9)") {
+    val plan = executed("q113_triangles")
+    assert(!plan.contains("CartesianProduct"), "wedge join must be equi-keyed")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "wedge/closure joins must hash on their equi keys")
+  }
+
   test("q103: first-event is a window on ONE user_id shuffle, no join (r8)") {
     val plan = executed("q103_retention_cohorts")
     assert(!plan.contains("Join"),
