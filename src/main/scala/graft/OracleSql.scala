@@ -197,9 +197,16 @@ object SketchParams {
   }
   /** q113 triangle counting: the lineitem quantity floor that thins the
     * supplier co-order graph to a density where triangles are plentiful
-    * but the oracle's naive 3-way join stays cheap at sf0.01. */
+    * but the oracle's naive 3-way join stays cheap at sf0.01. q115's
+    * clustering coefficients run over the same edge set. */
   object q113 {
     val minQty = 45
+  }
+  /** q114 leakage-safe split: permille thresholds (test first, then val)
+    * and the md5 bucket seed; the cluster structure reuses the q49
+    * minhash pair pipeline. */
+  object q114 {
+    val valPermille = 150; val testPermille = 150; val seed = 17
   }
 }
 
@@ -1446,6 +1453,76 @@ object OracleSql {
     FROM corners GROUP BY id"""
   }
 
+  /** Leakage-safe split (q114): the q56 recursive-CTE component labeling
+    * over the q49 minhash pairs, then the md5 permille bucket of the
+    * CLUSTER id decides the split for every member — the SQL twin of
+    * `Sampling.leakageSafeSplit`. Generated from [[SketchParams.q114]]. */
+  private def q114: String = {
+    val p = SketchParams.q114
+    s"""
+    WITH RECURSIVE $minhashPairCtes, edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    ), assign AS (
+      SELECT f.doc_id, COALESCE(c.component, f.doc_id) AS cluster_id
+      FROM filtered f LEFT JOIN comp c ON f.doc_id = c.id
+    ), bucketed AS (
+      SELECT doc_id, cluster_id,
+        ('0x' || substr(md5(cluster_id::VARCHAR || ':${p.seed}'), 1, 15))::BIGINT
+          % 1000 AS b
+      FROM assign)
+    SELECT doc_id, cluster_id,
+      CASE WHEN b < ${p.testPermille} THEN 'test'
+           WHEN b < ${p.testPermille + p.valPermille} THEN 'val'
+           ELSE 'train' END AS split
+    FROM bucketed"""
+  }
+
+  /** Local clustering coefficients (q115): q113's triangle corners plus
+    * per-node degree over the same edge set; the coefficient is one
+    * double division of exact BIGINTs (engine-exact). The SQL twin of
+    * `Components.clusteringCoefficients`. */
+  private def q115: String = {
+    val p = SketchParams.q113
+    s"""
+    WITH ls AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_quantity >= ${p.minQty}
+    ), ed AS (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM ls x JOIN ls y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    ), deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS id FROM ed UNION ALL SELECT b FROM ed)
+      GROUP BY id
+    ), tri AS (
+      SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      FROM ed e1
+      JOIN ed e2 ON e1.b = e2.a
+      JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), tcnt AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT u AS id FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+      GROUP BY id)
+    SELECT d.id, d.degree,
+      COALESCE(t.n_triangles, 0) AS n_triangles,
+      CASE WHEN d.degree >= 2
+           THEN CAST(COALESCE(t.n_triangles, 0) * 2 AS DOUBLE)
+                / (d.degree * (d.degree - 1))
+           ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN tcnt t USING (id)"""
+  }
+
   /** Alignment-free exact-substring dup join (q93): dense side at every
     * character offset, probe side strided — the SQL twin of
     * `Dedup.exactSubstringDupJoinGeneral`, generated from
@@ -2381,6 +2458,8 @@ object OracleSql {
     "q101_scd2_merge" -> q101,
     "q112_bm25" -> q112,
     "q113_triangles" -> q113,
+    "q114_leakage_split" -> q114,
+    "q115_clustering_coeff" -> q115,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

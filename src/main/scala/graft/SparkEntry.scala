@@ -418,7 +418,7 @@ object SparkEntry {
     * pairs exist so the operators demonstrably fire. Text is
     * whitespace-normalized first so the truncation regex and all
     * downstream tokenization are engine-portable. */
-  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), normText(col("text")).as("text"))
     val variants = docs.select(
@@ -1877,6 +1877,40 @@ object SparkEntry {
     operators.Components.triangleCounts(pairs, "a", "b")
   }
 
+  /** Leakage-safe train/val/test split
+    * ([[graft.operators.Sampling.leakageSafeSplit]]): the q49/q56
+    * minhash near-dup pipeline feeds connected components, and the md5
+    * permille bucket of each CLUSTER id assigns its members — so
+    * near-duplicates can never straddle a split boundary (the eval-set
+    * contamination guard). Params from [[SketchParams.q114]]. */
+  def q114LeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val p49 = SketchParams.q49
+    val p = SketchParams.q114
+    val corpus = nearDupCorpus(s, dir)
+      .filter(col("doc_id") % p49.corpusMod === 0)
+    val pairs = Dedup.minhashLshPortable(corpus, "text", "doc_id",
+      ngram = p49.ngram, numHashes = p49.numHashes, bands = p49.bands,
+      jaccardThreshold = p49.jaccardThreshold)
+    operators.Sampling.leakageSafeSplit(corpus, "doc_id", pairs,
+      "id_a", "id_b", p.valPermille, p.testPermille, p.seed, maxIter = 25)
+  }
+
+  /** Local clustering coefficients
+    * ([[graft.operators.Components.clusteringCoefficients]]) over the
+    * q113 supplier co-order graph — per-node triangle density as one
+    * engine-exact double division. Params from [[SketchParams.q113]]. */
+  def q115ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q113
+    val ls = t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= p.minQty)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val pairs = ls.as("x").join(ls.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+    operators.Components.clusteringCoefficients(pairs, "a", "b")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1991,7 +2025,9 @@ object SparkEntry {
     "q110_media_gate" -> (q110MediaGate _),
     "q111_wav_meta" -> (q111WavMeta _),
     "q112_bm25" -> (q112Bm25 _),
-    "q113_triangles" -> (q113Triangles _))
+    "q113_triangles" -> (q113Triangles _),
+    "q114_leakage_split" -> (q114LeakageSplit _),
+    "q115_clustering_coeff" -> (q115ClusteringCoeff _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -155,10 +155,7 @@ object Components {
     *              duplicate/reversed pairs tolerated — normalized away)
     * @return (id, n_triangles), nodes participating in ≥1 triangle */
   def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val und = pairs.select(
-        least(col(aCol), col(bCol)).as("lo"),
-        greatest(col(aCol), col(bCol)).as("hi"))
-      .filter(col("lo") =!= col("hi")).distinct()
+    val und = normalizedEdges(pairs, aCol, bCol)
     val deg = und.select(explode(array(col("lo"), col("hi"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // orient lower-(deg, id) → higher; lo < hi already, so the id
@@ -182,6 +179,38 @@ object Components {
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Local clustering coefficient per node: 2·T(v) / (deg(v)·(deg(v)−1))
+    * — the fraction of a node's neighbor pairs that are themselves
+    * connected, over the same normalized edge set as
+    * [[triangleCounts]]. Zero-triangle and degree-1 nodes report 0.0 (a
+    * single neighbor closes nothing). The coefficient is ONE double
+    * division of two exact BIGINTs, so any engine reproduces it
+    * bit-exactly (IEEE 754 division is correctly rounded) — what makes
+    * the q115 gate a hash compare rather than a tolerance check. */
+  def clusteringCoefficients(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val und = normalizedEdges(pairs, aCol, bCol)
+    val deg = und.select(explode(array(col("lo"), col("hi"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(pairs, aCol, bCol), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          (coalesce(col("n_triangles"), lit(0L)) * 2L).cast("double") /
+            (col("degree") * (col("degree") - 1L)))
+          .otherwise(0.0).as("clustering_coeff"))
+  }
+
+  /** Undirected edge normalization shared by the triangle family:
+    * (lo, hi) ordered endpoints, self-loops and duplicate/reversed pairs
+    * removed. */
+  private def normalizedEdges(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame =
+    pairs.select(
+        least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
 
   /** Dedup keep-list from near-dup pairs over a corpus: every id mapped to
     * its canonical representative (component minimum); ids with no dup

@@ -38,6 +38,42 @@ object Sampling {
     graft.functions.PortableHash.md5Long60(
       concat(id.cast("string"), lit(s":$seed")))
 
+  /** Leakage-safe train/val/test split — the contamination guard a
+    * training pipeline needs BEFORE splitting: near-duplicate documents
+    * must never straddle a split boundary, or eval leaks (near-copies
+    * of) training data. The split decision is therefore made per dedup
+    * CLUSTER, not per document: near-dup pairs → connected components
+    * ([[Components.dedupAssignments]]) → every member inherits its
+    * cluster representative's assignment; unpaired docs are their own
+    * singleton cluster.
+    *
+    * Assignment is md5-deterministic on (cluster id, seed) — retry-safe,
+    * mergeable, engine-portable (the [[mixtureSample]] argument) — with
+    * integer permille thresholds: bucket < testPermille → "test",
+    * < testPermille+valPermille → "val", else "train". Expected mass is
+    * permille-accurate over CLUSTERS (the atomic unit of assignment), so
+    * realized doc-level ratios drift with cluster-size variance — the
+    * price of leakage safety.
+    *
+    * Scale shape: components over the pair list (pairs are the tiny
+    * output of a banded dedup screen, not the corpus), one left join
+    * corpus←labels on id, then map-only hashing — nothing here touches
+    * document payloads. */
+  def leakageSafeSplit(corpus: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      valPermille: Int = 100, testPermille: Int = 100, seed: Int = 17,
+      maxIter: Int = 10): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000,
+      "permille thresholds must be nonnegative and sum to <= 1000")
+    val bucket = portableKey(col("keep_id"), seed) % 1000
+    Components.dedupAssignments(corpus, idCol, pairs, aCol, bCol, maxIter)
+      .select(col("id").as(idCol), col("keep_id").as("cluster_id"),
+        when(bucket < testPermille, "test")
+          .when(bucket < testPermille + valPermille, "val")
+          .otherwise("train").as("split"))
+  }
+
   /** Per-group bottom-k by an arbitrary deterministic key column. */
   def stratifiedSampleByKey(df: DataFrame, groupCol: String, idCol: String,
       k: Int, key: org.apache.spark.sql.Column): DataFrame =

@@ -162,6 +162,24 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("clustering coefficients: K4 corners are 1.0, bridges dilute, " +
+      "triangle-free and degree-1 nodes are 0.0") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + pendant 4-5 + path 10-11-12
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (4L, 5L), (10L, 11L), (11L, 12L)).toDF("a", "b")
+    val got = Components.clusteringCoefficients(edges, "a", "b")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))          // pure clique corner
+    assert(got(4L) == ((4L, 3L, 0.5)))          // 2·3 / (4·3): bridge node
+    assert(got(5L) == ((1L, 0L, 0.0)))          // degree-1
+    assert(got(11L) == ((2L, 0L, 0.0)))         // triangle-free middle
+    assert(got.keySet ==
+      Set(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L))  // every edge endpoint rates
+  }
+
   test("end-to-end: minhash pairs -> components -> one keeper per cluster") {
     import spark.implicits._
     val docs = Seq(

@@ -101,4 +101,62 @@ class SamplingSpec extends AnyFunSuite {
     assert(counts.values.forall(_ == 10), counts.toString)
     assert(counts.keySet == Set("en", "es", "de", "fr", "zh"))
   }
+
+  test("leakage-safe split: cluster members share one split; singletons " +
+      "hash on their own id; every doc is assigned") {
+    import spark.implicits._
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Sampling.leakageSafeSplit(corpus, "doc_id",
+        pairs, "id_a", "id_b", valPermille = 300, testPermille = 300)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // clusters {1,2,3} and {5,6} are atomic: one (cluster, split) each
+    assert(Set(got(1L), got(2L), got(3L)).size == 1 && got(1L)._1 == 1L)
+    assert(got(5L) == got(6L) && got(5L)._1 == 5L)
+    assert(got(4L)._1 == 4L)
+    // the bucket matches the portable-key permille reference
+    got.values.toSet[(Long, String)].foreach { case (cluster, split) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$cluster:17".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(md5.take(15), 16) % 1000
+      val want = if (b < 300) "test" else if (b < 600) "val" else "train"
+      assert(split == want, s"cluster $cluster bucket $b: $split != $want")
+    }
+  }
+
+  test("leakage-safe split: NO minhash near-dup pair straddles a split " +
+      "boundary on the synthetic near-dup corpus") {
+    val p = SketchParams.q49
+    val dir = "/root/testdata/sf0.001"
+    val corpus = SparkEntry.nearDupCorpus(spark, dir)
+      .filter(col("doc_id") % p.corpusMod === 0)
+    val pairs = graft.operators.Dedup.minhashLshPortable(corpus, "text",
+      "doc_id", ngram = p.ngram, numHashes = p.numHashes, bands = p.bands,
+      jaccardThreshold = p.jaccardThreshold)
+    val split = Sampling.leakageSafeSplit(corpus, "doc_id",
+      pairs, "id_a", "id_b", maxIter = 25)
+    val straddlers = pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")),
+        Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")),
+        Seq("id_b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(pairs.count() > 0, "corpus must actually contain near-dup pairs")
+    assert(straddlers.count() == 0, "near-dup pair crossed a split boundary")
+    // the split partitions the corpus exactly (every doc assigned once)
+    assert(split.count() == corpus.count())
+  }
+
+  test("leakage-safe split rejects thresholds exceeding 1000 permille") {
+    import spark.implicits._
+    val corpus = Seq(1L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(corpus, "doc_id", pairs, "id_a", "id_b",
+        valPermille = 600, testPermille = 600)
+    }
+  }
 }
