@@ -1523,6 +1523,54 @@ object OracleSql {
     FROM deg d LEFT JOIN tcnt t USING (id)"""
   }
 
+  /** Match-quality evaluation (q116): the q08 fuzzy stage replayed over
+    * ALL customers, graded pair-level against the exact-key gold subset
+    * via a FULL JOIN partition into tp/fp/fn; each metric is one double
+    * division of BIGINTs (f1 as 2tp/(2tp+fp+fn)). The SQL twin of
+    * `Cascade.evaluateMatches`. */
+  private val q116 = """
+    WITH cprep AS (
+      SELECT c_custkey AS crawl_id, c_name AS crawl_name,
+        c_nationkey AS block
+      FROM customer),
+    sprep AS (
+      SELECT s_suppkey AS abr_id, s_name AS abr_name, s_nationkey AS block
+      FROM supplier),
+    gold AS (
+      SELECT crawl_id, abr_id, 1 AS __g
+      FROM cprep JOIN sprep ON crawl_id = abr_id),
+    blocked AS (
+      SELECT c.crawl_id, s.abr_id,
+        CAST(100.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) -
+          CAST(levenshtein(c.crawl_name, s.abr_name) AS DOUBLE) /
+          greatest(length(c.crawl_name), length(s.abr_name))) AS match_score
+      FROM cprep c JOIN sprep s ON c.block = s.block),
+    predicted AS (
+      SELECT crawl_id, abr_id, 1 AS __p FROM (
+        SELECT *, row_number() OVER (PARTITION BY crawl_id
+          ORDER BY match_score DESC, abr_id) AS rn
+        FROM blocked WHERE match_score >= 40.0) WHERE rn = 1),
+    j AS (
+      SELECT p.__p, g.__g
+      FROM predicted p FULL JOIN gold g
+        ON p.crawl_id = g.crawl_id AND p.abr_id = g.abr_id),
+    c AS (
+      SELECT
+        CAST(SUM(CASE WHEN __p IS NOT NULL AND __g IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN __p IS NOT NULL AND __g IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN __p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM j)
+    SELECT tp, fp, fn,
+      CASE WHEN tp + fp = 0 THEN 0.0
+           ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+      CASE WHEN tp + fn = 0 THEN 0.0
+           ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+      CASE WHEN 2*tp + fp + fn = 0 THEN 0.0
+           ELSE CAST(2*tp AS DOUBLE) / (2*tp + fp + fn) END AS f1
+    FROM c"""
+
   /** Alignment-free exact-substring dup join (q93): dense side at every
     * character offset, probe side strided — the SQL twin of
     * `Dedup.exactSubstringDupJoinGeneral`, generated from
@@ -2460,6 +2508,7 @@ object OracleSql {
     "q113_triangles" -> q113,
     "q114_leakage_split" -> q114,
     "q115_clustering_coeff" -> q115,
+    "q116_match_eval" -> q116,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

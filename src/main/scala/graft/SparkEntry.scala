@@ -1911,6 +1911,32 @@ object SparkEntry {
     operators.Components.clusteringCoefficients(pairs, "a", "b")
   }
 
+  /** Match-quality evaluation
+    * ([[graft.operators.Cascade.evaluateMatches]]): the exact-key subset
+    * (what ruleMatch would find) is held out as gold, the fuzzy stage is
+    * run over ALL customers as if keys were unavailable, and the
+    * predicted pairs are graded pair-level — confusion counts plus
+    * P/R/F1 as single engine-exact divisions. The standard
+    * entity-resolution holdout harness, here grading q08's own fuzzy
+    * kernel. */
+  def q116MatchEval(s: SparkSession, dir: String): DataFrame = {
+    val cPrep = t(s, dir, "customer").select(
+      col("c_custkey").as("crawl_id"), col("c_name").as("crawl_name"),
+      col("c_nationkey").as("block"))
+    val sPrep = t(s, dir, "supplier").select(
+      col("s_suppkey").as("abr_id"), col("s_name").as("abr_name"),
+      col("s_nationkey").as("block"))
+    val gold = cPrep.join(sPrep, col("crawl_id") === col("abr_id"))
+      .select(col("crawl_id"), col("abr_id"))
+    val score = exprs.levenshtein_ratio(col("crawl_name"), col("abr_name"))
+    val predicted = Cascade.fuzzyMatch(cPrep, sPrep, "block", score,
+        "crawl_id", Seq("abr_id"),
+        Cascade.MatchConfig(fuzzyAcceptThreshold = 40.0,
+          fuzzyHighConfidence = 65.0))
+      .select(col("crawl_id"), col("abr_id"))
+    Cascade.evaluateMatches(predicted, gold, "crawl_id", "abr_id")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2027,7 +2053,8 @@ object SparkEntry {
     "q112_bm25" -> (q112Bm25 _),
     "q113_triangles" -> (q113Triangles _),
     "q114_leakage_split" -> (q114LeakageSplit _),
-    "q115_clustering_coeff" -> (q115ClusteringCoeff _))
+    "q115_clustering_coeff" -> (q115ClusteringCoeff _),
+    "q116_match_eval" -> (q116MatchEval _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -116,4 +116,44 @@ object Cascade {
     * (entity_matching.py:297, :57-66). */
   def unionStages(stages: Seq[DataFrame]): DataFrame =
     stages.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Pair-level match-quality evaluation: the grading harness a matcher
+    * needs alongside the cascade — confusion counts and P/R/F1 of a
+    * predicted pair set against a gold pair set (the standard
+    * entity-resolution holdout technique: treat the exact-key subset as
+    * truth and grade the fuzzy stage against it, as q116 does).
+    *
+    * Both inputs are reduced to DISTINCT (left, right) pairs; one
+    * full-outer equi-join on the pair partitions it into tp (both),
+    * fp (predicted only), fn (gold only), and a single-row partial
+    * aggregation reduces the counts. Each quality metric is ONE double
+    * division of exact BIGINTs (f1 in the algebraically-equivalent
+    * 2tp/(2tp+fp+fn) form), so every output — doubles included —
+    * hash-matches an external oracle; empty denominators report 0.0.
+    *
+    * Scale shape: pair sets shuffle once on (left, right); the global
+    * aggregate is a partial-combined count reduce — three BIGINTs per
+    * task to the final reducer, no driver-side pair handling. */
+  def evaluateMatches(predicted: DataFrame, gold: DataFrame,
+      leftCol: String, rightCol: String): DataFrame = {
+    val p = predicted.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .distinct().withColumn("__p", lit(1L))
+    val g = gold.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .distinct().withColumn("__g", lit(1L))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, 0.0).otherwise(num.cast("double") / den)
+    p.join(g, Seq("l", "r"), "full")
+      .agg(
+        coalesce(sum(when(col("__p").isNotNull && col("__g").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(col("__p").isNotNull && col("__g").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(col("__p").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+        ratio(col("tp") * 2L, col("tp") * 2L + col("fp") + col("fn"))
+          .as("f1"))
+  }
 }

@@ -118,4 +118,28 @@ class CascadeSpec extends AnyFunSuite {
     assert(f("creation_dt") == "timestamp")
     assert(result.columns.length == 13)
   }
+
+  test("evaluateMatches: pair-level confusion counts and P/R/F1") {
+    import spark.implicits._
+    // gold {(1,10),(2,20),(3,30)}; predicted hits 1, mislabels 2 (fp+fn),
+    // misses 3 (fn), and invents 9 (fp) → tp=1 fp=2 fn=2
+    val gold = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("l", "r")
+    val pred = Seq((1L, 10L), (2L, 21L), (9L, 90L), (1L, 10L)) // dup row
+      .toDF("l", "r")
+    val m = graft.operators.Cascade.evaluateMatches(pred, gold, "l", "r")
+      .collect()(0)
+    assert((m.getLong(0), m.getLong(1), m.getLong(2)) == ((1L, 2L, 2L)))
+    assert(m.getDouble(3) == 1.0 / 3)        // precision
+    assert(m.getDouble(4) == 1.0 / 3)        // recall
+    assert(m.getDouble(5) == 2.0 / 6)        // f1 = 2tp/(2tp+fp+fn)
+  }
+
+  test("evaluateMatches: empty inputs report zero counts, 0.0 metrics") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("l", "r")
+    val m = graft.operators.Cascade.evaluateMatches(empty, empty, "l", "r")
+      .collect()(0)
+    assert((0 to 2).map(m.getLong) == Seq(0L, 0L, 0L))
+    assert((3 to 5).map(m.getDouble) == Seq(0.0, 0.0, 0.0))
+  }
 }
