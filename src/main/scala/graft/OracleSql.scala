@@ -208,6 +208,10 @@ object SketchParams {
   object q114 {
     val valPermille = 150; val testPermille = 150; val seed = 17
   }
+  /** q117 PMI collocations: minimum bigram count before the lift join. */
+  object q117 {
+    val minPairCount = 5L
+  }
 }
 
 object OracleSql {
@@ -1571,6 +1575,41 @@ object OracleSql {
            ELSE CAST(2*tp AS DOUBLE) / (2*tp + fp + fn) END AS f1
     FROM c"""
 
+  /** PMI collocations (q117): unigram/bigram counts over the q39
+    * tokenization, lift as one double division of exact BIGINT products
+    * — the SQL twin of `TextAnalysis.collocations`. Generated from
+    * [[SketchParams.q117]]. */
+  private def q117: String = {
+    val p = SketchParams.q117
+    s"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM (
+        SELECT unnest(t) AS w FROM toks)
+      GROUP BY w
+    ), positions AS (
+      SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+      FROM toks WHERE len(t) >= 2
+    ), pairs_all AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2 FROM positions
+    ), pair_counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM pairs_all GROUP BY w1, w2
+    ), totals AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_all) AS n_bi,
+        (SELECT CAST(SUM(n_w) AS BIGINT) FROM uni) AS n_uni)
+    SELECT pc.w1, pc.w2, pc.n_ab, a.n_w AS n_a, b.n_w AS n_b,
+      CAST(pc.n_ab * t.n_uni * t.n_uni AS DOUBLE)
+        / (a.n_w * b.n_w * t.n_bi) AS lift
+    FROM pair_counts pc
+    JOIN uni a ON pc.w1 = a.w
+    JOIN uni b ON pc.w2 = b.w
+    CROSS JOIN totals t
+    WHERE pc.n_ab >= ${p.minPairCount}"""
+  }
+
   /** Alignment-free exact-substring dup join (q93): dense side at every
     * character offset, probe side strided — the SQL twin of
     * `Dedup.exactSubstringDupJoinGeneral`, generated from
@@ -2509,6 +2548,7 @@ object OracleSql {
     "q114_leakage_split" -> q114,
     "q115_clustering_coeff" -> q115,
     "q116_match_eval" -> q116,
+    "q117_collocations" -> q117,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

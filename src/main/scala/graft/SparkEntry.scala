@@ -1937,6 +1937,14 @@ object SparkEntry {
     Cascade.evaluateMatches(predicted, gold, "crawl_id", "abr_id")
   }
 
+  /** PMI collocation extraction
+    * ([[graft.operators.TextAnalysis.collocations]]): bigrams ranked by
+    * exact-rational lift (monotone with PMI — no libm in the gate).
+    * Params from [[SketchParams.q117]]. */
+  def q117Collocations(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.collocations(t(s, dir, "documents"), "text",
+      SketchParams.q117.minPairCount)
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2054,7 +2062,8 @@ object SparkEntry {
     "q113_triangles" -> (q113Triangles _),
     "q114_leakage_split" -> (q114LeakageSplit _),
     "q115_clustering_coeff" -> (q115ClusteringCoeff _),
-    "q116_match_eval" -> (q116MatchEval _))
+    "q116_match_eval" -> (q116MatchEval _),
+    "q117_collocations" -> (q117Collocations _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

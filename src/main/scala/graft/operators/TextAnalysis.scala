@@ -469,6 +469,49 @@ object TextAnalysis {
         (col("score") > 0).as("keep"))
   }
 
+  /** Collocation extraction — bigrams ranked by pointwise-mutual-
+    * information LIFT: lift(a,b) = P(a,b) / (P(a)·P(b)) with bigram
+    * probability over the bigram total and unigram probabilities over
+    * the token total, i.e. (n_ab · N_uni²) / (n_a · n_b · N_bi). PMI is
+    * log(lift) and log is monotone, so ranking by lift IS ranking by
+    * PMI — and lift is a ratio of exact BIGINT products, ONE double
+    * division, engine-exact (the repo's no-libm oracle rule without
+    * giving up PMI semantics).
+    *
+    * Scale shape: one token explode feeds both count tables (unigrams;
+    * adjacent pairs via the q39 sequence transform), each a map-side
+    * partial hash-agg; the unigram joins are key equi-joins on single
+    * words; totals are a 1-row broadcast. The `minPairCount` filter cuts
+    * the pair table BEFORE the unigram joins (the long tail of
+    * hapax bigrams never joins). Overflow headroom: n_ab·N_uni² < 2^63
+    * caps the token total around 2·10^9 at n_ab ≤ 2000 — past that,
+    * scale probabilities down or lift the products to DECIMAL(38,0). */
+  def collocations(docs: DataFrame, textCol: String,
+      minPairCount: Long = 5L): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val base = docs.select(toks.as("__t"))
+    val uni = base.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val bigrams = when(size(col("__t")) >= 2,
+      transform(sequence(lit(0), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i + 1).as("w1"),
+          element_at(col("__t"), i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairsAll = base.select(explode(bigrams).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val pairCounts = pairsAll.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_ab"))
+    val totals = pairsAll.agg(count(lit(1)).as("n_bi"))
+      .crossJoin(uni.agg(sum(col("n_w")).as("n_uni")))
+    pairCounts.filter(col("n_ab") >= minPairCount)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab") * col("n_uni") * col("n_uni")).cast("double") /
+          (col("n_a") * col("n_b") * col("n_bi"))).as("lift"))
+  }
+
   // ---------------------------------------------------------------------
   // BM25 ranked retrieval
   // ---------------------------------------------------------------------

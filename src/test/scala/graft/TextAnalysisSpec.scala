@@ -140,4 +140,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     expected.foreach(c => assert(p.columns.contains(c)))
     assert(p.count() == 1)
   }
+
+  test("collocations: lift matches hand-computed PMI rationals; the count " +
+      "floor prunes hapax pairs") {
+    // corpus: "a b" ×3 and "a c a d" — tokens: a=5 b=3... recount:
+    //   docs: "a b", "a b", "a b", "a c a d"
+    //   unigrams: a=5, b=3, c=1, d=1  → N_uni = 10
+    //   bigrams:  (a,b)=3, (a,c)=1, (c,a)=1, (a,d)=1 → N_bi = 6
+    //   lift(a,b) = 3·100 / (5·3·6) = 300/90
+    val df = Seq("a b", "a b", "a b", "a c a d").map(Tuple1(_)).toDF("text")
+    val got = TextAnalysis.collocations(df, "text", minPairCount = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got(("a", "b")) == ((3L, 5L, 3L, 300.0 / 90)))
+    assert(got(("a", "c")) == ((1L, 5L, 1L, 100.0 / 30)))
+    assert(got(("c", "a")) == ((1L, 1L, 5L, 100.0 / 30)))
+    assert(got(("a", "d")) == ((1L, 5L, 1L, 100.0 / 30)))
+    assert(got.size == 4)
+    // the count floor prunes the tail before the unigram joins — the
+    // PMI-hapax inflation artifact is exactly why the floor exists
+    assert(TextAnalysis.collocations(df, "text", minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("a", "b")))
+  }
+
+  test("collocations: single-token docs contribute unigrams but no pairs") {
+    val df = Seq("a", "b", "a b").map(Tuple1(_)).toDF("text")
+    val got = TextAnalysis.collocations(df, "text", minPairCount = 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(5)))
+      .toMap
+    // unigrams a=2, b=2, N_uni=4; bigrams (a,b)=1, N_bi=1
+    // lift = 1·16/(2·2·1) = 4
+    assert(got == Map(("a", "b") -> 4.0))
+  }
 }
