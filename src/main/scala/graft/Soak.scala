@@ -183,6 +183,23 @@ object Soak {
       operators.PageRank.pageRankFixedPoint(sym, "a", "b", iters = 3).count()
     }
     println(s"[soak]   -> $prRows ranked nodes")
+
+    // r9 shapes: BM25 (broadcast-prune + heap top-k — the corpus-sized
+    // stage must stay one map) and triangle counting on the replica-pair
+    // graph (each base doc's replicas are pairwise-similar ⇒ near-clique
+    // per doc ⇒ the wedge join's dense-neighborhood stress case)
+    val bmQueries = SketchParams.q112.queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+    val bmRows = timed("bm25 top-10 (3 queries, double scorer)") {
+      import spark.implicits._
+      operators.TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        bmQueries.toDF("query_id", "term"), k = 10).count()
+    }
+    println(s"[soak]   -> $bmRows (query, doc) rows")
+    val triNodes = timed("triangle counts (replica-pair near-clique graph)") {
+      operators.Components.triangleCounts(pairs, "id_a", "id_b").count()
+    }
+    println(s"[soak]   -> $triNodes nodes in >=1 triangle")
     spark.stop()
   }
 }

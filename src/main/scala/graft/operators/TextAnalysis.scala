@@ -599,6 +599,50 @@ object TextAnalysis {
         (-col("e.key")).as("score_fx"))
   }
 
+  /** Stateless per-row BM25 scoring — the SERVING shape: corpus
+    * statistics (per-term df, N, L) come from an index-time snapshot
+    * (e.g. [[termStats]] materialized at ingest), are resolved
+    * driver-side, and fold into the projection as literals. Scoring a
+    * document is then a pure map — zero shuffles, zero state — so the
+    * SAME code scores a batch backfill or a `readStream` of incoming
+    * documents (`StreamingSpec` drives both). tf comes from the row's
+    * own token array.
+    *
+    * Semantics match [[bm25Scores]] exactly, except the per-doc score
+    * sums its terms in fixed query order — bit-determinism the
+    * shuffle-based groupBy cannot promise (parity is spec'd to 1e-12).
+    * Terms missing from the snapshot score 0 (out-of-vocabulary);
+    * (query, doc) rows with no matching term are dropped, mirroring
+    * [[bm25Scores]]'s inner-join semantics. */
+  def bm25ScorePerRow(docs: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(Long, Seq[String])], dfSnapshot: Map[String, Long],
+      n: Long, l: Long, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(n > 0 && l > 0, "snapshot totals must be positive")
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(trim(lower(col(textCol))), "\\s+").as("__t"))
+    val dl = size(col("__t")).cast("long")
+    def tf(t: String): Column =
+      size(filter(col("__t"), w => w === lit(t))).cast("long")
+    def termScore(t: String): Column = dfSnapshot.get(t).filter(_ > 0) match {
+      case Some(df) =>
+        // identical arithmetic shape to bm25Scores, idf folded driver-side
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        val sat = (tf(t) * lit(k1 + 1.0)) /
+          (tf(t) + lit(k1) * (lit(1.0 - b) +
+            lit(b) * dl.cast("double") * lit(n) / lit(l)))
+        when(tf(t) > 0, lit(idf) * sat).otherwise(lit(0.0))
+      case None => lit(0.0)
+    }
+    val perQuery = queries.map { case (qid, ts) =>
+      struct(lit(qid).as("query_id"),
+        ts.map(termScore).reduce(_ + _).as("score"))
+    }
+    base.select(col("doc_id"), explode(array(perQuery: _*)).as("q"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"),
+        col("q.score").as("score"))
+      .filter(col("score") > 0.0)
+  }
+
   /** Exact-integer fixed-point twin of [[bm25TopK]] — the oracle-able
     * form. k1 = 6/5 and b = 3/4 fold into integer constants
     * (multiply the saturation term through by 10·L):

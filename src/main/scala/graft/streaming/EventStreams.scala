@@ -40,6 +40,25 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
         col("n_events"))
 
+  /** Declarative gap-merge session aggregation — the SCALE §10 batch
+    * default (q105), IDENTICAL code as a streaming aggregation: the one
+    * thing the q43 lag/cumsum chain and `mapGroupsWithState` cannot
+    * claim. Streaming callers pass a watermark so session state is
+    * evictable (a session closes once the watermark passes its end);
+    * batch callers omit it. Output keeps the raw session timestamps —
+    * presentation formatting is the caller's concern. */
+  def sessionWindowAggregates(events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long,

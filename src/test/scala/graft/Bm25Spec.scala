@@ -78,6 +78,44 @@ class Bm25Spec extends AnyFunSuite {
     assert(got.map(_.getLong(1)).toSet == Set(1L, 2L)) // docs containing "a"
   }
 
+  test("bm25ScorePerRow (serving shape, snapshot stats) matches the " +
+      "shuffle-based bm25Scores to 1e-12") {
+    import spark.implicits._
+    val p = SketchParams.q112
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = p.queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val want = TextAnalysis.bm25Scores(docs, "text", "doc_id", q)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // index-time snapshot: df per term from termStats, N and L = token total
+    val stats = TextAnalysis.termStats(docs, "text", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    val l = docs.agg(sum(size(split(trim(lower(col("text"))), "\\s+"))))
+      .collect()(0).getLong(0)
+    val got = TextAnalysis.bm25ScorePerRow(docs, "text", "doc_id",
+        p.queries, stats, n, l)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-12, s"$k: $v vs ${want(k)}")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("bm25ScorePerRow: out-of-vocabulary terms score 0; no-match docs " +
+      "are dropped") {
+    val got = TextAnalysis.bm25ScorePerRow(handCorpus, "text", "doc_id",
+        Seq(0L -> Seq("a", "zzz"), 7L -> Seq("zzz")),
+        dfSnapshot = Map("a" -> 2L), n = 3L, l = 9L)
+      .collect()
+    assert(got.forall(_.getLong(0) == 0L))
+    assert(got.map(_.getLong(1)).toSet == Set(1L, 2L))
+  }
+
   test("fixed-point top-k agrees with its own window-ranked naive form " +
       "on the synthetic corpus") {
     import spark.implicits._

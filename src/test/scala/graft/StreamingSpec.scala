@@ -89,4 +89,80 @@ class StreamingSpec extends AnyFunSuite {
     // batch fold keeps the LAST session after the gap reset
     assert(got.head.n_events == 1 && got.head.total_value == 7.0)
   }
+
+  test("session_window runs UNCHANGED as a streaming aggregation: the " +
+      "SCALE §10 claim, pinned") {
+    val events = Tables.events(spark, dir)
+    val batch = EventStreams.sessionWindowAggregates(events)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3)))
+    val maxTs = events.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    // append mode emits a session once the watermark passes its END;
+    // with delay 0 the watermark reaches max event time, so exactly the
+    // batch sessions ending at-or-before maxTs must appear
+    val want = batch.filter { case (_, _, end, _) =>
+      !end.after(maxTs) }.toSet
+    val streamDir = java.nio.file.Files.createTempDirectory("events-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = EventStreams.sessionWindowAggregates(
+      EventStreams.readEventStream(spark, streamDir.toString),
+      watermark = Some("0 seconds"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory").queryName("sess_window_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_window_test")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3))).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("bm25ScorePerRow is stateless: identical scores over readStream " +
+      "micro-batches and batch") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val p = SketchParams.q112
+    val stats = graft.operators.TextAnalysis
+      .termStats(docs, "text", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    val l = docs.agg(sum(size(split(trim(lower(col("text"))), "\\s+"))))
+      .collect()(0).getLong(0)
+    def score(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.bm25ScorePerRow(
+        df, "text", "doc_id", p.queries, stats, n, l)
+    val want = score(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // two micro-batches: the stats snapshot stays fixed (index-time), so
+    // per-doc scores must be byte-identical to the batch run
+    val inDir = java.nio.file.Files.createTempDirectory("bm25-stream")
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.parquet(inDir.resolve("b0").toString)
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.parquet(inDir.resolve("b1").toString)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(inDir.toString + "/*")
+    val q = score(stream).writeStream
+      .outputMode("append")
+      .format("memory").queryName("bm25_stream_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("bm25_stream_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
