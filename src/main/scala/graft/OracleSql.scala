@@ -212,6 +212,13 @@ object SketchParams {
   object q117 {
     val minPairCount = 5L
   }
+  /** q118 k-core: the degree floor (22 peels 3 rounds at sf0.01 — a real
+    * cascade, not a single filter) and the oracle's unrolled round count
+    * (over-unrolled past fixpoint: peeling at fixpoint is the identity,
+    * so extra rounds are harmless no-ops). Edges reuse q113's graph. */
+  object q118 {
+    val k = 22; val oracleRounds = 8
+  }
 }
 
 object OracleSql {
@@ -1527,6 +1534,41 @@ object OracleSql {
     FROM deg d LEFT JOIN tcnt t USING (id)"""
   }
 
+  /** k-core (q118): the peel unrolled as CTE rounds over q113's edge set
+    * — each round keeps edges whose BOTH endpoints have degree ≥ k,
+    * over-unrolled safely past fixpoint. The SQL twin of
+    * `Components.kCore`. Generated from [[SketchParams.q118]]. */
+  private def q118: String = {
+    val p = SketchParams.q118
+    val q113p = SketchParams.q113
+    // MATERIALIZED: each round references its predecessor three times —
+    // default CTE inlining would re-expand e0 3^rounds times (and reopen
+    // the parquet for every copy)
+    val rounds = (1 to p.oracleRounds).map { i => s"""
+    d$i AS MATERIALIZED (
+      SELECT id, COUNT(*) AS deg FROM (
+        SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+      GROUP BY id
+    ), e$i AS MATERIALIZED (
+      SELECT a, b FROM e${i - 1}
+      WHERE a IN (SELECT id FROM d$i WHERE deg >= ${p.k})
+        AND b IN (SELECT id FROM d$i WHERE deg >= ${p.k}))"""
+    }.mkString(",")
+    s"""
+    WITH ls AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_quantity >= ${q113p.minQty}
+    ), e0 AS MATERIALIZED (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM ls x JOIN ls y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    ),$rounds
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+      SELECT a AS id FROM e${p.oracleRounds}
+      UNION ALL SELECT b FROM e${p.oracleRounds})
+    GROUP BY id"""
+  }
+
   /** Match-quality evaluation (q116): the q08 fuzzy stage replayed over
     * ALL customers, graded pair-level against the exact-key gold subset
     * via a FULL JOIN partition into tp/fp/fn; each metric is one double
@@ -2549,6 +2591,7 @@ object OracleSql {
     "q115_clustering_coeff" -> q115,
     "q116_match_eval" -> q116,
     "q117_collocations" -> q117,
+    "q118_kcore" -> q118,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -1945,6 +1945,23 @@ object SparkEntry {
     operators.TextAnalysis.collocations(t(s, dir, "documents"), "text",
       SketchParams.q117.minPairCount)
 
+  /** k-core decomposition ([[graft.operators.Components.kCore]]) of the
+    * q113 supplier co-order graph: the dense trading core after
+    * cascading removal of low-degree suppliers. The oracle unrolls the
+    * peel past fixpoint (extra rounds are identities). Params from
+    * [[SketchParams.q118]]. */
+  def q118KCore(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q113
+    val ls = t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= p.minQty)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val pairs = ls.as("x").join(ls.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+    operators.Components.kCore(pairs, "a", "b", SketchParams.q118.k)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2063,7 +2080,8 @@ object SparkEntry {
     "q114_leakage_split" -> (q114LeakageSplit _),
     "q115_clustering_coeff" -> (q115ClusteringCoeff _),
     "q116_match_eval" -> (q116MatchEval _),
-    "q117_collocations" -> (q117Collocations _))
+    "q117_collocations" -> (q117Collocations _),
+    "q118_kcore" -> (q118KCore _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -202,6 +202,56 @@ object Components {
           .otherwise(0.0).as("clustering_coeff"))
   }
 
+  /** k-core decomposition: the maximal subgraph where every node keeps
+    * degree ≥ k — the standard "dense cohesive core" extraction
+    * (community cores, spam-farm detection, graph sparsification before
+    * expensive per-node work). Classic iterative peeling: drop every
+    * node of degree < k, recompute degrees (removals cascade), repeat to
+    * fixpoint.
+    *
+    * Each round is one degree aggregation + two semi-joins on the edge
+    * list — fully distributed, lineage truncated per round
+    * (localCheckpoint, the [[connectedComponents]] discipline). Round
+    * count is bounded by the peeling depth (typically a handful; a
+    * chain contrived to peel one node per round is the worst case), and
+    * exhausting `maxIter` throws — a mid-peel edge set looks plausible
+    * but overstates the core. The DuckDB oracle (q118) unrolls MORE
+    * rounds than the data needs: peeling at fixpoint is the identity,
+    * so over-unrolling is harmless and the gate stays exact without
+    * data-dependent round counts.
+    *
+    * @return (id, core_degree): nodes of the k-core with their degree
+    *         inside it (≥ k by construction); empty when no core. */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      maxIter: Int = 30): DataFrame = {
+    require(k >= 1, "k must be positive")
+    var edges = normalizedEdges(pairs, aCol, bCol).localCheckpoint(false)
+    var nEdges = edges.count()
+    var converged = nEdges == 0
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val deg = edges.select(explode(array(col("lo"), col("hi"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("id"))
+      val next = edges
+        .join(keep.withColumnRenamed("id", "lo"), Seq("lo"), "left_semi")
+        .join(keep.withColumnRenamed("id", "hi"), Seq("hi"), "left_semi")
+        .localCheckpoint(false)
+      val m = next.count()
+      // no edge removed ⇒ every endpoint had degree ≥ k ⇒ fixpoint
+      converged = m == nEdges
+      edges = next
+      nEdges = m
+      iter += 1
+      if (nEdges == 0) converged = true
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kCore(k=$k) did not converge in $maxIter peeling rounds; " +
+        "raise maxIter")
+    edges.select(explode(array(col("lo"), col("hi"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Undirected edge normalization shared by the triangle family:
     * (lo, hi) ordered endpoints, self-loops and duplicate/reversed pairs
     * removed. */

@@ -180,6 +180,57 @@ class ComponentsSpec extends AnyFunSuite {
       Set(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L))  // every edge endpoint rates
   }
 
+  test("kCore: cycle survives k=2, attached tail cascades away round by " +
+      "round; too-high k empties") {
+    import spark.implicits._
+    // 5-cycle {0..4} + tail 4-10-11-12: every tail node eventually drops
+    // (12 first, then 11, then 10 — a genuine cascade, not one filter)
+    val edges = ((0L to 4L).map(i => (i, (i + 1) % 5)) ++
+      Seq((4L, 10L), (10L, 11L), (11L, 12L))).toDF("a", "b")
+    val got = Components.kCore(edges, "a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 4L).map(_ -> 2L).toMap)
+    assert(Components.kCore(edges, "a", "b", k = 3).count() == 0)
+  }
+
+  test("kCore: random graph matches an iterative-peel reference") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val n = 60
+    val raw = Seq.fill(400)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val k = 8
+    // reference peel over the normalized edge set
+    var es = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    var stable = false
+    while (!stable) {
+      val deg = es.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, o) => v -> o.size }
+      val next = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+      stable = next.size == es.size
+      es = next
+    }
+    val want = es.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+    val got = Components.kCore(raw.toDF("a", "b"), "a", "b", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("kCore: exhausting the round budget throws, empty input is empty") {
+    import spark.implicits._
+    // 6-chain at k=2 peels one end pair per round — 2 rounds can't finish
+    val chain = (0L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Components.kCore(chain, "a", "b", k = 2, maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.kCore(empty, "a", "b", k = 1).count() == 0)
+  }
+
   test("end-to-end: minhash pairs -> components -> one keeper per cluster") {
     import spark.implicits._
     val docs = Seq(
