@@ -1865,17 +1865,19 @@ object SparkEntry {
     * high-quantity lines. Degree-ordered orientation Spark-side; the
     * oracle counts the same triangles with the naive ordered 3-way
     * self-join. Params from [[SketchParams.q113]]. */
-  def q113Triangles(s: SparkSession, dir: String): DataFrame = {
-    val p = SketchParams.q113
-    val ls = t(s, dir, "lineitem")
-      .filter(col("l_quantity") >= p.minQty)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val pairs = ls.as("x").join(ls.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
-    operators.Components.triangleCounts(pairs, "a", "b")
-  }
+  def q113Triangles(s: SparkSession, dir: String): DataFrame =
+    operators.Components.triangleCounts(coOrderEdges(s, dir), "a", "b")
+
+  /** Shared q113/q115/q118 graph: supplier co-order edges via
+    * [[graft.operators.Components.coOccurrenceEdges]] (high-quantity
+    * lines only; the default megagroup cap never binds here — TPC-H
+    * orders carry ≤ 7 lines). */
+  private def coOrderEdges(s: SparkSession, dir: String): DataFrame =
+    operators.Components.coOccurrenceEdges(
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= SketchParams.q113.minQty)
+        .select(col("l_orderkey"), col("l_suppkey")),
+      "l_orderkey", "l_suppkey")
 
   /** Leakage-safe train/val/test split
     * ([[graft.operators.Sampling.leakageSafeSplit]]): the q49/q56
@@ -1899,17 +1901,9 @@ object SparkEntry {
     * ([[graft.operators.Components.clusteringCoefficients]]) over the
     * q113 supplier co-order graph — per-node triangle density as one
     * engine-exact double division. Params from [[SketchParams.q113]]. */
-  def q115ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
-    val p = SketchParams.q113
-    val ls = t(s, dir, "lineitem")
-      .filter(col("l_quantity") >= p.minQty)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val pairs = ls.as("x").join(ls.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
-    operators.Components.clusteringCoefficients(pairs, "a", "b")
-  }
+  def q115ClusteringCoeff(s: SparkSession, dir: String): DataFrame =
+    operators.Components.clusteringCoefficients(coOrderEdges(s, dir),
+      "a", "b")
 
   /** Match-quality evaluation
     * ([[graft.operators.Cascade.evaluateMatches]]): the exact-key subset
@@ -1950,17 +1944,9 @@ object SparkEntry {
     * cascading removal of low-degree suppliers. The oracle unrolls the
     * peel past fixpoint (extra rounds are identities). Params from
     * [[SketchParams.q118]]. */
-  def q118KCore(s: SparkSession, dir: String): DataFrame = {
-    val p = SketchParams.q113
-    val ls = t(s, dir, "lineitem")
-      .filter(col("l_quantity") >= p.minQty)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val pairs = ls.as("x").join(ls.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
-    operators.Components.kCore(pairs, "a", "b", SketchParams.q118.k)
-  }
+  def q118KCore(s: SparkSession, dir: String): DataFrame =
+    operators.Components.kCore(coOrderEdges(s, dir), "a", "b",
+      SketchParams.q118.k)
 
   // ------------------------------------------------------------- contract
 

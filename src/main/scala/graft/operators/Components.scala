@@ -132,6 +132,37 @@ object Components {
       .groupBy("id").agg(min("component").as("component"))
   }
 
+  /** Co-occurrence edge construction: distinct unordered item pairs
+    * within each group — the bipartite-projection step that turns
+    * (group, item) incidence into an item–item graph (co-order,
+    * co-purchase, co-citation; feeds [[triangleCounts]] /
+    * [[clusteringCoefficients]] / [[kCore]]).
+    *
+    * THE scale hazard is the per-group pair product: a group of n items
+    * emits C(n,2) pairs, so one megagroup (a hub order, a crawl dump
+    * touching every item) quadratically dominates the whole job.
+    * `maxGroupSize` is the guard: groups above the cap are dropped
+    * before the self-join — the standard projection mitigation, and a
+    * semantically defensible one (in a group where everything co-occurs
+    * with everything, co-occurrence carries no signal). The group-size
+    * pre-aggregation is map-side combined; the pair join is equi-keyed
+    * on the group. Pass `Int.MaxValue` to disable the cap. */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+      maxGroupSize: Int = 1000): DataFrame = {
+    require(maxGroupSize >= 2, "maxGroupSize must be >= 2")
+    val inc = df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .distinct()
+    val keep = inc.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxGroupSize)
+      .select(col("__g"))
+    val capped = inc.join(keep, Seq("__g"), "left_semi")
+    capped.as("x").join(capped.as("y"),
+        col("x.__g") === col("y.__g") && col("x.__i") < col("y.__i"))
+      .select(col("x.__i").as("a"), col("y.__i").as("b"))
+      .distinct()
+  }
+
   /** Per-node triangle counts over an undirected edge list — the local
     * clustering / community-density signal (a node's triangle count is
     * the numerator of its clustering coefficient; graph-side quality

@@ -116,6 +116,46 @@ class Bm25Spec extends AnyFunSuite {
     assert(got.map(_.getLong(1)).toSet == Set(1L, 2L))
   }
 
+  test("fixed-point twin matches a JVM integer reference on random " +
+      "corpora (10-case fuzz)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (round <- 1 to 10) {
+      val nDocs = 2 + rng.nextInt(8)
+      val corpus = (1L to nDocs).map(i =>
+        (i, Seq.fill(1 + rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+          .mkString(" ")))
+      val terms = rng.shuffle(vocab).take(1 + rng.nextInt(3))
+      // integer reference: identical floored arithmetic
+      val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }
+      val n = toks.size.toLong
+      val l = toks.map(_._2.size.toLong).sum
+      val df = terms.map(t =>
+        t -> toks.count(_._2.contains(t)).toLong).toMap
+      val want = toks.flatMap { case (id, ws) =>
+        val dl = ws.size.toLong
+        val s = terms.map { t =>
+          val tf = ws.count(_ == t).toLong
+          if (tf == 0 || df(t) == 0) 0L
+          else {
+            val idfQ = (10000L * (2 * n - 2 * df(t) + 1)) / (2 * df(t) + 1)
+            val satQ = (1000000L * 22 * l * tf) /
+              (10 * l * tf + 3 * l + 9 * dl * n)
+            idfQ * satQ
+          }
+        }.sum
+        if (s > 0) Some((id, s)) else None
+      }.toMap
+      val got = TextAnalysis.bm25FixedPointTopK(
+          corpus.toDF("doc_id", "text"), "text", "doc_id",
+          terms.map(t => (0L, t)).toDF("query_id", "term"),
+          k = Int.MaxValue)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(got == want, s"round $round: terms=$terms corpus=$corpus")
+    }
+  }
+
   test("fixed-point top-k agrees with its own window-ranked naive form " +
       "on the synthetic corpus") {
     import spark.implicits._

@@ -180,6 +180,25 @@ class ComponentsSpec extends AnyFunSuite {
       Set(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L))  // every edge endpoint rates
   }
 
+  test("coOccurrenceEdges: pairs within groups, duplicates collapsed, " +
+      "megagroups dropped by the cap") {
+    import spark.implicits._
+    val inc = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),      // group 1 → 3 pairs
+      (2L, 10L), (2L, 20L), (2L, 10L),      // dup incidence collapses
+      (3L, 40L), (3L, 41L), (3L, 42L), (3L, 43L)) // megagroup at cap 3
+      .toDF("g", "item")
+    val got = Components.coOccurrenceEdges(inc, "g", "item",
+        maxGroupSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (10,20) from both groups 1 and 2 appears once; group 3 is dropped
+    assert(got == Set((10L, 20L), (10L, 30L), (20L, 30L)))
+    val uncapped = Components.coOccurrenceEdges(inc, "g", "item",
+        maxGroupSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 3 + 6) // + C(4,2) pairs of group 3
+  }
+
   test("kCore: cycle survives k=2, attached tail cascades away round by " +
       "round; too-high k empties") {
     import spark.implicits._
