@@ -1569,6 +1569,38 @@ object OracleSql {
     GROUP BY id"""
   }
 
+  /** Dedup-screen evaluation (q119): the q49 pair list graded against
+    * the PLANTED near-dup truth (base doc ↔ its +1,000,000 truncated
+    * twin) with the q116 confusion/metric scheme — the SQL twin of
+    * `Cascade.evaluateMatches` over `Dedup.minhashLshPortable`. */
+  private def q119: String = s"""
+    WITH $minhashPairCtes,
+    gold AS (
+      SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1 AS __g
+      FROM filtered WHERE doc_id < 1000000),
+    predicted AS (
+      SELECT DISTINCT id_a, id_b, 1 AS __p FROM pairs),
+    j AS (
+      SELECT p.__p, g.__g
+      FROM predicted p FULL JOIN gold g
+        ON p.id_a = g.id_a AND p.id_b = g.id_b),
+    c AS (
+      SELECT
+        CAST(SUM(CASE WHEN __p IS NOT NULL AND __g IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN __p IS NOT NULL AND __g IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN __p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM j)
+    SELECT tp, fp, fn,
+      CASE WHEN tp + fp = 0 THEN 0.0
+           ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+      CASE WHEN tp + fn = 0 THEN 0.0
+           ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+      CASE WHEN 2*tp + fp + fn = 0 THEN 0.0
+           ELSE CAST(2*tp AS DOUBLE) / (2*tp + fp + fn) END AS f1
+    FROM c"""
+
   /** Match-quality evaluation (q116): the q08 fuzzy stage replayed over
     * ALL customers, graded pair-level against the exact-key gold subset
     * via a FULL JOIN partition into tp/fp/fn; each metric is one double
@@ -2592,6 +2624,7 @@ object OracleSql {
     "q116_match_eval" -> q116,
     "q117_collocations" -> q117,
     "q118_kcore" -> q118,
+    "q119_dedup_eval" -> q119,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

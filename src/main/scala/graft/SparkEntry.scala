@@ -1948,6 +1948,28 @@ object SparkEntry {
     operators.Components.kCore(coOrderEdges(s, dir), "a", "b",
       SketchParams.q118.k)
 
+  /** Dedup-screen quality evaluation: the near-dup corpus PLANTS its
+    * ground truth (every base doc has a tail-truncated twin at
+    * id + 1,000,000), so the minhash-LSH screen's pair output can be
+    * graded pair-level with [[graft.operators.Cascade.evaluateMatches]]
+    * — recall says how many planted twins the banding catches at the
+    * q49 parameters; precision counts organically-similar base pairs
+    * against it. The sketch-quality measurement harness a curation
+    * pipeline runs before trusting a screen at scale. */
+  def q119DedupEval(s: SparkSession, dir: String): DataFrame = {
+    val p49 = SketchParams.q49
+    val corpus = nearDupCorpus(s, dir)
+      .filter(col("doc_id") % p49.corpusMod === 0)
+    val predicted = Dedup.minhashLshPortable(corpus, "text", "doc_id",
+        ngram = p49.ngram, numHashes = p49.numHashes, bands = p49.bands,
+        jaccardThreshold = p49.jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val gold = corpus.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000L).as("id_b"))
+    Cascade.evaluateMatches(predicted, gold, "id_a", "id_b")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2067,7 +2089,8 @@ object SparkEntry {
     "q115_clustering_coeff" -> (q115ClusteringCoeff _),
     "q116_match_eval" -> (q116MatchEval _),
     "q117_collocations" -> (q117Collocations _),
-    "q118_kcore" -> (q118KCore _))
+    "q118_kcore" -> (q118KCore _),
+    "q119_dedup_eval" -> (q119DedupEval _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
