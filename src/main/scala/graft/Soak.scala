@@ -200,6 +200,10 @@ object Soak {
       operators.Components.triangleCounts(pairs, "id_a", "id_b").count()
     }
     println(s"[soak]   -> $triNodes nodes in >=1 triangle")
+    val coreNodes = timed("k-core (k=5, iterative peel on the same graph)") {
+      operators.Components.kCore(pairs, "id_a", "id_b", k = 5).count()
+    }
+    println(s"[soak]   -> $coreNodes nodes in the 5-core")
     spark.stop()
   }
 }
