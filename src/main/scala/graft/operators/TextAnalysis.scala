@@ -501,8 +501,12 @@ object TextAnalysis {
       .select(col("p.w1"), col("p.w2"))
     val pairCounts = pairsAll.groupBy("w1", "w2")
       .agg(count(lit(1)).as("n_ab"))
-    val totals = pairsAll.agg(count(lit(1)).as("n_bi"))
-      .crossJoin(uni.agg(sum(col("n_w")).as("n_uni")))
+    // both totals fall out of ONE pass over the token arrays: N_bi is
+    // Σ max(len−1, 0) and N_uni is Σ len — no second scan, and only one
+    // 1-row broadcast attach in the final plan (guarded)
+    val totals = base.agg(
+      sum(greatest(size(col("__t")) - 1, lit(0)).cast("long")).as("n_bi"),
+      sum(size(col("__t")).cast("long")).as("n_uni"))
     pairCounts.filter(col("n_ab") >= minPairCount)
       .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), Seq("w2"))

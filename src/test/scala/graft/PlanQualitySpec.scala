@@ -268,6 +268,39 @@ class PlanQualitySpec extends AnyFunSuite {
       "wedge/closure joins must hash on their equi keys")
   }
 
+  test("q115/q118: graph family stays equi-keyed — no cartesian, no " +
+      "nested loop (r9)") {
+    Seq("q115_clustering_coeff", "q118_kcore").foreach { q =>
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q must not cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q joins must hash on their equi keys")
+    }
+  }
+
+  test("q116/q119: evaluation is one full-outer pair join + a partial " +
+      "single-row reduce (r9)") {
+    Seq("q116_match_eval", "q119_dedup_eval").foreach { q =>
+      val plan = executed(q)
+      assert(plan.contains("FullOuter"), s"$q needs the full-outer partition")
+      assert(!plan.contains("CartesianProduct"), s"$q must not cartesian")
+      // confusion counts partial-combine before the single final reducer
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$q expected partial + final HashAggregate")
+    }
+  }
+
+  test("q117: collocations never cartesian beyond the broadcast 1-row " +
+      "totals; aggs partial (r9)") {
+    val plan = executed("q117_collocations")
+    assert(!plan.contains("CartesianProduct"), "no real cartesian")
+    // the only nested loop is the broadcast single-row (n_bi, n_uni) attach
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      plan.split("\n").filter(_.contains("Join")).mkString("\n"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial + final HashAggregate")
+  }
+
   test("q103: first-event is a window on ONE user_id shuffle, no join (r8)") {
     val plan = executed("q103_retention_cohorts")
     assert(!plan.contains("Join"),
