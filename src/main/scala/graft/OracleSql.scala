@@ -219,6 +219,11 @@ object SketchParams {
   object q118 {
     val k = 22; val oracleRounds = 8
   }
+  /** q120 HITS: iteration count and fixed-point scale over the q99
+    * customer→supplier purchase graph (customers odd, suppliers even). */
+  object q120 {
+    val iters = 3; val scale = 1000000L
+  }
 }
 
 object OracleSql {
@@ -1569,6 +1574,43 @@ object OracleSql {
     GROUP BY id"""
   }
 
+  /** HITS (q120): the max-normalized integer half-steps unrolled as
+    * MATERIALIZED CTEs (scalar-subquery max per half-step) — the SQL
+    * twin of `PageRank.hitsFixedPoint` over the customer→supplier
+    * purchase graph. Generated from [[SketchParams.q120]]. */
+  private def q120: String = {
+    val p = SketchParams.q120
+    val iterCtes = (1 to p.iters).map { i => s"""
+    ar$i AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(h.h) AS raw
+      FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst
+    ), a$i AS MATERIALIZED (
+      SELECT node,
+        (raw * ${p.scale}) // (SELECT MAX(raw) FROM ar$i) AS a
+      FROM ar$i
+    ), hr$i AS MATERIALIZED (
+      SELECT e.src AS node, SUM(a.a) AS raw
+      FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src
+    ), h$i AS MATERIALIZED (
+      SELECT node,
+        (raw * ${p.scale}) // (SELECT MAX(raw) FROM hr$i) AS h
+      FROM hr$i)"""
+    }.mkString(",")
+    s"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey * 2 + 1 AS src, l_suppkey * 2 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), h0 AS (
+      SELECT DISTINCT src AS node, CAST(${p.scale} AS BIGINT) AS h FROM e
+    ),$iterCtes
+    SELECT n.node, COALESCE(h.h, 0) AS hub, COALESCE(a.a, 0) AS auth
+    FROM nodes n
+    LEFT JOIN h${p.iters} h ON n.node = h.node
+    LEFT JOIN a${p.iters} a ON n.node = a.node"""
+  }
+
   /** Dedup-screen evaluation (q119): the q49 pair list graded against
     * the PLANTED near-dup truth (base doc ↔ its +1,000,000 truncated
     * twin) with the q116 confusion/metric scheme — the SQL twin of
@@ -2625,6 +2667,7 @@ object OracleSql {
     "q117_collocations" -> q117,
     "q118_kcore" -> q118,
     "q119_dedup_eval" -> q119,
+    "q120_hits" -> q120,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

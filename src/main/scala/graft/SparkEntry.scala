@@ -1970,6 +1970,24 @@ object SparkEntry {
     Cascade.evaluateMatches(predicted, gold, "id_a", "id_b")
   }
 
+  /** HITS hubs & authorities
+    * ([[graft.operators.PageRank.hitsFixedPoint]]) over the q99
+    * customer→supplier purchase bipartite graph: hub scores rank
+    * customers by breadth-weighted buying, authority scores rank
+    * suppliers by who the strong hubs buy from — the two-sided
+    * importance measure one PageRank pass can't give. Max-normalized
+    * integer fixed point; the oracle unrolls the half-steps. Params
+    * from [[SketchParams.q120]]. */
+  def q120Hits(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q120
+    val edges = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2L + 1L).as("src"),
+        (col("l_suppkey") * 2L).as("dst"))
+    operators.PageRank.hitsFixedPoint(edges, "src", "dst",
+      p.iters, p.scale)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2090,7 +2108,8 @@ object SparkEntry {
     "q116_match_eval" -> (q116MatchEval _),
     "q117_collocations" -> (q117Collocations _),
     "q118_kcore" -> (q118KCore _),
-    "q119_dedup_eval" -> (q119DedupEval _))
+    "q119_dedup_eval" -> (q119DedupEval _),
+    "q120_hits" -> (q120Hits _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

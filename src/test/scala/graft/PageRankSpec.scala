@@ -129,4 +129,44 @@ class PageRankSpec extends AnyFunSuite {
     assert(got == ref(directed, 2, 1000000L, 85), got.toSeq.sorted)
     assert(got("a") == 150000L, got) // never any inbound mass
   }
+
+  test("HITS: hand-computed max-normalized fixpoint on a bipartite graph") {
+    import spark.implicits._
+    // 1→10, 2→10, 2→11, 3→11 at scale 100:
+    //   a1 raw: 10 ← h1+h2 = 200, 11 ← h2+h3 = 200; max 200 → both 100
+    //   h1 raw: 1 ← 100, 2 ← 200, 3 ← 100; max 200 → (50, 100, 50)
+    //   iteration 2 reproduces the same values — a true fixpoint
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L))
+      .toDF("s", "d")
+    def run(iters: Int) = operators.PageRank
+      .hitsFixedPoint(edges, "s", "d", iters, scale = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val want = Map(
+      1L -> (50L, 0L), 2L -> (100L, 0L), 3L -> (50L, 0L),
+      10L -> (0L, 100L), 11L -> (0L, 100L))
+    assert(run(2) == want)
+    assert(run(3) == want) // stable under further iterations
+  }
+
+  test("HITS: duplicate edges collapse; zero iterations seeds hubs at " +
+      "scale; empty edges yield empty output") {
+    import spark.implicits._
+    val dup = Seq((1L, 10L), (1L, 10L), (2L, 10L)).toDF("s", "d")
+    val got = operators.PageRank
+      .hitsFixedPoint(dup, "s", "d", iters = 1, scale = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // both hubs feed the single authority equally: symmetric scores
+    assert(got(1L) == got(2L) && got(1L)._1 == 100L)
+    assert(got(10L) == ((0L, 100L)))
+    val seeded = operators.PageRank
+      .hitsFixedPoint(dup, "s", "d", iters = 0, scale = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(seeded(1L) == ((100L, 0L)) && seeded(10L) == ((0L, 0L)))
+    val empty = Seq.empty[(Long, Long)].toDF("s", "d")
+    assert(operators.PageRank
+      .hitsFixedPoint(empty, "s", "d", iters = 3).count() == 0)
+  }
 }
