@@ -159,6 +159,11 @@ object PageRank {
     * hub scores rank the left side and authority scores the right —
     * the two-sided importance measure one PageRank pass cannot give.
     *
+    * Overflow headroom: a raw half-step score is ≤ max-degree·scale and
+    * is then multiplied by `scale`, so max-degree·scale² must stay under
+    * 2^63 — at the default scale 10^6 that allows degrees to ~9·10^6;
+    * web-scale celebrity nodes beyond that need a smaller `scale`.
+    *
     * @param iters full HITS iterations (authorities from hubs, then
     *              hubs from the new authorities — exact, not converged)
     * @return (node, hub, auth) over every edge endpoint; a node with no

@@ -536,7 +536,10 @@ object TextAnalysis {
   private def bm25Core(docs: DataFrame, textCol: String, idCol: String,
       queries: DataFrame): DataFrame = {
     val toks = split(trim(lower(col(textCol))), "\\s+")
-    val terms = queries.select(col("term")).distinct()
+    // defensive distinct: a duplicated (query_id, term) row would
+    // otherwise double that term's contribution in the score sum
+    val q = queries.select(col("query_id"), col("term")).distinct()
+    val terms = q.select(col("term")).distinct()
     val base = docs.select(col(idCol).as("doc"), toks.as("__t"))
     val stats = base.agg(count(lit(1)).cast("long").as("n"),
       sum(size(col("__t")).cast("long")).as("l"))
@@ -549,7 +552,7 @@ object TextAnalysis {
     // df from tf (already one row per (doc, term)) — |query terms| rows
     val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
     tf.join(broadcast(df), Seq("term"))
-      .join(broadcast(queries), Seq("term"))
+      .join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(stats))
   }
 

@@ -67,6 +67,19 @@ class Bm25Spec extends AnyFunSuite {
     assert(got(3L) == 6000L * 1466666L)
   }
 
+  test("duplicated (query_id, term) rows do not double-count the term") {
+    import spark.implicits._
+    val clean = TextAnalysis.bm25FixedPointTopK(handCorpus, "text",
+        "doc_id", query0, k = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val dup = Seq((0L, "a"), (0L, "a"), (0L, "b"), (0L, "b"))
+      .toDF("query_id", "term")
+    val got = TextAnalysis.bm25FixedPointTopK(handCorpus, "text",
+        "doc_id", dup, k = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == clean)
+  }
+
   test("terms absent from the corpus contribute nothing; all-miss queries " +
       "return no rows") {
     import spark.implicits._
