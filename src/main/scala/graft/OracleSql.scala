@@ -224,6 +224,10 @@ object SketchParams {
   object q120 {
     val iters = 3; val scale = 1000000L
   }
+  /** q121 equi-depth histogram: bucket count over documents.n_chars. */
+  object q121 {
+    val nBuckets = 8
+  }
 }
 
 object OracleSql {
@@ -1611,6 +1615,30 @@ object OracleSql {
     LEFT JOIN a${p.iters} a ON n.node = a.node"""
   }
 
+  /** Equi-depth histogram (q121): DuckDB recomputes the same interior
+    * quantile boundaries (`quantile_cont` ≡ Spark exact `percentile`,
+    * the q102 parity) and buckets each row by counting boundaries
+    * strictly below it — the SQL twin of `Stats.equiDepthHistogram`.
+    * Generated from [[SketchParams.q121]]. */
+  private def q121: String = {
+    val p = SketchParams.q121
+    val probs = (1 until p.nBuckets)
+      .map(i => s"${i.toDouble / p.nBuckets}").mkString("[", ",", "]")
+    s"""
+    WITH q AS (
+      SELECT quantile_cont(n_chars, $probs) AS qs FROM documents
+    ), bnd AS (
+      SELECT unnest(qs) AS b FROM q
+    ), bucketed AS (
+      SELECT n_chars,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM bnd WHERE n_chars > b)
+          AS bucket
+      FROM documents)
+    SELECT bucket, COUNT(*) AS n,
+      MIN(n_chars) AS lo, MAX(n_chars) AS hi
+    FROM bucketed GROUP BY bucket"""
+  }
+
   /** Dedup-screen evaluation (q119): the q49 pair list graded against
     * the PLANTED near-dup truth (base doc ↔ its +1,000,000 truncated
     * twin) with the q116 confusion/metric scheme — the SQL twin of
@@ -2668,6 +2696,7 @@ object OracleSql {
     "q118_kcore" -> q118,
     "q119_dedup_eval" -> q119,
     "q120_hits" -> q120,
+    "q121_histogram" -> q121,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

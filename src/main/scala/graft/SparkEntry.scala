@@ -1988,6 +1988,14 @@ object SparkEntry {
       p.iters, p.scale)
   }
 
+  /** Equi-depth histogram ([[graft.operators.Stats.equiDepthHistogram]])
+    * of document lengths: exact-percentile boundaries (engine-portable
+    * interpolation, the q102 precedent) + one partial hash-agg — no
+    * ntile global sort. Params from [[SketchParams.q121]]. */
+  def q121Histogram(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.equiDepthHistogram(
+      t(s, dir, "documents"), "n_chars", SketchParams.q121.nBuckets)
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2109,7 +2117,8 @@ object SparkEntry {
     "q117_collocations" -> (q117Collocations _),
     "q118_kcore" -> (q118KCore _),
     "q119_dedup_eval" -> (q119DedupEval _),
-    "q120_hits" -> (q120Hits _))
+    "q120_hits" -> (q120Hits _),
+    "q121_histogram" -> (q121Histogram _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Stats
+
+/** Equi-depth histogram ([[Stats.equiDepthHistogram]]): hand-checked
+  * bucketing, the approx-boundary scale path, and the no-window plan
+  * property. */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  test("quartile histogram of 1..8 holds two values per bucket") {
+    import spark.implicits._
+    val df = (1L to 8L).toDF("v")
+    val got = Stats.equiDepthHistogram(df, "v", nBuckets = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // boundaries = percentile(1..8, [.25 .5 .75]) = (2.75, 4.5, 6.25):
+    // bucket = #boundaries strictly below v
+    assert(got == Map(
+      0L -> (2L, 1L, 2L), 1L -> (2L, 3L, 4L),
+      2L -> (2L, 5L, 6L), 3L -> (2L, 7L, 8L)))
+  }
+
+  test("bucket counts sum to the row count; ranges do not overlap") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val h = Stats.equiDepthHistogram(docs, "n_chars", nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(h.map(_._2).sum == docs.count())
+    h.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"overlap: $a vs $b")
+      case _ =>
+    }
+    // equi-depth: no bucket holds more than ~2x its fair share on this
+    // smooth distribution
+    val fair = docs.count().toDouble / 8
+    h.foreach { case (_, n, _, _) => assert(n <= fair * 2, h.mkString(",")) }
+  }
+
+  test("approx boundaries give the same shape within sketch tolerance") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val exact = Stats.equiDepthHistogram(docs, "n_chars", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Stats.equiDepthHistogram(docs, "n_chars", 8,
+        approxBoundaries = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    // rank error eps = 1/accuracy per boundary; generous slack of 5% of N
+    (0L until 8L).foreach { b =>
+      val d = math.abs(exact.getOrElse(b, 0L) - approx.getOrElse(b, 0L))
+      assert(d <= n * 0.05, s"bucket $b: exact=${exact.get(b)} approx=${approx.get(b)}")
+    }
+  }
+
+  test("histogram plan has no window and a partial aggregation") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val df = Stats.equiDepthHistogram(docs, "n_chars", 4)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "bucketing must not sort globally")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial + final HashAggregate")
+  }
+}
