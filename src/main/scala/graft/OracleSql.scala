@@ -1590,14 +1590,16 @@ object OracleSql {
       FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst
     ), a$i AS MATERIALIZED (
       SELECT node,
-        (raw * ${p.scale}) // (SELECT MAX(raw) FROM ar$i) AS a
+        CAST((raw * ${p.scale}) // (SELECT MAX(raw) FROM ar$i) AS BIGINT)
+          AS a
       FROM ar$i
     ), hr$i AS MATERIALIZED (
       SELECT e.src AS node, SUM(a.a) AS raw
       FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src
     ), h$i AS MATERIALIZED (
       SELECT node,
-        (raw * ${p.scale}) // (SELECT MAX(raw) FROM hr$i) AS h
+        CAST((raw * ${p.scale}) // (SELECT MAX(raw) FROM hr$i) AS BIGINT)
+          AS h
       FROM hr$i)"""
     }.mkString(",")
     s"""
@@ -1609,7 +1611,8 @@ object OracleSql {
     ), h0 AS (
       SELECT DISTINCT src AS node, CAST(${p.scale} AS BIGINT) AS h FROM e
     ),$iterCtes
-    SELECT n.node, COALESCE(h.h, 0) AS hub, COALESCE(a.a, 0) AS auth
+    SELECT n.node, CAST(COALESCE(h.h, 0) AS BIGINT) AS hub,
+      CAST(COALESCE(a.a, 0) AS BIGINT) AS auth
     FROM nodes n
     LEFT JOIN h${p.iters} h ON n.node = h.node
     LEFT JOIN a${p.iters} a ON n.node = a.node"""
