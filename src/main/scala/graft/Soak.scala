@@ -125,9 +125,10 @@ object Soak {
     val embs = spark.read.parquet(embPath)
     val nVecs = embs.count()
     // 32 clusters at bench SF (2k vectors), grown linearly with the
-    // corpus and capped where the literal-centroid assignment expression
-    // stops being the right plan (past the cap a centroid TABLE join is)
-    val nlist = math.min(128, math.max(32, (32L * nVecs / 2000L).toInt))
+    // corpus — UNCAPPED since r10: past Ann.centroidTableThreshold the
+    // assignment auto-switches to the broadcast centroid-table path, so
+    // large nlist no longer hits the literal-chain codegen wall
+    val nlist = math.max(32, (32L * nVecs / 2000L).toInt)
     val cents = timed(s"kmeansCentroidsPortable (nlist=$nlist, 1 iter)") {
       operators.Ann.kmeansCentroidsPortable(embs, "embedding", "vec_id",
         nlist, iters = 1)
@@ -147,6 +148,21 @@ object Soak {
         .agg(countDistinct(col("shard_id")).as("n")).collect()(0).getLong(0)
     }
     println(s"[soak]   -> $nShards shards")
+
+    // production-nlist assignment shape: 1024 centroids force the
+    // broadcast-table path (literal chains stop codegen'ing far below
+    // this) — full corpus assigned, result reduced to a cluster census
+    val embDim = operators.Ann.dimOf(embs, "embedding")
+    val bigCents = (0 until 1024).map(i =>
+      (0 until embDim).map(d => ((i * 31 + d * 17) % 101 - 50).toLong))
+    val nClusters = timed("centroid-table assignment (nlist=1024)") {
+      operators.Ann.withNearestCentroidL(
+          embs.select(col("vec_id"),
+            operators.Ann.quantizeVec(col("embedding"), 1000).as("qv")),
+          bigCents, col("qv"), "cluster")
+        .agg(countDistinct(col("cluster"))).collect()(0).getLong(0)
+    }
+    println(s"[soak]   -> $nClusters of 1024 clusters populated")
 
     val topk = timed("quantized brute-force top-k (int8 domain, 8 queries)") {
       operators.Ann.quantizedTopK(embs, embs.filter(col("vec_id") < 8),

@@ -145,6 +145,107 @@ object Ann {
   private def nearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column =
     element_at(sortedCentroidDists(v, centroids), 1).getField("i")
 
+  // ------------------------ centroid assignment: literal vs table path
+
+  /** Above this many centroids, assignment switches from the literal
+    * expression chain to the broadcast-table path. The literal chain
+    * embeds nlist separate fold expressions (one `typedlit` + aggregate
+    * per centroid) in the plan — past a few hundred centroids that is a
+    * plan-size and codegen wall (Janino's 64 KB method limit forces
+    * interpreted fallback long before SemDeDup's production
+    * nlist ≈ √N ~ 10⁴). The table path ships the matrix ONCE per
+    * executor as a broadcast single-row relation and evaluates ONE fold
+    * over the array column — O(1) plan nodes at any nlist, no extra
+    * shuffle (a min_by groupBy join would re-shuffle on the row id).
+    * Both paths share arithmetic and fold order, so they are
+    * bit-identical (`CentroidTableSpec`); the knob is var-scoped so the
+    * spec can force the table path on small matrices. */
+  @volatile private[graft] var centroidTableThreshold: Int = 256
+
+  /** (squared-L2 distance, index) structs over a centroid ARRAY COLUMN
+    * (`array<struct<i:int, c:array<_>>>`) — the table-path core. `zero`
+    * picks the domain (`lit(0L)` integer / `lit(0.0)` double); the
+    * (x−y)² fold is the same expression shape and sequential fold order
+    * as the literal-path chains, so distances match bit-for-bit. */
+  private def distStructs(cents: Column, v: Column, zero: Column): Column =
+    transform(cents, e => struct(
+      aggregate(zip_with(v, e.getField("c"), (x, y) => (x - y) * (x - y)),
+        zero, (acc, d) => acc + d).as("d"),
+      e.getField("i").as("i")))
+
+  /** One-row frame holding a whole `(list_id, centroid)` matrix as a
+    * single index-sorted `array<struct<i,c>>` value —
+    * `crossJoin(broadcast(…))` attaches it to every row without the
+    * matrix ever entering the expression tree. Accepts any centroid
+    * DataFrame (e.g. a [[saveCentroids]] parquet model read back
+    * WITHOUT collecting to the driver). */
+  def centroidRowOf(centroidsDf: DataFrame): DataFrame =
+    centroidsDf.agg(array_sort(collect_list(
+      struct(col("list_id").cast("int").as("i"), col("centroid").as("c"))))
+      .as("__cents"))
+
+  private def centroidRowL(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[Seq[Long]]): DataFrame = {
+    import spark.implicits._
+    centroidRowOf(cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("list_id", "centroid"))
+  }
+
+  private def centroidRowD(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    centroidRowOf(cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("list_id", "centroid"))
+  }
+
+  /** Table-path column append: nearest index (`array_min` over the
+    * (d, i) structs — same lexicographic order, NaN-last, as the literal
+    * path's `array_sort` head) or the full sorted distance array. */
+  private def withDistColViaTable(df: DataFrame, centsRow: DataFrame,
+      v: Column, out: String, zero: Column, sortedAll: Boolean): DataFrame = {
+    val ds = distStructs(col("__cents"), v, zero)
+    val c = if (sortedAll) array_sort(ds)
+            else array_min(ds).getField("i")
+    df.crossJoin(broadcast(centsRow)).withColumn(out, c).drop("__cents")
+  }
+
+  /** Append `out` = nearest-centroid index (integer domain), choosing
+    * the literal chain below [[centroidTableThreshold]] and the
+    * broadcast-table path above it. */
+  def withNearestCentroidL(df: DataFrame, cents: Seq[Seq[Long]],
+      v: Column, out: String): DataFrame =
+    if (cents.size <= centroidTableThreshold)
+      df.withColumn(out,
+        element_at(centroidSortedDists(cents, v), 1).getField("i"))
+    else withDistColViaTable(df, centroidRowL(df.sparkSession, cents),
+      v, out, lit(0L), sortedAll = false)
+
+  /** Append `out` = full ascending (d, i) distance array (integer
+    * domain) — the probe-selection shape. Path chosen as in
+    * [[withNearestCentroidL]]. */
+  def withSortedCentroidDistsL(df: DataFrame, cents: Seq[Seq[Long]],
+      v: Column, out: String): DataFrame =
+    if (cents.size <= centroidTableThreshold)
+      df.withColumn(out, centroidSortedDists(cents, v))
+    else withDistColViaTable(df, centroidRowL(df.sparkSession, cents),
+      v, out, lit(0L), sortedAll = true)
+
+  /** Double-domain twin of [[withNearestCentroidL]]. */
+  def withNearestCentroidD(df: DataFrame, cents: Seq[Seq[Double]],
+      v: Column, out: String): DataFrame =
+    if (cents.size <= centroidTableThreshold)
+      df.withColumn(out, nearestCentroid(v, cents))
+    else withDistColViaTable(df, centroidRowD(df.sparkSession, cents),
+      v, out, lit(0.0), sortedAll = false)
+
+  /** Double-domain twin of [[withSortedCentroidDistsL]]. */
+  def withSortedCentroidDistsD(df: DataFrame, cents: Seq[Seq[Double]],
+      v: Column, out: String): DataFrame =
+    if (cents.size <= centroidTableThreshold)
+      df.withColumn(out, sortedCentroidDists(v, cents))
+    else withDistColViaTable(df, centroidRowD(df.sparkSession, cents),
+      v, out, lit(0.0), sortedAll = true)
+
   /** K-means coarse quantizer: `iters` Lloyd iterations over the corpus,
     * initialized from a DETERMINISTIC hash-sample (the `nlist` vectors
     * with the smallest `xxhash64(id, seed)` — reproducible, no `rand()`).
@@ -168,8 +269,8 @@ object Ann {
       // The assignment is computed in its OWN projection before the
       // generator — inlined into the posexplode select it would be
       // re-evaluated once per exploded dimension (dim× the work)
-      val updated = vecs
-        .select(nearestCentroid(col("__v"), centroids).as("__c"), col("__v"))
+      val updated = withNearestCentroidD(
+          vecs.select(col("__v")), centroids, col("__v"), "__c")
         .select(col("__c"), posexplode(col("__v")).as(Seq("__d", "__x")))
         .groupBy(col("__c"), col("__d"))
         .agg(avg(col("__x")).as("__m"))
@@ -199,18 +300,18 @@ object Ann {
     require(nprobe >= 1 && nprobe <= nlist, "1 <= nprobe <= nlist")
     val cents = centroids.getOrElse(
       kmeansCentroids(corpus, vecCol, idCol, nlist, kmeansIters, seed))
-    val lists = corpus.select(col(idCol).as("neighbor_id"),
-      transform(col(vecCol), _.cast("double")).as("__cv"))
-      .withColumn("__list", nearestCentroid(col("__cv"), cents))
-    // nprobe nearest lists per query: distances to nlist literal
-    // centroids, sorted as a (dist, index) struct array — per-row, no
-    // shuffle, no UDF
+    val lists = withNearestCentroidD(
+      corpus.select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), _.cast("double")).as("__cv")),
+      cents, col("__cv"), "__list")
+    // nprobe nearest lists per query: distances to the nlist centroids,
+    // sorted as a (dist, index) struct array — per-row, no shuffle, no
+    // UDF (literal chain at small nlist, broadcast table above the cap)
     val qv = queries.select(col(queryIdCol).as("query_id"),
       transform(col(vecCol), _.cast("double")).as("__qv"))
-    val probes = sortedCentroidDists(col("__qv"), cents)
-    val probed = qv
+    val probed = withSortedCentroidDistsD(qv, cents, col("__qv"), "__pd")
       .withColumn("__probe",
-        slice(transform(probes, p => p.getField("i")), 1, nprobe))
+        slice(transform(col("__pd"), p => p.getField("i")), 1, nprobe))
       .select(col("query_id"), col("__qv"),
         explode(col("__probe")).as("__list"))
     val scored = lists.join(broadcast(probed), Seq("__list"))
@@ -287,9 +388,8 @@ object Ann {
     (0 until iters).foreach { _ =>
       // assignment in its OWN projection: inlined into the posexplode
       // select it would be re-evaluated once per exploded dimension
-      val updated = qvecs
-        .select(element_at(centroidSortedDists(centroids, col("__q")), 1)
-          .getField("i").as("__c"), col("__q"))
+      val updated = withNearestCentroidL(
+          qvecs.select(col("__q")), centroids, col("__q"), "__c")
         .select(col("__c"), posexplode(col("__q")).as(Seq("__d", "__x")))
         .groupBy(col("__c"), col("__d"))
         .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
@@ -361,16 +461,16 @@ object Ann {
     def quantize(v: Column): Column = quantizeVec(v, scale)
     val cents = centroids.getOrElse(
       portableCentroids(corpus, vecCol, idCol, nlist, scale))
-    def sortedDists(v: Column): Column = centroidSortedDists(cents, v)
-    val lists = corpus.select(col(idCol).as("neighbor_id"),
-        quantize(col(vecCol)).as("__cq"))
-      .withColumn("__list",
-        element_at(sortedDists(col("__cq")), 1).getField("i"))
-    val probed = queries.select(col(queryIdCol).as("query_id"),
-        quantize(col(vecCol)).as("__qq"))
+    val lists = withNearestCentroidL(
+      corpus.select(col(idCol).as("neighbor_id"),
+        quantize(col(vecCol)).as("__cq")),
+      cents, col("__cq"), "__list")
+    val probed = withSortedCentroidDistsL(
+        queries.select(col(queryIdCol).as("query_id"),
+          quantize(col(vecCol)).as("__qq")),
+        cents, col("__qq"), "__sd")
       .withColumn("__probe",
-        slice(transform(sortedDists(col("__qq")), p => p.getField("i")),
-          1, nprobe))
+        slice(transform(col("__sd"), p => p.getField("i")), 1, nprobe))
       .select(col("query_id"), col("__qq"),
         explode(col("__probe")).as("__list"))
     val scored = lists.join(broadcast(probed), Seq("__list"))

@@ -814,12 +814,12 @@ object Dedup {
       centroids: Option[Seq[Seq[Long]]] = None): DataFrame = {
     val cents = centroids.getOrElse(
       Ann.portableCentroids(embs, vecCol, idCol, nlist, scale))
-    // quantize + assign + norm once; both self-join sides reuse the frame
-    val assigned = embs.select(col(idCol).as("vid"),
-        Ann.quantizeVec(col(vecCol), scale).as("qv"))
-      .withColumn("cluster",
-        element_at(Ann.centroidSortedDists(cents, col("qv")), 1)
-          .getField("i"))
+    // quantize + assign + norm once; both self-join sides reuse the
+    // frame (assignment picks literal vs broadcast-table path by nlist)
+    val assigned = Ann.withNearestCentroidL(
+        embs.select(col(idCol).as("vid"),
+          Ann.quantizeVec(col(vecCol), scale).as("qv")),
+        cents, col("qv"), "cluster")
       .withColumn("nrm", Ann.idot(col("qv"), col("qv")))
       .localCheckpoint(false)
     val a = assigned.select(col("cluster"), col("vid").as("dup_id"),
@@ -863,11 +863,10 @@ object Dedup {
       centroids: Option[Seq[Seq[Long]]] = None): PreparedEmbeddings = {
     val cents = centroids.getOrElse(
       Ann.portableCentroids(corpus, vecCol, idCol, nlist, scale))
-    val assigned = corpus.select(col(idCol).as("corpus_id"),
-        Ann.quantizeVec(col(vecCol), scale).as("qv"))
-      .withColumn("cluster",
-        element_at(Ann.centroidSortedDists(cents, col("qv")), 1)
-          .getField("i"))
+    val assigned = Ann.withNearestCentroidL(
+        corpus.select(col(idCol).as("corpus_id"),
+          Ann.quantizeVec(col(vecCol), scale).as("qv")),
+        cents, col("qv"), "cluster")
       .withColumn("nrm", Ann.idot(col("qv"), col("qv")))
       .localCheckpoint(true)
     PreparedEmbeddings(cents, assigned, scale)
@@ -888,12 +887,10 @@ object Dedup {
       batch: DataFrame, prepared: PreparedEmbeddings,
       vecCol: String, idCol: String,
       cosineThreshold: Double): DataFrame = {
-    val b = batch.select(col(idCol).as("__bid"),
-        Ann.quantizeVec(col(vecCol), prepared.scale).as("__bq"))
-      .withColumn("cluster",
-        element_at(
-          Ann.centroidSortedDists(prepared.centroids, col("__bq")), 1)
-          .getField("i"))
+    val b = Ann.withNearestCentroidL(
+        batch.select(col(idCol).as("__bid"),
+          Ann.quantizeVec(col(vecCol), prepared.scale).as("__bq")),
+        prepared.centroids, col("__bq"), "cluster")
       .withColumn("__bn", Ann.idot(col("__bq"), col("__bq")))
     val dupIds = b.join(prepared.assigned, Seq("cluster"))
       .withColumn("cosine",
