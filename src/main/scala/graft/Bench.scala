@@ -112,6 +112,22 @@ object Bench {
     // filters/aggregates on metric=="total" can double-count it against the
     // short trailer below
     println(s"""{"metric":"total_per_query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the per-query map ALSO lands in a file artifact: the stdout line
+    // above outgrew the driver's bounded log-tail window at ~120 queries
+    // (r9's BENCH artifact truncated mid-object, losing q100+ timings), so
+    // a file is the only form the full profile reliably survives in
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_queries.json")
+    try {
+      val perQuery = results.map { case (k, v) =>
+        s"""    "$k": $v""" }.mkString("{\n", ",\n", "\n  }")
+      java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
+        (s"""{\n  "total_sec": $total,\n  "n_queries": ${results.size},""" +
+         s"""\n  "sf": "$sfDir",\n  $telemetry,""" +
+         s"""\n  "queries": $perQuery\n}\n""").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
+    }
     // repeat the headline WITHOUT the per-query map: the full line above can
     // exceed a bounded log-tail window as the query count grows (r3's
     // recorded artifact was truncated mid-line and parsed as null), so a

@@ -155,10 +155,10 @@ object SketchParams {
     val iters = 3; val scale = 1000000L; val dampPct = 85
   }
   /** q100 grouped top-k as a bounded-state aggregate: per-group keep
-    * count and the zero-pad width that makes the string tie-break agree
-    * with numeric id order. */
+    * count (ties break on the id's raw string form, replicated in SQL
+    * as CAST(id AS VARCHAR)). */
   object q100 {
-    val k = 3; val padWidth = 12
+    val k = 3
   }
   /** q104 curriculum packing: shard token budget (order comes from the
     * q98 classifier score, descending). */
@@ -187,13 +187,14 @@ object SketchParams {
   }
   /** q112 fixed-point BM25: the keyword queries (query_id → terms, drawn
     * from the synthetic corpus vocabulary), the idf / saturation
-    * fixed-point scales, top-k, and the tie-break pad width. */
+    * fixed-point scales, and top-k (ties break on the id's raw string
+    * form). */
   object q112 {
     val queries: Seq[(Long, Seq[String])] = Seq(
       0L -> Seq("fast", "join", "table"),
       1L -> Seq("window", "agg", "stream"),
       2L -> Seq("vector", "hash", "scan", "slow"))
-    val k = 10; val s1 = 10000L; val s2 = 1000000L; val padWidth = 12
+    val k = 10; val s1 = 10000L; val s2 = 1000000L
   }
   /** q113 triangle counting: the lineitem quantity floor that thins the
     * supplier co-order graph to a density where triangles are plentiful
@@ -1211,7 +1212,7 @@ object OracleSql {
 
   /** Grouped top-k via the bounded-state BottomK aggregate (q100): the
     * oracle is the equivalent row_number window — ORDER BY (-cents,
-    * zero-padded id) replicates the heap's (key, value) total order,
+    * raw-string id) replicates the heap's (key, value) total order,
     * generated from [[SketchParams.q100]]. */
   private def q100: String = {
     val p = SketchParams.q100
@@ -1221,7 +1222,7 @@ object OracleSql {
         CAST(floor(p_retailprice * 100) AS BIGINT) AS cents,
         row_number() OVER (PARTITION BY p_brand
           ORDER BY -CAST(floor(p_retailprice * 100) AS BIGINT),
-            lpad(CAST(p_partkey AS VARCHAR), ${p.padWidth}, '0')) AS rn
+            CAST(p_partkey AS VARCHAR)) AS rn
       FROM part)
     SELECT p_brand, p_partkey, cents AS price_cents
     FROM ranked WHERE rn <= ${p.k}"""
@@ -1403,8 +1404,9 @@ object OracleSql {
     * `TextAnalysis.bm25FixedPointTopK` — identical tf/df/dl/N/L integer
     * statistics over the q38 tokenization, identical floored idf* and
     * saturation factors (`//` floors, Spark `DIV` truncates: equal on
-    * these nonnegative operands), ranked by the same (-score, padded id)
-    * order the BottomK heap uses. Generated from [[SketchParams.q112]]. */
+    * these nonnegative operands), ranked by the same (-score, raw
+    * string id) order the BottomK heap uses. Generated from
+    * [[SketchParams.q112]]. */
   private def q112: String = {
     val p = SketchParams.q112
     val values = p.queries
@@ -1438,8 +1440,7 @@ object OracleSql {
     ), ranked AS (
       SELECT query_id, doc_id, score_q,
         row_number() OVER (PARTITION BY query_id
-          ORDER BY -score_q,
-            lpad(CAST(doc_id AS VARCHAR), ${p.padWidth}, '0')) AS rn
+          ORDER BY -score_q, CAST(doc_id AS VARCHAR)) AS rn
       FROM agg)
     SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q
     FROM ranked WHERE rn <= ${p.k}"""
@@ -1723,8 +1724,11 @@ object OracleSql {
     FROM c"""
 
   /** PMI collocations (q117): unigram/bigram counts over the q39
-    * tokenization, lift as one double division of exact BIGINT products
-    * — the SQL twin of `TextAnalysis.collocations`. Generated from
+    * tokenization, lift with every count widened to DOUBLE BEFORE the
+    * multiplies (same left-assoc order as the Spark side, so the IEEE
+    * roundings coincide; BIGINT products would wrap in non-ANSI Spark
+    * while DuckDB widens to HUGEINT — round-10 advice) — the SQL twin
+    * of `TextAnalysis.collocations`. Generated from
     * [[SketchParams.q117]]. */
   private def q117: String = {
     val p = SketchParams.q117
@@ -1748,8 +1752,10 @@ object OracleSql {
       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_all) AS n_bi,
         (SELECT CAST(SUM(n_w) AS BIGINT) FROM uni) AS n_uni)
     SELECT pc.w1, pc.w2, pc.n_ab, a.n_w AS n_a, b.n_w AS n_b,
-      CAST(pc.n_ab * t.n_uni * t.n_uni AS DOUBLE)
-        / (a.n_w * b.n_w * t.n_bi) AS lift
+      (CAST(pc.n_ab AS DOUBLE) * CAST(t.n_uni AS DOUBLE)
+          * CAST(t.n_uni AS DOUBLE))
+        / (CAST(a.n_w AS DOUBLE) * CAST(b.n_w AS DOUBLE)
+          * CAST(t.n_bi AS DOUBLE)) AS lift
     FROM pair_counts pc
     JOIN uni a ON pc.w1 = a.w
     JOIN uni b ON pc.w2 = b.w

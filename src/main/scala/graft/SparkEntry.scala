@@ -1513,20 +1513,23 @@ object SparkEntry {
     * every row of the group. At 100 TB the window form's per-group sort
     * is the bottleneck; the heap form's state is k entries per group,
     * period. Prices are floor-quantized to integer cents (the q83
-    * argument) and ties break on the zero-padded id so the heap's
-    * (key, value) order is replicable in SQL. Params from
+    * argument) and ties break on the id's raw string form so the heap's
+    * (key, value) order is replicable in SQL (CAST(id AS VARCHAR) — no
+    * lossy pad/truncate; round-10 advice). Params from
     * [[SketchParams.q100]]. */
   def q100TopKAgg(s: SparkSession, dir: String): DataFrame = {
     val p = SketchParams.q100
+    val part = t(s, dir, "part")
+    val idType = part.select(col("p_partkey")).schema.head.dataType
     val cents = floor(col("p_retailprice") * 100).cast("long")
-    t(s, dir, "part")
+    part
       .groupBy(col("p_brand"))
       .agg(graft.functions.BottomK.bottom_k((-cents).as("negcents"),
-        lpad(col("p_partkey").cast("string"), p.padWidth, "0"), p.k)
+        col("p_partkey").cast("string"), p.k)
         .as("top"))
       .select(col("p_brand"), explode(col("top")).as("e"))
       .select(col("p_brand"),
-        col("e.value").cast("long").as("p_partkey"),
+        col("e.value").cast(idType).as("p_partkey"),
         (-col("e.key")).as("price_cents"))
   }
 
@@ -1856,7 +1859,7 @@ object SparkEntry {
       .toDF("query_id", "term")
     operators.TextAnalysis.bm25FixedPointTopK(
       t(s, dir, "documents"), "text", "doc_id", q,
-      p.k, p.s1, p.s2, p.padWidth)
+      p.k, p.s1, p.s2)
   }
 
   /** Per-node triangle counts

@@ -474,18 +474,22 @@ object TextAnalysis {
     * probability over the bigram total and unigram probabilities over
     * the token total, i.e. (n_ab · N_uni²) / (n_a · n_b · N_bi). PMI is
     * log(lift) and log is monotone, so ranking by lift IS ranking by
-    * PMI — and lift is a ratio of exact BIGINT products, ONE double
-    * division, engine-exact (the repo's no-libm oracle rule without
-    * giving up PMI semantics).
+    * PMI. Every count is widened to double BEFORE the multiplies, in
+    * the same left-assoc order as the SQL twin: BIGINT products would
+    * silently WRAP in non-ANSI Spark while DuckDB widens to HUGEINT
+    * (divergence past N_uni ≈ 7·10⁷ at n_ab ≤ 2000, since
+    * n_ab·N_uni² < 2^63 is the binding bound); double multiplies are
+    * correctly rounded and identical on both engines at any scale —
+    * exact below 2^53 per factor product, identically-rounded above
+    * (the repo's no-libm oracle rule without giving up PMI semantics).
     *
     * Scale shape: one token explode feeds both count tables (unigrams;
     * adjacent pairs via the q39 sequence transform), each a map-side
     * partial hash-agg; the unigram joins are key equi-joins on single
     * words; totals are a 1-row broadcast. The `minPairCount` filter cuts
     * the pair table BEFORE the unigram joins (the long tail of
-    * hapax bigrams never joins). Overflow headroom: n_ab·N_uni² < 2^63
-    * caps the token total around 2·10^9 at n_ab ≤ 2000 — past that,
-    * scale probabilities down or lift the products to DECIMAL(38,0). */
+    * hapax bigrams never joins). No overflow cliff: the double-domain
+    * factors can't wrap, so the operator is safe at any corpus size. */
   def collocations(docs: DataFrame, textCol: String,
       minPairCount: Long = 5L): DataFrame = {
     val toks = split(trim(lower(col(textCol))), "\\s+")
@@ -512,8 +516,10 @@ object TextAnalysis {
       .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), Seq("w2"))
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
-        ((col("n_ab") * col("n_uni") * col("n_uni")).cast("double") /
-          (col("n_a") * col("n_b") * col("n_bi"))).as("lift"))
+        ((col("n_ab").cast("double") * col("n_uni").cast("double")
+            * col("n_uni").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")
+            * col("n_bi").cast("double"))).as("lift"))
   }
 
   // ---------------------------------------------------------------------
@@ -589,20 +595,25 @@ object TextAnalysis {
     * query, map-side partial reduction — no global sort and no window
     * over every scored document). The heap key is the score in 2^-40
     * fixed point (scores are O(ln N · terms), so the key stays far under
-    * 2^63); ties resolve on the zero-padded doc id. Output score_fx is
-    * that quantized key — rank-faithful to the double score within one
-    * part in 2^40. */
+    * 2^63); ties resolve on the id's raw STRING form — the id is carried
+    * through the heap unmodified (an earlier lpad-to-12 carry silently
+    * TRUNCATED ids past 12 digits and nulled non-numeric ids on the way
+    * out; round-10 advice) and cast back to the id column's own type on
+    * output, which is lossless for any id type. Output score_fx is the
+    * quantized key — rank-faithful to the double score within one part
+    * in 2^40. */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
-      queries: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75,
-      padWidth: Int = 12): DataFrame = {
+      queries: DataFrame, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val idType = docs.select(col(idCol)).schema.head.dataType
     val scaled = (col("score") * lit(math.pow(2, 40))).cast("long")
     bm25Scores(docs, textCol, idCol, queries, k1, b)
       .groupBy(col("query_id"))
       .agg(graft.functions.BottomK.bottom_k(-scaled,
-        lpad(col("doc_id").cast("string"), padWidth, "0"), k).as("top"))
+        col("doc_id").cast("string"), k).as("top"))
       .select(col("query_id"), explode(col("top")).as("e"))
       .select(col("query_id"),
-        col("e.value").cast("long").as("doc_id"),
+        col("e.value").cast(idType).as("doc_id"),
         (-col("e.key")).as("score_fx"))
   }
 
@@ -672,8 +683,9 @@ object TextAnalysis {
     * lift the arithmetic to DECIMAL(38,0); the production scorer is the
     * double-typed [[bm25Scores]], where magnitude is a non-issue. */
   def bm25FixedPointTopK(docs: DataFrame, textCol: String, idCol: String,
-      queries: DataFrame, k: Int, s1: Long = 10000L, s2: Long = 1000000L,
-      padWidth: Int = 12): DataFrame = {
+      queries: DataFrame, k: Int, s1: Long = 10000L,
+      s2: Long = 1000000L): DataFrame = {
+    val idType = docs.select(col(idCol)).schema.head.dataType
     val idfQ = expr(s"($s1 * (2*n - 2*df + 1)) DIV (2*df + 1)")
     val satQ = expr(s"($s2 * 22 * l * tf) DIV (10*l*tf + 3*l + 9*dl*n)")
     bm25Core(docs, textCol, idCol, queries)
@@ -682,10 +694,10 @@ object TextAnalysis {
       .agg(sum(col("__s")).as("score_q"))
       .groupBy(col("query_id"))
       .agg(graft.functions.BottomK.bottom_k(-col("score_q"),
-        lpad(col("doc").cast("string"), padWidth, "0"), k).as("top"))
+        col("doc").cast("string"), k).as("top"))
       .select(col("query_id"), explode(col("top")).as("e"))
       .select(col("query_id"),
-        col("e.value").cast("long").as("doc_id"),
+        col("e.value").cast(idType).as("doc_id"),
         (-col("e.key")).as("score_q"))
   }
 }

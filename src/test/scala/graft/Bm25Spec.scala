@@ -42,7 +42,7 @@ class Bm25Spec extends AnyFunSuite {
     assert(math.abs(got(3L) - ln16 * 6.6 / 4.5) < 1e-12)
   }
 
-  test("bm25TopK ranks by score with padded-id tie-break and honors k") {
+  test("bm25TopK ranks by score with raw-string-id tie-break and honors k") {
     val got = TextAnalysis.bm25TopK(handCorpus, "text", "doc_id", query0, k = 2)
       .orderBy(desc("score_fx")).collect()
     assert(got.length == 2)
@@ -89,6 +89,24 @@ class Bm25Spec extends AnyFunSuite {
       .collect()
     assert(got.forall(_.getLong(0) == 0L)) // query 7 absent entirely
     assert(got.map(_.getLong(1)).toSet == Set(1L, 2L)) // docs containing "a"
+  }
+
+  test("ids past 12 digits and non-numeric string ids survive the heap " +
+      "round-trip (the lpad/cast corruption class)") {
+    import spark.implicits._
+    // 16-digit ids: the old lpad(12) carry truncated these silently
+    val bigIds = Seq((1234567890123456L, "a b a"), (9876543210987654L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25FixedPointTopK(
+        bigIds, "text", "doc_id", query0, k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(1234567890123456L, 9876543210987654L))
+    // string ids: the old cast("long") nulled these on output
+    val strIds = Seq(("doc-alpha", "a b a"), ("doc-beta", "a c"))
+      .toDF("doc_id", "text")
+    val got2 = TextAnalysis.bm25TopK(strIds, "text", "doc_id", query0, k = 5)
+      .collect().map(_.getString(1)).toSet
+    assert(got2 == Set("doc-alpha", "doc-beta"))
   }
 
   test("bm25ScorePerRow (serving shape, snapshot stats) matches the " +
@@ -178,14 +196,13 @@ class Bm25Spec extends AnyFunSuite {
     val q = p.queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
     val topk = TextAnalysis.bm25FixedPointTopK(docs, "text", "doc_id", q,
-      p.k, p.s1, p.s2, p.padWidth)
-    // naive: full scores, window rank, same (-score, padded id) order
+      p.k, p.s1, p.s2)
+    // naive: full scores, window rank, same (-score, raw string id) order
     val full = TextAnalysis.bm25FixedPointTopK(docs, "text", "doc_id", q,
-      k = Int.MaxValue, p.s1, p.s2, p.padWidth)
+      k = Int.MaxValue, p.s1, p.s2)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
-      .orderBy((-col("score_q")).asc,
-        lpad(col("doc_id").cast("string"), p.padWidth, "0"))
+      .orderBy((-col("score_q")).asc, col("doc_id").cast("string"))
     val naive = full.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= p.k).drop("rn")
     assert(topk.collect().toSet == naive.collect().toSet)
