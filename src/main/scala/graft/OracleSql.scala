@@ -513,7 +513,11 @@ object OracleSql {
     * (`hex(unhex(...))`), then re-parse every header field by hex-string
     * slicing — including a recursive-CTE JPEG marker scan over the
     * variable-length COM segment — independently of the Spark-side
-    * [[graft.functions.ImageHeaderKernel]] byte parser. */
+    * [[graft.functions.ImageHeaderKernel]] byte parser. The `jfallback`
+    * CTE mirrors the kernel's FFD8-but-no-parseable-SOF case
+    * (('jpeg', -1, -1, -1)): without it such a blob lands in `matched`
+    * but never in `jparsed` and the row would vanish — a latent parity
+    * break if the fixture ever emits one (round-10 advice). */
   private val q108Ctes = """
     WITH RECURSIVE m AS (
       SELECT doc_id,
@@ -586,6 +590,10 @@ object OracleSql {
       WHERE substr(hx, 2*pos - 1, 2) = 'FF'
         AND ('0x' || substr(hx, 2*pos + 1, 2))::INT BETWEEN 192 AND 207
         AND ('0x' || substr(hx, 2*pos + 1, 2))::INT NOT IN (196, 200, 204)
+    ), jfallback AS (
+      SELECT j.doc_id, 'jpeg' AS fmt, -1 AS width, -1 AS height,
+        -1 AS channels
+      FROM jpeg j ANTI JOIN jparsed USING (doc_id)
     ), matched AS (
       SELECT doc_id FROM png UNION ALL SELECT doc_id FROM gif
       UNION ALL SELECT doc_id FROM jpeg
@@ -597,7 +605,8 @@ object OracleSql {
 
   private val q108 = q108Ctes + """
     SELECT * FROM png UNION ALL SELECT * FROM gif
-    UNION ALL SELECT * FROM jparsed UNION ALL SELECT * FROM unknown"""
+    UNION ALL SELECT * FROM jparsed UNION ALL SELECT * FROM jfallback
+    UNION ALL SELECT * FROM unknown"""
 
   /** q110 resolution gate: the q108 parse chain, filtered to known
     * formats at >=128x128, aggregated per container format (the

@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * Iterations are driver-controlled but each step is a fully distributed
   * join+aggregate; lineage is truncated per step (localCheckpoint) so the
-  * plan doesn't grow with iteration count. Near-dup clusters have tiny
-  * diameters, so convergence is typically 2–3 rounds.
+  * plan doesn't grow with iteration count, and superseded checkpoint
+  * generations are freed as each round's action materializes the next
+  * ([[CheckpointHygiene]]) — live blocks stay bounded at any round
+  * count. Near-dup clusters have tiny diameters, so convergence is
+  * typically 2–3 rounds.
   */
 object Components {
 
@@ -20,13 +23,13 @@ object Components {
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(false)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(false)
+    val (edges, edgesCkpt) = CheckpointHygiene.checkpointTracked(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var (labels, prevCkpt) = CheckpointHygiene.checkpointTracked(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -38,18 +41,25 @@ object Components {
       // convergence check is a filter+count over the checkpointed frame —
       // one materializing action per iteration instead of a second
       // join+count against the old labels
-      val updated = labels.withColumnRenamed("component", "old")
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("old"), coalesce(col("neighbor_min"), col("old")))
-            .as("component"),
-          col("old"))
-        .localCheckpoint(false)
+      val (updated, ckpt) = CheckpointHygiene.checkpointTracked(
+        labels.withColumnRenamed("component", "old")
+          .join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("old"), coalesce(col("neighbor_min"), col("old")))
+              .as("component"),
+            col("old")))
       val changed = updated.filter(col("component") =!= col("old")).count()
       labels = updated.select(col("id"), col("component"))
+      // the count above materialized this round's checkpoint; the
+      // previous round's blocks are now unreferenced — free them
+      CheckpointHygiene.free(prevCkpt)
+      prevCkpt = ckpt
       converged = changed == 0
       iter += 1
     }
+    // the final labels read only their own checkpoint; the edge copy is
+    // done the moment the loop exits
+    CheckpointHygiene.free(edgesCkpt)
     // mid-propagation labels are plausible-looking but WRONG (a node may
     // carry a non-minimum reachable id) — fail fast rather than hand a
     // dedup pipeline a silently split clustering. Long-chain graphs that
@@ -80,11 +90,11 @@ object Components {
   def connectedComponentsStar(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    var edges = pairs.select(
-        least(col(aCol), col(bCol)).as("lo"),
-        greatest(col(aCol), col(bCol)).as("hi"))
-      .filter(col("lo") =!= col("hi")).distinct()
-      .localCheckpoint(false)
+    var (edges, prevCkpt) = CheckpointHygiene.checkpointTracked(
+      pairs.select(
+          least(col(aCol), col(bCol)).as("lo"),
+          greatest(col(aCol), col(bCol)).as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct())
     var nEdges = edges.count()
     var converged = nEdges == 0
     var iter = 0
@@ -102,18 +112,21 @@ object Components {
       // small-star on the smaller←larger orientation
       val oriented = large.select(col("hi").as("u"), col("lo").as("v"))
       val sm = oriented.groupBy("u").agg(min("v").as("m"))
-      val next = oriented.join(sm, Seq("u"))
-        .select(col("v").as("a"), col("m").as("b"))
-        .unionByName(sm.select(col("u").as("a"), col("m").as("b")))
-        .select(least(col("a"), col("b")).as("lo"),
-          greatest(col("a"), col("b")).as("hi"))
-        .filter(col("lo") =!= col("hi")).distinct()
-        .localCheckpoint(false)
+      val (next, ckpt) = CheckpointHygiene.checkpointTracked(
+        oriented.join(sm, Seq("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+          .unionByName(sm.select(col("u").as("a"), col("m").as("b")))
+          .select(least(col("a"), col("b")).as("lo"),
+            greatest(col("a"), col("b")).as("hi"))
+          .filter(col("lo") =!= col("hi")).distinct())
       // set equality via counts (both sides distinct):
       // |next| == |edges| == |next ∪ edges|  ⇔  next == edges
       val nNext = next.count()
       converged = nNext == nEdges &&
         next.unionByName(edges).distinct().count() == nEdges
+      // both counts above read the old generation; now it's superseded
+      CheckpointHygiene.free(prevCkpt)
+      prevCkpt = ckpt
       edges = next
       nEdges = nNext
       iter += 1
@@ -256,7 +269,8 @@ object Components {
   def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
       maxIter: Int = 30): DataFrame = {
     require(k >= 1, "k must be positive")
-    var edges = normalizedEdges(pairs, aCol, bCol).localCheckpoint(false)
+    var (edges, prevCkpt) = CheckpointHygiene.checkpointTracked(
+      normalizedEdges(pairs, aCol, bCol))
     var nEdges = edges.count()
     var converged = nEdges == 0
     var iter = 0
@@ -264,11 +278,14 @@ object Components {
       val deg = edges.select(explode(array(col("lo"), col("hi"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("id"))
-      val next = edges
+      val (next, ckpt) = CheckpointHygiene.checkpointTracked(edges
         .join(keep.withColumnRenamed("id", "lo"), Seq("lo"), "left_semi")
-        .join(keep.withColumnRenamed("id", "hi"), Seq("hi"), "left_semi")
-        .localCheckpoint(false)
+        .join(keep.withColumnRenamed("id", "hi"), Seq("hi"), "left_semi"))
       val m = next.count()
+      // the count materialized this round's peel; the previous edge
+      // generation is now unreferenced
+      CheckpointHygiene.free(prevCkpt)
+      prevCkpt = ckpt
       // no edge removed ⇒ every endpoint had degree ≥ k ⇒ fixpoint
       converged = m == nEdges
       edges = next

@@ -31,12 +31,11 @@ import org.apache.spark.sql.functions._
   * ReusedExchange, so nothing is pinned in executor storage. Deep runs
   * truncate lineage every `checkpointInterval` iterations
   * (localCheckpoint) so optimizer time and plan depth stay bounded —
-  * the [[Components.connectedComponents]] discipline. Persisted blocks
-  * accumulate per checkpoint and are only freed with the session, so
-  * interval checkpointing (not per-step) is deliberately the default:
-  * a repeated caller in one long-lived session (a bench loop, a
-  * notebook) would otherwise leak storage memory until eviction churn
-  * dominates runtime.
+  * the [[Components.connectedComponents]] discipline. Superseded
+  * interval checkpoints are freed as soon as their successor
+  * materializes ([[CheckpointHygiene]]), so live storage stays ≤ 2
+  * generations at any depth; interval (not per-step) checkpointing
+  * additionally keeps shallow runs one declarative plan.
   *
   * Dangling nodes (out-degree 0) simply leak their rank mass — the
   * standard simplified formulation. Callers who need a strongly
@@ -114,6 +113,7 @@ object PageRank {
       .distinct()
     val teleport = (scale * (100L - dampPct)) / 100L
     var ranks = nodes.withColumn("pr", lit(scale))
+    var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     var i = 0
     while (i < iters) {
       // per-edge contribution: floor(rank / outdeg), exact on BIGINT
@@ -129,9 +129,18 @@ object PageRank {
           (lit(teleport) +
             expr(s"(${dampPct}L * coalesce(mass, 0L)) DIV 100L")).as("pr"))
       // deep runs only: bound plan depth; never checkpoint the final
-      // frame — the caller gets the real plan, not an RDD scan
-      ranks = if ((i + 1) % checkpointInterval == 0 && i < iters - 1)
-        next.localCheckpoint(false) else next
+      // frame — the caller gets the real plan, not an RDD scan. Interval
+      // checkpoints are EAGER so the superseded one can be freed on the
+      // spot (a lazy chain would need its predecessor's blocks to
+      // materialize later) — live storage stays ≤ 2 generations at any
+      // depth instead of growing with iters/interval
+      ranks = if ((i + 1) % checkpointInterval == 0 && i < iters - 1) {
+        val (ck, ckpt) =
+          CheckpointHygiene.checkpointTracked(next, eager = true)
+        CheckpointHygiene.free(prevCkpt)
+        prevCkpt = ckpt
+        ck
+      } else next
       i += 1
     }
     ranks
@@ -181,22 +190,27 @@ object PageRank {
     var a = e.select(col("dst").as("node")).distinct()
       .withColumn("a", lit(0L))
     val noEdges = e.isEmpty
+    var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     var i = 0
     while (i < iters && !noEdges) {
-      val aRaw = e.join(h.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("h")).as("raw"))
-        .localCheckpoint(false)
+      val (aRaw, aCkpt) = CheckpointHygiene.checkpointTracked(
+        e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("h")).as("raw")))
       val maxA = aRaw.agg(max(col("raw"))).collect()(0).getLong(0)
       a = aRaw.select(col("node"),
         expr(s"(raw * ${scale}L) DIV ${maxA}L").as("a"))
-      val hRaw = e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(sum(col("a")).as("raw"))
-        .localCheckpoint(false)
+      val (hRaw, hCkpt) = CheckpointHygiene.checkpointTracked(
+        e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("a")).as("raw")))
       val maxH = hRaw.agg(max(col("raw"))).collect()(0).getLong(0)
       h = hRaw.select(col("node"),
         expr(s"(raw * ${scale}L) DIV ${maxH}L").as("h"))
+      // both max actions materialized this round's half-step
+      // checkpoints; the previous round's blocks are unreferenced now
+      CheckpointHygiene.free(prevCkpt)
+      prevCkpt = aCkpt ++ hCkpt
       i += 1
     }
     nodes

@@ -33,27 +33,50 @@ object Stats {
     * state — the q109 argument) — identical downstream shape, rank
     * error bounded by the sketch accuracy. Empty buckets (possible
     * under heavy value repetition) simply don't appear.
-    */
+    *
+    * Integral columns bucket with INTEGRAL boundaries: the percentile
+    * aggregate emits doubles, and a long-vs-double comparison promotes
+    * the column to double — values past 2^53 round during the promote
+    * and land in the wrong bucket. Flooring the boundary to the
+    * column's own type is semantics-preserving (for integer v and real
+    * b, v > b ⟺ v > floor(b)) and keeps every comparison exact; the
+    * boundary VALUE still carries the aggregate's double precision,
+    * which both engines share (quantile_cont parity). An empty input —
+    * or an all-null column — returns an empty histogram rather than
+    * NPE'ing on the null boundary row. */
   def equiDepthHistogram(df: DataFrame, valueCol: String, nBuckets: Int,
       approxBoundaries: Boolean = false,
       approxAccuracy: Int = 10000): DataFrame = {
     require(nBuckets >= 2, "need at least 2 buckets")
-    val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-    val probsSql = probs.mkString("array(", ",", ")")
-    val fn = if (approxBoundaries) s"percentile_approx($valueCol, $probsSql, $approxAccuracy)"
-      else s"percentile($valueCol, $probsSql)"
-    val bnd: Seq[Double] = df.agg(expr(fn)).collect()(0)
-      .getSeq[Any](0).map {
+    val vc = col(valueCol)
+    val isIntegral = df.select(vc).schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val probs = typedlit((1 until nBuckets).map(_.toDouble / nBuckets))
+    val boundariesAgg =
+      if (approxBoundaries) percentile_approx(vc, probs, lit(approxAccuracy))
+      else percentile(vc, probs)
+    val row = df.agg(boundariesAgg).collect()(0)
+    // null boundary row = zero non-null values: empty histogram, same
+    // schema as the populated path (limit(0) + the empty fold below)
+    val (frame, bnd) =
+      if (row.isNullAt(0)) (df.limit(0), Seq.empty[Double])
+      else (df, row.getSeq[Any](0).map {
         case d: Double => d
         case l: Long => l.toDouble
         case i: Int => i.toDouble
-      }
+      })
     val bucket = bnd.foldLeft(lit(0L)) { (acc, b) =>
-      acc + when(col(valueCol) > lit(b), 1L).otherwise(0L)
+      val bLit = if (isIntegral) lit(math.floor(b).toLong) else lit(b)
+      acc + when(vc > bLit, 1L).otherwise(0L)
     }
-    df.groupBy(bucket.as("bucket"))
+    frame.groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n"),
-        min(col(valueCol)).as("lo"),
-        max(col(valueCol)).as("hi"))
+        min(vc).as("lo"),
+        max(vc).as("hi"))
   }
 }

@@ -56,6 +56,36 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("values past 2^53 bucket exactly (integral boundaries, no double " +
+      "promote)") {
+    import spark.implicits._
+    // boundary lands on 2^53+1, which is NOT a double; the old
+    // double-domain compare promoted the column and put 2^53+1 in the
+    // wrong bucket (2^53+1 as double rounds to 2^53, and x > 2^53 is
+    // then false). With floored-long boundaries every compare is exact.
+    val p53 = 9007199254740992L // 2^53
+    val got = Stats.equiDepthHistogram(
+        Seq(p53, p53 + 1, p53 + 3).toDF("v"), "v", 2)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got === Array(
+      (0L, 1L, p53, p53),
+      (1L, 2L, p53 + 1, p53 + 3)))
+  }
+
+  test("empty input and all-null columns yield an empty histogram, not " +
+      "an NPE") {
+    import spark.implicits._
+    val empty = Stats.equiDepthHistogram(
+      Seq.empty[Long].toDF("v"), "v", 4)
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq === Seq("bucket", "n", "lo", "hi"))
+    val allNull = Stats.equiDepthHistogram(
+      Seq[Option[Long]](None, None).toDF("v"), "v", 4)
+    assert(allNull.collect().isEmpty)
+  }
+
   test("histogram plan has no window and a partial aggregation") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val df = Stats.equiDepthHistogram(docs, "n_chars", 4)
