@@ -229,6 +229,12 @@ object SketchParams {
   object q121 {
     val nBuckets = 8
   }
+  /** q122 media→featurize→ANN composition oracle: corpus/query bounds
+    * and top-k, matching q40's shape; features are 8 md5-derived
+    * integers per payload ([[graft.operators.Multimodal.Decoder.PortableMd5]]). */
+  object q122 {
+    val corpusMax = 200L; val maxQueryId = 4L; val k = 3
+  }
 }
 
 object OracleSql {
@@ -1652,6 +1658,40 @@ object OracleSql {
     FROM bucketed GROUP BY bucket"""
   }
 
+  /** Media → featurize → ANN composition (q122): the portable-md5
+    * featurizer replayed in SQL over the same payload bytes — feature i
+    * is `(md5_60bit(text || ':i') % 2001) − 1000`, the exact integers
+    * the JVM decoder [[graft.operators.Multimodal.Decoder.PortableMd5]]
+    * emits — then the q83 integer-exact quantized cosine top-k. Closes
+    * the q40 media-pipeline composition gap: q40 itself stays rows-only
+    * (its FNV-1a decoder is a JVM stub by design), but the SAME
+    * plumbing with a portable decoder is hash-verified end-to-end here.
+    * Generated from [[SketchParams.q122]]. */
+  private def q122: String = {
+    val p = SketchParams.q122
+    val featSql = (0 until 8).map(i =>
+      s"(('0x' || substr(md5(text || ':$i'), 1, 15))::BIGINT % 2001) - 1000")
+      .mkString("[", ", ", "]")
+    s"""
+    WITH f AS (
+      SELECT doc_id AS vec_id, $featSql AS qv
+      FROM documents WHERE doc_id < ${p.corpusMax}
+    ), n AS (
+      SELECT vec_id, qv, ${idotSql("qv", "qv")} AS nrm FROM f)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+      CAST(qdot AS BIGINT) AS qdot
+    FROM (
+      SELECT qn.vec_id AS query_id, cn.vec_id AS neighbor_id,
+        ${idotSql("qn.qv", "cn.qv")} AS qdot,
+        row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+          CAST(${idotSql("qn.qv", "cn.qv")} AS DOUBLE) /
+            sqrt(CAST(qn.nrm AS DOUBLE) * CAST(cn.nrm AS DOUBLE)) DESC,
+          cn.vec_id) AS rank
+      FROM n qn JOIN n cn ON cn.vec_id != qn.vec_id
+      WHERE qn.vec_id < ${p.maxQueryId})
+    WHERE rank <= ${p.k}"""
+  }
+
   /** Dedup-screen evaluation (q119): the q49 pair list graded against
     * the PLANTED near-dup truth (base doc ↔ its +1,000,000 truncated
     * twin) with the q116 confusion/metric scheme — the SQL twin of
@@ -2715,6 +2755,7 @@ object OracleSql {
     "q119_dedup_eval" -> q119,
     "q120_hits" -> q120,
     "q121_histogram" -> q121,
+    "q122_media_ann_oracle" -> q122,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -1999,6 +1999,33 @@ object SparkEntry {
     operators.Stats.equiDepthHistogram(
       t(s, dir, "documents"), "n_chars", SketchParams.q121.nBuckets)
 
+  /** Fully-oracled twin of [[q40MediaPipeline]] (the q49/q51/q68
+    * sketch-twin pattern): the SAME Multimodal plumbing — binary
+    * payloads via [[graft.operators.Multimodal.fromText]], decoder-
+    * boundary featurize over `mapPartitions` — but with
+    * [[graft.operators.Multimodal.Decoder.PortableMd5]] extracting
+    * md5-derived INTEGER features an external engine replays from the
+    * same bytes, ranked by the q83 integer-exact quantized cosine
+    * (exact `qdot` in the output so the oracle verifies the scoring
+    * kernel, not only the rank). Together with q40 (rows-only; its
+    * FNV-1a decoder is a JVM stub by design) this hash-verifies the
+    * media → embedding → ANN COMPOSITION end-to-end. Params from
+    * [[SketchParams.q122]]. */
+  def q122MediaAnnOracle(s: SparkSession, dir: String): DataFrame = {
+    import operators.Multimodal
+    val p = SketchParams.q122
+    val media = Multimodal.fromText(
+      t(s, dir, "documents").filter(col("doc_id") < p.corpusMax),
+      "doc_id", "text", "image")
+    val feats = Multimodal
+      .featurize(media, Multimodal.Decoder.PortableMd5)
+      .toDF().select(col("id").as("vec_id"), col("feature").as("embedding"))
+    Ann.quantizedTopK(feats, feats.filter(col("vec_id") < p.maxQueryId),
+        "embedding", "vec_id", "vec_id", k = p.k, levels = 1)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("qdot"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2121,7 +2148,8 @@ object SparkEntry {
     "q118_kcore" -> (q118KCore _),
     "q119_dedup_eval" -> (q119DedupEval _),
     "q120_hits" -> (q120Hits _),
-    "q121_histogram" -> (q121Histogram _))
+    "q121_histogram" -> (q121Histogram _),
+    "q122_media_ann_oracle" -> (q122MediaAnnOracle _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -60,6 +60,32 @@ object Multimodal {
           w, ht, frames, frames.toLong * 40L, feat)
       }
     }
+
+    /** Engine-PORTABLE decode stub: the 8-dim feature vector is
+      * `(md5_60bit(payload ++ ":i") % 2001) − 1000` per dimension —
+      * exact integers in [-1000, 1000] that any md5-capable engine
+      * recomputes from the same bytes (the JVM twin of
+      * [[graft.functions.PortableHash.md5Long60]]'s 15-hex-char
+      * prefix). Same decoder boundary and batch shape as
+      * [[Deterministic]] (which it reuses for the non-feature
+      * metadata); this is what lets the media → featurize → ANN
+      * COMPOSITION be hash-verified end-to-end (q122's oracle replays
+      * the features in SQL), not just its relational shell. */
+    object PortableMd5 extends Decoder {
+      private def md5Long60(bytes: Array[Byte]): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        val hex = d.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      override def decode(row: MediaRow): MediaMeta = {
+        val base = Deterministic.decode(row)
+        val feat = Array.tabulate(8) { i =>
+          val m = md5Long60(row.content ++ s":$i".getBytes("UTF-8"))
+          ((m % 2001L) - 1000L).toFloat
+        }
+        base.copy(feature = feat)
+      }
+    }
   }
 
   /** Batched decode stage: `mapPartitions` so decoder init happens once per

@@ -60,4 +60,23 @@ class MultimodalSpec extends AnyFunSuite {
     val image = Multimodal.fromText(df, "id", "payload", "image")
     assert(Multimodal.sampleFrames(image, 2).count() == 0)
   }
+
+  test("PortableMd5 decoder features match the md5Long60 SQL arithmetic " +
+      "the q122 oracle replays") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha payload"), (2L, "beta"), (3L, "γ utf8 ✓"))
+      .toDF("id", "payload")
+    // JVM side: through the real decoder boundary
+    val got = Multimodal.featurize(
+        Multimodal.fromText(df, "id", "payload", "image"),
+        Multimodal.Decoder.PortableMd5)
+      .collect().map(m => m.id -> m.feature.map(_.toLong).toSeq).toMap
+    // Spark-SQL side: the identical expression the DuckDB oracle uses
+    val want = df.select(col("id") +: (0 until 8).map(i =>
+        (graft.functions.PortableHash.md5Long60(
+          concat(col("payload"), lit(s":$i"))) % 2001L - 1000L).as(s"f$i")): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(j => r.getLong(j))).toMap
+    assert(got == want)
+  }
 }
