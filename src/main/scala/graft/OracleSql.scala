@@ -235,6 +235,16 @@ object SketchParams {
   object q122 {
     val corpusMax = 200L; val maxQueryId = 4L; val k = 3
   }
+  /** q123 Fellegi–Sunter linkage over customer: candidates block on
+    * nationkey with custkey gap ≤ `maxGap`; the gold set is the
+    * candidates passing the exact mktsegment rule (the cascade-bootstrap
+    * pattern — a high-precision rule stage labels pairs, FS
+    * generalizes); `threshold` sits between the segment-agree and
+    * segment-disagree score bands so `is_match` splits. */
+  object q123 {
+    val maxGap = 3L
+    val threshold = 1.0
+  }
 }
 
 object OracleSql {
@@ -1692,6 +1702,71 @@ object OracleSql {
     WHERE rank <= ${p.k}"""
   }
 
+  /** Fellegi–Sunter linkage (q123): the SQL twin of
+    * `Linkage.estimateWeights` + `Linkage.scorePairs` — identical
+    * Laplace-smoothed BIGINT rationals (m from the rule-labeled gold
+    * set, u from Σc²/N²), identical double op shapes for the odds-ratio
+    * weights ((mNum/mDen)/(uNum/uDen), left-assoc field-order product),
+    * so scores and the threshold decision match bit-for-bit. Generated
+    * from [[SketchParams.q123]]. */
+  private def q123: String = {
+    val p = SketchParams.q123
+    def agree(i: Int) =
+      s"(a.f$i IS NOT NULL AND b.f$i IS NOT NULL AND a.f$i = b.f$i)"
+    def uCte(i: Int) = s"""
+    u$i AS (
+      SELECT CAST(SUM(cc * cc) AS BIGINT) + 1 AS unum FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cc FROM c
+        WHERE f$i IS NOT NULL GROUP BY f$i))"""
+    def wPair(i: Int) = s"""
+      (CAST(m.m$i + 1 AS DOUBLE) / CAST(m.ng + 2 AS DOUBLE)) /
+        (CAST(u$i.unum AS DOUBLE) / CAST(nn.n * nn.n + 2 AS DOUBLE))
+        AS w${i}a,
+      (CAST(m.ng + 2 - (m.m$i + 1) AS DOUBLE) / CAST(m.ng + 2 AS DOUBLE)) /
+        (CAST(nn.n * nn.n + 2 - u$i.unum AS DOUBLE)
+          / CAST(nn.n * nn.n + 2 AS DOUBLE)) AS w${i}d"""
+    s"""
+    WITH c AS (
+      SELECT c_custkey AS id, c_mktsegment AS f1,
+        CAST(c_nationkey AS BIGINT) AS f2,
+        CAST(floor(c_acctbal) AS BIGINT) % 100 AS f3
+      FROM customer
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c
+    ),${uCte(1)},${uCte(2)},${uCte(3)},
+    blocked AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+        a.f1 AS ga, b.f1 AS gb
+      FROM c a JOIN c b ON a.f2 = b.f2 AND a.id < b.id
+        AND b.id - a.id <= ${p.maxGap}
+    ), gj AS (
+      SELECT bl.id_a, bl.id_b
+      FROM blocked bl WHERE bl.ga = bl.gb
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ng,
+        CAST(SUM(CASE WHEN ${agree(1)} THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        CAST(SUM(CASE WHEN ${agree(2)} THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+        CAST(SUM(CASE WHEN ${agree(3)} THEN 1 ELSE 0 END) AS BIGINT) AS m3
+      FROM gj g JOIN c a ON a.id = g.id_a JOIN c b ON b.id = g.id_b
+    ), w AS (
+      SELECT${wPair(1)},${wPair(2)},${wPair(3)}
+      FROM m, u1, u2, u3, nn
+    ), scored AS (
+      SELECT bl.id_a, bl.id_b,
+        CAST((CASE WHEN ${agree(1)} THEN 1 ELSE 0 END) +
+          (CASE WHEN ${agree(2)} THEN 1 ELSE 0 END) +
+          (CASE WHEN ${agree(3)} THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        ((CASE WHEN ${agree(1)} THEN w.w1a ELSE w.w1d END) *
+         (CASE WHEN ${agree(2)} THEN w.w2a ELSE w.w2d END)) *
+         (CASE WHEN ${agree(3)} THEN w.w3a ELSE w.w3d END) AS score
+      FROM blocked bl
+      JOIN c a ON a.id = bl.id_a JOIN c b ON b.id = bl.id_b
+      CROSS JOIN w)
+    SELECT id_a, id_b, n_agree, score,
+      score >= ${p.threshold} AS is_match
+    FROM scored"""
+  }
+
   /** Dedup-screen evaluation (q119): the q49 pair list graded against
     * the PLANTED near-dup truth (base doc ↔ its +1,000,000 truncated
     * twin) with the q116 confusion/metric scheme — the SQL twin of
@@ -2756,6 +2831,7 @@ object OracleSql {
     "q120_hits" -> q120,
     "q121_histogram" -> q121,
     "q122_media_ann_oracle" -> q122,
+    "q123_fellegi_sunter" -> q123,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -2026,6 +2026,42 @@ object SparkEntry {
         col("rank").cast("long").as("rank"), col("qdot"))
   }
 
+  /** Fellegi–Sunter probabilistic linkage
+    * ([[graft.operators.Linkage]]): candidates block on nationkey with a
+    * bounded custkey gap; the gold set is the candidates passing the
+    * exact-mktsegment rule (the cascade-bootstrap pattern — a
+    * high-precision rule stage labels pairs, FS generalizes to the
+    * probabilistic score); m from the gold agreement rates,
+    * frequency-based u from the value distributions, odds-ratio-product
+    * scoring. The third field (account-balance mod bucket — IEEE floor,
+    * identical both engines) is independent of the block, so scores
+    * spread across agreement bands. Every statistic is an exact BIGINT
+    * rational and every double a fixed op shape, so the DuckDB oracle
+    * replays estimation AND scoring bit-for-bit. Params from
+    * [[SketchParams.q123]]. */
+  def q123FellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q123
+    val cust = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_mktsegment"),
+      col("c_nationkey").cast("long").as("c_nation"),
+      (floor(col("c_acctbal")).cast("long") % 100L).as("c_balmod"))
+    val fields = Seq("c_mktsegment", "c_nation", "c_balmod")
+    val l = cust.select(col("c_custkey").as("id_a"),
+      col("c_nation").as("__blk"), col("c_mktsegment").as("__seg_a"))
+    val r = cust.select(col("c_custkey").as("id_b"),
+      col("c_nation").as("__blk"), col("c_mktsegment").as("__seg_b"))
+    val blocked = l.join(r, Seq("__blk"))
+      .filter(col("id_a") < col("id_b") &&
+        col("id_b") - col("id_a") <= p.maxGap)
+    val cands = blocked.select("id_a", "id_b")
+    val gold = blocked.filter(col("__seg_a") === col("__seg_b"))
+      .select("id_a", "id_b")
+    val w = operators.Linkage.estimateWeights(cust, "c_custkey", fields,
+      gold)
+    operators.Linkage.scorePairs(cust, "c_custkey", fields, cands, w,
+      p.threshold)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2149,7 +2185,8 @@ object SparkEntry {
     "q119_dedup_eval" -> (q119DedupEval _),
     "q120_hits" -> (q120Hits _),
     "q121_histogram" -> (q121Histogram _),
-    "q122_media_ann_oracle" -> (q122MediaAnnOracle _))
+    "q122_media_ann_oracle" -> (q122MediaAnnOracle _),
+    "q123_fellegi_sunter" -> (q123FellegiSunter _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

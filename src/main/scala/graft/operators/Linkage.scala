@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter 1969,
+  * JASA, "A Theory for Record Linkage") — the classical model behind
+  * production entity-matching engines, re-expressed relationally as the
+  * probabilistic sibling of the rule/fuzzy [[Cascade]]:
+  *
+  *   - per comparison field f: `m_f = P(agree | match)` estimated from
+  *     labeled gold pairs, `u_f = P(agree | non-match)` estimated from
+  *     the value distribution (the probability two RANDOM records agree,
+  *     `Σ_v c_v² / N²` — the standard frequency-based u);
+  *   - a candidate pair scores `Π_f w_f` where `w_f = (m_f/u_f)` on
+  *     agreement and `(1−m_f)/(1−u_f)` on disagreement — the ODDS-RATIO
+  *     product, i.e. exp of the textbook log-weight sum. Log is monotone,
+  *     so thresholding/ranking the product IS thresholding the
+  *     Fellegi–Sunter weight (the q117 no-libm transform);
+  *   - pairs at/above `threshold` are matches.
+  *
+  * Engine-portable by construction: every statistic is an exact BIGINT
+  * rational (Laplace-smoothed: `m = (agree+1)/(n_gold+2)`,
+  * `u = (Σc²+1)/(N²+2)` — smoothing also keeps 1−m and 1−u nonzero), and
+  * the per-field weights are fixed SHAPES of IEEE ops over those exact
+  * integers — `(mNum/mDen) / (uNum/uDen)`, multiplied in field order —
+  * so an external engine recomputing the same integers reproduces the
+  * scores bit-for-bit (q123's DuckDB oracle replays estimation AND
+  * scoring).
+  *
+  * Scale shape: estimation is one hash aggregation per field for u (value
+  * histogram, map-side partial) plus one gold⋈records⋈records join for
+  * all m's together; only the F-row weight table reaches the driver (the
+  * Packing-subtotal model-state class). Scoring is two hash joins of the
+  * candidate list against the records (on each id) followed by a pure
+  * map — candidates come from the caller's blocking strategy
+  * ([[Cascade]] blocks, [[Dedup]] LSH buckets), so no all-pairs shape
+  * exists anywhere. Overflow: `Σ_v c_v²` ≤ N², so N up to ~3·10⁹ rows
+  * fits BIGINT (past that, estimate u on a hash-sample).
+  *
+  * Null semantics: a NULL on either side of a field is a DISAGREEMENT
+  * (never an agreement), and NULL values are excluded from u's value
+  * histogram while N stays the full record count — consistent between
+  * estimation and scoring.
+  */
+object Linkage {
+
+  /** Per-field match/non-match agreement statistics as exact rationals.
+    * `agreeWeight`/`disagreeWeight` derive the double odds-ratios with a
+    * FIXED op shape — the same shape the SQL oracle writes, so the
+    * doubles agree across engines. */
+  final case class FieldWeight(field: String,
+      mNum: Long, mDen: Long, uNum: Long, uDen: Long) {
+    require(mNum > 0 && mNum < mDen && uNum > 0 && uNum < uDen,
+      s"degenerate weight for $field: m=$mNum/$mDen u=$uNum/$uDen")
+    def agreeWeight: Double =
+      (mNum.toDouble / mDen.toDouble) / (uNum.toDouble / uDen.toDouble)
+    def disagreeWeight: Double =
+      ((mDen - mNum).toDouble / mDen.toDouble) /
+        ((uDen - uNum).toDouble / uDen.toDouble)
+  }
+
+  private def agreeCol(f: String): Column =
+    col(s"__a_$f").isNotNull && col(s"__b_$f").isNotNull &&
+      col(s"__a_$f") === col(s"__b_$f")
+
+  private def sides(records: DataFrame, idCol: String,
+      fields: Seq[String]): (DataFrame, DataFrame) = (
+    records.select(col(idCol).as("id_a") +:
+      fields.map(f => col(f).as(s"__a_$f")): _*),
+    records.select(col(idCol).as("id_b") +:
+      fields.map(f => col(f).as(s"__b_$f")): _*))
+
+  /** Estimate [[FieldWeight]]s: m from `goldPairs` (an (id_a, id_b)
+    * frame of known matches — agreement rate per field, Laplace
+    * smoothed), u from the records' own value distribution
+    * (`(Σ_v c_v² + 1) / (N² + 2)`). One aggregate per field plus one
+    * three-way join; F rows to the driver. */
+  def estimateWeights(records: DataFrame, idCol: String,
+      fields: Seq[String], goldPairs: DataFrame): Seq[FieldWeight] = {
+    val n = records.count()
+    val (a, b) = sides(records, idCol, fields)
+    val gj = goldPairs.select(col("id_a"), col("id_b"))
+      .join(a, Seq("id_a")).join(b, Seq("id_b"))
+    val mRow = gj.agg(count(lit(1)).as("__n"),
+      fields.map(f => sum(when(agreeCol(f), 1L).otherwise(0L))
+        .as(s"__agree_$f")): _*).collect()(0)
+    val nGold = mRow.getAs[Long]("__n")
+    require(nGold > 0, "estimateWeights needs a non-empty gold pair set")
+    fields.map { f =>
+      val uSum = records.filter(col(f).isNotNull)
+        .groupBy(col(f)).agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c") * col("__c"))).collect()(0).getLong(0)
+      FieldWeight(f,
+        mNum = mRow.getAs[Long](s"__agree_$f") + 1L, mDen = nGold + 2L,
+        uNum = uSum + 1L, uDen = n * n + 2L)
+    }
+  }
+
+  /** Score candidate pairs and decide matches: two hash joins on the ids
+    * + a pure map. Output: (id_a, id_b, n_agree, score, is_match),
+    * with `score` the odds-ratio product (doubles multiplied in `fields`
+    * order — the oracle-replicable shape) and `is_match` =
+    * score ≥ threshold. */
+  def scorePairs(records: DataFrame, idCol: String, fields: Seq[String],
+      candidates: DataFrame, weights: Seq[FieldWeight],
+      threshold: Double): DataFrame = {
+    val byField = weights.map(w => w.field -> w).toMap
+    require(fields.forall(byField.contains), "weight per field required")
+    val (a, b) = sides(records, idCol, fields)
+    val score = fields.map { f =>
+      val w = byField(f)
+      when(agreeCol(f), lit(w.agreeWeight)).otherwise(lit(w.disagreeWeight))
+    }.reduce(_ * _)
+    val nAgree = fields.map(f =>
+      when(agreeCol(f), 1L).otherwise(0L)).reduce(_ + _)
+    candidates.select(col("id_a"), col("id_b"))
+      .join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        nAgree.as("n_agree"), score.as("score"),
+        (score >= lit(threshold)).as("is_match"))
+  }
+}

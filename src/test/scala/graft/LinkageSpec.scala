@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Linkage
+
+/** Fellegi–Sunter linkage against hand-computed rationals.
+  *
+  * Hand corpus (id, color, size): 1=(red,S) 2=(red,S) 3=(red,M)
+  * 4=(blue,M); N=4, gold={(1,2)}.
+  *   u_color = (3²+1²+1)/(16+2) = 11/18   u_size = (2²+2²+1)/18 = 9/18
+  *   m_color = m_size = (1+1)/(1+2) = 2/3
+  *   w_color: agree (2/3)/(11/18) = 12/11, disagree (1/3)/(7/18) = 6/7
+  *   w_size:  agree (2/3)/(9/18)  = 4/3,   disagree (1/3)/(9/18) = 2/3
+  */
+class LinkageSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  private def records = {
+    import spark.implicits._
+    Seq((1L, "red", "S"), (2L, "red", "S"), (3L, "red", "M"),
+      (4L, "blue", "M")).toDF("id", "color", "size")
+  }
+  private def gold = {
+    import spark.implicits._
+    Seq((1L, 2L)).toDF("id_a", "id_b")
+  }
+  private val fields = Seq("color", "size")
+
+  test("estimateWeights reproduces the hand-computed m/u rationals") {
+    val w = Linkage.estimateWeights(records, "id", fields, gold)
+      .map(fw => fw.field -> fw).toMap
+    assert(w("color") == Linkage.FieldWeight("color", 2, 3, 11, 18))
+    assert(w("size") == Linkage.FieldWeight("size", 2, 3, 9, 18))
+    // the derived doubles use the documented op shape — exact equality
+    assert(w("color").agreeWeight == (2.0 / 3.0) / (11.0 / 18.0))
+    assert(w("color").disagreeWeight == (1.0 / 3.0) / (7.0 / 18.0))
+  }
+
+  test("scorePairs: hand-computed odds products and threshold decision") {
+    import spark.implicits._
+    val cands = Seq((1L, 2L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val w = Linkage.estimateWeights(records, "id", fields, gold)
+    val got = Linkage.scorePairs(records, "id", fields, cands, w,
+        threshold = 1.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val wc = w.find(_.field == "color").get
+    val ws = w.find(_.field == "size").get
+    // exact doubles: same multiply order as the operator (field order)
+    assert(got((1L, 2L)) ==
+      ((2L, wc.agreeWeight * ws.agreeWeight, true)))
+    assert(got((1L, 3L)) ==
+      ((1L, wc.agreeWeight * ws.disagreeWeight, false)))
+    assert(got((3L, 4L)) ==
+      ((1L, wc.disagreeWeight * ws.agreeWeight, true)))
+  }
+
+  test("null fields never agree and are excluded from the u histogram") {
+    import spark.implicits._
+    val recs = Seq((1L, Some("red"), "S"), (2L, None, "S"),
+      (3L, Some("red"), "M"), (4L, None, "M"))
+      .toDF("id", "color", "size")
+    val w = Linkage.estimateWeights(recs, "id", fields,
+      Seq((1L, 3L)).toDF("id_a", "id_b"))
+      .map(fw => fw.field -> fw).toMap
+    // u_color counts only the two non-null reds: (2²+1)/(16+2) = 5/18
+    assert(w("color") == Linkage.FieldWeight("color", 2, 3, 5, 18))
+    // a null on either side scores as disagreement
+    val scored = Linkage.scorePairs(recs, "id", fields,
+        Seq((1L, 2L)).toDF("id_a", "id_b"), w.values.toSeq,
+        threshold = 1000.0)
+      .collect()(0)
+    assert(scored.getLong(2) == 1L) // size agrees, null color does not
+    assert(!scored.getBoolean(4))
+  }
+
+  test("empty gold set is rejected (weights would be meaningless)") {
+    import spark.implicits._
+    val err = intercept[IllegalArgumentException] {
+      Linkage.estimateWeights(records, "id", fields,
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    }
+    assert(err.getMessage.contains("gold"))
+  }
+}

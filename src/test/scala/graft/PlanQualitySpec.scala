@@ -380,6 +380,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"nested pruning missing: $scan")
   }
 
+  test("centroid TABLE path: matrix rides a broadcast nested-loop (1 row), " +
+      "never a cartesian, and the plan stays O(1) in nlist (r10)") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.select(col("vec_id"),
+      operators.Ann.quantizeVec(col("embedding"), 1000).as("qv"))
+    val cents = (0 until 300).map(i =>
+      (0 until operators.Ann.dimOf(emb, "embedding"))
+        .map(d => ((i * 31 + d * 17) % 101 - 50).toLong))
+    val df = operators.Ann.withNearestCentroidL(q, cents, col("qv"), "c")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "centroid row should attach via broadcast nested-loop")
+    assert(!plan.contains("CartesianProduct"), "no cartesian")
+    // O(1) plan nodes: the 300-centroid matrix must NOT appear as 300
+    // literal fold chains (the literal path emits one aggregate per
+    // centroid; the table path exactly one transform over the column)
+    assert("aggregate\\(".r.findAllIn(plan.toLowerCase).size < 20,
+      "plan size grows with nlist — literal chain leaked into table path")
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
