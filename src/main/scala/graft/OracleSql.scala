@@ -245,6 +245,13 @@ object SketchParams {
     val maxGap = 3L
     val threshold = 1.0
   }
+  /** q125 personalized PageRank over the q99 symmetrized graph: seeds
+    * are every `seedMod`-th supplier (node id = s_suppkey·2); iteration
+    * count / scale / damping as q99. */
+  object q125 {
+    val iters = 3; val scale = 1000000L; val dampPct = 85
+    val seedMod = 10L
+  }
 }
 
 object OracleSql {
@@ -1235,6 +1242,51 @@ object OracleSql {
     SELECT node, pr FROM r${p.iters}"""
   }
 
+  /** Personalized PageRank (q125): the q99 unrolled-CTE twin with a
+    * seed-gated teleport term and seed-only initial mass — the SQL twin
+    * of `PageRank.personalizedPageRankFixedPoint`. Generated from
+    * [[SketchParams.q125]]. */
+  private def q125: String = {
+    val p = SketchParams.q125
+    val teleport = (p.scale * (100L - p.dampPct)) / 100L
+    val iterCtes = (1 to p.iters).map { i => s"""
+    r$i AS (
+      SELECT n.node,
+        CAST(CASE WHEN n.node IN (SELECT node FROM seeds)
+            THEN $teleport ELSE 0 END
+          + (${p.dampPct} * COALESCE(s.mass, 0)) // 100
+          AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.pr // d.outdeg) AS mass
+        FROM edges e
+        JOIN r${i - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s ON n.node = s.node)"""
+    }.mkString(",")
+    s"""
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM e0
+      UNION ALL
+      SELECT b AS src, a AS dst FROM e0
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), seeds AS (
+      SELECT DISTINCT s_suppkey * 2 AS node FROM supplier
+      WHERE s_suppkey % ${p.seedMod} = 0
+    ), r0 AS (
+      SELECT n.node,
+        CAST(CASE WHEN n.node IN (SELECT node FROM seeds)
+          THEN ${p.scale} ELSE 0 END AS BIGINT) AS pr
+      FROM nodes n
+    ),$iterCtes
+    SELECT node, pr FROM r${p.iters}"""
+  }
+
   /** Grouped top-k via the bounded-state BottomK aggregate (q100): the
     * oracle is the equivalent row_number window — ORDER BY (-cents,
     * raw-string id) replicates the heap's (key, value) total order,
@@ -1765,6 +1817,48 @@ object OracleSql {
     SELECT id_a, id_b, n_agree, score,
       score >= ${p.threshold} AS is_match
     FROM scored"""
+  }
+
+  /** Blocking evaluation (q124): the SQL twin of
+    * `Linkage.evaluateBlocking` over the q123 nation block vs
+    * adjacent-custkey pseudo-truth — identical distinct-pair
+    * normalization, identical BIGINT counts, each metric the same
+    * single double division. Generated from [[SketchParams.q123]]. */
+  private def q124: String = {
+    val p = SketchParams.q123
+    s"""
+    WITH c AS (
+      SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS blk
+      FROM customer
+    ), nn AS (
+      SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n FROM c
+    ), tot AS (
+      SELECT n * (n - 1) // 2 AS t FROM nn
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        AND b.id - a.id <= ${p.maxGap}
+    ), gold AS (
+      SELECT DISTINCT a.id AS id_a, a.id + 1 AS id_b FROM c a
+      WHERE EXISTS (SELECT 1 FROM c b WHERE b.id = a.id + 1)
+    ), cnt AS (
+      SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS nc,
+        CAST((SELECT COUNT(*) FROM gold) AS BIGINT) AS ng,
+        CAST((SELECT COUNT(*) FROM gold g
+          WHERE EXISTS (SELECT 1 FROM cand cd
+            WHERE cd.id_a = g.id_a AND cd.id_b = g.id_b)) AS BIGINT)
+          AS ncov)
+    SELECT cnt.nc AS n_candidates, cnt.ng AS n_gold,
+      cnt.ncov AS n_covered,
+      CAST(tot.t - cnt.nc AS DOUBLE) / CAST(tot.t AS DOUBLE)
+        AS reduction_ratio,
+      CASE WHEN cnt.ng > 0
+        THEN CAST(cnt.ncov AS DOUBLE) / CAST(cnt.ng AS DOUBLE)
+        ELSE 0.0 END AS pair_completeness,
+      CASE WHEN cnt.nc > 0
+        THEN CAST(cnt.ncov AS DOUBLE) / CAST(cnt.nc AS DOUBLE)
+        ELSE 0.0 END AS pairs_quality
+    FROM cnt, tot"""
   }
 
   /** Dedup-screen evaluation (q119): the q49 pair list graded against
@@ -2832,6 +2926,8 @@ object OracleSql {
     "q121_histogram" -> q121,
     "q122_media_ann_oracle" -> q122,
     "q123_fellegi_sunter" -> q123,
+    "q124_blocking_eval" -> q124,
+    "q125_personalized_pagerank" -> q125,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

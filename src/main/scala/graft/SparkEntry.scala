@@ -2062,6 +2062,54 @@ object SparkEntry {
       p.threshold)
   }
 
+  /** Blocking-scheme evaluation
+    * ([[graft.operators.Linkage.evaluateBlocking]]): the q123 nation
+    * block graded against adjacent-custkey pseudo-truth — reduction
+    * ratio (how much of the quadratic pair space the block avoids),
+    * pair completeness (the recall cap blocking imposes on every later
+    * stage: adjacent pairs only survive when they share a nation), and
+    * pairs quality. One output row; each metric one double division of
+    * BIGINTs. Shares [[SketchParams.q123]]. */
+  def q124BlockingEval(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q123
+    val cust = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey").cast("long").as("c_nation"))
+    val l = cust.select(col("c_custkey").as("id_a"),
+      col("c_nation").as("__blk"))
+    val r = cust.select(col("c_custkey").as("id_b"),
+      col("c_nation").as("__blk"))
+    val cands = l.join(r, Seq("__blk"))
+      .filter(col("id_a") < col("id_b") &&
+        col("id_b") - col("id_a") <= p.maxGap)
+      .select("id_a", "id_b")
+    val gold = cust.select(col("c_custkey").as("id_a"),
+        (col("c_custkey") + 1L).as("id_b"))
+      .join(cust.select(col("c_custkey").as("id_b")), Seq("id_b"),
+        "left_semi")
+    operators.Linkage.evaluateBlocking(cust, "c_custkey", cands, gold)
+  }
+
+  /** Personalized PageRank
+    * ([[graft.operators.PageRank.personalizedPageRankFixedPoint]]) over
+    * the q99 symmetrized supplier–customer graph, seeded with every
+    * tenth supplier — the TrustRank-style "distance to trusted seeds"
+    * signal. Exact BIGINT fixed point; the oracle unrolls the seeded
+    * iterations as CTEs. Params from [[SketchParams.q125]]. */
+  def q125PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q125
+    val e0 = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2L).as("a"),
+        (col("o_custkey") * 2L + 1L).as("b"))
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    val seeds = t(s, dir, "supplier")
+      .filter(col("s_suppkey") % p.seedMod === 0)
+      .select((col("s_suppkey") * 2L).as("node"))
+    operators.PageRank.personalizedPageRankFixedPoint(edges, "a", "b",
+      seeds, "node", p.iters, p.scale, p.dampPct)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2186,7 +2234,9 @@ object SparkEntry {
     "q120_hits" -> (q120Hits _),
     "q121_histogram" -> (q121Histogram _),
     "q122_media_ann_oracle" -> (q122MediaAnnOracle _),
-    "q123_fellegi_sunter" -> (q123FellegiSunter _))
+    "q123_fellegi_sunter" -> (q123FellegiSunter _),
+    "q124_blocking_eval" -> (q124BlockingEval _),
+    "q125_personalized_pagerank" -> (q125PersonalizedPagerank _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -120,4 +120,46 @@ object Linkage {
         nAgree.as("n_agree"), score.as("score"),
         (score >= lit(threshold)).as("is_match"))
   }
+
+  /** Blocking-scheme evaluation (the standard record-linkage triple;
+    * Christen 2012, "Data Matching", ch. 7) — grade a candidate
+    * generator BEFORE paying for pair scoring:
+    *
+    *   - reduction ratio  = 1 − |cand| / (N·(N−1)/2) — how much of the
+    *     quadratic pair space the blocking avoided;
+    *   - pair completeness = |cand ∩ gold| / |gold| — the recall the
+    *     blocking CAPS for every downstream stage;
+    *   - pairs quality     = |cand ∩ gold| / |cand| — candidate
+    *     precision.
+    *
+    * Both pair sets are normalized to unordered distinct (lo, hi) so
+    * orientation/duplicates can't skew counts. One row out; each
+    * metric is ONE double division of exact BIGINTs (the q116
+    * convention — engine-exact, zero when the denominator is zero).
+    * Scale: a semi-join on the pair key + three 1-row aggregates;
+    * N·(N−1)/2 fits BIGINT to N ≈ 4.3·10⁹ records. */
+  def evaluateBlocking(records: DataFrame, idCol: String,
+      candidates: DataFrame, goldPairs: DataFrame): DataFrame = {
+    val n = records.select(col(idCol)).distinct().count()
+    val totalPairs = n * (n - 1) / 2
+    def norm(pairs: DataFrame): DataFrame = pairs
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    val cand = norm(candidates)
+    val gold = norm(goldPairs)
+    val covered = gold.join(cand, Seq("id_a", "id_b"), "left_semi")
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(gold.agg(count(lit(1)).as("n_gold"))))
+      .crossJoin(broadcast(covered.agg(count(lit(1)).as("n_covered"))))
+      .select(col("n_candidates"), col("n_gold"), col("n_covered"),
+        (lit(totalPairs) - col("n_candidates")).cast("double")
+          ./(lit(totalPairs).cast("double")).as("reduction_ratio"),
+        when(col("n_gold") > 0, col("n_covered").cast("double") /
+          col("n_gold").cast("double")).otherwise(lit(0.0))
+          .as("pair_completeness"),
+        when(col("n_candidates") > 0, col("n_covered").cast("double") /
+          col("n_candidates").cast("double")).otherwise(lit(0.0))
+          .as("pairs_quality"))
+  }
 }

@@ -146,6 +146,69 @@ object PageRank {
     ranks
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; Haveliwala 2002,
+    * "Topic-Sensitive PageRank"): teleport mass returns ONLY to a seed
+    * set instead of uniformly — rank becomes "relevance to these
+    * trusted seeds", the standard seed-propagation signal a curation
+    * pipeline uses to score domains/hosts near known-good ones
+    * (TrustRank is exactly this shape). Ranks start at `scale` on
+    * seeds and 0 elsewhere; the teleport term is seed-gated; nodes
+    * unreachable from the seed set stay at 0 — that IS the signal.
+    *
+    * Same exact-BIGINT fixed-point contract and Pregel-on-DataFrames
+    * shape as [[pageRankFixedPoint]] (one hash join + one partial agg
+    * per iteration, interval checkpointing with freed generations).
+    * Seeds arrive as a DataFrame of any size — the flag attaches via a
+    * hash join on the node id, no broadcast assumption; seeds absent
+    * from the graph are ignored. Unweighted edges (dedup'd); compose
+    * with the weighted variant's pre-aggregation if multiplicity
+    * matters. */
+  def personalizedPageRankFixedPoint(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iters: Int, scale: Long = 1000000L, dampPct: Int = 85,
+      checkpointInterval: Int = 8): DataFrame = {
+    require(iters >= 0 && scale > 0 && dampPct >= 0 && dampPct <= 100)
+    require(checkpointInterval >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(deg, Seq("src"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val flagged = nodes.join(
+        seeds.select(col(seedCol).as("node")).distinct()
+          .withColumn("__seed", lit(1)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0)).as("__seed"))
+    val teleport = (scale * (100L - dampPct)) / 100L
+    var ranks = flagged.select(col("node"),
+      when(col("__seed") === 1, lit(scale)).otherwise(lit(0L)).as("pr"))
+    var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    var i = 0
+    while (i < iters) {
+      val inbound = eDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("pr DIV outdeg").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("mass"))
+      val next = flagged.join(inbound, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__seed") === 1, lit(teleport)).otherwise(lit(0L)) +
+            expr(s"(${dampPct}L * coalesce(mass, 0L)) DIV 100L")).as("pr"))
+      ranks = if ((i + 1) % checkpointInterval == 0 && i < iters - 1) {
+        val (ck, ckpt) =
+          CheckpointHygiene.checkpointTracked(next, eager = true)
+        CheckpointHygiene.free(prevCkpt)
+        prevCkpt = ckpt
+        ck
+      } else next
+      i += 1
+    }
+    ranks
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in
     * a hyperlinked environment") — BIGINT fixed-point with
     * MAX-normalization. The textbook formulation renormalizes each

@@ -117,6 +117,17 @@ class CheckpointHygieneSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("deep personalizedPageRank frees superseded interval checkpoints") {
+    import spark.implicits._
+    val before = persisted
+    val ppr = PageRank.personalizedPageRankFixedPoint(path(10), "a", "b",
+      Seq(Tuple1(0L)).toDF("node"), "node",
+      iters = 20, checkpointInterval = 4)
+    assert(ppr.count() == 10)
+    val growth = persisted - before
+    assert(growth <= 1, s"leaked checkpoint generations: growth=$growth")
+  }
+
   test("repeated invocations do not accumulate blocks (the bench shape)") {
     val edges = path(14)
     // warm once so any operator-independent session state settles

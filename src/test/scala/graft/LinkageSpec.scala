@@ -76,6 +76,33 @@ class LinkageSpec extends AnyFunSuite {
     assert(!scored.getBoolean(4))
   }
 
+  test("evaluateBlocking: hand-computed metrics, orientation/duplicate " +
+      "normalization") {
+    import spark.implicits._
+    // N=4 → 6 total pairs. Candidates {(1,2),(3,1)} normalize to
+    // {(1,2),(1,3)}; gold {(2,1),(1,2),(2,3)} to {(1,2),(2,3)};
+    // covered = {(1,2)}.
+    val cands = Seq((1L, 2L), (3L, 1L)).toDF("id_a", "id_b")
+    val gold = Seq((2L, 1L), (1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val r = Linkage.evaluateBlocking(records, "id", cands, gold)
+      .collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 4.0 / 6.0) // reduction ratio
+    assert(r.getDouble(4) == 1.0 / 2.0) // pair completeness
+    assert(r.getDouble(5) == 1.0 / 2.0) // pairs quality
+  }
+
+  test("evaluateBlocking: empty candidate and gold sets yield zero " +
+      "metrics, not division errors") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val r = Linkage.evaluateBlocking(records, "id", empty, empty)
+      .collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.getDouble(3) == 1.0) // nothing generated: maximal reduction
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+  }
+
   test("empty gold set is rejected (weights would be meaningless)") {
     import spark.implicits._
     val err = intercept[IllegalArgumentException] {

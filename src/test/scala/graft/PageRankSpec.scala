@@ -130,6 +130,36 @@ class PageRankSpec extends AnyFunSuite {
     assert(got("a") == 150000L, got) // never any inbound mass
   }
 
+  test("personalized: teleport reaches seeds only; mass flows outward; " +
+      "nodes with no path from a seed stay at zero") {
+    import spark.implicits._
+    // directed 1→2 and 3→1, seed {1}, one iteration at scale 10⁶:
+    //   pr(1) = teleport (150000) + 0.85·mass(3→1: rank 0)  = 150000
+    //   pr(2) = 0 (non-seed)      + 0.85·(rank(1)=10⁶ DIV 1) = 850000
+    //   pr(3) = 0 — no in-edges, not a seed
+    val got = PageRank.personalizedPageRankFixedPoint(
+        Seq(1L -> 2L, 3L -> 1L).toDF("src", "dst"), "src", "dst",
+        Seq(Tuple1(1L)).toDF("node"), "node", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L), got)
+  }
+
+  test("personalized: seeds absent from the graph are ignored; empty " +
+      "seed set drains every rank to zero") {
+    import spark.implicits._
+    val edges = Seq(1L -> 2L).toDF("src", "dst")
+    val gotGhost = PageRank.personalizedPageRankFixedPoint(
+        edges, "src", "dst",
+        Seq(Tuple1(99L)).toDF("node"), "node", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotGhost == Map(1L -> 0L, 2L -> 0L), gotGhost)
+    val gotEmpty = PageRank.personalizedPageRankFixedPoint(
+        edges, "src", "dst",
+        Seq.empty[Tuple1[Long]].toDF("node"), "node", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotEmpty == Map(1L -> 0L, 2L -> 0L), gotEmpty)
+  }
+
   test("HITS: hand-computed max-normalized fixpoint on a bipartite graph") {
     import spark.implicits._
     // 1→10, 2→10, 2→11, 3→11 at scale 100:
