@@ -252,6 +252,12 @@ object SketchParams {
     val iters = 3; val scale = 1000000L; val dampPct = 85
     val seedMod = 10L
   }
+  /** q126 EM-calibrated Fellegi–Sunter over the q123 candidate pairs:
+    * iteration count and the (π, m, u) starting point. */
+  object q126 {
+    val iters = 4
+    val pi0 = 0.2; val m0 = 0.9; val u0 = 0.1
+  }
 }
 
 object OracleSql {
@@ -1819,6 +1825,88 @@ object OracleSql {
     FROM scored"""
   }
 
+  /** EM-calibrated Fellegi–Sunter (q126): the quantized-EM iterations
+    * unrolled as CTEs over the q123 candidate agreement flags — the SQL
+    * twin of `Linkage.estimateWeightsEM`. Every E-step double has the
+    * identical left-assoc shape (π and m/u derived from the previous
+    * iteration's BIGINT sums by the same CAST-division expressions),
+    * responsibilities floor-quantize to the same 2⁻³⁰ grid with the same
+    * interior clamp, and every M-step reduction is an order-independent
+    * BIGINT sum — so four full EM iterations replay bit-for-bit.
+    * Generated from [[SketchParams.q126]]. */
+  private def q126: String = {
+    val p = SketchParams.q126
+    val pb = SketchParams.q123
+    val Q = 1L << 30
+    // per-pair mixture likelihoods with the Scala foldLeft's left-assoc
+    // parenthesization; param expressions differ per iteration (literals
+    // for iteration 1, CAST divisions over s{i-1} after)
+    def prod(start: String, term: Int => String): String =
+      (1 to 3).foldLeft(s"($start)")((acc, j) =>
+        s"($acc * CASE WHEN g$j THEN ${term(j)} " +
+          s"ELSE (1.0 - ${term(j)}) END)")
+    def iterCte(i: Int): String = {
+      val (piSql, mSql, uSql) =
+        if (i == 1) (s"${p.pi0}", (_: Int) => s"${p.m0}",
+          (_: Int) => s"${p.u0}")
+        else ((s"(CAST(p.sw AS DOUBLE) / CAST(nn.n * $Q AS DOUBLE))"),
+          (j: Int) => s"(CAST(p.swf$j AS DOUBLE) / CAST(p.sw AS DOUBLE))",
+          (j: Int) => s"(CAST(p.sgf$j AS DOUBLE) " +
+            s"/ CAST(nn.n * $Q - p.sw AS DOUBLE))")
+      val prev = if (i == 1) "" else s" CROSS JOIN s${i - 1} p"
+      val sums = (1 to 3).map(j =>
+        s"""CAST(SUM(CASE WHEN g$j THEN w ELSE 0 END) AS BIGINT) AS swf$j,
+        CAST(SUM(CASE WHEN g$j THEN $Q - w ELSE 0 END) AS BIGINT)
+          AS sgf$j""").mkString(",\n        ")
+      s"""
+    s$i AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS sw,
+        $sums
+      FROM (
+        SELECT g1, g2, g3,
+          LEAST(GREATEST(
+            CAST(floor((pm / (pm + pu)) * CAST($Q AS DOUBLE)) AS BIGINT),
+            1), ${Q - 1}) AS w
+        FROM (
+          SELECT g1, g2, g3,
+            ${prod(piSql, mSql)} AS pm,
+            ${prod(s"(1.0 - $piSql)", uSql)} AS pu
+          FROM fl CROSS JOIN nn$prev)))"""
+    }
+    val iters = (1 to p.iters).map(iterCte).mkString(",")
+    s"""
+    WITH c AS (
+      SELECT c_custkey AS id, c_mktsegment AS f1,
+        CAST(c_nationkey AS BIGINT) AS f2,
+        CAST(floor(c_acctbal) AS BIGINT) % 100 AS f3
+      FROM customer
+    ), fl AS MATERIALIZED (
+      SELECT
+        (a.f1 IS NOT NULL AND b.f1 IS NOT NULL AND a.f1 = b.f1) AS g1,
+        (a.f2 IS NOT NULL AND b.f2 IS NOT NULL AND a.f2 = b.f2) AS g2,
+        (a.f3 IS NOT NULL AND b.f3 IS NOT NULL AND a.f3 = b.f3) AS g3
+      FROM (
+        SELECT x.id AS id_a, y.id AS id_b
+        FROM c x JOIN c y ON x.f2 = y.f2 AND x.id < y.id
+          AND y.id - x.id <= ${pb.maxGap}) cd
+      JOIN c a ON a.id = cd.id_a JOIN c b ON b.id = cd.id_b
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM fl
+    ),$iters
+    SELECT
+      CAST(s.sw AS DOUBLE) / CAST(nn.n * $Q AS DOUBLE) AS pi,
+      CAST(s.swf1 AS DOUBLE) / CAST(s.sw AS DOUBLE) AS m_mktsegment,
+      CAST(s.sgf1 AS DOUBLE) / CAST(nn.n * $Q - s.sw AS DOUBLE)
+        AS u_mktsegment,
+      CAST(s.swf2 AS DOUBLE) / CAST(s.sw AS DOUBLE) AS m_nation,
+      CAST(s.sgf2 AS DOUBLE) / CAST(nn.n * $Q - s.sw AS DOUBLE)
+        AS u_nation,
+      CAST(s.swf3 AS DOUBLE) / CAST(s.sw AS DOUBLE) AS m_balmod,
+      CAST(s.sgf3 AS DOUBLE) / CAST(nn.n * $Q - s.sw AS DOUBLE)
+        AS u_balmod
+    FROM s${p.iters} s, nn"""
+  }
+
   /** Blocking evaluation (q124): the SQL twin of
     * `Linkage.evaluateBlocking` over the q123 nation block vs
     * adjacent-custkey pseudo-truth — identical distinct-pair
@@ -2928,6 +3016,7 @@ object OracleSql {
     "q123_fellegi_sunter" -> q123,
     "q124_blocking_eval" -> q124,
     "q125_personalized_pagerank" -> q125,
+    "q126_em_linkage" -> q126,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

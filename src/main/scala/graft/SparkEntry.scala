@@ -2110,6 +2110,41 @@ object SparkEntry {
       seeds, "node", p.iters, p.scale, p.dampPct)
   }
 
+  /** Unsupervised EM calibration of the Fellegi–Sunter model
+    * ([[graft.operators.Linkage.estimateWeightsEM]]) over the q123
+    * candidate pairs — no labeled gold: the two-class latent mixture
+    * over agreement vectors, with responsibilities floor-quantized to
+    * 2⁻³⁰ so every cross-pair reduction is an order-independent BIGINT
+    * sum and the DuckDB oracle replays all `iters` iterations
+    * bit-for-bit. Output: one row of the calibrated (π, m_f, u_f).
+    * Params from [[SketchParams.q126]] (+ q123's blocking). */
+  def q126EmLinkage(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q126
+    val pb = SketchParams.q123
+    val cust = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_mktsegment"),
+      col("c_nationkey").cast("long").as("c_nation"),
+      (floor(col("c_acctbal")).cast("long") % 100L).as("c_balmod"))
+    val fields = Seq("c_mktsegment", "c_nation", "c_balmod")
+    val l = cust.select(col("c_custkey").as("id_a"),
+      col("c_nation").as("__blk"))
+    val r = cust.select(col("c_custkey").as("id_b"),
+      col("c_nation").as("__blk"))
+    val cands = l.join(r, Seq("__blk"))
+      .filter(col("id_a") < col("id_b") &&
+        col("id_b") - col("id_a") <= pb.maxGap)
+      .select("id_a", "id_b")
+    val em = operators.Linkage.estimateWeightsEM(cust, "c_custkey",
+      fields, cands, p.iters, p.pi0, p.m0, p.u0)
+    import s.implicits._
+    Seq((em.pi,
+      em.m("c_mktsegment"), em.u("c_mktsegment"),
+      em.m("c_nation"), em.u("c_nation"),
+      em.m("c_balmod"), em.u("c_balmod")))
+      .toDF("pi", "m_mktsegment", "u_mktsegment",
+        "m_nation", "u_nation", "m_balmod", "u_balmod")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2236,7 +2271,8 @@ object SparkEntry {
     "q122_media_ann_oracle" -> (q122MediaAnnOracle _),
     "q123_fellegi_sunter" -> (q123FellegiSunter _),
     "q124_blocking_eval" -> (q124BlockingEval _),
-    "q125_personalized_pagerank" -> (q125PersonalizedPagerank _))
+    "q125_personalized_pagerank" -> (q125PersonalizedPagerank _),
+    "q126_em_linkage" -> (q126EmLinkage _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

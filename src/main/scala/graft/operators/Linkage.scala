@@ -107,10 +107,23 @@ object Linkage {
       threshold: Double): DataFrame = {
     val byField = weights.map(w => w.field -> w).toMap
     require(fields.forall(byField.contains), "weight per field required")
+    scorePairsRaw(records, idCol, fields, candidates,
+      fields.map(f => f -> (byField(f).agreeWeight,
+        byField(f).disagreeWeight)).toMap, threshold)
+  }
+
+  /** [[scorePairs]] with raw double odds-ratio weights per field —
+    * the entry point for EM-calibrated parameters
+    * ([[EmParams.toWeights]]) or externally supplied models. */
+  def scorePairsRaw(records: DataFrame, idCol: String,
+      fields: Seq[String], candidates: DataFrame,
+      weights: Map[String, (Double, Double)],
+      threshold: Double): DataFrame = {
+    require(fields.forall(weights.contains), "weight per field required")
     val (a, b) = sides(records, idCol, fields)
     val score = fields.map { f =>
-      val w = byField(f)
-      when(agreeCol(f), lit(w.agreeWeight)).otherwise(lit(w.disagreeWeight))
+      val (wa, wd) = weights(f)
+      when(agreeCol(f), lit(wa)).otherwise(lit(wd))
     }.reduce(_ * _)
     val nAgree = fields.map(f =>
       when(agreeCol(f), 1L).otherwise(0L)).reduce(_ + _)
@@ -119,6 +132,90 @@ object Linkage {
       .select(col("id_a"), col("id_b"),
         nAgree.as("n_agree"), score.as("score"),
         (score >= lit(threshold)).as("is_match"))
+  }
+
+  /** EM-calibrated Fellegi–Sunter parameters: match proportion π and
+    * per-field (m, u). */
+  final case class EmParams(pi: Double,
+      m: Map[String, Double], u: Map[String, Double]) {
+    /** Odds-ratio weights for [[scorePairsRaw]]: (m/u on agreement,
+      * (1−m)/(1−u) on disagreement) per field. */
+    def toWeights: Map[String, (Double, Double)] =
+      m.keys.map(f => f ->
+        (m(f) / u(f), (1.0 - m(f)) / (1.0 - u(f)))).toMap
+  }
+
+  /** UNSUPERVISED (π, m_f, u_f) estimation by EM over the candidate
+    * pairs' agreement patterns — no labeled gold needed (Winkler 1988,
+    * "Using the EM algorithm for weight computation in the
+    * Fellegi–Sunter model"; the two-class latent mixture over binary
+    * agreement vectors):
+    *
+    *   E: w(pair) = π·Π_f p_f / (π·Π_f p_f + (1−π)·Π_f q_f)
+    *      with p_f = m_f or 1−m_f, q_f = u_f or 1−u_f by agreement;
+    *   M: π = Σw/n,  m_f = Σ(w·γ_f)/Σw,  u_f = Σ((1−w)·γ_f)/Σ(1−w).
+    *
+    * QUANTIZED EM — the engine-portability move: responsibilities are
+    * floor-quantized to 2⁻³⁰ (and clamped interior, which also bans
+    * division-by-zero states) BEFORE the M-step sums, so every
+    * cross-pair reduction is an ORDER-INDEPENDENT BIGINT sum and the
+    * whole calibration replays bit-for-bit in an external engine (the
+    * repo's fixed-point convention; the ≤2⁻³⁰-per-pair bias is far
+    * below EM's statistical error). Every double the E-step consumes
+    * is derived from those BIGINTs by fixed op shapes.
+    *
+    * Scale shape: the agreement-flag frame is computed ONCE (two hash
+    * joins, checkpointed, freed on exit); each iteration is one pure
+    * map + one (2F+1)-column aggregate; driver state is 2F+1 longs per
+    * iteration (the model-state boundary). Overflow: Σ w_fx ≤ n·2³⁰ —
+    * safe to ~8·10⁹ candidate pairs, far past any blocked pair list
+    * that should exist. */
+  def estimateWeightsEM(records: DataFrame, idCol: String,
+      fields: Seq[String], candidates: DataFrame, iters: Int = 4,
+      pi0: Double = 0.2, m0: Double = 0.9, u0: Double = 0.1): EmParams = {
+    require(iters >= 1, "need at least one EM iteration")
+    val Q = 1L << 30
+    val (a, b) = sides(records, idCol, fields)
+    val (flags, flagsCkpt) = CheckpointHygiene.checkpointTracked(
+      candidates.select(col("id_a"), col("id_b"))
+        .join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .select(fields.map(f => agreeCol(f).as(s"__g_$f")): _*))
+    try {
+      val n = flags.count()
+      require(n > 0, "estimateWeightsEM needs a non-empty candidate set")
+      var pi = pi0
+      var m = fields.map(_ -> m0).toMap
+      var u = fields.map(_ -> u0).toMap
+      (1 to iters).foreach { _ =>
+        // E-step: per-pair responsibility, left-assoc field order (the
+        // oracle-replicable shape), floor-quantized and clamped interior
+        val pm = fields.foldLeft(lit(pi))((acc, f) =>
+          acc * when(col(s"__g_$f"), lit(m(f))).otherwise(lit(1.0 - m(f))))
+        val pu = fields.foldLeft(lit(1.0 - pi))((acc, f) =>
+          acc * when(col(s"__g_$f"), lit(u(f))).otherwise(lit(1.0 - u(f))))
+        val wfx = least(greatest(
+          floor((pm / (pm + pu)) * lit(Q.toDouble)).cast("long"),
+          lit(1L)), lit(Q - 1L))
+        // M-step: order-independent BIGINT sums
+        val row = flags
+          .select(wfx.as("__w") +: fields.map(f => col(s"__g_$f")): _*)
+          .agg(sum(col("__w")).as("__sw"),
+            fields.flatMap(f => Seq(
+              sum(when(col(s"__g_$f"), col("__w")).otherwise(0L))
+                .as(s"__swf_$f"),
+              sum(when(col(s"__g_$f"), lit(Q) - col("__w")).otherwise(0L))
+                .as(s"__sgf_$f"))): _*)
+          .collect()(0)
+        val sw = row.getAs[Long]("__sw")
+        pi = sw.toDouble / (n * Q).toDouble
+        m = fields.map(f => f ->
+          row.getAs[Long](s"__swf_$f").toDouble / sw.toDouble).toMap
+        u = fields.map(f => f ->
+          row.getAs[Long](s"__sgf_$f").toDouble /
+            (n * Q - sw).toDouble).toMap
+      }
+      EmParams(pi, m, u)
+    } finally CheckpointHygiene.free(flagsCkpt)
   }
 
   /** Blocking-scheme evaluation (the standard record-linkage triple;

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Linkage
@@ -101,6 +102,62 @@ class LinkageSpec extends AnyFunSuite {
     assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
     assert(r.getDouble(3) == 1.0) // nothing generated: maximal reduction
     assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+  }
+
+  test("estimateWeightsEM matches a plain-Scala quantized-EM reference " +
+      "EXACTLY (same arithmetic over collected flags)") {
+    import spark.implicits._
+    // planted structure: ids 1..40; "match" pairs (2k, 2k+1) agree on
+    // both fields; "noise" pairs (2k+1, 2k+2) agree on neither
+    val recs = (1L to 40L).map { i =>
+      val g = (i - 1) / 2 // twins share a group
+      if (i % 2 == 1) (i, s"c$g", s"s$g") else (i, s"c$g", s"s$g")
+    }.toDF("id", "color", "size")
+    val cands = ((1L to 39L by 2).map(i => (i, i + 1)) ++
+      (2L to 38L by 2).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val iters = 3
+    val got = Linkage.estimateWeightsEM(recs, "id", fields, cands, iters)
+    // reference: identical quantized EM over the same agreement vectors
+    val Q = 1L << 30
+    val flags = cands.as[(Long, Long)].collect().map { case (x, y) =>
+      val m = recs.as[(Long, String, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      (m(x)._1 == m(y)._1, m(x)._2 == m(y)._2)
+    }
+    val n = flags.length.toLong
+    var pi = 0.2
+    var mC = 0.9; var mS = 0.9; var uC = 0.1; var uS = 0.1
+    (1 to iters).foreach { _ =>
+      var sw = 0L; var swfC = 0L; var swfS = 0L; var sgfC = 0L
+      var sgfS = 0L
+      flags.foreach { case (gc, gs) =>
+        val pm = ((pi) * (if (gc) mC else 1.0 - mC)) *
+          (if (gs) mS else 1.0 - mS)
+        val pu = ((1.0 - pi) * (if (gc) uC else 1.0 - uC)) *
+          (if (gs) uS else 1.0 - uS)
+        val w = math.min(math.max(
+          math.floor((pm / (pm + pu)) * Q.toDouble).toLong, 1L), Q - 1L)
+        sw += w
+        if (gc) { swfC += w; sgfC += Q - w }
+        if (gs) { swfS += w; sgfS += Q - w }
+      }
+      pi = sw.toDouble / (n * Q).toDouble
+      mC = swfC.toDouble / sw.toDouble
+      mS = swfS.toDouble / sw.toDouble
+      uC = sgfC.toDouble / (n * Q - sw).toDouble
+      uS = sgfS.toDouble / (n * Q - sw).toDouble
+    }
+    assert(got.pi == pi)
+    assert(got.m("color") == mC && got.m("size") == mS)
+    assert(got.u("color") == uC && got.u("size") == uS)
+    // and the planted structure was recovered: ~half the pairs are the
+    // all-agree class, whose m estimates sit far above the u's
+    assert(got.pi > 0.4 && got.pi < 0.6, got.pi)
+    assert(got.m("color") > 0.9 && got.u("color") < 0.2)
+    // EM weights drive scoring through the raw-weight entry point
+    val scored = Linkage.scorePairsRaw(recs, "id", fields, cands,
+      got.toWeights, threshold = 1.0)
+    assert(scored.filter(col("is_match")).count() == 20) // the twins
   }
 
   test("empty gold set is rejected (weights would be meaningless)") {
