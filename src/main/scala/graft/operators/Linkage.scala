@@ -112,6 +112,23 @@ object Linkage {
         byField(f).disagreeWeight)).toMap, threshold)
   }
 
+  /** Scoring projection shared by every entry point: the joined frame
+    * must carry `id_a`, `id_b` and the `__a_f`/`__b_f` field pairs. */
+  private def scored(joined: DataFrame, fields: Seq[String],
+      weights: Map[String, (Double, Double)],
+      threshold: Double): DataFrame = {
+    require(fields.forall(weights.contains), "weight per field required")
+    val score = fields.map { f =>
+      val (wa, wd) = weights(f)
+      when(agreeCol(f), lit(wa)).otherwise(lit(wd))
+    }.reduce(_ * _)
+    val nAgree = fields.map(f =>
+      when(agreeCol(f), 1L).otherwise(0L)).reduce(_ + _)
+    joined.select(col("id_a"), col("id_b"),
+      nAgree.as("n_agree"), score.as("score"),
+      (score >= lit(threshold)).as("is_match"))
+  }
+
   /** [[scorePairs]] with raw double odds-ratio weights per field —
     * the entry point for EM-calibrated parameters
     * ([[EmParams.toWeights]]) or externally supplied models. */
@@ -119,19 +136,32 @@ object Linkage {
       fields: Seq[String], candidates: DataFrame,
       weights: Map[String, (Double, Double)],
       threshold: Double): DataFrame = {
-    require(fields.forall(weights.contains), "weight per field required")
     val (a, b) = sides(records, idCol, fields)
-    val score = fields.map { f =>
-      val (wa, wd) = weights(f)
-      when(agreeCol(f), lit(wa)).otherwise(lit(wd))
-    }.reduce(_ * _)
-    val nAgree = fields.map(f =>
-      when(agreeCol(f), 1L).otherwise(0L)).reduce(_ + _)
-    candidates.select(col("id_a"), col("id_b"))
-      .join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        nAgree.as("n_agree"), score.as("score"),
-        (score >= lit(threshold)).as("is_match"))
+    scored(candidates.select(col("id_a"), col("id_b"))
+      .join(a, Seq("id_a")).join(b, Seq("id_b")),
+      fields, weights, threshold)
+  }
+
+  /** Batch-vs-reference linkage probe — the SERVING shape: block an
+    * incoming batch against a static reference on `blockCol` equality
+    * and score every blocked candidate (batch side = `id_a`, reference
+    * side = `id_b`) with a pre-calibrated model. Per-call cost is the
+    * batch times its blocked reference population — never the reference
+    * size — so the SAME call serves a backfill batch or a
+    * `foreachBatch` micro-batch
+    * ([[graft.streaming.EventStreams.linkageIngest]]); batch ≡ stream
+    * is spec'd. */
+  def scoreAgainstReference(batch: DataFrame, reference: DataFrame,
+      idCol: String, blockCol: String, fields: Seq[String],
+      weights: Map[String, (Double, Double)],
+      threshold: Double): DataFrame = {
+    val a = batch.select(
+      Seq(col(idCol).as("id_a"), col(blockCol).as("__blk")) ++
+        fields.map(f => col(f).as(s"__a_$f")): _*)
+    val b = reference.select(
+      Seq(col(idCol).as("id_b"), col(blockCol).as("__blk")) ++
+        fields.map(f => col(f).as(s"__b_$f")): _*)
+    scored(a.join(b, Seq("__blk")), fields, weights, threshold)
   }
 
   /** EM-calibrated Fellegi–Sunter parameters: match proportion π and

@@ -163,6 +163,34 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming record linkage — the continuous-ingestion form of
+    * [[graft.operators.Linkage.scoreAgainstReference]]: each micro-batch
+    * of incoming records is blocked against the static reference and
+    * scored with a PRE-CALIBRATED Fellegi–Sunter model (estimate
+    * weights once — [[graft.operators.Linkage.estimateWeightsEM]] or
+    * the gold-based estimator — before the query starts; scoring
+    * itself is joins + a pure map, so it streams). Only pairs at or
+    * above the decision threshold reach the sink. Same `foreachBatch`
+    * boundary as [[dedupedIngest]]: the model is driver state the
+    * incremental query can't re-derive, the per-batch probe is
+    * batch-proportional. */
+  def linkageIngest(
+      recordStream: DataFrame, reference: DataFrame,
+      idCol: String, blockCol: String, fields: Seq[String],
+      weights: Map[String, (Double, Double)], threshold: Double,
+      sinkPath: String, checkpointPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    recordStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Linkage
+          .scoreAgainstReference(batch.toDF(), reference, idCol, blockCol,
+            fields, weights, threshold)
+          .filter(col("is_match"))
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+
   /** Stream-stream interval join: every `trigger` event is matched to
     * the same user's `outcome` events that land within `maxLag` after it
     * — the funnel/attribution correlation shape, continuously. Both
