@@ -402,6 +402,28 @@ class PlanQualitySpec extends AnyFunSuite {
       "plan size grows with nlist — literal chain leaked into table path")
   }
 
+  test("q123 + serving probe: linkage blocking and scoring join on " +
+      "keys, never cartesian (r10)") {
+    // q123 executes the full estimate+score chain in its result plan
+    val plan = executed("q123_fellegi_sunter")
+    assert(!plan.contains("CartesianProduct"), "q123 cartesians")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      "q123: expected key joins")
+    // the serving probe (the EM/streaming scoring shape — q126's result
+    // frame is a driver-built row, so its joins are guarded here)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ref = Seq((1L, 10L, "x", "y")).toDF("id", "blk", "f1", "f2")
+    val probe = operators.Linkage.scoreAgainstReference(
+      ref, ref, "id", "blk", Seq("f1", "f2"),
+      Map("f1" -> (2.0, 0.5), "f2" -> (2.0, 0.5)), 1.0)
+    probe.count()
+    val pplan = probe.queryExecution.executedPlan.toString
+    assert(!pplan.contains("CartesianProduct"), "probe cartesians")
+    assert(pplan.contains("HashJoin") || pplan.contains("SortMergeJoin"),
+      "probe: expected a blocking key join")
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
