@@ -258,6 +258,12 @@ object SketchParams {
     val iters = 4
     val pi0 = 0.2; val m0 = 0.9; val u0 = 0.1
   }
+  /** q127 bigram familiarity: every document scored against the
+    * even-doc_id half of the corpus as the trusted reference; quant =
+    * the per-bigram fixed-point scale. */
+  object q127 {
+    val refMod = 2L; val quant = 1000000L
+  }
 }
 
 object OracleSql {
@@ -2069,6 +2075,42 @@ object OracleSql {
     WHERE pc.n_ab >= ${p.minPairCount}"""
   }
 
+  /** Bigram familiarity (q127): reference bigram/prefix counts over the
+    * q39 tokenization, per-bigram fixed-point conditional
+    * `(quant·cab) // ca` (OOV → 0), per-doc mean as one double division
+    * — the SQL twin of `TextAnalysis.bigramFamiliarity`. Generated from
+    * [[SketchParams.q127]]. */
+  private def q127: String = {
+    val p = SketchParams.q127
+    s"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), rpos AS (
+      SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+      FROM base WHERE doc_id % ${p.refMod} = 0 AND len(t) >= 2
+    ), rbg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS cab
+      FROM rpos GROUP BY w1, w2
+    ), rtbl AS (
+      SELECT r.w1, r.w2, r.cab, pfx.ca FROM rbg r JOIN (
+        SELECT w1, CAST(SUM(cab) AS BIGINT) AS ca FROM rbg GROUP BY w1)
+        pfx ON r.w1 = pfx.w1
+    ), dpos AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      FROM base WHERE len(t) >= 2
+    ), fam AS (
+      SELECT d.doc_id,
+        COALESCE((${p.quant} * r.cab) // r.ca, 0) AS f
+      FROM (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM dpos) d
+      LEFT JOIN rtbl r ON d.w1 = r.w1 AND d.w2 = r.w2)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      CAST(SUM(f) AS BIGINT) AS fam_sum,
+      CAST(SUM(f) AS DOUBLE) / CAST(COUNT(*) * ${p.quant} AS DOUBLE)
+        AS familiarity
+    FROM fam GROUP BY doc_id"""
+  }
+
   /** Alignment-free exact-substring dup join (q93): dense side at every
     * character offset, probe side strided — the SQL twin of
     * `Dedup.exactSubstringDupJoinGeneral`, generated from
@@ -3017,6 +3059,7 @@ object OracleSql {
     "q124_blocking_eval" -> q124,
     "q125_personalized_pagerank" -> q125,
     "q126_em_linkage" -> q126,
+    "q127_bigram_familiarity" -> q127,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -2145,6 +2145,21 @@ object SparkEntry {
         "m_nation", "u_nation", "m_balmod", "u_balmod")
   }
 
+  /** Bigram-familiarity LM-fluency score
+    * ([[graft.operators.TextAnalysis.bigramFamiliarity]]): every
+    * document scored against the even-doc_id half of the corpus as the
+    * trusted reference — the CCNet-style LM quality filter with the
+    * n-gram model held in exact integer fixed point, so the oracle
+    * replays training and scoring bit-for-bit. Params from
+    * [[SketchParams.q127]]. */
+  def q127BigramFamiliarity(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q127
+    val docs = t(s, dir, "documents")
+    operators.TextAnalysis.bigramFamiliarity(docs,
+      docs.filter(col("doc_id") % p.refMod === 0),
+      "text", "doc_id", p.quant)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2272,7 +2287,8 @@ object SparkEntry {
     "q123_fellegi_sunter" -> (q123FellegiSunter _),
     "q124_blocking_eval" -> (q124BlockingEval _),
     "q125_personalized_pagerank" -> (q125PersonalizedPagerank _),
-    "q126_em_linkage" -> (q126EmLinkage _))
+    "q126_em_linkage" -> (q126EmLinkage _),
+    "q127_bigram_familiarity" -> (q127BigramFamiliarity _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

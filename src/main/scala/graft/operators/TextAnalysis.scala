@@ -522,6 +522,71 @@ object TextAnalysis {
             * col("n_bi").cast("double"))).as("lift"))
   }
 
+  /** Bigram-familiarity quality score — the no-libm LM-fluency proxy
+    * (the CCNet/Wenzek et al. 2020 idea of ranking documents by a
+    * reference language model's judgment, with the n-gram LM made
+    * engine-exact instead of perplexity's log-domain):
+    *
+    *   - TRAIN on a reference corpus: bigram counts c(w₁w₂) and prefix
+    *     totals c(w₁·) = Σ_w c(w₁w) — the MLE conditional
+    *     P(w₂|w₁) = c(w₁w₂)/c(w₁·) as an exact BIGINT rational;
+    *   - SCORE each document by its mean fixed-point conditional:
+    *     fam(bigram) = (quant·c(w₁w₂)) DIV c(w₁·) ∈ [0, quant] (0 for
+    *     bigrams the reference never saw), and
+    *     familiarity = Σfam / (n_bigrams·quant) — one double division
+    *     of exact BIGINTs, so both the per-bigram scores and the doc
+    *     score replay bit-for-bit in an external engine (q127).
+    *
+    * High familiarity = the document's word transitions are common in
+    * the reference (fluent, in-domain); gibberish, wrong-language, and
+    * boilerplate-free-noise documents score near 0. A training
+    * pipeline uses it exactly like CCNet's LM filter: score against a
+    * trusted reference, keep the head/middle of the distribution.
+    *
+    * Scale shape: training is one map-side-combined hash agg over
+    * exploded reference bigrams plus a prefix re-agg and ONE join at
+    * train time; scoring is one equi-join of exploded document bigrams
+    * against the (w₁, w₂, cab, ca) table — shuffle hash join on the
+    * bigram key, no broadcast assumption (a 100 TB reference's bigram
+    * table is itself large) — and one partial-agg per doc. Documents
+    * with < 2 tokens have no bigrams and are absent from the output
+    * (by construction, documented). Overflow: quant·c(w₁w₂) < 2⁶³
+    * caps the most frequent reference bigram at ~9·10¹² occurrences
+    * at the default quant 10⁶ — ~500× above a 100 TB corpus's "of
+    * the". */
+  def bigramFamiliarity(docs: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String,
+      quant: Long = 1000000L): DataFrame = {
+    require(quant > 0, "quant must be positive")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val bigramArr = when(size(col("__t")) >= 2,
+      transform(sequence(lit(0), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i + 1).as("w1"),
+          element_at(col("__t"), i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    def bigramsOf(df: DataFrame, keep: Seq[Column],
+        keptNames: Seq[String]): DataFrame = {
+      val kept = keptNames.map(col)
+      df.select(keep :+ toks.as("__t"): _*)
+        .select(kept :+ explode(bigramArr).as("__p"): _*)
+        .select(kept ++ Seq(col("__p.w1"), col("__p.w2")): _*)
+    }
+    val refBg = bigramsOf(reference, Seq.empty, Seq.empty)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+    val refTbl = refBg.join(
+      refBg.groupBy("w1").agg(sum(col("cab")).as("ca")), Seq("w1"))
+    bigramsOf(docs, Seq(col(idCol).as("__doc")), Seq("__doc"))
+      .join(refTbl, Seq("w1", "w2"), "left")
+      .select(col("__doc"),
+        coalesce(expr(s"(${quant}L * cab) DIV ca"), lit(0L)).as("__fam"))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__fam")).as("fam_sum"))
+      .select(col("__doc").as(idCol), col("n_bigrams"), col("fam_sum"),
+        (col("fam_sum").cast("double") /
+          (col("n_bigrams") * lit(quant)).cast("double"))
+          .as("familiarity"))
+  }
+
   // ---------------------------------------------------------------------
   // BM25 ranked retrieval
   // ---------------------------------------------------------------------

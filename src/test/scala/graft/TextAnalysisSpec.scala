@@ -174,4 +174,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     // lift = 1·16/(2·2·1) = 4
     assert(got == Map(("a", "b") -> 4.0))
   }
+
+  test("bigramFamiliarity: hand-computed conditionals separate fluent " +
+      "from gibberish; OOV scores 0; sub-bigram docs are absent") {
+    import spark.implicits._
+    // reference: the→cat 2/4, cat→sat 2/2, sat→on 2/2, on→the 2/2,
+    // the→mat 1/4, the→rug 1/4
+    val ref = Seq((1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "the cat sat"),          // 500000 + 1000000 over 2 bigrams
+      (11L, "zebra quantum piano"),  // both bigrams OOV
+      (12L, "hello"))                // single token: no bigrams
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramFamiliarity(docs, ref, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet == Set(10L, 11L))
+    assert(got(10L) == ((2L, 1500000L, 0.75)))
+    assert(got(11L) == ((2L, 0L, 0.0)))
+  }
 }
