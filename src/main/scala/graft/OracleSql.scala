@@ -264,6 +264,13 @@ object SketchParams {
   object q127 {
     val refMod = 2L; val quant = 1000000L
   }
+  /** q129 multi-source BFS over the q99 symmetrized supplier–customer
+    * graph: seeds are every `seedMod`-th supplier, distances capped at
+    * `maxHops`. seedMod is coarser than q125's so the hop histogram
+    * spreads past 1. */
+  object q129 {
+    val seedMod = 25L; val maxHops = 3
+  }
 }
 
 object OracleSql {
@@ -1708,6 +1715,33 @@ object OracleSql {
     LEFT JOIN a${p.iters} a ON n.node = a.node"""
   }
 
+  /** Multi-source BFS (q129): the frontier levels replayed as a
+    * bounded recursive CTE over the q99 symmetrized graph — UNION
+    * dedups (node, depth) rows so the recursion is bounded by
+    * V·(maxHops+1); MIN(depth) per node is the exact BFS level the
+    * Spark loop settles (`Components.bfsHopDistance`). Generated from
+    * [[SketchParams.q129]]. */
+  private def q129: String = {
+    val p = SketchParams.q129
+    s"""
+    WITH RECURSIVE e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT o_custkey * 2 + 1, l_suppkey * 2
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    ), reach(node, d) AS (
+      SELECT s_suppkey * 2, 0 FROM supplier
+      WHERE s_suppkey % ${p.seedMod} = 0
+      UNION
+      SELECT e.dst, r.d + 1 FROM reach r JOIN e ON r.node = e.src
+      WHERE r.d < ${p.maxHops}
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS hops
+    FROM reach GROUP BY node"""
+  }
+
   /** Equi-depth histogram (q121): DuckDB recomputes the same interior
     * quantile boundaries (`quantile_cont` ≡ Spark exact `percentile`,
     * the q102 parity) and buckets each row by counting boundaries
@@ -1773,7 +1807,15 @@ object OracleSql {
     * weights ((mNum/mDen)/(uNum/uDen), left-assoc field-order product),
     * so scores and the threshold decision match bit-for-bit. Generated
     * from [[SketchParams.q123]]. */
-  private def q123: String = {
+  private def q123: String = s"""
+    WITH $q123ScoredCtes
+    SELECT id_a, id_b, n_agree, score,
+      score >= ${SketchParams.q123.threshold} AS is_match
+    FROM scored"""
+
+  /** The q123 CTE chain through `scored` (id_a, id_b, n_agree, score)
+    * — shared verbatim by q123 and the q128 assignment twin. */
+  private def q123ScoredCtes: String = {
     val p = SketchParams.q123
     def agree(i: Int) =
       s"(a.f$i IS NOT NULL AND b.f$i IS NOT NULL AND a.f$i = b.f$i)"
@@ -1789,8 +1831,7 @@ object OracleSql {
       (CAST(m.ng + 2 - (m.m$i + 1) AS DOUBLE) / CAST(m.ng + 2 AS DOUBLE)) /
         (CAST(nn.n * nn.n + 2 - u$i.unum AS DOUBLE)
           / CAST(nn.n * nn.n + 2 AS DOUBLE)) AS w${i}d"""
-    s"""
-    WITH c AS (
+    s"""c AS (
       SELECT c_custkey AS id, c_mktsegment AS f1,
         CAST(c_nationkey AS BIGINT) AS f2,
         CAST(floor(c_acctbal) AS BIGINT) % 100 AS f3
@@ -1825,11 +1866,33 @@ object OracleSql {
          (CASE WHEN ${agree(3)} THEN w.w3a ELSE w.w3d END) AS score
       FROM blocked bl
       JOIN c a ON a.id = bl.id_a JOIN c b ON b.id = bl.id_b
-      CROSS JOIN w)
-    SELECT id_a, id_b, n_agree, score,
-      score >= ${p.threshold} AS is_match
-    FROM scored"""
+      CROSS JOIN w)"""
   }
+
+  /** Mutual-best one-to-one assignment (q128): q123's scored pairs at
+    * or above threshold, both orientations ranked per node by
+    * (score DESC, partner ASC) with `row_number`, and a pair survives
+    * iff each side ranks the other first — the SQL twin of
+    * `Linkage.mutualBestAssignment` (whose `max_by` over a
+    * (score, −partner) struct realizes the same total order). */
+  private def q128: String = s"""
+    WITH $q123ScoredCtes, matches AS (
+      SELECT id_a, id_b, score FROM scored
+      WHERE score >= ${SketchParams.q123.threshold}
+    ), dir AS (
+      SELECT id_a AS node, id_b AS partner, score FROM matches
+      UNION ALL
+      SELECT id_b AS node, id_a AS partner, score FROM matches
+    ), best AS (
+      SELECT node, partner, score FROM (
+        SELECT node, partner, score,
+          row_number() OVER (PARTITION BY node
+            ORDER BY score DESC, partner ASC) AS rn
+        FROM dir)
+      WHERE rn = 1)
+    SELECT x.node AS id_a, x.partner AS id_b, x.score AS score
+    FROM best x JOIN best y
+      ON x.partner = y.node AND y.partner = x.node AND x.node < y.node"""
 
   /** EM-calibrated Fellegi–Sunter (q126): the quantized-EM iterations
     * unrolled as CTEs over the q123 candidate agreement flags — the SQL
@@ -3060,6 +3123,8 @@ object OracleSql {
     "q125_personalized_pagerank" -> q125,
     "q126_em_linkage" -> q126,
     "q127_bigram_familiarity" -> q127,
+    "q128_mutual_best" -> q128,
+    "q129_bfs_hops" -> q129,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -2160,6 +2160,42 @@ object SparkEntry {
       "text", "doc_id", p.quant)
   }
 
+  /** Mutual-best one-to-one assignment
+    * ([[graft.operators.Linkage.mutualBestAssignment]]) over the q123
+    * Fellegi–Sunter matches — the resolution step that turns a scored
+    * many-to-many match set into a one-to-one record alignment: a pair
+    * survives iff each side is the other's best-scoring partner (ties
+    * by smallest partner id). Shares [[SketchParams.q123]]; the oracle
+    * replays q123's scoring then the same total-order argmax with
+    * `row_number`. */
+  def q128MutualBest(s: SparkSession, dir: String): DataFrame = {
+    val scored = q123FellegiSunter(s, dir).filter(col("is_match"))
+    operators.Linkage.mutualBestAssignment(scored)
+  }
+
+  /** Multi-source BFS hop distance
+    * ([[graft.operators.Components.bfsHopDistance]]) over the q99
+    * symmetrized supplier–customer graph — every node labeled with its
+    * hop count to the nearest seed supplier (every
+    * [[SketchParams.q129]].seedMod-th), capped at maxHops; the
+    * "distance to a trusted set" feature (TrustRank's discrete
+    * sibling). The oracle replays the exact frontier levels with a
+    * recursive CTE + MIN(depth). */
+  def q129BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q129
+    val e0 = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2L).as("a"),
+        (col("o_custkey") * 2L + 1L).as("b"))
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    val seeds = t(s, dir, "supplier")
+      .filter(col("s_suppkey") % p.seedMod === 0)
+      .select((col("s_suppkey") * 2L).as("node"))
+    operators.Components.bfsHopDistance(edges, "a", "b",
+      seeds, "node", p.maxHops)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2288,7 +2324,9 @@ object SparkEntry {
     "q124_blocking_eval" -> (q124BlockingEval _),
     "q125_personalized_pagerank" -> (q125PersonalizedPagerank _),
     "q126_em_linkage" -> (q126EmLinkage _),
-    "q127_bigram_familiarity" -> (q127BigramFamiliarity _))
+    "q127_bigram_familiarity" -> (q127BigramFamiliarity _),
+    "q128_mutual_best" -> (q128MutualBest _),
+    "q129_bfs_hops" -> (q129BfsHops _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -310,6 +310,61 @@ object Components {
         greatest(col(aCol), col(bCol)).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
 
+  /** Multi-source BFS hop distance — the frontier-expansion primitive
+    * behind "distance to a trusted set" features (seed-proximity quality
+    * signals, crawl-depth labeling, blast-radius queries): every node
+    * reachable from any seed within `maxHops` gets the MINIMUM hop count
+    * to the nearest seed; unreachable nodes are absent from the output.
+    * Edges are DIRECTED (`srcCol` → `dstCol`) — symmetrize before the
+    * call for undirected reach, as the q99 graph queries do.
+    *
+    * Classic distributed frontier BFS: round i joins the current
+    * frontier against the edge list and anti-joins the settled set, so
+    * per-round cost ∝ frontier out-degree — never the whole graph — and
+    * the loop exits early the moment a frontier comes back empty. Each
+    * round's settled/frontier pair is checkpoint-tracked and the
+    * superseded generation freed once its successor materializes
+    * ([[CheckpointHygiene]]; bounded blocks at any depth). The per-round
+    * driver traffic is one scalar count — the same budget as every
+    * other iteration loop here. Distances are exact (a node is settled
+    * in the first round that reaches it = its true BFS level), so the
+    * recursive-CTE oracle replays them bit-for-bit.
+    *
+    * @return (node, hops) — hops in [0, maxHops], seeds at 0 */
+  def bfsHopDistance(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val (e, eCkpt) = CheckpointHygiene.checkpointTracked(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull).distinct())
+    var (settled, prevCkpt) = CheckpointHygiene.checkpointTracked(
+      seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("hops", lit(0L)))
+    var frontier = settled.select("node")
+    var nSettled = settled.count()
+    var hop = 0L
+    var done = maxHops == 0 || nSettled == 0
+    while (!done) {
+      hop += 1L
+      val next = frontier
+        .join(e.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+      val (grown, ckpt) = CheckpointHygiene.checkpointTracked(
+        settled.unionByName(next.withColumn("hops", lit(hop))))
+      val grownCount = grown.count()
+      val frontierSize = grownCount - nSettled
+      CheckpointHygiene.free(prevCkpt)
+      prevCkpt = ckpt
+      settled = grown
+      nSettled = grownCount
+      frontier = grown.filter(col("hops") === hop).select("node")
+      done = frontierSize == 0 || hop >= maxHops
+    }
+    CheckpointHygiene.free(eCkpt)
+    settled
+  }
+
   /** Dedup keep-list from near-dup pairs over a corpus: every id mapped to
     * its canonical representative (component minimum); ids with no dup
     * pair map to themselves. */

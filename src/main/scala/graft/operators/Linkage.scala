@@ -289,4 +289,49 @@ object Linkage {
           col("n_candidates").cast("double")).otherwise(lit(0.0))
           .as("pairs_quality"))
   }
+
+  /** Mutual-best one-to-one assignment — the deterministic resolution
+    * step after pair scoring: a scored pair (a, b) survives iff b is
+    * a's best-scoring partner AND a is b's (the "symmetric best match"
+    * rule, the relational stand-in for greedy/Hungarian assignment that
+    * record-linkage systems apply so one source record can't claim two
+    * targets). Mutual-best is ORDER-FREE — unlike greedy-by-score it
+    * needs no sequential pass, so it distributes as two hash steps —
+    * and its output is one-to-one by construction: a node's best
+    * partner is unique (ties broken by highest score then SMALLEST
+    * partner id, a total order), so each id appears in at most one
+    * surviving pair.
+    *
+    * Input: unordered scored pairs (`id_a` < `id_b` as produced by
+    * [[scorePairs]]); both orientations are considered for "best".
+    * Output: (id_a, id_b, score) of the surviving pairs.
+    *
+    * Scale shape: one union (no shuffle), ONE hash aggregation on the
+    * node id (`max_by` over a (score, −partner) struct — partial
+    * map-side agg, no window sort), one self-equi-join of the per-node
+    * best table against itself on the partner id. Cost ∝ pairs + nodes;
+    * no all-pairs shape. Engine-portable: the tie-break is a total
+    * order over exact values, so any engine replaying it (q128's
+    * DuckDB twin uses `row_number`) lands on the identical pair set. */
+  def mutualBestAssignment(scoredPairs: DataFrame,
+      scoreCol: String = "score"): DataFrame = {
+    val p = scoredPairs.select(col("id_a"), col("id_b"),
+      col(scoreCol).as("__s"))
+    val directed = p.unionByName(
+      p.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+        col("__s")))
+    val best = directed
+      .groupBy(col("id_a").as("node"))
+      .agg(max_by(struct(col("id_b"), col("__s")),
+        struct(col("__s"), (-col("id_b")).as("__tb"))).as("bp"))
+      .select(col("node"), col("bp.id_b").as("partner"),
+        col("bp.__s").as("__s"))
+    best.as("x")
+      .join(best.as("y"),
+        col("x.partner") === col("y.node") &&
+          col("y.partner") === col("x.node") &&
+          col("x.node") < col("y.node"))
+      .select(col("x.node").as("id_a"), col("x.partner").as("id_b"),
+        col("x.__s").as("score"))
+  }
 }

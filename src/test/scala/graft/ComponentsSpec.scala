@@ -250,6 +250,39 @@ class ComponentsSpec extends AnyFunSuite {
     assert(Components.kCore(empty, "a", "b", k = 1).count() == 0)
   }
 
+  test("bfsHopDistance: exact levels on a directed path + diamond") {
+    import spark.implicits._
+    // 1→2→3→4→5 plus a shortcut 1→4: node 4 settles at hop 1 (via the
+    // shortcut), NOT 3 — minimum-hop semantics. 6→1 is upstream of the
+    // seed and must stay unreachable. maxHops=3 cuts node 5 off at 4's
+    // settled hop + 1... 5 IS within 2 of 4, so it lands at hop 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (6L, 1L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = Components.bfsHopDistance(edges, "src", "dst", seeds,
+        "node", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
+  test("bfsHopDistance: maxHops cap, multi-seed min, early exit") {
+    import spark.implicits._
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(0L, 8L).map(Tuple1(_)).toDF("node")
+    // seed 8 reaches 9 and 10; seed 0 walks the head; cap at 2
+    val got = Components.bfsHopDistance(chain, "src", "dst", seeds,
+        "node", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 8L -> 0L,
+      9L -> 1L, 10L -> 2L))
+    // maxHops=0 → seeds only; empty seed set → empty output
+    assert(Components.bfsHopDistance(chain, "src", "dst", seeds,
+      "node", maxHops = 0).collect().map(_.getLong(0)).toSet == Set(0L, 8L))
+    assert(Components.bfsHopDistance(chain, "src", "dst",
+      Seq.empty[Tuple1[Long]].toDF("node"), "node", maxHops = 3)
+      .count() == 0)
+  }
+
   test("end-to-end: minhash pairs -> components -> one keeper per cluster") {
     import spark.implicits._
     val docs = Seq(

@@ -168,4 +168,55 @@ class LinkageSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("gold"))
   }
+
+  test("mutualBestAssignment: hand case — chain broken at the weak link") {
+    import spark.implicits._
+    // 1's best is 2 (0.9) and vice versa → (1,2) survives. 3's best
+    // stays 2 (0.8 > 0.7) even though 2 pairs with 1 — mutual-best is
+    // ORDER-FREE, not iterative greedy — so (2,3), (3,4) and (4,5) all
+    // fail the mutuality check ((3,4): 4 prefers 3 but 3 prefers 2).
+    val pairs = Seq(
+      (1L, 2L, 0.9), (2L, 3L, 0.8), (3L, 4L, 0.7), (4L, 5L, 0.6))
+      .toDF("id_a", "id_b", "score")
+    val got = Linkage.mutualBestAssignment(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.9)))
+  }
+
+  test("mutualBestAssignment: tie on score breaks to smallest partner") {
+    import spark.implicits._
+    // node 2 sees 1 and 3 at the same score: tie-break picks partner 1,
+    // so (1,2) is mutual and (2,3) is not; 3 still prefers 2 over 4
+    // (0.5 > 0.4), so (3,4) fails mutuality too.
+    val pairs = Seq((1L, 2L, 0.5), (2L, 3L, 0.5), (3L, 4L, 0.4))
+      .toDF("id_a", "id_b", "score")
+    val got = Linkage.mutualBestAssignment(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("mutualBestAssignment output is one-to-one on a blocked score set") {
+    import spark.implicits._
+    // every node in one block, all pairs scored by a deterministic hash
+    // surrogate — the adversarial many-to-many shape
+    val n = 40L
+    val pairs = (1L to n).flatMap(a => (a + 1 to n).map(b =>
+      (a, b, ((a * 7919 + b * 104729) % 1000).toDouble / 1000.0)))
+      .toDF("id_a", "id_b", "score")
+    val rows = Linkage.mutualBestAssignment(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = rows.flatMap(p => Seq(p._1, p._2))
+    assert(ids.distinct.length == ids.length, "an id appeared twice")
+    assert(rows.nonEmpty)
+    // brute-force the mutual-best definition
+    val score = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def bestOf(x: Long): Long = (1L to n).filter(_ != x)
+      .maxBy(y => (score.getOrElse((x min y, x max y), -1.0), -y))
+    val expected = (1L to n).flatMap { a =>
+      val b = bestOf(a)
+      if (a < b && bestOf(b) == a) Some((a, b)) else None
+    }.toSet
+    assert(rows.toSet == expected)
+  }
 }
