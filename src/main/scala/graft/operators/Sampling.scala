@@ -167,4 +167,55 @@ object Sampling {
       .select(col(idCol), col(groupCol),
         explode(sequence(lit(1L), col("__copies"))).as("rep"))
   }
+
+  /** Priority sampling (Duffield, Lund & Thorup, "Priority sampling for
+    * estimation of arbitrary subset sums", JACM 2007) — weighted
+    * sampling WITHOUT replacement with unbiased subset-sum estimation,
+    * the importance-weighted cousin of [[deterministicSample]]: item i
+    * draws uniform u_i ∈ (0,1] and gets priority q_i = w_i / u_i; the
+    * sample is the k highest priorities, the threshold τ is the
+    * (k+1)-th, and every sampled item carries estimator weight
+    * max(w_i, τ) — E[Σ_sample max(w,τ)·1(i∈S)] = Σ w_i exactly, for
+    * ANY subset. The pipeline use: subsample a corpus by
+    * quality/length weight while keeping downstream token-count
+    * estimates unbiased.
+    *
+    * Deterministic and engine-portable: u_i is the [[portableKey]] md5
+    * residue, `(h+1) / 2^60`, and the priority is a fixed two-division
+    * IEEE shape over exact integers — an external engine replays the
+    * identical doubles (q130's DuckDB twin). Ties (identical priority)
+    * break on smaller id: a total order.
+    *
+    * Scale shape: priorities are map-only; the top-(k+1) runs as
+    * TakeOrderedAndProject — each partition keeps k+1 rows, the driver
+    * merges P·(k+1) — no global sort, no shuffle. τ is a one-row
+    * broadcast. Driver state is O(k): the same budget class as the
+    * quantile boundaries. Weights must be positive (rows with NULL or
+    * non-positive weight are rejected up front — silently dropping
+    * them would bias the estimator).
+    *
+    * @return (id, weight, priority, est_weight), the k sampled rows */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Int = 7): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val pri = df.select(col(idCol).as("id"),
+        col(weightCol).cast("double").as("weight"))
+      .withColumn("priority",
+        col("weight") /
+          ((portableKey(col("id"), seed) + lit(1L)).cast("double") /
+            lit(1152921504606846976.0))) // 2^60
+    // TakeOrderedAndProject: per-partition top-(k+1), driver merge
+    val top = pri.orderBy(col("priority").desc, col("id").asc)
+      .limit(k + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority").desc, col("id").asc)
+    val ranked = top.withColumn("__rn", row_number().over(w))
+    val tau = ranked.agg(
+      coalesce(max(when(col("__rn") === k + 1, col("priority"))),
+        lit(0.0)).as("__tau"))
+    ranked.filter(col("__rn") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col("id"), col("weight"), col("priority"),
+        greatest(col("weight"), col("__tau")).as("est_weight"))
+  }
 }
