@@ -32,19 +32,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** The events parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
-    * timestamp type, so the session must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.Spark]]) and
-    * we rebuild `ts` as a microsecond timestamp here (integer `DIV`, no
-    * double round-trip — nanos exceed double's 53-bit mantissa). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else raw
+  /** Normalize an event-time column to `TimestampType` regardless of how
+    * the parquet writer annotated it. Real pipelines meet all three
+    * shapes, often from different writers of the same logical table:
+    *
+    *  - `TIMESTAMP(NANOS)` read as `LongType` (via
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`, see [[graft.Spark]]):
+    *    rebuilt as a microsecond timestamp with integer `DIV` (no double
+    *    round-trip — nanos exceed double's 53-bit mantissa).
+    *  - `TIMESTAMP_MICROS(isAdjustedToUTC=0)` read as `TimestampNTZType`:
+    *    cast to `TimestampType` under session-timezone semantics. Every
+    *    graft entry point pins the session timezone to UTC, so the cast
+    *    relabels the same instant rather than shifting it. Without this,
+    *    `.withWatermark` hard-fails (`EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`)
+    *    — watermarks require `TimestampType`.
+    *  - `TIMESTAMP_MICROS(isAdjustedToUTC=1)` read as `TimestampType`:
+    *    passed through.
+    */
+  private[graft] def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"$c DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
   }
+
+  /** Events with `ts` normalized to `TimestampType` — see [[normalizeTs]]
+    * for the writer annotations tolerated. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -300,9 +300,10 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
     val raw = spark.readStream.schema(schema).parquet(dir)
-    // nanos-as-long handling mirrors graft.Tables.events
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    // normalize ts to TimestampType (nanos-as-long AND TIMESTAMP_NTZ
+    // writer annotations) exactly as the batch entry point does —
+    // watermarks reject NTZ outright, so this is load-bearing for every
+    // event-time operator above
+    graft.Tables.normalizeTs(raw)
   }
 }
