@@ -39,6 +39,15 @@ object Bench {
     "q93_substring_general" -> 2.30
   )
   private val contentionFactor = 2.0
+  /** Run one control every N sweep queries (r10 lesson: end-only controls
+    * miss a load spike that subsides before the sweep finishes — BENCH_r10
+    * self-reported calm while mid-sweep queries ran 17× inflated). */
+  private val controlInterleaveEvery = 40
+  /** stime/utime above this ⇒ the kernel is spending disproportionate time
+    * on this process's behalf (page-cache thrash, scheduler churn) — the
+    * r10 contended run had 434 s sys vs a calm run's 61 s on ~2,600 s user
+    * (ratio 0.17 vs 0.02). Threshold sits 3× above the calm band. */
+  private val sysCpuRatioMax = 0.2
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,36 +87,69 @@ object Bench {
       if (times.contains(-1.0)) -1.0 else times.min
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> timeQuery(n))
-
-    // Contention controls: re-time three pinned queries AFTER the sweep.
-    // Their code is frozen within a round, so a blow-up vs the pinned calm
-    // median is machine noise, not a regression — and the flag lands in the
-    // artifact so the gate is adjudicable without a judge re-run.
-    val controls = controlCalmMedians.keys.toSeq.sorted
+    // Contention controls, INTERLEAVED through the sweep (not just after
+    // it): control code is frozen within a round, so a blow-up vs the
+    // pinned calm median is machine noise, not a regression — and sampling
+    // them mid-sweep catches a load spike that subsides before the end
+    // (the r10 blind spot). Each sample records where in the sweep it ran.
+    val controlNames = controlCalmMedians.keys.toSeq.sorted
       .filter(SparkEntry.queries.contains)
-      .map { n => n -> timeQuery(n) }
-    val controlRatios = controls.map { case (n, t) =>
-      n -> (if (t <= 0) -1.0 else t / controlCalmMedians(n))
-    }.toMap
-    val contended = controlRatios.valuesIterator.exists(_ > contentionFactor)
+    val controlSamples =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Int)]
+    val sweepNames = SparkEntry.queries.keys.toSeq.sorted
+    val results = sweepNames.zipWithIndex.map { case (n, i) =>
+      if (controlNames.nonEmpty && i > 0 && i % controlInterleaveEvery == 0) {
+        val cn = controlNames(controlSamples.size % controlNames.size)
+        controlSamples += ((cn, timeQuery(cn), i))
+      }
+      n -> timeQuery(n)
+    }
+    // full control set once more at the end (the r9 behavior, retained so
+    // end-of-sweep state is always sampled too)
+    controlNames.foreach { cn =>
+      controlSamples += ((cn, timeQuery(cn), sweepNames.size))
+    }
+    def ratioOf(n: String, t: Double): Double =
+      if (t <= 0) -1.0 else t / controlCalmMedians(n)
+    // worst ratio per control across all its samples — one spike anywhere
+    // in the sweep is enough to flag
+    val controlWorst: Map[String, (Double, Double)] =
+      controlSamples.groupBy(_._1).map { case (n, ss) =>
+        val worst = ss.map { case (_, t, _) => (t, ratioOf(n, t)) }
+          .maxBy(_._2)
+        n -> worst
+      }
 
     val (load1End, load5End) = loadAvg()
     val (userEnd, sysEnd) = procCpu()
     val wallSec = (System.nanoTime() - wallStart) / 1e9
 
+    val userSec = userEnd - userStart
+    val sysSec = sysEnd - sysStart
+    val sysRatio = if (userSec > 1.0) sysSec / userSec else -1.0
+    val contended =
+      controlWorst.valuesIterator.exists(_._2 > contentionFactor) ||
+      sysRatio > sysCpuRatioMax
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val controlsJson = controls.map { case (n, t) =>
-      val r = controlRatios(n)
-      s""""$n":{"sec":$t,"calm_median":${controlCalmMedians(n)},"ratio":${f"$r%.2f"}}"""
+    val controlsJson = controlWorst.toSeq.sortBy(_._1).map {
+      case (n, (t, r)) =>
+        s""""$n":{"sec":$t,"calm_median":${controlCalmMedians(n)},"ratio":${f"$r%.2f"}}"""
     }.mkString("{", ",", "}")
+    // every sample, with its sweep position, so a mid-sweep spike is
+    // visible in the artifact even when the end-of-sweep samples are calm
+    val samplesJson = controlSamples.map { case (n, t, pos) =>
+      s"""{"q":"$n","at":$pos,"sec":$t,"ratio":${f"${ratioOf(n, t)}%.2f"}}"""
+    }.mkString("[", ",", "]")
     val telemetry =
       s""""telemetry":{"load1_start":$load1Start,"load5_start":$load5Start,""" +
       s""""load1_end":$load1End,"load5_end":$load5End,""" +
-      s""""proc_user_sec":${userEnd - userStart},"proc_sys_sec":${sysEnd - sysStart},""" +
-      s""""wall_sec":${f"$wallSec%.1f"},"controls":$controlsJson,"contended":$contended}"""
+      s""""proc_user_sec":$userSec,"proc_sys_sec":$sysSec,""" +
+      s""""sys_cpu_ratio":${f"$sysRatio%.3f"},""" +
+      s""""wall_sec":${f"$wallSec%.1f"},"controls":$controlsJson,""" +
+      s""""control_samples":$samplesJson,"contended":$contended}"""
     // the long per-query line gets a distinct metric name so nothing that
     // filters/aggregates on metric=="total" can double-count it against the
     // short trailer below

@@ -271,6 +271,12 @@ object SketchParams {
   object q129 {
     val seedMod = 25L; val maxHops = 3
   }
+  /** q130 priority sampling over documents weighted by `n_chars`:
+    * sample size and md5 seed. k is well under the sf0.01 corpus (500
+    * docs) so the (k+1)-th priority — the threshold τ — exists. */
+  object q130 {
+    val k = 100; val seed = 7
+  }
 }
 
 object OracleSql {
@@ -1742,6 +1748,38 @@ object OracleSql {
     FROM reach GROUP BY node"""
   }
 
+  /** Priority sampling (q130): the Duffield–Lund–Thorup sample replayed
+    * exactly — md5 residue `(h+1)/2^60` as the uniform, priority
+    * `w / u`, top-k by (priority DESC, id ASC) via `row_number`, τ =
+    * the (k+1)-th priority, estimator weight `greatest(w, τ)` — the
+    * SQL twin of `Sampling.prioritySample`. Both divisions and the
+    * int64→double casts are single IEEE ops in both engines, so the
+    * doubles are bit-identical. Generated from [[SketchParams.q130]]. */
+  private def q130: String = {
+    val p = SketchParams.q130
+    s"""
+    WITH pri AS (
+      SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS weight,
+        CAST(n_chars AS DOUBLE) /
+          (CAST(('0x' || substr(md5(doc_id::VARCHAR || ':${p.seed}'), 1, 15))::BIGINT
+              + 1 AS DOUBLE)
+            / 1152921504606846976.0) AS priority
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ), ranked AS (
+      SELECT id, weight, priority,
+        row_number() OVER (ORDER BY priority DESC, id ASC) AS rn
+      FROM pri
+    ), tau AS (
+      SELECT COALESCE(MAX(CASE WHEN rn = ${p.k + 1} THEN priority END),
+        0.0) AS tau
+      FROM ranked)
+    SELECT r.id, r.weight, r.priority,
+      greatest(r.weight, t.tau) AS est_weight
+    FROM ranked r CROSS JOIN tau t
+    WHERE r.rn <= ${p.k}"""
+  }
+
   /** Equi-depth histogram (q121): DuckDB recomputes the same interior
     * quantile boundaries (`quantile_cont` ≡ Spark exact `percentile`,
     * the q102 parity) and buckets each row by counting boundaries
@@ -1873,8 +1911,8 @@ object OracleSql {
     * or above threshold, both orientations ranked per node by
     * (score DESC, partner ASC) with `row_number`, and a pair survives
     * iff each side ranks the other first — the SQL twin of
-    * `Linkage.mutualBestAssignment` (whose `max_by` over a
-    * (score, −partner) struct realizes the same total order). */
+    * `Linkage.mutualBestAssignment` (whose `min_by` over a
+    * (−score, partner) struct realizes the same total order). */
   private def q128: String = s"""
     WITH $q123ScoredCtes, matches AS (
       SELECT id_a, id_b, score FROM scored
@@ -3125,6 +3163,7 @@ object OracleSql {
     "q127_bigram_familiarity" -> q127,
     "q128_mutual_best" -> q128,
     "q129_bfs_hops" -> q129,
+    "q130_priority_sample" -> q130,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -2196,6 +2196,20 @@ object SparkEntry {
       seeds, "node", p.maxHops)
   }
 
+  /** Priority sampling ([[graft.operators.Sampling.prioritySample]],
+    * Duffield–Lund–Thorup) of the document corpus weighted by
+    * `n_chars` — k docs drawn without replacement, each carrying the
+    * unbiased subset-sum estimator weight max(w, τ). The corpus
+    * subsampling step that keeps downstream token-count estimates
+    * honest. Params from [[SketchParams.q130]]; the oracle replays
+    * the md5 uniforms, priorities, τ and estimator weights
+    * bit-for-bit. */
+  def q130PrioritySample(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q130
+    operators.Sampling.prioritySample(
+      t(s, dir, "documents"), "doc_id", "n_chars", p.k, p.seed)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2326,7 +2340,8 @@ object SparkEntry {
     "q126_em_linkage" -> (q126EmLinkage _),
     "q127_bigram_familiarity" -> (q127BigramFamiliarity _),
     "q128_mutual_best" -> (q128MutualBest _),
-    "q129_bfs_hops" -> (q129BfsHops _))
+    "q129_bfs_hops" -> (q129BfsHops _),
+    "q130_priority_sample" -> (q130PrioritySample _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -307,12 +307,14 @@ object Linkage {
     * Output: (id_a, id_b, score) of the surviving pairs.
     *
     * Scale shape: one union (no shuffle), ONE hash aggregation on the
-    * node id (`max_by` over a (score, −partner) struct — partial
+    * node id (`min_by` over a (−score, partner) struct — partial
     * map-side agg, no window sort), one self-equi-join of the per-node
     * best table against itself on the partner id. Cost ∝ pairs + nodes;
     * no all-pairs shape. Engine-portable: the tie-break is a total
     * order over exact values, so any engine replaying it (q128's
-    * DuckDB twin uses `row_number`) lands on the identical pair set. */
+    * DuckDB twin uses `row_number`) lands on the identical pair set.
+    * Ids may be ANY orderable type (numeric, string, …): only the
+    * score — numeric by contract — is negated, never the id. */
   def mutualBestAssignment(scoredPairs: DataFrame,
       scoreCol: String = "score"): DataFrame = {
     val p = scoredPairs.select(col("id_a"), col("id_b"),
@@ -322,8 +324,8 @@ object Linkage {
         col("__s")))
     val best = directed
       .groupBy(col("id_a").as("node"))
-      .agg(max_by(struct(col("id_b"), col("__s")),
-        struct(col("__s"), (-col("id_b")).as("__tb"))).as("bp"))
+      .agg(min_by(struct(col("id_b"), col("__s")),
+        struct((-col("__s")).as("__ns"), col("id_b").as("__tb"))).as("bp"))
       .select(col("node"), col("bp.id_b").as("partner"),
         col("bp.__s").as("__s"))
     best.as("x")

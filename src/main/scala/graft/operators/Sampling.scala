@@ -200,6 +200,11 @@ object Sampling {
     require(k >= 1, "k must be positive")
     val pri = df.select(col(idCol).as("id"),
         col(weightCol).cast("double").as("weight"))
+      // reject NULL / non-positive weights up front: a NULL weight would
+      // yield a NULL priority (silently ranked last), a w ≤ 0 a
+      // non-positive priority that can still be drawn — either biases
+      // the subset-sum estimator the docstring promises is unbiased
+      .filter(col("weight").isNotNull && col("weight") > 0.0)
       .withColumn("priority",
         col("weight") /
           ((portableKey(col("id"), seed) + lit(1L)).cast("double") /

@@ -195,6 +195,28 @@ class LinkageSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L)))
   }
 
+  test("mutualBestAssignment: string ids work (generic-id contract)") {
+    import spark.implicits._
+    // same chain + tie shapes as the numeric tests, lexicographic ids —
+    // r10 ADVICE: the previous tie-break negated the partner id and
+    // failed analysis on non-numeric ids
+    val pairs = Seq(
+      ("a", "b", 0.9), ("b", "c", 0.8), ("c", "d", 0.5), ("c", "e", 0.5))
+      .toDF("id_a", "id_b", "score")
+    val got = Linkage.mutualBestAssignment(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    // a↔b mutual at 0.9; c's best is b (0.8) so (c,d)/(c,e) fail
+    // mutuality; d and e each best-prefer c but c doesn't reciprocate
+    assert(got == Set(("a", "b", 0.9)))
+    // tie-break on string partner: z sees x and y at equal score →
+    // picks x (smallest lexicographically), so (x,z) is mutual
+    val tied = Seq(("x", "z", 0.5), ("y", "z", 0.5))
+      .toDF("id_a", "id_b", "score")
+    val got2 = Linkage.mutualBestAssignment(tied).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got2 == Set(("x", "z")))
+  }
+
   test("mutualBestAssignment output is one-to-one on a blocked score set") {
     import spark.implicits._
     // every node in one block, all pairs scored by a deterministic hash

@@ -159,4 +159,59 @@ class SamplingSpec extends AnyFunSuite {
         valPermille = 600, testPermille = 600)
     }
   }
+
+  test("prioritySample: k rows, threshold rule, JVM md5 reference parity") {
+    import spark.implicits._
+    val n = 60
+    val k = 10
+    val seed = 7
+    val df = (1L to n.toLong).map(i => (i, (i % 13 + 1).toDouble))
+      .toDF("id", "w")
+    val got = Sampling.prioritySample(df, "id", "w", k, seed).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.length == k)
+    // replay the priorities with a JVM md5 reference
+    def key(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:$seed".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val pri = (1L to n.toLong).map { i =>
+      val w = (i % 13 + 1).toDouble
+      (i, w, w / ((key(i) + 1L).toDouble / 1152921504606846976.0))
+    }
+    val ranked = pri.sortBy { case (id, _, p) => (-p, id) }
+    val expectIds = ranked.take(k).map(_._1).toSet
+    val tau = ranked(k)._3 // (k+1)-th priority
+    assert(got.map(_._1).toSet == expectIds)
+    got.foreach { case (id, w, p, est) =>
+      val ref = pri.find(_._1 == id).get
+      assert(p == ref._3, s"priority mismatch for $id")
+      assert(est == math.max(w, tau), s"est_weight mismatch for $id")
+    }
+    // subset-sum sanity: Σ est_weight over the sample is within the
+    // estimator's plausible band of the true total (deterministic run,
+    // so this is a fixed-number check, not a statistical one)
+    val total = pri.map(_._2).sum
+    val estTotal = got.map(_._4).sum
+    assert(estTotal > 0.3 * total && estTotal < 3.0 * total)
+  }
+
+  test("prioritySample rejects NULL and non-positive weights up front") {
+    import spark.implicits._
+    // 3 valid rows, one zero, one negative, one NULL: with k = 3 every
+    // valid row is sampled (τ = 0, no (k+1)-th) and the bad rows never
+    // appear — previously a NULL weight could slip into a short sample
+    // and a w ≤ 0 row could be drawn, biasing the estimator
+    val df = Seq((1L, Some(2.0)), (2L, Some(3.0)), (3L, Some(4.0)),
+      (4L, Some(0.0)), (5L, Some(-1.0)), (6L, None))
+      .toDF("id", "w")
+    val got = Sampling.prioritySample(df, "id", "w", 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(3)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L))
+    // τ = 0 ⇒ est_weight degenerates to the true weight: exact total
+    assert(got.map(_._3).sum == 9.0)
+  }
 }
