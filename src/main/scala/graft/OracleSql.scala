@@ -1941,29 +1941,42 @@ object OracleSql {
     * interior clamp, and every M-step reduction is an order-independent
     * BIGINT sum — so four full EM iterations replay bit-for-bit.
     * Generated from [[SketchParams.q126]]. */
-  private def q126: String = {
+  private val emQ: Long = 1L << 30
+
+  /** Per-pair mixture likelihood with the Scala foldLeft's left-assoc
+    * parenthesization (shared by the q126 iteration CTEs and q131's
+    * final E-step). */
+  private def emProd(start: String, term: Int => String): String =
+    (1 to 3).foldLeft(s"($start)")((acc, j) =>
+      s"($acc * CASE WHEN g$j THEN ${term(j)} " +
+        s"ELSE (1.0 - ${term(j)}) END)")
+
+  /** (π, m_j, u_j) SQL for EM iteration `i`: literals for iteration 1,
+    * CAST divisions over the previous iteration's sums (aliased `p`,
+    * with `nn` in scope) after — also the final-E-step params when
+    * called with iters+1. */
+  private def emParamSqls(i: Int): (String, Int => String, Int => String) = {
+    val p = SketchParams.q126
+    if (i == 1) (s"${p.pi0}", (_: Int) => s"${p.m0}",
+      (_: Int) => s"${p.u0}")
+    else ((s"(CAST(p.sw AS DOUBLE) / CAST(nn.n * $emQ AS DOUBLE))"),
+      (j: Int) => s"(CAST(p.swf$j AS DOUBLE) / CAST(p.sw AS DOUBLE))",
+      (j: Int) => s"(CAST(p.sgf$j AS DOUBLE) " +
+        s"/ CAST(nn.n * $emQ - p.sw AS DOUBLE))")
+  }
+
+  /** Shared q126/q131 WITH-body: blocked candidate agreement flags
+    * (pair ids retained — q126 ignores them, q131 emits them) + the
+    * unrolled quantized-EM iteration CTEs s1..s{iters}. */
+  private def emWithBody: String = {
     val p = SketchParams.q126
     val pb = SketchParams.q123
-    val Q = 1L << 30
-    // per-pair mixture likelihoods with the Scala foldLeft's left-assoc
-    // parenthesization; param expressions differ per iteration (literals
-    // for iteration 1, CAST divisions over s{i-1} after)
-    def prod(start: String, term: Int => String): String =
-      (1 to 3).foldLeft(s"($start)")((acc, j) =>
-        s"($acc * CASE WHEN g$j THEN ${term(j)} " +
-          s"ELSE (1.0 - ${term(j)}) END)")
     def iterCte(i: Int): String = {
-      val (piSql, mSql, uSql) =
-        if (i == 1) (s"${p.pi0}", (_: Int) => s"${p.m0}",
-          (_: Int) => s"${p.u0}")
-        else ((s"(CAST(p.sw AS DOUBLE) / CAST(nn.n * $Q AS DOUBLE))"),
-          (j: Int) => s"(CAST(p.swf$j AS DOUBLE) / CAST(p.sw AS DOUBLE))",
-          (j: Int) => s"(CAST(p.sgf$j AS DOUBLE) " +
-            s"/ CAST(nn.n * $Q - p.sw AS DOUBLE))")
+      val (piSql, mSql, uSql) = emParamSqls(i)
       val prev = if (i == 1) "" else s" CROSS JOIN s${i - 1} p"
       val sums = (1 to 3).map(j =>
         s"""CAST(SUM(CASE WHEN g$j THEN w ELSE 0 END) AS BIGINT) AS swf$j,
-        CAST(SUM(CASE WHEN g$j THEN $Q - w ELSE 0 END) AS BIGINT)
+        CAST(SUM(CASE WHEN g$j THEN $emQ - w ELSE 0 END) AS BIGINT)
           AS sgf$j""").mkString(",\n        ")
       s"""
     s$i AS (
@@ -1972,23 +1985,22 @@ object OracleSql {
       FROM (
         SELECT g1, g2, g3,
           LEAST(GREATEST(
-            CAST(floor((pm / (pm + pu)) * CAST($Q AS DOUBLE)) AS BIGINT),
-            1), ${Q - 1}) AS w
+            CAST(floor((pm / (pm + pu)) * CAST($emQ AS DOUBLE)) AS BIGINT),
+            1), ${emQ - 1}) AS w
         FROM (
           SELECT g1, g2, g3,
-            ${prod(piSql, mSql)} AS pm,
-            ${prod(s"(1.0 - $piSql)", uSql)} AS pu
+            ${emProd(piSql, mSql)} AS pm,
+            ${emProd(s"(1.0 - $piSql)", uSql)} AS pu
           FROM fl CROSS JOIN nn$prev)))"""
     }
     val iters = (1 to p.iters).map(iterCte).mkString(",")
-    s"""
-    WITH c AS (
+    s"""c AS (
       SELECT c_custkey AS id, c_mktsegment AS f1,
         CAST(c_nationkey AS BIGINT) AS f2,
         CAST(floor(c_acctbal) AS BIGINT) % 100 AS f3
       FROM customer
     ), fl AS MATERIALIZED (
-      SELECT
+      SELECT cd.id_a, cd.id_b,
         (a.f1 IS NOT NULL AND b.f1 IS NOT NULL AND a.f1 = b.f1) AS g1,
         (a.f2 IS NOT NULL AND b.f2 IS NOT NULL AND a.f2 = b.f2) AS g2,
         (a.f3 IS NOT NULL AND b.f3 IS NOT NULL AND a.f3 = b.f3) AS g3
@@ -1999,7 +2011,14 @@ object OracleSql {
       JOIN c a ON a.id = cd.id_a JOIN c b ON b.id = cd.id_b
     ), nn AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n FROM fl
-    ),$iters
+    ),$iters"""
+  }
+
+  private def q126: String = {
+    val p = SketchParams.q126
+    val Q = emQ
+    s"""
+    WITH $emWithBody
     SELECT
       CAST(s.sw AS DOUBLE) / CAST(nn.n * $Q AS DOUBLE) AS pi,
       CAST(s.swf1 AS DOUBLE) / CAST(s.sw AS DOUBLE) AS m_mktsegment,
@@ -2012,6 +2031,27 @@ object OracleSql {
       CAST(s.sgf3 AS DOUBLE) / CAST(nn.n * $Q - s.sw AS DOUBLE)
         AS u_balmod
     FROM s${p.iters} s, nn"""
+  }
+
+  /** Per-pair EM posteriors (q131): q126's unrolled calibration
+    * followed by one more E-step over every candidate pair — the
+    * iteration-(iters+1) parameter expressions feed the same
+    * quantized-responsibility shape, emitted per pair instead of
+    * summed — the SQL twin of `Linkage.emPosteriors`. */
+  private def q131: String = {
+    val p = SketchParams.q126
+    val (piSql, mSql, uSql) = emParamSqls(p.iters + 1)
+    s"""
+    WITH $emWithBody
+    SELECT id_a, id_b,
+      LEAST(GREATEST(
+        CAST(floor((pm / (pm + pu)) * CAST($emQ AS DOUBLE)) AS BIGINT),
+        1), ${emQ - 1}) AS posterior_q
+    FROM (
+      SELECT id_a, id_b,
+        ${emProd(piSql, mSql)} AS pm,
+        ${emProd(s"(1.0 - $piSql)", uSql)} AS pu
+      FROM fl CROSS JOIN nn CROSS JOIN s${p.iters} p)"""
   }
 
   /** Blocking evaluation (q124): the SQL twin of
@@ -3164,6 +3204,7 @@ object OracleSql {
     "q128_mutual_best" -> q128,
     "q129_bfs_hops" -> q129,
     "q130_priority_sample" -> q130,
+    "q131_em_posteriors" -> q131,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -220,6 +220,63 @@ object Soak {
       operators.Components.kCore(pairs, "id_a", "id_b", k = 5).count()
     }
     println(s"[soak]   -> $coreNodes nodes in the 5-core")
+
+    // r11 shapes: multi-source BFS and EM weight calibration past bench
+    // SF. The chain graph (replica k of a doc linked to replica k+1)
+    // forces genuine multi-hop frontiers — every round's cost is the
+    // frontier⋈edges join, and the frontier holds ~|seeds| nodes per
+    // hop by construction, so per-hop wall measures the round cost, not
+    // early termination.
+    val chain0 = (0 until replicas - 1).map { k =>
+      base.select((col("doc_id") + lit(k * 10000000L)).as("a"),
+        (col("doc_id") + lit((k + 1) * 10000000L)).as("b"))
+    }.reduce(_.unionByName(_))
+    val chainEdges = chain0
+      .unionByName(chain0.select(col("b").as("a"), col("a").as("b")))
+    val bfsSeeds = base.select(col("doc_id").as("node"))
+    val hopRows = timed(s"bfsHopDistance (chain graph, maxHops=8)") {
+      operators.Components.bfsHopDistance(chainEdges, "a", "b",
+        bfsSeeds, "node", maxHops = 8).count()
+    }
+    println(s"[soak]   -> $hopRows nodes settled (chain)")
+    val hopDense = timed("bfsHopDistance (near-dup pair graph, maxHops=4)") {
+      val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      operators.Components.bfsHopDistance(sym, "a", "b",
+        docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("node")),
+        "node", maxHops = 4).count()
+    }
+    println(s"[soak]   -> $hopDense nodes settled (dense)")
+
+    // EM calibration: replicas of a base customer share a block, so the
+    // candidate set is |base| · C(replicas, 2) pairs; field noise (every
+    // 3rd replica's segment rewritten, odd replicas' balance nudged)
+    // gives the mixed agreement patterns EM separates. Per-iteration
+    // cost = one pure map + one partial-reduced agg over the pair count.
+    val custBase = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_nationkey").cast("long").as("nat"),
+        expr("CAST(c_acctbal AS LONG) DIV 100").as("bal0"))
+    val recs = (0 until replicas).map { k =>
+      custBase.select(
+        (col("c_custkey") + lit(k * 10000000L)).as("id"),
+        when(col("c_custkey") % 3 === k % 3, lit("SEG-NOISE"))
+          .otherwise(col("c_mktsegment")).as("seg"),
+        col("nat"),
+        (col("bal0") + lit(k % 2)).as("bal"),
+        col("c_custkey").as("blk"))
+    }.reduce(_.unionByName(_))
+    val cands = recs.select(col("id").as("id_a"), col("blk").as("__ba"))
+      .join(recs.select(col("id").as("id_b"), col("blk").as("__bb")),
+        col("__ba") === col("__bb") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val nCands = cands.count()
+    val em = timed(s"estimateWeightsEM ($nCands pairs, 4 iters)") {
+      operators.Linkage.estimateWeightsEM(recs, "id",
+        Seq("seg", "nat", "bal"), cands, iters = 4)
+    }
+    println(f"[soak]   -> pi=${em.pi}%.4f over $nCands%d candidate pairs")
     spark.stop()
   }
 }

@@ -2196,6 +2196,34 @@ object SparkEntry {
       seeds, "node", p.maxHops)
   }
 
+  /** Per-pair EM posterior probabilities
+    * ([[graft.operators.Linkage.emPosteriors]]): q126's calibration
+    * (same candidates, fields, starting point, iteration count)
+    * followed by one more E-step that emits every candidate pair's
+    * quantized match posterior — the per-pair decision surface the
+    * one-row parameter query can't give. The oracle replays the 4
+    * unrolled EM iterations AND the final per-pair E-step
+    * bit-for-bit. */
+  def q131EmPosteriors(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q126
+    val pb = SketchParams.q123
+    val cust = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_mktsegment"),
+      col("c_nationkey").cast("long").as("c_nation"),
+      (floor(col("c_acctbal")).cast("long") % 100L).as("c_balmod"))
+    val fields = Seq("c_mktsegment", "c_nation", "c_balmod")
+    val l = cust.select(col("c_custkey").as("id_a"),
+      col("c_nation").as("__blk"))
+    val r = cust.select(col("c_custkey").as("id_b"),
+      col("c_nation").as("__blk"))
+    val cands = l.join(r, Seq("__blk"))
+      .filter(col("id_a") < col("id_b") &&
+        col("id_b") - col("id_a") <= pb.maxGap)
+      .select("id_a", "id_b")
+    operators.Linkage.emPosteriors(cust, "c_custkey", fields, cands,
+      p.iters, p.pi0, p.m0, p.u0)
+  }
+
   /** Priority sampling ([[graft.operators.Sampling.prioritySample]],
     * Duffield–Lund–Thorup) of the document corpus weighted by
     * `n_chars` — k docs drawn without replacement, each carrying the
@@ -2341,7 +2369,8 @@ object SparkEntry {
     "q127_bigram_familiarity" -> (q127BigramFamiliarity _),
     "q128_mutual_best" -> (q128MutualBest _),
     "q129_bfs_hops" -> (q129BfsHops _),
-    "q130_priority_sample" -> (q130PrioritySample _))
+    "q130_priority_sample" -> (q130PrioritySample _),
+    "q131_em_posteriors" -> (q131EmPosteriors _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -204,48 +204,96 @@ object Linkage {
       fields: Seq[String], candidates: DataFrame, iters: Int = 4,
       pi0: Double = 0.2, m0: Double = 0.9, u0: Double = 0.1): EmParams = {
     require(iters >= 1, "need at least one EM iteration")
-    val Q = 1L << 30
     val (a, b) = sides(records, idCol, fields)
     val (flags, flagsCkpt) = CheckpointHygiene.checkpointTracked(
       candidates.select(col("id_a"), col("id_b"))
         .join(a, Seq("id_a")).join(b, Seq("id_b"))
         .select(fields.map(f => agreeCol(f).as(s"__g_$f")): _*))
-    try {
-      val n = flags.count()
-      require(n > 0, "estimateWeightsEM needs a non-empty candidate set")
-      var pi = pi0
-      var m = fields.map(_ -> m0).toMap
-      var u = fields.map(_ -> u0).toMap
-      (1 to iters).foreach { _ =>
-        // E-step: per-pair responsibility, left-assoc field order (the
-        // oracle-replicable shape), floor-quantized and clamped interior
-        val pm = fields.foldLeft(lit(pi))((acc, f) =>
-          acc * when(col(s"__g_$f"), lit(m(f))).otherwise(lit(1.0 - m(f))))
-        val pu = fields.foldLeft(lit(1.0 - pi))((acc, f) =>
-          acc * when(col(s"__g_$f"), lit(u(f))).otherwise(lit(1.0 - u(f))))
-        val wfx = least(greatest(
-          floor((pm / (pm + pu)) * lit(Q.toDouble)).cast("long"),
-          lit(1L)), lit(Q - 1L))
-        // M-step: order-independent BIGINT sums
-        val row = flags
-          .select(wfx.as("__w") +: fields.map(f => col(s"__g_$f")): _*)
-          .agg(sum(col("__w")).as("__sw"),
-            fields.flatMap(f => Seq(
-              sum(when(col(s"__g_$f"), col("__w")).otherwise(0L))
-                .as(s"__swf_$f"),
-              sum(when(col(s"__g_$f"), lit(Q) - col("__w")).otherwise(0L))
-                .as(s"__sgf_$f"))): _*)
-          .collect()(0)
-        val sw = row.getAs[Long]("__sw")
-        pi = sw.toDouble / (n * Q).toDouble
-        m = fields.map(f => f ->
-          row.getAs[Long](s"__swf_$f").toDouble / sw.toDouble).toMap
-        u = fields.map(f => f ->
-          row.getAs[Long](s"__sgf_$f").toDouble /
-            (n * Q - sw).toDouble).toMap
-      }
-      EmParams(pi, m, u)
-    } finally CheckpointHygiene.free(flagsCkpt)
+    try emLoop(flags, fields, iters, pi0, m0, u0)
+    finally CheckpointHygiene.free(flagsCkpt)
+  }
+
+  /** The quantized-responsibility expression for one E-step at the
+    * given parameters — left-assoc field order (the oracle-replicable
+    * shape), floor-quantized to 2⁻³⁰ and clamped interior. */
+  private def responsibilityQ(fields: Seq[String], pi: Double,
+      m: Map[String, Double], u: Map[String, Double]): Column = {
+    val Q = 1L << 30
+    val pm = fields.foldLeft(lit(pi))((acc, f) =>
+      acc * when(col(s"__g_$f"), lit(m(f))).otherwise(lit(1.0 - m(f))))
+    val pu = fields.foldLeft(lit(1.0 - pi))((acc, f) =>
+      acc * when(col(s"__g_$f"), lit(u(f))).otherwise(lit(1.0 - u(f))))
+    least(greatest(
+      floor((pm / (pm + pu)) * lit(Q.toDouble)).cast("long"),
+      lit(1L)), lit(Q - 1L))
+  }
+
+  /** The EM parameter loop over a materialized agreement-flag frame
+    * (extra columns — e.g. pair ids — are carried but ignored). */
+  private def emLoop(flags: DataFrame, fields: Seq[String], iters: Int,
+      pi0: Double, m0: Double, u0: Double): EmParams = {
+    val Q = 1L << 30
+    val n = flags.count()
+    require(n > 0, "estimateWeightsEM needs a non-empty candidate set")
+    var pi = pi0
+    var m = fields.map(_ -> m0).toMap
+    var u = fields.map(_ -> u0).toMap
+    (1 to iters).foreach { _ =>
+      // E-step per pair, then M-step as order-independent BIGINT sums
+      val wfx = responsibilityQ(fields, pi, m, u)
+      val row = flags
+        .select(wfx.as("__w") +: fields.map(f => col(s"__g_$f")): _*)
+        .agg(sum(col("__w")).as("__sw"),
+          fields.flatMap(f => Seq(
+            sum(when(col(s"__g_$f"), col("__w")).otherwise(0L))
+              .as(s"__swf_$f"),
+            sum(when(col(s"__g_$f"), lit(Q) - col("__w")).otherwise(0L))
+              .as(s"__sgf_$f"))): _*)
+        .collect()(0)
+      val sw = row.getAs[Long]("__sw")
+      pi = sw.toDouble / (n * Q).toDouble
+      m = fields.map(f => f ->
+        row.getAs[Long](s"__swf_$f").toDouble / sw.toDouble).toMap
+      u = fields.map(f => f ->
+        row.getAs[Long](s"__sgf_$f").toDouble /
+          (n * Q - sw).toDouble).toMap
+    }
+    EmParams(pi, m, u)
+  }
+
+  /** Per-pair posterior match probabilities under the EM-calibrated
+    * model: run [[estimateWeightsEM]]'s loop, then ONE more E-step over
+    * the same candidate pairs emitting each pair's quantized
+    * responsibility `posterior_q` ∈ [1, 2³⁰−1] (the match probability
+    * × 2³⁰, floor-quantized) — the per-pair surface a pipeline
+    * thresholds, routes to clerical review, or joins back onto match
+    * candidates, where the parameter estimator alone reports one global
+    * row. The same quantization contract as the loop, so the full
+    * per-pair frame replays bit-for-bit in an external engine (q131).
+    *
+    * Scale shape: the agreement-flag frame (two hash joins on the
+    * record ids) is built ONCE with the pair ids attached and
+    * checkpointed; the parameter loop aggregates over it ignoring the
+    * ids, and the final E-step is a pure map over the same frame — no
+    * additional join or shuffle beyond the calibration itself. Output
+    * is pair-proportional; nothing new reaches the driver. */
+  def emPosteriors(records: DataFrame, idCol: String,
+      fields: Seq[String], candidates: DataFrame, iters: Int = 4,
+      pi0: Double = 0.2, m0: Double = 0.9, u0: Double = 0.1): DataFrame = {
+    require(iters >= 1, "need at least one EM iteration")
+    val (a, b) = sides(records, idCol, fields)
+    // checkpoint blocks stay live: the returned frame reads them (the
+    // converged-PageRank discipline — the final generation belongs to
+    // the caller's result)
+    val (flags, _) = CheckpointHygiene.checkpointTracked(
+      candidates.select(col("id_a"), col("id_b"))
+        .join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .select(col("id_a") +: col("id_b") +:
+          fields.map(f => agreeCol(f).as(s"__g_$f")): _*))
+    val params = emLoop(flags, fields, iters, pi0, m0, u0)
+    flags.select(col("id_a"), col("id_b"),
+      responsibilityQ(fields, params.pi, params.m, params.u)
+        .as("posterior_q"))
   }
 
   /** Blocking-scheme evaluation (the standard record-linkage triple;

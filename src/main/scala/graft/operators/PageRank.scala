@@ -81,7 +81,62 @@ object PageRank {
       edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String],
       iters: Int, scale: Long = 1000000L, dampPct: Int = 85,
-      checkpointInterval: Int = 8): DataFrame = {
+      checkpointInterval: Int = 8): DataFrame =
+    weightedCore(edges, srcCol, dstCol, weightCol, iters, scale, dampPct,
+      checkpointInterval, convergeDelta = false)._1
+
+  /** Converged variant: iterate until the terminal orbit of the exact
+    * integer recurrence — a fixed point (an iteration that changes no
+    * rank) or the period-2 cycle that floor rounding produces on many
+    * graphs (successive iterates oscillating by an ulp of the fixed
+    * point; real graphs routinely terminate this way, so a
+    * fixed-point-only check would never fire) — or `maxIters`,
+    * whichever first. Because the arithmetic is exact BIGINT, the
+    * returned frame is BIT-IDENTICAL to [[weightedPageRankFixedPoint]]
+    * at `itersRun` (it is that iterate), and to every larger budget of
+    * the same parity on a cycle / every larger budget outright on a
+    * fixed point — early exit stops paying for provably-repeating
+    * rounds (each saved round is one shuffle stage on a cluster — the
+    * BFS empty-frontier pattern, [[Components.bfsHopDistance]]).
+    *
+    * Cost of the check: each iteration is eagerly localCheckpointed
+    * (the per-round materialization HITS already pays) and the delta
+    * check is an equi-join on the node id against the two previous
+    * materialized frames + ONE scalar to the driver; live checkpoint
+    * storage is ≤ 3 generations.
+    *
+    * @return (ranks, itersRun) — itersRun counts executed iterations,
+    *         including the final round that proved the orbit */
+  def weightedPageRankConverged(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String],
+      maxIters: Int, scale: Long = 1000000L, dampPct: Int = 85)
+      : (DataFrame, Int) =
+    weightedCore(edges, srcCol, dstCol, weightCol, maxIters, scale,
+      dampPct, checkpointInterval = 1, convergeDelta = true)
+
+  /** Unweighted [[weightedPageRankConverged]]. */
+  def pageRankConverged(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int, scale: Long = 1000000L, dampPct: Int = 85)
+      : (DataFrame, Int) =
+    weightedPageRankConverged(edges, srcCol, dstCol, None, maxIters,
+      scale, dampPct)
+
+  /** true iff `next` assigns every node the same rank as `prev` — one
+    * inner equi-join (node sets are identical by construction: both
+    * frames map the same `nodes` relation) and one limit-1 action. */
+  private def unchanged(prev: DataFrame, next: DataFrame): Boolean =
+    next.join(prev.select(col("node"), col("pr").as("__prev")),
+        Seq("node"))
+      .filter(col("pr") =!= col("__prev")).isEmpty
+
+  private def weightedCore(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String],
+      iters: Int, scale: Long, dampPct: Int,
+      checkpointInterval: Int, convergeDelta: Boolean)
+      : (DataFrame, Int) = {
     require(iters >= 0 && scale > 0 && dampPct >= 0 && dampPct <= 100)
     require(checkpointInterval >= 1)
     val e = weightCol match {
@@ -113,9 +168,12 @@ object PageRank {
       .distinct()
     val teleport = (scale * (100L - dampPct)) / 100L
     var ranks = nodes.withColumn("pr", lit(scale))
+    var prev2: DataFrame = null
     var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    var prevPrevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < iters && !converged) {
       // per-edge contribution: floor(rank / outdeg), exact on BIGINT
       // (DIV, not fp division — double rounding would diverge at scale)
       val inbound = eDeg
@@ -128,22 +186,41 @@ object PageRank {
         .select(col("node"),
           (lit(teleport) +
             expr(s"(${dampPct}L * coalesce(mass, 0L)) DIV 100L")).as("pr"))
-      // deep runs only: bound plan depth; never checkpoint the final
-      // frame — the caller gets the real plan, not an RDD scan. Interval
-      // checkpoints are EAGER so the superseded one can be freed on the
-      // spot (a lazy chain would need its predecessor's blocks to
-      // materialize later) — live storage stays ≤ 2 generations at any
-      // depth instead of growing with iters/interval
-      ranks = if ((i + 1) % checkpointInterval == 0 && i < iters - 1) {
+      if (convergeDelta) {
+        // converged mode: materialize every round (eager, so superseded
+        // blocks free immediately) and exit when this round reproduces
+        // the previous frame (fixed point) or the one before it
+        // (period-2 ulp cycle); both comparands are materialized
+        // checkpoints (or the trivial initial frame), so each compare
+        // is a cheap join + limit-1 action
         val (ck, ckpt) =
           CheckpointHygiene.checkpointTracked(next, eager = true)
-        CheckpointHygiene.free(prevCkpt)
+        converged = unchanged(ranks, ck) ||
+          (prev2 != null && unchanged(prev2, ck))
+        CheckpointHygiene.free(prevPrevCkpt)
+        prevPrevCkpt = prevCkpt
         prevCkpt = ckpt
-        ck
-      } else next
+        prev2 = ranks
+        ranks = ck
+      } else {
+        // deep runs only: bound plan depth; never checkpoint the final
+        // frame — the caller gets the real plan, not an RDD scan.
+        // Interval checkpoints are EAGER so the superseded one can be
+        // freed on the spot (a lazy chain would need its predecessor's
+        // blocks to materialize later) — live storage stays ≤ 2
+        // generations at any depth instead of growing with
+        // iters/interval
+        ranks = if ((i + 1) % checkpointInterval == 0 && i < iters - 1) {
+          val (ck, ckpt) =
+            CheckpointHygiene.checkpointTracked(next, eager = true)
+          CheckpointHygiene.free(prevCkpt)
+          prevCkpt = ckpt
+          ck
+        } else next
+      }
       i += 1
     }
-    ranks
+    (ranks, i)
   }
 
   /** Personalized PageRank (Page et al. 1999 §6; Haveliwala 2002,
@@ -167,7 +244,27 @@ object PageRank {
       edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String,
       iters: Int, scale: Long = 1000000L, dampPct: Int = 85,
-      checkpointInterval: Int = 8): DataFrame = {
+      checkpointInterval: Int = 8): DataFrame =
+    personalizedCore(edges, srcCol, dstCol, seeds, seedCol, iters, scale,
+      dampPct, checkpointInterval, convergeDelta = false)._1
+
+  /** Converged [[personalizedPageRankFixedPoint]] — the exact-fixed-point
+    * early exit of [[weightedPageRankConverged]], same bit-identity
+    * guarantee and per-round cost. */
+  def personalizedPageRankConverged(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      maxIters: Int, scale: Long = 1000000L, dampPct: Int = 85)
+      : (DataFrame, Int) =
+    personalizedCore(edges, srcCol, dstCol, seeds, seedCol, maxIters,
+      scale, dampPct, checkpointInterval = 1, convergeDelta = true)
+
+  private def personalizedCore(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iters: Int, scale: Long, dampPct: Int,
+      checkpointInterval: Int, convergeDelta: Boolean)
+      : (DataFrame, Int) = {
     require(iters >= 0 && scale > 0 && dampPct >= 0 && dampPct <= 100)
     require(checkpointInterval >= 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -184,9 +281,12 @@ object PageRank {
     val teleport = (scale * (100L - dampPct)) / 100L
     var ranks = flagged.select(col("node"),
       when(col("__seed") === 1, lit(scale)).otherwise(lit(0L)).as("pr"))
+    var prev2: DataFrame = null
     var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    var prevPrevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < iters && !converged) {
       val inbound = eDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
@@ -197,16 +297,28 @@ object PageRank {
         .select(col("node"),
           (when(col("__seed") === 1, lit(teleport)).otherwise(lit(0L)) +
             expr(s"(${dampPct}L * coalesce(mass, 0L)) DIV 100L")).as("pr"))
-      ranks = if ((i + 1) % checkpointInterval == 0 && i < iters - 1) {
+      if (convergeDelta) {
         val (ck, ckpt) =
           CheckpointHygiene.checkpointTracked(next, eager = true)
-        CheckpointHygiene.free(prevCkpt)
+        converged = unchanged(ranks, ck) ||
+          (prev2 != null && unchanged(prev2, ck))
+        CheckpointHygiene.free(prevPrevCkpt)
+        prevPrevCkpt = prevCkpt
         prevCkpt = ckpt
-        ck
-      } else next
+        prev2 = ranks
+        ranks = ck
+      } else {
+        ranks = if ((i + 1) % checkpointInterval == 0 && i < iters - 1) {
+          val (ck, ckpt) =
+            CheckpointHygiene.checkpointTracked(next, eager = true)
+          CheckpointHygiene.free(prevCkpt)
+          prevCkpt = ckpt
+          ck
+        } else next
+      }
       i += 1
     }
-    ranks
+    (ranks, i)
   }
 
   /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in

@@ -191,6 +191,40 @@ object EventStreams {
       }
       .start()
 
+  /** Event-time variant of [[linkageIngest]]: incoming records carry an
+    * event-time column, and the stream is screened with a watermark +
+    * `dropDuplicatesWithinWatermark` on the record id BEFORE scoring —
+    * so (a) a replayed record (at-least-once sources re-deliver) is
+    * suppressed while its id is within the watermark horizon, and (b) a
+    * record arriving later than the watermark allows is dropped by the
+    * stateful operator rather than re-scored — the exactly-once-ish
+    * ingest contract a linkage sink needs (double-scoring a record
+    * would duplicate match rows downstream). State is one fingerprint
+    * per id bounded by the watermark horizon, never stream-lifetime.
+    *
+    * Requires the NTZ-tolerant source normalization
+    * ([[graft.Tables.normalizeTs]]): watermarks reject TIMESTAMP_NTZ. */
+  def linkageIngestEventTime(
+      recordStream: DataFrame, reference: DataFrame,
+      idCol: String, blockCol: String, fields: Seq[String],
+      weights: Map[String, (Double, Double)], threshold: Double,
+      sinkPath: String, checkpointPath: String,
+      tsCol: String = "ts", watermark: String = "10 minutes")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    recordStream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq(idCol))
+      .writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Linkage
+          .scoreAgainstReference(batch.toDF(), reference, idCol, blockCol,
+            fields, weights, threshold)
+          .filter(col("is_match"))
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+
   /** Stream-stream interval join: every `trigger` event is matched to
     * the same user's `outcome` events that land within `maxLag` after it
     * — the funnel/attribution correlation shape, continuously. Both

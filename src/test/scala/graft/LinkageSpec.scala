@@ -169,6 +169,48 @@ class LinkageSpec extends AnyFunSuite {
     assert(err.getMessage.contains("gold"))
   }
 
+  test("emPosteriors: per-pair quantized posterior equals one more " +
+      "E-step at the calibrated parameters, exactly") {
+    import spark.implicits._
+    // same planted structure as the EM reference test: twins (2k-1, 2k)
+    // agree on both fields, straddle pairs (2k, 2k+1) on neither
+    val recs = (1L to 40L).map { i =>
+      val g = (i - 1) / 2
+      (i, s"c$g", s"s$g")
+    }.toDF("id", "color", "size")
+    val cands = ((1L to 39L by 2).map(i => (i, i + 1)) ++
+      (2L to 38L by 2).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val iters = 3
+    val params = Linkage.estimateWeightsEM(recs, "id", fields, cands, iters)
+    val post = Linkage.emPosteriors(recs, "id", fields, cands, iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(post.size == 39)
+    // reference: one E-step at the calibrated params, same quantization
+    val Q = 1L << 30
+    val byId = recs.as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    cands.as[(Long, Long)].collect().foreach { case (x, y) =>
+      val gc = byId(x)._1 == byId(y)._1
+      val gs = byId(x)._2 == byId(y)._2
+      val pm = (params.pi *
+        (if (gc) params.m("color") else 1.0 - params.m("color"))) *
+        (if (gs) params.m("size") else 1.0 - params.m("size"))
+      val pu = ((1.0 - params.pi) *
+        (if (gc) params.u("color") else 1.0 - params.u("color"))) *
+        (if (gs) params.u("size") else 1.0 - params.u("size"))
+      val w = math.min(math.max(
+        math.floor((pm / (pm + pu)) * Q.toDouble).toLong, 1L), Q - 1L)
+      assert(post((x, y)) == w, s"posterior mismatch for ($x, $y)")
+    }
+    // and the posteriors separate the planted classes: twins near 1.0,
+    // straddle pairs near 0.0
+    val twins = (1L to 39L by 2).map(i => post((i, i + 1)))
+    val noise = (2L to 38L by 2).map(i => post((i, i + 1)))
+    assert(twins.forall(_ > (Q * 0.9).toLong))
+    assert(noise.forall(_ < (Q * 0.1).toLong))
+  }
+
   test("mutualBestAssignment: hand case — chain broken at the weak link") {
     import spark.implicits._
     // 1's best is 2 (0.9) and vice versa → (1,2) survives. 3's best

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.PageRank
@@ -198,5 +199,64 @@ class PageRankSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("s", "d")
     assert(operators.PageRank
       .hitsFixedPoint(empty, "s", "d", iters = 3).count() == 0)
+  }
+
+  test("converged: exits on the terminal orbit (fixed point or period-2 " +
+      "ulp cycle), bit-identical to fixed-iters at the same parity") {
+    import spark.implicits._
+    // symmetric triangle + pendant: the exact integer recurrence lands
+    // in a period-2 ulp cycle after ~28 rounds (verified by an offline
+    // integer replay) — the shape a fixed-point-only check would miss
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
+    val edges = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+    val (ranks, itersRun) = operators.PageRank
+      .pageRankConverged(edges, "s", "d", maxIters = 100)
+    assert(itersRun < 100, "terminal orbit never reached within budget")
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bit-identity with the fixed-iters form at the exit point AND at
+    // larger budgets of the same parity — the repeating-orbit guarantee
+    for (n <- Seq(itersRun, itersRun + 2, itersRun + 4)) {
+      val fixed = operators.PageRank
+        .pageRankFixedPoint(edges, "s", "d", iters = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fixed == got, s"diverged from fixed-iters at iters=$n")
+    }
+    // maxIters = 0 runs nothing and reports 0
+    val (r0, i0) = operators.PageRank
+      .pageRankConverged(edges, "s", "d", maxIters = 0)
+    assert(i0 == 0 && r0.collect().forall(_.getLong(1) == 1000000L))
+    // a true fixed point (isolated-ish star, teleport-dominated) exits
+    // on the unchanged check and is stable at EVERY larger budget
+    val star = Seq((10L, 11L), (11L, 10L)).toDF("s", "d")
+    val (rs, is) = operators.PageRank
+      .pageRankConverged(star, "s", "d", maxIters = 100)
+    assert(is < 100)
+    val sGot = rs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (n <- Seq(is, is + 1, is + 3)) {
+      val f = operators.PageRank.pageRankFixedPoint(star, "s", "d", n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(f == sGot, s"star diverged at iters=$n")
+    }
+  }
+
+  test("personalized converged: same guarantee, seed-gated teleport") {
+    import spark.implicits._
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
+    val edges = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+    val seeds = Seq(1L).toDF("n")
+    val (ranks, itersRun) = operators.PageRank
+      .personalizedPageRankConverged(edges, "s", "d", seeds, "n",
+        maxIters = 100)
+    assert(itersRun < 100)
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (n <- Seq(itersRun, itersRun + 2)) {
+      val fixed = operators.PageRank
+        .personalizedPageRankFixedPoint(edges, "s", "d", seeds, "n",
+          iters = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fixed == got, s"diverged at iters=$n")
+    }
+    // seed holds the most rank; everything reachable is positive
+    assert(got(1L) == got.values.max && got.values.forall(_ >= 0L))
   }
 }

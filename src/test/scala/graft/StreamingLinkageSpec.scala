@@ -99,4 +99,49 @@ class StreamingLinkageSpec extends AnyFunSuite {
       assert(afterB2 == oneShot)
     } finally q.stop()
   }
+
+  test("event-time ingest: replayed duplicate suppressed, record behind " +
+      "the watermark dropped, fresh record scored") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("slink-et-in")
+    val sink = java.nio.file.Files
+      .createTempDirectory("slink-et-out").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("slink-et-ck").toString
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // b1: one matching record at 12:00 — advances the watermark to
+    // 11:50 (10-minute delay) once the batch completes
+    Seq((101L, ts("2024-03-01 12:00:00"), 10L, "red", "M"))
+      .toDF("id", "ts", "blk", "color", "size")
+      .coalesce(1).write.parquet(inDir.resolve("b1").toString)
+
+    val stream = spark.readStream
+      .schema("id LONG, ts TIMESTAMP, blk LONG, color STRING, size STRING")
+      .parquet(inDir.toString + "/*")
+    val q = EventStreams.linkageIngestEventTime(stream, reference,
+      "id", "blk", fields, weights, threshold = 10.0, sink, ckpt)
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(sink)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(afterB1 == Seq((101L, 2L)))
+
+      // b2: (a) id 101 replayed within the watermark — suppressed as a
+      // duplicate; (b) id 301 at 10:00, behind the 11:50 watermark —
+      // dropped as late even though it would match ref 3 on both
+      // fields; (c) fresh id 201 — scored and sunk
+      Seq((101L, ts("2024-03-01 12:01:00"), 10L, "red", "M"),
+          (301L, ts("2024-03-01 10:00:00"), 20L, "blue", "S"),
+          (201L, ts("2024-03-01 12:05:00"), 20L, "blue", "S"))
+        .toDF("id", "ts", "blk", "color", "size")
+        .coalesce(1).write.parquet(inDir.resolve("b2").toString)
+      q.processAllAvailable()
+      val afterB2 = spark.read.parquet(sink)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(afterB2 == Seq((101L, 2L), (201L, 3L)),
+        "expected the replay and the late record to be dropped")
+    } finally q.stop()
+  }
 }
