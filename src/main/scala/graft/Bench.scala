@@ -48,6 +48,10 @@ object Bench {
     * r10 contended run had 434 s sys vs a calm run's 61 s on ~2,600 s user
     * (ratio 0.17 vs 0.02). Threshold sits 3× above the calm band. */
   private val sysCpuRatioMax = 0.2
+  /** 1-min loadavg at START above this ⇒ other work was already running
+    * when the sweep began (calm runs start under ~1; the r10 contended
+    * run started at 5.95). Start-only, so our own sweep can't trip it. */
+  private val load1StartMax = 3.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -129,7 +133,8 @@ object Bench {
     val sysRatio = if (userSec > 1.0) sysSec / userSec else -1.0
     val contended =
       controlWorst.valuesIterator.exists(_._2 > contentionFactor) ||
-      sysRatio > sysCpuRatioMax
+      sysRatio > sysCpuRatioMax ||
+      load1Start > load1StartMax
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -277,6 +277,18 @@ object SketchParams {
   object q130 {
     val k = 100; val seed = 7
   }
+  /** q132 per-group priority sampling: documents stratified by `lang`,
+    * k docs per language, weighted by `n_chars`; same seed family as
+    * q130. */
+  object q132 {
+    val k = 20; val seed = 7
+  }
+  /** q133 synchronous label propagation over the q99 symmetrized
+    * supplier–customer graph: fixed iteration budget (sync LPA has no
+    * convergence guarantee; the budget IS the contract). */
+  object q133 {
+    val iters = 4
+  }
 }
 
 object OracleSql {
@@ -1780,6 +1792,72 @@ object OracleSql {
     WHERE r.rn <= ${p.k}"""
   }
 
+  /** Per-group priority sampling (q132): q130's replay stratified by
+    * language — `row_number` partitioned by `lang`, τ per group from
+    * the group's (k+1)-th priority (0 for short groups) — the SQL twin
+    * of `Sampling.prioritySampleByGroup`. Generated from
+    * [[SketchParams.q132]]. */
+  private def q132: String = {
+    val p = SketchParams.q132
+    s"""
+    WITH pri AS (
+      SELECT lang, doc_id AS id, CAST(n_chars AS DOUBLE) AS weight,
+        CAST(n_chars AS DOUBLE) /
+          (CAST(('0x' || substr(md5(doc_id::VARCHAR || ':${p.seed}'), 1, 15))::BIGINT
+              + 1 AS DOUBLE)
+            / 1152921504606846976.0) AS priority
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ), ranked AS (
+      SELECT lang, id, weight, priority,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY priority DESC, id ASC) AS rn
+      FROM pri
+    ), tau AS (
+      SELECT lang,
+        COALESCE(MAX(CASE WHEN rn = ${p.k + 1} THEN priority END),
+          0.0) AS tau
+      FROM ranked WHERE rn <= ${p.k + 1} GROUP BY lang)
+    SELECT r.lang, r.id, r.weight, r.priority,
+      greatest(r.weight, t.tau) AS est_weight
+    FROM ranked r JOIN tau t ON r.lang = t.lang
+    WHERE r.rn <= ${p.k}"""
+  }
+
+  /** Synchronous label propagation (q133): every round's
+    * neighbor-label count + (count DESC, label ASC) argmax unrolled as
+    * one CTE per iteration over the q99 symmetrized graph — the SQL
+    * twin of `Components.labelPropagation`. Generated from
+    * [[SketchParams.q133]]. */
+  private def q133: String = {
+    val p = SketchParams.q133
+    def round(i: Int): String = s"""
+    l$i AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+          row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, label ASC) AS rn
+        FROM (
+          SELECT e.dst AS node, l.label AS label, COUNT(*) AS c
+          FROM e JOIN l${i - 1} l ON e.src = l.node
+          GROUP BY e.dst, l.label))
+      WHERE rn = 1)"""
+    val rounds = (1 to p.iters).map(round).mkString(",")
+    s"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT o_custkey * 2 + 1, l_suppkey * 2
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM e
+    ),$rounds
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM l${p.iters}"""
+  }
+
   /** Equi-depth histogram (q121): DuckDB recomputes the same interior
     * quantile boundaries (`quantile_cont` ≡ Spark exact `percentile`,
     * the q102 parity) and buckets each row by counting boundaries
@@ -3205,6 +3283,8 @@ object OracleSql {
     "q129_bfs_hops" -> q129,
     "q130_priority_sample" -> q130,
     "q131_em_posteriors" -> q131,
+    "q132_group_priority_sample" -> q132,
+    "q133_label_propagation" -> q133,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -2238,6 +2238,34 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "n_chars", p.k, p.seed)
   }
 
+  /** Per-group priority sampling
+    * ([[graft.operators.Sampling.prioritySampleByGroup]]): k documents
+    * per language, weighted by `n_chars`, each carrying the
+    * group-local unbiased subset-sum estimator weight — the stratified
+    * corpus-capping step (no language crowded out, per-language token
+    * totals still estimable). Params from [[SketchParams.q132]]. */
+  def q132GroupPrioritySample(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q132
+    operators.Sampling.prioritySampleByGroup(
+      t(s, dir, "documents"), "lang", "doc_id", "n_chars", p.k, p.seed)
+  }
+
+  /** Synchronous label propagation
+    * ([[graft.operators.Components.labelPropagation]]) over the q99
+    * symmetrized supplier–customer graph — neighbor-majority
+    * communities, finer than connected components. The oracle unrolls
+    * every round's (count, min-label) argmax bit-for-bit. Params from
+    * [[SketchParams.q133]]. */
+  def q133LabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q133
+    val e0 = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2L).as("a"),
+        (col("o_custkey") * 2L + 1L).as("b"))
+    operators.Components.labelPropagation(e0, "a", "b", p.iters)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2370,7 +2398,9 @@ object SparkEntry {
     "q128_mutual_best" -> (q128MutualBest _),
     "q129_bfs_hops" -> (q129BfsHops _),
     "q130_priority_sample" -> (q130PrioritySample _),
-    "q131_em_posteriors" -> (q131EmPosteriors _))
+    "q131_em_posteriors" -> (q131EmPosteriors _),
+    "q132_group_priority_sample" -> (q132GroupPrioritySample _),
+    "q133_label_propagation" -> (q133LabelPropagation _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -365,6 +365,67 @@ object Components {
     settled
   }
 
+  /** Synchronous label propagation communities (Raghavan, Albert &
+    * Kumara 2007, "Near linear time algorithm to detect community
+    * structures in large-scale networks") — the cheap community
+    * detector a curation pipeline runs where connected components are
+    * too coarse (one bridge edge merges two dense near-dup communities
+    * into one component; LPA keeps them apart because labels spread by
+    * NEIGHBOR MAJORITY, not reachability).
+    *
+    * Deterministic by construction, unlike the paper's async
+    * random-order form: every node starts labeled with its own id, and
+    * each round ALL nodes simultaneously adopt the most frequent label
+    * among their neighbors, ties broken by the smallest label — a total
+    * order, so the result is a pure function of (edges, iters) and an
+    * external engine replays it bit-for-bit (q133 unrolls the rounds).
+    * Sync LPA can oscillate between two labelings on bipartite-ish
+    * structure (the documented trade-off of determinism); `iters` is a
+    * fixed budget, 3–5 suffices for near-dup community shapes.
+    *
+    * Scale shape: the edge list is symmetrized and checkpointed once;
+    * each round is one hash join (edges ⋈ labels on the source), one
+    * partial-aggregated count on (dst, label), and one `min_by` argmax
+    * per dst — two shuffles per round, both on node-id-sized rows, no
+    * window sort. Every node has ≥ 1 neighbor after symmetrization, so
+    * no outer join is needed. Labels are node ids of ANY orderable
+    * type: the argmax negates the COUNT (always numeric), never the
+    * label — the generic-id lesson from mutualBestAssignment.
+    *
+    * @return (node, label) — nodes sharing a label are one community */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, checkpointInterval: Int = 4): DataFrame = {
+    require(iters >= 0 && checkpointInterval >= 1)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val (sym, symCkpt) = CheckpointHygiene.checkpointTracked(
+      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    var i = 0
+    while (i < iters) {
+      val next = sym
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("node"))
+        .agg(min_by(col("label"),
+          struct((-col("__c")).as("__nc"), col("label").as("__tl")))
+          .as("label"))
+      labels = if ((i + 1) % checkpointInterval == 0 && i < iters - 1) {
+        val (ck, ckpt) = CheckpointHygiene.checkpointTracked(next,
+          eager = true)
+        CheckpointHygiene.free(prevCkpt)
+        prevCkpt = ckpt
+        ck
+      } else next
+      i += 1
+    }
+    labels
+  }
+
   /** Dedup keep-list from near-dup pairs over a corpus: every id mapped to
     * its canonical representative (component minimum); ids with no dup
     * pair map to themselves. */

@@ -223,4 +223,53 @@ object Sampling {
       .select(col("id"), col("weight"), col("priority"),
         greatest(col("weight"), col("__tau")).as("est_weight"))
   }
+
+  /** Per-group [[prioritySample]]: k rows WITHOUT replacement from EVERY
+    * group, each row carrying the group-local unbiased subset-sum
+    * estimator weight max(w, τ_g) with τ_g the group's (k+1)-th priority
+    * (0 when a group has ≤ k weighted rows, collapsing the estimator to
+    * the true weight). The stratified form of the corpus-subsampling
+    * use: cap every language/source/domain at k docs while keeping
+    * per-group token-total estimates unbiased — where the global form
+    * would let one giant group crowd out the rest.
+    *
+    * Same deterministic md5 priorities and NULL/non-positive-weight
+    * rejection as [[prioritySample]]; identical doubles in an external
+    * replay (q132's DuckDB twin).
+    *
+    * Scale shape: ONE shuffle (hash on the group) + per-group
+    * in-partition rank — no global sort, no driver merge; τ_g comes
+    * from the already-ranked rows by a group-keyed aggregation that
+    * reuses the window's partitioning (no second shuffle), joined back
+    * group-keyed. Memory per task ∝ its groups' rows, the usual
+    * window-function bound (salt pathological megagroups BEFORE
+    * sampling if one group dominates a partition).
+    *
+    * @return (group, id, weight, priority, est_weight) — k rows per
+    *         group (fewer where the group is smaller) */
+  def prioritySampleByGroup(df: DataFrame, groupCol: String,
+      idCol: String, weightCol: String, k: Int,
+      seed: Int = 7): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val pri = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        col(weightCol).cast("double").as("weight"))
+      .filter(col("weight").isNotNull && col("weight") > 0.0)
+      .withColumn("priority",
+        col("weight") /
+          ((portableKey(col("id"), seed) + lit(1L)).cast("double") /
+            lit(1152921504606846976.0))) // 2^60
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("priority").desc, col("id").asc)
+    val ranked = pri.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k + 1)
+    val tau = ranked.groupBy(col("grp"))
+      .agg(coalesce(max(when(col("__rn") === k + 1, col("priority"))),
+        lit(0.0)).as("__tau"))
+    ranked.filter(col("__rn") <= k)
+      .join(tau, Seq("grp"))
+      .select(col("grp").as(groupCol), col("id"), col("weight"),
+        col("priority"),
+        greatest(col("weight"), col("__tau")).as("est_weight"))
+  }
 }

@@ -283,6 +283,38 @@ class ComponentsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("labelPropagation: two triangles + bridge resolve to two " +
+      "communities (hand-traced sync rounds)") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6}, bridge 3–4: one connected
+    // component, but neighbor-majority keeps the triangles apart.
+    // Hand trace (sync, min-label ties): after 4 rounds {1,2,3}→1,
+    // {4,5,6}→3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("s", "d")
+    val got = Components.labelPropagation(edges, "s", "d", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), got)
+    // sanity: connected components would merge everything into ONE
+    val comps = Components.connectedComponents(edges, "s", "d")
+      .collect().map(_.getLong(1)).distinct
+    assert(comps.length == 1)
+  }
+
+  test("labelPropagation: string node ids work; zero iterations returns " +
+      "self-labels") {
+    import spark.implicits._
+    val edges = Seq(("x", "y"), ("y", "z")).toDF("s", "d")
+    val it0 = Components.labelPropagation(edges, "s", "d", iters = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(it0 == Map("x" -> "x", "y" -> "y", "z" -> "z"))
+    // one round on the path: x adopts y, y adopts min(x,z)=x, z adopts y
+    val it1 = Components.labelPropagation(edges, "s", "d", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(it1 == Map("x" -> "y", "y" -> "x", "z" -> "y"))
+  }
+
   test("end-to-end: minhash pairs -> components -> one keeper per cluster") {
     import spark.implicits._
     val docs = Seq(

@@ -199,6 +199,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(estTotal > 0.3 * total && estTotal < 3.0 * total)
   }
 
+  test("prioritySampleByGroup: each group's sample IS the global " +
+      "operator run on that group alone") {
+    import spark.implicits._
+    // 3 groups of different sizes (8, 3, 25) around k = 5: a short
+    // group (τ = 0), an exact-k+ group, and a long group
+    val df = ((1L to 8L).map(i => ("a", i, (i % 5 + 1).toDouble)) ++
+      (101L to 103L).map(i => ("b", i, 2.0)) ++
+      (201L to 225L).map(i => ("c", i, (i % 7 + 1).toDouble)))
+      .toDF("g", "id", "w")
+    val k = 5
+    val got = Sampling.prioritySampleByGroup(df, "g", "id", "w", k)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.count(_._1 == "a") == k)
+    assert(got.count(_._1 == "b") == 3) // short group: all rows
+    assert(got.count(_._1 == "c") == k)
+    for (g <- Seq("a", "b", "c")) {
+      val perGroup = got.filter(_._1 == g)
+        .map(t => (t._2, t._3, t._4, t._5)).toSet
+      val global = Sampling
+        .prioritySample(df.filter(col("g") === g), "id", "w", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3))).toSet
+      assert(perGroup == global, s"group $g diverged from global form")
+    }
+    // short group's τ = 0 ⇒ est_weight degenerates to the true weight
+    assert(got.filter(_._1 == "b").forall(t => t._5 == t._3))
+  }
+
   test("prioritySample rejects NULL and non-positive weights up front") {
     import spark.implicits._
     // 3 valid rows, one zero, one negative, one NULL: with k = 3 every
