@@ -424,6 +424,44 @@ class PlanQualitySpec extends AnyFunSuite {
       "probe: expected a blocking key join")
   }
 
+  test("q130/q132: priority sampling — global form takes ordered limit " +
+      "(no full sort), group form ONE exchange, no cartesian beyond " +
+      "the 1-row tau broadcast (r11)") {
+    val plan = executed("q130_priority_sample")
+    // global top-(k+1) must run as TakeOrderedAndProject (per-partition
+    // heads + driver merge), never a global Sort + CollectLimit
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    // the only cross join is the broadcast of the 1-row tau frame
+    assert(!plan.contains("CartesianProduct"), "q130 cartesians")
+    val gplan = executed("q132_group_priority_sample")
+    assert(!gplan.contains("CartesianProduct"), "q132 cartesians")
+    // rank + tau + join all reuse the lang hash partitioning: exactly
+    // ONE shuffle of the document rows
+    assert("Exchange hashpartitioning".r.findAllIn(gplan).size <= 2,
+      s"q132 re-shuffles what the window already partitioned:\n" +
+        gplan.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q131/q133: EM posteriors and label propagation stay equi-keyed " +
+      "— no cartesian beyond 1-row parameter broadcasts (r11)") {
+    val plan = executed("q131_em_posteriors")
+    // the candidate⋈records joins are paid ONCE during calibration and
+    // materialized; the posterior frame itself must be a pure map over
+    // that checkpoint — zero joins, zero exchanges, zero cartesians
+    assert(!plan.contains("CartesianProduct"), "q131 cartesians")
+    assert(!plan.contains("Exchange"),
+      "q131: the final E-step re-shuffled the materialized flags")
+    assert(plan.contains("Scan ExistingRDD"),
+      "q131: expected a map over the calibration checkpoint")
+    val lplan = executed("q133_label_propagation")
+    assert(!lplan.contains("CartesianProduct"), "q133 cartesians")
+    // the per-round argmax is min_by partial aggregation, not a window
+    assert(!lplan.contains("RunningWindowFunction"),
+      "q133: argmax must be an aggregate, not a window sort")
+    assert(lplan.contains("min_by") || lplan.contains("HashAggregate"),
+      "q133: expected min_by hash aggregation")
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
