@@ -289,6 +289,11 @@ object SketchParams {
   object q133 {
     val iters = 4
   }
+  /** q134 reciprocal rank fusion: the RRF K constant (60 = the paper's
+    * default) and the per-language fused-list cutoff. */
+  object q134 {
+    val kParam = 60; val topN = 25
+  }
 }
 
 object OracleSql {
@@ -1824,6 +1829,39 @@ object OracleSql {
     WHERE r.rn <= ${p.k}"""
   }
 
+  /** Reciprocal rank fusion (q134): both per-language priors re-ranked
+    * with `row_number`, contributions as the same `2⁴⁰ // (K + rank)`
+    * floor divisions, fused by exact BIGINT sum, final rank replayed —
+    * the SQL twin of `TextAnalysis.reciprocalRankFusion` over the q134
+    * length/vocabulary priors. Generated from [[SketchParams.q134]]. */
+  private def q134: String = {
+    val p = SketchParams.q134
+    s"""
+    WITH base AS (
+      SELECT lang, doc_id, n_chars,
+        len(list_distinct(string_split(${normSql("text")}, ' '))) AS v
+      FROM documents
+    ), rl AS (
+      SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        ORDER BY n_chars DESC, doc_id ASC) AS rnk FROM base
+    ), rv AS (
+      SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        ORDER BY v DESC, doc_id ASC) AS rnk FROM base
+    ), contrib AS (
+      SELECT lang, doc_id, ${1L << 40} // (${p.kParam} + rnk) AS c FROM rl
+      UNION ALL
+      SELECT lang, doc_id, ${1L << 40} // (${p.kParam} + rnk) AS c FROM rv
+    ), fused AS (
+      SELECT lang, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_q
+      FROM contrib GROUP BY lang, doc_id)
+    SELECT lang, doc_id, rrf_q, fused_rank FROM (
+      SELECT lang, doc_id, rrf_q,
+        CAST(row_number() OVER (PARTITION BY lang
+          ORDER BY rrf_q DESC, doc_id ASC) AS BIGINT) AS fused_rank
+      FROM fused)
+    WHERE fused_rank <= ${p.topN}"""
+  }
+
   /** Synchronous label propagation (q133): every round's
     * neighbor-label count + (count DESC, label ASC) argmax unrolled as
     * one CTE per iteration over the q99 symmetrized graph — the SQL
@@ -3285,6 +3323,7 @@ object OracleSql {
     "q131_em_posteriors" -> q131,
     "q132_group_priority_sample" -> q132,
     "q133_label_propagation" -> q133,
+    "q134_rank_fusion" -> q134,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

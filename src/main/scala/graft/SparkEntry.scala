@@ -2266,6 +2266,32 @@ object SparkEntry {
     operators.Components.labelPropagation(e0, "a", "b", p.iters)
   }
 
+  /** Reciprocal rank fusion
+    * ([[graft.operators.TextAnalysis.reciprocalRankFusion]]): two
+    * per-language document rankings — a length prior (`n_chars`) and a
+    * vocabulary-richness prior (distinct-token count) — fused into one
+    * robust per-language curation ranking with exact-BIGINT RRF
+    * contributions. Params from [[SketchParams.q134]]. */
+  def q134RankFusion(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q134
+    val base = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+      col("n_chars"),
+      size(array_distinct(split(normText(col("text")), " ")))
+        .cast("long").as("__v"))
+    val wLen = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val wVoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("__v").desc, col("doc_id").asc)
+    val rLen = base.select(col("lang"), col("doc_id"),
+      row_number().over(wLen).cast("long").as("rnk"))
+    val rVoc = base.select(col("lang"), col("doc_id"),
+      row_number().over(wVoc).cast("long").as("rnk"))
+    operators.TextAnalysis.reciprocalRankFusion(Seq(rLen, rVoc),
+      "lang", "doc_id", "rnk", p.kParam, p.topN)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2400,7 +2426,8 @@ object SparkEntry {
     "q130_priority_sample" -> (q130PrioritySample _),
     "q131_em_posteriors" -> (q131EmPosteriors _),
     "q132_group_priority_sample" -> (q132GroupPrioritySample _),
-    "q133_label_propagation" -> (q133LabelPropagation _))
+    "q133_label_propagation" -> (q133LabelPropagation _),
+    "q134_rank_fusion" -> (q134RankFusion _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -765,4 +765,53 @@ object TextAnalysis {
         col("e.value").cast(idType).as("doc_id"),
         (-col("e.key")).as("score_q"))
   }
+
+  /** Reciprocal rank fusion (Cormack, Clarke & Büttcher 2009,
+    * "Reciprocal rank fusion outperforms Condorcet and individual rank
+    * learning methods") — combine SEVERAL rankings of the same items
+    * into one: fused(i) = Σ_sources 1/(K + rank_s(i)), items absent
+    * from a source contribute nothing from it. The rank-aggregation
+    * step of hybrid retrieval (BM25 ⊕ ANN) and of multi-signal
+    * curation (length prior ⊕ quality prior ⊕ familiarity): RRF only
+    * consumes RANKS, so signals with incomparable score scales compose
+    * without calibration.
+    *
+    * Exact-integer contract: each contribution is `2⁴⁰ DIV (K + rank)`
+    * — floor division of exact BIGINTs — so the fused score is an
+    * order-independent BIGINT sum (partition-layout-proof, and q134's
+    * DuckDB twin replays it bit-for-bit; the repo's fixed-point
+    * convention). 2⁴⁰/(K+1) ≈ 1.6·10¹⁰ per source caps the source
+    * count in the hundreds of millions before BIGINT overflow — not a
+    * real bound. Final order: fused score DESC, then item ASC (a total
+    * order).
+    *
+    * Scale shape: one union (no shuffle) + one hash aggregation on
+    * (group, item) + one per-group rank limited to `topN` (window over
+    * the group hash partitioning — rankings are already per-group
+    * top-lists, so group cardinality ≪ corpus). The input rankings'
+    * cost is the caller's; fusion itself never touches raw documents.
+    *
+    * @param rankings frames of (groupCol, itemCol, rankCol) — rank
+    *                 1-based within the group
+    * @return (group, item, rrf_q, fused_rank), fused_rank ≤ topN */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], groupCol: String,
+      itemCol: String, rankCol: String, kParam: Int = 60,
+      topN: Int = 100): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kParam >= 0 && topN >= 1)
+    val contrib = rankings.map(_.select(col(groupCol).as("grp"),
+        col(itemCol).as("item"),
+        expr(s"${1L << 40} DIV (CAST($kParam AS BIGINT) + $rankCol)")
+          .as("__c")))
+      .reduce(_.unionByName(_))
+    val fused = contrib.groupBy(col("grp"), col("item"))
+      .agg(sum(col("__c")).as("rrf_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("rrf_q").desc, col("item").asc)
+    fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= topN)
+      .select(col("grp").as(groupCol), col("item").as(itemCol),
+        col("rrf_q"), col("fused_rank"))
+  }
 }
