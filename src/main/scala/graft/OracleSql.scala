@@ -1867,7 +1867,9 @@ object OracleSql {
     * one CTE per iteration over the q99 symmetrized graph — the SQL
     * twin of `Components.labelPropagation`. Generated from
     * [[SketchParams.q133]]. */
-  private def q133: String = {
+  /** Shared q133/q135 WITH-body: the q99 symmetrized graph + the
+    * unrolled LPA rounds l0..l{iters}. */
+  private def lpaWithBody: String = {
     val p = SketchParams.q133
     def round(i: Int): String = s"""
     l$i AS (
@@ -1881,8 +1883,7 @@ object OracleSql {
           GROUP BY e.dst, l.label))
       WHERE rn = 1)"""
     val rounds = (1 to p.iters).map(round).mkString(",")
-    s"""
-    WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
       SELECT DISTINCT src, dst FROM (
         SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1891,10 +1892,44 @@ object OracleSql {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
     ), l0 AS (
       SELECT DISTINCT src AS node, src AS label FROM e
-    ),$rounds
-    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
-    FROM l${p.iters}"""
+    ),$rounds"""
   }
+
+  private def q133: String = s"""
+    WITH $lpaWithBody
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM l${SketchParams.q133.iters}"""
+
+  /** Modularity of the q133 labeling (q135): intra-community edges and
+    * degree sums as exact BIGINTs, Q as one double division of the
+    * integer numerator Σ(4·m·L_c − D_c²) by 4m² — the SQL twin of
+    * `Components.modularity` over `Components.labelPropagation`. */
+  private def q135: String = s"""
+    WITH $lpaWithBody,
+    lab AS (SELECT node, label FROM l${SketchParams.q133.iters}),
+    und AS (
+      SELECT src AS a, dst AS b FROM e WHERE src < dst
+    ), mm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und
+    ), lc AS (
+      SELECT la.label, CAST(COUNT(*) AS BIGINT) AS l_c
+      FROM und
+      JOIN lab la ON und.a = la.node
+      JOIN lab lb ON und.b = lb.node
+      WHERE la.label = lb.label
+      GROUP BY la.label
+    ), dc AS (
+      SELECT la.label, CAST(SUM(d.d) AS BIGINT) AS d_c
+      FROM (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY src) d
+      JOIN lab la ON d.node = la.node
+      GROUP BY la.label)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+      MAX(mm.m) AS m_edges,
+      CAST(SUM(4 * mm.m * COALESCE(lc.l_c, 0) - dc.d_c * dc.d_c)
+          AS DOUBLE)
+        / CAST(4 * MAX(mm.m) * MAX(mm.m) AS DOUBLE) AS modularity
+    FROM dc LEFT JOIN lc ON dc.label = lc.label CROSS JOIN mm"""
 
   /** Equi-depth histogram (q121): DuckDB recomputes the same interior
     * quantile boundaries (`quantile_cont` ≡ Spark exact `percentile`,
@@ -3324,6 +3359,7 @@ object OracleSql {
     "q132_group_priority_sample" -> q132,
     "q133_label_propagation" -> q133,
     "q134_rank_fusion" -> q134,
+    "q135_lpa_modularity" -> q135,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -2292,6 +2292,29 @@ object SparkEntry {
       "lang", "doc_id", "rnk", p.kParam, p.topN)
   }
 
+  /** Modularity of the q133 community labeling
+    * ([[graft.operators.Components.modularity]]) — grade the LPA
+    * communities on the same graph before acting on them, the
+    * evaluate-first discipline q124 applies to blocking. One row;
+    * exact-integer numerator, one double division.
+    *
+    * The result on this graph is INSTRUCTIVE, not flattering: sync LPA
+    * on the dense bipartite supplier–customer graph oscillates into a
+    * side-vs-side split (Q = −0.5, the bipartite worst case) — the
+    * metric correctly says "discard this labeling", which is exactly
+    * why the metric runs before any downstream use. On community-
+    * structured graphs (the triangles spec, near-dup replica graphs)
+    * the same pipeline scores strongly positive. */
+  def q135LpaModularity(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2L).as("a"),
+        (col("o_custkey") * 2L + 1L).as("b"))
+    val labels = q133LabelPropagation(s, dir)
+    operators.Components.modularity(e0, "a", "b", labels, "node", "label")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2427,7 +2450,8 @@ object SparkEntry {
     "q131_em_posteriors" -> (q131EmPosteriors _),
     "q132_group_priority_sample" -> (q132GroupPrioritySample _),
     "q133_label_propagation" -> (q133LabelPropagation _),
-    "q134_rank_fusion" -> (q134RankFusion _))
+    "q134_rank_fusion" -> (q134RankFusion _),
+    "q135_lpa_modularity" -> (q135LpaModularity _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

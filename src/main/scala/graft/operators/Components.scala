@@ -426,6 +426,68 @@ object Components {
     labels
   }
 
+  /** Newman modularity of a community labeling (Newman & Girvan 2004,
+    * "Finding and evaluating community structure in networks") — grade
+    * a community assignment (e.g. [[labelPropagation]]'s) BEFORE acting
+    * on it, the same evaluate-first discipline as
+    * [[Linkage.evaluateBlocking]]:
+    *
+    *   Q = Σ_c [ L_c/m − (D_c/2m)² ]
+    *     = Σ_c (4·m·L_c − D_c²) / (4m²)
+    *
+    * with m undirected edges, L_c intra-community edges, D_c the
+    * community's degree sum. The numerator is an exact BIGINT sum and
+    * the result ONE double division of exact integers (the q116/q124
+    * convention — engine-exact, replayed by q135). Self-loops are
+    * dropped (the simple-graph formulation); edges are symmetrized and
+    * deduplicated, each undirected edge counted once. 4m² must fit
+    * BIGINT ⇒ m ≤ ~1.5·10⁹ edges; past that, compute per-community
+    * terms and divide at higher precision downstream.
+    *
+    * Scale shape: two hash joins of the undirected edge list on its
+    * endpoints' labels + three partial-aggregated groupBys; ONE row
+    * out. Nodes absent from `labels` drop out of both L_c and D_c
+    * (grade the labeling you have); an empty graph yields modularity
+    * 0.0.
+    *
+    * @return one row (n_communities, m_edges, modularity) */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val sym = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val und = sym.filter(col("src") < col("dst"))
+    val lab = labels.select(col(nodeCol).as("node"),
+      col(labelCol).as("label"))
+    val mF = und.agg(count(lit(1)).as("m")) // ONE row
+    val lc = und
+      .join(lab.select(col("node").as("src"), col("label").as("__la")),
+        Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("label").as("__lb")),
+        Seq("dst"))
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label"))
+      .agg(count(lit(1)).as("l_c"))
+    val dc = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("__d"))
+      .join(lab, Seq("node"))
+      .groupBy(col("label"))
+      .agg(sum(col("__d")).as("d_c"))
+    dc.join(lc, Seq("label"), "left")
+      .select(col("label"), coalesce(col("l_c"), lit(0L)).as("l_c"),
+        col("d_c"))
+      .crossJoin(broadcast(mF))
+      .agg(count(lit(1)).cast("long").as("n_communities"),
+        coalesce(max(col("m")), lit(0L)).as("m_edges"),
+        coalesce(
+          when(max(col("m")) === 0L, lit(0.0)).otherwise(
+            sum(expr("4 * m * l_c - d_c * d_c")).cast("double") /
+              (lit(4L) * max(col("m")) * max(col("m"))).cast("double")),
+          lit(0.0)).as("modularity"))
+  }
+
   /** Dedup keep-list from near-dup pairs over a corpus: every id mapped to
     * its canonical representative (component minimum); ids with no dup
     * pair map to themselves. */

@@ -315,6 +315,38 @@ class ComponentsSpec extends AnyFunSuite {
     assert(it1 == Map("x" -> "y", "y" -> "x", "z" -> "y"))
   }
 
+  test("modularity: hand-computed Q on two triangles + bridge; the " +
+      "all-one-community labeling scores exactly zero") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("s", "d")
+    // perfect labeling {1,2,3} vs {4,5,6}: m=7, each community has
+    // L_c=3 intra edges, D_c=7 ⇒ Q = 2·(4·7·3 − 49)/(4·49) = 70/196
+    val perfect = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 2L), (5L, 2L), (6L, 2L)).toDF("n", "l")
+    val got = Components.modularity(edges, "s", "d", perfect, "n", "l")
+      .collect()(0)
+    assert(got.getLong(0) == 2L && got.getLong(1) == 7L)
+    assert(got.getDouble(2) == 70.0 / 196.0)
+    // one community holding everything: L=m, D=2m ⇒ Q = 0 exactly
+    val one = (1L to 6L).map(i => (i, 9L)).toDF("n", "l")
+    val z = Components.modularity(edges, "s", "d", one, "n", "l")
+      .collect()(0)
+    assert(z.getLong(0) == 1L && z.getDouble(2) == 0.0)
+    // LPA's own labeling on this graph recovers the perfect split, so
+    // its modularity matches the hand value
+    val lpa = Components.labelPropagation(edges, "s", "d", iters = 4)
+    val qLpa = Components.modularity(edges, "s", "d", lpa, "node", "label")
+      .collect()(0)
+    assert(qLpa.getDouble(2) == 70.0 / 196.0)
+    // empty graph: defined zero row
+    val none = Seq.empty[(Long, Long)].toDF("s", "d")
+    val e = Components.modularity(none, "s", "d", perfect, "n", "l")
+      .collect()(0)
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L &&
+      e.getDouble(2) == 0.0)
+  }
+
   test("end-to-end: minhash pairs -> components -> one keeper per cluster") {
     import spark.implicits._
     val docs = Seq(
