@@ -257,6 +257,38 @@ object EventStreams {
           .as("lag_sec"))
   }
 
+  /** Left-outer [[correlateStreams]]: triggers with NO outcome inside
+    * `maxLag` still emit — with NULL outcome columns — once the outcome
+    * watermark passes `trigger_ts + maxLag` and Spark can prove no
+    * match is coming. The abandonment half of the funnel (who clicked
+    * and never bought), which the inner join silently drops. Same
+    * state-eviction bound as the inner form: both sides watermarked,
+    * the join condition bounds event time on both ends.
+    *
+    * On batch frames this degenerates to a plain left-outer interval
+    * join (watermarks are no-ops, nothing is withheld), so the same
+    * code serves backfill and live — the spec asserts that equivalence
+    * and the streaming null-emission timing. */
+  def correlateStreamsOuter(trigger: DataFrame, outcome: DataFrame,
+      maxLag: String = "10 minutes",
+      watermark: String = "20 minutes"): DataFrame = {
+    val t = trigger.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("trigger_id"),
+        col("ts").as("trigger_ts"), col("event_type").as("trigger_type"))
+    val o = outcome.withWatermark("ts", watermark)
+      .select(col("user_id").as("__ou"), col("event_id").as("outcome_id"),
+        col("ts").as("outcome_ts"), col("event_type").as("outcome_type"))
+    t.join(o,
+        col("user_id") === col("__ou") &&
+          col("outcome_ts") >= col("trigger_ts") &&
+          col("outcome_ts") <= col("trigger_ts") + expr(s"INTERVAL $maxLag"),
+        "left_outer")
+      .select(col("user_id"), col("trigger_id"), col("trigger_type"),
+        col("outcome_id"), col("outcome_type"),
+        (col("outcome_ts").cast("long") - col("trigger_ts").cast("long"))
+          .as("lag_sec"))
+  }
+
   /** Exact streaming dedup with bounded state:
     * `dropDuplicatesWithinWatermark` keeps a key's fingerprint only
     * until the watermark passes it, so duplicate events arriving within
