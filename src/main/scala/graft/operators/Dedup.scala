@@ -348,6 +348,42 @@ object Dedup {
       sh, ngram, numHashes, bands)
   }
 
+  /** Persist a [[PreparedCorpus]] as a parquet model artifact — the
+    * text-dedup twin of [[Ann.saveCentroids]]: the corpus-side state
+    * (fingerprints, banded signatures, shingle sets) that
+    * [[prepareCorpus]] computes once per corpus survives the session,
+    * so a restarted streaming ingest (or a different cluster) probes
+    * the SAME index without re-scanning the historical corpus — the
+    * operational requirement of a long-running dedup service at 100 TB
+    * (re-preparing there means re-reading the corpus). Band parameters
+    * ride along in a one-row frame and are validated on load. */
+  def saveCorpusIndex(prepared: PreparedCorpus, path: String): Unit = {
+    prepared.fingerprints.write.mode("overwrite")
+      .parquet(s"$path/fingerprints")
+    prepared.banded.write.mode("overwrite").parquet(s"$path/banded")
+    prepared.shingleSets.write.mode("overwrite").parquet(s"$path/shingles")
+    val spark = prepared.banded.sparkSession
+    import spark.implicits._
+    Seq((prepared.ngram, prepared.numHashes, prepared.bands))
+      .toDF("ngram", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a [[saveCorpusIndex]] artifact. The frames come back as plain
+    * parquet scans — serving probes read the index files, never the
+    * original corpus — and [[incrementalDedupPrepared]] output is
+    * bit-identical to the freshly-prepared index (spec-gated). */
+  def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): PreparedCorpus = {
+    val p = spark.read.parquet(s"$path/params").collect()(0)
+    PreparedCorpus(
+      spark.read.parquet(s"$path/fingerprints"),
+      spark.read.parquet(s"$path/banded"),
+      spark.read.parquet(s"$path/shingles"),
+      p.getAs[Int]("ngram"), p.getAs[Int]("num_hashes"),
+      p.getAs[Int]("bands"))
+  }
+
   /** [[incrementalDedup]] against a [[PreparedCorpus]]: identical output,
     * but the corpus-side pipeline never re-executes — each call computes
     * only the new batch's shingles/signatures and probes the prepared

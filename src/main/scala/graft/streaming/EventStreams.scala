@@ -346,6 +346,103 @@ object EventStreams {
     }
   }
 
+  private final case class TimedSession(n: Long, total: Double,
+      startMs: Long, endMs: Long, timerMs: Long)
+
+  /** Event-time sessionization with CLOSED sessions (`transformWithState`
+    * + `TimeMode.EventTime` + timers) — what neither the declarative
+    * `session_window` nor the `mapGroupsWithState` fold can express: a
+    * session EMITS exactly once, as a final summary, when the WATERMARK
+    * passes its end + gap (no more in-order data can extend it) — the
+    * shape a downstream consumer wants when each session must be acted
+    * on exactly once (billing, abuse scoring, funnel export).
+    *
+    * Mechanics: rows fold into per-user `ValueState`; every update
+    * re-registers ONE event-time timer at `session_end + gap` (the
+    * previous timer is deleted — never more than one live timer per
+    * user). A row arriving beyond the gap closes the current session
+    * inline and starts a fresh one; the timer handles the "no further
+    * rows" close. Within a micro-batch Spark runs input first, then
+    * expired timers, and both paths guard on state presence, so a
+    * session is emitted exactly once regardless of which path closes
+    * it. State per user is one fixed-size record + one timer — the
+    * bounded-state contract; late rows are dropped by the watermark
+    * BEFORE reaching the processor. */
+  class EventTimeSessionizer(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionSummary] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[TimedSession] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TimedSession]("session",
+        org.apache.spark.sql.Encoders.product[TimedSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def summary(userId: Long, s: TimedSession): SessionSummary =
+      SessionSummary(userId, s.n, s.total,
+        new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.endMs), closed = true)
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionSummary] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      if (sorted.isEmpty) return Iterator.empty
+      val closed = scala.collection.mutable.ArrayBuffer
+        .empty[SessionSummary]
+      var cur = Option(st.get())
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.endMs > gapMs =>
+            closed += summary(userId, s)
+            if (s.timerMs > 0) getHandle.deleteTimer(s.timerMs)
+            cur = Some(TimedSession(1L, e.value, t, t, 0L))
+          case Some(s) =>
+            cur = Some(TimedSession(s.n + 1, s.total + e.value,
+              math.min(s.startMs, t), math.max(s.endMs, t), s.timerMs))
+          case None =>
+            cur = Some(TimedSession(1L, e.value, t, t, 0L))
+        }
+      }
+      val s = cur.get
+      if (s.timerMs > 0) getHandle.deleteTimer(s.timerMs)
+      val timer = s.endMs + gapMs
+      getHandle.registerTimer(timer)
+      st.update(s.copy(timerMs = timer))
+      closed.iterator
+    }
+    override def handleExpiredTimer(userId: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionSummary] = {
+      val s = st.get()
+      // a stale timer (already superseded by a later registration, or
+      // state already closed) must be a no-op
+      if (s == null || s.timerMs != expiredTimerInfo.getExpiryTimeInMs)
+        Iterator.empty
+      else {
+        st.clear()
+        Iterator.single(summary(userId, s))
+      }
+    }
+  }
+
+  /** Closed-session stream per user — see [[EventTimeSessionizer]].
+    * Applies the watermark (required by `TimeMode.EventTime`) and keys
+    * by user. Same RocksDB state-store requirement as [[spendAlerts]]. */
+  def sessionizeEventTime(events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "10 minutes"): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF().withWatermark("ts", watermark).as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new EventTimeSessionizer(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Stream of threshold-crossing alerts per user — see
     * [[CumulativeSpendMonitor]]. Requires the RocksDB state store
     * (`spark.sql.streaming.stateStore.providerClass` =

@@ -78,4 +78,40 @@ class CentroidPersistenceSpec extends AnyFunSuite {
     assert(trainings == 1, "second call must load, not retrain")
     assert(second == first)
   }
+
+  test("minhash corpus index round-trips: loaded index screens a batch " +
+      "identically to the fresh one (r11)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the red barn"),
+      (2L, "sparkling rivers wind through ancient valleys carrying cold " +
+        "mountain water to the sea"),
+      (3L, "a completely different document about compilers and type " +
+        "systems and register allocation"))
+      .toDF("doc_id", "text")
+    val prepared = Dedup.prepareCorpus(corpus, "text", "doc_id")
+    val path = Files.createTempDirectory("lsh-index").resolve("ix").toString
+    Dedup.saveCorpusIndex(prepared, path)
+    val loaded = Dedup.loadCorpusIndex(spark, path)
+    assert((loaded.ngram, loaded.numHashes, loaded.bands) ==
+      ((prepared.ngram, prepared.numHashes, prepared.bands)))
+    // batch: one exact copy, one near-dup (tail tweak), one novel
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the red barn"),
+      (102L, "sparkling rivers wind through ancient valleys carrying cold " +
+        "mountain water to the coast"),
+      (103L, "entirely novel text regarding submarine cable maintenance " +
+        "schedules and repair ships at port today"))
+      .toDF("doc_id", "text")
+    def screen(ix: Dedup.PreparedCorpus) = Dedup
+      .incrementalDedupPrepared(batch, ix, "text", "doc_id",
+        jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fresh = screen(prepared)
+    val warm = screen(loaded)
+    assert(fresh == warm, s"fresh $fresh vs loaded $warm")
+    assert(!fresh.contains(101L), "exact copy must be screened out")
+    assert(fresh.contains(103L), "novel doc must survive")
+  }
 }

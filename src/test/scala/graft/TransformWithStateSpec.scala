@@ -16,6 +16,78 @@ class TransformWithStateSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private val threshold = 500.0
 
+  test("event-time sessionizer: sessions close exactly once — by timer " +
+      "when the watermark passes, or inline when a gap-exceeding row " +
+      "arrives") {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val d = java.nio.file.Files.createTempDirectory("ets")
+    def write(name: String,
+        rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(d.resolve(name).toString)
+    // b1: user 1 has a 2-event session; user 2 a singleton
+    write("b1", Seq(
+      (1L, ts("2024-03-01 12:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-03-01 12:05:00"), 1L, "click", 2.0),
+      (3L, ts("2024-03-01 12:00:00"), 2L, "click", 5.0)))
+
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+      "event_type STRING, value DOUBLE"
+    val stream = spark.readStream.schema(schema).parquet(d.toString + "/*")
+      .as[EventStreams.Event]
+    // gap 30 min, watermark delay 10 min
+    val q = EventStreams.sessionizeEventTime(stream,
+        gapMs = 30 * 60 * 1000L, watermark = "10 minutes")
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("ets_sessions")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ets-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // watermark (11:55) hasn't passed any session end + gap: nothing
+      assert(spark.table("ets_sessions").count() == 0)
+
+      // b2: user 1 returns past the gap (inline close of the old
+      // session + a fresh one); user 3's event pushes the watermark to
+      // 12:50, past u2's 12:30 timer (timer close)
+      write("b2", Seq(
+        (4L, ts("2024-03-01 13:00:00"), 1L, "click", 7.0),
+        (5L, ts("2024-03-01 13:00:00"), 3L, "click", 0.5)))
+      q.processAllAvailable()
+      val afterB2 = spark.table("ets_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(afterB2 == Set((1L, 2L, 3.0), (2L, 1L, 5.0)), afterB2)
+
+      // b3: far-future event drives the watermark past every open
+      // timer — the fresh u1 session and u3's singleton close by timer
+      write("b3", Seq(
+        (6L, ts("2024-03-01 15:00:00"), 9L, "click", 0.0)))
+      q.processAllAvailable()
+      val afterB3 = spark.table("ets_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(afterB3 == afterB2 ++ Set((1L, 1L, 7.0), (3L, 1L, 0.5)),
+        afterB3)
+      // every emitted row is a CLOSED session, exactly once per session
+      val rows = spark.table("ets_sessions").collect()
+      assert(rows.forall(_.getBoolean(5)))
+      assert(rows.length == 4)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("ValueState persists across micro-batches; alert sums match batch") {
     import spark.implicits._
     // transformWithState needs the multi-column-family state store
