@@ -462,6 +462,20 @@ class PlanQualitySpec extends AnyFunSuite {
       "q133: expected min_by hash aggregation")
   }
 
+  test("q134/q135: rank fusion and modularity stay equi-keyed; the only " +
+      "cross join is the 1-row m broadcast (r11)") {
+    val fplan = executed("q134_rank_fusion")
+    assert(!fplan.contains("CartesianProduct"), "q134 cartesians")
+    // fused agg is a hash aggregate (partial-friendly), not a window
+    // over the union
+    assert(fplan.contains("HashAggregate"), "q134: expected hash agg")
+    val mplan = executed("q135_lpa_modularity")
+    assert(!mplan.contains("CartesianProduct"),
+      "q135: the m-frame must broadcast (BroadcastNestedLoopJoin), " +
+        "never CartesianProduct")
+    assert(mplan.contains("HashAggregate"), "q135: expected hash aggs")
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
