@@ -294,6 +294,14 @@ object SketchParams {
   object q134 {
     val kParam = 60; val topN = 25
   }
+  /** q136 snapshot diff: the deterministic mutation moduli that derive
+    * snapshot B from the customer table (delete every delMod-th key,
+    * bump balance on every chgMod-th, add a shifted copy of every
+    * addMod-th). */
+  object q136 {
+    val delMod = 13L; val chgMod = 7L; val addMod = 11L
+    val addShift = 1000000L
+  }
 }
 
 object OracleSql {
@@ -1862,6 +1870,35 @@ object OracleSql {
     WHERE fused_rank <= ${p.topN}"""
   }
 
+  /** Snapshot diff (q136): the same deterministic snapshot-B mutations
+    * and the same null-safe per-column classification, with
+    * `IS DISTINCT FROM` standing in for Spark's `<=>` — the SQL twin
+    * of `Scd.snapshotDiff`. Generated from [[SketchParams.q136]]. */
+  private def q136: String = {
+    val p = SketchParams.q136
+    s"""
+    WITH b AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+    ), a AS (
+      SELECT c_custkey,
+        CASE WHEN c_custkey % ${p.chgMod} = 0
+          THEN c_acctbal + CAST(10.0 AS DOUBLE)
+          ELSE c_acctbal END AS c_acctbal,
+        c_mktsegment
+      FROM customer WHERE c_custkey % ${p.delMod} != 0
+      UNION ALL
+      SELECT c_custkey + ${p.addShift}, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % ${p.addMod} = 0)
+    SELECT COALESCE(b.c_custkey, a.c_custkey) AS c_custkey,
+      CASE WHEN b.c_custkey IS NULL THEN 'added'
+        WHEN a.c_custkey IS NULL THEN 'removed'
+        WHEN (b.c_acctbal IS DISTINCT FROM a.c_acctbal)
+          OR (b.c_mktsegment IS DISTINCT FROM a.c_mktsegment)
+          THEN 'changed'
+        ELSE 'unchanged' END AS change_type
+    FROM b FULL OUTER JOIN a ON b.c_custkey = a.c_custkey"""
+  }
+
   /** Synchronous label propagation (q133): every round's
     * neighbor-label count + (count DESC, label ASC) argmax unrolled as
     * one CTE per iteration over the q99 symmetrized graph — the SQL
@@ -3360,6 +3397,7 @@ object OracleSql {
     "q133_label_propagation" -> q133,
     "q134_rank_fusion" -> q134,
     "q135_lpa_modularity" -> q135,
+    "q136_snapshot_diff" -> q136,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

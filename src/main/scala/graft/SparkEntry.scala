@@ -2315,6 +2315,27 @@ object SparkEntry {
     operators.Components.modularity(e0, "a", "b", labels, "node", "label")
   }
 
+  /** Snapshot diff ([[graft.operators.Scd.snapshotDiff]]): the CDC
+    * classification between the customer table and a deterministically
+    * mutated copy (deletes, balance changes, additions by modulus —
+    * [[SketchParams.q136]]), keyed on `c_custkey`, comparing
+    * (`c_acctbal`, `c_mktsegment`). One full-outer hash join; the
+    * oracle replays the null-safe per-column comparison with
+    * `IS DISTINCT FROM`. */
+  def q136SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q136
+    val before = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val kept = before.filter(col("c_custkey") % p.delMod =!= 0L)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % p.chgMod === 0L,
+          col("c_acctbal") + 10.0).otherwise(col("c_acctbal")))
+    val added = before.filter(col("c_custkey") % p.addMod === 0L)
+      .withColumn("c_custkey", col("c_custkey") + p.addShift)
+    operators.Scd.snapshotDiff(before, kept.unionByName(added),
+      Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2451,7 +2472,8 @@ object SparkEntry {
     "q132_group_priority_sample" -> (q132GroupPrioritySample _),
     "q133_label_propagation" -> (q133LabelPropagation _),
     "q134_rank_fusion" -> (q134RankFusion _),
-    "q135_lpa_modularity" -> (q135LpaModularity _))
+    "q135_lpa_modularity" -> (q135LpaModularity _),
+    "q136_snapshot_diff" -> (q136SnapshotDiff _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

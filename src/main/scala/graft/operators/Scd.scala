@@ -94,4 +94,41 @@ object Scd {
       .select(col("__v.*"))
     closed.unionByName(merged)
   }
+
+  /** Snapshot diff — the CDC primitive upstream of [[scd2Merge]] and of
+    * any incremental refresh: classify every business key across two
+    * full snapshots as `added` (key only in `after`), `removed` (only
+    * in `before`), `changed` (present in both, some tracked column
+    * differs), or `unchanged`. Comparison is NULL-SAFE per column
+    * (NULL ≡ NULL; NULL vs value is a change) — the semantics
+    * `IS DISTINCT FROM` gives an external engine, so the q136 oracle
+    * replays the classification exactly.
+    *
+    * Scale shape: ONE full-outer hash join on the business key; the
+    * classification is a pure map over the joined row. Keys are
+    * non-null by contract (the [[scd2Merge]] contract). Output is one
+    * row per key in either snapshot: keys + `change_type`.
+    *
+    * For incremental loads, feed `filter(change_type != 'unchanged')`
+    * to the writer — at 100 TB the point is shipping the delta, not
+    * the snapshot. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty)
+    val b = before.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"__b_$c")) :+
+      lit(1).as("__in_b"): _*)
+    val a = after.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"__a_$c")) :+
+      lit(1).as("__in_a"): _*)
+    val differs = compareCols
+      .map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduce(_ || _)
+    b.join(a, keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("__in_b").isNull, lit("added"))
+          .when(col("__in_a").isNull, lit("removed"))
+          .when(differs, lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"): _*)
+  }
 }

@@ -111,4 +111,33 @@ class ScdSpec extends AnyFunSuite {
     assert(out.filter(col("is_current")).count() == 1)
     assert(out.count() == 2, "null -> '' must be detected as a change")
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged with " +
+      "null-safe column comparison") {
+    val before = Seq(
+      (1L, Some("a"), "A"), // unchanged
+      (2L, Some("b"), "B"), // changed (seg)
+      (3L, None, "C"),      // unchanged with a NULL attr (NULL <=> NULL)
+      (4L, Some("d"), "D"), // removed
+      (5L, None, "E"))      // changed: NULL -> value
+      .toDF("id", "name", "seg")
+    val after = Seq(
+      (1L, Some("a"), "A"),
+      (2L, Some("b"), "B2"),
+      (3L, None, "C"),
+      (5L, Some("e"), "E"),
+      (6L, Some("f"), "F")) // added
+      .toDF("id", "name", "seg")
+    val got = Scd.snapshotDiff(before, after, Seq("id"),
+        Seq("name", "seg"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", 4L -> "removed", 5L -> "changed",
+      6L -> "added"), got)
+    // the delta feed drops only the unchanged keys
+    val delta = Scd.snapshotDiff(before, after, Seq("id"),
+        Seq("name", "seg"))
+      .filter(col("change_type") =!= "unchanged").count()
+    assert(delta == 4)
+  }
 }
