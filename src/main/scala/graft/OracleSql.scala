@@ -302,6 +302,11 @@ object SketchParams {
     val delMod = 13L; val chgMod = 7L; val addMod = 11L
     val addShift = 1000000L
   }
+  /** q137 weighted label propagation: iteration budget; edge weight =
+    * lineitem multiplicity between a supplier and a customer. */
+  object q137 {
+    val iters = 4
+  }
 }
 
 object OracleSql {
@@ -1870,6 +1875,45 @@ object OracleSql {
     WHERE fused_rank <= ${p.topN}"""
   }
 
+  /** Weighted label propagation (q137): the q133 rounds with the
+    * neighbor vote as SUM of edge weights (lineitem multiplicity,
+    * symmetrized by MAX across orientations) — the SQL twin of
+    * `Components.weightedLabelPropagation`. Generated from
+    * [[SketchParams.q137]]. */
+  private def q137: String = {
+    val p = SketchParams.q137
+    def round(i: Int): String = s"""
+    l$i AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+          row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, label ASC) AS rn
+        FROM (
+          SELECT e.dst AS node, l.label AS label,
+            CAST(SUM(e.w) AS BIGINT) AS c
+          FROM e JOIN l${i - 1} l ON e.src = l.node
+          GROUP BY e.dst, l.label))
+      WHERE rn = 1)"""
+    val rounds = (1 to p.iters).map(round).mkString(",")
+    s"""
+    WITH ew AS (
+      SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst,
+        CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), e AS MATERIALIZED (
+      SELECT src, dst, MAX(w) AS w FROM (
+        SELECT src, dst, w FROM ew
+        UNION ALL
+        SELECT dst, src, w FROM ew)
+      GROUP BY src, dst
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM e
+    ),$rounds
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM l${p.iters}"""
+  }
+
   /** Snapshot diff (q136): the same deterministic snapshot-B mutations
     * and the same null-safe per-column classification, with
     * `IS DISTINCT FROM` standing in for Spark's `<=>` — the SQL twin
@@ -3398,6 +3442,7 @@ object OracleSql {
     "q134_rank_fusion" -> q134,
     "q135_lpa_modularity" -> q135,
     "q136_snapshot_diff" -> q136,
+    "q137_weighted_lpa" -> q137,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

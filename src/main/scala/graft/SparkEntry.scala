@@ -2336,6 +2336,24 @@ object SparkEntry {
       Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
   }
 
+  /** Weighted label propagation
+    * ([[graft.operators.Components.weightedLabelPropagation]]) over the
+    * q99 graph with shipment MULTIPLICITY as the edge weight (repeated
+    * supplier–customer lineitem rows pre-sum into one weighted edge) —
+    * communities by traffic volume, not mere adjacency. Params from
+    * [[SketchParams.q137]]. */
+  def q137WeightedLpa(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q137
+    val e0 = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2L).as("a"),
+        (col("o_custkey") * 2L + 1L).as("b"),
+        lit(1L).as("w"))
+    operators.Components.weightedLabelPropagation(e0, "a", "b", "w",
+      p.iters)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2473,7 +2491,8 @@ object SparkEntry {
     "q133_label_propagation" -> (q133LabelPropagation _),
     "q134_rank_fusion" -> (q134RankFusion _),
     "q135_lpa_modularity" -> (q135LpaModularity _),
-    "q136_snapshot_diff" -> (q136SnapshotDiff _))
+    "q136_snapshot_diff" -> (q136SnapshotDiff _),
+    "q137_weighted_lpa" -> (q137WeightedLpa _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

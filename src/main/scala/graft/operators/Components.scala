@@ -394,13 +394,45 @@ object Components {
     *
     * @return (node, label) — nodes sharing a label are one community */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, checkpointInterval: Int = 4): DataFrame = {
+      iters: Int, checkpointInterval: Int = 4): DataFrame =
+    lpaCore(edges, srcCol, dstCol, None, iters, checkpointInterval)
+
+  /** Weighted [[labelPropagation]] (the [[PageRank
+    * .weightedPageRankFixedPoint]] relationship applied to LPA): each
+    * edge carries a POSITIVE weight and a node adopts the label with
+    * the largest NEIGHBOR WEIGHT SUM instead of the largest neighbor
+    * count — co-occurrence strength, shipment volume, similarity score
+    * buckets. Duplicate (src, dst) rows pre-sum into one weighted edge
+    * (multiplicity as weight or repeated rows, caller's choice); the
+    * argmax tie-break stays (weight-sum DESC, label ASC), exact over
+    * BIGINT weights, so q137 replays it bit-for-bit. */
+  def weightedLabelPropagation(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, iters: Int,
+      checkpointInterval: Int = 4): DataFrame =
+    lpaCore(edges, srcCol, dstCol, Some(weightCol), iters,
+      checkpointInterval)
+
+  private def lpaCore(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String], iters: Int,
+      checkpointInterval: Int): DataFrame = {
     require(iters >= 0 && checkpointInterval >= 1)
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-    val (sym, symCkpt) = CheckpointHygiene.checkpointTracked(
-      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
+    val e0 = weightCol match {
+      case Some(w) => edges
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+          col(w).cast("long").as("__w"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
+      case None => edges
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct().withColumn("__w", lit(1L))
+    }
+    // symmetrize with weights; opposite orientations of the same pair
+    // merge their weights so an already-symmetric input isn't doubled
+    val (sym, _) = CheckpointHygiene.checkpointTracked(
+      e0.unionByName(e0.select(col("dst").as("src"),
+          col("src").as("dst"), col("__w")))
+        .groupBy(col("src"), col("dst")).agg(max(col("__w")).as("__w")))
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
@@ -409,7 +441,7 @@ object Components {
       val next = sym
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
-        .agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__w")).as("__c"))
         .groupBy(col("node"))
         .agg(min_by(col("label"),
           struct((-col("__c")).as("__nc"), col("label").as("__tl")))

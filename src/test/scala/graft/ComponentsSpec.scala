@@ -315,6 +315,41 @@ class ComponentsSpec extends AnyFunSuite {
     assert(it1 == Map("x" -> "y", "y" -> "x", "z" -> "y"))
   }
 
+  test("weightedLabelPropagation: a heavy edge outvotes a count " +
+      "majority; w=1 equals the unweighted form") {
+    import spark.implicits._
+    // z's neighbors: x (w=5) vs y1,y2 (w=1 each, and y1-y2 linked).
+    // Unweighted: z sees three labels once each -> tie -> min label 1.
+    // Weighted: x's 5 outvotes -> z adopts 9.
+    val edges = Seq((5L, 9L, 5L), (5L, 1L, 1L), (5L, 2L, 1L),
+      (1L, 2L, 1L)).toDF("s", "d", "w")
+    val w1 = Components.weightedLabelPropagation(edges, "s", "d", "w",
+        iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1(5L) == 9L, w1)
+    val u1 = Components.labelPropagation(edges.drop("w"), "s", "d",
+        iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(u1(5L) == 1L, u1)
+    // uniform weights reduce to the unweighted operator exactly
+    val uni = Components.weightedLabelPropagation(
+        edges.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+        "s", "d", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Components.labelPropagation(edges.drop("w"), "s", "d",
+        iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uni == plain)
+    // repeated rows fold into the weight: three (5,9) rows at w=2
+    // behave as one w=6 edge
+    val rep = Seq((5L, 9L, 2L), (5L, 9L, 2L), (5L, 9L, 2L),
+      (5L, 1L, 1L), (5L, 2L, 1L), (1L, 2L, 1L)).toDF("s", "d", "w")
+    val wr = Components.weightedLabelPropagation(rep, "s", "d", "w",
+        iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wr(5L) == 9L, wr)
+  }
+
   test("modularity: hand-computed Q on two triangles + bridge; the " +
       "all-one-community labeling scores exactly zero") {
     import spark.implicits._
