@@ -48,9 +48,14 @@ object Bench {
     * r10 contended run had 434 s sys vs a calm run's 61 s on ~2,600 s user
     * (ratio 0.17 vs 0.02). Threshold sits 3× above the calm band. */
   private val sysCpuRatioMax = 0.2
-  /** 1-min loadavg at START above this ⇒ other work was already running
-    * when the sweep began (calm runs start under ~1; the r10 contended
-    * run started at 5.95). Start-only, so our own sweep can't trip it. */
+  /** 1-min loadavg at START above this ⇒ `load_elevated` in telemetry.
+    * Deliberately NOT part of the `contended` verdict: loadavg decays
+    * over a minute, so a bench launched right after another sbt stage
+    * (the run_all_gates sequence) inherits its own predecessor's load
+    * and would false-positive — while GENUINE concurrent load inflates
+    * the interleaved controls and the sys-CPU ratio, which are the
+    * direct measurements. The flag stays in the artifact so a reviewer
+    * can see the starting state. */
   private val load1StartMax = 3.0
 
   def main(args: Array[String]): Unit = {
@@ -131,10 +136,10 @@ object Bench {
     val userSec = userEnd - userStart
     val sysSec = sysEnd - sysStart
     val sysRatio = if (userSec > 1.0) sysSec / userSec else -1.0
+    val loadElevated = load1Start > load1StartMax
     val contended =
       controlWorst.valuesIterator.exists(_._2 > contentionFactor) ||
-      sysRatio > sysCpuRatioMax ||
-      load1Start > load1StartMax
+      sysRatio > sysCpuRatioMax
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -154,7 +159,8 @@ object Bench {
       s""""proc_user_sec":$userSec,"proc_sys_sec":$sysSec,""" +
       s""""sys_cpu_ratio":${f"$sysRatio%.3f"},""" +
       s""""wall_sec":${f"$wallSec%.1f"},"controls":$controlsJson,""" +
-      s""""control_samples":$samplesJson,"contended":$contended}"""
+      s""""control_samples":$samplesJson,"load_elevated":$loadElevated,""" +
+      s""""contended":$contended}"""
     // the long per-query line gets a distinct metric name so nothing that
     // filters/aggregates on metric=="total" can double-count it against the
     // short trailer below
