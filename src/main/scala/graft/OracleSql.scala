@@ -1875,6 +1875,29 @@ object OracleSql {
     WHERE fused_rank <= ${p.topN}"""
   }
 
+  /** Peak order concurrency (q138): the same +1/−1 sweep with the same
+    * (time ASC, delta ASC) running sum under the default RANGE frame —
+    * the SQL twin of `Stats.maxConcurrency`. */
+  private def q138: String = s"""
+    WITH iv AS (
+      SELECT o.o_orderkey, o.o_orderpriority, o.o_orderdate AS s,
+        MAX(l.l_shipdate) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, 3
+    ), pts AS (
+      SELECT o_orderpriority, s AS t, CAST(1 AS BIGINT) AS d FROM iv
+      WHERE s IS NOT NULL AND e IS NOT NULL AND s <= e
+      UNION ALL
+      SELECT o_orderpriority, e, CAST(-1 AS BIGINT) FROM iv
+      WHERE s IS NOT NULL AND e IS NOT NULL AND s <= e
+    ), run AS (
+      SELECT o_orderpriority,
+        SUM(d) OVER (PARTITION BY o_orderpriority
+          ORDER BY t ASC, d ASC) AS r
+      FROM pts)
+    SELECT o_orderpriority, CAST(MAX(r) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY o_orderpriority"""
+
   /** Weighted label propagation (q137): the q133 rounds with the
     * neighbor vote as SUM of edge weights (lineitem multiplicity,
     * symmetrized by MAX across orientations) — the SQL twin of
@@ -3443,6 +3466,7 @@ object OracleSql {
     "q135_lpa_modularity" -> q135,
     "q136_snapshot_diff" -> q136,
     "q137_weighted_lpa" -> q137,
+    "q138_order_concurrency" -> q138,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -2354,6 +2354,22 @@ object SparkEntry {
       p.iters)
   }
 
+  /** Peak order concurrency ([[graft.operators.Stats.maxConcurrency]]):
+    * each order is open from `o_orderdate` to its last shipment
+    * (`max(l_shipdate)`); the sweep reports the largest number of
+    * simultaneously open orders per priority class — the O(N log N)
+    * answer to the question an interval self-join makes quadratic. */
+  def q138OrderConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate"))
+      .agg(max(col("l_shipdate")).as("end_ts"))
+    operators.Stats.maxConcurrency(iv, "o_orderdate", "end_ts",
+      Seq("o_orderpriority"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2492,7 +2508,8 @@ object SparkEntry {
     "q134_rank_fusion" -> (q134RankFusion _),
     "q135_lpa_modularity" -> (q135LpaModularity _),
     "q136_snapshot_diff" -> (q136SnapshotDiff _),
-    "q137_weighted_lpa" -> (q137WeightedLpa _))
+    "q137_weighted_lpa" -> (q137WeightedLpa _),
+    "q138_order_concurrency" -> (q138OrderConcurrency _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

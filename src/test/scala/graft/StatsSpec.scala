@@ -95,4 +95,27 @@ class StatsSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       "expected partial + final HashAggregate")
   }
+
+  test("maxConcurrency: sweep-line peak with half-open [start, end) " +
+      "semantics; bad intervals rejected") {
+    import spark.implicits._
+    // (1,5),(2,6),(5,7): (1,5) retires exactly as (5,7) starts -> peak 2
+    val iv = Seq(("g", 1L, 5L), ("g", 2L, 6L), ("g", 5L, 7L),
+      // second group: back-to-back intervals never overlap -> peak 1
+      ("h", 1L, 3L), ("h", 3L, 5L),
+      // rejected row: inverted
+      ("g", 9L, 4L))
+      .toDF("grp", "s", "e")
+      .unionByName(Seq(("g", Some(1L), Option.empty[Long]))
+        .toDF("grp", "s", "e"))
+    val got = Stats.maxConcurrency(iv, "s", "e", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("g" -> 2L, "h" -> 1L), got)
+    // fully nested intervals stack
+    val nest = Seq(("n", 1L, 10L), ("n", 2L, 9L), ("n", 3L, 8L))
+      .toDF("grp", "s", "e")
+    val gn = Stats.maxConcurrency(nest, "s", "e", Seq("grp"))
+      .collect()(0).getLong(1)
+    assert(gn == 3L)
+  }
 }
