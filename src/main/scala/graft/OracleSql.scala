@@ -1898,6 +1898,35 @@ object OracleSql {
     SELECT o_orderpriority, CAST(MAX(r) AS BIGINT) AS max_concurrent
     FROM run GROUP BY o_orderpriority"""
 
+  /** Order-coverage time (q139): the q138 sweep's union length —
+    * `lead` spans where the running count is positive, in exact
+    * epoch_us BIGINTs (≡ Spark `unix_micros`); tie permutations are
+    * sum-invariant (see `Stats.coveredTime`) — the SQL twin of
+    * `Stats.coveredTime`. */
+  private def q139: String = s"""
+    WITH iv AS (
+      SELECT o.o_orderpriority, epoch_us(o.o_orderdate) AS s,
+        epoch_us(MAX(l.l_shipdate)) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    ), pts AS (
+      SELECT o_orderpriority, s AS t, CAST(1 AS BIGINT) AS d FROM iv
+      WHERE s IS NOT NULL AND e IS NOT NULL AND s <= e
+      UNION ALL
+      SELECT o_orderpriority, e, CAST(-1 AS BIGINT) FROM iv
+      WHERE s IS NOT NULL AND e IS NOT NULL AND s <= e
+    ), run AS (
+      SELECT o_orderpriority,
+        SUM(d) OVER (PARTITION BY o_orderpriority
+          ORDER BY t ASC, d ASC) AS r,
+        t,
+        lead(t) OVER (PARTITION BY o_orderpriority
+          ORDER BY t ASC, d ASC) AS nxt
+      FROM pts)
+    SELECT o_orderpriority, CAST(SUM(nxt - t) AS BIGINT) AS covered
+    FROM run WHERE nxt IS NOT NULL AND r > 0
+    GROUP BY o_orderpriority"""
+
   /** Weighted label propagation (q137): the q133 rounds with the
     * neighbor vote as SUM of edge weights (lineitem multiplicity,
     * symmetrized by MAX across orientations) — the SQL twin of
@@ -3467,6 +3496,7 @@ object OracleSql {
     "q136_snapshot_diff" -> q136,
     "q137_weighted_lpa" -> q137,
     "q138_order_concurrency" -> q138,
+    "q139_order_coverage" -> q139,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -2370,6 +2370,24 @@ object SparkEntry {
       Seq("o_orderpriority"))
   }
 
+  /** Order-coverage time ([[graft.operators.Stats.coveredTime]]): per
+    * priority class, the total wall time with at least one order in
+    * flight — the union length of the q138 intervals, in exact
+    * microseconds (`unix_micros` ≡ DuckDB `epoch_us`). */
+  def q139OrderCoverage(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate"))
+      .agg(max(col("l_shipdate")).as("end_ts"))
+      .select(col("o_orderpriority"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("s_us"),
+        unix_micros(col("end_ts").cast("timestamp")).as("e_us"))
+    operators.Stats.coveredTime(iv, "s_us", "e_us",
+      Seq("o_orderpriority"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2509,7 +2527,8 @@ object SparkEntry {
     "q135_lpa_modularity" -> (q135LpaModularity _),
     "q136_snapshot_diff" -> (q136SnapshotDiff _),
     "q137_weighted_lpa" -> (q137WeightedLpa _),
-    "q138_order_concurrency" -> (q138OrderConcurrency _))
+    "q138_order_concurrency" -> (q138OrderConcurrency _),
+    "q139_order_coverage" -> (q139OrderCoverage _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

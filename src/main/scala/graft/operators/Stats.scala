@@ -122,4 +122,43 @@ object Stats {
       .groupBy(groupCols.map(col): _*)
       .agg(max(col("__run")).as("max_concurrent"))
   }
+
+  /** Interval-union length per group — total time with AT LEAST ONE
+    * interval open ("how long was any order in flight"), the companion
+    * question to [[maxConcurrency]] on the same sweep: between
+    * consecutive sweep events, the covered span is `next_t − t` when
+    * the running count is positive.
+    *
+    * Bounds are NUMERIC (BIGINT epochs — the caller picks the unit,
+    * e.g. `unix_micros`), so every duration is an exact integer
+    * difference. Determinism under ties: `lead` is row-ordered and
+    * rows with identical (t, delta) permute arbitrarily — but within
+    * such a tie group all rows share the RANGE-collapsed running
+    * count, exactly one row's lead escapes to the next distinct time
+    * and the rest contribute zero-length spans, so the SUM is
+    * invariant to the permutation and both engines land on the same
+    * total (the q139 oracle). Same half-open [start, end) event
+    * ordering, same up-front rejection of NULL/inverted intervals,
+    * same one-shuffle + in-partition-sort shape as [[maxConcurrency]].
+    *
+    * @return one row per group that has ≥ 1 valid interval:
+    *         groupCols + `covered` (in the caller's unit) */
+  def coveredTime(df: DataFrame, startCol: String, endCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "give the sweep a grouping")
+    val iv = df.filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+      col(startCol) <= col(endCol))
+    val pts = iv.select(groupCols.map(col) :+
+        col(startCol).cast("long").as("__t") :+ lit(1L).as("__d"): _*)
+      .unionByName(iv.select(groupCols.map(col) :+
+        col(endCol).cast("long").as("__t") :+ lit(-1L).as("__d"): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__d").asc)
+    pts.withColumn("__run", sum(col("__d")).over(w))
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .filter(col("__next").isNotNull && col("__run") > 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__next") - col("__t")).as("covered"))
+  }
 }

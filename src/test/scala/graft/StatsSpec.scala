@@ -118,4 +118,20 @@ class StatsSpec extends AnyFunSuite {
       .collect()(0).getLong(1)
     assert(gn == 3L)
   }
+
+  test("coveredTime: union length with gaps, duplicates, nesting, and " +
+      "zero-length intervals") {
+    import spark.implicits._
+    // g: [1,5) ∪ [3,7) ∪ [10,12) = 6 + 2 = 8; the overlap counts once
+    // h: duplicates of one interval count once; [4,4) adds nothing
+    // n: nesting collapses to the outer interval
+    val iv = Seq(
+      ("g", 1L, 5L), ("g", 3L, 7L), ("g", 10L, 12L),
+      ("h", 2L, 6L), ("h", 2L, 6L), ("h", 4L, 4L),
+      ("n", 1L, 10L), ("n", 3L, 5L))
+      .toDF("grp", "s", "e")
+    val got = Stats.coveredTime(iv, "s", "e", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("g" -> 8L, "h" -> 4L, "n" -> 9L), got)
+  }
 }
