@@ -119,6 +119,31 @@ class StatsSpec extends AnyFunSuite {
     assert(gn == 3L)
   }
 
+  test("sweep-line property: maxConcurrency and coveredTime match " +
+      "brute-force references on randomized interval sets") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1234)
+    (1 to 5).foreach { trial =>
+      // small integer domain forces ties, duplicates, zero-length and
+      // nested intervals — every edge shape the sweep must resolve
+      val iv = Seq.fill(60) {
+        val s = rng.nextInt(20).toLong
+        ("g", s, s + rng.nextInt(8).toLong)
+      }
+      // brute force over the discrete timeline with [s, e) membership
+      def conc(t: Long) = iv.count { case (_, s, e) => s <= t && t < e }
+      val wantMax = (0L to 30L).map(conc).max
+      val wantCov = (0L to 30L).count(conc(_) > 0).toLong
+      val df = iv.toDF("grp", "s", "e")
+      val gotMax = Stats.maxConcurrency(df, "s", "e", Seq("grp"))
+        .collect()(0).getLong(1)
+      assert(gotMax == wantMax, s"trial $trial max: $gotMax vs $wantMax")
+      val gotCov = Stats.coveredTime(df, "s", "e", Seq("grp"))
+        .collect()(0).getLong(1)
+      assert(gotCov == wantCov, s"trial $trial cov: $gotCov vs $wantCov")
+    }
+  }
+
   test("coveredTime: union length with gaps, duplicates, nesting, and " +
       "zero-length intervals") {
     import spark.implicits._
