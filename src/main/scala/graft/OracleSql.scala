@@ -1966,6 +1966,38 @@ object OracleSql {
     FROM l${p.iters}"""
   }
 
+  /** Rand index (q140): the q133 LPA labeling joined against the
+    * bipartite side partition, C(c,2) pair counts as exact `//`
+    * BIGINTs, one double division — the SQL twin of
+    * `Components.randIndex`. */
+  private def q140: String = s"""
+    WITH $lpaWithBody,
+    j AS (
+      SELECT l.label AS la, node % 2 AS lb
+      FROM l${SketchParams.q133.iters} l
+    ), cells AS (
+      SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS m
+      FROM j GROUP BY la, lb
+    ), af AS (
+      SELECT CAST(SUM((m * (m - 1)) // 2) AS BIGINT) AS a,
+        CAST(SUM(m) AS BIGINT) AS n
+      FROM cells
+    ), ra AS (
+      SELECT CAST(SUM((ra * (ra - 1)) // 2) AS BIGINT) AS sa FROM (
+        SELECT CAST(SUM(m) AS BIGINT) AS ra FROM cells GROUP BY la)
+    ), rb AS (
+      SELECT CAST(SUM((rb * (rb - 1)) // 2) AS BIGINT) AS sb FROM (
+        SELECT CAST(SUM(m) AS BIGINT) AS rb FROM cells GROUP BY lb)
+    )
+    SELECT af.n AS n_nodes, af.a AS agree_both,
+      CAST((af.n * (af.n - 1)) // 2 - ra.sa - rb.sb + af.a AS BIGINT)
+        AS agree_neither,
+      CAST((af.n * (af.n - 1)) // 2 AS BIGINT) AS n_pairs,
+      CAST(af.a + ((af.n * (af.n - 1)) // 2 - ra.sa - rb.sb + af.a)
+          AS DOUBLE)
+        / CAST((af.n * (af.n - 1)) // 2 AS DOUBLE) AS rand_index
+    FROM af, ra, rb"""
+
   /** Snapshot diff (q136): the same deterministic snapshot-B mutations
     * and the same null-safe per-column classification, with
     * `IS DISTINCT FROM` standing in for Spark's `<=>` — the SQL twin
@@ -3497,6 +3529,7 @@ object OracleSql {
     "q137_weighted_lpa" -> q137,
     "q138_order_concurrency" -> q138,
     "q139_order_coverage" -> q139,
+    "q140_rand_index" -> q140,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -2388,6 +2388,20 @@ object SparkEntry {
       Seq("o_orderpriority"))
   }
 
+  /** Rand index ([[graft.operators.Components.randIndex]]) between the
+    * q133 LPA labeling and the graph's bipartite side partition
+    * (supplier = even node id, customer = odd) — quantifying q135's
+    * finding: sync LPA on this dense bipartite graph collapses toward
+    * the side split, and the pair-counting agreement with the side
+    * partition measures exactly how far. One row, exact BIGINT pair
+    * counts, one double division. */
+  def q140RandIndex(s: SparkSession, dir: String): DataFrame = {
+    val lpa = q133LabelPropagation(s, dir)
+    val side = lpa.select(col("node"), (col("node") % 2L).as("side"))
+    operators.Components.randIndex(lpa, "node", "label",
+      side, "node", "side")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2528,7 +2542,8 @@ object SparkEntry {
     "q136_snapshot_diff" -> (q136SnapshotDiff _),
     "q137_weighted_lpa" -> (q137WeightedLpa _),
     "q138_order_concurrency" -> (q138OrderConcurrency _),
-    "q139_order_coverage" -> (q139OrderCoverage _))
+    "q139_order_coverage" -> (q139OrderCoverage _),
+    "q140_rand_index" -> (q140RandIndex _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a pair list — the clustering step that turns
@@ -518,6 +518,64 @@ object Components {
             sum(expr("4 * m * l_c - d_c * d_c")).cast("double") /
               (lit(4L) * max(col("m")) * max(col("m"))).cast("double")),
           lit(0.0)).as("modularity"))
+  }
+
+  /** Rand index between two labelings of the same node set (Rand 1971,
+    * "Objective criteria for the evaluation of clustering methods") —
+    * the pair-counting agreement measure: over all C(n,2) node pairs,
+    * the fraction on which the labelings AGREE (both co-cluster the
+    * pair, or both separate it). The clustering-comparison companion
+    * to [[modularity]]'s quality score: modularity grades ONE labeling
+    * against the graph, the Rand index grades two labelings against
+    * each other (LPA vs components, today's run vs yesterday's,
+    * algorithm vs ground truth).
+    *
+    * Everything is exact BIGINT pair counting — a = Σ_cells C(n_ij,2)
+    * co-co pairs, the marginals give the co-separated count d by
+    * subtraction — and the index is ONE double division of exact
+    * integers (the q116/q124/q135 convention, replayed by q140).
+    * n·(n−1)/2 fits BIGINT to n ≈ 4.3·10⁹ nodes. Nodes present in
+    * only one labeling drop out (inner join — grade the common
+    * support).
+    *
+    * Scale shape: one hash join on the node id + three partial
+    * aggregations (cells, two marginals — each bounded by the label
+    * cardinality) + scalar combination in ONE output row; nothing
+    * driver-side beyond the final literals.
+    *
+    * @return one row: (n_nodes, agree_both, agree_neither, n_pairs,
+    *         rand_index) */
+  def randIndex(labelsA: DataFrame, nodeColA: String, labelColA: String,
+      labelsB: DataFrame, nodeColB: String, labelColB: String): DataFrame = {
+    val joined = labelsA
+      .select(col(nodeColA).as("node"), col(labelColA).as("__la"))
+      .join(labelsB
+        .select(col(nodeColB).as("node"), col(labelColB).as("__lb")),
+        Seq("node"))
+    val cells = joined.groupBy(col("__la"), col("__lb"))
+      .agg(count(lit(1)).as("__m"))
+    // C(c,2) in exact integers: c(c−1) is even, so DIV is lossless —
+    // a double `/` would round past 2^53
+    def pairs(name: String): Column = expr(s"($name * ($name - 1)) DIV 2")
+    // coalesce: aggregates over an EMPTY common support yield NULL, and
+    // the zero-pair case must land in the defined-1.0 branch below
+    val aF = cells.agg(coalesce(sum(pairs("__m")), lit(0L)).as("a"),
+      coalesce(sum(col("__m")), lit(0L)).as("n"))
+    val rowsA = cells.groupBy(col("__la"))
+      .agg(sum(col("__m")).as("__ra"))
+      .agg(coalesce(sum(pairs("__ra")), lit(0L)).as("sa"))
+    val rowsB = cells.groupBy(col("__lb"))
+      .agg(sum(col("__m")).as("__rb"))
+      .agg(coalesce(sum(pairs("__rb")), lit(0L)).as("sb"))
+    aF.crossJoin(broadcast(rowsA)).crossJoin(broadcast(rowsB))
+      .select(col("n").as("n_nodes"), col("a").as("agree_both"),
+        (pairs("n") - col("sa") - col("sb") + col("a"))
+          .as("agree_neither"),
+        pairs("n").as("n_pairs"),
+        when(pairs("n") === 0L, lit(1.0)).otherwise(
+          (col("a") + (pairs("n") - col("sa") - col("sb") + col("a")))
+            .cast("double") / pairs("n").cast("double"))
+          .as("rand_index"))
   }
 
   /** Dedup keep-list from near-dup pairs over a corpus: every id mapped to

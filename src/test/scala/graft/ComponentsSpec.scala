@@ -382,6 +382,33 @@ class ComponentsSpec extends AnyFunSuite {
       e.getDouble(2) == 0.0)
   }
 
+  test("randIndex: hand pair counts; label names irrelevant; identical " +
+      "labelings score 1.0") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("n", "l")
+    val b = Seq((1L, "p"), (2L, "q"), (3L, "q")).toDF("n", "l")
+    // pairs: (1,2) A-same/B-diff, (2,3) A-diff/B-same -> disagree;
+    // (1,3) separated by both -> agree. RI = 1/3
+    val r = Components.randIndex(a, "n", "l", b, "n", "l").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 0L &&
+      r.getLong(2) == 1L && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 1.0 / 3.0)
+    // identical labelings, and a label-renamed copy, both score 1.0
+    val ident = Components.randIndex(a, "n", "l", a, "n", "l")
+      .collect()(0).getDouble(4)
+    assert(ident == 1.0)
+    val renamed = a.withColumn("l",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("z_"), col("l")))
+    val ren = Components.randIndex(a, "n", "l", renamed, "n", "l")
+      .collect()(0).getDouble(4)
+    assert(ren == 1.0)
+    // disjoint node sets -> empty support -> defined 1.0 on zero pairs
+    val c = Seq((9L, "w")).toDF("n", "l")
+    val z = Components.randIndex(a, "n", "l", c, "n", "l").collect()(0)
+    assert(z.getLong(3) == 0L && z.getDouble(4) == 1.0)
+  }
+
   test("end-to-end: minhash pairs -> components -> one keeper per cluster") {
     import spark.implicits._
     val docs = Seq(
