@@ -2256,14 +2256,36 @@ object SparkEntry {
     * communities, finer than connected components. The oracle unrolls
     * every round's (count, min-label) argmax bit-for-bit. Params from
     * [[SketchParams.q133]]. */
-  def q133LabelPropagation(s: SparkSession, dir: String): DataFrame = {
-    val p = SketchParams.q133
-    val e0 = t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("l_suppkey") * 2L).as("a"),
-        (col("o_custkey") * 2L + 1L).as("b"))
-    operators.Components.labelPropagation(e0, "a", "b", p.iters)
+  def q133LabelPropagation(s: SparkSession, dir: String): DataFrame =
+    q133Labels(s, dir)
+
+  /** The q133 labeling is consumed by THREE queries — q133 itself,
+    * q135's modularity grade, q140's Rand index — and the 8-round
+    * iterative LPA subplan is the most expensive job in the suite, so
+    * recomputing it per query triples it (at cluster scale: three full
+    * multi-round shuffle jobs instead of one). The labels frame is one
+    * (node, label) row per node, so each (session, dir) pair
+    * materializes it ONCE as an eager localCheckpoint and all three
+    * queries scan the shared blocks; each query's ORACLE stays
+    * self-contained (its SQL twin still unrolls the full recurrence).
+    * graft.Verify runs queries concurrently — `computeIfAbsent` makes
+    * the first arrival compute while the other consumers block on the
+    * same key. Entries of stopped sessions are pruned on access (their
+    * blocks are already gone with the context). */
+  private val lpaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def q133Labels(s: SparkSession, dir: String): DataFrame = {
+    lpaMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    lpaMemo.computeIfAbsent((s, dir), { _ =>
+      val p = SketchParams.q133
+      val e0 = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2L).as("a"),
+          (col("o_custkey") * 2L + 1L).as("b"))
+      operators.Components.labelPropagation(e0, "a", "b", p.iters)
+        .localCheckpoint(true)
+    })
   }
 
   /** Reciprocal rank fusion

@@ -381,7 +381,9 @@ object Components {
     * external engine replays it bit-for-bit (q133 unrolls the rounds).
     * Sync LPA can oscillate between two labelings on bipartite-ish
     * structure (the documented trade-off of determinism); `iters` is a
-    * fixed budget, 3–5 suffices for near-dup community shapes.
+    * fixed budget, 3–5 suffices for near-dup community shapes —
+    * [[labelPropagationConverged]] detects the fixed point / the
+    * oscillation and stops paying for provably-repeating rounds.
     *
     * Scale shape: the edge list is symmetrized and checkpointed once;
     * each round is one hash join (edges ⋈ labels on the source), one
@@ -395,26 +397,83 @@ object Components {
     * @return (node, label) — nodes sharing a label are one community */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, checkpointInterval: Int = 4): DataFrame =
-    lpaCore(edges, srcCol, dstCol, None, iters, checkpointInterval)
+    lpaCore(edges, srcCol, dstCol, None, iters, checkpointInterval,
+      convergeDelta = false)._1
 
   /** Weighted [[labelPropagation]] (the [[PageRank
     * .weightedPageRankFixedPoint]] relationship applied to LPA): each
     * edge carries a POSITIVE weight and a node adopts the label with
     * the largest NEIGHBOR WEIGHT SUM instead of the largest neighbor
     * count — co-occurrence strength, shipment volume, similarity score
-    * buckets. Duplicate (src, dst) rows pre-sum into one weighted edge
-    * (multiplicity as weight or repeated rows, caller's choice); the
-    * argmax tie-break stays (weight-sum DESC, label ASC), exact over
-    * BIGINT weights, so q137 replays it bit-for-bit. */
+    * buckets. Duplicate (src, dst) rows of the SAME orientation pre-sum
+    * into one weighted edge (multiplicity as weight or repeated rows,
+    * caller's choice); OPPOSITE orientations of a pair then merge by
+    * MAX during symmetrization — the undirected weight of {a, b} is the
+    * larger of the two directed weights, NOT their sum (so an
+    * already-symmetric input isn't doubled). A directed input carrying
+    * a→b:3 and b→a:5 therefore propagates weight 5; pre-sum
+    * orientations yourself before calling if total-flow semantics are
+    * intended. The argmax tie-break stays (weight-sum DESC, label ASC),
+    * exact over BIGINT weights, so q137 replays it bit-for-bit. */
   def weightedLabelPropagation(edges: DataFrame, srcCol: String,
       dstCol: String, weightCol: String, iters: Int,
       checkpointInterval: Int = 4): DataFrame =
     lpaCore(edges, srcCol, dstCol, Some(weightCol), iters,
-      checkpointInterval)
+      checkpointInterval, convergeDelta = false)._1
+
+  /** Converged [[labelPropagation]] — the [[PageRank
+    * .pageRankConverged]] early exit applied to LPA: iterate until the
+    * labeling's terminal orbit — a fixed point (a round that changes no
+    * label) or the period-2 oscillation sync LPA enters on
+    * bipartite-ish structure (the q135-diagnosed mode: two labelings
+    * alternating forever) — or `maxIters`, whichever first. The
+    * returned frame is BIT-IDENTICAL to [[labelPropagation]] at
+    * `itersRun`, and to every larger budget of the same parity on a
+    * cycle / every larger budget outright on a fixed point — each
+    * skipped round is two shuffle stages on a cluster.
+    *
+    * Cost of the check: each round is eagerly localCheckpointed and the
+    * orbit test is ONE pass — a single equi-join of the new labeling
+    * against the two previous materialized frames + one scalar row to
+    * the driver; live checkpoint storage stays ≤ 3 generations.
+    *
+    * @return (labels, itersRun) — itersRun counts executed rounds,
+    *         including the final round that proved the orbit */
+  def labelPropagationConverged(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIters: Int): (DataFrame, Int) =
+    lpaCore(edges, srcCol, dstCol, None, maxIters,
+      checkpointInterval = 1, convergeDelta = true)
+
+  /** Converged [[weightedLabelPropagation]] — see
+    * [[labelPropagationConverged]] for the orbit-exit contract. */
+  def weightedLabelPropagationConverged(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, maxIters: Int): (DataFrame, Int) =
+    lpaCore(edges, srcCol, dstCol, Some(weightCol), maxIters,
+      checkpointInterval = 1, convergeDelta = true)
+
+  /** true iff `next` is the same labeling as `prev` (fixed point) or as
+    * `prev2` (period-2 orbit) — ONE job: a single equi-join against
+    * both prior frames and one min-aggregated scalar row. Both
+    * comparands label the identical node set by construction, so inner
+    * joins lose nothing; an empty node set is trivially converged
+    * (`coalesce` over the empty-agg NULLs). */
+  private[operators] def orbitReached(prev: DataFrame, prev2: DataFrame,
+      next: DataFrame, keyCol: String, valCol: String): Boolean = {
+    val p1 = prev.select(col(keyCol), col(valCol).as("__p1"))
+    val base = next.join(p1, Seq(keyCol))
+    val both = if (prev2 == null) base.withColumn("__p2", lit(null))
+      else base.join(
+        prev2.select(col(keyCol), col(valCol).as("__p2")), Seq(keyCol))
+    val row = both.agg(
+      coalesce(min(col(valCol) === col("__p1")), lit(true)).as("__fix"),
+      coalesce(min(col(valCol) <=> col("__p2")), lit(true)).as("__cyc"))
+      .head()
+    row.getBoolean(0) || row.getBoolean(1)
+  }
 
   private def lpaCore(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String], iters: Int,
-      checkpointInterval: Int): DataFrame = {
+      checkpointInterval: Int, convergeDelta: Boolean): (DataFrame, Int) = {
     require(iters >= 0 && checkpointInterval >= 1)
     val e0 = weightCol match {
       case Some(w) => edges
@@ -435,9 +494,12 @@ object Components {
         .groupBy(col("src"), col("dst")).agg(max(col("__w")).as("__w")))
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+    var prev2: DataFrame = null
     var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    var prevPrevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < iters && !converged) {
       val next = sym
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
@@ -446,16 +508,31 @@ object Components {
         .agg(min_by(col("label"),
           struct((-col("__c")).as("__nc"), col("label").as("__tl")))
           .as("label"))
-      labels = if ((i + 1) % checkpointInterval == 0 && i < iters - 1) {
+      if (convergeDelta) {
+        // converged mode: materialize every round and exit when it
+        // reproduces the previous labeling (fixed point) or the one
+        // before it (period-2 oscillation) — one join+scalar action
+        // against two already-materialized frames
         val (ck, ckpt) = CheckpointHygiene.checkpointTracked(next,
           eager = true)
-        CheckpointHygiene.free(prevCkpt)
+        converged = orbitReached(labels, prev2, ck, "node", "label")
+        CheckpointHygiene.free(prevPrevCkpt)
+        prevPrevCkpt = prevCkpt
         prevCkpt = ckpt
-        ck
-      } else next
+        prev2 = labels
+        labels = ck
+      } else {
+        labels = if ((i + 1) % checkpointInterval == 0 && i < iters - 1) {
+          val (ck, ckpt) = CheckpointHygiene.checkpointTracked(next,
+            eager = true)
+          CheckpointHygiene.free(prevCkpt)
+          prevCkpt = ckpt
+          ck
+        } else next
+      }
       i += 1
     }
-    labels
+    (labels, i)
   }
 
   /** Newman modularity of a community labeling (Newman & Girvan 2004,

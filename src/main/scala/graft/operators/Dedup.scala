@@ -375,13 +375,30 @@ object Dedup {
     * bit-identical to the freshly-prepared index (spec-gated). */
   def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): PreparedCorpus = {
-    val p = spark.read.parquet(s"$path/params").collect()(0)
+    val rows = spark.read.parquet(s"$path/params").collect()
+    require(rows.length == 1,
+      s"loadCorpusIndex: params table at $path/params must hold exactly " +
+        s"one row, found ${rows.length} — artifact corrupt or not a " +
+        "saveCorpusIndex output")
+    val p = rows(0)
+    def field(name: String): Int = {
+      require(!p.isNullAt(p.fieldIndex(name)),
+        s"loadCorpusIndex: params field '$name' at $path/params is NULL")
+      p.getAs[Int](name)
+    }
+    val (ngram, numHashes, bands) =
+      (field("ngram"), field("num_hashes"), field("bands"))
+    require(ngram >= 1 && numHashes >= 1 && bands >= 1,
+      s"loadCorpusIndex: params must be positive, got ngram=$ngram " +
+        s"num_hashes=$numHashes bands=$bands")
+    require(numHashes % bands == 0,
+      s"loadCorpusIndex: bands ($bands) must divide num_hashes " +
+        s"($numHashes) — artifact at $path is inconsistent")
     PreparedCorpus(
       spark.read.parquet(s"$path/fingerprints"),
       spark.read.parquet(s"$path/banded"),
       spark.read.parquet(s"$path/shingles"),
-      p.getAs[Int]("ngram"), p.getAs[Int]("num_hashes"),
-      p.getAs[Int]("bands"))
+      ngram, numHashes, bands)
   }
 
   /** [[incrementalDedup]] against a [[PreparedCorpus]]: identical output,

@@ -123,13 +123,15 @@ object PageRank {
     weightedPageRankConverged(edges, srcCol, dstCol, None, maxIters,
       scale, dampPct)
 
-  /** true iff `next` assigns every node the same rank as `prev` — one
-    * inner equi-join (node sets are identical by construction: both
-    * frames map the same `nodes` relation) and one limit-1 action. */
-  private def unchanged(prev: DataFrame, next: DataFrame): Boolean =
-    next.join(prev.select(col("node"), col("pr").as("__prev")),
-        Seq("node"))
-      .filter(col("pr") =!= col("__prev")).isEmpty
+  /** true iff `next` assigns every node the same rank as `prev` (fixed
+    * point) or as `prev2` (period-2 orbit) — ONE pass: a single
+    * equi-join against both prior materialized frames and one
+    * min-aggregated scalar row ([[Components.orbitReached]]; node sets
+    * are identical by construction — all frames map the same `nodes`
+    * relation). */
+  private def orbit(prev: DataFrame, prev2: DataFrame,
+      next: DataFrame): Boolean =
+    Components.orbitReached(prev, prev2, next, "node", "pr")
 
   private def weightedCore(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -195,8 +197,7 @@ object PageRank {
         // is a cheap join + limit-1 action
         val (ck, ckpt) =
           CheckpointHygiene.checkpointTracked(next, eager = true)
-        converged = unchanged(ranks, ck) ||
-          (prev2 != null && unchanged(prev2, ck))
+        converged = orbit(ranks, prev2, ck)
         CheckpointHygiene.free(prevPrevCkpt)
         prevPrevCkpt = prevCkpt
         prevCkpt = ckpt
@@ -300,8 +301,7 @@ object PageRank {
       if (convergeDelta) {
         val (ck, ckpt) =
           CheckpointHygiene.checkpointTracked(next, eager = true)
-        converged = unchanged(ranks, ck) ||
-          (prev2 != null && unchanged(prev2, ck))
+        converged = orbit(ranks, prev2, ck)
         CheckpointHygiene.free(prevPrevCkpt)
         prevPrevCkpt = prevCkpt
         prevCkpt = ckpt

@@ -409,6 +409,65 @@ class ComponentsSpec extends AnyFunSuite {
     assert(z.getLong(3) == 0L && z.getDouble(4) == 1.0)
   }
 
+  test("labelPropagationConverged: fixed point exits early, bit-identical " +
+      "to every larger fixed budget") {
+    import spark.implicits._
+    // two triangles + bridge settle to a fixed point quickly
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("s", "d")
+    val (labels, n) =
+      Components.labelPropagationConverged(edges, "s", "d", maxIters = 50)
+    assert(n < 50, s"expected early exit, ran $n rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a fixed point matches EVERY larger budget, both parities
+    for (extra <- 0 to 2) {
+      val fb = Components.labelPropagation(edges, "s", "d", iters = n + extra)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == fb, s"budget ${n + extra}")
+    }
+  }
+
+  test("labelPropagationConverged: period-2 oscillation (bipartite) exits " +
+      "early, bit-identical to fixed budgets of the SAME parity") {
+    import spark.implicits._
+    // complete bipartite K3,3 (evens vs odds): sync LPA oscillates
+    // side-vs-side forever — the q135-diagnosed mode
+    val evens = Seq(0L, 2L, 4L); val odds = Seq(1L, 3L, 5L)
+    val edges = (for (a <- evens; b <- odds) yield (a, b)).toDF("s", "d")
+    val (labels, n) =
+      Components.labelPropagationConverged(edges, "s", "d", maxIters = 50)
+    assert(n < 50, s"expected early exit, ran $n rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val same = Components.labelPropagation(edges, "s", "d", iters = n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val same2 = Components.labelPropagation(edges, "s", "d", iters = n + 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val other = Components.labelPropagation(edges, "s", "d", iters = n + 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == same && got == same2, "same-parity budgets must agree")
+    assert(got != other, "a true period-2 orbit differs at opposite parity")
+  }
+
+  test("labelPropagationConverged: maxIters=0 returns self-labels; " +
+      "weighted converged matches weighted fixed budget at parity") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val (l0, n0) =
+      Components.labelPropagationConverged(edges, "s", "d", maxIters = 0)
+    assert(n0 == 0)
+    assert(l0.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val w = Seq((5L, 9L, 5L), (5L, 1L, 1L), (5L, 2L, 1L), (1L, 2L, 1L))
+      .toDF("s", "d", "w")
+    val (wl, wn) = Components.weightedLabelPropagationConverged(
+      w, "s", "d", "w", maxIters = 50)
+    assert(wn < 50)
+    val wf = Components.weightedLabelPropagation(w, "s", "d", "w",
+        iters = wn)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == wf)
+  }
+
   test("end-to-end: minhash pairs -> components -> one keeper per cluster") {
     import spark.implicits._
     val docs = Seq(
