@@ -3536,6 +3536,13 @@ object OracleSql {
         quantile_cont(n_chars, 0.5) AS p50,
         quantile_cont(n_chars, 0.75) AS p75
       FROM documents GROUP BY lang""",
+    // q109: the sketch's picked elements are engine-specific, so the
+    // Spark side hashes its in-plan rank-bound PROOF — the oracle pins
+    // the proof to TRUE for every group (group set and sizes exact)
+    "q109_approx_quantiles" -> """
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
+      FROM documents GROUP BY lang""",
     "q104_curriculum_pack" -> q104,
     "q105_session_window" -> """
       WITH g AS (

@@ -1580,12 +1580,48 @@ object SparkEntry {
     * `percentile_approx` (Greenwald–Khanna quantile summaries — bounded
     * sketch state, mergeable across partitions, one partial-agg shuffle)
     * instead of exact `percentile` (which materializes and sorts every
-    * group). Rows-only in the driver gate BY DESIGN: the sketch's picked
-    * elements are engine-specific, so there is no cross-engine hash — the
-    * correctness contract is the documented rank-error bound
-    * (±n/accuracy), asserted per group per percentile against the exact
-    * distribution in `ApproxQuantileSpec` at sf0.1. */
-  def q109ApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    * group). The raw picked elements
+    * ([[q109ApproxQuantileValues]]) are engine-specific, so they can't
+    * be cross-engine hashed; the gate form instead PROVES the sketch's
+    * documented contract inside the plan and hashes the proof: per
+    * group and percentile, `okNN` is true iff the returned value is an
+    * actual group element whose exact rank interval comes within
+    * ±(n/accuracy + 1) of the target rank — the `ApproxQuantileSpec`
+    * assertion as a boolean-valid column, which the DuckDB twin pins to
+    * TRUE for every group. A broken sketch flips a boolean and fails
+    * the hash. Scale shape: the sketch agg is one partial-agg shuffle;
+    * the rank check joins the tiny per-group frame back broadcast and
+    * pays one more partial-agg pass — both scans full-scannable, no
+    * sort, no window. */
+  def q109ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("lang"), col("n_chars"))
+    val joined = docs.join(broadcast(q109ApproxQuantileValues(s, dir)),
+      Seq("lang"))
+    def lo(c: String) = sum(when(col("n_chars") < col(c), 1L).otherwise(0L))
+    def hi(c: String) = sum(when(col("n_chars") <= col(c), 1L).otherwise(0L))
+    def ok(p: Double, loC: Column, hiC: Column): Column = {
+      val n = col("n_docs").cast("double")
+      val bound = n / ApproxQuantileAccuracy + 1.0
+      (hiC > loC) && (loC.cast("double") - bound <= n * p) &&
+        (n * p <= hiC.cast("double") + bound)
+    }
+    joined.groupBy(col("lang")).agg(
+      first(col("n_docs")).as("n_docs"),
+      lo("ap25").as("__lo25"), hi("ap25").as("__hi25"),
+      lo("ap50").as("__lo50"), hi("ap50").as("__hi50"),
+      lo("ap75").as("__lo75"), hi("ap75").as("__hi75"))
+      .select(col("lang"), col("n_docs"),
+        ok(0.25, col("__lo25"), col("__hi25")).as("ok25"),
+        ok(0.5, col("__lo50"), col("__hi50")).as("ok50"),
+        ok(0.75, col("__lo75"), col("__hi75")).as("ok75"))
+  }
+
+  /** The raw grouped-`percentile_approx` frame (lang, n_docs, ap25/50/75)
+    * — the form a user consumes; [[q109ApproxQuantiles]] wraps it in the
+    * in-plan rank-bound proof for the hash gate, and
+    * `ApproxQuantileSpec` asserts the per-percentile diagnostics at
+    * sf0.1. */
+  def q109ApproxQuantileValues(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),

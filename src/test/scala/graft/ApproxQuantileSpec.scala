@@ -3,14 +3,16 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Correctness gate for q109 (grouped `percentile_approx`, the 100 TB
+/** Deep diagnostics for q109 (grouped `percentile_approx`, the 100 TB
   * sweep sibling of q102's exact percentiles). The sketch's picked
-  * elements are engine-specific so there is no DuckDB hash oracle; the
-  * contract asserted here is the one the sketch documents: every
-  * returned value is (a) an actual element of its group and (b) within
-  * rank error n/accuracy of the target rank. Runs at sf0.1 — large
-  * enough that the Greenwald–Khanna summary actually compresses (group
-  * sizes exceed the accuracy parameter), so the bound is exercised, not
+  * elements are engine-specific, so the hash gate instead pins the
+  * IN-PLAN rank-bound proof (`q109ApproxQuantiles`' boolean columns,
+  * TRUE per group in the DuckDB twin); this spec asserts the same
+  * contract per percentile with full diagnostics: every returned value
+  * is (a) an actual element of its group and (b) within rank error
+  * n/accuracy of the target rank. Runs at sf0.1 — large enough that
+  * the Greenwald–Khanna summary actually compresses (group sizes
+  * exceed the accuracy parameter), so the bound is exercised, not
   * vacuously exact. */
 class ApproxQuantileSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.session
@@ -19,7 +21,7 @@ class ApproxQuantileSpec extends AnyFunSuite {
   test("approx quantiles are group elements within the documented rank error") {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("lang"), col("n_chars"))
-    val ap = SparkEntry.q109ApproxQuantiles(spark, dir)
+    val ap = SparkEntry.q109ApproxQuantileValues(spark, dir)
     // one pass over the data computes, per group and per percentile, the
     // closed rank interval [lo, hi] the approx value occupies
     val joined = docs.join(broadcast(ap), Seq("lang"))
@@ -54,5 +56,12 @@ class ApproxQuantileSpec extends AnyFunSuite {
     // actually compressed; otherwise shrink accuracy or grow sf
     assert(compressedGroups > 0,
       s"no group exceeded accuracy=$acc; bound is vacuous at this sf")
+  }
+
+  test("gate form: every group's in-plan rank-bound proof is TRUE") {
+    val gate = SparkEntry.q109ApproxQuantiles(spark, dir).collect()
+    assert(gate.nonEmpty)
+    for (r <- gate; i <- 2 to 4)
+      assert(r.getBoolean(i), s"${r.getString(0)} col $i")
   }
 }
