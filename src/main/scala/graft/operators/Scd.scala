@@ -131,4 +131,47 @@ object Scd {
           .when(differs, lit("changed"))
           .otherwise(lit("unchanged")).as("change_type"): _*)
   }
+
+  /** Upsert-restricted [[snapshotDiff]] — classify ONLY the keys present
+    * in `after` (`added` / `changed` / `unchanged`): the per-micro-batch
+    * body of the streaming CDC twin
+    * ([[graft.streaming.EventStreams.cdcIngest]]), where each batch
+    * carries after-image rows for the keys it touched and `removed` is
+    * undecidable batch-locally (a key absent from THIS batch may still
+    * arrive in the next). Same null-safe per-column comparison as
+    * [[snapshotDiff]], so the union of per-batch classifications over
+    * key-disjoint batches plus [[removedKeys]] over the full after-side
+    * reproduces [[snapshotDiff]] exactly (spec-pinned).
+    *
+    * Scale shape: one left-outer hash join from the batch to the before
+    * snapshot on the business key — a micro-batch is normally tiny next
+    * to the snapshot, so AQE broadcasts the batch side and the static
+    * before frame is only scanned, never shuffled. */
+  def upsertDiff(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty)
+    val b = before.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"__b_$c")) :+
+      lit(1).as("__in_b"): _*)
+    val a = after.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"__a_$c")): _*)
+    val differs = compareCols
+      .map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduce(_ || _)
+    a.join(b, keyCols, "left_outer")
+      .select(keyCols.map(col) :+
+        when(col("__in_b").isNull, lit("added"))
+          .when(differs, lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"): _*)
+  }
+
+  /** The `removed` complement of [[upsertDiff]] once the after-side key
+    * universe is known — the end-of-stream (or end-of-day) sweep: every
+    * `before` key never seen in `after`, classified `removed`. One
+    * left-anti hash join on the business key. */
+  def removedKeys(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    before.select(keyCols.map(col): _*).distinct()
+      .join(after.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .withColumn("change_type", lit("removed"))
 }

@@ -163,6 +163,37 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming CDC — the continuous form of
+    * [[graft.operators.Scd.snapshotDiff]], completing the
+    * batch/streaming twin convention for the CDC primitive the SCD2
+    * family builds on: each micro-batch of keyed after-image rows is
+    * classified against the static before snapshot with the SAME
+    * null-safe comparison ([[graft.operators.Scd.upsertDiff]] — the
+    * batch operator applied per micro-batch via `foreachBatch`, the
+    * [[dedupedIngest]] boundary) and the per-key delta rows
+    * (`added` / `changed` / `unchanged`) append to the sink. `removed`
+    * is undecidable batch-locally (a key absent from this batch may
+    * arrive in the next); once the stream's key universe is complete,
+    * [[graft.operators.Scd.removedKeys]] is the one-anti-join sweep,
+    * and per-batch union + sweep ≡ one-shot `snapshotDiff`
+    * (spec-pinned). Per-batch cost is batch-proportional: the batch
+    * side broadcasts, the before snapshot is scanned, never shuffled.
+    *
+    * Returns the started query; delta rows append to `sinkPath`. */
+  def cdcIngest(
+      afterStream: DataFrame, before: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String],
+      sinkPath: String, checkpointPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    afterStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Scd
+          .upsertDiff(before, batch.toDF(), keyCols, compareCols)
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+
   /** Streaming record linkage — the continuous-ingestion form of
     * [[graft.operators.Linkage.scoreAgainstReference]]: each micro-batch
     * of incoming records is blocked against the static reference and
