@@ -1998,6 +1998,90 @@ object OracleSql {
         / CAST((af.n * (af.n - 1)) // 2 AS DOUBLE) AS rand_index
     FROM af, ra, rb"""
 
+  /** Variant-corpus cascade (q141): the flagship rule→fuzzy→LLM-stub
+    * cascade replayed over the same closed-form corpus. Every compared
+    * pair is a token-sorted subsequence pair by construction, so the
+    * Spark side's Indel kernel distance equals DuckDB's native
+    * `levenshtein`; each seed blocks alone (unique postcode), so the
+    * per-left argmax is trivial. Scores pass through DECIMAL(5,2) on
+    * both sides (the dwh ddl contract). */
+  private val q141 = """
+    WITH seeds AS (
+      SELECT s_suppkey AS idx,
+        lpad(CAST(s_suppkey AS VARCHAR), 11, '0') AS abn,
+        list_extract(['Kangaroo','Bellbird','Bluewren','Ironwood',
+            'Seagrass','Westwind','Rockpool','Sandbank','Moonrise',
+            'Starfall','Rainbird','Firetail','Banksias','Woodland',
+            'Windmill','Paddocks','Shearers','Saltbush','Bluegums',
+            'Opalmine'], CAST(s_suppkey % 20 AS INT) + 1) || ' ' ||
+        list_extract(['Mining','Baking','Citrus','Timber','Marine',
+            'Energy','Safety','Dental','Optics','Cement','Bridge',
+            'Copper','Cotton','Barley','Salmon','Grains','Fabric',
+            'Garden','Harbor','Quarry'],
+          CAST((s_suppkey // 20) % 20 AS INT) + 1) || ' Pty Ltd'
+          AS entity_name,
+        CAST(2000 + s_suppkey % 1000 AS VARCHAR) AS postcode
+      FROM supplier),
+    crawl AS (
+      SELECT CAST(idx AS VARCHAR) || '-exact.com.au' AS crawl_domain,
+          entity_name AS crawl_company_name, abn AS crawl_abn, postcode
+        FROM seeds
+      UNION ALL
+      SELECT CAST(idx AS VARCHAR) || '-fuzzy.com.au',
+          string_split(entity_name, ' ')[1] || ' Pty Ltd', NULL, postcode
+        FROM seeds
+      UNION ALL
+      SELECT CAST(idx AS VARCHAR) || '-abbrev.com.au',
+          string_split(entity_name, ' ')[1] || ' Ltd', NULL, postcode
+        FROM seeds),
+    rule AS (
+      SELECT c.crawl_domain, c.crawl_company_name, c.crawl_abn,
+        s.abn AS abr_abn, s.entity_name AS abr_company_name,
+        s.postcode AS abr_postcode
+      FROM crawl c JOIN seeds s ON c.crawl_abn = s.abn),
+    resid AS (
+      SELECT * FROM crawl
+      WHERE crawl_domain NOT IN (SELECT crawl_domain FROM rule)),
+    scored AS (
+      SELECT r.crawl_domain, r.crawl_company_name, r.crawl_abn,
+        s.abn AS abr_abn, s.entity_name AS abr_company_name,
+        s.postcode AS abr_postcode,
+        100.0 * (1.0 - CAST(levenshtein(
+            array_to_string(list_sort(
+              string_split_regex(trim(r.crawl_company_name), '\s+')), ' '),
+            array_to_string(list_sort(
+              string_split_regex(trim(s.entity_name), '\s+')), ' '))
+            AS DOUBLE) /
+          (length(array_to_string(list_sort(
+              string_split_regex(trim(r.crawl_company_name), '\s+')), ' ')) +
+           length(array_to_string(list_sort(
+              string_split_regex(trim(s.entity_name), '\s+')), ' '))))
+          AS score
+      FROM resid r JOIN seeds s ON r.postcode = s.postcode),
+    fuzzy AS (SELECT * FROM scored WHERE score >= 80.0),
+    llm AS (
+      SELECT * FROM scored
+      WHERE crawl_domain NOT IN (SELECT crawl_domain FROM fuzzy)
+        AND score > 50.0)
+    SELECT crawl_domain, crawl_company_name, crawl_abn, abr_abn,
+      abr_company_name, 'Australian Private Company' AS abr_entity_type,
+      'NSW' AS abr_state, abr_postcode,
+      'rule_based_abn' AS match_method,
+      CAST(CAST(100.0 AS DECIMAL(5,2)) AS DOUBLE) AS match_score,
+      'high' AS match_confidence
+    FROM rule
+    UNION ALL
+    SELECT crawl_domain, crawl_company_name, crawl_abn, abr_abn,
+      abr_company_name, 'Australian Private Company', 'NSW', abr_postcode,
+      'fuzzy', CAST(CAST(score AS DECIMAL(5,2)) AS DOUBLE),
+      CASE WHEN score >= 92.0 THEN 'high' ELSE 'medium' END
+    FROM fuzzy
+    UNION ALL
+    SELECT crawl_domain, crawl_company_name, crawl_abn, abr_abn,
+      abr_company_name, 'Australian Private Company', 'NSW', abr_postcode,
+      'LLM', CAST(CAST(95.0 AS DECIMAL(5,2)) AS DOUBLE), 'medium'
+    FROM llm"""
+
   /** Snapshot diff (q136): the same deterministic snapshot-B mutations
     * and the same null-safe per-column classification, with
     * `IS DISTINCT FROM` standing in for Spark's `<=>` — the SQL twin
@@ -3530,6 +3614,7 @@ object OracleSql {
     "q138_order_concurrency" -> q138,
     "q139_order_coverage" -> q139,
     "q140_rand_index" -> q140,
+    "q141_variant_cascade" -> q141,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

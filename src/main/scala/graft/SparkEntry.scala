@@ -2460,6 +2460,79 @@ object SparkEntry {
       side, "node", "side")
   }
 
+  /** The reference's flagship e2e behavior under the hash gate
+    * (test/entity_matching_test.py:29-86 re-expressed as an oracled
+    * query): a deterministic variant corpus — per supplier seed an
+    * exact copy (rule stage), a dropped-middle-word fuzzy variant
+    * (fuzzy stage) and a first+last-word abbreviation (LLM-stub stage)
+    * — driven through the REAL [[graft.pipeline.Pipeline]] (cleanAbr →
+    * cleanCrawl → matchEntities with the deterministic stub), so
+    * J1→J3→J2/J4→J5→U1 run end-to-end in one plan with the production
+    * token-sort kernel doing the scoring.
+    *
+    * The construction makes the kernel engine-portable: names are
+    * pre-cleaned Title Case (cleaning is identity), every seed blocks
+    * alone (unique postcode), and each compared pair is a token-sorted
+    * SUBSEQUENCE pair — the variant's sorted tokens are a subset of the
+    * seed's — where Indel distance equals plain levenshtein, which
+    * DuckDB computes natively over the same closed-form corpus. Fixed
+    * word lengths (8/6) pin the two non-trivial scores at 3200/39 ≈
+    * 82.05 (≥ 80 fuzzy accept, < 92 ⇒ medium) and 2400/35 ≈ 68.57
+    * (< 80 ⇒ falls through, > 50 stub floor ⇒ adjudicated 95/medium). */
+  def q141VariantCascade(s: SparkSession, dir: String): DataFrame = {
+    val w1 = Seq("Kangaroo", "Bellbird", "Bluewren", "Ironwood",
+      "Seagrass", "Westwind", "Rockpool", "Sandbank", "Moonrise",
+      "Starfall", "Rainbird", "Firetail", "Banksias", "Woodland",
+      "Windmill", "Paddocks", "Shearers", "Saltbush", "Bluegums",
+      "Opalmine")
+    val w2 = Seq("Mining", "Baking", "Citrus", "Timber", "Marine",
+      "Energy", "Safety", "Dental", "Optics", "Cement", "Bridge",
+      "Copper", "Cotton", "Barley", "Salmon", "Grains", "Fabric",
+      "Garden", "Harbor", "Quarry")
+    val seeds = t(s, dir, "supplier").select(
+      col("s_suppkey").as("idx"),
+      lpad(col("s_suppkey").cast("string"), 11, "0").as("abn"),
+      concat_ws(" ",
+        element_at(array(w1.map(lit): _*),
+          (col("s_suppkey") % 20).cast("int") + 1),
+        element_at(array(w2.map(lit): _*),
+          (expr("s_suppkey DIV 20") % 20).cast("int") + 1),
+        lit("Pty"), lit("Ltd")).as("entity_name"),
+      (col("s_suppkey") % 1000 + 2000).cast("string").as("postcode"))
+    val abr = seeds.select(col("abn"), col("entity_name"),
+      lit("Australian Private Company").as("entity_type"),
+      lit("NSW").as("state"), col("postcode"))
+    val wArr = split(col("entity_name"), " ")
+    val crawl = seeds.select(explode(array(
+        struct(
+          concat(col("idx").cast("string"), lit("-exact.com.au"))
+            .as("domain"),
+          col("entity_name").as("company_name"),
+          col("abn"), col("postcode")),
+        struct(
+          concat(col("idx").cast("string"), lit("-fuzzy.com.au"))
+            .as("domain"),
+          concat_ws(" ", element_at(wArr, 1), lit("Pty"), lit("Ltd"))
+            .as("company_name"),
+          lit(null).cast("string").as("abn"), col("postcode")),
+        struct(
+          concat(col("idx").cast("string"), lit("-abbrev.com.au"))
+            .as("domain"),
+          concat_ws(" ", element_at(wArr, 1), lit("Ltd"))
+            .as("company_name"),
+          lit(null).cast("string").as("abn"), col("postcode"))))
+        .as("v"))
+      .select(col("v.*"))
+    pipeline.Pipeline.run(s, abr, crawl,
+        pipeline.Pipeline.Config(enableLlm = true))
+      .select(col("crawl_domain"), col("crawl_company_name"),
+        col("crawl_abn"), col("abr_abn"), col("abr_company_name"),
+        col("abr_entity_type"), col("abr_state"), col("abr_postcode"),
+        col("match_method"),
+        col("match_score").cast("double").as("match_score"),
+        col("match_confidence"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2601,7 +2674,8 @@ object SparkEntry {
     "q137_weighted_lpa" -> (q137WeightedLpa _),
     "q138_order_concurrency" -> (q138OrderConcurrency _),
     "q139_order_coverage" -> (q139OrderCoverage _),
-    "q140_rand_index" -> (q140RandIndex _))
+    "q140_rand_index" -> (q140RandIndex _),
+    "q141_variant_cascade" -> (q141VariantCascade _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
