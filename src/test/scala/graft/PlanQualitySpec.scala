@@ -453,13 +453,27 @@ class PlanQualitySpec extends AnyFunSuite {
       "q131: the final E-step re-shuffled the materialized flags")
     assert(plan.contains("Scan ExistingRDD"),
       "q131: expected a map over the calibration checkpoint")
+    // r12: the q133 labeling is shared by q133/q135/q140 via an eager
+    // localCheckpoint memo, so the QUERY's plan must be a pure scan of
+    // the materialized blocks — re-paying any round's join/agg here
+    // would defeat the sharing (the r11-verdict scale-killer)
     val lplan = executed("q133_label_propagation")
     assert(!lplan.contains("CartesianProduct"), "q133 cartesians")
-    // the per-round argmax is min_by partial aggregation, not a window
-    assert(!lplan.contains("RunningWindowFunction"),
-      "q133: argmax must be an aggregate, not a window sort")
-    assert(lplan.contains("min_by") || lplan.contains("HashAggregate"),
-      "q133: expected min_by hash aggregation")
+    assert(lplan.contains("Scan ExistingRDD"),
+      "q133: expected a scan of the shared labeling checkpoint")
+    assert(!lplan.contains("Exchange"),
+      "q133: the shared labeling re-shuffled — sharing defeated:\n" + lplan)
+    // the per-round argmax shape is asserted on the OPERATOR's own plan
+    // (pre-checkpoint): min_by partial aggregation, never a window sort
+    val edges = spark.range(0, 200).selectExpr("id AS a", "(id % 7) AS b")
+    val oplan = operators.Components
+      .labelPropagation(edges.toDF(), "a", "b", iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(!oplan.contains("RunningWindowFunction") &&
+      !oplan.contains("Window"),
+      "labelPropagation: argmax must be an aggregate, not a window sort")
+    assert(oplan.contains("min_by") || oplan.contains("HashAggregate"),
+      "labelPropagation: expected min_by hash aggregation")
   }
 
   test("q134/q135: rank fusion and modularity stay equi-keyed; the only " +
