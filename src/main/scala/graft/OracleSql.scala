@@ -307,6 +307,30 @@ object SketchParams {
   object q137 {
     val iters = 4
   }
+  /** q142 sorted-neighborhood blocking: rank-window width over the
+    * (segment, phone-prefix) blocking key. */
+  object q142 {
+    val window = 4
+  }
+  /** q143 MaxSim late interaction: chunks per pseudo-document, the
+    * vec_id bound below which chunks double as query tokens, top-k,
+    * quantization levels (the q83 integer domain). */
+  object q143 {
+    val chunksPerDoc = 4L; val maxQueryVec = 8L; val k = 5
+    val levels = 127
+  }
+  /** q144 LSH fidelity audit: deliberately WEAK banding (bands=2 →
+    * 4-row bands, low candidate probability at mid Jaccard) so recall
+    * lands strictly below 1 and the audit shows a real loss. */
+  object q144 {
+    val ngram = 3; val numHashes = 8; val bands = 2
+    val jaccardThreshold = 0.5; val corpusMod = 5
+  }
+  /** q145 importance ratio: target = every tgtMod-th doc, reference =
+    * whole corpus; feature-hash bucket count and probability quant. */
+  object q145 {
+    val tgtMod = 7L; val nBuckets = 4096; val quant = 100000L
+  }
 }
 
 object OracleSql {
@@ -3385,6 +3409,166 @@ object OracleSql {
       CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS BIGINT) AS days_to_eoh
     FROM orders"""
 
+  /** Sorted-neighborhood blocking (q142): ONE `row_number` over the
+    * (key, id) total order replays the distributed two-phase rank
+    * (range partition + local rank + offsets) exactly, then the rank
+    * window becomes a band self-join. The SQL twin of
+    * `Linkage.sortedNeighborhood`; generated from
+    * [[SketchParams.q142]]. */
+  private def q142: String = {
+    val p = SketchParams.q142
+    s"""
+    WITH r AS (
+      SELECT c_custkey AS id,
+        concat_ws('#', c_mktsegment,
+          lpad(CAST(c_nationkey AS VARCHAR), 2, '0')) AS k
+      FROM customer
+    ), rk AS (
+      SELECT id, k, row_number() OVER (ORDER BY k, id) AS rn
+      FROM r WHERE k IS NOT NULL
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a, b.k AS key_b
+    FROM rk a JOIN rk b
+      ON b.rn > a.rn AND b.rn <= a.rn + ${p.window - 1}"""
+  }
+
+  /** MaxSim late-interaction top-k (q143): quantized integer dot
+    * products (the q83 domain), per-(query, token, doc) MAX, per-(query,
+    * doc) SUM, `row_number` ordered by (score DESC, doc-as-VARCHAR) —
+    * the BottomK total order. The SQL twin of `Ann.maxSimTopK`;
+    * generated from [[SketchParams.q143]]. */
+  private def q143: String = {
+    val p = SketchParams.q143
+    s"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * ${p.levels}) AS BIGINT)) AS qv
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id // ${p.chunksPerDoc} AS doc_id, qv FROM v
+    ), q AS (
+      SELECT vec_id // ${p.chunksPerDoc} AS query_id, vec_id AS tok, qv
+      FROM v WHERE vec_id < ${p.maxQueryVec}
+    ), best AS (
+      SELECT q.query_id, q.tok, c.doc_id,
+        MAX(${idotSql("q.qv", "c.qv")}) AS best
+      FROM q CROSS JOIN c
+      GROUP BY q.query_id, q.tok, c.doc_id
+    ), sc AS (
+      SELECT query_id, doc_id, CAST(SUM(best) AS BIGINT) AS score
+      FROM best GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rank, score
+    FROM (
+      SELECT query_id, doc_id, score,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, CAST(doc_id AS VARCHAR)) AS rn
+      FROM sc)
+    WHERE rn <= ${p.k}"""
+  }
+
+  /** LSH sketch-fidelity audit (q144): candidates from the WEAK q144
+    * banding, gold from the exhaustive shared-shingle join verified on
+    * full shingle sets, then one row of precision/recall — the SQL twin
+    * of `Dedup.lshFidelity`. Generated from [[SketchParams.q144]];
+    * mirrors [[minhashPairCtes]]'s structure at the q144 parameters. */
+  private def q144: String = {
+    val p = SketchParams.q144
+    val rows = p.numHashes / p.bands
+    val bandConcat = (1 to rows).map(r => s"sig[$rows*b+$r]")
+      .mkString(" || ',' || ")
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
+    ), filtered AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM corpus WHERE doc_id % ${p.corpusMod} = 0
+    ), sh AS (
+      SELECT doc_id, ${shingleSql(p.ngram)} AS gset
+      FROM filtered
+    ), sig AS (
+      SELECT doc_id, list_transform(generate_series(0,${p.numHashes - 1}),
+        j -> list_min(list_transform(gset, g -> md5(j::VARCHAR || ':' || g)))) AS sig
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, b AS band, md5($bandConcat) AS band_sig
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0,${p.bands - 1})) AS b) g
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ), posting AS (
+      SELECT doc_id, g, len(gset) AS n FROM sh, unnest(gset) AS t(g)
+    ), gold AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          COUNT(*) AS c, MIN(a.n) AS n_a, MIN(b.n) AS n_b
+        FROM posting a JOIN posting b ON a.g = b.g
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      WHERE CAST(c AS DOUBLE) / (n_a + n_b - c) >= ${p.jaccardThreshold}
+    ), agg AS (
+      SELECT
+        (SELECT COUNT(*) FROM cand) AS n_candidates,
+        (SELECT COUNT(*) FROM gold) AS n_gold,
+        (SELECT COUNT(*) FROM gold g JOIN cand c
+           ON g.id_a = c.id_a AND g.id_b = c.id_b) AS n_covered
+    )
+    SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+      CAST(n_gold AS BIGINT) AS n_gold,
+      CAST(n_covered AS BIGINT) AS n_covered,
+      CASE WHEN n_candidates > 0
+        THEN CAST(n_covered AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+        ELSE 0.0 END AS "precision",
+      CASE WHEN n_gold > 0
+        THEN CAST(n_covered AS DOUBLE) / CAST(n_gold AS DOUBLE)
+        ELSE 0.0 END AS recall
+    FROM agg"""
+  }
+
+  /** DSIR-style importance ratio (q145): hashed word features (the q95
+    * md5-bucket convention), Laplace-smoothed QUANTIZED probabilities
+    * under the target and reference profiles, per-bucket integer ratio,
+    * per-doc sum + one final double division — the SQL twin of
+    * `Selection.importanceRatio`. Generated from
+    * [[SketchParams.q145]]. */
+  private def q145: String = {
+    val p = SketchParams.q145
+    val q = p.quant; val nb = p.nBuckets
+    s"""
+    WITH d AS (
+      SELECT doc_id, doc_id % ${p.tgtMod} = 0 AS tgt,
+        ${normSql("text")} AS text
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, tgt,
+        ('0x' || substr(md5(w), 1, 15))::BIGINT % $nb AS bucket
+      FROM d, unnest(string_split(text, ' ')) AS t(w)
+      WHERE w <> ''
+    ), tprof AS (
+      SELECT bucket, COUNT(*) AS tc FROM toks WHERE tgt GROUP BY bucket
+    ), rprof AS (
+      SELECT bucket, COUNT(*) AS rc FROM toks GROUP BY bucket
+    ), tot AS (
+      SELECT (SELECT COALESCE(SUM(tc), 0) FROM tprof) AS tt,
+        (SELECT COALESCE(SUM(rc), 0) FROM rprof) AS rt
+    ), rho AS (
+      SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+        ($q * ((COALESCE(t.tc, 0) + 1) * $q // (tot.tt + $nb) + 1)) //
+          ((COALESCE(r.rc, 0) + 1) * $q // (tot.rt + $nb) + 1) AS rho
+      FROM tprof t FULL OUTER JOIN rprof r ON t.bucket = r.bucket, tot
+    ), cand AS (
+      SELECT doc_id, bucket, COUNT(*) AS c FROM toks
+      WHERE NOT tgt GROUP BY doc_id, bucket
+    )
+    SELECT c.doc_id, CAST(SUM(c.c) AS BIGINT) AS n_tokens,
+      CAST(SUM(c.c * rho.rho) AS BIGINT) AS ratio_sum,
+      CAST(SUM(c.c * rho.rho) AS DOUBLE) /
+        CAST(SUM(c.c) * $q AS DOUBLE) AS mean_ratio
+    FROM cand c JOIN rho ON c.bucket = rho.bucket
+    GROUP BY c.doc_id"""
+  }
+
   val all: Map[String, String] = Map(
     "q58_cube" -> q58,
     "q59_array_ops" -> q59,
@@ -3615,6 +3799,10 @@ object OracleSql {
     "q139_order_coverage" -> q139,
     "q140_rand_index" -> q140,
     "q141_variant_cascade" -> q141,
+    "q142_sorted_neighborhood" -> q142,
+    "q143_maxsim_topk" -> q143,
+    "q144_lsh_fidelity" -> q144,
+    "q145_importance_ratio" -> q145,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

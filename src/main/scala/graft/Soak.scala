@@ -55,12 +55,14 @@ object Soak {
     val nPairs = timed("minhashLsh pairs")(pairs.count())
     println(s"[soak]   -> $nPairs candidate-verified pairs")
 
-    val clusters = timed("components + cluster sizes") {
-      operators.Components.dedupAssignments(docs, "doc_id", pairs, "id_a", "id_b")
-        .groupBy(col("keep_id")).agg(count(lit(1)).as("n"))
+    val assignments = timed("components + cluster sizes") {
+      val a = operators.Components.dedupAssignments(docs, "doc_id", pairs,
+        "id_a", "id_b").localCheckpoint(false)
+      val clusters = a.groupBy(col("keep_id")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2).count()
+      println(s"[soak]   -> $clusters clusters of size >= 2")
+      a
     }
-    println(s"[soak]   -> $clusters clusters of size >= 2")
 
     // incremental screen: one replica's worth of docs (half near-dup of the
     // corpus, half novel) probing the full soak corpus
@@ -277,6 +279,84 @@ object Soak {
         Seq("seg", "nat", "bal"), cands, iters = 4)
     }
     println(f"[soak]   -> pi=${em.pi}%.4f over $nCands%d candidate pairs")
+
+    // r12 shapes: the labeling / clustering-evaluation family past bench
+    // SF (VERDICT r11 item 4). The near-dup pair graph (per-doc replica
+    // near-cliques) is LPA's dense fast-converging case; the chain graph
+    // is its slow case — labels must travel the replica chain, so every
+    // round's two shuffles (edges⋈labels + (node,label) argmax agg) do
+    // real frontier work and the orbit detector pays its per-round
+    // equi-join check against genuinely-changing labelings.
+    val lpaDense = timed("labelPropagation (near-dup graph, 4 iters)") {
+      val l = operators.Components.labelPropagation(pairs, "id_a", "id_b",
+        iters = 4).localCheckpoint(false)
+      println(s"[soak]   -> ${l.select(countDistinct(col("label")))
+        .collect()(0).getLong(0)} labels over ${l.count()} nodes (dense)")
+      l
+    }
+    val (chainLabels, chainIters) =
+      timed(s"labelPropagationConverged (chain graph, maxIters=12)") {
+        operators.Components.labelPropagationConverged(chainEdges, "a", "b",
+          maxIters = 12)
+      }
+    println(s"[soak]   -> orbit after $chainIters rounds, " +
+      s"${chainLabels.select(countDistinct(col("label"))).collect()(0)
+        .getLong(0)} labels (chain)")
+    timed("weightedLabelPropagation (near-dup graph, 4 iters)") {
+      // weight = a small deterministic function of the pair — exercises
+      // the weighted pre-sum + max-symmetrization path at full width
+      operators.Components.weightedLabelPropagation(
+        pairs.withColumn("w", pmod(col("id_a") + col("id_b"), lit(7L)) + 1L),
+        "id_a", "id_b", "w", iters = 4).count()
+    }
+    val mod = timed("modularity (grade dense LPA labels on its graph)") {
+      operators.Components.modularity(pairs, "id_a", "id_b",
+        lpaDense, "node", "label").collect()(0)
+    }
+    println(f"[soak]   -> Q=${mod.getAs[Double]("modularity")}%.4f over " +
+      s"${mod.getAs[Long]("n_communities")} communities, " +
+      s"${mod.getAs[Long]("m_edges")} edges")
+    val ri = timed("randIndex (LPA labels vs connected components)") {
+      operators.Components.randIndex(lpaDense, "node", "label",
+        assignments, "id", "keep_id").collect()(0)
+    }
+    println(f"[soak]   -> RI=${ri.getAs[Double]("rand_index")}%.6f over " +
+      s"${ri.getAs[Long]("n_pairs")} pairs of ${ri.getAs[Long]("n_nodes")}" +
+      " nodes")
+
+    // sweep-line pair at 30× the q138/q139 interval count: every order's
+    // [orderdate, last shipdate) interval replicated with a per-replica
+    // day shift — distinct event times, same 5 priority groups, so each
+    // window task sorts ~replicas× the bench events (the per-task-memory
+    // bound the operator documents).
+    val iv0 = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate"))
+      .agg(max(col("l_shipdate")).as("end_ts"))
+      .select(col("o_orderpriority"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("s_us"),
+        unix_micros(col("end_ts").cast("timestamp")).as("e_us"))
+      .localCheckpoint(false)
+    val dayUs = 86400L * 1000000L
+    val ivRep = (0 until replicas).map { k =>
+      iv0.select(col("o_orderpriority"),
+        (col("s_us") + lit(k * dayUs)).as("s_us"),
+        (col("e_us") + lit(k * dayUs)).as("e_us"))
+    }.reduce(_.unionByName(_))
+    val peak = timed(s"maxConcurrency (${replicas}x order intervals)") {
+      operators.Stats.maxConcurrency(ivRep, "s_us", "e_us",
+        Seq("o_orderpriority"))
+        .agg(max(col("max_concurrent"))).collect()(0).getLong(0)
+    }
+    println(s"[soak]   -> peak concurrency $peak")
+    val covered = timed(s"coveredTime (${replicas}x order intervals)") {
+      operators.Stats.coveredTime(ivRep, "s_us", "e_us",
+        Seq("o_orderpriority"))
+        .agg(sum(col("covered"))).collect()(0).getLong(0)
+    }
+    println(s"[soak]   -> ${covered / dayUs} covered days across groups")
     spark.stop()
   }
 }

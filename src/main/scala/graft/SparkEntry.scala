@@ -2533,6 +2533,70 @@ object SparkEntry {
         col("match_confidence"))
   }
 
+  /** Sorted-neighborhood blocking
+    * ([[graft.operators.Linkage.sortedNeighborhood]]): customers sorted
+    * by the fuzzy key (market segment, zero-padded nation key), candidate
+    * pairs within a rank window — the third blocking family (equi-key,
+    * LSH, sorted-neighborhood) under the hash gate. The oracle replays
+    * the rank with one `row_number` over the same total order. Params
+    * from [[SketchParams.q142]]. */
+  def q142SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q142
+    val recs = t(s, dir, "customer").select(col("c_custkey"),
+      concat_ws("#", col("c_mktsegment"),
+        lpad(col("c_nationkey").cast("string"), 2, "0")).as("blk_key"))
+    operators.Linkage.sortedNeighborhood(recs, "c_custkey", "blk_key",
+      p.window)
+  }
+
+  /** Late-interaction MaxSim retrieval
+    * ([[graft.operators.Ann.maxSimTopK]]): embeddings grouped into
+    * 4-chunk documents, the first two documents' chunks replayed as
+    * query token bags, exact-BIGINT quantized MaxSim, top-k docs per
+    * query. Params from [[SketchParams.q143]]. */
+  def q143MaxSim(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q143
+    val emb = t(s, dir, "embeddings")
+    val chunks = emb.select(
+      expr(s"vec_id DIV ${p.chunksPerDoc}").as("doc"), col("embedding"))
+    val qtoks = emb.filter(col("vec_id") < p.maxQueryVec)
+      .select(expr(s"vec_id DIV ${p.chunksPerDoc}").as("qid"),
+        col("vec_id").as("tok"), col("embedding"))
+    operators.Ann.maxSimTopK(chunks, "doc", "embedding",
+      qtoks, "qid", "tok", "embedding", p.k, p.levels)
+  }
+
+  /** LSH sketch-fidelity audit ([[graft.operators.Dedup.lshFidelity]]):
+    * precision/recall of the md5-MinHash banding against exact
+    * shingle-Jaccard ground truth on the near-dup corpus slice —
+    * DELIBERATELY weak banding (2 bands of 4 rows) so the measured
+    * recall sits strictly below 1 and the audit demonstrably catches
+    * what the sketch loses. Params from [[SketchParams.q144]]. */
+  def q144LshFidelity(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q144
+    operators.Dedup.lshFidelity(
+      nearDupCorpus(s, dir).filter(col("doc_id") % p.corpusMod === 0),
+      "text", "doc_id", ngram = p.ngram, numHashes = p.numHashes,
+      bands = p.bands, jaccardThreshold = p.jaccardThreshold)
+  }
+
+  /** DSIR-style importance ratio
+    * ([[graft.operators.Selection.importanceRatio]]): every
+    * `tgtMod`-th document is the curated target seed, the WHOLE corpus
+    * is the raw reference, and each remaining doc scores the exact
+    * quantized mean likelihood ratio of its hashed word features —
+    * the two-distribution data-selection signal
+    * ([[graft.operators.Selection.targetAffinity]] is the one-profile
+    * sibling). Params from [[SketchParams.q145]]. */
+  def q145ImportanceRatio(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q145
+    operators.Selection.importanceRatio(t(s, dir, "documents"),
+      "text", "doc_id",
+      isTarget = col("doc_id") % p.tgtMod === 0,
+      isReference = lit(true),
+      nBuckets = p.nBuckets, quant = p.quant)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2675,7 +2739,11 @@ object SparkEntry {
     "q138_order_concurrency" -> (q138OrderConcurrency _),
     "q139_order_coverage" -> (q139OrderCoverage _),
     "q140_rand_index" -> (q140RandIndex _),
-    "q141_variant_cascade" -> (q141VariantCascade _))
+    "q141_variant_cascade" -> (q141VariantCascade _),
+    "q142_sorted_neighborhood" -> (q142SortedNeighborhood _),
+    "q143_maxsim_topk" -> (q143MaxSim _),
+    "q144_lsh_fidelity" -> (q144LshFidelity _),
+    "q145_importance_ratio" -> (q145ImportanceRatio _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

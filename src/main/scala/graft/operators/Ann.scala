@@ -611,6 +611,64 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "qdot")
   }
 
+  /** Late-interaction (MaxSim) retrieval over chunked documents —
+    * ColBERT's scoring rule (Khattab & Zaharia 2020, SIGIR, "ColBERT:
+    * Efficient and Effective Passage Search via Contextualized Late
+    * Interaction") re-expressed relationally: a document is a BAG OF
+    * CHUNK VECTORS (passage/token embeddings), a query is a bag of
+    * token vectors, and
+    *
+    *   score(q, d) = Σ_{t ∈ q} max_{c ∈ d} ⟨t, c⟩
+    *
+    * — each query token finds its best-matching chunk independently,
+    * so multi-topic documents aren't penalized the way single-vector
+    * cosine penalizes them. Vectors quantize to the shared integer
+    * domain ([[quantizeVec]]) and every dot product / max / sum is
+    * exact BIGINT — both engines land on the identical score (the
+    * q83/q122 convention; callers pre-normalize embeddings as ColBERT
+    * does, making dot ≡ cosine). Chunks with no query interaction and
+    * (query, doc) groups are never materialized beyond the aggregates.
+    *
+    * Scale shape: the query-token table broadcasts (queries are the
+    * small serving side), the chunk-sized stage is ONE map (idot per
+    * chunk×token, fan-out = |query tokens|), then two partial-friendly
+    * hash aggregations — max over (query, token, doc), sum over
+    * (query, doc) — and per-query top-k via the bounded
+    * [[graft.functions.BottomK]] heap, NOT a window sort (the q100
+    * argument: constant state per group, map-side pre-reduce). Ties
+    * break (score DESC, doc-id-as-string ASC) — BottomK's total order,
+    * which the q143 DuckDB twin replays verbatim.
+    *
+    * @param chunks one row per chunk: (docCol, vecCol)
+    * @param queryTokens one row per query token: (queryIdCol,
+    *        tokenIdCol, qVecCol); token ids make repeated identical
+    *        tokens score independently, as MaxSim prescribes
+    * @return (query_id, doc_id, rank, score) — `score` the exact
+    *         BIGINT quantized MaxSim sum, rank 1..k per query */
+  def maxSimTopK(
+      chunks: DataFrame, docCol: String, vecCol: String,
+      queryTokens: DataFrame, queryIdCol: String, tokenIdCol: String,
+      qVecCol: String, k: Int, levels: Int = 127): DataFrame = {
+    require(k > 0, "k must be positive")
+    val idType = chunks.select(col(docCol)).schema.head.dataType
+    val c = chunks.select(col(docCol).as("doc_id"),
+      quantizeVec(col(vecCol), levels).as("__cq"))
+    val q = queryTokens.select(col(queryIdCol).as("query_id"),
+      col(tokenIdCol).as("__tok"), quantizeVec(col(qVecCol), levels).as("__tq"))
+    c.join(broadcast(q))
+      .groupBy(col("query_id"), col("__tok"), col("doc_id"))
+      .agg(max(idot(col("__tq"), col("__cq"))).as("__best"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__best")).as("__score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BottomK.bottom_k(-col("__score"),
+        col("doc_id").cast("string"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.value").cast(idType).as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        (-col("col.key")).as("score"))
+  }
+
   // ------------------------------------------------- quantizer persistence
 
   /** Persist a trained coarse quantizer (integer domain —

@@ -498,6 +498,101 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
+  /** Sketch-fidelity audit of the md5-MinHash-LSH candidate generator —
+    * "measure, don't guess" applied to the sketch itself: compare the
+    * PRE-VERIFY banded candidates of [[minhashLshPortable]] against the
+    * exact ground truth (every pair with true shingle-set Jaccard ≥
+    * `jaccardThreshold`) and report precision (what fraction of bucket
+    * candidates are real — wasted verify work when low) and recall
+    * (what fraction of true near-dup pairs the banding surfaces —
+    * SILENTLY LOST DUPLICATES when below 1.0). Run this on a sampled
+    * slice before committing (numHashes, bands) for a 100 TB sweep: the
+    * S-curve P(candidate) = 1−(1−J^r)^b is theory; this is the measured
+    * answer on YOUR corpus.
+    *
+    * Ground truth is exact and complete without an all-pairs join: a
+    * pair with J ≥ t > 0 shares ≥ 1 shingle, so the inverted-index
+    * self-join reaches every gold pair, and Jaccard comes from POSTING
+    * COUNTS (|A∩B| = co-occurring distinct shingles = the pair's join
+    * count, |A∪B| = n_a + n_b − c — the [[ngramJaccardJoin]]
+    * arithmetic), so no shingle array is ever joined onto a pair.
+    * Ubiquitous shingles grow the self-join quadratically; `maxDf`
+    * caps the posting lists (per-doc sizes re-counted after the cap,
+    * so capped gold is exact Jaccard over the RETAINED shingle space —
+    * [[ngramJaccardJoin]]'s contract; document the cap with the
+    * result). Everything is md5-portable — the q144 DuckDB twin
+    * replays candidates, gold, and both ratios bit-for-bit.
+    *
+    * Scale shape: ONE shingle materialization feeds signatures, the
+    * posting join, and both verify sides; counts are partial-aggregated
+    * scalars; the only output is ONE row — (n_candidates, n_gold,
+    * n_covered, precision, recall), ratios 0.0 when their denominator
+    * is empty (the [[graft.operators.Linkage.evaluateBlocking]]
+    * convention). */
+  def lshFidelity(
+      docs: DataFrame, textCol: String, idCol: String,
+      ngram: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      jaccardThreshold: Double = 0.5, maxDf: Option[Int] = None): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    // one shingle frame feeds candidate banding, the gold posting join,
+    // and the gold verify — materialize once
+    val sh0 = docs.select(col(idCol).as("doc"),
+      shingles(col(textCol), ngram).as("gset")).localCheckpoint(false)
+    val sig = sh0.select(col("doc"),
+      graft.functions.exprs.minhash_md5_sig(col("gset"), numHashes).as("sig"))
+    val banded = sig.select(col("doc"),
+      posexplode_outer(array((0 until bands).map { b =>
+        md5(concat_ws(",",
+          (0 until rows).map(r => col("sig").getItem(b * rows + r)): _*))
+      }: _*)).as(Seq("band", "band_sig")))
+    // counted once and semi-joined once → materialize
+    val candidates = banded
+      .select(col("band"), col("band_sig"), col("doc").as("id_a"))
+      .join(banded.select(col("band"), col("band_sig"),
+        col("doc").as("id_b")), Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().localCheckpoint(false)
+    val posting0 = sh0.select(col("doc"), explode_outer(col("gset")).as("g"))
+    val posting = maxDf match {
+      case Some(cap) =>
+        // keep-list semi-join (the ngramJaccardJoin maxDf shape): per-
+        // shingle df is map-side combined, viral shingles never land as
+        // one window partition
+        val keep = posting0.groupBy(col("g"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select(col("g"))
+        posting0.join(keep, Seq("g"), "left_semi")
+      case None => posting0
+    }
+    // per-doc sizes AFTER the cap (retained-space Jaccard), then the
+    // posting-count arithmetic — no array ever joins onto a pair
+    val sized = posting.withColumn("n", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))))
+    val gold = sized
+      .select(col("g"), col("doc").as("id_a"), col("n").as("n_a"))
+      .join(sized.select(col("g"), col("doc").as("id_b"),
+        col("n").as("n_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("c"), first("n_a").as("n_a"),
+        first("n_b").as("n_b"))
+      .filter((col("c").cast("double") /
+        (col("n_a") + col("n_b") - col("c"))) >= jaccardThreshold)
+      .select("id_a", "id_b").localCheckpoint(false)
+    val covered = gold.join(candidates, Seq("id_a", "id_b"), "left_semi")
+    candidates.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(gold.agg(count(lit(1)).as("n_gold"))))
+      .crossJoin(broadcast(covered.agg(count(lit(1)).as("n_covered"))))
+      .select(col("n_candidates"), col("n_gold"), col("n_covered"),
+        when(col("n_candidates") > 0, col("n_covered").cast("double") /
+          col("n_candidates").cast("double")).otherwise(lit(0.0))
+          .as("precision"),
+        when(col("n_gold") > 0, col("n_covered").cast("double") /
+          col("n_gold").cast("double")).otherwise(lit(0.0))
+          .as("recall"))
+  }
+
   /** Cross-corpus MinHash-LSH join with md5-derived hashes — the
     * engine-portable twin of [[minhashLshJoin]] (same structure as
     * [[minhashLshPortable]] but two-sided): a new batch probes a

@@ -338,6 +338,76 @@ object Linkage {
           .as("pairs_quality"))
   }
 
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo 1995,
+    * SIGMOD, "The merge/purge problem for large databases") — the third
+    * classic blocking family next to equi-key blocking ([[Cascade]]) and
+    * LSH buckets ([[Dedup]]): sort all records by a fuzzy blocking key
+    * and emit every pair whose positions in that order are less than
+    * `window` apart. Near-duplicates with NO field exactly equal (so
+    * equi-blocking misses them) still sort adjacently when the key is
+    * chosen well, and the candidate count is exactly
+    * (window−1)·n − C(window,2) — linear in n, never all-pairs.
+    *
+    * The global rank is computed WITHOUT a global window sort: records
+    * range-repartition on (key, id) — Spark's range partitioner assigns
+    * ascending key ranges to ascending partition ids — then each
+    * partition ranks locally (a window PARTITIONED by the captured
+    * partition id, so its sort is in-partition) and adds the
+    * (broadcast) running count of the partitions before it. The only
+    * single-task step is the running-count window over ONE ROW PER
+    * PARTITION (the Packing-subtotal model-state bound);
+    * record-proportional work is two exchanges (the range shuffle, then
+    * the pid hash shuffle the local window asks for) + one in-partition
+    * sort. Candidate emission is a `sequence(1, window−1)` explode +
+    * ONE equi-join on the rank — no range/theta join, no cartesian.
+    *
+    * Determinism: (key, id) is a total order (ids unique by contract),
+    * so the rank — and therefore the pair set — is independent of
+    * partition count and boundary sampling; the q142 DuckDB twin
+    * replays it with one `row_number`. NULL keys are dropped up front
+    * (a NULL blocking key blocks nothing — and engines disagree on
+    * NULL sort order, so excluding them is also what keeps the twin
+    * exact). Output: (id_a, id_b, key_a, key_b) with rank(a) <
+    * rank(b); feed [[evaluateBlocking]] to grade the key choice, or
+    * [[scorePairs]] to score the candidates.
+    *
+    * Multi-pass practice: run once per key (name-prefix pass, postcode
+    * pass, …) and union — each pass is this operator; the union's
+    * distinct is the caller's (they may want pass provenance). */
+  def sortedNeighborhood(records: DataFrame, idCol: String,
+      keyCol: String, window: Int): DataFrame = {
+    require(window >= 2, "window must cover at least adjacent records")
+    val ranged = records
+      .select(col(idCol).as("id"), col(keyCol).as("__k"))
+      .filter(col("__k").isNotNull)
+      .repartitionByRange(col("__k"), col("id"))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__k"), col("id"))
+    val local = ranged.withColumn("__lr",
+      row_number().over(wLocal).cast("long"))
+    // one row per partition; the running offset is a window over that
+    // tiny frame, then broadcast back — never a record-sized window
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val ranked = local
+      .join(broadcast(offsets), Seq("__pid"))
+      .select(col("id"), col("__k"), (col("__off") + col("__lr")).as("__r"))
+    val probe = ranked
+      .select(col("id").as("id_a"), col("__k").as("key_a"), col("__r"),
+        explode(sequence(lit(1L), lit((window - 1).toLong))).as("__d"))
+      .select(col("id_a"), col("key_a"), (col("__r") + col("__d")).as("__r2"))
+    probe.join(ranked.select(col("id").as("id_b"), col("__k").as("key_b"),
+        col("__r").as("__r2")), Seq("__r2"))
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"))
+  }
+
   /** Mutual-best one-to-one assignment — the deterministic resolution
     * step after pair scoring: a scored pair (a, b) survives iff b is
     * a's best-scoring partner AND a is b's (the "symmetric best match"

@@ -57,4 +57,91 @@ object Selection {
         (col("affinity").cast("double") / col("n_tokens").cast("double"))
           .as("rel_affinity"))
   }
+
+  /** Two-distribution importance scoring — the piece of DSIR that
+    * [[targetAffinity]]'s single-profile affinity lacks: each candidate
+    * is scored by how much more likely its hashed word features are
+    * under the TARGET distribution than under a RAW-REFERENCE
+    * distribution, so features that are merely common everywhere (stop
+    * words, boilerplate) cancel instead of dominating. DSIR proper sums
+    * log p_t/p_r per feature (a geometric-mean ratio); logs aren't
+    * bit-portable across engines, so this scores the ARITHMETIC mean of
+    * the per-bucket likelihood ratios — same monotone signal per
+    * bucket, weight clipping built in (importance-sampling practice),
+    * and every step exact BIGINT (the no-libm transform convention of
+    * [[graft.operators.Linkage]]).
+    *
+    * Per bucket b, with T/R total target/reference tokens, nB buckets:
+    *
+    *   pt_b = (quant·(tcount_b+1)) DIV (T+nB)   — Laplace-smoothed,
+    *   pr_b = (quant·(rcount_b+1)) DIV (R+nB)     quantized probability
+    *   ρ_b  = (quant·(pt_b+1)) DIV (pr_b+1)     — quantized ratio,
+    *                                              self-clipped ≤ quant²
+    *
+    * A doc's `ratio_sum` is Σ over its token occurrences of ρ_bucket;
+    * `mean_ratio` = ratio_sum / (n_tokens·quant) ≈ the mean p_t/p_r
+    * (≈1 target-indifferent, >1 target-like) — the ONE final double
+    * division. Overflow bound: quant·(count+1) needs
+    * (T+nB) < 2⁶³/quant — at the default quant 10⁵, ~9·10¹³ tokens,
+    * past any single profile build (hash-sample the profiles beyond).
+    *
+    * Scale shape: both profiles are ≤ nBuckets rows built by partial
+    * aggregation and BROADCAST; candidate work is one map + one
+    * (doc, bucket) partial agg + a broadcast equi-join on the bucket —
+    * identical to [[targetAffinity]], plus the second broadcast
+    * profile. Selection is the caller's: rank by `mean_ratio` and take
+    * the token budget ([[graft.operators.Sampling.prioritySample]]
+    * with these as weights is Gumbel-free importance resampling). */
+  def importanceRatio(
+      docs: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, isReference: Column,
+      nBuckets: Int = 4096, quant: Long = 100000L): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    require(quant > 0, "quant must be positive")
+    val norm = trim(regexp_replace(col(textCol), "[ \\t\\n\\x0B\\f\\r]+", " "))
+    val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("__tgt"),
+        isReference.as("__ref"),
+        explode(split(norm, " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .select(col("doc_id"), col("__tgt"), col("__ref"),
+        (graft.functions.PortableHash.md5Long60(col("__w")) % nBuckets)
+          .as("bucket"))
+    def profile(flag: Column, cname: String): DataFrame = toks.filter(flag)
+      .groupBy(col("bucket")).agg(count(lit(1)).as(cname))
+    val target = profile(col("__tgt"), "__tc")
+    val ref = profile(col("__ref"), "__rc")
+    val totT = target.agg(coalesce(sum(col("__tc")), lit(0L)).as("__T"))
+    val totR = ref.agg(coalesce(sum(col("__rc")), lit(0L)).as("__R"))
+    // ρ per bucket: dense over the bucket space via a full-outer join of
+    // the two (tiny) profiles — a bucket absent from one side smooths to
+    // count 0, exactly as the formulas prescribe
+    val rho = target.join(ref, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totR))
+      .select(col("bucket"),
+        expr(s"($quant * ((coalesce(__tc, 0) + 1) * $quant DIV " +
+          s"(__T + $nBuckets) + 1)) DIV " +
+          s"((coalesce(__rc, 0) + 1) * $quant DIV (__R + $nBuckets) + 1)")
+          .as("__rho"))
+    // candidates = every non-target doc; reference membership does NOT
+    // exclude a doc from scoring (DSIR's usual setting has the raw pool
+    // BE the reference corpus)
+    val cand = toks.filter(!col("__tgt"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+    // a candidate bucket with NO profile row (neither corpus hit it)
+    // smooths to ρ = (quant·1) DIV 1 · ... — compute the same default
+    // the formulas give for tcount=rcount=0 rather than dropping tokens
+    val defaultRho = totT.crossJoin(broadcast(totR))
+      .select(expr(s"($quant * (1 * $quant DIV (__T + $nBuckets) + 1)) " +
+        s"DIV (1 * $quant DIV (__R + $nBuckets) + 1)").as("__rho0"))
+    cand.join(broadcast(rho), Seq("bucket"), "left")
+      .crossJoin(broadcast(defaultRho))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__c") * coalesce(col("__rho"), col("__rho0")))
+          .as("ratio_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("ratio_sum"),
+        (col("ratio_sum").cast("double") /
+          (col("n_tokens") * lit(quant)).cast("double")).as("mean_ratio"))
+  }
 }

@@ -202,4 +202,37 @@ class DedupAnnSpec extends AnyFunSuite {
     val cosines = rows.map(_.getAs[Double]("cosine"))
     assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
   }
+
+  // ---------------------------------------------------- lshFidelity audit
+
+  test("lshFidelity: gold matches the exact-Jaccard join, counts are " +
+      "consistent, exact dups are always covered") {
+    val t = 0.5
+    val row = Dedup.lshFidelity(docs, "text", "doc_id",
+      ngram = 3, numHashes = 16, bands = 8, jaccardThreshold = t)
+      .collect()(0)
+    val nCand = row.getAs[Long]("n_candidates")
+    val nGold = row.getAs[Long]("n_gold")
+    val nCov = row.getAs[Long]("n_covered")
+    assert(nCov <= nGold && nCov <= nCand)
+    assert(row.getAs[Double]("precision") == nCov.toDouble / nCand)
+    assert(row.getAs[Double]("recall") == nCov.toDouble / nGold)
+    // gold agrees with the independently-implemented exact join
+    val exactPairs = Dedup.ngramJaccardJoin(docs, "text", "doc_id",
+      ngram = 3, threshold = t).count()
+    assert(nGold == exactPairs, s"gold $nGold vs exact join $exactPairs")
+    // 16 hashes / 8 bands surfaces every planted pair at this spec size
+    assert(row.getAs[Double]("recall") == 1.0)
+  }
+
+  test("lshFidelity: weaker banding can only lose candidates (recall " +
+      "monotone in the band count at fixed rows-per-band ratio)") {
+    def recallOf(numHashes: Int, bands: Int): Double =
+      Dedup.lshFidelity(docs, "text", "doc_id", ngram = 3,
+        numHashes = numHashes, bands = bands, jaccardThreshold = 0.5)
+        .collect()(0).getAs[Double]("recall")
+    val strong = recallOf(16, 8) // 2-row bands, 8 chances
+    val weak = recallOf(8, 1)    // one 8-row band, 1 chance
+    assert(strong >= weak, s"recall(16,8)=$strong < recall(8,1)=$weak")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, row_number}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Linkage
@@ -282,5 +282,52 @@ class LinkageSpec extends AnyFunSuite {
       if (a < b && bestOf(b) == a) Some((a, b)) else None
     }.toSet
     assert(rows.toSet == expected)
+  }
+
+  // ------------------------------------------------- sorted neighborhood
+
+  test("sortedNeighborhood emits exactly the rank-window pairs, " +
+      "ties broken by id, NULL keys dropped") {
+    import spark.implicits._
+    // sorted (key, id) order: (a,1) (a,3) (b,4) (c,2); id 5's NULL key
+    // blocks nothing
+    val recs = Seq((3L, Some("a")), (1L, Some("a")), (4L, Some("b")),
+      (2L, Some("c")), (5L, None)).toDF("id", "k")
+    val w2 = Linkage.sortedNeighborhood(recs, "id", "k", window = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(w2 == Set((1L, 3L), (3L, 4L), (4L, 2L)))
+    val w3 = Linkage.sortedNeighborhood(recs, "id", "k", window = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(w3 == Set((1L, 3L), (3L, 4L), (4L, 2L), (1L, 4L), (3L, 2L)))
+    // keys ride along for downstream scoring
+    val keyed = Linkage.sortedNeighborhood(recs, "id", "k", window = 2)
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(keyed.contains((3L, 4L, "a", "b")))
+    assertThrows[IllegalArgumentException] {
+      Linkage.sortedNeighborhood(recs, "id", "k", window = 1)
+    }
+  }
+
+  test("sortedNeighborhood rank is partitioning-independent: matches " +
+      "the single-window reference on a shuffled corpus") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val recs = (1L to 120L).map(i =>
+      (i, s"${('a' + rng.nextInt(4)).toChar}${rng.nextInt(3)}"))
+      .toDF("id", "k")
+    val w = 4
+    val got = Linkage.sortedNeighborhood(recs.repartition(13), "id", "k", w)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // reference: one global row_number (fine at spec size)
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("k"), col("id"))
+    val rk = recs.withColumn("rn", row_number().over(win))
+      .select("id", "rn").as[(Long, Int)].collect()
+    val byRank = rk.map { case (id, rn) => rn -> id }.toMap
+    val expected = (for {
+      (id, rn) <- rk; d <- 1 until w; if byRank.contains(rn + d)
+    } yield (id, byRank(rn + d))).toSet
+    assert(got == expected)
+    assert(got.size == (w - 1) * 120 - (w - 1) * w / 2)
   }
 }

@@ -490,6 +490,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(mplan.contains("HashAggregate"), "q135: expected hash aggs")
   }
 
+  test("q142: sorted-neighborhood rank never global-sorts records — " +
+      "range exchange + pid-partitioned window, offsets broadcast (r12)") {
+    val plan = executed("q142_sorted_neighborhood")
+    assert(!plan.contains("CartesianProduct"), "q142 cartesians")
+    // the record-sized rank is a range exchange, not a single-partition
+    // global window
+    assert(plan.contains("Exchange rangepartitioning"),
+      "q142: expected the two-phase rank's range exchange")
+    // per-partition offsets ride a broadcast join back onto the records
+    assert(plan.contains("BroadcastHashJoin"),
+      "q142: offsets must broadcast")
+    // candidate emission is explode + equi-join on the rank
+    assert(plan.contains("Generate"), "q142: expected the window explode")
+  }
+
+  test("q143/q144/q145: r12 additions never cartesian; profiles and " +
+      "query tokens broadcast; aggs stay partial (r12)") {
+    val mplan = executed("q143_maxsim_topk")
+    assert(!mplan.contains("CartesianProduct"),
+      "q143: query tokens must broadcast (BroadcastNestedLoopJoin), " +
+        "never CartesianProduct")
+    assert(mplan.contains("bottom_k") && !mplan.contains("Window"),
+      "q143: top-k must be the BottomK heap, not a window sort")
+    val fplan = executed("q144_lsh_fidelity")
+    assert(!fplan.contains("CartesianProduct"), "q144 cartesians")
+    val iplan = executed("q145_importance_ratio")
+    assert(!iplan.contains("CartesianProduct"), "q145 cartesians")
+    assert(iplan.contains("BroadcastHashJoin"),
+      "q145: the rho profile must broadcast onto candidates")
+    assert(iplan.contains("HashAggregate"), "q145: expected hash aggs")
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()

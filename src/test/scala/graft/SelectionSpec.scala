@@ -39,4 +39,47 @@ class SelectionSpec extends AnyFunSuite {
         (r.getAs[Long]("affinity"), r.getAs[Double]("rel_affinity"))).toMap
     assert(again == out)
   }
+
+  test("importanceRatio reproduces the hand-computed quantized ratio") {
+    import spark.implicits._
+    // one word, one bucket: target doc 0 = "x x" (T = 2), candidate
+    // doc 1 = "x x x", reference = everything (R = 5). q = 100000,
+    // nb = 4096:
+    //   pt = 300000 DIV 4098 = 73;  pr = 600000 DIV 4101 = 146
+    //   rho = (100000 * 74) DIV 147 = 50340
+    //   doc 1: n_tokens = 3, ratio_sum = 151020, mean = 0.5034
+    val docs = Seq((0L, "x x"), (1L, "x x x")).toDF("doc_id", "text")
+    val out = Selection.importanceRatio(docs, "text", "doc_id",
+        isTarget = col("doc_id") === 0L, isReference = lit(true))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 3L, 3L * 50340L,
+      (3L * 50340L).toDouble / 300000.0)))
+  }
+
+  test("importanceRatio separates target-like from reference-typical " +
+      "candidates (the signal targetAffinity's single profile lacks)") {
+    import spark.implicits._
+    val common = "the of and to in is for on with as" // everywhere
+    val docs = Seq(
+      // target seed: distinctive vocabulary + the common words
+      (1L, s"quantum spacetime entanglement $common"),
+      (2L, s"entanglement quantum fields $common"),
+      // bulk reference: common words + off-target vocabulary
+      (3L, s"banana smoothie $common"), (4L, s"recipes tropical $common"),
+      (5L, s"breakfast tables $common"), (6L, s"delight banana $common"),
+      // candidate A: target vocabulary; candidate B: pure boilerplate
+      (10L, s"quantum entanglement spacetime fields"),
+      (11L, common)
+    ).toDF("doc_id", "text")
+    val out = Selection.importanceRatio(docs, "text", "doc_id",
+        isTarget = col("doc_id") <= 2L, isReference = lit(true))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("mean_ratio")).toMap
+    assert(!out.contains(1L) && !out.contains(2L), "seeds must not score")
+    assert(out(10L) > out(11L),
+      s"target-vocab ${out(10L)} must outrank boilerplate ${out(11L)}")
+    // reference docs are still scored (they are candidates too)
+    assert(out.contains(3L))
+    assert(out(10L) > out(3L))
+  }
 }
