@@ -331,6 +331,13 @@ object SketchParams {
   object q145 {
     val tgtMod = 7L; val nBuckets = 4096; val quant = 100000L
   }
+  /** q146 mixture plan: target mixture weights (ppm, sum ≤ 1e6) per
+    * language and the total token budget the plan must hit. */
+  object q146 {
+    val weights: Seq[(String, Long)] = Seq("en" -> 400000L,
+      "de" -> 100000L, "es" -> 150000L, "fr" -> 150000L, "zh" -> 200000L)
+    val budget = 50000L
+  }
 }
 
 object OracleSql {
@@ -3569,6 +3576,73 @@ object OracleSql {
     GROUP BY c.doc_id"""
   }
 
+  /** Mixture plan (q146): per-language token inventory + the CASE-chain
+    * recipe weights, the overflow-safe split floor for the target, one
+    * rate division, a ceiling DIV for epochs — the SQL twin of
+    * `Sampling.mixturePlan`. Generated from [[SketchParams.q146]]. */
+  private def q146: String = {
+    val p = SketchParams.q146
+    val cases = p.weights.map { case (g, w) => s"WHEN '$g' THEN $w" }
+      .mkString(" ")
+    val q = p.budget / 1000000L
+    val r = p.budget % 1000000L
+    s"""
+    WITH inv AS (
+      SELECT lang,
+        CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+          AS n_tokens
+      FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n_tokens,
+        CAST(CASE lang $cases ELSE 0 END AS BIGINT) AS weight_ppm
+      FROM inv
+    ), tgt AS (
+      SELECT lang, n_tokens, weight_ppm,
+        CAST($q * weight_ppm + ($r * weight_ppm) // 1000000 AS BIGINT)
+          AS target_tokens
+      FROM w
+    )
+    SELECT lang, n_tokens, weight_ppm, target_tokens,
+      CASE WHEN n_tokens = 0 THEN 0.0
+        ELSE least(1.0, CAST(target_tokens AS DOUBLE) /
+          CAST(n_tokens AS DOUBLE)) END AS sample_rate,
+      CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST((target_tokens + n_tokens - 1) // n_tokens AS BIGINT)
+        END AS epochs
+    FROM tgt"""
+  }
+
+  /** Dedup observability report (q147): the q56 recursive
+    * component-resolution CTEs over the q49 pair list, assignments
+    * attributed to each base doc's source, per-source duplicate
+    * counts + ONE rate division — the SQL twin of
+    * `SparkEntry.q147DedupReport`. */
+  private def q147: String =
+    s"""
+    WITH RECURSIVE $minhashPairCtes, edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    ), assign AS (
+      SELECT f.doc_id AS id, COALESCE(c.component, f.doc_id) AS keep_id
+      FROM filtered f LEFT JOIN comp c ON f.doc_id = c.id
+    ), per_source AS (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN a.id != a.keep_id THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dups
+      FROM assign a JOIN documents d ON a.id % 1000000 = d.doc_id
+      GROUP BY d.source
+    )
+    SELECT source, n_docs, n_dups,
+      CAST(n_dups AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+    FROM per_source"""
+
   val all: Map[String, String] = Map(
     "q58_cube" -> q58,
     "q59_array_ops" -> q59,
@@ -3803,6 +3877,8 @@ object OracleSql {
     "q143_maxsim_topk" -> q143,
     "q144_lsh_fidelity" -> q144,
     "q145_importance_ratio" -> q145,
+    "q146_mixture_plan" -> q146,
+    "q147_dedup_report" -> q147,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -2597,6 +2597,53 @@ object SparkEntry {
       nBuckets = p.nBuckets, quant = p.quant)
   }
 
+  /** Training-mix plan ([[graft.operators.Sampling.mixturePlan]]): the
+    * per-language token inventory planned against the
+    * [[SketchParams.q146]] recipe (weights in ppm, fixed budget) —
+    * per-language targets, sampling rates, and up-sampling epoch
+    * counts, all exact-integer except the one rate division. The plan's
+    * `sample_rate` feeds [[graft.operators.Sampling.mixtureSample]]
+    * (q82) to execute. */
+  def q146MixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q146
+    val inv = t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .as("n_tokens"))
+    operators.Sampling.mixturePlan(inv, "lang", "n_tokens",
+      p.weights.toMap, p.budget)
+  }
+
+  /** Dedup observability report: the q49 portable sketch pipeline run
+    * to cluster assignments ([[graft.operators.Components
+    * .dedupAssignments]]), then graded PER SOURCE — document count,
+    * duplicate count (id ≠ its cluster keep-id), duplicate rate. The
+    * per-source dup rate is what a curation team actually pages on
+    * (one crawler gone feral shows up here before it poisons the mix);
+    * variants attribute to their base doc's source. */
+  def q147DedupReport(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q49
+    val corpus = nearDupCorpus(s, dir)
+      .filter(col("doc_id") % p.corpusMod === 0)
+    val pairs = Dedup.minhashLshPortable(corpus, "text", "doc_id",
+      ngram = p.ngram, numHashes = p.numHashes, bands = p.bands,
+      jaccardThreshold = p.jaccardThreshold)
+    val assign = operators.Components.dedupAssignments(corpus, "doc_id",
+      pairs, "id_a", "id_b")
+    val src = t(s, dir, "documents")
+      .select(col("doc_id").as("base_id"), col("source"))
+    assign
+      .select((col("id") % 1000000L).as("base_id"),
+        (col("id") =!= col("keep_id")).as("is_dup"))
+      .join(src, Seq("base_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        (col("n_dups").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2743,7 +2790,9 @@ object SparkEntry {
     "q142_sorted_neighborhood" -> (q142SortedNeighborhood _),
     "q143_maxsim_topk" -> (q143MaxSim _),
     "q144_lsh_fidelity" -> (q144LshFidelity _),
-    "q145_importance_ratio" -> (q145ImportanceRatio _))
+    "q145_importance_ratio" -> (q145ImportanceRatio _),
+    "q146_mixture_plan" -> (q146MixturePlan _),
+    "q147_dedup_report" -> (q147DedupReport _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -669,6 +669,52 @@ object Ann {
         (-col("col.key")).as("score"))
   }
 
+  /** Stateless per-row MaxSim scoring — the SERVING shape of
+    * [[maxSimTopK]] (the [[graft.operators.TextAnalysis.bm25ScorePerRow]]
+    * convention): the query token vectors are resolved DRIVER-side,
+    * quantized once, and folded into the projection as array literals,
+    * so scoring a document is a pure map over its own chunk-vector
+    * array — zero shuffles, zero state — and the SAME code scores a
+    * batch backfill or a `readStream` of incoming documents.
+    *
+    * Semantics match [[maxSimTopK]] exactly on the integer scores
+    * (spec-gated bit equality): per token, MAX dot over the row's
+    * chunks; per query, the sum over tokens in FIXED query order.
+    * Chunk-less documents (empty array) are dropped up front,
+    * mirroring the grouped form where a doc with no chunks simply has
+    * no rows (the empty-max sentinel never reaches a score).
+    *
+    * @param docs one row per document: (docCol,
+    *        chunksCol: array&lt;array&lt;float|double&gt;&gt;)
+    * @param queries (query_id, token vectors) resolved driver-side —
+    *        the serving-side model state, O(queries·tokens·dim)
+    * @return (query_id, doc_id, score) — every (query, doc) pair with
+    *         ≥ 1 chunk; rank/cut downstream */
+  def maxSimScorePerRow(docs: DataFrame, docCol: String,
+      chunksCol: String, queries: Seq[(Long, Seq[Seq[Double]])],
+      levels: Int = 127): DataFrame = {
+    require(queries.nonEmpty, "give the scorer at least one query")
+    val qchunks = transform(col(chunksCol),
+      c => transform(c, x => floor(x.cast("double") * levels).cast("long")))
+    def tokenBest(tok: Seq[Long]): Column = {
+      val tokLit = typedlit(tok)
+      aggregate(col("__qc"),
+        lit(Long.MinValue),
+        (best, c) => greatest(best, idot(c, tokLit)))
+    }
+    val perQuery = queries.map { case (qid, toks) =>
+      val qtoks = toks.map(t =>
+        t.map(x => math.floor(x * levels).toLong))
+      struct(lit(qid).as("query_id"),
+        qtoks.map(tokenBest).reduce(_ + _).as("score"))
+    }
+    docs.select(col(docCol).as("doc_id"), qchunks.as("__qc"))
+      .filter(size(col("__qc")) > 0)
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("q"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"),
+        col("q.score").as("score"))
+  }
+
   // ------------------------------------------------- quantizer persistence
 
   /** Persist a trained coarse quantizer (integer domain —

@@ -105,6 +105,65 @@ object Sampling {
     df.filter(portableKey(col(idCol), seed) % resolution < thresholdExpr)
   }
 
+  /** Training-mix PLANNING — the step before [[mixtureSample]]: given
+    * per-domain token inventories, target mixture weights, and a total
+    * token budget (the Pile/Dolma/DoReMi recipe inputs), compute what
+    * each domain must contribute and HOW — a sampling rate for
+    * over-represented domains, an epoch count for under-represented
+    * ones (the standard up-sampling-by-repetition practice). Feed the
+    * `sample_rate` column to [[mixtureSample]] and the plan executes.
+    *
+    * Exact integer arithmetic: weights are PARTS PER MILLION (the
+    * [[mixtureSample]] resolution), and the target
+    * `floor(budget·ppm/10⁶)` is computed as
+    * `(budget DIV 10⁶)·ppm + ((budget MOD 10⁶)·ppm) DIV 10⁶` — the
+    * exact same floor, overflow-safe across the whole BIGINT budget
+    * range (a 25-trillion-token 100 TB budget multiplied by a ppm
+    * weight would overflow the naive product). The only doubles are
+    * the final `sample_rate` division and nothing else; `epochs` is
+    * an exact ceiling DIV.
+    *
+    * Domains missing from `weightsPpm` plan to zero (target 0, rate 0,
+    * epochs 0) — an explicit "not in the recipe" row rather than a
+    * silent drop. Weights for domains absent from the inventory have
+    * nothing to plan and are ignored; callers validating a recipe
+    * should check Σ target vs budget downstream (an empty domain
+    * contributes nothing regardless of its weight).
+    *
+    * Scale shape: input is the per-domain aggregate (domains rows, not
+    * corpus rows); weights fold in as a literal CASE chain (the
+    * [[mixtureSample]] threshold pattern); the whole plan is one
+    * map over that tiny frame — zero shuffles beyond whatever built
+    * the inventory. */
+  def mixturePlan(domainTokens: DataFrame, domainCol: String,
+      tokensCol: String, weightsPpm: Map[String, Long],
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "budget must be nonnegative")
+    require(weightsPpm.values.forall(w => w >= 0L && w <= 1000000L),
+      "weights must be ppm in [0, 1e6]")
+    require(weightsPpm.values.sum <= 1000000L,
+      s"weights sum to ${weightsPpm.values.sum} ppm > 1e6 — not a mixture")
+    val ppmExpr = weightsPpm.foldLeft(lit(0L)) { case (acc, (g, w)) =>
+      when(col(domainCol) === lit(g), lit(w)).otherwise(acc) }
+    val q = budgetTokens / 1000000L
+    val r = budgetTokens % 1000000L
+    domainTokens
+      .select(col(domainCol), col(tokensCol).cast("long").as("n_tokens"),
+        ppmExpr.as("weight_ppm"))
+      .select(col(domainCol), col("n_tokens"), col("weight_ppm"),
+        (lit(q) * col("weight_ppm") +
+          expr(s"(${r}L * weight_ppm) DIV 1000000")).as("target_tokens"))
+      .select(col(domainCol), col("n_tokens"), col("weight_ppm"),
+        col("target_tokens"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(least(lit(1.0), col("target_tokens").cast("double") /
+            col("n_tokens").cast("double"))).as("sample_rate"),
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr(
+            "(target_tokens + n_tokens - 1) DIV n_tokens"))
+          .as("epochs"))
+  }
+
   /** Per-group approximate distinct count via the [[KmvSketch]] bounded
     * k-minimum-values sketch: exact when the group holds < k distinct
     * values (the sketch simply contains them all), otherwise the standard

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Ann
@@ -61,5 +62,61 @@ class MaxSimSpec extends AnyFunSuite {
         "vec", k = 1, levels = 10)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(out == Set((7L, 1L, 1L, 200L))) // 100 + 100 from the same chunk
+  }
+
+  // --------------------------------------------------- per-row serving
+
+  private val queriesSeq: Seq[(Long, Seq[Seq[Double]])] =
+    Seq(7L -> Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+
+  private def docRows = Seq(
+    (1L, Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))),
+    (2L, Seq(Seq(0.5f, 0.5f))),
+    (3L, Seq(Seq(0.5f, 0.5f))),
+    (4L, Seq.empty[Seq[Float]]) // chunk-less: dropped
+  ).toDF("doc", "chunks")
+
+  test("maxSimScorePerRow matches the grouped maxSimTopK scores " +
+      "bit-for-bit; chunk-less docs drop") {
+    val got = Ann.maxSimScorePerRow(docRows, "doc", "chunks",
+        queriesSeq, levels = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((7L, 1L, 200L), (7L, 2L, 100L), (7L, 3L, 100L)))
+    val grouped = Ann.maxSimTopK(chunks, "doc", "vec", qtoks, "qid",
+        "tok", "vec", k = 3, levels = 10)
+      .select("query_id", "doc_id", "score")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == grouped)
+  }
+
+  test("maxSimScorePerRow is a pure map: zero exchanges, zero joins") {
+    val plan = Ann.maxSimScorePerRow(docRows, "doc", "chunks",
+      queriesSeq, levels = 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
+  test("maxSimScorePerRow is stateless: identical scores over " +
+      "readStream micro-batches and batch") {
+    val want = Ann.maxSimScorePerRow(docRows, "doc", "chunks",
+      queriesSeq, levels = 10).as[(Long, Long, Long)].collect().toSet
+    val inDir = java.nio.file.Files.createTempDirectory("maxsim-stream")
+    docRows.filter(col("doc") % 2 === 0)
+      .coalesce(1).write.parquet(inDir.resolve("b0").toString)
+    docRows.filter(col("doc") % 2 === 1)
+      .coalesce(1).write.parquet(inDir.resolve("b1").toString)
+    val stream = spark.readStream
+      .schema("doc LONG, chunks ARRAY<ARRAY<FLOAT>>")
+      .parquet(inDir.toString + "/*")
+    val q = Ann.maxSimScorePerRow(stream, "doc", "chunks",
+        queriesSeq, levels = 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("maxsim_stream_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("maxsim_stream_test")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
   }
 }

@@ -520,6 +520,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(iplan.contains("BroadcastHashJoin"),
       "q145: the rho profile must broadcast onto candidates")
     assert(iplan.contains("HashAggregate"), "q145: expected hash aggs")
+    // q146: the recipe folds in as a CASE chain — one aggregation over
+    // the corpus, then a pure map over domain rows; NO join anywhere
+    val pplan = executed("q146_mixture_plan")
+    assert(!pplan.contains("Join"), "q146: the plan must not join")
+    assert(pplan.contains("HashAggregate"),
+      "q146: inventory must be a partial hash aggregation")
+    val dplan = executed("q147_dedup_report")
+    assert(!dplan.contains("CartesianProduct"), "q147 cartesians")
   }
 
   test("custom expressions stay inside whole-stage codegen (no fallback)") {

@@ -245,4 +245,73 @@ class SamplingSpec extends AnyFunSuite {
     // τ = 0 ⇒ est_weight degenerates to the true weight: exact total
     assert(got.map(_._3).sum == 9.0)
   }
+
+  // ------------------------------------------------------- mixture plan
+
+  test("mixturePlan reproduces the hand-computed plan: rates for " +
+      "over-represented domains, epochs for under-represented ones") {
+    import spark.implicits._
+    // budget 1000: en target 500 of 1000 -> rate 0.5, 1 epoch;
+    // de target 400 of 200 -> rate 1.0, 2 epochs; xx not in the recipe
+    // -> explicit zero row; yy has zero inventory -> zero row
+    val inv = Seq(("en", 1000L), ("de", 200L), ("xx", 50L), ("yy", 0L))
+      .toDF("domain", "n_tokens")
+    val plan = operators.Sampling.mixturePlan(inv, "domain", "n_tokens",
+        Map("en" -> 500000L, "de" -> 400000L), budgetTokens = 1000L)
+      .as[(String, Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(plan("en") == (("en", 1000L, 500000L, 500L, 0.5, 1L)))
+    assert(plan("de") == (("de", 200L, 400000L, 400L, 1.0, 2L)))
+    assert(plan("xx") == (("xx", 50L, 0L, 0L, 0.0, 0L)))
+    assert(plan("yy") == (("yy", 0L, 0L, 0L, 0.0, 0L)))
+  }
+
+  test("mixturePlan target stays exact past the naive-product overflow " +
+      "range, and rejects non-mixtures") {
+    import spark.implicits._
+    // 1e13 * 999999 overflows BIGINT; the split floor must not
+    val inv = Seq(("en", 1L)).toDF("domain", "n_tokens")
+    val t = operators.Sampling.mixturePlan(inv, "domain", "n_tokens",
+        Map("en" -> 999999L), budgetTokens = 10000000000000L)
+      .select("target_tokens").as[Long].collect()(0)
+    assert(t == 9999990000000L)
+    assertThrows[IllegalArgumentException] {
+      operators.Sampling.mixturePlan(inv, "domain", "n_tokens",
+        Map("en" -> 600000L, "de" -> 600000L), budgetTokens = 10L)
+    }
+    assertThrows[IllegalArgumentException] {
+      operators.Sampling.mixturePlan(inv, "domain", "n_tokens",
+        Map("en" -> 1000001L), budgetTokens = 10L)
+    }
+  }
+
+  test("mixturePlan composes with mixtureSample: executing the planned " +
+      "rates lands each domain near its token target") {
+    import spark.implicits._
+    val docs = (0L until 4000L).map { i =>
+      (i, if (i % 4 == 0L) "en" else "de", 10L) }
+      .toDF("doc_id", "lang", "n_tokens")
+    val inv = docs.groupBy(col("lang"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens"))
+        .as("n_tokens"))
+    // en: 10k tokens, de: 30k tokens; budget 20k split evenly -> en is
+    // up-sampled (rate 1, 1 epoch at this weight), de down-sampled
+    val plan = operators.Sampling.mixturePlan(inv, "lang", "n_tokens",
+        Map("en" -> 500000L, "de" -> 500000L), budgetTokens = 20000L)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Double]("sample_rate"), r.getAs[Long]("target_tokens")))
+      .toMap
+    assert(plan("en")._1 == 1.0)
+    val rates = plan.map { case (g, (rate, _)) => g -> rate }
+    val sampled = operators.Sampling.mixtureSample(docs, "doc_id",
+        "lang", rates)
+      .groupBy(col("lang"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens")).as("got"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("got"))
+      .toMap
+    assert(sampled("en") == 10000L) // rate 1.0 keeps everything
+    val deTarget = plan("de")._2.toDouble
+    assert(math.abs(sampled("de") - deTarget) / deTarget < 0.1,
+      s"de realized ${sampled("de")} vs target $deTarget")
+  }
 }
