@@ -331,6 +331,15 @@ object SketchParams {
   object q145 {
     val tgtMod = 7L; val nBuckets = 4096; val quant = 100000L
   }
+  /** q148 minimum spanning forest: the q99-family supplier–customer
+    * graph REDUCED (every suppMod-th supplier × custMod-th customer) so
+    * the oracle's per-round recursive-CTE component resolution stays
+    * cheap; weight = shipment multiplicity (heavy ties — the total
+    * order earns its keep). `rounds` over-unrolls Borůvka past its
+    * measured 2-round convergence (extra rounds are the identity). */
+  object q148 {
+    val suppMod = 10L; val custMod = 10L; val rounds = 6
+  }
   /** q146 mixture plan: target mixture weights (ppm, sum ≤ 1e6) per
     * language and the total token budget the plan must hit. */
   object q146 {
@@ -3643,6 +3652,65 @@ object OracleSql {
       CAST(n_dups AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
     FROM per_source"""
 
+  /** Minimum spanning forest (q148): Borůvka rounds unrolled —
+    * per round a cross-component edge join, a (w, lo, hi)-ordered
+    * min-edge choice per component, the forest union, and a
+    * recursive-CTE component resolution (the q56 reach pattern) —
+    * the SQL twin of `Components.minimumSpanningForest`. Generated
+    * from [[SketchParams.q148]]; rounds over-unrolled past measured
+    * convergence (identity once no cross edges remain). MATERIALIZED
+    * CTEs keep DuckDB from re-inlining the edge scan per round. */
+  private def q148: String = {
+    val p = SketchParams.q148
+    val rounds = (1 to p.rounds).map { r =>
+      s"""cross$r AS MATERIALIZED (
+      SELECT a.comp AS ca, b.comp AS cb, e.w, e.lo, e.hi
+      FROM e0 e JOIN lab${r - 1} a ON e.lo = a.node
+                JOIN lab${r - 1} b ON e.hi = b.node
+      WHERE a.comp != b.comp
+    ), choice$r AS (
+      SELECT DISTINCT lo, hi, w FROM (
+        SELECT comp, lo, hi, w,
+          row_number() OVER (PARTITION BY comp ORDER BY w, lo, hi) AS rn
+        FROM (
+          SELECT ca AS comp, w, lo, hi FROM cross$r
+          UNION ALL
+          SELECT cb AS comp, w, lo, hi FROM cross$r))
+      WHERE rn = 1
+    ), forest$r AS MATERIALIZED (
+      SELECT DISTINCT lo, hi, w FROM (
+        SELECT lo, hi, w FROM forest${r - 1}
+        UNION ALL SELECT lo, hi, w FROM choice$r)
+    ), sym$r AS MATERIALIZED (
+      SELECT lo AS s, hi AS d FROM forest$r
+      UNION SELECT hi, lo FROM forest$r
+    ), reach$r(id, rt) AS (
+      SELECT s, s FROM sym$r
+      UNION
+      SELECT re.id, e.d FROM reach$r re JOIN sym$r e ON re.rt = e.s
+    ), lab$r AS MATERIALIZED (
+      SELECT n.node, COALESCE(c.component, n.node) AS comp
+      FROM nodes n LEFT JOIN (
+        SELECT id, MIN(rt) AS component FROM reach$r GROUP BY id) c
+        ON n.node = c.id
+    )"""
+    }.mkString(", ")
+    s"""
+    WITH RECURSIVE e0 AS MATERIALIZED (
+      SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT LEAST(l_suppkey*2, o_custkey*2+1) AS lo,
+          GREATEST(l_suppkey*2, o_custkey*2+1) AS hi
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_suppkey % ${p.suppMod} = 0 AND o_custkey % ${p.custMod} = 0)
+      GROUP BY lo, hi
+    ), nodes AS MATERIALIZED (
+      SELECT lo AS node FROM e0 UNION SELECT hi FROM e0
+    ), forest0 AS (SELECT lo, hi, w FROM e0 WHERE FALSE),
+    lab0 AS (SELECT node, node AS comp FROM nodes),
+    $rounds
+    SELECT lo AS id_a, hi AS id_b, w AS weight FROM forest${p.rounds}"""
+  }
+
   val all: Map[String, String] = Map(
     "q58_cube" -> q58,
     "q59_array_ops" -> q59,
@@ -3879,6 +3947,7 @@ object OracleSql {
     "q145_importance_ratio" -> q145,
     "q146_mixture_plan" -> q146,
     "q147_dedup_report" -> q147,
+    "q148_min_spanning_forest" -> q148,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

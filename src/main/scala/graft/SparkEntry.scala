@@ -2644,6 +2644,25 @@ object SparkEntry {
           .as("dup_rate"))
   }
 
+  /** Minimum spanning forest ([[graft.operators.Components
+    * .minimumSpanningForest]]): distributed Borůvka over the reduced
+    * supplier–customer graph with shipment multiplicity as the weight
+    * (heavy ties — the (w, lo, hi) total order decides). The MSF is
+    * the single-linkage dendrogram of the graph: cutting it at weight
+    * t reproduces the t-threshold components for every t at once
+    * (spec-pinned). Params from [[SketchParams.q148]]. */
+  def q148MinSpanningForest(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q148
+    val e0 = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_suppkey") % p.suppMod === 0 &&
+        col("o_custkey") % p.custMod === 0)
+      .groupBy((col("l_suppkey") * 2L).as("a"),
+        (col("o_custkey") * 2L + 1L).as("b"))
+      .agg(count(lit(1)).as("w"))
+    operators.Components.minimumSpanningForest(e0, "a", "b", "w")
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2792,7 +2811,8 @@ object SparkEntry {
     "q144_lsh_fidelity" -> (q144LshFidelity _),
     "q145_importance_ratio" -> (q145ImportanceRatio _),
     "q146_mixture_plan" -> (q146MixturePlan _),
-    "q147_dedup_report" -> (q147DedupReport _))
+    "q147_dedup_report" -> (q147DedupReport _),
+    "q148_min_spanning_forest" -> (q148MinSpanningForest _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -655,6 +655,113 @@ object Components {
           .as("rand_index"))
   }
 
+  /** Minimum spanning forest by distributed Borůvka (Borůvka 1926; the
+    * textbook parallel MST — e.g. JáJá §5.2): every round each
+    * component selects its minimum-order outgoing edge, selected edges
+    * join the forest, components merge, repeat until no component has
+    * an outgoing edge. Components at least halve per round, so rounds
+    * ≤ log₂ V. The MSF is what turns near-dup SIMILARITY pairs into a
+    * single-linkage dendrogram: cutting the forest at weight t gives
+    * the exact t-threshold clustering for EVERY t in one structure —
+    * the threshold sweep ([[connectedComponents]] per t) without
+    * re-running anything.
+    *
+    * Determinism under ties: edges are ordered by the TOTAL order
+    * (w, lo, hi) — parallel edges pre-collapse to their min weight, so
+    * the order is strict, each component's minimum edge is unique, and
+    * the classic cycle argument holds (the max-ordered edge of any
+    * would-be cycle is no component's minimum) — the result is THE
+    * unique MSF of the perturbed weights, identical for any engine
+    * replaying the same order (the q148 DuckDB twin) and any partition
+    * count. Weights are BIGINT by contract (cast enforced): integer
+    * weights keep the order exact; quantize doubles first (the q83
+    * convention).
+    *
+    * Scale shape per round: two hash joins of the edge list against
+    * the (node, comp) labeling + a `min_by` partial-aggregated argmax
+    * per component (never a window over edges) + a star-CC
+    * ([[connectedComponentsStar]], O(log²) its own rounds) over the
+    * ≤ V−1 forest edges — forest state is node-proportional, never
+    * edge-proportional. Checkpoint hygiene bounds live generations
+    * (forest + labels) per round; the empty-choice exit costs one
+    * `isEmpty` scalar.
+    *
+    * Self-loops and NULL endpoints/weights drop up front. Isolated
+    * nodes (no surviving edge) have no forest row — a forest is edges;
+    * pair it with the caller's node universe for cluster assignment
+    * (the [[dedupAssignments]] coalesce pattern).
+    *
+    * @return (id_a, id_b, weight), id_a < id_b — the MSF edge list */
+  def minimumSpanningForest(edges: DataFrame, aCol: String, bCol: String,
+      wCol: String, maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, "give Borůvka at least one round")
+    val (e0, e0Ckpt) = CheckpointHygiene.checkpointTracked(
+      edges.select(least(col(aCol), col(bCol)).as("lo"),
+          greatest(col(aCol), col(bCol)).as("hi"),
+          col(wCol).cast("long").as("w"))
+        .filter(col("lo").isNotNull && col("hi").isNotNull &&
+          col("w").isNotNull && col("lo") =!= col("hi"))
+        .groupBy("lo", "hi").agg(min("w").as("w")), eager = true)
+    val (nodes, nodesCkpt) = CheckpointHygiene.checkpointTracked(
+      e0.select(col("lo").as("node"))
+        .unionByName(e0.select(col("hi").as("node"))).distinct(),
+      eager = true)
+    var forest = e0.filter(lit(false)) // empty (lo, hi, w)
+    var labels = nodes.withColumn("comp", col("node"))
+    var forestCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    var labelsCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      val cross = e0
+        .join(labels.select(col("node").as("lo"), col("comp").as("__ca")),
+          Seq("lo"))
+        .join(labels.select(col("node").as("hi"), col("comp").as("__cb")),
+          Seq("hi"))
+        .filter(col("__ca") =!= col("__cb"))
+      val chosen = cross
+        .select(col("__ca").as("__comp"), col("w"), col("lo"), col("hi"))
+        .unionByName(cross.select(col("__cb").as("__comp"), col("w"),
+          col("lo"), col("hi")))
+        .groupBy(col("__comp"))
+        .agg(min_by(struct(col("lo"), col("hi"), col("w")),
+          struct(col("w"), col("lo"), col("hi"))).as("e"))
+        .select(col("e.lo").as("lo"), col("e.hi").as("hi"),
+          col("e.w").as("w"))
+        .distinct()
+      if (chosen.isEmpty) {
+        done = true
+      } else {
+        val (nextForest, fc) = CheckpointHygiene.checkpointTracked(
+          forest.unionByName(chosen).distinct(), eager = true)
+        val cc = connectedComponentsStar(nextForest, "lo", "hi")
+        val (nextLabels, lc) = CheckpointHygiene.checkpointTracked(
+          nodes.join(cc.withColumnRenamed("id", "node"), Seq("node"),
+              "left")
+            .select(col("node"),
+              coalesce(col("component"), col("node")).as("comp")),
+          eager = true)
+        CheckpointHygiene.free(forestCkpt)
+        CheckpointHygiene.free(labelsCkpt)
+        forest = nextForest; forestCkpt = fc
+        labels = nextLabels; labelsCkpt = lc
+        round += 1
+      }
+    }
+    if (!done) throw new IllegalStateException(
+      s"minimumSpanningForest did not converge in $maxRounds rounds " +
+        "(<= log2 V expected); raise maxRounds")
+    // the returned forest is its own checkpoint once a round ran; at
+    // round 0 it still aliases e0's blocks, which must then stay live
+    if (round > 0) {
+      CheckpointHygiene.free(e0Ckpt)
+      CheckpointHygiene.free(nodesCkpt)
+      CheckpointHygiene.free(labelsCkpt)
+    }
+    forest.select(col("lo").as("id_a"), col("hi").as("id_b"),
+      col("w").as("weight"))
+  }
+
   /** Dedup keep-list from near-dup pairs over a corpus: every id mapped to
     * its canonical representative (component minimum); ids with no dup
     * pair map to themselves. */

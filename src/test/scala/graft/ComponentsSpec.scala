@@ -483,4 +483,96 @@ class ComponentsSpec extends AnyFunSuite {
     assert(byKeeper(1L) == 1L && byKeeper(2L) == 1L && byKeeper(3L) == 1L)
     assert(byKeeper(4L) == 4L)
   }
+
+  // ------------------------------------------------ minimum spanning forest
+
+  /** Kruskal with the operator's exact total order (w, lo, hi) — the
+    * unique MSF of the perturbed weights, so Borůvka must match it
+    * edge-for-edge, not just in total weight. */
+  private def kruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val norm = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2), e._3))
+      .groupBy(e => (e._1, e._2))
+      .map { case ((a, b), es) => (a, b, es.map(_._3).min) }.toSeq
+    val out = scala.collection.mutable.Set[(Long, Long, Long)]()
+    norm.sortBy(e => (e._3, e._1, e._2)).foreach { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; out += ((a, b, w)) }
+    }
+    out.toSet
+  }
+
+  test("minimumSpanningForest: hand graph picks the classic MST") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L),
+      (1L, 4L, 3L), (1L, 3L, 5L)).toDF("a", "b", "w")
+    val got = Components.minimumSpanningForest(edges, "a", "b", "w")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (3L, 4L, 1L), (2L, 3L, 2L)))
+  }
+
+  test("minimumSpanningForest == Kruskal on a random multigraph with " +
+      "heavy weight ties, parallel edges, and self loops") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // two islands (nodes 0-39 and 100-139) -> a FOREST, not a tree;
+    // weights drawn from only 3 values so ties dominate
+    val raw = Seq.tabulate(400) { _ =>
+      val island = if (rng.nextBoolean()) 0L else 100L
+      (island + rng.nextInt(40), island + rng.nextInt(40),
+        1L + rng.nextInt(3))
+    }
+    val want = kruskal(raw)
+    val got = Components.minimumSpanningForest(
+        raw.toDF("a", "b", "w"), "a", "b", "w")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == got.toSet.size, "duplicate forest edges")
+    assert(got.toSet == want)
+    // forest invariant: acyclic, so |E| < |touched nodes|
+    val touched = raw.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e._1, e._2)).toSet
+    assert(got.length <= touched.size - 1)
+  }
+
+  test("minimumSpanningForest: dendrogram cut at threshold t equals the " +
+      "t-threshold connected components (single-linkage contract)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val raw = Seq.tabulate(300)(_ =>
+      (rng.nextInt(60).toLong, rng.nextInt(60).toLong,
+        1L + rng.nextInt(10)))
+    val df = raw.toDF("a", "b", "w")
+    val forest = Components.minimumSpanningForest(df, "a", "b", "w")
+      .localCheckpoint(true)
+    for (t <- Seq(3L, 6L)) {
+      // star CC: a threshold-cut MST is mostly long paths, past the
+      // fixed-budget label-prop form's diameter bound
+      val viaForest = Components.connectedComponentsStar(
+          forest.filter(col("weight") <= t), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val direct = Components.connectedComponentsStar(
+          df.filter(col("a") =!= col("b") && col("w") <= t), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // same node partition: identical co-membership on the common support
+      assert(viaForest.keySet == direct.keySet, s"t=$t support")
+      val pairsF = viaForest.groupBy(_._2).values
+        .map(_.keys.toSeq.sorted).toSet
+      val pairsD = direct.groupBy(_._2).values
+        .map(_.keys.toSeq.sorted).toSet
+      assert(pairsF == pairsD, s"t=$t clustering differs")
+    }
+  }
+
+  test("minimumSpanningForest: empty and self-loop-only inputs give an " +
+      "empty forest") {
+    import spark.implicits._
+    val selfOnly = Seq((1L, 1L, 5L), (2L, 2L, 1L)).toDF("a", "b", "w")
+    assert(Components.minimumSpanningForest(selfOnly, "a", "b", "w")
+      .count() == 0L)
+  }
 }

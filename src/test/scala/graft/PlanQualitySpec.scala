@@ -528,6 +528,12 @@ class PlanQualitySpec extends AnyFunSuite {
       "q146: inventory must be a partial hash aggregation")
     val dplan = executed("q147_dedup_report")
     assert(!dplan.contains("CartesianProduct"), "q147 cartesians")
+    // q148: every Borůvka round is equi-keyed (edges⋈labels) with a
+    // min_by partial argmax — no cartesian, no window over edges
+    val splan = executed("q148_min_spanning_forest")
+    assert(!splan.contains("CartesianProduct"), "q148 cartesians")
+    assert(!splan.contains("Window"),
+      "q148: per-component argmax must be min_by, not a window sort")
   }
 
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
