@@ -340,6 +340,12 @@ object SketchParams {
   object q148 {
     val suppMod = 10L; val custMod = 10L; val rounds = 6
   }
+  /** q149 Hilbert layout key: grid order (bits) and the dimension
+    * reductions (the q89 Z-order shape, Hilbert linearization). */
+  object q149 {
+    val bits = 10; val aMod = 1024; val bMul = 37; val bMod = 1024
+    val nBuckets = 16
+  }
   /** q146 mixture plan: target mixture weights (ppm, sum ≤ 1e6) per
     * language and the total token budget the plan must hit. */
   object q146 {
@@ -3711,6 +3717,28 @@ object OracleSql {
     SELECT lo AS id_a, hi AS id_b, w AS weight FROM forest${p.rounds}"""
   }
 
+  /** Hilbert layout key (q149): the per-level rotation recurrence as a
+    * CTE chain (linear — an inline expression would duplicate subtrees
+    * exponentially), XOR spelled arithmetically on 0/1 bits — the SQL
+    * twin of `Layout.hilbertKey`. Generated from
+    * [[SketchParams.q149]]. */
+  private def q149: String = {
+    val p = SketchParams.q149
+    val ctes = graft.operators.Layout.hilbertCtesSql("src", "p_partkey",
+      p.bits)
+    s"""
+    WITH src AS (
+      SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+        CAST(p_partkey % ${p.aMod} AS BIGINT) AS x,
+        CAST((p_size * ${p.bMul}) % ${p.bMod} AS BIGINT) AS y
+      FROM part
+    ), $ctes
+    SELECT p_partkey, d AS hkey,
+      CAST(ntile(${p.nBuckets}) OVER (ORDER BY d, p_partkey) AS BIGINT)
+        AS hbucket
+    FROM h${p.bits}"""
+  }
+
   val all: Map[String, String] = Map(
     "q58_cube" -> q58,
     "q59_array_ops" -> q59,
@@ -3948,6 +3976,7 @@ object OracleSql {
     "q146_mixture_plan" -> q146,
     "q147_dedup_report" -> q147,
     "q148_min_spanning_forest" -> q148,
+    "q149_hilbert_layout" -> q149,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

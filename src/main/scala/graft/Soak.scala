@@ -324,6 +324,21 @@ object Soak {
       s"${ri.getAs[Long]("n_pairs")} pairs of ${ri.getAs[Long]("n_nodes")}" +
       " nodes")
 
+    // r12: single-linkage MSF over the near-dup graph (quantized
+    // jaccard as the weight) — Borůvka's per-round cost is the two
+    // edge⋈label joins + the star-CC over forest edges; the replica
+    // near-cliques converge in few rounds. Measured twice (warm JVM)
+    // for the within-15% check.
+    val wEdges = pairs.withColumn("wq",
+      (col("jaccard") * lit(1000)).cast("long"))
+    for (run <- 1 to 2) {
+      val msfEdges = timed(s"minimumSpanningForest (near-dup graph, run $run)") {
+        operators.Components.minimumSpanningForest(wEdges,
+          "id_a", "id_b", "wq").count()
+      }
+      println(s"[soak]   -> $msfEdges forest edges")
+    }
+
     // sweep-line pair at 30× the q138/q139 interval count: every order's
     // [orderdate, last shipdate) interval replicated with a per-replica
     // day shift — distinct event times, same 5 priority groups, so each

@@ -2663,6 +2663,25 @@ object SparkEntry {
     operators.Components.minimumSpanningForest(e0, "a", "b", "w")
   }
 
+  /** Hilbert-curve layout key ([[graft.operators.Layout.hilbertKey]]):
+    * q89's Z-order shape with the higher-locality linearization —
+    * consecutive keys are always grid 4-neighbors, so range buckets
+    * hold tighter 2-D rectangles (spec-measured against Z-order).
+    * Bucketing via explicit ntile for oracle exactness (production:
+    * `repartitionByRange` on the key). Params from
+    * [[SketchParams.q149]]. */
+  def q149HilbertLayout(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q149
+    val hk = operators.Layout.hilbertKey(
+      col("p_partkey") % p.aMod, (col("p_size") * p.bMul) % p.bMod, p.bits)
+    t(s, dir, "part")
+      .select(col("p_partkey").cast("long").as("p_partkey"), hk.as("hkey"))
+      .withColumn("hbucket",
+        ntile(p.nBuckets)
+          .over(Window.orderBy(col("hkey"), col("p_partkey")))
+          .cast("long"))
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2812,7 +2831,8 @@ object SparkEntry {
     "q145_importance_ratio" -> (q145ImportanceRatio _),
     "q146_mixture_plan" -> (q146MixturePlan _),
     "q147_dedup_report" -> (q147DedupReport _),
-    "q148_min_spanning_forest" -> (q148MinSpanningForest _))
+    "q148_min_spanning_forest" -> (q148MinSpanningForest _),
+    "q149_hilbert_layout" -> (q149HilbertLayout _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -34,6 +34,28 @@ case class TokenSortRatio(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Hilbert-curve cell index of two reduced integer dimensions — the
+  * layout key behind [[graft.operators.Layout.hilbertKey]]; a JVM
+  * kernel because the per-level rotation state makes a builtin-column
+  * form exponential in `bits` (see [[HilbertKernel]]). */
+case class HilbertKey(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hilbert_key"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    HilbertKernel.xy2d(bits, l.asInstanceOf[Long], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HilbertKernel.xy2d($bits, $a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertKey =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `rapidfuzz.fuzz.ratio` (Indel ratio) parity — SURVEY.md §2.8 X2. */
 case class IndelRatio(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -237,6 +259,8 @@ object exprs {
   def word_ngram_hashes(text: Column, n: Int): Column =
     col(WordNgramHashes(ex(text), n))
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
+  def hilbert_key(a: Column, b: Column, bits: Int): Column =
+    col(HilbertKey(ex(a), ex(b), bits))
   def py_title(a: Column): Column = col(PyTitle(ex(a)))
 
   /** Register `token_sort_ratio`, `indel_ratio`, `abn_valid` for SQL use. */

@@ -42,4 +42,49 @@ object Layout {
       s"((($a >> $i) & 1) * ${1L << (2 * i)}) + " +
         s"((($b >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString(" + ")
+
+  /** Hilbert-curve key of two reduced dimensions — [[zorderKey]]'s
+    * higher-locality sibling: consecutive key values are always grid
+    * 4-neighbors (no Z-jumps), so a range bucket of the key covers a
+    * tighter 2-D rectangle and min/max file stats prune better at the
+    * same bucket count. Same write path (`repartitionByRange` on the
+    * key); same reduced-dimension contract (values masked to `bits`
+    * bits). A codegen JVM kernel ([[graft.functions.HilbertKernel]])
+    * because the per-level rotation makes a builtin-column form
+    * exponential in `bits`. */
+  def hilbertKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    graft.functions.exprs.hilbert_key(a.cast("long"), b.cast("long"), bits)
+  }
+
+  /** The SQL twin of [[hilbertKey]] as a CTE CHAIN (one level per CTE,
+    * carrying (x, y, d) — linear, where a single expression would
+    * duplicate subtrees exponentially). `srcCte` must expose columns
+    * `x`, `y` (already reduced to `bits` bits) plus `keep` — the
+    * caller's pass-through columns, comma-joined. Returns the CTE body
+    * list; the final CTE `h$bits` holds (keep, d). XOR is spelled
+    * arithmetically (3rx + ry − 2·(3rx)·ry/3 … simplified to
+    * 3*rx + ry - 2*rx*ry, exact on 0/1 bits) so no engine-specific
+    * XOR operator is needed. */
+  def hilbertCtesSql(srcCte: String, keep: String, bits: Int): String = {
+    val n = 1L << bits
+    val levels = (0 until bits).map { j =>
+      val i = bits - 1 - j
+      val s = 1L << i
+      val rx = s"((x >> $i) & 1)"
+      val ry = s"((y >> $i) & 1)"
+      s"""h${j + 1} AS (
+      SELECT $keep,
+        CASE WHEN $ry = 0 THEN
+          CASE WHEN $rx = 1 THEN ${n - 1} - y ELSE y END
+        ELSE x END AS x,
+        CASE WHEN $ry = 0 THEN
+          CASE WHEN $rx = 1 THEN ${n - 1} - x ELSE x END
+        ELSE y END AS y,
+        d + ${s * s} * (3 * $rx + $ry - 2 * $rx * $ry) AS d
+      FROM h$j)"""
+    }.mkString(", ")
+    s"""h0 AS (SELECT $keep, x, y, CAST(0 AS BIGINT) AS d FROM $srcCte),
+    $levels"""
+  }
 }

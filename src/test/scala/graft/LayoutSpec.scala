@@ -86,4 +86,56 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).select("a", "b").except(
       grid.select("a", "b")).count() == 0L)
   }
+
+  // ---------------------------------------------------------- hilbert key
+
+  test("hilbertKey: bijective on the full grid, and consecutive indices " +
+      "are ALWAYS grid 4-neighbors (the property Z-order lacks)") {
+    val bits = 4
+    val n = 1 << bits
+    val cells = (for (x <- 0 until n; y <- 0 until n) yield
+      graft.functions.HilbertKernel.xy2d(bits, x, y) -> (x, y)).toMap
+    assert(cells.size == n * n, "not a bijection")
+    assert(cells.keys.min == 0L && cells.keys.max == (n * n - 1).toLong)
+    def manhattan(a: (Int, Int), b: (Int, Int)): Int =
+      math.abs(a._1 - b._1) + math.abs(a._2 - b._2)
+    val hilbertTotal = (0L until (n * n - 1).toLong).map { d =>
+      val step = manhattan(cells(d), cells(d + 1))
+      assert(step == 1, s"Hilbert jump of $step at d=$d")
+      step
+    }.sum
+    // Z-order on the same grid: sum of consecutive-cell distances is
+    // strictly worse (the Z jumps) — the quantified locality claim
+    val zcells = (for (x <- 0 until n; y <- 0 until n) yield {
+      var z = 0L
+      for (i <- 0 until bits)
+        z += ((x >> i) & 1).toLong * (1L << (2 * i)) +
+          ((y >> i) & 1).toLong * (1L << (2 * i + 1))
+      z -> (x, y)
+    }).toMap
+    val zTotal = (0L until (n * n - 1).toLong)
+      .map(d => manhattan(zcells(d), zcells(d + 1))).sum
+    assert(hilbertTotal == (n * n - 1).toLong)
+    assert(zTotal > hilbertTotal,
+      s"z-order total $zTotal should exceed hilbert $hilbertTotal")
+  }
+
+  test("hilbert_key expression matches the kernel and masks high bits") {
+    import spark.implicits._
+    val bits = 6
+    val df = (0L until 500L).map(i => (i, i * 37 % 97, i * 91 % 64))
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        graft.functions.exprs.hilbert_key(col("a"), col("b"), bits)
+          .as("h"))
+      .as[(Long, Long)].collect().toMap
+    (0L until 500L).foreach { i =>
+      val want = graft.functions.HilbertKernel.xy2d(bits, i * 37 % 97,
+        i * 91 % 64)
+      assert(got(i) == want, s"id $i")
+    }
+    // masking: adding 2^bits multiples to a dimension changes nothing
+    assert(graft.functions.HilbertKernel.xy2d(bits, 5 + (1L << bits) * 3, 9) ==
+      graft.functions.HilbertKernel.xy2d(bits, 5, 9))
+  }
 }
