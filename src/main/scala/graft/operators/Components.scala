@@ -680,11 +680,15 @@ object Components {
     * Scale shape per round: two hash joins of the edge list against
     * the (node, comp) labeling + a `min_by` partial-aggregated argmax
     * per component (never a window over edges) + a star-CC
-    * ([[connectedComponentsStar]], O(log²) its own rounds) over the
-    * ≤ V−1 forest edges — forest state is node-proportional, never
-    * edge-proportional. Checkpoint hygiene bounds live generations
-    * (forest + labels) per round; the empty-choice exit costs one
-    * `isEmpty` scalar.
+    * ([[connectedComponentsStar]], O(log²) its own rounds) over THIS
+    * ROUND'S COMPONENT-LEVEL merge graph — ≤ one edge per surviving
+    * component, shrinking geometrically, never the accumulated forest
+    * (contracting at the component level is what keeps late rounds
+    * from re-resolving every path built so far). The forest append is
+    * a bare union: a chosen edge always crosses two components, so it
+    * can never duplicate a forest edge. Checkpoint hygiene bounds live
+    * generations (forest + labels) per round; the empty-choice exit
+    * costs one `isEmpty` scalar.
     *
     * Self-loops and NULL endpoints/weights drop up front. Isolated
     * nodes (no surviving edge) have no forest row — a forest is edges;
@@ -692,6 +696,12 @@ object Components {
     * (the [[dedupAssignments]] coalesce pattern).
     *
     * @return (id_a, id_b, weight), id_a < id_b — the MSF edge list */
+  /** Past this many merges in a Borůvka round, component contraction
+    * stays fully distributed; at or below it, the round's merge graph
+    * is union-found on the driver (≤ 2·cap rows of model state — the
+    * Packing-subtotal bound) and broadcast back. */
+  private[operators] val driverMergeCap = 4096L
+
   def minimumSpanningForest(edges: DataFrame, aCol: String, bCol: String,
       wCol: String, maxRounds: Int = 20): DataFrame = {
     require(maxRounds >= 1, "give Borůvka at least one round")
@@ -719,28 +729,80 @@ object Components {
         .join(labels.select(col("node").as("hi"), col("comp").as("__cb")),
           Seq("hi"))
         .filter(col("__ca") =!= col("__cb"))
+      // each component's minimum edge, with its COMPONENT pair riding
+      // along — the contraction happens at the component level below
       val chosen = cross
-        .select(col("__ca").as("__comp"), col("w"), col("lo"), col("hi"))
+        .select(col("__ca").as("__comp"), col("w"), col("lo"), col("hi"),
+          col("__ca"), col("__cb"))
         .unionByName(cross.select(col("__cb").as("__comp"), col("w"),
-          col("lo"), col("hi")))
+          col("lo"), col("hi"), col("__ca"), col("__cb")))
         .groupBy(col("__comp"))
-        .agg(min_by(struct(col("lo"), col("hi"), col("w")),
+        .agg(min_by(struct(col("lo"), col("hi"), col("w"),
+            col("__ca"), col("__cb")),
           struct(col("w"), col("lo"), col("hi"))).as("e"))
         .select(col("e.lo").as("lo"), col("e.hi").as("hi"),
-          col("e.w").as("w"))
+          col("e.w").as("w"), col("e.__ca").as("__ca"),
+          col("e.__cb").as("__cb"))
         .distinct()
-      if (chosen.isEmpty) {
+      // read thrice (count, forest append, merge graph) → materialize
+      val (chosenM, chCkpt) = CheckpointHygiene.checkpointTracked(
+        chosen, eager = true)
+      val nChosen = chosenM.count()
+      if (nChosen == 0) {
+        CheckpointHygiene.free(chCkpt)
         done = true
       } else {
+        // a chosen edge always CROSSES components, so it can never
+        // duplicate a forest edge — bare union, no distinct shuffle
         val (nextForest, fc) = CheckpointHygiene.checkpointTracked(
-          forest.unionByName(chosen).distinct(), eager = true)
-        val cc = connectedComponentsStar(nextForest, "lo", "hi")
+          forest.unionByName(chosenM.select("lo", "hi", "w")), eager = true)
+        // contract the COMPONENT-level merge graph (<= 1 edge per
+        // surviving component — geometrically shrinking), then map old
+        // component labels through, never re-resolving the full forest.
+        // Merge counts shrink geometrically, so most rounds fit the
+        // driver cap: a union-find over <= driverMergeCap comp pairs
+        // (bounded model state, the Packing-subtotal convention)
+        // replaces a whole star-CC sub-loop of Spark jobs — late
+        // Borůvka rounds are scheduling-bound, not data-bound. Rounds
+        // above the cap (the early ones on a big graph) stay fully
+        // distributed.
+        val merged: DataFrame =
+          if (nChosen <= driverMergeCap) {
+            val mergeRows = chosenM.select(col("__ca"), col("__cb"))
+              .collect()
+            val parent = scala.collection.mutable.HashMap[Any, Any]()
+            def find(x: Any): Any = {
+              val p = parent.getOrElse(x, x)
+              if (p == x) x
+              else { val r = find(p); parent(x) = r; r }
+            }
+            mergeRows.foreach { r =>
+              val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+              if (ra != rb) parent(ra) = rb
+            }
+            val touched = mergeRows
+              .flatMap(r => Seq(r.get(0), r.get(1))).distinct
+            val dt = chosenM.schema("__ca").dataType
+            val spark = chosenM.sparkSession
+            // <= 2·cap rows: broadcast is safe by construction here —
+            // the distributed branch below must NOT broadcast (its
+            // merge map is component-proportional)
+            broadcast(spark.createDataFrame(
+              spark.sparkContext.parallelize(
+                touched.map(c =>
+                  org.apache.spark.sql.Row(c, find(c))).toSeq, 1),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("comp", dt),
+                org.apache.spark.sql.types.StructField("component", dt)))))
+          } else connectedComponentsStar(
+            chosenM.select(col("__ca"), col("__cb")), "__ca", "__cb")
+            .withColumnRenamed("id", "comp")
         val (nextLabels, lc) = CheckpointHygiene.checkpointTracked(
-          nodes.join(cc.withColumnRenamed("id", "node"), Seq("node"),
-              "left")
+          labels.join(merged, Seq("comp"), "left")
             .select(col("node"),
-              coalesce(col("component"), col("node")).as("comp")),
+              coalesce(col("component"), col("comp")).as("comp")),
           eager = true)
+        CheckpointHygiene.free(chCkpt)
         CheckpointHygiene.free(forestCkpt)
         CheckpointHygiene.free(labelsCkpt)
         forest = nextForest; forestCkpt = fc
