@@ -346,6 +346,11 @@ object SketchParams {
     val bits = 10; val aMod = 1024; val bMul = 37; val bMod = 1024
     val nBuckets = 16
   }
+  /** q150 dendrogram cut: single-linkage clustering read off the q148
+    * forest at this weight threshold. */
+  object q150 {
+    val cutWeight = 1L
+  }
   /** q146 mixture plan: target mixture weights (ppm, sum ≤ 1e6) per
     * language and the total token budget the plan must hit. */
   object q146 {
@@ -3666,7 +3671,41 @@ object OracleSql {
     * from [[SketchParams.q148]]; rounds over-unrolled past measured
     * convergence (identity once no cross edges remain). MATERIALIZED
     * CTEs keep DuckDB from re-inlining the edge scan per round. */
-  private def q148: String = {
+  private def q148: String = s"""
+    WITH RECURSIVE $boruvkaCtes
+    SELECT lo AS id_a, hi AS id_b, w AS weight
+    FROM forest${SketchParams.q148.rounds}"""
+
+  /** Dendrogram cut (q150): the [[boruvkaCtes]] forest filtered at the
+    * q150 threshold, one more recursive component resolution over the
+    * cut edges, every q148-graph node labeled (cut-loose nodes label
+    * themselves) — the SQL twin of `SparkEntry.q150DendrogramCut`. */
+  private def q150: String = s"""
+    WITH RECURSIVE $boruvkaCtes, cut AS (
+      SELECT lo, hi FROM forest${SketchParams.q148.rounds}
+      WHERE w <= ${SketchParams.q150.cutWeight}
+    ), csym AS MATERIALIZED (
+      SELECT DISTINCT s, d FROM (
+        SELECT lo AS s, hi AS d FROM cut
+        UNION ALL SELECT hi, lo FROM cut)
+    ), creach(id, rt) AS (
+      SELECT s, s FROM csym
+      UNION
+      SELECT re.id, e.d FROM creach re JOIN csym e ON re.rt = e.s
+    ), ccomp AS (
+      SELECT id, MIN(rt) AS component FROM creach GROUP BY id
+    )
+    SELECT n.node, COALESCE(c.component, n.node) AS cluster
+    FROM nodes n LEFT JOIN ccomp c ON n.node = c.id"""
+
+  /** Shared q148/q150 WITH-body: the reduced edge list + unrolled
+    * Borůvka rounds (forest0..forest{rounds}, lab0..lab{rounds}).
+    * Symmetrizations and the node list spell DISTINCT over UNION ALL,
+    * never bare UNION: inside WITH RECURSIVE DuckDB gives a two-arm
+    * UNION CTE recursive-style semantics and skips the cross-arm dedup
+    * (and SQL comments are unusable here — the driver flattens the
+    * statement to one line). */
+  private def boruvkaCtes: String = {
     val p = SketchParams.q148
     val rounds = (1 to p.rounds).map { r =>
       s"""cross$r AS MATERIALIZED (
@@ -3688,8 +3727,9 @@ object OracleSql {
         SELECT lo, hi, w FROM forest${r - 1}
         UNION ALL SELECT lo, hi, w FROM choice$r)
     ), sym$r AS MATERIALIZED (
-      SELECT lo AS s, hi AS d FROM forest$r
-      UNION SELECT hi, lo FROM forest$r
+      SELECT DISTINCT s, d FROM (
+        SELECT lo AS s, hi AS d FROM forest$r
+        UNION ALL SELECT hi, lo FROM forest$r)
     ), reach$r(id, rt) AS (
       SELECT s, s FROM sym$r
       UNION
@@ -3701,8 +3741,7 @@ object OracleSql {
         ON n.node = c.id
     )"""
     }.mkString(", ")
-    s"""
-    WITH RECURSIVE e0 AS MATERIALIZED (
+    s"""e0 AS MATERIALIZED (
       SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS w FROM (
         SELECT LEAST(l_suppkey*2, o_custkey*2+1) AS lo,
           GREATEST(l_suppkey*2, o_custkey*2+1) AS hi
@@ -3710,11 +3749,11 @@ object OracleSql {
         WHERE l_suppkey % ${p.suppMod} = 0 AND o_custkey % ${p.custMod} = 0)
       GROUP BY lo, hi
     ), nodes AS MATERIALIZED (
-      SELECT lo AS node FROM e0 UNION SELECT hi FROM e0
+      SELECT DISTINCT node FROM (
+        SELECT lo AS node FROM e0 UNION ALL SELECT hi FROM e0)
     ), forest0 AS (SELECT lo, hi, w FROM e0 WHERE FALSE),
     lab0 AS (SELECT node, node AS comp FROM nodes),
-    $rounds
-    SELECT lo AS id_a, hi AS id_b, w AS weight FROM forest${p.rounds}"""
+    $rounds"""
   }
 
   /** Hilbert layout key (q149): the per-level rotation recurrence as a
@@ -3977,6 +4016,7 @@ object OracleSql {
     "q147_dedup_report" -> q147,
     "q148_min_spanning_forest" -> q148,
     "q149_hilbert_layout" -> q149,
+    "q150_dendrogram_cut" -> q150,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -2651,16 +2651,53 @@ object SparkEntry {
     * the single-linkage dendrogram of the graph: cutting it at weight
     * t reproduces the t-threshold components for every t at once
     * (spec-pinned). Params from [[SketchParams.q148]]. */
-  def q148MinSpanningForest(s: SparkSession, dir: String): DataFrame = {
-    val p = SketchParams.q148
-    val e0 = t(s, dir, "lineitem")
+  def q148MinSpanningForest(s: SparkSession, dir: String): DataFrame =
+    q148Forest(s, dir)
+
+  /** The q148 forest is consumed by q148 itself AND q150's dendrogram
+    * cut, and Borůvka is an iterative multi-job subplan — so, exactly
+    * like the q133 labeling, each (session, dir) pair materializes it
+    * ONCE as an eager localCheckpoint and both queries scan the shared
+    * blocks (each query's ORACLE stays self-contained). */
+  private val msfMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def q148Forest(s: SparkSession, dir: String): DataFrame = {
+    msfMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    msfMemo.computeIfAbsent((s, dir), { _ =>
+      val p = SketchParams.q148
+      val e0 = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_suppkey") % p.suppMod === 0 &&
+          col("o_custkey") % p.custMod === 0)
+        .groupBy((col("l_suppkey") * 2L).as("a"),
+          (col("o_custkey") * 2L + 1L).as("b"))
+        .agg(count(lit(1)).as("w"))
+      operators.Components.minimumSpanningForest(e0, "a", "b", "w")
+        .localCheckpoint(true)
+    })
+  }
+
+  /** Dendrogram cut ([[q148MinSpanningForest]]'s payoff): drop forest
+    * edges above the weight threshold and resolve components — the
+    * EXACT cutWeight-threshold single-linkage clustering, read off the
+    * shared MSF without touching the original 2.4M-candidate edge
+    * list. Every node of the q148 graph gets a cluster id (nodes cut
+    * loose label themselves). Params from [[SketchParams.q150]]. */
+  def q150DendrogramCut(s: SparkSession, dir: String): DataFrame = {
+    val p148 = SketchParams.q148
+    val cut = q148Forest(s, dir)
+      .filter(col("weight") <= SketchParams.q150.cutWeight)
+    val nodes = t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_suppkey") % p.suppMod === 0 &&
-        col("o_custkey") % p.custMod === 0)
-      .groupBy((col("l_suppkey") * 2L).as("a"),
-        (col("o_custkey") * 2L + 1L).as("b"))
-      .agg(count(lit(1)).as("w"))
-    operators.Components.minimumSpanningForest(e0, "a", "b", "w")
+      .filter(col("l_suppkey") % p148.suppMod === 0 &&
+        col("o_custkey") % p148.custMod === 0)
+      .select(explode(array((col("l_suppkey") * 2L),
+        (col("o_custkey") * 2L + 1L))).as("node")).distinct()
+    nodes.join(
+        operators.Components.connectedComponentsStar(cut, "id_a", "id_b")
+          .withColumnRenamed("id", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node"))
+        .as("cluster"))
   }
 
   /** Hilbert-curve layout key ([[graft.operators.Layout.hilbertKey]]):
@@ -2832,7 +2869,8 @@ object SparkEntry {
     "q146_mixture_plan" -> (q146MixturePlan _),
     "q147_dedup_report" -> (q147DedupReport _),
     "q148_min_spanning_forest" -> (q148MinSpanningForest _),
-    "q149_hilbert_layout" -> (q149HilbertLayout _))
+    "q149_hilbert_layout" -> (q149HilbertLayout _),
+    "q150_dendrogram_cut" -> (q150DendrogramCut _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -528,12 +528,18 @@ class PlanQualitySpec extends AnyFunSuite {
       "q146: inventory must be a partial hash aggregation")
     val dplan = executed("q147_dedup_report")
     assert(!dplan.contains("CartesianProduct"), "q147 cartesians")
-    // q148: every Borůvka round is equi-keyed (edges⋈labels) with a
-    // min_by partial argmax — no cartesian, no window over edges
+    // q148/q150 share the memoized Borůvka forest (the q133 sharing
+    // pattern): q148's own plan must be a pure scan of that checkpoint
     val splan = executed("q148_min_spanning_forest")
     assert(!splan.contains("CartesianProduct"), "q148 cartesians")
-    assert(!splan.contains("Window"),
-      "q148: per-component argmax must be min_by, not a window sort")
+    assert(splan.contains("Scan ExistingRDD"),
+      "q148: expected a scan of the shared forest checkpoint")
+    assert(!splan.contains("Exchange"),
+      "q148: the shared forest re-shuffled — sharing defeated")
+    val cplan = executed("q150_dendrogram_cut")
+    assert(!cplan.contains("CartesianProduct"), "q150 cartesians")
+    assert(!cplan.contains("Window"),
+      "q150: no window anywhere in the cut resolution")
   }
 
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
