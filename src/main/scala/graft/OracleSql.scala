@@ -346,6 +346,13 @@ object SketchParams {
     val bits = 10; val aMod = 1024; val bMul = 37; val bMod = 1024
     val nBuckets = 16
   }
+  /** q151 containment join: n-gram size, directed containment
+    * threshold, corpus slice. The near-dup corpus's truncated variants
+    * are PREFIXES of their originals, so variant→original containment
+    * is exactly 1.0 — the subset case Jaccard misses. */
+  object q151 {
+    val ngram = 3; val threshold = 0.9; val corpusMod = 5
+  }
   /** q150 dendrogram cut: single-linkage clustering read off the q148
     * forest at this weight threshold. */
   object q150 {
@@ -3778,6 +3785,37 @@ object OracleSql {
     FROM h${p.bits}"""
   }
 
+  /** Containment join (q151): the posting-count arithmetic of q32/q144
+    * with the DIRECTED |A∩B|/|A| measure, both orientations from one
+    * pair aggregation — the SQL twin of `Dedup.containmentJoin`.
+    * Generated from [[SketchParams.q151]]. */
+  private def q151: String = {
+    val p = SketchParams.q151
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
+    ), filtered AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM corpus WHERE doc_id % ${p.corpusMod} = 0
+    ), sh AS (
+      SELECT doc_id, ${shingleSql(p.ngram)} AS gset FROM filtered
+    ), posting AS (
+      SELECT doc_id, g, len(gset) AS n FROM sh, unnest(gset) AS t(g)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        COUNT(*) AS c, MIN(a.n) AS n_a, MIN(b.n) AS n_b
+      FROM posting a JOIN posting b ON a.g = b.g
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, containment FROM (
+      SELECT id_a, id_b, CAST(c AS DOUBLE) / n_a AS containment
+      FROM pairs
+      UNION ALL
+      SELECT id_b AS id_a, id_a AS id_b, CAST(c AS DOUBLE) / n_b
+      FROM pairs)
+    WHERE containment >= ${p.threshold}"""
+  }
+
   val all: Map[String, String] = Map(
     "q58_cube" -> q58,
     "q59_array_ops" -> q59,
@@ -4017,6 +4055,7 @@ object OracleSql {
     "q148_min_spanning_forest" -> q148,
     "q149_hilbert_layout" -> q149,
     "q150_dendrogram_cut" -> q150,
+    "q151_containment_join" -> q151,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

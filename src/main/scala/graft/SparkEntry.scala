@@ -2719,6 +2719,19 @@ object SparkEntry {
           .cast("long"))
   }
 
+  /** Directed n-gram containment join
+    * ([[graft.operators.Dedup.containmentJoin]]): "A is mostly inside
+    * B" over the near-dup corpus slice — the truncated variants are
+    * PREFIXES of their originals, so every variant→original row scores
+    * exactly 1.0 (the subset case Jaccard structurally misses). Params
+    * from [[SketchParams.q151]]. */
+  def q151ContainmentJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q151
+    Dedup.containmentJoin(
+      nearDupCorpus(s, dir).filter(col("doc_id") % p.corpusMod === 0),
+      "text", "doc_id", ngram = p.ngram, threshold = p.threshold)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2870,7 +2883,8 @@ object SparkEntry {
     "q147_dedup_report" -> (q147DedupReport _),
     "q148_min_spanning_forest" -> (q148MinSpanningForest _),
     "q149_hilbert_layout" -> (q149HilbertLayout _),
-    "q150_dendrogram_cut" -> (q150DendrogramCut _))
+    "q150_dendrogram_cut" -> (q150DendrogramCut _),
+    "q151_containment_join" -> (q151ContainmentJoin _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -498,6 +498,62 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
+  /** Exact n-gram CONTAINMENT join — the DIRECTED companion of
+    * [[ngramJaccardJoin]]: C(A→B) = |A∩B| / |A| over distinct shingle
+    * sets, the "is A mostly inside B" measure (Broder 1997's
+    * containment, the resemblance/containment pair). Jaccard misses
+    * subset relationships by construction — a tweet quoted inside an
+    * article has tiny Jaccard but containment ≈ 1 — and
+    * subset-shaped duplication (quotes, boilerplate wrappers, chunk
+    * re-expansions, training-set leakage of short items into long
+    * pages) is exactly what a curation pass needs to see. Both
+    * directions of every co-occurring pair are evaluated from ONE
+    * posting aggregation (c, |A|, |B| ride the same row).
+    *
+    * Scale shape: identical to [[ngramJaccardJoin]] — inverted-index
+    * posting self-join (|A∩B| = the pair's co-occurrence count,
+    * sizes window-counted per doc), same `maxDf` cap for viral
+    * shingles (containment is then exact over the retained space),
+    * same quadratic-posting honesty note: this is the exact tool;
+    * MinHash-LSH remains the sweep.
+    *
+    * @return DIRECTED rows (id_a, id_b, containment): shingles of
+    *         id_a are contained in id_b at ≥ `threshold`; a mutual
+    *         near-identical pair yields both rows */
+  def containmentJoin(
+      docs: DataFrame, textCol: String, idCol: String,
+      ngram: Int = 3, threshold: Double = 0.9,
+      maxDf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleHashSet(docs, textCol, idCol, ngram)
+      .localCheckpoint(false)
+    val posting0 = sh.select(col("doc"), explode_outer(col("sh")).as("g"))
+    val posting = maxDf match {
+      case Some(cap) =>
+        val keep = posting0.groupBy(col("g"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select(col("g"))
+        posting0.join(keep, Seq("g"), "left_semi")
+      case None => posting0
+    }
+    val sized = posting.withColumn("n",
+      count(lit(1)).over(Window.partitionBy(col("doc"))))
+    val pairs = sized
+      .select(col("g"), col("doc").as("id_a"), col("n").as("n_a"))
+      .join(sized.select(col("g"), col("doc").as("id_b"),
+        col("n").as("n_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("c"), first("n_a").as("n_a"),
+        first("n_b").as("n_b"))
+    pairs.select(col("id_a"), col("id_b"),
+        (col("c").cast("double") / col("n_a")).as("containment"))
+      .unionByName(pairs.select(col("id_b").as("id_a"),
+        col("id_a").as("id_b"),
+        (col("c").cast("double") / col("n_b")).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Sketch-fidelity audit of the md5-MinHash-LSH candidate generator —
     * "measure, don't guess" applied to the sketch itself: compare the
     * PRE-VERIFY banded candidates of [[minhashLshPortable]] against the

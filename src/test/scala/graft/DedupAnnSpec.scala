@@ -235,4 +235,40 @@ class DedupAnnSpec extends AnyFunSuite {
     val weak = recallOf(8, 1)    // one 8-row band, 1 chance
     assert(strong >= weak, s"recall(16,8)=$strong < recall(8,1)=$weak")
   }
+
+  // ------------------------------------------------------ containment join
+
+  test("containmentJoin: hand case — directed subset scores 1.0 one way, " +
+      "|A∩B|/|B| the other; Jaccard would miss the subset") {
+    import spark.implicits._
+    // bigram shingles: A = {ab, bc, cd}; B = {ab, bc, cd, de, ef}
+    val d = Seq((1L, "a b c d"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val all = Dedup.containmentJoin(d, "text", "doc_id", ngram = 2,
+        threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(all((1L, 2L)) == 1.0)
+    assert(all((2L, 1L)) == 3.0 / 5.0)
+    // thresholded: only the contained direction survives
+    val t = Dedup.containmentJoin(d, "text", "doc_id", ngram = 2,
+        threshold = 0.8)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(t == Set((1L, 2L)))
+    // Jaccard at the same corpus: 3/5 — below any near-dup threshold,
+    // which is exactly why the directed measure exists
+    val j = Dedup.ngramJaccardJoin(d, "text", "doc_id", ngram = 2,
+      threshold = 0.7)
+    assert(j.count() == 0L)
+  }
+
+  test("containmentJoin: exact dups contain each other both ways at 1.0") {
+    val both = Dedup.containmentJoin(docs, "text", "doc_id", ngram = 3,
+        threshold = 1.0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    (0 until 5).foreach { i =>
+      assert(both.contains((i.toLong, 2000L + i)), s"dup $i missing ->")
+      assert(both.contains((2000L + i, i.toLong)), s"dup $i missing <-")
+    }
+  }
 }

@@ -540,6 +540,9 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!cplan.contains("CartesianProduct"), "q150 cartesians")
     assert(!cplan.contains("Window"),
       "q150: no window anywhere in the cut resolution")
+    // q151: inverted-index posting join — hash keys only, no cartesian
+    val jplan = executed("q151_containment_join")
+    assert(!jplan.contains("CartesianProduct"), "q151 cartesians")
   }
 
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
