@@ -545,6 +545,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!jplan.contains("CartesianProduct"), "q151 cartesians")
   }
 
+  test("r13 shared subplans: the q113 co-order edges and the q49 sketch " +
+      "pairs are memoized checkpoints — consumers scan, never recompute") {
+    // q113/q115/q118 share the co-occurrence edge build: each consumer's
+    // plan must read the edge list from the materialized blocks (the
+    // downstream triangle/coefficient/peel work still shuffles — the
+    // guard is that the EDGE BUILD's incidence joins are absent)
+    for (q <- Seq("q113_triangles", "q115_clustering_coeff", "q118_kcore")) {
+      val plan = executed(q)
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$q: expected a scan of the shared co-order edge checkpoint")
+      assert(!plan.contains("Scan parquet"),
+        s"$q: re-read base tables — the edge build was recomputed")
+    }
+    // q49 itself must be a PURE scan of the shared pair checkpoint
+    val p49 = executed("q49_minhash_oracle")
+    assert(p49.contains("Scan ExistingRDD"),
+      "q49: expected a scan of the shared sketch-pair checkpoint")
+    assert(!p49.contains("Exchange"),
+      "q49: the shared pair list re-shuffled — sharing defeated")
+    // the other four sketch consumers scan the checkpoint too (their
+    // own grading/clustering work remains, but no second sketch pass:
+    // a recomputed sketch would show the banding explode stage)
+    for (q <- Seq("q56_dedup_clusters", "q114_leakage_split",
+        "q119_dedup_eval", "q147_dedup_report")) {
+      val plan = executed(q)
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$q: expected a scan of the shared sketch-pair checkpoint")
+      assert(!plan.toLowerCase.contains("minhash"),
+        s"$q: sketch kernel present — the pair list was recomputed")
+    }
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
