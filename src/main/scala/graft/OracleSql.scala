@@ -352,6 +352,10 @@ object SketchParams {
     * is exactly 1.0 — the subset case Jaccard misses. */
   object q151 {
     val ngram = 3; val threshold = 0.9; val corpusMod = 5
+    /** Posting cap, mirrored in the oracle's df-filter CTE (so parity
+      * holds whether or not it binds); well above any df this corpus
+      * reaches, exercised as a binding cap in DedupAnnSpec. */
+    val maxDf = 1000
   }
   /** q150 dendrogram cut: single-linkage clustering read off the q148
     * forest at this weight threshold. */
@@ -3681,7 +3685,10 @@ object OracleSql {
   private def q148: String = s"""
     WITH RECURSIVE $boruvkaCtes
     SELECT lo AS id_a, hi AS id_b, w AS weight
-    FROM forest${SketchParams.q148.rounds}"""
+    FROM forest${SketchParams.q148.rounds}, exhausted
+    WHERE CASE WHEN exhausted.n = 0 THEN TRUE
+      ELSE error('q148 oracle: cross-component edges remain after the
+        unrolled rounds - raise SketchParams.q148.rounds') END"""
 
   /** Dendrogram cut (q150): the [[boruvkaCtes]] forest filtered at the
     * q150 threshold, one more recursive component resolution over the
@@ -3703,7 +3710,10 @@ object OracleSql {
       SELECT id, MIN(rt) AS component FROM creach GROUP BY id
     )
     SELECT n.node, COALESCE(c.component, n.node) AS cluster
-    FROM nodes n LEFT JOIN ccomp c ON n.node = c.id"""
+    FROM nodes n LEFT JOIN ccomp c ON n.node = c.id, exhausted
+    WHERE CASE WHEN exhausted.n = 0 THEN TRUE
+      ELSE error('q150 oracle: cross-component edges remain after the
+        unrolled rounds - raise SketchParams.q148.rounds') END"""
 
   /** Shared q148/q150 WITH-body: the reduced edge list + unrolled
     * Borůvka rounds (forest0..forest{rounds}, lab0..lab{rounds}).
@@ -3711,7 +3721,14 @@ object OracleSql {
     * never bare UNION: inside WITH RECURSIVE DuckDB gives a two-arm
     * UNION CTE recursive-style semantics and skips the cross-arm dedup
     * (and SQL comments are unusable here — the driver flattens the
-    * statement to one line). */
+    * statement to one line).
+    *
+    * The trailing `exhausted` CTE is the ADVICE-r12 exhaustion guard:
+    * the fixed unroll silently returns a PARTIAL forest if data or
+    * params ever push convergence past `rounds`, and the resulting
+    * parity failure would point at the (correct) Spark side — so both
+    * q148 and q150 gate their final SELECT on `exhausted.n = 0` and
+    * raise a DuckDB `error()` naming the real cause instead. */
   private def boruvkaCtes: String = {
     val p = SketchParams.q148
     val rounds = (1 to p.rounds).map { r =>
@@ -3760,7 +3777,12 @@ object OracleSql {
         SELECT lo AS node FROM e0 UNION ALL SELECT hi FROM e0)
     ), forest0 AS (SELECT lo, hi, w FROM e0 WHERE FALSE),
     lab0 AS (SELECT node, node AS comp FROM nodes),
-    $rounds"""
+    $rounds, exhausted AS MATERIALIZED (
+      SELECT COUNT(*) AS n FROM e0 e
+      JOIN lab${p.rounds} a ON e.lo = a.node
+      JOIN lab${p.rounds} b ON e.hi = b.node
+      WHERE a.comp != b.comp
+    )"""
   }
 
   /** Hilbert layout key (q149): the per-level rotation recurrence as a
@@ -3798,8 +3820,14 @@ object OracleSql {
       FROM corpus WHERE doc_id % ${p.corpusMod} = 0
     ), sh AS (
       SELECT doc_id, ${shingleSql(p.ngram)} AS gset FROM filtered
+    ), posting0 AS (
+      SELECT doc_id, g FROM sh, unnest(gset) AS t(g)
+    ), keep AS (
+      SELECT g FROM posting0 GROUP BY g HAVING COUNT(*) <= ${p.maxDf}
     ), posting AS (
-      SELECT doc_id, g, len(gset) AS n FROM sh, unnest(gset) AS t(g)
+      SELECT p.doc_id, p.g,
+        COUNT(*) OVER (PARTITION BY p.doc_id) AS n
+      FROM posting0 p JOIN keep USING (g)
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         COUNT(*) AS c, MIN(a.n) AS n_a, MIN(b.n) AS n_b

@@ -2786,7 +2786,8 @@ object SparkEntry {
     val p = SketchParams.q151
     Dedup.containmentJoin(
       nearDupCorpus(s, dir).filter(col("doc_id") % p.corpusMod === 0),
-      "text", "doc_id", ngram = p.ngram, threshold = p.threshold)
+      "text", "doc_id", ngram = p.ngram, threshold = p.threshold,
+      maxDf = Some(p.maxDf))
   }
 
   // ------------------------------------------------------------- contract

@@ -702,8 +702,15 @@ object Components {
     * Packing-subtotal bound) and broadcast back. */
   private[operators] val driverMergeCap = 4096L
 
+  /** `maxRounds` default: Borůvka halves (at least) the component
+    * count per round, so 64 covers any graph a 64-bit id space can
+    * hold (2⁶⁴ initial components); converged loops exit on the first
+    * empty choice, so the generous budget costs nothing — it exists
+    * only so a non-converging bug fails loudly instead of looping
+    * (ADVICE r12: the old 20 capped legitimate graphs at ~2²⁰
+    * components). */
   def minimumSpanningForest(edges: DataFrame, aCol: String, bCol: String,
-      wCol: String, maxRounds: Int = 20): DataFrame = {
+      wCol: String, maxRounds: Int = 64): DataFrame = {
     require(maxRounds >= 1, "give Borůvka at least one round")
     val (e0, e0Ckpt) = CheckpointHygiene.checkpointTracked(
       edges.select(least(col(aCol), col(bCol)).as("lo"),

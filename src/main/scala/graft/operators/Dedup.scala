@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default posting-list cap for [[containmentJoin]]: a shingle
+    * appearing in more than this many documents is treated as
+    * boilerplate and excluded from the containment arithmetic (the
+    * retained-space contract documented on the operator). 10k bounds
+    * any single shingle's posting self-join at ~10⁸ pairs — heavy but
+    * finite on a 1000-executor cluster — while sitting far above any
+    * df a genuinely distinctive shingle reaches. */
+  val DefaultContainmentMaxDf = 10000
+
   /** Exact dedup: group identical normalized texts, keep the minimum id.
     * One hash-partitioned aggregation; at scale, group on a 128-bit digest
     * of the text (not the text itself) to keep shuffle rows narrow. */
@@ -512,10 +521,21 @@ object Dedup {
     *
     * Scale shape: identical to [[ngramJaccardJoin]] — inverted-index
     * posting self-join (|A∩B| = the pair's co-occurrence count,
-    * sizes window-counted per doc), same `maxDf` cap for viral
-    * shingles (containment is then exact over the retained space),
+    * sizes window-counted per doc), `maxDf` cap for viral shingles,
     * same quadratic-posting honesty note: this is the exact tool;
     * MinHash-LSH remains the sweep.
+    *
+    * UNLIKE [[ngramJaccardJoin]], the cap here DEFAULTS ON
+    * ([[DefaultContainmentMaxDf]]) — containment's home turf is
+    * boilerplate-shaped duplication (quotes, wrappers, templates),
+    * exactly the corpora where a ubiquitous shingle turns the posting
+    * self-join quadratic, so the sharp edge must not be reachable by
+    * omission (ADVICE r12). With any cap, containment is EXACT OVER
+    * THE RETAINED SHINGLE SPACE (shingles with df ≤ cap; per-doc
+    * sizes re-counted after the cap — the [[lshFidelity]] contract):
+    * a doc made entirely of viral shingles simply drops out. Pass
+    * `maxDf = None` to opt INTO the uncapped full-space join when the
+    * corpus is known boilerplate-free.
     *
     * @return DIRECTED rows (id_a, id_b, containment): shingles of
     *         id_a are contained in id_b at ≥ `threshold`; a mutual
@@ -523,7 +543,7 @@ object Dedup {
   def containmentJoin(
       docs: DataFrame, textCol: String, idCol: String,
       ngram: Int = 3, threshold: Double = 0.9,
-      maxDf: Option[Int] = None): DataFrame = {
+      maxDf: Option[Int] = Some(DefaultContainmentMaxDf)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleHashSet(docs, textCol, idCol, ngram)
       .localCheckpoint(false)

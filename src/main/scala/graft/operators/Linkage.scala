@@ -392,8 +392,27 @@ object Linkage {
       .orderBy(col("__pid"))
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, -1)
+    // defensive invariant (ADVICE r12): the offset arithmetic assumes
+    // range partition ids are KEY-ORDERED (partition i's keys all sort
+    // before partition i+1's) AND that __pid was evaluated in the
+    // post-range-shuffle stage. Both hold today (range partitioner
+    // contract; pid is captured under the pid-partitioned window), but
+    // nothing downstream would fail loudly if an optimizer/AQE/
+    // exchange-reuse change ever broke either — so each partition's
+    // (key, id) span is checked against its predecessor's ON THE TINY
+    // PER-PARTITION FRAME (lag over one row per partition; overlapping
+    // spans also catch a moved pid capture), and a violation throws
+    // instead of silently corrupting every rank
     val offsets = local.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("__k"), col("id"))).as("__lo"),
+        max(struct(col("__k"), col("id"))).as("__hi"))
+      .withColumn("__prevHi", lag(col("__hi"), 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))))
+      .filter(assert_true(
+        col("__prevHi").isNull || col("__prevHi") < col("__lo"),
+        lit("sortedNeighborhood: range partition ids are not key-ordered " +
+          "— the global rank would be corrupt")).isNull)
       .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
       .select(col("__pid"), col("__off"))
     val ranked = local

@@ -261,6 +261,38 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(j.count() == 0L)
   }
 
+  test("containmentJoin: maxDf cap drops boilerplate shingles — retained-" +
+      "space containment on a template-heavy corpus (r13 default-safe)") {
+    import spark.implicits._
+    // every doc shares the same boilerplate wrapper (df = 4 for its
+    // shingles); docs 1/2 also share a distinctive payload, doc 3's
+    // payload is unique, doc 4 is boilerplate-ONLY
+    val d = Seq(
+      (1L, "terms apply see site for details alpha beta gamma"),
+      (2L, "terms apply see site for details alpha beta gamma"),
+      (3L, "terms apply see site for details delta epsilon zeta"),
+      (4L, "terms apply see site for details")).toDF("doc_id", "text")
+    // cap 3 excludes every df-4 boilerplate shingle; the retained space
+    // is the payload shingles only, so 1↔2 are mutual exact dups and
+    // NOTHING else pairs (uncapped, the shared wrapper would pull
+    // 3 and 4 into partial-containment pairs)
+    val capped = Dedup.containmentJoin(d, "text", "doc_id", ngram = 3,
+        threshold = 0.9, maxDf = Some(3))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(capped == Set((1L, 2L), (2L, 1L)), s"capped pairs: $capped")
+    // the uncapped opt-in sees the wrapper: boilerplate-only doc 4 is
+    // fully contained in every other doc
+    val uncapped = Dedup.containmentJoin(d, "text", "doc_id", ngram = 3,
+        threshold = 0.9, maxDf = None)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(Set((4L, 1L), (4L, 2L), (4L, 3L)).subsetOf(uncapped), uncapped)
+    // and the DEFAULT is capped (10k — non-binding here, but Some)
+    assert(Dedup.containmentJoin(d, "text", "doc_id", ngram = 3,
+      threshold = 0.9).collect().length == uncapped.size)
+  }
+
   test("containmentJoin: exact dups contain each other both ways at 1.0") {
     val both = Dedup.containmentJoin(docs, "text", "doc_id", ngram = 3,
         threshold = 1.0)
