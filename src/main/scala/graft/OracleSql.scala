@@ -362,6 +362,13 @@ object SketchParams {
   object q150 {
     val cutWeight = 1L
   }
+  /** q152 NN-Descent kNN graph: degree, descent rounds, quantization
+    * scale — small k keeps the oracle's per-round candidate unroll
+    * linear while still exercising capped reverse edges, co-neighbor
+    * candidate generation, and the bottom-k heap order. */
+  object q152 {
+    val k = 4; val rounds = 2; val scale = 1000
+  }
   /** q146 mixture plan: target mixture weights (ppm, sum ≤ 1e6) per
     * language and the total token budget the plan must hit. */
   object q146 {
@@ -3785,6 +3792,87 @@ object OracleSql {
     )"""
   }
 
+  /** NN-Descent kNN graph (q152): md5-ring init + the descent rounds
+    * unrolled as CTEs — per round, reverse edges capped at k by the
+    * heap order (d, CAST(nb AS VARCHAR)), co-neighbor candidate pairs
+    * from the capped adjacency self-join, each distinct pair scored
+    * once (integer squared L2 over floor-quantized vectors, the q92
+    * arithmetic), pooled with the previous graph, bottom-k per node —
+    * the SQL twin of `Ann.nnDescentPortable`. Generated from
+    * [[SketchParams.q152]]. */
+  private def q152: String = {
+    val p = SketchParams.q152
+    def sqd(a: String, b: String): String =
+      s"""CAST(list_sum(list_transform(generate_series(1, len($a)),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"""
+    val rounds = (1 to p.rounds).map { r =>
+      val prev = s"e${r - 1}"
+      s"""
+    ), rev$r AS (
+      SELECT id, nb FROM (
+        SELECT id, nb,
+          row_number() OVER (PARTITION BY id
+            ORDER BY d, CAST(nb AS VARCHAR)) AS rn
+        FROM (SELECT nb AS id, id AS nb, d FROM $prev))
+      WHERE rn <= ${p.k}
+    ), adj$r AS (
+      SELECT DISTINCT id, nb FROM (
+        SELECT id, nb FROM $prev UNION ALL SELECT id, nb FROM rev$r)
+    ), cand$r AS (
+      SELECT DISTINCT x.nb AS id, y.nb AS nb
+      FROM adj$r x JOIN adj$r y ON x.id = y.id AND x.nb < y.nb
+    ), sc$r AS (
+      SELECT c.id, c.nb, ${sqd("a.q", "b.q")} AS d
+      FROM cand$r c JOIN qv a ON c.id = a.vec_id
+        JOIN qv b ON c.nb = b.vec_id
+    ), e$r AS (
+      SELECT id, nb, d FROM (
+        SELECT id, nb, d,
+          row_number() OVER (PARTITION BY id
+            ORDER BY d, CAST(nb AS VARCHAR)) AS rn
+        FROM (
+          SELECT id, nb, MIN(d) AS d FROM (
+            SELECT id, nb, d FROM $prev
+            UNION ALL SELECT id, nb, d FROM sc$r
+            UNION ALL SELECT nb AS id, id AS nb, d FROM sc$r)
+          GROUP BY id, nb))
+      WHERE rn <= ${p.k}"""
+    }.mkString
+    s"""
+    WITH qv AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT)) AS q
+      FROM embeddings
+    ), ranked AS (
+      SELECT vec_id, row_number() OVER (ORDER BY
+        ('0x' || substr(md5(vec_id::VARCHAR || ':nnd'), 1, 15))::BIGINT,
+        vec_id) AS rn
+      FROM qv
+    ), nn AS (SELECT COUNT(*) AS n FROM ranked
+    ), init AS (
+      SELECT a.vec_id AS id, b.vec_id AS nb
+      FROM ranked a, generate_series(1, ${p.k}) AS g(j), nn, ranked b
+      WHERE b.rn = ((a.rn - 1 + g.j) % nn.n) + 1
+    ), e0 AS (
+      SELECT id, nb, d FROM (
+        SELECT id, nb, d,
+          row_number() OVER (PARTITION BY id
+            ORDER BY d, CAST(nb AS VARCHAR)) AS rn
+        FROM (
+          SELECT i.id, i.nb, ${sqd("a.q", "b.q")} AS d
+          FROM init i JOIN qv a ON i.id = a.vec_id
+            JOIN qv b ON i.nb = b.vec_id
+          WHERE i.id != i.nb))
+      WHERE rn <= ${p.k}$rounds
+    )
+    SELECT id, nb AS neighbor_id, CAST(rn AS BIGINT) AS rank, d FROM (
+      SELECT id, nb, d,
+        row_number() OVER (PARTITION BY id
+          ORDER BY d, CAST(nb AS VARCHAR)) AS rn
+      FROM e${p.rounds})"""
+  }
+
   /** Hilbert layout key (q149): the per-level rotation recurrence as a
     * CTE chain (linear — an inline expression would duplicate subtrees
     * exponentially), XOR spelled arithmetically on 0/1 bits — the SQL
@@ -4084,6 +4172,7 @@ object OracleSql {
     "q149_hilbert_layout" -> q149,
     "q150_dendrogram_cut" -> q150,
     "q151_containment_join" -> q151,
+    "q152_knn_graph" -> q152,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

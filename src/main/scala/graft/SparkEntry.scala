@@ -2790,6 +2790,20 @@ object SparkEntry {
       maxDf = Some(p.maxDf))
   }
 
+  /** NN-Descent kNN graph ([[graft.operators.Ann.nnDescentPortable]]):
+    * every embedding's k nearest neighbors at once — the graph that
+    * feeds single-linkage clustering (q148), semantic dedup (q81) and
+    * graph-ANN indexes — built by iterated co-neighbor candidate
+    * generation, never an all-pairs join. md5-ring init, capped
+    * reverse edges, integer squared-L2 over quantized vectors,
+    * BottomK heap order; the oracle replays init and both descent
+    * rounds as CTEs. Params from [[SketchParams.q152]]. */
+  def q152KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q152
+    Ann.nnDescentPortable(t(s, dir, "embeddings"), "embedding", "vec_id",
+      p.k, p.rounds, p.scale)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2942,7 +2956,8 @@ object SparkEntry {
     "q148_min_spanning_forest" -> (q148MinSpanningForest _),
     "q149_hilbert_layout" -> (q149HilbertLayout _),
     "q150_dendrogram_cut" -> (q150DendrogramCut _),
-    "q151_containment_join" -> (q151ContainmentJoin _))
+    "q151_containment_join" -> (q151ContainmentJoin _),
+    "q152_knn_graph" -> (q152KnnGraph _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

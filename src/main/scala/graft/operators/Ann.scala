@@ -771,4 +771,155 @@ object Ann {
     try loadCentroids(path)
     catch { case _: org.apache.spark.sql.AnalysisException =>
       val c = train; saveCentroids(c, path); c }
+
+  // ------------------------------------------------------------ kNN graph
+
+  /** k-nearest-neighbor GRAPH construction via NN-Descent (Dong,
+    * Moses & Li, WWW 2011, "Efficient k-nearest neighbor graph
+    * construction for generic similarity measures") — the backbone
+    * the per-query strategies above don't give: EVERY node's k nearest
+    * neighbors at once, the input single-linkage clustering
+    * ([[Components.minimumSpanningForest]]), SemDeDup-style semantic
+    * dedup, and graph-based ANN serving indexes are built from.
+    *
+    * The principle is "a neighbor of a neighbor is likely a
+    * neighbor": start from an arbitrary k-neighbor graph and
+    * iteratively offer every pair of co-neighbors (u, w ∈ B[v]) to
+    * each other, keeping each node's k best — converging in a handful
+    * of rounds regardless of metric. Expressed relationally, one
+    * round is: symmetrize the current graph (forward ∪ reverse
+    * edges, the reverse side CAPPED at k per node — Dong's reverse
+    * sampling, which is what bounds a hub node's quadratic candidate
+    * fan-out), self-join the capped adjacency on the pivot to emit
+    * co-neighbor pairs, score each DISTINCT new pair once, pool with
+    * the current edges, and take each node's bottom-k. No stage is
+    * ever all-pairs: per round the candidate join emits ≤ C(2k,2)
+    * pairs per (pivot, membership) — O(n·k²) scored pairs total —
+    * and the per-node heap is the bounded [[graft.functions.BottomK]]
+    * aggregate (constant state, partial-aggregation friendly), never
+    * a window sort. Each round's graph is an eager tracked
+    * checkpoint; previous generations are freed (the LPA/Borůvka
+    * hygiene), so lineage stays one round deep at any scale.
+    *
+    * Everything is ENGINE-PORTABLE in the q92 convention: vectors
+    * floor-quantize to BIGINT ([[quantizeVec]]), the metric is exact
+    * integer squared L2, heap order is (distance, neighbor-id AS
+    * STRING) — [[graft.functions.BottomK]]'s total order, which the
+    * q152 DuckDB twin replays with `ORDER BY d, CAST(nb AS VARCHAR)`
+    * round for round.
+    *
+    * Init: by default a deterministic md5-keyed ring — nodes are
+    * ranked by (md5Long60(id·":nnd"), id) and node r's initial
+    * neighbors are ranks r+1..r+k (mod n) — a portable stand-in for
+    * random init that guarantees every node k distinct neighbors and
+    * a connected start. The ranking is ONE global row_number over
+    * (key, id) pairs (two narrow columns — acceptable once; at full
+    * 100 TB scale pass `init` instead, e.g. pairs from
+    * [[lshTopKPortable]] buckets or an IVF list self-join, and skip
+    * the global rank entirely: NN-Descent's convergence does not
+    * depend on the init's quality, only its degree).
+    *
+    * @param vecs   one row per vector: (idCol, vecCol); NULL vectors
+    *               are dropped
+    * @param k      neighbors per node (the graph degree)
+    * @param rounds NN-Descent iterations (2–4 converge in practice;
+    *               the operator is deterministic, so a fixed budget
+    *               is reproducible — there is no early-exit action
+    *               per round to pay)
+    * @param init   optional (id, nb) candidate edges replacing the
+    *               ring init; scored and capped to k like any round.
+    *               The init graph must CONNECT the corpus (or nearly):
+    *               co-neighbor candidates can never cross a connected
+    *               component, so a single-table LSH init — 16 disjoint
+    *               bucket cliques — traps the descent inside each
+    *               bucket forever (spec-demonstrated). Use TWO-plus
+    *               independent LSH tables unioned (different plane
+    *               sets overlap buckets into one component w.h.p.),
+    *               or union any sparse connected graph into the seed;
+    *               random init's real job in Dong et al. is exactly
+    *               this connectivity
+    * @return (id, neighbor_id, rank, d): rank 1..k ascending by
+    *         (d, neighbor-id-as-string), d the exact integer squared
+    *         L2 distance of the quantized vectors */
+  def nnDescentPortable(
+      vecs: DataFrame, vecCol: String, idCol: String,
+      k: Int, rounds: Int, scale: Int = 1000,
+      init: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 0, "rounds must be >= 0")
+    val idType = vecs.select(col(idCol)).schema.head.dataType
+    val (qvecs, qvCkpt) = CheckpointHygiene.checkpointTracked(
+      vecs.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("__vid"),
+          quantizeVec(col(vecCol), scale).as("__q")),
+      eager = true)
+    def sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d)
+    // score a distinct (id, nb) edge list: two equi-joins onto the
+    // quantized vectors, one exact BIGINT distance per edge
+    def score(edges: DataFrame): DataFrame = edges
+      .join(qvecs.select(col("__vid").as("id"), col("__q").as("__qa")),
+        Seq("id"))
+      .join(qvecs.select(col("__vid").as("nb"), col("__q").as("__qb")),
+        Seq("nb"))
+      .select(col("id"), col("nb"), sq(col("__qa"), col("__qb")).as("d"))
+    // per-node bottom-k of a (id, nb, d) pool by (d, nb-as-string) —
+    // the bounded heap, exploded back to edge rows
+    def topK(pool: DataFrame): DataFrame = pool
+      .groupBy(col("id"), col("nb")).agg(min(col("d")).as("d"))
+      .groupBy(col("id"))
+      .agg(graft.functions.BottomK.bottom_k(col("d"),
+        col("nb").cast("string"), k).as("__top"))
+      .select(col("id"), posexplode(col("__top")))
+      .select(col("id"), col("col.value").cast(idType).as("nb"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.key").as("d"))
+    val init0 = init.getOrElse {
+      // md5 ring: rank by (portable hash, id), neighbor j = rank+j mod n
+      val ranked = qvecs.select(col("__vid"))
+        .withColumn("__key", graft.functions.PortableHash.md5Long60(
+          concat(col("__vid").cast("string"), lit(":nnd"))))
+        .withColumn("__rn", row_number().over(
+          Window.orderBy(col("__key"), col("__vid"))).cast("long"))
+        .select(col("__vid"), col("__rn"))
+      val n = ranked.count()
+      require(n > k,
+        s"nnDescentPortable: need more than k=$k vectors, got $n")
+      ranked
+        .select(col("__vid").as("id"), col("__rn"),
+          explode(sequence(lit(1L), lit(k.toLong))).as("__j"))
+        .select(col("id"),
+          ((col("__rn") - 1L + col("__j")) % n + 1L).as("__rn2"))
+        .join(ranked.select(col("__vid").as("nb"),
+          col("__rn").as("__rn2")), Seq("__rn2"))
+        .select(col("id"), col("nb"))
+    }
+    var (nbrs, nbrsCkpt) = CheckpointHygiene.checkpointTracked(
+      topK(score(init0.filter(col("id") =!= col("nb")))), eager = true)
+    (0 until rounds).foreach { _ =>
+      val fwd = nbrs.select(col("id"), col("nb"))
+      // Dong's reverse sampling: at most k reverse edges per node, the
+      // best by the SAME total order — bounds hub fan-out at 2k
+      val rev = topK(nbrs.select(col("nb").as("id"), col("id").as("nb"),
+        col("d"))).select(col("id"), col("nb"))
+      val adj = fwd.unionByName(rev).distinct()
+      val cand = adj.as("x").join(adj.as("y"),
+          col("x.id") === col("y.id") && col("x.nb") < col("y.nb"))
+        .select(col("x.nb").as("id"), col("y.nb").as("nb"))
+        .distinct()
+      // score each distinct pair ONCE; both orientations share the row
+      val scored = score(cand)
+      val pool = nbrs.select(col("id"), col("nb"), col("d"))
+        .unionByName(scored)
+        .unionByName(scored.select(col("nb").as("id"),
+          col("id").as("nb"), col("d")))
+      val (next, nc) = CheckpointHygiene.checkpointTracked(
+        topK(pool), eager = true)
+      CheckpointHygiene.free(nbrsCkpt)
+      nbrs = next; nbrsCkpt = nc
+    }
+    CheckpointHygiene.free(qvCkpt)
+    nbrs.select(col("id"), col("nb").as("neighbor_id"), col("rank"),
+      col("d"))
+  }
 }
