@@ -369,6 +369,19 @@ object SketchParams {
   object q152 {
     val k = 4; val rounds = 2; val scale = 1000
   }
+  /** q153 BPE subword tokenization: the fixed, ordered merge table
+    * (common-English pairs over the corpus's a–z charset, with two
+    * chained second-level merges). Every pair has l ≠ r — the oracle
+    * replays application as a per-merge double string-replace over a
+    * delimiter-joined symbol string, which is EXACTLY the greedy
+    * leftmost-skip scan for non-self merges (self-merge runs need the
+    * kernel's skip semantics and are spec-gated instead; the
+    * generator enforces the constraint). */
+  object q153 {
+    val merges: Seq[(String, String)] = Seq(
+      ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+      ("e", "r"), ("o", "n"), ("r", "e"))
+  }
   /** q146 mixture plan: target mixture weights (ppm, sum ≤ 1e6) per
     * language and the total token budget the plan must hit. */
   object q146 {
@@ -3873,6 +3886,43 @@ object OracleSql {
       FROM e${p.rounds})"""
   }
 
+  /** BPE tokenization (q153): each word becomes '|'-delimited
+    * codepoint symbols ('|' is outside the corpus charset), each merge
+    * applies as a DOUBLE replace of '|l|r|' with '|lr|' — two passes
+    * make string replace's leftmost-non-overlapping scan equal to the
+    * kernel's greedy leftmost-skip scan, EXACTLY, for merges with
+    * l ≠ r (proved by exhaustive randomized comparison; self-merges
+    * genuinely differ and are excluded here, spec-gated instead) —
+    * the SQL twin of `TextAnalysis.bpeTokens`. Generated from
+    * [[SketchParams.q153]]. */
+  private def q153: String = {
+    val p = SketchParams.q153
+    require(p.merges.forall(m => m._1 != m._2),
+      "q153 oracle replays merges via string replace, which only " +
+        "matches greedy-skip semantics for non-self merges (l != r)")
+    require(p.merges.forall(m => !(m._1 + m._2).contains("|")),
+      "q153 oracle delimiter '|' must stay outside the symbol space")
+    val chain = p.merges.foldLeft("s0") { case (acc, (l, r)) =>
+      s"replace(replace($acc, '|$l|$r|', '|$l$r|'), '|$l|$r|', '|$l$r|')"
+    }
+    s"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(${normSql("text")}, ' ')) AS w
+      FROM documents
+    ), spelled AS (
+      SELECT doc_id,
+        '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s0
+      FROM words WHERE w != ''
+    ), seg AS (
+      SELECT doc_id, $chain AS s FROM spelled
+    ), toks AS (
+      SELECT doc_id, unnest(string_split(s, '|')) AS token FROM seg
+    )
+    SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM toks WHERE token != ''
+    GROUP BY token"""
+  }
+
   /** Hilbert layout key (q149): the per-level rotation recurrence as a
     * CTE chain (linear — an inline expression would duplicate subtrees
     * exponentially), XOR spelled arithmetically on 0/1 bits — the SQL
@@ -4173,6 +4223,7 @@ object OracleSql {
     "q150_dendrogram_cut" -> q150,
     "q151_containment_join" -> q151,
     "q152_knn_graph" -> q152,
+    "q153_bpe_tokens" -> q153,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -2804,6 +2804,22 @@ object SparkEntry {
       p.k, p.rounds, p.scale)
   }
 
+  /** BPE subword tokenization under a fixed merge table
+    * ([[graft.operators.TextAnalysis.bpeTokens]], real greedy merges —
+    * the exact counter behind the q21 `subwordCount` surrogate):
+    * corpus-wide token frequencies + document frequencies, the
+    * vocabulary report a tokenizer rollout is judged by. Segmentation
+    * is one codegen kernel call per document; the oracle replays every
+    * merge as a double string-replace over the delimiter-joined
+    * symbol stream. Params from [[SketchParams.q153]]. */
+  def q153BpeTokens(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.bpeTokens(
+        t(s, dir, "documents")
+          .select(col("doc_id"), normText(col("text")).as("text")),
+        "text", "doc_id", SketchParams.q153.merges)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("n_docs"))
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2957,7 +2973,8 @@ object SparkEntry {
     "q149_hilbert_layout" -> (q149HilbertLayout _),
     "q150_dendrogram_cut" -> (q150DendrogramCut _),
     "q151_containment_join" -> (q151ContainmentJoin _),
-    "q152_knn_graph" -> (q152KnnGraph _))
+    "q152_knn_graph" -> (q152KnnGraph _),
+    "q153_bpe_tokens" -> (q153BpeTokens _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

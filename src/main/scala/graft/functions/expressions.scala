@@ -238,6 +238,34 @@ case class PyTitle(child: Expression)
     copy(child = newChild)
 }
 
+/** Greedy BPE segmentation over a fixed merge table (see
+  * [[BpeKernel]]): the merge table is a compile-time constant of the
+  * expression, shipped once per codegen stage via `addReferenceObj`
+  * (not re-parsed per row), so tokenization stays inside whole-stage
+  * codegen like the fuzzy kernels. */
+case class BpeSegment(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_segment"
+
+  @transient private lazy val mergeArr: Array[Array[String]] =
+    merges.map(m => Array(m._1, m._2)).toArray
+
+  override protected def nullSafeEval(v: Any): Any =
+    BpeKernel.segmentUTF8(v.asInstanceOf[UTF8String], mergeArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", mergeArr,
+      "java.lang.String[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeKernel.segmentUTF8($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegment =
+    copy(child = newChild)
+}
+
 /** Column-level entry points + SQL registration. */
 object exprs {
   private def col(e: Expression): Column = Bridge.column(e)
@@ -262,6 +290,8 @@ object exprs {
   def hilbert_key(a: Column, b: Column, bits: Int): Column =
     col(HilbertKey(ex(a), ex(b), bits))
   def py_title(a: Column): Column = col(PyTitle(ex(a)))
+  def bpe_segment(text: Column, merges: Seq[(String, String)]): Column =
+    col(BpeSegment(ex(text), merges))
 
   /** Register `token_sort_ratio`, `indel_ratio`, `abn_valid` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

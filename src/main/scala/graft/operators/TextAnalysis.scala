@@ -814,4 +814,73 @@ object TextAnalysis {
       .select(col("grp").as(groupCol), col("item").as(itemCol),
         col("rrf_q"), col("fused_rank"))
   }
+
+  // ------------------------------------------------------------------ BPE
+
+  /** Subword token stream under a fixed BPE merge table
+    * ([[graft.functions.BpeKernel]]): one row per token occurrence,
+    * preserving the source row's id — the REAL token counter behind
+    * the [[subwordCount]] heuristic, feeding packing token budgets
+    * and mixture planning with exact counts. Segmentation is one
+    * codegen'd kernel call per row ([[graft.functions.BpeSegment]],
+    * merge table shipped once per stage); the explode is the only
+    * fan-out. Texts should be whitespace-normalized first (merges
+    * never cross the space-delimited word units). */
+  def bpeTokens(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = docs
+    .select(col(idCol).as("id"),
+      graft.functions.exprs.bpe_segment(col(textCol), merges).as("__seg"))
+    .select(col("id"), explode(split(col("__seg"), " ")).as("token"))
+    .filter(col("token") =!= "")
+
+  /** Learn a BPE merge table from a corpus — Sennrich et al. 2016
+    * TRAINING order: `numMerges` rounds, each taking the single most
+    * frequent adjacent symbol pair under the merges learned so far
+    * (ties broken (count DESC, left ASC, right ASC) — a total order,
+    * so training is deterministic and engine-independent).
+    *
+    * Scale shape: each round is ONE corpus pass — segment with the
+    * current table (codegen kernel), emit adjacent in-word symbol
+    * pairs (an index-zip transform, no self-join), and hash-aggregate
+    * pair counts partially; only the winning pair (one row) reaches
+    * the driver per round, the [[graft.operators.Ann
+    * .kmeansCentroidsPortable]] bounded-model-state convention. Cost
+    * is numMerges passes by construction — BPE training is inherently
+    * sequential in the merge order (each round's pair statistics
+    * depend on the previous merge). Train on a SAMPLE at 100 TB (any
+    * [[graft.operators.Sampling]] portable sample); apply the learned
+    * table everywhere via [[bpeTokens]]. */
+  def learnBpeMerges(docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      // words FIRST, then segment each word: pair statistics must never
+      // cross a word boundary, and the segmented full text flattens it
+      val words = docs
+        .select(explode(split(col(textCol), " ")).as("__w"))
+        .filter(col("__w") =!= "")
+      val best = words
+        .select(split(graft.functions.exprs.bpe_segment(col("__w"),
+          merges.toSeq), " ").as("__syms"))
+        .filter(size(col("__syms")) >= 2)
+        .select(explode(transform(
+          sequence(lit(0), size(col("__syms")) - 2),
+          i => struct(element_at(col("__syms"), i + 1).as("l"),
+            element_at(col("__syms"), i + 2).as("r")))).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        merges += ((best(0).getString(0), best(0).getString(1)))
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
 }
