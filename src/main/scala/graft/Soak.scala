@@ -17,6 +17,10 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val replicas = if (args.length > 0) args(0).toInt else 10
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // "chain" runs ONLY the minhash -> components -> leakage-split
+    // headline chain (the r13 100x soak target); default runs the full
+    // rotation (the 30x r10-r12 suite)
+    val mode = if (args.length > 2) args(2) else "full"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,6 +66,36 @@ object Soak {
         .filter(col("n") >= 2).count()
       println(s"[soak]   -> $clusters clusters of size >= 2")
       a
+    }
+
+    if (mode == "chain") {
+      // the headline 100 TB chain, end-to-end: the pair list and
+      // cluster assignments above, then the leakage-safe split over
+      // the SAME near-dup graph — every replica family must land in
+      // one split (the eval-contamination guard at scale)
+      val splitDf = timed("leakageSafeSplit (val 100 / test 100 permille)") {
+        val d = operators.Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+          "id_a", "id_b", valPermille = 100, testPermille = 100,
+          seed = 42, maxIter = 40).localCheckpoint(false)
+        d.count()
+        d
+      }
+      val split = splitDf.groupBy(col("split"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"[soak]   -> split sizes: $split")
+      // no near-dup family straddles a split: each cluster maps to ONE
+      // split value (the guard the operator exists for — checked at
+      // soak scale, not just in the spec)
+      val straddlers = assignments
+        .join(splitDf, col("id") === col("doc_id"))
+        .groupBy(col("keep_id"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") > 1).count()
+      println(s"[soak]   -> $straddlers clusters straddling splits")
+      require(straddlers == 0, s"leakage: $straddlers straddling clusters")
+      spark.stop()
+      return
     }
 
     // incremental screen: one replica's worth of docs (half near-dup of the

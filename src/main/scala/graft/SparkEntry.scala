@@ -2544,6 +2544,23 @@ object SparkEntry {
     * 82.05 (≥ 80 fuzzy accept, < 92 ⇒ medium) and 2400/35 ≈ 68.57
     * (< 80 ⇒ falls through, > 50 stub floor ⇒ adjudicated 95/medium). */
   def q141VariantCascade(s: SparkSession, dir: String): DataFrame = {
+    val (abr, crawl) = variantCorpus(s, dir)
+    pipeline.Pipeline.run(s, abr, crawl,
+        pipeline.Pipeline.Config(enableLlm = true))
+      .select(col("crawl_domain"), col("crawl_company_name"),
+        col("crawl_abn"), col("abr_abn"), col("abr_company_name"),
+        col("abr_entity_type"), col("abr_state"), col("abr_postcode"),
+        col("match_method"),
+        col("match_score").cast("double").as("match_score"),
+        col("match_confidence"))
+  }
+
+  /** The deterministic q141 variant corpus (abr dimension, crawl
+    * records) — shared with StreamingCascadeSpec's foreachBatch twin,
+    * which re-runs the SAME corpus through the SAME pipeline in
+    * micro-batches and asserts batch ≡ stream. */
+  private[graft] def variantCorpus(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val w1 = Seq("Kangaroo", "Bellbird", "Bluewren", "Ironwood",
       "Seagrass", "Westwind", "Rockpool", "Sandbank", "Moonrise",
       "Starfall", "Rainbird", "Firetail", "Banksias", "Woodland",
@@ -2587,14 +2604,7 @@ object SparkEntry {
           lit(null).cast("string").as("abn"), col("postcode"))))
         .as("v"))
       .select(col("v.*"))
-    pipeline.Pipeline.run(s, abr, crawl,
-        pipeline.Pipeline.Config(enableLlm = true))
-      .select(col("crawl_domain"), col("crawl_company_name"),
-        col("crawl_abn"), col("abr_abn"), col("abr_company_name"),
-        col("abr_entity_type"), col("abr_state"), col("abr_postcode"),
-        col("match_method"),
-        col("match_score").cast("double").as("match_score"),
-        col("match_confidence"))
+    (abr, crawl)
   }
 
   /** Sorted-neighborhood blocking

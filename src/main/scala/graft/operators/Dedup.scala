@@ -12,6 +12,62 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Candidate probability of MinHash-LSH banding at true Jaccard `s`
+    * — the S-curve P(candidate) = 1 − (1 − s^rows)^bands. */
+  def sCurve(bands: Int, rows: Int, s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** Optimal (bands, rows) for MinHash-LSH banding: enumerate every
+    * (b, r) with b·r ≤ `numHashesBudget` and pick the pair minimizing
+    * the S-curve's total error mass around the target `threshold` —
+    *
+    *   ∫₀ᵗ P(cand|s) ds  (false-positive mass: verify work wasted on
+    *                      below-threshold pairs)
+    * + `fnWeight` · ∫ₜ¹ (1 − P(cand|s)) ds  (false-negative mass:
+    *                      true near-dups the banding silently loses)
+    *
+    * integrated by a fixed 1000-point midpoint rule (deterministic —
+    * no RNG, no closed form needed). `fnWeight` defaults to 10:
+    * in a dedup sweep a lost duplicate is contamination that survives
+    * into training data, while a false candidate only costs one exact
+    * verify — the asymmetric pricing every curation pipeline
+    * implicitly uses. Ties break (fewer hashes used, fewer rows,
+    * fewer bands) — a total order, so the solver is deterministic.
+    *
+    * This is the TUNE side of the tune→measure loop: feed the chosen
+    * pair to [[minhashLshPortable]] / `SketchParams`, then audit the
+    * realized precision/recall on a corpus sample with
+    * [[lshFidelity]] — the S-curve is i.i.d.-permutation theory, the
+    * audit is the measured answer (q144). Pure driver-side
+    * arithmetic over ≤ budget·H(budget) candidate pairs — nothing
+    * distributed to optimize. */
+  def optimalBanding(threshold: Double, numHashesBudget: Int,
+      fnWeight: Double = 10.0): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      "threshold must be in (0, 1)")
+    require(numHashesBudget >= 1, "budget must be >= 1")
+    require(fnWeight >= 0.0, "fnWeight must be >= 0")
+    val grid = 1000
+    def objective(b: Int, r: Int): Double = {
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < grid) {
+        val s = (i + 0.5) / grid
+        val p = sCurve(b, r, s)
+        if (s < threshold) fp += p else fn += (1.0 - p)
+        i += 1
+      }
+      (fp + fnWeight * fn) / grid
+    }
+    val candidates = for {
+      r <- 1 to numHashesBudget
+      b <- 1 to numHashesBudget / r
+    } yield (objective(b, r), b * r, r, b)
+    val best = candidates.min
+    (best._4, best._3)
+  }
+
   /** Default posting-list cap for [[containmentJoin]]: a shingle
     * appearing in more than this many documents is treated as
     * boilerplate and excluded from the containment arithmetic (the

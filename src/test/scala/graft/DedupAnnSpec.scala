@@ -236,6 +236,44 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(strong >= weak, s"recall(16,8)=$strong < recall(8,1)=$weak")
   }
 
+  // ------------------------------------------------------- banding solver
+
+  test("optimalBanding: uses the budget, centers the S-curve near the " +
+      "threshold, and moves with it (r13)") {
+    val (b, r) = Dedup.optimalBanding(0.5, 16)
+    assert(b * r <= 16 && b * r > 8, s"($b,$r) wastes the budget")
+    // the S-curve's crossover (1/b)^(1/r) should land near the target
+    val cross = math.pow(1.0 / b, 1.0 / r)
+    assert(math.abs(cross - 0.5) < 0.25, s"crossover $cross for ($b,$r)")
+    // monotone response: a higher threshold needs more rows per band
+    // (sharper, right-shifted curve); a lower one needs fewer
+    val (_, rHigh) = Dedup.optimalBanding(0.9, 16)
+    val (_, rLow) = Dedup.optimalBanding(0.2, 16)
+    assert(rHigh >= r && r >= rLow, s"rows not monotone: $rLow, $r, $rHigh")
+    // weighting FNs higher can only push toward more-recall bandings
+    // (same or lower crossover)
+    val (b2, r2) = Dedup.optimalBanding(0.5, 16, fnWeight = 100.0)
+    assert(math.pow(1.0 / b2, 1.0 / r2) <= cross + 1e-9)
+  }
+
+  test("optimalBanding closes the q144 tune->measure loop: solver-chosen " +
+      "params at the SAME hash budget beat the deliberately-weak (2,4) " +
+      "banding's measured recall (r13)") {
+    val p = SketchParams.q144
+    def fidelity(numHashes: Int, bands: Int): (Double, Double) = {
+      val row = Dedup.lshFidelity(docs, "text", "doc_id", ngram = p.ngram,
+        numHashes = numHashes, bands = bands,
+        jaccardThreshold = p.jaccardThreshold).collect()(0)
+      (row.getAs[Double]("precision"), row.getAs[Double]("recall"))
+    }
+    val (bS, rS) = Dedup.optimalBanding(p.jaccardThreshold, p.numHashes)
+    assert(bS * rS <= p.numHashes, "solver exceeded the q144 budget")
+    val (_, weakRecall) = fidelity(p.numHashes, p.bands)
+    val (_, solvedRecall) = fidelity(bS * rS, bS)
+    assert(solvedRecall >= weakRecall,
+      s"solver ($bS,$rS) recall $solvedRecall < q144's (2,4) $weakRecall")
+  }
+
   // ------------------------------------------------------ containment join
 
   test("containmentJoin: hand case — directed subset scores 1.0 one way, " +

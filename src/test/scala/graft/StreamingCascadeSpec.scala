@@ -45,4 +45,53 @@ class StreamingCascadeSpec extends AnyFunSuite {
         ("c.com.au", "83914571673", "rule_based_abn", "high")))
     } finally q.stop()
   }
+
+  test("the FULL q141 variant-corpus cascade (clean -> rule -> residue " +
+      "-> blocked fuzzy -> LLM stub -> union) through foreachBatch " +
+      "equals its batch twin row-for-row (r13)") {
+    val dir = "/root/testdata/sf0.001"
+    val (abr, crawl) = SparkEntry.variantCorpus(spark, dir)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("crawl_domain", "crawl_company_name", "abr_abn",
+        "match_method", "match_score", "match_confidence")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), String.valueOf(r.get(4)), r.getString(5)))
+      .toSet
+    val batch = shape(graft.pipeline.Pipeline.run(spark, abr, crawl,
+      graft.pipeline.Pipeline.Config(enableLlm = true)))
+    assert(batch.nonEmpty, "batch cascade produced nothing")
+
+    // stream the crawl side in TWO micro-batches; each batch runs the
+    // IDENTICAL pipeline against the static abr dimension — the
+    // incremental-ingest twin of the flagship query
+    val tmp = java.nio.file.Files.createTempDirectory("stream-q141")
+    val crawlRows = crawl.cache()
+    val half = crawlRows.count() / 2
+    crawlRows.filter(col("postcode").cast("long") % 2 === 0)
+      .write.parquet(tmp.resolve("b0").toString)
+    crawlRows.filter(col("postcode").cast("long") % 2 === 1)
+      .write.parquet(tmp.resolve("b1").toString)
+    val schema = crawl.schema
+    val streamed = scala.collection.mutable.Set
+      .empty[(String, String, String, String, String, String)]
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString + "/*")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        streamed.synchronized {
+          streamed ++= shape(graft.pipeline.Pipeline.run(spark, abr, b,
+            graft.pipeline.Pipeline.Config(enableLlm = true)))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    crawlRows.unpersist()
+    assert(half > 0)
+    assert(streamed.toSet == batch,
+      s"stream/batch diverge: only-stream=${(streamed.toSet -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
 }
