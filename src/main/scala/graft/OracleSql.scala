@@ -369,6 +369,16 @@ object SketchParams {
   object q152 {
     val k = 4; val rounds = 2; val scale = 1000
   }
+  /** q154 semantic single-linkage clustering: the q152 kNN graph fed
+    * through the q148 Borůvka scaffold and cut at this squared-L2
+    * weight (≈ the 10–25th percentile of kNN edge weights at both
+    * sf0.01 and sf0.1) — exact distance-threshold semantic dedup
+    * clusters, read off the dendrogram. `rounds` over-unrolls past
+    * measured convergence; the scaffold's `exhausted` guard errors
+    * if it ever stops being enough. */
+  object q154 {
+    val cutWeight = 1550000L; val rounds = 10
+  }
   /** q153 BPE subword tokenization: the fixed, ordered merge table
     * (common-English pairs over the corpus's a–z charset, with two
     * chained second-level merges). Every pair has l ≠ r — the oracle
@@ -3751,7 +3761,21 @@ object OracleSql {
     * raise a DuckDB `error()` naming the real cause instead. */
   private def boruvkaCtes: String = {
     val p = SketchParams.q148
-    val rounds = (1 to p.rounds).map { r =>
+    boruvkaScaffold(s"""
+      SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT LEAST(l_suppkey*2, o_custkey*2+1) AS lo,
+          GREATEST(l_suppkey*2, o_custkey*2+1) AS hi
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_suppkey % ${p.suppMod} = 0 AND o_custkey % ${p.custMod} = 0)
+      GROUP BY lo, hi""", p.rounds)
+  }
+
+  /** The Borůvka round unroll over an ARBITRARY (lo, hi, w) edge-list
+    * SQL body — shared by the q148/q150 supplier graph and q154's kNN
+    * graph. Emits `e0`/`nodes`/`forest0..{rounds}`/`lab0..{rounds}` +
+    * the `exhausted` guard; the caller's WITH must be RECURSIVE. */
+  private def boruvkaScaffold(e0Body: String, nRounds: Int): String = {
+    val rounds = (1 to nRounds).map { r =>
       s"""cross$r AS MATERIALIZED (
       SELECT a.comp AS ca, b.comp AS cb, e.w, e.lo, e.hi
       FROM e0 e JOIN lab${r - 1} a ON e.lo = a.node
@@ -3785,13 +3809,7 @@ object OracleSql {
         ON n.node = c.id
     )"""
     }.mkString(", ")
-    s"""e0 AS MATERIALIZED (
-      SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS w FROM (
-        SELECT LEAST(l_suppkey*2, o_custkey*2+1) AS lo,
-          GREATEST(l_suppkey*2, o_custkey*2+1) AS hi
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        WHERE l_suppkey % ${p.suppMod} = 0 AND o_custkey % ${p.custMod} = 0)
-      GROUP BY lo, hi
+    s"""e0 AS MATERIALIZED ($e0Body
     ), nodes AS MATERIALIZED (
       SELECT DISTINCT node FROM (
         SELECT lo AS node FROM e0 UNION ALL SELECT hi FROM e0)
@@ -3799,8 +3817,8 @@ object OracleSql {
     lab0 AS (SELECT node, node AS comp FROM nodes),
     $rounds, exhausted AS MATERIALIZED (
       SELECT COUNT(*) AS n FROM e0 e
-      JOIN lab${p.rounds} a ON e.lo = a.node
-      JOIN lab${p.rounds} b ON e.hi = b.node
+      JOIN lab$nRounds a ON e.lo = a.node
+      JOIN lab$nRounds b ON e.hi = b.node
       WHERE a.comp != b.comp
     )"""
   }
@@ -3812,33 +3830,38 @@ object OracleSql {
     * once (integer squared L2 over floor-quantized vectors, the q92
     * arithmetic), pooled with the previous graph, bottom-k per node —
     * the SQL twin of `Ann.nnDescentPortable`. Generated from
-    * [[SketchParams.q152]]. */
-  private def q152: String = {
+    * [[SketchParams.q152]]. Every CTE name takes the `px` prefix —
+    * reused verbatim (prefix "") by the q152 oracle and (prefix
+    * "knn") embedded inside q154's single-linkage pipeline; the final
+    * neighbor list is CTE `<px>e{rounds}` with columns (id, nb, d). */
+  private def q152Ctes(px: String): String = {
     val p = SketchParams.q152
     def sqd(a: String, b: String): String =
       s"""CAST(list_sum(list_transform(generate_series(1, len($a)),
           i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"""
     val rounds = (1 to p.rounds).map { r =>
-      val prev = s"e${r - 1}"
+      val prev = s"${px}e${r - 1}"
       s"""
-    ), rev$r AS (
+    ), ${px}rev$r AS (
       SELECT id, nb FROM (
         SELECT id, nb,
           row_number() OVER (PARTITION BY id
             ORDER BY d, CAST(nb AS VARCHAR)) AS rn
         FROM (SELECT nb AS id, id AS nb, d FROM $prev))
       WHERE rn <= ${p.k}
-    ), adj$r AS (
+    ), ${px}adj$r AS (
       SELECT DISTINCT id, nb FROM (
-        SELECT id, nb FROM $prev UNION ALL SELECT id, nb FROM rev$r)
-    ), cand$r AS (
+        SELECT id, nb FROM $prev
+        UNION ALL SELECT id, nb FROM ${px}rev$r)
+    ), ${px}cand$r AS (
       SELECT DISTINCT x.nb AS id, y.nb AS nb
-      FROM adj$r x JOIN adj$r y ON x.id = y.id AND x.nb < y.nb
-    ), sc$r AS (
+      FROM ${px}adj$r x JOIN ${px}adj$r y
+        ON x.id = y.id AND x.nb < y.nb
+    ), ${px}sc$r AS (
       SELECT c.id, c.nb, ${sqd("a.q", "b.q")} AS d
-      FROM cand$r c JOIN qv a ON c.id = a.vec_id
-        JOIN qv b ON c.nb = b.vec_id
-    ), e$r AS (
+      FROM ${px}cand$r c JOIN ${px}qv a ON c.id = a.vec_id
+        JOIN ${px}qv b ON c.nb = b.vec_id
+    ), ${px}e$r AS (
       SELECT id, nb, d FROM (
         SELECT id, nb, d,
           row_number() OVER (PARTITION BY id
@@ -3846,44 +3869,84 @@ object OracleSql {
         FROM (
           SELECT id, nb, MIN(d) AS d FROM (
             SELECT id, nb, d FROM $prev
-            UNION ALL SELECT id, nb, d FROM sc$r
-            UNION ALL SELECT nb AS id, id AS nb, d FROM sc$r)
+            UNION ALL SELECT id, nb, d FROM ${px}sc$r
+            UNION ALL SELECT nb AS id, id AS nb, d FROM ${px}sc$r)
           GROUP BY id, nb))
       WHERE rn <= ${p.k}"""
     }.mkString
-    s"""
-    WITH qv AS (
+    s"""${px}qv AS (
       SELECT vec_id,
         list_transform(embedding,
           x -> CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT)) AS q
       FROM embeddings
-    ), ranked AS (
+    ), ${px}ranked AS (
       SELECT vec_id, row_number() OVER (ORDER BY
         ('0x' || substr(md5(vec_id::VARCHAR || ':nnd'), 1, 15))::BIGINT,
         vec_id) AS rn
-      FROM qv
-    ), nn AS (SELECT COUNT(*) AS n FROM ranked
-    ), init AS (
+      FROM ${px}qv
+    ), ${px}nn AS (SELECT COUNT(*) AS n FROM ${px}ranked
+    ), ${px}init AS (
       SELECT a.vec_id AS id, b.vec_id AS nb
-      FROM ranked a, generate_series(1, ${p.k}) AS g(j), nn, ranked b
-      WHERE b.rn = ((a.rn - 1 + g.j) % nn.n) + 1
-    ), e0 AS (
+      FROM ${px}ranked a, generate_series(1, ${p.k}) AS g(j),
+        ${px}nn, ${px}ranked b
+      WHERE b.rn = ((a.rn - 1 + g.j) % ${px}nn.n) + 1
+    ), ${px}e0 AS (
       SELECT id, nb, d FROM (
         SELECT id, nb, d,
           row_number() OVER (PARTITION BY id
             ORDER BY d, CAST(nb AS VARCHAR)) AS rn
         FROM (
           SELECT i.id, i.nb, ${sqd("a.q", "b.q")} AS d
-          FROM init i JOIN qv a ON i.id = a.vec_id
-            JOIN qv b ON i.nb = b.vec_id
+          FROM ${px}init i JOIN ${px}qv a ON i.id = a.vec_id
+            JOIN ${px}qv b ON i.nb = b.vec_id
           WHERE i.id != i.nb))
       WHERE rn <= ${p.k}$rounds
-    )
+    )"""
+  }
+
+  private def q152: String = s"""
+    WITH ${q152Ctes("")}
     SELECT id, nb AS neighbor_id, CAST(rn AS BIGINT) AS rank, d FROM (
       SELECT id, nb, d,
         row_number() OVER (PARTITION BY id
           ORDER BY d, CAST(nb AS VARCHAR)) AS rn
-      FROM e${p.rounds})"""
+      FROM e${SketchParams.q152.rounds})"""
+
+  /** Semantic single-linkage clustering (q154): the COMPOSITION twin —
+    * the full q152 NN-Descent chain (prefix `knn`) builds the graph,
+    * its directed neighbor rows collapse to undirected min-weight
+    * edges, the shared [[boruvkaScaffold]] grows the MSF, and the
+    * q150-style cut + recursive resolution labels every vector — the
+    * SQL twin of `SparkEntry.q154SemanticLinkage`, hash-verifying the
+    * kNN-graph → dendrogram → threshold-clusters pipeline end-to-end.
+    * Generated from [[SketchParams.q152]]/[[SketchParams.q154]]. */
+  private def q154: String = {
+    val p = SketchParams.q154
+    val knnEdges = s"""
+      SELECT lo, hi, MIN(d) AS w FROM (
+        SELECT LEAST(id, nb) AS lo, GREATEST(id, nb) AS hi, d
+        FROM knne${SketchParams.q152.rounds})
+      GROUP BY lo, hi"""
+    s"""
+    WITH RECURSIVE ${q152Ctes("knn")},
+    ${boruvkaScaffold(knnEdges, p.rounds)}, cut AS (
+      SELECT lo, hi FROM forest${p.rounds} WHERE w <= ${p.cutWeight}
+    ), csym AS MATERIALIZED (
+      SELECT DISTINCT s, d FROM (
+        SELECT lo AS s, hi AS d FROM cut
+        UNION ALL SELECT hi, lo FROM cut)
+    ), creach(id, rt) AS (
+      SELECT s, s FROM csym
+      UNION
+      SELECT re.id, e.d FROM creach re JOIN csym e ON re.rt = e.s
+    ), ccomp AS (
+      SELECT id, MIN(rt) AS component FROM creach GROUP BY id
+    )
+    SELECT n.node, COALESCE(c.component, n.node) AS cluster
+    FROM nodes n LEFT JOIN ccomp c ON n.node = c.id, exhausted
+    WHERE CASE WHEN exhausted.n = 0 THEN TRUE
+      ELSE error('q154 oracle: cross-component edges remain after the
+        unrolled rounds - raise SketchParams.q154.rounds') END"""
   }
 
   /** BPE tokenization (q153): each word becomes '|'-delimited
@@ -4224,6 +4287,7 @@ object OracleSql {
     "q151_containment_join" -> q151,
     "q152_knn_graph" -> q152,
     "q153_bpe_tokens" -> q153,
+    "q154_semantic_linkage" -> q154,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -2808,10 +2808,48 @@ object SparkEntry {
     * reverse edges, integer squared-L2 over quantized vectors,
     * BottomK heap order; the oracle replays init and both descent
     * rounds as CTEs. Params from [[SketchParams.q152]]. */
-  def q152KnnGraph(s: SparkSession, dir: String): DataFrame = {
-    val p = SketchParams.q152
-    Ann.nnDescentPortable(t(s, dir, "embeddings"), "embedding", "vec_id",
-      p.k, p.rounds, p.scale)
+  def q152KnnGraph(s: SparkSession, dir: String): DataFrame =
+    q152Graph(s, dir)
+
+  /** The NN-Descent graph is consumed by q152 itself AND q154's
+    * single-linkage clustering, and the descent is an iterative
+    * multi-job subplan — so it joins the memoized-checkpoint family
+    * ([[memoCheckpoint]]; the operator's own round checkpoints make
+    * the outer frame cheap to re-wrap). */
+  private val knnMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def q152Graph(s: SparkSession, dir: String): DataFrame =
+    memoCheckpoint(knnMemo, s, dir) {
+      val p = SketchParams.q152
+      Ann.nnDescentPortable(t(s, dir, "embeddings"), "embedding",
+        "vec_id", p.k, p.rounds, p.scale)
+    }
+
+  /** Semantic single-linkage clustering — the COMPOSITION payoff of
+    * q152 + q148: the kNN graph's directed neighbor rows collapse to
+    * undirected min-weight edges, [[graft.operators.Components
+    * .minimumSpanningForest]] grows the dendrogram, and the
+    * q150-style cut at [[SketchParams.q154]]'s squared-L2 threshold
+    * labels EVERY vector with its exact distance-threshold cluster —
+    * SemDeDup-style semantic dedup clusters without an all-pairs
+    * join anywhere in the chain (descent candidates + forest edges
+    * only). */
+  def q154SemanticLinkage(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q154
+    val knn = q152Graph(s, dir)
+    val edges = knn.select(
+        least(col("id"), col("neighbor_id")).as("a"),
+        greatest(col("id"), col("neighbor_id")).as("b"), col("d"))
+      .groupBy(col("a"), col("b")).agg(min(col("d")).as("w"))
+    val cut = operators.Components.minimumSpanningForest(
+        edges, "a", "b", "w")
+      .filter(col("weight") <= p.cutWeight)
+    knn.select(col("id").as("node")).distinct()
+      .join(operators.Components.connectedComponentsStar(cut,
+          "id_a", "id_b")
+        .withColumnRenamed("id", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node"))
+        .as("cluster"))
   }
 
   /** BPE subword tokenization under a fixed merge table
@@ -2984,7 +3022,8 @@ object SparkEntry {
     "q150_dendrogram_cut" -> (q150DendrogramCut _),
     "q151_containment_join" -> (q151ContainmentJoin _),
     "q152_knn_graph" -> (q152KnnGraph _),
-    "q153_bpe_tokens" -> (q153BpeTokens _))
+    "q153_bpe_tokens" -> (q153BpeTokens _),
+    "q154_semantic_linkage" -> (q154SemanticLinkage _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -87,6 +87,34 @@ class NnDescentSpec extends AnyFunSuite {
     }
   }
 
+  test("q154 composition: the MSF-cut clusters equal the connected " +
+      "components of the directly-thresholded kNN edges (the dendrogram " +
+      "identity, end-to-end on the real pipeline)") {
+    import graft.operators.Components
+    val p = SketchParams.q154
+    val viaDendrogram = SparkEntry
+      .queries("q154_semantic_linkage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // direct route: threshold the kNN edges FIRST, then components —
+    // no forest anywhere
+    val knn = SparkEntry.queries("q152_knn_graph")(spark, dir)
+    val under = knn.filter(col("d") <= p.cutWeight)
+      .select(least(col("id"), col("neighbor_id")).as("a"),
+        greatest(col("id"), col("neighbor_id")).as("b"))
+      .distinct()
+    val comp = Components.connectedComponentsStar(under, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val direct = knn.select(col("id")).distinct().collect()
+      .map(_.getLong(0)).map(n => n -> comp.getOrElse(n, n)).toMap
+    assert(viaDendrogram == direct,
+      s"dendrogram-cut and direct-threshold clusterings diverge on " +
+        s"${viaDendrogram.toSet.diff(direct.toSet).take(3)}")
+    // and the clustering is non-trivial at this cut (real structure)
+    val sizes = viaDendrogram.values.groupBy(identity).map(_._2.size)
+    assert(sizes.exists(_ >= 3), "no cluster of size >= 3 at the cut")
+    assert(sizes.count(_ >= 2) >= 20, "almost no multi-member clusters")
+  }
+
   test("caller-supplied init replaces the ring (the no-global-rank scale " +
       "path): multi-table LSH seeding converges; a single table's " +
       "disjoint bucket cliques trap the descent — init must connect") {
