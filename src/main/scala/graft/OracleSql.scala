@@ -392,6 +392,11 @@ object SketchParams {
       ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
       ("e", "r"), ("o", "n"), ("r", "e"))
   }
+  /** q155 exact-BPE-budget packing: shard capacity in real subword
+    * tokens (the q153 table). */
+  object q155 {
+    val maxTokensPerShard = 2000L
+  }
   /** q146 mixture plan: target mixture weights (ppm, sum ≤ 1e6) per
     * language and the total token budget the plan must hit. */
   object q146 {
@@ -3958,7 +3963,10 @@ object OracleSql {
     * genuinely differ and are excluded here, spec-gated instead) —
     * the SQL twin of `TextAnalysis.bpeTokens`. Generated from
     * [[SketchParams.q153]]. */
-  private def q153: String = {
+  /** The q153 tokenization CTE block (words → spelled → seg → toks) —
+    * shared by the q153 vocabulary report and q155's exact-token-budget
+    * packing. */
+  private def q153Ctes: String = {
     val p = SketchParams.q153
     require(p.merges.forall(m => m._1 != m._2),
       "q153 oracle replays merges via string replace, which only " +
@@ -3968,8 +3976,7 @@ object OracleSql {
     val chain = p.merges.foldLeft("s0") { case (acc, (l, r)) =>
       s"replace(replace($acc, '|$l|$r|', '|$l$r|'), '|$l|$r|', '|$l$r|')"
     }
-    s"""
-    WITH words AS (
+    s"""words AS (
       SELECT doc_id, unnest(string_split(${normSql("text")}, ' ')) AS w
       FROM documents
     ), spelled AS (
@@ -3980,10 +3987,35 @@ object OracleSql {
       SELECT doc_id, $chain AS s FROM spelled
     ), toks AS (
       SELECT doc_id, unnest(string_split(s, '|')) AS token FROM seg
-    )
+    )"""
+  }
+
+  private def q153: String = s"""
+    WITH $q153Ctes
     SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
     FROM toks WHERE token != ''
     GROUP BY token"""
+
+  /** Exact-BPE-budget shard packing (q155): the q153 token stream
+    * counted per document, then the q78 running-offset/shard window —
+    * packing driven by the REAL tokenizer's counts instead of the
+    * whitespace surrogate, the budget contract a training run actually
+    * bills against. */
+  private def q155: String = {
+    val m = SketchParams.q155.maxTokensPerShard
+    s"""
+    WITH $q153Ctes, d AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM toks WHERE token != '' GROUP BY doc_id
+    ), c AS (
+      SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+          AS tok_offset
+      FROM d)
+    SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+      CAST(floor(tok_offset / $m.0) AS BIGINT) AS shard_id
+    FROM c"""
   }
 
   /** Hilbert layout key (q149): the per-level rotation recurrence as a
@@ -4288,6 +4320,7 @@ object OracleSql {
     "q152_knn_graph" -> q152,
     "q153_bpe_tokens" -> q153,
     "q154_semantic_linkage" -> q154,
+    "q155_bpe_pack" -> q155,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

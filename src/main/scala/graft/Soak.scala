@@ -200,6 +200,16 @@ object Soak {
     }
     println(s"[soak]   -> $nClusters of 1024 clusters populated")
 
+    // r13 shape: NN-Descent kNN graph on the replicated embeddings —
+    // per-round cost is O(n·k²) scored pairs by construction (capped
+    // reverse lists bound the hub fan-out), so the rounds should scale
+    // linearly with the corpus
+    val knnRows = timed("nnDescent kNN graph (k=4, 2 rounds)") {
+      operators.Ann.nnDescentPortable(embs, "embedding", "vec_id",
+        k = 4, rounds = 2).count()
+    }
+    println(s"[soak]   -> $knnRows kNN edges over $nVecs vectors")
+
     val topk = timed("quantized brute-force top-k (int8 domain, 8 queries)") {
       operators.Ann.quantizedTopK(embs, embs.filter(col("vec_id") < 8),
         "embedding", "vec_id", "vec_id", k = 10).count()

@@ -2868,6 +2868,24 @@ object SparkEntry {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("n_docs"))
 
+  /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
+    * closing its loop with q78's distributed prefix-sum packing: per-doc
+    * counts come from the real merge-table segmentation (one codegen
+    * kernel call + count, no surrogate), so the shard capacity is the
+    * budget a training run actually bills against. Params from
+    * [[SketchParams.q153]]/[[SketchParams.q155]]. */
+  def q155BpePack(s: SparkSession, dir: String): DataFrame = {
+    val counts = operators.TextAnalysis.bpeTokens(
+        t(s, dir, "documents")
+          .select(col("doc_id"), normText(col("text")).as("text")),
+        "text", "doc_id", SketchParams.q153.merges)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"))
+      .select(col("id").as("doc_id"), col("n_tokens"))
+    operators.Packing.assignShards(counts, "n_tokens", "doc_id",
+      SketchParams.q155.maxTokensPerShard)
+  }
+
   // ------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3023,7 +3041,8 @@ object SparkEntry {
     "q151_containment_join" -> (q151ContainmentJoin _),
     "q152_knn_graph" -> (q152KnnGraph _),
     "q153_bpe_tokens" -> (q153BpeTokens _),
-    "q154_semantic_linkage" -> (q154SemanticLinkage _))
+    "q154_semantic_linkage" -> (q154SemanticLinkage _),
+    "q155_bpe_pack" -> (q155BpePack _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

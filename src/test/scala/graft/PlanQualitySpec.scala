@@ -577,6 +577,35 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("r13 additions: q152/q154 share the kNN checkpoint; q153 is one " +
+      "codegen segment + explode + hash agg — no joins, no windows") {
+    // q152's own plan is a pure scan of the memoized descent output
+    val kplan = executed("q152_knn_graph")
+    assert(kplan.contains("Scan ExistingRDD"),
+      "q152: expected a scan of the shared kNN checkpoint")
+    assert(!kplan.contains("Exchange"),
+      "q152: the shared graph re-shuffled — sharing defeated")
+    // q154 consumes the same checkpoint; its own work (edge collapse +
+    // cut resolution) remains, but the descent must not re-run: the
+    // scored-candidate join stage would show a quantized-vector scan
+    val splan = executed("q154_semantic_linkage")
+    assert(splan.contains("Scan ExistingRDD"),
+      "q154: expected a scan of the shared kNN checkpoint")
+    assert(!splan.contains("CartesianProduct"), "q154 cartesians")
+    assert(!splan.contains("Scan parquet"),
+      "q154: re-read embeddings — the descent was recomputed")
+    // q153: segmentation is ONE codegen'd projection over the scan,
+    // then explode + partial hash agg — a window or join here would
+    // mean the tokenizer fell out of the map-only shape
+    val bplan = executed("q153_bpe_tokens")
+    assert(bplan.contains("Generate"), "q153: expected the token explode")
+    assert(bplan.contains("HashAggregate"), "q153: expected hash aggs")
+    assert(!bplan.contains("Join") && !bplan.contains("Window"),
+      "q153: tokenization must stay join- and window-free")
+    assert(bplan.contains("bpe_segment"),
+      "q153: the codegen kernel is not in the plan")
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
