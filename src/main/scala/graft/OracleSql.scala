@@ -397,6 +397,9 @@ object SketchParams {
   object q155 {
     val maxTokensPerShard = 2000L
   }
+  /** q156 MP4 header decode: no tunables — the fixture's brand/
+    * timescale/duration/resolution derivations live in the query and
+    * oracle bodies (the q108/q111 convention). */
   /** q146 mixture plan: target mixture weights (ppm, sum ≤ 1e6) per
     * language and the total token budget the plan must hit. */
   object q146 {
@@ -3996,6 +3999,146 @@ object OracleSql {
     FROM toks WHERE token != ''
     GROUP BY token"""
 
+  /** MP4 / ISO-BMFF decode (q156): rebuild the box trees in hex, then
+    * RE-WALK them — a recursive CTE over top-level boxes (hex
+    * positions; step = 2·size), one over moov children, one over trak
+    * children — and parse ftyp brand / mvhd timescale+duration / tkhd
+    * 16.16 width+height from the walked positions (both mvhd/tkhd
+    * versions handled, like the kernel). The q111 RIFF-walk pattern in
+    * big-endian. */
+  private def q156: String = {
+    val unity = "000100000000000000000000000000000001000000000000" +
+      "000000000000000040000000"
+    s"""
+    WITH RECURSIVE m AS (
+      SELECT doc_id,
+        ['69736F6D','6D703432','61766331'][CAST(doc_id % 3 AS INT) + 1]
+          AS brand,
+        CAST(doc_id % 13 AS INT) AS p,
+        [600,1000,90000,48000][CAST((doc_id // 3) % 4 AS INT) + 1] AS ts,
+        (doc_id % 100000) * 37 + 1 AS dur,
+        16 + doc_id % 3840 AS w,
+        16 + (doc_id * 3) % 2160 AS h
+      FROM documents
+    ), blob AS (
+      SELECT doc_id, CASE WHEN doc_id % 4 = 3
+        THEN lpad(hex(doc_id), 16, '0')
+        ELSE '0000001066747970' || brand || '00000200' ||
+          lpad(hex(p + 8), 8, '0') || '66726565' || repeat('00', p) ||
+          '000000D86D6F6F76' ||
+          '0000006C6D76686400000000' || '0000000000000000' ||
+          lpad(hex(ts), 8, '0') || lpad(hex(dur), 8, '0') ||
+          '000100000100' || '0000' || '0000000000000000' ||
+          '$unity' || repeat('0', 48) || '00000002' ||
+          '000000647472616B' ||
+          '0000005C746B686400000007' || '0000000000000000' ||
+          '00000001' || '00000000' || lpad(hex(dur), 8, '0') ||
+          '0000000000000000' || '00000000' || '00000000' ||
+          '$unity' ||
+          lpad(hex(w), 4, '0') || '0000' || lpad(hex(h), 4, '0') || '0000'
+        END AS hx
+      FROM m
+    ), twalk(doc_id, pos) AS (
+      SELECT doc_id, 1 FROM blob
+      UNION ALL
+      SELECT w.doc_id,
+        w.pos + 2 * CAST(('0x' || substr(b.hx, w.pos, 8))::BIGINT AS INT)
+      FROM twalk w JOIN blob b USING (doc_id)
+      WHERE w.pos + 16 <= len(b.hx)
+        AND ('0x' || substr(b.hx, w.pos, 8))::BIGINT >= 8
+        AND w.pos + 2 * ('0x' || substr(b.hx, w.pos, 8))::BIGINT
+          <= len(b.hx) + 1
+    ), tbox AS (
+      SELECT w.doc_id, w.pos,
+        ('0x' || substr(b.hx, w.pos, 8))::BIGINT AS size,
+        substr(b.hx, w.pos + 8, 8) AS typ
+      FROM twalk w JOIN blob b USING (doc_id)
+      WHERE w.pos + 16 <= len(b.hx)
+        AND ('0x' || substr(b.hx, w.pos, 8))::BIGINT >= 8
+    ), ftyp AS (
+      SELECT doc_id, MIN(pos) AS pos FROM tbox
+      WHERE typ = '66747970' GROUP BY doc_id
+    ), moov AS (
+      SELECT doc_id, MIN(pos) AS pos FROM tbox
+      WHERE typ = '6D6F6F76' GROUP BY doc_id
+    ), moovb AS (
+      SELECT t.doc_id, t.pos, t.size FROM tbox t
+      JOIN moov v ON t.doc_id = v.doc_id AND t.pos = v.pos
+    ), mwalk(doc_id, pos, fin) AS (
+      SELECT doc_id, pos + 16, pos + 2 * CAST(size AS INT) FROM moovb
+      UNION ALL
+      SELECT w.doc_id,
+        w.pos + 2 * CAST(('0x' || substr(b.hx, w.pos, 8))::BIGINT AS INT),
+        w.fin
+      FROM mwalk w JOIN blob b USING (doc_id)
+      WHERE w.pos + 16 <= w.fin
+        AND ('0x' || substr(b.hx, w.pos, 8))::BIGINT >= 8
+    ), mbox AS (
+      SELECT w.doc_id, w.pos, w.fin,
+        ('0x' || substr(b.hx, w.pos, 8))::BIGINT AS size,
+        substr(b.hx, w.pos + 8, 8) AS typ
+      FROM mwalk w JOIN blob b USING (doc_id)
+      WHERE w.pos + 16 <= w.fin
+    ), mvhd AS (
+      SELECT x.doc_id,
+        CASE WHEN substr(b.hx, x.pos + 16, 2) = '01'
+          THEN ('0x' || substr(b.hx, x.pos + 16 + 40, 8))::BIGINT
+          ELSE ('0x' || substr(b.hx, x.pos + 16 + 24, 8))::BIGINT END AS ts,
+        CASE WHEN substr(b.hx, x.pos + 16, 2) = '01'
+          THEN ('0x' || substr(b.hx, x.pos + 16 + 48, 16))::BIGINT
+          ELSE ('0x' || substr(b.hx, x.pos + 16 + 32, 8))::BIGINT END AS dur
+      FROM (SELECT doc_id, MIN(pos) AS pos FROM mbox
+            WHERE typ = '6D766864' GROUP BY doc_id) x
+      JOIN blob b USING (doc_id)
+    ), trak AS (
+      SELECT t.doc_id, t.pos, t.size FROM mbox t
+      JOIN (SELECT doc_id, MIN(pos) AS pos FROM mbox
+            WHERE typ = '7472616B' GROUP BY doc_id) x
+        ON t.doc_id = x.doc_id AND t.pos = x.pos
+    ), kwalk(doc_id, pos, fin) AS (
+      SELECT doc_id, pos + 16, pos + 2 * CAST(size AS INT) FROM trak
+      UNION ALL
+      SELECT w.doc_id,
+        w.pos + 2 * CAST(('0x' || substr(b.hx, w.pos, 8))::BIGINT AS INT),
+        w.fin
+      FROM kwalk w JOIN blob b USING (doc_id)
+      WHERE w.pos + 16 <= w.fin
+        AND ('0x' || substr(b.hx, w.pos, 8))::BIGINT >= 8
+    ), tkhd AS (
+      SELECT x.doc_id,
+        CASE WHEN substr(b.hx, x.pos + 16, 2) = '01'
+          THEN ('0x' || substr(b.hx, x.pos + 16 + 176, 4))::BIGINT
+          ELSE ('0x' || substr(b.hx, x.pos + 16 + 152, 4))::BIGINT END AS w,
+        CASE WHEN substr(b.hx, x.pos + 16, 2) = '01'
+          THEN ('0x' || substr(b.hx, x.pos + 16 + 184, 4))::BIGINT
+          ELSE ('0x' || substr(b.hx, x.pos + 16 + 160, 4))::BIGINT END AS h
+      FROM (SELECT w.doc_id, MIN(w.pos) AS pos FROM kwalk w
+            JOIN blob b USING (doc_id)
+            WHERE w.pos + 16 <= w.fin
+              AND substr(b.hx, w.pos + 8, 8) = '746B6864'
+            GROUP BY w.doc_id) x
+      JOIN blob b USING (doc_id)
+    ), iso AS (
+      SELECT doc_id FROM blob
+      WHERE substr(hx, 9, 8) IN
+        ('66747970','6D6F6F76','66726565','6D646174','77696465')
+    )
+    SELECT b.doc_id,
+      CASE WHEN i.doc_id IS NULL OR f.pos IS NULL THEN 'unknown'
+        ELSE decode(unhex(substr(b.hx, f.pos + 16, 8))) END AS brand,
+      CASE WHEN i.doc_id IS NULL OR v.ts IS NULL OR v.ts = 0 THEN -1
+        ELSE CAST(v.dur * 1000 // v.ts AS BIGINT) END AS duration_ms,
+      CAST(CASE WHEN i.doc_id IS NULL OR k.w IS NULL THEN -1
+        ELSE k.w END AS INT) AS width,
+      CAST(CASE WHEN i.doc_id IS NULL OR k.h IS NULL THEN -1
+        ELSE k.h END AS INT) AS height
+    FROM blob b
+    LEFT JOIN iso i USING (doc_id)
+    LEFT JOIN ftyp f USING (doc_id)
+    LEFT JOIN mvhd v USING (doc_id)
+    LEFT JOIN tkhd k USING (doc_id)"""
+  }
+
   /** Exact-BPE-budget shard packing (q155): the q153 token stream
     * counted per document, then the q78 running-offset/shard window —
     * packing driven by the REAL tokenizer's counts instead of the
@@ -4321,6 +4464,7 @@ object OracleSql {
     "q153_bpe_tokens" -> q153,
     "q154_semantic_linkage" -> q154,
     "q155_bpe_pack" -> q155,
+    "q156_mp4_meta" -> q156,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

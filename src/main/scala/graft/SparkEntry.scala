@@ -2868,6 +2868,59 @@ object SparkEntry {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("n_docs"))
 
+  /** Real MP4 / ISO-BMFF container decode over binary media columns
+    * ([[graft.functions.Mp4Kernel]]) — the VIDEO leg of the q108/q111
+    * header-gate family: per payload, major brand from `ftyp`, exact
+    * millisecond duration from `moov/mvhd` (integer floor division of
+    * timescale/duration), presentation width/height from the first
+    * `trak/tkhd` (16.16 fixed point). Payloads are synthesized box
+    * trees — ftyp + a VARIABLE-LENGTH `free` box (forcing a real box
+    * walk, not fixed offsets) + moov{mvhd, trak{tkhd}} — with one in
+    * four a garbage buffer (all fields -1/unknown). Map-only; the
+    * parser touches only box headers. Oracle: DuckDB rebuilds the
+    * trees and re-walks the top-level, moov-child and trak-child box
+    * lists with recursive CTEs. */
+  def q156Mp4Meta(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VideoHeader._
+    def be32(c: Column): Column = lpad(hex(c), 8, "0")
+    val unity = "000100000000000000000000000000000001000000000000" +
+      "000000000000000040000000" // 16.16 unity matrix, 36 bytes
+    val m = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("brand", element_at(
+        array(lit("69736F6D"), lit("6D703432"), lit("61766331")),
+        (col("doc_id") % 3).cast("int") + 1)) // isom / mp42 / avc1
+      .withColumn("p", (col("doc_id") % 13).cast("int"))
+      .withColumn("ts", element_at(
+        array(lit(600), lit(1000), lit(90000), lit(48000)),
+        (expr("doc_id div 3") % 4).cast("int") + 1))
+      .withColumn("dur", (col("doc_id") % 100000L) * 37L + 1L)
+      .withColumn("w", (lit(16) + col("doc_id") % 3840).cast("int"))
+      .withColumn("h", (lit(16) + (col("doc_id") * 3) % 2160).cast("int"))
+    val tkhd = concat(lit("0000005C746B686400000007"),
+      lit("0000000000000000"), lit("00000001"), lit("00000000"),
+      be32(col("dur")), lit("0000000000000000"), lit("00000000"),
+      lit("00000000"), lit(unity),
+      lpad(hex(col("w")), 4, "0"), lit("0000"),
+      lpad(hex(col("h")), 4, "0"), lit("0000"))
+    val mvhd = concat(lit("0000006C6D76686400000000"),
+      lit("0000000000000000"), be32(col("ts")), be32(col("dur")),
+      lit("000100000100"), lit("0000"), lit("0000000000000000"),
+      lit(unity), lit("0".repeat(48)), lit("00000002"))
+    val mp4Hex = concat(
+      lit("0000001066747970"), col("brand"), lit("00000200"),
+      be32(col("p") + 8), lit("66726565"), expr("repeat('00', p)"),
+      lit("000000D86D6F6F76"), mvhd,
+      lit("000000647472616B"), tkhd)
+    val hx = when(col("doc_id") % 4 === 3,
+      lpad(hex(col("doc_id")), 16, "0")).otherwise(mp4Hex)
+    m.select(col("doc_id"), unhex(hx).as("content"))
+      .select(col("doc_id"),
+        mp4Brand(col("content")).as("brand"),
+        mp4DurationMs(col("content")).as("duration_ms"),
+        mp4Width(col("content")).as("width"),
+        mp4Height(col("content")).as("height"))
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3042,7 +3095,8 @@ object SparkEntry {
     "q152_knn_graph" -> (q152KnnGraph _),
     "q153_bpe_tokens" -> (q153BpeTokens _),
     "q154_semantic_linkage" -> (q154SemanticLinkage _),
-    "q155_bpe_pack" -> (q155BpePack _))
+    "q155_bpe_pack" -> (q155BpePack _),
+    "q156_mp4_meta" -> (q156Mp4Meta _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -865,15 +865,22 @@ object Ann {
         Seq("nb"))
       .select(col("id"), col("nb"), sq(col("__qa"), col("__qb")).as("d"))
     // per-node bottom-k of a (id, nb, d) pool by (d, nb-as-string) —
-    // the bounded heap, exploded back to edge rows
-    def topK(pool: DataFrame): DataFrame = pool
-      .groupBy(col("id"), col("nb")).agg(min(col("d")).as("d"))
-      .groupBy(col("id"))
-      .agg(graft.functions.BottomK.bottom_k(col("d"),
-        col("nb").cast("string"), k).as("__top"))
-      .select(col("id"), posexplode(col("__top")))
-      .select(col("id"), col("col.value").cast(idType).as("nb"),
-        (col("pos") + 1).cast("long").as("rank"), col("col.key").as("d"))
+    // the bounded heap, exploded back to edge rows. The (id, nb) dedup
+    // pre-pass exists because duplicate pairs would occupy two heap
+    // slots; callers whose pool is already pair-unique (the reverse
+    // cap: reversing unique forward edges keeps them unique) skip that
+    // shuffle
+    def topK(pool: DataFrame, preDeduped: Boolean = false): DataFrame = {
+      val uniq =
+        if (preDeduped) pool
+        else pool.groupBy(col("id"), col("nb")).agg(min(col("d")).as("d"))
+      uniq.groupBy(col("id"))
+        .agg(graft.functions.BottomK.bottom_k(col("d"),
+          col("nb").cast("string"), k).as("__top"))
+        .select(col("id"), posexplode(col("__top")))
+        .select(col("id"), col("col.value").cast(idType).as("nb"),
+          (col("pos") + 1).cast("long").as("rank"), col("col.key").as("d"))
+    }
     val init0 = init.getOrElse {
       // md5 ring: rank by (portable hash, id), neighbor j = rank+j mod n
       val ranked = qvecs.select(col("__vid"))
@@ -901,7 +908,7 @@ object Ann {
       // Dong's reverse sampling: at most k reverse edges per node, the
       // best by the SAME total order — bounds hub fan-out at 2k
       val rev = topK(nbrs.select(col("nb").as("id"), col("id").as("nb"),
-        col("d"))).select(col("id"), col("nb"))
+        col("d")), preDeduped = true).select(col("id"), col("nb"))
       val adj = fwd.unionByName(rev).distinct()
       val cand = adj.as("x").join(adj.as("y"),
           col("x.id") === col("y.id") && col("x.nb") < col("y.nb"))
