@@ -397,6 +397,14 @@ object SketchParams {
   object q155 {
     val maxTokensPerShard = 2000L
   }
+  /** q157 incremental kNN graph probe: every `batchMod`-th vector is
+    * the arriving batch, the rest are the corpus with an existing
+    * q152-parameter kNN graph; seeding uses two `tablePlanes`-plane
+    * LSH tables (one 2·tablePlanes signature split low/high), then
+    * `expandRounds` neighbor-of-neighbor rounds against the graph. */
+  object q157 {
+    val batchMod = 10L; val expandRounds = 1; val tablePlanes = 4
+  }
   /** q156 MP4 header decode: no tunables — the fixture's brand/
     * timescale/duration/resolution derivations live in the query and
     * oracle bodies (the q108/q111 convention). */
@@ -3842,7 +3850,7 @@ object OracleSql {
     * reused verbatim (prefix "") by the q152 oracle and (prefix
     * "knn") embedded inside q154's single-linkage pipeline; the final
     * neighbor list is CTE `<px>e{rounds}` with columns (id, nb, d). */
-  private def q152Ctes(px: String): String = {
+  private def q152Ctes(px: String, where: String = "TRUE"): String = {
     val p = SketchParams.q152
     def sqd(a: String, b: String): String =
       s"""CAST(list_sum(list_transform(generate_series(1, len($a)),
@@ -3886,7 +3894,7 @@ object OracleSql {
       SELECT vec_id,
         list_transform(embedding,
           x -> CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT)) AS q
-      FROM embeddings
+      FROM embeddings WHERE $where
     ), ${px}ranked AS (
       SELECT vec_id, row_number() OVER (ORDER BY
         ('0x' || substr(md5(vec_id::VARCHAR || ':nnd'), 1, 15))::BIGINT,
@@ -3998,6 +4006,88 @@ object OracleSql {
     SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
     FROM toks WHERE token != ''
     GROUP BY token"""
+
+  /** Incremental kNN graph probe (q157): the q152 descent chain runs
+    * over the CORPUS slice (prefix `knn`, WHERE-filtered), the batch
+    * seeds via two LSH tables (the 8-plane q51-convention signature
+    * split into low/high nibbles), seed pairs score exactly, and one
+    * neighbor-of-neighbor expansion against the symmetrized graph
+    * re-heaps each batch node — the SQL twin of
+    * `Ann.knnGraphProbePortable`. Generated from
+    * [[SketchParams.q152]]/[[SketchParams.q157]]. */
+  private def q157: String = {
+    val p152 = SketchParams.q152
+    val p = SketchParams.q157
+    require(p.expandRounds == 1,
+      "the q157 oracle unrolls exactly one expansion round — keep " +
+        "SketchParams.q157.expandRounds in sync or extend the unroll")
+    val planes = 2 * p.tablePlanes
+    val tableDiv = 1L << p.tablePlanes
+    def sqd(a: String, b: String): String =
+      s"""CAST(list_sum(list_transform(generate_series(1, len($a)),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"""
+    val sigExpr = s"""
+      list_sum(list_transform(generate_series(0, ${planes - 1}), j ->
+        CASE WHEN list_sum(list_transform(
+            generate_series(1, len(embedding)), i ->
+          CAST(floor(CAST(embedding[i] AS DOUBLE) * ${p152.scale})
+            AS BIGINT) *
+          (CASE WHEN substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 1)
+            < '8' THEN 1 ELSE -1 END))) > 0
+        THEN (1::BIGINT << j) ELSE 0 END))"""
+    val heap = (src: String) => s"""
+      SELECT id, nb, d FROM (
+        SELECT id, nb, d,
+          row_number() OVER (PARTITION BY id
+            ORDER BY d, CAST(nb AS VARCHAR)) AS rn
+        FROM (SELECT id, nb, MIN(d) AS d FROM ($src) GROUP BY id, nb))
+      WHERE rn <= ${p152.k}"""
+    s"""
+    WITH ${q152Ctes("knn", s"vec_id % ${p.batchMod} != 0")}, bqv AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${p152.scale}) AS BIGINT))
+          AS q
+      FROM embeddings WHERE vec_id % ${p.batchMod} = 0
+    ), csig AS (
+      SELECT vec_id, $sigExpr AS sig
+      FROM embeddings WHERE vec_id % ${p.batchMod} != 0
+    ), bsig AS (
+      SELECT vec_id, $sigExpr AS sig
+      FROM embeddings WHERE vec_id % ${p.batchMod} = 0
+    ), seeds AS (
+      SELECT DISTINCT id, nb FROM (
+        SELECT b.vec_id AS id, c.vec_id AS nb
+        FROM bsig b JOIN csig c ON b.sig % $tableDiv = c.sig % $tableDiv
+        UNION ALL
+        SELECT b.vec_id, c.vec_id
+        FROM bsig b JOIN csig c
+          ON b.sig // $tableDiv = c.sig // $tableDiv)
+    ), s0 AS (
+      SELECT s.id, s.nb, ${sqd("b.q", "c.q")} AS d
+      FROM seeds s JOIN bqv b ON s.id = b.vec_id
+        JOIN knnqv c ON s.nb = c.vec_id
+    ), n0 AS (${heap("SELECT id, nb, d FROM s0")}
+    ), und AS (
+      SELECT DISTINCT c, c2 FROM (
+        SELECT id AS c, nb AS c2 FROM knne${p152.rounds}
+        UNION ALL SELECT nb, id FROM knne${p152.rounds})
+    ), cand AS (
+      SELECT DISTINCT n.id, u.c2 AS nb
+      FROM n0 n JOIN und u ON n.nb = u.c
+    ), s1 AS (
+      SELECT s.id, s.nb, ${sqd("b.q", "c.q")} AS d
+      FROM cand s JOIN bqv b ON s.id = b.vec_id
+        JOIN knnqv c ON s.nb = c.vec_id
+    ), n1 AS (${heap(
+      "SELECT id, nb, d FROM n0 UNION ALL SELECT id, nb, d FROM s1")}
+    )
+    SELECT id, nb AS neighbor_id, CAST(rn AS BIGINT) AS rank, d FROM (
+      SELECT id, nb, d,
+        row_number() OVER (PARTITION BY id
+          ORDER BY d, CAST(nb AS VARCHAR)) AS rn
+      FROM n1)"""
+  }
 
   /** MP4 / ISO-BMFF decode (q156): rebuild the box trees in hex, then
     * RE-WALK them — a recursive CTE over top-level boxes (hex
@@ -4465,6 +4555,7 @@ object OracleSql {
     "q154_semantic_linkage" -> q154,
     "q155_bpe_pack" -> q155,
     "q156_mp4_meta" -> q156,
+    "q157_knn_probe" -> q157,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -2921,6 +2921,26 @@ object SparkEntry {
         mp4Height(col("content")).as("height"))
   }
 
+  /** Incremental kNN graph probe
+    * ([[graft.operators.Ann.knnGraphProbePortable]]): every tenth
+    * vector arrives as a NEW batch against the existing q152-parameter
+    * descent graph over the rest — LSH-table seeding, exact scoring,
+    * one neighbor-of-neighbor expansion along graph edges — the
+    * batch-proportional ingest path that keeps the kNN backbone
+    * maintainable without re-running the descent. Params from
+    * [[SketchParams.q152]]/[[SketchParams.q157]]. */
+  def q157KnnProbe(s: SparkSession, dir: String): DataFrame = {
+    val p152 = SketchParams.q152
+    val p = SketchParams.q157
+    val emb = t(s, dir, "embeddings")
+    val old = emb.filter(col("vec_id") % p.batchMod =!= 0)
+    val batch = emb.filter(col("vec_id") % p.batchMod === 0)
+    val graph = Ann.nnDescentPortable(old, "embedding", "vec_id",
+      p152.k, p152.rounds, p152.scale)
+    Ann.knnGraphProbePortable(graph, old, batch, "embedding", "vec_id",
+      p152.k, p.expandRounds, p152.scale, p.tablePlanes)
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3096,7 +3116,8 @@ object SparkEntry {
     "q153_bpe_tokens" -> (q153BpeTokens _),
     "q154_semantic_linkage" -> (q154SemanticLinkage _),
     "q155_bpe_pack" -> (q155BpePack _),
-    "q156_mp4_meta" -> (q156Mp4Meta _))
+    "q156_mp4_meta" -> (q156Mp4Meta _),
+    "q157_knn_probe" -> (q157KnnProbe _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

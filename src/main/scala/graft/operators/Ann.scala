@@ -929,4 +929,109 @@ object Ann {
     nbrs.select(col("id"), col("nb").as("neighbor_id"), col("rank"),
       col("d"))
   }
+
+  /** Incremental kNN for NEW vectors by PROBING an existing
+    * [[nnDescentPortable]] graph — the serving/ingest path that keeps
+    * the kNN backbone maintainable at 100 TB: a batch of arrivals gets
+    * its approximate neighbors WITHOUT re-running the descent over the
+    * corpus. Cost shape is the [[graft.operators.Dedup
+    * .incrementalDedup]] contract: the corpus VECTOR table is only
+    * ever the probe side of broadcast joins (batch signatures, batch
+    * vectors, and the batch-scale pair frames are the broadcast
+    * sides), so corpus vectors never shuffle; the one corpus-shaped
+    * shuffle is the NARROW edge-list symmetrization (3 longs per
+    * edge). All iteration is batch-proportional.
+    *
+    * Two stages:
+    *   1. SEED — two independent hyperplane-LSH tables (low/high
+    *      nibble of one `2·tablePlanes`-plane [[portableSignature]];
+    *      two tables, because the q152 spec's connectivity lesson
+    *      applies to seeding coverage too) equi-join batch to corpus;
+    *      co-bucket pairs are scored exactly (integer squared L2) and
+    *      each batch node keeps its bottom-k.
+    *   2. EXPAND — `expandRounds` rounds of neighbor-of-neighbor
+    *      candidates against the EXISTING graph (both orientations),
+    *      scored once per distinct pair, pooled, re-heaped — the
+    *      NN-Descent step restricted to the batch side, so each round
+    *      costs O(|batch|·k·deg) scored pairs, never corpus². A batch
+    *      node seeded into the wrong neighborhood walks toward the
+    *      right one along graph edges.
+    *
+    * Heap order is the [[nnDescentPortable]] total order, so the q157
+    * DuckDB twin replays seeding, the expansion round, and every heap
+    * bit-for-bit.
+    *
+    * @param graph  existing kNN edges over `corpus`:
+    *               (id, neighbor_id, d) — [[nnDescentPortable]] output
+    * @return (id, neighbor_id, rank, d) for BATCH ids only; merge
+    *         with `graph` (and optionally re-heap affected corpus
+    *         nodes against the same scored pairs) to persist */
+  def knnGraphProbePortable(
+      graph: DataFrame, corpus: DataFrame, batch: DataFrame,
+      vecCol: String, idCol: String, k: Int, expandRounds: Int = 1,
+      scale: Int = 1000, tablePlanes: Int = 4): DataFrame = {
+    require(k >= 1 && expandRounds >= 0 && tablePlanes >= 1)
+    val idType = corpus.select(col(idCol)).schema.head.dataType
+    def prep(df: DataFrame): DataFrame = {
+      val dim = dimOf(df, vecCol)
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("__vid"),
+          quantizeVec(col(vecCol), scale).as("__q"),
+          portableSignature(col(vecCol), dim, 2 * tablePlanes, scale)
+            .as("__sig"))
+    }
+    val cPrep = prep(corpus)
+    val (bPrep, bCkpt) = CheckpointHygiene.checkpointTracked(
+      prep(batch), eager = true)
+    val mask = (1L << tablePlanes) - 1L
+    def table(df: DataFrame, t: Int): DataFrame = df.select(
+      col("__vid"),
+      (if (t == 0) col("__sig").bitwiseAND(mask)
+       else shiftright(col("__sig"), tablePlanes)).as("__b"))
+    val seeds = (0 to 1).map { t =>
+        broadcast(table(bPrep, t).select(col("__vid").as("id"),
+            col("__b")))
+          .join(table(cPrep, t).select(col("__vid").as("nb"), col("__b")),
+            Seq("__b"))
+          .select(col("id"), col("nb"))
+      }.reduce(_.unionByName(_)).distinct()
+    def sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d)
+    def score(pairs: DataFrame): DataFrame = broadcast(pairs
+      .join(broadcast(bPrep.select(col("__vid").as("id"),
+        col("__q").as("__qa"))), Seq("id")))
+      .join(cPrep.select(col("__vid").as("nb"), col("__q").as("__qb")),
+        Seq("nb"))
+      .select(col("id"), col("nb"), sq(col("__qa"), col("__qb")).as("d"))
+    def topK(pool: DataFrame): DataFrame = pool
+      .groupBy(col("id"), col("nb")).agg(min(col("d")).as("d"))
+      .groupBy(col("id"))
+      .agg(graft.functions.BottomK.bottom_k(col("d"),
+        col("nb").cast("string"), k).as("__top"))
+      .select(col("id"), posexplode(col("__top")))
+      .select(col("id"), col("col.value").cast(idType).as("nb"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.key").as("d"))
+    val und = graph.select(col("id").as("c"), col("neighbor_id").as("c2"))
+      .unionByName(graph.select(col("neighbor_id").as("c"),
+        col("id").as("c2")))
+      .distinct()
+    var (nbrs, nbrsCkpt) = CheckpointHygiene.checkpointTracked(
+      topK(score(seeds)), eager = true)
+    (0 until expandRounds).foreach { _ =>
+      val cand = nbrs.select(col("id"), col("nb").as("c"))
+        .join(und, Seq("c"))
+        .select(col("id"), col("c2").as("nb"))
+        .distinct()
+      val pool = nbrs.select(col("id"), col("nb"), col("d"))
+        .unionByName(score(cand))
+      val (next, nc) = CheckpointHygiene.checkpointTracked(
+        topK(pool), eager = true)
+      CheckpointHygiene.free(nbrsCkpt)
+      nbrs = next; nbrsCkpt = nc
+    }
+    CheckpointHygiene.free(bCkpt)
+    nbrs.select(col("id"), col("nb").as("neighbor_id"), col("rank"),
+      col("d"))
+  }
 }

@@ -87,6 +87,55 @@ class NnDescentSpec extends AnyFunSuite {
     }
   }
 
+  test("q157 incremental probe: batch arrivals recover most of their " +
+      "true corpus neighbors without re-running the descent; the " +
+      "graph-edge expansion beats seeding alone") {
+    import graft.operators.Ann
+    val all = Tables.load(spark, dir, "embeddings")
+    val old = all.filter(col("vec_id") % 10 =!= 0)
+    val batch = all.filter(col("vec_id") % 10 === 0)
+    // a converged working-degree-10 base graph (the operating point the
+    // ring-init test grades); the probe's expansion quality is bounded
+    // by the graph it walks
+    val k = 4
+    val graph = Ann.nnDescentPortable(old, "embedding", "vec_id",
+      10, 5, Scale)
+    def probe(rounds: Int): Set[(Long, Long)] =
+      Ann.knnGraphProbePortable(graph, old, batch, "embedding",
+          "vec_id", k, expandRounds = rounds, Scale)
+        .select(col("id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact batch->corpus kNN ground truth
+    val ov = old.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * Scale).cast("long")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val bv = batch.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * Scale).cast("long")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val gold = bv.keySet.flatMap { i =>
+      ov.keysIterator.map { j =>
+        val d = bv(i).lazyZip(ov(j)).map((a, b) => (a - b) * (a - b)).sum
+        (j, d)
+      }.toSeq.sortBy { case (j, d) => (d, j.toString) }
+        .take(k).map { case (j, _) => (i, j) }
+    }
+    def recall(g: Set[(Long, Long)]) =
+      g.intersect(gold).size.toDouble / gold.size
+    val seedOnly = recall(probe(0))
+    val expanded = recall(probe(2))
+    assert(expanded >= seedOnly,
+      s"expansion hurt recall: $seedOnly -> $expanded")
+    assert(expanded >= 0.5,
+      s"probe recall $expanded (seeding alone: $seedOnly)")
+    // every batch node that seeded got exactly k ranked neighbors
+    val rows = Ann.knnGraphProbePortable(graph, old, batch, "embedding",
+        "vec_id", k, 1, Scale)
+      .groupBy(col("id")).count().collect()
+    assert(rows.forall(_.getLong(1) == k), "ragged probe heaps")
+  }
+
   test("q154 composition: the MSF-cut clusters equal the connected " +
       "components of the directly-thresholded kNN edges (the dendrogram " +
       "identity, end-to-end on the real pipeline)") {
