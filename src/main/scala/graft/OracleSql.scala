@@ -408,6 +408,15 @@ object SketchParams {
   /** q156 MP4 header decode: no tunables — the fixture's brand/
     * timescale/duration/resolution derivations live in the query and
     * oracle bodies (the q108/q111 convention). */
+  /** q158 PQ-ADC product quantization: subspace count, per-subspace
+    * codebook size, Lloyd iterations (the q92 integer scaffold run once
+    * per subspace), quantization scale, embedding dim, top-k, query
+    * filter. Small m/ks keep the oracle's m unrolled trainings
+    * tractable; the recall-grade configuration runs in PqSpec. */
+  object q158 {
+    val m = 2; val ks = 4; val iters = 2; val scale = 1000
+    val dim = 64; val k = 10; val maxQueryId = 8
+  }
   /** q146 mixture plan: target mixture weights (ppm, sum ≤ 1e6) per
     * language and the total token budget the plan must hit. */
   object q146 {
@@ -3160,6 +3169,102 @@ object OracleSql {
     WHERE rank <= ${p.k}"""
   }
 
+  /** PQ-ADC compressed-domain ANN (q158): m independent sub-quantizer
+    * trainings — the q92 integer-Lloyd scaffold, prefix-parameterized so
+    * all m chains coexist in one WITH — then code assignment (nearest
+    * sub-centroid, ties to the lower index), per-query lookup tables of
+    * exact integer sub-distances, and the ADC scan as m equi-joins on
+    * the code columns summing LUT entries. Ranking replays the BottomK
+    * total order (approx_d ASC, id-as-string ASC). The SQL twin of
+    * `Ann.pqCodebooksPortable` + `Ann.pqTopK`; generated from
+    * [[SketchParams.q158]]. */
+  private def q158: String = {
+    val p = SketchParams.q158
+    val d = p.dim / p.m
+    def sqDistSql(q: String, c: String): String =
+      s"""list_sum(list_transform(generate_series(1, len($q)),
+          i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))"""
+    def lloyd(px: String): String = (1 to p.iters).map { n =>
+      val prev = s"${px}cent${n - 1}"
+      s"""
+    ), ${px}d$n AS (
+      SELECT c.vec_id, ct.ci, ${sqDistSql("c.q", "ct.cq")} AS d
+      FROM ${px}v c CROSS JOIN $prev ct
+    ), ${px}a$n AS (
+      SELECT vec_id, ci FROM (
+        SELECT vec_id, ci,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+        FROM ${px}d$n) WHERE rn = 1
+    ), ${px}s$n AS (
+      SELECT a.ci, t.i, SUM(c.q[t.i]) AS s, COUNT(*) AS n
+      FROM ${px}a$n a JOIN ${px}v c USING (vec_id),
+        unnest(generate_series(1, len(c.q))) AS t(i)
+      GROUP BY a.ci, t.i
+    ), ${px}u$n AS (
+      SELECT ci, list(fd ORDER BY i) AS cq FROM (
+        SELECT ci, i,
+          CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS fd
+        FROM ${px}s$n)
+      GROUP BY ci
+    ), ${px}cent$n AS (
+      SELECT c0.ci, COALESCE(u.cq, c0.cq) AS cq
+      FROM $prev c0 LEFT JOIN ${px}u$n u USING (ci)"""
+    }.mkString
+    def subspace(j: Int): String = {
+      val px = s"s${j}_"
+      s"""
+    ), ${px}v AS (
+      SELECT vec_id,
+        list_transform(generate_series(${j * d + 1}, ${(j + 1) * d}),
+          i -> q[i]) AS q
+      FROM cvecs
+    ), ${px}cent0 AS (
+      SELECT rn - 1 AS ci, cq FROM (
+        SELECT q AS cq, row_number() OVER (ORDER BY
+          ('0x' || substr(md5(vec_id::VARCHAR || ':ivf'), 1, 15))::BIGINT,
+          vec_id) AS rn
+        FROM ${px}v) WHERE rn <= ${p.ks}${lloyd(px)}
+    ), ${px}cd AS (
+      SELECT c.vec_id, ct.ci, ${sqDistSql("c.q", "ct.cq")} AS d
+      FROM ${px}v c CROSS JOIN ${px}cent${p.iters} ct
+    ), ${px}code AS (
+      SELECT vec_id, ci AS c FROM (
+        SELECT vec_id, ci,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+        FROM ${px}cd) WHERE rn = 1
+    ), ${px}lut AS (
+      SELECT vec_id AS query_id, ci, d FROM ${px}cd
+      WHERE vec_id < ${p.maxQueryId}"""
+    }
+    val codeJoins = (1 until p.m)
+      .map(j => s"JOIN s${j}_code c$j USING (vec_id)").mkString("\n        ")
+    val lutJoins = (0 until p.m).map { j =>
+      val qj = if (j == 0) "" else s" AND l$j.query_id = l0.query_id"
+      s"JOIN s${j}_lut l$j ON l$j.ci = c$j.c$qj"
+    }.mkString("\n        ")
+    val dSum = (0 until p.m).map(j => s"l$j.d").mkString(" + ")
+    s"""
+    WITH cvecs AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT)) AS q
+      FROM embeddings${(0 until p.m).map(subspace).mkString}
+    ), scored AS (
+      SELECT l0.query_id, c0.vec_id AS neighbor_id, $dSum AS approx_d
+      FROM s0_code c0
+        $codeJoins
+        $lutJoins
+      WHERE c0.vec_id <> l0.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+      CAST(approx_d AS BIGINT) AS approx_d FROM (
+      SELECT query_id, neighbor_id, approx_d,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY approx_d, CAST(neighbor_id AS VARCHAR)) AS rank
+      FROM scored)
+    WHERE rank <= ${p.k}"""
+  }
+
   /** Salted fuzzy join (q69): the oracle is the UNSALTED blocked join +
     * per-left-row argmax — the salt is an internal plan rewrite with
     * identical results by construction (same adjudication as q60's salted
@@ -4556,6 +4661,7 @@ object OracleSql {
     "q155_bpe_pack" -> q155,
     "q156_mp4_meta" -> q156,
     "q157_knn_probe" -> q157,
+    "q158_pq_topk" -> q158,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

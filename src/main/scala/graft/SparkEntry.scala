@@ -2941,6 +2941,23 @@ object SparkEntry {
       p152.k, p.expandRounds, p152.scale, p.tablePlanes)
   }
 
+  /** PQ-ADC compressed-domain ANN
+    * ([[graft.operators.Ann.pqCodebooksPortable]] +
+    * [[graft.operators.Ann.pqTopK]]): corpus vectors stored as m
+    * sub-centroid codes (m bytes vs 4·dim — the billion-scale memory
+    * story), queries scored by m lookup-table reads per candidate. The
+    * DuckDB oracle unrolls all m sub-quantizer trainings, the code
+    * assignment, the LUTs AND the ADC scan, so the whole compression
+    * pipeline — not just the ranking — is hash-verified. Params from
+    * [[SketchParams.q158]]. */
+  def q158PqTopk(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q158
+    val emb = t(s, dir, "embeddings")
+    Ann.pqTopK(emb, emb.filter(col("vec_id") < p.maxQueryId),
+      "embedding", "vec_id", "vec_id", k = p.k, m = p.m, ks = p.ks,
+      iters = p.iters, scale = p.scale)
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3117,7 +3134,8 @@ object SparkEntry {
     "q154_semantic_linkage" -> (q154SemanticLinkage _),
     "q155_bpe_pack" -> (q155BpePack _),
     "q156_mp4_meta" -> (q156Mp4Meta _),
-    "q157_knn_probe" -> (q157KnnProbe _))
+    "q157_knn_probe" -> (q157KnnProbe _),
+    "q158_pq_topk" -> (q158PqTopk _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

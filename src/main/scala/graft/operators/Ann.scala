@@ -611,6 +611,113 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "qdot")
   }
 
+  /** Product-quantization sub-codebooks (Jégou, Douze & Schmid 2011,
+    * TPAMI, "Product quantization for nearest neighbor search"): the
+    * vector space is split into `m` contiguous subspaces of dim/m
+    * coordinates and an INDEPENDENT `ks`-centroid quantizer is trained
+    * per subspace — reproduction values for the full space are the
+    * cartesian product (ks^m cells) at the training cost of m small
+    * codebooks. Training reuses [[kmeansCentroidsPortable]] verbatim on
+    * the sliced sub-vectors (md5-sampled init on the SAME sampled rows
+    * in every subspace — classic PQ trains all sub-quantizers on one
+    * sample — then integer-domain Lloyd refinement), so every codebook
+    * is engine-replayable and the q158 oracle unrolls all m trainings
+    * as CTE chains. Returns `m` codebooks of `ks` centroids each, in
+    * the quantized (×scale, floored) BIGINT domain. */
+  def pqCodebooksPortable(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int, ks: Int, iters: Int = 2, scale: Int = 1000): Seq[Seq[Seq[Long]]] = {
+    val dim = dimOf(corpus, vecCol)
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val d = dim / m
+    (0 until m).map { j =>
+      kmeansCentroidsPortable(
+        corpus.select(col(idCol).as("__id"),
+          slice(col(vecCol), j * d + 1, d).as("__sub")),
+        "__sub", "__id", ks, iters, scale)
+    }
+  }
+
+  /** PQ-ADC top-k — the compressed-domain linear scan of Jégou et al.
+    * 2011 §IV (asymmetric distance computation), the memory/bandwidth
+    * backbone of billion-scale ANN (FAISS `IndexPQ`): every corpus
+    * vector is stored as `m` sub-centroid CODES (m small ints ≈ m bytes
+    * instead of 4·dim float bytes — 32× compression at m=8/dim=64), a
+    * query precomputes one m×ks lookup table of exact integer squared-L2
+    * distances to every sub-centroid, and the approximate distance to a
+    * database vector is m TABLE LOOKUPS summed — no per-pair arithmetic
+    * over coordinates at all.
+    *
+    * Every step is exact BIGINT over floor-quantized coordinates
+    * (the [[ivfTopKPortable]] argument): sub-assignment ties go to the
+    * lower centroid index via the (distance, index) struct min, and the
+    * final ranking (approx_d ASC, neighbor-id-as-string ASC) is the
+    * [[graft.functions.BottomK]] total order the DuckDB twin replays —
+    * the codebooks, the codes, the LUT and the scan are ALL
+    * hash-verified (q158).
+    *
+    * Scale shape: codebooks are driver literals (m·ks·dim/m longs —
+    * KBs); encoding is one map over the corpus; the query side (LUTs
+    * included) is `broadcast()`; scoring is a map-only broadcast
+    * nested-loop scan of the CODES (never the raw vectors) with fan-out
+    * |queries|; top-k is the bounded BottomK heap with map-side partial
+    * aggregation, NOT a window sort — no shuffle anywhere scales with
+    * corpus × queries beyond the heap merge. Compose with the IVF list
+    * pruning of [[ivfTopKPortable]] (assign + probe on the coarse
+    * quantizer, then ADC-score only probed lists) when a linear code
+    * scan per query is still too much — the operators share the same
+    * integer domain by construction. */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String,
+      k: Int, m: Int = 2, ks: Int = 4, iters: Int = 2, scale: Int = 1000,
+      excludeSelf: Boolean = true,
+      codebooks: Option[Seq[Seq[Seq[Long]]]] = None): DataFrame = {
+    require(k > 0, "k must be positive")
+    val dim = dimOf(corpus, vecCol)
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val d = dim / m
+    val books = codebooks.getOrElse(
+      pqCodebooksPortable(corpus, vecCol, idCol, m, ks, iters, scale))
+    require(books.length == m && books.forall(_.length == ks),
+      "codebooks must be m × ks")
+    val idType = corpus.select(col(idCol)).schema.head.dataType
+    def sqDistLit(sub: Column, c: Seq[Long]): Column =
+      aggregate(zip_with(sub, typedlit(c), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, e) => acc + e)
+    def subOf(v: Column, j: Int): Column = slice(v, j * d + 1, d)
+    // encode: nearest sub-centroid per subspace, ties to the lower index
+    def codeOf(v: Column, j: Int): Column =
+      array_min(array(books(j).zipWithIndex.map { case (c, i) =>
+        struct(sqDistLit(subOf(v, j), c).as("d"), lit(i).as("i")) }: _*))
+        .getField("i")
+    val coded = corpus
+      .select(col(idCol).as("neighbor_id"),
+        quantizeVec(col(vecCol), scale).as("__q"))
+      .select(col("neighbor_id"),
+        array((0 until m).map(j => codeOf(col("__q"), j)): _*).as("codes"))
+    // one LUT per query: m×ks exact sub-distances, flattened j-major
+    val lut = array((for (j <- 0 until m; c <- 0 until ks)
+      yield sqDistLit(subOf(col("__qq"), j), books(j)(c))): _*)
+    val q = queries
+      .select(col(queryIdCol).as("query_id"),
+        quantizeVec(col(vecCol), scale).as("__qq"))
+      .select(col("query_id"), lut.as("__lut"))
+    coded.join(broadcast(q),
+        if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("approx_d",
+        aggregate(zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, j) => element_at(col("__lut"), (j * ks + c + 1).cast("int"))),
+          lit(0L), (acc, e) => acc + e))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BottomK.bottom_k(col("approx_d"),
+        col("neighbor_id").cast("string"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.value").cast(idType).as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").as("approx_d"))
+  }
+
   /** Late-interaction (MaxSim) retrieval over chunked documents —
     * ColBERT's scoring rule (Khattab & Zaharia 2020, SIGIR, "ColBERT:
     * Efficient and Effective Passage Search via Contextualized Late

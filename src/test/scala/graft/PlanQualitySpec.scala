@@ -606,6 +606,25 @@ class PlanQualitySpec extends AnyFunSuite {
       "q153: the codegen kernel is not in the plan")
   }
 
+  test("q158: the ADC scan broadcasts the query+LUT side and heaps " +
+      "top-k — no window sort, no sort-merge, no corpus-sized shuffle " +
+      "beyond the heap merge (r13)") {
+    val plan = executed("q158_pq_topk")
+    // the non-equi excludeSelf scan is BY DESIGN a broadcast nested loop
+    // over the tiny (8-row) query side — that IS the linear code scan;
+    // what must never appear is a window sort or a sort-merge exchange
+    assert(!plan.contains("Window"),
+      "top-k must be the BottomK heap, not a window sort")
+    assert(plan.contains("bottom_k") || plan.contains("BottomK"),
+      "expected the bounded-heap aggregate in the plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the 8-row query side must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "scan must be the broadcast nested loop, not a shuffled cartesian")
+    assert("partial_bottom_k|partial".r.findAllIn(plan).nonEmpty,
+      "heap merge must partial-aggregate map-side")
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
