@@ -408,6 +408,16 @@ object SketchParams {
   /** q156 MP4 header decode: no tunables — the fixture's brand/
     * timescale/duration/resolution derivations live in the query and
     * oracle bodies (the q108/q111 convention). */
+  /** q159 Bloom-gated decontamination: gram size and benchmark split
+    * (a DIFFERENT slice than q74's so the two screens disagree), plus
+    * the filter sizing. The Bloom prefilter is an internal plan rewrite
+    * with row-identical output by construction (no false negatives +
+    * exact confirm join), so the oracle is the exact overlap semantics —
+    * the q69-salted adjudication; the pruning itself is spec-measured. */
+  object q159 {
+    val ngram = 5; val benchMod = 9; val benchRem = 4
+    val expectedItems = 200000L; val fpp = 0.01
+  }
   /** q158 PQ-ADC product quantization: subspace count, per-subspace
     * codebook size, Lloyd iterations (the q92 integer scaffold run once
     * per subspace), quantization scale, embedding dim, top-k, query
@@ -3340,6 +3350,34 @@ object OracleSql {
     WHERE d.doc_id % ${p.benchMod} <> ${p.benchRem}"""
   }
 
+  /** Bloom-gated decontamination (q159): the oracle is the EXACT gram
+    * overlap — the Bloom prefilter + confirm join is an internal plan
+    * rewrite with identical output by construction (no false negatives;
+    * false positives die in the confirm join), the q69-salted
+    * adjudication. Same shape as q74 at q159's own gram size and
+    * benchmark split. */
+  private def q159: String = {
+    val p = SketchParams.q159
+    s"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(${normSql("text")}, '\\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(${shingleSql(p.ngram)}) AS g FROM d
+    ), bench AS (
+      SELECT DISTINCT g FROM g WHERE doc_id % ${p.benchMod} = ${p.benchRem}
+    ), corpus_hits AS (
+      SELECT g.doc_id, count(*) AS n_hit_grams
+      FROM g JOIN bench USING (g)
+      WHERE g.doc_id % ${p.benchMod} <> ${p.benchRem}
+      GROUP BY g.doc_id)
+    SELECT d.doc_id,
+      coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+      coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+    FROM d LEFT JOIN corpus_hits h USING (doc_id)
+    WHERE d.doc_id % ${p.benchMod} <> ${p.benchRem}"""
+  }
+
   /** PII redaction (q75): identical regex masking — the patterns live in
     * the java/RE2 intersection precisely so this twin is byte-exact. */
   private def q75: String = {
@@ -4662,6 +4700,7 @@ object OracleSql {
     "q156_mp4_meta" -> q156,
     "q157_knn_probe" -> q157,
     "q158_pq_topk" -> q158,
+    "q159_bloom_decontaminate" -> q159,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -2958,6 +2958,26 @@ object SparkEntry {
       iters = p.iters, scale = p.scale)
   }
 
+  /** Bloom-gated decontamination
+    * ([[graft.operators.Dedup.bloomDecontaminate]]): q74's exact screen
+    * routed through a distributed-built Bloom prefilter fused into the
+    * corpus scan — the blocklist shape that survives benchmarks too big
+    * to broadcast. Output is row-identical to the exact screen by
+    * construction (no false negatives; false positives die in the
+    * confirm join), so the oracle is the exact overlap SQL at q159's
+    * own split — the q69-salted adjudication; the pruning ratio itself
+    * is measured in BloomDecontamSpec. Params from
+    * [[SketchParams.q159]]. */
+  def q159BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q159
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("text"))
+    val isBench = col("doc_id") % p.benchMod === p.benchRem
+    operators.Dedup.bloomDecontaminate(
+      docs.filter(!isBench), docs.filter(isBench),
+      "text", "doc_id", p.ngram, p.expectedItems, p.fpp)
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3135,7 +3155,8 @@ object SparkEntry {
     "q155_bpe_pack" -> (q155BpePack _),
     "q156_mp4_meta" -> (q156Mp4Meta _),
     "q157_knn_probe" -> (q157KnnProbe _),
-    "q158_pq_topk" -> (q158PqTopk _))
+    "q158_pq_topk" -> (q158PqTopk _),
+    "q159_bloom_decontaminate" -> (q159BloomDecontaminate _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

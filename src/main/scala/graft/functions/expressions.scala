@@ -266,6 +266,37 @@ case class BpeSegment(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Membership probe against a pre-built Bloom filter
+  * (`org.apache.spark.util.sketch.BloomFilter` — Spark's public sketch,
+  * the same structure `DataFrameStatFunctions.bloomFilter` builds with a
+  * distributed aggregate): the filter is a compile-time constant of the
+  * expression, shipped once per codegen stage via `addReferenceObj` and
+  * probed per row with zero allocation, so a Bloom PREFILTER stays
+  * inside whole-stage codegen on the corpus scan — the pattern behind
+  * [[graft.operators.Dedup.bloomDecontaminate]], where the filter
+  * replaces a benchmark-sized broadcast hash relation with ~10 bits per
+  * element and no false negatives. Probes the UTF-8 bytes of the child
+  * string (BloomFilter's own `putString` domain). */
+case class BloomMightContain(child: Expression,
+    filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def nullSafeEval(v: Any): Any =
+    filter.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", filter,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c.getBytes())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 /** Column-level entry points + SQL registration. */
 object exprs {
   private def col(e: Expression): Column = Bridge.column(e)
@@ -292,6 +323,9 @@ object exprs {
   def py_title(a: Column): Column = col(PyTitle(ex(a)))
   def bpe_segment(text: Column, merges: Seq[(String, String)]): Column =
     col(BpeSegment(ex(text), merges))
+  def bloom_might_contain(text: Column,
+      filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    col(BloomMightContain(ex(text), filter))
 
   /** Register `token_sort_ratio`, `indel_ratio`, `abn_valid` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

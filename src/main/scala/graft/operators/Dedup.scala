@@ -898,6 +898,52 @@ object Dedup {
         (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-gated decontamination — [[decontaminate]]'s result computed
+    * through a Bloom PREFILTER (the "BFF" pattern production curation
+    * pipelines use when the blocklist outgrows a broadcast hash
+    * relation; cf. Soldaini et al. 2024, Dolma, §appendix dedup
+    * tooling): the benchmark gram set is folded into a
+    * `BloomFilter` by Spark's own distributed sketch aggregate
+    * (`stat.bloomFilter` — partial filters merged, ~10 bits/element at
+    * 1% fpp vs 8+ bytes/entry in a hash relation), the corpus gram
+    * stream is screened by a codegen'd
+    * [[graft.functions.BloomMightContain]] probe fused into the scan,
+    * and only SURVIVORS (true hits + the fpp sliver) reach the exact
+    * confirm join. Bloom filters have no false negatives and the
+    * confirm join removes every false positive, so the output is
+    * row-identical to [[decontaminate]] BY CONSTRUCTION — the q159
+    * oracle is the exact semantics, the q69-salted adjudication.
+    *
+    * Scale shape: the confirm join is deliberately NOT broadcast —
+    * the point of the Bloom is that the benchmark no longer has to fit
+    * the broadcast threshold; what shuffles is the post-filter gram
+    * stream, |hits| + fpp·|corpus grams| instead of |corpus grams|
+    * (at fpp=1% that is a ~100× exchange cut on a clean corpus). The
+    * filter itself is bounded driver/executor state: sized by
+    * `expectedItems`, independent of corpus size. Use plain
+    * [[decontaminate]] when the benchmark comfortably broadcasts —
+    * same output, one fewer pass over the benchmark. */
+  def bloomDecontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, ngram: Int,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode_outer(shingles(col(textCol), ngram)).as("g"))
+      .distinct()
+    val bloom = benchGrams.stat.bloomFilter("g", expectedItems, fpp)
+    val hits = corpus
+      .select(col(idCol).as("doc_id"),
+        explode_outer(shingles(col(textCol), ngram)).as("g"))
+      .filter(graft.functions.exprs.bloom_might_contain(col("g"), bloom))
+      .join(benchGrams, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Span-level dedup (C4-style): segment every document into
     * non-overlapping `spanWords`-word spans, keep only the globally FIRST
     * occurrence of each distinct span (first = smallest (doc, position)),
