@@ -408,6 +408,14 @@ object SketchParams {
   /** q156 MP4 header decode: no tunables — the fixture's brand/
     * timescale/duration/resolution derivations live in the query and
     * oracle bodies (the q108/q111 convention). */
+  /** q160 CCNet paragraph-familiarity gate: span width (the paragraph
+    * surrogate over the newline-free corpus), reference split (docs
+    * with id % refMod == 0 train the model, the rest are scored),
+    * fixed-point quant, head/middle/tail bucket count. */
+  object q160 {
+    val spanWords = 8; val refMod = 3; val quant = 1000000L
+    val nBuckets = 3
+  }
   /** q159 Bloom-gated decontamination: gram size and benchmark split
     * (a DIFFERENT slice than q74's so the two screens disagree), plus
     * the filter sizing. The Bloom prefilter is an internal plan rewrite
@@ -2779,6 +2787,58 @@ object OracleSql {
     FROM fam GROUP BY doc_id"""
   }
 
+  /** CCNet paragraph gate (q160): the q127 reference model, bigrams
+    * restricted to WITHIN-SPAN pairs (token i starts a within-span
+    * bigram iff i % spanWords ≠ 0), per-span and per-doc floor-divided
+    * fixed-point scores, exact ntile bucketing on
+    * (fam_fp DESC, doc_id) — the SQL twin of
+    * `TextAnalysis.paragraphFamiliarityGate`. Generated from
+    * [[SketchParams.q160]]. */
+  private def q160: String = {
+    val p = SketchParams.q160
+    s"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), rpos AS (
+      SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+      FROM base WHERE doc_id % ${p.refMod} = 0 AND len(t) >= 2
+    ), rbg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS cab
+      FROM rpos GROUP BY w1, w2
+    ), rtbl AS (
+      SELECT r.w1, r.w2, r.cab, pfx.ca FROM rbg r JOIN (
+        SELECT w1, CAST(SUM(cab) AS BIGINT) AS ca FROM rbg GROUP BY w1)
+        pfx ON r.w1 = pfx.w1
+    ), dpos AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      FROM base WHERE doc_id % ${p.refMod} <> 0 AND len(t) >= 2
+    ), pbg AS (
+      SELECT doc_id, (i - 1) // ${p.spanWords} AS para,
+        t[i] AS w1, t[i + 1] AS w2
+      FROM dpos WHERE i % ${p.spanWords} <> 0
+    ), pfam AS (
+      SELECT b.doc_id, b.para,
+        COALESCE((${p.quant} * r.cab) // r.ca, 0) AS f
+      FROM pbg b LEFT JOIN rtbl r ON b.w1 = r.w1 AND b.w2 = r.w2
+    ), para AS (
+      SELECT doc_id, para, CAST(COUNT(*) AS BIGINT) AS n_bg,
+        CAST(SUM(f) AS BIGINT) AS fam_sum
+      FROM pfam GROUP BY doc_id, para
+    ), doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+        CAST(SUM(n_bg) AS BIGINT) AS n_bigrams,
+        CAST(SUM(fam_sum) // SUM(n_bg) AS BIGINT) AS fam_fp,
+        CAST(MIN(fam_sum // n_bg) AS BIGINT) AS min_para_fp
+      FROM para GROUP BY doc_id
+    )
+    SELECT doc_id, n_paras, n_bigrams, fam_fp, min_para_fp,
+      CASE tile WHEN 1 THEN 'head' WHEN ${p.nBuckets} THEN 'tail'
+        ELSE 'middle' END AS bucket
+    FROM (SELECT *, ntile(${p.nBuckets})
+        OVER (ORDER BY fam_fp DESC, doc_id) AS tile FROM doc)"""
+  }
+
   /** Alignment-free exact-substring dup join (q93): dense side at every
     * character offset, probe side strided — the SQL twin of
     * `Dedup.exactSubstringDupJoinGeneral`, generated from
@@ -4701,6 +4761,7 @@ object OracleSql {
     "q157_knn_probe" -> q157,
     "q158_pq_topk" -> q158,
     "q159_bloom_decontaminate" -> q159,
+    "q160_paragraph_gate" -> q160,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

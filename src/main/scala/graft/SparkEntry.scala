@@ -2978,6 +2978,23 @@ object SparkEntry {
       "text", "doc_id", p.ngram, p.expectedItems, p.fpp)
   }
 
+  /** CCNet-style paragraph-familiarity gate
+    * ([[graft.operators.TextAnalysis.paragraphFamiliarityGate]]): the
+    * q127 reference bigram model applied per fixed word span, each
+    * document carrying its overall and WORST-span fixed-point scores
+    * plus a head/middle/tail bucket from an exact ntile — the
+    * keep-the-head decision CCNet applies per perplexity tercile, with
+    * every ordering key exact BIGINT so the bucketing replays
+    * bit-for-bit. Params from [[SketchParams.q160]]. */
+  def q160ParagraphGate(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q160
+    val docs = t(s, dir, "documents")
+    operators.TextAnalysis.paragraphFamiliarityGate(
+      docs.filter(col("doc_id") % p.refMod =!= 0),
+      docs.filter(col("doc_id") % p.refMod === 0),
+      "text", "doc_id", p.spanWords, p.quant, p.nBuckets)
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3156,7 +3173,8 @@ object SparkEntry {
     "q156_mp4_meta" -> (q156Mp4Meta _),
     "q157_knn_probe" -> (q157KnnProbe _),
     "q158_pq_topk" -> (q158PqTopk _),
-    "q159_bloom_decontaminate" -> (q159BloomDecontaminate _))
+    "q159_bloom_decontaminate" -> (q159BloomDecontaminate _),
+    "q160_paragraph_gate" -> (q160ParagraphGate _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

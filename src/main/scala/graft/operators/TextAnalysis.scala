@@ -587,6 +587,90 @@ object TextAnalysis {
           .as("familiarity"))
   }
 
+  /** CCNet-style paragraph-level LM gate (Wenzek et al. 2020, LREC,
+    * "CCNet: Extracting high quality monolingual datasets from web crawl
+    * data"): documents are segmented into fixed `spanWords`-word spans
+    * (the paragraph surrogate of the q77/q85 span convention — the
+    * corpus carries no line breaks), every span is scored by the
+    * [[bigramFamiliarity]] reference model in the SAME exact fixed-point
+    * arithmetic, and each document gets (a) its overall familiarity,
+    * (b) its WORST span — CCNet's actual lever: one garbage paragraph
+    * flags a doc whose mean still looks fine — and (c) a
+    * head/middle/tail bucket from an exact `ntile` over
+    * (doc score DESC, id ASC), the keep-the-head/middle decision CCNet
+    * applies per perplexity tercile.
+    *
+    * Every ordering key is exact BIGINT (per-span and per-doc scores are
+    * floor-divided fixed-point rationals), so bucketing replays
+    * bit-for-bit in an external engine (q160). Spans with < 2 tokens
+    * carry no bigram and drop out; documents with no scorable span are
+    * absent (the q127 contract).
+    *
+    * Scale shape: training and scoring inherit [[bigramFamiliarity]]'s
+    * plan (hash join on the bigram key, partial aggs); the only new
+    * stage is one (doc, span) pre-aggregation — same key cardinality as
+    * the span explode, map-side combined. The bucket ntile is a global
+    * sort of ONE ROW PER DOCUMENT (not corpus tokens); at extreme doc
+    * counts swap the exact ntile for thresholds off a quantile sketch —
+    * the scores are engine-exact either way. */
+  def paragraphFamiliarityGate(docs: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String, spanWords: Int,
+      quant: Long = 1000000L, nBuckets: Int = 3): DataFrame = {
+    require(spanWords >= 2, "a span needs at least 2 words to hold a bigram")
+    require(nBuckets >= 2, "need at least head/tail")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    // reference model: bigram counts + prefix totals (bigramFamiliarity's)
+    val refBase = reference.select(toks.as("__t"))
+    val refBg = refBase.select(explode(when(size(col("__t")) >= 2,
+        transform(sequence(lit(0), size(col("__t")) - 2),
+          i => struct(element_at(col("__t"), i + 1).as("w1"),
+            element_at(col("__t"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("__p"))
+      .select(col("__p.w1"), col("__p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+    val refTbl = refBg.join(
+      refBg.groupBy("w1").agg(sum(col("cab")).as("ca")), Seq("w1"))
+    // spans: non-overlapping word windows, then bigrams INSIDE each span
+    val nSpans = floor((size(col("__t")) + (spanWords - 1))
+      .cast("double") / spanWords).cast("int")
+    val spans = docs.select(col(idCol).as("__doc"), toks.as("__t"))
+      .select(col("__doc"), posexplode(
+        transform(sequence(lit(0), greatest(nSpans, lit(1)) - 1),
+          s => slice(col("__t"), s * spanWords + 1, lit(spanWords)))))
+      .withColumnRenamed("pos", "__para").withColumnRenamed("col", "__s")
+    val spanBg = spans.select(col("__doc"), col("__para"),
+        explode(when(size(col("__s")) >= 2,
+          transform(sequence(lit(0), size(col("__s")) - 2),
+            i => struct(element_at(col("__s"), i + 1).as("w1"),
+              element_at(col("__s"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("__p"))
+      .select(col("__doc"), col("__para"), col("__p.w1"), col("__p.w2"))
+    val paraScores = spanBg
+      .join(refTbl, Seq("w1", "w2"), "left")
+      .select(col("__doc"), col("__para"),
+        coalesce(expr(s"(${quant}L * cab) DIV ca"), lit(0L)).as("__fam"))
+      .groupBy(col("__doc"), col("__para"))
+      .agg(count(lit(1)).as("__n_bg"), sum(col("__fam")).as("__fam_sum"))
+      .withColumn("__para_fp", expr("__fam_sum DIV __n_bg"))
+    val docScores = paraScores.groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("__n_bg")).as("n_bigrams"),
+        sum(col("__fam_sum")).as("__fam_total"),
+        min(col("__para_fp")).as("min_para_fp"))
+      .withColumn("fam_fp", expr("__fam_total DIV n_bigrams"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("fam_fp").desc, col("__doc").asc)
+    docScores
+      .withColumn("__tile", ntile(nBuckets).over(w))
+      .select(col("__doc").as(idCol), col("n_paras"), col("n_bigrams"),
+        col("fam_fp"), col("min_para_fp"),
+        when(col("__tile") === 1, lit("head"))
+          .when(col("__tile") === nBuckets, lit("tail"))
+          .otherwise(lit("middle")).as("bucket"))
+  }
+
   // ---------------------------------------------------------------------
   // BM25 ranked retrieval
   // ---------------------------------------------------------------------
