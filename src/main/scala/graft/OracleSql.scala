@@ -408,6 +408,12 @@ object SketchParams {
   /** q156 MP4 header decode: no tunables — the fixture's brand/
     * timescale/duration/resolution derivations live in the query and
     * oracle bodies (the q108/q111 convention). */
+  /** q161 greedy k-center diverse selection: center count and
+    * quantization scale; the md5 ':kcenter' seed key and the
+    * (distance DESC, id ASC) argmax tie-break live in the bodies. */
+  object q161 {
+    val k = 6; val scale = 1000
+  }
   /** q160 CCNet paragraph-familiarity gate: span width (the paragraph
     * surrogate over the newline-free corpus), reference split (docs
     * with id % refMod == 0 train the model, the rest are scored),
@@ -3335,6 +3341,57 @@ object OracleSql {
     WHERE rank <= ${p.k}"""
   }
 
+  /** Greedy k-center selection (q161): the md5-keyed seed, then every
+    * farthest-point round unrolled — round r computes each vector's min
+    * distance to the r−1 one-row center CTEs and picks the max by
+    * (dmin DESC, id ASC) — and the final nearest-center assignment as a
+    * k-way UNION ALL resolved by (d, center_rank). The SQL twin of
+    * `Selection.kCenterSelect` + `kCenterAssignment`; generated from
+    * [[SketchParams.q161]]. */
+  private def q161: String = {
+    val p = SketchParams.q161
+    def sq(a: String, b: String): String =
+      s"""list_sum(list_transform(generate_series(1, len($a)),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"""
+    val rounds = (2 to p.k).map { r =>
+      val dists = (1 until r).map(i => sq("v.q", s"a$i.q"))
+      val dmin = if (dists.size == 1) dists.head
+        else s"LEAST(${dists.mkString(", ")})"
+      val froms = (1 until r).map(i => s", c$i a$i").mkString
+      s"""
+    ), p$r AS (
+      SELECT v.vec_id, v.q, $dmin AS dmin
+      FROM cvecs v$froms
+    ), c$r AS (
+      SELECT vec_id, q FROM p$r ORDER BY dmin DESC, vec_id LIMIT 1"""
+    }.mkString
+    val assigns = (1 to p.k).map { i =>
+      s"""SELECT v.vec_id, $i AS center_rank, a$i.vec_id AS center_id,
+        ${sq("v.q", s"a$i.q")} AS d
+      FROM cvecs v, c$i a$i"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH cvecs AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT)) AS q
+      FROM embeddings
+    ), c1 AS (
+      SELECT vec_id, q FROM (
+        SELECT vec_id, q,
+          ('0x' || substr(md5(vec_id::VARCHAR || ':kcenter'), 1, 15))::BIGINT
+            AS key
+        FROM cvecs) ORDER BY key, vec_id LIMIT 1$rounds
+    ), assign AS (
+      $assigns
+    )
+    SELECT vec_id, center_id, CAST(center_rank AS BIGINT) AS center_rank,
+      CAST(d AS BIGINT) AS d
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        ORDER BY d, center_rank) AS rn FROM assign)
+    WHERE rn = 1"""
+  }
+
   /** Salted fuzzy join (q69): the oracle is the UNSALTED blocked join +
     * per-left-row argmax — the salt is an internal plan rewrite with
     * identical results by construction (same adjudication as q60's salted
@@ -4762,6 +4819,7 @@ object OracleSql {
     "q158_pq_topk" -> q158,
     "q159_bloom_decontaminate" -> q159,
     "q160_paragraph_gate" -> q160,
+    "q161_kcenter_select" -> q161,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

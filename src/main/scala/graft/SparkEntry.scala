@@ -2995,6 +2995,20 @@ object SparkEntry {
       "text", "doc_id", p.spanWords, p.quant, p.nBuckets)
   }
 
+  /** Greedy k-center diverse selection
+    * ([[graft.operators.Selection.kCenterAssignment]]): Gonzalez's
+    * farthest-point 2-approximation over the embeddings — k diverse
+    * exemplars covering the space, every vector labeled with its
+    * nearest exemplar and exact integer distance. The oracle unrolls
+    * the seed choice and every greedy round, so the SELECTION ITSELF is
+    * hash-verified, not just the assignment. Params from
+    * [[SketchParams.q161]]. */
+  def q161KCenterSelect(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q161
+    operators.Selection.kCenterAssignment(
+      t(s, dir, "embeddings"), "embedding", "vec_id", p.k, p.scale)
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3174,7 +3188,8 @@ object SparkEntry {
     "q157_knn_probe" -> (q157KnnProbe _),
     "q158_pq_topk" -> (q158PqTopk _),
     "q159_bloom_decontaminate" -> (q159BloomDecontaminate _),
-    "q160_paragraph_gate" -> (q160ParagraphGate _))
+    "q160_paragraph_gate" -> (q160ParagraphGate _),
+    "q161_kcenter_select" -> (q161KCenterSelect _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -144,4 +144,85 @@ object Selection {
         (col("ratio_sum").cast("double") /
           (col("n_tokens") * lit(quant)).cast("double")).as("mean_ratio"))
   }
+
+  /** Greedy k-center selection (Gonzalez 1985, "Clustering to minimize
+    * the maximum intercluster distance" — the classic farthest-point
+    * 2-approximation): pick a deterministic md5-keyed seed, then k−1
+    * times add the point FARTHEST from the current center set. The
+    * selected centers are a DIVERSE subset — the coreset/diversity
+    * primitive of data curation (cover the embedding space with k
+    * exemplars; dedup the rest against them), dual to density-seeking
+    * k-means.
+    *
+    * All distances are exact integer squared L2 over floor-quantized
+    * vectors (the [[Ann]] domain), the per-round argmax resolves ties
+    * by (distance DESC, id ASC), and the seed is the smallest
+    * (md5("<id>:kcenter"), id) — every choice replayable by an external
+    * engine, so q161 unrolls the whole greedy loop as CTEs.
+    *
+    * Scale shape: each round is ONE scan computing min-distance to the
+    * (≤ k, broadcast-as-literal) center set and a `min_by` aggregate —
+    * exactly one row reaches the driver per round; the quantized
+    * projection is persisted across the k scans. k scans of the corpus
+    * is the honest cost of exact farthest-point at 100 TB — run it on
+    * the IVF/PQ-compressed representation or a uniform pre-sample when
+    * k·scan is too much (the selection is a 2-approx either way; a
+    * pre-sample only loosens the approximation).
+    *
+    * @return centers in selection order: (center_rank 1..k, center_id,
+    *         radius — the max-min distance the pick covered; radius(1)
+    *         = 0 by convention, radii non-increasing from rank 3 on) */
+  def kCenterSelect(
+      df: DataFrame, vecCol: String, idCol: String, k: Int,
+      scale: Int = 1000): Seq[(Int, Long, Long, Seq[Long])] = {
+    require(k >= 1, "k must be >= 1")
+    val qvecs = df.select(col(idCol).cast("long").as("__id"),
+        graft.operators.Ann.quantizeVec(col(vecCol), scale).as("__q"))
+      .persist()
+    try {
+      def sqDistLit(c: Seq[Long]): Column =
+        aggregate(zip_with(col("__q"), typedlit(c),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, e) => acc + e)
+      val seed = qvecs
+        .withColumn("__key", graft.functions.PortableHash.md5Long60(
+          concat(col("__id").cast("string"), lit(":kcenter"))))
+        .orderBy(col("__key"), col("__id")).limit(1)
+        .select(col("__id"), col("__q")).head()
+      var centers = Vector((1, seed.getLong(0), 0L,
+        seed.getSeq[Long](1).toIndexedSeq: Seq[Long]))
+      (2 to k).foreach { r =>
+        val dmin = array_min(array(
+          centers.map(c => sqDistLit(c._4)): _*))
+        val pick = qvecs.agg(min_by(
+          struct(col("__id"), col("__q"), dmin.as("__d")),
+          struct((-dmin).as("nd"), col("__id"))).as("m")).head().getStruct(0)
+        centers = centers :+ ((r, pick.getLong(0),
+          pick.getLong(2), pick.getSeq[Long](1).toIndexedSeq: Seq[Long]))
+      }
+      centers
+    } finally { qvecs.unpersist() }
+  }
+
+  /** Assignment view of [[kCenterSelect]]: every vector labeled with its
+    * nearest selected center (ties to the lower selection rank) and the
+    * exact integer distance — one map over the corpus with the k centers
+    * folded in as literals, no join, no shuffle. Output:
+    * (idCol, center_id, center_rank, d). */
+  def kCenterAssignment(
+      df: DataFrame, vecCol: String, idCol: String, k: Int,
+      scale: Int = 1000): DataFrame = {
+    val centers = kCenterSelect(df, vecCol, idCol, k, scale)
+    val q = graft.operators.Ann.quantizeVec(col(vecCol), scale)
+    def sqDistLit(v: Column, c: Seq[Long]): Column =
+      aggregate(zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, e) => acc + e)
+    df.select(col(idCol).cast("long").as(idCol), q.as("__q"))
+      .withColumn("__best", array_min(array(centers.map { case (r, cid, _, cv) =>
+        struct(sqDistLit(col("__q"), cv).as("d"),
+          lit(r).cast("long").as("center_rank"),
+          lit(cid).as("center_id")) }: _*)))
+      .select(col(idCol), col("__best.center_id").as("center_id"),
+        col("__best.center_rank").as("center_rank"),
+        col("__best.d").as("d"))
+  }
 }
