@@ -408,6 +408,15 @@ object SketchParams {
   /** q156 MP4 header decode: no tunables — the fixture's brand/
     * timescale/duration/resolution derivations live in the query and
     * oracle bodies (the q108/q111 convention). */
+  /** q162 IVF-PQ (IVFADC): coarse list count and probes (the q68
+    * md5-sampled coarse quantizer), PQ subspace count / codebook size /
+    * Lloyd iterations over RESIDUALS, quantization scale, dim, top-k,
+    * query filter. iters=1 keeps the doubly-unrolled oracle (coarse +
+    * m sub-trainings) tractable. */
+  object q162 {
+    val nlist = 8; val nprobe = 3; val m = 2; val ks = 4; val iters = 1
+    val scale = 1000; val dim = 64; val k = 10; val maxQueryId = 8
+  }
   /** q161 greedy k-center diverse selection: center count and
     * quantization scale; the md5 ':kcenter' seed key and the
     * (distance DESC, id ASC) argmax tie-break live in the bodies. */
@@ -3254,17 +3263,22 @@ object OracleSql {
     * total order (approx_d ASC, id-as-string ASC). The SQL twin of
     * `Ann.pqCodebooksPortable` + `Ann.pqTopK`; generated from
     * [[SketchParams.q158]]. */
-  private def q158: String = {
-    val p = SketchParams.q158
-    val d = p.dim / p.m
-    def sqDistSql(q: String, c: String): String =
-      s"""list_sum(list_transform(generate_series(1, len($q)),
+  /** Exact integer squared-L2 between two BIGINT list columns — the SQL
+    * twin of the PQ family's sub-distance kernel. */
+  private def sqListSql(q: String, c: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($q)),
           i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))"""
-    def lloyd(px: String): String = (1 to p.iters).map { n =>
+
+  /** One PQ sub-quantizer as a prefixed CTE chain (shared by q158/q162):
+    * given `${px}v(vec_id, q)` already in scope, emits the md5-ordered
+    * init, `iters` integer-Lloyd rounds (the q92 scaffold), the full
+    * distance table `${px}cd` and the code assignment `${px}code`. */
+  private def pqTrainCtes(px: String, ks: Int, iters: Int): String = {
+    val lloyd = (1 to iters).map { n =>
       val prev = s"${px}cent${n - 1}"
       s"""
     ), ${px}d$n AS (
-      SELECT c.vec_id, ct.ci, ${sqDistSql("c.q", "ct.cq")} AS d
+      SELECT c.vec_id, ct.ci, ${sqListSql("c.q", "ct.cq")} AS d
       FROM ${px}v c CROSS JOIN $prev ct
     ), ${px}a$n AS (
       SELECT vec_id, ci FROM (
@@ -3286,6 +3300,27 @@ object OracleSql {
       SELECT c0.ci, COALESCE(u.cq, c0.cq) AS cq
       FROM $prev c0 LEFT JOIN ${px}u$n u USING (ci)"""
     }.mkString
+    s"""
+    ), ${px}cent0 AS (
+      SELECT rn - 1 AS ci, cq FROM (
+        SELECT q AS cq, row_number() OVER (ORDER BY
+          ('0x' || substr(md5(vec_id::VARCHAR || ':ivf'), 1, 15))::BIGINT,
+          vec_id) AS rn
+        FROM ${px}v) WHERE rn <= $ks$lloyd
+    ), ${px}cd AS (
+      SELECT c.vec_id, ct.ci, ${sqListSql("c.q", "ct.cq")} AS d
+      FROM ${px}v c CROSS JOIN ${px}cent$iters ct
+    ), ${px}code AS (
+      SELECT vec_id, ci AS c FROM (
+        SELECT vec_id, ci,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+        FROM ${px}cd) WHERE rn = 1"""
+  }
+
+  private def q158: String = {
+    val p = SketchParams.q158
+    val d = p.dim / p.m
+    def sqDistSql(q: String, c: String): String = sqListSql(q, c)
     def subspace(j: Int): String = {
       val px = s"s${j}_"
       s"""
@@ -3293,21 +3328,7 @@ object OracleSql {
       SELECT vec_id,
         list_transform(generate_series(${j * d + 1}, ${(j + 1) * d}),
           i -> q[i]) AS q
-      FROM cvecs
-    ), ${px}cent0 AS (
-      SELECT rn - 1 AS ci, cq FROM (
-        SELECT q AS cq, row_number() OVER (ORDER BY
-          ('0x' || substr(md5(vec_id::VARCHAR || ':ivf'), 1, 15))::BIGINT,
-          vec_id) AS rn
-        FROM ${px}v) WHERE rn <= ${p.ks}${lloyd(px)}
-    ), ${px}cd AS (
-      SELECT c.vec_id, ct.ci, ${sqDistSql("c.q", "ct.cq")} AS d
-      FROM ${px}v c CROSS JOIN ${px}cent${p.iters} ct
-    ), ${px}code AS (
-      SELECT vec_id, ci AS c FROM (
-        SELECT vec_id, ci,
-          row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
-        FROM ${px}cd) WHERE rn = 1
+      FROM cvecs${pqTrainCtes(px, p.ks, p.iters)}
     ), ${px}lut AS (
       SELECT vec_id AS query_id, ci, d FROM ${px}cd
       WHERE vec_id < ${p.maxQueryId}"""
@@ -3390,6 +3411,93 @@ object OracleSql {
     FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
         ORDER BY d, center_rank) AS rn FROM assign)
     WHERE rn = 1"""
+  }
+
+  /** IVF-PQ / IVFADC (q162): the q68 coarse pipeline (md5-sampled
+    * centroids, integer assignment, probe sets), exact integer RESIDUALS
+    * per list, the shared [[pqTrainCtes]] sub-quantizer chains over
+    * residual slices, per-(query, probed-list) LUTs over the query's own
+    * residual, and the ADC scan joined on (list, code). The SQL twin of
+    * `Ann.ivfPqTopK`; generated from [[SketchParams.q162]]. */
+  private def q162: String = {
+    val p = SketchParams.q162
+    val d = p.dim / p.m
+    def subspace(j: Int): String = {
+      val px = s"s${j}_"
+      s"""
+    ), ${px}v AS (
+      SELECT vec_id,
+        list_transform(generate_series(${j * d + 1}, ${(j + 1) * d}),
+          i -> q[i]) AS q
+      FROM resid${pqTrainCtes(px, p.ks, p.iters)}"""
+    }
+    val luts = (0 until p.m).map { j =>
+      s"""
+    ), lut$j AS (
+      SELECT r.query_id, r.list, ct.ci,
+        list_sum(list_transform(generate_series(1, $d),
+          i -> (r.q[${j * d} + i] - ct.cq[i]) * (r.q[${j * d} + i] - ct.cq[i])))
+          AS d
+      FROM qresid r CROSS JOIN s${j}_cent${p.iters} ct"""
+    }.mkString
+    val codeJoins = (0 until p.m)
+      .map(j => s"JOIN s${j}_code c$j USING (vec_id)").mkString("\n        ")
+    val lutJoins = (0 until p.m).map { j =>
+      s"JOIN lut$j l$j ON l$j.query_id = p.query_id AND l$j.list = a.list AND l$j.ci = c$j.c"
+    }.mkString("\n        ")
+    val dSum = (0 until p.m).map(j => s"l$j.d").mkString(" + ")
+    s"""
+    WITH cvecs AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT)) AS q
+      FROM embeddings
+    ), cent AS (
+      SELECT rn - 1 AS ci, cq FROM (
+        SELECT q AS cq, row_number() OVER (ORDER BY
+          ('0x' || substr(md5(vec_id::VARCHAR || ':ivf'), 1, 15))::BIGINT,
+          vec_id) AS rn
+        FROM cvecs) WHERE rn <= ${p.nlist}
+    ), coarse_d AS (
+      SELECT c.vec_id, ct.ci, ${sqListSql("c.q", "ct.cq")} AS d
+      FROM cvecs c CROSS JOIN cent ct
+    ), assign AS (
+      SELECT vec_id, ci AS list FROM (
+        SELECT vec_id, ci,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+        FROM coarse_d) WHERE rn = 1
+    ), resid AS (
+      SELECT a.vec_id,
+        list_transform(generate_series(1, len(c.q)),
+          i -> c.q[i] - ct.cq[i]) AS q
+      FROM assign a JOIN cvecs c USING (vec_id)
+        JOIN cent ct ON ct.ci = a.list${(0 until p.m).map(subspace).mkString}
+    ), probes AS (
+      SELECT vec_id AS query_id, ci AS list FROM (
+        SELECT vec_id, ci,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+        FROM coarse_d WHERE vec_id < ${p.maxQueryId}) WHERE rn <= ${p.nprobe}
+    ), qresid AS (
+      SELECT pr.query_id, pr.list,
+        list_transform(generate_series(1, len(c.q)),
+          i -> c.q[i] - ct.cq[i]) AS q
+      FROM probes pr JOIN cvecs c ON c.vec_id = pr.query_id
+        JOIN cent ct ON ct.ci = pr.list$luts
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, $dSum AS approx_d
+      FROM assign a
+        $codeJoins
+        JOIN probes p ON p.list = a.list
+        $lutJoins
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+      CAST(approx_d AS BIGINT) AS approx_d FROM (
+      SELECT query_id, neighbor_id, approx_d,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY approx_d, CAST(neighbor_id AS VARCHAR)) AS rank
+      FROM scored)
+    WHERE rank <= ${p.k}"""
   }
 
   /** Salted fuzzy join (q69): the oracle is the UNSALTED blocked join +
@@ -4820,6 +4928,7 @@ object OracleSql {
     "q159_bloom_decontaminate" -> q159,
     "q160_paragraph_gate" -> q160,
     "q161_kcenter_select" -> q161,
+    "q162_ivfpq_topk" -> q162,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3009,6 +3009,22 @@ object SparkEntry {
       t(s, dir, "embeddings"), "embedding", "vec_id", p.k, p.scale)
   }
 
+  /** IVF-PQ / IVFADC ([[graft.operators.Ann.ivfPqTopK]]): the serving
+    * index billion-scale ANN actually runs — coarse inverted lists
+    * prune the scan to nprobe/nlist of the corpus, residual PQ codes
+    * compress what remains, per-(query, list) LUTs score candidates
+    * with m lookups each. Coarse training, residuals, sub-quantizer
+    * training, encoding, probing and the scan are ALL unrolled in the
+    * DuckDB oracle. Params from [[SketchParams.q162]]. */
+  def q162IvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q162
+    val emb = t(s, dir, "embeddings")
+    Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < p.maxQueryId),
+      "embedding", "vec_id", "vec_id", k = p.k, nlist = p.nlist,
+      nprobe = p.nprobe, m = p.m, ks = p.ks, iters = p.iters,
+      scale = p.scale)
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3189,7 +3205,8 @@ object SparkEntry {
     "q158_pq_topk" -> (q158PqTopk _),
     "q159_bloom_decontaminate" -> (q159BloomDecontaminate _),
     "q160_paragraph_gate" -> (q160ParagraphGate _),
-    "q161_kcenter_select" -> (q161KCenterSelect _))
+    "q161_kcenter_select" -> (q161KCenterSelect _),
+    "q162_ivfpq_topk" -> (q162IvfPqTopk _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

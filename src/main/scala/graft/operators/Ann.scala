@@ -718,6 +718,98 @@ object Ann {
         col("col.key").as("approx_d"))
   }
 
+  /** IVF-PQ — the IVFADC index of Jégou et al. 2011 §V, the structure
+    * billion-scale ANN deployments actually serve from (FAISS
+    * `IndexIVFPQ`): the coarse quantizer PARTITIONS the corpus into
+    * inverted lists (so a query scans only `nprobe` lists, not the
+    * corpus), and within lists every vector is stored as the PQ codes
+    * of its RESIDUAL v − centroid(list) — residuals concentrate around
+    * zero, so the same ks^m cells resolve far finer than PQ on raw
+    * vectors. A query probes its `nprobe` nearest lists, computes one
+    * per-(query, list) LUT over the query's OWN residual against that
+    * list's centroid, and ADC-scores candidates with m lookups each.
+    *
+    * Everything stays in the exact BIGINT domain: coarse assignment is
+    * integer squared-L2 (ties to the lower index), residuals are exact
+    * integer differences, the sub-quantizers train on residuals via
+    * [[kmeansCentroidsPortable]] at scale 1 (residuals are already
+    * quantized — floor(x·1) is the identity on integral doubles), and
+    * ranking replays the [[graft.functions.BottomK]] total order — the
+    * q162 oracle unrolls coarse training, assignment, residuals, all m
+    * sub-quantizer trainings, encoding, probing, LUTs and the scan.
+    *
+    * Scale shape: [[ivfTopKPortable]]'s probe topology (lists
+    * equi-join the broadcast probe set — a query touches nprobe/nlist
+    * of the corpus) × [[pqTopK]]'s memory story (codes, not vectors,
+    * in the scored stream; LUTs per (query, probe) instead of per
+    * pair). Top-k is the bounded heap, map-side combined. */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String,
+      k: Int, nlist: Int = 8, nprobe: Int = 3, m: Int = 2, ks: Int = 4,
+      iters: Int = 1, scale: Int = 1000,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0 && nprobe >= 1 && nprobe <= nlist, "bad k/nprobe/nlist")
+    val dim = dimOf(corpus, vecCol)
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val d = dim / m
+    val cents = portableCentroids(corpus, vecCol, idCol, nlist, scale)
+    val centsLit = typedlit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    // coarse assignment + exact integer residuals
+    val listed = withNearestCentroidL(
+        corpus.select(col(idCol).as("neighbor_id"),
+          quantizeVec(col(vecCol), scale).as("__q")),
+        cents, col("__q"), "__list")
+      .withColumn("__rv", zip_with(col("__q"),
+        element_at(centsLit, col("__list") + 1), (x, c) => x - c))
+    // sub-quantizers train on the residuals (already integer: scale 1)
+    val books = pqCodebooksPortable(
+      listed.select(col("neighbor_id"),
+        transform(col("__rv"), _.cast("double")).as("__rvd")),
+      "__rvd", "neighbor_id", m, ks, iters, scale = 1)
+    def sqDistLit(sub: Column, c: Seq[Long]): Column =
+      aggregate(zip_with(sub, typedlit(c), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, e) => acc + e)
+    def subOf(v: Column, j: Int): Column = slice(v, j * d + 1, d)
+    def codeOf(v: Column, j: Int): Column =
+      array_min(array(books(j).zipWithIndex.map { case (c, i) =>
+        struct(sqDistLit(subOf(v, j), c).as("d"), lit(i).as("i")) }: _*))
+        .getField("i")
+    val coded = listed.select(col("neighbor_id"), col("__list"),
+      array((0 until m).map(j => codeOf(col("__rv"), j)): _*).as("codes"))
+    // probe side: nprobe nearest lists per query, one LUT per (query, list)
+    // over the query's residual against THAT list's centroid
+    val probed = withSortedCentroidDistsL(
+        queries.select(col(queryIdCol).as("query_id"),
+          quantizeVec(col(vecCol), scale).as("__qq")),
+        cents, col("__qq"), "__sd")
+      .withColumn("__probe",
+        slice(transform(col("__sd"), p => p.getField("i")), 1, nprobe))
+      .select(col("query_id"), col("__qq"),
+        explode(col("__probe")).as("__list"))
+      .withColumn("__qr", zip_with(col("__qq"),
+        element_at(centsLit, col("__list") + 1), (x, c) => x - c))
+      .select(col("query_id"), col("__list"),
+        array((for (j <- 0 until m; c <- 0 until ks)
+          yield sqDistLit(subOf(col("__qr"), j), books(j)(c))): _*)
+          .as("__lut"))
+    val idType = corpus.select(col(idCol)).schema.head.dataType
+    coded.join(broadcast(probed), Seq("__list"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+        else lit(true))
+      .withColumn("approx_d",
+        aggregate(zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, j) => element_at(col("__lut"), (j * ks + c + 1).cast("int"))),
+          lit(0L), (acc, e) => acc + e))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BottomK.bottom_k(col("approx_d"),
+        col("neighbor_id").cast("string"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.value").cast(idType).as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").as("approx_d"))
+  }
+
   /** Late-interaction (MaxSim) retrieval over chunked documents —
     * ColBERT's scoring rule (Khattab & Zaharia 2020, SIGIR, "ColBERT:
     * Efficient and Effective Passage Search via Contextualized Late
