@@ -408,6 +408,14 @@ object SketchParams {
   /** q156 MP4 header decode: no tunables — the fixture's brand/
     * timescale/duration/resolution derivations live in the query and
     * oracle bodies (the q108/q111 convention). */
+  /** q163 signed random projection: input/output dims (64→16 = 4× per-
+    * distance cost cut), quantization scale, top-k, query filter. The
+    * ±1 matrix is the portableSign md5 derivation, embedded in the
+    * oracle as literals. */
+  object q163 {
+    val dim = 64; val outDims = 16; val scale = 1000
+    val k = 10; val maxQueryId = 8
+  }
   /** q162 IVF-PQ (IVFADC): coarse list count and probes (the q68
     * md5-sampled coarse quantizer), PQ subspace count / codebook size /
     * Lloyd iterations over RESIDUALS, quantization scale, dim, top-k,
@@ -3500,6 +3508,45 @@ object OracleSql {
     WHERE rank <= ${p.k}"""
   }
 
+  /** Signed random projection + projected top-k (q163): the ±1 sign
+    * matrix (the SAME `Ann.portableSign` md5 derivation the Spark side
+    * uses) embedded as list literals, projection as outDims exact
+    * integer dot products, then the brute-force scan in the projected
+    * space ranked by (pd, id-as-string). The SQL twin of
+    * `Ann.signedProjection` + `Ann.projectedTopK`; generated from
+    * [[SketchParams.q163]]. */
+  private def q163: String = {
+    val p = SketchParams.q163
+    val proj = (0 until p.outDims).map { j =>
+      val signs = (1 to p.dim)
+        .map(i => graft.operators.Ann.portableSign(j, i)).mkString(", ")
+      s"""list_sum(list_transform(generate_series(1, ${p.dim}),
+          i -> q[i] * ([$signs])[i]))"""
+    }.mkString("[\n        ", ",\n        ", "]")
+    s"""
+    WITH cvecs AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT)) AS q
+      FROM embeddings
+    ), proj AS (
+      SELECT vec_id, $proj AS pv FROM cvecs
+    ), scored AS (
+      SELECT qp.vec_id AS query_id, cp.vec_id AS neighbor_id,
+        list_sum(list_transform(generate_series(1, ${p.outDims}),
+          i -> (qp.pv[i] - cp.pv[i]) * (qp.pv[i] - cp.pv[i]))) AS pd
+      FROM proj qp JOIN proj cp ON cp.vec_id <> qp.vec_id
+      WHERE qp.vec_id < ${p.maxQueryId}
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+      CAST(pd AS BIGINT) AS pd FROM (
+      SELECT query_id, neighbor_id, pd,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY pd, CAST(neighbor_id AS VARCHAR)) AS rank
+      FROM scored)
+    WHERE rank <= ${p.k}"""
+  }
+
   /** Salted fuzzy join (q69): the oracle is the UNSALTED blocked join +
     * per-left-row argmax — the salt is an internal plan rewrite with
     * identical results by construction (same adjudication as q60's salted
@@ -4929,6 +4976,7 @@ object OracleSql {
     "q160_paragraph_gate" -> q160,
     "q161_kcenter_select" -> q161,
     "q162_ivfpq_topk" -> q162,
+    "q163_jl_projection" -> q163,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3025,6 +3025,22 @@ object SparkEntry {
       scale = p.scale)
   }
 
+  /** Signed random projection + projected exact top-k
+    * ([[graft.operators.Ann.signedProjection]] +
+    * [[graft.operators.Ann.projectedTopK]]): Johnson–Lindenstrauss
+    * reduction with the md5 ±1 matrix (64→16 = 4× per-distance cost
+    * cut), then the brute-force scan in the projected space — project
+    * once at ingest, index the projection. The oracle embeds the sign
+    * matrix and replays projection + ranking exactly. Params from
+    * [[SketchParams.q163]]. */
+  def q163JlProjection(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q163
+    val emb = t(s, dir, "embeddings")
+    Ann.projectedTopK(emb, emb.filter(col("vec_id") < p.maxQueryId),
+      "embedding", "vec_id", "vec_id", k = p.k, outDims = p.outDims,
+      scale = p.scale)
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3206,7 +3222,8 @@ object SparkEntry {
     "q159_bloom_decontaminate" -> (q159BloomDecontaminate _),
     "q160_paragraph_gate" -> (q160ParagraphGate _),
     "q161_kcenter_select" -> (q161KCenterSelect _),
-    "q162_ivfpq_topk" -> (q162IvfPqTopk _))
+    "q162_ivfpq_topk" -> (q162IvfPqTopk _),
+    "q163_jl_projection" -> (q163JlProjection _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

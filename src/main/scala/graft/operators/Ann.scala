@@ -433,6 +433,63 @@ object Ann {
     bits.reduce(_ + _)
   }
 
+  /** Signed (±1) random projection — Achlioptas 2003 (JCSS,
+    * "Database-friendly random projections"): Johnson–Lindenstrauss
+    * dimensionality reduction with a Rademacher matrix, which preserves
+    * pairwise distances in expectation (E‖Px‖² = outDims·‖x‖²) while
+    * replacing every Gaussian multiply with an add/subtract. The sign
+    * matrix is the SAME md5 derivation as [[portableSignature]]
+    * ([[portableSign]]), and inputs floor-quantize to the shared integer
+    * domain, so projected coordinates are exact BIGINTs any engine
+    * re-derives — the q163 oracle embeds the sign matrix as literals.
+    *
+    * The scale lever: every downstream distance computation (kNN, LSH,
+    * k-means, dedup) costs ∝ dim; projecting 64→16 cuts that 4× with
+    * JL-bounded distortion — project once at ingest, index the
+    * projection. Map-only, fused with the scan. */
+  def signedProjection(vec: Column, dim: Int, outDims: Int,
+      scale: Int = 1000): Column = {
+    val q = quantizeVec(vec, scale)
+    array((0 until outDims).map { j =>
+      val signs = typedlit((1 to dim).map(i => portableSign(j, i)))
+      aggregate(zip_with(q, signs, (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+  }
+
+  /** Exact top-k in the PROJECTED space — the brute-force scan after the
+    * [[signedProjection]] 4× (or more) per-distance cost cut, ranked by
+    * exact integer squared L2 over projected coordinates with the
+    * [[graft.functions.BottomK]] total order (q163). The queries side
+    * (projected) broadcasts; the corpus-side work is one map + the heap
+    * merge — the [[pqTopK]] scan shape at a fraction of the per-pair
+    * arithmetic. */
+  def projectedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String,
+      k: Int, outDims: Int, scale: Int = 1000,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0 && outDims >= 1, "bad k/outDims")
+    val dim = dimOf(corpus, vecCol)
+    val idType = corpus.select(col(idCol)).schema.head.dataType
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      signedProjection(col(vecCol), dim, outDims, scale).as("__cp"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      signedProjection(col(vecCol), dim, outDims, scale).as("__qp"))
+    c.join(broadcast(q),
+        if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("pd",
+        aggregate(zip_with(col("__qp"), col("__cp"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, e) => acc + e))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BottomK.bottom_k(col("pd"),
+        col("neighbor_id").cast("string"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.value").cast(idType).as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").as("pd"))
+  }
+
   /** Engine-portable IVF top-k — the oracled twin of [[ivfTopK]]: the
     * coarse quantizer is the `nlist` corpus vectors with the smallest
     * (md5-derived key, id) — a deterministic hash-sample instead of
