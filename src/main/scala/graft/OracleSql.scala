@@ -408,6 +408,14 @@ object SketchParams {
   /** q156 MP4 header decode: no tunables — the fixture's brand/
     * timescale/duration/resolution derivations live in the query and
     * oracle bodies (the q108/q111 convention). */
+  /** q164 cross-source contamination matrix: gram size (trigrams — the
+    * dedup family's default screen). */
+  object q164 {
+    val ngram = 3
+  }
+  /** q165 BPE compression report: no tunables beyond the shared q153
+    * merge table — grouping and the chars/token ratio live in the
+    * bodies. */
   /** q163 signed random projection: input/output dims (64→16 = 4× per-
     * distance cost cut), quantization scale, top-k, query filter. The
     * ±1 matrix is the portableSign md5 derivation, embedded in the
@@ -4422,6 +4430,56 @@ object OracleSql {
     FROM toks WHERE token != ''
     GROUP BY token"""
 
+  /** Cross-source contamination matrix (q164): distinct (source,
+    * md5(gram)) postings, source-pair equi-join on the digest, totals
+    * and directed containment fractions — the SQL twin of
+    * `Dedup.sourceOverlapMatrix`. Generated from [[SketchParams.q164]]. */
+  private def q164: String = {
+    val p = SketchParams.q164
+    s"""
+    WITH d AS (
+      SELECT source, string_split_regex(${normSql("text")}, '\\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT source, md5(g) AS gh FROM (
+        SELECT source, unnest(${shingleSql(p.ngram)}) AS g FROM d)
+    ), tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g
+      GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+        CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT p.source_a, p.source_b, p.n_shared,
+      ta.n_grams AS n_grams_a, tb.n_grams AS n_grams_b,
+      CAST(p.n_shared AS DOUBLE) / CAST(ta.n_grams AS DOUBLE)
+        AS containment_a,
+      CAST(p.n_shared AS DOUBLE) / CAST(tb.n_grams AS DOUBLE)
+        AS containment_b
+    FROM pairs p
+      JOIN tot ta ON ta.source = p.source_a
+      JOIN tot tb ON tb.source = p.source_b"""
+  }
+
+  /** BPE compression report (q165): the shared q153 tokenization CTEs,
+    * per-doc token counts, then per-(lang, source) corpus totals and
+    * the chars-per-token ratio — the report that drives tokenizer and
+    * mixture decisions off REAL subword counts. The SQL twin of
+    * `TextAnalysis.bpeTokens` + the grouping. */
+  private def q165: String = s"""
+    WITH $q153Ctes
+    , perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM toks WHERE token != '' GROUP BY doc_id)
+    SELECT d.lang, d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(length(${normSql("d.text")})) AS BIGINT) AS n_chars,
+      CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+      CAST(SUM(length(${normSql("d.text")})) AS DOUBLE) /
+        CAST(SUM(p.n_tokens) AS DOUBLE) AS chars_per_token
+    FROM documents d JOIN perdoc p USING (doc_id)
+    GROUP BY d.lang, d.source"""
+
   /** Incremental kNN graph probe (q157): the q152 descent chain runs
     * over the CORPUS slice (prefix `knn`, WHERE-filtered), the batch
     * seeds via two LSH tables (the 8-plane q51-convention signature
@@ -4977,6 +5035,8 @@ object OracleSql {
     "q161_kcenter_select" -> q161,
     "q162_ivfpq_topk" -> q162,
     "q163_jl_projection" -> q163,
+    "q164_source_overlap" -> q164,
+    "q165_bpe_compression" -> q165,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

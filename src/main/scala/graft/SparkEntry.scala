@@ -3041,6 +3041,42 @@ object SparkEntry {
       scale = p.scale)
   }
 
+  /** Cross-source contamination matrix
+    * ([[graft.operators.Dedup.sourceOverlapMatrix]]): distinct shared
+    * n-grams and directed containment per source pair — the report
+    * that exposes mirror sites and double-ingestion before they skew a
+    * training mix. Params from [[SketchParams.q164]]. */
+  def q164SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.sourceOverlapMatrix(
+      t(s, dir, "documents")
+        .select(col("source"), normText(col("text")).as("text")),
+      "text", "source", SketchParams.q164.ngram)
+
+  /** BPE compression report
+    * ([[graft.operators.TextAnalysis.bpeTokens]] + grouping): per
+    * (lang, source), corpus chars vs REAL subword tokens under the
+    * q153 merge table and the chars-per-token ratio — the number that
+    * drives tokenizer choice and per-language cost accounting. */
+  def q165BpeCompression(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        normText(col("text")).as("text"))
+    val counts = operators.TextAnalysis.bpeTokens(
+        docs.select(col("doc_id"), col("text")),
+        "text", "doc_id", SketchParams.q153.merges)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tokens"))
+      .select(col("id").as("doc_id"), col("n_tokens"))
+    docs.join(counts, Seq("doc_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
+        col("n_tokens"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3223,7 +3259,9 @@ object SparkEntry {
     "q160_paragraph_gate" -> (q160ParagraphGate _),
     "q161_kcenter_select" -> (q161KCenterSelect _),
     "q162_ivfpq_topk" -> (q162IvfPqTopk _),
-    "q163_jl_projection" -> (q163JlProjection _))
+    "q163_jl_projection" -> (q163JlProjection _),
+    "q164_source_overlap" -> (q164SourceOverlap _),
+    "q165_bpe_compression" -> (q165BpeCompression _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -944,6 +944,46 @@ object Dedup {
         (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Cross-source contamination matrix: for every pair of corpus
+    * sources, the number of distinct word n-grams they share and the
+    * directed containment fractions — the curation report that exposes
+    * mirror sites, syndicated feeds, and pipeline double-ingestion
+    * BEFORE they skew a training mix (the per-source view of what
+    * [[decontaminate]] checks doc-by-doc).
+    *
+    * Scale shape: grams reduce to one distinct (source, md5) pass — the
+    * shuffle carries 16-byte digests, never text (the q76 convention) —
+    * and the pair join is an equi-join on the digest whose fan-out is
+    * bounded by the SOURCE count per gram (≤ |sources|, a catalog-sized
+    * number, not a corpus-sized one), so the candidate stream is at
+    * most C(|sources|, 2) per gram and the result is |sources|²-bounded.
+    * No all-pairs-of-documents shape anywhere. */
+  def sourceOverlapMatrix(
+      docs: DataFrame, textCol: String, groupCol: String,
+      ngram: Int): DataFrame = {
+    val grams = docs
+      .select(col(groupCol).as("src"),
+        explode_outer(shingles(col(textCol), ngram)).as("g"))
+      .select(col("src"), md5(col("g")).as("gh"))
+      .distinct()
+    val totals = grams.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
+    grams.select(col("src").as("source_a"), col("gh"))
+      .join(grams.select(col("src").as("source_b"), col("gh")), Seq("gh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(totals.select(col("src").as("source_a"),
+        col("n_grams").as("n_grams_a")), Seq("source_a"))
+      .join(totals.select(col("src").as("source_b"),
+        col("n_grams").as("n_grams_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_grams_a"), col("n_grams_b"),
+        (col("n_shared").cast("double") / col("n_grams_a").cast("double"))
+          .as("containment_a"),
+        (col("n_shared").cast("double") / col("n_grams_b").cast("double"))
+          .as("containment_b"))
+  }
+
   /** Span-level dedup (C4-style): segment every document into
     * non-overlapping `spanWords`-word spans, keep only the globally FIRST
     * occurrence of each distinct span (first = smallest (doc, position)),
