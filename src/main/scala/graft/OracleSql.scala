@@ -413,6 +413,16 @@ object SketchParams {
   object q164 {
     val ngram = 3
   }
+  /** q166 blocklist gate: the banned-pattern list — raw substring
+    * semantics, so it deliberately mixes plain words, a phrase, a
+    * pattern that only occurs INSIDE words ("atch" ⊂ "batch"), a
+    * suffix-overlapping pair ("batch"/"atch" fire at the same scan
+    * position — exercises the automaton's output chains), and one
+    * pattern absent from the corpus. */
+  object q166 {
+    val patterns: Seq[String] = Seq(
+      "slow", "dup", "batch", "atch", "slow join", "zz_never_present")
+  }
   /** q165 BPE compression report: no tunables beyond the shared q153
     * merge table — grouping and the chars/token ratio live in the
     * bodies. */
@@ -4462,6 +4472,31 @@ object OracleSql {
       JOIN tot tb ON tb.source = p.source_b"""
   }
 
+  /** Blocklist gate (q166): per (doc, pattern), occurrences counted by
+    * an explicit position scan (`substr` equality at every start
+    * offset — exactly the overlapping-match semantics Aho–Corasick
+    * reports), then per-doc totals. The SQL twin of
+    * `TextAnalysis.blocklistGate`; generated from
+    * [[SketchParams.q166]]. */
+  private def q166: String = {
+    val p = SketchParams.q166
+    val pats = p.patterns.map(s => s"('${s.replace("'", "''")}')")
+      .mkString(", ")
+    s"""
+    WITH d AS (
+      SELECT doc_id, ${normSql("text")} AS text FROM documents
+    ), hits AS (
+      SELECT d.doc_id, p.pat,
+        len(list_filter(
+          generate_series(1, length(d.text) - length(p.pat) + 1),
+          i -> substr(d.text, CAST(i AS INT), length(p.pat)) = p.pat)) AS n
+      FROM d CROSS JOIN (VALUES $pats) p(pat))
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_matches,
+      CAST(COUNT(*) FILTER (WHERE n > 0) AS BIGINT) AS n_patterns,
+      SUM(n) > 0 AS blocked
+    FROM hits GROUP BY doc_id"""
+  }
+
   /** BPE compression report (q165): the shared q153 tokenization CTEs,
     * per-doc token counts, then per-(lang, source) corpus totals and
     * the chars-per-token ratio — the report that drives tokenizer and
@@ -5037,6 +5072,7 @@ object OracleSql {
     "q163_jl_projection" -> q163,
     "q164_source_overlap" -> q164,
     "q165_bpe_compression" -> q165,
+    "q166_blocklist_gate" -> q166,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3077,6 +3077,18 @@ object SparkEntry {
           .as("chars_per_token"))
   }
 
+  /** Aho–Corasick blocklist gate
+    * ([[graft.operators.TextAnalysis.blocklistGate]]): the C4-style
+    * banned-phrase screen as ONE codegen'd automaton pass per document
+    * — total and distinct-pattern hit counts at a cost independent of
+    * blocklist size. The oracle replays overlapping-match semantics by
+    * explicit position scans. Params from [[SketchParams.q166]]. */
+  def q166BlocklistGate(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.blocklistGate(
+      t(s, dir, "documents")
+        .select(col("doc_id"), normText(col("text")).as("text")),
+      "text", "doc_id", SketchParams.q166.patterns)
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3261,7 +3273,8 @@ object SparkEntry {
     "q162_ivfpq_topk" -> (q162IvfPqTopk _),
     "q163_jl_projection" -> (q163JlProjection _),
     "q164_source_overlap" -> (q164SourceOverlap _),
-    "q165_bpe_compression" -> (q165BpeCompression _))
+    "q165_bpe_compression" -> (q165BpeCompression _),
+    "q166_blocklist_gate" -> (q166BlocklistGate _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -297,6 +297,38 @@ case class BloomMightContain(child: Expression,
     copy(child = newChild)
 }
 
+/** Aho–Corasick blocklist statistics — (total occurrences including
+  * overlaps, distinct patterns hit) in ONE pass over the text (see
+  * [[AhoCorasick]]). The automaton is built once from the pattern list
+  * at expression construction and shipped per codegen stage via
+  * `addReferenceObj` (the BPE merge-table convention), so the C4-style
+  * banned-phrase screen stays inside whole-stage codegen at any
+  * blocklist size. */
+case class BlocklistStats(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_matches",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_patterns",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "blocklist_stats"
+
+  @transient private lazy val automaton = new AhoCorasick(patterns)
+
+  override protected def nullSafeEval(v: Any): Any =
+    automaton.matchStatsUTF8(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acAutomaton", automaton,
+      "graft.functions.AhoCorasick")
+    defineCodeGen(ctx, ev, c => s"$ref.matchStatsUTF8($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BlocklistStats =
+    copy(child = newChild)
+}
+
 /** Column-level entry points + SQL registration. */
 object exprs {
   private def col(e: Expression): Column = Bridge.column(e)
@@ -326,6 +358,8 @@ object exprs {
   def bloom_might_contain(text: Column,
       filter: org.apache.spark.util.sketch.BloomFilter): Column =
     col(BloomMightContain(ex(text), filter))
+  def blocklist_stats(text: Column, patterns: Seq[String]): Column =
+    col(BlocklistStats(ex(text), patterns))
 
   /** Register `token_sort_ratio`, `indel_ratio`, `abn_valid` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

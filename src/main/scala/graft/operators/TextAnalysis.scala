@@ -671,6 +671,28 @@ object TextAnalysis {
           .otherwise(lit("middle")).as("bucket"))
   }
 
+  /** Blocklist gate — the C4-style banned-phrase screen (Raffel et al.
+    * 2020 §2.2 drop pages containing any "List of Dirty, Naughty …"
+    * word): every document scanned ONCE by an Aho–Corasick automaton
+    * over the whole pattern list ([[graft.functions.AhoCorasick]]),
+    * counting total occurrences (overlaps included — substring
+    * semantics, so phrase patterns work unchanged) and distinct
+    * patterns hit. Per doc: (n_matches, n_patterns, blocked).
+    *
+    * Scale shape: map-only, fused with the scan inside whole-stage
+    * codegen — cost O(text + matches) per document INDEPENDENT of
+    * blocklist size (the automaton is driver-built once and shipped
+    * per stage), where a per-pattern scan or alternation regex scales
+    * with the list. No shuffle, no join. */
+  def blocklistGate(docs: DataFrame, textCol: String, idCol: String,
+      patterns: Seq[String]): DataFrame = docs
+    .select(col(idCol).as("doc_id"),
+      graft.functions.exprs.blocklist_stats(col(textCol), patterns).as("__s"))
+    .select(col("doc_id"),
+      col("__s.n_matches").as("n_matches"),
+      col("__s.n_patterns").cast("long").as("n_patterns"),
+      (col("__s.n_matches") > 0).as("blocked"))
+
   // ---------------------------------------------------------------------
   // BM25 ranked retrieval
   // ---------------------------------------------------------------------
