@@ -413,6 +413,13 @@ object SketchParams {
   object q164 {
     val ngram = 3
   }
+  /** q167 Luhn card PII: fixture moduli — every customer carries one
+    * known-INVALID card-shaped run (valid check digit + 1); every
+    * `validMod`-th also carries the Luhn-valid one. Check digits are
+    * computed IN-QUERY on both engines. */
+  object q167 {
+    val validMod = 3L; val panMod = 100000000L
+  }
   /** q166 blocklist gate: the banned-pattern list — raw substring
     * semantics, so it deliberately mixes plain words, a phrase, a
     * pattern that only occurs INSIDE words ("atch" ⊂ "batch"), a
@@ -4497,6 +4504,59 @@ object OracleSql {
     FROM hits GROUP BY doc_id"""
   }
 
+  /** Luhn-gated card PII (q167): the ISO 7812 mod-10 checksum replayed
+    * digit-for-digit (1-based reversed position i doubles when i%2=0 —
+    * the Spark side's 0-based i%2==1), the check-digit GENERATOR for
+    * the fixture's known-valid run, and checksum-gated redaction. The
+    * redaction CASE is the ≤1-valid-candidate specialization of the
+    * operator's order-independent fold (the only valid run is the
+    * constructed card — check+1 is invalid by checksum uniqueness);
+    * the general multi-card fold is spec-gated (`LuhnPiiSpec`). The
+    * SQL twin of `Pii.cardScan`; generated from [[SketchParams.q167]]. */
+  private def q167: String = {
+    val p = SketchParams.q167
+    def digit(x: String, i: String): String =
+      s"CAST(substr(reverse($x), $i, 1) AS INT)"
+    def dbl(d: String): String =
+      s"CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 ELSE $d * 2 END"
+    // validity: appended check digit at reversed position 1 (not doubled)
+    def luhnOk(x: String): String =
+      s"""list_sum(list_transform(generate_series(1, length($x)), i ->
+        CASE WHEN i % 2 = 0 THEN ${dbl(digit(x, "i"))}
+        ELSE ${digit(x, "i")} END)) % 10 = 0"""
+    // generator: payload digits double from ITS rightmost one
+    def checkDigit(x: String): String =
+      s"""(10 - list_sum(list_transform(generate_series(1, length($x)), i ->
+        CASE WHEN i % 2 = 1 THEN ${dbl(digit(x, "i"))}
+        ELSE ${digit(x, "i")} END)) % 10) % 10"""
+    s"""
+    WITH base AS (
+      SELECT c_custkey, c_name,
+        '4' || lpad(CAST(c_custkey % ${p.panMod} AS VARCHAR), 14, '0') AS pan
+      FROM customer
+    ), gen AS (
+      SELECT c_custkey, c_name, pan, ${checkDigit("pan")} AS chk FROM base
+    ), blob AS (
+      SELECT c_custkey, pan, chk,
+        c_name || CASE WHEN c_custkey % ${p.validMod} = 0
+          THEN ' card ' || pan || CAST(chk AS VARCHAR) ELSE '' END ||
+        ' ref ' || pan || CAST((chk + 1) % 10 AS VARCHAR) AS contact
+      FROM gen
+    ), cands AS (
+      SELECT c_custkey, contact, pan, chk,
+        regexp_extract_all(contact, '\\b[0-9]{13,19}\\b') AS cs
+      FROM blob)
+    SELECT c_custkey,
+      CAST(len(cs) AS BIGINT) AS n_digit_runs,
+      CAST(len(list_filter(cs, x -> ${luhnOk("x")})) AS BIGINT)
+        AS n_valid_cards,
+      len(list_filter(cs, x -> ${luhnOk("x")})) > 0 AS has_card,
+      CASE WHEN c_custkey % ${p.validMod} = 0
+        THEN replace(contact, pan || CAST(chk AS VARCHAR), '[CARD]')
+        ELSE contact END AS redacted
+    FROM cands"""
+  }
+
   /** BPE compression report (q165): the shared q153 tokenization CTEs,
     * per-doc token counts, then per-(lang, source) corpus totals and
     * the chars-per-token ratio — the report that drives tokenizer and
@@ -5073,6 +5133,7 @@ object OracleSql {
     "q164_source_overlap" -> q164,
     "q165_bpe_compression" -> q165,
     "q166_blocklist_gate" -> q166,
+    "q167_luhn_cards" -> q167,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3089,6 +3089,31 @@ object SparkEntry {
         .select(col("doc_id"), normText(col("text")).as("text")),
       "text", "doc_id", SketchParams.q166.patterns)
 
+  /** Luhn-gated card PII ([[graft.functions.Pii.cardScan]]): card-shaped
+    * digit runs counted, mod-10-VALIDATED (the checksum kills the false
+    * positives a bare length regex produces), and only valid runs
+    * redacted. The fixture synthesizes one known-valid and one
+    * known-invalid run per customer IN-QUERY — the check digit is
+    * computed by both engines, so the oracle verifies the generator AND
+    * the validator. Params from [[SketchParams.q167]]. */
+  def q167LuhnCards(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q167
+    val pan = concat(lit("4"),
+      lpad((col("c_custkey") % p.panMod).cast("string"), 14, "0"))
+    val chk = functions.Pii.luhnCheckDigit(pan)
+    val contact = concat(col("c_name"),
+      when(col("c_custkey") % p.validMod === 0,
+        concat(lit(" card "), pan, chk.cast("string"))).otherwise(lit("")),
+      lit(" ref "), pan, ((chk + 1) % 10).cast("string"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), functions.Pii.cardScan(contact).as("__s"))
+      .select(col("c_custkey"),
+        col("__s.n_digit_runs").as("n_digit_runs"),
+        col("__s.n_valid_cards").as("n_valid_cards"),
+        (col("__s.n_valid_cards") > 0).as("has_card"),
+        col("__s.redacted").as("redacted"))
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3274,7 +3299,8 @@ object SparkEntry {
     "q163_jl_projection" -> (q163JlProjection _),
     "q164_source_overlap" -> (q164SourceOverlap _),
     "q165_bpe_compression" -> (q165BpeCompression _),
-    "q166_blocklist_gate" -> (q166BlocklistGate _))
+    "q166_blocklist_gate" -> (q166BlocklistGate _),
+    "q167_luhn_cards" -> (q167LuhnCards _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -42,4 +42,59 @@ object Pii {
 
   def phoneCount(c: Column): Column =
     regexp_count(c, lit(phonePattern)).cast("long")
+
+  /** Payment-card-shaped digit run: 13–19 digits on word boundaries
+    * (PAN lengths per ISO/IEC 7812). Like the other patterns, inside
+    * the java/RE2 intersection. */
+  val cardPattern = "\\b[0-9]{13,19}\\b"
+
+  /** Luhn (mod-10) checksum validity of a digit string — ISO/IEC
+    * 7812-1: from the RIGHTMOST digit, double every second digit
+    * (subtracting 9 when the double exceeds 9) and require the sum
+    * ≡ 0 (mod 10). The checksum is what separates a real PAN from an
+    * arbitrary digit run — redaction pipelines gate on it to kill the
+    * false positives a bare length regex produces (order ids,
+    * timestamps, hashes). Pure builtin-column arithmetic (reverse →
+    * per-digit transform → aggregate), so it stays codegen'd and the
+    * q167 oracle replays it digit-for-digit. */
+  def luhnValid(s: Column): Column = {
+    val rev = reverse(s)
+    val terms = transform(split(rev, ""), (ch, i) => {
+      val d = ch.cast("int")
+      when(i % 2 === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    aggregate(terms, lit(0), (acc, t) => acc + t) % 10 === 0
+  }
+
+  /** The Luhn check digit that makes `payload + digit` valid — the
+    * generator's half of the checksum (used by the q167 fixture to
+    * synthesize known-valid and known-invalid runs in-query on both
+    * engines). Position parity: the appended digit sits at position 1
+    * (not doubled), so the payload's digits double from ITS rightmost
+    * one. */
+  def luhnCheckDigit(payload: Column): Column = {
+    val rev = reverse(payload)
+    val terms = transform(split(rev, ""), (ch, i) => {
+      val d = ch.cast("int")
+      when(i % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    (lit(10) - aggregate(terms, lit(0), (acc, t) => acc + t) % 10) % 10
+  }
+
+  /** Card scan + checksum-gated redaction: counts the card-shaped runs,
+    * counts the Luhn-VALID ones, and replaces only the valid ones with
+    * `token` (candidates are maximal digit runs, so replacements can
+    * never create or destroy other candidates; the fold over the valid
+    * list is order-independent). Map-only, fused with the scan. */
+  def cardScan(c: Column, token: String = "[CARD]"): Column = {
+    val cands = regexp_extract_all(c, lit(cardPattern), lit(0))
+    val valid = filter(cands, x => luhnValid(x))
+    struct(
+      size(cands).cast("long").as("n_digit_runs"),
+      size(valid).cast("long").as("n_valid_cards"),
+      aggregate(valid, c, (acc, v) => replace(acc, v, lit(token)))
+        .as("redacted"))
+  }
 }
