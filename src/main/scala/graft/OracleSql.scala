@@ -3452,7 +3452,9 @@ object OracleSql {
     * residual slices, per-(query, probed-list) LUTs over the query's own
     * residual, and the ADC scan joined on (list, code). The SQL twin of
     * `Ann.ivfPqTopK`; generated from [[SketchParams.q162]]. */
-  private def q162: String = {
+  private def q162: String = q162Body
+
+  private def q162Body: String = {
     val p = SketchParams.q162
     val d = p.dim / p.m
     def subspace(j: Int): String = {
@@ -3570,6 +3572,39 @@ object OracleSql {
           ORDER BY pd, CAST(neighbor_id AS VARCHAR)) AS rank
       FROM scored)
     WHERE rank <= ${p.k}"""
+  }
+
+  /** ANN recall audit (q168): the FULL q162 IVF-PQ pipeline nested as a
+    * CTE (its inner WITH is scoped — the q94 nesting precedent) against
+    * an exact integer-kNN CTE over the same query sample, left-joined
+    * per (query, neighbor) into per-query recall@k. The SQL twin of
+    * `Ann.exactTopKPortable` + `Ann.annRecallAudit`. */
+  private def q168: String = {
+    val p = SketchParams.q162
+    s"""
+    WITH approx AS ($q162Body
+    ), xv AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT)) AS q
+      FROM embeddings
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY ${sqListSql("a.q", "b.q")},
+              CAST(b.vec_id AS VARCHAR)) AS rn
+        FROM xv a JOIN xv b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < ${p.maxQueryId})
+      WHERE rn <= ${p.k}
+    )
+    SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+      CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+      CAST(COUNT(a.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        AS recall
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id"""
   }
 
   /** Salted fuzzy join (q69): the oracle is the UNSALTED blocked join +
@@ -5134,6 +5169,7 @@ object OracleSql {
     "q165_bpe_compression" -> q165,
     "q166_blocklist_gate" -> q166,
     "q167_luhn_cards" -> q167,
+    "q168_ann_recall_audit" -> q168,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3114,6 +3114,24 @@ object SparkEntry {
         col("__s.redacted").as("redacted"))
   }
 
+  /** ANN recall audit ([[graft.operators.Ann.exactTopKPortable]] +
+    * [[graft.operators.Ann.annRecallAudit]]): per-query recall@k of the
+    * q162 IVF-PQ index against exact integer kNN over the same query
+    * sample — the q144 tune→measure convention applied to the vector-
+    * index family, hash-verified end-to-end (the oracle nests the FULL
+    * q162 pipeline). Params shared with [[SketchParams.q162]]. */
+  def q168AnnRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q162
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < p.maxQueryId)
+    val exact = Ann.exactTopKPortable(emb, queries,
+      "embedding", "vec_id", "vec_id", k = p.k, scale = p.scale)
+    val approx = Ann.ivfPqTopK(emb, queries, "embedding", "vec_id",
+      "vec_id", k = p.k, nlist = p.nlist, nprobe = p.nprobe, m = p.m,
+      ks = p.ks, iters = p.iters, scale = p.scale)
+    Ann.annRecallAudit(exact, approx)
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3300,7 +3318,8 @@ object SparkEntry {
     "q164_source_overlap" -> (q164SourceOverlap _),
     "q165_bpe_compression" -> (q165BpeCompression _),
     "q166_blocklist_gate" -> (q166BlocklistGate _),
-    "q167_luhn_cards" -> (q167LuhnCards _))
+    "q167_luhn_cards" -> (q167LuhnCards _),
+    "q168_ann_recall_audit" -> (q168AnnRecallAudit _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

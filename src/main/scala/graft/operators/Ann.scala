@@ -867,6 +867,54 @@ object Ann {
         col("col.key").as("approx_d"))
   }
 
+  /** Exact top-k under the portable integer metric (squared L2 over
+    * floor-quantized vectors, ties (d, id-as-string)) — the ground
+    * truth every approximate index in this family is graded against.
+    * Brute force by design: broadcast queries, one map + the BottomK
+    * heap merge. Use it on a QUERY SAMPLE (recall audits, q168), not
+    * as a serving path. */
+  def exactTopKPortable(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String,
+      k: Int, scale: Int = 1000, excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    val idType = corpus.select(col(idCol)).schema.head.dataType
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantizeVec(col(vecCol), scale).as("__cq"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      quantizeVec(col(vecCol), scale).as("__qq"))
+    c.join(broadcast(q),
+        if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("d", aggregate(zip_with(col("__qq"), col("__cq"),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, e) => acc + e))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BottomK.bottom_k(col("d"),
+        col("neighbor_id").cast("string"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.value").cast(idType).as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.key").as("d"))
+  }
+
+  /** ANN recall audit — the tune→measure closer for the vector-index
+    * family (the [[graft.operators.Dedup.lshFidelity]] convention
+    * applied to ANN): run the approximate index and [[exactTopKPortable]]
+    * over the same query sample and report per-query recall@k. An index
+    * whose measured recall hasn't been looked at is a guess — at 100 TB
+    * the sample is small (queries are the tiny side by construction)
+    * while the audit exercises the full index build, so this is cheap
+    * insurance before a trillion-row backfill. Output:
+    * (query_id, n_exact, n_hits, recall). */
+  def annRecallAudit(
+      exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("__hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hits"))
+      .select(col("query_id"), col("n_exact"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+
   /** Late-interaction (MaxSim) retrieval over chunked documents —
     * ColBERT's scoring rule (Khattab & Zaharia 2020, SIGIR, "ColBERT:
     * Efficient and Effective Passage Search via Contextualized Late
