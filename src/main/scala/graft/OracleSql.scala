@@ -413,6 +413,15 @@ object SketchParams {
   object q164 {
     val ngram = 3
   }
+  /** q169 end-to-end curation run: the rare-phrase blocklist (rarer
+    * than q166's so the gate prunes without gutting the corpus) and the
+    * shard token budget. Quality thresholds are gopherQuality's
+    * defaults (the q71 numbers); the dedup stage reuses the q49 pair
+    * list and corpus slice verbatim. */
+  object q169 {
+    val patterns: Seq[String] = Seq("dup dup", "slow slow", "spam")
+    val budget = 2000L
+  }
   /** q167 Luhn card PII: fixture moduli — every customer carries one
     * known-INVALID card-shaped run (valid check digit + 1); every
     * `validMod`-th also carries the Luhn-valid one. Check digits are
@@ -1100,6 +1109,63 @@ object OracleSql {
     s"""
     WITH $minhashPairCtes
     SELECT id_a, id_b, jaccard FROM pairs"""
+
+  /** End-to-end curation run (q169): the training-data flagship — one
+    * decision table over the q49 corpus slice composing the Gopher
+    * quality gate (q71 formulas), the rare-phrase blocklist (q166
+    * position-scan semantics), near-dup drop against the q49 minhash
+    * pair list (drop any doc that duplicates a smaller id), and the q78
+    * running-offset shard packing of the survivors. Every stage reuses
+    * its family's established oracle semantics, so the WHOLE curation
+    * decision — including which shard each surviving doc lands in — is
+    * hash-verified. */
+  private def q169: String = {
+    val p49 = SketchParams.q49
+    val p = SketchParams.q169
+    val pats = p.patterns.map(s => s"('${s.replace("'", "''")}')")
+      .mkString(", ")
+    val sw = Seq("the", "a", "of", "and", "to").map(w =>
+      s"(CASE WHEN ' ' || text || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+    WITH $minhashPairCtes
+    , slice AS (
+      SELECT doc_id, text FROM corpus WHERE doc_id % ${p49.corpusMod} = 0
+    ), m AS (
+      SELECT doc_id, text,
+        len(string_split_regex(trim(text), '\\s+')) AS n_words,
+        length(replace(text, ' ', '')) AS word_chars,
+        $sw AS sw
+      FROM slice
+    ), bl AS (
+      SELECT s.doc_id, SUM(len(list_filter(
+          generate_series(1, length(s.text) - length(pp.pat) + 1),
+          i -> substr(s.text, CAST(i AS INT), length(pp.pat)) = pp.pat)))
+          AS n_matches
+      FROM slice s CROSS JOIN (VALUES $pats) pp(pat)
+      GROUP BY s.doc_id
+    ), flags AS (
+      SELECT m.doc_id, CAST(m.n_words AS BIGINT) AS n_tokens,
+        (m.n_words BETWEEN 40 AND 100000)
+          AND (CAST(m.word_chars AS DOUBLE) / m.n_words BETWEEN 3.0 AND 10.0)
+          AND m.sw >= 2 AS keep_quality,
+        b.n_matches > 0 AS blocked,
+        m.doc_id IN (SELECT id_b FROM pairs) AS dup_drop
+      FROM m JOIN bl b USING (doc_id)
+    ), dec AS (
+      SELECT *, keep_quality AND NOT blocked AND NOT dup_drop AS kept
+      FROM flags
+    ), packd AS (
+      SELECT doc_id,
+        CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+          / ${p.budget}.0) AS BIGINT) AS shard_id
+      FROM dec WHERE kept
+    )
+    SELECT d.doc_id, d.n_tokens, d.keep_quality, d.blocked, d.dup_drop,
+      d.kept, pk.shard_id
+    FROM dec d LEFT JOIN packd pk USING (doc_id)"""
+  }
 
   /** Dedup clusters (q56): connected components over the q49 pair list by
     * a recursive min-reachable-id CTE — every node's component label is
@@ -5170,6 +5236,7 @@ object OracleSql {
     "q166_blocklist_gate" -> q166,
     "q167_luhn_cards" -> q167,
     "q168_ann_recall_audit" -> q168,
+    "q169_curation_run" -> q169,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3132,6 +3132,49 @@ object SparkEntry {
     Ann.annRecallAudit(exact, approx)
   }
 
+  /** End-to-end curation run — the training-data flagship composition
+    * (the q141 convention applied to the curation family): ONE decision
+    * table over the q49 corpus slice composing the Gopher quality gate
+    * ([[graft.operators.TextAnalysis.gopherQuality]]), the rare-phrase
+    * Aho–Corasick blocklist, near-dup drop against the MEMOIZED q49
+    * minhash pair list (drop any doc duplicating a smaller id), and
+    * the q78 prefix-sum packing of the survivors — per doc: every gate
+    * verdict, the final keep decision, and the shard it lands in, all
+    * hash-verified by one composed oracle. Params from
+    * [[SketchParams.q169]]. */
+  def q169CurationRun(s: SparkSession, dir: String): DataFrame = {
+    val p49 = SketchParams.q49
+    val p = SketchParams.q169
+    val corpus = nearDupCorpus(s, dir)
+      .filter(col("doc_id") % p49.corpusMod === 0)
+    val quality = operators.TextAnalysis
+      .gopherQuality(corpus, "text", "doc_id")
+      .select(col("doc_id"), col("keep").as("keep_quality"))
+    val blocked = operators.TextAnalysis
+      .blocklistGate(corpus, "text", "doc_id", p.patterns)
+      .select(col("doc_id"), col("blocked"))
+    val dupIds = q49Pairs(s, dir)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("__dup", lit(true))
+    val flags = corpus
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .join(quality, Seq("doc_id"))
+      .join(blocked, Seq("doc_id"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("keep_quality"),
+        col("blocked"), coalesce(col("__dup"), lit(false)).as("dup_drop"))
+      .withColumn("kept",
+        col("keep_quality") && !col("blocked") && !col("dup_drop"))
+    val packed = operators.Packing.assignShards(
+        flags.filter(col("kept")).select(col("doc_id"), col("n_tokens")),
+        "n_tokens", "doc_id", p.budget)
+      .select(col("doc_id"), col("shard_id"))
+    flags.join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("keep_quality"),
+        col("blocked"), col("dup_drop"), col("kept"), col("shard_id"))
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3319,7 +3362,8 @@ object SparkEntry {
     "q165_bpe_compression" -> (q165BpeCompression _),
     "q166_blocklist_gate" -> (q166BlocklistGate _),
     "q167_luhn_cards" -> (q167LuhnCards _),
-    "q168_ann_recall_audit" -> (q168AnnRecallAudit _))
+    "q168_ann_recall_audit" -> (q168AnnRecallAudit _),
+    "q169_curation_run" -> (q169CurationRun _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -625,6 +625,20 @@ class PlanQualitySpec extends AnyFunSuite {
       "heap merge must partial-aggregate map-side")
   }
 
+  test("q169: curation run scans the memoized q49 pair checkpoint (no " +
+      "sketch recompute), gates stay codegen'd, no cartesian (r13)") {
+    val plan = executed("q169_curation_run")
+    assert(plan.contains("Scan ExistingRDD"),
+      "expected the shared q49 pair checkpoint scan")
+    assert(plan.contains("blocklist_stats"),
+      "blocklist gate not fused into the plan")
+    assert(!plan.contains("CartesianProduct"), "q169 cartesians")
+    // the minhash sketch itself must NOT re-run: banding would show a
+    // Generate over the signature explode feeding a self-join
+    assert(!plan.contains("minhash_md5_sig"),
+      "q169 recomputed the minhash sketch — memo sharing defeated")
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
