@@ -2951,11 +2951,22 @@ object SparkEntry {
     * pipeline — not just the ranking — is hash-verified. Params from
     * [[SketchParams.q158]]. */
   def q158PqTopk(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
     val p = SketchParams.q158
     val emb = t(s, dir, "embeddings")
+    // train-once-reuse (opt-in via SPARK_GRAFT_CENTROIDS_DIR, the q92
+    // convention): the sub-codebooks the oracle hash-verifies are the
+    // model worth persisting; serving then pays only encode + scan
+    def trained = Ann.pqCodebooksPortable(emb, "embedding", "vec_id",
+      p.m, p.ks, p.iters, p.scale)
+    val books = sys.env.get("SPARK_GRAFT_CENTROIDS_DIR") match {
+      case Some(root) => Ann.trainOrLoadPqCodebooks(
+        s"$root/q158_m${p.m}_ks${p.ks}_iters${p.iters}_scale${p.scale}")(trained)
+      case None => trained
+    }
     Ann.pqTopK(emb, emb.filter(col("vec_id") < p.maxQueryId),
       "embedding", "vec_id", "vec_id", k = p.k, m = p.m, ks = p.ks,
-      iters = p.iters, scale = p.scale)
+      iters = p.iters, scale = p.scale, codebooks = Some(books))
   }
 
   /** Bloom-gated decontamination

@@ -1076,6 +1076,40 @@ object Ann {
     catch { case _: org.apache.spark.sql.AnalysisException =>
       val c = train; saveCentroids(c, path); c }
 
+  /** Persist PQ sub-codebooks ([[pqCodebooksPortable]]) as one parquet
+    * model: a row per (subspace, code) with its BIGINT sub-centroid —
+    * bit-exact round trip, the [[saveCentroids]] convention for the PQ
+    * family. A production IVF-PQ deployment persists the coarse
+    * quantizer AND the sub-codebooks together; encoding new vectors and
+    * serving queries then never re-touch the training corpus. */
+  def savePqCodebooks(books: Seq[Seq[Seq[Long]]], path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    (for ((book, j) <- books.zipWithIndex; (c, i) <- book.zipWithIndex)
+      yield (j, i, c))
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Bit-exact inverse of [[savePqCodebooks]]. */
+  def loadPqCodebooks(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Seq[Seq[Seq[Long]]] =
+    spark.read.parquet(path)
+      .select(col("subspace"), col("code"), col("centroid"))
+      .orderBy(col("subspace"), col("code"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Long](2).toIndexedSeq).toIndexedSeq)
+
+  /** Train-once-reuse for PQ models (the [[trainOrLoadCentroids]]
+    * contract). */
+  def trainOrLoadPqCodebooks(path: String)(train: => Seq[Seq[Seq[Long]]])(
+      implicit spark: org.apache.spark.sql.SparkSession): Seq[Seq[Seq[Long]]] =
+    try loadPqCodebooks(path)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      val b = train; savePqCodebooks(b, path); b }
+
   // ------------------------------------------------------------ kNN graph
 
   /** k-nearest-neighbor GRAPH construction via NN-Descent (Dong,

@@ -114,4 +114,31 @@ class CentroidPersistenceSpec extends AnyFunSuite {
     assert(!fresh.contains(101L), "exact copy must be screened out")
     assert(fresh.contains(103L), "novel doc must survive")
   }
+
+  test("PQ sub-codebooks round-trip parquet bit-exactly and a loaded " +
+      "model reproduces the retrained pqTopK run") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val emb = Tables.load(spark, dir, "embeddings")
+    val books = graft.operators.Ann.pqCodebooksPortable(
+      emb, "embedding", "vec_id", m = 2, ks = 4, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("pqbooks").toString + "/m"
+    graft.operators.Ann.savePqCodebooks(books, path)
+    val loaded = graft.operators.Ann.loadPqCodebooks(path)
+    assert(loaded == books, "codebooks changed across the round trip")
+    def run(b: Seq[Seq[Seq[Long]]]) = graft.operators.Ann.pqTopK(
+        emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 4),
+        "embedding", "vec_id", "vec_id", k = 5, m = 2, ks = 4,
+        iters = 2, codebooks = Some(b))
+      .collect().map(_.toSeq).toSet
+    assert(run(loaded) == run(books))
+    // trainOrLoad: second call must not retrain (identity via artifact)
+    var trained = 0
+    def trainer = { trained += 1; books }
+    val p2 = java.nio.file.Files
+      .createTempDirectory("pqbooks2").toString + "/m"
+    graft.operators.Ann.trainOrLoadPqCodebooks(p2)(trainer)
+    val again = graft.operators.Ann.trainOrLoadPqCodebooks(p2)(trainer)
+    assert(trained == 1 && again == books)
+  }
 }
