@@ -413,6 +413,16 @@ object SketchParams {
   object q164 {
     val ngram = 3
   }
+  /** q170 distinctive terms: per-source top-k, fixed-point quant,
+    * noise floor. */
+  object q170 {
+    val k = 5; val quant = 1000000L; val minCount = 5L
+  }
+  /** q171 token drift: hash-bucket count and the snapshot split
+    * (A = even doc ids). */
+  object q171 {
+    val nBuckets = 32; val splitMod = 2L
+  }
   /** q169 end-to-end curation run: the rare-phrase blocklist (rarer
     * than q166's so the gate prunes without gutting the corpus) and the
     * shard token budget. Quality thresholds are gopherQuality's
@@ -4658,6 +4668,71 @@ object OracleSql {
     FROM cands"""
   }
 
+  /** Distinctive terms per source (q170): the exact fixed-point rate
+    * ratio (quant·tf_grp·T_all // tf_all·T_grp) over one (source, term)
+    * aggregation, top-k per source by (ratio DESC, term) — the SQL twin
+    * of `TextAnalysis.distinctiveTerms`. Generated from
+    * [[SketchParams.q170]]. */
+  private def q170: String = {
+    val p = SketchParams.q170
+    s"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(
+        trim(lower(${normSql("text")})), '\\s+')) AS term
+      FROM documents
+    ), g AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf_grp
+      FROM toks GROUP BY 1, 2
+    ), ta AS (
+      SELECT term, CAST(SUM(tf_grp) AS BIGINT) AS tf_all FROM g GROUP BY 1
+    ), gt AS (
+      SELECT source, CAST(SUM(tf_grp) AS BIGINT) AS t_grp FROM g GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(t_grp) AS BIGINT) AS t_all FROM gt
+    ), scored AS (
+      SELECT g.source, g.term, g.tf_grp,
+        CAST((${p.quant} * g.tf_grp * tot.t_all) // (ta.tf_all * gt.t_grp)
+          AS BIGINT) AS ratio_fp
+      FROM g JOIN ta USING (term) JOIN gt USING (source) CROSS JOIN tot
+      WHERE g.tf_grp >= ${p.minCount})
+    SELECT source, CAST(rank AS BIGINT) AS rank, term, tf_grp, ratio_fp
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+        ORDER BY ratio_fp DESC, term) AS rank FROM scored)
+    WHERE rank <= ${p.k}"""
+  }
+
+  /** Token-distribution drift (q171): md5 feature-hash buckets, exact
+    * side counts, and the per-cell χ² contribution as an identically-
+    * shaped double chain — the SQL twin of `Stats.tokenDrift`.
+    * Generated from [[SketchParams.q171]]. */
+  private def q171: String = {
+    val p = SketchParams.q171
+    s"""
+    WITH toks AS (
+      SELECT doc_id % ${p.splitMod} = 0 AS a,
+        ('0x' || substr(md5(unnest(string_split_regex(
+          trim(lower(${normSql("text")})), '\\s+'))), 1, 15))::BIGINT
+          % ${p.nBuckets} AS bucket
+      FROM documents
+    ), counts AS (
+      SELECT bucket,
+        CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM toks GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+      FROM counts)
+    SELECT bucket, n_a, n_b,
+      ((CAST(n_a AS DOUBLE) * CAST(tb AS DOUBLE) -
+        CAST(n_b AS DOUBLE) * CAST(ta AS DOUBLE)) *
+       (CAST(n_a AS DOUBLE) * CAST(tb AS DOUBLE) -
+        CAST(n_b AS DOUBLE) * CAST(ta AS DOUBLE)) *
+       CAST(ta + tb AS DOUBLE)) /
+      (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) *
+        CAST(n_a + n_b AS DOUBLE)) AS chi2
+    FROM counts CROSS JOIN tot"""
+  }
+
   /** BPE compression report (q165): the shared q153 tokenization CTEs,
     * per-doc token counts, then per-(lang, source) corpus totals and
     * the chars-per-token ratio — the report that drives tokenizer and
@@ -5237,6 +5312,8 @@ object OracleSql {
     "q167_luhn_cards" -> q167,
     "q168_ann_recall_audit" -> q168,
     "q169_curation_run" -> q169,
+    "q170_distinctive_terms" -> q170,
+    "q171_token_drift" -> q171,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

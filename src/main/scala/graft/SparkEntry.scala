@@ -3186,6 +3186,32 @@ object SparkEntry {
         col("blocked"), col("dup_drop"), col("kept"), col("shard_id"))
   }
 
+  /** Distinctive terms per source
+    * ([[graft.operators.TextAnalysis.distinctiveTerms]]): exact
+    * fixed-point rate-ratio keywords, top-k per source via the BottomK
+    * heap — the dataset-card report. Params from
+    * [[SketchParams.q170]]. */
+  def q170DistinctiveTerms(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q170
+    operators.TextAnalysis.distinctiveTerms(
+      t(s, dir, "documents")
+        .select(col("source"), normText(col("text")).as("text")),
+      "text", "source", p.k, p.quant, p.minCount)
+  }
+
+  /** Token-distribution drift ([[graft.operators.Stats.tokenDrift]]):
+    * χ² per md5 feature-hash bucket between the even- and odd-id
+    * snapshot halves — the ingest-shift monitor, exact counts + one
+    * identically-shaped double chain. Params from
+    * [[SketchParams.q171]]. */
+  def q171TokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q171
+    operators.Stats.tokenDrift(
+      t(s, dir, "documents")
+        .select(col("doc_id"), normText(col("text")).as("text")),
+      "text", col("doc_id") % p.splitMod === 0, p.nBuckets)
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3374,7 +3400,9 @@ object SparkEntry {
     "q166_blocklist_gate" -> (q166BlocklistGate _),
     "q167_luhn_cards" -> (q167LuhnCards _),
     "q168_ann_recall_audit" -> (q168AnnRecallAudit _),
-    "q169_curation_run" -> (q169CurationRun _))
+    "q169_curation_run" -> (q169CurationRun _),
+    "q170_distinctive_terms" -> (q170DistinctiveTerms _),
+    "q171_token_drift" -> (q171TokenDrift _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

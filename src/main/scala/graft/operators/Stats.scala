@@ -161,4 +161,43 @@ object Stats {
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("__next") - col("__t")).as("covered"))
   }
+
+  /** Token-distribution drift between two corpus snapshots — the
+    * "did my ingest shift" monitor: tokens hash into `nBuckets` md5
+    * buckets (the portable feature-hashing convention — no vocabulary
+    * state, bounded output), each bucket carries its side-A/side-B
+    * counts and its per-cell χ² contribution from the 2×C contingency
+    * identity χ²_cell = N·(n_a·N_b − n_b·N_a)² / (N_a·N_b·(n_a+n_b)).
+    * Sum the column for the overall statistic; large per-bucket values
+    * localize WHICH token mass moved. Counts are exact BIGINTs; the χ²
+    * is one identically-shaped double chain over them (the q68
+    * argument), so the report is hash-verifiable (q171).
+    *
+    * Scale shape: one token explode → one (bucket) hash agg with
+    * conditional sums (map-side combined, output bounded by nBuckets);
+    * the grand totals are a 1-row broadcast. Nothing else. */
+  def tokenDrift(docs: DataFrame, textCol: String, isA: Column,
+      nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val counts = docs.select(isA.as("__a"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("__term"))
+      .select(col("__a"),
+        (graft.functions.PortableHash.md5Long60(col("__term")) % nBuckets)
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("chi2",
+        ((col("n_a").cast("double") * col("__tb").cast("double") -
+          col("n_b").cast("double") * col("__ta").cast("double")) *
+         (col("n_a").cast("double") * col("__tb").cast("double") -
+          col("n_b").cast("double") * col("__ta").cast("double")) *
+         (col("__ta") + col("__tb")).cast("double")) /
+        (col("__ta").cast("double") * col("__tb").cast("double") *
+          (col("n_a") + col("n_b")).cast("double")))
+      .select(col("bucket"), col("n_a"), col("n_b"), col("chi2"))
+  }
 }

@@ -693,6 +693,54 @@ object TextAnalysis {
       col("__s.n_patterns").cast("long").as("n_patterns"),
       (col("__s.n_matches") > 0).as("blocked"))
 
+  /** Distinctive terms per group — the "dataset card" keyword report:
+    * for every (group, term), the RATE RATIO of the term's in-group
+    * frequency to its corpus-wide frequency, in exact fixed point
+    * (quant·tf_grp·T_all DIV tf_all·T_grp — > quant means
+    * over-represented), top-k per group by (ratio DESC, term ASC). The
+    * integer rate ratio is the engine-portable stand-in for log-odds /
+    * TF-IDF keyword scoring (monotone in the same quantity per term;
+    * the log is a display transform).
+    *
+    * Scale shape: one token explode + a (group, term) hash agg (map-side
+    * combined) is the only corpus-sized stage; term totals re-aggregate
+    * FROM that table (never a second corpus pass) and join back on the
+    * term key — a shuffle join, because a 100 TB vocabulary is itself
+    * large; group totals and the grand total are catalog-sized
+    * broadcasts. Top-k per group is the bounded BottomK heap; the
+    * term's stats rejoin on (group, term) afterwards, so the heap
+    * carries one string per entry. Overflow: quant·tf_grp·T_all < 2⁶³
+    * caps tf_grp·T_all at ~9·10¹² at quant 10⁶ — beyond that, lower
+    * quant or pre-bucket terms. */
+  def distinctiveTerms(docs: DataFrame, textCol: String, groupCol: String,
+      k: Int, quant: Long = 1000000L, minCount: Long = 5L): DataFrame = {
+    require(k > 0 && quant > 0, "bad k/quant")
+    val toks = docs.select(col(groupCol).as("source"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+    val g = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf_grp"))
+    val termAll = g.groupBy(col("term")).agg(sum(col("tf_grp")).as("tf_all"))
+    val grpTot = g.groupBy(col("source")).agg(sum(col("tf_grp")).as("t_grp"))
+    val allTot = grpTot.agg(sum(col("t_grp")).as("t_all"))
+    val scored = g.filter(col("tf_grp") >= minCount)
+      .join(termAll, Seq("term"))
+      .join(broadcast(grpTot), Seq("source"))
+      .crossJoin(broadcast(allTot))
+      .withColumn("ratio_fp",
+        expr(s"(${quant}L * tf_grp * t_all) DIV (tf_all * t_grp)"))
+    val top = scored
+      .groupBy(col("source"))
+      .agg(graft.functions.BottomK.bottom_k(-col("ratio_fp"),
+        col("term"), k).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.value").as("term"))
+    top.join(scored.select(col("source"), col("term"),
+        col("tf_grp"), col("ratio_fp")), Seq("source", "term"))
+      .select(col("source"), col("rank"), col("term"), col("tf_grp"),
+        col("ratio_fp"))
+  }
+
   // ---------------------------------------------------------------------
   // BM25 ranked retrieval
   // ---------------------------------------------------------------------

@@ -41,6 +41,46 @@ class CurationReportsSpec extends AnyFunSuite {
     assert(!out.keys.exists(k => k._1 == "clean" || k._2 == "clean"))
   }
 
+  test("q170 semantics: a source-exclusive term tops its source's list " +
+      "with the exact rate ratio; shared vocabulary scores ~quant") {
+    import graft.operators.TextAnalysis
+    // two sources, 'zebra' exclusive to src_a (6 of src_a's 12 tokens);
+    // filler shared evenly
+    val docs = Seq(
+      ("src_a", "zebra zebra zebra zebra zebra zebra fill fill fill fill fill fill"),
+      ("src_b", "fill fill fill fill fill fill fill fill fill fill fill fill"))
+      .toDF("source", "text")
+    val out = TextAnalysis.distinctiveTerms(docs, "text", "source",
+        k = 2, quant = 1000000L, minCount = 5L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    // zebra: tf_grp=6, tf_all=6, t_grp=12, t_all=24 -> ratio = 2.0·quant
+    assert(out(("src_a", 1L)) == (("zebra", 6L, 2000000L)), out.toString)
+    // fill in src_b: 12/18 vs 12/24 share -> (q·12·24)//(18·12) = 1333333
+    assert(out(("src_b", 1L)) == (("fill", 12L, 1333333L)), out.toString)
+  }
+
+  test("q171 semantics: identical snapshots drift zero; a token swap " +
+      "concentrates chi2 in the moved token's bucket") {
+    import graft.operators.Stats
+    val same = Seq((0L, "alpha beta gamma"), (1L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val zero = Stats.tokenDrift(same, "text", col("doc_id") % 2 === 0, 16)
+      .collect()
+    assert(zero.nonEmpty && zero.forall(_.getDouble(3) == 0.0),
+      zero.map(_.toSeq).mkString(", "))
+    // snapshot B replaces 'gamma' with 'delta' -> exactly the buckets of
+    // gamma/delta carry the drift (unless they hash-collide)
+    val moved = Seq((0L, "alpha beta gamma gamma"), (1L, "alpha beta delta delta"))
+      .toDF("doc_id", "text")
+    val rows = Stats.tokenDrift(moved, "text", col("doc_id") % 2 === 0, 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val drifted = rows.filter(_._2 > 0).map(_._1).toSet
+    assert(drifted.size == 2, s"drift buckets: ${rows.mkString(", ")}")
+    val calm = rows.filter(_._2 == 0.0)
+    assert(calm.nonEmpty, "shared tokens must not drift")
+  }
+
   test("q165 semantics: chars-per-token under a hand merge table; a " +
       "merge-covered language compresses better than an uncovered one") {
     val merges = Seq(("a", "b"), ("ab", "c"))
