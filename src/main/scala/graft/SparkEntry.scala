@@ -3027,14 +3027,25 @@ object SparkEntry {
     * with m lookups each. Coarse training, residuals, sub-quantizer
     * training, encoding, probing and the scan are ALL unrolled in the
     * DuckDB oracle. Params from [[SketchParams.q162]]. */
-  def q162IvfPqTopk(s: SparkSession, dir: String): DataFrame = {
-    val p = SketchParams.q162
-    val emb = t(s, dir, "embeddings")
-    Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < p.maxQueryId),
-      "embedding", "vec_id", "vec_id", k = p.k, nlist = p.nlist,
-      nprobe = p.nprobe, m = p.m, ks = p.ks, iters = p.iters,
-      scale = p.scale)
-  }
+  def q162IvfPqTopk(s: SparkSession, dir: String): DataFrame =
+    ivfPqResult(s, dir)
+
+  /** The q162 IVF-PQ result (build + serve at the SketchParams.q162
+    * point) is consumed twice — q162 itself and q168's recall audit —
+    * and the build trains nlist coarse + m sub-quantizers (a multi-job
+    * subplan), so it shares one eager checkpoint per (session, dir):
+    * the q133/q148/q152 memo convention. */
+  private val ivfPqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def ivfPqResult(s: SparkSession, dir: String): DataFrame =
+    memoCheckpoint(ivfPqMemo, s, dir) {
+      val p = SketchParams.q162
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < p.maxQueryId),
+        "embedding", "vec_id", "vec_id", k = p.k, nlist = p.nlist,
+        nprobe = p.nprobe, m = p.m, ks = p.ks, iters = p.iters,
+        scale = p.scale)
+    }
 
   /** Signed random projection + projected exact top-k
     * ([[graft.operators.Ann.signedProjection]] +
@@ -3137,10 +3148,9 @@ object SparkEntry {
     val queries = emb.filter(col("vec_id") < p.maxQueryId)
     val exact = Ann.exactTopKPortable(emb, queries,
       "embedding", "vec_id", "vec_id", k = p.k, scale = p.scale)
-    val approx = Ann.ivfPqTopK(emb, queries, "embedding", "vec_id",
-      "vec_id", k = p.k, nlist = p.nlist, nprobe = p.nprobe, m = p.m,
-      ks = p.ks, iters = p.iters, scale = p.scale)
-    Ann.annRecallAudit(exact, approx)
+    // the audited index IS q162's memoized result — the audit reads the
+    // checkpoint instead of re-training the same model
+    Ann.annRecallAudit(exact, ivfPqResult(s, dir))
   }
 
   /** End-to-end curation run — the training-data flagship composition

@@ -639,6 +639,23 @@ class PlanQualitySpec extends AnyFunSuite {
       "q169 recomputed the minhash sketch — memo sharing defeated")
   }
 
+  test("q162/q168: the IVF-PQ result is built once — q162 scans its " +
+      "checkpoint, the audit joins against the same scan (r13)") {
+    val plan162 = executed("q162_ivfpq_topk")
+    assert(plan162.contains("Scan ExistingRDD"),
+      "q162: expected the memoized checkpoint scan")
+    assert(!plan162.contains("Exchange"),
+      "q162: the shared result re-shuffled — sharing defeated")
+    val plan168 = executed("q168_ann_recall_audit")
+    assert(plan168.contains("Scan ExistingRDD"),
+      "q168: audit must read the shared IVF-PQ checkpoint")
+    assert(!plan168.contains("bottom_k") || {
+      // the exact ground truth legitimately heaps; the APPROX side must
+      // not rebuild its own heap from raw embeddings twice
+      "bottom_k".r.findAllIn(plan168).size <= 2
+    }, "q168: approx side appears rebuilt")
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
