@@ -413,6 +413,12 @@ object SketchParams {
   object q164 {
     val ngram = 3
   }
+  /** q173 Poisson bootstrap: replicate count and seed tag; the
+    * Poisson(1) integer CDF lives in `Sampling.poissonCdf6` and is
+    * embedded in the oracle from the SAME Seq. */
+  object q173 {
+    val replicates = 32; val seedTag = "boot"
+  }
   /** q170 distinctive terms: per-source top-k, fixed-point quant,
     * noise floor. */
   object q170 {
@@ -759,6 +765,44 @@ object OracleSql {
         WHEN de_h > 0 THEN 'de'
         ELSE 'und' END AS lang_id
     FROM h"""
+
+  /** Lang-id confusion matrix (q172): the FULL q22 classifier nested as
+    * a CTE, grouped against the labeled `lang` column with per-true-
+    * class fractions — the classifier-eval report. */
+  private def q172: String = s"""
+    WITH pred AS ($q22
+    ), m AS (
+      SELECT lang, lang_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, lang_id
+    ), tot AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM m GROUP BY lang)
+    SELECT m.lang, m.lang_id, m.n,
+      CAST(m.n AS DOUBLE) / CAST(tot.t AS DOUBLE) AS frac_of_true
+    FROM m JOIN tot USING (lang)"""
+
+  /** Poisson bootstrap (q173): md5 uniform draws against the SAME
+    * integer CDF literals as `Sampling.poissonCdf6`, per-replicate
+    * weighted sums — the SQL twin of `Sampling.poissonBootstrap` over
+    * documents.n_chars. Generated from [[SketchParams.q173]]. */
+  private def q173: String = {
+    val p = SketchParams.q173
+    val cdf = graft.operators.Sampling.poissonCdf6.mkString(", ")
+    s"""
+    WITH drawn AS (
+      SELECT b.replicate, d.n_chars,
+        CAST(len(list_filter([$cdf], c -> c <=
+          ('0x' || substr(md5(d.doc_id::VARCHAR || ':' ||
+            b.replicate::VARCHAR || ':${p.seedTag}'), 1, 15))::BIGINT
+            % 1000000)) AS BIGINT) AS w
+      FROM documents d CROSS JOIN (
+        SELECT unnest(generate_series(0, ${p.replicates - 1})) AS replicate
+      ) b)
+    SELECT CAST(replicate AS BIGINT) AS replicate,
+      CAST(SUM(w) AS BIGINT) AS n_eff,
+      CAST(SUM(w * n_chars) AS BIGINT) AS value_sum,
+      CAST(SUM(w * n_chars) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean
+    FROM drawn GROUP BY replicate"""
+  }
 
   private val q23 = """
     SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
@@ -5314,6 +5358,8 @@ object OracleSql {
     "q169_curation_run" -> q169,
     "q170_distinctive_terms" -> q170,
     "q171_token_drift" -> q171,
+    "q172_langid_confusion" -> q172,
+    "q173_poisson_bootstrap" -> q173,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

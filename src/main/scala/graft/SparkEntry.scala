@@ -3222,6 +3222,34 @@ object SparkEntry {
       "text", col("doc_id") % p.splitMod === 0, p.nBuckets)
   }
 
+  /** Lang-id confusion matrix: the q22 classifier evaluated against the
+    * corpus's labeled `lang` column — per (true, predicted) counts and
+    * per-true-class fractions, the classifier-eval report (the q116
+    * match-eval convention applied to lang-id). */
+  def q172LangIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = q22LangId(s, dir)
+    val m = pred.groupBy(col("lang"), col("lang_id"))
+      .agg(count(lit(1)).as("n"))
+    val tot = m.groupBy(col("lang")).agg(sum(col("n")).as("__t"))
+    m.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("lang_id"), col("n"),
+        (col("n").cast("double") / col("__t").cast("double"))
+          .as("frac_of_true"))
+  }
+
+  /** Poisson bootstrap over corpus mean document length
+    * ([[graft.operators.Sampling.poissonBootstrap]]): B single-pass
+    * resampling replicates with exact md5-drawn Poisson(1) weights —
+    * the replicate means' spread is the metric's sampling
+    * distribution, and the whole resample is hash-verified. Params
+    * from [[SketchParams.q173]]. */
+  def q173PoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q173
+    operators.Sampling.poissonBootstrap(
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "n_chars", "doc_id", p.replicates, p.seedTag)
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3412,7 +3440,9 @@ object SparkEntry {
     "q168_ann_recall_audit" -> (q168AnnRecallAudit _),
     "q169_curation_run" -> (q169CurationRun _),
     "q170_distinctive_terms" -> (q170DistinctiveTerms _),
-    "q171_token_drift" -> (q171TokenDrift _))
+    "q171_token_drift" -> (q171TokenDrift _),
+    "q172_langid_confusion" -> (q172LangIdConfusion _),
+    "q173_poisson_bootstrap" -> (q173PoissonBootstrap _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -331,4 +331,47 @@ object Sampling {
         col("priority"),
         greatest(col("weight"), col("__tau")).as("est_weight"))
   }
+
+  /** Poisson(1) CDF × 10⁶, floored — the integer thresholds both
+    * engines compare against (identical literals, so the per-row weight
+    * is exact). Mass beyond 7 (≈ 10⁻⁵) caps at weight 7. */
+  val poissonCdf6: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L)
+
+  /** Poisson bootstrap — the SINGLE-PASS resampling scheme for
+    * uncertainty on corpus metrics at scale (Chamandy, Muralidharan,
+    * Najmi & Naidu 2012, Google tech report, "Estimating uncertainty
+    * for massive data streams"): instead of B with-replacement
+    * resamples (B corpus shuffles), every row draws B independent
+    * Poisson(1) WEIGHTS — the multinomial resample count's limit —
+    * and each replicate b aggregates Σ w_b·x in the same pass. One
+    * explode(B) + one hash agg over the corpus; output is B rows.
+    *
+    * Weights are deterministic md5 draws against [[poissonCdf6]]
+    * integer thresholds — exact and engine-replayable (q173), so the
+    * bootstrap itself is hash-verified, not just spot-checked. The
+    * replicate means' spread IS the sampling distribution: report
+    * their percentiles as the CI.
+    *
+    * @return (replicate, n_eff, value_sum, mean) — n_eff the total
+    *         resampled weight, mean one double division of exact
+    *         BIGINTs */
+  def poissonBootstrap(df: DataFrame, valueCol: String, idCol: String,
+      replicates: Int = 32, seedTag: String = "boot"): DataFrame = {
+    require(replicates >= 1, "need at least one replicate")
+    val cdf = typedlit(poissonCdf6)
+    val u = graft.functions.PortableHash.md5Long60(
+      concat(col(idCol).cast("string"), lit(":"), col("replicate"),
+        lit(s":$seedTag"))) % 1000000L
+    df.select(col(idCol), col(valueCol).cast("long").as("__v"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("replicate"))
+      .withColumn("__w",
+        size(filter(cdf, c => c <= u)).cast("long"))
+      .groupBy(col("replicate").cast("long").as("replicate"))
+      .agg(sum(col("__w")).as("n_eff"),
+        sum(col("__w") * col("__v")).as("value_sum"))
+      .select(col("replicate"), col("n_eff"), col("value_sum"),
+        (col("value_sum").cast("double") / col("n_eff").cast("double"))
+          .as("mean"))
+  }
 }

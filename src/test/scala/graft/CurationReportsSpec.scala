@@ -81,6 +81,41 @@ class CurationReportsSpec extends AnyFunSuite {
     assert(calm.nonEmpty, "shared tokens must not drift")
   }
 
+  test("q173 semantics: Poisson-bootstrap replicates resample ~N rows, " +
+      "their means bracket the true mean, and the CI is nondegenerate") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val truth = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    val n = docs.count()
+    val reps = Sampling.poissonBootstrap(docs, "n_chars", "doc_id", 32)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(reps.length == 32)
+    val meanNeff = reps.map(_._1).sum.toDouble / reps.length
+    assert(math.abs(meanNeff / n - 1.0) < 0.05,
+      s"mean effective n $meanNeff vs corpus $n")
+    val means = reps.map(_._2).sorted
+    assert(means.head < truth && truth < means.last,
+      s"replicate range [${means.head}, ${means.last}] misses truth $truth")
+    assert(means.last - means.head > 0.0, "degenerate bootstrap spread")
+    // per-row weights live in the CDF's 0..7 support: n_eff can never
+    // exceed 7N
+    assert(reps.forall(_._1 <= 7 * n))
+  }
+
+  test("q172 semantics: confusion-matrix fractions sum to 1 per true " +
+      "class and counts sum to the corpus") {
+    val rows = SparkEntry.queries("q172_langid_confusion")(
+      spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    val byLang = rows.groupBy(_._1)
+    byLang.foreach { case (lang, cells) =>
+      assert(math.abs(cells.map(_._3).sum - 1.0) < 1e-9,
+        s"$lang fractions: ${cells.map(_._3).sum}")
+    }
+    assert(rows.map(_._2).sum == 500L, s"total ${rows.map(_._2).sum}")
+  }
+
   test("q165 semantics: chars-per-token under a hand merge table; a " +
       "merge-covered language compresses better than an uncovered one") {
     val merges = Seq(("a", "b"), ("ab", "c"))
