@@ -98,6 +98,61 @@ object Soak {
       return
     }
 
+    if (mode == "curation") {
+      // the q169 end-to-end curation shape at replica scale: map-only
+      // gates over the full soak corpus, dup-drop against the pair list
+      // computed above, then prefix-sum packing of the survivors — the
+      // r13 flagship composition under soak load
+      val quality = operators.TextAnalysis
+        .gopherQuality(docs, "text", "doc_id")
+        .select(col("doc_id"), col("keep").as("keep_quality"))
+      val blocked = operators.TextAnalysis.blocklistGate(docs, "text",
+          "doc_id", Seq("dup dup", "slow slow", "spam"))
+        .select(col("doc_id"), col("blocked"))
+      val nBlocked = timed("blocklist gate (Aho-Corasick, map-only)") {
+        blocked.filter(col("blocked")).count()
+      }
+      println(s"[soak]   -> $nBlocked docs blocked")
+      // bloom decontamination against a benchmark slice of the base corpus
+      val bench = base.filter(col("doc_id") % 9 === 4)
+      val nContam = timed("bloom decontamination screen") {
+        operators.Dedup.bloomDecontaminate(docs, bench, "text", "doc_id",
+          ngram = 5, expectedItems = 1000000L).filter(col("contaminated"))
+          .count()
+      }
+      println(s"[soak]   -> $nContam contaminated docs")
+      val decided = timed("decision table + packing") {
+        val dup = pairs.select(col("id_b").as("doc_id")).distinct()
+          .withColumn("__d", lit(true))
+        val flags = docs.select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long")
+              .as("n_tokens"))
+          .join(quality, Seq("doc_id"))
+          .join(blocked, Seq("doc_id"))
+          .join(dup, Seq("doc_id"), "left")
+          .withColumn("kept", col("keep_quality") && !col("blocked") &&
+            coalesce(!col("__d"), lit(true)))
+        val packed = operators.Packing.assignShards(
+          flags.filter(col("kept"))
+            .select(col("doc_id"), col("n_tokens")),
+          "n_tokens", "doc_id", maxTokensPerShard = 100000L)
+          .localCheckpoint(false)
+        val kept = packed.count()
+        val shards = packed.agg(countDistinct(col("shard_id"))).head.getLong(0)
+        // packing invariant AT SOAK SCALE: no shard exceeds the budget
+        // by more than one document's tokens (first-fit contract)
+        val worst = packed.groupBy(col("shard_id"))
+          .agg(sum(col("n_tokens")).as("t"), max(col("n_tokens")).as("m"))
+          .filter(col("t") > lit(100000L) + col("m")).count()
+        require(worst == 0, s"$worst shards exceed budget + one doc")
+        (kept, shards)
+      }
+      println(s"[soak]   -> ${decided._1} docs kept into " +
+        s"${decided._2} shards (budget-invariant held)")
+      spark.stop()
+      return
+    }
+
     // incremental screen: one replica's worth of docs (half near-dup of the
     // corpus, half novel) probing the full soak corpus
     val batch = base.select((col("doc_id") + 900000000L).as("doc_id"),
