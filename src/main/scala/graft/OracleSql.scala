@@ -413,6 +413,20 @@ object SketchParams {
   object q164 {
     val ngram = 3
   }
+  /** q174 MAD outlier gate: Hampel multiplier, plus the derived
+    * contamination (every injMod-th doc re-added at injMul× its length
+    * under idOffset — the q86/q136 derived-fixture convention) so the
+    * gate demonstrably FIRES and the median demonstrably does not
+    * move. */
+  object q174 {
+    val k = 3.0; val injMod = 50L; val injMul = 37L
+    val idOffset = 1000000L
+  }
+  /** q175 leakage-safe k-fold: fold count and md5 seed over the q49
+    * cluster structure. */
+  object q175 {
+    val folds = 5; val seed = 23
+  }
   /** q173 Poisson bootstrap: replicate count and seed tag; the
     * Poisson(1) integer CDF lives in `Sampling.poissonCdf6` and is
     * embedded in the oracle from the SAME Seq. */
@@ -1939,6 +1953,59 @@ object OracleSql {
            WHEN b < ${p.testPermille + p.valPermille} THEN 'val'
            ELSE 'train' END AS split
     FROM bucketed"""
+  }
+
+  /** Leakage-safe k-fold (q175): the q114 recursive component
+    * resolution over the q49 pair list, fold = md5(cluster, seed) mod
+    * k — the SQL twin of `Sampling.leakageSafeFolds`. Generated from
+    * [[SketchParams.q175]]. */
+  private def q175: String = {
+    val p = SketchParams.q175
+    s"""
+    WITH RECURSIVE $minhashPairCtes, edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    ), assign AS (
+      SELECT f.doc_id, COALESCE(c.component, f.doc_id) AS cluster_id
+      FROM filtered f LEFT JOIN comp c ON f.doc_id = c.id)
+    SELECT doc_id, cluster_id,
+      ('0x' || substr(md5(cluster_id::VARCHAR || ':${p.seed}'), 1, 15))::BIGINT
+        % ${p.folds} AS fold
+    FROM assign"""
+  }
+
+  /** MAD robust outlier gate (q174): exact grouped medians via
+    * quantile_cont (the q102 parity), identically-shaped double
+    * deviation chain — the SQL twin of `Stats.madOutliers` over
+    * documents.n_chars per lang. Generated from [[SketchParams.q174]]. */
+  private def q174: String = {
+    val p = SketchParams.q174
+    s"""
+    WITH corpus AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + ${p.idOffset} AS doc_id, lang,
+        n_chars * ${p.injMul} AS n_chars
+      FROM documents WHERE doc_id % ${p.injMod} = 0
+    ), med AS (
+      SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      FROM corpus GROUP BY lang
+    ), dev AS (
+      SELECT d.doc_id, d.lang, d.n_chars, m.med,
+        abs(CAST(d.n_chars AS DOUBLE) - m.med) AS adev
+      FROM corpus d JOIN med m USING (lang)
+    ), mad AS (
+      SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang)
+    SELECT dev.doc_id, dev.lang, dev.n_chars, dev.med, mad.mad,
+      dev.adev > ${p.k} * mad.mad AS outlier
+    FROM dev JOIN mad USING (lang)"""
   }
 
   /** Local clustering coefficients (q115): q113's triangle corners plus
@@ -5360,6 +5427,8 @@ object OracleSql {
     "q171_token_drift" -> q171,
     "q172_langid_confusion" -> q172,
     "q173_poisson_bootstrap" -> q173,
+    "q174_mad_outliers" -> q174,
+    "q175_kfold_split" -> q175,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

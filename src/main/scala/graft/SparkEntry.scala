@@ -3250,6 +3250,38 @@ object SparkEntry {
       "n_chars", "doc_id", p.replicates, p.seedTag)
   }
 
+  /** MAD robust outlier gate ([[graft.operators.Stats.madOutliers]]):
+    * per-language document-length outliers by Hampel's |x − med| >
+    * k·MAD rule — the robust replacement for fixed length thresholds
+    * (50% breakdown point; a handful of giant docs can't drag the gate
+    * the way they drag a mean ± kσ). Params from
+    * [[SketchParams.q174]]. */
+  def q174MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q174
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    // derived contamination (the q86/q136 convention): every injMod-th
+    // doc re-added at injMul x its length — the gate must catch exactly
+    // this mass while the median stays put
+    val injected = base.filter(col("doc_id") % p.injMod === 0)
+      .select((col("doc_id") + p.idOffset).as("doc_id"), col("lang"),
+        (col("n_chars") * p.injMul).as("n_chars"))
+    operators.Stats.madOutliers(base.unionByName(injected),
+      "n_chars", "doc_id", "lang", p.k)
+  }
+
+  /** Leakage-safe k-fold CV assignment
+    * ([[graft.operators.Sampling.leakageSafeFolds]]): every q49
+    * near-dup cluster draws ONE md5-deterministic fold, so no fold
+    * holds a near-copy of another's data — q114's contamination guard
+    * applied to cross-validation, over the same memoized pair list.
+    * Params from [[SketchParams.q175]]. */
+  def q175KfoldSplit(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q175
+    operators.Sampling.leakageSafeFolds(q49Corpus(s, dir), "doc_id",
+      q49Pairs(s, dir), "id_a", "id_b", p.folds, p.seed, maxIter = 25)
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3442,7 +3474,9 @@ object SparkEntry {
     "q170_distinctive_terms" -> (q170DistinctiveTerms _),
     "q171_token_drift" -> (q171TokenDrift _),
     "q172_langid_confusion" -> (q172LangIdConfusion _),
-    "q173_poisson_bootstrap" -> (q173PoissonBootstrap _))
+    "q173_poisson_bootstrap" -> (q173PoissonBootstrap _),
+    "q174_mad_outliers" -> (q174MadOutliers _),
+    "q175_kfold_split" -> (q175KfoldSplit _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -74,6 +74,21 @@ object Sampling {
           .otherwise("train").as("split"))
   }
 
+  /** Leakage-safe k-fold assignment — [[leakageSafeSplit]]'s
+    * contamination guard applied to cross-validation: every near-dup
+    * CLUSTER (not document) draws one md5-deterministic fold in 0..k−1,
+    * so no fold ever holds a near-copy of another fold's data. Same
+    * plan shape and portability as the 3-way split; fold mass is
+    * 1/k-accurate over clusters. */
+  def leakageSafeFolds(corpus: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      k: Int, seed: Int = 23, maxIter: Int = 10): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    Components.dedupAssignments(corpus, idCol, pairs, aCol, bCol, maxIter)
+      .select(col("id").as(idCol), col("keep_id").as("cluster_id"),
+        (portableKey(col("keep_id"), seed) % k).as("fold"))
+  }
+
   /** Per-group bottom-k by an arbitrary deterministic key column. */
   def stratifiedSampleByKey(df: DataFrame, groupCol: String, idCol: String,
       k: Int, key: org.apache.spark.sql.Column): DataFrame =

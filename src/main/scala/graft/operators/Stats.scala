@@ -162,6 +162,39 @@ object Stats {
       .agg(sum(col("__next") - col("__t")).as("covered"))
   }
 
+  /** Robust per-group outlier gate — median absolute deviation
+    * (Hampel's rule; Leys et al. 2013, J. Exp. Soc. Psych., "Detecting
+    * outliers: do not use standard deviation around the mean, use
+    * absolute deviation around the median"): per group, the median and
+    * the MAD of `valueCol`, flagging rows with |x − med| > k·MAD. Mean
+    * ± k·σ gates move with the outliers they hunt (one 10⁹-char doc
+    * shifts a source's σ); the median/MAD pair has a 50% breakdown
+    * point, so the gate holds even on heavily contaminated sources —
+    * the robust replacement for fixed length thresholds.
+    *
+    * Both medians are EXACT grouped percentiles (`percentile`, the
+    * q102 quantile_cont parity), the deviation chain is
+    * identically-shaped doubles, so the whole gate is hash-verified
+    * (q174). At 100 TB swap the exact percentile for
+    * `percentile_approx` exactly as [[equiDepthHistogram]] documents —
+    * identical downstream shape. MAD = 0 (over half the group at one
+    * value) degrades to flagging any deviation, the rule's documented
+    * limit. */
+  def madOutliers(df: DataFrame, valueCol: String, idCol: String,
+      groupCol: String, k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val dev = df.select(col(idCol), col(groupCol), col(valueCol))
+      .join(med, Seq(groupCol))
+      .withColumn("adev", abs(col(valueCol).cast("double") - col("med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(mad, Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(valueCol), col("med"),
+        col("mad"), (col("adev") > lit(k) * col("mad")).as("outlier"))
+  }
+
   /** Token-distribution drift between two corpus snapshots — the
     * "did my ingest shift" monitor: tokens hash into `nBuckets` md5
     * buckets (the portable feature-hashing convention — no vocabulary

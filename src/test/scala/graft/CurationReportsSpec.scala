@@ -116,6 +116,44 @@ class CurationReportsSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == 500L, s"total ${rows.map(_._2).sum}")
   }
 
+  test("q174 semantics: the MAD gate flags exactly the planted giants " +
+      "even at 20% contamination, where a mean±3σ gate has broken down") {
+    import graft.operators.Stats
+    // 40 regular docs around 100 chars + 10 giants at 5000 (20% mass)
+    val docs = ((0 until 40).map(i => (i.toLong, "g", 95L + (i % 11))) ++
+      (100 until 110).map(i => (i.toLong, "g", 5000L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = Stats.madOutliers(docs, "n_chars", "doc_id", "lang", 3.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert((100L until 110L).forall(out(_)), "a giant escaped the MAD gate")
+    assert((0L until 40L).forall(!out(_)), "a regular doc was flagged")
+    // the comparison point: mean/σ absorb the contamination — the
+    // classic z-gate flags NOTHING here (all z-scores < 3)
+    val vals = docs.collect().map(_.getLong(2).toDouble)
+    val mean = vals.sum / vals.length
+    val sigma = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.length)
+    assert(vals.forall(v => math.abs(v - mean) <= 3 * sigma),
+      "expected the z-gate to break down on 20% contamination")
+  }
+
+  test("q175 semantics: every near-dup cluster lands in ONE fold and " +
+      "folds partition the corpus") {
+    val rows = SparkEntry.queries("q175_kfold_split")(
+      spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cluster straddles folds")
+    }
+    val folds = rows.map(_._3).toSet
+    assert(folds.subsetOf((0L until 5L).toSet) && folds.size >= 3,
+      s"fold values $folds")
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate docs")
+    // real multi-member clusters exist (the guard is doing work)
+    assert(rows.groupBy(_._2).values.exists(_.size >= 2))
+  }
+
   test("q165 semantics: chars-per-token under a hand merge table; a " +
       "merge-covered language compresses better than an uncovered one") {
     val merges = Seq(("a", "b"), ("ab", "c"))
