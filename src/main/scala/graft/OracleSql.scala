@@ -413,6 +413,18 @@ object SketchParams {
   object q164 {
     val ngram = 3
   }
+  /** q177 NFC normalization gate: the doc_id residue that picks the
+    * DECOMPOSED 'e'+U+0301 variant (the rest get precomposed U+00E9);
+    * both engines build the variants from codepoint literals. */
+  object q177 {
+    val decompMod = 2L
+  }
+  /** q176 rendezvous routing: the before/after worker sets (grow by
+    * one — the HRW minimal-movement case the report verifies). */
+  object q176 {
+    val before: Seq[String] = Seq("w0", "w1", "w2", "w3", "w4")
+    val added = "w5"
+  }
   /** q174 MAD outlier gate: Hampel multiplier, plus the derived
     * contamination (every injMod-th doc re-added at injMul× its length
     * under idOffset — the q86/q136 derived-fixture convention) so the
@@ -2006,6 +2018,57 @@ object OracleSql {
     SELECT dev.doc_id, dev.lang, dev.n_chars, dev.med, mad.mad,
       dev.adev > ${p.k} * mad.mad AS outlier
     FROM dev JOIN mad USING (lang)"""
+  }
+
+  /** Rendezvous routing + resize report (q176): per worker set, the
+    * argmax of md5(doc:worker) replayed as a (key DESC, worker DESC)
+    * row_number — the Spark side's struct max order — then the
+    * before/after join with the moved flag. The SQL twin of
+    * `Layout.rendezvousAssign`. Generated from [[SketchParams.q176]]. */
+  private def q176: String = {
+    val p = SketchParams.q176
+    def assign(cte: String, ws: Seq[String], out: String): String = {
+      val lst = ws.map(w => s"'$w'").mkString(", ")
+      s"""$cte AS (
+      SELECT doc_id, w AS $out FROM (
+        SELECT d.doc_id, ww.w,
+          row_number() OVER (PARTITION BY d.doc_id ORDER BY
+            ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || ww.w), 1, 15))::BIGINT
+              DESC, ww.w DESC) AS rn
+        FROM documents d CROSS JOIN (SELECT unnest([$lst]) AS w) ww)
+      WHERE rn = 1)"""
+    }
+    s"""
+    WITH ${assign("a5", p.before, "worker_before")},
+    ${assign("a6", p.before :+ p.added, "worker_after")}
+    SELECT a5.doc_id, a5.worker_before, a6.worker_after,
+      a5.worker_before <> a6.worker_after AS moved
+    FROM a5 JOIN a6 USING (doc_id)"""
+  }
+
+  /** NFC normalization gate (q177): encoding variants built in-query
+    * from codepoint literals (precomposed U+00E9 vs 'e'+combining
+    * U+0301 by doc_id residue), normalized by DuckDB's `nfc_normalize`
+    * vs the JDK Normalizer — both implement UAX #15, so lengths,
+    * changed flags, AND the md5 of the normalized text agree
+    * byte-for-byte: the two variants of one doc collapse to ONE
+    * fingerprint, which is the whole point. Generated from
+    * [[SketchParams.q177]]. */
+  private def q177: String = {
+    val p = SketchParams.q177
+    s"""
+    WITH blob AS (
+      SELECT doc_id,
+        'caf' || CASE WHEN doc_id % ${p.decompMod} = 0
+          THEN chr(101) || chr(769) ELSE chr(233) END ||
+        ' menu item ' || CAST(doc_id // ${p.decompMod} AS VARCHAR) AS raw
+      FROM documents)
+    SELECT doc_id,
+      CAST(length(raw) AS BIGINT) AS raw_chars,
+      CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_chars,
+      raw <> nfc_normalize(raw) AS changed,
+      md5(nfc_normalize(raw)) AS fp
+    FROM blob"""
   }
 
   /** Local clustering coefficients (q115): q113's triangle corners plus
@@ -5429,6 +5492,8 @@ object OracleSql {
     "q173_poisson_bootstrap" -> q173,
     "q174_mad_outliers" -> q174,
     "q175_kfold_split" -> q175,
+    "q176_rendezvous" -> q176,
+    "q177_nfc_normalize" -> q177,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3282,6 +3282,44 @@ object SparkEntry {
       q49Pairs(s, dir), "id_a", "id_b", p.folds, p.seed, maxIter = 25)
   }
 
+  /** Rendezvous (HRW) routing + resize-movement report
+    * ([[graft.operators.Layout.rendezvousAssign]]): every doc's worker
+    * before and after growing the worker set by one — the oracle
+    * hash-verifies the routing AND the movement flags; the spec pins
+    * the HRW guarantee (movers only ever land on the NEW worker,
+    * ~1/(n+1) of the corpus). Params from [[SketchParams.q176]]. */
+  def q176Rendezvous(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q176
+    t(s, dir, "documents").select(col("doc_id"),
+        operators.Layout.rendezvousAssign(col("doc_id"), p.before)
+          .as("worker_before"),
+        operators.Layout.rendezvousAssign(col("doc_id"),
+          p.before :+ p.added).as("worker_after"))
+      .withColumn("moved", col("worker_before") =!= col("worker_after"))
+  }
+
+  /** Unicode NFC normalization gate
+    * ([[graft.functions.NfcNormalize]]): encoding variants of the same
+    * text (precomposed U+00E9 vs 'e'+combining U+0301, built in-query
+    * by both engines) collapse to ONE fingerprint after NFC — the
+    * hygiene pass that keeps exact dedup and every hash-keyed stage
+    * from treating byte-variants as distinct documents. Params from
+    * [[SketchParams.q177]]. */
+  def q177NfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q177
+    val raw = concat(lit("caf"),
+      when(col("doc_id") % p.decompMod === 0, lit("e\u0301"))
+        .otherwise(lit("\u00e9")),
+      lit(" menu item "),
+      expr(s"CAST(doc_id DIV ${p.decompMod} AS STRING)"))
+    val nfc = functions.exprs.nfc_normalize(raw)
+    t(s, dir, "documents").select(col("doc_id"),
+      length(raw).cast("long").as("raw_chars"),
+      length(nfc).cast("long").as("nfc_chars"),
+      (raw =!= nfc).as("changed"),
+      md5(nfc).as("fp"))
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3476,7 +3514,9 @@ object SparkEntry {
     "q172_langid_confusion" -> (q172LangIdConfusion _),
     "q173_poisson_bootstrap" -> (q173PoissonBootstrap _),
     "q174_mad_outliers" -> (q174MadOutliers _),
-    "q175_kfold_split" -> (q175KfoldSplit _))
+    "q175_kfold_split" -> (q175KfoldSplit _),
+    "q176_rendezvous" -> (q176Rendezvous _),
+    "q177_nfc_normalize" -> (q177NfcNormalize _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -329,6 +329,26 @@ case class BlocklistStats(child: Expression, patterns: Seq[String])
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (see [[UnicodeKernel]]) — run before any
+  * hash-keyed stage so encoding variants of the same text dedup
+  * together. Codegen'd; the `isNormalized` fast path makes it
+  * near-free on ASCII-dominated corpora. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(v: Any): Any =
+    UnicodeKernel.nfcUTF8(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeKernel.nfcUTF8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Column-level entry points + SQL registration. */
 object exprs {
   private def col(e: Expression): Column = Bridge.column(e)
@@ -360,6 +380,7 @@ object exprs {
     col(BloomMightContain(ex(text), filter))
   def blocklist_stats(text: Column, patterns: Seq[String]): Column =
     col(BlocklistStats(ex(text), patterns))
+  def nfc_normalize(text: Column): Column = col(NfcNormalize(ex(text)))
 
   /** Register `token_sort_ratio`, `indel_ratio`, `abn_valid` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

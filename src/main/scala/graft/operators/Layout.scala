@@ -1,4 +1,5 @@
 package graft.operators
+// (rendezvous routing lives here with the layout/placement family)
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -86,5 +87,32 @@ object Layout {
     }.mkString(", ")
     s"""h0 AS (SELECT $keep, x, y, CAST(0 AS BIGINT) AS d FROM $srcCte),
     $levels"""
+  }
+
+  /** Rendezvous (highest-random-weight) routing — Thaler & Ravishankar
+    * 1998 (IEEE/ACM ToN, "Using name-based mappings to increase hit
+    * rates"): a row routes to argmax over workers of
+    * md5(id:worker) — no ring, no bucket table, and the DEFINING
+    * property: when the worker set changes, ONLY rows whose argmax is
+    * the added/removed worker move (expected 1/(n+1) of the corpus on
+    * grow-by-one; everything else keeps its old argmax). The placement
+    * primitive behind incremental ingest routing, sticky shard
+    * assignment, and cache affinity — consistent hashing without the
+    * virtual-node machinery.
+    *
+    * Deterministic md5 keys (ties impossible up to md5 collisions,
+    * broken by worker name) make the assignment engine-replayable —
+    * q176 hash-verifies the routing AND the resize-movement report.
+    * Map-only: workers fold in as literals, cost O(|workers|) per row
+    * (fine for catalog-sized worker sets; for thousands of shards use
+    * [[zorderKey]]-style range splits instead). */
+  def rendezvousAssign(id: Column, workers: Seq[String]): Column = {
+    require(workers.nonEmpty && workers.distinct.size == workers.size,
+      "workers must be nonempty and distinct")
+    array_max(array(workers.map { w =>
+      struct(graft.functions.PortableHash.md5Long60(
+        concat(id.cast("string"), lit(s":$w"))).as("k"),
+        lit(w).as("w"))
+    }: _*)).getField("w")
   }
 }

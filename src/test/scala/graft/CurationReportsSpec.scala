@@ -154,6 +154,45 @@ class CurationReportsSpec extends AnyFunSuite {
     assert(rows.groupBy(_._2).values.exists(_.size >= 2))
   }
 
+  test("q176 semantics: HRW movers only ever land on the NEW worker, " +
+      "movement mass ~1/(n+1), and load stays balanced") {
+    val rows = SparkEntry.queries("q176_rendezvous")(
+      spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getBoolean(3)))
+    val moved = rows.filter(_._3)
+    assert(moved.nonEmpty && moved.forall(_._2 == "w5"),
+      "a mover landed somewhere other than the added worker")
+    val frac = moved.length.toDouble / rows.length
+    assert(frac > 0.10 && frac < 0.24, s"movement fraction $frac vs ~1/6")
+    // stayers keep their exact old assignment
+    rows.filterNot(_._3).foreach { case (b, a, _) => assert(b == a) }
+    // balance: no worker holds more than 2x the fair share after resize
+    val byW = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byW.size == 6 && byW.values.max <= 2 * rows.length / 6,
+      s"post-resize load: $byW")
+  }
+
+  test("q177 semantics: precomposed and decomposed variants collapse to " +
+      "ONE fingerprint after NFC — exact dedup sees through encodings") {
+    val rows = SparkEntry.queries("q177_nfc_normalize")(
+      spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getString(4)))
+    val (changed, kept) = rows.partition(_._4)
+    assert(changed.length == 250 && kept.length == 250)
+    // the decomposed half loses exactly one char (combining mark folds)
+    changed.foreach { case (_, raw, nfc, _, _) => assert(raw == nfc + 1) }
+    kept.foreach { case (_, raw, nfc, _, _) => assert(raw == nfc) }
+    // cross-variant collapse: 500 rows, 250 distinct fingerprints, and
+    // every fingerprint is shared by one changed + one unchanged row
+    val byFp = rows.groupBy(_._5)
+    assert(byFp.size == 250, s"${byFp.size} fingerprints")
+    byFp.values.foreach { g =>
+      assert(g.length == 2 && g.count(_._4) == 1,
+        s"fingerprint group not a (variant, canonical) pair: $g")
+    }
+  }
+
   test("q165 semantics: chars-per-token under a hand merge table; a " +
       "merge-covered language compresses better than an uncovered one") {
     val merges = Seq(("a", "b"), ("ab", "c"))
