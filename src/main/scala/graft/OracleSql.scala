@@ -413,6 +413,13 @@ object SketchParams {
   object q164 {
     val ngram = 3
   }
+  /** q178 weighted-Jaccard near-dup join: tf cap, sketch params,
+    * threshold, corpus slice (the near-dup twin corpus — truncated
+    * variants keep high WEIGHTED resemblance too). */
+  object q178 {
+    val cap = 5; val numHashes = 8; val bands = 4
+    val jaccardThreshold = 0.5; val corpusMod = 7
+  }
   /** q177 NFC normalization gate: the doc_id residue that picks the
     * DECOMPOSED 'e'+U+0301 variant (the rest get precomposed U+00E9);
     * both engines build the variants from codepoint literals. */
@@ -1182,6 +1189,51 @@ object OracleSql {
       WHERE CAST(len(list_intersect(sa.gset, sb.gset)) AS DOUBLE) /
           (len(sa.gset) + len(sb.gset) - len(list_intersect(sa.gset, sb.gset))) >= ${p.jaccardThreshold}
     )"""
+  }
+
+  /** Weighted-Jaccard near-dup join (q178): the integer-expansion
+    * reduction — capped term counts become t#1…t#c elements, then the
+    * q49 signature/banding/verify pipeline runs unchanged over the
+    * expansions (set Jaccard of expansions ≡ weighted Jaccard of capped
+    * counts). The SQL twin of `Dedup.weightedJaccardJoin`; generated
+    * from [[SketchParams.q178]]. */
+  private def q178: String = {
+    val p = SketchParams.q178
+    val rows = p.numHashes / p.bands
+    val bandConcat = (1 to rows).map(r => s"sig[$rows*b+$r]")
+      .mkString(" || ',' || ")
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
+    ), counts AS (
+      SELECT doc_id, t, least(COUNT(*), ${p.cap}) AS c FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM corpus WHERE doc_id % ${p.corpusMod} = 0)
+      WHERE t <> '' GROUP BY doc_id, t
+    ), sh AS (
+      SELECT doc_id, list(t || '#' || CAST(i AS VARCHAR)) AS gset
+      FROM counts, unnest(generate_series(1, c)) AS u(i)
+      GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, list_transform(generate_series(0,${p.numHashes - 1}),
+        j -> list_min(list_transform(gset, g -> md5(j::VARCHAR || ':' || g)))) AS sig
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, b AS band, md5($bandConcat) AS band_sig
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0,${p.bands - 1})) AS b) g
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+        CAST(len(list_intersect(sa.gset, sb.gset)) AS DOUBLE) /
+          (len(sa.gset) + len(sb.gset) - len(list_intersect(sa.gset, sb.gset)))
+          AS jaccard
+      FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+                JOIN sh sb ON cand.id_b = sb.doc_id)
+    WHERE jaccard >= ${p.jaccardThreshold}"""
   }
 
   /** md5-MinHash+LSH (q49): the pair list from [[minhashPairCtes]]. */
@@ -5494,6 +5546,7 @@ object OracleSql {
     "q175_kfold_split" -> q175,
     "q176_rendezvous" -> q176,
     "q177_nfc_normalize" -> q177,
+    "q178_weighted_jaccard" -> q178,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

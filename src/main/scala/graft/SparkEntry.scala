@@ -3320,6 +3320,20 @@ object SparkEntry {
       md5(nfc).as("fp"))
   }
 
+  /** Weighted-Jaccard near-dup join
+    * ([[graft.operators.Dedup.weightedJaccardJoin]]): tf-aware
+    * resemblance via the integer-expansion reduction — the whole
+    * md5-portable banded pipeline reused over t#1…t#c expansions, so
+    * set Jaccard of the expansions IS the weighted Jaccard of capped
+    * counts, and the oracle replays expansion + sketch + verify.
+    * Params from [[SketchParams.q178]]. */
+  def q178WeightedJaccard(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q178
+    operators.Dedup.weightedJaccardJoin(
+      nearDupCorpus(s, dir).filter(col("doc_id") % p.corpusMod === 0),
+      "text", "doc_id", p.cap, p.numHashes, p.bands, p.jaccardThreshold)
+  }
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3516,7 +3530,8 @@ object SparkEntry {
     "q174_mad_outliers" -> (q174MadOutliers _),
     "q175_kfold_split" -> (q175KfoldSplit _),
     "q176_rendezvous" -> (q176Rendezvous _),
-    "q177_nfc_normalize" -> (q177NfcNormalize _))
+    "q177_nfc_normalize" -> (q177NfcNormalize _),
+    "q178_weighted_jaccard" -> (q178WeightedJaccard _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -532,14 +532,24 @@ object Dedup {
       ngram: Int = 3, numHashes: Int = 8, bands: Int = 4,
       jaccardThreshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // feeds candidate generation AND both verify joins → materialize once
     val sh0 = docs.select(col(idCol).as("doc"),
       shingles(col(textCol), ngram).as("gset")).localCheckpoint(false)
+    minhashBandedPairs(sh0, numHashes, bands, jaccardThreshold)
+  }
+
+  /** The md5-portable banded pipeline over an ALREADY-BUILT
+    * (doc, gset) frame — shared by [[minhashLshPortable]] (shingle
+    * sets) and [[weightedJaccardJoin]] (tf-expanded multiset
+    * encodings); `sets` should be materialized by the caller (it feeds
+    * signatures AND both verify joins). */
+  private def minhashBandedPairs(sets: DataFrame, numHashes: Int,
+      bands: Int, jaccardThreshold: Double): DataFrame = {
+    val rows = numHashes / bands
     // one batch kernel call per row (reused digest, raw-byte minima) —
     // byte-identical to array_min(transform(gset, g -> md5("<j>:"||g)))
     // per hash function, ~4× cheaper (see functions.MinHashKernel)
-    val sig = sh0.select(col("doc"),
+    val sig = sets.select(col("doc"),
       graft.functions.exprs.minhash_md5_sig(col("gset"), numHashes).as("sig"))
     // posexplode_outer: the plain generator would get an inferred
     // size(...)>0 filter whose pushdown re-inlines the whole minhash
@@ -554,13 +564,51 @@ object Dedup {
     val candidates = a.join(b, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val shA = sh0.select(col("doc").as("id_a"), col("gset").as("g_a"))
-    val shB = sh0.select(col("doc").as("id_b"), col("gset").as("g_b"))
+    val shA = sets.select(col("doc").as("id_a"), col("gset").as("g_a"))
+    val shB = sets.select(col("doc").as("id_b"), col("gset").as("g_b"))
     candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** Weighted-Jaccard near-dup join — term-FREQUENCY-aware resemblance
+    * (J_w = Σ_t min(a_t, b_t) / Σ_t max(a_t, b_t), the weighted Jaccard
+    * of Ioffe 2010's setting with integer weights): set Jaccard treats
+    * "x y z" and "x x x x x x x x y z" as identical (same vocabulary),
+    * weighted Jaccard sees the mass difference — and conversely scores
+    * documents that share their HEAVY terms as near while set Jaccard
+    * dilutes them with rare-tail mismatches. Realized by the classic
+    * integer-expansion reduction: each term t with capped count c
+    * becomes distinct elements t#1…t#c, whereupon SET Jaccard over the
+    * expansions EQUALS weighted Jaccard over the capped counts —
+    * so the entire md5-portable banded pipeline (signatures, banding,
+    * bucket join, exact verify) is reused verbatim and the q178 oracle
+    * replays it with the same expansion. `cap` bounds the expansion
+    * blow-up (and the weight of any one term) — the tf saturation
+    * every weighted scheme needs anyway.
+    *
+    * Scale shape: one (doc, term) hash agg + a bounded explode
+    * (≤ cap·|terms|) + the [[minhashLshPortable]] plan — banded
+    * candidates, never all-pairs. */
+  def weightedJaccardJoin(docs: DataFrame, textCol: String, idCol: String,
+      cap: Int = 5, numHashes: Int = 8, bands: Int = 4,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(cap >= 1, "cap must be >= 1")
+    val expanded = docs
+      .select(col(idCol).as("doc"),
+        explode_outer(split(trim(col(textCol)), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("doc"), col("t"))
+      .agg(least(count(lit(1)), lit(cap.toLong)).as("c"))
+      .select(col("doc"), explode(transform(
+        sequence(lit(1), col("c").cast("int")),
+        i => concat(col("t"), lit("#"), i))).as("g"))
+      .groupBy(col("doc")).agg(collect_list(col("g")).as("gset"))
+      .localCheckpoint(false)
+    minhashBandedPairs(expanded, numHashes, bands, jaccardThreshold)
   }
 
   /** Exact n-gram CONTAINMENT join — the DIRECTED companion of

@@ -193,6 +193,37 @@ class CurationReportsSpec extends AnyFunSuite {
     }
   }
 
+  test("q178 semantics: weighted Jaccard diverges from set Jaccard in " +
+      "BOTH directions — mass imbalance splits identical vocabularies, " +
+      "shared heavy terms join different ones") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "x x x x x x x x y z"),   // heavy x + y z
+      (2L, "x y z"),                 // same SET as 1, different mass
+      (3L, "x x x x x a b"),         // shares heavy x with 4
+      (4L, "x x x x x c d"))         // rare tails differ
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+    val weighted = pairs(Dedup.weightedJaccardJoin(docs, "text", "doc_id",
+      cap = 5, numHashes = 16, bands = 16, jaccardThreshold = 0.0))
+    val plain = pairs(Dedup.minhashLshPortable(docs, "text", "doc_id",
+      ngram = 1, numHashes = 16, bands = 16, jaccardThreshold = 0.0))
+    // (1,2): same vocabulary -> set J = 1.0; capped mass 3/7 weighted
+    assert(plain((1L, 2L)) == 1.0)
+    assert(math.abs(weighted((1L, 2L)) - 3.0 / 7.0) < 1e-12,
+      s"weighted(1,2) = ${weighted((1L, 2L))}")
+    // (3,4): shared heavy term -> weighted 5/9 vs set 1/5
+    // ({x,a,b} vs {x,c,d}: 1 shared of 5 distinct)
+    assert(math.abs(weighted((3L, 4L)) - 5.0 / 9.0) < 1e-12,
+      s"weighted=$weighted plain=$plain")
+    assert(math.abs(plain((3L, 4L)) - 1.0 / 5.0) < 1e-12)
+    // at threshold 0.5 the two screens make OPPOSITE keep decisions
+    assert(weighted((1L, 2L)) < 0.5 && plain((1L, 2L)) >= 0.5)
+    assert(weighted((3L, 4L)) >= 0.5 && plain((3L, 4L)) < 0.5)
+  }
+
   test("q165 semantics: chars-per-token under a hand merge table; a " +
       "merge-covered language compresses better than an uncovered one") {
     val merges = Seq(("a", "b"), ("ab", "c"))
