@@ -1987,6 +1987,42 @@ object OracleSql {
     FROM corners GROUP BY id"""
   }
 
+  /** Degree assortativity (q179): the q113 edge build, symmetrized,
+    * exact BIGINT degree moments, and the reduced Pearson form as an
+    * identically-shaped double chain — the SQL twin of
+    * `Components.degreeAssortativity` over the shared co-order graph. */
+  private def q179: String = {
+    val p = SketchParams.q113
+    s"""
+    WITH ls AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_quantity >= ${p.minQty}
+    ), ed AS (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM ls x JOIN ls y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    ), sym AS (
+      SELECT a AS src, b AS dst FROM ed
+      UNION ALL
+      SELECT b AS src, a AS dst FROM ed
+    ), deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY src
+    ), moments AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        CAST(SUM(da.d) AS BIGINT) AS sum_x,
+        CAST(SUM(da.d * db.d) AS BIGINT) AS sum_xy,
+        CAST(SUM(da.d * da.d) AS BIGINT) AS sum_x2
+      FROM sym s
+        JOIN deg da ON da.src = s.src
+        JOIN deg db ON db.src = s.dst)
+    SELECT m, sum_x, sum_xy, sum_x2,
+      (CAST(m AS DOUBLE) * CAST(sum_xy AS DOUBLE) -
+        CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) /
+      (CAST(m AS DOUBLE) * CAST(sum_x2 AS DOUBLE) -
+        CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) AS assortativity
+    FROM moments"""
+  }
+
   /** Leakage-safe split (q114): the q56 recursive-CTE component labeling
     * over the q49 minhash pairs, then the md5 permille bucket of the
     * CLUSTER id decides the split for every member — the SQL twin of
@@ -5547,6 +5583,7 @@ object OracleSql {
     "q176_rendezvous" -> q176,
     "q177_nfc_normalize" -> q177,
     "q178_weighted_jaccard" -> q178,
+    "q179_assortativity" -> q179,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

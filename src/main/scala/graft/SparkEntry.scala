@@ -3334,6 +3334,17 @@ object SparkEntry {
       "text", "doc_id", p.cap, p.numHashes, p.bands, p.jaccardThreshold)
   }
 
+  /** Degree assortativity
+    * ([[graft.operators.Components.degreeAssortativity]]) of the
+    * SHARED q113 co-order graph (the memoized edge checkpoint — no
+    * rebuild): Newman's one-number structure check; on a dedup or
+    * co-occurrence graph a sudden assortative shift usually means a
+    * template flooded the corpus. Exact BIGINT moments + one double
+    * chain, hash-verified. */
+  def q179Assortativity(s: SparkSession, dir: String): DataFrame =
+    operators.Components.degreeAssortativity(
+      coOrderEdges(s, dir), "a", "b")
+
   /** Shard packing under EXACT BPE token budgets — the q153 tokenizer
     * closing its loop with q78's distributed prefix-sum packing: per-doc
     * counts come from the real merge-table segmentation (one codegen
@@ -3531,7 +3542,8 @@ object SparkEntry {
     "q175_kfold_split" -> (q175KfoldSplit _),
     "q176_rendezvous" -> (q176Rendezvous _),
     "q177_nfc_normalize" -> (q177NfcNormalize _),
-    "q178_weighted_jaccard" -> (q178WeightedJaccard _))
+    "q178_weighted_jaccard" -> (q178WeightedJaccard _),
+    "q179_assortativity" -> (q179Assortativity _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

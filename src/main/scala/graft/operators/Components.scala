@@ -843,4 +843,44 @@ object Components {
       .join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("keep_id"))
   }
+
+  /** Degree assortativity (Newman 2002, PRL, "Assortative mixing in
+    * networks"): the Pearson correlation of endpoint degrees over the
+    * SYMMETRIZED edge list — positive means hubs attach to hubs
+    * (social-style graphs), negative means hubs attach to leaves
+    * (hub-and-spoke / infrastructure). For a curation pipeline this is
+    * the one-number structure check on similarity/co-occurrence graphs:
+    * a dedup graph that suddenly turns strongly assortative usually
+    * means a template flooded the corpus and is wiring heavy nodes
+    * together.
+    *
+    * All moments are exact BIGINT sums over directed (symmetrized)
+    * edges — with symmetrization Σx = Σy and Σx² = Σy², so the Pearson
+    * form reduces to r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²), one
+    * identically-shaped double chain both engines share (q179).
+    * Degenerate graphs (regular: zero degree variance) return NULL.
+    *
+    * Scale shape: one degree agg + two hash joins of the edge list
+    * against the (node, degree) table + one single-row reduce — all
+    * partial-aggregated; nothing beyond the edge list shuffles. */
+  def degreeAssortativity(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    sym
+      .join(deg, Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("d2")), Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("d")).as("sum_x"),
+        sum(col("d") * col("d2")).as("sum_xy"),
+        sum(col("d") * col("d")).as("sum_x2"))
+      .select(col("m"), col("sum_x"), col("sum_xy"), col("sum_x2"),
+        try_divide(
+          col("m").cast("double") * col("sum_xy").cast("double") -
+            col("sum_x").cast("double") * col("sum_x").cast("double"),
+          col("m").cast("double") * col("sum_x2").cast("double") -
+            col("sum_x").cast("double") * col("sum_x").cast("double"))
+          .as("assortativity"))
+  }
 }

@@ -575,4 +575,25 @@ class ComponentsSpec extends AnyFunSuite {
     assert(Components.minimumSpanningForest(selfOnly, "a", "b", "w")
       .count() == 0L)
   }
+
+  test("q179 degree assortativity: star = -1 exactly, disjoint regular " +
+      "cliques = +1 exactly, a regular graph degenerates to NaN") {
+    import spark.implicits._
+    def r(edges: Seq[(Long, Long)]): Double =
+      Components.degreeAssortativity(edges.toDF("a", "b"), "a", "b")
+        .head().getDouble(4)
+    // star K1,5: every edge joins degree 5 to degree 1 -> perfectly
+    // disassortative
+    assert(math.abs(r((1L to 5L).map(i => (0L, i))) - (-1.0)) < 1e-12)
+    // K3 (degrees 2) disjoint-union K4 (degrees 3): every edge joins
+    // equal degrees of two distinct levels -> perfectly assortative
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val k4 = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    assert(math.abs(r(k3 ++ k4) - 1.0) < 1e-12)
+    // cycle C4: all degrees equal -> zero variance -> NULL (try_divide)
+    assert(Components.degreeAssortativity(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b"),
+        "a", "b")
+      .head().isNullAt(4))
+  }
 }
