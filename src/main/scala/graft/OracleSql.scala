@@ -4944,7 +4944,7 @@ object OracleSql {
       FROM documents
     ), g AS (
       SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf_grp
-      FROM toks GROUP BY 1, 2
+      FROM toks WHERE term <> '' GROUP BY 1, 2
     ), ta AS (
       SELECT term, CAST(SUM(tf_grp) AS BIGINT) AS tf_all FROM g GROUP BY 1
     ), gt AS (
@@ -4970,12 +4970,15 @@ object OracleSql {
   private def q171: String = {
     val p = SketchParams.q171
     s"""
-    WITH toks AS (
+    WITH raw AS (
       SELECT doc_id % ${p.splitMod} = 0 AS a,
-        ('0x' || substr(md5(unnest(string_split_regex(
-          trim(lower(${normSql("text")})), '\\s+'))), 1, 15))::BIGINT
-          % ${p.nBuckets} AS bucket
+        unnest(string_split_regex(
+          trim(lower(${normSql("text")})), '\\s+')) AS term
       FROM documents
+    ), toks AS (
+      SELECT a, ('0x' || substr(md5(term), 1, 15))::BIGINT
+          % ${p.nBuckets} AS bucket
+      FROM raw WHERE term <> ''
     ), counts AS (
       SELECT bucket,
         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,

@@ -140,7 +140,9 @@ object Soak {
         val kept = packed.count()
         val shards = packed.agg(countDistinct(col("shard_id"))).head.getLong(0)
         // packing invariant AT SOAK SCALE: no shard exceeds the budget
-        // by more than one document's tokens (first-fit contract)
+        // by more than one document's tokens (prefix-sum packing
+        // contract — assignShards and the q169 oracle both use
+        // running-offset packing, and the bound holds for it)
         val worst = packed.groupBy(col("shard_id"))
           .agg(sum(col("n_tokens")).as("t"), max(col("n_tokens")).as("m"))
           .filter(col("t") > lit(100000L) + col("m")).count()

@@ -85,16 +85,23 @@ object Pii {
 
   /** Card scan + checksum-gated redaction: counts the card-shaped runs,
     * counts the Luhn-VALID ones, and replaces only the valid ones with
-    * `token` (candidates are maximal digit runs, so replacements can
-    * never create or destroy other candidates; the fold over the valid
-    * list is order-independent). Map-only, fused with the scan. */
+    * `token`. Each replacement is `\b`-ANCHORED (the same boundary the
+    * candidate regex used), so a valid PAN that also occurs EMBEDDED in
+    * a longer digit run — a 20+-digit sequence the 13-19 pattern never
+    * extracted — is left alone there (ADVICE r13: plain substring
+    * replace mangled such runs). Candidates are all-digit so they need
+    * no regex quoting; the token contains no digits, so replacements
+    * can never create or destroy other candidates, and the fold over
+    * the valid list is order-independent. Map-only, fused with the
+    * scan. */
   def cardScan(c: Column, token: String = "[CARD]"): Column = {
     val cands = regexp_extract_all(c, lit(cardPattern), lit(0))
     val valid = filter(cands, x => luhnValid(x))
     struct(
       size(cands).cast("long").as("n_digit_runs"),
       size(valid).cast("long").as("n_valid_cards"),
-      aggregate(valid, c, (acc, v) => replace(acc, v, lit(token)))
+      aggregate(valid, c, (acc, v) =>
+        regexp_replace(acc, concat(lit("\\b"), v, lit("\\b")), lit(token)))
         .as("redacted"))
   }
 }

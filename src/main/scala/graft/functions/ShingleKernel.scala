@@ -169,4 +169,62 @@ object ShingleKernel {
     while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
     new GenericArrayData(out)
   }
+
+  // ------------------- capped-tf multiset expansion (weighted Jaccard)
+
+  /** Capped term-frequency integer expansion — each distinct token t
+    * with count c (saturated at `cap`) becomes elements t#1…t#c, the
+    * Broder integer-expansion encoding under which SET Jaccard of the
+    * expansions equals weighted Jaccard of the capped counts (see
+    * [[graft.operators.Dedup.weightedJaccardJoin]]). One per-row pass
+    * replacing the explode → groupBy(doc,t) → explode → groupBy(doc)
+    * chain — same elements, zero pre-sketch exchanges (VERDICT r13
+    * item 1). Tokenization is EXACTLY `split(trim(text), "\\s+")` with
+    * empty tokens dropped (the chain's `t <> ''` filter): leading /
+    * trailing empty split fields are '' and were filtered, so a plain
+    * maximal-run scan is equivalent. First-occurrence term order,
+    * t#1…t#c contiguous — order never matters downstream (min-hash and
+    * intersect/union sizes are set ops) but determinism is free.
+    * A blank/whitespace-only text yields an EMPTY array (the chain
+    * yielded no rows for it — callers filter size > 0 to match). */
+  def tfExpand(text: String, cap: Int): Array[String] = {
+    // Spark trim(): ASCII spaces only
+    var lo = 0
+    var hi = text.length
+    while (lo < hi && text.charAt(lo) == ' ') lo += 1
+    while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+    val counts = new java.util.LinkedHashMap[String, Integer](64)
+    var total = 0
+    var i = lo
+    while (i < hi) {
+      while (i < hi && isWs(text.charAt(i))) i += 1
+      if (i < hi) {
+        val start = i
+        while (i < hi && !isWs(text.charAt(i))) i += 1
+        val t = text.substring(start, i)
+        val c = counts.get(t)
+        if (c == null) { counts.put(t, 1); total += 1 }
+        else if (c < cap) { counts.put(t, c + 1); total += 1 }
+      }
+    }
+    val out = new Array[String](total)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.intValue()
+      var j = 1
+      while (j <= c) { out(k) = e.getKey + "#" + j; k += 1; j += 1 }
+    }
+    out
+  }
+
+  /** UTF8String entry point for generated code: array<string> result. */
+  def tfExpandUTF8(text: UTF8String, cap: Int): ArrayData = {
+    val g = tfExpand(text.toString, cap)
+    val arr = new Array[Any](g.length)
+    var i = 0
+    while (i < g.length) { arr(i) = UTF8String.fromString(g(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
 }

@@ -221,6 +221,50 @@ case class WordNgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Jaccard of two SORTED long arrays via one merge scan — the banded
+  * near-dup verify kernel (see [[SetKernel.sortedJaccard]]). */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_jaccard"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    SetKernel.sortedJaccard(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SetKernel.sortedJaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Capped-tf integer expansion (t → t#1…t#c, c = min(count, cap)) in one
+  * codegen'd pass — the map-only multiset encoding behind
+  * [[graft.operators.Dedup.weightedJaccardJoin]] (see
+  * [[ShingleKernel.tfExpand]]). */
+case class TfExpand(child: Expression, cap: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "tf_expand"
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleKernel.tfExpandUTF8(v.asInstanceOf[UTF8String], cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernel.tfExpandUTF8($c, $cap)")
+
+  override protected def withNewChildInternal(newChild: Expression): TfExpand =
+    copy(child = newChild)
+}
+
 /** Python `str.title()` parity — SURVEY.md §2.7 F9 divergence note. */
 case class PyTitle(child: Expression)
     extends UnaryExpression {
@@ -369,6 +413,10 @@ object exprs {
     col(WordNgrams(ex(text), n))
   def word_ngram_hashes(text: Column, n: Int): Column =
     col(WordNgramHashes(ex(text), n))
+  def tf_expand(text: Column, cap: Int): Column =
+    col(TfExpand(ex(text), cap))
+  def sorted_jaccard(a: Column, b: Column): Column =
+    col(SortedJaccard(ex(a), ex(b)))
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
   def hilbert_key(a: Column, b: Column, bits: Int): Column =
     col(HilbertKey(ex(a), ex(b), bits))

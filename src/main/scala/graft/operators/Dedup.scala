@@ -564,12 +564,22 @@ object Dedup {
     val candidates = a.join(b, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val shA = sets.select(col("doc").as("id_a"), col("gset").as("g_a"))
-    val shB = sets.select(col("doc").as("id_b"), col("gset").as("g_b"))
+    // verify over sorted xxhash64 images of the elements: one
+    // duplicate-aware merge scan per pair (SetKernel) instead of the
+    // generic array_intersect/array_union object-hash-set chain — on a
+    // dup-dense corpus the candidate list is large and that chain
+    // dominated the whole query (q178 r13: 6.3 of 7.2 s). Set-equal
+    // barring 64-bit collisions (the hashed-shingle convention); the
+    // oracles keep replaying string-set arithmetic, so the hash gate
+    // re-verifies the equality every round.
+    val hashed = sets.select(col("doc"),
+      array_sort(transform(col("gset"), g => xxhash64(g))).as("hset"))
+    val shA = hashed.select(col("doc").as("id_a"), col("hset").as("h_a"))
+    val shB = hashed.select(col("doc").as("id_b"), col("hset").as("h_b"))
     candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
+        graft.functions.exprs.sorted_jaccard(col("h_a"), col("h_b"))
+          .as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
@@ -589,26 +599,33 @@ object Dedup {
     * blow-up (and the weight of any one term) — the tf saturation
     * every weighted scheme needs anyway.
     *
-    * Scale shape: one (doc, term) hash agg + a bounded explode
-    * (≤ cap·|terms|) + the [[minhashLshPortable]] plan — banded
-    * candidates, never all-pairs. */
+    * Scale shape: one MAP-ONLY per-row expansion (a codegen kernel,
+    * [[graft.functions.ShingleKernel.tfExpand]]; bounded at
+    * ≤ cap·|terms| elements) + the [[minhashLshPortable]] plan —
+    * banded candidates, never all-pairs, and ZERO exchanges before
+    * the signature projection (the r13 explode → groupBy(doc,t) →
+    * explode → groupBy(doc) chain paid two corpus-wide shuffles for
+    * the same elements; guarded in `PlanQualitySpec`). */
   def weightedJaccardJoin(docs: DataFrame, textCol: String, idCol: String,
       cap: Int = 5, numHashes: Int = 8, bands: Int = 4,
       jaccardThreshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    require(cap >= 1, "cap must be >= 1")
-    val expanded = docs
-      .select(col(idCol).as("doc"),
-        explode_outer(split(trim(col(textCol)), "\\s+")).as("t"))
-      .filter(col("t") =!= "")
-      .groupBy(col("doc"), col("t"))
-      .agg(least(count(lit(1)), lit(cap.toLong)).as("c"))
-      .select(col("doc"), explode(transform(
-        sequence(lit(1), col("c").cast("int")),
-        i => concat(col("t"), lit("#"), i))).as("g"))
-      .groupBy(col("doc")).agg(collect_list(col("g")).as("gset"))
+    val expanded = weightedExpansion(docs, textCol, idCol, cap)
       .localCheckpoint(false)
     minhashBandedPairs(expanded, numHashes, bands, jaccardThreshold)
+  }
+
+  /** The map-only (doc, gset) expansion stage of [[weightedJaccardJoin]]:
+    * one narrow projection (kernel tf_expand) + the blank-doc filter
+    * (a doc with no non-empty tokens had no rows under the old
+    * aggregation chain, so it must stay absent here too). Public so the
+    * plan guard can assert the stage is exchange-free. */
+  def weightedExpansion(docs: DataFrame, textCol: String, idCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    docs.select(col(idCol).as("doc"),
+        graft.functions.exprs.tf_expand(col(textCol), cap).as("gset"))
+      .filter(size(col("gset")) > 0)
   }
 
   /** Exact n-gram CONTAINMENT join — the DIRECTED companion of

@@ -214,6 +214,9 @@ object Stats {
     require(nBuckets >= 1, "nBuckets must be >= 1")
     val counts = docs.select(isA.as("__a"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("__term"))
+      // split of an empty string yields [''] — drop the phantom token
+      // (ADVICE r13; the weightedJaccardJoin hygiene convention)
+      .filter(col("__term") =!= "")
       .select(col("__a"),
         (graft.functions.PortableHash.md5Long60(col("__term")) % nBuckets)
           .as("bucket"))

@@ -716,7 +716,10 @@ object TextAnalysis {
       k: Int, quant: Long = 1000000L, minCount: Long = 5L): DataFrame = {
     require(k > 0 && quant > 0, "bad k/quant")
     val toks = docs.select(col(groupCol).as("source"),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      // split of an empty string yields [''] — drop the phantom token
+      // (ADVICE r13; the weightedJaccardJoin hygiene convention)
+      .filter(col("term") =!= "")
     val g = toks.groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("tf_grp"))
     val termAll = g.groupBy(col("term")).agg(sum(col("tf_grp")).as("tf_all"))

@@ -157,6 +157,45 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tf_expand kernel == old explode/groupBy expansion chain " +
+      "(same element sets) on random + adversarial texts") {
+    // the r13 chain this kernel replaced: split → filter '' →
+    // groupBy(doc,t) capped count → t#1…t#c explode → collect per doc;
+    // the q178 oracle still replays THAT chain, so the kernel must
+    // produce the identical element set per doc (order is free — every
+    // consumer is a set op)
+    val spark = TestSpark.session
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "de", "e", "zeta-1", "日本")
+    val random = (0 until 120).map { i =>
+      Seq.fill(1 + rng.nextInt(20))(vocab(rng.nextInt(vocab.size)))
+        .mkString(if (i % 3 == 0) "  " else " ")
+    }
+    val adversarial = Seq("", " ", "\t\n", "one", "x x x x x x x x",
+      "  leading", "trailing  ", "ab\fc\rd ab\fc\rd", "a#1 a a")
+    for (cap <- Seq(1, 3, 5)) {
+      val df = (random ++ adversarial).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val kernel = graft.operators.Dedup
+        .weightedExpansion(df, "text", "doc_id", cap)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).sorted).toMap
+      val chain = df
+        .select(col("doc_id").as("doc"),
+          explode_outer(split(trim(col("text")), "\\s+")).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("doc"), col("t"))
+        .agg(least(count(lit(1)), lit(cap.toLong)).as("c"))
+        .select(col("doc"), explode(transform(
+          sequence(lit(1), col("c").cast("int")),
+          i => concat(col("t"), lit("#"), i))).as("g"))
+        .groupBy(col("doc")).agg(collect_list(col("g")).as("gset"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).sorted).toMap
+      assert(kernel == chain, s"cap=$cap")
+    }
+  }
+
   test("hashed shingles agree with string shingles on set size (no " +
       "collisions at corpus scale)") {
     val spark = TestSpark.session

@@ -57,4 +57,17 @@ class LuhnPiiSpec extends AnyFunSuite {
       "a [CARD] b [CARD] c 1234567890123456 d 12345 e [CARD]",
       out.getString(2))
   }
+
+  test("cardScan anchoring: a valid PAN embedded in a 20+-digit run is " +
+      "not rewritten there (ADVICE r13)") {
+    // the 24-digit run contains the valid PAN as a substring but is not
+    // itself a candidate (13-19 pattern); the standalone occurrence IS
+    val text = "x 4111111111111111 y 794111111111111111111111 z"
+    val out = Seq(text).toDF("t")
+      .select(Pii.cardScan(col("t")).as("s")).select("s.*").head()
+    assert(out.getLong(0) == 1L, s"n_digit_runs ${out.getLong(0)}")
+    assert(out.getLong(1) == 1L, s"n_valid_cards ${out.getLong(1)}")
+    assert(out.getString(2) == "x [CARD] y 794111111111111111111111 z",
+      out.getString(2))
+  }
 }

@@ -656,6 +656,27 @@ class PlanQualitySpec extends AnyFunSuite {
     }, "q168: approx side appears rebuilt")
   }
 
+  test("q178: the weighted-Jaccard multiset expansion is map-only — " +
+      "zero exchanges before the signature projection (r13 item 1)") {
+    // the expansion stage (tf_expand kernel + blank filter) must be a
+    // narrow projection over the corpus scan: the r13 chain paid two
+    // corpus-wide shuffles (explode→groupBy(doc,t)→explode→groupBy(doc))
+    // for the same element sets
+    val p = SketchParams.q178
+    val corpus = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val expansion = graft.operators.Dedup
+      .weightedExpansion(corpus, "text", "doc_id", p.cap)
+    expansion.count()
+    val plan = expansion.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"pre-sketch exchange found in expansion stage:\n${plan.take(1500)}")
+    assert(!plan.contains("Generate"),
+      "expansion must be the kernel projection, not an explode chain")
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
