@@ -4690,7 +4690,7 @@ object OracleSql {
       SELECT c.id, c.nb, ${sqd("a.q", "b.q")} AS d
       FROM ${px}cand$r c JOIN ${px}qv a ON c.id = a.vec_id
         JOIN ${px}qv b ON c.nb = b.vec_id
-    ), ${px}e$r AS (
+    ), ${px}e$r AS MATERIALIZED (
       SELECT id, nb, d FROM (
         SELECT id, nb, d,
           row_number() OVER (PARTITION BY id
@@ -4703,7 +4703,7 @@ object OracleSql {
           GROUP BY id, nb))
       WHERE rn <= ${p.k}"""
     }.mkString
-    s"""${px}qv AS (
+    s"""${px}qv AS MATERIALIZED (
       SELECT vec_id,
         list_transform(embedding,
           x -> CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT)) AS q
@@ -4719,7 +4719,7 @@ object OracleSql {
       FROM ${px}ranked a, generate_series(1, ${p.k}) AS g(j),
         ${px}nn, ${px}ranked b
       WHERE b.rn = ((a.rn - 1 + g.j) % ${px}nn.n) + 1
-    ), ${px}e0 AS (
+    ), ${px}e0 AS MATERIALIZED (
       SELECT id, nb, d FROM (
         SELECT id, nb, d,
           row_number() OVER (PARTITION BY id
@@ -5024,7 +5024,28 @@ object OracleSql {
     * re-heaps each batch node — the SQL twin of
     * `Ann.knnGraphProbePortable`. Generated from
     * [[SketchParams.q152]]/[[SketchParams.q157]]. */
-  private def q157: String = {
+  /** Exact integer squared-L2 over two quantized lists (shared by the
+    * kNN-serving oracles). */
+  private def knnSqd(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, len($a)),
+        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"""
+
+  /** Bottom-k heap over a (id, nb, d) source — the nnDescent total
+    * order (d, nb-as-varchar), min-deduped (shared by q157/q180). */
+  private def knnHeap(src: String): String = s"""
+      SELECT id, nb, d FROM (
+        SELECT id, nb, d,
+          row_number() OVER (PARTITION BY id
+            ORDER BY d, CAST(nb AS VARCHAR)) AS rn
+        FROM (SELECT id, nb, MIN(d) AS d FROM ($src) GROUP BY id, nb))
+      WHERE rn <= ${SketchParams.q152.k}"""
+
+  /** The q157 probe chain (batch quantize + two LSH seed tables + exact
+    * seed scoring + one expansion round), ending at `n1` — each batch
+    * node's bottom-k heap. Shared by q157 (which selects n1 directly)
+    * and q180 (which merges n1 into the backbone). Expects the
+    * `q152Ctes("knn", …)` descent chain before it in the same WITH. */
+  private def q157ProbeCtes: String = {
     val p152 = SketchParams.q152
     val p = SketchParams.q157
     require(p.expandRounds == 1,
@@ -5032,9 +5053,7 @@ object OracleSql {
         "SketchParams.q157.expandRounds in sync or extend the unroll")
     val planes = 2 * p.tablePlanes
     val tableDiv = 1L << p.tablePlanes
-    def sqd(a: String, b: String): String =
-      s"""CAST(list_sum(list_transform(generate_series(1, len($a)),
-          i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"""
+    def sqd(a: String, b: String): String = knnSqd(a, b)
     val sigExpr = s"""
       list_sum(list_transform(generate_series(0, ${planes - 1}), j ->
         CASE WHEN list_sum(list_transform(
@@ -5044,24 +5063,17 @@ object OracleSql {
           (CASE WHEN substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 1)
             < '8' THEN 1 ELSE -1 END))) > 0
         THEN (1::BIGINT << j) ELSE 0 END))"""
-    val heap = (src: String) => s"""
-      SELECT id, nb, d FROM (
-        SELECT id, nb, d,
-          row_number() OVER (PARTITION BY id
-            ORDER BY d, CAST(nb AS VARCHAR)) AS rn
-        FROM (SELECT id, nb, MIN(d) AS d FROM ($src) GROUP BY id, nb))
-      WHERE rn <= ${p152.k}"""
-    s"""
-    WITH ${q152Ctes("knn", s"vec_id % ${p.batchMod} != 0")}, bqv AS (
+    val heap = (src: String) => knnHeap(src)
+    s"""bqv AS MATERIALIZED (
       SELECT vec_id,
         list_transform(embedding,
           x -> CAST(floor(CAST(x AS DOUBLE) * ${p152.scale}) AS BIGINT))
           AS q
       FROM embeddings WHERE vec_id % ${p.batchMod} = 0
-    ), csig AS (
+    ), csig AS MATERIALIZED (
       SELECT vec_id, $sigExpr AS sig
       FROM embeddings WHERE vec_id % ${p.batchMod} != 0
-    ), bsig AS (
+    ), bsig AS MATERIALIZED (
       SELECT vec_id, $sigExpr AS sig
       FROM embeddings WHERE vec_id % ${p.batchMod} = 0
     ), seeds AS (
@@ -5076,7 +5088,7 @@ object OracleSql {
       SELECT s.id, s.nb, ${sqd("b.q", "c.q")} AS d
       FROM seeds s JOIN bqv b ON s.id = b.vec_id
         JOIN knnqv c ON s.nb = c.vec_id
-    ), n0 AS (${heap("SELECT id, nb, d FROM s0")}
+    ), n0 AS MATERIALIZED (${heap("SELECT id, nb, d FROM s0")}
     ), und AS (
       SELECT DISTINCT c, c2 FROM (
         SELECT id AS c, nb AS c2 FROM knne${p152.rounds}
@@ -5088,14 +5100,89 @@ object OracleSql {
       SELECT s.id, s.nb, ${sqd("b.q", "c.q")} AS d
       FROM cand s JOIN bqv b ON s.id = b.vec_id
         JOIN knnqv c ON s.nb = c.vec_id
-    ), n1 AS (${heap(
+    ), n1 AS MATERIALIZED (${heap(
       "SELECT id, nb, d FROM n0 UNION ALL SELECT id, nb, d FROM s1")}
-    )
+    )"""
+  }
+
+  private def q157: String = {
+    val p = SketchParams.q157
+    s"""
+    WITH ${q152Ctes("knn", s"vec_id % ${p.batchMod} != 0")}, $q157ProbeCtes
     SELECT id, nb AS neighbor_id, CAST(rn AS BIGINT) AS rank, d FROM (
       SELECT id, nb, d,
         row_number() OVER (PARTITION BY id
           ORDER BY d, CAST(nb AS VARCHAR)) AS rn
       FROM n1)"""
+  }
+
+  /** kNN-graph merge maintenance (q180): the descent chain (`knn`
+    * prefix) + the q157 probe chain, then the three merge stages —
+    * probed heaps inserted, affected old nodes re-heaped over
+    * {existing edges} ∪ {reversed probe edges}, and one NEW-edge-
+    * restricted local descent round (candidate pairs only where the
+    * pivot or an endpoint is a batch node — every edge the merge added
+    * touches the batch, so nothing else changed). The final rank
+    * recompute is uniform here while the Spark side re-heaps
+    * selectively: re-heaping an unchanged bottom-k heap is the
+    * identity, so the rows agree. The SQL twin of `Ann.knnGraphMerge`.
+    * Generated from [[SketchParams.q152]]/[[SketchParams.q157]]. */
+  private def q180: String = {
+    val p152 = SketchParams.q152
+    val p = SketchParams.q157
+    s"""
+    WITH ${q152Ctes("knn", s"vec_id % ${p.batchMod} != 0")}, $q157ProbeCtes,
+    allqv AS MATERIALIZED (
+      SELECT vec_id, q FROM knnqv UNION ALL SELECT vec_id, q FROM bqv
+    ), probed AS MATERIALIZED (
+      SELECT id, nb, d FROM n1
+    ), affected AS (
+      SELECT DISTINCT nb AS id FROM probed
+    ), aheap AS MATERIALIZED (${knnHeap(s"""
+      SELECT g.id, g.nb, g.d
+      FROM knne${p152.rounds} g JOIN affected a ON g.id = a.id
+      UNION ALL SELECT nb AS id, id AS nb, d FROM probed""")}
+    ), merged0 AS MATERIALIZED (
+      SELECT g.id, g.nb, g.d FROM knne${p152.rounds} g
+      ANTI JOIN affected a ON g.id = a.id
+      UNION ALL SELECT id, nb, d FROM aheap
+      UNION ALL SELECT id, nb, d FROM probed
+    ), mrev AS (
+      SELECT id, nb FROM (
+        SELECT id, nb,
+          row_number() OVER (PARTITION BY id
+            ORDER BY d, CAST(nb AS VARCHAR)) AS rn
+        FROM (SELECT nb AS id, id AS nb, d FROM merged0))
+      WHERE rn <= ${p152.k}
+    ), madj AS MATERIALIZED (
+      SELECT DISTINCT id, nb FROM (
+        SELECT id, nb FROM merged0 UNION ALL SELECT id, nb FROM mrev)
+    ), mcand AS (
+      SELECT DISTINCT x.nb AS id, y.nb AS nb
+      FROM madj x JOIN madj y ON x.id = y.id AND x.nb < y.nb
+      WHERE x.id % ${p.batchMod} = 0 OR x.nb % ${p.batchMod} = 0
+         OR y.nb % ${p.batchMod} = 0
+    ), msc AS MATERIALIZED (
+      SELECT c.id, c.nb, ${knnSqd("a.q", "b.q")} AS d
+      FROM mcand c JOIN allqv a ON c.id = a.vec_id
+        JOIN allqv b ON c.nb = b.vec_id
+    ), mtouched AS (
+      SELECT DISTINCT id FROM (
+        SELECT id FROM msc UNION ALL SELECT nb AS id FROM msc)
+    ), mheap AS MATERIALIZED (${knnHeap(s"""
+      SELECT m.id, m.nb, m.d FROM merged0 m JOIN mtouched t ON m.id = t.id
+      UNION ALL SELECT id, nb, d FROM msc
+      UNION ALL SELECT nb AS id, id AS nb, d FROM msc""")}
+    ), mfinal AS (
+      SELECT m.id, m.nb, m.d FROM merged0 m
+      ANTI JOIN mtouched t ON m.id = t.id
+      UNION ALL SELECT id, nb, d FROM mheap
+    )
+    SELECT id, nb AS neighbor_id, CAST(rn AS BIGINT) AS rank, d FROM (
+      SELECT id, nb, d,
+        row_number() OVER (PARTITION BY id
+          ORDER BY d, CAST(nb AS VARCHAR)) AS rn
+      FROM mfinal)"""
   }
 
   /** MP4 / ISO-BMFF decode (q156): rebuild the box trees in hex, then
@@ -5587,6 +5674,7 @@ object OracleSql {
     "q177_nfc_normalize" -> q177,
     "q178_weighted_jaccard" -> q178,
     "q179_assortativity" -> q179,
+    "q180_knn_merge" -> q180,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -2935,10 +2935,45 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val old = emb.filter(col("vec_id") % p.batchMod =!= 0)
     val batch = emb.filter(col("vec_id") % p.batchMod === 0)
-    val graph = Ann.nnDescentPortable(old, "embedding", "vec_id",
-      p152.k, p152.rounds, p152.scale)
-    Ann.knnGraphProbePortable(graph, old, batch, "embedding", "vec_id",
-      p152.k, p.expandRounds, p152.scale, p.tablePlanes)
+    Ann.knnGraphProbePortable(q157OldGraph(s, dir), old, batch,
+      "embedding", "vec_id", p152.k, p.expandRounds, p152.scale,
+      p.tablePlanes)
+  }
+
+  /** The old-slice descent graph BOTH q157 (probe) and q180 (merge)
+    * serve against — the persisted-index story the r13 verdict asked
+    * for: the backbone is built ONCE per (session, dir) and
+    * materialized ([[memoCheckpoint]], the q49/q152 convention), so the
+    * serving queries pay probe/merge cost only, not index-build cost.
+    * Each query's ORACLE stays self-contained (its SQL twin replays the
+    * full descent chain). */
+  private val q157GraphMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def q157OldGraph(s: SparkSession, dir: String): DataFrame =
+    memoCheckpoint(q157GraphMemo, s, dir) {
+      val p152 = SketchParams.q152
+      val p = SketchParams.q157
+      Ann.nnDescentPortable(
+        t(s, dir, "embeddings").filter(col("vec_id") % p.batchMod =!= 0),
+        "embedding", "vec_id", p152.k, p152.rounds, p152.scale)
+    }
+
+  /** kNN-graph MERGE maintenance ([[graft.operators.Ann.knnGraphMerge]]):
+    * the q157 batch is ABSORBED into the shared old-slice backbone —
+    * probe heaps inserted, affected old nodes re-heaped via reverse
+    * edges, then one NEW-edge-restricted descent round — yielding a
+    * full (old ∪ batch) graph without re-descending the corpus. The
+    * DuckDB twin replays descent + probe + all three merge stages
+    * round for round. Params from [[SketchParams.q152]]/
+    * [[SketchParams.q157]]. */
+  def q180KnnMerge(s: SparkSession, dir: String): DataFrame = {
+    val p152 = SketchParams.q152
+    val p = SketchParams.q157
+    val emb = t(s, dir, "embeddings")
+    val old = emb.filter(col("vec_id") % p.batchMod =!= 0)
+    val batch = emb.filter(col("vec_id") % p.batchMod === 0)
+    Ann.knnGraphMerge(q157OldGraph(s, dir), old, batch, "embedding",
+      "vec_id", p152.k, p.expandRounds, p152.scale, p.tablePlanes)
   }
 
   /** PQ-ADC compressed-domain ANN
@@ -3543,7 +3578,8 @@ object SparkEntry {
     "q176_rendezvous" -> (q176Rendezvous _),
     "q177_nfc_normalize" -> (q177NfcNormalize _),
     "q178_weighted_jaccard" -> (q178WeightedJaccard _),
-    "q179_assortativity" -> (q179Assortativity _))
+    "q179_assortativity" -> (q179Assortativity _),
+    "q180_knn_merge" -> (q180KnnMerge _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1372,4 +1372,141 @@ object Ann {
     nbrs.select(col("id"), col("nb").as("neighbor_id"), col("rank"),
       col("d"))
   }
+
+  /** MERGE a batch into an existing [[nnDescentPortable]] kNN graph —
+    * the maintenance path [[knnGraphProbePortable]] deliberately leaves
+    * open (its contract: batch heaps only, graph unchanged). A
+    * production index must ABSORB arrivals without re-descending the
+    * corpus (VERDICT r13 item 2); this is Dong et al.'s incremental
+    * insight applied once: after an insert, the only information that
+    * changed is batch-incident, so one NEW-edge-restricted descent
+    * round reconciles the neighborhood.
+    *
+    * Three stages, all batch-proportional beyond narrow edge-list
+    * shuffles (3-long rows):
+    *   1. PROBE — [[knnGraphProbePortable]] gives each batch node its
+    *      bottom-k heap (seed tables + expansion; corpus vectors never
+    *      shuffle).
+    *   2. REVERSE UPDATE — every probed edge (b → o) is offered back
+    *      to its corpus endpoint: affected old nodes (those appearing
+    *      in a batch heap) re-heap over {their existing edges} ∪
+    *      {reversed probed edges}; unaffected nodes' rows pass through
+    *      untouched (left_anti — no recompute).
+    *   3. LOCAL ROUND — one NN-Descent round restricted to NEW
+    *      information: since every edge the merge added touches a batch
+    *      node, a co-neighbor offer (u, w) from pivot v can only have
+    *      changed when v, u, or w is a batch node. Candidates are
+    *      generated ONLY under that predicate (batch-pivot cliques +
+    *      batch-endpoint edges joined against the pivot's adjacency —
+    *      O(|batch|·k·deg) scored pairs, never corpus²), scored once
+    *      per distinct normalized pair, and ONLY nodes that received a
+    *      candidate re-heap; everyone else's rows pass through.
+    *
+    * Heap order, quantization, metric, and the reverse cap are all the
+    * [[nnDescentPortable]] total order, so a DuckDB twin replays the
+    * whole merge round for round (q180); re-heaping an unchanged heap
+    * is the identity, which is why the twin may re-heap uniformly while
+    * this side re-heaps selectively — same rows either way.
+    *
+    * @param graph existing kNN edges over `corpus`: (id, neighbor_id,
+    *              rank, d) — [[nnDescentPortable]] output
+    * @return the merged graph (id, neighbor_id, rank, d) over
+    *         corpus ∪ batch ids — same shape as [[nnDescentPortable]],
+    *         so consumers (MSF linkage, serving probes) are oblivious */
+  def knnGraphMerge(
+      graph: DataFrame, corpus: DataFrame, batch: DataFrame,
+      vecCol: String, idCol: String, k: Int, expandRounds: Int = 1,
+      scale: Int = 1000, tablePlanes: Int = 4): DataFrame = {
+    require(k >= 1 && expandRounds >= 0 && tablePlanes >= 1)
+    val idType = corpus.select(col(idCol)).schema.head.dataType
+    val (probed, probedCkpt) = CheckpointHygiene.checkpointTracked(
+      knnGraphProbePortable(graph, corpus, batch, vecCol, idCol, k,
+        expandRounds, scale, tablePlanes), eager = true)
+    val batchIds = batch.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__bid"))
+    def quant(df: DataFrame): DataFrame = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__vid"), quantizeVec(col(vecCol), scale).as("__q"))
+    // batch ∪ corpus vectors: the local round's pairs may be
+    // corpus–corpus (batch pivot), so scoring needs both sides
+    val allVecs = quant(corpus).unionByName(quant(batch))
+    def sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d)
+    // edge lists here are batch-proportional; the vector table is the
+    // big probe side of both equi-joins (the knnGraphProbePortable shape)
+    def score(edges: DataFrame): DataFrame = broadcast(edges)
+      .join(allVecs.select(col("__vid").as("id"), col("__q").as("__qa")),
+        Seq("id"))
+      .join(allVecs.select(col("__vid").as("nb"), col("__q").as("__qb")),
+        Seq("nb"))
+      .select(col("id"), col("nb"), sq(col("__qa"), col("__qb")).as("d"))
+    def topK(pool: DataFrame): DataFrame = pool
+      .groupBy(col("id"), col("nb")).agg(min(col("d")).as("d"))
+      .groupBy(col("id"))
+      .agg(graft.functions.BottomK.bottom_k(col("d"),
+        col("nb").cast("string"), k).as("__top"))
+      .select(col("id"), posexplode(col("__top")))
+      .select(col("id"), col("col.value").cast(idType).as("nb"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.key").as("d"))
+    val gEdges = graph.select(col("id"), col("neighbor_id").as("nb"),
+      col("rank"), col("d"))
+    val pEdges = probed.select(col("id"), col("neighbor_id").as("nb"),
+      col("rank"), col("d"))
+    // 2. reverse update: affected old nodes re-heap, others pass through
+    val revProbe = pEdges.select(col("nb").as("id"), col("id").as("nb"),
+      col("d"))
+    val affected = revProbe.select(col("id")).distinct()
+    val affectedHeap = topK(
+      gEdges.join(broadcast(affected), Seq("id"), "left_semi")
+        .select(col("id"), col("nb"), col("d"))
+        .unionByName(revProbe))
+    val (merged0, m0Ckpt) = CheckpointHygiene.checkpointTracked(
+      gEdges.join(broadcast(affected), Seq("id"), "left_anti")
+        .unionByName(affectedHeap)
+        .unionByName(pEdges), eager = true)
+    // 3. one local descent round over NEW information only
+    val fwd = merged0.select(col("id"), col("nb"))
+    val rev = topK(merged0.select(col("nb").as("id"), col("id").as("nb"),
+        col("d"))).select(col("id"), col("nb"))
+    val adj = fwd.unionByName(rev).distinct()
+    val adjB = adj.join(broadcast(batchIds.select(col("__bid").as("id"))),
+      Seq("id"), "left_semi")
+    // batch-pivot cliques: both offers come from a batch node's adjacency
+    val candPivot = adjB.as("x").join(adjB.as("y"),
+        col("x.id") === col("y.id") && col("x.nb") < col("y.nb"))
+      .select(col("x.nb").as("id"), col("y.nb").as("nb"))
+    // batch-endpoint offers: a NEW edge (v → b∈batch) meets every other
+    // edge of pivot v; normalized so each unordered pair scores once
+    val newAdj = adj.join(broadcast(batchIds.select(col("__bid").as("nb"))),
+      Seq("nb"), "left_semi")
+    val candNew = newAdj.as("x").join(adj.as("y"),
+        col("x.id") === col("y.id") && col("x.nb") =!= col("y.nb"))
+      .select(least(col("x.nb"), col("y.nb")).as("id"),
+        greatest(col("x.nb"), col("y.nb")).as("nb"))
+    val cand = candPivot.unionByName(candNew).distinct()
+    val (scored, scCkpt) = CheckpointHygiene.checkpointTracked(
+      score(cand), eager = true)
+    // only nodes that received a candidate re-heap (both orientations
+    // pool); everyone else's merged0 rows are already their heap
+    val touched = scored.select(col("id"))
+      .unionByName(scored.select(col("nb").as("id"))).distinct()
+    val touchedHeap = topK(
+      merged0.join(touched, Seq("id"), "left_semi")
+        .select(col("id"), col("nb"), col("d"))
+        .unionByName(scored)
+        .unionByName(scored.select(col("nb").as("id"), col("id").as("nb"),
+          col("d"))))
+    val (out, _) = CheckpointHygiene.checkpointTracked(
+      merged0.join(touched, Seq("id"), "left_anti")
+        .unionByName(touchedHeap)
+        .select(col("id"), col("nb").as("neighbor_id"), col("rank"),
+          col("d")), eager = true)
+    // out is materialized; every intermediate generation can go (the
+    // nnDescentPortable hygiene — lineage never deeper than one stage)
+    CheckpointHygiene.free(probedCkpt)
+    CheckpointHygiene.free(m0Ckpt)
+    CheckpointHygiene.free(scCkpt)
+    out
+  }
 }

@@ -136,6 +136,51 @@ class NnDescentSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) == k), "ragged probe heaps")
   }
 
+  test("q180 merge: absorbing a 10% batch lands within ε of a full " +
+      "re-descent; heaps stay exactly-k over old ∪ batch") {
+    val all = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 300)
+    val old = all.filter(col("vec_id") % 10 =!= 0)
+    val batch = all.filter(col("vec_id") % 10 === 0)
+    val k = 10
+    val rounds = 5
+    val graph = Ann.nnDescentPortable(old, "embedding", "vec_id",
+      k, rounds, Scale)
+    val merged = Ann.knnGraphMerge(graph, old, batch, "embedding",
+      "vec_id", k, expandRounds = 2, Scale)
+    val full = Ann.nnDescentPortable(all, "embedding", "vec_id",
+      k, rounds, Scale)
+    // exact gold kNN over the FULL corpus (old ∪ batch), operator order
+    val av = all.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * Scale).cast("long")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val gold = av.keySet.flatMap { i =>
+      av.keysIterator.filter(_ != i).map { j =>
+        val d = av(i).lazyZip(av(j)).map((a, b) => (a - b) * (a - b)).sum
+        (j, d)
+      }.toSeq.sortBy { case (j, d) => (d, j.toString) }
+        .take(k).map { case (j, _) => (i, j) }
+    }
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df
+      .select(col("id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(g: Set[(Long, Long)]) =
+      g.intersect(gold).size.toDouble / gold.size
+    val rm = recall(edges(merged))
+    val rf = recall(edges(full))
+    // the merge sees only batch-incident candidates, so it can trail a
+    // full re-descent — but only by ε: the batch is where the new
+    // information is, and the old graph was already converged
+    assert(rm >= rf - 0.05, s"merge recall $rm vs full re-descent $rf")
+    // structural contract: every node of old ∪ batch has exactly k
+    // ranked neighbors, no self-loops
+    val counts = merged.groupBy(col("id")).count().collect()
+    assert(counts.length == av.size, s"${counts.length} nodes, want ${av.size}")
+    assert(counts.forall(_.getLong(1) == k), "ragged merged heaps")
+    assert(merged.filter(col("id") === col("neighbor_id")).count() == 0)
+  }
+
   test("q154 composition: the MSF-cut clusters equal the connected " +
       "components of the directly-thresholded kNN edges (the dendrogram " +
       "identity, end-to-end on the real pipeline)") {
