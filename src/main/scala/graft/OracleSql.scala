@@ -420,6 +420,16 @@ object SketchParams {
     val cap = 5; val numHashes = 8; val bands = 4
     val jaccardThreshold = 0.5; val corpusMod = 7
   }
+  /** q181 perceptual near-dup: 4 variants per image group (base,
+    * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
+    * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
+    * Pixel formula: ((i+1)·(seed·3+7)·40503) mod 181 + 20 — bounded
+    * at 220 so the +16 brightness variant never clips (exact aHash/
+    * dHash invariance). */
+  object q181 {
+    val variants = 4L; val maxHamming = 6; val brighten = 16L
+    val distinctSeedMul = 7919L; val distinctSeedAdd = 123L
+  }
   /** q177 NFC normalization gate: the doc_id residue that picks the
     * DECOMPOSED 'e'+U+0301 variant (the rest get precomposed U+00E9);
     * both engines build the variants from codepoint literals. */
@@ -5127,6 +5137,90 @@ object OracleSql {
     * selectively: re-heaping an unchanged bottom-k heap is the
     * identity, so the rows agree. The SQL twin of `Ann.knnGraphMerge`.
     * Generated from [[SketchParams.q152]]/[[SketchParams.q157]]. */
+  /** Perceptual near-dup (q181): rebuild every PGM blob in hex, re-parse
+    * each pixel byte from the hex (the q108/q111/q156 re-walk
+    * convention), replay the 8×8 / 8×9 integer pooling and the
+    * cross-multiplied mean thresholds into 64-char LSB-first bit
+    * strings, band them 4×16 (the same bit-position partition the Spark
+    * side's chunk shifts induce — identical candidate sets), and verify
+    * with the exact positional Hamming count. The SQL twin of
+    * `PhashKernel` + `Dedup.hammingNearDup`. Generated from
+    * [[SketchParams.q181]]. */
+  private def q181: String = {
+    val p = SketchParams.q181
+    def hamming(a: String, b: String): String =
+      s"""CAST(list_sum(list_transform(generate_series(1, 64), i ->
+        CASE WHEN substr($a, i, 1) != substr($b, i, 1)
+        THEN 1 ELSE 0 END)) AS BIGINT)"""
+    s"""
+    WITH sd AS (
+      SELECT doc_id, CAST(doc_id % ${p.variants} AS INT) AS v,
+        CAST(16 + (doc_id // ${p.variants} % 2) * 8 AS BIGINT) AS w,
+        CASE WHEN doc_id % ${p.variants} = 3
+          THEN (doc_id // ${p.variants}) * ${p.distinctSeedMul}
+            + ${p.distinctSeedAdd}
+          ELSE doc_id // ${p.variants} END AS seed
+      FROM documents
+    ), blob AS MATERIALIZED (
+      SELECT doc_id, w,
+        '50350A' || CASE WHEN w = 16 THEN '3136203136'
+          ELSE '3234203234' END || '0A3235350A' ||
+        array_to_string(list_transform(generate_series(0, w*w - 1), i ->
+          lpad(hex(((i + 1) * (seed * 3 + 7) * 40503) % 181 + 20
+            + CASE WHEN v = 1 THEN ${p.brighten} ELSE 0 END
+            + CASE WHEN v = 2 THEN (i // w + i % w) % 2 ELSE 0 END),
+            2, '0')), '') AS hx
+      FROM sd
+    ), px AS MATERIALIZED (
+      SELECT doc_id, w, i,
+        ('0x' || substr(hx, 2 * (13 + i) + 1, 2))::BIGINT AS p,
+        i // w AS y, i % w AS x
+      FROM blob, unnest(generate_series(0, w*w - 1)) AS u(i)
+    ), acell AS (
+      SELECT doc_id, (y*8 // w) * 8 + (x*8 // w) AS cell,
+        SUM(p) AS s, COUNT(*) AS n
+      FROM px GROUP BY 1, 2
+    ), atot AS (
+      SELECT doc_id, SUM(s) AS st, SUM(n) AS nt FROM acell GROUP BY 1
+    ), ahash AS MATERIALIZED (
+      SELECT c.doc_id, string_agg(
+        CASE WHEN c.s * t.nt > t.st * c.n THEN '1' ELSE '0' END,
+        '' ORDER BY c.cell) AS bits
+      FROM acell c JOIN atot t ON c.doc_id = t.doc_id
+      GROUP BY c.doc_id
+    ), dcell AS MATERIALIZED (
+      SELECT doc_id, y*8 // w AS r, x*9 // w AS c,
+        SUM(p) AS s, COUNT(*) AS n
+      FROM px GROUP BY 1, 2, 3
+    ), dhash AS MATERIALIZED (
+      SELECT l.doc_id, string_agg(
+        CASE WHEN l.s * rr.n > rr.s * l.n THEN '1' ELSE '0' END,
+        '' ORDER BY l.r * 8 + l.c) AS bits
+      FROM dcell l JOIN dcell rr
+        ON l.doc_id = rr.doc_id AND l.r = rr.r AND rr.c = l.c + 1
+      WHERE l.c < 8
+      GROUP BY l.doc_id
+    ), banded AS (
+      SELECT doc_id, b AS band, substr(bits, b*16 + 1, 16) AS chunk
+      FROM dhash, unnest(generate_series(0, 3)) AS g(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.chunk = b.chunk
+      WHERE a.doc_id < b.doc_id
+    ), ham AS (
+      SELECT c.id_a, c.id_b,
+        ${hamming("da.bits", "db.bits")} AS hamming_d
+      FROM cand c JOIN dhash da ON c.id_a = da.doc_id
+        JOIN dhash db ON c.id_b = db.doc_id
+    )
+    SELECT h.id_a, h.id_b, h.hamming_d,
+      ${hamming("aa.bits", "ab.bits")} AS hamming_a
+    FROM ham h JOIN ahash aa ON h.id_a = aa.doc_id
+      JOIN ahash ab ON h.id_b = ab.doc_id
+    WHERE h.hamming_d <= ${p.maxHamming}"""
+  }
+
   private def q180: String = {
     val p152 = SketchParams.q152
     val p = SketchParams.q157
@@ -5675,6 +5769,7 @@ object OracleSql {
     "q178_weighted_jaccard" -> q178,
     "q179_assortativity" -> q179,
     "q180_knn_merge" -> q180,
+    "q181_phash_neardup" -> q181,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

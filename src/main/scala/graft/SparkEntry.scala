@@ -2976,6 +2976,69 @@ object SparkEntry {
       "vec_id", p152.k, p.expandRounds, p152.scale, p.tablePlanes)
   }
 
+  /** Shared q181 fixture: deterministic binary-PGM ("P5") grayscale
+    * bitmaps, four VARIANTS per image group g = doc_id div 4 — base,
+    * brightness +16 (never clips: pixels ≤ 220), alternating +0/+1
+    * noise, and a RESEEDED distinct image — over 16×16 or 24×24 rasters
+    * by group parity (both grids divide unevenly into the 8×9 dHash
+    * cells, so cross-multiplied mean compare is genuinely exercised).
+    * Returned as `(doc_id, content binary)`; the DuckDB oracle rebuilds
+    * the identical blobs and re-parses pixels from the hex (the
+    * q108/q111/q156 convention). */
+  private[graft] def pgmFixture(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q181
+    val m = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("g", expr(s"doc_id div ${p.variants}"))
+      .withColumn("v", (col("doc_id") % p.variants).cast("int"))
+      .withColumn("w", (lit(16) + (col("g") % 2) * 8).cast("int"))
+      .withColumn("seed", when(col("v") === 3,
+        col("g") * p.distinctSeedMul + p.distinctSeedAdd).otherwise(col("g")))
+    val pixHex = transform(
+      sequence(lit(0), col("w") * col("w") - 1), i => {
+        val base = ((i + 1) * (col("seed") * 3 + 7) * lit(40503L)) % 181 + 20
+        val bright = when(col("v") === 1, lit(p.brighten)).otherwise(lit(0L))
+        val noise = when(col("v") === 2,
+          ((i / col("w")).cast("int") + i % col("w")) % 2)
+          .otherwise(lit(0))
+        lpad(hex(base + bright + noise), 2, "0")
+      })
+    // header "P5\n<w> <w>\n255\n" — 13 bytes for both 2-digit dims
+    val hx = concat(lit("50350A"),
+      when(col("w") === 16, lit("3136203136")).otherwise(lit("3234203234")),
+      lit("0A3235350A"), array_join(pixHex, ""))
+    m.select(col("doc_id"), unhex(hx).as("content"))
+  }
+
+  /** Perceptual media near-dup ([[graft.functions.PhashKernel]] +
+    * [[graft.operators.Dedup.hammingNearDup]]): aHash/dHash 64-bit
+    * fingerprints over real PGM bitmaps, then Hamming banding — the
+    * near-dup path exact payload-md5 cannot provide (re-encoded /
+    * brightened / noised twins change every byte but barely move a
+    * perceptual hash). Brightness variants pair at Hamming 0 BY
+    * ARITHMETIC (uniform shifts cancel in the mean compare), noise
+    * variants pair low, reseeded images stay far. The oracle rebuilds
+    * the blobs, re-parses pixels from hex, and replays pooling,
+    * cross-multiplied thresholds, banding, and the exact Hamming
+    * verify. Params from [[SketchParams.q181]]. */
+  def q181PhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q181
+    import graft.functions.Phash._
+    val hashes = pgmFixture(s, dir)
+      .select(col("doc_id"), ahash64(col("content")).as("ah"),
+        dhash64(col("content")).as("dh"))
+      .localCheckpoint(false)
+    operators.Dedup.hammingNearDup(hashes, "dh", "doc_id", p.maxHamming)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming_d"))
+      .join(hashes.select(col("doc_id").as("id_a"), col("ah").as("__aa")),
+        Seq("id_a"))
+      .join(hashes.select(col("doc_id").as("id_b"), col("ah").as("__ab")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("hamming_d"),
+        bit_count(col("__aa").bitwiseXOR(col("__ab"))).cast("long")
+          .as("hamming_a"))
+  }
+
   /** PQ-ADC compressed-domain ANN
     * ([[graft.operators.Ann.pqCodebooksPortable]] +
     * [[graft.operators.Ann.pqTopK]]): corpus vectors stored as m
@@ -3579,7 +3642,8 @@ object SparkEntry {
     "q177_nfc_normalize" -> (q177NfcNormalize _),
     "q178_weighted_jaccard" -> (q178WeightedJaccard _),
     "q179_assortativity" -> (q179Assortativity _),
-    "q180_knn_merge" -> (q180KnnMerge _))
+    "q180_knn_merge" -> (q180KnnMerge _),
+    "q181_phash_neardup" -> (q181PhashNeardup _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

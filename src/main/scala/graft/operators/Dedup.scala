@@ -881,18 +881,33 @@ object Dedup {
       exprs.simhash64(split(trim(col(textCol)), "\\s+")).as("sim"))
     // both sides of the band self-join re-derive the fingerprint otherwise
     val h = if (materialize) hRaw.localCheckpoint(false) else hRaw
-    val banded = h.select(col("doc"), col("sim"),
+    hammingNearDup(h, "sim", "doc", maxHamming)
+  }
+
+  /** Hamming near-dup over an ARBITRARY 64-bit fingerprint column — the
+    * banding/verify half of [[simhashNearDup]], factored out so every
+    * 64-bit perceptual sketch (SimHash over tokens, aHash/dHash over
+    * bitmaps — [[graft.functions.PhashKernel]]) shares one candidate
+    * pipeline: 4×16-bit chunks bucket the self-join (pigeonhole: any
+    * pair within Hamming 3 shares a chunk; beyond that recall is
+    * probabilistic — measure with [[lshFidelity]]-style audits before
+    * trusting a threshold), then exact `bit_count(xor)` verifies each
+    * candidate pair once. Caller materializes `fps` if it is expensive
+    * (both join sides scan it). */
+  def hammingNearDup(fps: DataFrame, fpCol: String, idCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val banded = fps.select(col(idCol).as("__doc"), col(fpCol).as("__fp"),
       posexplode(array((0 until 4).map { b =>
-        shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL))
+        shiftrightunsigned(col(fpCol), b * 16).bitwiseAND(lit(0xffffL))
       }: _*)).as(Seq("band", "chunk")))
     val a = banded.select(col("band"), col("chunk"),
-      col("doc").as("id_a"), col("sim").as("sim_a"))
+      col("__doc").as("id_a"), col("__fp").as("fp_a"))
     val b = banded.select(col("band"), col("chunk"),
-      col("doc").as("id_b"), col("sim").as("sim_b"))
+      col("__doc").as("id_b"), col("__fp").as("fp_b"))
     a.join(b, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
