@@ -5221,6 +5221,76 @@ object OracleSql {
     WHERE h.hamming_d <= ${p.maxHamming}"""
   }
 
+  /** Main-content extraction (q182): rebuild each fixture page, strip
+    * script/style, split into visual blocks at the block-tag boundary
+    * (chr(1) delimiter, the same regex), compute per-block word /
+    * anchor-word counts and link density, window the prev/next
+    * features, and replay boilerpipe's NumWordsRules tree with its
+    * published thresholds — the SQL twin of `CrawlParse.blockFeatures`.
+    * RE2 has no backreferences, so script and style close separately
+    * (the Spark side matches). */
+  private def q182: String = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]+"
+    val blockTags = "(?i)</?(?:html|head|body|div|p|h[1-6]|ul|ol|li|" +
+      "table|thead|tbody|tr|td|th|nav|header|footer|article|section|" +
+      "aside|form|blockquote|pre|title|br|hr)\\b[^>]*>"
+    def norm(e: String): String =
+      s"trim(regexp_replace(regexp_replace($e, '(?s)<[^>]+>', ' ', 'g'), '$ws', ' ', 'g'))"
+    s"""
+    WITH pages AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || doc_id ||
+        '</title><script>var x=1;</script><style>p{}</style>' ||
+        '</head><body>' ||
+        '<div><a href=/>Home</a> <a href=/a>About us</a> ' ||
+        '<a href=/c>Contact</a></div>' ||
+        '<div>Read more: <a href=/r>' ||
+        regexp_extract(${normSql("text")}, '^(\\S+( \\S+){0,2})', 1) ||
+        '</a> today</div><p>' || ${normSql("text")} ||
+        '</p><p>Short tail note ' || doc_id % 7 ||
+        '</p><div><a href=/t>Terms</a> <a href=/p>Privacy policy</a>' ||
+        ' Copyright ' || (2000 + doc_id % 20) ||
+        ' Example Corp</div></body></html>' AS html
+      FROM documents
+    ), seg AS MATERIALIZED (
+      SELECT doc_id, string_split(regexp_replace(regexp_replace(
+        regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        '$blockTags', chr(1), 'g'), chr(1)) AS parts
+      FROM pages
+    ), blk AS MATERIALIZED (
+      SELECT doc_id, pos, text,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CASE WHEN atext = '' THEN 0
+          ELSE CAST(len(string_split(atext, ' ')) AS BIGINT)
+          END AS n_anchor_words
+      FROM (
+        SELECT doc_id, i AS pos,
+          ${norm("parts[i]")} AS text,
+          ${norm(s"""COALESCE(array_to_string(regexp_extract_all(parts[i],
+            '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), ' '), '')""")} AS atext
+        FROM seg, unnest(generate_series(1, len(parts))) AS u(i))
+      WHERE text <> ''
+    ), feat AS (
+      SELECT doc_id,
+        CAST(row_number() OVER w AS BIGINT) AS block_idx,
+        text, n_words, n_anchor_words,
+        CAST(n_anchor_words AS DOUBLE) / n_words AS link_density,
+        COALESCE(lag(n_words) OVER w, 0) AS prev_words,
+        COALESCE(lag(CAST(n_anchor_words AS DOUBLE) / n_words) OVER w,
+          0.0) AS prev_ld,
+        COALESCE(lead(n_words) OVER w, 0) AS next_words
+      FROM blk
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT doc_id, block_idx, text, n_words, n_anchor_words, link_density,
+      CASE WHEN link_density > 0.333333 THEN FALSE
+           WHEN prev_ld <= 0.555556
+             THEN (n_words > 16 OR next_words > 15 OR prev_words > 4)
+           ELSE (n_words > 40 OR next_words > 17) END AS keep
+    FROM feat"""
+  }
+
   private def q180: String = {
     val p152 = SketchParams.q152
     val p = SketchParams.q157
@@ -5770,6 +5840,7 @@ object OracleSql {
     "q179_assortativity" -> q179,
     "q180_knn_merge" -> q180,
     "q181_phash_neardup" -> q181,
+    "q182_main_content" -> q182,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

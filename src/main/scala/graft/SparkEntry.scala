@@ -3039,6 +3039,42 @@ object SparkEntry {
           .as("hamming_a"))
   }
 
+  /** Shared q182 fixture: one deterministic HTML page per document —
+    * title, an all-anchor nav bar, a link-led teaser, the document text
+    * as the article body, a short tail note, and an anchor-heavy footer
+    * (plus script/style noise the segmenter must drop). Both engines
+    * build the identical string, so the oracle replays the full
+    * segmentation. Anchor attributes are deliberately unquoted to keep
+    * the SQL literal clean; the tag regexes never look at them. */
+  private[graft] def htmlFixture(s: SparkSession, dir: String): DataFrame = {
+    val tx = normText(col("text"))
+    t(s, dir, "documents").select(col("doc_id"), tx.as("__t"))
+      .select(col("doc_id"), concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script>var x=1;</script><style>p{}</style>" +
+          "</head><body>" +
+          "<div><a href=/>Home</a> <a href=/a>About us</a> " +
+          "<a href=/c>Contact</a></div>" +
+          "<div>Read more: <a href=/r>"),
+        regexp_extract(col("__t"), "^(\\S+( \\S+){0,2})", 1),
+        lit("</a> today</div><p>"), col("__t"),
+        lit("</p><p>Short tail note "), col("doc_id") % 7,
+        lit("</p><div><a href=/t>Terms</a> <a href=/p>Privacy policy</a>" +
+          " Copyright "), lit(2000) + col("doc_id") % 20,
+        lit(" Example Corp</div></body></html>")).as("html"))
+  }
+
+  /** Main-content / boilerplate extraction
+    * ([[graft.sources.CrawlParse.blockFeatures]]): Kohlschütter block
+    * segmentation + the boilerpipe NumWordsRules tree over the HTML
+    * fixture — per-block word/anchor counts, link density, and the
+    * keep verdict, all replayed in SQL (segmentation regexes, window
+    * prev/next features, and the published thresholds). The missing
+    * production step of the reference's S5 chain. */
+  def q182MainContent(s: SparkSession, dir: String): DataFrame =
+    sources.CrawlParse.blockFeatures(htmlFixture(s, dir), "doc_id", "html")
+      .withColumnRenamed("url", "doc_id")
+
   /** PQ-ADC compressed-domain ANN
     * ([[graft.operators.Ann.pqCodebooksPortable]] +
     * [[graft.operators.Ann.pqTopK]]): corpus vectors stored as m
@@ -3643,7 +3679,8 @@ object SparkEntry {
     "q178_weighted_jaccard" -> (q178WeightedJaccard _),
     "q179_assortativity" -> (q179Assortativity _),
     "q180_knn_merge" -> (q180KnnMerge _),
-    "q181_phash_neardup" -> (q181PhashNeardup _))
+    "q181_phash_neardup" -> (q181PhashNeardup _),
+    "q182_main_content" -> (q182MainContent _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
