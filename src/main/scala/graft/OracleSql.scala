@@ -420,6 +420,12 @@ object SketchParams {
     val cap = 5; val numHashes = 8; val bands = 4
     val jaccardThreshold = 0.5; val corpusMod = 7
   }
+  /** q183 beam-search serving: beam width ef (≥ k — the HNSW-style
+    * quality dial) and the unrolled round budget; queries/corpus/seed
+    * tables ride the q157 params, the graph the q152 params. */
+  object q183 {
+    val ef = 8; val maxRounds = 1
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -5040,15 +5046,17 @@ object OracleSql {
     s"""CAST(list_sum(list_transform(generate_series(1, len($a)),
         i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"""
 
-  /** Bottom-k heap over a (id, nb, d) source — the nnDescent total
-    * order (d, nb-as-varchar), min-deduped (shared by q157/q180). */
-  private def knnHeap(src: String): String = s"""
+  /** Bottom-`width` heap over a (id, nb, d) source — the nnDescent
+    * total order (d, nb-as-varchar), min-deduped (shared by
+    * q157/q180/q183; default width = the graph degree k). */
+  private def knnHeap(src: String,
+      width: Int = SketchParams.q152.k): String = s"""
       SELECT id, nb, d FROM (
         SELECT id, nb, d,
           row_number() OVER (PARTITION BY id
             ORDER BY d, CAST(nb AS VARCHAR)) AS rn
         FROM (SELECT id, nb, MIN(d) AS d FROM ($src) GROUP BY id, nb))
-      WHERE rn <= ${SketchParams.q152.k}"""
+      WHERE rn <= $width"""
 
   /** The q157 probe chain (batch quantize + two LSH seed tables + exact
     * seed scoring + one expansion round), ending at `n1` — each batch
@@ -5219,6 +5227,46 @@ object OracleSql {
     FROM ham h JOIN ahash aa ON h.id_a = aa.doc_id
       JOIN ahash ab ON h.id_b = ab.doc_id
     WHERE h.hamming_d <= ${p.maxHamming}"""
+  }
+
+  /** Beam-search serving (q183): the q157 probe chain supplies seeds
+    * and scored seed pairs (s0); the beam is the bottom-EF heap, one
+    * expansion round walks the graph from the beam with the VISITED
+    * anti-join (only unseen pairs score — the budget discipline the
+    * probe lacks), re-heaps at ef, and the final answer is the top-k of
+    * the beam. The SQL twin of `Ann.beamSearchStats` at
+    * [[SketchParams.q183]]'s one-round budget (the q157 unroll
+    * convention). */
+  private def q183: String = {
+    val p152 = SketchParams.q152
+    val p = SketchParams.q157
+    val pb = SketchParams.q183
+    require(pb.maxRounds == 1,
+      "the q183 oracle unrolls exactly one beam round — keep " +
+        "SketchParams.q183.maxRounds in sync or extend the unroll")
+    s"""
+    WITH ${q152Ctes("knn", s"vec_id % ${p.batchMod} != 0")}, $q157ProbeCtes,
+    b0 AS MATERIALIZED (${knnHeap("SELECT id, nb, d FROM s0", pb.ef)}
+    ), bexp AS (
+      SELECT DISTINCT b.id, u.c2 AS nb
+      FROM b0 b JOIN und u ON b.nb = u.c
+    ), bcand AS (
+      SELECT e.id, e.nb FROM bexp e
+      ANTI JOIN seeds s ON e.id = s.id AND e.nb = s.nb
+    ), bs AS (
+      SELECT c.id, c.nb, ${knnSqd("b.q", "k.q")} AS d
+      FROM bcand c JOIN bqv b ON c.id = b.vec_id
+        JOIN knnqv k ON c.nb = k.vec_id
+    ), b1 AS (${knnHeap(
+      "SELECT id, nb, d FROM b0 UNION ALL SELECT id, nb, d FROM bs",
+      pb.ef)}
+    )
+    SELECT id, nb AS neighbor_id, CAST(rn AS BIGINT) AS rank, d FROM (
+      SELECT id, nb, d,
+        row_number() OVER (PARTITION BY id
+          ORDER BY d, CAST(nb AS VARCHAR)) AS rn
+      FROM b1)
+    WHERE rn <= ${p152.k}"""
   }
 
   /** Main-content extraction (q182): rebuild each fixture page, strip
@@ -5841,6 +5889,7 @@ object OracleSql {
     "q180_knn_merge" -> q180,
     "q181_phash_neardup" -> q181,
     "q182_main_content" -> q182,
+    "q183_beam_search" -> q183,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3075,6 +3075,25 @@ object SparkEntry {
     sources.CrawlParse.blockFeatures(htmlFixture(s, dir), "doc_id", "html")
       .withColumnRenamed("url", "doc_id")
 
+  /** Beam-search serving over the shared kNN backbone
+    * ([[graft.operators.Ann.beamSearchStats]]): the q157 batch as
+    * queries, LSH-table seeding into an ef-wide beam, one graph-edge
+    * expansion scoring only UNSEEN pairs, top-k of the final beam —
+    * HNSW's search layer without the hierarchy, every heap bit replayed
+    * by the DuckDB twin. Params from [[SketchParams.q152]]/
+    * [[SketchParams.q157]]/[[SketchParams.q183]]. */
+  def q183BeamSearch(s: SparkSession, dir: String): DataFrame = {
+    val p152 = SketchParams.q152
+    val p = SketchParams.q157
+    val pb = SketchParams.q183
+    val emb = t(s, dir, "embeddings")
+    val old = emb.filter(col("vec_id") % p.batchMod =!= 0)
+    val batch = emb.filter(col("vec_id") % p.batchMod === 0)
+    Ann.beamSearchPortable(q157OldGraph(s, dir), old, batch, "embedding",
+      "vec_id", p152.k, pb.ef, pb.maxRounds, stopOnNoImprove = true,
+      p152.scale, p.tablePlanes)
+  }
+
   /** PQ-ADC compressed-domain ANN
     * ([[graft.operators.Ann.pqCodebooksPortable]] +
     * [[graft.operators.Ann.pqTopK]]): corpus vectors stored as m
@@ -3680,7 +3699,8 @@ object SparkEntry {
     "q179_assortativity" -> (q179Assortativity _),
     "q180_knn_merge" -> (q180KnnMerge _),
     "q181_phash_neardup" -> (q181PhashNeardup _),
-    "q182_main_content" -> (q182MainContent _))
+    "q182_main_content" -> (q182MainContent _),
+    "q183_beam_search" -> (q183BeamSearch _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1373,6 +1373,143 @@ object Ann {
       col("d"))
   }
 
+  /** Greedy BEAM SEARCH over an existing [[nnDescentPortable]] kNN
+    * graph — q157's single expansion formalized into the query-time
+    * serving loop (HNSW's search layer without the hierarchy, Malkov &
+    * Yashunin 2018): seed each query from two LSH tables, keep a beam
+    * of the `ef` best scored corpus nodes, expand the beam along graph
+    * edges, score only UNSEEN (query, node) pairs, and stop when a
+    * round leaves every beam unchanged. `ef` is the quality dial:
+    * recall@k grows monotonically with it (spec-measured) at linear
+    * scored-pairs cost, and the visited-set dedup means budget is spent
+    * only on NEW information — at equal scored-pairs budget this beats
+    * re-scoring sweeps (the q157 probe rescans overlapping
+    * neighborhoods every round).
+    *
+    * [[knnGraphProbePortable]] is EXACTLY this loop with `ef = k`, no
+    * dedup, and no stop (bottom-k of a union telescopes through
+    * intermediate heaps, so the iterated-heap and accumulated-pool
+    * forms agree — spec-asserted row-for-row), which is what makes the
+    * two honestly comparable.
+    *
+    * Scale shape: the q157 contract — corpus vectors only ever the
+    * probe side of equi-joins, per-round frames query-proportional
+    * (≤ |queries|·ef·deg), graph symmetrization the one corpus-shaped
+    * narrow shuffle, per-round eager checkpoints with freed
+    * predecessors. Early-stop reads ONE scalar per round.
+    *
+    * @param ef    beam width (≥ k); the returned heaps are the top-k
+    *              of the final beam
+    * @return ((id, neighbor_id, rank, d) for query ids, distinct
+    *         scored-pairs budget actually spent) */
+  def beamSearchStats(
+      graph: DataFrame, corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, ef: Int, maxRounds: Int,
+      stopOnNoImprove: Boolean = true, dedupVisited: Boolean = true,
+      scale: Int = 1000, tablePlanes: Int = 4): (DataFrame, Long) = {
+    require(k >= 1 && ef >= k && maxRounds >= 0 && tablePlanes >= 1)
+    val idType = corpus.select(col(idCol)).schema.head.dataType
+    def prep(df: DataFrame): DataFrame = {
+      val dim = dimOf(df, vecCol)
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("__vid"),
+          quantizeVec(col(vecCol), scale).as("__q"),
+          portableSignature(col(vecCol), dim, 2 * tablePlanes, scale)
+            .as("__sig"))
+    }
+    val cPrep = prep(corpus)
+    val (qPrep, qCkpt) = CheckpointHygiene.checkpointTracked(
+      prep(queries), eager = true)
+    val mask = (1L << tablePlanes) - 1L
+    def table(df: DataFrame, t: Int): DataFrame = df.select(
+      col("__vid"),
+      (if (t == 0) col("__sig").bitwiseAND(mask)
+       else shiftright(col("__sig"), tablePlanes)).as("__b"))
+    val seeds = (0 to 1).map { t =>
+        broadcast(table(qPrep, t).select(col("__vid").as("id"), col("__b")))
+          .join(table(cPrep, t).select(col("__vid").as("nb"), col("__b")),
+            Seq("__b"))
+          .select(col("id"), col("nb"))
+      }.reduce(_.unionByName(_)).distinct()
+    def sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d)
+    def score(pairs: DataFrame): DataFrame = broadcast(pairs
+      .join(broadcast(qPrep.select(col("__vid").as("id"),
+        col("__q").as("__qa"))), Seq("id")))
+      .join(cPrep.select(col("__vid").as("nb"), col("__q").as("__qb")),
+        Seq("nb"))
+      .select(col("id"), col("nb"), sq(col("__qa"), col("__qb")).as("d"))
+    def heap(pool: DataFrame, width: Int): DataFrame = pool
+      .groupBy(col("id"), col("nb")).agg(min(col("d")).as("d"))
+      .groupBy(col("id"))
+      .agg(graft.functions.BottomK.bottom_k(col("d"),
+        col("nb").cast("string"), width).as("__top"))
+      .select(col("id"), posexplode(col("__top")))
+      .select(col("id"), col("col.value").cast(idType).as("nb"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.key").as("d"))
+    val und = graph.select(col("id").as("c"), col("neighbor_id").as("c2"))
+      .unionByName(graph.select(col("neighbor_id").as("c"),
+        col("id").as("c2")))
+      .distinct()
+    var budget = seeds.count()
+    var (beam, beamCkpt) = CheckpointHygiene.checkpointTracked(
+      heap(score(seeds), ef), eager = true)
+    // visited keys (id, nb): only tracked when dedup is on
+    var (visited, visCkpt) =
+      if (dedupVisited)
+        CheckpointHygiene.checkpointTracked(
+          seeds.select(col("id"), col("nb")), eager = true)
+      else (null: DataFrame, Seq.empty[org.apache.spark.rdd.RDD[_]])
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      val cand0 = beam.select(col("id"), col("nb").as("c"))
+        .join(und, Seq("c"))
+        .select(col("id"), col("c2").as("nb"))
+        .distinct()
+      val cand = if (dedupVisited)
+        cand0.join(visited, Seq("id", "nb"), "left_anti") else cand0
+      budget += cand.count()
+      val (next, nc) = CheckpointHygiene.checkpointTracked(
+        heap(beam.select(col("id"), col("nb"), col("d"))
+          .unionByName(score(cand)), ef), eager = true)
+      if (dedupVisited) {
+        val (nv, nvc) = CheckpointHygiene.checkpointTracked(
+          visited.unionByName(cand.select(col("id"), col("nb"))),
+          eager = true)
+        CheckpointHygiene.free(visCkpt)
+        visited = nv; visCkpt = nvc
+      }
+      if (stopOnNoImprove) {
+        // beams are exactly-ef heaps under one total order: set equality
+        // ⟺ the anti-join is empty (one scalar per round)
+        converged = next.select(col("id"), col("nb"))
+          .join(beam.select(col("id"), col("nb")), Seq("id", "nb"),
+            "left_anti").isEmpty
+      }
+      CheckpointHygiene.free(beamCkpt)
+      beam = next; beamCkpt = nc
+      r += 1
+    }
+    if (visCkpt.nonEmpty) CheckpointHygiene.free(visCkpt)
+    CheckpointHygiene.free(qCkpt)
+    val out = beam.filter(col("rank") <= k)
+      .select(col("id"), col("nb").as("neighbor_id"), col("rank"),
+        col("d"))
+    (out, budget)
+  }
+
+  /** [[beamSearchStats]] without the budget — the serving entry point. */
+  def beamSearchPortable(
+      graph: DataFrame, corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, ef: Int, maxRounds: Int,
+      stopOnNoImprove: Boolean = true, scale: Int = 1000,
+      tablePlanes: Int = 4): DataFrame =
+    beamSearchStats(graph, corpus, queries, vecCol, idCol, k, ef,
+      maxRounds, stopOnNoImprove, dedupVisited = true, scale,
+      tablePlanes)._1
+
   /** MERGE a batch into an existing [[nnDescentPortable]] kNN graph —
     * the maintenance path [[knnGraphProbePortable]] deliberately leaves
     * open (its contract: batch heaps only, graph unchanged). A
