@@ -5302,7 +5302,8 @@ object OracleSql {
       FROM documents
     ), seg AS MATERIALIZED (
       SELECT doc_id, string_split(regexp_replace(regexp_replace(
-        regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        regexp_replace(regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         '$blockTags', chr(1), 'g'), chr(1)) AS parts
       FROM pages

@@ -36,12 +36,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *  - dHash bit (r·8+c), c < 8: mean(cell r,c) > mean(cell r,c+1) —
   *    the horizontal-gradient hash, likewise brightness-invariant.
   *
-  * Malformed/truncated payloads return -1L (the q108 sentinel
-  * convention; -1 is unreachable for aHash — at least one block mean is
-  * always ≤ the overall mean — and callers gate on container validity
-  * before hashing, the q110 pattern). Maxval must be ≤ 255 (1-byte
-  * samples); PGM comment lines are not supported (the fixture never
-  * emits them — a production ingest normalizes headers first).
+  * Malformed/truncated payloads hash to NULL (nullable expressions, the
+  * ADVICE r14 fix): an in-range sentinel like the q108 kernels' -1 is
+  * unsound here because dHash can legitimately produce any 64-bit value
+  * — an image brightening monotonically right-to-left sets all 64
+  * gradient bits, colliding with -1 — so validity rides the SQL null
+  * channel and malformed rows drop out of the banding join naturally.
+  * Maxval must be ≤ 255 (1-byte samples); PGM comment lines are not
+  * supported (the fixture never emits them — a production ingest
+  * normalizes headers first).
   */
 object PhashKernel {
 
@@ -102,10 +105,11 @@ object PhashKernel {
     (sums, counts, w, h)
   }
 
-  /** Average hash: bit (r·8+c) set iff block mean > image mean. */
-  def aHash64(b: Array[Byte]): Long = {
+  /** Average hash: bit (r·8+c) set iff block mean > image mean;
+    * null when the payload is not a well-formed P5 bitmap. */
+  def aHash64(b: Array[Byte]): java.lang.Long = {
     val p = pool(b, 8)
-    if (p == null) return -1L
+    if (p == null) return null
     val (sums, counts, w, h) = p
     val n = w.toLong * h
     var total = 0L
@@ -117,14 +121,14 @@ object PhashKernel {
       if (sums(i) * n > total * counts(i)) hash |= (1L << i)
       i += 1
     }
-    hash
+    java.lang.Long.valueOf(hash)
   }
 
   /** Difference hash: bit (r·8+c) set iff cell (r,c) mean > (r,c+1) mean
-    * on the 8×9 grid. */
-  def dHash64(b: Array[Byte]): Long = {
+    * on the 8×9 grid; null when the payload is malformed. */
+  def dHash64(b: Array[Byte]): java.lang.Long = {
     val p = pool(b, 9)
-    if (p == null) return -1L
+    if (p == null) return null
     val (sums, counts, _, _) = p
     var hash = 0L
     var r = 0
@@ -138,30 +142,38 @@ object PhashKernel {
       }
       r += 1
     }
-    hash
+    java.lang.Long.valueOf(hash)
   }
 }
 
 case class AHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // malformed payload hashes to null
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "ahash64"
   override protected def nullSafeEval(v: Any): Any =
     PhashKernel.aHash64(v.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.PhashKernel.aHash64($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long ${ev.value}_r = graft.functions.PhashKernel.aHash64($c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }""")
   override protected def withNewChildInternal(newChild: Expression): AHash64 =
     copy(child = newChild)
 }
 
 case class DHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // malformed payload hashes to null
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dhash64"
   override protected def nullSafeEval(v: Any): Any =
     PhashKernel.dHash64(v.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.PhashKernel.dHash64($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long ${ev.value}_r = graft.functions.PhashKernel.dHash64($c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }""")
   override protected def withNewChildInternal(newChild: Expression): DHash64 =
     copy(child = newChild)
 }

@@ -97,11 +97,15 @@ object Pii {
   def cardScan(c: Column, token: String = "[CARD]"): Column = {
     val cands = regexp_extract_all(c, lit(cardPattern), lit(0))
     val valid = filter(cands, x => luhnValid(x))
+    // the token rides regexp_replace's REPLACEMENT slot, where '\' and
+    // '$' are escapes/group refs — quote them (Matcher.quoteReplacement
+    // semantics) so a caller-supplied token is always literal
+    val safeToken = token.replace("\\", "\\\\").replace("$", "\\$")
     struct(
       size(cands).cast("long").as("n_digit_runs"),
       size(valid).cast("long").as("n_valid_cards"),
       aggregate(valid, c, (acc, v) =>
-        regexp_replace(acc, concat(lit("\\b"), v, lit("\\b")), lit(token)))
-        .as("redacted"))
+        regexp_replace(acc, concat(lit("\\b"), v, lit("\\b")),
+          lit(safeToken))).as("redacted"))
   }
 }

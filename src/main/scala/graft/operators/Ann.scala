@@ -1406,7 +1406,24 @@ object Ann {
       graph: DataFrame, corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, ef: Int, maxRounds: Int,
       stopOnNoImprove: Boolean = true, dedupVisited: Boolean = true,
-      scale: Int = 1000, tablePlanes: Int = 4): (DataFrame, Long) = {
+      scale: Int = 1000, tablePlanes: Int = 4): (DataFrame, Long) =
+    beamSearchImpl(graph, corpus, queries, vecCol, idCol, k, ef,
+      maxRounds, stopOnNoImprove, dedupVisited, scale, tablePlanes,
+      trackBudget = true)
+
+  /** Shared loop behind [[beamSearchStats]]/[[beamSearchPortable]].
+    * `trackBudget = false` (the serving path) skips the per-round
+    * `count` actions entirely — the budget statistic costs one extra
+    * job per round and serving callers discard it. Either way the
+    * candidate frame is eagerly checkpointed once per round, so the
+    * expansion/anti-join is never computed twice (once for the count,
+    * once for scoring). */
+  private def beamSearchImpl(
+      graph: DataFrame, corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, ef: Int, maxRounds: Int,
+      stopOnNoImprove: Boolean, dedupVisited: Boolean,
+      scale: Int, tablePlanes: Int, trackBudget: Boolean)
+      : (DataFrame, Long) = {
     require(k >= 1 && ef >= k && maxRounds >= 0 && tablePlanes >= 1)
     val idType = corpus.select(col(idCol)).schema.head.dataType
     def prep(df: DataFrame): DataFrame = {
@@ -1452,15 +1469,18 @@ object Ann {
       .unionByName(graph.select(col("neighbor_id").as("c"),
         col("id").as("c2")))
       .distinct()
-    var budget = seeds.count()
+    val (seedsCk, seedsCkpt) = CheckpointHygiene.checkpointTracked(
+      seeds, eager = true)
+    var budget = if (trackBudget) seedsCk.count() else 0L
     var (beam, beamCkpt) = CheckpointHygiene.checkpointTracked(
-      heap(score(seeds), ef), eager = true)
+      heap(score(seedsCk), ef), eager = true)
     // visited keys (id, nb): only tracked when dedup is on
     var (visited, visCkpt) =
       if (dedupVisited)
         CheckpointHygiene.checkpointTracked(
-          seeds.select(col("id"), col("nb")), eager = true)
+          seedsCk.select(col("id"), col("nb")), eager = true)
       else (null: DataFrame, Seq.empty[org.apache.spark.rdd.RDD[_]])
+    CheckpointHygiene.free(seedsCkpt)
     var r = 0
     var converged = false
     while (r < maxRounds && !converged) {
@@ -1468,9 +1488,11 @@ object Ann {
         .join(und, Seq("c"))
         .select(col("id"), col("c2").as("nb"))
         .distinct()
-      val cand = if (dedupVisited)
-        cand0.join(visited, Seq("id", "nb"), "left_anti") else cand0
-      budget += cand.count()
+      val (cand, candCkpt) = CheckpointHygiene.checkpointTracked(
+        if (dedupVisited)
+          cand0.join(visited, Seq("id", "nb"), "left_anti") else cand0,
+        eager = true)
+      if (trackBudget) budget += cand.count()
       val (next, nc) = CheckpointHygiene.checkpointTracked(
         heap(beam.select(col("id"), col("nb"), col("d"))
           .unionByName(score(cand)), ef), eager = true)
@@ -1481,6 +1503,7 @@ object Ann {
         CheckpointHygiene.free(visCkpt)
         visited = nv; visCkpt = nvc
       }
+      CheckpointHygiene.free(candCkpt)
       if (stopOnNoImprove) {
         // beams are exactly-ef heaps under one total order: set equality
         // ⟺ the anti-join is empty (one scalar per round)
@@ -1506,9 +1529,9 @@ object Ann {
       vecCol: String, idCol: String, k: Int, ef: Int, maxRounds: Int,
       stopOnNoImprove: Boolean = true, scale: Int = 1000,
       tablePlanes: Int = 4): DataFrame =
-    beamSearchStats(graph, corpus, queries, vecCol, idCol, k, ef,
+    beamSearchImpl(graph, corpus, queries, vecCol, idCol, k, ef,
       maxRounds, stopOnNoImprove, dedupVisited = true, scale,
-      tablePlanes)._1
+      tablePlanes, trackBudget = false)._1
 
   /** MERGE a batch into an existing [[nnDescentPortable]] kNN graph —
     * the maintenance path [[knnGraphProbePortable]] deliberately leaves

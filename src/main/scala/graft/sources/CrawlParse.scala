@@ -98,7 +98,11 @@ object CrawlParse {
   def blockFeatures(pages: DataFrame, urlCol: String = "url",
       htmlCol: String = "html"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val noScript = regexp_replace(regexp_replace(col(htmlCol),
+    // comments stripped first: a comment containing '>' (commented-out
+    // markup, '<!-- if a > b -->') would otherwise survive the generic
+    // tag strip in part and leak text into block features (ADVICE r14)
+    val noScript = regexp_replace(regexp_replace(regexp_replace(
+        col(htmlCol), "(?s)<!--.*?-->", " "),
         "(?is)<script[^>]*>.*?</script>", " "),
       "(?is)<style[^>]*>.*?</style>", " ")
     val blocks = pages.select(col(urlCol).as("url"),

@@ -62,6 +62,20 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(math.abs(blk.getDouble(5) - 2.0 / 10) < 1e-12)
   }
 
+  test("HTML comments are stripped whole, even when they contain '>' " +
+      "(ADVICE r14: commented-out markup must not leak into features)") {
+    val html = "<html><body><p>real words here</p>" +
+      "<!-- if a > b then commented leak words --><p>more real text " +
+      "follows this paragraph boundary marker</p>" +
+      "<!-- <div>old nav</div> --></body></html>"
+    val rows = features(html)
+    val texts = rows.map(_.getString(2))
+    assert(texts.forall(t => !t.contains("leak") && !t.contains("old nav")),
+      s"comment text leaked into blocks: ${texts.mkString("|")}")
+    assert(texts.exists(_.startsWith("real words")) &&
+      texts.exists(_.startsWith("more real")))
+  }
+
   test("short text sandwiched between link walls needs a long neighbor " +
       "to survive (the prev-link-density branch)") {
     def mk(tail: String) =

@@ -70,4 +70,13 @@ class LuhnPiiSpec extends AnyFunSuite {
     assert(out.getString(2) == "x [CARD] y 794111111111111111111111 z",
       out.getString(2))
   }
+
+  test("cardScan token is literal even when it contains replacement " +
+      "metacharacters '$' and '\\' (ADVICE r14)") {
+    val text = "pay 4111111111111111 now"
+    val out = Seq(text).toDF("t")
+      .select(Pii.cardScan(col("t"), "<$0\\PAN>").as("s"))
+      .select("s.*").head()
+    assert(out.getString(2) == "pay <$0\\PAN> now", out.getString(2))
+  }
 }

@@ -7,7 +7,7 @@ import graft.functions.PhashKernel
 
 /** Perceptual hashes (q181): aHash/dHash invariances on hand-built PGM
   * images — brightness and light noise variants pair, distinct images
-  * don't — plus the P5 parser's malformed-input sentinel behavior and
+  * don't — plus the P5 parser's malformed-input null behavior and
   * the kernel/fixture round trip through the Spark expression. */
 class PhashSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.session
@@ -20,7 +20,8 @@ class PhashSpec extends AnyFunSuite {
     header ++ body
   }
 
-  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+  private def ham(a: java.lang.Long, b: java.lang.Long): Int =
+    java.lang.Long.bitCount(a.longValue ^ b.longValue)
 
   // a textured deterministic base image (the fixture's formula family)
   private def base(seed: Long)(y: Int, x: Int): Int =
@@ -54,7 +55,7 @@ class PhashSpec extends AnyFunSuite {
     val img = pgm(20, 12, base(9))
     val a = PhashKernel.aHash64(img)
     val d = PhashKernel.dHash64(img)
-    assert(a != -1L && d != -1L)
+    assert(a != null && d != null)
     // brightness invariance must survive uneven pooling too
     val bright = pgm(20, 12, (y, x) => base(9)(y, x) + 16)
     assert(PhashKernel.aHash64(bright) == a)
@@ -64,20 +65,25 @@ class PhashSpec extends AnyFunSuite {
   test("constant image: no block mean exceeds the overall mean, no " +
       "gradient — both hashes are exactly 0") {
     val img = pgm(16, 16, (_, _) => 77)
-    assert(PhashKernel.aHash64(img) == 0L)
-    assert(PhashKernel.dHash64(img) == 0L)
+    assert(PhashKernel.aHash64(img).longValue == 0L)
+    assert(PhashKernel.dHash64(img).longValue == 0L)
   }
 
-  test("malformed payloads return the -1 sentinel: wrong magic, " +
+  test("malformed payloads hash to null (no in-range sentinel: dHash " +
+      "can legitimately produce any 64-bit value): wrong magic, " +
       "truncated raster, 16-bit maxval, empty") {
     val ok = pgm(16, 16, base(1))
-    assert(PhashKernel.aHash64(ok) != -1L)
-    assert(PhashKernel.aHash64("P6".getBytes ++ ok.drop(2)) == -1L)
-    assert(PhashKernel.aHash64(ok.dropRight(10)) == -1L)
+    assert(PhashKernel.aHash64(ok) != null)
+    assert(PhashKernel.aHash64("P6".getBytes ++ ok.drop(2)) == null)
+    assert(PhashKernel.aHash64(ok.dropRight(10)) == null)
     assert(PhashKernel.aHash64(
-      "P5\n16 16\n65535\n".getBytes ++ new Array[Byte](512)) == -1L)
-    assert(PhashKernel.dHash64(Array.emptyByteArray) == -1L)
-    assert(PhashKernel.dHash64("P5\n0 16\n255\n".getBytes) == -1L)
+      "P5\n16 16\n65535\n".getBytes ++ new Array[Byte](512)) == null)
+    assert(PhashKernel.dHash64(Array.emptyByteArray) == null)
+    assert(PhashKernel.dHash64("P5\n0 16\n255\n".getBytes) == null)
+    // and an all-gradient image proves -1 WAS reachable for dHash:
+    // every 8x9 cell mean strictly exceeds its right neighbor
+    val grad = pgm(18, 16, (_, x) => 240 - x * 13)
+    assert(PhashKernel.dHash64(grad).longValue == -1L)
   }
 
   test("q181 fixture end-to-end: every within-group variant pair " +
