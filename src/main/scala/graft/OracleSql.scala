@@ -487,6 +487,24 @@ object SketchParams {
     val patterns: Seq[String] = Seq("dup dup", "slow slow", "spam")
     val budget = 2000L
   }
+  /** q184 main-content-aware curation: the near-dup corpus slice,
+    * q169's blocklist + shard budget, every gate scoring extracted
+    * main content (minhash runs the q49 parameters over main text). */
+  object q184 {
+    val corpusMod = 5
+    val patterns: Seq[String] = q169.patterns
+    val budget = 2000L
+  }
+  /** q185 extractor parity fixture: body plants (postcode every pcMod,
+    * email every emailMod, valid ABN every abnMod docs); the footer
+    * carries a site-wide valid ABN + webmaster email on EVERY page —
+    * the noise whole-page extraction scrapes and main-content
+    * extraction doesn't. Both ABNs pass the mod-89 checksum. */
+  object q185 {
+    val pcMod = 3L; val emailMod = 4L; val abnMod = 5L
+    val bodyAbn = "18 123 456 789"
+    val footerExtra = " ABN 51 824 753 556 webmaster@example.com"
+  }
   /** q167 Luhn card PII: fixture moduli — every customer carries one
     * known-INVALID card-shaped run (valid check digit + 1); every
     * `validMod`-th also carries the Luhn-valid one. Check digits are
@@ -1172,25 +1190,25 @@ object OracleSql {
     * from [[SketchParams.q49]] — the same constants the Spark side passes
     * to `Dedup.minhashLshPortable`, so a parameter change can never
     * desync the oracles. */
-  private def minhashPairCtes: String = {
-    val p = SketchParams.q49
-    val rows = p.numHashes / p.bands
+  /** The md5-MinHash-LSH CTE chain `sh, sig, banded, cand, pairs` over
+    * a `tokSrc(doc_id, toks)` CTE — the SQL twin of
+    * `Dedup.minhashLshPortable` minus corpus construction, shared by
+    * the q49 family (whole-doc text) and q184 (main-content text). */
+  private def minhashChainCtes(tokSrc: String, ngram: Int,
+      numHashes: Int, bands: Int, jaccardThreshold: Double): String = {
+    val rows = numHashes / bands
     val bandConcat = (1 to rows).map(r => s"sig[$rows*b+$r]")
       .mkString(" || ',' || ")
-    s"""corpus AS ($nearDupCorpusSql
-    ), filtered AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-      FROM corpus WHERE doc_id % ${p.corpusMod} = 0
-    ), sh AS (
-      SELECT doc_id, ${shingleSql(p.ngram)} AS gset
-      FROM filtered
+    s"""sh AS (
+      SELECT doc_id, ${shingleSql(ngram)} AS gset
+      FROM $tokSrc
     ), sig AS (
-      SELECT doc_id, list_transform(generate_series(0,${p.numHashes - 1}),
+      SELECT doc_id, list_transform(generate_series(0,${numHashes - 1}),
         j -> list_min(list_transform(gset, g -> md5(j::VARCHAR || ':' || g)))) AS sig
       FROM sh
     ), banded AS (
       SELECT doc_id, b AS band, md5($bandConcat) AS band_sig
-      FROM sig CROSS JOIN (SELECT unnest(generate_series(0,${p.bands - 1})) AS b) g
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0,${bands - 1})) AS b) g
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
@@ -1203,8 +1221,18 @@ object OracleSql {
       FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
                 JOIN sh sb ON cand.id_b = sb.doc_id
       WHERE CAST(len(list_intersect(sa.gset, sb.gset)) AS DOUBLE) /
-          (len(sa.gset) + len(sb.gset) - len(list_intersect(sa.gset, sb.gset))) >= ${p.jaccardThreshold}
+          (len(sa.gset) + len(sb.gset) - len(list_intersect(sa.gset, sb.gset))) >= $jaccardThreshold
     )"""
+  }
+
+  private def minhashPairCtes: String = {
+    val p = SketchParams.q49
+    s"""corpus AS ($nearDupCorpusSql
+    ), filtered AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM corpus WHERE doc_id % ${p.corpusMod} = 0
+    ), ${minhashChainCtes("filtered", p.ngram, p.numHashes, p.bands,
+        p.jaccardThreshold)}"""
   }
 
   /** Weighted-Jaccard near-dup join (q178): the integer-expansion
@@ -5277,15 +5305,12 @@ object OracleSql {
     * published thresholds — the SQL twin of `CrawlParse.blockFeatures`.
     * RE2 has no backreferences, so script and style close separately
     * (the Spark side matches). */
-  private def q182: String = {
-    val ws = "[ \\t\\n\\x0B\\f\\r]+"
-    val blockTags = "(?i)</?(?:html|head|body|div|p|h[1-6]|ul|ol|li|" +
-      "table|thead|tbody|tr|td|th|nav|header|footer|article|section|" +
-      "aside|form|blockquote|pre|title|br|hr)\\b[^>]*>"
-    def norm(e: String): String =
-      s"trim(regexp_replace(regexp_replace($e, '(?s)<[^>]+>', ' ', 'g'), '$ws', ' ', 'g'))"
-    s"""
-    WITH pages AS (
+  /** The fixture page template as a SELECT over `src(doc_id, <text>)` —
+    * the SQL twin of `SparkEntry.htmlPages`. `textExpr` must already be
+    * whitespace-normalized; `footerExtra` is spliced into the footer
+    * div after "Example Corp" (q185's site-wide noise slot). */
+  private def fixturePagesSql(src: String, textExpr: String,
+      footerExtra: String = ""): String = s"""
       SELECT doc_id,
         '<html><head><title>Doc ' || doc_id ||
         '</title><script>var x=1;</script><style>p{}</style>' ||
@@ -5293,13 +5318,29 @@ object OracleSql {
         '<div><a href=/>Home</a> <a href=/a>About us</a> ' ||
         '<a href=/c>Contact</a></div>' ||
         '<div>Read more: <a href=/r>' ||
-        regexp_extract(${normSql("text")}, '^(\\S+( \\S+){0,2})', 1) ||
-        '</a> today</div><p>' || ${normSql("text")} ||
+        regexp_extract($textExpr, '^(\\S+( \\S+){0,2})', 1) ||
+        '</a> today</div><p>' || $textExpr ||
         '</p><p>Short tail note ' || doc_id % 7 ||
         '</p><div><a href=/t>Terms</a> <a href=/p>Privacy policy</a>' ||
         ' Copyright ' || (2000 + doc_id % 20) ||
-        ' Example Corp</div></body></html>' AS html
-      FROM documents
+        ' Example Corp${footerExtra.replace("'", "''")}' ||
+        '</div></body></html>' AS html
+      FROM $src"""
+
+  /** Kohlschütter segmentation + boilerpipe NumWordsRules as a CTE
+    * chain `pages, seg, blk, feat, blocks` over a page-building SELECT
+    * — shared by q182 (block table), q184 (main-content curation), and
+    * q185 (extractor parity). `blocks` carries
+    * (doc_id, block_idx, text, n_words, n_anchor_words, link_density,
+    * keep). */
+  private def blockCtes(pagesSelect: String): String = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]+"
+    val blockTags = "(?i)</?(?:html|head|body|div|p|h[1-6]|ul|ol|li|" +
+      "table|thead|tbody|tr|td|th|nav|header|footer|article|section|" +
+      "aside|form|blockquote|pre|title|br|hr)\\b[^>]*>"
+    def norm(e: String): String =
+      s"trim(regexp_replace(regexp_replace($e, '(?s)<[^>]+>', ' ', 'g'), '$ws', ' ', 'g'))"
+    s"""pages AS ($pagesSelect
     ), seg AS MATERIALIZED (
       SELECT doc_id, string_split(regexp_replace(regexp_replace(
         regexp_replace(regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
@@ -5331,13 +5372,153 @@ object OracleSql {
         COALESCE(lead(n_words) OVER w, 0) AS next_words
       FROM blk
       WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), blocks AS (
+      SELECT doc_id, block_idx, text, n_words, n_anchor_words,
+        link_density,
+        CASE WHEN link_density > 0.333333 THEN FALSE
+             WHEN prev_ld <= 0.555556
+               THEN (n_words > 16 OR next_words > 15 OR prev_words > 4)
+             ELSE (n_words > 40 OR next_words > 17) END AS keep
+      FROM feat
+    )"""
+  }
+
+  private def q182: String = s"""
+    WITH nd AS (
+      SELECT doc_id, ${normSql("text")} AS text FROM documents
+    ), ${blockCtes(fixturePagesSql("nd", "text"))}
+    SELECT doc_id, block_idx, text, n_words, n_anchor_words,
+      link_density, keep
+    FROM blocks"""
+
+  /** Main-content-aware curation (q184): the q169 decision table where
+    * every gate scores the STITCHED KEPT BLOCKS of each page (the SQL
+    * main-content twin), not whole-page text — Gopher thresholds,
+    * substring blocklist, the q49 minhash chain over main text, and
+    * the prefix-sum packing all replayed; docs whose blocks are all
+    * boilerplate surface with n_tokens 0 and every gate false. */
+  private def q184: String = {
+    val p49 = SketchParams.q49
+    val p = SketchParams.q184
+    val pats = p.patterns.map(s => s"('${s.replace("'", "''")}')")
+      .mkString(", ")
+    val sw = Seq("the", "a", "of", "and", "to").map(w =>
+      s"(CASE WHEN ' ' || text || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
+    ), slice AS (
+      SELECT doc_id, text FROM corpus WHERE doc_id % ${p.corpusMod} = 0
+    ), ${blockCtes(fixturePagesSql("slice", "text"))}, main AS MATERIALIZED (
+      SELECT doc_id, string_agg(text, ' ' ORDER BY block_idx) AS main_text
+      FROM blocks WHERE keep GROUP BY doc_id
+    ), mm AS (
+      SELECT doc_id, main_text AS text FROM main
+    ), m AS (
+      SELECT doc_id, text,
+        len(string_split_regex(trim(text), '\\s+')) AS n_words,
+        length(replace(text, ' ', '')) AS word_chars,
+        $sw AS sw
+      FROM mm
+    ), bl AS (
+      SELECT s.doc_id, SUM(len(list_filter(
+          generate_series(1, length(s.text) - length(pp.pat) + 1),
+          i -> substr(s.text, CAST(i AS INT), length(pp.pat)) = pp.pat)))
+          AS n_matches
+      FROM mm s CROSS JOIN (VALUES $pats) pp(pat)
+      GROUP BY s.doc_id
+    ), filtered AS (
+      SELECT doc_id, string_split_regex(trim(main_text), '\\s+') AS toks
+      FROM main
+    ), ${minhashChainCtes("filtered", p49.ngram, p49.numHashes, p49.bands,
+        p49.jaccardThreshold)}, flags AS (
+      SELECT m.doc_id, CAST(m.n_words AS BIGINT) AS n_tokens,
+        (m.n_words BETWEEN 40 AND 100000)
+          AND (CAST(m.word_chars AS DOUBLE) / m.n_words BETWEEN 3.0 AND 10.0)
+          AND m.sw >= 2 AS keep_quality,
+        b.n_matches > 0 AS blocked,
+        m.doc_id IN (SELECT id_b FROM pairs) AS dup_drop
+      FROM m JOIN bl b USING (doc_id)
+    ), dec AS (
+      SELECT *, keep_quality AND NOT blocked AND NOT dup_drop AS kept
+      FROM flags
+    ), packd AS (
+      SELECT doc_id,
+        CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+          / ${p.budget}.0) AS BIGINT) AS shard_id
+      FROM dec WHERE kept
     )
-    SELECT doc_id, block_idx, text, n_words, n_anchor_words, link_density,
-      CASE WHEN link_density > 0.333333 THEN FALSE
-           WHEN prev_ld <= 0.555556
-             THEN (n_words > 16 OR next_words > 15 OR prev_words > 4)
-           ELSE (n_words > 40 OR next_words > 17) END AS keep
-    FROM feat"""
+    SELECT s.doc_id,
+      COALESCE(d.n_tokens, 0) AS n_tokens,
+      COALESCE(d.keep_quality, FALSE) AS keep_quality,
+      COALESCE(d.blocked, FALSE) AS blocked,
+      COALESCE(d.dup_drop, FALSE) AS dup_drop,
+      COALESCE(d.kept, FALSE) AS kept,
+      pk.shard_id
+    FROM slice s
+    LEFT JOIN dec d USING (doc_id)
+    LEFT JOIN packd pk USING (doc_id)"""
+  }
+
+  /** Extractor parity (q185): whole-page text vs extracted main
+    * content through the SAME S5 extractors. The whole-page side
+    * replays `CrawlParse.htmlText` (script/style/tag strip + collapse)
+    * and the main side stitches kept blocks; postcode/ABN/email
+    * regexes are the q10/q11 oracles'. The ABN replay takes the first
+    * candidate without re-running the mod-89 checksum: every planted
+    * candidate is checksum-valid by construction (SketchParams.q185),
+    * and the checksum gate itself is hash-verified by q11. */
+  private def q185: String = {
+    val p = SketchParams.q185
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    def abn(e: String): String = s"""
+      regexp_replace(COALESCE(
+        nullif(regexp_extract($e, '(?i)ABN[:\\s]*([0-9 ]{11,20})', 1), ''),
+        nullif(regexp_extract($e,
+          '\\b(\\d{2}\\s?\\d{3}\\s?\\d{3}\\s?\\d{3})\\b', 1), '')),
+        '[\\s-]', '', 'g')"""
+    def pc(e: String): String =
+      s"nullif(regexp_extract($e, '\\b(0[289][0-9]{2}|[1-9][0-9]{3})\\b', 1), '')"
+    // DuckDB array_to_string([]) is NULL where Spark array_join([]) is
+    // '' — map empty to '' but keep NULL input (absent main) NULL
+    def mails(e: String): String =
+      s"""CASE WHEN $e IS NULL THEN NULL
+        ELSE COALESCE(array_to_string(
+          regexp_extract_all($e, '$email', 0), ','), '') END"""
+    s"""
+    WITH aug AS (
+      SELECT doc_id, ${normSql("text")} ||
+        CASE WHEN doc_id % ${p.pcMod} = 0
+          THEN ' located at postcode ' ||
+            CAST(3000 + doc_id % 1000 AS VARCHAR) ELSE '' END ||
+        CASE WHEN doc_id % ${p.emailMod} = 0
+          THEN ' contact info' || doc_id || '@main.example.com.au'
+          ELSE '' END ||
+        CASE WHEN doc_id % ${p.abnMod} = 0
+          THEN ' ABN ${p.bodyAbn} registered' ELSE '' END AS text
+      FROM documents
+    ), ${blockCtes(fixturePagesSql("aug", "text", p.footerExtra))},
+    main AS (
+      SELECT doc_id, string_agg(text, ' ' ORDER BY block_idx) AS main_text
+      FROM blocks WHERE keep GROUP BY doc_id
+    ), whole AS (
+      SELECT doc_id, regexp_replace(trim(regexp_replace(regexp_replace(
+        regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<[^>]+>', ' ', 'g')), '\\s+', ' ', 'g') AS w
+      FROM pages
+    )
+    SELECT p.doc_id,
+      ${pc("w.w")} AS postcode_whole,
+      ${pc("m.main_text")} AS postcode_main,
+      ${abn("w.w")} AS abn_whole,
+      ${abn("m.main_text")} AS abn_main,
+      ${mails("w.w")} AS emails_whole,
+      ${mails("m.main_text")} AS emails_main
+    FROM pages p
+    JOIN whole w USING (doc_id)
+    LEFT JOIN main m USING (doc_id)"""
   }
 
   private def q180: String = {
@@ -5891,6 +6072,8 @@ object OracleSql {
     "q181_phash_neardup" -> q181,
     "q182_main_content" -> q182,
     "q183_beam_search" -> q183,
+    "q184_main_curation" -> q184,
+    "q185_main_extract_parity" -> q185,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3046,23 +3046,32 @@ object SparkEntry {
     * build the identical string, so the oracle replays the full
     * segmentation. Anchor attributes are deliberately unquoted to keep
     * the SQL literal clean; the tag regexes never look at them. */
-  private[graft] def htmlFixture(s: SparkSession, dir: String): DataFrame = {
-    val tx = normText(col("text"))
-    t(s, dir, "documents").select(col("doc_id"), tx.as("__t"))
-      .select(col("doc_id"), concat(
-        lit("<html><head><title>Doc "), col("doc_id"),
-        lit("</title><script>var x=1;</script><style>p{}</style>" +
-          "</head><body>" +
-          "<div><a href=/>Home</a> <a href=/a>About us</a> " +
-          "<a href=/c>Contact</a></div>" +
-          "<div>Read more: <a href=/r>"),
-        regexp_extract(col("__t"), "^(\\S+( \\S+){0,2})", 1),
-        lit("</a> today</div><p>"), col("__t"),
-        lit("</p><p>Short tail note "), col("doc_id") % 7,
-        lit("</p><div><a href=/t>Terms</a> <a href=/p>Privacy policy</a>" +
-          " Copyright "), lit(2000) + col("doc_id") % 20,
-        lit(" Example Corp</div></body></html>")).as("html"))
-  }
+  /** Page template over an arbitrary (doc_id, __t)-normalized corpus —
+    * the q182 fixture generalized so q184/q185 can template the
+    * near-dup and contact-augmented corpora through the same page
+    * shape. `footerExtra` (default empty) lands inside the footer div,
+    * after "Example Corp" — q185 plants site-wide ABN/email noise
+    * there. */
+  private[graft] def htmlPages(docs: DataFrame,
+      footerExtra: Column = lit("")): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><script>var x=1;</script><style>p{}</style>" +
+        "</head><body>" +
+        "<div><a href=/>Home</a> <a href=/a>About us</a> " +
+        "<a href=/c>Contact</a></div>" +
+        "<div>Read more: <a href=/r>"),
+      regexp_extract(col("__t"), "^(\\S+( \\S+){0,2})", 1),
+      lit("</a> today</div><p>"), col("__t"),
+      lit("</p><p>Short tail note "), col("doc_id") % 7,
+      lit("</p><div><a href=/t>Terms</a> <a href=/p>Privacy policy</a>" +
+        " Copyright "), lit(2000) + col("doc_id") % 20,
+      lit(" Example Corp"), footerExtra,
+      lit("</div></body></html>")).as("html"))
+
+  private[graft] def htmlFixture(s: SparkSession, dir: String): DataFrame =
+    htmlPages(t(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("__t")))
 
   /** Main-content / boilerplate extraction
     * ([[graft.sources.CrawlParse.blockFeatures]]): Kohlschütter block
@@ -3092,6 +3101,117 @@ object SparkEntry {
     Ann.beamSearchPortable(q157OldGraph(s, dir), old, batch, "embedding",
       "vec_id", p152.k, pb.ef, pb.maxRounds, stopOnNoImprove = true,
       p152.scale, p.tablePlanes)
+  }
+
+  /** Main-content-aware curation run (VERDICT r14 item 3 — q182 wired
+    * into the pipeline it was built for): the q169 decision-table shape
+    * where every gate scores [[graft.sources.CrawlParse.mainContent]]
+    * instead of whole-page text. The near-dup corpus slice is templated
+    * into pages (nav/teaser/footer boilerplate around each doc), main
+    * content is extracted, and Gopher quality + the rare-phrase
+    * blocklist + md5-MinHash-LSH near-dup (q49 parameters, over MAIN
+    * text — the truncated twins still pair because the shared body
+    * dominates the shingle set) + prefix-sum packing all run on the
+    * extracted text. Docs whose every block is classified boilerplate
+    * fall out of `mainContent`; they surface with n_tokens=0 and all
+    * gates false — a page with no main content is not trainable text.
+    * Scale shape: segmentation is map-only + one url-key window
+    * exchange; the gates and sketch join run on the (smaller) main
+    * corpus; decision assembly is equi-joins on doc_id.
+    * Params from [[SketchParams.q184]]. */
+  def q184MainCuration(s: SparkSession, dir: String): DataFrame = {
+    val p49 = SketchParams.q49
+    val p = SketchParams.q184
+    val slice = nearDupCorpus(s, dir)
+      .filter(col("doc_id") % p.corpusMod === 0)
+    val pages = htmlPages(slice.select(col("doc_id"), col("text").as("__t")))
+    // one segmentation pass feeds quality + blocklist + sketch + counts
+    val main = sources.CrawlParse.mainContent(pages, "doc_id", "html")
+      .select(col("url").as("doc_id"), col("main_text"))
+      .localCheckpoint(false)
+    val quality = operators.TextAnalysis
+      .gopherQuality(main, "main_text", "doc_id")
+      .select(col("doc_id"), col("keep").as("keep_quality"))
+    val blocked = operators.TextAnalysis
+      .blocklistGate(main, "main_text", "doc_id", p.patterns)
+      .select(col("doc_id"), col("blocked"))
+    val dupIds = operators.Dedup.minhashLshPortable(main, "main_text",
+        "doc_id", p49.ngram, p49.numHashes, p49.bands,
+        p49.jaccardThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("__dup", lit(true))
+    val flags = main
+      .select(col("doc_id"),
+        size(split(trim(col("main_text")), "\\s+")).cast("long")
+          .as("n_tokens"))
+      .join(quality, Seq("doc_id"))
+      .join(blocked, Seq("doc_id"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("keep_quality"),
+        col("blocked"), coalesce(col("__dup"), lit(false)).as("dup_drop"))
+      .withColumn("kept",
+        col("keep_quality") && !col("blocked") && !col("dup_drop"))
+    val packed = operators.Packing.assignShards(
+        flags.filter(col("kept")).select(col("doc_id"), col("n_tokens")),
+        "n_tokens", "doc_id", p.budget)
+      .select(col("doc_id"), col("shard_id"))
+    slice.select(col("doc_id"))
+      .join(flags.join(packed, Seq("doc_id"), "left"), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("keep_quality"), lit(false)).as("keep_quality"),
+        coalesce(col("blocked"), lit(false)).as("blocked"),
+        coalesce(col("dup_drop"), lit(false)).as("dup_drop"),
+        coalesce(col("kept"), lit(false)).as("kept"),
+        col("shard_id"))
+  }
+
+  /** S5 extractor parity, whole-page vs main text (VERDICT r14 item 3,
+    * second half): the reference scrapes fields from WHOLE-PAGE text
+    * (extract/commoncrawl_scraper.py:183-209), so its postcode field
+    * happily matches the page title's 4-digit doc number or the
+    * footer's copyright year, and its ABN field matches the site
+    * owner's footer ABN on every page. This fixture plants a REAL
+    * postcode / email / ABN in some documents' body text and site-wide
+    * ABN + webmaster-email noise in the footer, then runs the same
+    * extractors over both whole-page text and extracted main content:
+    * whole-page columns surface title/footer junk, main columns keep
+    * exactly the body facts. Map-only apart from the segmentation
+    * window. Params from [[SketchParams.q185]]. */
+  def q185MainExtractParity(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q185
+    val aug = t(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("__t0"))
+      .select(col("doc_id"), concat(col("__t0"),
+        when(col("doc_id") % p.pcMod === 0,
+          concat(lit(" located at postcode "),
+            (lit(3000) + col("doc_id") % 1000).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % p.emailMod === 0,
+          concat(lit(" contact info"), col("doc_id"),
+            lit("@main.example.com.au"))).otherwise(lit("")),
+        when(col("doc_id") % p.abnMod === 0,
+          lit(" ABN " + p.bodyAbn + " registered")).otherwise(lit("")))
+        .as("__t"))
+    val pages = htmlPages(aug, footerExtra = lit(p.footerExtra))
+      .localCheckpoint(false)
+    val whole = sources.CrawlParse.htmlText(col("html"))
+    val main = sources.CrawlParse.mainContent(pages, "doc_id", "html")
+      .select(col("url").as("doc_id"), col("main_text"))
+    pages.select(col("doc_id"), whole.as("__w"))
+      .join(main, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        functions.Cleaning.extractPostcode(col("__w"))
+          .as("postcode_whole"),
+        functions.Cleaning.extractPostcode(col("main_text"))
+          .as("postcode_main"),
+        functions.Cleaning.extractAbn(col("__w")).as("abn_whole"),
+        functions.Cleaning.extractAbn(col("main_text")).as("abn_main"),
+        array_join(functions.Cleaning.extractEmails(col("__w")), ",")
+          .as("emails_whole"),
+        array_join(functions.Cleaning.extractEmails(col("main_text")),
+          ",").as("emails_main"))
   }
 
   /** PQ-ADC compressed-domain ANN
@@ -3700,7 +3820,9 @@ object SparkEntry {
     "q180_knn_merge" -> (q180KnnMerge _),
     "q181_phash_neardup" -> (q181PhashNeardup _),
     "q182_main_content" -> (q182MainContent _),
-    "q183_beam_search" -> (q183BeamSearch _))
+    "q183_beam_search" -> (q183BeamSearch _),
+    "q184_main_curation" -> (q184MainCuration _),
+    "q185_main_extract_parity" -> (q185MainExtractParity _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

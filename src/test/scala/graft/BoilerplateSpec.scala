@@ -91,6 +91,40 @@ class BoilerplateSpec extends AnyFunSuite {
       .get.getBoolean(6), "caption before a short tail should drop")
   }
 
+  test("S5 extractors over main content stop matching footer noise " +
+      "but keep body facts (the q185 parity, VERDICT r14 item 3)") {
+    val body = "real article body with enough words to clear the " +
+      "sixteen word keep threshold easily visit us at postcode 3142 " +
+      "or mail sales@body.example.com.au for details today ok"
+    // the short note between body and footer matters: boilerpipe keeps
+    // a 13-word footer whose PREV block is long (prev_words > 4)
+    val html = "<html><body><p>" + body + "</p><p>Short note here</p>" +
+      "<div><a href=/t>Terms</a> <a href=/p>Privacy policy</a> " +
+      "Copyright 2007 Example Corp ABN 51 824 753 556 " +
+      "webmaster@example.com</div></body></html>"
+    val pages = Seq(("p1", html)).toDF("url", "html")
+    val whole = CrawlParse.htmlText(col("html"))
+    val main = CrawlParse.mainContent(pages)
+    val w = pages.select(
+      graft.functions.Cleaning.extractPostcode(whole),
+      graft.functions.Cleaning.extractAbn(whole),
+      graft.functions.Cleaning.extractEmails(whole)).head()
+    val m = main.select(
+      graft.functions.Cleaning.extractPostcode(col("main_text")),
+      graft.functions.Cleaning.extractAbn(col("main_text")),
+      graft.functions.Cleaning.extractEmails(col("main_text"))).head()
+    // whole-page: body facts win where present, but footer noise leaks
+    // into emails; main-content: ONLY the body facts
+    assert(w.getString(0) == "3142" && m.getString(0) == "3142")
+    assert(w.getString(1) == "51824753556",
+      "whole-page ABN should scrape the footer site ABN here")
+    assert(m.getString(1) == null,
+      "main content must not surface the footer ABN")
+    assert(w.getSeq[String](2) ==
+      Seq("sales@body.example.com.au", "webmaster@example.com"))
+    assert(m.getSeq[String](2) == Seq("sales@body.example.com.au"))
+  }
+
   test("mainContent stitches kept blocks in document order") {
     val main = CrawlParse.mainContent(Seq(("p1", page)).toDF("url", "html"))
       .collect()
