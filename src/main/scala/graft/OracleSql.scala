@@ -505,6 +505,15 @@ object SketchParams {
     val bodyAbn = "18 123 456 789"
     val footerExtra = " ABN 51 824 753 556 webmaster@example.com"
   }
+  /** q186 Hamming-banding fidelity audit: corpus sampling moduli (the
+    * gold generator's exact (h+1)-chunk banding has 64/(h+1)-bit
+    * buckets — coarse, so the audit runs on a slice) and the shipped
+    * production thresholds it audits: q31 SimHash at maxHamming 12,
+    * q181 dHash at [[q181.maxHamming]]. */
+  object q186 {
+    val simMod = 4L; val phMod = 2L
+    val simMaxHamming = 12 // q31's shipped gate
+  }
   /** q167 Luhn card PII: fixture moduli — every customer carries one
     * known-INVALID card-shaped run (valid check digit + 1); every
     * `validMod`-th also carries the Luhn-valid one. Check digits are
@@ -5182,21 +5191,21 @@ object OracleSql {
     * with the exact positional Hamming count. The SQL twin of
     * `PhashKernel` + `Dedup.hammingNearDup`. Generated from
     * [[SketchParams.q181]]. */
-  private def q181: String = {
+  /** The q181 PGM fixture replayed to per-image dHash bit strings:
+    * CTEs `sd, blob, px, dcell, dhash(doc_id, bits)` — `bits` is the
+    * 64-char LSB-first string whose 16-char substrings are exactly the
+    * Spark side's chunk shifts. `where` filters the source documents
+    * (q186 samples; q181 takes all). Shared by q181 and q186. */
+  private def dhashBitsCtes(where: String): String = {
     val p = SketchParams.q181
-    def hamming(a: String, b: String): String =
-      s"""CAST(list_sum(list_transform(generate_series(1, 64), i ->
-        CASE WHEN substr($a, i, 1) != substr($b, i, 1)
-        THEN 1 ELSE 0 END)) AS BIGINT)"""
-    s"""
-    WITH sd AS (
+    s"""sd AS (
       SELECT doc_id, CAST(doc_id % ${p.variants} AS INT) AS v,
         CAST(16 + (doc_id // ${p.variants} % 2) * 8 AS BIGINT) AS w,
         CASE WHEN doc_id % ${p.variants} = 3
           THEN (doc_id // ${p.variants}) * ${p.distinctSeedMul}
             + ${p.distinctSeedAdd}
           ELSE doc_id // ${p.variants} END AS seed
-      FROM documents
+      FROM documents $where
     ), blob AS MATERIALIZED (
       SELECT doc_id, w,
         '50350A' || CASE WHEN w = 16 THEN '3136203136'
@@ -5212,18 +5221,6 @@ object OracleSql {
         ('0x' || substr(hx, 2 * (13 + i) + 1, 2))::BIGINT AS p,
         i // w AS y, i % w AS x
       FROM blob, unnest(generate_series(0, w*w - 1)) AS u(i)
-    ), acell AS (
-      SELECT doc_id, (y*8 // w) * 8 + (x*8 // w) AS cell,
-        SUM(p) AS s, COUNT(*) AS n
-      FROM px GROUP BY 1, 2
-    ), atot AS (
-      SELECT doc_id, SUM(s) AS st, SUM(n) AS nt FROM acell GROUP BY 1
-    ), ahash AS MATERIALIZED (
-      SELECT c.doc_id, string_agg(
-        CASE WHEN c.s * t.nt > t.st * c.n THEN '1' ELSE '0' END,
-        '' ORDER BY c.cell) AS bits
-      FROM acell c JOIN atot t ON c.doc_id = t.doc_id
-      GROUP BY c.doc_id
     ), dcell AS MATERIALIZED (
       SELECT doc_id, y*8 // w AS r, x*9 // w AS c,
         SUM(p) AS s, COUNT(*) AS n
@@ -5236,6 +5233,31 @@ object OracleSql {
         ON l.doc_id = rr.doc_id AND l.r = rr.r AND rr.c = l.c + 1
       WHERE l.c < 8
       GROUP BY l.doc_id
+    )"""
+  }
+
+  /** Positional Hamming distance between two 64-char bit strings. */
+  private def bitsHammingSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 64), i ->
+      CASE WHEN substr($a, i, 1) != substr($b, i, 1)
+      THEN 1 ELSE 0 END)) AS BIGINT)"""
+
+  private def q181: String = {
+    val p = SketchParams.q181
+    def hamming(a: String, b: String): String = bitsHammingSql(a, b)
+    s"""
+    WITH ${dhashBitsCtes("")}, acell AS (
+      SELECT doc_id, (y*8 // w) * 8 + (x*8 // w) AS cell,
+        SUM(p) AS s, COUNT(*) AS n
+      FROM px GROUP BY 1, 2
+    ), atot AS (
+      SELECT doc_id, SUM(s) AS st, SUM(n) AS nt FROM acell GROUP BY 1
+    ), ahash AS MATERIALIZED (
+      SELECT c.doc_id, string_agg(
+        CASE WHEN c.s * t.nt > t.st * c.n THEN '1' ELSE '0' END,
+        '' ORDER BY c.cell) AS bits
+      FROM acell c JOIN atot t ON c.doc_id = t.doc_id
+      GROUP BY c.doc_id
     ), banded AS (
       SELECT doc_id, b AS band, substr(bits, b*16 + 1, 16) AS chunk
       FROM dhash, unnest(generate_series(0, 3)) AS g(b)
@@ -5255,6 +5277,92 @@ object OracleSql {
     FROM ham h JOIN ahash aa ON h.id_a = aa.doc_id
       JOIN ahash ab ON h.id_b = ab.doc_id
     WHERE h.hamming_d <= ${p.maxHamming}"""
+  }
+
+  /** Hamming-banding fidelity audit (q186): per-sketch bit strings
+    * (SimHash via the q50 bit-majority chain, dHash via the q181
+    * fixture chain), then for each the production 4×16-chunk banding's
+    * distinct pre-verify candidates, the exact (h+1)-chunk gold
+    * banding (complete by pigeonhole) filtered by positional Hamming,
+    * the coverage semi-join, and one precision/recall row per sketch —
+    * the SQL twin of `Dedup.hammingFidelity` at the shipped
+    * thresholds. Generated from [[SketchParams.q186]]. */
+  private def q186: String = {
+    val p = SketchParams.q186
+    val p181 = SketchParams.q181
+    def bandVals(c: Int): String = {
+      val base = 64 / c
+      val rem = 64 % c
+      (0 until c).map { b =>
+        val len = if (b < rem) base + 1 else base
+        val start =
+          if (b < rem) b * (base + 1) else rem * (base + 1) + (b - rem) * base
+        s"($b, ${start + 1}, $len)"
+      }.mkString(", ")
+    }
+    def auditCtes(prefix: String, bits: String, h: Int): String = s"""
+    ${prefix}b4 AS (
+      SELECT doc_id, bd.b AS band, substr(bits, bd.st, bd.ln) AS chunk
+      FROM $bits, (VALUES ${bandVals(4)}) bd(b, st, ln)
+    ), ${prefix}cand AS MATERIALIZED (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM ${prefix}b4 x JOIN ${prefix}b4 y
+        ON x.band = y.band AND x.chunk = y.chunk
+      WHERE x.doc_id < y.doc_id
+    ), ${prefix}bg AS (
+      SELECT doc_id, bd.b AS band, substr(bits, bd.st, bd.ln) AS chunk
+      FROM $bits, (VALUES ${bandVals(h + 1)}) bd(b, st, ln)
+    ), ${prefix}gc AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM ${prefix}bg x JOIN ${prefix}bg y
+        ON x.band = y.band AND x.chunk = y.chunk
+      WHERE x.doc_id < y.doc_id
+    ), ${prefix}gold AS MATERIALIZED (
+      SELECT c.id_a, c.id_b
+      FROM ${prefix}gc c JOIN $bits xa ON c.id_a = xa.doc_id
+        JOIN $bits xb ON c.id_b = xb.doc_id
+      WHERE ${bitsHammingSql("xa.bits", "xb.bits")} <= $h
+    ), ${prefix}cov AS (
+      SELECT g.id_a FROM ${prefix}gold g
+      JOIN ${prefix}cand c ON g.id_a = c.id_a AND g.id_b = c.id_b
+    ), ${prefix}row AS (
+      SELECT (SELECT count(*) FROM ${prefix}cand) AS nc,
+        (SELECT count(*) FROM ${prefix}gold) AS ng,
+        (SELECT count(*) FROM ${prefix}cov) AS nv
+    )"""
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
+    ), ssrc AS (
+      SELECT doc_id, text FROM corpus
+      WHERE doc_id % ${p.simMod} = 0 AND text IS NOT NULL AND text <> ''
+    ), shs AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(unnest(string_split_regex(trim(text), '\\s+'))), 1, 15))::BIGINT AS h
+      FROM ssrc
+    ), sbit AS (
+      SELECT doc_id, i, sum((h >> i) & 1) AS ones, count(*) AS n
+      FROM shs CROSS JOIN (SELECT unnest(generate_series(0,59)) AS i) g
+      GROUP BY doc_id, i
+    ), sbits AS MATERIALIZED (
+      SELECT doc_id, string_agg(
+        CASE WHEN 2 * ones > n THEN '1' ELSE '0' END,
+        '' ORDER BY i) || '0000' AS bits
+      FROM sbit GROUP BY doc_id
+    ), ${auditCtes("s", "sbits", p.simMaxHamming)},
+    ${dhashBitsCtes(s"WHERE doc_id % ${p.phMod} = 0")},
+    ${auditCtes("d", "dhash", p181.maxHamming)}
+    SELECT 'simhash' AS sketch, nc AS n_candidates, ng AS n_gold,
+      nv AS n_covered,
+      CASE WHEN nc > 0 THEN CAST(nv AS DOUBLE) / nc ELSE 0.0 END
+        AS precision,
+      CASE WHEN ng > 0 THEN CAST(nv AS DOUBLE) / ng ELSE 0.0 END
+        AS recall
+    FROM srow
+    UNION ALL
+    SELECT 'dhash' AS sketch, nc, ng, nv,
+      CASE WHEN nc > 0 THEN CAST(nv AS DOUBLE) / nc ELSE 0.0 END,
+      CASE WHEN ng > 0 THEN CAST(nv AS DOUBLE) / ng ELSE 0.0 END
+    FROM drow"""
   }
 
   /** Beam-search serving (q183): the q157 probe chain supplies seeds
@@ -6074,6 +6182,7 @@ object OracleSql {
     "q183_beam_search" -> q183,
     "q184_main_curation" -> q184,
     "q185_main_extract_parity" -> q185,
+    "q186_hamming_fidelity" -> q186,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

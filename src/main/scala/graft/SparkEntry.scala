@@ -3103,6 +3103,46 @@ object SparkEntry {
       p152.scale, p.tablePlanes)
   }
 
+  /** Hamming-banding fidelity audit
+    * ([[graft.operators.Dedup.hammingFidelity]]): measured precision /
+    * recall of the SHIPPED 4×16-chunk banding against exact Hamming
+    * ground truth — the q144 sketch-audit convention applied to
+    * Hamming space, for BOTH 64-bit fingerprint families at their
+    * production thresholds: q31's token SimHash (maxHamming 12) and
+    * q181's perceptual dHash (maxHamming 6). Pigeonhole only
+    * guarantees 4-chunk recall through 3 flips; these rows are the
+    * measured answer beyond it. Ground truth needs no all-pairs join:
+    * (h+1)-chunk banding is complete by pigeonhole, so the audit runs
+    * on sampled slices (the gold buckets are 64/(h+1) bits wide).
+    * Params from [[SketchParams.q186]]. */
+  def q186HammingFidelity(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q186
+    val p181 = SketchParams.q181
+    // the md5-portable sibling of q31's xxhash fingerprint (the q50
+    // twin convention): the BANDING under audit is identical, and the
+    // oracle can replay every bit
+    val sims = operators.Dedup.simhashPortable(
+      nearDupCorpus(s, dir)
+        .filter(col("doc_id") % p.simMod === 0 &&
+          col("text").isNotNull && col("text") =!= ""),
+      "text", "doc_id")
+      .select(col("doc_id"), col("simhash").as("fp"))
+    val ph = pgmFixture(s, dir)
+      .filter(col("doc_id") % p.phMod === 0)
+      .select(col("doc_id"),
+        graft.functions.Phash.dhash64(col("content")).as("fp"))
+    operators.Dedup.hammingFidelity(sims, "fp", "doc_id",
+        p.simMaxHamming)
+      .select(lit("simhash").as("sketch"), col("n_candidates"),
+        col("n_gold"), col("n_covered"), col("precision"), col("recall"))
+      .unionByName(
+        operators.Dedup.hammingFidelity(ph, "fp", "doc_id",
+            p181.maxHamming)
+          .select(lit("dhash").as("sketch"), col("n_candidates"),
+            col("n_gold"), col("n_covered"), col("precision"),
+            col("recall")))
+  }
+
   /** Main-content-aware curation run (VERDICT r14 item 3 — q182 wired
     * into the pipeline it was built for): the q169 decision-table shape
     * where every gate scores [[graft.sources.CrawlParse.mainContent]]
@@ -3822,7 +3862,8 @@ object SparkEntry {
     "q182_main_content" -> (q182MainContent _),
     "q183_beam_search" -> (q183BeamSearch _),
     "q184_main_curation" -> (q184MainCuration _),
-    "q185_main_extract_parity" -> (q185MainExtractParity _))
+    "q185_main_extract_parity" -> (q185MainExtractParity _),
+    "q186_hamming_fidelity" -> (q186HammingFidelity _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -884,22 +884,47 @@ object Dedup {
     hammingNearDup(h, "sim", "doc", maxHamming)
   }
 
+  /** The bit-position partition of a 64-bit fingerprint into `chunks`
+    * contiguous chunks: the first `64 % chunks` chunks carry one extra
+    * bit. LSB-first, so chunk b of the default 4 is exactly
+    * `(fp >>> 16b) & 0xffff` — the partition the q31/q181 oracles
+    * replay as substrings of an LSB-first bit string. */
+  private def hammingChunks(fp: Column, chunks: Int): Seq[Column] = {
+    val base = 64 / chunks
+    val rem = 64 % chunks
+    (0 until chunks).map { b =>
+      val len = if (b < rem) base + 1 else base
+      val start =
+        if (b < rem) b * (base + 1) else rem * (base + 1) + (b - rem) * base
+      val mask = if (len == 64) -1L else (1L << len) - 1
+      shiftrightunsigned(fp, start).bitwiseAND(lit(mask))
+    }
+  }
+
   /** Hamming near-dup over an ARBITRARY 64-bit fingerprint column — the
     * banding/verify half of [[simhashNearDup]], factored out so every
     * 64-bit perceptual sketch (SimHash over tokens, aHash/dHash over
     * bitmaps — [[graft.functions.PhashKernel]]) shares one candidate
-    * pipeline: 4×16-bit chunks bucket the self-join (pigeonhole: any
-    * pair within Hamming 3 shares a chunk; beyond that recall is
-    * probabilistic — measure with [[lshFidelity]]-style audits before
-    * trusting a threshold), then exact `bit_count(xor)` verifies each
-    * candidate pair once. Caller materializes `fps` if it is expensive
+    * pipeline: `chunks` bit-chunks bucket the self-join, then exact
+    * `bit_count(xor)` verifies each candidate pair once.
+    *
+    * RECALL CONTRACT (pigeonhole): a pair within Hamming h is
+    * GUARANTEED to share a chunk only when `chunks > h` — each flipped
+    * bit pollutes at most one chunk. The default 4×16 layout is exact
+    * for h ≤ 3; at the shipped h = 6 (q181) / h = 12 (q31) recall
+    * beyond 3 flips depends on where the flips land and must be
+    * MEASURED, not assumed — that is [[hammingFidelity]] (q186). Raise
+    * `chunks` to ≥ h+1 when the audit's measured recall is too low;
+    * the cost is proportionally more (and exponentially coarser)
+    * buckets, so at production scale pair a high-h exact screen with a
+    * sampled corpus. Caller materializes `fps` if it is expensive
     * (both join sides scan it). */
   def hammingNearDup(fps: DataFrame, fpCol: String, idCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8, chunks: Int = 4): DataFrame = {
+    require(chunks >= 1 && chunks <= 64, "chunks must be in [1, 64]")
     val banded = fps.select(col(idCol).as("__doc"), col(fpCol).as("__fp"),
-      posexplode(array((0 until 4).map { b =>
-        shiftrightunsigned(col(fpCol), b * 16).bitwiseAND(lit(0xffffL))
-      }: _*)).as(Seq("band", "chunk")))
+      posexplode(array(hammingChunks(col(fpCol), chunks): _*))
+        .as(Seq("band", "chunk")))
     val a = banded.select(col("band"), col("chunk"),
       col("__doc").as("id_a"), col("__fp").as("fp_a"))
     val b = banded.select(col("band"), col("chunk"),
@@ -910,6 +935,62 @@ object Dedup {
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Hamming-banding fidelity audit — [[lshFidelity]]'s "measure,
+    * don't guess" applied to the 64-bit Hamming family (VERDICT r14
+    * item 4): compare the production banding's PRE-VERIFY candidates
+    * against EXACT ground truth and report precision (fraction of
+    * bucket candidates that are true ≤ `maxHamming` pairs — wasted
+    * verify work when low) and recall (fraction of true pairs the
+    * banding surfaces — SILENTLY LOST near-dups below 1.0).
+    *
+    * Ground truth is exact and complete WITHOUT an all-pairs join:
+    * banding with `maxHamming + 1` chunks reaches every true pair by
+    * pigeonhole (≤ maxHamming flipped bits cannot pollute all
+    * maxHamming+1 chunks), then the exact `bit_count` filter keeps
+    * precisely the ≤ maxHamming pairs. The narrow chunks make gold
+    * buckets coarse (64/(h+1) bits each), so audit a SAMPLED slice at
+    * scale — the production banding being audited is unaffected.
+    *
+    * Output: ONE row — (n_candidates, n_gold, n_covered, precision,
+    * recall), ratios 0.0 on empty denominators (the [[lshFidelity]]
+    * convention). */
+  def hammingFidelity(fps: DataFrame, fpCol: String, idCol: String,
+      maxHamming: Int, chunks: Int = 4): DataFrame = {
+    val f = fps.select(col(idCol).as("__doc"), col(fpCol).as("__fp"))
+      .localCheckpoint(false)
+    def pairs(c: Int): DataFrame = {
+      val banded = f.select(col("__doc"), col("__fp"),
+        posexplode(array(hammingChunks(col("__fp"), c): _*))
+          .as(Seq("band", "chunk")))
+      banded.select(col("band"), col("chunk"),
+          col("__doc").as("id_a"), col("__fp").as("fp_a"))
+        .join(banded.select(col("band"), col("chunk"),
+          col("__doc").as("id_b"), col("__fp").as("fp_b")),
+          Seq("band", "chunk"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+        .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+    }
+    // production candidates: pre-verify (the banding's raw output)
+    val candidates = pairs(chunks).select("id_a", "id_b")
+      .localCheckpoint(false)
+    val gold = pairs(maxHamming + 1)
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b").localCheckpoint(false)
+    val covered = gold.join(candidates, Seq("id_a", "id_b"), "left_semi")
+    candidates.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(gold.agg(count(lit(1)).as("n_gold"))))
+      .crossJoin(broadcast(covered.agg(count(lit(1)).as("n_covered"))))
+      .select(col("n_candidates"), col("n_gold"), col("n_covered"),
+        when(col("n_candidates") > 0, col("n_covered").cast("double") /
+          col("n_candidates").cast("double")).otherwise(lit(0.0))
+          .as("precision"),
+        when(col("n_gold") > 0, col("n_covered").cast("double") /
+          col("n_gold").cast("double")).otherwise(lit(0.0))
+          .as("recall"))
   }
 
   /** Embedding-cosine near-duplicate pairs via brute force within LSH
