@@ -514,6 +514,11 @@ object SketchParams {
     val simMod = 4L; val phMod = 2L
     val simMaxHamming = 12 // q31's shipped gate
   }
+  /** q187 kNN delete maintenance: the backbone slice to delete
+    * (vec_id % delMod == delRem within the q157 old slice). */
+  object q187 {
+    val delMod = 9L; val delRem = 2L
+  }
   /** q167 Luhn card PII: fixture moduli — every customer carries one
     * known-INVALID card-shaped run (valid check digit + 1); every
     * `validMod`-th also carries the Luhn-valid one. Check digits are
@@ -5365,6 +5370,64 @@ object OracleSql {
     FROM drow"""
   }
 
+  /** kNN delete maintenance (q187): the descent chain (`knn` prefix),
+    * then drop (owner rows of deleted ids; edges into deleted ids),
+    * the reverse-affected set, the surviving adjacency (forward ∪
+    * k-capped reverse), one neighbor-of-neighbor backfill round for
+    * affected nodes, and uniform rank recompute (≡ the Spark side's
+    * selective re-heap: an unchanged heap re-ranks to itself — the
+    * q180 argument). The SQL twin of `Ann.knnGraphDelete`. Generated
+    * from [[SketchParams.q152]]/[[SketchParams.q157]]/
+    * [[SketchParams.q187]]. */
+  private def q187: String = {
+    val p152 = SketchParams.q152
+    val p157 = SketchParams.q157
+    val p = SketchParams.q187
+    s"""
+    WITH ${q152Ctes("knn", s"vec_id % ${p157.batchMod} != 0")}, del AS (
+      SELECT vec_id FROM knnqv WHERE vec_id % ${p.delMod} = ${p.delRem}
+    ), g AS (
+      SELECT id, nb, d FROM knne${p152.rounds}
+    ), sedges AS MATERIALIZED (
+      SELECT g.id, g.nb, g.d FROM g
+      ANTI JOIN del ON g.id = del.vec_id
+    ), kept AS MATERIALIZED (
+      SELECT s.id, s.nb, s.d FROM sedges s
+      ANTI JOIN del ON s.nb = del.vec_id
+    ), aff AS (
+      SELECT DISTINCT s.id FROM sedges s
+      JOIN del ON s.nb = del.vec_id
+    ), krev AS (
+      SELECT id, nb FROM (
+        SELECT id, nb, row_number() OVER (PARTITION BY id
+          ORDER BY d, CAST(nb AS VARCHAR)) AS rn
+        FROM (SELECT nb AS id, id AS nb, d FROM kept))
+      WHERE rn <= ${p152.k}
+    ), adj AS MATERIALIZED (
+      SELECT DISTINCT id, nb FROM (
+        SELECT id, nb FROM kept UNION ALL SELECT id, nb FROM krev)
+    ), cand AS (
+      SELECT DISTINCT x.id, y.nb
+      FROM adj x JOIN aff ON x.id = aff.id
+        JOIN adj y ON x.nb = y.id
+      WHERE x.id != y.nb
+    ), sc AS (
+      SELECT c.id, c.nb, ${knnSqd("a.q", "b.q")} AS d
+      FROM cand c JOIN knnqv a ON c.id = a.vec_id
+        JOIN knnqv b ON c.nb = b.vec_id
+    ), aheap AS (${knnHeap("""
+      SELECT k.id, k.nb, k.d FROM kept k JOIN aff ON k.id = aff.id
+      UNION ALL SELECT id, nb, d FROM sc""")}
+    ), finaledges AS (
+      SELECT k.id, k.nb, k.d FROM kept k ANTI JOIN aff ON k.id = aff.id
+      UNION ALL SELECT id, nb, d FROM aheap
+    )
+    SELECT id, nb AS neighbor_id, CAST(rn AS BIGINT) AS rank, d FROM (
+      SELECT id, nb, d, row_number() OVER (PARTITION BY id
+        ORDER BY d, CAST(nb AS VARCHAR)) AS rn
+      FROM finaledges)"""
+  }
+
   /** Beam-search serving (q183): the q157 probe chain supplies seeds
     * and scored seed pairs (s0); the beam is the bottom-EF heap, one
     * expansion round walks the graph from the beam with the VISITED
@@ -6183,6 +6246,7 @@ object OracleSql {
     "q184_main_curation" -> q184,
     "q185_main_extract_parity" -> q185,
     "q186_hamming_fidelity" -> q186,
+    "q187_knn_delete" -> q187,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

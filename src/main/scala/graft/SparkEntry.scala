@@ -2953,9 +2953,22 @@ object SparkEntry {
     memoCheckpoint(q157GraphMemo, s, dir) {
       val p152 = SketchParams.q152
       val p = SketchParams.q157
-      Ann.nnDescentPortable(
+      def built = Ann.nnDescentPortable(
         t(s, dir, "embeddings").filter(col("vec_id") % p.batchMod =!= 0),
         "embedding", "vec_id", p152.k, p152.rounds, p152.scale)
+      // cross-session persistence (opt-in via SPARK_GRAFT_CENTROIDS_DIR,
+      // the q92/q158 model-dir convention): the backbone is saved as a
+      // parquet model and served from the scan — no re-descent, no
+      // session-memo dependence (VERDICT r14 item 5)
+      sys.env.get("SPARK_GRAFT_CENTROIDS_DIR") match {
+        case Some(root) =>
+          implicit val spark: SparkSession = s
+          Ann.trainOrLoadKnnGraph(
+            s"$root/q157_graph_k${p152.k}_r${p152.rounds}_s${p152.scale}" +
+              s"_m${p.batchMod}_${dir.replaceAll("[^A-Za-z0-9]", "_")}")(
+            built)
+        case None => built
+      }
     }
 
   /** kNN-graph MERGE maintenance ([[graft.operators.Ann.knnGraphMerge]]):
@@ -3141,6 +3154,27 @@ object SparkEntry {
           .select(lit("dhash").as("sketch"), col("n_candidates"),
             col("n_gold"), col("n_covered"), col("precision"),
             col("recall")))
+  }
+
+  /** kNN-graph DELETE maintenance
+    * ([[graft.operators.Ann.knnGraphDelete]]): a slice of the shared
+    * old-slice backbone is deleted — dropped rows, reverse-affected
+    * survivors re-heaped with a one-round neighbor-of-neighbor
+    * backfill over the surviving adjacency — completing the index
+    * maintenance story (q180 inserts, q187 deletes). The DuckDB twin
+    * replays descent + drop + backfill heap-for-heap. Params from
+    * [[SketchParams.q152]]/[[SketchParams.q157]]/
+    * [[SketchParams.q187]]. */
+  def q187KnnDelete(s: SparkSession, dir: String): DataFrame = {
+    val p152 = SketchParams.q152
+    val p157 = SketchParams.q157
+    val p = SketchParams.q187
+    val old = t(s, dir, "embeddings")
+      .filter(col("vec_id") % p157.batchMod =!= 0)
+    val del = old.filter(col("vec_id") % p.delMod === p.delRem)
+      .select(col("vec_id"))
+    Ann.knnGraphDelete(q157OldGraph(s, dir), old, del, "embedding",
+      "vec_id", p152.k, p152.scale)
   }
 
   /** Main-content-aware curation run (VERDICT r14 item 3 — q182 wired
@@ -3863,7 +3897,8 @@ object SparkEntry {
     "q183_beam_search" -> (q183BeamSearch _),
     "q184_main_curation" -> (q184MainCuration _),
     "q185_main_extract_parity" -> (q185MainExtractParity _),
-    "q186_hamming_fidelity" -> (q186HammingFidelity _))
+    "q186_hamming_fidelity" -> (q186HammingFidelity _),
+    "q187_knn_delete" -> (q187KnnDelete _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

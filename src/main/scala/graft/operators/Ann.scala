@@ -1669,4 +1669,132 @@ object Ann {
     CheckpointHygiene.free(scCkpt)
     out
   }
+
+  /** Persist a kNN graph ([[nnDescentPortable]] /[[knnGraphMerge]]
+    * output) as a parquet model — the [[saveCentroids]]/
+    * [[savePqCodebooks]] convention extended to the descent backbone
+    * (VERDICT r14 item 5): q157 probes, q180 merges, and q183 beam
+    * serving can then load the index across sessions instead of
+    * re-descending or relying on a session memo. Bit-exact round trip
+    * (integer distances, long ranks). */
+  def saveKnnGraph(graph: DataFrame, path: String): Unit =
+    graph.select(col("id"), col("neighbor_id"), col("rank"), col("d"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Bit-exact inverse of [[saveKnnGraph]]. */
+  def loadKnnGraph(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read.parquet(path)
+      .select(col("id"), col("neighbor_id"), col("rank"), col("d"))
+
+  /** Train-once-reuse for the descent backbone (the
+    * [[trainOrLoadCentroids]] contract): load the graph at `path` if
+    * present, else build it via `build`, persist, and serve from the
+    * PERSISTED copy — the load path's lineage is the parquet scan, so
+    * serving queries never re-touch the corpus or the build plan. */
+  def trainOrLoadKnnGraph(path: String)(build: => DataFrame)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    try { val g = loadKnnGraph(path); g.queryExecution.analyzed; g }
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      saveKnnGraph(build, path); loadKnnGraph(path) }
+
+  /** DELETE maintenance — the inverse of [[knnGraphMerge]] (VERDICT
+    * r14 item 5): remove `deleteIds` from a kNN graph and repair the
+    * survivors WITHOUT re-descending the corpus. A curation pipeline
+    * deletes constantly (dedup drops, takedowns, retention); rebuilding
+    * an O(n·k²)-scored-pairs index per batch is not an option.
+    *
+    * Three stages, all deletion-proportional beyond one narrow
+    * corpus-shaped shuffle:
+    *   1. DROP — deleted nodes' rows vanish; surviving rows that point
+    *      AT a deleted node are removed from their owner's heap. Both
+    *      are broadcast anti-joins against the (batch-sized) delete
+    *      list.
+    *   2. AFFECTED — exactly the surviving nodes that lost ≥1 neighbor
+    *      (the reverse edges of the delete set). Everyone else's heap
+    *      is untouched and passes through, ranks intact.
+    *   3. BACKFILL — affected nodes refill from neighbors-of-neighbors
+    *      over the SURVIVING adjacency (forward ∪ k-capped reverse,
+    *      the descent convention): candidates (a, w) with a affected,
+    *      w two hops away, scored once, pooled with a's remaining
+    *      edges, re-heaped bottom-k. O(|affected|·k·deg) scored pairs.
+    *      The one corpus-shaped step is the reverse cap over surviving
+    *      edges (narrow 3-column rows — the q180 acknowledgement).
+    *
+    * Heap order/quantization are the [[nnDescentPortable]] total
+    * order, so the q187 DuckDB twin replays drop, backfill, and every
+    * heap bit-for-bit (uniform rank recompute ≡ selective re-heap: an
+    * unchanged heap re-ranks to itself). An affected node may end with
+    * fewer than k neighbors when its two-hop pool is thin; a second
+    * backfill round (or a probe against the LSH tables) widens it —
+    * measure with [[annRecallAudit]] before relying on it.
+    *
+    * @param graph existing kNN edges: (id, neighbor_id, rank, d)
+    * @return the repaired graph over surviving ids, same shape */
+  def knnGraphDelete(
+      graph: DataFrame, corpus: DataFrame, deleteIds: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      scale: Int = 1000): DataFrame = {
+    require(k >= 1)
+    val idType = corpus.select(col(idCol)).schema.head.dataType
+    val del = deleteIds.select(col(idCol).as("__del")).distinct()
+      .localCheckpoint(false)
+    val edges = graph.select(col("id"), col("neighbor_id").as("nb"),
+      col("rank"), col("d"))
+    // survivors' edge lists (owner not deleted)...
+    val sEdges = edges.join(broadcast(del.select(col("__del").as("id"))),
+      Seq("id"), "left_anti")
+    // ...minus edges INTO deleted nodes; owners of removed edges are
+    // the affected set
+    val (kept, keptCkpt) = CheckpointHygiene.checkpointTracked(
+      sEdges.join(broadcast(del.select(col("__del").as("nb"))),
+        Seq("nb"), "left_anti"), eager = true)
+    val affected = sEdges.join(broadcast(del.select(col("__del").as("nb"))),
+      Seq("nb"), "left_semi").select(col("id")).distinct()
+    def topK(pool: DataFrame): DataFrame = pool
+      .groupBy(col("id"), col("nb")).agg(min(col("d")).as("d"))
+      .groupBy(col("id"))
+      .agg(graft.functions.BottomK.bottom_k(col("d"),
+        col("nb").cast("string"), k).as("__top"))
+      .select(col("id"), posexplode(col("__top")))
+      .select(col("id"), col("col.value").cast(idType).as("nb"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.key").as("d"))
+    // surviving adjacency: forward ∪ reverse-capped-at-k (descent's
+    // reverse sampling — bounds hub fan-out in the two-hop walk)
+    val rev = topK(kept.select(col("nb").as("id"), col("id").as("nb"),
+      col("d"))).select(col("id"), col("nb"))
+    val adj = kept.select(col("id"), col("nb")).unionByName(rev)
+      .distinct()
+    val aAdj = adj.join(broadcast(affected), Seq("id"), "left_semi")
+    val cand = aAdj.as("x")
+      .join(adj.as("y"), col("x.nb") === col("y.id"))
+      .select(col("x.id").as("id"), col("y.nb").as("nb"))
+      .filter(col("id") =!= col("nb"))
+      .distinct()
+    def quant(df: DataFrame): DataFrame = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__vid"), quantizeVec(col(vecCol), scale).as("__q"))
+    val vecs = quant(corpus)
+    def sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d)
+    val scored = broadcast(cand)
+      .join(vecs.select(col("__vid").as("id"), col("__q").as("__qa")),
+        Seq("id"))
+      .join(vecs.select(col("__vid").as("nb"), col("__q").as("__qb")),
+        Seq("nb"))
+      .select(col("id"), col("nb"), sq(col("__qa"), col("__qb")).as("d"))
+    val affectedHeap = topK(
+      kept.join(broadcast(affected), Seq("id"), "left_semi")
+        .select(col("id"), col("nb"), col("d"))
+        .unionByName(scored))
+    val (out, _) = CheckpointHygiene.checkpointTracked(
+      kept.join(broadcast(affected), Seq("id"), "left_anti")
+        .select(col("id"), col("nb"), col("rank"), col("d"))
+        .unionByName(affectedHeap)
+        .select(col("id"), col("nb").as("neighbor_id"), col("rank"),
+          col("d")), eager = true)
+    CheckpointHygiene.free(keptCkpt)
+    out
+  }
 }
