@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{AbnValid, IndelRatio, PyTitle, SimHash64, TokenSortRatio, WRatio, WordNgramHashes, WordNgrams}
+import graft.functions.{AbnValid, AHash64, DHash64, IndelRatio, PyTitle, SimHash64, SortedJaccard, TfExpand, TokenSortRatio, WRatio, WordNgramHashes, WordNgrams}
 
 /** SparkSessionExtensions installer: makes the engine's custom expressions
   * available to pure-SQL users at session build time —
@@ -51,5 +51,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_ngram_hashes",
         "word_ngram_hashes(text, n) - distinct xxhash64'd word n-grams"),
       (es: Seq[Expression]) => WordNgramHashes(es.head, litInt(es(1)))))
+    // r14 kernels (VERDICT r14 item 8): the weighted-Jaccard encoding,
+    // the merge-scan verify, and the perceptual hashes
+    e.injectFunction((FunctionIdentifier("tf_expand"),
+      info("tf_expand",
+        "tf_expand(text, cap) - capped-tf multiset encoding t -> t#1..t#c"),
+      (es: Seq[Expression]) => TfExpand(es.head, litInt(es(1)))))
+    e.injectFunction((FunctionIdentifier("sorted_jaccard"),
+      info("sorted_jaccard",
+        "sorted_jaccard(a, b) - Jaccard of two SORTED long arrays " +
+          "(one merge scan)"),
+      (es: Seq[Expression]) => SortedJaccard(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("ahash64"),
+      info("ahash64",
+        "ahash64(pgm) - 64-bit perceptual average hash of a binary P5 " +
+          "bitmap (null when malformed)"),
+      (es: Seq[Expression]) => AHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("dhash64"),
+      info("dhash64",
+        "dhash64(pgm) - 64-bit perceptual gradient hash of a binary P5 " +
+          "bitmap (null when malformed)"),
+      (es: Seq[Expression]) => DHash64(es.head)))
   }
 }

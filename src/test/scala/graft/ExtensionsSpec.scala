@@ -33,6 +33,16 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(4) - 90.0) < 1e-9)
       assert(r.getSeq[String](5) == Seq("a b c", "b c d"))
       assert(r.getInt(6) == 2)
+      // r14 kernels: tf_expand, sorted_jaccard, ahash64/dhash64
+      val r2 = s2.sql(
+        "SELECT tf_expand('a a a b', 2) AS tf, " +
+          "sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS sj, " +
+          "ahash64(cast('P5\n2 2\n255\nZZZZ' AS BINARY)) AS ah, " +
+          "dhash64(cast('nope' AS BINARY)) AS dh").head()
+      assert(r2.getSeq[String](0).sorted == Seq("a#1", "a#2", "b#1"))
+      assert(math.abs(r2.getDouble(1) - 0.5) < 1e-12)
+      assert(!r2.isNullAt(2), "valid 2x2 PGM must hash")
+      assert(r2.isNullAt(3), "malformed payload must hash to null")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
