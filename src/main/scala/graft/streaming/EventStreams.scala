@@ -163,6 +163,85 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming perceptual-media gate — the r14 phash family's
+    * streaming twin (VERDICT r14 item 6): each micro-batch of
+    * (id, binary PGM payload) rows is fingerprinted
+    * ([[graft.functions.PhashKernel]] dHash) and Hamming-screened
+    * against the STATIC corpus fingerprint table (computed once before
+    * the query starts — the [[dedupedIngest]] boundary); only
+    * perceptually novel, well-formed images reach the sink. Malformed
+    * payloads (null hash) are dropped — a gate that can't fingerprint
+    * an image must not wave it through. Per-batch cost is
+    * batch-proportional ([[graft.operators.Dedup.hammingScreen]]: the
+    * batch side broadcasts into the chunk join). */
+  def phashGateIngest(
+      mediaStream: DataFrame, corpus: DataFrame,
+      contentCol: String, idCol: String,
+      sinkPath: String, checkpointPath: String,
+      maxHamming: Int = 6): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.Phash
+    val corpusFps = corpus
+      .select(col(idCol), Phash.dhash64(col(contentCol)).as("__fp"))
+      .filter(col("__fp").isNotNull)
+      .localCheckpoint(false)
+    mediaStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val fps = batch.toDF()
+          .withColumn("__fp", Phash.dhash64(col(contentCol)))
+          .filter(col("__fp").isNotNull)
+        graft.operators.Dedup
+          .hammingScreen(fps, corpusFps, "__fp", idCol, maxHamming)
+          .drop("__fp")
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+  }
+
+  /** Streaming main-content extraction — q182's streaming twin: the
+    * Kohlschütter/boilerpipe pass is per-page local (its only exchange
+    * is the prev/next window over the page key, entirely inside one
+    * page), so it bridges through `foreachBatch` as a stateless
+    * projection: each micro-batch of (url, html) pages becomes
+    * (url, main_text) rows, no cross-batch state. Upstream of
+    * [[dedupedIngest]] this completes the streaming curation chain:
+    * extract main content, then gate it. */
+  def mainContentIngest(
+      pagesStream: DataFrame, urlCol: String, htmlCol: String,
+      sinkPath: String, checkpointPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pagesStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.CrawlParse
+          .mainContent(batch.toDF(), urlCol, htmlCol)
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+
+  /** Streaming beam-search serving — q183's streaming twin over the
+    * PERSISTED backbone (VERDICT r14 items 5+6): each micro-batch of
+    * query vectors runs the beam loop
+    * ([[graft.operators.Ann.beamSearchPortable]]) against the static
+    * corpus and a kNN graph the caller typically loads via
+    * [[graft.operators.Ann.trainOrLoadKnnGraph]] — the index is built
+    * (or loaded) once; every batch pays only query-proportional serving
+    * cost. Results (id, neighbor_id, rank, d) append per batch. */
+  def beamServeIngest(
+      queryStream: DataFrame, graph: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int, ef: Int, maxRounds: Int,
+      sinkPath: String, checkpointPath: String,
+      scale: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Ann
+          .beamSearchPortable(graph, corpus, batch.toDF(), vecCol,
+            idCol, k, ef, maxRounds, scale = scale)
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+
   /** Streaming CDC — the continuous form of
     * [[graft.operators.Scd.snapshotDiff]], completing the
     * batch/streaming twin convention for the CDC primitive the SCD2
