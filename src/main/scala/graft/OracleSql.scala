@@ -401,9 +401,14 @@ object SketchParams {
     * the arriving batch, the rest are the corpus with an existing
     * q152-parameter kNN graph; seeding uses two `tablePlanes`-plane
     * LSH tables (one 2·tablePlanes signature split low/high), then
-    * `expandRounds` neighbor-of-neighbor rounds against the graph. */
+    * `expandRounds` neighbor-of-neighbor rounds against the graph.
+    * `seedCap` bounds each table's CORPUS members per bucket (md5
+    * ':seedcap' rank — inactive at sf0.01/sf0.1 bucket sizes, load-
+    * bearing at soak scale where buckets go fat; mirrored in the
+    * engine so the hash gate holds either way). */
   object q157 {
     val batchMod = 10L; val expandRounds = 1; val tablePlanes = 4
+    val seedCap = 256
   }
   /** q156 MP4 header decode: no tunables — the fixture's brand/
     * timescale/duration/resolution derivations live in the query and
@@ -5100,7 +5105,9 @@ object OracleSql {
         FROM (SELECT id, nb, MIN(d) AS d FROM ($src) GROUP BY id, nb))
       WHERE rn <= $width"""
 
-  /** The q157 probe chain (batch quantize + two LSH seed tables + exact
+  /** The q157 probe chain (batch quantize + two LSH seed tables with
+    * the per-bucket md5-':seedcap' corpus cap of [[graft.operators.Ann]]
+    * `lshSeedPairs` — cseed0/cseed1 below — + exact
     * seed scoring + one expansion round), ending at `n1` — each batch
     * node's bottom-k heap. Shared by q157 (which selects n1 directly)
     * and q180 (which merges n1 into the backbone). Expects the
@@ -5136,14 +5143,24 @@ object OracleSql {
     ), bsig AS MATERIALIZED (
       SELECT vec_id, $sigExpr AS sig
       FROM embeddings WHERE vec_id % ${p.batchMod} = 0
+    ), cseed0 AS (
+      SELECT vec_id, sig % $tableDiv AS b FROM csig
+      QUALIFY row_number() OVER (PARTITION BY sig % $tableDiv
+        ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || ':seedcap'),
+          1, 15))::BIGINT, vec_id) <= ${p.seedCap}
+    ), cseed1 AS (
+      SELECT vec_id, sig // $tableDiv AS b FROM csig
+      QUALIFY row_number() OVER (PARTITION BY sig // $tableDiv
+        ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || ':seedcap'),
+          1, 15))::BIGINT, vec_id) <= ${p.seedCap}
     ), seeds AS (
       SELECT DISTINCT id, nb FROM (
         SELECT b.vec_id AS id, c.vec_id AS nb
-        FROM bsig b JOIN csig c ON b.sig % $tableDiv = c.sig % $tableDiv
+        FROM bsig b JOIN cseed0 c ON b.sig % $tableDiv = c.b
         UNION ALL
         SELECT b.vec_id, c.vec_id
-        FROM bsig b JOIN csig c
-          ON b.sig // $tableDiv = c.sig // $tableDiv)
+        FROM bsig b JOIN cseed1 c
+          ON b.sig // $tableDiv = c.b)
     ), s0 AS (
       SELECT s.id, s.nb, ${sqd("b.q", "c.q")} AS d
       FROM seeds s JOIN bqv b ON s.id = b.vec_id

@@ -53,6 +53,74 @@ object Soak {
       r
     }
 
+    if (mode == "r14" || mode == "r14knn") {
+      // the r14/r15 heavy family at replica scale: weighted-Jaccard
+      // near-dup over the replicated text corpus, then the full kNN
+      // index LIFECYCLE over a replicated embedding corpus — descent
+      // build, merge-in (q180), beam serving (q183), delete repair
+      // (q187). Each replica's vectors are shifted by a per-replica
+      // constant so replicas form distinct neighborhoods (copies with
+      // identical coordinates would make every heap a tie-break).
+      // sliced: the synthetic corpus draws every doc from one ~50-word
+      // vocabulary, so under UNIGRAM multiset Jaccard nearly every doc
+      // pair is >= 0.5 similar — the true pair set is quadratic BY
+      // CORPUS CONSTRUCTION (measured: 10k docs -> 5.0M verified
+      // pairs, 50k -> 114M), which no banding can make subquadratic.
+      // The slice keeps the soak row meaningful: the operator's cost
+      // is linear in docs + emitted pairs, and real corpora's
+      // background similarity is nowhere near this.
+      if (mode == "r14") {
+        val wjDocs = docs.filter(col("doc_id") % 5 === 0)
+        val wjPairs = timed(
+          s"weighted Jaccard join (q178 shape, ${wjDocs.count()} docs)") {
+          operators.Dedup.weightedJaccardJoin(wjDocs, "text", "doc_id",
+            cap = 5, numHashes = 8, bands = 4, jaccardThreshold = 0.5)
+            .count()
+        }
+        println(s"[soak]   -> $wjPairs weighted-Jaccard pairs")
+      }
+      val embBase = Tables.load(spark, sfDir, "embeddings")
+      val embPath = s"/tmp/graft_soak_emb_r$replicas"
+      (0 until replicas).map { k =>
+        embBase.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => x + lit((k % 13) * 0.07f)).as("embedding"))
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(embPath)
+      val emb = spark.read.parquet(embPath)
+      println(s"[soak] embedding corpus: ${emb.count()} vectors")
+      val old = emb.filter(col("vec_id") % 10 =!= 0)
+      val batchE = emb.filter(col("vec_id") % 10 === 0)
+      val graph = timed("nnDescent backbone (k=4, 2 rounds)") {
+        val g = operators.Ann.nnDescentPortable(old, "embedding",
+          "vec_id", 4, 2, 1000).localCheckpoint(false)
+        println(s"[soak]   -> ${g.count()} backbone edges")
+        g
+      }
+      val merged = timed("knnGraphMerge (q180: absorb the 10% batch)") {
+        val m = operators.Ann.knnGraphMerge(graph, old, batchE,
+          "embedding", "vec_id", 4, 1, 1000).localCheckpoint(false)
+        println(s"[soak]   -> ${m.count()} merged edges")
+        m
+      }
+      timed("beamSearchPortable (q183: serve 1% as queries, ef=8)") {
+        val queries = emb.filter(col("vec_id") % 100 === 1)
+        val served = operators.Ann.beamSearchPortable(merged, emb,
+          queries, "embedding", "vec_id", 4, 8, 2).count()
+        println(s"[soak]   -> $served served rows")
+      }
+      timed("knnGraphDelete (q187: delete ~11% of the merged index)") {
+        val delIds = emb.filter(col("vec_id") % 9 === 2)
+          .select(col("vec_id"))
+        val repaired = operators.Ann.knnGraphDelete(merged, emb, delIds,
+          "embedding", "vec_id", 4, 1000)
+        println(s"[soak]   -> ${repaired.count()} repaired edges")
+      }
+      spark.stop()
+      return
+    }
+
+
     val pairs = operators.Dedup.minhashLsh(docs, "text", "doc_id",
       ngram = 3, numHashes = 16, bands = 4, jaccardThreshold = 0.5)
       .localCheckpoint(false)

@@ -2937,7 +2937,7 @@ object SparkEntry {
     val batch = emb.filter(col("vec_id") % p.batchMod === 0)
     Ann.knnGraphProbePortable(q157OldGraph(s, dir), old, batch,
       "embedding", "vec_id", p152.k, p.expandRounds, p152.scale,
-      p.tablePlanes)
+      p.tablePlanes, p.seedCap)
   }
 
   /** The old-slice descent graph BOTH q157 (probe) and q180 (merge)
@@ -2986,7 +2986,8 @@ object SparkEntry {
     val old = emb.filter(col("vec_id") % p.batchMod =!= 0)
     val batch = emb.filter(col("vec_id") % p.batchMod === 0)
     Ann.knnGraphMerge(q157OldGraph(s, dir), old, batch, "embedding",
-      "vec_id", p152.k, p.expandRounds, p152.scale, p.tablePlanes)
+      "vec_id", p152.k, p.expandRounds, p152.scale, p.tablePlanes,
+      p.seedCap)
   }
 
   /** Shared q181 fixture: deterministic binary-PGM ("P5") grayscale
@@ -3113,7 +3114,7 @@ object SparkEntry {
     val batch = emb.filter(col("vec_id") % p.batchMod === 0)
     Ann.beamSearchPortable(q157OldGraph(s, dir), old, batch, "embedding",
       "vec_id", p152.k, pb.ef, pb.maxRounds, stopOnNoImprove = true,
-      p152.scale, p.tablePlanes)
+      p152.scale, p.tablePlanes, p.seedCap)
   }
 
   /** Hamming-banding fidelity audit

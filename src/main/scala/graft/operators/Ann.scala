@@ -1286,7 +1286,16 @@ object Ann {
     *      two tables, because the q152 spec's connectivity lesson
     *      applies to seeding coverage too) equi-join batch to corpus;
     *      co-bucket pairs are scored exactly (integer squared L2) and
-    *      each batch node keeps its bottom-k.
+    *      each batch node keeps its bottom-k. Each table's CORPUS side
+    *      is capped at `seedCap` members per bucket (deterministic
+    *      md5-rank — the IVF posting-cap convention), so the seed pair
+    *      frame is ≤ 2·|batch|·seedCap REGARDLESS of how corpus mass
+    *      piles into buckets: with 2^tablePlanes buckets fixed, an
+    *      uncapped fat bucket makes seeding |batch|·|corpus|-shaped
+    *      (the r15 soak found exactly this at 30× — replicated vectors
+    *      collapse into few buckets and the probe OOMs). The cap is
+    *      replayed in the DuckDB oracle, so the hash gate holds at any
+    *      scale, active or not.
     *   2. EXPAND — `expandRounds` rounds of neighbor-of-neighbor
     *      candidates against the EXISTING graph (both orientations),
     *      scored once per distinct pair, pooled, re-heaped — the
@@ -1304,11 +1313,70 @@ object Ann {
     * @return (id, neighbor_id, rank, d) for BATCH ids only; merge
     *         with `graph` (and optionally re-heap affected corpus
     *         nodes against the same scored pairs) to persist */
+  /** Two-table hyperplane-LSH seed pairs (`id` = small side, `nb` =
+    * corpus side) shared by the probe and beam seeding paths. The
+    * CORPUS side of each table is capped at `seedCap` members per
+    * bucket by a deterministic md5-':seedcap' rank (the IVF
+    * posting-cap convention; the q157 oracle CTEs replay it), keeping
+    * the pair frame ≤ 2·|small|·seedCap even when corpus mass piles
+    * into few of the 2^tablePlanes buckets. The rank is a
+    * bucket-partitioned window over NARROW rows (id, bucket, key) —
+    * no global sort; with very fat buckets the per-bucket sort is the
+    * cost, which is the signal to raise `tablePlanes` (more, smaller
+    * buckets), exactly as with IVF list counts. */
+  private def lshSeedPairs(
+      small: DataFrame, cPrep: DataFrame, tablePlanes: Int,
+      seedCap: Int): DataFrame = {
+    val mask = (1L << tablePlanes) - 1L
+    def table(df: DataFrame, t: Int): DataFrame = df.select(
+      col("__vid"),
+      (if (t == 0) col("__sig").bitwiseAND(mask)
+       else shiftright(col("__sig"), tablePlanes)).as("__b"))
+    def capped(df: DataFrame): DataFrame = df
+      .withColumn("__sk", graft.functions.PortableHash.md5Long60(
+        concat(col("__vid").cast("string"), lit(":seedcap"))))
+      .withColumn("__srn", row_number().over(
+        Window.partitionBy(col("__b"))
+          .orderBy(col("__sk"), col("__vid"))))
+      .filter(col("__srn") <= seedCap)
+      .select(col("__vid"), col("__b"))
+    (0 to 1).map { t =>
+      broadcast(table(small, t).select(col("__vid").as("id"), col("__b")))
+        .join(capped(table(cPrep, t)).select(col("__vid").as("nb"),
+          col("__b")), Seq("__b"))
+        .select(col("id"), col("nb"))
+    }.reduce(_.unionByName(_)).distinct()
+  }
+
+  /** Exact integer squared-L2 scoring of a slim (id, nb) pair list
+    * against quantized vector tables, arranged so NOTHING fat is ever
+    * broadcast OR shuffled: the corpus table is the probe side of a
+    * broadcast join on the SLIM pair list, then the small side's
+    * vectors (batch/query-scale) attach via a second broadcast —
+    * map-only end to end. The r15 soak's OOM was the previous
+    * arrangement (pairs ⋈ small-side vectors, broadcast as one frame):
+    * a pair frame that carries a 64-int vector per row stops being
+    * broadcastable the moment seeding is not batch-proportional. */
+  private def scorePairsSlim(
+      pairs: DataFrame, smallPrep: DataFrame,
+      cPrep: DataFrame): DataFrame = {
+    def sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d)
+    cPrep.select(col("__vid").as("nb"), col("__q").as("__qb"))
+      .join(broadcast(pairs), Seq("nb"))
+      .join(broadcast(smallPrep.select(col("__vid").as("id"),
+        col("__q").as("__qa"))), Seq("id"))
+      .select(col("id"), col("nb"), sq(col("__qa"), col("__qb")).as("d"))
+  }
+
   def knnGraphProbePortable(
       graph: DataFrame, corpus: DataFrame, batch: DataFrame,
       vecCol: String, idCol: String, k: Int, expandRounds: Int = 1,
-      scale: Int = 1000, tablePlanes: Int = 4): DataFrame = {
-    require(k >= 1 && expandRounds >= 0 && tablePlanes >= 1)
+      scale: Int = 1000, tablePlanes: Int = 4,
+      seedCap: Int = 256): DataFrame = {
+    require(k >= 1 && expandRounds >= 0 && tablePlanes >= 1 &&
+      seedCap >= 1)
     val idType = corpus.select(col(idCol)).schema.head.dataType
     def prep(df: DataFrame): DataFrame = {
       val dim = dimOf(df, vecCol)
@@ -1321,27 +1389,9 @@ object Ann {
     val cPrep = prep(corpus)
     val (bPrep, bCkpt) = CheckpointHygiene.checkpointTracked(
       prep(batch), eager = true)
-    val mask = (1L << tablePlanes) - 1L
-    def table(df: DataFrame, t: Int): DataFrame = df.select(
-      col("__vid"),
-      (if (t == 0) col("__sig").bitwiseAND(mask)
-       else shiftright(col("__sig"), tablePlanes)).as("__b"))
-    val seeds = (0 to 1).map { t =>
-        broadcast(table(bPrep, t).select(col("__vid").as("id"),
-            col("__b")))
-          .join(table(cPrep, t).select(col("__vid").as("nb"), col("__b")),
-            Seq("__b"))
-          .select(col("id"), col("nb"))
-      }.reduce(_.unionByName(_)).distinct()
-    def sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
-    def score(pairs: DataFrame): DataFrame = broadcast(pairs
-      .join(broadcast(bPrep.select(col("__vid").as("id"),
-        col("__q").as("__qa"))), Seq("id")))
-      .join(cPrep.select(col("__vid").as("nb"), col("__q").as("__qb")),
-        Seq("nb"))
-      .select(col("id"), col("nb"), sq(col("__qa"), col("__qb")).as("d"))
+    val seeds = lshSeedPairs(bPrep, cPrep, tablePlanes, seedCap)
+    def score(pairs: DataFrame): DataFrame =
+      scorePairsSlim(pairs, bPrep, cPrep)
     def topK(pool: DataFrame): DataFrame = pool
       .groupBy(col("id"), col("nb")).agg(min(col("d")).as("d"))
       .groupBy(col("id"))
@@ -1406,10 +1456,11 @@ object Ann {
       graph: DataFrame, corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, ef: Int, maxRounds: Int,
       stopOnNoImprove: Boolean = true, dedupVisited: Boolean = true,
-      scale: Int = 1000, tablePlanes: Int = 4): (DataFrame, Long) =
+      scale: Int = 1000, tablePlanes: Int = 4,
+      seedCap: Int = 256): (DataFrame, Long) =
     beamSearchImpl(graph, corpus, queries, vecCol, idCol, k, ef,
       maxRounds, stopOnNoImprove, dedupVisited, scale, tablePlanes,
-      trackBudget = true)
+      seedCap, trackBudget = true)
 
   /** Shared loop behind [[beamSearchStats]]/[[beamSearchPortable]].
     * `trackBudget = false` (the serving path) skips the per-round
@@ -1422,9 +1473,11 @@ object Ann {
       graph: DataFrame, corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, ef: Int, maxRounds: Int,
       stopOnNoImprove: Boolean, dedupVisited: Boolean,
-      scale: Int, tablePlanes: Int, trackBudget: Boolean)
+      scale: Int, tablePlanes: Int, seedCap: Int,
+      trackBudget: Boolean)
       : (DataFrame, Long) = {
-    require(k >= 1 && ef >= k && maxRounds >= 0 && tablePlanes >= 1)
+    require(k >= 1 && ef >= k && maxRounds >= 0 && tablePlanes >= 1 &&
+      seedCap >= 1)
     val idType = corpus.select(col(idCol)).schema.head.dataType
     def prep(df: DataFrame): DataFrame = {
       val dim = dimOf(df, vecCol)
@@ -1437,26 +1490,9 @@ object Ann {
     val cPrep = prep(corpus)
     val (qPrep, qCkpt) = CheckpointHygiene.checkpointTracked(
       prep(queries), eager = true)
-    val mask = (1L << tablePlanes) - 1L
-    def table(df: DataFrame, t: Int): DataFrame = df.select(
-      col("__vid"),
-      (if (t == 0) col("__sig").bitwiseAND(mask)
-       else shiftright(col("__sig"), tablePlanes)).as("__b"))
-    val seeds = (0 to 1).map { t =>
-        broadcast(table(qPrep, t).select(col("__vid").as("id"), col("__b")))
-          .join(table(cPrep, t).select(col("__vid").as("nb"), col("__b")),
-            Seq("__b"))
-          .select(col("id"), col("nb"))
-      }.reduce(_.unionByName(_)).distinct()
-    def sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
-    def score(pairs: DataFrame): DataFrame = broadcast(pairs
-      .join(broadcast(qPrep.select(col("__vid").as("id"),
-        col("__q").as("__qa"))), Seq("id")))
-      .join(cPrep.select(col("__vid").as("nb"), col("__q").as("__qb")),
-        Seq("nb"))
-      .select(col("id"), col("nb"), sq(col("__qa"), col("__qb")).as("d"))
+    val seeds = lshSeedPairs(qPrep, cPrep, tablePlanes, seedCap)
+    def score(pairs: DataFrame): DataFrame =
+      scorePairsSlim(pairs, qPrep, cPrep)
     def heap(pool: DataFrame, width: Int): DataFrame = pool
       .groupBy(col("id"), col("nb")).agg(min(col("d")).as("d"))
       .groupBy(col("id"))
@@ -1528,10 +1564,10 @@ object Ann {
       graph: DataFrame, corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, ef: Int, maxRounds: Int,
       stopOnNoImprove: Boolean = true, scale: Int = 1000,
-      tablePlanes: Int = 4): DataFrame =
+      tablePlanes: Int = 4, seedCap: Int = 256): DataFrame =
     beamSearchImpl(graph, corpus, queries, vecCol, idCol, k, ef,
       maxRounds, stopOnNoImprove, dedupVisited = true, scale,
-      tablePlanes, trackBudget = false)._1
+      tablePlanes, seedCap, trackBudget = false)._1
 
   /** MERGE a batch into an existing [[nnDescentPortable]] kNN graph —
     * the maintenance path [[knnGraphProbePortable]] deliberately leaves
@@ -1576,12 +1612,13 @@ object Ann {
   def knnGraphMerge(
       graph: DataFrame, corpus: DataFrame, batch: DataFrame,
       vecCol: String, idCol: String, k: Int, expandRounds: Int = 1,
-      scale: Int = 1000, tablePlanes: Int = 4): DataFrame = {
+      scale: Int = 1000, tablePlanes: Int = 4,
+      seedCap: Int = 256): DataFrame = {
     require(k >= 1 && expandRounds >= 0 && tablePlanes >= 1)
     val idType = corpus.select(col(idCol)).schema.head.dataType
     val (probed, probedCkpt) = CheckpointHygiene.checkpointTracked(
       knnGraphProbePortable(graph, corpus, batch, vecCol, idCol, k,
-        expandRounds, scale, tablePlanes), eager = true)
+        expandRounds, scale, tablePlanes, seedCap), eager = true)
     val batchIds = batch.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__bid"))
     def quant(df: DataFrame): DataFrame = df

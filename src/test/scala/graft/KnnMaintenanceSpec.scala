@@ -93,4 +93,45 @@ class KnnMaintenanceSpec extends AnyFunSuite {
     assert(overlap >= 0.75,
       s"repaired graph agrees with fresh descent on only $overlap")
   }
+
+  test("seedCap is the identity when buckets are under the cap") {
+    val batch = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 150 && col("vec_id") < 170)
+    val capped = rows(Ann.knnGraphProbePortable(graph, corpus, batch,
+      "embedding", "vec_id", K, 1, Scale, seedCap = 256))
+    val uncapped = rows(Ann.knnGraphProbePortable(graph, corpus, batch,
+      "embedding", "vec_id", K, 1, Scale, seedCap = Int.MaxValue))
+    assert(capped == uncapped,
+      "an inactive seed cap changed the probe output")
+  }
+
+  test("fat bucket: seedCap keeps seeding batch-proportional (the r15 " +
+      "soak OOM shape) — bounded budget, full heaps, deterministic") {
+    import spark.implicits._
+    // near-identical vectors: every hyperplane dot lands on the same
+    // side for all of them, so ALL corpus mass piles into ONE bucket
+    // per table — the uncapped worst case (seeds = |batch|·|corpus|)
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(8)(j => if (j == 0) 100f + i * 0.001f else 50f)
+    val fatCorpus = (0 until 60).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val queries = (100 until 105).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val fatGraph = Ann.nnDescentPortable(fatCorpus, "embedding",
+      "vec_id", K, 2, Scale)
+    val cap = 8
+    val (out, budget) = Ann.beamSearchStats(fatGraph, fatCorpus, queries,
+      "embedding", "vec_id", K, K, maxRounds = 0, scale = Scale,
+      seedCap = cap)
+    // seeds ≤ 2 tables · |queries| · cap even though the one fat bucket
+    // holds the whole corpus; without the cap this would be 5·60 = 300
+    assert(budget <= 2L * 5 * cap,
+      s"seed budget $budget exceeds the 2·|q|·cap bound")
+    val o = rows(out)
+    assert(o.size == 5 * K, s"expected full $K-heaps, got $o")
+    val again = rows(Ann.beamSearchStats(fatGraph, fatCorpus, queries,
+      "embedding", "vec_id", K, K, maxRounds = 0, scale = Scale,
+      seedCap = cap)._1)
+    assert(o == again, "capped seeding is not deterministic")
+  }
 }
