@@ -575,6 +575,13 @@ object SketchParams {
     val spanWords = 8; val refMod = 3; val quant = 1000000L
     val nBuckets = 3
   }
+  /** q188 interpolated Kneser–Ney trigram gate: reference slice,
+    * fixed-point scale, and CCNet tercile count (the q160 bucket
+    * convention). Discount D = 3/4 is fixed in operator and oracle
+    * (an exact binary double — exactness depends on it). */
+  object q188 {
+    val refMod = 3L; val quant = 1000000L; val nBuckets = 3
+  }
   /** q159 Bloom-gated decontamination: gram size and benchmark split
     * (a DIFFERENT slice than q74's so the two screens disagree), plus
     * the filter sizing. The Bloom prefilter is an internal plan rewrite
@@ -3803,6 +3810,105 @@ object OracleSql {
     * k-way UNION ALL resolved by (d, center_rank). The SQL twin of
     * `Selection.kCenterSelect` + `kCenterAssignment`; generated from
     * [[SketchParams.q161]]. */
+  /** Interpolated Kneser–Ney trigram gate (q188): the SQL twin of
+    * `TextAnalysis.knTrigramGate` — trigram/context/continuation
+    * counts over the reference slice, the D = 3/4 interpolation in the
+    * SAME double expression tree (only IEEE correctly-rounded ops: +,
+    * −, ×, ÷, greatest, int→double — no ln/exp, so the doubles and
+    * their floors are bit-identical across engines), per-doc
+    * fixed-point sums, and the exact CCNet tercile. Generated from
+    * [[SketchParams.q188]]. */
+  private def q188: String = {
+    val p = SketchParams.q188
+    s"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), rtpos AS (
+      SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+      FROM base WHERE doc_id % ${p.refMod} = 0 AND len(t) >= 3
+    ), rtri AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3,
+        CAST(COUNT(*) AS BIGINT) AS c3
+      FROM rtpos GROUP BY w1, w2, w3
+    ), rctx3 AS (
+      SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS ctx3,
+        CAST(COUNT(*) AS BIGINT) AS n3
+      FROM rtri GROUP BY w1, w2
+    ), rmid AS (
+      SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cc2
+      FROM rtri GROUP BY w2, w3
+    ), rmctx AS (
+      SELECT w2, CAST(SUM(cc2) AS BIGINT) AS ctxc2,
+        CAST(COUNT(*) AS BIGINT) AS nm
+      FROM rmid GROUP BY w2
+    ), rbpos AS (
+      SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+      FROM base WHERE doc_id % ${p.refMod} = 0 AND len(t) >= 2
+    ), rbg AS (
+      SELECT DISTINCT t[i] AS w1, t[i + 1] AS w2 FROM rbpos
+    ), runi AS (
+      SELECT w2 AS w3, CAST(COUNT(*) AS BIGINT) AS cc1
+      FROM rbg GROUP BY w2
+    ), btv AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rbg) AS bt,
+        (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM (
+          SELECT unnest(t) AS w FROM base
+          WHERE doc_id % ${p.refMod} = 0)) AS v
+    ), dtpos AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+      FROM base WHERE doc_id % ${p.refMod} != 0 AND len(t) >= 3
+    ), dtri AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+      FROM dtpos
+    ), joined AS (
+      SELECT d.doc_id,
+        COALESCE(r3.c3, 0) AS c3, COALESCE(rc.ctx3, 0) AS ctx3,
+        COALESCE(rc.n3, 0) AS n3, COALESCE(rm.cc2, 0) AS cc2,
+        COALESCE(rx.ctxc2, 0) AS ctxc2, COALESCE(rx.nm, 0) AS nm,
+        COALESCE(ru.cc1, 0) AS cc1, b.bt, b.v
+      FROM dtri d
+      LEFT JOIN rtri r3
+        ON d.w1 = r3.w1 AND d.w2 = r3.w2 AND d.w3 = r3.w3
+      LEFT JOIN rctx3 rc ON d.w1 = rc.w1 AND d.w2 = rc.w2
+      LEFT JOIN rmid rm ON d.w2 = rm.w2 AND d.w3 = rm.w3
+      LEFT JOIN rmctx rx ON d.w2 = rx.w2
+      LEFT JOIN runi ru ON d.w3 = ru.w3
+      CROSS JOIN btv b
+    ), scored AS (
+      SELECT doc_id,
+        CAST(floor(CAST(${p.quant} AS DOUBLE) * (
+          CASE WHEN ctx3 > 0 THEN
+            (greatest(CAST(c3 AS DOUBLE) - 0.75, 0.0) +
+              0.75 * CAST(n3 AS DOUBLE) * p2) / CAST(ctx3 AS DOUBLE)
+          ELSE p2 END)) AS BIGINT) AS s
+      FROM (
+        SELECT *, CASE WHEN ctxc2 > 0 THEN
+            (greatest(CAST(cc2 AS DOUBLE) - 0.75, 0.0) +
+              0.75 * CAST(nm AS DOUBLE) * p1) / CAST(ctxc2 AS DOUBLE)
+          ELSE p1 END AS p2
+        FROM (
+          SELECT *, (CAST(cc1 AS DOUBLE) + 1.0) /
+            CAST(bt + v + 1 AS DOUBLE) AS p1
+          FROM joined))
+    ), perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        CAST(SUM(s) AS BIGINT) AS kn_sum
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_trigrams, kn_sum,
+      CAST(kn_sum AS DOUBLE) /
+        CAST(n_trigrams * ${p.quant} AS DOUBLE) AS kn_mean,
+      CASE WHEN tile = 1 THEN 'head'
+        WHEN tile = ${p.nBuckets} THEN 'tail'
+        ELSE 'middle' END AS bucket
+    FROM (
+      SELECT *, ntile(${p.nBuckets}) OVER (ORDER BY
+        CAST(kn_sum AS DOUBLE) /
+          CAST(n_trigrams * ${p.quant} AS DOUBLE) DESC, doc_id) AS tile
+      FROM perdoc)"""
+  }
+
   private def q161: String = {
     val p = SketchParams.q161
     def sq(a: String, b: String): String =
@@ -6264,6 +6370,7 @@ object OracleSql {
     "q185_main_extract_parity" -> q185,
     "q186_hamming_fidelity" -> q186,
     "q187_knn_delete" -> q187,
+    "q188_kn_trigram" -> q188,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3178,6 +3178,25 @@ object SparkEntry {
       "vec_id", p152.k, p152.scale)
   }
 
+  /** Interpolated Kneser–Ney trigram gate
+    * ([[graft.operators.TextAnalysis.knTrigramGate]]): the CCNet LM
+    * filter as a real smoothed trigram model — discounted trigram mass
+    * backing off through CONTINUATION-count bigrams to an add-one
+    * continuation unigram (D = 3/4) — scored in the q127 no-libm
+    * discipline (exact BIGINT counts, IEEE correctly-rounded double
+    * tree, floored fixed point), with the q160 head/middle/tail
+    * tercile. The q160 reference split: every `refMod`-th doc trains
+    * the model, the rest are scored. Params from
+    * [[SketchParams.q188]]. */
+  def q188KnTrigram(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q188
+    val docs = t(s, dir, "documents")
+    operators.TextAnalysis.knTrigramGate(
+      docs.filter(col("doc_id") % p.refMod =!= 0),
+      docs.filter(col("doc_id") % p.refMod === 0),
+      "text", "doc_id", p.quant, p.nBuckets)
+  }
+
   /** Main-content-aware curation run (VERDICT r14 item 3 — q182 wired
     * into the pipeline it was built for): the q169 decision-table shape
     * where every gate scores [[graft.sources.CrawlParse.mainContent]]
@@ -3899,7 +3918,8 @@ object SparkEntry {
     "q184_main_curation" -> (q184MainCuration _),
     "q185_main_extract_parity" -> (q185MainExtractParity _),
     "q186_hamming_fidelity" -> (q186HammingFidelity _),
-    "q187_knn_delete" -> (q187KnnDelete _))
+    "q187_knn_delete" -> (q187KnnDelete _),
+    "q188_kn_trigram" -> (q188KnTrigram _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

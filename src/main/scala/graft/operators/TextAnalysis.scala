@@ -671,6 +671,148 @@ object TextAnalysis {
           .otherwise(lit("middle")).as("bucket"))
   }
 
+  /** Interpolated Kneser–Ney trigram gate — the CCNet LM-quality
+    * filter (Wenzek et al. 2020) upgraded from the
+    * [[bigramFamiliarity]] MLE proxy to a real SMOOTHED language model
+    * (Kneser & Ney 1995; the interpolated form of Chen & Goodman
+    * 1999 §2.7), still in the q127 no-libm discipline so every score
+    * replays bit-for-bit in an external engine.
+    *
+    * TRAIN on a reference corpus:
+    *   - trigram counts c₃(w₁w₂w₃), context totals ctx₃(w₁w₂) = Σ_w c₃,
+    *     continuation fan-outs N₃(w₁w₂) = distinct w₃ seen after w₁w₂;
+    *   - bigram-level CONTINUATION counts cc₂(w₂w₃) = distinct w₁ with
+    *     c₃(w₁w₂w₃) > 0 — KN's insight: a word's lower-order weight is
+    *     how many distinct contexts it completes, not how often it
+    *     occurs ("Francisco" is frequent but only ever follows "San",
+    *     so it deserves almost no unseen-context mass) — with
+    *     ctxc₂(w₂) = Σ cc₂ and Nm(w₂) = distinct continuations;
+    *   - base continuation unigrams cc₁(w₃) = distinct w₂ with bigram
+    *     (w₂w₃) seen, over BT total bigram types and vocabulary V,
+    *     add-one smoothed so out-of-vocabulary words keep nonzero mass.
+    *
+    * SCORE each document trigram with absolute discount D = 3/4:
+    * {{{
+    *   P₁ = (cc₁+1) / (BT+V+1)
+    *   P₂ = (max(cc₂−D, 0) + D·Nm·P₁) / ctxc₂    (P₁ if w₂ unseen)
+    *   P₃ = (max(c₃−D, 0) + D·N₃·P₂) / ctx₃      (P₂ if w₁w₂ unseen)
+    * }}}
+    * quantized as floor(quant·P₃) — an unseen trigram in a seen
+    * context falls through the discount to the backoff mass instead of
+    * the q127 hard zero.
+    *
+    * Exactness: every count is an exact BIGINT, and the double math
+    * above uses ONLY IEEE-754 correctly-rounded operations (+, −, ×,
+    * ÷, int→double, greatest) over those counts in a fixed expression
+    * tree, so Spark and any IEEE engine produce bit-identical doubles
+    * and identical floors. No ln/exp anywhere — transcendentals are
+    * the libm calls that differ across engines, which is why q127
+    * avoided log-domain perplexity; the arithmetic mean of P₃ orders
+    * documents for gating just as CCNet's geometric mean does. The
+    * q188 oracle replays counts, tree shape, and floors exactly.
+    *
+    * Per doc: n_trigrams, kn_sum = Σ floor(quant·P₃), kn_mean, and the
+    * CCNet head/middle/tail tercile over (kn_mean DESC, id) — the
+    * keep-the-head/middle decision lever. Docs with < 3 tokens carry
+    * no trigram and are absent (the q127 contract).
+    *
+    * Scale shape: training is chained hash aggs over exploded
+    * reference trigrams (map-side combined) plus one bigram-type
+    * distinct; scoring joins exploded document trigrams against the
+    * five model tables on their natural keys — shuffle hash joins, NO
+    * broadcast assumption (a 100 TB reference's trigram table is
+    * itself large); the one 1-row (BT, V) frame attaches via a guarded
+    * broadcast. The tercile is a global sort of one row per DOCUMENT
+    * (swap for quantile-sketch thresholds at extreme doc counts; the
+    * scores stay engine-exact either way). */
+  def knTrigramGate(docs: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String, quant: Long = 1000000L,
+      nBuckets: Int = 3): DataFrame = {
+    require(quant > 0, "quant must be positive")
+    require(nBuckets >= 2, "need at least head/tail")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    def triOf(df: DataFrame, keep: Seq[Column],
+        keptNames: Seq[String]): DataFrame = {
+      val kept = keptNames.map(col)
+      val triArr = when(size(col("__t")) >= 3,
+        transform(sequence(lit(0), size(col("__t")) - 3),
+          i => struct(element_at(col("__t"), i + 1).as("w1"),
+            element_at(col("__t"), i + 2).as("w2"),
+            element_at(col("__t"), i + 3).as("w3"))))
+        .otherwise(array().cast(
+          "array<struct<w1:string,w2:string,w3:string>>"))
+      df.select(keep :+ toks.as("__t"): _*)
+        .select(kept :+ explode(triArr).as("__p"): _*)
+        .select(kept ++ Seq(col("__p.w1"), col("__p.w2"),
+          col("__p.w3")): _*)
+    }
+    val refBase = reference.select(toks.as("__t"))
+    val rTri = triOf(reference, Seq.empty, Seq.empty)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val rCtx3 = rTri.groupBy("w1", "w2")
+      .agg(sum(col("c3")).as("ctx3"), count(lit(1)).as("n3"))
+    // rTri rows are distinct (w1,w2,w3), so a row count per (w2,w3)
+    // IS the distinct-w1 continuation count
+    val rMid = rTri.groupBy("w2", "w3").agg(count(lit(1)).as("cc2"))
+    val rMctx = rMid.groupBy("w2")
+      .agg(sum(col("cc2")).as("ctxc2"), count(lit(1)).as("nm"))
+    val rBg = refBase.select(explode(when(size(col("__t")) >= 2,
+        transform(sequence(lit(0), size(col("__t")) - 2),
+          i => struct(element_at(col("__t"), i + 1).as("w1"),
+            element_at(col("__t"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("__p"))
+      .select(col("__p.w1"), col("__p.w2"))
+      .distinct()
+    val rUni = rBg.groupBy("w2").agg(count(lit(1)).as("cc1"))
+      .select(col("w2").as("w3"), col("cc1"))
+    val btv = rBg.agg(count(lit(1)).as("bt")).crossJoin(
+      refBase.select(explode(col("__t")).as("w")).distinct()
+        .agg(count(lit(1)).as("v")))
+    val dTri = triOf(docs, Seq(col(idCol).as("__doc")), Seq("__doc"))
+    val joined = dTri
+      .join(rTri, Seq("w1", "w2", "w3"), "left")
+      .join(rCtx3, Seq("w1", "w2"), "left")
+      .join(rMid, Seq("w2", "w3"), "left")
+      .join(rMctx, Seq("w2"), "left")
+      .join(rUni, Seq("w3"), "left")
+      .crossJoin(broadcast(btv))
+      .select(col("__doc"),
+        coalesce(col("c3"), lit(0L)).as("c3"),
+        coalesce(col("ctx3"), lit(0L)).as("ctx3"),
+        coalesce(col("n3"), lit(0L)).as("n3"),
+        coalesce(col("cc2"), lit(0L)).as("cc2"),
+        coalesce(col("ctxc2"), lit(0L)).as("ctxc2"),
+        coalesce(col("nm"), lit(0L)).as("nm"),
+        coalesce(col("cc1"), lit(0L)).as("cc1"),
+        col("bt"), col("v"))
+    val p1 = (col("cc1").cast("double") + lit(1.0d)) /
+      (col("bt") + col("v") + lit(1L)).cast("double")
+    val p2 = when(col("ctxc2") > 0,
+      (greatest(col("cc2").cast("double") - lit(0.75d), lit(0.0d)) +
+        lit(0.75d) * col("nm").cast("double") * p1) /
+        col("ctxc2").cast("double")).otherwise(p1)
+    val p3 = when(col("ctx3") > 0,
+      (greatest(col("c3").cast("double") - lit(0.75d), lit(0.0d)) +
+        lit(0.75d) * col("n3").cast("double") * p2) /
+        col("ctx3").cast("double")).otherwise(p2)
+    val perDoc = joined
+      .select(col("__doc"),
+        floor(lit(quant).cast("double") * p3).cast("long").as("__s"))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("__s")).as("kn_sum"))
+      .withColumn("kn_mean", col("kn_sum").cast("double") /
+        (col("n_trigrams") * lit(quant)).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("kn_mean").desc, col("__doc").asc)
+    perDoc.withColumn("__tile", ntile(nBuckets).over(w))
+      .select(col("__doc").as(idCol), col("n_trigrams"), col("kn_sum"),
+        col("kn_mean"),
+        when(col("__tile") === 1, lit("head"))
+          .when(col("__tile") === nBuckets, lit("tail"))
+          .otherwise(lit("middle")).as("bucket"))
+  }
+
   /** Blocklist gate — the C4-style banned-phrase screen (Raffel et al.
     * 2020 §2.2 drop pages containing any "List of Dirty, Naughty …"
     * word): every document scanned ONCE by an Aho–Corasick automaton
