@@ -671,6 +671,114 @@ object TextAnalysis {
           .otherwise(lit("middle")).as("bucket"))
   }
 
+  /** The trained [[knTrigramGate]] model: five exact-count tables +
+    * the 1-row (BT, V) totals. Callers that serve repeatedly (the
+    * streaming twin) materialize each member once and reuse. */
+  final case class KnTrigramModel(rTri: DataFrame, rCtx3: DataFrame,
+      rMid: DataFrame, rMctx: DataFrame, rUni: DataFrame,
+      btv: DataFrame) {
+    /** localCheckpoint every table so per-batch scoring replays scans,
+      * not the training lineage. */
+    def materialized: KnTrigramModel = KnTrigramModel(
+      rTri.localCheckpoint(false), rCtx3.localCheckpoint(false),
+      rMid.localCheckpoint(false), rMctx.localCheckpoint(false),
+      rUni.localCheckpoint(false), btv.localCheckpoint(false))
+  }
+
+  private def knTriOf(df: DataFrame, textCol: String, keep: Seq[Column],
+      keptNames: Seq[String]): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val kept = keptNames.map(col)
+    val triArr = when(size(col("__t")) >= 3,
+      transform(sequence(lit(0), size(col("__t")) - 3),
+        i => struct(element_at(col("__t"), i + 1).as("w1"),
+          element_at(col("__t"), i + 2).as("w2"),
+          element_at(col("__t"), i + 3).as("w3"))))
+      .otherwise(array().cast(
+        "array<struct<w1:string,w2:string,w3:string>>"))
+    df.select(keep :+ toks.as("__t"): _*)
+      .select(kept :+ explode(triArr).as("__p"): _*)
+      .select(kept ++ Seq(col("__p.w1"), col("__p.w2"),
+        col("__p.w3")): _*)
+  }
+
+  /** TRAIN the [[knTrigramGate]] count tables on a reference corpus —
+    * see the gate's scaladoc for the model structure. */
+  def knTrigramModel(reference: DataFrame, textCol: String)
+      : KnTrigramModel = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val refBase = reference.select(toks.as("__t"))
+    val rTri = knTriOf(reference, textCol, Seq.empty, Seq.empty)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val rCtx3 = rTri.groupBy("w1", "w2")
+      .agg(sum(col("c3")).as("ctx3"), count(lit(1)).as("n3"))
+    // rTri rows are distinct (w1,w2,w3), so a row count per (w2,w3)
+    // IS the distinct-w1 continuation count
+    val rMid = rTri.groupBy("w2", "w3").agg(count(lit(1)).as("cc2"))
+    val rMctx = rMid.groupBy("w2")
+      .agg(sum(col("cc2")).as("ctxc2"), count(lit(1)).as("nm"))
+    val rBg = refBase.select(explode(when(size(col("__t")) >= 2,
+        transform(sequence(lit(0), size(col("__t")) - 2),
+          i => struct(element_at(col("__t"), i + 1).as("w1"),
+            element_at(col("__t"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("__p"))
+      .select(col("__p.w1"), col("__p.w2"))
+      .distinct()
+    val rUni = rBg.groupBy("w2").agg(count(lit(1)).as("cc1"))
+      .select(col("w2").as("w3"), col("cc1"))
+    val btv = rBg.agg(count(lit(1)).as("bt")).crossJoin(
+      refBase.select(explode(col("__t")).as("w")).distinct()
+        .agg(count(lit(1)).as("v")))
+    KnTrigramModel(rTri, rCtx3, rMid, rMctx, rUni, btv)
+  }
+
+  /** SCORE documents against a trained [[KnTrigramModel]] — per doc
+    * (id, n_trigrams, kn_sum, kn_mean), no corpus-relative tercile (a
+    * batch [[knTrigramGate]] adds it; the streaming twin applies a
+    * fixed threshold instead, CCNet's production deployment shape). */
+  def knTrigramScore(docs: DataFrame, model: KnTrigramModel,
+      textCol: String, idCol: String,
+      quant: Long = 1000000L): DataFrame = {
+    require(quant > 0, "quant must be positive")
+    val dTri = knTriOf(docs, textCol, Seq(col(idCol).as("__doc")),
+      Seq("__doc"))
+    val joined = dTri
+      .join(model.rTri, Seq("w1", "w2", "w3"), "left")
+      .join(model.rCtx3, Seq("w1", "w2"), "left")
+      .join(model.rMid, Seq("w2", "w3"), "left")
+      .join(model.rMctx, Seq("w2"), "left")
+      .join(model.rUni, Seq("w3"), "left")
+      .crossJoin(broadcast(model.btv))
+      .select(col("__doc"),
+        coalesce(col("c3"), lit(0L)).as("c3"),
+        coalesce(col("ctx3"), lit(0L)).as("ctx3"),
+        coalesce(col("n3"), lit(0L)).as("n3"),
+        coalesce(col("cc2"), lit(0L)).as("cc2"),
+        coalesce(col("ctxc2"), lit(0L)).as("ctxc2"),
+        coalesce(col("nm"), lit(0L)).as("nm"),
+        coalesce(col("cc1"), lit(0L)).as("cc1"),
+        col("bt"), col("v"))
+    val p1 = (col("cc1").cast("double") + lit(1.0d)) /
+      (col("bt") + col("v") + lit(1L)).cast("double")
+    val p2 = when(col("ctxc2") > 0,
+      (greatest(col("cc2").cast("double") - lit(0.75d), lit(0.0d)) +
+        lit(0.75d) * col("nm").cast("double") * p1) /
+        col("ctxc2").cast("double")).otherwise(p1)
+    val p3 = when(col("ctx3") > 0,
+      (greatest(col("c3").cast("double") - lit(0.75d), lit(0.0d)) +
+        lit(0.75d) * col("n3").cast("double") * p2) /
+        col("ctx3").cast("double")).otherwise(p2)
+    joined
+      .select(col("__doc"),
+        floor(lit(quant).cast("double") * p3).cast("long").as("__s"))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("__s")).as("kn_sum"))
+      .withColumn("kn_mean", col("kn_sum").cast("double") /
+        (col("n_trigrams") * lit(quant)).cast("double"))
+      .withColumnRenamed("__doc", idCol)
+  }
+
   /** Interpolated Kneser–Ney trigram gate — the CCNet LM-quality
     * filter (Wenzek et al. 2020) upgraded from the
     * [[bigramFamiliarity]] MLE proxy to a real SMOOTHED language model
@@ -728,85 +836,13 @@ object TextAnalysis {
   def knTrigramGate(docs: DataFrame, reference: DataFrame,
       textCol: String, idCol: String, quant: Long = 1000000L,
       nBuckets: Int = 3): DataFrame = {
-    require(quant > 0, "quant must be positive")
     require(nBuckets >= 2, "need at least head/tail")
-    val toks = split(trim(lower(col(textCol))), "\\s+")
-    def triOf(df: DataFrame, keep: Seq[Column],
-        keptNames: Seq[String]): DataFrame = {
-      val kept = keptNames.map(col)
-      val triArr = when(size(col("__t")) >= 3,
-        transform(sequence(lit(0), size(col("__t")) - 3),
-          i => struct(element_at(col("__t"), i + 1).as("w1"),
-            element_at(col("__t"), i + 2).as("w2"),
-            element_at(col("__t"), i + 3).as("w3"))))
-        .otherwise(array().cast(
-          "array<struct<w1:string,w2:string,w3:string>>"))
-      df.select(keep :+ toks.as("__t"): _*)
-        .select(kept :+ explode(triArr).as("__p"): _*)
-        .select(kept ++ Seq(col("__p.w1"), col("__p.w2"),
-          col("__p.w3")): _*)
-    }
-    val refBase = reference.select(toks.as("__t"))
-    val rTri = triOf(reference, Seq.empty, Seq.empty)
-      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
-    val rCtx3 = rTri.groupBy("w1", "w2")
-      .agg(sum(col("c3")).as("ctx3"), count(lit(1)).as("n3"))
-    // rTri rows are distinct (w1,w2,w3), so a row count per (w2,w3)
-    // IS the distinct-w1 continuation count
-    val rMid = rTri.groupBy("w2", "w3").agg(count(lit(1)).as("cc2"))
-    val rMctx = rMid.groupBy("w2")
-      .agg(sum(col("cc2")).as("ctxc2"), count(lit(1)).as("nm"))
-    val rBg = refBase.select(explode(when(size(col("__t")) >= 2,
-        transform(sequence(lit(0), size(col("__t")) - 2),
-          i => struct(element_at(col("__t"), i + 1).as("w1"),
-            element_at(col("__t"), i + 2).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as("__p"))
-      .select(col("__p.w1"), col("__p.w2"))
-      .distinct()
-    val rUni = rBg.groupBy("w2").agg(count(lit(1)).as("cc1"))
-      .select(col("w2").as("w3"), col("cc1"))
-    val btv = rBg.agg(count(lit(1)).as("bt")).crossJoin(
-      refBase.select(explode(col("__t")).as("w")).distinct()
-        .agg(count(lit(1)).as("v")))
-    val dTri = triOf(docs, Seq(col(idCol).as("__doc")), Seq("__doc"))
-    val joined = dTri
-      .join(rTri, Seq("w1", "w2", "w3"), "left")
-      .join(rCtx3, Seq("w1", "w2"), "left")
-      .join(rMid, Seq("w2", "w3"), "left")
-      .join(rMctx, Seq("w2"), "left")
-      .join(rUni, Seq("w3"), "left")
-      .crossJoin(broadcast(btv))
-      .select(col("__doc"),
-        coalesce(col("c3"), lit(0L)).as("c3"),
-        coalesce(col("ctx3"), lit(0L)).as("ctx3"),
-        coalesce(col("n3"), lit(0L)).as("n3"),
-        coalesce(col("cc2"), lit(0L)).as("cc2"),
-        coalesce(col("ctxc2"), lit(0L)).as("ctxc2"),
-        coalesce(col("nm"), lit(0L)).as("nm"),
-        coalesce(col("cc1"), lit(0L)).as("cc1"),
-        col("bt"), col("v"))
-    val p1 = (col("cc1").cast("double") + lit(1.0d)) /
-      (col("bt") + col("v") + lit(1L)).cast("double")
-    val p2 = when(col("ctxc2") > 0,
-      (greatest(col("cc2").cast("double") - lit(0.75d), lit(0.0d)) +
-        lit(0.75d) * col("nm").cast("double") * p1) /
-        col("ctxc2").cast("double")).otherwise(p1)
-    val p3 = when(col("ctx3") > 0,
-      (greatest(col("c3").cast("double") - lit(0.75d), lit(0.0d)) +
-        lit(0.75d) * col("n3").cast("double") * p2) /
-        col("ctx3").cast("double")).otherwise(p2)
-    val perDoc = joined
-      .select(col("__doc"),
-        floor(lit(quant).cast("double") * p3).cast("long").as("__s"))
-      .groupBy(col("__doc"))
-      .agg(count(lit(1)).as("n_trigrams"), sum(col("__s")).as("kn_sum"))
-      .withColumn("kn_mean", col("kn_sum").cast("double") /
-        (col("n_trigrams") * lit(quant)).cast("double"))
+    val perDoc = knTrigramScore(docs,
+      knTrigramModel(reference, textCol), textCol, idCol, quant)
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("kn_mean").desc, col("__doc").asc)
+      .orderBy(col("kn_mean").desc, col(idCol).asc)
     perDoc.withColumn("__tile", ntile(nBuckets).over(w))
-      .select(col("__doc").as(idCol), col("n_trigrams"), col("kn_sum"),
+      .select(col(idCol), col("n_trigrams"), col("kn_sum"),
         col("kn_mean"),
         when(col("__tile") === 1, lit("head"))
           .when(col("__tile") === nBuckets, lit("tail"))

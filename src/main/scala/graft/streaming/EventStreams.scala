@@ -242,6 +242,38 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming Kneser–Ney LM gate — q188's streaming twin: the KN
+    * trigram model is trained ONCE on the static reference
+    * ([[graft.operators.TextAnalysis.knTrigramModel]], every count
+    * table materialized at query start — the [[phashGateIngest]]
+    * boundary); each micro-batch of documents is scored against it
+    * ([[graft.operators.TextAnalysis.knTrigramScore]]) and gated by a
+    * FIXED kn_mean threshold. The corpus-relative tercile of the batch
+    * gate becomes a constant cutoff here — exactly how CCNet deploys
+    * its LM filter in production: thresholds derived offline from a
+    * reference run, applied per document at ingest. Rows below the
+    * cutoff are dropped; survivors append (id, n_trigrams, kn_sum,
+    * kn_mean). Per-batch cost is batch-proportional: exploded batch
+    * trigrams join the static model tables; nothing corpus-shaped
+    * recomputes. */
+  def knGateIngest(
+      docsStream: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String, minKnMean: Double,
+      sinkPath: String, checkpointPath: String,
+      quant: Long = 1000000L): org.apache.spark.sql.streaming.StreamingQuery = {
+    val model = graft.operators.TextAnalysis
+      .knTrigramModel(reference, textCol).materialized
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.TextAnalysis
+          .knTrigramScore(batch.toDF(), model, textCol, idCol, quant)
+          .filter(col("kn_mean") >= minKnMean)
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+  }
+
   /** Streaming CDC — the continuous form of
     * [[graft.operators.Scd.snapshotDiff]], completing the
     * batch/streaming twin convention for the CDC primitive the SCD2
