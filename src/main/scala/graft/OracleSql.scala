@@ -431,6 +431,14 @@ object SketchParams {
   object q183 {
     val ef = 8; val maxRounds = 1
   }
+  /** q189 hierarchical (two-layer HNSW-style) beam serving: the top
+    * layer is every `layerMod`-th OLD vector, beamed at width `efL1`
+    * for `maxRoundsL1` round(s) to seed the q183-parameter base beam.
+    * Queries/corpus ride the q157 split, the base graph the q152
+    * params. */
+  object q189 {
+    val layerMod = 3L; val efL1 = 8; val maxRoundsL1 = 1
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -5193,6 +5201,23 @@ object OracleSql {
     * re-heaps each batch node — the SQL twin of
     * `Ann.knnGraphProbePortable`. Generated from
     * [[SketchParams.q152]]/[[SketchParams.q157]]. */
+  /** The 2·tablePlanes-plane hyperplane-LSH signature over `embedding`
+    * (the portableSignature twin — shared by the q157 probe chain and
+    * the q189 hierarchy). */
+  private def knnSigExpr: String = {
+    val p152 = SketchParams.q152
+    val planes = 2 * SketchParams.q157.tablePlanes
+    s"""
+      list_sum(list_transform(generate_series(0, ${planes - 1}), j ->
+        CASE WHEN list_sum(list_transform(
+            generate_series(1, len(embedding)), i ->
+          CAST(floor(CAST(embedding[i] AS DOUBLE) * ${p152.scale})
+            AS BIGINT) *
+          (CASE WHEN substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 1)
+            < '8' THEN 1 ELSE -1 END))) > 0
+        THEN (1::BIGINT << j) ELSE 0 END))"""
+  }
+
   /** Exact integer squared-L2 over two quantized lists (shared by the
     * kNN-serving oracles). */
   private def knnSqd(a: String, b: String): String =
@@ -5224,18 +5249,9 @@ object OracleSql {
     require(p.expandRounds == 1,
       "the q157 oracle unrolls exactly one expansion round — keep " +
         "SketchParams.q157.expandRounds in sync or extend the unroll")
-    val planes = 2 * p.tablePlanes
     val tableDiv = 1L << p.tablePlanes
     def sqd(a: String, b: String): String = knnSqd(a, b)
-    val sigExpr = s"""
-      list_sum(list_transform(generate_series(0, ${planes - 1}), j ->
-        CASE WHEN list_sum(list_transform(
-            generate_series(1, len(embedding)), i ->
-          CAST(floor(CAST(embedding[i] AS DOUBLE) * ${p152.scale})
-            AS BIGINT) *
-          (CASE WHEN substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 1)
-            < '8' THEN 1 ELSE -1 END))) > 0
-        THEN (1::BIGINT << j) ELSE 0 END))"""
+    val sigExpr = knnSigExpr
     val heap = (src: String) => knnHeap(src)
     s"""bqv AS MATERIALIZED (
       SELECT vec_id,
@@ -5588,6 +5604,117 @@ object OracleSql {
         row_number() OVER (PARTITION BY id
           ORDER BY d, CAST(nb AS VARCHAR)) AS rn
       FROM b1)
+    WHERE rn <= ${p152.k}"""
+  }
+
+  /** Two-layer HNSW-style beam serving (q189): a SECOND q152 descent
+    * chain over the layer slice (`lay` prefix), the layer-1 beam
+    * (LSH-seeded with the per-bucket cap, one expansion round, heap
+    * width efL1), the seed HAND-OFF (each query's layer-1 heap becomes
+    * its layer-0 seed set AND its initial visited set), then the
+    * layer-0 beam over the base graph (one expansion round, heap width
+    * ef, final top-k) — the SQL twin of `Ann.hierarchicalBeamSearch`.
+    * Generated from [[SketchParams.q152]]/[[SketchParams.q157]]/
+    * [[SketchParams.q183]]/[[SketchParams.q189]]. */
+  private def q189: String = {
+    val p152 = SketchParams.q152
+    val p = SketchParams.q157
+    val pb = SketchParams.q183
+    val ph = SketchParams.q189
+    require(pb.maxRounds == 1 && ph.maxRoundsL1 == 1,
+      "the q189 oracle unrolls exactly one beam round per layer — keep " +
+        "SketchParams.q183.maxRounds/q189.maxRoundsL1 in sync or " +
+        "extend the unroll")
+    val tableDiv = 1L << p.tablePlanes
+    def sqd(a: String, b: String): String = knnSqd(a, b)
+    val oldW = s"vec_id % ${p.batchMod} != 0"
+    val layerW = s"$oldW AND vec_id % ${ph.layerMod} = 1"
+    s"""
+    WITH ${q152Ctes("knn", oldW)}, ${q152Ctes("lay", layerW)},
+    bqv AS MATERIALIZED (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${p152.scale}) AS BIGINT))
+          AS q
+      FROM embeddings WHERE vec_id % ${p.batchMod} = 0
+    ), bsig AS MATERIALIZED (
+      SELECT vec_id, $knnSigExpr AS sig
+      FROM embeddings WHERE vec_id % ${p.batchMod} = 0
+    ), lsig AS MATERIALIZED (
+      SELECT vec_id, $knnSigExpr AS sig
+      FROM embeddings WHERE $layerW
+    ), lseed0 AS (
+      SELECT vec_id, sig % $tableDiv AS b FROM lsig
+      QUALIFY row_number() OVER (PARTITION BY sig % $tableDiv
+        ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || ':seedcap'),
+          1, 15))::BIGINT, vec_id) <= ${p.seedCap}
+    ), lseed1 AS (
+      SELECT vec_id, sig // $tableDiv AS b FROM lsig
+      QUALIFY row_number() OVER (PARTITION BY sig // $tableDiv
+        ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || ':seedcap'),
+          1, 15))::BIGINT, vec_id) <= ${p.seedCap}
+    ), lseeds AS (
+      SELECT DISTINCT id, nb FROM (
+        SELECT b.vec_id AS id, c.vec_id AS nb
+        FROM bsig b JOIN lseed0 c ON b.sig % $tableDiv = c.b
+        UNION ALL
+        SELECT b.vec_id, c.vec_id
+        FROM bsig b JOIN lseed1 c
+          ON b.sig // $tableDiv = c.b)
+    ), ls0 AS (
+      SELECT s.id, s.nb, ${sqd("b.q", "c.q")} AS d
+      FROM lseeds s JOIN bqv b ON s.id = b.vec_id
+        JOIN layqv c ON s.nb = c.vec_id
+    ), lb0 AS MATERIALIZED (${knnHeap(
+      "SELECT id, nb, d FROM ls0", ph.efL1)}
+    ), lund AS (
+      SELECT DISTINCT c, c2 FROM (
+        SELECT id AS c, nb AS c2 FROM laye${p152.rounds}
+        UNION ALL SELECT nb, id FROM laye${p152.rounds})
+    ), lexp AS (
+      SELECT DISTINCT b.id, u.c2 AS nb
+      FROM lb0 b JOIN lund u ON b.nb = u.c
+    ), lcand AS (
+      SELECT e.id, e.nb FROM lexp e
+      ANTI JOIN lseeds s ON e.id = s.id AND e.nb = s.nb
+    ), lbs AS (
+      SELECT c.id, c.nb, ${sqd("b.q", "k.q")} AS d
+      FROM lcand c JOIN bqv b ON c.id = b.vec_id
+        JOIN layqv k ON c.nb = k.vec_id
+    ), lb1 AS MATERIALIZED (${knnHeap(
+      "SELECT id, nb, d FROM lb0 UNION ALL SELECT id, nb, d FROM lbs",
+      ph.efL1)}
+    ), hseeds AS (
+      SELECT id, nb FROM lb1
+    ), hs0 AS (
+      SELECT s.id, s.nb, ${sqd("b.q", "c.q")} AS d
+      FROM hseeds s JOIN bqv b ON s.id = b.vec_id
+        JOIN knnqv c ON s.nb = c.vec_id
+    ), hb0 AS MATERIALIZED (${knnHeap(
+      "SELECT id, nb, d FROM hs0", pb.ef)}
+    ), hund AS (
+      SELECT DISTINCT c, c2 FROM (
+        SELECT id AS c, nb AS c2 FROM knne${p152.rounds}
+        UNION ALL SELECT nb, id FROM knne${p152.rounds})
+    ), hexp AS (
+      SELECT DISTINCT b.id, u.c2 AS nb
+      FROM hb0 b JOIN hund u ON b.nb = u.c
+    ), hcand AS (
+      SELECT e.id, e.nb FROM hexp e
+      ANTI JOIN hseeds s ON e.id = s.id AND e.nb = s.nb
+    ), hbs AS (
+      SELECT c.id, c.nb, ${sqd("b.q", "k.q")} AS d
+      FROM hcand c JOIN bqv b ON c.id = b.vec_id
+        JOIN knnqv k ON c.nb = k.vec_id
+    ), hb1 AS MATERIALIZED (${knnHeap(
+      "SELECT id, nb, d FROM hb0 UNION ALL SELECT id, nb, d FROM hbs",
+      pb.ef)}
+    )
+    SELECT id, nb AS neighbor_id, CAST(rn AS BIGINT) AS rank, d FROM (
+      SELECT id, nb, d,
+        row_number() OVER (PARTITION BY id
+          ORDER BY d, CAST(nb AS VARCHAR)) AS rn
+      FROM hb1)
     WHERE rn <= ${p152.k}"""
   }
 
@@ -6371,6 +6498,7 @@ object OracleSql {
     "q186_hamming_fidelity" -> q186,
     "q187_knn_delete" -> q187,
     "q188_kn_trigram" -> q188,
+    "q189_hnsw_beam" -> q189,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3178,6 +3178,48 @@ object SparkEntry {
       "vec_id", p152.k, p152.scale)
   }
 
+  /** Two-layer HNSW-style beam serving
+    * ([[graft.operators.Ann.hierarchicalBeamSearch]]): the q183 shape
+    * with LSH seeding replaced by a navigable top layer — every
+    * `layerMod`-th old vector forms the layer-1 corpus with its own
+    * memoized descent graph; each query beams there first (width
+    * `efL1`) and hands its layer-1 heap down as the layer-0 seed set.
+    * The DuckDB twin replays both descents, both beam rounds, the
+    * seed hand-off, and the visited-set anti-join. Params from
+    * [[SketchParams.q152]]/[[SketchParams.q157]]/[[SketchParams.q183]]/
+    * [[SketchParams.q189]]. */
+  def q189HierarchicalBeam(s: SparkSession, dir: String): DataFrame = {
+    val p152 = SketchParams.q152
+    val p = SketchParams.q157
+    val pb = SketchParams.q183
+    val ph = SketchParams.q189
+    val emb = t(s, dir, "embeddings")
+    val old = emb.filter(col("vec_id") % p.batchMod =!= 0)
+    val layer = old.filter(col("vec_id") % ph.layerMod === 1)
+    val batch = emb.filter(col("vec_id") % p.batchMod === 0)
+    Ann.hierarchicalBeamSearch(q157OldGraph(s, dir), old,
+      q189LayerGraph(s, dir), layer, batch, "embedding", "vec_id",
+      p152.k, pb.ef, pb.maxRounds, ph.efL1, ph.maxRoundsL1,
+      stopOnNoImprove = true, p152.scale, p.tablePlanes, p.seedCap)
+  }
+
+  /** The layer-1 descent graph for q189 — memoized per (session, dir)
+    * like [[q157OldGraph]] (same q152 build parameters, over the
+    * layer slice). */
+  private val q189LayerMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def q189LayerGraph(s: SparkSession, dir: String): DataFrame =
+    memoCheckpoint(q189LayerMemo, s, dir) {
+      val p152 = SketchParams.q152
+      val p = SketchParams.q157
+      val ph = SketchParams.q189
+      Ann.nnDescentPortable(
+        t(s, dir, "embeddings")
+          .filter(col("vec_id") % p.batchMod =!= 0)
+          .filter(col("vec_id") % ph.layerMod === 1),
+        "embedding", "vec_id", p152.k, p152.rounds, p152.scale)
+    }
+
   /** Interpolated Kneser–Ney trigram gate
     * ([[graft.operators.TextAnalysis.knTrigramGate]]): the CCNet LM
     * filter as a real smoothed trigram model — discounted trigram mass
@@ -3919,7 +3961,8 @@ object SparkEntry {
     "q185_main_extract_parity" -> (q185MainExtractParity _),
     "q186_hamming_fidelity" -> (q186HammingFidelity _),
     "q187_knn_delete" -> (q187KnnDelete _),
-    "q188_kn_trigram" -> (q188KnTrigram _))
+    "q188_kn_trigram" -> (q188KnTrigram _),
+    "q189_hnsw_beam" -> (q189HierarchicalBeam _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

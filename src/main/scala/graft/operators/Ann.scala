@@ -1474,7 +1474,8 @@ object Ann {
       vecCol: String, idCol: String, k: Int, ef: Int, maxRounds: Int,
       stopOnNoImprove: Boolean, dedupVisited: Boolean,
       scale: Int, tablePlanes: Int, seedCap: Int,
-      trackBudget: Boolean)
+      trackBudget: Boolean,
+      seedsOverride: Option[DataFrame] = None)
       : (DataFrame, Long) = {
     require(k >= 1 && ef >= k && maxRounds >= 0 && tablePlanes >= 1 &&
       seedCap >= 1)
@@ -1490,7 +1491,12 @@ object Ann {
     val cPrep = prep(corpus)
     val (qPrep, qCkpt) = CheckpointHygiene.checkpointTracked(
       prep(queries), eager = true)
-    val seeds = lshSeedPairs(qPrep, cPrep, tablePlanes, seedCap)
+    // caller-supplied seeds (the hierarchical layer path) replace the
+    // LSH tables; everything downstream — scoring, the visited set,
+    // the beam loop — is seed-source-oblivious
+    val seeds = seedsOverride
+      .map(_.select(col("id"), col("nb")))
+      .getOrElse(lshSeedPairs(qPrep, cPrep, tablePlanes, seedCap))
     def score(pairs: DataFrame): DataFrame =
       scorePairsSlim(pairs, qPrep, cPrep)
     def heap(pool: DataFrame, width: Int): DataFrame = pool
@@ -1568,6 +1574,81 @@ object Ann {
     beamSearchImpl(graph, corpus, queries, vecCol, idCol, k, ef,
       maxRounds, stopOnNoImprove, dedupVisited = true, scale,
       tablePlanes, seedCap, trackBudget = false)._1
+
+  /** Two-layer HNSW-style serving — [[beamSearchPortable]] with the
+    * LSH seed tables replaced by a NAVIGABLE TOP LAYER (Malkov &
+    * Yashunin 2018, reduced to the two layers that matter at
+    * data-pipeline scale): queries first beam over a small sampled
+    * sub-corpus's own kNN graph (`layerGraph` over `layerCorpus`,
+    * typically 1-in-layerMod nodes — built once, persistable via
+    * [[trainOrLoadKnnGraph]] like the base backbone), and each query's
+    * layer-1 heap BECOMES its layer-0 seed set. Geometry does the
+    * seeding instead of hash buckets: a layer-1 beam lands next to the
+    * query's true neighborhood by construction, where LSH seeding
+    * depends on bucket geometry and needs the per-bucket cap to stay
+    * batch-proportional.
+    *
+    * Both stages are the SAME portable beam loop (layer-1 is
+    * [[beamSearchStats]] with k = ef = `efL1`; layer-0 is the loop with
+    * `seedsOverride`), so the q189 oracle replays hierarchy, heaps,
+    * visited-set accounting, and budget bit-for-bit. The layer-0
+    * visited set initializes to the layer-1 seeds — seed pairs are
+    * never re-scored by the expansion rounds, same as the LSH path.
+    *
+    * Scale shape: layer-1 costs |queries|·efL1·deg-ish scored pairs
+    * over a corpus/layerMod-sized table; layer-0 inherits the q183
+    * contract (corpus vectors only ever probe sides, per-round frames
+    * query-proportional). The returned budget is the TOTAL distinct
+    * scored-pairs spend across both layers — the honest number to
+    * compare against flat [[beamSearchStats]] at equal cost
+    * (spec-measured: hierarchical recall ≥ flat at matched budget on
+    * the sf0.01 corpus).
+    *
+    * @param layerGraph kNN edges over `layerCorpus`
+    *                   ([[nnDescentPortable]] output)
+    * @param efL1  layer-1 beam width = number of seeds handed down
+    * @return ((id, neighbor_id, rank, d) for query ids, total scored
+    *         budget) */
+  def hierarchicalBeamSearchStats(
+      graph: DataFrame, corpus: DataFrame, layerGraph: DataFrame,
+      layerCorpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, ef: Int, maxRounds: Int,
+      efL1: Int, maxRoundsL1: Int = 1,
+      stopOnNoImprove: Boolean = true, scale: Int = 1000,
+      tablePlanes: Int = 4, seedCap: Int = 256): (DataFrame, Long) = {
+    require(efL1 >= 1, "efL1 must be >= 1")
+    val (l1, budgetL1) = beamSearchImpl(layerGraph, layerCorpus,
+      queries, vecCol, idCol, efL1, efL1, maxRoundsL1,
+      stopOnNoImprove, dedupVisited = true, scale, tablePlanes,
+      seedCap, trackBudget = true)
+    val seeds = l1.select(col("id"), col("neighbor_id").as("nb"))
+    val (out, budgetL0) = beamSearchImpl(graph, corpus, queries,
+      vecCol, idCol, k, ef, maxRounds, stopOnNoImprove,
+      dedupVisited = true, scale, tablePlanes, seedCap,
+      trackBudget = true, seedsOverride = Some(seeds))
+    (out, budgetL1 + budgetL0)
+  }
+
+  /** [[hierarchicalBeamSearchStats]] without the budget — the serving
+    * entry point (budget counting costs one extra job per round). */
+  def hierarchicalBeamSearch(
+      graph: DataFrame, corpus: DataFrame, layerGraph: DataFrame,
+      layerCorpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, ef: Int, maxRounds: Int,
+      efL1: Int, maxRoundsL1: Int = 1,
+      stopOnNoImprove: Boolean = true, scale: Int = 1000,
+      tablePlanes: Int = 4, seedCap: Int = 256): DataFrame = {
+    require(efL1 >= 1, "efL1 must be >= 1")
+    val l1 = beamSearchImpl(layerGraph, layerCorpus, queries, vecCol,
+      idCol, efL1, efL1, maxRoundsL1, stopOnNoImprove,
+      dedupVisited = true, scale, tablePlanes, seedCap,
+      trackBudget = false)._1
+    val seeds = l1.select(col("id"), col("neighbor_id").as("nb"))
+    beamSearchImpl(graph, corpus, queries, vecCol, idCol, k, ef,
+      maxRounds, stopOnNoImprove, dedupVisited = true, scale,
+      tablePlanes, seedCap, trackBudget = false,
+      seedsOverride = Some(seeds))._1
+  }
 
   /** MERGE a batch into an existing [[nnDescentPortable]] kNN graph —
     * the maintenance path [[knnGraphProbePortable]] deliberately leaves

@@ -119,4 +119,49 @@ class BeamSearchSpec extends AnyFunSuite {
       s"early-stop never fired in 8 rounds: $stoppedBudget vs " +
         s"$cappedBudget")
   }
+
+  // ------------------------------------ hierarchical (q189) serving
+
+  private lazy val layerCorpus = corpus.filter(col("vec_id") % 3 === 1)
+  private lazy val layerGraph =
+    Ann.nnDescentPortable(layerCorpus, "embedding", "vec_id", 10, 3,
+      Scale).cache()
+
+  test("hierarchical serving: layer seeding matches flat recall at a " +
+      "smaller or comparable budget, and is deterministic") {
+    val (flat, flatBudget) = Ann.beamSearchStats(graph, corpus, queries,
+      "embedding", "vec_id", K, ef = 8, maxRounds = 2, scale = Scale)
+    val (hier, hierBudget) = Ann.hierarchicalBeamSearchStats(graph,
+      corpus, layerGraph, layerCorpus, queries, "embedding", "vec_id",
+      K, ef = 8, maxRounds = 2, efL1 = 8, maxRoundsL1 = 1,
+      scale = Scale)
+    val rFlat = recall(flat)
+    val rHier = recall(hier)
+    // geometry-driven seeding should not lose to hash buckets: allow a
+    // small slack for this tiny corpus, but require near-parity recall
+    assert(rHier >= rFlat - 0.05,
+      s"hierarchical recall $rHier far below flat $rFlat")
+    assert(rHier >= 0.7, s"hierarchical recall $rHier — seeding weak")
+    // the layer replaces |q|*bucket-load seed scoring with an
+    // efL1-wide beam over a third of the corpus; total spend must not
+    // balloon past flat
+    assert(hierBudget <= flatBudget * 2,
+      s"hierarchical budget $hierBudget vs flat $flatBudget")
+    val again = Ann.hierarchicalBeamSearch(graph, corpus, layerGraph,
+      layerCorpus, queries, "embedding", "vec_id", K, ef = 8,
+      maxRounds = 2, efL1 = 8, maxRoundsL1 = 1, scale = Scale)
+    assert(rows(again) == rows(hier),
+      "hierarchical serving is not deterministic")
+  }
+
+  test("hierarchical recall is monotone in the layer width efL1") {
+    val rs = Seq(2, 8).map { efL1 =>
+      val (beam, _) = Ann.hierarchicalBeamSearchStats(graph, corpus,
+        layerGraph, layerCorpus, queries, "embedding", "vec_id", K,
+        ef = 8, maxRounds = 2, efL1 = efL1, maxRoundsL1 = 1,
+        scale = Scale)
+      efL1 -> recall(beam)
+    }.toMap
+    assert(rs(8) >= rs(2), s"recall fell as the layer widened: $rs")
+  }
 }
