@@ -439,6 +439,13 @@ object SketchParams {
   object q189 {
     val layerMod = 3L; val efL1 = 8; val maxRoundsL1 = 1
   }
+  /** q190 averaged-perceptron language filter: feature-hash width
+    * (+1 bias bucket at nBuckets), whole-corpus epochs (the oracle
+    * unrolls exactly this many), and the train/eval split. Learning
+    * rate is 1 by construction (integer updates). */
+  object q190 {
+    val nBuckets = 4096; val epochs = 3; val evalMod = 3L
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -3917,6 +3924,89 @@ object OracleSql {
       FROM perdoc)"""
   }
 
+  /** Averaged-perceptron language filter (q190): hashed-BoW features
+    * (+bias), every whole-corpus epoch unrolled — epoch 1 updates on
+    * ALL docs (w₀ = 0), later epochs only on the currently
+    * misclassified — then the integer SUM of per-epoch weight vectors
+    * scores the held-out third. The SQL twin of
+    * `Classifier.perceptronTrain`/`perceptronScore`. Generated from
+    * [[SketchParams.q190]]. */
+  private def q190: String = {
+    val p = SketchParams.q190
+    val nb = p.nBuckets
+    def featCtes(px: String, where: String): String = s"""${px}tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        '\\s+')) AS w
+      FROM corpus WHERE $where
+    ), ${px}feat AS MATERIALIZED (
+      SELECT id, bucket, tf FROM (
+        SELECT id, bucket, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+          SELECT doc_id AS id,
+            ('0x' || substr(md5(w), 1, 15))::BIGINT % $nb AS bucket
+          FROM ${px}tok)
+        GROUP BY id, bucket
+        UNION ALL
+        SELECT doc_id AS id, CAST($nb AS BIGINT) AS bucket,
+          CAST(1 AS BIGINT) AS tf
+        FROM corpus WHERE $where)
+    )"""
+    val laterEpochs = (2 to p.epochs).map { t =>
+      s""", s$t AS (
+      SELECT f.id, CAST(SUM(f.tf * COALESCE(w.w, 0)) AS BIGINT) AS s
+      FROM tfeat f LEFT JOIN w${t - 1} w ON f.bucket = w.bucket
+      GROUP BY f.id
+    ), m$t AS (
+      SELECT s.id FROM s$t s JOIN lab d ON s.id = d.doc_id
+      WHERE d.y * s.s <= 0
+    ), d$t AS (
+      SELECT bucket, CAST(SUM(y * tf) AS BIGINT) AS w
+      FROM flab WHERE id IN (SELECT id FROM m$t)
+      GROUP BY bucket
+    ), w$t AS MATERIALIZED (
+      SELECT bucket, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT bucket, w FROM w${t - 1}
+        UNION ALL SELECT bucket, w FROM d$t)
+      GROUP BY bucket
+    )"""
+    }.mkString
+    val avgUnion = (1 to p.epochs)
+      .map(t => s"SELECT bucket, w FROM w$t")
+      .mkString("\n        UNION ALL ")
+    s"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id, text, 1 AS y FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+        array_to_string(list_transform(
+          string_split_regex(trim(lower(text)), '\\s+'),
+          w -> substr(md5(w || ':junk'), 1, 8)), ' '),
+        -1
+      FROM documents
+    ), lab AS (
+      SELECT doc_id, y FROM corpus
+    ), ${featCtes("t", s"doc_id % ${p.evalMod} != 0")},
+    flab AS MATERIALIZED (
+      SELECT f.id, f.bucket, f.tf, d.y
+      FROM tfeat f JOIN lab d ON f.id = d.doc_id
+    ), w1 AS MATERIALIZED (
+      SELECT bucket, CAST(SUM(y * tf) AS BIGINT) AS w
+      FROM flab GROUP BY bucket
+    )$laterEpochs, wavg AS (
+      SELECT bucket, CAST(SUM(w) AS BIGINT) AS w FROM (
+        $avgUnion)
+      GROUP BY bucket
+    ), ${featCtes("e", s"doc_id % ${p.evalMod} = 0")},
+    es AS (
+      SELECT f.id, CAST(SUM(f.tf * COALESCE(w.w, 0)) AS BIGINT) AS s
+      FROM efeat f LEFT JOIN wavg w ON f.bucket = w.bucket
+      GROUP BY f.id
+    )
+    SELECT e.id AS doc_id, e.s AS score, e.s > 0 AS predicted,
+      CAST(d.y AS BIGINT) AS label,
+      (e.s > 0) = (d.y > 0) AS correct
+    FROM es e JOIN lab d ON e.id = d.doc_id"""
+  }
+
   private def q161: String = {
     val p = SketchParams.q161
     def sq(a: String, b: String): String =
@@ -6499,6 +6589,7 @@ object OracleSql {
     "q187_knn_delete" -> q187,
     "q188_kn_trigram" -> q188,
     "q189_hnsw_beam" -> q189,
+    "q190_perceptron" -> q190,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3220,6 +3220,44 @@ object SparkEntry {
         "embedding", "vec_id", p152.k, p152.rounds, p152.scale)
     }
 
+  /** Averaged-perceptron quality filter
+    * ([[graft.operators.Classifier.perceptronTrain]]): the
+    * `linearScoreWithWeights` model TRAINED from labeled data — the
+    * DCLM/fastText curation workflow, where positives are the curated
+    * corpus and negatives are junk. The labeled set is built in-query
+    * (the q167/q181 fixture convention): every document contributes
+    * its real text as a positive and a GARBLED twin (each word
+    * replaced by an md5-derived junk token — same length statistics,
+    * disjoint vocabulary) as a negative, so classes are balanced by
+    * construction and the learned signal is vocabulary membership —
+    * exactly what a fastText quality filter encodes. Trains on two
+    * thirds, scores the held-out third; every epoch's integer weight
+    * vector is replayed by the DuckDB twin, so the TRAINING RUN itself
+    * is hash-verified, not just the scorer. Params from
+    * [[SketchParams.q190]]. */
+  def q190Perceptron(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q190
+    val real = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val junkText = array_join(transform(
+      split(trim(lower(col("text"))), "\\s+"),
+      w => substring(md5(concat(w, lit(":junk"))), 1, 8)), " ")
+    val corpus = real.select(col("doc_id"), col("text"),
+        lit(1L).as("label"))
+      .unionByName(real.select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        junkText.as("text"), lit(-1L).as("label")))
+    val train = corpus.filter(col("doc_id") % p.evalMod =!= 0)
+    val weights = operators.Classifier.perceptronTrain(train, "text",
+      "doc_id", "label", p.nBuckets, p.epochs)
+    operators.Classifier.perceptronScore(
+        corpus.filter(col("doc_id") % p.evalMod === 0), weights, "text",
+        "doc_id", p.nBuckets)
+      .join(corpus.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .select(col("doc_id"), col("score"), col("predicted"),
+        col("label"),
+        (col("predicted") === (col("label") > 0)).as("correct"))
+  }
+
   /** Interpolated Kneser–Ney trigram gate
     * ([[graft.operators.TextAnalysis.knTrigramGate]]): the CCNet LM
     * filter as a real smoothed trigram model — discounted trigram mass
@@ -3962,7 +4000,8 @@ object SparkEntry {
     "q186_hamming_fidelity" -> (q186HammingFidelity _),
     "q187_knn_delete" -> (q187KnnDelete _),
     "q188_kn_trigram" -> (q188KnTrigram _),
-    "q189_hnsw_beam" -> (q189HierarchicalBeam _))
+    "q189_hnsw_beam" -> (q189HierarchicalBeam _),
+    "q190_perceptron" -> (q190Perceptron _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

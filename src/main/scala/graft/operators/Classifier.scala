@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed training for the quality/language filter the q98 family
+  * only SCORES: [[TextAnalysis.linearScoreWithWeights]] ships a
+  * `(bucket, weight)` table, and until now nothing in the library
+  * could produce one from labeled data. The averaged batch perceptron
+  * (Rosenblatt 1958; the averaged form of Freund & Schapire 1999,
+  * "Large margin classification using the perceptron algorithm")
+  * closes that: a fastText-style hashed bag-of-words linear model
+  * trained by whole-corpus epochs, everything in EXACT integer
+  * arithmetic — features are md5-hashed token counts, the learning
+  * rate is 1, updates are sums of misclassified docs' signed feature
+  * vectors, and the "averaged" weights are the integer SUM of the
+  * per-epoch weight vectors (a positive scaling of the average, so
+  * sign and ranking are identical and no division ever happens).
+  * Every epoch is deterministic and the q190 DuckDB oracle unrolls
+  * them weight for weight — a TRAINING run that hash-verifies
+  * cross-engine, which SGD-with-shuffling fundamentally cannot.
+  *
+  * Batch (not stochastic) updates are what make this distributed-
+  * friendly: an epoch is one features⋈weights join + two map-side-
+  * combined aggregations, not a sequential pass. The classic
+  * convergence theorem covers the batch variant on separable data;
+  * the averaged vector smooths oscillation on non-separable data
+  * (Freund & Schapire §4) — both spec-measured.
+  *
+  * Scale shape (100 TB): the feature frame is corpus-sized but narrow
+  * (id, bucket, tf); the weight table is nBuckets rows — it rides a
+  * broadcast-sized side automatically (no broadcast REQUIRED: the
+  * join is on the bucket key either way). Per epoch: one shuffle on
+  * the bucket key, one per-doc agg, one delta agg. Epoch frames are
+  * localCheckpointed and freed one generation deep (the descent-loop
+  * hygiene).
+  */
+object Classifier {
+
+  /** Hashed bag-of-words features: (id, bucket, tf) per document —
+    * lower/whitespace tokens (the q127 convention) md5-bucketed, plus
+    * one constant BIAS feature at bucket = nBuckets (outside the hash
+    * range) so the decision boundary need not pass through the
+    * origin. */
+  def hashedFeatures(docs: DataFrame, textCol: String, idCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, "need at least one bucket")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val words = docs.select(col(idCol).as("id"), explode(toks).as("__w"))
+      .select(col("id"),
+        (graft.functions.PortableHash.md5Long60(col("__w"))
+          % nBuckets).as("bucket"))
+      .groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    words.unionByName(docs.select(col(idCol).as("id"),
+      lit(nBuckets.toLong).as("bucket"), lit(1L).as("tf")))
+  }
+
+  /** One weight table application: per-doc integer score
+    * Σ tf·w[bucket] (absent buckets contribute 0 — left join,
+    * zero-filled). */
+  private def scoreWith(feats: DataFrame, weights: DataFrame)
+      : DataFrame = feats
+    .join(weights, Seq("bucket"), "left")
+    .groupBy(col("id"))
+    .agg(sum(col("tf") * coalesce(col("w"), lit(0L))).as("s"))
+
+  /** TRAIN: averaged batch perceptron over `epochs` whole-corpus
+    * passes. `labelCol` must hold ±1 longs. Returns the summed
+    * per-epoch weight table (bucket, w) — hand it to
+    * [[perceptronScore]] or persist it as the model artifact.
+    *
+    * Epoch t (w₀ = 0, so epoch 1 updates on EVERY doc):
+    * {{{
+    *   s(doc)  = Σ_b tf(doc,b) · w_t(b)
+    *   mis_t   = {doc : y(doc) · s(doc) <= 0}
+    *   Δ_t(b)  = Σ_{doc ∈ mis_t} y(doc) · tf(doc,b)
+    *   w_{t+1} = w_t + Δ_t
+    * }}} */
+  def perceptronTrain(train: DataFrame, textCol: String, idCol: String,
+      labelCol: String, nBuckets: Int = 4096,
+      epochs: Int = 3): DataFrame = {
+    require(epochs >= 1, "need at least one epoch")
+    val (feats, featsCkpt) = CheckpointHygiene.checkpointTracked(
+      hashedFeatures(train, textCol, idCol, nBuckets)
+        .join(train.select(col(idCol).as("id"),
+          col(labelCol).cast("long").as("y")), Seq("id")),
+      eager = true)
+    var weights: DataFrame = null   // w_t (null = all-zero w_0)
+    var avg: DataFrame = null       // Σ_{u<=t} w_u
+    var ckpts = Seq.empty[Seq[org.apache.spark.rdd.RDD[_]]]
+    (1 to epochs).foreach { _ =>
+      val scored =
+        if (weights == null)
+          feats.select(col("id")).distinct().withColumn("s", lit(0L))
+        else scoreWith(feats, weights)
+      val mis = scored
+        .join(feats.select(col("id"), col("y")).distinct(), Seq("id"))
+        .filter(col("y") * col("s") <= 0)
+        .select(col("id"))
+      val delta = feats.join(mis, Seq("id"), "left_semi")
+        .groupBy(col("bucket"))
+        .agg(sum(col("y") * col("tf")).as("w"))
+      val next = Option(weights)
+        .map(w => w.unionByName(delta).groupBy(col("bucket"))
+          .agg(sum(col("w")).as("w")))
+        .getOrElse(delta)
+      val (nextCk, c1) = CheckpointHygiene.checkpointTracked(
+        next, eager = true)
+      val (avgCk, c2) = CheckpointHygiene.checkpointTracked(
+        Option(avg)
+          .map(a => a.unionByName(nextCk).groupBy(col("bucket"))
+            .agg(sum(col("w")).as("w")))
+          .getOrElse(nextCk), eager = true)
+      ckpts.foreach(CheckpointHygiene.free)
+      ckpts = Seq(c1, c2)
+      weights = nextCk
+      avg = avgCk
+    }
+    CheckpointHygiene.free(featsCkpt)
+    avg
+  }
+
+  /** SCORE documents with a trained (bucket, w) table: per doc the
+    * integer score and the sign decision (score > 0). Shares the
+    * feature pipeline with [[perceptronTrain]] exactly. */
+  def perceptronScore(docs: DataFrame, weights: DataFrame,
+      textCol: String, idCol: String,
+      nBuckets: Int = 4096): DataFrame = {
+    val idOut = docs.select(col(idCol)).schema.head.name
+    scoreWith(hashedFeatures(docs, textCol, idCol, nBuckets),
+        weights.select(col("bucket"), col("w").cast("long").as("w")))
+      .select(col("id").as(idOut), col("s").as("score"),
+        (col("s") > 0).as("predicted"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Classifier
+
+/** Averaged batch perceptron (q190): hand-computed first-epoch
+  * weights, convergence on separable data, graceful behavior on
+  * unseen vocabulary, and determinism. */
+class ClassifierSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val NB = 64
+
+  test("epoch 1 on w0=0 updates on every doc: weights are the summed " +
+      "signed feature counts (hand-checked through the score)") {
+    // one positive doc "good good", one negative "bad": after epoch 1
+    //   w[bucket(good)] = +2, w[bucket(bad)] = -1, w[bias] = 0
+    // 3 epochs: nothing is misclassified after epoch 1 (scores +4/-1),
+    // so w stays fixed and the averaged sum is 3x — same signs
+    val train = Seq((1L, "good good", 1L), (2L, "bad", -1L))
+      .toDF("doc_id", "text", "label")
+    val w = Classifier.perceptronTrain(train, "text", "doc_id",
+      "label", NB, epochs = 3)
+    val scored = Classifier.perceptronScore(
+        Seq((10L, "good"), (11L, "bad"), (12L, "good bad")
+        ).toDF("doc_id", "text"), w, "text", "doc_id", NB)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // averaged = 3x epoch-1 weights: good=+6, bad=-3, bias=0
+    assert(scored(10L) == 6L, s"score(good) = ${scored(10L)}")
+    assert(scored(11L) == -3L, s"score(bad) = ${scored(11L)}")
+    assert(scored(12L) == 3L, s"score(good bad) = ${scored(12L)}")
+  }
+
+  test("separable vocabulary converges to 100% train accuracy") {
+    val train = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, s"alpha beta w$i", 1L)
+      else (i.toLong, s"gamma delta w$i", -1L)
+    }.toDF("doc_id", "text", "label")
+    val w = Classifier.perceptronTrain(train, "text", "doc_id",
+      "label", 256, epochs = 3)
+    val acc = Classifier.perceptronScore(train, w, "text", "doc_id", 256)
+      .join(train.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .select((col("predicted") === (col("label") > 0))
+        .cast("long").as("c"))
+      .agg(sum(col("c"))).head.getLong(0)
+    assert(acc == 40L, s"train accuracy $acc/40")
+  }
+
+  test("unseen vocabulary at scoring time falls back to the bias " +
+      "weight alone (zero-filled buckets, no crash, no NULL score)") {
+    val train = Seq((1L, "good", 1L), (2L, "bad", -1L), (3L, "bad", -1L))
+      .toDF("doc_id", "text", "label")
+    // 4096 buckets: good/bad/zzz/qqq land in distinct buckets
+    // (2873/2339/3917/1785 — checked against md5), so the unseen doc's
+    // only nonzero contribution is the bias
+    val w = Classifier.perceptronTrain(train, "text", "doc_id",
+      "label", 4096, epochs = 1)
+    // epoch 1: bias = sum of labels = -1; an all-unseen doc scores
+    // exactly the bias
+    val s = Classifier.perceptronScore(
+        Seq((9L, "zzz qqq")).toDF("doc_id", "text"), w, "text",
+        "doc_id", 4096)
+      .collect().head
+    assert(s.getLong(1) == -1L, s"unseen-vocab score ${s.getLong(1)}")
+    assert(!s.getBoolean(2))
+  }
+
+  test("training is deterministic run to run") {
+    val train = (0 until 30).map { i =>
+      (i.toLong, s"t${i % 7} u${i % 5} v${i % 3}",
+        if (i % 3 == 0) 1L else -1L)
+    }.toDF("doc_id", "text", "label")
+    def weights() = Classifier.perceptronTrain(train, "text", "doc_id",
+        "label", NB, epochs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(weights() == weights(), "two identical trainings diverged")
+  }
+}
