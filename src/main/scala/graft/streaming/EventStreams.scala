@@ -274,6 +274,33 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming perceptron quality gate — q190's streaming twin: the
+    * (bucket, weight) model is trained ONCE offline
+    * ([[graft.operators.Classifier.perceptronTrain]] — or loaded from
+    * a persisted artifact) and each micro-batch of documents is scored
+    * against the materialized table
+    * ([[graft.operators.Classifier.perceptronScore]]); only docs the
+    * model accepts (score > 0, the sign decision) reach the sink, with
+    * their scores attached. The fastText-filter deployment shape:
+    * train offline, gate at ingest. Per-batch cost is one
+    * feature-explode + bucket-key join against the static weights. */
+  def perceptronGateIngest(
+      docsStream: DataFrame, weights: DataFrame,
+      textCol: String, idCol: String,
+      sinkPath: String, checkpointPath: String,
+      nBuckets: Int = 4096): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = weights.localCheckpoint(false)
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Classifier
+          .perceptronScore(batch.toDF(), w, textCol, idCol, nBuckets)
+          .filter(col("predicted"))
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+  }
+
   /** Streaming CDC — the continuous form of
     * [[graft.operators.Scd.snapshotDiff]], completing the
     * batch/streaming twin convention for the CDC primitive the SCD2

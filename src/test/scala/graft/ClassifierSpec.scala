@@ -68,6 +68,45 @@ class ClassifierSpec extends AnyFunSuite {
     assert(!s.getBoolean(2))
   }
 
+  test("streaming twin: per-batch gating against the static model == " +
+      "batch score+filter of the union") {
+    val inDir = java.nio.file.Files.createTempDirectory("perc-in")
+    val sink = java.nio.file.Files
+      .createTempDirectory("perc-out").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("perc-ck").toString
+    val train = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, s"alpha beta w$i", 1L)
+      else (i.toLong, s"gamma delta w$i", -1L)
+    }.toDF("doc_id", "text", "label")
+    val w = Classifier.perceptronTrain(train, "text", "doc_id",
+      "label", 256, epochs = 3)
+    val b1 = Seq((100L, "alpha beta beta"), (101L, "gamma delta"))
+    val b2 = Seq((200L, "alpha alpha"), (201L, "delta gamma gamma"))
+    b1.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(inDir.resolve("b1").toString)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(inDir.toString + "/*")
+    val q = graft.streaming.EventStreams.perceptronGateIngest(stream,
+      w, "text", "doc_id", sink, ckpt, nBuckets = 256)
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(inDir.resolve("b2").toString)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(sink)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = Classifier.perceptronScore(
+          (b1 ++ b2).toDF("doc_id", "text"), w, "text", "doc_id", 256)
+        .filter(col("predicted"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed.map(_._1) == Set(100L, 200L),
+        "only positive-vocab docs should pass the gate")
+    } finally q.stop()
+  }
+
   test("training is deterministic run to run") {
     val train = (0 until 30).map { i =>
       (i.toLong, s"t${i % 7} u${i % 5} v${i % 3}",
