@@ -446,6 +446,12 @@ object SketchParams {
   object q190 {
     val nBuckets = 4096; val epochs = 3; val evalMod = 3L
   }
+  /** q191 hybrid retrieval (BM25 ⊕ ANN ⊕ RRF): per-list depth k, the
+    * RRF smoothing constant, over the q157 query/corpus split with
+    * query-by-example text (the query doc's own distinct terms). */
+  object q191 {
+    val k = 8; val rrfK = 60
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -3924,6 +3930,100 @@ object OracleSql {
       FROM perdoc)"""
   }
 
+  /** Hybrid retrieval (q191): the q157 probe chain's seed stage + the
+    * q183 beam unroll at width k both feed RANKS into the q134 RRF
+    * arithmetic, alongside a q112-shape fixed-point BM25 over the
+    * query docs' own distinct terms — the SQL twin of the
+    * `SparkEntry.q191HybridRetrieval` composition. Generated from
+    * [[SketchParams.q152]]/[[SketchParams.q157]]/[[SketchParams.q183]]/
+    * [[SketchParams.q191]]. */
+  private def q191: String = {
+    val p112 = SketchParams.q112
+    val p = SketchParams.q157
+    val pb = SketchParams.q183
+    val ph = SketchParams.q191
+    require(pb.maxRounds == 1,
+      "the q191 oracle unrolls exactly one beam round — keep " +
+        "SketchParams.q183.maxRounds in sync or extend the unroll")
+    s"""
+    WITH ${q152Ctes("knn", s"vec_id % ${p.batchMod} != 0")}, $q157ProbeCtes,
+    hb0 AS MATERIALIZED (${knnHeap("SELECT id, nb, d FROM s0", ph.k)}
+    ), hbexp AS (
+      SELECT DISTINCT b.id, u.c2 AS nb
+      FROM hb0 b JOIN und u ON b.nb = u.c
+    ), hbcand AS (
+      SELECT e.id, e.nb FROM hbexp e
+      ANTI JOIN seeds s ON e.id = s.id AND e.nb = s.nb
+    ), hbs AS (
+      SELECT c.id, c.nb, ${knnSqd("b.q", "k.q")} AS d
+      FROM hbcand c JOIN bqv b ON c.id = b.vec_id
+        JOIN knnqv k ON c.nb = k.vec_id
+    ), hb1 AS MATERIALIZED (${knnHeap(
+      "SELECT id, nb, d FROM hb0 UNION ALL SELECT id, nb, d FROM hbs",
+      ph.k)}
+    ), annr AS (
+      SELECT id AS query_id, nb AS doc_id,
+        row_number() OVER (PARTITION BY id
+          ORDER BY d, CAST(nb AS VARCHAR)) AS rank
+      FROM hb1
+    ), cbase AS (
+      SELECT d.doc_id, string_split_regex(trim(lower(d.text)),
+        '\\s+') AS t
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      WHERE e.vec_id % ${p.batchMod} != 0
+    ), hq AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT d.doc_id AS query_id,
+          unnest(string_split_regex(trim(lower(d.text)), '\\s+'))
+            AS term
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE e.vec_id % ${p.batchMod} = 0)
+      WHERE term != ''
+    ), htoks AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM cbase
+    ), htf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM htoks WHERE term IN (SELECT term FROM hq)
+      GROUP BY doc_id, dl, term
+    ), hdf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM htf GROUP BY term
+    ), hstats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(len(t)) AS BIGINT) AS l
+      FROM cbase
+    ), hsc AS (
+      SELECT hq.query_id, htf.doc_id,
+        ((${p112.s1} * (2*n - 2*df + 1)) // (2*df + 1)) *
+        ((${p112.s2} * 22 * l * tf) // (10*l*tf + 3*l + 9*dl*n)) AS s
+      FROM htf JOIN hdf USING (term) JOIN hq USING (term)
+      CROSS JOIN hstats
+    ), hagg AS (
+      SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score_q
+      FROM hsc GROUP BY query_id, doc_id
+    ), bmr AS (
+      SELECT query_id, doc_id, rn AS rank FROM (
+        SELECT query_id, doc_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY -score_q, CAST(doc_id AS VARCHAR)) AS rn
+        FROM hagg)
+      WHERE rn <= ${ph.k}
+    ), contrib AS (
+      SELECT query_id, doc_id, ${1L << 40} // (${ph.rrfK} + rank) AS c
+      FROM bmr
+      UNION ALL
+      SELECT query_id, doc_id, ${1L << 40} // (${ph.rrfK} + rank) AS c
+      FROM annr
+    ), fused AS (
+      SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_q
+      FROM contrib GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, rrf_q, fused_rank FROM (
+      SELECT query_id, doc_id, rrf_q,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf_q DESC, doc_id ASC) AS BIGINT) AS fused_rank
+      FROM fused)
+    WHERE fused_rank <= ${ph.k}"""
+  }
+
   /** Averaged-perceptron language filter (q190): hashed-BoW features
     * (+bias), every whole-corpus epoch unrolled — epoch 1 updates on
     * ALL docs (w₀ = 0), later epochs only on the currently
@@ -6590,6 +6690,7 @@ object OracleSql {
     "q188_kn_trigram" -> q188,
     "q189_hnsw_beam" -> q189,
     "q190_perceptron" -> q190,
+    "q191_hybrid_retrieval" -> q191,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3220,6 +3220,54 @@ object SparkEntry {
         "embedding", "vec_id", p152.k, p152.rounds, p152.scale)
     }
 
+  /** Hybrid retrieval: BM25 ⊕ ANN fused by reciprocal-rank fusion —
+    * the RAG-era serving composition, query-by-example over the shared
+    * corpus (embeddings ⋈ documents on vec_id = doc_id): each q157
+    * batch doc queries the old slice BOTH ways — its distinct terms
+    * through [[graft.operators.TextAnalysis.bm25FixedPointTopK]] and
+    * its vector through the beam loop over the persisted backbone —
+    * and [[graft.operators.TextAnalysis.reciprocalRankFusion]]
+    * combines the two rankings in exact fixed point. Every stage is
+    * hash-replayed: the BM25 integer form, the beam unroll, and the
+    * RRF arithmetic. Params from [[SketchParams.q157]]/
+    * [[SketchParams.q183]]/[[SketchParams.q191]]. */
+  def q191HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val p152 = SketchParams.q152
+    val p = SketchParams.q157
+    val pb = SketchParams.q183
+    val ph = SketchParams.q191
+    val emb = t(s, dir, "embeddings")
+    val docs = t(s, dir, "documents")
+    val old = emb.filter(col("vec_id") % p.batchMod =!= 0)
+    val batch = emb.filter(col("vec_id") % p.batchMod === 0)
+    val corpusDocs = docs.join(
+      old.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val queryTerms = docs.join(
+        batch.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id").as("query_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val bm25Ranks = operators.TextAnalysis
+      .bm25FixedPointTopK(corpusDocs, "text", "doc_id", queryTerms,
+        ph.k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score_q").desc,
+            col("doc_id").cast("string").asc)).cast("long"))
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val annRanks = Ann.beamSearchPortable(q157OldGraph(s, dir), old,
+        batch, "embedding", "vec_id", ph.k, ph.k, pb.maxRounds,
+        stopOnNoImprove = true, p152.scale, p.tablePlanes, p.seedCap)
+      .select(col("id").as("query_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    operators.TextAnalysis.reciprocalRankFusion(
+      Seq(bm25Ranks, annRanks), "query_id", "doc_id", "rank",
+      ph.rrfK, ph.k)
+  }
+
   /** Averaged-perceptron quality filter
     * ([[graft.operators.Classifier.perceptronTrain]]): the
     * `linearScoreWithWeights` model TRAINED from labeled data — the
@@ -4001,7 +4049,8 @@ object SparkEntry {
     "q187_knn_delete" -> (q187KnnDelete _),
     "q188_kn_trigram" -> (q188KnTrigram _),
     "q189_hnsw_beam" -> (q189HierarchicalBeam _),
-    "q190_perceptron" -> (q190Perceptron _))
+    "q190_perceptron" -> (q190Perceptron _),
+    "q191_hybrid_retrieval" -> (q191HybridRetrieval _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
