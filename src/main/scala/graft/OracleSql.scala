@@ -450,7 +450,7 @@ object SketchParams {
     * RRF smoothing constant, over the q157 query/corpus split with
     * query-by-example text (the query doc's own distinct terms). */
   object q191 {
-    val k = 8; val rrfK = 60
+    val k = 8; val rrfK = 60; val qTerms = 8
   }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
@@ -3972,13 +3972,17 @@ object OracleSql {
       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
       WHERE e.vec_id % ${p.batchMod} != 0
     ), hq AS (
-      SELECT DISTINCT query_id, term FROM (
-        SELECT d.doc_id AS query_id,
-          unnest(string_split_regex(trim(lower(d.text)), '\\s+'))
-            AS term
-        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-        WHERE e.vec_id % ${p.batchMod} = 0)
-      WHERE term != ''
+      SELECT query_id, term FROM (
+        SELECT query_id, term, CAST(COUNT(*) AS BIGINT) AS qtf FROM (
+          SELECT d.doc_id AS query_id,
+            unnest(string_split_regex(trim(lower(d.text)), '\\s+'))
+              AS term
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+          WHERE e.vec_id % ${p.batchMod} = 0)
+        WHERE term != ''
+        GROUP BY query_id, term)
+      QUALIFY row_number() OVER (PARTITION BY query_id
+        ORDER BY qtf DESC, term ASC) <= ${ph.qTerms}
     ), htoks AS (
       SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM cbase
     ), htf AS (

@@ -3242,13 +3242,25 @@ object SparkEntry {
     val batch = emb.filter(col("vec_id") % p.batchMod === 0)
     val corpusDocs = docs.join(
       old.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    // query-by-example keeps each query doc's top `qTerms` terms by
+    // (tf DESC, term ASC) — Lucene MoreLikeThis semantics. Without the
+    // cap a query's FULL term set fans the scoring join out by
+    // |queries sharing each term|; with it the fan-out is bounded by
+    // qTerms per query regardless of vocabulary shape.
     val queryTerms = docs.join(
         batch.select(col("vec_id").as("doc_id")), Seq("doc_id"),
         "left_semi")
       .select(col("doc_id").as("query_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
-      .distinct()
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("__tf").desc, col("term").asc)))
+      .filter(col("__rn") <= ph.qTerms)
+      .select(col("query_id"), col("term"))
     val bm25Ranks = operators.TextAnalysis
       .bm25FixedPointTopK(corpusDocs, "text", "doc_id", queryTerms,
         ph.k)
