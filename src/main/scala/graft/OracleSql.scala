@@ -452,6 +452,12 @@ object SketchParams {
   object q191 {
     val k = 8; val rrfK = 60; val qTerms = 8
   }
+  /** q192 triplet mining: triplets per anchor over the q157 old-slice
+    * backbone (q152 graph params); negatives walk the ':trip' md5
+    * ring. */
+  object q192 {
+    val perTriplet = 2
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -4028,6 +4034,55 @@ object OracleSql {
     WHERE fused_rank <= ${ph.k}"""
   }
 
+  /** Contrastive triplet mining (q192): the q152 descent chain over
+    * the old slice, positives re-ranked by the heap total order,
+    * negatives walked off the ':trip' md5 ring (the descent-init ring
+    * convention under an independent key) skipping self and graph
+    * neighbors, exact integer distances on both sides — the SQL twin
+    * of `Ann.tripletMining`. Generated from [[SketchParams.q152]]/
+    * [[SketchParams.q157]]/[[SketchParams.q192]]. */
+  private def q192: String = {
+    val p152 = SketchParams.q152
+    val p = SketchParams.q157
+    val ph = SketchParams.q192
+    val walk = ph.perTriplet + p152.k + 1
+    val r = p152.rounds
+    s"""
+    WITH ${q152Ctes("knn", s"vec_id % ${p.batchMod} != 0")},
+    tring AS MATERIALIZED (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY
+        ('0x' || substr(md5(vec_id::VARCHAR || ':trip'), 1, 15))::BIGINT,
+        vec_id) AS BIGINT) AS rn
+      FROM knnqv
+    ), tn AS (SELECT COUNT(*) AS n FROM tring
+    ), twalk AS (
+      SELECT a.vec_id AS id, g.j,
+        ((a.rn - 1 + g.j) % tn.n) + 1 AS rn2
+      FROM tring a, generate_series(1, $walk) AS g(j), tn
+    ), tneg0 AS (
+      SELECT w.id, w.j, b.vec_id AS neg_id
+      FROM twalk w JOIN tring b ON b.rn = w.rn2
+      ANTI JOIN knne$r e ON e.id = w.id AND e.nb = b.vec_id
+    ), tneg AS (
+      SELECT id, neg_id, rank FROM (
+        SELECT id, neg_id, CAST(row_number() OVER (PARTITION BY id
+          ORDER BY j) AS BIGINT) AS rank
+        FROM tneg0)
+      WHERE rank <= ${ph.perTriplet}
+    ), tpos AS (
+      SELECT id, nb AS pos_id, d AS pos_d, rank FROM (
+        SELECT id, nb, d, CAST(row_number() OVER (PARTITION BY id
+          ORDER BY d, CAST(nb AS VARCHAR)) AS BIGINT) AS rank
+        FROM knne$r)
+      WHERE rank <= ${ph.perTriplet}
+    )
+    SELECT p.id, p.pos_id, n.neg_id, p.rank, p.pos_d,
+      ${knnSqd("a.q", "b.q")} AS neg_d
+    FROM tpos p JOIN tneg n ON p.id = n.id AND p.rank = n.rank
+    JOIN knnqv a ON p.id = a.vec_id
+    JOIN knnqv b ON n.neg_id = b.vec_id"""
+  }
+
   /** Averaged-perceptron language filter (q190): hashed-BoW features
     * (+bias), every whole-corpus epoch unrolled — epoch 1 updates on
     * ALL docs (w₀ = 0), later epochs only on the currently
@@ -6695,6 +6750,7 @@ object OracleSql {
     "q189_hnsw_beam" -> q189,
     "q190_perceptron" -> q190,
     "q191_hybrid_retrieval" -> q191,
+    "q192_triplet_mining" -> q192,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

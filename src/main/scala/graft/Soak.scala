@@ -121,6 +121,101 @@ object Soak {
     }
 
 
+    if (mode == "r15") {
+      // the r15 additions at replica scale: the KN trigram gate (model
+      // trained on a 1-in-13 reference slice, every doc scored), the
+      // perceptron quality filter (corpus + garbled twins = 2x docs,
+      // 3 whole-corpus epochs), and hybrid retrieval (BM25 top-8-term
+      // query-by-example + beam ANN + RRF) serving 1% of the corpus as
+      // queries against the rest.
+      val ref = docs.filter(col("doc_id") % 13 === 0)
+      timed(s"knTrigramScore (q188 shape, ${docs.count()} docs)") {
+        val model = operators.TextAnalysis.knTrigramModel(ref, "text")
+        val scored = operators.TextAnalysis.knTrigramScore(docs, model,
+          "text", "doc_id")
+        val n = scored.count()
+        val mean = scored.agg(avg(col("kn_mean"))).head.getDouble(0)
+        println(f"[soak]   -> $n scored, mean kn_mean $mean%.4f")
+      }
+      val junk = docs.select((col("doc_id") + lit(900000000L))
+          .as("doc_id"),
+        array_join(transform(split(trim(lower(col("text"))), "\\s+"),
+          w => substring(md5(concat(w, lit(":junk"))), 1, 8)), " ")
+          .as("text"))
+      val labeled = docs.select(col("doc_id"), col("text"),
+          lit(1L).as("label"))
+        .unionByName(junk.select(col("doc_id"), col("text"),
+          lit(-1L).as("label")))
+      timed(s"perceptronTrain+score (q190 shape, ${labeled.count()} " +
+          "docs, 3 epochs)") {
+        val w = operators.Classifier.perceptronTrain(
+          labeled.filter(col("doc_id") % 3 =!= 0), "text", "doc_id",
+          "label", 4096, 3)
+        val eval = operators.Classifier.perceptronScore(
+            labeled.filter(col("doc_id") % 3 === 0), w, "text",
+            "doc_id", 4096)
+          .join(labeled.select(col("doc_id"), col("label")),
+            Seq("doc_id"))
+          .select((col("predicted") === (col("label") > 0))
+            .cast("long").as("c"))
+          .agg(sum(col("c")).as("c"), count(lit(1)).as("n")).head
+        println(s"[soak]   -> eval ${eval.getLong(0)}/${eval.getLong(1)}")
+      }
+      val embBase = Tables.load(spark, sfDir, "embeddings")
+      val embPath = s"/tmp/graft_soak_emb_r$replicas"
+      (0 until replicas).map { k =>
+        embBase.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => x + lit((k % 13) * 0.07f)).as("embedding"))
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(embPath)
+      val emb = spark.read.parquet(embPath)
+      val old = emb.filter(col("vec_id") % 100 =!= 1)
+      val queries = emb.filter(col("vec_id") % 100 === 1)
+      println(s"[soak] hybrid corpus: ${old.count()} vectors, " +
+        s"${queries.count()} queries")
+      val graph = timed("nnDescent backbone (k=4, 2 rounds)") {
+        val g = operators.Ann.nnDescentPortable(old, "embedding",
+          "vec_id", 4, 2, 1000).localCheckpoint(false)
+        g.count(); g
+      }
+      timed("hybrid retrieval (q191 shape: BM25 top-8 terms + beam + " +
+          "RRF)") {
+        val corpusDocs = docs.join(old.select(col("vec_id")
+          .as("doc_id")), Seq("doc_id"), "left_semi")
+        val queryTerms = docs.join(queries.select(col("vec_id")
+            .as("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("doc_id").as("query_id"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(col("query_id"), col("term"))
+          .agg(count(lit(1)).as("__tf"))
+          .withColumn("__rn", org.apache.spark.sql.functions
+            .row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("__tf").desc, col("term").asc)))
+          .filter(col("__rn") <= 8)
+          .select(col("query_id"), col("term"))
+        val bm25 = operators.TextAnalysis.bm25FixedPointTopK(
+            corpusDocs, "text", "doc_id", queryTerms, 8)
+          .withColumn("rank", org.apache.spark.sql.functions
+            .row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("score_q").desc,
+                col("doc_id").cast("string").asc)).cast("long"))
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val ann = operators.Ann.beamSearchPortable(graph, old, queries,
+            "embedding", "vec_id", 8, 8, 2)
+          .select(col("id").as("query_id"),
+            col("neighbor_id").as("doc_id"), col("rank"))
+        val fused = operators.TextAnalysis.reciprocalRankFusion(
+          Seq(bm25, ann), "query_id", "doc_id", "rank", 60, 8)
+        println(s"[soak]   -> ${fused.count()} fused rows")
+      }
+      spark.stop()
+      return
+    }
+
     val pairs = operators.Dedup.minhashLsh(docs, "text", "doc_id",
       ngram = 3, numHashes = 16, bands = 4, jaccardThreshold = 0.5)
       .localCheckpoint(false)

@@ -3280,6 +3280,24 @@ object SparkEntry {
       ph.rrfK, ph.k)
   }
 
+  /** Contrastive triplet mining from the shared kNN backbone
+    * ([[graft.operators.Ann.tripletMining]]): each old-slice node
+    * yields (anchor, positive, negative) training triplets — positives
+    * from its graph heap, negatives walked off the ':trip' md5 ring
+    * skipping self and neighbors — with exact integer distances for
+    * semi-hard filtering. The DuckDB twin replays ring, walk, skip
+    * rule, and distances. Params from [[SketchParams.q152]]/
+    * [[SketchParams.q157]]/[[SketchParams.q192]]. */
+  def q192TripletMining(s: SparkSession, dir: String): DataFrame = {
+    val p152 = SketchParams.q152
+    val p = SketchParams.q157
+    val ph = SketchParams.q192
+    val old = t(s, dir, "embeddings")
+      .filter(col("vec_id") % p.batchMod =!= 0)
+    Ann.tripletMining(q157OldGraph(s, dir), old, "embedding", "vec_id",
+      p152.k, ph.perTriplet, p152.scale)
+  }
+
   /** Averaged-perceptron quality filter
     * ([[graft.operators.Classifier.perceptronTrain]]): the
     * `linearScoreWithWeights` model TRAINED from labeled data — the
@@ -4062,7 +4080,8 @@ object SparkEntry {
     "q188_kn_trigram" -> (q188KnTrigram _),
     "q189_hnsw_beam" -> (q189HierarchicalBeam _),
     "q190_perceptron" -> (q190Perceptron _),
-    "q191_hybrid_retrieval" -> (q191HybridRetrieval _))
+    "q191_hybrid_retrieval" -> (q191HybridRetrieval _),
+    "q192_triplet_mining" -> (q192TripletMining _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

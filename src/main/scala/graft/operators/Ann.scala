@@ -1816,6 +1816,87 @@ object Ann {
     catch { case _: org.apache.spark.sql.AnalysisException =>
       saveKnnGraph(build, path); loadKnnGraph(path) }
 
+  /** Contrastive TRIPLET MINING from the kNN backbone — the
+    * training-data op that closes the embedding loop: the pipeline
+    * builds a kNN graph for dedup/serving anyway, and the same graph
+    * is exactly where contrastive training pairs come from (the
+    * in-batch/ANN-negatives recipe of Karpukhin et al. 2020 (DPR) and
+    * the hard-negative literature). Per anchor: its top `perTriplet`
+    * graph neighbors are the POSITIVES; NEGATIVES are drawn
+    * deterministically from the md5 ring (the [[nnDescentPortable]]
+    * init convention — ring order is md5-random, so ring successors
+    * are a uniform sample), skipping ring hits that are the anchor
+    * itself or among its graph neighbors. Triplet i pairs positive
+    * rank i with the i-th surviving ring negative; both sides carry
+    * their EXACT integer distance so a consumer can filter semi-hard
+    * negatives (`neg_d > pos_d`) or margin-violating ones without
+    * re-scoring.
+    *
+    * Every choice is portable: ring rank, successor walk, skip rule,
+    * and distances all replay in the q192 oracle. Determinism is the
+    * point — a re-mined dataset is bit-identical, so training corpora
+    * built from it are reproducible artifacts.
+    *
+    * Scale shape: one global md5-rank of ids (narrow — the documented
+    * [[nnDescentPortable]] init sort), a sequence-explode of
+    * `perTriplet + k + 1` ring successors per anchor (bounded
+    * fan-out), one anti-join against the graph's edge list, and two
+    * narrow vector joins for the exact distances — output-proportional
+    * like the mining itself; corpus vectors never broadcast.
+    *
+    * @param perTriplet triplets per anchor (requires the corpus to
+    *                   have more than perTriplet + k + 1 nodes)
+    * @return (id, pos_id, neg_id, rank, pos_d, neg_d) — `rank` is the
+    *         1-based triplet index per anchor */
+  def tripletMining(graph: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int, perTriplet: Int = 2,
+      scale: Int = 1000): DataFrame = {
+    require(perTriplet >= 1, "need at least one triplet per anchor")
+    val idType = corpus.select(col(idCol)).schema.head.dataType
+    val qvecs = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__vid"),
+        quantizeVec(col(vecCol), scale).as("__q"))
+    def sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d)
+    // the nnDescent md5 ring, keyed ':trip' so the walk is independent
+    // of the descent's own init ring
+    val ranked = qvecs.select(col("__vid"))
+      .withColumn("__key", graft.functions.PortableHash.md5Long60(
+        concat(col("__vid").cast("string"), lit(":trip"))))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__key"), col("__vid"))).cast("long"))
+      .select(col("__vid"), col("__rn"))
+    val n = ranked.count()
+    val walk = perTriplet + k + 1
+    require(n > walk,
+      s"tripletMining: need more than perTriplet+k+1=$walk nodes, got $n")
+    val edges = graph.select(col("id"), col("neighbor_id").as("nb"))
+    // ring successors, skipping self (j >= 1) and graph neighbors
+    val negs = ranked
+      .select(col("__vid").as("id"), col("__rn"),
+        explode(sequence(lit(1L), lit(walk.toLong))).as("__j"))
+      .select(col("id"), col("__j"),
+        ((col("__rn") - 1L + col("__j")) % n + 1L).as("__rn2"))
+      .join(ranked.select(col("__vid").as("nb"),
+        col("__rn").as("__rn2")), Seq("__rn2"))
+      .join(edges, Seq("id", "nb"), "left_anti")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("__j"))).cast("long"))
+      .filter(col("rank") <= perTriplet)
+      .select(col("id"), col("rank"), col("nb").as("neg_id"))
+    val pos = graph.filter(col("rank") <= perTriplet)
+      .select(col("id"), col("rank"), col("neighbor_id").as("pos_id"),
+        col("d").as("pos_d"))
+    pos.join(negs, Seq("id", "rank"))
+      .join(qvecs.select(col("__vid").as("id"), col("__q").as("__qa")),
+        Seq("id"))
+      .join(qvecs.select(col("__vid").as("neg_id"),
+        col("__q").as("__qb")), Seq("neg_id"))
+      .select(col("id"), col("pos_id"), col("neg_id"), col("rank"),
+        col("pos_d"), sq(col("__qa"), col("__qb")).as("neg_d"))
+  }
+
   /** DELETE maintenance — the inverse of [[knnGraphMerge]] (VERDICT
     * r14 item 5): remove `deleteIds` from a kNN graph and repair the
     * survivors WITHOUT re-descending the corpus. A curation pipeline
