@@ -301,6 +301,62 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming hybrid retrieval — q191's streaming twin: each
+    * micro-batch of query docs (id, text, embedding) is served against
+    * a STATIC corpus both ways — its top-`qTerms` terms (by tf, the
+    * MoreLikeThis cap) through the fixed-point BM25 top-k and its
+    * vector through the beam loop over the persisted backbone — and
+    * the exact-integer RRF fuses the two rankings per batch. The
+    * corpus-side frames (documents, graph, embeddings) are the
+    * caller's static tables (typically [[graft.operators.Ann
+    * .trainOrLoadKnnGraph]] for the graph); per-batch cost is
+    * query-proportional on both paths (BM25 prunes the corpus scan by
+    * the batch's term set; the beam inherits the q183 contract). */
+  def hybridServeIngest(
+      queryStream: DataFrame, corpusDocs: DataFrame, graph: DataFrame,
+      corpusEmb: DataFrame, textCol: String, idCol: String,
+      docIdCol: String, vecCol: String, k: Int, ef: Int, maxRounds: Int,
+      sinkPath: String, checkpointPath: String, qTerms: Int = 8,
+      rrfK: Int = 60,
+      scale: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery = {
+    val docsS = corpusDocs.localCheckpoint(false)
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val queryTerms = b
+          .select(col(idCol).as("query_id"),
+            explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(col("query_id"), col("term"))
+          .agg(count(lit(1)).as("__tf"))
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("__tf").desc, col("term").asc)))
+          .filter(col("__rn") <= qTerms)
+          .select(col("query_id"), col("term"))
+        val bm25 = graft.operators.TextAnalysis
+          .bm25FixedPointTopK(docsS, textCol, docIdCol, queryTerms, k)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("score_q").desc,
+                col("doc_id").cast("string").asc)).cast("long"))
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val ann = graft.operators.Ann
+          .beamSearchPortable(graph, corpusEmb, b, vecCol, idCol, k,
+            ef, maxRounds, scale = scale)
+          .select(col("id").as("query_id"),
+            col("neighbor_id").as("doc_id"), col("rank"))
+        graft.operators.TextAnalysis
+          .reciprocalRankFusion(Seq(bm25, ann), "query_id", "doc_id",
+            "rank", rrfK, k)
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+  }
+
   /** Streaming CDC — the continuous form of
     * [[graft.operators.Scd.snapshotDiff]], completing the
     * batch/streaming twin convention for the CDC primitive the SCD2
