@@ -833,6 +833,36 @@ object TextAnalysis {
     * broadcast. The tercile is a global sort of one row per DOCUMENT
     * (swap for quantile-sketch thresholds at extreme doc counts; the
     * scores stay engine-exact either way). */
+  /** The at-scale form of the CCNet bucket step that the q160/q188
+    * scaladocs promise: instead of the exact global-sort `ntile`
+    * (one row per doc, but still a global sort), compute approximate
+    * tercile thresholds ONCE from Spark's quantile sketch
+    * (Greenwald–Khanna via `approx_percentile`) and bucket by
+    * comparison — a MAP-ONLY gate afterward, and the thresholds are a
+    * tiny reusable artifact (ship them to a streaming gate exactly
+    * like the q188 twin's fixed cutoff). Buckets near the tercile
+    * boundaries may differ from the exact ntile by the sketch's rank
+    * error (spec-measured ≥ ~95% agreement at accuracy 10000); the
+    * far-from-boundary head/tail decisions — the ones curation acts
+    * on — are stable. */
+  def tercileThresholds(scored: DataFrame, scoreCol: String,
+      accuracy: Int = 10000): (Double, Double) = {
+    val r = scored.agg(percentile_approx(col(scoreCol),
+      array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("q"))
+      .head.getSeq[Double](0)
+    (r(0), r(1))
+  }
+
+  /** Map-only head/middle/tail bucketing under fixed thresholds (from
+    * [[tercileThresholds]] or an offline reference run). Matches the
+    * exact-ntile convention's orientation: HIGH scores are "head". */
+  def bucketByThresholds(scored: DataFrame, scoreCol: String,
+      lo: Double, hi: Double): DataFrame =
+    scored.withColumn("bucket",
+      when(col(scoreCol) >= hi, lit("head"))
+        .when(col(scoreCol) < lo, lit("tail"))
+        .otherwise(lit("middle")))
+
   def knTrigramGate(docs: DataFrame, reference: DataFrame,
       textCol: String, idCol: String, quant: Long = 1000000L,
       nBuckets: Int = 3): DataFrame = {

@@ -74,6 +74,37 @@ class KnTrigramSpec extends AnyFunSuite {
       s"versatile 'y' ($sy) should outscore predictable 'x' ($sx)")
   }
 
+  test("sketch-threshold bucketing (the documented at-scale swap) " +
+      "agrees with the exact ntile away from tercile boundaries") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val exact = TextAnalysis.knTrigramGate(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0), "text", "doc_id")
+      .select(col("doc_id"), col("kn_mean"), col("bucket"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1),
+        r.getString(2))).toMap
+    val scored = TextAnalysis.knTrigramScore(
+      docs.filter(col("doc_id") % 3 =!= 0),
+      TextAnalysis.knTrigramModel(
+        docs.filter(col("doc_id") % 3 === 0), "text"),
+      "text", "doc_id")
+    val (lo, hi) = TextAnalysis.tercileThresholds(scored, "kn_mean")
+    assert(lo <= hi)
+    val approx = TextAnalysis
+      .bucketByThresholds(scored, "kn_mean", lo, hi)
+      .select(col("doc_id"), col("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val agree = exact.count { case (id, (_, b)) => approx(id) == b }
+    assert(agree.toDouble / exact.size >= 0.9,
+      s"sketch buckets agree on only $agree/${exact.size}")
+    // orientation identical: every exact-head doc with a score above
+    // hi must be approx-head too
+    exact.foreach { case (id, (m, b)) =>
+      if (m >= hi) assert(approx(id) == "head",
+        s"doc $id score $m >= hi=$hi but approx bucket ${approx(id)}")
+    }
+  }
+
   test("bucket direction: reference-like text lands ahead of gibberish") {
     val ref = (0L to 9L).map(i => (i, "the cat sat on the mat " * 3))
     val docs = Seq(
