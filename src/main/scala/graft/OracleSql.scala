@@ -458,6 +458,14 @@ object SketchParams {
   object q192 {
     val perTriplet = 2
   }
+  /** q193 learned-filter curation: the q169 decision-table shape with
+    * the TRAINED q190 perceptron as the quality gate, over the
+    * held-out real slice; blocklist + shard budget from q169, near-dup
+    * from the q49 parameters over the same slice. */
+  object q193 {
+    val patterns: Seq[String] = SketchParams.q169.patterns
+    val budget = SketchParams.q169.budget
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -4090,10 +4098,12 @@ object OracleSql {
     * scores the held-out third. The SQL twin of
     * `Classifier.perceptronTrain`/`perceptronScore`. Generated from
     * [[SketchParams.q190]]. */
-  private def q190: String = {
-    val p = SketchParams.q190
-    val nb = p.nBuckets
-    def featCtes(px: String, where: String): String = s"""${px}tok AS (
+  /** The q190 hashed-BoW feature chain over `corpus` rows matching
+    * `where` (tokens bucketed + the bias row) — shared by q190 and the
+    * q193 learned-curation composition. */
+  private def q190FeatCtes(px: String, where: String): String = {
+    val nb = SketchParams.q190.nBuckets
+    s"""${px}tok AS (
       SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
         '\\s+')) AS w
       FROM corpus WHERE $where
@@ -4109,6 +4119,15 @@ object OracleSql {
           CAST(1 AS BIGINT) AS tf
         FROM corpus WHERE $where)
     )"""
+  }
+
+  /** The q190 TRAINING chain: in-query labeled corpus (real text +
+    * garbled md5-vocab twins), train features, every epoch unrolled,
+    * and the summed (averaged-form) weight table `wavg` — shared by
+    * q190 (which scores the held-out third) and q193 (which wires the
+    * trained filter into a curation decision table). */
+  private def q190TrainCtes: String = {
+    val p = SketchParams.q190
     val laterEpochs = (2 to p.epochs).map { t =>
       s""", s$t AS (
       SELECT f.id, CAST(SUM(f.tf * COALESCE(w.w, 0)) AS BIGINT) AS s
@@ -4131,8 +4150,7 @@ object OracleSql {
     val avgUnion = (1 to p.epochs)
       .map(t => s"SELECT bucket, w FROM w$t")
       .mkString("\n        UNION ALL ")
-    s"""
-    WITH corpus AS MATERIALIZED (
+    s"""corpus AS MATERIALIZED (
       SELECT doc_id, text, 1 AS y FROM documents
       UNION ALL
       SELECT doc_id + 1000000,
@@ -4143,7 +4161,7 @@ object OracleSql {
       FROM documents
     ), lab AS (
       SELECT doc_id, y FROM corpus
-    ), ${featCtes("t", s"doc_id % ${p.evalMod} != 0")},
+    ), ${q190FeatCtes("t", s"doc_id % ${p.evalMod} != 0")},
     flab AS MATERIALIZED (
       SELECT f.id, f.bucket, f.tf, d.y
       FROM tfeat f JOIN lab d ON f.id = d.doc_id
@@ -4154,7 +4172,14 @@ object OracleSql {
       SELECT bucket, CAST(SUM(w) AS BIGINT) AS w FROM (
         $avgUnion)
       GROUP BY bucket
-    ), ${featCtes("e", s"doc_id % ${p.evalMod} = 0")},
+    )"""
+  }
+
+  private def q190: String = {
+    val p = SketchParams.q190
+    s"""
+    WITH $q190TrainCtes,
+    ${q190FeatCtes("e", s"doc_id % ${p.evalMod} = 0")},
     es AS (
       SELECT f.id, CAST(SUM(f.tf * COALESCE(w.w, 0)) AS BIGINT) AS s
       FROM efeat f LEFT JOIN wavg w ON f.bucket = w.bucket
@@ -4164,6 +4189,64 @@ object OracleSql {
       CAST(d.y AS BIGINT) AS label,
       (e.s > 0) = (d.y > 0) AS correct
     FROM es e JOIN lab d ON e.id = d.doc_id"""
+  }
+
+  /** Learned-filter curation (q193): the q190 training chain, the
+    * held-out real slice scored by `wavg`, the q169 blocklist
+    * position scans, the q49 minhash pair list over the same slice,
+    * the keep decision, and the running-offset shard pack — the SQL
+    * twin of `SparkEntry.q193LearnedCuration`. */
+  private def q193: String = {
+    val p = SketchParams.q190
+    val p49 = SketchParams.q49
+    val pc = SketchParams.q193
+    val pats = pc.patterns.map(s => s"('${s.replace("'", "''")}')")
+      .mkString(", ")
+    s"""
+    WITH $q190TrainCtes,
+    ${q190FeatCtes("e",
+        s"doc_id % ${p.evalMod} = 0 AND doc_id < 1000000")},
+    es AS (
+      SELECT f.id, CAST(SUM(f.tf * COALESCE(w.w, 0)) AS BIGINT) AS s
+      FROM efeat f LEFT JOIN wavg w ON f.bucket = w.bucket
+      GROUP BY f.id
+    ), slice AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % ${p.evalMod} = 0
+    ), bl AS (
+      SELECT s.doc_id, SUM(len(list_filter(
+          generate_series(1, length(s.text) - length(pp.pat) + 1),
+          i -> substr(s.text, CAST(i AS INT), length(pp.pat)) = pp.pat)))
+          AS n_matches
+      FROM slice s CROSS JOIN (VALUES $pats) pp(pat)
+      GROUP BY s.doc_id
+    ), toksrc AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM slice
+    ), ${minhashChainCtes("toksrc", p49.ngram, p49.numHashes,
+        p49.bands, p49.jaccardThreshold)},
+    flags AS (
+      SELECT sl.doc_id,
+        CAST(len(string_split_regex(trim(sl.text), '\\s+')) AS BIGINT)
+          AS n_tokens,
+        e.s AS score, e.s > 0 AS predicted,
+        b.n_matches > 0 AS blocked,
+        sl.doc_id IN (SELECT id_b FROM pairs) AS dup_drop
+      FROM slice sl JOIN es e ON sl.doc_id = e.id
+      JOIN bl b ON sl.doc_id = b.doc_id
+    ), dec AS (
+      SELECT *, predicted AND NOT blocked AND NOT dup_drop AS kept
+      FROM flags
+    ), packd AS (
+      SELECT doc_id,
+        CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+          / ${pc.budget}.0) AS BIGINT) AS shard_id
+      FROM dec WHERE kept
+    )
+    SELECT d.doc_id, d.n_tokens, d.score, d.predicted, d.blocked,
+      d.dup_drop, d.kept, pk.shard_id
+    FROM dec d LEFT JOIN packd pk USING (doc_id)"""
   }
 
   private def q161: String = {
@@ -6751,6 +6834,7 @@ object OracleSql {
     "q190_perceptron" -> q190,
     "q191_hybrid_retrieval" -> q191,
     "q192_triplet_mining" -> q192,
+    "q193_learned_curation" -> q193,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3220,6 +3220,68 @@ object SparkEntry {
         "embedding", "vec_id", p152.k, p152.rounds, p152.scale)
     }
 
+  /** Learned-filter curation run — q190's trained perceptron WIRED
+    * into the pipeline it was built for (the q184 convention: an
+    * operator is not done until the flagship decision table consumes
+    * it): the filter trains on the q190 labeled corpus (real text vs
+    * garbled twins, train slice), then the held-out REAL docs flow
+    * through the q169 decision-table shape with the LEARNED gate in
+    * place of the Gopher heuristics — per doc the model score and
+    * verdict, the blocklist verdict, the q49 near-dup drop, the final
+    * keep, and the landing shard. The DuckDB twin replays training
+    * weight-for-weight and every gate. Params from
+    * [[SketchParams.q190]]/[[SketchParams.q49]]/[[SketchParams.q193]]. */
+  def q193LearnedCuration(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q190
+    val p49 = SketchParams.q49
+    val pc = SketchParams.q193
+    val real = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val junkText = array_join(transform(
+      split(trim(lower(col("text"))), "\\s+"),
+      w => substring(md5(concat(w, lit(":junk"))), 1, 8)), " ")
+    val corpus = real.select(col("doc_id"), col("text"),
+        lit(1L).as("label"))
+      .unionByName(real.select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        junkText.as("text"), lit(-1L).as("label")))
+    val weights = operators.Classifier.perceptronTrain(
+      corpus.filter(col("doc_id") % p.evalMod =!= 0), "text", "doc_id",
+      "label", p.nBuckets, p.epochs)
+    val eval = real.filter(col("doc_id") % p.evalMod === 0)
+      .localCheckpoint(false)
+    val scored = operators.Classifier.perceptronScore(eval, weights,
+      "text", "doc_id", p.nBuckets)
+    val blocked = operators.TextAnalysis.blocklistGate(eval, "text",
+        "doc_id", pc.patterns)
+      .select(col("doc_id"), col("blocked"))
+    val dupIds = operators.Dedup.minhashLshPortable(eval, "text",
+        "doc_id", p49.ngram, p49.numHashes, p49.bands,
+        p49.jaccardThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("__dup", lit(true))
+    val flags = eval
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"))
+      .join(scored.select(col("doc_id"), col("score"),
+        col("predicted")), Seq("doc_id"))
+      .join(blocked, Seq("doc_id"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        col("predicted"), col("blocked"),
+        coalesce(col("__dup"), lit(false)).as("dup_drop"))
+      .withColumn("kept",
+        col("predicted") && !col("blocked") && !col("dup_drop"))
+    val packed = operators.Packing.assignShards(
+        flags.filter(col("kept")).select(col("doc_id"), col("n_tokens")),
+        "n_tokens", "doc_id", pc.budget)
+      .select(col("doc_id"), col("shard_id"))
+    flags.join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        col("predicted"), col("blocked"), col("dup_drop"), col("kept"),
+        col("shard_id"))
+  }
+
   /** Hybrid retrieval: BM25 ⊕ ANN fused by reciprocal-rank fusion —
     * the RAG-era serving composition, query-by-example over the shared
     * corpus (embeddings ⋈ documents on vec_id = doc_id): each q157
@@ -4081,7 +4143,8 @@ object SparkEntry {
     "q189_hnsw_beam" -> (q189HierarchicalBeam _),
     "q190_perceptron" -> (q190Perceptron _),
     "q191_hybrid_retrieval" -> (q191HybridRetrieval _),
-    "q192_triplet_mining" -> (q192TripletMining _))
+    "q192_triplet_mining" -> (q192TripletMining _),
+    "q193_learned_curation" -> (q193LearnedCuration _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
