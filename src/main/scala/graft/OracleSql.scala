@@ -466,6 +466,11 @@ object SketchParams {
     val patterns: Seq[String] = SketchParams.q169.patterns
     val budget = SketchParams.q169.budget
   }
+  /** q194 exact-fill sequence packing: the training sequence length
+    * (every sequence but the last holds exactly this many tokens). */
+  object q194 {
+    val seqLen = 512L
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -4249,6 +4254,37 @@ object OracleSql {
     FROM dec d LEFT JOIN packd pk USING (doc_id)"""
   }
 
+  /** Exact-fill sequence packing (q194): the naive running-offset
+    * window (sf-scale executable spec of the two-phase scan) + a
+    * lateral generate_series over each doc's sequence span — the SQL
+    * twin of `Packing.packSequences`. Generated from
+    * [[SketchParams.q194]]. */
+  private def q194: String = {
+    val L = SketchParams.q194.seqLen
+    s"""
+    WITH d AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+          AS n_tokens
+      FROM documents
+    ), offs AS (
+      SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+          AS off
+      FROM d
+    )
+    SELECT doc_id, CAST(s AS BIGINT) AS seq_id,
+      greatest(s * $L - off, 0) AS piece_start,
+      least((s + 1) * $L, off + n_tokens) -
+        greatest(s * $L, off) AS piece_tokens
+    FROM (
+      SELECT doc_id, off, n_tokens,
+        unnest(generate_series(CAST(off // $L AS BIGINT),
+          CAST((off + n_tokens - 1) // $L AS BIGINT))) AS s
+      FROM offs WHERE n_tokens > 0)"""
+  }
+
   private def q161: String = {
     val p = SketchParams.q161
     def sq(a: String, b: String): String =
@@ -6835,6 +6871,7 @@ object OracleSql {
     "q191_hybrid_retrieval" -> q191,
     "q192_triplet_mining" -> q192,
     "q193_learned_curation" -> q193,
+    "q194_pack_sequences" -> q194,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

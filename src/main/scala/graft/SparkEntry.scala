@@ -3220,6 +3220,24 @@ object SparkEntry {
         "embedding", "vec_id", p152.k, p152.rounds, p152.scale)
     }
 
+  /** Exact-fill sequence packing with document splitting
+    * ([[graft.operators.Packing.packSequences]]): the GPT-style
+    * pretraining packer — the documents corpus as one token stream,
+    * chunked into exactly-`seqLen`-token sequences with docs splitting
+    * across boundaries; per (doc, sequence) the within-doc piece
+    * offset and length. Exact floor arithmetic over the two-phase
+    * prefix sum, replayed by the DuckDB twin. Params from
+    * [[SketchParams.q194]]. */
+  def q194PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q194
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"))
+    operators.Packing.packSequences(docs, "n_tokens", "doc_id",
+      p.seqLen)
+  }
+
   /** Learned-filter curation run — q190's trained perceptron WIRED
     * into the pipeline it was built for (the q184 convention: an
     * operator is not done until the flagship decision table consumes
@@ -4144,7 +4162,8 @@ object SparkEntry {
     "q190_perceptron" -> (q190Perceptron _),
     "q191_hybrid_retrieval" -> (q191HybridRetrieval _),
     "q192_triplet_mining" -> (q192TripletMining _),
-    "q193_learned_curation" -> (q193LearnedCuration _))
+    "q193_learned_curation" -> (q193LearnedCuration _),
+    "q194_pack_sequences" -> (q194PackSequences _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -92,6 +92,48 @@ object Packing {
         floor(col("tok_offset") / maxTokensPerShard).as("shard_id"))
   }
 
+  /** Exact-fill sequence packing WITH document splitting — the
+    * GPT-style pretraining packer: the corpus is one token stream and
+    * every training sequence holds EXACTLY `seqLen` tokens, documents
+    * splitting across sequence boundaries as needed (the spillover
+    * whole-doc packing — [[assignShards]] — cannot give: its shards
+    * only fill to budget±one doc). Each document emits one row per
+    * sequence it touches: `(id, seq_id, piece_start, piece_tokens)`
+    * where `piece_start` is the token offset WITHIN the document, so a
+    * downstream tokenizer can slice `tokens[piece_start,
+    * piece_start + piece_tokens)` and concatenate pieces in `seq_id`
+    * order to materialize exact-length sequences.
+    *
+    * Built directly on the [[assignShards]] two-phase distributed
+    * prefix sum (same order contract, same scale shape); the
+    * span-to-sequence fan-out is a bounded `sequence` explode
+    * (⌈n/seqLen⌉ + 1 rows per doc) — map-only after the scan. Every
+    * quantity is exact BIGINT floor arithmetic, replayed by the q194
+    * oracle.
+    *
+    * Invariant (spec-asserted): summing `piece_tokens` per `seq_id`
+    * gives exactly `seqLen` for every sequence but the last. */
+  def packSequences(
+      docs: DataFrame, tokenCol: String, idCol: String, seqLen: Long,
+      numParts: Int = 0, orderCol: Option[String] = None): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val offs = assignShards(docs, tokenCol, idCol, seqLen, numParts,
+      orderCol)
+    offs.filter(col(tokenCol) > 0)
+      .select(col(idCol), col(tokenCol), col("tok_offset"),
+        explode(sequence(
+          floor(col("tok_offset") / seqLen),
+          floor((col("tok_offset") + col(tokenCol) - 1L) / seqLen)))
+          .as("seq_id"))
+      .select(col(idCol), col("seq_id"),
+        greatest(col("seq_id") * seqLen - col("tok_offset"), lit(0L))
+          .as("piece_start"),
+        (least((col("seq_id") + 1L) * seqLen,
+            col("tok_offset") + col(tokenCol)) -
+          greatest(col("seq_id") * seqLen, col("tok_offset")))
+          .as("piece_tokens"))
+  }
+
   /** The naive single-window executable spec (one window partition = one
     * task; test-only reference, never the production path). */
   private[graft] def assignShardsNaive(

@@ -63,4 +63,42 @@ class PackingSpec extends AnyFunSuite {
       assert(r.getAs[Long]("shard_id") == r.getAs[Long]("tok_offset") / 500L)
     }
   }
+
+  test("packSequences: every sequence but the last holds EXACTLY " +
+      "seqLen tokens; pieces tile each doc contiguously") {
+    val L = 128L
+    val pieces = Packing.packSequences(docs, "n_tokens", "doc_id", L, 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("piece_start"), r.getAs[Long]("piece_tokens")))
+    val totalTokens = docs.agg(org.apache.spark.sql.functions
+      .sum("n_tokens")).head.getLong(0)
+    // exact fill
+    val bySeq = pieces.groupBy(_._2)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (s, rows) =>
+      val tok = rows.map(_._4).sum
+      if (s < lastSeq) assert(tok == L, s"seq $s holds $tok != $L")
+      else assert(tok == totalTokens - lastSeq * L,
+        s"final seq $s holds $tok")
+    }
+    // per-doc tiling: pieces ordered by seq_id start at 0, are
+    // contiguous, and sum to the doc's tokens
+    val nTok = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens"))
+      .toMap
+    pieces.groupBy(_._1).foreach { case (id, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var pos = 0L
+      ordered.foreach { case (_, _, start, n) =>
+        assert(start == pos, s"doc $id piece starts at $start != $pos")
+        assert(n >= 1)
+        pos += n
+      }
+      assert(pos == nTok(id), s"doc $id pieces sum to $pos")
+    }
+    // splitting actually happens (docs longer than L must split)
+    assert(pieces.groupBy(_._1).exists(_._2.length > 1) ||
+      nTok.values.forall(_ <= L))
+  }
 }
