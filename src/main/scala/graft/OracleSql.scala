@@ -471,6 +471,12 @@ object SketchParams {
   object q194 {
     val seqLen = 512L
   }
+  /** q195 WordPiece-style integer-DP segmentation: substring-vocab
+    * size, piece length cap, and the DP unroll length (words longer
+    * than maxWord pass through unsegmented, covered = false). */
+  object q195 {
+    val vocabSize = 64; val maxPiece = 8; val maxWord = 16
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -4285,6 +4291,85 @@ object OracleSql {
       FROM offs WHERE n_tokens > 0)"""
   }
 
+  /** WordPiece-style integer-DP segmentation (q195): the substring
+    * vocabulary (top-V + all chars), then the DP unrolled position by
+    * position — candidates at position i come from every reachable
+    * position j ∈ [i−maxPiece, i−1] whose bridging substring is in
+    * vocab, cost = pieces·2⁵⁰ − Σfreq, argmin tie-broken by shortest
+    * last piece — the SQL twin of `TextAnalysis.wordpieceSegment`.
+    * Generated from [[SketchParams.q195]]. */
+  private def q195: String = {
+    val p = SketchParams.q195
+    val big = 1L << 50
+    val steps = (1 to p.maxWord).map { i =>
+      val srcs = (math.max(0, i - p.maxPiece) until i)
+        .map(j => s"SELECT w, pos, cost, pieces FROM b$j")
+        .mkString("\n        UNION ALL ")
+      s""", c$i AS (
+      SELECT b.w, b.cost + $big - v.freq AS cost,
+        $i - b.pos AS l,
+        CASE WHEN b.pieces = '' THEN v.piece
+          ELSE b.pieces || '|' || v.piece END AS pieces
+      FROM ($srcs) b
+      JOIN vocab v
+        ON v.piece = substr(b.w, CAST(b.pos + 1 AS INT),
+          CAST($i - b.pos AS INT))
+      WHERE length(b.w) >= $i
+    ), b$i AS MATERIALIZED (
+      SELECT w, $i AS pos, cost, pieces FROM (
+        SELECT w, cost, pieces,
+          row_number() OVER (PARTITION BY w ORDER BY cost, l) AS rn
+        FROM c$i)
+      WHERE rn = 1
+    )"""
+    }.mkString
+    val finals = (1 to p.maxWord)
+      .map(j => s"SELECT w, pieces FROM b$j WHERE length(w) = $j")
+      .mkString("\n        UNION ALL ")
+    s"""
+    WITH wnz AS (
+      SELECT w FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+          AS w
+        FROM documents)
+      WHERE w != ''
+    ), lsub AS (
+      SELECT w, CAST(u.l AS INT) AS l FROM wnz,
+        unnest(generate_series(1, least(length(w), ${p.maxPiece})))
+          AS u(l)
+    ), ssub AS (
+      SELECT substr(w, CAST(v.s AS INT), l) AS piece FROM lsub,
+        unnest(generate_series(1, length(w) - l + 1)) AS v(s)
+    ), vfreq AS (
+      SELECT piece, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM ssub GROUP BY piece
+    ), vtop AS (
+      SELECT piece, freq FROM vfreq
+      QUALIFY row_number() OVER (
+        ORDER BY freq * (length(piece) - 1) DESC, piece ASC)
+        <= ${p.vocabSize}
+    ), vocab AS MATERIALIZED (
+      SELECT piece, freq FROM vtop
+      UNION ALL
+      SELECT piece, freq FROM vfreq
+      WHERE length(piece) = 1 AND piece NOT IN (SELECT piece FROM vtop)
+    ), types AS (
+      SELECT DISTINCT w FROM wnz
+    ), b0 AS (
+      SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost, '' AS pieces
+      FROM types WHERE length(w) <= ${p.maxWord}
+    )$steps, seg AS (
+      $finals
+    )
+    SELECT w AS word,
+      CAST(len(string_split(pieces, '|')) AS BIGINT) AS n_pieces,
+      pieces, TRUE AS covered
+    FROM seg
+    UNION ALL
+    SELECT w, CAST(1 AS BIGINT), w, FALSE
+    FROM types WHERE length(w) > ${p.maxWord}"""
+  }
+
   private def q161: String = {
     val p = SketchParams.q161
     def sq(a: String, b: String): String =
@@ -6872,6 +6957,7 @@ object OracleSql {
     "q192_triplet_mining" -> q192,
     "q193_learned_curation" -> q193,
     "q194_pack_sequences" -> q194,
+    "q195_wordpiece" -> q195,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

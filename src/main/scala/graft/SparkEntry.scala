@@ -3238,6 +3238,23 @@ object SparkEntry {
       p.seqLen)
   }
 
+  /** WordPiece-style subword segmentation
+    * ([[graft.operators.TextAnalysis.wordpieceVocab]] +
+    * [[graft.operators.TextAnalysis.wordpieceSegment]]): the
+    * frequency-ranked substring vocabulary, then the exact integer DP
+    * (fewest pieces, then highest total frequency) over every distinct
+    * corpus word — the tokenizer-family member BPE's greedy merges
+    * can't express, with every cut replayed by the DuckDB twin's
+    * unrolled DP. Params from [[SketchParams.q195]]. */
+  def q195Wordpiece(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q195
+    val docs = t(s, dir, "documents")
+    operators.TextAnalysis.wordpieceSegment(docs, "text",
+      operators.TextAnalysis.wordpieceVocab(docs, "text", p.vocabSize,
+        p.maxPiece),
+      p.maxPiece, p.maxWord)
+  }
+
   /** Learned-filter curation run — q190's trained perceptron WIRED
     * into the pipeline it was built for (the q184 convention: an
     * operator is not done until the flagship decision table consumes
@@ -4163,7 +4180,8 @@ object SparkEntry {
     "q191_hybrid_retrieval" -> (q191HybridRetrieval _),
     "q192_triplet_mining" -> (q192TripletMining _),
     "q193_learned_curation" -> (q193LearnedCuration _),
-    "q194_pack_sequences" -> (q194PackSequences _))
+    "q194_pack_sequences" -> (q194PackSequences _),
+    "q195_wordpiece" -> (q195Wordpiece _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1215,6 +1215,122 @@ object TextAnalysis {
     * depend on the previous merge). Train on a SAMPLE at 100 TB (any
     * [[graft.operators.Sampling]] portable sample); apply the learned
     * table everywhere via [[bpeTokens]]. */
+  /** Frequency-ranked subword vocabulary for [[wordpieceSegment]]:
+    * every substring of corpus tokens up to `maxPiece` chars, counted
+    * over token OCCURRENCES, top `vocabSize` by the VALUE score
+    * freq·(len−1) — the characters a piece saves over spelling it out,
+    * the same quantity a WordPiece merge's likelihood gain prices —
+    * so high-frequency LONG pieces win the budget while single chars
+    * (score 0) ride along unconditionally for coverage: any word ≤
+    * the length cap is segmentable. One explode + one hash agg + one
+    * bounded top-k. */
+  def wordpieceVocab(docs: DataFrame, textCol: String,
+      vocabSize: Int = 64, maxPiece: Int = 8): DataFrame = {
+    require(vocabSize >= 1 && maxPiece >= 1)
+    val words = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+"))
+        .as("__w"))
+      .filter(col("__w") =!= "")
+    val subs = words.select(explode(flatten(transform(
+        sequence(lit(1), least(length(col("__w")), lit(maxPiece))),
+        l => transform(sequence(lit(1), length(col("__w")) - l + 1),
+          s => substring(col("__w"), s, l))))).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("freq"))
+    val top = subs
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy((col("freq") * (length(col("piece")) - 1)).desc,
+            col("piece").asc)))
+      .filter(col("__rn") <= vocabSize)
+      .select(col("piece"), col("freq"))
+    // chars ride along with their true frequency (dedup vs top)
+    top.unionByName(
+        subs.filter(length(col("piece")) === 1)
+          .join(top.select(col("piece")), Seq("piece"), "left_anti"))
+      .select(col("piece"), col("freq"))
+  }
+
+  /** WordPiece-style subword segmentation as an EXACT integer dynamic
+    * program — the tokenizer-family member BPE's greedy merges can't
+    * express: per word the DP minimizes (piece count, then −Σ piece
+    * frequency, then shortest-last-piece) — fewest pieces first, the
+    * longest-match flavor of WordPiece/MaxMatch (Song et al. 2021's
+    * "Fast WordPiece" objective), with corpus frequency as the
+    * tie-break instead of unigram-LM probabilities so EVERYTHING stays
+    * BIGINT (no libm, no float products) and the q195 oracle replays
+    * the whole table cut for cut. The encoded cost is
+    * `pieces·2⁵⁰ − Σfreq` (freq sums are far below 2⁵⁰), and at every
+    * position the (cost ASC, piece-length ASC) argmin is unique, so
+    * the segmentation is deterministic by induction.
+    *
+    * The DP runs over DISTINCT words (types, not occurrences) with
+    * `maxWord` unrolled steps — word-type-scale frames joined against
+    * the broadcast-sized vocabulary, nothing corpus-shaped after the
+    * distinct. Words longer than `maxWord` pass through unsegmented
+    * with `covered = false` (count them; a real corpus sets the cap
+    * comfortably above its P99 word length).
+    *
+    * @return one row per distinct word: (word, n_pieces, pieces —
+    *         '|'-joined — , covered) */
+  def wordpieceSegment(docs: DataFrame, textCol: String,
+      vocab: DataFrame, maxPiece: Int = 8,
+      maxWord: Int = 16): DataFrame = {
+    require(maxPiece >= 1 && maxWord >= 1)
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+"))
+        .as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+      .localCheckpoint(false)
+    val v = vocab.select(col("piece"), col("freq").cast("long")
+      .as("freq")).localCheckpoint(false)
+    val inRange = words.filter(length(col("word")) <= maxWord)
+    val big = lit(1L << 50)
+    // DP state: (word, pos, cost, pieces) — best segmentation of the
+    // first `pos` chars; base pos = 0
+    var best = inRange.select(col("word"), lit(0).as("pos"),
+      lit(0L).as("cost"), lit("").as("pieces"))
+      .localCheckpoint(false)
+    (1 to maxWord).foreach { i =>
+      val cands = best
+        .filter(col("pos") < length(col("word")))
+        .filter(col("pos") >= i - maxPiece && col("pos") <= i - 1)
+        .filter(length(col("word")) >= i)
+        .withColumn("__piece",
+          expr(s"substring(word, pos + 1, $i - pos)"))
+        .join(v.select(col("piece").as("__piece"), col("freq")),
+          Seq("__piece"))
+        .select(col("word"), lit(i).as("__i"),
+          (col("cost") + big - col("freq")).as("cost"),
+          (lit(i) - col("pos")).as("__l"),
+          concat(col("pieces"),
+            when(col("pieces") === "", col("__piece"))
+              .otherwise(concat(lit("|"), col("__piece"))))
+            .as("pieces"))
+      val stepBest = cands
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("word"))
+            .orderBy(col("cost").asc, col("__l").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("word"), col("__i").as("pos"), col("cost"),
+          col("pieces"))
+      val next = best.unionByName(stepBest).localCheckpoint(false)
+      best = next
+    }
+    val segmented = best
+      .filter(col("pos") === length(col("word")))
+      .select(col("word"),
+        (size(split(col("pieces"), "\\|"))).cast("long")
+          .as("n_pieces"),
+        col("pieces"), lit(true).as("covered"))
+    segmented.unionByName(
+      words.filter(length(col("word")) > maxWord)
+        .select(col("word"), lit(1L).as("n_pieces"),
+          col("word").as("pieces"), lit(false).as("covered")))
+  }
+
   def learnBpeMerges(docs: DataFrame, textCol: String,
       numMerges: Int): Seq[(String, String)] = {
     require(numMerges >= 0, "numMerges must be >= 0")
