@@ -1287,12 +1287,23 @@ object TextAnalysis {
       .as("freq")).localCheckpoint(false)
     val inRange = words.filter(length(col("word")) <= maxWord)
     val big = lit(1L << 50)
+    // the loop length is the LONGEST in-range word, not the cap — the
+    // rounds past it would only ever see empty candidate sets, and the
+    // per-round scheduling floor is this operator's whole cost at
+    // word-type scale
+    val maxLen = inRange.agg(max(length(col("word")))).head match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
     // DP state: (word, pos, cost, pieces) — best segmentation of the
-    // first `pos` chars; base pos = 0
-    var best = inRange.select(col("word"), lit(0).as("pos"),
+    // first `pos` chars; base pos = 0. Each round's NEW rows are
+    // checkpointed once; the accumulated state is a lazy union of
+    // already-materialized frames (never re-checkpointed).
+    var frames = Seq(inRange.select(col("word"), lit(0).as("pos"),
       lit(0L).as("cost"), lit("").as("pieces"))
-      .localCheckpoint(false)
-    (1 to maxWord).foreach { i =>
+      .localCheckpoint(false))
+    (1 to maxLen).foreach { i =>
+      val best = frames.reduce(_.unionByName(_))
       val cands = best
         .filter(col("pos") < length(col("word")))
         .filter(col("pos") >= i - maxPiece && col("pos") <= i - 1)
@@ -1316,10 +1327,9 @@ object TextAnalysis {
         .filter(col("__rn") === 1)
         .select(col("word"), col("__i").as("pos"), col("cost"),
           col("pieces"))
-      val next = best.unionByName(stepBest).localCheckpoint(false)
-      best = next
+      frames = frames :+ stepBest.localCheckpoint(false)
     }
-    val segmented = best
+    val segmented = frames.reduce(_.unionByName(_))
       .filter(col("pos") === length(col("word")))
       .select(col("word"),
         (size(split(col("pieces"), "\\|"))).cast("long")
