@@ -1600,9 +1600,9 @@ object Ann {
     * contract (corpus vectors only ever probe sides, per-round frames
     * query-proportional). The returned budget is the TOTAL distinct
     * scored-pairs spend across both layers — the honest number to
-    * compare against flat [[beamSearchStats]] at equal cost
-    * (spec-measured: hierarchical recall ≥ flat at matched budget on
-    * the sf0.01 corpus).
+    * compare against flat [[beamSearchStats]] (spec-measured:
+    * near-parity recall with flat seeding at a bounded combined
+    * budget on the sf0.01 corpus, and recall monotone in `efL1`).
     *
     * @param layerGraph kNN edges over `layerCorpus`
     *                   ([[nnDescentPortable]] output)

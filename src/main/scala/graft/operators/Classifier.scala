@@ -23,9 +23,9 @@ import org.apache.spark.sql.functions._
   * Batch (not stochastic) updates are what make this distributed-
   * friendly: an epoch is one features⋈weights join + two map-side-
   * combined aggregations, not a sequential pass. The classic
-  * convergence theorem covers the batch variant on separable data;
-  * the averaged vector smooths oscillation on non-separable data
-  * (Freund & Schapire §4) — both spec-measured.
+  * convergence theorem covers the batch variant on separable data
+  * (spec-measured); the averaged vector smooths oscillation on
+  * non-separable data (Freund & Schapire §4).
   *
   * Scale shape (100 TB): the feature frame is corpus-sized but narrow
   * (id, bucket, tf); the weight table is nBuckets rows — it rides a

@@ -842,7 +842,7 @@ object TextAnalysis {
     * tiny reusable artifact (ship them to a streaming gate exactly
     * like the q188 twin's fixed cutoff). Buckets near the tercile
     * boundaries may differ from the exact ntile by the sketch's rank
-    * error (spec-measured ≥ ~95% agreement at accuracy 10000); the
+    * error (spec floor: ≥ 90% agreement at accuracy 10000); the
     * far-from-boundary head/tail decisions — the ones curation acts
     * on — are stable. */
   def tercileThresholds(scored: DataFrame, scoreCol: String,
