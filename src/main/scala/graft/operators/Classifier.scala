@@ -121,6 +121,29 @@ object Classifier {
     avg
   }
 
+  /** Persist a trained (bucket, w) table — the model artifact the
+    * gate ships (the `trainOrLoadKnnGraph`/centroid convention applied
+    * to the classifier family). Bit-exact round trip: two BIGINT
+    * columns. */
+  def saveWeights(weights: DataFrame, path: String): Unit =
+    weights.select(col("bucket").cast("long"), col("w").cast("long"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Bit-exact inverse of [[saveWeights]]. */
+  def loadWeights(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read.parquet(path).select(col("bucket"), col("w"))
+
+  /** Train-once-reuse: load the weight table at `path` if present,
+    * else train via `build`, persist, and serve from the PERSISTED
+    * copy — scoring lineage is a parquet scan, never the training
+    * plan. */
+  def trainOrLoadWeights(path: String)(build: => DataFrame)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    try { val w = loadWeights(path); w.queryExecution.analyzed; w }
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      saveWeights(build, path); loadWeights(path) }
+
   /** SCORE documents with a trained (bucket, w) table: per doc the
     * integer score and the sign decision (score > 0). Shares the
     * feature pipeline with [[perceptronTrain]] exactly. */

@@ -702,6 +702,44 @@ object TextAnalysis {
         col("__p.w3")): _*)
   }
 
+  /** Persist a trained [[KnTrigramModel]] — six parquet tables under
+    * one root (the `trainOrLoadKnnGraph`/codebook convention applied
+    * to the LM family). Bit-exact: every column is BIGINT or STRING. */
+  def saveKnModel(model: KnTrigramModel, root: String): Unit = {
+    model.rTri.write.mode("overwrite").parquet(s"$root/rtri")
+    model.rCtx3.write.mode("overwrite").parquet(s"$root/rctx3")
+    model.rMid.write.mode("overwrite").parquet(s"$root/rmid")
+    model.rMctx.write.mode("overwrite").parquet(s"$root/rmctx")
+    model.rUni.write.mode("overwrite").parquet(s"$root/runi")
+    model.btv.write.mode("overwrite").parquet(s"$root/btv")
+  }
+
+  /** Bit-exact inverse of [[saveKnModel]]. */
+  def loadKnModel(root: String)(
+      implicit spark: org.apache.spark.sql.SparkSession)
+      : KnTrigramModel = KnTrigramModel(
+    spark.read.parquet(s"$root/rtri"),
+    spark.read.parquet(s"$root/rctx3"),
+    spark.read.parquet(s"$root/rmid"),
+    spark.read.parquet(s"$root/rmctx"),
+    spark.read.parquet(s"$root/runi"),
+    spark.read.parquet(s"$root/btv"))
+
+  /** Train-once-reuse for the KN model: load from `root` if present,
+    * else train via `build`, persist, and serve from the PERSISTED
+    * copy (scoring lineage = parquet scans, never the training
+    * aggregations — the streaming gate's natural across-session
+    * artifact). */
+  def trainOrLoadKnModel(root: String)(build: => KnTrigramModel)(
+      implicit spark: org.apache.spark.sql.SparkSession)
+      : KnTrigramModel =
+    try {
+      val m = loadKnModel(root)
+      m.rTri.queryExecution.analyzed
+      m
+    } catch { case _: org.apache.spark.sql.AnalysisException =>
+      saveKnModel(build, root); loadKnModel(root) }
+
   /** TRAIN the [[knTrigramGate]] count tables on a reference corpus —
     * see the gate's scaladoc for the model structure. */
   def knTrigramModel(reference: DataFrame, textCol: String)

@@ -107,6 +107,28 @@ class ClassifierSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("weights persist bit-exactly; trainOrLoadWeights builds once " +
+      "then serves from the model file") {
+    implicit val s = spark
+    val train = Seq((1L, "good good", 1L), (2L, "bad", -1L))
+      .toDF("doc_id", "text", "label")
+    val w = Classifier.perceptronTrain(train, "text", "doc_id",
+      "label", NB, epochs = 2)
+    val path = java.nio.file.Files.createTempDirectory("perc-model")
+      .toString + "/w"
+    var builds = 0
+    def build = { builds += 1; w }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = Classifier.trainOrLoadWeights(path)(build)
+    assert(builds == 1)
+    assert(rows(first) == rows(w), "persisted weights diverged")
+    val second = Classifier.trainOrLoadWeights(path)(build)
+    assert(builds == 1, "second call re-trained instead of loading")
+    assert(second.inputFiles.nonEmpty,
+      "load not backed by the model file")
+  }
+
   test("training is deterministic run to run") {
     val train = (0 until 30).map { i =>
       (i.toLong, s"t${i % 7} u${i % 5} v${i % 3}",

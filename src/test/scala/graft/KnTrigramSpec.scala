@@ -105,6 +105,29 @@ class KnTrigramSpec extends AnyFunSuite {
     }
   }
 
+  test("KN model persists bit-exactly; trainOrLoadKnModel builds once " +
+      "and scores from the persisted tables identically") {
+    implicit val s = spark
+    val ref = Seq((0L, "a b c a b c a b d")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c"), (2L, "a b a")).toDF("doc_id", "text")
+    val fresh = TextAnalysis.knTrigramModel(ref, "text")
+    val root = java.nio.file.Files.createTempDirectory("kn-model")
+      .toString + "/m"
+    var builds = 0
+    def build = { builds += 1; fresh }
+    val loaded = TextAnalysis.trainOrLoadKnModel(root)(build)
+    assert(builds == 1)
+    val again = TextAnalysis.trainOrLoadKnModel(root)(build)
+    assert(builds == 1, "second call re-trained instead of loading")
+    def scores(m: TextAnalysis.KnTrigramModel) =
+      TextAnalysis.knTrigramScore(docs, m, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(scores(loaded) == scores(fresh),
+      "persisted model scores diverged from the fresh model")
+    assert(again.rTri.inputFiles.nonEmpty,
+      "load not backed by the model files")
+  }
+
   test("bucket direction: reference-like text lands ahead of gibberish") {
     val ref = (0L to 9L).map(i => (i, "the cat sat on the mat " * 3))
     val docs = Seq(
