@@ -121,6 +121,24 @@ object Soak {
     }
 
 
+    if (mode == "r15tok") {
+      // the q195 tokenizer trainer at replica scale: the substring
+      // vocabulary count is the corpus-proportional stage (the DP runs
+      // over word TYPES, which replication barely grows)
+      timed(s"wordpieceVocab + segment (q195 shape, ${docs.count()} " +
+          "docs)") {
+        val vocab = operators.TextAnalysis.wordpieceVocab(docs, "text")
+          .localCheckpoint(false)
+        val seg = operators.TextAnalysis.wordpieceSegment(docs, "text",
+          vocab)
+        val n = seg.count()
+        val mean = seg.agg(avg(col("n_pieces"))).head.getDouble(0)
+        println(f"[soak]   -> $n word types, mean $mean%.2f pieces")
+      }
+      spark.stop()
+      return
+    }
+
     if (mode == "r15") {
       // the r15 additions at replica scale: the KN trigram gate (model
       // trained on a 1-in-13 reference slice, every doc scored), the
