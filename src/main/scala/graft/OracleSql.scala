@@ -4115,9 +4115,11 @@ object OracleSql {
   private def q190FeatCtes(px: String, where: String): String = {
     val nb = SketchParams.q190.nBuckets
     s"""${px}tok AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
-        '\\s+')) AS w
-      FROM corpus WHERE $where
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+          '\\s+')) AS w
+        FROM corpus WHERE $where)
+      WHERE w != ''
     ), ${px}feat AS MATERIALIZED (
       SELECT id, bucket, tf FROM (
         SELECT id, bucket, CAST(COUNT(*) AS BIGINT) AS tf FROM (
@@ -4202,19 +4204,17 @@ object OracleSql {
     FROM es e JOIN lab d ON e.id = d.doc_id"""
   }
 
-  /** Learned-filter curation (q193): the q190 training chain, the
-    * held-out real slice scored by `wavg`, the q169 blocklist
-    * position scans, the q49 minhash pair list over the same slice,
-    * the keep decision, and the running-offset shard pack — the SQL
-    * twin of `SparkEntry.q193LearnedCuration`. */
-  private def q193: String = {
+  /** The q193 decision chain through `dec` (the per-doc keep verdict):
+    * q190 training, held-out scoring, blocklist, minhash near-dup —
+    * shared by q193 (which shard-packs whole docs) and q196 (which
+    * runs the kept set through the q194 exact-fill sequence packer). */
+  private def q193DecCtes: String = {
     val p = SketchParams.q190
     val p49 = SketchParams.q49
     val pc = SketchParams.q193
     val pats = pc.patterns.map(s => s"('${s.replace("'", "''")}')")
       .mkString(", ")
-    s"""
-    WITH $q190TrainCtes,
+    s"""$q190TrainCtes,
     ${q190FeatCtes("e",
         s"doc_id % ${p.evalMod} = 0 AND doc_id < 1000000")},
     es AS (
@@ -4248,7 +4248,18 @@ object OracleSql {
     ), dec AS (
       SELECT *, predicted AND NOT blocked AND NOT dup_drop AS kept
       FROM flags
-    ), packd AS (
+    )"""
+  }
+
+  /** Learned-filter curation (q193): the q190 training chain, the
+    * held-out real slice scored by `wavg`, the q169 blocklist
+    * position scans, the q49 minhash pair list over the same slice,
+    * the keep decision, and the running-offset shard pack — the SQL
+    * twin of `SparkEntry.q193LearnedCuration`. */
+  private def q193: String = {
+    val pc = SketchParams.q193
+    s"""
+    WITH $q193DecCtes, packd AS (
       SELECT doc_id,
         CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
@@ -4258,6 +4269,37 @@ object OracleSql {
     SELECT d.doc_id, d.n_tokens, d.score, d.predicted, d.blocked,
       d.dup_drop, d.kept, pk.shard_id
     FROM dec d LEFT JOIN packd pk USING (doc_id)"""
+  }
+
+  /** Curation → exact-fill packing end-to-end (q196): the q193 keep
+    * set flows straight through the q194 sequence packer — the full
+    * pretraining data path (train filter → gate → dedup → pack) in
+    * one WITH. The offsets run over KEPT docs only, so sequence ids
+    * re-chunk the curated stream, not the raw corpus. The SQL twin of
+    * `SparkEntry.q196CurationPack`. Generated from
+    * [[SketchParams.q190]]/[[SketchParams.q193]]/
+    * [[SketchParams.q194]]. */
+  private def q196: String = {
+    val L = SketchParams.q194.seqLen
+    s"""
+    WITH $q193DecCtes, kept AS (
+      SELECT doc_id, n_tokens FROM dec WHERE kept AND n_tokens > 0
+    ), offs AS (
+      SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+          AS off
+      FROM kept
+    )
+    SELECT doc_id, CAST(s AS BIGINT) AS seq_id,
+      CAST(greatest(s * $L - off, 0) AS BIGINT) AS piece_start,
+      CAST(least((s + 1) * $L, off + n_tokens) -
+        greatest(s * $L, off) AS BIGINT) AS piece_tokens
+    FROM (
+      SELECT doc_id, off, n_tokens,
+        unnest(generate_series(CAST(off // $L AS BIGINT),
+          CAST((off + n_tokens - 1) // $L AS BIGINT))) AS s
+      FROM offs)"""
   }
 
   /** Exact-fill sequence packing (q194): the naive running-offset
@@ -4281,14 +4323,79 @@ object OracleSql {
       FROM d
     )
     SELECT doc_id, CAST(s AS BIGINT) AS seq_id,
-      greatest(s * $L - off, 0) AS piece_start,
-      least((s + 1) * $L, off + n_tokens) -
-        greatest(s * $L, off) AS piece_tokens
+      CAST(greatest(s * $L - off, 0) AS BIGINT) AS piece_start,
+      CAST(least((s + 1) * $L, off + n_tokens) -
+        greatest(s * $L, off) AS BIGINT) AS piece_tokens
     FROM (
       SELECT doc_id, off, n_tokens,
         unnest(generate_series(CAST(off // $L AS BIGINT),
           CAST((off + n_tokens - 1) // $L AS BIGINT))) AS s
       FROM offs WHERE n_tokens > 0)"""
+  }
+
+  /** BM25 inverted-index artifact (q197): postings (term, doc, dl,
+    * tf) ⋈ per-term df ⋈ the 1-row corpus totals, pruned to the q112
+    * benchmark term set — the SQL twin of
+    * `TextAnalysis.bm25Index` + the serving join. Generated from
+    * [[SketchParams.q112]]. */
+  private def q197: String = {
+    val terms = SketchParams.q112.queries.flatMap(_._2).distinct
+      .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(len(t)) AS BIGINT) AS l
+      FROM base
+    ), posts AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term
+      FROM base
+    ), tf AS (
+      SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM posts GROUP BY term, doc_id, dl
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf GROUP BY term
+    )
+    SELECT t.term, t.doc_id, t.dl, t.tf, d.df, s.n, s.l
+    FROM tf t JOIN df d USING (term) CROSS JOIN stats s
+    WHERE t.term IN ($terms)"""
+  }
+
+  /** Sequence-major packing manifest (q198): the q194 running-offset
+    * scan projected to within-SEQUENCE coordinates + a per-sequence
+    * doc count — the SQL twin of `Packing.packManifest`. Generated
+    * from [[SketchParams.q194]]. */
+  private def q198: String = {
+    val L = SketchParams.q194.seqLen
+    s"""
+    WITH d AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+          AS n_tokens
+      FROM documents
+    ), offs AS (
+      SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+          AS off
+      FROM d
+    ), pieces AS (
+      SELECT CAST(s AS BIGINT) AS seq_id, doc_id,
+        CAST(greatest(off - s * $L, 0) AS BIGINT) AS seq_start,
+        CAST(least((s + 1) * $L, off + n_tokens) -
+          greatest(s * $L, off) AS BIGINT) AS piece_tokens
+      FROM (
+        SELECT doc_id, off, n_tokens,
+          unnest(generate_series(CAST(off // $L AS BIGINT),
+            CAST((off + n_tokens - 1) // $L AS BIGINT))) AS s
+        FROM offs WHERE n_tokens > 0)
+    )
+    SELECT seq_id, doc_id, seq_start, piece_tokens,
+      CAST(COUNT(*) OVER (PARTITION BY seq_id) AS BIGINT) AS n_docs
+    FROM pieces"""
   }
 
   /** WordPiece-style integer-DP segmentation (q195): the substring
@@ -4303,10 +4410,11 @@ object OracleSql {
     val big = 1L << 50
     val steps = (1 to p.maxWord).map { i =>
       val srcs = (math.max(0, i - p.maxPiece) until i)
-        .map(j => s"SELECT w, pos, cost, pieces FROM b$j")
+        .map(j => s"SELECT w, pos, cost, n, pieces FROM b$j")
         .mkString("\n        UNION ALL ")
       s""", c$i AS (
       SELECT b.w, b.cost + $big - v.freq AS cost,
+        CAST(b.n + 1 AS BIGINT) AS n,
         $i - b.pos AS l,
         CASE WHEN b.pieces = '' THEN v.piece
           ELSE b.pieces || '|' || v.piece END AS pieces
@@ -4316,15 +4424,15 @@ object OracleSql {
           CAST($i - b.pos AS INT))
       WHERE length(b.w) >= $i
     ), b$i AS MATERIALIZED (
-      SELECT w, $i AS pos, cost, pieces FROM (
-        SELECT w, cost, pieces,
+      SELECT w, $i AS pos, cost, n, pieces FROM (
+        SELECT w, cost, n, pieces,
           row_number() OVER (PARTITION BY w ORDER BY cost, l) AS rn
         FROM c$i)
       WHERE rn = 1
     )"""
     }.mkString
     val finals = (1 to p.maxWord)
-      .map(j => s"SELECT w, pieces FROM b$j WHERE length(w) = $j")
+      .map(j => s"SELECT w, n, pieces FROM b$j WHERE length(w) = $j")
       .mkString("\n        UNION ALL ")
     s"""
     WITH wnz AS (
@@ -4356,15 +4464,19 @@ object OracleSql {
     ), types AS (
       SELECT DISTINCT w FROM wnz
     ), b0 AS (
-      SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost, '' AS pieces
+      SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+        CAST(0 AS BIGINT) AS n, '' AS pieces
       FROM types WHERE length(w) <= ${p.maxWord}
     )$steps, seg AS (
       $finals
     )
-    SELECT w AS word,
-      CAST(len(string_split(pieces, '|')) AS BIGINT) AS n_pieces,
+    SELECT w AS word, CAST(n AS BIGINT) AS n_pieces,
       pieces, TRUE AS covered
     FROM seg
+    UNION ALL
+    SELECT w, CAST(1 AS BIGINT), w, FALSE
+    FROM types
+    WHERE length(w) <= ${p.maxWord} AND w NOT IN (SELECT w FROM seg)
     UNION ALL
     SELECT w, CAST(1 AS BIGINT), w, FALSE
     FROM types WHERE length(w) > ${p.maxWord}"""
@@ -6958,6 +7070,9 @@ object OracleSql {
     "q193_learned_curation" -> q193,
     "q194_pack_sequences" -> q194,
     "q195_wordpiece" -> q195,
+    "q196_curation_pack" -> q196,
+    "q197_bm25_index" -> q197,
+    "q198_pack_manifest" -> q198,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

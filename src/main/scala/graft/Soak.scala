@@ -139,6 +139,85 @@ object Soak {
       return
     }
 
+    if (mode == "divvocab") {
+      // diversified-vocabulary near-dup soak (the §9m caveat closed):
+      // the flat synthetic corpus draws every doc from one ~50-word
+      // vocabulary, so unigram-Jaccard ground truth is quadratic BY
+      // CONSTRUCTION and the §9m weighted-Jaccard row had to run on a
+      // 1-in-5 slice. This fixture is DERIVED from the same table with
+      // one PRIVATE vocabulary per base doc: token w of base doc d ->
+      // substr(md5(w || ':' || d), 1, 8), identical across d's
+      // replicas. Families of true near-duplicates (the replicas) sit
+      // in a sea of mutually-dissimilar docs — total vocab ∝ corpus,
+      // background similarity ~0, true pairs ∝ families·replicas² —
+      // the realistic regime, so the ops run UNSLICED.
+      val fam = (col("doc_id") % 10000000L).cast("string")
+      val div = docs.select(col("doc_id"),
+        array_join(transform(split(trim(lower(col("text"))), "\\s+"),
+          w => substring(md5(concat(w, lit(":"), fam)), 1, 8)), " ")
+          .as("text"))
+        .localCheckpoint(false)
+      val vocabN = div
+        .select(explode(split(col("text"), " ")).as("w"))
+        .distinct().count()
+      println(s"[soak] diversified corpus: ${div.count()} docs, " +
+        s"$vocabN distinct tokens")
+      val wjPairs = timed("weighted Jaccard join UNSLICED (q178 shape)") {
+        operators.Dedup.weightedJaccardJoin(div, "text", "doc_id",
+          cap = 5, numHashes = 8, bands = 4, jaccardThreshold = 0.5)
+          .count()
+      }
+      println(s"[soak]   -> $wjPairs weighted-Jaccard pairs")
+      val mhPairs = timed("minhashLsh UNSLICED (3-gram)") {
+        operators.Dedup.minhashLsh(div, "text", "doc_id",
+          ngram = 3, numHashes = 16, bands = 4, jaccardThreshold = 0.5)
+          .count()
+      }
+      println(s"[soak]   -> $mhPairs minhash pairs")
+      spark.stop()
+      return
+    }
+
+    if (mode == "bpe") {
+      // certified-batched BPE training at a REAL vocab size (>= 1k
+      // merges): the diversified-vocabulary fixture (one private
+      // vocabulary per base doc, see divvocab) gives the pair
+      // diversity a 1k-merge table needs — the flat ~50-word corpus
+      // exhausts its merge space in the low hundreds. The row records
+      // merges vs corpus PASSES: the batched trainer's whole point is
+      // passes << merges while the merge ORDER stays sequential-exact
+      // (certified acceptance, BpeSpec).
+      val fam = (col("doc_id") % 10000000L).cast("string")
+      val div = docs.select(col("doc_id"),
+        array_join(transform(split(trim(lower(col("text"))), "\\s+"),
+          w => substring(md5(concat(w, lit(":"), fam)), 1, 8)), " ")
+          .as("text"))
+        .localCheckpoint(false)
+      println(s"[soak] diversified corpus: ${div.count()} docs")
+      val vocab = 1024
+      val (merges, passes) = timed(
+          s"learnBpeMergesBatched($vocab merges, batch=64)") {
+        operators.TextAnalysis.learnBpeMergesBatchedCounted(
+          div, "text", vocab, 64)
+      }
+      println(s"[soak]   -> ${merges.length} merges in $passes passes " +
+        f"(${merges.length.toDouble / passes}%.1f merges/pass)")
+      // the learned table round-trips the model convention
+      implicit val sp = spark
+      operators.TextAnalysis.saveBpeMerges(merges,
+        s"/tmp/graft_soak_bpe_r$replicas/merges")
+      val loaded = operators.TextAnalysis.loadBpeMerges(
+        s"/tmp/graft_soak_bpe_r$replicas/merges")
+      require(loaded == merges, "merge-table round trip diverged")
+      val toks = timed("bpeTokens under the learned table (full corpus)") {
+        operators.TextAnalysis.bpeTokens(div, "text", "doc_id", merges)
+          .count()
+      }
+      println(s"[soak]   -> $toks subword tokens")
+      spark.stop()
+      return
+    }
+
     if (mode == "r15") {
       // the r15 additions at replica scale: the KN trigram gate (model
       // trained on a 1-in-13 reference slice, every doc scored), the

@@ -47,6 +47,7 @@ object Classifier {
     require(nBuckets >= 1, "need at least one bucket")
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val words = docs.select(col(idCol).as("id"), explode(toks).as("__w"))
+      .filter(col("__w") =!= "")
       .select(col("id"),
         (graft.functions.PortableHash.md5Long60(col("__w"))
           % nBuckets).as("bucket"))

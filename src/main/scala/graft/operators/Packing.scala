@@ -89,7 +89,10 @@ object Packing {
         sum(col(tokenCol)).over(win) + col("__off") - col(tokenCol))
       .select(col(idCol), col(tokenCol),
         col("tok_offset"),
-        floor(col("tok_offset") / maxTokensPerShard).as("shard_id"))
+        // integral `div`, not floor(double-div): long/long division in
+        // Spark promotes to double, which loses exactness once the
+        // global token offset exceeds 2^53 — real at the 100 TB target
+        expr(s"tok_offset div ${maxTokensPerShard}L").as("shard_id"))
   }
 
   /** Exact-fill sequence packing WITH document splitting — the
@@ -115,15 +118,21 @@ object Packing {
     * gives exactly `seqLen` for every sequence but the last. */
   def packSequences(
       docs: DataFrame, tokenCol: String, idCol: String, seqLen: Long,
-      numParts: Int = 0, orderCol: Option[String] = None): DataFrame = {
+      numParts: Int = 0, orderCol: Option[String] = None,
+      baseOffset: Long = 0L): DataFrame = {
     require(seqLen >= 1, "seqLen must be >= 1")
+    require(baseOffset >= 0L, "baseOffset must be >= 0")
+    // baseOffset shifts the whole stream: the continuous-ingestion twin
+    // (`EventStreams.packedIngest`) packs each micro-batch as the
+    // continuation of everything packed before it
     val offs = assignShards(docs, tokenCol, idCol, seqLen, numParts,
       orderCol)
+      .withColumn("tok_offset", col("tok_offset") + lit(baseOffset))
     offs.filter(col(tokenCol) > 0)
       .select(col(idCol), col(tokenCol), col("tok_offset"),
         explode(sequence(
-          floor(col("tok_offset") / seqLen),
-          floor((col("tok_offset") + col(tokenCol) - 1L) / seqLen)))
+          expr(s"tok_offset div ${seqLen}L"),
+          expr(s"(tok_offset + `$tokenCol` - 1L) div ${seqLen}L")))
           .as("seq_id"))
       .select(col(idCol), col("seq_id"),
         greatest(col("seq_id") * seqLen - col("tok_offset"), lit(0L))
@@ -132,6 +141,46 @@ object Packing {
             col("tok_offset") + col(tokenCol)) -
           greatest(col("seq_id") * seqLen, col("tok_offset")))
           .as("piece_tokens"))
+  }
+
+  /** Sequence-MAJOR packing manifest — the artifact a packed-
+    * pretraining trainer actually consumes: per (sequence, document
+    * piece), where the piece sits WITHIN the sequence
+    * (`seq_start ∈ [0, seqLen)`) and how many documents share the
+    * sequence — exactly what's needed to build the block-diagonal
+    * attention mask and the EOD-boundary positions for packed
+    * sequences. Same two-phase scan as [[packSequences]] (the doc-major
+    * view); only the projection differs:
+    * `seq_start = max(tok_offset − seq_id·seqLen, 0)`.
+    *
+    * Returns (seq_id, idCol, seq_start, piece_tokens, n_docs):
+    * within a sequence the pieces tile [0, Σ piece_tokens) contiguously
+    * in `seq_start` order; every non-final sequence has
+    * Σ piece_tokens = seqLen (spec-asserted in PackingSpec). `n_docs`
+    * (a count over the seq_id hash partitioning — sequences hold
+    * ⌈seqLen/1⌉ docs at most, nothing skewed) lets a reader allocate
+    * the mask without a second pass. */
+  def packManifest(
+      docs: DataFrame, tokenCol: String, idCol: String, seqLen: Long,
+      numParts: Int = 0, orderCol: Option[String] = None): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val offs = assignShards(docs, tokenCol, idCol, seqLen, numParts,
+      orderCol)
+    val w = Window.partitionBy(col("seq_id"))
+    offs.filter(col(tokenCol) > 0)
+      .select(col(idCol), col(tokenCol), col("tok_offset"),
+        explode(sequence(
+          expr(s"tok_offset div ${seqLen}L"),
+          expr(s"(tok_offset + `$tokenCol` - 1L) div ${seqLen}L")))
+          .as("seq_id"))
+      .select(col("seq_id"), col(idCol),
+        greatest(col("tok_offset") - col("seq_id") * seqLen, lit(0L))
+          .as("seq_start"),
+        (least((col("seq_id") + 1L) * seqLen,
+            col("tok_offset") + col(tokenCol)) -
+          greatest(col("seq_id") * seqLen, col("tok_offset")))
+          .as("piece_tokens"))
+      .withColumn("n_docs", count(lit(1)).over(w))
   }
 
   /** The naive single-window executable spec (one window partition = one

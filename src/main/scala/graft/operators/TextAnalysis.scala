@@ -1030,6 +1030,107 @@ object TextAnalysis {
       .crossJoin(broadcast(stats))
   }
 
+  /** A BM25 inverted-index snapshot — the serving-time artifact the
+    * batch scorers derive per run: `postings` one row per (term, doc)
+    * with the doc's length riding along (`term, doc, dl, tf`),
+    * `termDf` per-term document frequencies, `stats` the 1-row
+    * (N, ΣL) corpus totals. All BIGINT/STRING → parquet round-trips
+    * bit-exactly, so index-served scores equal recomputed scores
+    * integer for integer (spec'd in `Bm25Spec`). */
+  final case class Bm25Index(postings: DataFrame, termDf: DataFrame,
+      stats: DataFrame)
+
+  /** Build the [[Bm25Index]] over a corpus — the index-time pass: one
+    * corpus scan → full postings aggregation (term-doc scale, the
+    * inverted index), plus the two tiny derived tables. Tokenization
+    * mirrors [[bm25Core]]/[[termStats]] exactly. */
+  def bm25Index(docs: DataFrame, textCol: String, idCol: String)
+      : Bm25Index = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val base = docs.select(col(idCol).as("doc"), toks.as("__t"))
+    val stats = base.agg(count(lit(1)).cast("long").as("n"),
+      sum(size(col("__t")).cast("long")).as("l"))
+    val postings = base
+      .select(col("doc"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .groupBy(col("doc"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val termDf = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    Bm25Index(postings, termDf, stats)
+  }
+
+  /** [[bm25Core]] served from a snapshot instead of the corpus: the
+    * postings scan pruned by a broadcast of the (tiny) query term set
+    * — identical columns, identical integers, zero corpus passes. */
+  private def bm25CoreFromIndex(index: Bm25Index, queries: DataFrame)
+      : DataFrame = {
+    val q = queries.select(col("query_id"), col("term")).distinct()
+    val terms = q.select(col("term")).distinct()
+    index.postings.join(broadcast(terms), Seq("term"))
+      .join(broadcast(index.termDf.join(broadcast(terms), Seq("term"))),
+        Seq("term"))
+      .join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(index.stats))
+  }
+
+  /** The integer scoring tail shared by [[bm25FixedPointTopK]] and
+    * [[bm25FixedPointTopKFromIndex]]. */
+  private def bm25FixedPointTail(core: DataFrame,
+      idType: org.apache.spark.sql.types.DataType, k: Int, s1: Long,
+      s2: Long): DataFrame = {
+    val idfQ = expr(s"($s1 * (2*n - 2*df + 1)) DIV (2*df + 1)")
+    val satQ = expr(s"($s2 * 22 * l * tf) DIV (10*l*tf + 3*l + 9*dl*n)")
+    core
+      .select(col("query_id"), col("doc"), (idfQ * satQ).as("__s"))
+      .groupBy(col("query_id"), col("doc"))
+      .agg(sum(col("__s")).as("score_q"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BottomK.bottom_k(-col("score_q"),
+        col("doc").cast("string"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"),
+        col("e.value").cast(idType).as("doc_id"),
+        (-col("e.key")).as("score_q"))
+  }
+
+  /** [[bm25FixedPointTopK]] served from a persisted/memoized
+    * [[Bm25Index]] — same integers, but the per-run cost is a pruned
+    * postings join, not a corpus tokenization pass (the q191 serving
+    * path). */
+  def bm25FixedPointTopKFromIndex(index: Bm25Index, queries: DataFrame,
+      k: Int, s1: Long = 10000L, s2: Long = 1000000L): DataFrame =
+    bm25FixedPointTail(bm25CoreFromIndex(index, queries),
+      index.postings.select(col("doc")).schema.head.dataType, k, s1, s2)
+
+  /** Persist a [[Bm25Index]] — three parquet tables under one root
+    * (the KN-model multi-table convention). */
+  def saveBm25Index(index: Bm25Index, root: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$root/postings")
+    index.termDf.write.mode("overwrite").parquet(s"$root/termdf")
+    index.stats.write.mode("overwrite").parquet(s"$root/stats")
+  }
+
+  /** Bit-exact inverse of [[saveBm25Index]]. */
+  def loadBm25Index(root: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Bm25Index =
+    Bm25Index(
+      spark.read.parquet(s"$root/postings"),
+      spark.read.parquet(s"$root/termdf"),
+      spark.read.parquet(s"$root/stats"))
+
+  /** Train-once-reuse for BM25 indexes: load `root` if present, else
+    * build + persist, and serve from the PERSISTED copy — scoring
+    * lineage is three parquet scans, never the corpus aggregation. */
+  def trainOrLoadBm25Index(root: String)(build: => Bm25Index)(
+      implicit spark: org.apache.spark.sql.SparkSession): Bm25Index =
+    try {
+      val ix = loadBm25Index(root)
+      ix.postings.queryExecution.analyzed
+      ix
+    } catch { case _: org.apache.spark.sql.AnalysisException =>
+      saveBm25Index(build, root); loadBm25Index(root) }
+
   /** BM25 scores per (query, document) for a small set of keyword
     * queries — the ranked-retrieval primitive of a curation pipeline
     * (pull the most on-topic documents for a seed term set, score corpus
@@ -1152,22 +1253,9 @@ object TextAnalysis {
     * double-typed [[bm25Scores]], where magnitude is a non-issue. */
   def bm25FixedPointTopK(docs: DataFrame, textCol: String, idCol: String,
       queries: DataFrame, k: Int, s1: Long = 10000L,
-      s2: Long = 1000000L): DataFrame = {
-    val idType = docs.select(col(idCol)).schema.head.dataType
-    val idfQ = expr(s"($s1 * (2*n - 2*df + 1)) DIV (2*df + 1)")
-    val satQ = expr(s"($s2 * 22 * l * tf) DIV (10*l*tf + 3*l + 9*dl*n)")
-    bm25Core(docs, textCol, idCol, queries)
-      .select(col("query_id"), col("doc"), (idfQ * satQ).as("__s"))
-      .groupBy(col("query_id"), col("doc"))
-      .agg(sum(col("__s")).as("score_q"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.BottomK.bottom_k(-col("score_q"),
-        col("doc").cast("string"), k).as("top"))
-      .select(col("query_id"), explode(col("top")).as("e"))
-      .select(col("query_id"),
-        col("e.value").cast(idType).as("doc_id"),
-        (-col("e.key")).as("score_q"))
-  }
+      s2: Long = 1000000L): DataFrame =
+    bm25FixedPointTail(bm25Core(docs, textCol, idCol, queries),
+      docs.select(col(idCol)).schema.head.dataType, k, s1, s2)
 
   /** Reciprocal rank fusion (Cormack, Clarke & Büttcher 2009,
     * "Reciprocal rank fusion outperforms Condorcet and individual rank
@@ -1333,12 +1421,14 @@ object TextAnalysis {
       case r if r.isNullAt(0) => 0
       case r => r.getInt(0)
     }
-    // DP state: (word, pos, cost, pieces) — best segmentation of the
-    // first `pos` chars; base pos = 0. Each round's NEW rows are
+    // DP state: (word, pos, cost, n, pieces) — best segmentation of
+    // the first `pos` chars; base pos = 0. `n` counts pieces IN the
+    // state (re-splitting the '|'-joined string would over-count for
+    // words containing a literal '|'). Each round's NEW rows are
     // checkpointed once; the accumulated state is a lazy union of
     // already-materialized frames (never re-checkpointed).
     var frames = Seq(inRange.select(col("word"), lit(0).as("pos"),
-      lit(0L).as("cost"), lit("").as("pieces"))
+      lit(0L).as("cost"), lit(0L).as("n"), lit("").as("pieces"))
       .localCheckpoint(false))
     (1 to maxLen).foreach { i =>
       val best = frames.reduce(_.unionByName(_))
@@ -1352,6 +1442,7 @@ object TextAnalysis {
           Seq("__piece"))
         .select(col("word"), lit(i).as("__i"),
           (col("cost") + big - col("freq")).as("cost"),
+          (col("n") + 1L).as("n"),
           (lit(i) - col("pos")).as("__l"),
           concat(col("pieces"),
             when(col("pieces") === "", col("__piece"))
@@ -1364,34 +1455,85 @@ object TextAnalysis {
             .orderBy(col("cost").asc, col("__l").asc)))
         .filter(col("__rn") === 1)
         .select(col("word"), col("__i").as("pos"), col("cost"),
-          col("pieces"))
+          col("n"), col("pieces"))
       frames = frames :+ stepBest.localCheckpoint(false)
     }
     val segmented = frames.reduce(_.unionByName(_))
       .filter(col("pos") === length(col("word")))
-      .select(col("word"),
-        (size(split(col("pieces"), "\\|"))).cast("long")
-          .as("n_pieces"),
+      .select(col("word"), col("n").as("n_pieces"),
         col("pieces"), lit(true).as("covered"))
-    segmented.unionByName(
+    // in-range words the vocab cannot fully cover (e.g. a char absent
+    // from a cross-corpus vocab) reach no pos==length state; they must
+    // still appear — one row per distinct word is the contract — so
+    // they pass through like the >maxWord branch
+    val uncovered = inRange
+      .join(segmented.select(col("word")), Seq("word"), "left_anti")
+      .select(col("word"), lit(1L).as("n_pieces"),
+        col("word").as("pieces"), lit(false).as("covered"))
+    segmented.unionByName(uncovered).unionByName(
       words.filter(length(col("word")) > maxWord)
         .select(col("word"), lit(1L).as("n_pieces"),
           col("word").as("pieces"), lit(false).as("covered")))
   }
 
   def learnBpeMerges(docs: DataFrame, textCol: String,
-      numMerges: Int): Seq[(String, String)] = {
+      numMerges: Int): Seq[(String, String)] =
+    learnBpeMergesBatched(docs, textCol, numMerges, batch = 1)
+
+  /** [[learnBpeMerges]] with up to `batch` merges accepted per corpus
+    * pass — CERTIFIED-sequential batching, so a 32k-merge vocab is far
+    * fewer than 32k Spark jobs while producing the EXACT Sennrich
+    * merge order (`batch = 1` trivially is; any batch provably equals
+    * it — asserted for the whole sweep in `BpeSpec`).
+    *
+    * Per round the pair counts are ranked once under the sequential
+    * total order ((count DESC, left ASC, right ASC)), the top
+    * `K = max(64, 8·batch)` rows collected, and accepted top-down
+    * while the sequential argmax at each step is PROVABLE from
+    * invariant counts:
+    *
+    *   - a pair symbol-disjoint from every accepted merge has an
+    *     unchanged count (merging (a,b) only touches pairs sharing a
+    *     or b), so its rank among surviving pairs is exact;
+    *   - a pair SHARING a symbol can only have lost occurrences — if
+    *     it ranks above the next candidate its true updated rank is
+    *     unknowable from this pass, so acceptance STOPS there;
+    *   - a pair CREATED by accepted merge (a,b) — (x,ab) or (ab,y) —
+    *     has count ≤ min(c(a,b), c(x,a) | c(b,y)): every occurrence
+    *     contains the x·a·b (a·b·y) trigram. Acceptance carries the
+    *     running max of these bounds (collected neighbors, else the
+    *     K-th count bounds the unseen) and STOPS once the next
+    *     candidate's count no longer STRICTLY exceeds it.
+    *
+    * Unseen pairs (beyond top-K) rank after every collected row by
+    * the total order, so they never outrank an accepted candidate.
+    * Worst case (tight counts, chained symbols) accepts 1 pair per
+    * pass — never a wrong one; typical corpora accept several. */
+  def learnBpeMergesBatched(docs: DataFrame, textCol: String,
+      numMerges: Int, batch: Int): Seq[(String, String)] =
+    learnBpeMergesBatchedCounted(docs, textCol, numMerges, batch)._1
+
+  /** [[learnBpeMergesBatched]] + the number of corpus PASSES taken —
+    * the quantity the batching exists to shrink (soak-instrumented in
+    * `graft.Soak bpe`). */
+  private[graft] def learnBpeMergesBatchedCounted(docs: DataFrame,
+      textCol: String, numMerges: Int, batch: Int)
+      : (Seq[(String, String)], Int) = {
     require(numMerges >= 0, "numMerges must be >= 0")
+    require(batch >= 1, "batch must be >= 1")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var round = 0
+    var passes = 0
     var exhausted = false
-    while (round < numMerges && !exhausted) {
+    while (merges.length < numMerges && !exhausted) {
+      passes += 1
       // words FIRST, then segment each word: pair statistics must never
       // cross a word boundary, and the segmented full text flattens it
       val words = docs
         .select(explode(split(col(textCol), " ")).as("__w"))
         .filter(col("__w") =!= "")
-      val best = words
+      val want = math.min(batch, numMerges - merges.length)
+      val topK = math.max(64, 8 * want)
+      val ranked = words
         .select(split(graft.functions.exprs.bpe_segment(col("__w"),
           merges.toSeq), " ").as("__syms"))
         .filter(size(col("__syms")) >= 2)
@@ -1402,14 +1544,96 @@ object TextAnalysis {
         .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .limit(1)
+        .limit(topK)
         .collect()
-      if (best.isEmpty) exhausted = true
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (ranked.isEmpty) exhausted = true
       else {
-        merges += ((best(0).getString(0), best(0).getString(1)))
-        round += 1
+        // count bound for any pair NOT in the collected top-K
+        val unseenCap = if (ranked.length < topK) 0L else ranked.last._3
+        val used = scala.collection.mutable.Set.empty[String]
+        var createdBound = -1L // > this is provably above any created pair
+        var accepted = 0
+        var stop = false
+        val it = ranked.iterator
+        while (!stop && accepted < want && it.hasNext) {
+          val (l, r, c) = it.next()
+          if (c <= createdBound) stop = true          // created could outrank
+          else if (used(l) || used(r)) stop = true    // stale count above us
+          else {
+            merges += ((l, r)); used += l; used += r; accepted += 1
+            // created pairs of (l,r): (x,lr) needs a neighbor (x,l);
+            // (lr,y) needs (r,y) — max collected neighbor count, or the
+            // unseen cap, itself capped by c
+            val nb = ranked.iterator
+              .filter { case (pl, pr, _) =>
+                (pr == l || pl == r) && !(pl == l && pr == r) }
+              .map(_._3).foldLeft(unseenCap)(math.max)
+            createdBound = math.max(createdBound, math.min(c, nb))
+          }
+        }
+        if (accepted == 0) exhausted = true // cannot certify further: done
       }
     }
-    merges.toSeq
+    (merges.toSeq, passes)
   }
+
+  /** Persist a learned BPE merge table — rank-ordered (the ORDER is
+    * the model: application replays merges in learned order), two
+    * STRING columns + a BIGINT rank, bit-exact round trip (the
+    * centroid/codebook parquet-model convention applied to the
+    * tokenizer family). */
+  def saveBpeMerges(merges: Seq[(String, String)], path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "l", "r")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Bit-exact inverse of [[saveBpeMerges]], in learned order. */
+  def loadBpeMerges(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession)
+      : Seq[(String, String)] =
+    spark.read.parquet(path)
+      .select(col("rank"), col("l"), col("r"))
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+
+  /** Train-once-reuse for BPE merge tables (the
+    * [[graft.operators.Ann.trainOrLoadCentroids]] contract): load the
+    * table at `path` if present, else train via `train` and persist —
+    * serving then replays `numMerges` string merges, never the
+    * per-round corpus passes. */
+  def trainOrLoadBpeMerges(path: String)(train: => Seq[(String, String)])(
+      implicit spark: org.apache.spark.sql.SparkSession)
+      : Seq[(String, String)] =
+    try loadBpeMerges(path)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      saveBpeMerges(train, path); loadBpeMerges(path) }
+
+  /** Persist a [[wordpieceVocab]] table — (piece STRING, freq BIGINT),
+    * bit-exact round trip. */
+  def saveWordpieceVocab(vocab: DataFrame, path: String): Unit =
+    vocab.select(col("piece"), col("freq").cast("long").as("freq"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Bit-exact inverse of [[saveWordpieceVocab]]. */
+  def loadWordpieceVocab(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read.parquet(path).select(col("piece"), col("freq"))
+
+  /** Train-once-reuse for WordPiece vocabularies: load `path` if
+    * present, else build + persist, and SERVE FROM THE PERSISTED COPY
+    * — segmentation lineage is a parquet scan, never the substring
+    * aggregation (the [[graft.operators.Classifier.trainOrLoadWeights]]
+    * shape). */
+  def trainOrLoadWordpieceVocab(path: String)(build: => DataFrame)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    try { val v = loadWordpieceVocab(path); v.queryExecution.analyzed; v }
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      saveWordpieceVocab(build, path); loadWordpieceVocab(path) }
 }

@@ -242,6 +242,51 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming exact-fill sequence packing — the continuous-ingestion
+    * form of [[graft.operators.Packing.packSequences]] (q194/q196):
+    * each micro-batch of (id, token-count) rows is packed as the
+    * CONTINUATION of everything packed before it — the batch's own
+    * two-phase prefix sum, shifted by the running global token offset
+    * — so the emitted (id, seq_id, piece_start, piece_tokens) rows are
+    * IDENTICAL to what one batch run over the concatenated stream
+    * would produce (spec: `StreamingPackSpec`). Sequences therefore
+    * keep filling across batch boundaries: a batch rarely ends on a
+    * sequence edge, and the next batch's first piece completes the
+    * open sequence.
+    *
+    * The running offset is the one number of cross-batch state
+    * (state ∝ 1, the two-phase scan's driver-boundary discipline).
+    * On (re)start it is re-derived from the SINK — sum(piece_tokens)
+    * over what was actually committed — so a restart resumes exactly
+    * where the durable output ends rather than trusting in-memory
+    * state (at-least-once caveat: a batch replayed after a crash
+    * BETWEEN sink commit and checkpoint commit appends twice, the
+    * standard foreachBatch contract; idempotent sinks dedup on
+    * (id, seq_id)). */
+  def packedIngest(
+      docsStream: DataFrame, tokenCol: String, idCol: String,
+      seqLen: Long, sinkPath: String, checkpointPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docsStream.sparkSession
+    val offset = new java.util.concurrent.atomic.AtomicLong(
+      try spark.read.parquet(sinkPath)
+        .agg(coalesce(sum(col("piece_tokens")), lit(0L))).head.getLong(0)
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L })
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val packed = graft.operators.Packing.packSequences(
+          b, tokenCol, idCol, seqLen, baseOffset = offset.get())
+        packed.write.mode("append").parquet(sinkPath)
+        val batchTokens = b
+          .agg(coalesce(sum(col(tokenCol)), lit(0L))).head.getLong(0)
+        offset.addAndGet(batchTokens)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming Kneser–Ney LM gate — q188's streaming twin: the KN
     * trigram model is trained ONCE on the static reference
     * ([[graft.operators.TextAnalysis.knTrigramModel]], every count

@@ -209,4 +209,37 @@ class Bm25Spec extends AnyFunSuite {
     assert(topk.groupBy("query_id").count().collect()
       .forall(_.getLong(1) == p.k))
   }
+
+  test("index snapshot: served scores are integer-identical to " +
+      "recomputed, through a parquet round trip, and trainOrLoad " +
+      "builds once") {
+    implicit val s = spark
+    import spark.implicits._
+    val p = SketchParams.q112
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = p.queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val recomputed = TextAnalysis.bm25FixedPointTopK(docs, "text",
+      "doc_id", q, p.k, p.s1, p.s2).collect().toSet
+    val built = TextAnalysis.bm25Index(docs, "text", "doc_id")
+    assert(TextAnalysis.bm25FixedPointTopKFromIndex(built, q, p.k,
+      p.s1, p.s2).collect().toSet == recomputed)
+    // parquet round trip serves the same integers
+    val root = java.nio.file.Files.createTempDirectory("bm25ix")
+      .resolve("ix").toString
+    TextAnalysis.saveBm25Index(built, root)
+    val loaded = TextAnalysis.loadBm25Index(root)
+    assert(TextAnalysis.bm25FixedPointTopKFromIndex(loaded, q, p.k,
+      p.s1, p.s2).collect().toSet == recomputed)
+    // trainOrLoad: second call must not rebuild
+    var builds = 0
+    TextAnalysis.trainOrLoadBm25Index(root + "2") {
+      builds += 1; built }
+    val served = TextAnalysis.trainOrLoadBm25Index(root + "2") {
+      builds += 1; fail("rebuilt despite persisted index") }
+    assert(builds == 1)
+    assert(TextAnalysis.bm25FixedPointTopKFromIndex(served, q, p.k,
+      p.s1, p.s2).collect().toSet == recomputed)
+  }
 }

@@ -81,6 +81,57 @@ class BpeSpec extends AnyFunSuite {
     assert(TextAnalysis.learnBpeMerges(tiny, "text", 5).length <= 5)
   }
 
+  test("batched learner: certified batching reproduces the EXACT " +
+      "sequential merge order at every batch size") {
+    import spark.implicits._
+    val docs = Seq("low lower lowest", "low low lowest",
+      "new newer newest", "wide wider widest").toDF("text")
+    val seq8 = TextAnalysis.learnBpeMerges(docs, "text", 8)
+    assert(seq8.length == 8)
+    // the certified acceptance rule must NEVER diverge — chained
+    // symbols (lo -> low) force conservative stops, not wrong merges
+    Seq(1, 2, 4, 8, 64).foreach { b =>
+      val batched = TextAnalysis.learnBpeMergesBatched(docs, "text", 8, b)
+      assert(batched == seq8, s"batch=$b: $batched vs $seq8")
+    }
+    // adversarial tight counts: every pair count equal — certification
+    // degrades to one merge per pass, still exactly sequential
+    val tight = Seq("ab cd ef gh").toDF("text")
+    val seqT = TextAnalysis.learnBpeMerges(tight, "text", 4)
+    assert(TextAnalysis.learnBpeMergesBatched(tight, "text", 4, 4) == seqT)
+    // and on the real corpus slice
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 40).select(col("text"))
+    val seqC = TextAnalysis.learnBpeMerges(corpus, "text", 6)
+    assert(TextAnalysis.learnBpeMergesBatched(corpus, "text", 6, 6) == seqC)
+  }
+
+  test("merge-table persistence: save/load round-trips order-exactly " +
+      "and trainOrLoad trains once") {
+    implicit val s = spark
+    import spark.implicits._
+    val docs = Seq("low lower lowest", "low low lowest").toDF("text")
+    val merges = TextAnalysis.learnBpeMerges(docs, "text", 4)
+    assert(merges.nonEmpty)
+    val path = java.nio.file.Files.createTempDirectory("bpemerges")
+      .resolve("m").toString
+    TextAnalysis.saveBpeMerges(merges, path)
+    assert(TextAnalysis.loadBpeMerges(path) == merges)
+    var built = 0
+    assert(TextAnalysis.trainOrLoadBpeMerges(path + "2") {
+      built += 1; merges } == merges)
+    assert(TextAnalysis.trainOrLoadBpeMerges(path + "2") {
+      built += 1; fail("rebuilt despite persisted model") } == merges)
+    assert(built == 1)
+    // application under the loaded table is identical
+    val ids = docs.withColumn("id", lit(1L))
+    def toks(m: Seq[(String, String)]) = TextAnalysis
+      .bpeTokens(ids, "text", "id", m)
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(toks(TextAnalysis.loadBpeMerges(path)) == toks(merges))
+  }
+
   test("q153 pre-condition: the oracle's replace replay equals the " +
       "kernel on the actual corpus merge table (l != r throughout)") {
     val p = SketchParams.q153

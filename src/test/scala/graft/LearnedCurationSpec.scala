@@ -43,4 +43,43 @@ class LearnedCurationSpec extends AnyFunSuite {
           s"shard $sid holds $total tokens > budget+doc")
     }
   }
+
+  test("q196 curation→pack composition: pieces cover each kept doc " +
+      "exactly, every non-final sequence fills to exactly seqLen, and " +
+      "only kept docs are packed") {
+    val dir = "/root/testdata/sf0.01"
+    val dec = SparkEntry.queries("q193_learned_curation")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(6))).toMap
+    val packed = SparkEntry.queries("q196_curation_pack")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.nonEmpty)
+    val keptIds = dec.filter { case (_, (n, kept)) => kept && n > 0 }
+      .keySet
+    assert(packed.map(_._1).toSet == keptIds,
+      "packed doc set != kept doc set")
+    // per-doc: pieces are contiguous within the doc and sum to n_tokens
+    packed.groupBy(_._1).foreach { case (id, rows) =>
+      val n = dec(id)._1
+      assert(rows.map(_._4).sum == n, s"doc $id pieces don't cover it")
+      val sorted = rows.sortBy(_._2).toSeq
+      assert(sorted.head._3 == 0L, s"doc $id first piece offset != 0")
+      sorted.zip(sorted.tail).foreach {
+        case ((_, s1, o1, t1), (_, s2, o2, _)) =>
+          assert(s2 == s1 + 1 && o2 == o1 + t1,
+            s"doc $id pieces not contiguous")
+      }
+    }
+    // per-sequence: exact fill
+    val L = SketchParams.q194.seqLen
+    val bySeq = packed.groupBy(_._2)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (sid, rows) =>
+      val tot = rows.map(_._4).sum
+      if (sid != lastSeq)
+        assert(tot == L, s"sequence $sid holds $tot != $L tokens")
+      else assert(tot <= L)
+    }
+  }
 }

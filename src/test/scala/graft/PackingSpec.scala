@@ -101,4 +101,36 @@ class PackingSpec extends AnyFunSuite {
     assert(pieces.groupBy(_._1).exists(_._2.length > 1) ||
       nTok.values.forall(_ <= L))
   }
+
+  test("packManifest: the sequence-major view is the doc-major view " +
+      "re-coordinated — pieces tile each sequence from 0, n_docs " +
+      "counts the sequence's rows") {
+    val L = 128L
+    val docMajor = Packing.packSequences(docs, "n_tokens", "doc_id", L, 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("piece_tokens")))
+    val manifest = Packing.packManifest(docs, "n_tokens", "doc_id", L, 4)
+      .collect()
+      .map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("seq_start"), r.getAs[Long]("piece_tokens"),
+        r.getAs[Long]("n_docs")))
+    // same (doc, seq, piece_tokens) multiset as the doc-major view
+    assert(manifest.map(m => (m._2, m._1, m._4)).sorted.toSeq ==
+      docMajor.sorted.toSeq)
+    manifest.groupBy(_._1).foreach { case (sid, rows) =>
+      // n_docs is the row count of the sequence, on every row
+      assert(rows.forall(_._5 == rows.length),
+        s"seq $sid n_docs wrong")
+      // pieces tile [0, sum) contiguously in seq_start order
+      var pos = 0L
+      rows.sortBy(_._3).foreach { case (_, _, start, n, _) =>
+        assert(start == pos, s"seq $sid piece at $start != $pos")
+        pos += n
+      }
+      assert(pos <= L)
+    }
+    // some sequence holds more than one doc (the mask case that matters)
+    assert(manifest.exists(_._5 > 1))
+  }
 }

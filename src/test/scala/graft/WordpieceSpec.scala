@@ -42,6 +42,61 @@ class WordpieceSpec extends AnyFunSuite {
     assert(out("abcd") == "a|bcd", s"got ${out("abcd")}")
   }
 
+  test("in-range word the vocab cannot cover passes through with " +
+      "covered = false (one row per distinct word, always)") {
+    // vocab from a corpus with no 'z': "zap" (length 3 <= maxWord)
+    // reaches no full-cover DP state — it must still come back
+    val vocab = Seq(("a", 9L), ("p", 8L), ("ap", 20L))
+      .toDF("piece", "freq")
+    val out = TextAnalysis.wordpieceSegment(
+        Seq((1L, "zap ap")).toDF("doc_id", "text"), "text", vocab)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getBoolean(3))).toMap
+    assert(out.keySet == Set("zap", "ap"))
+    assert(out("zap") == ((1L, "zap", false)), s"got ${out("zap")}")
+    assert(out("ap") == ((1L, "ap", true)))
+  }
+
+  test("n_pieces is the DP piece count, not a re-split of the " +
+      "'|'-joined string (words containing a literal '|')") {
+    // word "a|b": chars a, |, b -> 3 pieces, pieces string "a|||b"
+    // (which a naive re-split would count as 4)
+    val vocab = Seq(("a", 9L), ("|", 8L), ("b", 7L))
+      .toDF("piece", "freq")
+    val out = TextAnalysis.wordpieceSegment(
+        Seq((1L, "a|b")).toDF("doc_id", "text"), "text", vocab)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getBoolean(3))).toMap
+    assert(out("a|b") == ((3L, "a|||b", true)), s"got ${out("a|b")}")
+  }
+
+  test("vocab persistence: save/load round-trips bit-exactly and " +
+      "trainOrLoad builds once then serves the parquet copy") {
+    implicit val s = spark
+    val docs = Seq((1L, "low lower"), (2L, "low lowest"))
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.wordpieceVocab(docs, "text", 8, 4)
+    val path = java.nio.file.Files.createTempDirectory("wpvocab")
+      .resolve("v").toString
+    TextAnalysis.saveWordpieceVocab(vocab, path)
+    val loaded = TextAnalysis.loadWordpieceVocab(path)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m(loaded) == m(vocab))
+    // trainOrLoad: second call must NOT rebuild (poison the builder)
+    var built = 0
+    val v1 = TextAnalysis.trainOrLoadWordpieceVocab(path + "2") {
+      built += 1; vocab }
+    val v2 = TextAnalysis.trainOrLoadWordpieceVocab(path + "2") {
+      built += 1; fail("rebuilt despite persisted model") }
+    assert(built == 1 && m(v1) == m(vocab) && m(v2) == m(vocab))
+    // and segmentation from the loaded vocab equals from the built one
+    assert(m(TextAnalysis.wordpieceSegment(docs, "text", loaded)
+        .select(col("word"), col("n_pieces"))) ==
+      m(TextAnalysis.wordpieceSegment(docs, "text", vocab)
+        .select(col("word"), col("n_pieces"))))
+  }
+
   test("corpus invariants: pieces reconstruct the word, covered words " +
       "obey the length cap, vocab words segment to one piece") {
     val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")

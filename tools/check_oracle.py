@@ -46,6 +46,22 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: columns {g_cols} vs {w_cols}")
                 failures += 1
                 continue
+            # dtype-strict: the driver's hash gate is type-sensitive, so
+            # 128 (BIGINT) vs 128.0 (DuckDB HUGEINT promotion of an
+            # uncast window/aggregate sum) must FAIL here too, not
+            # silently pass the value compare below. Compare numpy
+            # dtype KINDS (i/u = integer, f = float, b = bool, ...) so
+            # int32 vs int64 width differences stay fine but an
+            # integer-vs-float leak is flagged.
+            kind_mismatch = [
+                (c, str(got[c].dtype), str(want[c].dtype))
+                for c in g_cols
+                if got[c].dtype.kind != want[c].dtype.kind]
+            if kind_mismatch:
+                print(f"FAIL {name}: dtype mismatch (spark vs oracle): "
+                      f"{kind_mismatch}")
+                failures += 1
+                continue
             from collections import Counter
             g = Counter(tuple(norm(v) for v in row)
                         for row in got[g_cols].itertuples(index=False))
