@@ -477,6 +477,14 @@ object SketchParams {
   object q195 {
     val vocabSize = 64; val maxPiece = 8; val maxWord = 16
   }
+  /** q199 multiclass one-vs-rest perceptron: K class-salted corpora
+    * (the q190 separable-by-construction convention extended to K
+    * classes — every class gets a private md5 vocabulary), held-out
+    * slice, hashed-BoW dimensionality, epochs. */
+  object q199 {
+    val classes: Seq[String] = Seq("c0", "c1", "c2", "c3")
+    val evalMod = 4; val nBuckets = 2048; val epochs = 2
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -4398,6 +4406,108 @@ object OracleSql {
     FROM pieces"""
   }
 
+  /** Multiclass one-vs-rest averaged perceptron (q199): K class-salted
+    * corpora, per class every epoch unrolled exactly as q190's binary
+    * chain (y = +1 on the class, −1 on the rest), then every class's
+    * summed weights score the held-out slice and the argmax —
+    * (score DESC, label ASC) — predicts. The SQL twin of
+    * `Classifier.perceptronTrainMulti`/`perceptronScoreMulti`.
+    * Generated from [[SketchParams.q199]]. */
+  private def q199: String = {
+    val p = SketchParams.q199
+    val nb = p.nBuckets
+    val corpusArms = p.classes.zipWithIndex.map { case (c, i) =>
+      s"""SELECT doc_id + ${i * 1000000L} AS doc_id,
+        array_to_string(list_transform(
+          string_split_regex(trim(lower(text)), '\\s+'),
+          w -> substr(md5(w || ':$c'), 1, 8)), ' ') AS text,
+        '$c' AS label
+      FROM documents"""
+    }.mkString("\n      UNION ALL\n      ")
+    def featCtes(px: String, where: String): String = s"""${px}tok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+          '\\s+')) AS w
+        FROM corpus WHERE $where)
+      WHERE w != ''
+    ), ${px}feat AS MATERIALIZED (
+      SELECT id, bucket, tf FROM (
+        SELECT id, bucket, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+          SELECT doc_id AS id,
+            ('0x' || substr(md5(w), 1, 15))::BIGINT % $nb AS bucket
+          FROM ${px}tok)
+        GROUP BY id, bucket
+        UNION ALL
+        SELECT doc_id AS id, CAST($nb AS BIGINT) AS bucket,
+          CAST(1 AS BIGINT) AS tf
+        FROM corpus WHERE $where)
+    )"""
+    val classChains = p.classes.map { c =>
+      val laterEpochs = (2 to p.epochs).map { t =>
+        s""", s${t}$c AS (
+      SELECT f.id, CAST(SUM(f.tf * COALESCE(w.w, 0)) AS BIGINT) AS s
+      FROM tfeat f LEFT JOIN w${t - 1}$c w ON f.bucket = w.bucket
+      GROUP BY f.id
+    ), m${t}$c AS (
+      SELECT s.id FROM s${t}$c s JOIN laby$c d ON s.id = d.doc_id
+      WHERE d.y * s.s <= 0
+    ), d${t}$c AS (
+      SELECT bucket, CAST(SUM(y * tf) AS BIGINT) AS w
+      FROM flab$c WHERE id IN (SELECT id FROM m${t}$c)
+      GROUP BY bucket
+    ), w${t}$c AS MATERIALIZED (
+      SELECT bucket, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT bucket, w FROM w${t - 1}$c
+        UNION ALL SELECT bucket, w FROM d${t}$c)
+      GROUP BY bucket
+    )"""
+      }.mkString
+      val avgUnion = (1 to p.epochs)
+        .map(t => s"SELECT bucket, w FROM w$t$c")
+        .mkString("\n        UNION ALL ")
+      s""", laby$c AS (
+      SELECT doc_id, CASE WHEN label = '$c' THEN 1 ELSE -1 END AS y
+      FROM lab
+    ), flab$c AS MATERIALIZED (
+      SELECT f.id, f.bucket, f.tf, d.y
+      FROM tfeat f JOIN laby$c d ON f.id = d.doc_id
+    ), w1$c AS MATERIALIZED (
+      SELECT bucket, CAST(SUM(y * tf) AS BIGINT) AS w
+      FROM flab$c GROUP BY bucket
+    )$laterEpochs, wavg$c AS (
+      SELECT bucket, CAST(SUM(w) AS BIGINT) AS w FROM (
+        $avgUnion)
+      GROUP BY bucket
+    ), es$c AS (
+      SELECT f.id, CAST(SUM(f.tf * COALESCE(w.w, 0)) AS BIGINT) AS s
+      FROM efeat f LEFT JOIN wavg$c w ON f.bucket = w.bucket
+      GROUP BY f.id
+    )"""
+    }.mkString
+    val scoreUnion = p.classes
+      .map(c => s"SELECT id, '$c' AS plabel, s FROM es$c")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH corpus AS MATERIALIZED (
+      $corpusArms
+    ), lab AS (
+      SELECT doc_id, label FROM corpus
+    ), ${featCtes("t", s"doc_id % ${p.evalMod} != 0")},
+    ${featCtes("e", s"doc_id % ${p.evalMod} = 0")}$classChains,
+    scores AS (
+      $scoreUnion
+    ), pred AS (
+      SELECT id, plabel, s,
+        row_number() OVER (PARTITION BY id
+          ORDER BY s DESC, plabel ASC) AS rn
+      FROM scores
+    )
+    SELECT p.id AS doc_id, d.label, p.plabel AS predicted,
+      p.s AS score, p.plabel = d.label AS correct
+    FROM pred p JOIN lab d ON p.id = d.doc_id
+    WHERE p.rn = 1"""
+  }
+
   /** WordPiece-style integer-DP segmentation (q195): the substring
     * vocabulary (top-V + all chars), then the DP unrolled position by
     * position — candidates at position i come from every reachable
@@ -7073,6 +7183,7 @@ object OracleSql {
     "q196_curation_pack" -> q196,
     "q197_bm25_index" -> q197,
     "q198_pack_manifest" -> q198,
+    "q199_multiclass_perceptron" -> q199,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -1434,12 +1434,28 @@ object SparkEntry {
         s"$root/q92_nlist${p.nlist}_iters${p.iters}_scale${p.scale}")(trained)
       case None => trained
     }
-    Ann.ivfTopKPortable(emb, emb.filter(col("vec_id") < p.maxQueryId),
-        "embedding", "vec_id", "vec_id", k = p.k, nlist = p.nlist,
-        nprobe = p.nprobe, scale = p.scale, centroids = Some(cents))
+    // full-index serving (r16): the posting lists join the centroids
+    // under the same opt-in — quantize-and-assign runs once, not per
+    // serving run; ivfServe makes the ranking integers identical
+    q92IvfIndexMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val ix = q92IvfIndexMemo.computeIfAbsent((s, dir), _ => {
+      def built = Ann.ivfIndex(emb, "embedding", "vec_id", p.nlist,
+        p.scale, centroids = Some(cents))
+      val raw = sys.env.get("SPARK_GRAFT_CENTROIDS_DIR") match {
+        case Some(root) => Ann.trainOrLoadIvfIndex(
+          s"$root/q92_ix_nlist${p.nlist}_iters${p.iters}_scale${p.scale}" +
+            s"_${dir.replaceAll("[^A-Za-z0-9]", "_")}")(built)
+        case None => built
+      }
+      raw.copy(lists = raw.lists.localCheckpoint(true))
+    })
+    Ann.ivfTopKFromIndex(ix, emb.filter(col("vec_id") < p.maxQueryId),
+        "embedding", "vec_id", k = p.k, nprobe = p.nprobe)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"))
   }
+  private val q92IvfIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), operators.Ann.IvfIndex]
 
   /** Semantic-dedup chain-root resolution
     * ([[graft.operators.Dedup.semanticDedup]] →
@@ -3302,6 +3318,38 @@ object SparkEntry {
       p.seqLen)
   }
 
+  /** Multiclass one-vs-rest language/domain classifier
+    * ([[graft.operators.Classifier.perceptronTrainMulti]] +
+    * [[graft.operators.Classifier.perceptronScoreMulti]]): K
+    * class-salted corpora (the q190 separable-by-construction
+    * convention — the synthetic corpus's `lang` column shares one
+    * vocabulary, so each class gets a PRIVATE md5 vocabulary instead),
+    * one-vs-rest averaged perceptrons trained epoch by epoch in exact
+    * integers, the held-out slice argmax-predicted (score DESC,
+    * label ASC) — a TRAINING + multiclass-serving run the DuckDB twin
+    * replays weight for weight. Params from [[SketchParams.q199]]. */
+  def q199MulticlassPerceptron(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q199
+    val real = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = p.classes.zipWithIndex.map { case (c, i) =>
+      real.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        array_join(transform(split(trim(lower(col("text"))), "\\s+"),
+          w => substring(md5(concat(w, lit(":" + c))), 1, 8)), " ")
+          .as("text"),
+        lit(c).as("label"))
+    }.reduce(_.unionByName(_))
+    val weights = operators.Classifier.perceptronTrainMulti(
+      corpus.filter(col("doc_id") % p.evalMod =!= 0), "text", "doc_id",
+      "label", p.nBuckets, p.epochs)
+    val eval = corpus.filter(col("doc_id") % p.evalMod === 0)
+      .localCheckpoint(false)
+    operators.Classifier.perceptronScoreMulti(eval, weights, "text",
+        "doc_id", p.nBuckets)
+      .join(eval.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .select(col("doc_id"), col("label"), col("predicted"),
+        col("score"), (col("predicted") === col("label")).as("correct"))
+  }
+
   /** Learned-filter curation run — q190's trained perceptron WIRED
     * into the pipeline it was built for (the q184 convention: an
     * operator is not done until the flagship decision table consumes
@@ -4286,7 +4334,8 @@ object SparkEntry {
     "q195_wordpiece" -> (q195Wordpiece _),
     "q196_curation_pack" -> (q196CurationPack _),
     "q197_bm25_index" -> (q197Bm25IndexDump _),
-    "q198_pack_manifest" -> (q198PackManifest _))
+    "q198_pack_manifest" -> (q198PackManifest _),
+    "q199_multiclass_perceptron" -> (q199MulticlassPerceptron _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

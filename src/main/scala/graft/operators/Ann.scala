@@ -514,14 +514,26 @@ object Ann {
       k: Int, nlist: Int = 8, nprobe: Int = 3, scale: Int = 1000,
       excludeSelf: Boolean = true,
       centroids: Option[Seq[Seq[Long]]] = None): DataFrame = {
-    require(nprobe >= 1 && nprobe <= nlist, "1 <= nprobe <= nlist")
-    def quantize(v: Column): Column = quantizeVec(v, scale)
     val cents = centroids.getOrElse(
       portableCentroids(corpus, vecCol, idCol, nlist, scale))
     val lists = withNearestCentroidL(
       corpus.select(col(idCol).as("neighbor_id"),
-        quantize(col(vecCol)).as("__cq")),
+        quantizeVec(col(vecCol), scale).as("__cq")),
       cents, col("__cq"), "__list")
+    ivfServe(lists, cents, queries, vecCol, queryIdCol, k, nlist,
+      nprobe, scale, excludeSelf)
+  }
+
+  /** The IVF serving tail shared by [[ivfTopKPortable]] and
+    * [[ivfTopKFromIndex]]: probe-list selection for the (tiny) query
+    * side, the pruned posting join, the bit-portable quantized-cosine
+    * ranking. `lists` is (neighbor_id, __cq, __list). */
+  private def ivfServe(lists: DataFrame, cents: Seq[Seq[Long]],
+      queries: DataFrame, vecCol: String, queryIdCol: String, k: Int,
+      nlist: Int, nprobe: Int, scale: Int,
+      excludeSelf: Boolean): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "1 <= nprobe <= nlist")
+    def quantize(v: Column): Column = quantizeVec(v, scale)
     val probed = withSortedCentroidDistsL(
         queries.select(col(queryIdCol).as("query_id"),
           quantize(col(vecCol)).as("__qq")),
@@ -549,6 +561,83 @@ object Ann {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }
+
+  /** An IVF index snapshot — the serving artifact [[ivfTopKPortable]]
+    * derives per run: the trained quantizer plus the corpus's posting
+    * lists (`neighbor_id`, quantized vector, list id). All BIGINT →
+    * parquet round-trips bit-exactly; index-served rankings equal
+    * recomputed ones (spec'd in `AnnIvfSpec`). */
+  final case class IvfIndex(centroids: Seq[Seq[Long]], lists: DataFrame,
+      nlist: Int, scale: Int)
+
+  /** Build the [[IvfIndex]] over a corpus — quantize + assign once
+    * (the index-time pass); serving then pays only the probe joins. */
+  def ivfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int = 8, scale: Int = 1000,
+      centroids: Option[Seq[Seq[Long]]] = None): IvfIndex = {
+    val cents = centroids.getOrElse(
+      portableCentroids(corpus, vecCol, idCol, nlist, scale))
+    val lists = withNearestCentroidL(
+      corpus.select(col(idCol).as("neighbor_id"),
+        quantizeVec(col(vecCol), scale).as("__cq")),
+      cents, col("__cq"), "__list")
+    IvfIndex(cents, lists, nlist, scale)
+  }
+
+  /** [[ivfTopKPortable]] served from a persisted/memoized
+    * [[IvfIndex]] — identical ranking integers, but the corpus is
+    * never re-quantized or re-assigned. */
+  def ivfTopKFromIndex(index: IvfIndex, queries: DataFrame,
+      vecCol: String, queryIdCol: String, k: Int, nprobe: Int = 3,
+      excludeSelf: Boolean = true): DataFrame =
+    ivfServe(index.lists, index.centroids, queries, vecCol, queryIdCol,
+      k, index.nlist, nprobe, index.scale, excludeSelf)
+
+  /** Persist an [[IvfIndex]] — posting lists + centroids + a one-row
+    * params table under one root (the corpus-index convention of
+    * [[graft.operators.Dedup.saveCorpusIndex]]). */
+  def saveIvfIndex(index: IvfIndex, root: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    index.lists
+      .select(col("neighbor_id"), col("__cq").as("qvec"),
+        col("__list").as("list_id"))
+      .write.mode("overwrite").parquet(s"$root/lists")
+    saveCentroids(index.centroids, s"$root/centroids")
+    import spark.implicits._
+    Seq((index.nlist, index.scale)).toDF("nlist", "scale")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/params")
+  }
+
+  /** Bit-exact inverse of [[saveIvfIndex]]. */
+  def loadIvfIndex(root: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): IvfIndex = {
+    val rows = spark.read.parquet(s"$root/params").collect()
+    require(rows.length == 1,
+      s"loadIvfIndex: params at $root/params must hold one row, " +
+        s"found ${rows.length}")
+    val (nlist, scale) = (rows(0).getAs[Int]("nlist"),
+      rows(0).getAs[Int]("scale"))
+    require(nlist >= 1 && scale >= 1,
+      s"loadIvfIndex: bad params nlist=$nlist scale=$scale")
+    IvfIndex(
+      loadCentroids(s"$root/centroids"),
+      spark.read.parquet(s"$root/lists")
+        .select(col("neighbor_id"), col("qvec").as("__cq"),
+          col("list_id").as("__list")),
+      nlist, scale)
+  }
+
+  /** Train-once-reuse for IVF indexes (the [[trainOrLoadCentroids]]
+    * contract): serving lineage is two parquet scans, never the
+    * quantize-and-assign pass. */
+  def trainOrLoadIvfIndex(root: String)(build: => IvfIndex)(
+      implicit spark: org.apache.spark.sql.SparkSession): IvfIndex =
+    try {
+      val ix = loadIvfIndex(root)
+      ix.lists.queryExecution.analyzed
+      ix
+    } catch { case _: org.apache.spark.sql.AnalysisException =>
+      saveIvfIndex(build, root); loadIvfIndex(root) }
 
   /** Single-table portable-LSH top-k: bucket by [[portableSignature]],
     * exact cosine within shared buckets, per-query top-k. The DuckDB twin

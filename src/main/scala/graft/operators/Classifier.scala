@@ -145,6 +145,67 @@ object Classifier {
     catch { case _: org.apache.spark.sql.AnalysisException =>
       saveWeights(build, path); loadWeights(path) }
 
+  /** Multiclass TRAIN — one-vs-rest averaged perceptrons, the
+    * fastText-supervised shape (Joulin et al. 2017) in exact integer
+    * arithmetic: per class c the binary [[perceptronTrain]] runs with
+    * y = +1 on c's docs and −1 on the rest, and the K weight tables
+    * stack tagged by class. Classes come from the data (collected
+    * DISTINCT — class count is small by definition; the model is
+    * K·nBuckets rows). Deterministic: classes train in sorted order
+    * and each binary run is the deterministic batch loop, so the q199
+    * DuckDB oracle unrolls all K·epochs weight for weight.
+    *
+    * Scale shape: K sequential binary trainings — per epoch one
+    * bucket-key join + two aggs each, nothing cross-class; a corpus
+    * pass per (class, epoch). For large K train classes' epochs
+    * concurrently from the same checkpointed feature frame; at the
+    * K ≤ dozens of a language/domain classifier, sequential is the
+    * simpler plan with identical output.
+    *
+    * @return (label, bucket, w) */
+  def perceptronTrainMulti(train: DataFrame, textCol: String,
+      idCol: String, labelCol: String, nBuckets: Int = 4096,
+      epochs: Int = 3): DataFrame = {
+    val classes = train.select(col(labelCol).cast("string").as("__c"))
+      .distinct().collect().map(_.getString(0)).sorted
+    require(classes.nonEmpty, "no classes in training data")
+    classes.map { c =>
+      perceptronTrain(
+        train.withColumn("__y",
+          when(col(labelCol).cast("string") === c, 1L).otherwise(-1L)),
+        textCol, idCol, "__y", nBuckets, epochs)
+        .select(lit(c).as("label"), col("bucket"), col("w"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Multiclass SCORE against a [[perceptronTrainMulti]] table: per
+    * doc every class's integer score, argmax decision tie-broken
+    * (score DESC, label ASC) — a total order, so prediction is
+    * deterministic and engine-portable.
+    * @return (idCol, predicted, score) */
+  def perceptronScoreMulti(docs: DataFrame, weights: DataFrame,
+      textCol: String, idCol: String,
+      nBuckets: Int = 4096): DataFrame = {
+    val idOut = docs.select(col(idCol)).schema.head.name
+    val feats = hashedFeatures(docs, textCol, idCol, nBuckets)
+    val labels = weights.select(col("label")).distinct()
+    // cross the (tiny) class list so absent-feature classes still score
+    // (all-zero), then left-join the class-tagged weights
+    val scored = feats.crossJoin(broadcast(labels))
+      .join(weights.select(col("label"),
+          col("bucket"), col("w").cast("long").as("w")),
+        Seq("label", "bucket"), "left")
+      .groupBy(col("id"), col("label"))
+      .agg(sum(col("tf") * coalesce(col("w"), lit(0L))).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("s").desc, col("label").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id").as(idOut), col("label").as("predicted"),
+        col("s").as("score"))
+  }
+
   /** SCORE documents with a trained (bucket, w) table: per doc the
     * integer score and the sign decision (score > 0). Shares the
     * feature pipeline with [[perceptronTrain]] exactly. */

@@ -99,6 +99,31 @@ class AnnIvfSpec extends AnyFunSuite {
       "Lloyd refinement made the worst cluster more populated")
   }
 
+  test("IvfIndex: index-served ranking == recomputed, through a " +
+      "parquet round trip, and trainOrLoad builds once") {
+    implicit val s = spark
+    val recomputed = asPairs(Ann.ivfTopKPortable(emb, queries,
+      "embedding", "vec_id", "vec_id", k = 5, nlist = 4, nprobe = 2))
+    val ix = Ann.ivfIndex(emb, "embedding", "vec_id", nlist = 4)
+    assert(asPairs(Ann.ivfTopKFromIndex(ix, queries, "embedding",
+      "vec_id", k = 5, nprobe = 2)) === recomputed)
+    val root = java.nio.file.Files.createTempDirectory("ivfix")
+      .resolve("ix").toString
+    Ann.saveIvfIndex(ix, root)
+    val loaded = Ann.loadIvfIndex(root)
+    assert(loaded.nlist == 4 && loaded.scale == 1000)
+    assert(loaded.centroids == ix.centroids)
+    assert(asPairs(Ann.ivfTopKFromIndex(loaded, queries, "embedding",
+      "vec_id", k = 5, nprobe = 2)) === recomputed)
+    var builds = 0
+    Ann.trainOrLoadIvfIndex(root + "2") { builds += 1; ix }
+    val served = Ann.trainOrLoadIvfIndex(root + "2") {
+      builds += 1; fail("rebuilt despite persisted index") }
+    assert(builds == 1)
+    assert(asPairs(Ann.ivfTopKFromIndex(served, queries, "embedding",
+      "vec_id", k = 5, nprobe = 2)) === recomputed)
+  }
+
   test("multi-probe LSH recall is a floor above single-probe") {
     val k = 5
     val exact = asPairs(Ann.bruteForceTopK(emb, queries,

@@ -139,4 +139,41 @@ class ClassifierSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(weights() == weights(), "two identical trainings diverged")
   }
+
+  test("multiclass: each class's weight table IS the binary one-vs-" +
+      "rest run; argmax prediction is perfect on disjoint " +
+      "vocabularies and ties break label-ascending") {
+    val train = (0 until 60).map { i =>
+      val c = s"k${i % 3}"
+      (i.toLong, s"${c}w${i % 4} ${c}w${(i + 1) % 4} shared", c)
+    }.toDF("doc_id", "text", "label")
+    val multi = Classifier.perceptronTrainMulti(train, "text",
+      "doc_id", "label", NB, epochs = 2)
+    // per-class slice equals the standalone binary training
+    Seq("k0", "k1", "k2").foreach { c =>
+      val slice = multi.filter(col("label") === c)
+        .select(col("bucket"), col("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val binary = Classifier.perceptronTrain(
+          train.withColumn("__y",
+            when(col("label") === c, 1L).otherwise(-1L)),
+          "text", "doc_id", "__y", NB, epochs = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(slice == binary, s"class $c diverged from binary OVR")
+    }
+    // disjoint class vocabularies => argmax gets every doc right
+    val pred = Classifier.perceptronScoreMulti(train, multi, "text",
+        "doc_id", NB)
+      .join(train.select(col("doc_id"), col("label")), Seq("doc_id"))
+    assert(pred.filter(col("predicted") =!= col("label")).count() == 0)
+    // tie-break: an all-zero weight table scores every class 0 ->
+    // the lexicographically first label wins, deterministically
+    import spark.implicits._
+    val zeroW = Seq(("b", 0L, 0L), ("a", 0L, 0L))
+      .toDF("label", "bucket", "w")
+    val tied = Classifier.perceptronScoreMulti(
+      Seq((1L, "x y")).toDF("doc_id", "text"), zeroW, "text",
+      "doc_id", NB)
+    assert(tied.collect().map(r => r.getString(1)).toSeq == Seq("a"))
+  }
 }

@@ -677,6 +677,37 @@ class PlanQualitySpec extends AnyFunSuite {
       "expansion must be the kernel projection, not an explode chain")
   }
 
+  test("r16 additions: index-served BM25 broadcasts the term prune; " +
+      "packing plans keep the pinned-pid window; nothing cartesians") {
+    // q197: the index dump is aggregation over one corpus scan — the
+    // term prune must reach the final join as a broadcast, never a
+    // cartesian
+    val p197 = executed("q197_bm25_index")
+    assert(!p197.contains("CartesianProduct"),
+      s"q197 cartesians:\n${p197.take(1200)}")
+    assert(p197.contains("BroadcastNestedLoopJoin") ||
+      p197.contains("BroadcastHashJoin") || p197.contains("BroadcastExchange"),
+      "q197 stats/df sides must broadcast")
+    // q198: the manifest window partitions by seq_id (parallel), and
+    // the offset scan stays the pinned-pid two-phase shape
+    val p198 = executed("q198_pack_manifest")
+    assert(!p198.contains("CartesianProduct"))
+    assert(p198.contains("__pid"),
+      "q198 lost the pinned-pid two-phase scan")
+    // q199: per-class epoch joins are bucket-key hash joins + partial
+    // aggs; no cartesian anywhere in a 4-class unrolled training
+    val p199 = executed("q199_multiclass_perceptron")
+    assert(!p199.contains("CartesianProduct"),
+      s"q199 cartesians:\n${p199.take(1200)}")
+    assert(p199.contains("partial_sum") || p199.contains("partial_count"),
+      "q199 aggregation lost its map-side partial")
+    // q196: the composition keeps the curation chain's shapes
+    val p196 = executed("q196_curation_pack")
+    assert(!p196.contains("CartesianProduct"))
+    assert(p196.contains("__pid"),
+      "q196 lost the pinned-pid two-phase scan")
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
