@@ -485,6 +485,11 @@ object SketchParams {
     val classes: Seq[String] = Seq("c0", "c1", "c2", "c3")
     val evalMod = 4; val nBuckets = 2048; val epochs = 2
   }
+  /** q200 KN-curriculum packing: shard token budget for the
+    * familiarity-ordered stream. */
+  object q200 {
+    val maxTokensPerShard = 2000L
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -3872,10 +3877,13 @@ object OracleSql {
     * their floors are bit-identical across engines), per-doc
     * fixed-point sums, and the exact CCNet tercile. Generated from
     * [[SketchParams.q188]]. */
-  private def q188: String = {
+  /** The q188 Kneser–Ney chain through `perdoc` (per-doc trigram
+    * count + quantized KN sum over the held-out slice, model trained
+    * on the 1-in-refMod reference) — shared by q188 (tercile gate) and
+    * q200 (curriculum packing by LM familiarity). */
+  private def knPerdocCtes: String = {
     val p = SketchParams.q188
-    s"""
-    WITH base AS (
+    s"""base AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents
     ), rtpos AS (
@@ -3949,7 +3957,13 @@ object OracleSql {
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
         CAST(SUM(s) AS BIGINT) AS kn_sum
       FROM scored GROUP BY doc_id
-    )
+    )"""
+  }
+
+  private def q188: String = {
+    val p = SketchParams.q188
+    s"""
+    WITH $knPerdocCtes
     SELECT doc_id, n_trigrams, kn_sum,
       CAST(kn_sum AS DOUBLE) /
         CAST(n_trigrams * ${p.quant} AS DOUBLE) AS kn_mean,
@@ -3961,6 +3975,38 @@ object OracleSql {
         CAST(kn_sum AS DOUBLE) /
           CAST(n_trigrams * ${p.quant} AS DOUBLE) DESC, doc_id) AS tile
       FROM perdoc)"""
+  }
+
+  /** KN-curriculum shard packing (q200): the q188 LM familiarity
+    * score ORDERS the token stream (fluent-first — the curriculum a
+    * pretraining run warms up on), then the q104 running-offset pack
+    * chunks it — the trained LM artifact wired into the packing
+    * pipeline, the q196 composition convention applied to the KN
+    * family. The SQL twin of `SparkEntry.q200KnCurriculum`. Generated
+    * from [[SketchParams.q188]]/[[SketchParams.q200]]. */
+  private def q200: String = {
+    val p = SketchParams.q188
+    val budget = SketchParams.q200.maxTokensPerShard
+    s"""
+    WITH $knPerdocCtes, toks AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+          AS n_tokens
+      FROM documents
+    ), ordered AS (
+      SELECT p.doc_id, t.n_tokens,
+        CAST(p.kn_sum AS DOUBLE) /
+          CAST(p.n_trigrams * ${p.quant} AS DOUBLE) AS kn_mean
+      FROM perdoc p JOIN toks t ON p.doc_id = t.doc_id
+    )
+    SELECT doc_id, n_tokens, kn_mean, tok_offset,
+      CAST(tok_offset // $budget AS BIGINT) AS shard_id
+    FROM (
+      SELECT doc_id, n_tokens, kn_mean,
+        CAST(sum(n_tokens) OVER (ORDER BY -kn_mean, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+          AS BIGINT) AS tok_offset
+      FROM ordered)"""
   }
 
   /** Hybrid retrieval (q191): the q157 probe chain's seed stage + the
@@ -7184,6 +7230,7 @@ object OracleSql {
     "q197_bm25_index" -> q197,
     "q198_pack_manifest" -> q198,
     "q199_multiclass_perceptron" -> q199,
+    "q200_kn_curriculum" -> q200,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

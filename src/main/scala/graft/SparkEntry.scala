@@ -3602,6 +3602,39 @@ object SparkEntry {
       "text", "doc_id", p.quant, p.nBuckets)
   }
 
+  /** KN-curriculum shard packing
+    * ([[graft.operators.TextAnalysis.knTrigramScore]] →
+    * [[graft.operators.Packing.assignShards]] with `orderCol`): the
+    * q188 LM familiarity score ORDERS the training stream fluent-first
+    * (the warm-up curriculum a pretraining run starts on), and the
+    * two-phase prefix sum packs it under the shard budget — the
+    * trained LM artifact wired into the packing pipeline (the q196
+    * composition convention applied to the KN family). Docs without a
+    * trigram (under 3 tokens) have no familiarity signal and drop
+    * from the curriculum. Params from [[SketchParams.q188]]/
+    * [[SketchParams.q200]]. */
+  def q200KnCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q188
+    val budget = SketchParams.q200.maxTokensPerShard
+    val docs = t(s, dir, "documents")
+    val model = operators.TextAnalysis.knTrigramModel(
+      docs.filter(col("doc_id") % p.refMod === 0), "text")
+    val scored = operators.TextAnalysis.knTrigramScore(
+      docs.filter(col("doc_id") % p.refMod =!= 0), model, "text",
+      "doc_id", p.quant)
+    val ordered = scored
+      .join(docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("kn_mean"),
+        (-col("kn_mean")).as("__ord"))
+    operators.Packing.assignShards(ordered, "n_tokens", "doc_id",
+        budget, orderCol = Some("__ord"))
+      .join(ordered.select(col("doc_id"), col("kn_mean")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("kn_mean"),
+        col("tok_offset"), col("shard_id"))
+  }
+
   /** Main-content-aware curation run (VERDICT r14 item 3 — q182 wired
     * into the pipeline it was built for): the q169 decision-table shape
     * where every gate scores [[graft.sources.CrawlParse.mainContent]]
@@ -4335,7 +4368,8 @@ object SparkEntry {
     "q196_curation_pack" -> (q196CurationPack _),
     "q197_bm25_index" -> (q197Bm25IndexDump _),
     "q198_pack_manifest" -> (q198PackManifest _),
-    "q199_multiclass_perceptron" -> (q199MulticlassPerceptron _))
+    "q199_multiclass_perceptron" -> (q199MulticlassPerceptron _),
+    "q200_kn_curriculum" -> (q200KnCurriculum _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -346,6 +346,32 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming multiclass router — q199's streaming twin: a
+    * [[graft.operators.Classifier.perceptronTrainMulti]] table
+    * (trained offline, typically
+    * [[graft.operators.Classifier.trainOrLoadWeights]]-style persisted)
+    * tags each micro-batch's docs with the argmax class
+    * ([[graft.operators.Classifier.perceptronScoreMulti]], same
+    * deterministic (score DESC, label ASC) tie-break as the batch
+    * path) — the language/domain ROUTER in front of per-class
+    * downstream pipelines. All K classes score in one batch-
+    * proportional join; rows append (id, predicted, score). */
+  def multiclassTagIngest(
+      docsStream: DataFrame, weights: DataFrame,
+      textCol: String, idCol: String,
+      sinkPath: String, checkpointPath: String,
+      nBuckets: Int = 4096): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = weights.localCheckpoint(false)
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Classifier
+          .perceptronScoreMulti(batch.toDF(), w, textCol, idCol, nBuckets)
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+  }
+
   /** Streaming hybrid retrieval — q191's streaming twin: each
     * micro-batch of query docs (id, text, embedding) is served against
     * a STATIC corpus both ways — its top-`qTerms` terms (by tf, the

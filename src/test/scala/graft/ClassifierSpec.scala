@@ -107,6 +107,48 @@ class ClassifierSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multiclass streaming router: per-batch tagging against the " +
+      "static multi table == batch scoreMulti of the union") {
+    val inDir = java.nio.file.Files.createTempDirectory("mc-in")
+    val sink = java.nio.file.Files
+      .createTempDirectory("mc-out").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("mc-ck").toString
+    val train = (0 until 30).map { i =>
+      val c = s"k${i % 3}"
+      (i.toLong, s"${c}w${i % 4} ${c}w${(i + 1) % 4}", c)
+    }.toDF("doc_id", "text", "label")
+    val w = Classifier.perceptronTrainMulti(train, "text", "doc_id",
+      "label", 256, epochs = 2)
+    val b1 = Seq((100L, "k0w1 k0w2"), (101L, "k1w0 k1w1"))
+    val b2 = Seq((200L, "k2w3 k2w0"), (201L, "k0w0 k1w0"))
+    b1.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(inDir.resolve("b1").toString)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(inDir.toString + "/*")
+    val q = graft.streaming.EventStreams.multiclassTagIngest(stream,
+      w, "text", "doc_id", sink, ckpt, nBuckets = 256)
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(inDir.resolve("b2").toString)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(sink)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val batch = Classifier.perceptronScoreMulti(
+          (b1 ++ b2).toDF("doc_id", "text"), w, "text", "doc_id", 256)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed.map(r => (r._1, r._2))
+        .filter(p => Set(100L, 101L, 200L)(p._1)) ==
+        Set((100L, "k0"), (101L, "k1"), (200L, "k2")),
+        "router sent a clear-vocab doc to the wrong class")
+    } finally q.stop()
+  }
+
   test("weights persist bit-exactly; trainOrLoadWeights builds once " +
       "then serves from the model file") {
     implicit val s = spark
