@@ -195,10 +195,14 @@ object Soak {
         .localCheckpoint(false)
       println(s"[soak] diversified corpus: ${div.count()} docs")
       val vocab = 1024
+      val t0 = System.nanoTime()
       val (merges, passes) = timed(
           s"learnBpeMergesBatched($vocab merges, batch=64)") {
         operators.TextAnalysis.learnBpeMergesBatchedCounted(
-          div, "text", vocab, 64)
+          div, "text", vocab, 64,
+          onPass = (p, m) => if (p % 25 == 0) println(
+            f"[soak]   pass $p: $m merges, " +
+              f"${(System.nanoTime() - t0) / 1e9}%.0f s"))
       }
       println(s"[soak]   -> ${merges.length} merges in $passes passes " +
         f"(${merges.length.toDouble / passes}%.1f merges/pass)")

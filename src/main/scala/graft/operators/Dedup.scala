@@ -466,6 +466,60 @@ object Dedup {
       ngram, numHashes, bands)
   }
 
+  /** Index MAINTENANCE — absorb a batch of (already deduplicated) docs
+    * into a [[PreparedCorpus]] without re-preparing the history: the
+    * batch's fingerprints/signatures/shingles compute batch-locally
+    * and UNION onto the prepared frames — the text-dedup analog of
+    * [[Ann.knnGraphMerge]], closing the ingest loop
+    * (screen batch → keep novel → absorb novel → next batch probes
+    * them). Result ≡ `prepareCorpus(corpus ∪ batch)` (spec-gated in
+    * `StreamingDedupSpec`): every stage of the prepare pipeline is
+    * per-doc, so union-after equals prepare-of-union exactly.
+    * Cost ∝ batch; the returned frames are lazy unions of
+    * already-materialized parents (checkpoint the result — or
+    * [[saveCorpusIndex]] it — every few generations, the descent-loop
+    * hygiene). */
+  def updateCorpusIndex(prepared: PreparedCorpus, newDocs: DataFrame,
+      textCol: String, idCol: String): PreparedCorpus = {
+    val (banded, sh) = bandedXx(newDocs, textCol, idCol, prepared.ngram,
+      prepared.numHashes, prepared.bands, "corpus", eager = false)
+    PreparedCorpus(
+      prepared.fingerprints.unionByName(
+          newDocs.select(md5(col(textCol)).as("__fp")))
+        .distinct(),
+      prepared.banded.unionByName(banded),
+      prepared.shingleSets.unionByName(sh),
+      prepared.ngram, prepared.numHashes, prepared.bands)
+  }
+
+  /** Index maintenance — DELETE docs from a [[PreparedCorpus]] (the
+    * takedown/right-to-forget path; [[Ann.knnGraphDelete]]'s text
+    * twin): drop the ids' signature and shingle rows; fingerprints of
+    * the deleted docs are dropped unless another surviving doc shares
+    * the same text (the fingerprint frame is DISTINCT over texts, so
+    * it must be recomputed from survivors' texts when available — here
+    * the caller passes the surviving corpus for exactness, or `None`
+    * to keep the fingerprint set unchanged, the conservative screen
+    * that still rejects re-submissions of deleted text). */
+  def deleteFromCorpusIndex(prepared: PreparedCorpus, ids: DataFrame,
+      idCol: String, survivors: Option[(DataFrame, String)] = None)
+      : PreparedCorpus = {
+    val del = ids.select(col(idCol).as("__del_id"))
+    val fps = survivors match {
+      case Some((docs, textCol)) =>
+        docs.select(md5(col(textCol)).as("__fp")).distinct()
+      case None => prepared.fingerprints
+    }
+    PreparedCorpus(
+      fps,
+      prepared.banded.join(del,
+        prepared.banded("corpus_id") === del("__del_id"), "left_anti"),
+      prepared.shingleSets.join(del,
+        prepared.shingleSets("corpus_id") === del("__del_id"),
+        "left_anti"),
+      prepared.ngram, prepared.numHashes, prepared.bands)
+  }
+
   /** [[incrementalDedup]] against a [[PreparedCorpus]]: identical output,
     * but the corpus-side pipeline never re-executes — each call computes
     * only the new batch's shingles/signatures and probes the prepared

@@ -1517,7 +1517,8 @@ object TextAnalysis {
     * the quantity the batching exists to shrink (soak-instrumented in
     * `graft.Soak bpe`). */
   private[graft] def learnBpeMergesBatchedCounted(docs: DataFrame,
-      textCol: String, numMerges: Int, batch: Int)
+      textCol: String, numMerges: Int, batch: Int,
+      onPass: (Int, Int) => Unit = (_, _) => ())
       : (Seq[(String, String)], Int) = {
     require(numMerges >= 0, "numMerges must be >= 0")
     require(batch >= 1, "batch must be >= 1")
@@ -1526,6 +1527,7 @@ object TextAnalysis {
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
       passes += 1
+      onPass(passes, merges.length)
       // words FIRST, then segment each word: pair statistics must never
       // cross a word boundary, and the segmented full text flattens it
       val words = docs

@@ -390,7 +390,17 @@ object EventStreams {
       sinkPath: String, checkpointPath: String, qTerms: Int = 8,
       rrfK: Int = 60,
       scale: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery = {
-    val docsS = corpusDocs.localCheckpoint(false)
+    // BM25 serves from the inverted-index snapshot, built ONCE at query
+    // start (each frame checkpointed — the knGateIngest boundary; pass
+    // a trainOrLoadBm25Index artifact upstream to skip even this): a
+    // micro-batch pays a postings probe pruned by its own term set,
+    // never a corpus re-tokenization
+    val ixRaw = graft.operators.TextAnalysis
+      .bm25Index(corpusDocs, textCol, docIdCol)
+    val ix = graft.operators.TextAnalysis.Bm25Index(
+      ixRaw.postings.localCheckpoint(false),
+      ixRaw.termDf.localCheckpoint(false),
+      ixRaw.stats.localCheckpoint(false))
     queryStream.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -408,7 +418,7 @@ object EventStreams {
           .filter(col("__rn") <= qTerms)
           .select(col("query_id"), col("term"))
         val bm25 = graft.operators.TextAnalysis
-          .bm25FixedPointTopK(docsS, textCol, docIdCol, queryTerms, k)
+          .bm25FixedPointTopKFromIndex(ix, queryTerms, k)
           .withColumn("rank", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("query_id"))

@@ -38,6 +38,78 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(viaPrepared == Seq(103L))
   }
 
+  test("updateCorpusIndex: absorbing a batch == re-preparing the " +
+      "union (the ingest loop closes); survives the parquet round " +
+      "trip") {
+    import spark.implicits._
+    implicit val s = spark
+    val corpus = (1L to 30L).map(i =>
+      (i, s"corpus document number $i with some shared words of substance"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (101L, "a first wave of entirely new material about packing"),
+      (102L, "a second strand of fresh text on quantized serving"))
+      .toDF("doc_id", "text")
+    // batch 2 contains a near-dup of batch 1 (trailing space) — it must
+    // be caught ONLY if b1 was absorbed into the index
+    val b2 = Seq(
+      (201L, "a first wave of entirely new material about packing  "),
+      (202L, "completely unrelated third-wave subject matter entirely"))
+      .toDF("doc_id", "text")
+    def screen(p: graft.operators.Dedup.PreparedCorpus) =
+      graft.operators.Dedup
+        .incrementalDedupPrepared(b2, p, "text", "doc_id",
+          jaccardThreshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val updated = graft.operators.Dedup.updateCorpusIndex(
+      graft.operators.Dedup.prepareCorpus(corpus, "text", "doc_id"),
+      b1, "text", "doc_id")
+    val reprepared = graft.operators.Dedup.prepareCorpus(
+      corpus.unionByName(b1), "text", "doc_id")
+    assert(screen(updated) == screen(reprepared))
+    assert(screen(updated) == Seq(202L),
+      "the absorbed batch must catch its own near-dup")
+    // parquet round trip of the UPDATED index screens identically
+    val root = java.nio.file.Files.createTempDirectory("corpix")
+      .resolve("ix").toString
+    graft.operators.Dedup.saveCorpusIndex(updated, root)
+    assert(screen(graft.operators.Dedup.loadCorpusIndex(spark, root))
+      == Seq(202L))
+  }
+
+  test("deleteFromCorpusIndex: deleted docs stop matching near-dups; " +
+      "fingerprints follow the survivors (or stay conservative)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "to be deleted text about ephemeral takedown requests now"),
+      (2L, "a permanent resident document with stable words here"))
+      .toDF("doc_id", "text")
+    val prepared = graft.operators.Dedup
+      .prepareCorpus(corpus, "text", "doc_id")
+    // near-dup + exact resubmission of the deleted doc
+    val resub = Seq(
+      (301L, "to be deleted text about ephemeral takedown requests now"),
+      (302L, "to be deleted text about ephemeral takedown requests now  "))
+      .toDF("doc_id", "text")
+    def screen(p: graft.operators.Dedup.PreparedCorpus) =
+      graft.operators.Dedup
+        .incrementalDedupPrepared(resub, p, "text", "doc_id",
+          jaccardThreshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(screen(prepared) == Seq())
+    val survivors = corpus.filter(col("doc_id") =!= 1L)
+    val exact = graft.operators.Dedup.deleteFromCorpusIndex(prepared,
+      Seq(1L).toDF("doc_id"), "doc_id",
+      survivors = Some((survivors, "text")))
+    // fully forgotten: both the exact and near-dup resubmissions pass
+    assert(screen(exact) == Seq(301L, 302L))
+    // conservative mode: signatures dropped but fingerprints kept —
+    // the EXACT resubmission still rejects, the near-dup passes
+    val conservative = graft.operators.Dedup.deleteFromCorpusIndex(
+      prepared, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(screen(conservative) == Seq(302L))
+  }
+
   test("micro-batched ingest keeps only documents novel vs the corpus") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("sdedup-in")
