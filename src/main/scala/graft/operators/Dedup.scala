@@ -1480,6 +1480,64 @@ object Dedup {
     PreparedEmbeddings(cents, assigned, scale)
   }
 
+  /** Persist a [[PreparedEmbeddings]] — the embedding twin of
+    * [[saveCorpusIndex]]: centroids (the [[Ann.saveCentroids]] model
+    * convention), the assignment frame, and a one-row params table.
+    * All BIGINT → bit-exact round trip. */
+  def saveEmbeddingIndex(prepared: PreparedEmbeddings, root: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    Ann.saveCentroids(prepared.centroids, s"$root/centroids")
+    prepared.assigned.write.mode("overwrite").parquet(s"$root/assigned")
+    import spark.implicits._
+    Seq(prepared.scale).toDF("scale")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/params")
+  }
+
+  /** Bit-exact inverse of [[saveEmbeddingIndex]]. */
+  def loadEmbeddingIndex(root: String)(
+      implicit spark: org.apache.spark.sql.SparkSession)
+      : PreparedEmbeddings = {
+    val rows = spark.read.parquet(s"$root/params").collect()
+    require(rows.length == 1,
+      s"loadEmbeddingIndex: params at $root/params must hold one row, " +
+        s"found ${rows.length}")
+    val scale = rows(0).getAs[Int]("scale")
+    require(scale >= 1, s"loadEmbeddingIndex: bad scale $scale")
+    PreparedEmbeddings(
+      Ann.loadCentroids(s"$root/centroids"),
+      spark.read.parquet(s"$root/assigned"),
+      scale)
+  }
+
+  /** Index MAINTENANCE — absorb a batch of (already screened) vectors
+    * into a [[PreparedEmbeddings]]: the batch assigns to the EXISTING
+    * quantizer (centroids are the frozen model; periodic re-training
+    * is a separate offline decision) and unions onto the assignment
+    * frame — ≡ `prepareEmbeddings(corpus ∪ batch, centroids = same)`
+    * (spec-gated). Cost ∝ batch. */
+  def updateEmbeddingIndex(prepared: PreparedEmbeddings,
+      newEmb: DataFrame, vecCol: String, idCol: String)
+      : PreparedEmbeddings = {
+    val assigned = Ann.withNearestCentroidL(
+        newEmb.select(col(idCol).as("corpus_id"),
+          Ann.quantizeVec(col(vecCol), prepared.scale).as("qv")),
+        prepared.centroids, col("qv"), "cluster")
+      .withColumn("nrm", Ann.idot(col("qv"), col("qv")))
+    PreparedEmbeddings(prepared.centroids,
+      prepared.assigned.unionByName(assigned), prepared.scale)
+  }
+
+  /** Index maintenance — DELETE vectors from a [[PreparedEmbeddings]]
+    * (the [[deleteFromCorpusIndex]] twin): their assignment rows drop;
+    * the quantizer is unchanged. */
+  def deleteFromEmbeddingIndex(prepared: PreparedEmbeddings,
+      ids: DataFrame, idCol: String): PreparedEmbeddings =
+    PreparedEmbeddings(prepared.centroids,
+      prepared.assigned.join(
+        ids.select(col(idCol).as("__del_id")),
+        prepared.assigned("corpus_id") === col("__del_id"), "left_anti"),
+      prepared.scale)
+
   /** Batch-vs-corpus semantic screen against [[PreparedEmbeddings]]:
     * drops every batch row whose embedding has a corpus neighbor at
     * cosine ≥ `cosineThreshold` inside its cluster and returns the

@@ -191,6 +191,48 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(oneShot == Seq(100L, 101L))
   }
 
+  test("embedding index: absorb == re-prepare with the same quantizer; " +
+      "delete forgets; parquet round trip screens identically") {
+    import spark.implicits._
+    implicit val s = spark
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (1L, vec(1.0, 0.0, 0.0)), (2L, vec(0.0, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val prepared = graft.operators.Dedup
+      .prepareEmbeddings(corpus, "embedding", "vec_id", nlist = 2)
+    // z-leaning vectors with a small +x bias: both land in the
+    // (1,0,0)-centroid's cluster deterministically (no tie), far from
+    // every corpus vector by cosine
+    val b1 = Seq((10L, vec(0.01, 0.0, 1.0))).toDF("vec_id", "embedding")
+    // b2 is a near-copy of b1's vector: caught only if b1 was absorbed
+    val b2 = Seq((20L, vec(0.01, 0.0, 0.98)),
+      (21L, vec(0.7, 0.7, 0.0))).toDF("vec_id", "embedding")
+    def screen(p: graft.operators.Dedup.PreparedEmbeddings) =
+      graft.operators.Dedup
+        .semanticDedupIncremental(b2, p, "embedding", "vec_id", 0.99)
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val updated = graft.operators.Dedup.updateEmbeddingIndex(
+      prepared, b1, "embedding", "vec_id")
+    val reprepared = graft.operators.Dedup.prepareEmbeddings(
+      corpus.unionByName(b1), "embedding", "vec_id", nlist = 2,
+      centroids = Some(prepared.centroids))
+    assert(screen(updated) == screen(reprepared))
+    assert(screen(updated) == Seq(21L),
+      "the absorbed vector must catch its own near-copy")
+    val root = java.nio.file.Files.createTempDirectory("embix")
+      .resolve("ix").toString
+    graft.operators.Dedup.saveEmbeddingIndex(updated, root)
+    val loaded = graft.operators.Dedup.loadEmbeddingIndex(root)
+    assert(loaded.centroids == updated.centroids &&
+      loaded.scale == updated.scale)
+    assert(screen(loaded) == Seq(21L))
+    // delete vector 10 -> its near-copy becomes novel again
+    val afterDel = graft.operators.Dedup.deleteFromEmbeddingIndex(
+      updated, Seq(10L).toDF("vec_id"), "vec_id")
+    assert(screen(afterDel) == Seq(20L, 21L))
+  }
+
   test("micro-batched semantic ingest keeps only semantically novel vectors") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("semdedup-in")
