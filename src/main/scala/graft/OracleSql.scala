@@ -490,6 +490,13 @@ object SketchParams {
   object q200 {
     val maxTokensPerShard = 2000L
   }
+  /** q201 UniMax token-budget allocation: total budget sized so the
+    * waterfilling takes three rounds on the sf0.01 mix (three
+    * low-resource languages whole, then zh, then en capped), md5 fill
+    * seed, and the unroll depth (= max #groups the oracle supports). */
+  object q201 {
+    val budgetTokens = 20000L; val seed = 13; val maxGroups = 8
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -4452,6 +4459,65 @@ object OracleSql {
     FROM pieces"""
   }
 
+  /** UniMax token-budget allocation (q201): integer waterfilling
+    * unrolled `maxGroups` rounds (each round either retires a group or
+    * freezes the state, so the unroll is exact for any group count up
+    * to the bound), then the per-group md5-ordered greedy whole-doc
+    * fill — the SQL twin of `Sampling.tokenBudgetAllocate`. Generated
+    * from [[SketchParams.q201]]. */
+  private def q201: String = {
+    val p = SketchParams.q201
+    val rounds = (1 to p.maxGroups).map { r =>
+      s""", sh$r AS MATERIALIZED (
+      SELECT CASE WHEN n > 0 THEN rem // n ELSE 0 END AS share
+      FROM s${r - 1}
+    ), d$r AS MATERIALIZED (
+      SELECT lang, cnt AS alloc FROM p${r - 1}, sh$r WHERE cnt <= share
+    ), p$r AS MATERIALIZED (
+      SELECT lang, cnt FROM p${r - 1}, sh$r WHERE cnt > share
+    ), s$r AS MATERIALIZED (
+      SELECT rem - COALESCE((SELECT SUM(alloc) FROM d$r), 0) AS rem,
+        CAST((SELECT COUNT(*) FROM p$r) AS BIGINT) AS n
+      FROM s${r - 1}
+    )"""
+    }.mkString
+    val doneUnion = (1 to p.maxGroups)
+      .map(r => s"SELECT lang, alloc FROM d$r")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+          AS n_tokens
+      FROM documents
+    ), p0 AS MATERIALIZED (
+      SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS cnt
+      FROM toks GROUP BY lang
+    ), s0 AS MATERIALIZED (
+      SELECT CAST(${p.budgetTokens} AS BIGINT) AS rem,
+        CAST((SELECT COUNT(*) FROM p0) AS BIGINT) AS n
+    )$rounds, alloc AS (
+      $doneUnion
+      UNION ALL
+      SELECT p.lang, CASE WHEN s.n > 0 THEN s.rem // s.n ELSE 0 END
+      FROM p${p.maxGroups} p, s${p.maxGroups} s
+    ), offs AS (
+      SELECT doc_id, lang, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY lang
+          ORDER BY okey, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+          AS BIGINT) AS tok_offset
+      FROM (
+        SELECT *, ('0x' || substr(md5(doc_id || ':${p.seed}'), 1, 15))
+          ::BIGINT AS okey
+        FROM toks)
+    )
+    SELECT t.doc_id, t.lang, t.n_tokens,
+      CAST(a.alloc AS BIGINT) AS group_budget, t.tok_offset,
+      t.tok_offset + t.n_tokens <= a.alloc AS kept
+    FROM offs t JOIN alloc a USING (lang)"""
+  }
+
   /** Multiclass one-vs-rest averaged perceptron (q199): K class-salted
     * corpora, per class every epoch unrolled exactly as q190's binary
     * chain (y = +1 on the class, −1 on the rest), then every class's
@@ -7231,6 +7297,7 @@ object OracleSql {
     "q198_pack_manifest" -> q198,
     "q199_multiclass_perceptron" -> q199,
     "q200_kn_curriculum" -> q200,
+    "q201_unimax_alloc" -> q201,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3635,6 +3635,24 @@ object SparkEntry {
         col("tok_offset"), col("shard_id"))
   }
 
+  /** UniMax-style per-language token-budget allocation
+    * ([[graft.operators.Sampling.tokenBudgetAllocate]]): integer
+    * waterfilling splits the total budget across languages —
+    * low-resource languages taken whole, the surplus redistributed
+    * round by round — then each language's budget fills greedily with
+    * whole docs in deterministic md5 order. The sf0.01 mix exercises
+    * three waterfilling rounds (de/es/fr whole → zh whole → en
+    * capped). Params from [[SketchParams.q201]]. */
+  def q201UnimaxAlloc(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q201
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"))
+    operators.Sampling.tokenBudgetAllocate(docs, "lang", "n_tokens",
+      "doc_id", p.budgetTokens, p.seed)
+  }
+
   /** Main-content-aware curation run (VERDICT r14 item 3 — q182 wired
     * into the pipeline it was built for): the q169 decision-table shape
     * where every gate scores [[graft.sources.CrawlParse.mainContent]]
@@ -4369,7 +4387,8 @@ object SparkEntry {
     "q197_bm25_index" -> (q197Bm25IndexDump _),
     "q198_pack_manifest" -> (q198PackManifest _),
     "q199_multiclass_perceptron" -> (q199MulticlassPerceptron _),
-    "q200_kn_curriculum" -> (q200KnCurriculum _))
+    "q200_kn_curriculum" -> (q200KnCurriculum _),
+    "q201_unimax_alloc" -> (q201UnimaxAlloc _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -179,6 +179,74 @@ object Sampling {
           .as("epochs"))
   }
 
+  /** UniMax-style token-budget allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): split a total token budget across
+    * groups (languages/domains) by integer WATERFILLING — low-resource
+    * groups are taken whole, and their unused share redistributes
+    * across the rest, round by round, until every surviving group gets
+    * the equal share — then fill each group's budget greedily with
+    * whole docs in deterministic md5 order ([[portableKey]]).
+    *
+    * Exact integer arithmetic throughout: each round's share is
+    * `remaining DIV pending` (the ≤ pending−1 remainder tokens of the
+    * final share stay unallocated — deterministic, documented); rounds
+    * ≤ #groups since every round either retires a group or terminates.
+    * Group totals are a #groups-row driver collect (the model-state
+    * boundary); the greedy fill is the audited [[Packing.assignShards]]
+    * two-phase scan PER GROUP (no single-partition
+    * `Window.partitionBy(group)` over a whole language — at 100 TB one
+    * language IS the corpus).
+    *
+    * @return one row per doc: (idCol, groupCol, n_tokens,
+    *         group_budget, tok_offset, kept) — `kept` iff the doc fits
+    *         entirely within its group's remaining budget at its md5
+    *         position. */
+  def tokenBudgetAllocate(docs: DataFrame, groupCol: String,
+      tokenCol: String, idCol: String, budgetTokens: Long,
+      seed: Int = 13): DataFrame = {
+    require(budgetTokens >= 0, "budget must be nonnegative")
+    val totals = docs.groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    var remaining = budgetTokens
+    var pending = totals.toList
+    val alloc = scala.collection.mutable.Map.empty[String, Long]
+    while (pending.nonEmpty) {
+      val share = remaining / pending.size
+      val (small, big) = pending.partition(_._2 <= share)
+      if (small.isEmpty) {
+        big.foreach { case (g, _) => alloc(g) = share }
+        remaining -= share * big.size
+        pending = Nil
+      } else {
+        small.foreach { case (g, t) => alloc(g) = t; remaining -= t }
+        pending = big
+      }
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allocDf = alloc.toSeq.sortBy(_._1)
+      .toDF("__g", "group_budget")
+    val perGroup = totals.map(_._1).map { g =>
+      val sub = docs
+        .filter(col(groupCol).cast("string") === g)
+        .select(col(idCol), col(tokenCol).cast("long").as(tokenCol),
+          portableKey(col(idCol), seed).as("__ord"))
+      Packing.assignShards(sub, tokenCol, idCol,
+          math.max(1L, alloc(g)), orderCol = Some("__ord"))
+        .select(col(idCol), col(tokenCol), col("tok_offset"))
+        .withColumn("__g", lit(g))
+    }.reduce(_.unionByName(_))
+    perGroup.join(broadcast(allocDf), Seq("__g"))
+      .select(col(idCol), col("__g").as(groupCol),
+        col(tokenCol).as("n_tokens"), col("group_budget"),
+        col("tok_offset"),
+        (col("tok_offset") + col(tokenCol) <= col("group_budget"))
+          .as("kept"))
+  }
+
   /** Per-group approximate distinct count via the [[KmvSketch]] bounded
     * k-minimum-values sketch: exact when the group holds < k distinct
     * values (the sketch simply contains them all), otherwise the standard

@@ -314,4 +314,51 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(sampled("de") - deTarget) / deTarget < 0.1,
       s"de realized ${sampled("de")} vs target $deTarget")
   }
+
+  test("tokenBudgetAllocate: waterfilling takes small groups whole and " +
+      "splits the surplus equally; kept docs are an md5-prefix within " +
+      "their group's budget") {
+    import spark.implicits._
+    // groups: tiny (100), small (300), big (5000), huge (5000) tokens;
+    // budget 2000 -> r1 share 500: tiny+small whole (400); r2 share
+    // 800 over {big, huge}: both get 800
+    val docs = (
+      (1 to 2).map(i => (i.toLong, "tiny", 50L)) ++
+      (11 to 13).map(i => (i.toLong, "small", 100L)) ++
+      (21 to 70).map(i => (i.toLong, "big", 100L)) ++
+      (81 to 130).map(i => (i.toLong, "huge", 100L))
+    ).toDF("doc_id", "grp", "n_tokens")
+    val out = Sampling.tokenBudgetAllocate(docs, "grp", "n_tokens",
+        "doc_id", 2000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(out.length == docs.count())
+    val budgets = out.map(r => r._2 -> r._4).toMap
+    assert(budgets == Map("tiny" -> 100L, "small" -> 300L,
+      "big" -> 800L, "huge" -> 800L), budgets.toString)
+    // whole low-resource groups kept entirely
+    assert(out.filter(r => r._2 == "tiny" || r._2 == "small")
+      .forall(_._6))
+    out.groupBy(_._2).foreach { case (g, rows) =>
+      val kept = rows.filter(_._6)
+      // never over budget
+      assert(kept.map(_._3).sum <= budgets(g))
+      // kept = a PREFIX of the md5 order: every kept offset precedes
+      // every dropped offset
+      val maxKept = if (kept.isEmpty) -1L else kept.map(_._5).max
+      rows.filterNot(_._6).foreach { r =>
+        assert(r._5 > maxKept, s"group $g: dropped doc before a kept one")
+      }
+      // greedy: the first dropped doc would not have fit
+      rows.filterNot(_._6).sortBy(_._5).headOption.foreach { r =>
+        assert(kept.map(_._3).sum + r._3 > budgets(g),
+          s"group $g dropped a doc that fit")
+      }
+    }
+    // budget >= corpus: everything kept, one round
+    val all = Sampling.tokenBudgetAllocate(docs, "grp", "n_tokens",
+      "doc_id", 100000L).collect()
+    assert(all.forall(_.getBoolean(5)))
+  }
 }
