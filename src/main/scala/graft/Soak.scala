@@ -178,6 +178,44 @@ object Soak {
       return
     }
 
+    if (mode == "dedupix") {
+      // the r16 dedup-index LIFECYCLE at replica scale: prepare the
+      // 90% history once, then stream the 10% in three waves — each
+      // wave screens against the live index, and its SURVIVORS are
+      // absorbed (updateCorpusIndex) so the next wave probes them.
+      // Per-wave cost must stay wave-proportional; the absorb is
+      // batch-local by construction. Fixture: divvocab-derived (see
+      // that mode) so near-dups are real families, background ~0.
+      val fam = (col("doc_id") % 10000000L).cast("string")
+      val div = docs.select(col("doc_id"),
+        array_join(transform(split(trim(lower(col("text"))), "\\s+"),
+          w => substring(md5(concat(w, lit(":"), fam)), 1, 8)), " ")
+          .as("text"))
+        .localCheckpoint(false)
+      val hist = div.filter(col("doc_id") % 10 =!= 0)
+      var prepared = timed(s"prepareCorpus (${hist.count()} docs)") {
+        operators.Dedup.prepareCorpus(hist, "text", "doc_id")
+      }
+      (0 until 3).foreach { w =>
+        val wave = div.filter(col("doc_id") % 30 === w * 10)
+        val waveN = wave.count()
+        val novel = timed(s"wave $w: screen ($waveN docs)") {
+          operators.Dedup.incrementalDedupPrepared(wave, prepared,
+            "text", "doc_id", jaccardThreshold = 0.5)
+            .localCheckpoint(false)
+        }
+        val novelN = novel.count()
+        prepared = timed(s"wave $w: absorb ($novelN novel)") {
+          operators.Dedup.checkpointCorpusIndex(
+            operators.Dedup.updateCorpusIndex(prepared, novel,
+              "text", "doc_id"))
+        }
+        println(s"[soak]   wave $w: $waveN screened, $novelN novel")
+      }
+      spark.stop()
+      return
+    }
+
     if (mode == "bpe") {
       // certified-batched BPE training at a REAL vocab size (>= 1k
       // merges): the diversified-vocabulary fixture (one private

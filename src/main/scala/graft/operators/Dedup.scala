@@ -492,6 +492,16 @@ object Dedup {
       prepared.ngram, prepared.numHashes, prepared.bands)
   }
 
+  /** Materialize an updated index's frames (localCheckpoint) — call
+    * every few [[updateCorpusIndex]] generations so probe lineage
+    * stays flat (the descent-loop checkpoint hygiene). */
+  def checkpointCorpusIndex(prepared: PreparedCorpus): PreparedCorpus =
+    PreparedCorpus(
+      prepared.fingerprints.localCheckpoint(true),
+      prepared.banded.localCheckpoint(true),
+      prepared.shingleSets.localCheckpoint(true),
+      prepared.ngram, prepared.numHashes, prepared.bands)
+
   /** Index maintenance — DELETE docs from a [[PreparedCorpus]] (the
     * takedown/right-to-forget path; [[Ann.knnGraphDelete]]'s text
     * twin): drop the ids' signature and shingle rows; fingerprints of

@@ -706,6 +706,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p196.contains("CartesianProduct"))
     assert(p196.contains("__pid"),
       "q196 lost the pinned-pid two-phase scan")
+    // q200/q201: the ordered packs stay two-phase (pinned pid), the
+    // KN model joins and the per-group fills never cartesian
+    val p200 = executed("q200_kn_curriculum")
+    assert(!p200.contains("CartesianProduct") && p200.contains("__pid"))
+    val p201 = executed("q201_unimax_alloc")
+    assert(!p201.contains("CartesianProduct") && p201.contains("__pid"))
+    assert(p201.contains("BroadcastHashJoin") ||
+      p201.contains("BroadcastExchange"),
+      "q201 group-budget table must broadcast")
   }
 
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
