@@ -497,6 +497,22 @@ object SketchParams {
   object q201 {
     val budgetTokens = 20000L; val seed = 13; val maxGroups = 8
   }
+  /** q202 tokenizer-fertility fixed point (pieces-per-word and
+    * coverage are quantized as floor(quant·ratio)). */
+  object q202 {
+    val quant = 1000000L
+  }
+  /** q203 Moore–Lewis: in-domain reference = doc_id % inMod == 0,
+    * general reference = doc_id % genMod == 0, scored = docs in
+    * neither slice; KN quantization shared with q188. */
+  object q203 {
+    val inMod = 3L; val genMod = 5L
+  }
+  /** q204 soft-dedup weight fixed point: weight_q =
+    * floor(quant / cluster_size). */
+  object q204 {
+    val quant = 1000000L
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -3888,63 +3904,73 @@ object OracleSql {
     * count + quantized KN sum over the held-out slice, model trained
     * on the 1-in-refMod reference) — shared by q188 (tercile gate) and
     * q200 (curriculum packing by LM familiarity). */
-  private def knPerdocCtes: String = {
-    val p = SketchParams.q188
+  /** The tokenized-documents base the KN chains hang off. */
+  private def knBaseCte: String =
     s"""base AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents
-    ), rtpos AS (
+    )"""
+
+  /** One KN train+score chain over `base`: trains the five count
+    * tables on docs matching `refPred`, scores docs matching
+    * `docPred`, every CTE name prefixed with `pre` so two chains (two
+    * models, q203's Moore–Lewis shape) coexist in one WITH. Empty
+    * prefix reproduces the historical q188/q200 SQL verbatim. */
+  private def knChainCtes(pre: String, refPred: String,
+      docPred: String): String = {
+    val p = SketchParams.q188
+    s"""${pre}rtpos AS (
       SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
-      FROM base WHERE doc_id % ${p.refMod} = 0 AND len(t) >= 3
-    ), rtri AS (
+      FROM base WHERE ($refPred) AND len(t) >= 3
+    ), ${pre}rtri AS (
       SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3,
         CAST(COUNT(*) AS BIGINT) AS c3
-      FROM rtpos GROUP BY w1, w2, w3
-    ), rctx3 AS (
+      FROM ${pre}rtpos GROUP BY w1, w2, w3
+    ), ${pre}rctx3 AS (
       SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS ctx3,
         CAST(COUNT(*) AS BIGINT) AS n3
-      FROM rtri GROUP BY w1, w2
-    ), rmid AS (
+      FROM ${pre}rtri GROUP BY w1, w2
+    ), ${pre}rmid AS (
       SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cc2
-      FROM rtri GROUP BY w2, w3
-    ), rmctx AS (
+      FROM ${pre}rtri GROUP BY w2, w3
+    ), ${pre}rmctx AS (
       SELECT w2, CAST(SUM(cc2) AS BIGINT) AS ctxc2,
         CAST(COUNT(*) AS BIGINT) AS nm
-      FROM rmid GROUP BY w2
-    ), rbpos AS (
+      FROM ${pre}rmid GROUP BY w2
+    ), ${pre}rbpos AS (
       SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
-      FROM base WHERE doc_id % ${p.refMod} = 0 AND len(t) >= 2
-    ), rbg AS (
-      SELECT DISTINCT t[i] AS w1, t[i + 1] AS w2 FROM rbpos
-    ), runi AS (
+      FROM base WHERE ($refPred) AND len(t) >= 2
+    ), ${pre}rbg AS (
+      SELECT DISTINCT t[i] AS w1, t[i + 1] AS w2 FROM ${pre}rbpos
+    ), ${pre}runi AS (
       SELECT w2 AS w3, CAST(COUNT(*) AS BIGINT) AS cc1
-      FROM rbg GROUP BY w2
-    ), btv AS (
-      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rbg) AS bt,
+      FROM ${pre}rbg GROUP BY w2
+    ), ${pre}btv AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ${pre}rbg) AS bt,
         (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM (
           SELECT unnest(t) AS w FROM base
-          WHERE doc_id % ${p.refMod} = 0)) AS v
-    ), dtpos AS (
+          WHERE ($refPred))) AS v
+    ), ${pre}dtpos AS (
       SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
-      FROM base WHERE doc_id % ${p.refMod} != 0 AND len(t) >= 3
-    ), dtri AS (
+      FROM base WHERE ($docPred) AND len(t) >= 3
+    ), ${pre}dtri AS (
       SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
-      FROM dtpos
-    ), joined AS (
+      FROM ${pre}dtpos
+    ), ${pre}joined AS (
       SELECT d.doc_id,
         COALESCE(r3.c3, 0) AS c3, COALESCE(rc.ctx3, 0) AS ctx3,
         COALESCE(rc.n3, 0) AS n3, COALESCE(rm.cc2, 0) AS cc2,
         COALESCE(rx.ctxc2, 0) AS ctxc2, COALESCE(rx.nm, 0) AS nm,
         COALESCE(ru.cc1, 0) AS cc1, b.bt, b.v
-      FROM dtri d
-      LEFT JOIN rtri r3
+      FROM ${pre}dtri d
+      LEFT JOIN ${pre}rtri r3
         ON d.w1 = r3.w1 AND d.w2 = r3.w2 AND d.w3 = r3.w3
-      LEFT JOIN rctx3 rc ON d.w1 = rc.w1 AND d.w2 = rc.w2
-      LEFT JOIN rmid rm ON d.w2 = rm.w2 AND d.w3 = rm.w3
-      LEFT JOIN rmctx rx ON d.w2 = rx.w2
-      LEFT JOIN runi ru ON d.w3 = ru.w3
-      CROSS JOIN btv b
-    ), scored AS (
+      LEFT JOIN ${pre}rctx3 rc ON d.w1 = rc.w1 AND d.w2 = rc.w2
+      LEFT JOIN ${pre}rmid rm ON d.w2 = rm.w2 AND d.w3 = rm.w3
+      LEFT JOIN ${pre}rmctx rx ON d.w2 = rx.w2
+      LEFT JOIN ${pre}runi ru ON d.w3 = ru.w3
+      CROSS JOIN ${pre}btv b
+    ), ${pre}scored AS (
       SELECT doc_id,
         CAST(floor(CAST(${p.quant} AS DOUBLE) * (
           CASE WHEN ctx3 > 0 THEN
@@ -3959,12 +3985,18 @@ object OracleSql {
         FROM (
           SELECT *, (CAST(cc1 AS DOUBLE) + 1.0) /
             CAST(bt + v + 1 AS DOUBLE) AS p1
-          FROM joined))
-    ), perdoc AS (
+          FROM ${pre}joined))
+    ), ${pre}perdoc AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
         CAST(SUM(s) AS BIGINT) AS kn_sum
-      FROM scored GROUP BY doc_id
+      FROM ${pre}scored GROUP BY doc_id
     )"""
+  }
+
+  private def knPerdocCtes: String = {
+    val p = SketchParams.q188
+    s"""$knBaseCte, ${knChainCtes("",
+        s"doc_id % ${p.refMod} = 0", s"doc_id % ${p.refMod} != 0")}"""
   }
 
   private def q188: String = {
@@ -4518,6 +4550,91 @@ object OracleSql {
     FROM offs t JOIN alloc a USING (lang)"""
   }
 
+  /** Tokenizer fertility evaluation (q202): the q195 segmentation of
+    * every word TYPE joined back to per-(lang, occurrence) counts —
+    * pieces-per-word and vocabulary coverage per language, the
+    * standard multilingual-tokenizer quality report, in exact BIGINT
+    * fixed point. Generated from [[SketchParams.q195]]/
+    * [[SketchParams.q202]]. */
+  private def q202: String = {
+    val p = SketchParams.q202
+    s"""
+    WITH $wordpieceCtes, lw AS (
+      SELECT lang, w AS word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT lang, unnest(string_split_regex(trim(lower(text)),
+          '\\s+')) AS w
+        FROM documents)
+      WHERE w != ''
+      GROUP BY lang, w
+    ), agg AS (
+      SELECT lang,
+        CAST(SUM(tf) AS BIGINT) AS n_occ,
+        CAST(SUM(tf * n_pieces) AS BIGINT) AS pieces_total,
+        CAST(SUM(CASE WHEN covered THEN tf ELSE 0 END) AS BIGINT)
+          AS covered_occ
+      FROM lw JOIN wpout USING (word)
+      GROUP BY lang
+    )
+    SELECT lang, n_occ, pieces_total, covered_occ,
+      (CAST(${p.quant} AS BIGINT) * pieces_total) // n_occ
+        AS fertility_q,
+      (CAST(${p.quant} AS BIGINT) * covered_occ) // n_occ
+        AS covered_q
+    FROM agg"""
+  }
+
+  /** Moore–Lewis cross-entropy-difference selection (q203): TWO KN
+    * chains over one tokenized base — an in-domain model and a
+    * general model — score the same held-out documents; the quantized
+    * score difference (same trigram set on both sides, so the sum
+    * diff IS the mean diff ordering) picks in-domain-like data.
+    * Generated from [[SketchParams.q188]]/[[SketchParams.q203]]. */
+  private def q203: String = {
+    val p = SketchParams.q203
+    val docPred =
+      s"doc_id % ${p.inMod} != 0 AND doc_id % ${p.genMod} != 0"
+    s"""
+    WITH $knBaseCte,
+    ${knChainCtes("a_", s"doc_id % ${p.inMod} = 0", docPred)},
+    ${knChainCtes("b_", s"doc_id % ${p.genMod} = 0", docPred)}
+    SELECT a.doc_id, a.n_trigrams, a.kn_sum AS kn_in,
+      b.kn_sum AS kn_gen, a.kn_sum - b.kn_sum AS ml_diff,
+      a.kn_sum > b.kn_sum AS selected
+    FROM a_perdoc a JOIN b_perdoc b ON a.doc_id = b.doc_id"""
+  }
+
+  /** Duplicate-aware downweighting (q204): the q49/q56 minhash-LSH
+    * cluster chain, but instead of DROPPING duplicates every doc
+    * keeps a fixed-point weight 1/cluster_size — the soft-dedup
+    * training-mix shape (each duplicated content unit contributes one
+    * doc-mass in total). Generated from [[SketchParams.q49]]/
+    * [[SketchParams.q204]]. */
+  private def q204: String = {
+    val p = SketchParams.q204
+    s"""
+    WITH RECURSIVE $minhashPairCtes, edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    ), assign AS (
+      SELECT f.doc_id, COALESCE(c.component, f.doc_id) AS cluster_id
+      FROM filtered f LEFT JOIN comp c ON f.doc_id = c.id
+    ), csz AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM assign GROUP BY cluster_id
+    )
+    SELECT a.doc_id, a.cluster_id, c.cluster_size,
+      CAST(${p.quant} AS BIGINT) // c.cluster_size AS weight_q
+    FROM assign a JOIN csz c ON a.cluster_id = c.cluster_id"""
+  }
+
   /** Multiclass one-vs-rest averaged perceptron (q199): K class-salted
     * corpora, per class every epoch unrolled exactly as q190's binary
     * chain (y = +1 on the class, −1 on the rest), then every class's
@@ -4627,7 +4744,16 @@ object OracleSql {
     * vocab, cost = pieces·2⁵⁰ − Σfreq, argmin tie-broken by shortest
     * last piece — the SQL twin of `TextAnalysis.wordpieceSegment`.
     * Generated from [[SketchParams.q195]]. */
-  private def q195: String = {
+  private def q195: String =
+    s"""
+    WITH $wordpieceCtes
+    SELECT word, n_pieces, pieces, covered FROM wpout"""
+
+  /** The q195 vocabulary + unrolled-DP segmentation chain, ending in
+    * `wpout(word, n_pieces, pieces, covered)` — one row per distinct
+    * corpus word — so the fertility evaluation (q202) reuses the
+    * exact segmentation the q195 gate verifies. */
+  private def wordpieceCtes: String = {
     val p = SketchParams.q195
     val big = 1L << 50
     val steps = (1 to p.maxWord).map { i =>
@@ -4656,8 +4782,7 @@ object OracleSql {
     val finals = (1 to p.maxWord)
       .map(j => s"SELECT w, n, pieces FROM b$j WHERE length(w) = $j")
       .mkString("\n        UNION ALL ")
-    s"""
-    WITH wnz AS (
+    s"""wnz AS (
       SELECT w FROM (
         SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
           AS w
@@ -4691,17 +4816,18 @@ object OracleSql {
       FROM types WHERE length(w) <= ${p.maxWord}
     )$steps, seg AS (
       $finals
-    )
-    SELECT w AS word, CAST(n AS BIGINT) AS n_pieces,
-      pieces, TRUE AS covered
-    FROM seg
-    UNION ALL
-    SELECT w, CAST(1 AS BIGINT), w, FALSE
-    FROM types
-    WHERE length(w) <= ${p.maxWord} AND w NOT IN (SELECT w FROM seg)
-    UNION ALL
-    SELECT w, CAST(1 AS BIGINT), w, FALSE
-    FROM types WHERE length(w) > ${p.maxWord}"""
+    ), wpout AS (
+      SELECT w AS word, CAST(n AS BIGINT) AS n_pieces,
+        pieces, TRUE AS covered
+      FROM seg
+      UNION ALL
+      SELECT w, CAST(1 AS BIGINT), w, FALSE
+      FROM types
+      WHERE length(w) <= ${p.maxWord} AND w NOT IN (SELECT w FROM seg)
+      UNION ALL
+      SELECT w, CAST(1 AS BIGINT), w, FALSE
+      FROM types WHERE length(w) > ${p.maxWord}
+    )"""
   }
 
   private def q161: String = {
@@ -7298,6 +7424,9 @@ object OracleSql {
     "q199_multiclass_perceptron" -> q199,
     "q200_kn_curriculum" -> q200,
     "q201_unimax_alloc" -> q201,
+    "q202_wordpiece_fertility" -> q202,
+    "q203_moore_lewis" -> q203,
+    "q204_soft_dedup" -> q204,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -844,6 +844,35 @@ object Components {
       .select(col("id"), coalesce(col("component"), col("id")).as("keep_id"))
   }
 
+  /** Duplicate-aware downweighting — soft dedup: instead of DROPPING
+    * near-duplicates ([[dedupAssignments]] + keep-one), every document
+    * keeps a fixed-point weight floor(quant / cluster_size), so each
+    * duplicated content unit contributes exactly one document's mass
+    * to the training mix (the reweight-not-remove alternative the
+    * SoftDeDup line of work argues for: frequency signal preserved,
+    * over-representation removed). Singletons weigh `quant`.
+    *
+    * Scale shape: the CC iteration over the (sparse) near-dup pair
+    * list, then ONE cluster-keyed count + join — weights are a
+    * map-side projection after that; nothing corpus-quadratic.
+    *
+    * @return (doc_id, cluster_id, cluster_size, weight_q) — one row
+    *         per corpus document */
+  def softDedupWeights(
+      corpus: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      quant: Long = 1000000L, maxIter: Int = 10): DataFrame = {
+    require(quant > 0, "quant must be positive")
+    val assign = dedupAssignments(corpus, idCol, pairs, aCol, bCol,
+        maxIter)
+      .select(col("id").as("doc_id"), col("keep_id").as("cluster_id"))
+    val sizes = assign.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assign.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        expr(s"${quant}L div cluster_size").as("weight_q"))
+  }
+
   /** Degree assortativity (Newman 2002, PRL, "Assortative mixing in
     * networks"): the Pearson correlation of endpoint degrees over the
     * SYMMETRIZED edge list — positive means hubs attach to hubs

@@ -28,6 +28,43 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
+  /** Moore–Lewis cross-entropy-difference selection (Moore & Lewis
+    * 2010, ACL, "Intelligent selection of language model training
+    * data"): train one Kneser–Ney trigram model on an IN-DOMAIN
+    * reference and one on a GENERAL reference
+    * ([[TextAnalysis.knTrigramModel]]), score the same candidate
+    * documents with both, and select where the in-domain model finds
+    * the text likelier. Both scores are the engine's exact-replay
+    * quantized KN sums; the candidate trigram set is identical on
+    * both sides, so the SUM difference orders documents exactly like
+    * the per-trigram mean difference (the paper's per-word
+    * cross-entropy difference, sign-flipped: probabilities, not
+    * entropies).
+    *
+    * Scale shape: two independent KN train/score passes (chained
+    * hash-aggs + natural-key shuffle joins, no broadcast assumption —
+    * see [[TextAnalysis.knTrigramGate]]) and one final doc-keyed
+    * join. Docs with < 3 tokens carry no trigram and are absent (the
+    * KN contract).
+    *
+    * @return (id, n_trigrams, kn_in, kn_gen, ml_diff, selected) */
+  def mooreLewisSelect(candidates: DataFrame, refInDomain: DataFrame,
+      refGeneral: DataFrame, textCol: String, idCol: String,
+      quant: Long = 1000000L): DataFrame = {
+    val mIn = TextAnalysis.knTrigramModel(refInDomain, textCol)
+    val mGen = TextAnalysis.knTrigramModel(refGeneral, textCol)
+    val sIn = TextAnalysis
+      .knTrigramScore(candidates, mIn, textCol, idCol, quant)
+      .select(col(idCol), col("n_trigrams"), col("kn_sum").as("kn_in"))
+    val sGen = TextAnalysis
+      .knTrigramScore(candidates, mGen, textCol, idCol, quant)
+      .select(col(idCol), col("kn_sum").as("kn_gen"))
+    sIn.join(sGen, Seq(idCol))
+      .select(col(idCol), col("n_trigrams"), col("kn_in"),
+        col("kn_gen"), (col("kn_in") - col("kn_gen")).as("ml_diff"),
+        (col("kn_in") > col("kn_gen")).as("selected"))
+  }
+
   /** Per-candidate affinity to the target profile. `isTarget` marks the
     * seed rows (scored rows are the complement). Output:
     * (doc_id, n_tokens, affinity, rel_affinity) — `rel_affinity` the

@@ -1476,6 +1476,49 @@ object TextAnalysis {
           col("word").as("pieces"), lit(false).as("covered")))
   }
 
+  /** Tokenizer fertility evaluation: join a [[wordpieceSegment]]
+    * frame (one row per word TYPE) back to per-(group, occurrence)
+    * counts and report, per group (typically language), the
+    * occurrence-weighted pieces-per-word (fertility, the standard
+    * multilingual-tokenizer quality number — Ács' and the XLM-R
+    * line's metric) and vocabulary coverage, in exact BIGINT fixed
+    * point (floor(quant·ratio)). A fertility gap between languages is
+    * the canonical evidence a shared vocabulary under-serves one of
+    * them.
+    *
+    * Scale shape: one corpus tokenize + (group, word) hash-agg
+    * (map-side combined), one join against the word-TYPE-scale
+    * segmentation frame, one tiny per-group agg. Uncovered words
+    * count 1 piece (they'd byte-fall-back in a real tokenizer); the
+    * coverage column reports how often that happened.
+    *
+    * @return (group, n_occ, pieces_total, covered_occ, fertility_q,
+    *         covered_q) */
+  def tokenizerFertility(docs: DataFrame, textCol: String,
+      groupCol: String, seg: DataFrame,
+      quant: Long = 1000000L): DataFrame = {
+    require(quant > 0, "quant must be positive")
+    val lw = docs
+      .select(col(groupCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col(groupCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    lw.join(seg.select(col("word"), col("n_pieces"), col("covered")),
+        Seq("word"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("tf")).as("n_occ"),
+        sum(col("tf") * col("n_pieces")).as("pieces_total"),
+        sum(when(col("covered"), col("tf")).otherwise(0L))
+          .as("covered_occ"))
+      .select(col(groupCol), col("n_occ"), col("pieces_total"),
+        col("covered_occ"),
+        expr(s"(${quant}L * pieces_total) div n_occ")
+          .as("fertility_q"),
+        expr(s"(${quant}L * covered_occ) div n_occ")
+          .as("covered_q"))
+  }
+
   def learnBpeMerges(docs: DataFrame, textCol: String,
       numMerges: Int): Seq[(String, String)] =
     learnBpeMergesBatched(docs, textCol, numMerges, batch = 1)

@@ -319,6 +319,47 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming Moore–Lewis selection gate — q203's streaming twin:
+    * BOTH Kneser–Ney models (in-domain and general) are trained ONCE
+    * on their static references and materialized at query start; each
+    * micro-batch is scored against both
+    * ([[graft.operators.TextAnalysis.knTrigramScore]] twice — the
+    * same trigram explode shape, so the batch pays two static-table
+    * join passes) and only docs whose quantized score difference
+    * clears `minDiff` (0 = the classic "in-domain likelier" rule)
+    * reach the sink with (id, n_trigrams, kn_in, kn_gen, ml_diff)
+    * attached. The targeted-selection deployment shape: models
+    * offline, cross-entropy-difference gate at ingest. */
+  def mooreLewisIngest(
+      docsStream: DataFrame, refInDomain: DataFrame,
+      refGeneral: DataFrame, textCol: String, idCol: String,
+      sinkPath: String, checkpointPath: String, minDiff: Long = 0L,
+      quant: Long = 1000000L): org.apache.spark.sql.streaming.StreamingQuery = {
+    val mIn = graft.operators.TextAnalysis
+      .knTrigramModel(refInDomain, textCol).materialized
+    val mGen = graft.operators.TextAnalysis
+      .knTrigramModel(refGeneral, textCol).materialized
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val sIn = graft.operators.TextAnalysis
+          .knTrigramScore(b, mIn, textCol, idCol, quant)
+          .select(col(idCol), col("n_trigrams"),
+            col("kn_sum").as("kn_in"))
+        val sGen = graft.operators.TextAnalysis
+          .knTrigramScore(b, mGen, textCol, idCol, quant)
+          .select(col(idCol), col("kn_sum").as("kn_gen"))
+        sIn.join(sGen, Seq(idCol))
+          .select(col(idCol), col("n_trigrams"), col("kn_in"),
+            col("kn_gen"),
+            (col("kn_in") - col("kn_gen")).as("ml_diff"))
+          .filter(col("ml_diff") > minDiff)
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+  }
+
   /** Streaming perceptron quality gate — q190's streaming twin: the
     * (bucket, weight) model is trained ONCE offline
     * ([[graft.operators.Classifier.perceptronTrain]] — or loaded from

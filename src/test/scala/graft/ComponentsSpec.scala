@@ -596,4 +596,27 @@ class ComponentsSpec extends AnyFunSuite {
         "a", "b")
       .head().isNullAt(4))
   }
+
+  test("softDedupWeights: every doc keeps floor(quant/cluster_size), " +
+      "so each cluster contributes ~one doc-mass; singletons full") {
+    import spark.implicits._
+    val corpus = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Components.softDedupWeights(
+        corpus, "doc_id", pairs, "id_a", "id_b", quant = 1000000L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet == (1L to 6L).toSet, "one row per corpus doc")
+    Seq(1L, 2L, 3L).foreach(id =>
+      assert(out(id) == ((1L, 3L, 333333L)), s"doc $id: ${out(id)}"))
+    Seq(4L, 5L).foreach(id =>
+      assert(out(id) == ((4L, 2L, 500000L)), s"doc $id: ${out(id)}"))
+    assert(out(6L) == ((6L, 1L, 1000000L)))
+    // cluster mass: sum of weights per cluster is quant - (rounding)
+    val mass = out.values.groupBy(_._1)
+      .map { case (c, v) => c -> v.map(_._3).sum }
+    assert(mass(1L) == 999999L && mass(4L) == 1000000L &&
+      mass(6L) == 1000000L)
+  }
 }

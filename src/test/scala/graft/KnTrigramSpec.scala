@@ -140,4 +140,30 @@ class KnTrigramSpec extends AnyFunSuite {
     assert(out(100L)._4 == "head" && out(102L)._4 == "middle" &&
       out(101L)._4 == "tail")
   }
+
+  test("mooreLewisSelect: in-domain-like candidates selected, " +
+      "general-like rejected, diff = kn_in - kn_gen exactly") {
+    import spark.implicits._
+    val refIn = (0L to 9L)
+      .map(i => (i, "the cat sat on the mat " * 3)).toDF("doc_id", "text")
+    val refGen = (0L to 9L)
+      .map(i => (i, "stock market index fell sharply today " * 3))
+      .toDF("doc_id", "text")
+    val cands = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "stock market index fell sharply"),
+      (102L, "the cat sat on the index today")).toDF("doc_id", "text")
+    val out = graft.operators.Selection
+      .mooreLewisSelect(cands, refIn, refGen, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(out(100L)._4 && out(100L)._3 > 0,
+      s"in-domain candidate must be selected: ${out(100L)}")
+    assert(!out(101L)._4 && out(101L)._3 < 0,
+      s"general candidate must be rejected: ${out(101L)}")
+    out.values.foreach { case (kin, kgen, diff, sel) =>
+      assert(diff == kin - kgen && sel == (diff > 0)) }
+  }
 }

@@ -715,6 +715,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p201.contains("BroadcastHashJoin") ||
       p201.contains("BroadcastExchange"),
       "q201 group-budget table must broadcast")
+    // q202: fertility joins the word-TYPE segmentation frame — tf agg
+    // keeps its map-side partial, no cartesian in the DP composition
+    val p202 = executed("q202_wordpiece_fertility")
+    assert(!p202.contains("CartesianProduct"),
+      s"q202 cartesians:\n${p202.take(1200)}")
+    assert(p202.contains("partial_sum") || p202.contains("partial_count"),
+      "q202 aggregation lost its map-side partial")
+    // q203: two KN chains = natural-key shuffle joins; the one
+    // broadcast is each model's 1-row (BT, V) frame
+    val p203 = executed("q203_moore_lewis")
+    assert(!p203.contains("CartesianProduct"),
+      s"q203 cartesians:\n${p203.take(1200)}")
+    assert(p203.contains("BroadcastNestedLoopJoin") ||
+      p203.contains("BroadcastExchange"),
+      "q203 lost the guarded 1-row (BT,V) broadcast")
+    // q204: CC over the shared pair frame + one cluster-size join;
+    // weights are a projection, never a cartesian
+    val p204 = executed("q204_soft_dedup")
+    assert(!p204.contains("CartesianProduct"),
+      s"q204 cartesians:\n${p204.take(1200)}")
   }
 
   test("custom expressions stay inside whole-stage codegen (no fallback)") {

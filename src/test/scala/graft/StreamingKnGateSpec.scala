@@ -66,4 +66,53 @@ class StreamingKnGateSpec extends AnyFunSuite {
         "gibberish must not reach the sink")
     } finally q.stop()
   }
+
+  test("moore-lewis gate: stream over two micro-batches == batch " +
+      "mooreLewisSelect on the union; general-like docs never land") {
+    val inDir = java.nio.file.Files.createTempDirectory("ml-in")
+    val sink = java.nio.file.Files
+      .createTempDirectory("ml-out").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("ml-ck").toString
+    val refIn = (0L to 9L)
+      .map(i => (i, "the cat sat on the mat " * 3)).toDF("doc_id", "text")
+    val refGen = (0L to 9L)
+      .map(i => (i, "stock market index fell sharply today " * 3))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "stock market index fell sharply"))
+    val b2 = Seq(
+      (200L, "the cat sat on the mat the cat"),
+      (201L, "market index fell sharply today"))
+    b1.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(inDir.resolve("b1").toString)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(inDir.toString + "/*")
+    val q = EventStreams.mooreLewisIngest(stream, refIn, refGen,
+      "text", "doc_id", sink, ckpt)
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(inDir.resolve("b2").toString)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(sink)
+        .select("doc_id", "n_trigrams", "kn_in", "kn_gen", "ml_diff")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val batch = graft.operators.Selection.mooreLewisSelect(
+          (b1 ++ b2).toDF("doc_id", "text"), refIn, refGen,
+          "text", "doc_id")
+        .filter(col("selected"))
+        .select("doc_id", "n_trigrams", "kn_in", "kn_gen", "ml_diff")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      val ids = streamed.map(_._1)
+      assert(ids == Set(100L, 200L),
+        s"only in-domain-like docs should land, got $ids")
+    } finally q.stop()
+  }
 }

@@ -118,4 +118,25 @@ class WordpieceSpec extends AnyFunSuite {
       } else assert(word.length > 16)
     }
   }
+
+  test("tokenizerFertility: occurrence-weighted pieces-per-word and " +
+      "coverage per group, exact fixed point") {
+    val vocab = Seq(("ab", 30L), ("cd", 40L), ("a", 9L), ("b", 8L),
+      ("c", 7L), ("d", 6L)).toDF("piece", "freq")
+    val docs = Seq(
+      (1L, "aa", "ab ab cd"),
+      (2L, "bb", "abcd zz")).toDF("doc_id", "lang", "text")
+    val seg = TextAnalysis.wordpieceSegment(docs, "text", vocab)
+    val out = TextAnalysis
+      .tokenizerFertility(docs, "text", "lang", seg, quant = 1000L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // aa: ab x2 + cd x1, all single vocab pieces -> fertility 1.000
+    assert(out("aa") == ((3L, 3L, 3L, 1000L, 1000L)), s"${out("aa")}")
+    // bb: abcd -> ab|cd (2 pieces, covered); zz uncoverable (1 piece,
+    // not covered) -> fertility 3/2 = 1.500, coverage 1/2 = 0.500
+    assert(out("bb") == ((2L, 3L, 1L, 1500L, 500L)), s"${out("bb")}")
+  }
 }
