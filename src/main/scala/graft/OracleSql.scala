@@ -513,6 +513,18 @@ object SketchParams {
   object q204 {
     val quant = 1000000L
   }
+  /** q205 DSIR resampling: sample size and md5 seed for the priority
+    * draw over the q145 mean-ratio importance weights (k well under
+    * the sf0.01 candidate pool so τ — the (k+1)-th priority —
+    * exists). */
+  object q205 {
+    val k = 150; val seed = 11
+  }
+  /** q206 KS drift: the language slice whose n_chars ECDF is tested
+    * against the rest of the corpus. */
+  object q206 {
+    val lang = "en"
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -5519,11 +5531,13 @@ object OracleSql {
     * per-doc sum + one final double division — the SQL twin of
     * `Selection.importanceRatio`. Generated from
     * [[SketchParams.q145]]. */
-  private def q145: String = {
+  /** The q145 importance-ratio chain through `ir` (doc_id, n_tokens,
+    * ratio_sum, mean_ratio) — shared by q145 (the scoring report) and
+    * q205 (which priority-resamples by the ratio weights). */
+  private def q145IrCtes: String = {
     val p = SketchParams.q145
     val q = p.quant; val nb = p.nBuckets
-    s"""
-    WITH d AS (
+    s"""d AS (
       SELECT doc_id, doc_id % ${p.tgtMod} = 0 AS tgt,
         ${normSql("text")} AS text
       FROM documents
@@ -5547,13 +5561,89 @@ object OracleSql {
     ), cand AS (
       SELECT doc_id, bucket, COUNT(*) AS c FROM toks
       WHERE NOT tgt GROUP BY doc_id, bucket
-    )
-    SELECT c.doc_id, CAST(SUM(c.c) AS BIGINT) AS n_tokens,
-      CAST(SUM(c.c * rho.rho) AS BIGINT) AS ratio_sum,
-      CAST(SUM(c.c * rho.rho) AS DOUBLE) /
-        CAST(SUM(c.c) * $q AS DOUBLE) AS mean_ratio
-    FROM cand c JOIN rho ON c.bucket = rho.bucket
-    GROUP BY c.doc_id"""
+    ), ir AS MATERIALIZED (
+      SELECT c.doc_id, CAST(SUM(c.c) AS BIGINT) AS n_tokens,
+        CAST(SUM(c.c * rho.rho) AS BIGINT) AS ratio_sum,
+        CAST(SUM(c.c * rho.rho) AS DOUBLE) /
+          CAST(SUM(c.c) * $q AS DOUBLE) AS mean_ratio
+      FROM cand c JOIN rho ON c.bucket = rho.bucket
+      GROUP BY c.doc_id
+    )"""
+  }
+
+  private def q145: String =
+    s"""
+    WITH $q145IrCtes
+    SELECT doc_id, n_tokens, ratio_sum, mean_ratio FROM ir"""
+
+  /** DSIR end-to-end (q205): the q145 importance ratios feed the q130
+    * Duffield–Lund–Thorup priority draw — md5 uniform
+    * `(h+1)/2^60`, priority `mean_ratio / u`, top-k by
+    * (priority DESC, doc_id ASC), τ the (k+1)-th priority, estimator
+    * weight `greatest(w, τ)` — the SQL twin of
+    * `Sampling.prioritySample` over `Selection.importanceRatio`.
+    * Generated from [[SketchParams.q145]]/[[SketchParams.q205]]. */
+  private def q205: String = {
+    val p = SketchParams.q205
+    s"""
+    WITH $q145IrCtes, pri AS (
+      SELECT doc_id, n_tokens, ratio_sum, mean_ratio AS weight,
+        mean_ratio /
+          (CAST(('0x' || substr(md5(doc_id::VARCHAR || ':${p.seed}'), 1, 15))::BIGINT
+              + 1 AS DOUBLE)
+            / 1152921504606846976.0) AS priority
+      FROM ir
+      WHERE mean_ratio IS NOT NULL AND mean_ratio > 0
+    ), ranked AS (
+      SELECT doc_id, n_tokens, ratio_sum, weight, priority,
+        row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rn
+      FROM pri
+    ), tau AS (
+      SELECT COALESCE(MAX(CASE WHEN rn = ${p.k + 1} THEN priority END),
+        0.0) AS tau
+      FROM ranked)
+    SELECT r.doc_id, r.n_tokens, r.ratio_sum, r.weight, r.priority,
+      greatest(r.weight, t.tau) AS est_weight
+    FROM ranked r CROSS JOIN tau t
+    WHERE r.rn <= ${p.k}"""
+  }
+
+  /** Exact two-sample KS drift (q206): per-value counts of the slice
+    * vs the rest, inclusive cumulative counts over the value union
+    * (the oracle's single window IS the naive form the engine's
+    * two-phase scan replaces), exact BIGINT gap numerator
+    * |cumA·nB − cumB·nA| maximized with (d DESC, v ASC) tie-break, one
+    * double divide — the SQL twin of `Stats.ksStatistic`. Generated
+    * from [[SketchParams.q206]]. */
+  private def q206: String = {
+    val lang = SketchParams.q206.lang
+    s"""
+    WITH m AS (
+      SELECT n_chars AS v,
+        CAST(SUM(CASE WHEN lang = '$lang' THEN 1 ELSE 0 END) AS BIGINT)
+          AS ca,
+        CAST(SUM(CASE WHEN lang != '$lang' THEN 1 ELSE 0 END) AS BIGINT)
+          AS cb
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+      GROUP BY n_chars
+    ), tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM m
+    ), c AS (
+      SELECT v,
+        CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+        CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+      FROM m
+    ), gap AS (
+      SELECT v, abs(cuma * tot.nb - cumb * tot.na) AS d
+      FROM c, tot
+    ), best AS (
+      SELECT v, CAST(d AS BIGINT) AS d FROM gap
+      ORDER BY d DESC, v ASC LIMIT 1)
+    SELECT tot.na AS n_a, tot.nb AS n_b, best.v AS at_value,
+      best.d AS d_num,
+      CAST(best.d AS DOUBLE) / CAST(tot.na * tot.nb AS DOUBLE) AS ks
+    FROM best, tot"""
   }
 
   /** Mixture plan (q146): per-language token inventory + the CASE-chain
@@ -7427,6 +7517,8 @@ object OracleSql {
     "q202_wordpiece_fertility" -> q202,
     "q203_moore_lewis" -> q203,
     "q204_soft_dedup" -> q204,
+    "q205_dsir_resample" -> q205,
+    "q206_ks_drift" -> q206,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

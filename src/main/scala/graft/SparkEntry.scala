@@ -2678,14 +2678,24 @@ object SparkEntry {
     * the two-distribution data-selection signal
     * ([[graft.operators.Selection.targetAffinity]] is the one-profile
     * sibling). Params from [[SketchParams.q145]]. */
-  def q145ImportanceRatio(s: SparkSession, dir: String): DataFrame = {
-    val p = SketchParams.q145
-    operators.Selection.importanceRatio(t(s, dir, "documents"),
-      "text", "doc_id",
-      isTarget = col("doc_id") % p.tgtMod === 0,
-      isReference = lit(true),
-      nBuckets = p.nBuckets, quant = p.quant)
-  }
+  def q145ImportanceRatio(s: SparkSession, dir: String): DataFrame =
+    q145Ir(s, dir)
+
+  /** The q145 importance-ratio frame memoized per (session, dir) —
+    * shared by q145 (the scoring report) and q205 (which RESAMPLES by
+    * those weights), so one profile build + one scoring pass feeds
+    * both within a Verify run (the q195Seg/q193Flags convention). */
+  private val q145IrMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def q145Ir(s: SparkSession, dir: String): DataFrame =
+    memoCheckpoint(q145IrMemo, s, dir) {
+      val p = SketchParams.q145
+      operators.Selection.importanceRatio(t(s, dir, "documents"),
+        "text", "doc_id",
+        isTarget = col("doc_id") % p.tgtMod === 0,
+        isReference = lit(true),
+        nBuckets = p.nBuckets, quant = p.quant)
+    }
 
   /** Training-mix plan ([[graft.operators.Sampling.mixturePlan]]): the
     * per-language token inventory planned against the
@@ -3334,6 +3344,45 @@ object SparkEntry {
     operators.Components.softDedupWeights(
       q49Corpus(s, dir), "doc_id", q49Pairs(s, dir), "id_a", "id_b",
       SketchParams.q204.quant, maxIter = 25)
+
+  /** DSIR end-to-end — importance-weighted RESAMPLING
+    * ([[graft.operators.Sampling.prioritySample]] drawing by the
+    * memoized q145 [[graft.operators.Selection.importanceRatio]]
+    * weights): the two halves the library had separately, composed
+    * into the full Xie et al. 2023 selection step — score every
+    * candidate's target/reference likelihood ratio, then sample k docs
+    * WITHOUT replacement proportional to it, each carrying the
+    * unbiased Duffield–Lund–Thorup estimator weight. The md5 uniforms,
+    * priorities, τ and estimator weights replay bit-for-bit (the q130
+    * argument); the weights are the q145 exact fixed-point ratios.
+    * Params from [[SketchParams.q145]]/[[SketchParams.q205]]. */
+  def q205DsirResample(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q205
+    val ir = q145Ir(s, dir)
+    operators.Sampling.prioritySample(ir, "doc_id", "mean_ratio",
+        p.k, p.seed)
+      .join(ir.select(col("doc_id"), col("n_tokens"), col("ratio_sum")),
+        col("id") === col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("ratio_sum"),
+        col("weight"), col("priority"), col("est_weight"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift
+    * ([[graft.operators.Stats.ksStatistic]]): the `n_chars` length
+    * distribution of one language slice tested against the rest of
+    * the corpus — exact BIGINT ECDF-gap numerator via the
+    * [[graft.operators.Packing.prefixSums]] two-phase scan (both
+    * cumulative counts in ONE pass, no global window), one portable
+    * double divide for the statistic. The numeric-distribution
+    * companion of the q171 χ² token drift. Params from
+    * [[SketchParams.q206]]. */
+  def q206KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q206
+    val docs = t(s, dir, "documents")
+    operators.Stats.ksStatistic(
+      docs.filter(col("lang") === p.lang),
+      docs.filter(col("lang") =!= p.lang), "n_chars")
+  }
 
   /** BM25 inverted-index artifact gate
     * ([[graft.operators.TextAnalysis.bm25Index]]): the snapshot the
@@ -4444,7 +4493,9 @@ object SparkEntry {
     "q201_unimax_alloc" -> (q201UnimaxAlloc _),
     "q202_wordpiece_fertility" -> (q202WordpieceFertility _),
     "q203_moore_lewis" -> (q203MooreLewis _),
-    "q204_soft_dedup" -> (q204SoftDedup _))
+    "q204_soft_dedup" -> (q204SoftDedup _),
+    "q205_dsir_resample" -> (q205DsirResample _),
+    "q206_ks_drift" -> (q206KsDrift _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

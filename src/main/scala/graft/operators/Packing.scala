@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -181,6 +181,62 @@ object Packing {
           greatest(col("seq_id") * seqLen, col("tok_offset")))
           .as("piece_tokens"))
       .withColumn("n_docs", count(lit(1)).over(w))
+  }
+
+  /** Generalized two-phase scan: the global EXCLUSIVE prefix sum of
+    * SEVERAL BIGINT columns in `orderCol` order, all in ONE pass — the
+    * [[assignShards]] machinery (range partition → P·|cols| subtotal
+    * cells to the driver → broadcast offsets + per-partition windows)
+    * lifted to a column list, for consumers that need multiple aligned
+    * cumsums over the same ordering (two ECDFs for a KS statistic, a
+    * token and a doc counter for a manifest). One extra cumsum costs
+    * one more window aggregate over the SAME pinned-pid partitioning —
+    * no additional shuffle, no additional driver round trip.
+    *
+    * `orderCol` must be unique per row (it is the whole sort key).
+    * Returns the input columns plus `<c>_offset` (exclusive cumsum)
+    * for each `c` in `tokenCols`; driver state is P·|cols| longs (the
+    * [[assignShards]] model-state boundary). */
+  def prefixSums(df: DataFrame, orderCol: String,
+      tokenCols: Seq[String], numParts: Int = 0): DataFrame = {
+    require(tokenCols.nonEmpty, "need at least one column to scan")
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .select((col(orderCol) +: tokenCols.map(col)): _*)
+      .repartitionByRange(parts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val subtotalAggs = tokenCols
+      .map(c => sum(col(c)).as(s"__t_$c"))
+    val subtotals = parted.groupBy(col("__pid"))
+      .agg(subtotalAggs.head, subtotalAggs.tail: _*)
+      .collect()
+      .map(r => (r.getAs[Int]("__pid"),
+        tokenCols.map(c => r.getAs[Long](s"__t_$c"))))
+      .sortBy(_._1)
+    val offsets = subtotals
+      .scanLeft((0, tokenCols.map(_ => 0L))) { case ((_, acc), (pid, ts)) =>
+        (pid, acc.zip(ts).map { case (a, t) => a + t }) }
+      .init.zip(subtotals)
+      .map { case ((_, off), (pid, _)) => Row.fromSeq(pid +: off) }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+      tokenCols.map(c => org.apache.spark.sql.types.StructField(
+        s"__off_$c", org.apache.spark.sql.types.LongType, nullable = false)))
+    val offsetsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq, 1), offSchema)
+    val win = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .select((col(orderCol) +: tokenCols.map(col)) ++
+        tokenCols.map(c =>
+          (sum(col(c)).over(win) + col(s"__off_$c") - col(c))
+            .as(s"${c}_offset")): _*)
   }
 
   /** The naive single-window executable spec (one window partition = one

@@ -236,4 +236,61 @@ object Stats {
           (col("n_a") + col("n_b")).cast("double")))
       .select(col("bucket"), col("n_a"), col("n_b"), col("chi2"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic over an integral
+    * column — the NUMERIC-distribution drift monitor [[tokenDrift]]'s
+    * χ² is not: D = max_v |F_a(v) − F_b(v)| compares the full shape of
+    * two empirical distributions (document lengths, quality scores,
+    * token counts) and is the standard two-sample
+    * distribution-equality test. The maximization runs over the union
+    * of observed values (where the ECDF gap is attained by
+    * right-continuity), so D is EXACT, not a grid approximation.
+    *
+    * Everything stays integer until one final divide: with inclusive
+    * cumulative counts cumA/cumB and totals nA/nB,
+    * `d_num = max_v |cumA(v)·nB − cumB(v)·nA|` is exact BIGINT and
+    * `ks = d_num / (nA·nB)` is one IEEE divide of exact integers (the
+    * q68 argument — both engines land on the identical double).
+    * `at_value` is the smallest v attaining the max (a total order:
+    * d DESC, v ASC). Overflow headroom: needs nA·nB < 2⁶³ — ~3·10⁹
+    * rows per side balanced; beyond that pre-bucket the value space
+    * (equi-depth bins keep D exact on the binned distribution).
+    *
+    * Scale shape: one hash-agg per side to per-value counts, one
+    * union re-agg to align them, then the [[Packing.prefixSums]]
+    * two-phase scan gives BOTH global cumsums in one pass — range
+    * partition, P·2 subtotal cells to the driver, per-partition
+    * windows. No global single-partition window anywhere (the naive
+    * `SUM() OVER (ORDER BY v)` twin is exactly the scale killer
+    * [[Packing.assignShards]] documents). The final argmax is one
+    * `min_by` partial aggregate; the totals ride a 1-row broadcast.
+    * Both inputs must be non-empty (an empty side has no ECDF; the
+    * spec pins the contract).
+    *
+    * @return ONE row: (n_a, n_b, at_value, d_num, ks) */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String,
+      numParts: Int = 0): DataFrame = {
+    def counts(df: DataFrame, cn: String, other: String): DataFrame = df
+      .select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as(cn))
+      .withColumn(other, lit(0L))
+    val m = counts(a, "ca", "cb").unionByName(counts(b, "cb", "ca"))
+      .groupBy(col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val cums = Packing.prefixSums(m, "v", Seq("ca", "cb"), numParts)
+    val tot = m.agg(sum(col("ca")).as("__na"), sum(col("cb")).as("__nb"))
+    cums.crossJoin(broadcast(tot))
+      .select(col("v"), col("__na"), col("__nb"),
+        abs((col("ca_offset") + col("ca")) * col("__nb") -
+          (col("cb_offset") + col("cb")) * col("__na")).as("__d"))
+      .agg(min_by(
+        struct(col("__na").as("n_a"), col("__nb").as("n_b"),
+          col("v").as("at_value"), col("__d").as("d_num")),
+        struct((-col("__d")).as("nd"), col("v"))).as("m"))
+      .select(col("m.n_a"), col("m.n_b"), col("m.at_value"),
+        col("m.d_num"),
+        (col("m.d_num").cast("double") /
+          (col("m.n_a") * col("m.n_b")).cast("double")).as("ks"))
+  }
 }

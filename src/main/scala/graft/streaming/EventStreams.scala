@@ -360,6 +360,37 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming distribution-drift monitor — q206's streaming twin:
+    * every micro-batch's empirical distribution of `valueCol` is
+    * KS-tested against a STATIC reference corpus
+    * ([[graft.operators.Stats.ksStatistic]] — exact integer ECDF-gap
+    * numerator, one portable double divide) and the sink accumulates
+    * one row per batch: (batch_id, n_a, n_b, at_value, d_num, ks,
+    * drifted). The ingest-monitoring deployment shape: reference
+    * profile offline, per-batch drift alarm at ingest — the numeric
+    * companion of the χ² [[graft.operators.Stats.tokenDrift]].
+    * Batches are tested INDEPENDENTLY (each batch is one sample), so
+    * restarts re-test only unprocessed batches; `minKs` is the alarm
+    * threshold on the [0,1] statistic. */
+  def driftMonitorIngest(
+      stream: DataFrame, reference: DataFrame, valueCol: String,
+      sinkPath: String, checkpointPath: String,
+      minKs: Double = 0.2): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ref = reference.select(col(valueCol)).localCheckpoint(false)
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF()
+        if (!b.isEmpty)
+          graft.operators.Stats.ksStatistic(b, ref, valueCol)
+            .select(lit(id).as("batch_id"), col("n_a"), col("n_b"),
+              col("at_value"), col("d_num"), col("ks"),
+              (col("ks") > minKs).as("drifted"))
+            .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+  }
+
   /** Streaming perceptron quality gate — q190's streaming twin: the
     * (bucket, weight) model is trained ONCE offline
     * ([[graft.operators.Classifier.perceptronTrain]] — or loaded from

@@ -30,6 +30,29 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixSums: multi-column two-phase scan matches per-column " +
+      "naive windows at any partition count") {
+    val withB = docs.withColumn("n_b", (col("doc_id") % 7) + 1L)
+    val naive = {
+      val rows = withB.select("doc_id", "n_tokens", "n_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val offT = rows.map(_._2).scanLeft(0L)(_ + _).init
+      val offB = rows.map(_._3).scanLeft(0L)(_ + _).init
+      rows.zip(offT.zip(offB))
+        .map { case ((id, _, _), (ot, ob)) => id -> (ot, ob) }.toMap
+    }
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Packing.prefixSums(withB, "doc_id",
+          Seq("n_tokens", "n_b"), parts)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens_offset"), r.getAs[Long]("n_b_offset")))
+        .toMap
+      assert(got == naive, s"mismatch at numParts=$parts")
+    }
+  }
+
   test("orderCol packs in the shuffled order, independent of partition count") {
     import org.apache.spark.sql.functions._
     val keyed = docs.withColumn("k",

@@ -515,11 +515,22 @@ class PlanQualitySpec extends AnyFunSuite {
       "q143: top-k must be the BottomK heap, not a window sort")
     val fplan = executed("q144_lsh_fidelity")
     assert(!fplan.contains("CartesianProduct"), "q144 cartesians")
+    // q145 is memoized (shared with q205) — the query plan must be the
+    // checkpoint scan; the BUILD plan carries the broadcast contract
     val iplan = executed("q145_importance_ratio")
-    assert(!iplan.contains("CartesianProduct"), "q145 cartesians")
-    assert(iplan.contains("BroadcastHashJoin"),
+    assert(iplan.contains("Scan ExistingRDD"),
+      "q145: the memoized frame must serve from its checkpoint")
+    import org.apache.spark.sql.functions._
+    val irBuild = graft.operators.Selection.importanceRatio(
+        Tables.load(spark, dir, "documents"), "text", "doc_id",
+        isTarget = col("doc_id") % 7 === 0,
+        isReference = lit(true), nBuckets = 4096, quant = 100000L)
+    irBuild.count()
+    val ibplan = irBuild.queryExecution.executedPlan.toString
+    assert(!ibplan.contains("CartesianProduct"), "q145 cartesians")
+    assert(ibplan.contains("BroadcastHashJoin"),
       "q145: the rho profile must broadcast onto candidates")
-    assert(iplan.contains("HashAggregate"), "q145: expected hash aggs")
+    assert(ibplan.contains("HashAggregate"), "q145: expected hash aggs")
     // q146: the recipe folds in as a CASE chain — one aggregation over
     // the corpus, then a pure map over domain rows; NO join anywhere
     val pplan = executed("q146_mixture_plan")
@@ -735,6 +746,21 @@ class PlanQualitySpec extends AnyFunSuite {
     val p204 = executed("q204_soft_dedup")
     assert(!p204.contains("CartesianProduct"),
       s"q204 cartesians:\n${p204.take(1200)}")
+    // q205: the DSIR composition — profile/τ rides 1-row guarded
+    // broadcasts, the membership join hashes, nothing cartesians
+    val p205 = executed("q205_dsir_resample")
+    assert(!p205.contains("CartesianProduct"),
+      s"q205 cartesians:\n${p205.take(1200)}")
+    assert(p205.contains("BroadcastExchange"),
+      "q205 lost the guarded 1-row tau broadcast")
+    // q206: the KS cumsum window must stay partitioned by the pinned
+    // pid (the two-phase scan), never the naive global window
+    val p206 = executed("q206_ks_drift")
+    assert(!p206.contains("CartesianProduct"),
+      s"q206 cartesians:\n${p206.take(1200)}")
+    val win206 = p206.split("\n").find(_.contains("windowspecdefinition"))
+    assert(win206.exists(_.contains("__pid")),
+      s"q206 window not partitioned by __pid: ${win206.getOrElse("<none>")}")
   }
 
   test("custom expressions stay inside whole-stage codegen (no fallback)") {

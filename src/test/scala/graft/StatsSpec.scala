@@ -159,4 +159,59 @@ class StatsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("g" -> 8L, "h" -> 4L, "n" -> 9L), got)
   }
+
+  test("ksStatistic: hand-computed ECDF gap, exact numerator, " +
+      "smallest argmax value") {
+    import spark.implicits._
+    // a = {1,2,2,3}, b = {2,3,3,4,4,5}: nA=4, nB=6
+    // v : cumA cumB |cumA*6 - cumB*4|
+    // 1 :  1    0    6
+    // 2 :  3    1   14   <- max, attained first at v=2
+    // 3 :  4    3   12
+    // 4 :  4    5    4
+    // 5 :  4    6    0
+    val a = Seq(1L, 2L, 2L, 3L).toDF("x")
+    val b = Seq(2L, 3L, 3L, 4L, 4L, 5L).toDF("x")
+    val r = Stats.ksStatistic(a, b, "x").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 6L, 2L, 14L)), r.toString)
+    assert(r.getDouble(4) == 14.0 / 24.0)
+  }
+
+  test("ksStatistic: identical samples give 0; disjoint supports give 1") {
+    import spark.implicits._
+    val s = Seq(5L, 9L, 9L, 12L).toDF("x")
+    val same = Stats.ksStatistic(s, s, "x").head()
+    assert(same.getLong(3) == 0L && same.getDouble(4) == 0.0)
+    val lo = Seq(1L, 2L, 3L).toDF("x")
+    val hi = Seq(10L, 11L).toDF("x")
+    val dj = Stats.ksStatistic(lo, hi, "x").head()
+    // at v=3: cumA=3, cumB=0 -> |3*2 - 0*3| = 6 = nA*nB
+    assert(dj.getLong(2) == 3L && dj.getLong(3) == 6L &&
+      dj.getDouble(4) == 1.0, dj.toString)
+  }
+
+  test("ksStatistic: partition-count independent (the two-phase scan " +
+      "contract) and matches a driver-side reference on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val av = Seq.fill(200)(rng.nextInt(40).toLong)
+    val bv = Seq.fill(300)(rng.nextInt(40).toLong + 5L)
+    def ref: (Long, Long, Long, Long) = {
+      val vs = (av ++ bv).distinct.sorted
+      val gaps = vs.map { v =>
+        val ca = av.count(_ <= v).toLong; val cb = bv.count(_ <= v).toLong
+        (v, math.abs(ca * bv.size - cb * av.size))
+      }
+      val mx = gaps.map(_._2).max
+      (av.size.toLong, bv.size.toLong,
+        gaps.filter(_._2 == mx).map(_._1).min, mx)
+    }
+    for (parts <- Seq(1, 4)) {
+      val r = Stats.ksStatistic(av.toDF("x"), bv.toDF("x"), "x", parts)
+        .head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        ref, s"numParts=$parts: $r")
+    }
+  }
 }
