@@ -521,9 +521,16 @@ object SketchParams {
     val k = 150; val seed = 11
   }
   /** q206 KS drift: the language slice whose n_chars ECDF is tested
-    * against the rest of the corpus. */
+    * against the rest of the corpus (q207 reuses the slice per
+    * source). */
   object q206 {
     val lang = "en"
+  }
+  /** q208 embedding-norm drift: quantization scale for the exact
+    * integer squared norm (the q68/q55 scale) and the label slice
+    * tested against the rest. */
+  object q208 {
+    val scale = 1000; val label = 0
   }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
@@ -5646,6 +5653,84 @@ object OracleSql {
     FROM best, tot"""
   }
 
+  /** Per-source KS drift (q207): the q206 slice definition inside
+    * every source — group-partitioned cumulative counts, per-group
+    * gap argmax with (d DESC, v ASC) tie-break, one-sided groups
+    * dropped — the SQL twin of `Stats.ksStatisticByGroup`. Generated
+    * from [[SketchParams.q206]]. */
+  private def q207: String = {
+    val lang = SketchParams.q206.lang
+    s"""
+    WITH m AS (
+      SELECT source AS grp, n_chars AS v,
+        CAST(SUM(CASE WHEN lang = '$lang' THEN 1 ELSE 0 END) AS BIGINT)
+          AS ca,
+        CAST(SUM(CASE WHEN lang != '$lang' THEN 1 ELSE 0 END) AS BIGINT)
+          AS cb
+      FROM documents WHERE n_chars IS NOT NULL
+      GROUP BY source, n_chars
+    ), c AS (
+      SELECT grp, v,
+        CAST(SUM(ca) OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+          AS cuma,
+        CAST(SUM(cb) OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+          AS cumb,
+        CAST(SUM(ca) OVER (PARTITION BY grp) AS BIGINT) AS na,
+        CAST(SUM(cb) OVER (PARTITION BY grp) AS BIGINT) AS nb
+      FROM m
+    ), gap AS (
+      SELECT grp, na, nb, v, abs(cuma * nb - cumb * na) AS d,
+        row_number() OVER (PARTITION BY grp
+          ORDER BY abs(cuma * nb - cumb * na) DESC, v ASC) AS rn
+      FROM c WHERE na > 0 AND nb > 0)
+    SELECT grp AS source, na AS n_a, nb AS n_b, v AS at_value,
+      CAST(d AS BIGINT) AS d_num,
+      CAST(d AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks
+    FROM gap WHERE rn = 1"""
+  }
+
+  /** Embedding-norm drift (q208): exact integer squared norms of
+    * floor-quantized embeddings (the q68 scale convention), then the
+    * q206 KS chain between the label slice and the rest — the SQL
+    * twin of `Stats.ksStatistic` over the norm projection. Generated
+    * from [[SketchParams.q208]]. */
+  private def q208: String = {
+    val p = SketchParams.q208
+    s"""
+    WITH e AS (
+      SELECT vec_id, label,
+        CAST(list_sum(list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT) *
+               CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT)))
+          AS BIGINT) AS v
+      FROM embeddings WHERE label IS NOT NULL
+    ), m AS (
+      SELECT v,
+        CAST(SUM(CASE WHEN label = ${p.label} THEN 1 ELSE 0 END)
+          AS BIGINT) AS ca,
+        CAST(SUM(CASE WHEN label != ${p.label} THEN 1 ELSE 0 END)
+          AS BIGINT) AS cb
+      FROM e WHERE v IS NOT NULL GROUP BY v
+    ), tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM m
+    ), c AS (
+      SELECT v,
+        CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+        CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+      FROM m
+    ), gap AS (
+      SELECT v, abs(cuma * tot.nb - cumb * tot.na) AS d
+      FROM c, tot
+    ), best AS (
+      SELECT v, CAST(d AS BIGINT) AS d FROM gap
+      ORDER BY d DESC, v ASC LIMIT 1)
+    SELECT tot.na AS n_a, tot.nb AS n_b, best.v AS at_value,
+      best.d AS d_num,
+      CAST(best.d AS DOUBLE) / CAST(tot.na * tot.nb AS DOUBLE) AS ks
+    FROM best, tot"""
+  }
+
   /** Mixture plan (q146): per-language token inventory + the CASE-chain
     * recipe weights, the overflow-safe split floor for the target, one
     * rate division, a ceiling DIV for epochs — the SQL twin of
@@ -7519,6 +7604,8 @@ object OracleSql {
     "q204_soft_dedup" -> q204,
     "q205_dsir_resample" -> q205,
     "q206_ks_drift" -> q206,
+    "q207_ks_by_source" -> q207,
+    "q208_emb_norm_drift" -> q208,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3384,6 +3384,36 @@ object SparkEntry {
       docs.filter(col("lang") =!= p.lang), "n_chars")
   }
 
+  /** Per-source KS drift report
+    * ([[graft.operators.Stats.ksStatisticByGroup]]): within every
+    * `source`, the exact KS statistic between the q206 language
+    * slice's length distribution and its complement — "which sources
+    * shifted?", the report form of q206 (windows PARTITIONED by
+    * group: parallel across sources, one shuffle). Params from
+    * [[SketchParams.q206]]. */
+  def q207KsBySource(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.ksStatisticByGroup(t(s, dir, "documents"),
+      "source", col("lang") === SketchParams.q206.lang, "n_chars")
+
+  /** Embedding-norm drift ([[graft.operators.Stats.ksStatistic]] over
+    * the EXACT integer squared norm of floor-quantized embeddings —
+    * the [[graft.operators.Ann]] integer-geometry convention): one
+    * label slice's norm distribution tested against the rest. The
+    * embedding-space health check a semantic-dedup pipeline runs on
+    * ingest (encoder drift moves the norm distribution before it
+    * moves ANN recall). Params from [[SketchParams.q208]]. */
+  def q208EmbNormDrift(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q208
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        aggregate(
+          operators.Ann.quantizeVec(col("embedding"), p.scale),
+          lit(0L), (acc, x) => acc + x * x).as("norm2"))
+    operators.Stats.ksStatistic(
+      emb.filter(col("label") === p.label),
+      emb.filter(col("label") =!= p.label), "norm2")
+  }
+
   /** BM25 inverted-index artifact gate
     * ([[graft.operators.TextAnalysis.bm25Index]]): the snapshot the
     * q191 serving path loads — postings ⋈ per-term df ⋈ corpus totals,
@@ -4495,7 +4525,9 @@ object SparkEntry {
     "q203_moore_lewis" -> (q203MooreLewis _),
     "q204_soft_dedup" -> (q204SoftDedup _),
     "q205_dsir_resample" -> (q205DsirResample _),
-    "q206_ks_drift" -> (q206KsDrift _))
+    "q206_ks_drift" -> (q206KsDrift _),
+    "q207_ks_by_source" -> (q207KsBySource _),
+    "q208_emb_norm_drift" -> (q208EmbNormDrift _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

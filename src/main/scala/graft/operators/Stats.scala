@@ -293,4 +293,53 @@ object Stats {
         (col("m.d_num").cast("double") /
           (col("m.n_a") * col("m.n_b")).cast("double")).as("ks"))
   }
+
+  /** Per-group [[ksStatistic]]: within every group, the exact KS
+    * statistic between the `isA` slice and its complement — the
+    * drift REPORT form ("which sources/languages shifted?"), one row
+    * per group that has BOTH sides non-empty (a one-sided group has
+    * no second ECDF; dropping it beats emitting a NULL statistic).
+    *
+    * Same exact-integer contract as [[ksStatistic]]. The cumulative
+    * counts here are windows PARTITIONED BY GROUP ordered by value —
+    * parallel across groups, memory per task ∝ a group's distinct
+    * values (the standard window bound; a single group spanning the
+    * whole corpus is [[ksStatistic]]'s job, whose two-phase scan
+    * exists precisely for that shape). One shuffle on the group key;
+    * totals and the argmax ride the same partitioning.
+    *
+    * @return one row per two-sided group:
+    *         (group, n_a, n_b, at_value, d_num, ks) */
+  def ksStatisticByGroup(df: DataFrame, groupCol: String,
+      isA: Column, valueCol: String): DataFrame = {
+    val m = df
+      .select(col(groupCol).as("grp"), isA.as("__a"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    m.withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("na", sum(col("ca")).over(wg))
+      .withColumn("nb", sum(col("cb")).over(wg))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("grp"), col("na"), col("nb"), col("v"),
+        abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("__d"))
+      .groupBy(col("grp"))
+      .agg(min_by(
+        struct(col("na").as("n_a"), col("nb").as("n_b"),
+          col("v").as("at_value"), col("__d").as("d_num")),
+        struct((-col("__d")).as("nd"), col("v"))).as("m"))
+      .select(col("grp").as(groupCol), col("m.n_a"), col("m.n_b"),
+        col("m.at_value"), col("m.d_num"),
+        (col("m.d_num").cast("double") /
+          (col("m.n_a") * col("m.n_b")).cast("double")).as("ks"))
+  }
 }

@@ -761,6 +761,22 @@ class PlanQualitySpec extends AnyFunSuite {
     val win206 = p206.split("\n").find(_.contains("windowspecdefinition"))
     assert(win206.exists(_.contains("__pid")),
       s"q206 window not partitioned by __pid: ${win206.getOrElse("<none>")}")
+    // q207: the per-group report — group-partitioned windows (parallel
+    // across sources), never the empty global window, no cartesian
+    val p207 = executed("q207_ks_by_source")
+    assert(!p207.contains("CartesianProduct"),
+      s"q207 cartesians:\n${p207.take(1200)}")
+    val win207 = p207.split("\n").find(_.contains("windowspecdefinition"))
+    assert(win207.exists(_.contains("grp#")),
+      s"q207 window not partitioned by group: ${win207.getOrElse("<none>")}")
+    // q208: the norm projection is map-only before the KS chain; the
+    // cumsum window stays pinned-pid
+    val p208 = executed("q208_emb_norm_drift")
+    assert(!p208.contains("CartesianProduct"),
+      s"q208 cartesians:\n${p208.take(1200)}")
+    val win208 = p208.split("\n").find(_.contains("windowspecdefinition"))
+    assert(win208.exists(_.contains("__pid")),
+      s"q208 window not partitioned by __pid: ${win208.getOrElse("<none>")}")
   }
 
   test("custom expressions stay inside whole-stage codegen (no fallback)") {

@@ -191,6 +191,38 @@ class StatsSpec extends AnyFunSuite {
       dj.getDouble(4) == 1.0, dj.toString)
   }
 
+  test("ksStatisticByGroup: per-group gaps match the global operator " +
+      "run per group; one-sided groups are dropped") {
+    import spark.implicits._
+    val df = Seq(
+      // g1: a = {1,2,2,3}, b = {2,3,3,4,4,5} — the hand case above
+      ("g1", true, 1L), ("g1", true, 2L), ("g1", true, 2L),
+      ("g1", true, 3L), ("g1", false, 2L), ("g1", false, 3L),
+      ("g1", false, 3L), ("g1", false, 4L), ("g1", false, 4L),
+      ("g1", false, 5L),
+      // g2: disjoint supports
+      ("g2", true, 1L), ("g2", true, 2L), ("g2", false, 9L),
+      // g3: one-sided (a only) — must not appear
+      ("g3", true, 4L), ("g3", true, 5L))
+      .toDF("grp", "is_a", "x")
+    val got = Stats.ksStatisticByGroup(df, "grp", col("is_a"), "x")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet == Set("g1", "g2"), got.keySet.toString)
+    assert(got("g1") == ((4L, 6L, 2L, 14L, 14.0 / 24.0)), got("g1"))
+    assert(got("g2") == ((2L, 1L, 2L, 2L, 1.0)), got("g2"))
+    // per-group rows equal the global operator on each group's slices
+    Seq("g1", "g2").foreach { g =>
+      val a = df.filter(col("grp") === g && col("is_a")).select("x")
+      val b = df.filter(col("grp") === g && !col("is_a")).select("x")
+      val r = Stats.ksStatistic(a, b, "x").head()
+      assert(got(g) == ((r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))), s"group $g vs global form")
+    }
+  }
+
   test("ksStatistic: partition-count independent (the two-phase scan " +
       "contract) and matches a driver-side reference on random data") {
     import spark.implicits._
