@@ -4300,21 +4300,75 @@ object OracleSql {
     )"""
   }
 
-  private def q190: String = {
+  /** The q190 held-out SCORED chain through `scored` (doc_id, score,
+    * predicted, label, correct) — shared by q190 (the report), q209
+    * (the PR curve) and q210 (the exact AUC). */
+  private def q190ScoredCtes: String = {
     val p = SketchParams.q190
-    s"""
-    WITH $q190TrainCtes,
+    s"""$q190TrainCtes,
     ${q190FeatCtes("e", s"doc_id % ${p.evalMod} = 0")},
     es AS (
       SELECT f.id, CAST(SUM(f.tf * COALESCE(w.w, 0)) AS BIGINT) AS s
       FROM efeat f LEFT JOIN wavg w ON f.bucket = w.bucket
       GROUP BY f.id
-    )
-    SELECT e.id AS doc_id, e.s AS score, e.s > 0 AS predicted,
-      CAST(d.y AS BIGINT) AS label,
-      (e.s > 0) = (d.y > 0) AS correct
-    FROM es e JOIN lab d ON e.id = d.doc_id"""
+    ), scored AS MATERIALIZED (
+      SELECT e.id AS doc_id, e.s AS score, e.s > 0 AS predicted,
+        CAST(d.y AS BIGINT) AS label,
+        (e.s > 0) = (d.y > 0) AS correct
+      FROM es e JOIN lab d ON e.id = d.doc_id
+    )"""
   }
+
+  private def q190: String =
+    s"""
+    WITH $q190ScoredCtes
+    SELECT doc_id, score, predicted, label, correct FROM scored"""
+
+  /** Per-threshold positive/negative counts over the q190 scored
+    * frame with exclusive cumulatives — shared by q209 and q210. */
+  private def q209CountCtes: String = s"""$q190ScoredCtes, m AS (
+      SELECT score AS v,
+        CAST(SUM(CASE WHEN label > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        CAST(SUM(CASE WHEN label <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+      FROM scored GROUP BY score
+    ), tot AS (
+      SELECT CAST(SUM(p) AS BIGINT) AS pt, CAST(SUM(n) AS BIGINT) AS nt
+      FROM m
+    ), c AS (
+      SELECT v, p, n,
+        CAST(SUM(p) OVER (ORDER BY v) - p AS BIGINT) AS pexc,
+        CAST(SUM(n) OVER (ORDER BY v) - n AS BIGINT) AS nexc
+      FROM m
+    )"""
+
+  /** Exact PR curve (q209): one row per distinct q190 score v read as
+    * "keep score ≥ v" — tp = P − #pos-below-v, exact confusion
+    * BIGINTs, one double divide each for precision/recall — the SQL
+    * twin of `Classifier.prCurve` (the oracle's single window is the
+    * naive form of the engine's prefixSums scan). */
+  private def q209: String =
+    s"""
+    WITH $q209CountCtes
+    SELECT c.v AS threshold,
+      CAST(tot.pt - c.pexc AS BIGINT) AS tp,
+      CAST(tot.nt - c.nexc AS BIGINT) AS fp,
+      c.pexc AS fn,
+      CAST(tot.pt - c.pexc AS DOUBLE) /
+        CAST((tot.pt - c.pexc) + (tot.nt - c.nexc) AS DOUBLE) AS prec,
+      CAST(tot.pt - c.pexc AS DOUBLE) / CAST(tot.pt AS DOUBLE) AS rec
+    FROM c, tot"""
+
+  /** Exact ROC-AUC (q210): the Mann–Whitney identity with midrank
+    * ties — 2·U = Σ_v p_v·(2·nexc + n_v) as exact BIGINT, one double
+    * divide — the SQL twin of `Classifier.aucExact`. */
+  private def q210: String =
+    s"""
+    WITH $q209CountCtes
+    SELECT tot.pt AS n_pos, tot.nt AS n_neg,
+      CAST(SUM(c.p * (2 * c.nexc + c.n)) AS BIGINT) AS u2_num,
+      CAST(SUM(c.p * (2 * c.nexc + c.n)) AS DOUBLE) /
+        CAST(2 * tot.pt * tot.nt AS DOUBLE) AS auc
+    FROM c, tot GROUP BY tot.pt, tot.nt"""
 
   /** The q193 decision chain through `dec` (the per-doc keep verdict):
     * q190 training, held-out scoring, blocklist, minhash near-dup —
@@ -7606,6 +7660,8 @@ object OracleSql {
     "q206_ks_drift" -> q206,
     "q207_ks_by_source" -> q207,
     "q208_emb_norm_drift" -> q208,
+    "q209_pr_curve" -> q209,
+    "q210_auc_exact" -> q210,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -139,6 +139,40 @@ object Soak {
       return
     }
 
+    if (mode == "drift") {
+      // the q206/q207 KS machinery at replica scale, with the value
+      // space made HIGH-CARDINALITY on purpose (a near-unique value
+      // per row): per-value counting collapses nothing, so the
+      // prefixSums two-phase scan runs at corpus row scale — the
+      // honest stress for the distributed ECDF. The B side is shifted
+      // +37 so the statistic is small-but-nonzero (a real monitor's
+      // regime), not a degenerate 0 or 1.
+      val vals = docs.select(col("doc_id"),
+        (length(col("text")).cast("long") * 10000000L +
+          pmod(col("doc_id"), lit(10000000L))).as("v"))
+        .localCheckpoint(false)
+      val a = vals.filter(col("doc_id") % 2 === 0)
+      val b = vals.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), (col("v") + 37L).as("v"))
+      val n = vals.count()
+      timed(s"exact two-sample KS ($n rows, near-unique values)") {
+        val r = operators.Stats.ksStatistic(a, b, "v").head()
+        println(s"[soak]   -> nA=${r.getLong(0)} nB=${r.getLong(1)} " +
+          f"d_num=${r.getLong(3)} ks=${r.getDouble(4)}%.6f")
+      }
+      timed("per-group KS (999 synthetic groups, same rows)") {
+        // 999 (odd) so doc parity VARIES inside each group — an even
+        // modulus would pin parity per group and drop every group as
+        // one-sided
+        val grouped = vals.withColumn("grp", pmod(col("doc_id"), lit(999L)))
+        val rows = operators.Stats.ksStatisticByGroup(grouped, "grp",
+          col("doc_id") % 2 === 0, "v").count()
+        println(s"[soak]   -> $rows group rows")
+      }
+      spark.stop()
+      return
+    }
+
     if (mode == "divvocab") {
       // diversified-vocabulary near-dup soak (the §9m caveat closed):
       // the flat synthetic corpus draws every doc from one ~50-word

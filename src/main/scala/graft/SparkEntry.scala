@@ -3692,28 +3692,57 @@ object SparkEntry {
     * vector is replayed by the DuckDB twin, so the TRAINING RUN itself
     * is hash-verified, not just the scorer. Params from
     * [[SketchParams.q190]]. */
-  def q190Perceptron(s: SparkSession, dir: String): DataFrame = {
-    val p = SketchParams.q190
-    val real = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val junkText = array_join(transform(
-      split(trim(lower(col("text"))), "\\s+"),
-      w => substring(md5(concat(w, lit(":junk"))), 1, 8)), " ")
-    val corpus = real.select(col("doc_id"), col("text"),
-        lit(1L).as("label"))
-      .unionByName(real.select(
-        (col("doc_id") + lit(1000000L)).as("doc_id"),
-        junkText.as("text"), lit(-1L).as("label")))
-    val train = corpus.filter(col("doc_id") % p.evalMod =!= 0)
-    val weights = operators.Classifier.perceptronTrain(train, "text",
-      "doc_id", "label", p.nBuckets, p.epochs)
-    operators.Classifier.perceptronScore(
-        corpus.filter(col("doc_id") % p.evalMod === 0), weights, "text",
-        "doc_id", p.nBuckets)
-      .join(corpus.select(col("doc_id"), col("label")), Seq("doc_id"))
-      .select(col("doc_id"), col("score"), col("predicted"),
-        col("label"),
-        (col("predicted") === (col("label") > 0)).as("correct"))
-  }
+  def q190Perceptron(s: SparkSession, dir: String): DataFrame =
+    q190Scored(s, dir)
+
+  /** The q190 held-out scored frame (doc_id, score, predicted, label,
+    * correct) memoized per (session, dir) — shared by q190 (the
+    * report), q209 (the PR curve over it) and q210 (its exact AUC),
+    * so one perceptron training run feeds all three within a Verify
+    * pass (the q145Ir/q195Seg convention). */
+  private val q190ScoredMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def q190Scored(s: SparkSession, dir: String): DataFrame =
+    memoCheckpoint(q190ScoredMemo, s, dir) {
+      val p = SketchParams.q190
+      val real = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val junkText = array_join(transform(
+        split(trim(lower(col("text"))), "\\s+"),
+        w => substring(md5(concat(w, lit(":junk"))), 1, 8)), " ")
+      val corpus = real.select(col("doc_id"), col("text"),
+          lit(1L).as("label"))
+        .unionByName(real.select(
+          (col("doc_id") + lit(1000000L)).as("doc_id"),
+          junkText.as("text"), lit(-1L).as("label")))
+      val train = corpus.filter(col("doc_id") % p.evalMod =!= 0)
+      val weights = operators.Classifier.perceptronTrain(train, "text",
+        "doc_id", "label", p.nBuckets, p.epochs)
+      operators.Classifier.perceptronScore(
+          corpus.filter(col("doc_id") % p.evalMod === 0), weights, "text",
+          "doc_id", p.nBuckets)
+        .join(corpus.select(col("doc_id"), col("label")), Seq("doc_id"))
+        .select(col("doc_id"), col("score"), col("predicted"),
+          col("label"),
+          (col("predicted") === (col("label") > 0)).as("correct"))
+    }
+
+  /** Exact precision–recall curve
+    * ([[graft.operators.Classifier.prCurve]]) of the trained q190
+    * quality filter on its held-out slice: every operating point the
+    * filter could run at, with exact BIGINT confusion counts off the
+    * [[graft.operators.Packing.prefixSums]] scan and one portable
+    * divide each for precision/recall — the threshold-picking
+    * artifact behind the q193 curation gate. */
+  def q209PrCurve(s: SparkSession, dir: String): DataFrame =
+    operators.Classifier.prCurve(q190Scored(s, dir), "score", "label")
+
+  /** Exact ROC-AUC ([[graft.operators.Classifier.aucExact]], the
+    * Mann–Whitney rank identity with midrank ties) of the trained
+    * q190 filter on its held-out slice — 2·U as an exact BIGINT, one
+    * portable divide for the statistic: the single-number model
+    * quality gate a retraining pipeline alarms on. */
+  def q210AucExact(s: SparkSession, dir: String): DataFrame =
+    operators.Classifier.aucExact(q190Scored(s, dir), "score", "label")
 
   /** Interpolated Kneser–Ney trigram gate
     * ([[graft.operators.TextAnalysis.knTrigramGate]]): the CCNet LM
@@ -4527,7 +4556,9 @@ object SparkEntry {
     "q205_dsir_resample" -> (q205DsirResample _),
     "q206_ks_drift" -> (q206KsDrift _),
     "q207_ks_by_source" -> (q207KsBySource _),
-    "q208_emb_norm_drift" -> (q208EmbNormDrift _))
+    "q208_emb_norm_drift" -> (q208EmbNormDrift _),
+    "q209_pr_curve" -> (q209PrCurve _),
+    "q210_auc_exact" -> (q210AucExact _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -206,6 +206,87 @@ object Classifier {
         col("s").as("score"))
   }
 
+  /** Per-threshold counts over distinct scores — the shared core of
+    * [[prCurve]] and [[aucExact]]: per distinct score value v, the
+    * positive/negative counts at v plus the EXCLUSIVE cumulative
+    * counts below v ([[Packing.prefixSums]] — both cumsums in one
+    * two-phase scan, no global window), and the 1-row class totals.
+    * Returns (v, p, n, p_offset, n_offset, __P, __N). */
+  private def thresholdCounts(scored: DataFrame, scoreCol: String,
+      labelCol: String, numParts: Int): DataFrame = {
+    val m = scored
+      .select(col(scoreCol).cast("long").as("v"),
+        (col(labelCol).cast("long") > 0).as("__pos"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("p"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("n"))
+    val tot = m.agg(sum(col("p")).as("__P"), sum(col("n")).as("__N"))
+    Packing.prefixSums(m, "v", Seq("p", "n"), numParts)
+      .crossJoin(broadcast(tot))
+  }
+
+  /** Exact precision–recall curve of an integer-scored classifier:
+    * one row per DISTINCT score value v, reading "keep score ≥ v" —
+    * tp/fp/fn are exact BIGINTs (tp = positives at-or-above v =
+    * P − #pos-below-v off the prefix scan), precision and recall one
+    * IEEE divide each of exact integers (the q68 argument, so the
+    * whole curve hash-verifies cross-engine). The quality-filter
+    * threshold-picking artifact: every operating point the filter
+    * could run at, with its exact confusion counts.
+    *
+    * Scale shape: one (score value) hash-agg with conditional sums
+    * (map-side combined; output ∝ distinct scores, not rows), the
+    * [[Packing.prefixSums]] two-phase scan for both cumulative
+    * counts, a 1-row totals broadcast — no global window, no join
+    * against the row-scale frame. Scores must be integral (the
+    * engine's classifiers emit exact integer scores by design);
+    * labels are positive iff `labelCol > 0`. Needs ≥ 1 positive for
+    * recall to be defined (the caller's contract, spec-pinned).
+    *
+    * @return (threshold, tp, fp, fn, prec, rec), one row per
+    *         distinct score */
+  def prCurve(scored: DataFrame, scoreCol: String, labelCol: String,
+      numParts: Int = 0): DataFrame =
+    thresholdCounts(scored, scoreCol, labelCol, numParts)
+      .select(col("v").as("threshold"),
+        (col("__P") - col("p_offset")).as("tp"),
+        (col("__N") - col("n_offset")).as("fp"),
+        col("p_offset").as("fn"),
+        ((col("__P") - col("p_offset")).cast("double") /
+          ((col("__P") - col("p_offset")) +
+            (col("__N") - col("n_offset"))).cast("double")).as("prec"),
+        ((col("__P") - col("p_offset")).cast("double") /
+          col("__P").cast("double")).as("rec"))
+
+  /** Exact ROC-AUC via the Mann–Whitney rank identity with midrank
+    * tie handling: AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻).
+    * Everything integer until one divide — with per-value counts
+    * (p_v, n_v) and the exclusive negative cumsum nexc(v),
+    * `u2_num = Σ_v p_v·(2·nexc(v) + n_v)` is exactly 2·U (ties counted
+    * once, not half, hence the doubling) and `auc = u2_num / (2·P·N)`
+    * is one IEEE divide of exact BIGINTs. All-ties degenerates to
+    * exactly 0.5, perfect separation to exactly 1.0 (spec-pinned).
+    * Overflow headroom: u2_num ≤ 2·P·N < 2⁶³ — ~2·10⁹ rows per class
+    * balanced; beyond, pre-bin scores (AUC over binned scores is the
+    * binned model's exact AUC).
+    *
+    * Same one-agg + prefix-scan shape as [[prCurve]]; the final sum
+    * is a partial aggregate. Needs both classes non-empty.
+    *
+    * @return ONE row: (n_pos, n_neg, u2_num, auc) */
+  def aucExact(scored: DataFrame, scoreCol: String, labelCol: String,
+      numParts: Int = 0): DataFrame =
+    thresholdCounts(scored, scoreCol, labelCol, numParts)
+      .select(col("__P"), col("__N"),
+        (col("p") * (lit(2L) * col("n_offset") + col("n"))).as("__c"))
+      .groupBy(col("__P").as("n_pos"), col("__N").as("n_neg"))
+      .agg(sum(col("__c")).as("u2_num"))
+      .select(col("n_pos"), col("n_neg"), col("u2_num"),
+        (col("u2_num").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .as("auc"))
+
   /** SCORE documents with a trained (bucket, w) table: per doc the
     * integer score and the sign decision (score > 0). Shares the
     * feature pipeline with [[perceptronTrain]] exactly. */

@@ -218,4 +218,64 @@ class ClassifierSpec extends AnyFunSuite {
       "doc_id", NB)
     assert(tied.collect().map(r => r.getString(1)).toSeq == Seq("a"))
   }
+
+  test("prCurve: exact confusion counts per distinct threshold, " +
+      "hand-checked with ties") {
+    // scores: pos {3, 5, 5}, neg {1, 5} -> distinct v: 1, 3, 5
+    // keep >= 1: tp=3 fp=2 fn=0 | >= 3: tp=3 fp=1 fn=0
+    // keep >= 5: tp=2 fp=1 fn=1
+    val scored = Seq((1L, 3L, 1L), (2L, 5L, 1L), (3L, 5L, 1L),
+      (4L, 1L, -1L), (5L, 5L, -1L)).toDF("id", "score", "label")
+    val got = Classifier.prCurve(scored, "score", "label")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet == Set(1L, 3L, 5L))
+    assert(got(1L) == ((3L, 2L, 0L, 3.0 / 5.0, 1.0)), got(1L))
+    assert(got(3L) == ((3L, 1L, 0L, 3.0 / 4.0, 1.0)), got(3L))
+    assert(got(5L) == ((2L, 1L, 1L, 2.0 / 3.0, 2.0 / 3.0)), got(5L))
+  }
+
+  test("aucExact: perfect separation = 1.0, all ties = 0.5, " +
+      "hand case with a tie = Mann-Whitney midranks") {
+    val sep = Seq((1L, 10L, 1L), (2L, 9L, 1L), (3L, 2L, -1L),
+      (4L, 1L, -1L)).toDF("id", "score", "label")
+    val rSep = Classifier.aucExact(sep, "score", "label").head()
+    assert((rSep.getLong(0), rSep.getLong(1), rSep.getLong(2),
+      rSep.getDouble(3)) == ((2L, 2L, 8L, 1.0)), rSep.toString)
+    val ties = Seq((1L, 7L, 1L), (2L, 7L, 1L), (3L, 7L, -1L),
+      (4L, 7L, -1L)).toDF("id", "score", "label")
+    assert(Classifier.aucExact(ties, "score", "label")
+      .head().getDouble(3) == 0.5)
+    // pos {3, 5}, neg {1, 5}: pairs (3>1)=1, (3,5)=0, (5>1)=1,
+    // (5=5)=1/2 -> AUC = 2.5/4; u2 = 5
+    val hand = Seq((1L, 3L, 1L), (2L, 5L, 1L), (3L, 1L, -1L),
+      (4L, 5L, -1L)).toDF("id", "score", "label")
+    val rh = Classifier.aucExact(hand, "score", "label").head()
+    assert((rh.getLong(2), rh.getDouble(3)) == ((5L, 2.5 / 4.0)),
+      rh.toString)
+  }
+
+  test("prCurve/aucExact: partition-count independent (the prefix-scan " +
+      "contract) and consistent with each other on random scores") {
+    val rng = new scala.util.Random(9)
+    val scored = (1 to 400).map(i => (i.toLong,
+      (rng.nextInt(40) + (if (i % 3 == 0) 10 else 0)).toLong,
+      if (i % 3 == 0) 1L else -1L)).toDF("id", "score", "label")
+    val ref = Classifier.aucExact(scored, "score", "label").head()
+    for (parts <- Seq(1, 4)) {
+      val r = Classifier
+        .aucExact(scored, "score", "label", numParts = parts).head()
+      assert(r.getLong(2) == ref.getLong(2), s"numParts=$parts")
+      val pr = Classifier
+        .prCurve(scored, "score", "label", numParts = parts).collect()
+      // tp+fn = P at every threshold; tp non-increasing in threshold
+      pr.foreach(row => assert(row.getLong(1) + row.getLong(3) ==
+        ref.getLong(0)))
+      val byThr = pr.sortBy(_.getLong(0)).map(_.getLong(1))
+      assert(byThr.zip(byThr.tail).forall { case (a, b) => a >= b },
+        "tp must be non-increasing in the threshold")
+    }
+  }
 }

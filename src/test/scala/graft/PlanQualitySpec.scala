@@ -777,6 +777,18 @@ class PlanQualitySpec extends AnyFunSuite {
     val win208 = p208.split("\n").find(_.contains("windowspecdefinition"))
     assert(win208.exists(_.contains("__pid")),
       s"q208 window not partitioned by __pid: ${win208.getOrElse("<none>")}")
+    // q209/q210: the eval family reads the memoized q190 scored frame
+    // (a checkpoint scan, no retraining) and keeps the prefix-scan
+    // window pinned-pid
+    Seq("q209_pr_curve", "q210_auc_exact").foreach { q =>
+      val p = executed(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesians")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q must serve from the memoized q190 scored checkpoint")
+      val win = p.split("\n").find(_.contains("windowspecdefinition"))
+      assert(win.exists(_.contains("__pid")),
+        s"$q window not partitioned by __pid: ${win.getOrElse("<none>")}")
+    }
   }
 
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
