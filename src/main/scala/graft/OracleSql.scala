@@ -532,6 +532,11 @@ object SketchParams {
   object q208 {
     val scale = 1000; val label = 0
   }
+  /** q211 calibration bins: fixed integer score-bin width (sized so
+    * the q190 margin spread occupies a few dozen bins at sf0.01). */
+  object q211 {
+    val binWidth = 10000L
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -4358,6 +4363,32 @@ object OracleSql {
       CAST(tot.pt - c.pexc AS DOUBLE) / CAST(tot.pt AS DOUBLE) AS rec
     FROM c, tot"""
 
+  /** Calibration bins (q211): fixed-width score bins over the q190
+    * scored frame — bin id by the pmod floor-division (exact on
+    * negative scores in both engines), exact counts, one divide each
+    * for rate and mean score — the SQL twin of
+    * `Classifier.calibrationBins`. Generated from
+    * [[SketchParams.q211]]. */
+  private def q211: String = {
+    val w = SketchParams.q211.binWidth
+    s"""
+    WITH $q190ScoredCtes, b AS (
+      SELECT (score - ((score % $w + $w) % $w)) // $w AS bin,
+        score, label
+      FROM scored
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+      CAST(bin * $w AS BIGINT) AS lo,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CASE WHEN label > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_pos,
+      CAST(SUM(CASE WHEN label > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+        CAST(COUNT(*) AS DOUBLE) AS rate,
+      CAST(SUM(score) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        AS mean_score
+    FROM b GROUP BY bin"""
+  }
+
   /** Exact ROC-AUC (q210): the Mann–Whitney identity with midrank
     * ties — 2·U = Σ_v p_v·(2·nexc + n_v) as exact BIGINT, one double
     * divide — the SQL twin of `Classifier.aucExact`. */
@@ -7662,6 +7693,7 @@ object OracleSql {
     "q208_emb_norm_drift" -> q208,
     "q209_pr_curve" -> q209,
     "q210_auc_exact" -> q210,
+    "q211_calibration_bins" -> q211,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

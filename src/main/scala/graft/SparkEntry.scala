@@ -3744,6 +3744,18 @@ object SparkEntry {
   def q210AucExact(s: SparkSession, dir: String): DataFrame =
     operators.Classifier.aucExact(q190Scored(s, dir), "score", "label")
 
+  /** Calibration / reliability bins
+    * ([[graft.operators.Classifier.calibrationBins]]) of the trained
+    * q190 filter on its held-out slice: per fixed-width score bin the
+    * exact counts and empirical positive rate — the reliability
+    * diagram behind trusting the filter's margins (and the training
+    * input of a monotone calibrator). Floor-division bin ids exact in
+    * both engines' semantics on NEGATIVE scores (the pmod trick).
+    * Params from [[SketchParams.q211]]. */
+  def q211CalibrationBins(s: SparkSession, dir: String): DataFrame =
+    operators.Classifier.calibrationBins(q190Scored(s, dir),
+      "score", "label", SketchParams.q211.binWidth)
+
   /** Interpolated Kneser–Ney trigram gate
     * ([[graft.operators.TextAnalysis.knTrigramGate]]): the CCNet LM
     * filter as a real smoothed trigram model — discounted trigram mass
@@ -4558,7 +4570,8 @@ object SparkEntry {
     "q207_ks_by_source" -> (q207KsBySource _),
     "q208_emb_norm_drift" -> (q208EmbNormDrift _),
     "q209_pr_curve" -> (q209PrCurve _),
-    "q210_auc_exact" -> (q210AucExact _))
+    "q210_auc_exact" -> (q210AucExact _),
+    "q211_calibration_bins" -> (q211CalibrationBins _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -287,6 +287,45 @@ object Classifier {
           (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
           .as("auc"))
 
+  /** Calibration / reliability bins: scores bucketed into fixed
+    * integer-width bins, each bin reporting its exact counts and the
+    * empirical positive rate — the reliability-diagram artifact (is a
+    * higher filter score actually more often real?) and the input a
+    * monotone calibrator (isotonic/Platt) trains on.
+    *
+    * Bin ids are FLOOR division in BOTH engines' semantics: scores go
+    * negative (perceptron margins), where Spark's `div` truncates
+    * toward zero but DuckDB's `//` floors — so the bin is computed as
+    * `(v − pmod(v, w)) div w` (pmod makes the numerator exactly
+    * divisible, so the truncating div IS the floor div). `lo` is the
+    * bin's inclusive lower score bound. `rate` and `mean_score` are
+    * one exact-integer divide each.
+    *
+    * Scale shape: one map + one hash-agg on the bin id (map-side
+    * combined, output ∝ occupied bins). Empty bins don't appear.
+    *
+    * @return (bin, lo, n, n_pos, rate, mean_score) */
+  def calibrationBins(scored: DataFrame, scoreCol: String,
+      labelCol: String, binWidth: Long): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    val v = col(scoreCol).cast("long")
+    val bin = expr(s"(CAST($scoreCol AS BIGINT) - " +
+      s"pmod(CAST($scoreCol AS BIGINT), ${binWidth}L)) div ${binWidth}L")
+    scored.filter(v.isNotNull)
+      .select(bin.as("bin"), v.as("__v"),
+        (col(labelCol).cast("long") > 0).as("__pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__v")).as("__sv"))
+      .select(col("bin"), (col("bin") * binWidth).as("lo"), col("n"),
+        col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("rate"),
+        (col("__sv").cast("double") / col("n").cast("double"))
+          .as("mean_score"))
+  }
+
   /** SCORE documents with a trained (bucket, w) table: per doc the
     * integer score and the sign decision (score > 0). Shares the
     * feature pipeline with [[perceptronTrain]] exactly. */

@@ -391,6 +391,39 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming model-quality monitor — q210's streaming twin: each
+    * micro-batch of (score, label) pairs gets its EXACT ROC-AUC
+    * ([[graft.operators.Classifier.aucExact]] — Mann–Whitney 2·U as
+    * exact BIGINT, one portable divide) appended to the sink as
+    * (batch_id, n_pos, n_neg, u2_num, auc, degraded). The
+    * filter-regression alarm at ingest: a quality filter whose
+    * live-labeled AUC drops under `minAuc` has drifted off its
+    * training distribution and needs retraining — the eval-family
+    * companion of [[driftMonitorIngest]]. Batches missing a class are
+    * skipped (no second ECDF — the [[graft.operators.Stats]] KS
+    * contract applied to AUC). */
+  def evalMonitorIngest(
+      stream: DataFrame, scoreCol: String, labelCol: String,
+      sinkPath: String, checkpointPath: String,
+      minAuc: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF()
+        val twoSided = b
+          .select((col(labelCol).cast("long") > 0).as("__p"))
+          .agg(sum(when(col("__p"), 1L).otherwise(0L)).as("np"),
+            sum(when(!col("__p"), 1L).otherwise(0L)).as("nn"))
+          .head()
+        if (twoSided.getLong(0) > 0 && twoSided.getLong(1) > 0)
+          graft.operators.Classifier.aucExact(b, scoreCol, labelCol)
+            .select(lit(id).as("batch_id"), col("n_pos"), col("n_neg"),
+              col("u2_num"), col("auc"),
+              (col("auc") < minAuc).as("degraded"))
+            .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+
   /** Streaming perceptron quality gate — q190's streaming twin: the
     * (bucket, weight) model is trained ONCE offline
     * ([[graft.operators.Classifier.perceptronTrain]] — or loaded from

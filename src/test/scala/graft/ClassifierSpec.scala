@@ -257,6 +257,24 @@ class ClassifierSpec extends AnyFunSuite {
       rh.toString)
   }
 
+  test("calibrationBins: floor-division bins exact on NEGATIVE scores, " +
+      "counts and rates hand-checked") {
+    // width 10: scores -15,-5 -> bin -2 [-20,-10) holds -15 only;
+    // -5 -> bin -1 [-10,0); 0,9 -> bin 0; 10 -> bin 1
+    val scored = Seq((1L, -15L, -1L), (2L, -5L, -1L), (3L, 0L, -1L),
+      (4L, 9L, 1L), (5L, 10L, 1L)).toDF("id", "score", "label")
+    val got = Classifier.calibrationBins(scored, "score", "label", 10L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet == Set(-2L, -1L, 0L, 1L), got.keySet.toString)
+    assert(got(-2L) == ((-20L, 1L, 0L, 0.0, -15.0)), got(-2L))
+    assert(got(-1L) == ((-10L, 1L, 0L, 0.0, -5.0)), got(-1L))
+    assert(got(0L) == ((0L, 2L, 1L, 0.5, 4.5)), got(0L))
+    assert(got(1L) == ((10L, 1L, 1L, 1.0, 10.0)), got(1L))
+  }
+
   test("prCurve/aucExact: partition-count independent (the prefix-scan " +
       "contract) and consistent with each other on random scores") {
     val rng = new scala.util.Random(9)

@@ -789,6 +789,15 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(win.exists(_.contains("__pid")),
         s"$q window not partitioned by __pid: ${win.getOrElse("<none>")}")
     }
+    // q211: one map + one partial hash-agg over the memoized scored
+    // checkpoint — no join, no window
+    val p211 = executed("q211_calibration_bins")
+    assert(p211.contains("Scan ExistingRDD"),
+      "q211 must serve from the memoized q190 scored checkpoint")
+    assert(!p211.contains("Join") && !p211.contains("Window"),
+      s"q211 must be map + hash-agg only:\n${p211.take(1200)}")
+    assert(p211.contains("partial_count") || p211.contains("partial_sum"),
+      "q211 aggregation lost its map-side partial")
   }
 
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
