@@ -80,13 +80,25 @@ object Classifier {
     * }}} */
   def perceptronTrain(train: DataFrame, textCol: String, idCol: String,
       labelCol: String, nBuckets: Int = 4096,
-      epochs: Int = 3): DataFrame = {
-    require(epochs >= 1, "need at least one epoch")
-    val (feats, featsCkpt) = CheckpointHygiene.checkpointTracked(
+      epochs: Int = 3): DataFrame =
+    perceptronTrainOnFeatures(
       hashedFeatures(train, textCol, idCol, nBuckets)
         .join(train.select(col(idCol).as("id"),
           col(labelCol).cast("long").as("y")), Seq("id")),
-      eager = true)
+      epochs)
+
+  /** [[perceptronTrain]] from a PREBUILT labeled feature frame
+    * (id, bucket, tf, y) — the shared-feature entry point
+    * [[perceptronTrainMulti]] uses so K one-vs-rest trainings pay the
+    * corpus tokenize/hash/aggregate ONCE instead of per class (the
+    * feature build dominates; the per-class labeled join is
+    * feature-frame-proportional). Identical training math, identical
+    * output. */
+  def perceptronTrainOnFeatures(labeledFeats: DataFrame,
+      epochs: Int): DataFrame = {
+    require(epochs >= 1, "need at least one epoch")
+    val (feats, featsCkpt) = CheckpointHygiene.checkpointTracked(
+      labeledFeats, eager = true)
     var weights: DataFrame = null   // w_t (null = all-zero w_0)
     var avg: DataFrame = null       // Σ_{u<=t} w_u
     var ckpts = Seq.empty[Seq[org.apache.spark.rdd.RDD[_]]]
@@ -155,27 +167,79 @@ object Classifier {
     * and each binary run is the deterministic batch loop, so the q199
     * DuckDB oracle unrolls all K·epochs weight for weight.
     *
-    * Scale shape: K sequential binary trainings — per epoch one
-    * bucket-key join + two aggs each, nothing cross-class; a corpus
-    * pass per (class, epoch). For large K train classes' epochs
-    * concurrently from the same checkpointed feature frame; at the
-    * K ≤ dozens of a language/domain classifier, sequential is the
-    * simpler plan with identical output.
+    * Scale shape: the class axis lives IN the plan — ONE feature
+    * build (corpus tokenize/hash/aggregate), then per EPOCH one
+    * (label, bucket)-keyed join + two aggregations over the
+    * class-tagged feature frame trains all K models together:
+    * `epochs` driver round-trips, not K·epochs (classes are
+    * independent, so running the binary loop K times is identical
+    * math paying K sequential job chains). The tagged frame is K× the
+    * feature rows — the honest cost of the vectorization; for K
+    * beyond dozens, shard the class list and union the weight
+    * tables.
     *
     * @return (label, bucket, w) */
   def perceptronTrainMulti(train: DataFrame, textCol: String,
       idCol: String, labelCol: String, nBuckets: Int = 4096,
       epochs: Int = 3): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
     val classes = train.select(col(labelCol).cast("string").as("__c"))
       .distinct().collect().map(_.getString(0)).sorted
     require(classes.nonEmpty, "no classes in training data")
-    classes.map { c =>
-      perceptronTrain(
-        train.withColumn("__y",
-          when(col(labelCol).cast("string") === c, 1L).otherwise(-1L)),
-        textCol, idCol, "__y", nBuckets, epochs)
-        .select(lit(c).as("label"), col("bucket"), col("w"))
-    }.reduce(_.unionByName(_))
+    // VECTORIZED over the class axis: ONE corpus tokenize/hash/
+    // aggregate, then every epoch trains ALL K one-vs-rest models in
+    // one (id, label)-keyed plan — epochs, not K·epochs, driver
+    // round-trips (the binary loop run K times is mathematically
+    // identical but pays K sequential job chains of mostly-idle tiny
+    // stages; classes are independent, so the class axis belongs IN
+    // the plan). y(id, label) = +1 iff the doc's class is `label`.
+    val (lf, lfCkpt) = CheckpointHygiene.checkpointTracked(
+      hashedFeatures(train, textCol, idCol, nBuckets)
+        .join(train.select(col(idCol).as("id"),
+          col(labelCol).cast("string").as("__c")), Seq("id"))
+        .crossJoin(broadcast(classes.toSeq.toDF("label")))
+        .select(col("label"), col("id"), col("bucket"), col("tf"),
+          when(col("__c") === col("label"), 1L).otherwise(-1L).as("y")),
+      eager = true)
+    var weights: DataFrame = null   // (label, bucket, w) at epoch t
+    var avg: DataFrame = null       // summed per-epoch weights
+    var ckpts = Seq.empty[Seq[org.apache.spark.rdd.RDD[_]]]
+    (1 to epochs).foreach { _ =>
+      val scored =
+        if (weights == null)
+          lf.select(col("id"), col("label"), col("y")).distinct()
+            .withColumn("s", lit(0L))
+        else lf
+          .join(weights.select(col("label"), col("bucket"),
+            col("w")), Seq("label", "bucket"), "left")
+          .groupBy(col("id"), col("label"))
+          .agg(sum(col("tf") * coalesce(col("w"), lit(0L))).as("s"),
+            max(col("y")).as("y")) // y is constant per (id, label)
+      val mis = scored.filter(col("y") * col("s") <= 0)
+        .select(col("id"), col("label"))
+      val delta = lf.join(mis, Seq("id", "label"), "left_semi")
+        .groupBy(col("label"), col("bucket"))
+        .agg(sum(col("y") * col("tf")).as("w"))
+      val next = Option(weights)
+        .map(w => w.unionByName(delta).groupBy(col("label"), col("bucket"))
+          .agg(sum(col("w")).as("w")))
+        .getOrElse(delta)
+      val (nextCk, c1) = CheckpointHygiene.checkpointTracked(
+        next, eager = true)
+      val (avgCk, c2) = CheckpointHygiene.checkpointTracked(
+        Option(avg)
+          .map(a => a.unionByName(nextCk)
+            .groupBy(col("label"), col("bucket"))
+            .agg(sum(col("w")).as("w")))
+          .getOrElse(nextCk), eager = true)
+      ckpts.foreach(CheckpointHygiene.free)
+      ckpts = Seq(c1, c2)
+      weights = nextCk
+      avg = avgCk
+    }
+    CheckpointHygiene.free(lfCkpt)
+    avg.select(col("label"), col("bucket"), col("w"))
   }
 
   /** Multiclass SCORE against a [[perceptronTrainMulti]] table: per

@@ -287,6 +287,88 @@ object EventStreams {
       .start()
   }
 
+  /** END-TO-END streaming curation — the q196 pretraining data path as
+    * a CONTINUOUS ingest, composing the library's stage twins in one
+    * `foreachBatch` body per micro-batch of (id, text) documents:
+    *
+    *   1. quality gate — the TRAINED perceptron weights
+    *      ([[graft.operators.Classifier.perceptronScore]], model
+    *      offline, the [[perceptronGateIngest]] stage);
+    *   2. blocklist — pattern gate
+    *      ([[graft.operators.TextAnalysis.blocklistGate]]);
+    *   3. near-dup screen against a LIVE corpus index
+    *      ([[graft.operators.Dedup.incrementalDedupPrepared]] over the
+    *      caller's seed [[graft.operators.Dedup.PreparedCorpus]]);
+    *   4. ABSORB the novel survivors into the index
+    *      ([[graft.operators.Dedup.updateCorpusIndex]] — so the NEXT
+    *      batch's near-copies of this batch are caught; lineage
+    *      flattened every `checkpointEvery` batches, the descent-loop
+    *      hygiene);
+    *   5. exact-fill sequence packing as the continuation of the
+    *      whole stream ([[graft.operators.Packing.packSequences]] with
+    *      the running token offset — the [[packedIngest]] one-number
+    *      state, re-derived from the sink on restart).
+    *
+    * Sink rows: (idCol, seq_id, piece_start, piece_tokens) — exactly
+    * the q194/q196 artifact, emitted continuously. Cross-batch state:
+    * ONE number (the pack offset) + the live index frames (cost ∝
+    * survivors, the [[graft.operators.Dedup.updateCorpusIndex]]
+    * contract). Per-batch cost is batch-proportional: gates are
+    * map-only over the batch, the screen probes prepared frames, the
+    * pack is the batch's own two-phase scan. */
+  def curationIngest(
+      docsStream: DataFrame, textCol: String, idCol: String,
+      weights: DataFrame, patterns: Seq[String],
+      history: graft.operators.Dedup.PreparedCorpus, seqLen: Long,
+      sinkPath: String, checkpointPath: String,
+      nBuckets: Int = 4096, jaccardThreshold: Double = 0.8,
+      checkpointEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docsStream.sparkSession
+    val w = weights.localCheckpoint(false)
+    val index = new java.util.concurrent.atomic.AtomicReference(history)
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val offset = new java.util.concurrent.atomic.AtomicLong(
+      try spark.read.parquet(sinkPath)
+        .agg(coalesce(sum(col("piece_tokens")), lit(0L))).head.getLong(0)
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L })
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val passedQuality = graft.operators.Classifier
+          .perceptronScore(b, w, textCol, idCol, nBuckets)
+          .filter(col("predicted")).select(col(idCol))
+        val blockedIds = graft.operators.TextAnalysis
+          .blocklistGate(b, textCol, idCol, patterns)
+          .filter(col("blocked"))
+          .select(col("doc_id").as(idCol)) // blocklistGate pins "doc_id"
+        val gated = b.join(passedQuality, Seq(idCol), "left_semi")
+          .join(blockedIds, Seq(idCol), "left_anti")
+        val novel = graft.operators.Dedup
+          .incrementalDedupPrepared(gated, index.get(), textCol, idCol,
+            jaccardThreshold)
+          .localCheckpoint(true)
+        val absorbed = graft.operators.Dedup
+          .updateCorpusIndex(index.get(), novel, textCol, idCol)
+        index.set(
+          if (gen.incrementAndGet() % checkpointEvery == 0)
+            graft.operators.Dedup.checkpointCorpusIndex(absorbed)
+          else absorbed)
+        val counted = novel.select(col(idCol),
+          size(split(trim(col(textCol)), "\\s+")).cast("long")
+            .as("__n_tokens"))
+        graft.operators.Packing
+          .packSequences(counted, "__n_tokens", idCol, seqLen,
+            baseOffset = offset.get())
+          .write.mode("append").parquet(sinkPath)
+        val batchTokens = counted
+          .agg(coalesce(sum(col("__n_tokens")), lit(0L))).head.getLong(0)
+        offset.addAndGet(batchTokens)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming Kneser–Ney LM gate — q188's streaming twin: the KN
     * trigram model is trained ONCE on the static reference
     * ([[graft.operators.TextAnalysis.knTrigramModel]], every count
