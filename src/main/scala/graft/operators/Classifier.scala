@@ -390,6 +390,107 @@ object Classifier {
           .as("mean_score"))
   }
 
+  /** Isotonic calibration — pool-adjacent-violators (Ayer et al. 1955;
+    * the standard monotone calibrator, Zadrozny & Elkan 2002) over a
+    * [[calibrationBins]] frame: adjacent bins whose empirical positive
+    * rate DECREASES with score merge into pools until the rate is
+    * non-decreasing; every bin then reports its pool's rate. All pool
+    * arithmetic is exact integers — the violation test compares
+    * rationals cross-multiplied (`pos_i·n_j > pos_j·n_i`), pool rates
+    * stay (cal_pos, cal_n) pairs with ONE final divide — so the
+    * calibrator is deterministic and replayable.
+    *
+    * PAVA is inherently sequential over the bin axis, so it runs on
+    * the DRIVER over the collected bin table — bounded by the bin
+    * count, the quantile-boundary model-state class (NEVER rows). The
+    * distributed work stays in [[calibrationBins]]; serving is a
+    * broadcast join ([[calibrateScores]]).
+    *
+    * @return one row per input bin: (bin, lo, n, n_pos, cal_pos,
+    *         cal_n, cal_rate), cal_rate non-decreasing in bin */
+  def isotonicCalibrate(bins: DataFrame): DataFrame = {
+    val spark = bins.sparkSession
+    import spark.implicits._
+    val rows = bins.select(col("bin").cast("long"),
+        col("lo").cast("long"), col("n").cast("long"),
+        col("n_pos").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // PAVA with exact rational pool rates: (bins, n, pos)
+    val pools = scala.collection.mutable.ArrayBuffer
+      .empty[(Vector[(Long, Long, Long, Long)], Long, Long)]
+    rows.foreach { b =>
+      pools += ((Vector(b), b._3, b._4))
+      // merge while the previous pool's rate exceeds the last's:
+      // pos_prev/n_prev > pos_last/n_last  <=>  pos_prev*n_last >
+      // pos_last*n_prev (all counts >= 0, n >= 1)
+      while (pools.length >= 2 && {
+        val a = pools(pools.length - 2); val c = pools.last
+        a._3 * c._2 > c._3 * a._2
+      }) {
+        val c = pools.remove(pools.length - 1)
+        val a = pools.remove(pools.length - 1)
+        pools += ((a._1 ++ c._1, a._2 + c._2, a._3 + c._3))
+      }
+    }
+    pools.toVector.flatMap { case (members, n, pos) =>
+      members.map { case (bin, lo, bn, bpos) =>
+        (bin, lo, bn, bpos, pos, n, pos.toDouble / n.toDouble) }
+    }.toDF("bin", "lo", "n", "n_pos", "cal_pos", "cal_n", "cal_rate")
+  }
+
+  /** Serve calibrated probabilities as the isotonic STEP FUNCTION:
+    * each row's score bins exactly as [[calibrationBins]] did (the
+    * pmod floor-division) and takes the rate of the GREATEST trained
+    * bin at or below it — which handles interior gap bins (empty bins
+    * never trained) and extrapolates constant beyond both ends (below
+    * the lowest trained bin clamps up to it; the standard isotonic
+    * serving rule). The trained bin list folds in as an array literal
+    * (bounded — the quantile-boundary state class) and the lookup is
+    * one codegen'd higher-order filter + a broadcast equi-join.
+    * @return input columns + (cal_rate) */
+  def calibrateScores(scored: DataFrame, calibrator: DataFrame,
+      scoreCol: String, binWidth: Long): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    val binVals = calibrator.select(col("bin").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    require(binVals.nonEmpty, "calibrator has no bins")
+    val binExpr = expr(s"(CAST($scoreCol AS BIGINT) - " +
+      s"pmod(CAST($scoreCol AS BIGINT), ${binWidth}L)) div ${binWidth}L")
+    val cal = calibrator.select(col("bin").as("__cal_bin"),
+      col("cal_rate"))
+    scored
+      .withColumn("__bin", coalesce(
+        array_max(filter(typedlit(binVals), x => x <= binExpr)),
+        lit(binVals.min)))
+      .join(broadcast(cal), col("__bin") === col("__cal_bin"))
+      .drop("__bin", "__cal_bin")
+  }
+
+  /** Persist an [[isotonicCalibrate]] table (the model-artifact
+    * convention): six BIGINTs + the derived rate; bit-exact round
+    * trip on the integer columns. */
+  def saveCalibrator(calibrator: DataFrame, path: String): Unit =
+    calibrator.select(col("bin").cast("long"), col("lo").cast("long"),
+      col("n").cast("long"), col("n_pos").cast("long"),
+      col("cal_pos").cast("long"), col("cal_n").cast("long"),
+      col("cal_rate").cast("double"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Bit-exact inverse of [[saveCalibrator]]. */
+  def loadCalibrator(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read.parquet(path)
+
+  /** Train-once-reuse for the calibrator (the `trainOrLoadWeights`
+    * convention). */
+  def trainOrLoadCalibrator(path: String)(build: => DataFrame)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    try { val c = loadCalibrator(path); c.queryExecution.analyzed; c }
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      saveCalibrator(build, path); loadCalibrator(path) }
+
   /** SCORE documents with a trained (bucket, w) table: per doc the
     * integer score and the sign decision (score > 0). Shares the
     * feature pipeline with [[perceptronTrain]] exactly. */

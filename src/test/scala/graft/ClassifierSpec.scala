@@ -275,6 +275,61 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got(1L) == ((10L, 1L, 1L, 1.0, 10.0)), got(1L))
   }
 
+  test("isotonicCalibrate: violating bins pool with exact rational " +
+      "rates; monotone output; serving is the step function over gaps") {
+    // bins (n, n_pos): b0 (4,1)=.25, b1 (2,2)=1.0, b2 (4,1)=.25 ->
+    // b1,b2 violate -> pool (6,3)=.5; result .25, .5, .5 (monotone)
+    val bins = Seq((0L, 0L, 4L, 1L), (1L, 10L, 2L, 2L),
+      (3L, 30L, 4L, 1L)) // note bin 2 is an interior GAP
+      .toDF("bin", "lo", "n", "n_pos")
+    val cal = Classifier.isotonicCalibrate(bins)
+    val got = cal.collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5),
+        r.getDouble(6))).toMap
+    assert(got(0L) == ((1L, 4L, 0.25)), got(0L))
+    assert(got(1L) == ((3L, 6L, 0.5)), got(1L))
+    assert(got(3L) == ((3L, 6L, 0.5)), got(3L))
+    // serving (binWidth 10): score 5 -> bin 0; 25 -> gap bin 2 ->
+    // greatest trained bin <= 2 is 1; -99 clamps up to bin 0;
+    // 999 -> bin 99 -> greatest trained is 3
+    val served = Classifier.calibrateScores(
+        Seq((1L, 5L), (2L, 25L), (3L, -99L), (4L, 999L))
+          .toDF("id", "score"), cal, "score", 10L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(served == Map(1L -> 0.25, 2L -> 0.5, 3L -> 0.25, 4L -> 0.5),
+      served.toString)
+  }
+
+  test("isotonicCalibrate: already-monotone input unchanged; all-equal " +
+      "rates single pool; persistence round-trips bit-exactly") {
+    val mono = Seq((0L, 0L, 4L, 0L), (1L, 10L, 4L, 2L),
+      (2L, 20L, 4L, 4L)).toDF("bin", "lo", "n", "n_pos")
+    val calM = Classifier.isotonicCalibrate(mono)
+    assert(calM.collect().map(r => (r.getLong(0), r.getLong(4),
+      r.getLong(5))).toSet ==
+      Set((0L, 0L, 4L), (1L, 2L, 4L), (2L, 4L, 4L)))
+    val rates = calM.orderBy("bin").collect().map(_.getDouble(6))
+    assert(rates.zip(rates.tail).forall { case (a, b) => a <= b })
+    val dir = java.nio.file.Files
+      .createTempDirectory("cal").toString + "/c"
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    Classifier.saveCalibrator(calM, dir)
+    val back = Classifier.loadCalibrator(dir)
+    assert(back.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getDouble(6))).toSet ==
+      calM.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getDouble(6))).toSet)
+    var built = 0
+    def build = { built += 1; calM }
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("cal2").toString + "/c"
+    Classifier.trainOrLoadCalibrator(dir2)(build)
+    Classifier.trainOrLoadCalibrator(dir2)(build)
+    assert(built == 1, "trainOrLoad must build exactly once")
+  }
+
   test("prCurve/aucExact: partition-count independent (the prefix-scan " +
       "contract) and consistent with each other on random scores") {
     val rng = new scala.util.Random(9)
