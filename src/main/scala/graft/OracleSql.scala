@@ -4363,6 +4363,37 @@ object OracleSql {
       CAST(tot.pt - c.pexc AS DOUBLE) / CAST(tot.pt AS DOUBLE) AS rec
     FROM c, tot"""
 
+  /** Per-language exact AUC (q212): the q190 scored frame joined back
+    * to its BASE document's language (junk twins key via doc_id −
+    * 1e6), then the q210 Mann–Whitney chain partitioned by language,
+    * one-sided groups dropped — the SQL twin of
+    * `Classifier.aucExactByGroup`. */
+  private def q212: String =
+    s"""
+    WITH $q190ScoredCtes, langed AS (
+      SELECT d.lang, s.score, s.label
+      FROM scored s JOIN documents d
+        ON d.doc_id = CASE WHEN s.doc_id >= 1000000
+          THEN s.doc_id - 1000000 ELSE s.doc_id END
+    ), m AS (
+      SELECT lang AS grp, score AS v,
+        CAST(SUM(CASE WHEN label > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        CAST(SUM(CASE WHEN label <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+      FROM langed GROUP BY lang, score
+    ), c AS (
+      SELECT grp, v, p, n,
+        CAST(SUM(n) OVER (PARTITION BY grp ORDER BY v) - n AS BIGINT)
+          AS nexc
+      FROM m
+    ), agg AS (
+      SELECT grp, CAST(SUM(p) AS BIGINT) AS n_pos,
+        CAST(SUM(n) AS BIGINT) AS n_neg,
+        CAST(SUM(p * (2 * nexc + n)) AS BIGINT) AS u2_num
+      FROM c GROUP BY grp)
+    SELECT grp AS lang, n_pos, n_neg, u2_num,
+      CAST(u2_num AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+    FROM agg WHERE n_pos > 0 AND n_neg > 0"""
+
   /** Calibration bins (q211): fixed-width score bins over the q190
     * scored frame — bin id by the pmod floor-division (exact on
     * negative scores in both engines), exact counts, one divide each
@@ -7694,6 +7725,7 @@ object OracleSql {
     "q209_pr_curve" -> q209,
     "q210_auc_exact" -> q210,
     "q211_calibration_bins" -> q211,
+    "q212_auc_by_lang" -> q212,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

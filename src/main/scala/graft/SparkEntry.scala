@@ -3744,6 +3744,26 @@ object SparkEntry {
   def q210AucExact(s: SparkSession, dir: String): DataFrame =
     operators.Classifier.aucExact(q190Scored(s, dir), "score", "label")
 
+  /** Per-language exact AUC
+    * ([[graft.operators.Classifier.aucExactByGroup]]) of the trained
+    * q190 filter — the model-fairness slice report: each eval doc
+    * (real or junk twin) carries its BASE document's language
+    * (doc_id mod 1e6 keys the twin back), and every language reports
+    * its own exact Mann–Whitney 2·U — "does the filter rank equally
+    * well in every language?", the per-slice companion of q210. */
+  def q212AucByLang(s: SparkSession, dir: String): DataFrame = {
+    val langs = t(s, dir, "documents")
+      .select(col("doc_id").as("__base"), col("lang"))
+    q190Scored(s, dir)
+      .withColumn("__base",
+        when(col("doc_id") >= 1000000L, col("doc_id") - 1000000L)
+          .otherwise(col("doc_id")))
+      .join(langs, Seq("__base"))
+      .select(col("lang"), col("score"), col("label"))
+      .transform(df => operators.Classifier.aucExactByGroup(
+        df, "lang", "score", "label"))
+  }
+
   /** Calibration / reliability bins
     * ([[graft.operators.Classifier.calibrationBins]]) of the trained
     * q190 filter on its held-out slice: per fixed-width score bin the
@@ -4571,7 +4591,8 @@ object SparkEntry {
     "q208_emb_norm_drift" -> (q208EmbNormDrift _),
     "q209_pr_curve" -> (q209PrCurve _),
     "q210_auc_exact" -> (q210AucExact _),
-    "q211_calibration_bins" -> (q211CalibrationBins _))
+    "q211_calibration_bins" -> (q211CalibrationBins _),
+    "q212_auc_by_lang" -> (q212AucByLang _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -390,6 +390,43 @@ object Classifier {
           .as("mean_score"))
   }
 
+  /** Per-group [[aucExact]] — the model-fairness / slice report
+    * ("does the filter rank equally well in every language/source?"):
+    * within every group, the exact Mann–Whitney 2·U and AUC between
+    * the group's positives and negatives. One-sided groups (no
+    * second class) are dropped, the [[Stats.ksStatisticByGroup]]
+    * contract. Cumulative counts are windows PARTITIONED BY GROUP —
+    * parallel across groups, memory ∝ a group's distinct scores; the
+    * global form's prefix-scan is [[aucExact]]'s job.
+    *
+    * @return one row per two-sided group:
+    *         (group, n_pos, n_neg, u2_num, auc) */
+  def aucExactByGroup(scored: DataFrame, groupCol: String,
+      scoreCol: String, labelCol: String): DataFrame = {
+    val m = scored
+      .select(col(groupCol).as("grp"),
+        col(scoreCol).cast("long").as("v"),
+        (col(labelCol).cast("long") > 0).as("__pos"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("p"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    m.withColumn("nexc", sum(col("n")).over(w) - col("n"))
+      .groupBy(col("grp"))
+      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+        sum(col("p") * (lit(2L) * col("nexc") + col("n"))).as("u2_num"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("grp").as(groupCol), col("n_pos"), col("n_neg"),
+        col("u2_num"),
+        (col("u2_num").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .as("auc"))
+  }
+
   /** Isotonic calibration — pool-adjacent-violators (Ayer et al. 1955;
     * the standard monotone calibrator, Zadrozny & Elkan 2002) over a
     * [[calibrationBins]] frame: adjacent bins whose empirical positive

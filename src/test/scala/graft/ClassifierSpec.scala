@@ -275,6 +275,27 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got(1L) == ((10L, 1L, 1L, 1.0, 10.0)), got(1L))
   }
 
+  test("aucExactByGroup: per-group rows match the global operator run " +
+      "per group; one-sided groups dropped") {
+    val df = Seq(
+      ("g1", 3L, 1L), ("g1", 5L, 1L), ("g1", 1L, -1L), ("g1", 5L, -1L),
+      ("g2", 9L, 1L), ("g2", 2L, -1L),
+      ("g3", 7L, 1L), ("g3", 8L, 1L))
+      .toDF("grp", "score", "label")
+    val got = Classifier.aucExactByGroup(df, "grp", "score", "label")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set("g1", "g2"), got.keySet.toString)
+    Seq("g1", "g2").foreach { g =>
+      val r = Classifier.aucExact(df.filter(col("grp") === g),
+        "score", "label").head()
+      assert(got(g) == ((r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))), s"group $g vs global form")
+    }
+    assert(got("g1")._4 == 2.5 / 4.0 && got("g2")._4 == 1.0)
+  }
+
   test("isotonicCalibrate: violating bins pool with exact rational " +
       "rates; monotone output; serving is the step function over gaps") {
     // bins (n, n_pos): b0 (4,1)=.25, b1 (2,2)=1.0, b2 (4,1)=.25 ->

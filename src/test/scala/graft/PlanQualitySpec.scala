@@ -789,6 +789,13 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(win.exists(_.contains("__pid")),
         s"$q window not partitioned by __pid: ${win.getOrElse("<none>")}")
     }
+    // q212: the per-group AUC — group-partitioned window (parallel
+    // across languages), the lang attach a plain equi-join
+    val p212 = executed("q212_auc_by_lang")
+    assert(!p212.contains("CartesianProduct"), "q212 cartesians")
+    val win212 = p212.split("\n").find(_.contains("windowspecdefinition"))
+    assert(win212.exists(_.contains("grp#")),
+      s"q212 window not partitioned by group: ${win212.getOrElse("<none>")}")
     // q211: one map + one partial hash-agg over the memoized scored
     // checkpoint — no join, no window
     val p211 = executed("q211_calibration_bins")
