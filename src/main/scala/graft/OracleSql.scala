@@ -4499,6 +4499,31 @@ object OracleSql {
     FROM dec d LEFT JOIN packd pk USING (doc_id)"""
   }
 
+  /** Curation funnel report (q213): the q193 decision chain
+    * aggregated as a TRUE funnel — quality-fail, then blocklist among
+    * the predicted, then near-dup among the unblocked (exclusive
+    * stage attribution partitioning the slice) — plus token yield.
+    * The SQL twin of `SparkEntry.q213CurationFunnel`. */
+  private def q213: String =
+    s"""
+    WITH $q193DecCtes
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN NOT predicted THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fail_quality,
+      CAST(SUM(CASE WHEN predicted AND blocked THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_fail_blocklist,
+      CAST(SUM(CASE WHEN predicted AND NOT blocked AND dup_drop
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup,
+      CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+        AS kept_tokens,
+      CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) /
+        CAST(COUNT(*) AS DOUBLE) AS kept_rate,
+      CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS DOUBLE) /
+        CAST(SUM(n_tokens) AS DOUBLE) AS token_yield
+    FROM dec"""
+
   /** Curation → exact-fill packing end-to-end (q196): the q193 keep
     * set flows straight through the q194 sequence packer — the full
     * pretraining data path (train filter → gate → dedup → pack) in
@@ -7726,6 +7751,7 @@ object OracleSql {
     "q210_auc_exact" -> q210,
     "q211_calibration_bins" -> q211,
     "q212_auc_by_lang" -> q212,
+    "q213_curation_funnel" -> q213,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3764,6 +3764,34 @@ object SparkEntry {
         df, "lang", "score", "label"))
   }
 
+  /** Curation funnel report — the per-stage accounting of the q193
+    * decision chain as a TRUE funnel (stages attributed exclusively in
+    * pipeline order: quality-fail first, then blocklist among the
+    * predicted, then near-dup among the unblocked — the four counts
+    * partition the slice), plus token yield: the one-row operational
+    * summary a curation run publishes ("how much did each gate cost
+    * us?"). Shares the memoized q193 flags — no retraining. */
+  def q213CurationFunnel(s: SparkSession, dir: String): DataFrame =
+    q193Flags(s, dir).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(!col("predicted"), 1L).otherwise(0L))
+        .as("n_fail_quality"),
+      sum(when(col("predicted") && col("blocked"), 1L).otherwise(0L))
+        .as("n_fail_blocklist"),
+      sum(when(col("predicted") && !col("blocked") && col("dup_drop"),
+        1L).otherwise(0L)).as("n_fail_dup"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+        .as("kept_tokens"))
+    .select(col("n_docs"), col("n_fail_quality"),
+      col("n_fail_blocklist"), col("n_fail_dup"), col("n_kept"),
+      col("total_tokens"), col("kept_tokens"),
+      (col("n_kept").cast("double") / col("n_docs").cast("double"))
+        .as("kept_rate"),
+      (col("kept_tokens").cast("double") /
+        col("total_tokens").cast("double")).as("token_yield"))
+
   /** Calibration / reliability bins
     * ([[graft.operators.Classifier.calibrationBins]]) of the trained
     * q190 filter on its held-out slice: per fixed-width score bin the
@@ -4592,7 +4620,8 @@ object SparkEntry {
     "q209_pr_curve" -> (q209PrCurve _),
     "q210_auc_exact" -> (q210AucExact _),
     "q211_calibration_bins" -> (q211CalibrationBins _),
-    "q212_auc_by_lang" -> (q212AucByLang _))
+    "q212_auc_by_lang" -> (q212AucByLang _),
+    "q213_curation_funnel" -> (q213CurationFunnel _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
