@@ -537,6 +537,12 @@ object SketchParams {
   object q211 {
     val binWidth = 10000L
   }
+  /** q214 Matryoshka-truncation recall: prefix dimension count, top-k
+    * depth, quantization scale, query-slice bound (the q162/q168
+    * audit conventions). */
+  object q214 {
+    val dims = 16; val k = 10; val scale = 1000; val maxQueryId = 8L
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -5195,6 +5201,41 @@ object OracleSql {
     GROUP BY e.query_id"""
   }
 
+  /** Matryoshka-truncation recall (q214): the q168 exact-top-k replay
+    * run TWICE — full vectors and the first `dims` coordinates
+    * (list_slice truncation) — with the recall join between them; the
+    * SQL twin of `SparkEntry.q214MatryoshkaRecall`. Generated from
+    * [[SketchParams.q214]]. */
+  private def q214: String = {
+    val p = SketchParams.q214
+    def exactCte(name: String, src: String): String = s"""$name AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY ${sqListSql("a.q", "b.q")},
+              CAST(b.vec_id AS VARCHAR)) AS rn
+        FROM $src a JOIN $src b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < ${p.maxQueryId})
+      WHERE rn <= ${p.k}
+    )"""
+    s"""
+    WITH fv AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT)) AS q
+      FROM embeddings
+    ), tv AS (
+      SELECT vec_id, list_slice(q, 1, ${p.dims}) AS q FROM fv
+    ), ${exactCte("exact", "fv")}, ${exactCte("approx", "tv")}
+    SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+      CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+      CAST(COUNT(a.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        AS recall
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id"""
+  }
+
   /** Salted fuzzy join (q69): the oracle is the UNSALTED blocked join +
     * per-left-row argmax — the salt is an internal plan rewrite with
     * identical results by construction (same adjudication as q60's salted
@@ -7752,6 +7793,7 @@ object OracleSql {
     "q211_calibration_bins" -> q211,
     "q212_auc_by_lang" -> q212,
     "q213_curation_funnel" -> q213,
+    "q214_matryoshka_recall" -> q214,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

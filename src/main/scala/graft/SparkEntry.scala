@@ -3764,6 +3764,31 @@ object SparkEntry {
         df, "lang", "score", "label"))
   }
 
+  /** Matryoshka-truncation recall audit: exact top-k over the FIRST
+    * `dims` embedding coordinates vs exact top-k over the full vector
+    * (the MRL question — Kusupati et al. 2022, "Matryoshka
+    * Representation Learning": how much ranking quality do prefix
+    * dimensions retain?), reported per query as recall@k via
+    * [[graft.operators.Ann.annRecallAudit]]. Both sides are the
+    * engine's exact integer-geometry top-k
+    * ([[graft.operators.Ann.exactTopKPortable]]); truncation is a
+    * map-only `slice`. The audit that decides whether a 4× cheaper
+    * prefix index is safe to serve. Params from
+    * [[SketchParams.q214]]. */
+  def q214MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q214
+    val emb = t(s, dir, "embeddings")
+    val trunc = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, p.dims).as("embedding"))
+    val full = operators.Ann.exactTopKPortable(emb,
+      emb.filter(col("vec_id") < p.maxQueryId), "embedding", "vec_id",
+      "vec_id", p.k, p.scale)
+    val pre = operators.Ann.exactTopKPortable(trunc,
+      trunc.filter(col("vec_id") < p.maxQueryId), "embedding",
+      "vec_id", "vec_id", p.k, p.scale)
+    operators.Ann.annRecallAudit(full, pre)
+  }
+
   /** Curation funnel report — the per-stage accounting of the q193
     * decision chain as a TRUE funnel (stages attributed exclusively in
     * pipeline order: quality-fail first, then blocklist among the
@@ -4621,7 +4646,8 @@ object SparkEntry {
     "q210_auc_exact" -> (q210AucExact _),
     "q211_calibration_bins" -> (q211CalibrationBins _),
     "q212_auc_by_lang" -> (q212AucByLang _),
-    "q213_curation_funnel" -> (q213CurationFunnel _))
+    "q213_curation_funnel" -> (q213CurationFunnel _),
+    "q214_matryoshka_recall" -> (q214MatryoshkaRecall _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
