@@ -543,6 +543,12 @@ object SketchParams {
   object q214 {
     val dims = 16; val k = 10; val scale = 1000; val maxQueryId = 8L
   }
+  /** q215 isotonic-fit replay: unrolled PAVA merge rounds — must be
+    * >= the q211 occupied-bin count minus one (32 bins at sf0.01;
+    * margin for other SFs). Extra rounds are no-ops. */
+  object q215 {
+    val pavaRounds = 48
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -4505,6 +4511,63 @@ object OracleSql {
     FROM dec d LEFT JOIN packd pk USING (doc_id)"""
   }
 
+  /** Isotonic calibrator fit (q215): PAVA over the q211 bins replayed
+    * as `pavaRounds` MATERIALIZED merge rounds — each round pools the
+    * FIRST adjacent pool pair whose rate strictly decreases (exact
+    * cross-multiplied rational test), a no-op once monotone. The
+    * isotonic fit is unique for any valid merge order
+    * (Robertson–Wright–Dykstra), so this one-merge-per-round replay
+    * and the engine's stack PAVA agree on every fitted value; rounds
+    * must cover #bins−1 merges (sized ≥ the q211 bin count at sf0.01
+    * with margin). The SQL twin of `Classifier.isotonicCalibrate`
+    * through `SparkEntry.q215IsotonicFit`. */
+  private def q215: String = {
+    val w = SketchParams.q211.binWidth
+    val rounds = SketchParams.q215.pavaRounds
+    val steps = (1 to rounds).map { r =>
+      val prev = s"pav${r - 1}"
+      s""", pg$r AS (
+      SELECT pool, CAST(SUM(n) AS BIGINT) AS pn,
+        CAST(SUM(p) AS BIGINT) AS pp
+      FROM $prev GROUP BY pool
+    ), pv$r AS (
+      SELECT cur_pool, prev_pool FROM (
+        SELECT pool AS cur_pool,
+          lag(pool) OVER (ORDER BY pool) AS prev_pool,
+          pn, pp, lag(pn) OVER (ORDER BY pool) AS ppn,
+          lag(pp) OVER (ORDER BY pool) AS ppp
+        FROM pg$r)
+      WHERE prev_pool IS NOT NULL AND ppp * pn > pp * ppn
+      ORDER BY cur_pool LIMIT 1
+    ), pav$r AS MATERIALIZED (
+      SELECT bin, lo, n, p,
+        CASE WHEN pool = (SELECT cur_pool FROM pv$r)
+          THEN (SELECT prev_pool FROM pv$r) ELSE pool END AS pool
+      FROM $prev
+    )"""
+    }.mkString
+    s"""
+    WITH $q190ScoredCtes, b AS (
+      SELECT (score - ((score % $w + $w) % $w)) // $w AS bin,
+        score, label
+      FROM scored
+    ), pav0 AS MATERIALIZED (
+      SELECT CAST(bin AS BIGINT) AS bin,
+        CAST(bin * $w AS BIGINT) AS lo,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN label > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        CAST(bin AS BIGINT) AS pool
+      FROM b GROUP BY bin
+    )$steps, fin AS (
+      SELECT pool, CAST(SUM(n) AS BIGINT) AS pn,
+        CAST(SUM(p) AS BIGINT) AS pp
+      FROM pav$rounds GROUP BY pool
+    )
+    SELECT v.bin, v.lo, v.n, v.p AS n_pos,
+      CAST(f.pp AS DOUBLE) / CAST(f.pn AS DOUBLE) AS cal_rate
+    FROM pav$rounds v JOIN fin f ON v.pool = f.pool"""
+  }
+
   /** Curation funnel report (q213): the q193 decision chain
     * aggregated as a TRUE funnel — quality-fail, then blocklist among
     * the predicted, then near-dup among the unblocked (exclusive
@@ -7794,6 +7857,7 @@ object OracleSql {
     "q212_auc_by_lang" -> q212,
     "q213_curation_funnel" -> q213,
     "q214_matryoshka_recall" -> q214,
+    "q215_isotonic_fit" -> q215,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

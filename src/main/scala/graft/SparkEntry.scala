@@ -3789,6 +3789,24 @@ object SparkEntry {
     operators.Ann.annRecallAudit(full, pre)
   }
 
+  /** Isotonic calibrator FIT, hash-gated
+    * ([[graft.operators.Classifier.isotonicCalibrate]] over the q211
+    * bins): per bin the pooled monotone rate. The oracle replays PAVA
+    * as bounded MATERIALIZED merge rounds (merge-first-violation; the
+    * isotonic fit is UNIQUE whatever order adjacent violators pool —
+    * Robertson–Wright–Dykstra — so the engine's stack merges and the
+    * twin's one-merge-per-round land on identical fitted values, and
+    * IEEE division is correctly rounded, so equal rationals give
+    * bit-equal doubles). Output drops the pool-count columns (the
+    * pool PARTITION can differ between valid PAVA orders only where
+    * pooled rates tie; the fitted values cannot). */
+  def q215IsotonicFit(s: SparkSession, dir: String): DataFrame =
+    operators.Classifier.isotonicCalibrate(
+        q211CalibrationBins(s, dir)
+          .select(col("bin"), col("lo"), col("n"), col("n_pos")))
+      .select(col("bin"), col("lo"), col("n"), col("n_pos"),
+        col("cal_rate"))
+
   /** Curation funnel report — the per-stage accounting of the q193
     * decision chain as a TRUE funnel (stages attributed exclusively in
     * pipeline order: quality-fail first, then blocklist among the
@@ -4647,7 +4665,8 @@ object SparkEntry {
     "q211_calibration_bins" -> (q211CalibrationBins _),
     "q212_auc_by_lang" -> (q212AucByLang _),
     "q213_curation_funnel" -> (q213CurationFunnel _),
-    "q214_matryoshka_recall" -> (q214MatryoshkaRecall _))
+    "q214_matryoshka_recall" -> (q214MatryoshkaRecall _),
+    "q215_isotonic_fit" -> (q215IsotonicFit _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
