@@ -173,6 +173,32 @@ object Soak {
       return
     }
 
+    if (mode == "perceptron") {
+      // the vectorized multiclass trainer at replica scale: K=4
+      // class-salted corpora (the q199 convention — private md5
+      // vocabularies per class) over the replicated docs; the claim
+      // under test is epochs-not-K·epochs driver round-trips with the
+      // class axis in the plan
+      val classes = Seq("c0", "c1", "c2", "c3")
+      val salted = classes.zipWithIndex.map { case (c, i) =>
+        docs.select((col("doc_id") * 4 + i).as("doc_id"),
+          concat_ws(" ", array_join(transform(
+            split(trim(lower(col("text"))), "\\s+"),
+            w => substring(md5(concat(w, lit(s":$c"))), 1, 8)), " "))
+            .as("text"),
+          lit(c).as("label"))
+      }.reduce(_.unionByName(_)).localCheckpoint(false)
+      val n = salted.count()
+      timed(s"perceptronTrainMulti (K=4, 2 epochs, $n docs)") {
+        val w = operators.Classifier.perceptronTrainMulti(
+          salted, "text", "doc_id", "label", nBuckets = 2048,
+          epochs = 2)
+        println(s"[soak]   -> ${w.count()} weight rows")
+      }
+      spark.stop()
+      return
+    }
+
     if (mode == "divvocab") {
       // diversified-vocabulary near-dup soak (the §9m caveat closed):
       // the flat synthetic corpus draws every doc from one ~50-word
