@@ -5828,6 +5828,55 @@ object OracleSql {
     WITH $q145IrCtes
     SELECT doc_id, n_tokens, ratio_sum, mean_ratio FROM ir"""
 
+  /** DSIR with the paper's unigram∪bigram hashed features (q216): the
+    * q145 chain with the gram stream widened — bigrams are "w1 w2"
+    * strings through the same md5 bucket map — the SQL twin of
+    * `Selection.importanceRatio(bigrams = true)`. Generated from
+    * [[SketchParams.q145]]. */
+  private def q216: String = {
+    val p = SketchParams.q145
+    val q = p.quant; val nb = p.nBuckets
+    s"""
+    WITH d AS (
+      SELECT doc_id, doc_id % ${p.tgtMod} = 0 AS tgt,
+        string_split(${normSql("text")}, ' ') AS a
+      FROM documents
+    ), uni AS (
+      SELECT doc_id, tgt, w AS g
+      FROM d, unnest(a) AS t(w) WHERE w <> ''
+    ), bi AS (
+      SELECT doc_id, tgt, a[i] || ' ' || a[i + 1] AS g FROM (
+        SELECT doc_id, tgt, a,
+          unnest(generate_series(1, len(a) - 1)) AS i
+        FROM d WHERE len(a) >= 2)
+    ), toks AS (
+      SELECT doc_id, tgt,
+        ('0x' || substr(md5(g), 1, 15))::BIGINT % $nb AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ), tprof AS (
+      SELECT bucket, COUNT(*) AS tc FROM toks WHERE tgt GROUP BY bucket
+    ), rprof AS (
+      SELECT bucket, COUNT(*) AS rc FROM toks GROUP BY bucket
+    ), tot AS (
+      SELECT (SELECT COALESCE(SUM(tc), 0) FROM tprof) AS tt,
+        (SELECT COALESCE(SUM(rc), 0) FROM rprof) AS rt
+    ), rho AS (
+      SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+        ($q * ((COALESCE(t.tc, 0) + 1) * $q // (tot.tt + $nb) + 1)) //
+          ((COALESCE(r.rc, 0) + 1) * $q // (tot.rt + $nb) + 1) AS rho
+      FROM tprof t FULL OUTER JOIN rprof r ON t.bucket = r.bucket, tot
+    ), cand AS (
+      SELECT doc_id, bucket, COUNT(*) AS c FROM toks
+      WHERE NOT tgt GROUP BY doc_id, bucket
+    )
+    SELECT c.doc_id, CAST(SUM(c.c) AS BIGINT) AS n_tokens,
+      CAST(SUM(c.c * rho.rho) AS BIGINT) AS ratio_sum,
+      CAST(SUM(c.c * rho.rho) AS DOUBLE) /
+        CAST(SUM(c.c) * $q AS DOUBLE) AS mean_ratio
+    FROM cand c JOIN rho ON c.bucket = rho.bucket
+    GROUP BY c.doc_id"""
+  }
+
   /** DSIR end-to-end (q205): the q145 importance ratios feed the q130
     * Duffield–Lund–Thorup priority draw — md5 uniform
     * `(h+1)/2^60`, priority `mean_ratio / u`, top-k by
@@ -7858,6 +7907,7 @@ object OracleSql {
     "q213_curation_funnel" -> q213,
     "q214_matryoshka_recall" -> q214,
     "q215_isotonic_fit" -> q215,
+    "q216_dsir_bigrams" -> q216,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3764,6 +3764,22 @@ object SparkEntry {
         df, "lang", "score", "label"))
   }
 
+  /** DSIR importance ratio over the paper's ACTUAL feature space —
+    * hashed unigrams ∪ bigrams (Xie et al. 2023 §2.2;
+    * [[graft.operators.Selection.importanceRatio]] with
+    * `bigrams = true`): order information enters the target/reference
+    * profiles, so boilerplate with target-like word bags but alien
+    * word ORDER stops scoring target-like. Same q145 slices and
+    * quantized-rational arithmetic. */
+  def q216DsirBigrams(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q145
+    operators.Selection.importanceRatio(t(s, dir, "documents"),
+      "text", "doc_id",
+      isTarget = col("doc_id") % p.tgtMod === 0,
+      isReference = lit(true),
+      nBuckets = p.nBuckets, quant = p.quant, bigrams = true)
+  }
+
   /** Matryoshka-truncation recall audit: exact top-k over the FIRST
     * `dims` embedding coordinates vs exact top-k over the full vector
     * (the MRL question — Kusupati et al. 2022, "Matryoshka
@@ -4666,7 +4682,8 @@ object SparkEntry {
     "q212_auc_by_lang" -> (q212AucByLang _),
     "q213_curation_funnel" -> (q213CurationFunnel _),
     "q214_matryoshka_recall" -> (q214MatryoshkaRecall _),
-    "q215_isotonic_fit" -> (q215IsotonicFit _))
+    "q215_isotonic_fit" -> (q215IsotonicFit _),
+    "q216_dsir_bigrams" -> (q216DsirBigrams _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

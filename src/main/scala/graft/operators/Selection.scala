@@ -132,16 +132,29 @@ object Selection {
   def importanceRatio(
       docs: DataFrame, textCol: String, idCol: String,
       isTarget: Column, isReference: Column,
-      nBuckets: Int = 4096, quant: Long = 100000L): DataFrame = {
+      nBuckets: Int = 4096, quant: Long = 100000L,
+      bigrams: Boolean = false): DataFrame = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
     require(quant > 0, "quant must be positive")
     val norm = trim(regexp_replace(col(textCol), "[ \\t\\n\\x0B\\f\\r]+", " "))
-    val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("__tgt"),
-        isReference.as("__ref"),
-        explode(split(norm, " ")).as("__w"))
-      .filter(col("__w") =!= "")
+    // `bigrams = true` is DSIR's actual feature space (hashed unigrams
+    // ∪ bigrams, Xie et al. §2.2): bigram grams are "w1 w2" strings
+    // hashed through the same md5 bucket map, so order information
+    // enters the profiles. Default stays unigram (the q145 contract).
+    val base = docs.select(col(idCol).as("doc_id"), isTarget.as("__tgt"),
+      isReference.as("__ref"), split(norm, " ").as("__a"))
+    val uni = base.select(col("doc_id"), col("__tgt"), col("__ref"),
+        explode(col("__a")).as("__g"))
+      .filter(col("__g") =!= "")
+    val grams = if (!bigrams) uni else uni.unionByName(
+      base.filter(size(col("__a")) >= 2)
+        .select(col("doc_id"), col("__tgt"), col("__ref"),
+          explode(transform(sequence(lit(0), size(col("__a")) - 2),
+            i => concat_ws(" ", element_at(col("__a"), i + 1),
+              element_at(col("__a"), i + 2)))).as("__g")))
+    val toks = grams
       .select(col("doc_id"), col("__tgt"), col("__ref"),
-        (graft.functions.PortableHash.md5Long60(col("__w")) % nBuckets)
+        (graft.functions.PortableHash.md5Long60(col("__g")) % nBuckets)
           .as("bucket"))
     def profile(flag: Column, cname: String): DataFrame = toks.filter(flag)
       .groupBy(col("bucket")).agg(count(lit(1)).as(cname))

@@ -82,4 +82,34 @@ class SelectionSpec extends AnyFunSuite {
     assert(out.contains(3L))
     assert(out(10L) > out(3L))
   }
+
+  test("importanceRatio bigrams: word ORDER enters the score — a " +
+      "bag-identical candidate with alien order ranks below the " +
+      "order-preserving one; n_tokens counts unigrams + bigrams") {
+    import spark.implicits._
+    // target repeats one fixed phrase; candidates share ITS WORD BAG
+    val phrase = "alpha beta gamma delta"
+    val docs = (
+      (1L to 6L).map(i => (i, phrase)) ++ Seq(
+        (10L, phrase),                       // order preserved
+        (11L, "delta gamma beta alpha"))     // same bag, reversed
+      ).toDF("doc_id", "text")
+    val out = Selection.importanceRatio(docs, "text", "doc_id",
+        isTarget = col("doc_id") <= 6L, isReference = lit(true),
+        bigrams = true)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_ratio")))
+      .toMap
+    // 4 unigrams + 3 bigrams = 7 grams per candidate
+    assert(out(10L)._1 == 7L && out(11L)._1 == 7L, out.toString)
+    assert(out(10L)._2 > out(11L)._2,
+      s"order-preserving ${out(10L)} must outrank reversed ${out(11L)}")
+    // the unigram form cannot tell them apart
+    val uni = Selection.importanceRatio(docs, "text", "doc_id",
+        isTarget = col("doc_id") <= 6L, isReference = lit(true))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("mean_ratio")).toMap
+    assert(uni(10L) == uni(11L),
+      "unigram scores must tie on identical bags")
+  }
 }
