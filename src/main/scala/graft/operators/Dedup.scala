@@ -483,10 +483,19 @@ object Dedup {
       textCol: String, idCol: String): PreparedCorpus = {
     val (banded, sh) = bandedXx(newDocs, textCol, idCol, prepared.ngram,
       prepared.numHashes, prepared.bands, "corpus", eager = false)
+    // Fingerprint distinctness maintained INCREMENTALLY: the history
+    // side is already distinct (the prepare/absorb invariant), so only
+    // the batch needs a batch-scale distinct plus an anti-join screen
+    // against history — never a history-scale re-distinct per absorb.
+    // When the caller absorbs dedup SURVIVORS (the streaming-ingest
+    // contract: exact dups were already screened out), the anti-join
+    // matches nothing and the union is exactly distinct by
+    // construction; the screen keeps the invariant for callers who
+    // absorb unscreened docs.
+    val newFps = newDocs.select(md5(col(textCol)).as("__fp")).distinct()
+      .join(prepared.fingerprints, Seq("__fp"), "left_anti")
     PreparedCorpus(
-      prepared.fingerprints.unionByName(
-          newDocs.select(md5(col(textCol)).as("__fp")))
-        .distinct(),
+      prepared.fingerprints.unionByName(newFps),
       prepared.banded.unionByName(banded),
       prepared.shingleSets.unionByName(sh),
       prepared.ngram, prepared.numHashes, prepared.bands)

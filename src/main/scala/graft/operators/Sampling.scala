@@ -193,19 +193,24 @@ object Sampling {
     * final share stay unallocated — deterministic, documented); rounds
     * ≤ #groups since every round either retires a group or terminates.
     * Group totals are a #groups-row driver collect (the model-state
-    * boundary); the greedy fill is the audited [[Packing.assignShards]]
-    * two-phase scan PER GROUP (no single-partition
-    * `Window.partitionBy(group)` over a whole language — at 100 TB one
-    * language IS the corpus).
+    * boundary); the greedy fill is ONE [[Packing.assignShards]]-style
+    * two-phase scan with a GROUP axis — range-partitioned on
+    * (group, md5-order), per-(partition, group) subtotals to the
+    * driver, windows partitioned by (partition, group) — so the corpus
+    * is read once regardless of the group count (never #groups filter
+    * passes) and no window task ever holds a whole language
+    * (at 100 TB one language IS the corpus).
     *
     * @return one row per doc: (idCol, groupCol, n_tokens,
     *         group_budget, tok_offset, kept) — `kept` iff the doc fits
     *         entirely within its group's remaining budget at its md5
-    *         position. */
+    *         position. Empty input → empty output (same schema). */
   def tokenBudgetAllocate(docs: DataFrame, groupCol: String,
       tokenCol: String, idCol: String, budgetTokens: Long,
       seed: Int = 13): DataFrame = {
     require(budgetTokens >= 0, "budget must be nonnegative")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val totals = docs.groupBy(col(groupCol).cast("string").as("__g"))
       .agg(sum(col(tokenCol).cast("long")).as("__t"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -225,25 +230,59 @@ object Sampling {
         pending = big
       }
     }
-    val spark = docs.sparkSession
-    import spark.implicits._
     val allocDf = alloc.toSeq.sortBy(_._1)
       .toDF("__g", "group_budget")
-    val perGroup = totals.map(_._1).map { g =>
-      val sub = docs
-        .filter(col(groupCol).cast("string") === g)
-        .select(col(idCol), col(tokenCol).cast("long").as(tokenCol),
-          portableKey(col(idCol), seed).as("__ord"))
-      Packing.assignShards(sub, tokenCol, idCol,
-          math.max(1L, alloc(g)), orderCol = Some("__ord"))
-        .select(col(idCol), col(tokenCol), col("tok_offset"))
-        .withColumn("__g", lit(g))
-    }.reduce(_.unionByName(_))
-    perGroup.join(broadcast(allocDf), Seq("__g"))
+    // ONE two-phase prefix scan over all groups (the assignShards
+    // algorithm with a group dimension): contiguous (group, order-key)
+    // ranges per partition, pid pinned by materializing.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val parted = docs
+      .select(col(idCol), col(tokenCol).cast("long").as("__tok"),
+        col(groupCol).cast("string").as("__g"),
+        portableKey(col(idCol), seed).as("__ord"))
+      .repartitionByRange(parts, col("__g"), col("__ord"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    // per-(pid, group) subtotals — ≤ partitions + #groups cells (each
+    // range partition spans at most a few group boundaries) — prefix-
+    // summed into per-group exclusive offsets on the driver
+    val subtotals = parted.groupBy(col("__pid"), col("__g"))
+      .agg(sum(col("__tok")).as("__t"))
+      .collect()
+      .map(r => (r.getAs[Int]("__pid"), r.getAs[String]("__g"),
+        r.getAs[Long]("__t")))
+    val offsets = subtotals.groupBy(_._2).toSeq.flatMap {
+      case (g, cells) =>
+        val byPid = cells.sortBy(_._1)
+        byPid.map(_._1).zip(
+          byPid.map(_._3).scanLeft(0L)(_ + _).init)
+          .map { case (pid, off) =>
+            org.apache.spark.sql.Row(pid, g, off) }
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__g",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("__off",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val offsetsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets, 1), offSchema)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col("__g"))
+      .orderBy(col("__ord"), col(idCol))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    parted
+      .join(broadcast(offsetsDf), Seq("__pid", "__g"))
+      .withColumn("tok_offset",
+        sum(col("__tok")).over(win) + col("__off") - col("__tok"))
+      .join(broadcast(allocDf), Seq("__g"))
       .select(col(idCol), col("__g").as(groupCol),
-        col(tokenCol).as("n_tokens"), col("group_budget"),
+        col("__tok").as("n_tokens"), col("group_budget"),
         col("tok_offset"),
-        (col("tok_offset") + col(tokenCol) <= col("group_budget"))
+        (col("tok_offset") + col("__tok") <= col("group_budget"))
           .as("kept"))
   }
 

@@ -1546,7 +1546,14 @@ object TextAnalysis {
     *     contains the x·a·b (a·b·y) trigram. Acceptance carries the
     *     running max of these bounds (collected neighbors, else the
     *     K-th count bounds the unseen) and STOPS once the next
-    *     candidate's count no longer STRICTLY exceeds it.
+    *     candidate's count no longer STRICTLY exceeds it;
+    *   - a PRE-EXISTING pair whose symbol string equals accepted merge
+    *     (a,b)'s concatenation via a different merge path (both 'a'+'bc'
+    *     and 'ab'+'c' make 'abc') shares no symbol with (a,b) yet can
+    *     GROW by the same trigram bound — its stale count PLUS that
+    *     bound joins the running max (preexistence is exact: a
+    *     multi-char symbol exists iff some prior merge concatenates
+    *     to it).
     *
     * Unseen pairs (beyond top-K) rank after every collected row by
     * the total order, so they never outrank an accepted candidate.
@@ -1606,7 +1613,6 @@ object TextAnalysis {
           if (c <= createdBound) stop = true          // created could outrank
           else if (used(l) || used(r)) stop = true    // stale count above us
           else {
-            merges += ((l, r)); used += l; used += r; accepted += 1
             // created pairs of (l,r): (x,lr) needs a neighbor (x,l);
             // (lr,y) needs (r,y) — max collected neighbor count, or the
             // unseen cap, itself capped by c
@@ -1614,7 +1620,27 @@ object TextAnalysis {
               .filter { case (pl, pr, _) =>
                 (pr == l || pl == r) && !(pl == l && pr == r) }
               .map(_._3).foldLeft(unseenCap)(math.max)
-            createdBound = math.max(createdBound, math.min(c, nb))
+            // string-collision GROWTH: if the concatenation l+r already
+            // exists as a symbol via a DIFFERENT merge path (e.g. both
+            // 'a'+'bc' and 'ab'+'c' make 'abc'), pre-existing pairs
+            // containing that symbol share nothing with (l,r) — the
+            // used-symbol stop never fires — yet they GAIN up to
+            // min(c, nb) occurrences (each new one needs the same
+            // x·l·r trigram), on top of their stale count. Bound them
+            // by maxStale + min(c, nb); symbols only ever exist as a
+            // prior merge's concatenation, so preexistence is exact.
+            val cat = l + r
+            val preexists = merges.exists { case (a, b) => a + b == cat }
+            val grownOld =
+              if (!preexists) -1L
+              else ranked.iterator
+                .filter { case (pl, pr, _) => pl == cat || pr == cat }
+                .map(_._3).foldLeft(unseenCap)(math.max)
+            merges += ((l, r)); used += l; used += r; accepted += 1
+            val bound =
+              if (preexists) math.max(grownOld, 0L) + math.min(c, nb)
+              else math.min(c, nb)
+            createdBound = math.max(createdBound, bound)
           }
         }
         if (accepted == 0) exhausted = true // cannot certify further: done

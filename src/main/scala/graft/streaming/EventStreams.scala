@@ -315,17 +315,39 @@ object EventStreams {
     * survivors, the [[graft.operators.Dedup.updateCorpusIndex]]
     * contract). Per-batch cost is batch-proportional: gates are
     * map-only over the batch, the screen probes prepared frames, the
-    * pack is the batch's own two-phase scan. */
+    * pack is the batch's own two-phase scan.
+    *
+    * RESTART durability: the pack offset re-derives from the sink, but
+    * the near-dup index is cross-batch state too — pass `indexPath` to
+    * persist it ([[graft.operators.Dedup.saveCorpusIndex]]) on the
+    * `checkpointEvery` cadence and REHYDRATE it at query start (a
+    * saved index at that path overrides the caller's seed `history`).
+    * Without `indexPath` the index reverts to the seed on restart, so
+    * near-copies of docs absorbed before the crash are re-admitted —
+    * with it, the exposure shrinks to the ≤ `checkpointEvery`−1
+    * batches absorbed after the last save (the same at-least-once
+    * granularity as the sink itself). */
   def curationIngest(
       docsStream: DataFrame, textCol: String, idCol: String,
       weights: DataFrame, patterns: Seq[String],
       history: graft.operators.Dedup.PreparedCorpus, seqLen: Long,
       sinkPath: String, checkpointPath: String,
       nBuckets: Int = 4096, jaccardThreshold: Double = 0.8,
-      checkpointEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointEvery: Int = 8,
+      indexPath: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docsStream.sparkSession
     val w = weights.localCheckpoint(false)
-    val index = new java.util.concurrent.atomic.AtomicReference(history)
+    // rehydrate: a persisted index at indexPath wins over the seed —
+    // immediately detached from its parquet files (checkpointed) so the
+    // cadenced overwrite-save below never invalidates the live frames
+    val seed = indexPath
+      .flatMap { p =>
+        try Some(graft.operators.Dedup.checkpointCorpusIndex(
+          graft.operators.Dedup.loadCorpusIndex(spark, p)))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      }
+      .getOrElse(history)
+    val index = new java.util.concurrent.atomic.AtomicReference(seed)
     val gen = new java.util.concurrent.atomic.AtomicInteger(0)
     val offset = new java.util.concurrent.atomic.AtomicLong(
       try spark.read.parquet(sinkPath)
@@ -351,9 +373,15 @@ object EventStreams {
         val absorbed = graft.operators.Dedup
           .updateCorpusIndex(index.get(), novel, textCol, idCol)
         index.set(
-          if (gen.incrementAndGet() % checkpointEvery == 0)
-            graft.operators.Dedup.checkpointCorpusIndex(absorbed)
-          else absorbed)
+          if (gen.incrementAndGet() % checkpointEvery == 0) {
+            val ck = graft.operators.Dedup.checkpointCorpusIndex(absorbed)
+            // persist on the same cadence: the checkpointed frames are
+            // RDD-backed, so overwriting the path is safe even when the
+            // seed was loaded from it
+            indexPath.foreach(p =>
+              graft.operators.Dedup.saveCorpusIndex(ck, p))
+            ck
+          } else absorbed)
         val counted = novel.select(col(idCol),
           size(split(trim(col(textCol)), "\\s+")).cast("long")
             .as("__n_tokens"))

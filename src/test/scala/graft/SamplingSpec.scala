@@ -361,4 +361,46 @@ class SamplingSpec extends AnyFunSuite {
       "doc_id", 100000L).collect()
     assert(all.forall(_.getBoolean(5)))
   }
+
+  test("tokenBudgetAllocate: empty input returns an empty frame with " +
+      "the output schema (no groups is not an error)") {
+    import spark.implicits._
+    val docs = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "grp", "n_tokens")
+    val out = Sampling.tokenBudgetAllocate(docs, "grp", "n_tokens",
+      "doc_id", 1000L)
+    assert(out.columns.toSeq == Seq("doc_id", "grp", "n_tokens",
+      "group_budget", "tok_offset", "kept"))
+    assert(out.count() == 0L)
+  }
+
+  test("tokenBudgetAllocate: the one-scan grouped prefix matches a " +
+      "per-group naive window at every partition count") {
+    import spark.implicits._
+    val docs = (1 to 200).map { i =>
+      (i.toLong, s"g${i % 7}", (i % 13 + 1).toLong)
+    }.toDF("doc_id", "grp", "n_tokens")
+    val got = Sampling.tokenBudgetAllocate(docs, "grp", "n_tokens",
+        "doc_id", 500L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .sortBy(_._1)
+    // naive reference: per group, sort by (md5 key, id), running sum
+    val rows = docs.select(col("doc_id"), col("grp"),
+        col("n_tokens"),
+        Sampling.portableKey(col("doc_id"), 13).as("__ord"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val budgets = got.map(r => r._2 -> r._4).toMap
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+      var acc = 0L
+      rs.sortBy(r => (r._4, r._1)).map { r =>
+        val off = acc; acc += r._3
+        (r._1, g, r._3, budgets(g), off, off + r._3 <= budgets(g))
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == expect)
+  }
 }

@@ -100,4 +100,62 @@ class StreamingCurationSpec extends AnyFunSuite {
         "301 must continue the sequence 200 left open")
     } finally q.stop()
   }
+
+  test("curation ingest with indexPath: a restarted query rehydrates " +
+      "the absorbed near-dup index from the persisted artifact, so " +
+      "near-copies of pre-crash survivors stay rejected") {
+    val inDir = java.nio.file.Files.createTempDirectory("curp-in")
+    val sink = java.nio.file.Files
+      .createTempDirectory("curp-out").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("curp-ck").toString
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("curp-idx").toString + "/idx"
+    val goodTexts = (0 until 12).map(i =>
+      s"the quick brown fox jumps over dog $i and runs far away home")
+    val train = goodTexts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, 1L) } ++
+      goodTexts.zipWithIndex.map { case (t, i) =>
+        (100L + i, junkify(t), -1L) }
+    val weights = Classifier.perceptronTrain(
+      train.toDF("doc_id", "text", "label"), "text", "doc_id",
+      "label", nBuckets = 256, epochs = 2).localCheckpoint(true)
+    val seedCorpus = Seq((1000L, "alpha beta gamma delta epsilon " +
+      "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    def seed() = Dedup.prepareCorpus(seedCorpus, "text", "doc_id")
+    def start() = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .parquet(inDir.toString + "/*")
+      // the seed is rebuilt STALE on each start — only the persisted
+      // index can carry batch-1 absorptions across the restart
+      EventStreams.curationIngest(stream, "text", "doc_id",
+        weights, Seq("BADWORD"), seed(), seqLen = 8L, sink, ckpt,
+        nBuckets = 256, jaccardThreshold = 0.5, checkpointEvery = 1,
+        indexPath = Some(idxPath))
+    }
+    val b1 = Seq((400L,
+      "the quick brown fox jumps over dog A and runs far away home"))
+    b1.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(inDir.resolve("b1").toString)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // "crash": the second query only has the stale seed + the artifact
+    Seq(
+      // near-copy of the pre-restart survivor 400 — rejected only if
+      // the index was rehydrated from idxPath
+      (401L,
+        "the quick brown fox jumps over dog A and runs far away homes"),
+      (402L,
+        "the quick brown fox jumps over dog B and runs far away home"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(inDir.resolve("b2").toString)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val landed = spark.read.parquet(sink)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(landed == Set(400L, 402L),
+        s"expected 401 rejected after restart, got $landed")
+    } finally q2.stop()
+  }
 }
