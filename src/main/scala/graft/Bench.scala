@@ -34,7 +34,12 @@ object Bench {
     * the genuine 4-15x contention blowups (r3/r7/r8 pattern) trip the
     * flag. */
   private val controlCalmMedians: Map[String, Double] = Map(
-    "q30_minhash_lsh"       -> 1.40,
+    // q76 replaced q30 as a control in r17: q30 now aggregates the
+    // memoized q49 pair frame, so its repeat runs are ~free — a control
+    // must RE-EXECUTE real work each time. q76 is direct compute (no
+    // memo), untouched since r7; median = midpoint of the r15 calm and
+    // r16 records (1.01 / 1.06 s).
+    "q76_substring_dup"     -> 1.05,
     "q73_token_sort_oracle" -> 1.20,
     "q93_substring_general" -> 2.30
   )

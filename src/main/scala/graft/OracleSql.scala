@@ -23,9 +23,45 @@ object SketchParams {
     val ngram = 3; val numHashes = 8; val bands = 4
     val jaccardThreshold = 0.5; val corpusMod = 5
   }
+  /** q31 portable SimHash near-dup pairs: corpus bound (base doc ids
+    * < corpusMax, so the slice — and the banded join's candidate mass
+    * — is size-STABLE across scale factors, the q122 pattern; the
+    * Hamming-12 pigeonhole forces 4–5-bit bands whose buckets are
+    * corpus-fraction-sized, so an unbounded slice grows the candidate
+    * join quadratically), Hamming threshold, and the pigeonhole band
+    * layout — 13 disjoint (offset, width) bit bands covering all 60
+    * fingerprint bits, so any pair within Hamming 12 shares ≥ 1 exact
+    * band (bands ≥ maxHamming + 1). */
+  object q31 {
+    // maxHamming 10 covers every tail-truncated twin (measured max twin
+    // distance 10, p99 = 9 at sf0.01) with 3× fewer background pairs
+    // and wider (5–6-bit) pigeonhole bands than a 12 budget would allow
+    val corpusMax = 1500L; val maxHamming = 10
+    val bandLayout: Seq[(Int, Int)] =
+      (0 until 6).map(i => (i * 5, 5)) ++
+        (0 until 5).map(i => (30 + i * 6, 6))
+    require(bandLayout.size >= maxHamming + 1 &&
+      bandLayout.map(_._2).sum == 60)
+  }
   /** q32 exact n-gram Jaccard join: n-gram size, threshold, corpus filter. */
   object q32 {
     val ngram = 5; val jaccardThreshold = 0.6; val corpusMod = 10
+  }
+  /** q34 portable single-table LSH ANN — the q51 pipeline at a finer
+    * partition (more planes, smaller k, more queries). */
+  object q34 {
+    val planes = 5; val k = 5; val maxQueryId = 12
+  }
+  /** q40 portable media→featurize→ANN — the q122 composition at a wider
+    * operating point. */
+  object q40 {
+    val corpusMax = 300L; val maxQueryId = 6L; val k = 5
+  }
+  /** q55 portable IVF ANN — the q68 pipeline at a second
+    * recall/cost operating point. */
+  object q55 {
+    val nlist = 6; val nprobe = 2; val k = 5; val scale = 1000
+    val maxQueryId = 12
   }
   /** q67 portable incremental dedup: md5-MinHash-LSH join parameters for
     * the batch-vs-corpus screen. */
@@ -1590,16 +1626,69 @@ object OracleSql {
       CAST(sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id"""
 
-  /** Portable-LSH ANN (q51): the sign matrix is re-derived from md5, the
-    * hyperplane projections are integer-exact over floor-quantized
+  /** MinHash-LSH near-dup degree (q30): the per-doc aggregate of the
+    * q49 portable pair list — the same generated CTE chain,
+    * symmetrized. */
+  private def q30: String = s"""
+    WITH $minhashPairCtes, sym AS (
+      SELECT id_a AS doc_id, jaccard FROM pairs
+      UNION ALL
+      SELECT id_b AS doc_id, jaccard FROM pairs)
+    SELECT doc_id, COUNT(*) AS n_partners, MAX(jaccard) AS max_jaccard
+    FROM sym GROUP BY doc_id"""
+
+  /** Portable SimHash near-dup pairs (q31): the q50 fingerprint chain
+    * over the sliced near-dup corpus, the 13-band pigeonhole layout
+    * (any Hamming-≤12 pair agrees exactly on ≥ 1 band), candidate
+    * pairs verified with bit_count(xor). Generated from
+    * [[SketchParams.q31]] — the same layout the Spark side bands
+    * with. */
+  private def q31: String = {
+    val p = SketchParams.q31
+    val bandVals = p.bandLayout.zipWithIndex
+      .map { case ((off, wd), bi) => s"($bi, $off, ${(1L << wd) - 1})" }
+      .mkString(", ")
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
+    ), src AS (
+      SELECT doc_id, text FROM corpus
+      WHERE doc_id % 1000000 < ${p.corpusMax}
+        AND text IS NOT NULL AND text <> ''
+    ), hs AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(unnest(string_split_regex(trim(text), '\\s+'))), 1, 15))::BIGINT AS h
+      FROM src
+    ), bits AS (
+      SELECT doc_id, i, sum((h >> i) & 1) AS ones, count(*) AS n
+      FROM hs CROSS JOIN (SELECT unnest(generate_series(0,59)) AS i) g
+      GROUP BY doc_id, i
+    ), fp AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, simhash, b.band, (simhash >> b.off) & b.mask AS bv
+      FROM fp CROSS JOIN (VALUES $bandVals) b(band, off, mask)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        a.simhash AS ha, b.simhash AS hb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= ${p.maxHamming}"""
+  }
+
+  /** Portable-LSH ANN (q51 at planes=4/k=10/8 queries; q34 at
+    * planes=5/k=5/12 queries): the sign matrix is re-derived from md5,
+    * the hyperplane projections are integer-exact over floor-quantized
     * coordinates (so bucketing can never diverge on float rounding), and
     * the in-bucket ranking mirrors q24's cosine ordering. Planes/scale/k
-    * must match `SparkEntry.q51LshAnnOracle` (planes=4, scale=1000,
-    * k=10). */
-  private val q51 = """
+    * must match the Spark side's `Ann.lshTopKPortable` call. */
+  private def lshAnnSql(planes: Int, k: Int, maxQueryId: Int): String = s"""
     WITH sig AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        list_sum(list_transform(generate_series(0, 3), j ->
+        list_sum(list_transform(generate_series(0, ${planes - 1}), j ->
           CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), i ->
             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
             (CASE WHEN substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 1) < '8'
@@ -1611,7 +1700,15 @@ object OracleSql {
         row_number() OVER (PARTITION BY q.vec_id
           ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
       FROM sig q JOIN sig c ON q.sig = c.sig AND c.vec_id != q.vec_id
-      WHERE q.vec_id < 8) WHERE rank <= 10"""
+      WHERE q.vec_id < $maxQueryId) WHERE rank <= $k"""
+
+  private def q51: String = lshAnnSql(planes = 4, k = 10, maxQueryId = 8)
+
+  /** q34: [[lshAnnSql]] from [[SketchParams.q34]]. */
+  private def q34: String = {
+    val p = SketchParams.q34
+    lshAnnSql(p.planes, p.k, p.maxQueryId)
+  }
 
   /** Portable IVF ANN (q68): the quantizer is the nlist vectors with the
     * smallest (60-bit md5 key, id); assignment and probing are integer
@@ -1621,6 +1718,21 @@ object OracleSql {
     * `Ann.ivfTopKPortable`. */
   private def q68: String = {
     val p = SketchParams.q68
+    ivfAnnSql(p.nlist, p.nprobe, p.k, p.scale, p.maxQueryId)
+  }
+
+  /** q55: the q68 IVF pipeline from [[SketchParams.q55]] (second
+    * operating point). */
+  private def q55: String = {
+    val p = SketchParams.q55
+    ivfAnnSql(p.nlist, p.nprobe, p.k, p.scale, p.maxQueryId)
+  }
+
+  private def ivfAnnSql(nlist: Int, nprobe: Int, k: Int, scale: Int,
+      maxQueryId: Int): String = {
+    case class P(nlist: Int, nprobe: Int, k: Int, scale: Int,
+      maxQueryId: Int)
+    val p = P(nlist, nprobe, k, scale, maxQueryId)
     s"""
     WITH cvecs AS (
       SELECT vec_id,
@@ -2924,6 +3036,20 @@ object OracleSql {
     * Generated from [[SketchParams.q122]]. */
   private def q122: String = {
     val p = SketchParams.q122
+    mediaAnnSql(p.corpusMax, p.maxQueryId, p.k)
+  }
+
+  /** q40: the q122 media→featurize→ANN composition from
+    * [[SketchParams.q40]] (wider operating point). */
+  private def q40: String = {
+    val p = SketchParams.q40
+    mediaAnnSql(p.corpusMax, p.maxQueryId, p.k)
+  }
+
+  private def mediaAnnSql(corpusMax: Long, maxQueryId: Long,
+      k: Int): String = {
+    case class P(corpusMax: Long, maxQueryId: Long, k: Int)
+    val p = P(corpusMax, maxQueryId, k)
     val featSql = (0 until 8).map(i =>
       s"(('0x' || substr(md5(text || ':$i'), 1, 15))::BIGINT % 2001) - 1000")
       .mkString("[", ", ", "]")
@@ -5347,6 +5473,34 @@ object OracleSql {
     SELECT CAST(block AS BIGINT) AS block, COUNT(*) AS n_pairs,
       MAX(score) AS max_score
     FROM scored WHERE score >= 50.0 GROUP BY block"""
+
+  /** Blocked fuzzy top-1 match (q35): the q73 prep/score chain, argmax
+    * per customer by (score DESC, suppkey ASC) — a total order, so the
+    * pick replays exactly. */
+  private val q35 = """
+    WITH cprep AS (
+      SELECT c_custkey, c_nationkey AS block,
+        array_to_string(list_sort(string_split_regex(
+          trim(regexp_replace(c_name, '[#0]+', ' ', 'g')), '\s+')), ' ') AS cname
+      FROM customer),
+    sprep AS (
+      SELECT s_suppkey, s_nationkey AS block,
+        array_to_string(list_sort(string_split_regex(
+          trim(regexp_replace(s_name, '[#0]+', ' ', 'g')), '\s+')), ' ') AS sname
+      FROM supplier),
+    scored AS (
+      SELECT c.c_custkey, c.block, s.s_suppkey,
+        CAST(100.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) -
+          CAST(levenshtein(c.cname, s.sname) AS DOUBLE) /
+          greatest(length(c.cname), length(s.sname))) AS score
+      FROM cprep c JOIN sprep s ON c.block = s.block)
+    SELECT c_custkey, CAST(block AS BIGINT) AS block,
+      s_suppkey AS best_suppkey, score
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY c_custkey
+        ORDER BY score DESC, s_suppkey) AS rn
+      FROM scored WHERE score >= 50.0)
+    WHERE rn = 1"""
 
   /** Decontamination screen (q74): distinct benchmark n-gram set joined
     * against corpus doc n-grams. Generated from [[SketchParams.q74]] —
@@ -7957,11 +8111,17 @@ object OracleSql {
     "q23_fingerprint" -> q23,
     "q24_cosine_topk" -> q24,
     "q25_binary_meta" -> q25,
+    "q30_minhash_lsh" -> q30,
+    "q31_simhash" -> q31,
     "q32_ngram_jaccard" -> q32,
     "q33_embed_neardup" -> q33,
+    "q34_lsh_topk" -> q34,
+    "q35_token_sort_fuzzy" -> q35,
+    "q40_media_pipeline" -> q40,
     "q47_stratified_sample" -> q47,
     "q49_minhash_oracle" -> q49,
     "q50_simhash_oracle" -> q50,
+    "q55_ivf_topk" -> q55,
     "q56_dedup_clusters" -> q56,
     "q67_incremental_dedup" -> q67,
     "q68_ivf_oracle" -> q68,

@@ -460,15 +460,72 @@ object SparkEntry {
     docs.unionByName(variants)
   }
 
-  /** MinHash + LSH near-duplicate pairs (SURVEY.md §7.2 step 8). */
-  def q30MinHashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(nearDupCorpus(s, dir), "text", "doc_id",
-      ngram = 3, numHashes = 16, bands = 4, jaccardThreshold = 0.5)
+  /** MinHash + LSH near-duplicate DEGREE report (SURVEY.md §7.2 step 8)
+    * — the per-doc view of the portable md5 pair list: how many
+    * near-duplicates each doc has and its closest match. Hash-oracled
+    * PRIMARY of the minhash-LSH family (the q49/q51 twin pattern
+    * inverted, VERDICT r16 item 3): the xxhash fast pair path
+    * [[graft.operators.Dedup.minhashLsh]] stays spec-gated in
+    * `DedupAnnSpec`. Reuses the memoized [[q49Pairs]] frame, so the
+    * sketch pipeline still runs ONCE per (session, dir) across its six
+    * consumers. */
+  def q30MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q49Pairs(s, dir)
+    pairs.select(col("id_a").as("doc_id"), col("jaccard"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"), col("jaccard")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_partners"),
+        max(col("jaccard")).as("max_jaccard"))
+  }
 
-  /** SimHash near-duplicate pairs (custom 64-bit fingerprint expression). */
-  def q31SimHash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDup(nearDupCorpus(s, dir), "text", "doc_id",
-      maxHamming = 12)
+  /** SimHash near-duplicate pairs, hash-oracled end to end: portable
+    * md5 fingerprints ([[graft.operators.Dedup.simhashPortable]], the
+    * q50 kernel) banded by the PIGEONHOLE guarantee — 11 disjoint bit
+    * bands (6×5-bit + 5×6-bit = 60 bits), so any pair within Hamming
+    * distance 10 agrees exactly on ≥ 1 band — then candidate pairs
+    * verified with bit_count(xor). Exact recall by construction (the
+    * output EQUALS brute force, so DuckDB replays it from the same
+    * band layout), while keeping the banded join the scale shape: the
+    * self-join is per (band, value) bucket, never all-pairs. The
+    * corpus is id-BOUNDED (the q122 pattern) because Hamming-12
+    * pigeonhole bands are only 4–5 bits wide — their buckets hold a
+    * constant FRACTION of the corpus, so the verify join over an
+    * unbounded slice grows quadratically with SF (the r17 bench
+    * caught the mod-slice version at 14 s); at production scale this
+    * operating point belongs behind a coarser first-stage blocker
+    * (the q50 fingerprint join) or a lower Hamming budget with wider
+    * bands. The xxhash fast path
+    * [[graft.operators.Dedup.simhashNearDup]] stays spec-gated in
+    * `DedupAnnSpec`. Params from [[SketchParams.q31]]. */
+  def q31SimHash(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q31
+    val docs = nearDupCorpus(s, dir)
+      .filter(col("doc_id") % 1000000L < p.corpusMax)
+      .filter(col("text").isNotNull && col("text") =!= "")
+    val fp = Dedup.simhashPortable(docs, "text", "doc_id")
+    val bandStructs = p.bandLayout.zipWithIndex.map {
+      case ((off, wd), bi) =>
+        struct(lit(bi).as("band"),
+          shiftright(col("simhash"), off)
+            .bitwiseAND(lit((1L << wd) - 1)).as("bv"))
+    }
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("__b"))
+      .select(col("doc_id"), col("simhash"),
+        col("__b.band").as("band"), col("__b.bv").as("bv"))
+    val a = banded.select(col("doc_id").as("id_a"),
+      col("simhash").as("__ha"), col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("id_b"),
+      col("simhash").as("__hb"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= p.maxHamming)
+  }
 
   /** Exact n-gram Jaccard join over inverted-index candidates — oracled
     * against a brute-force word-5-gram twin (hashed-shingle Jaccard equals
@@ -497,11 +554,20 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** LSH-bucketed approximate top-k ANN (scale path). */
+  /** LSH-bucketed approximate top-k ANN, hash-oracled: the q51 portable
+    * pipeline (md5-derived hyperplanes, integer-exact bucketing, exact
+    * in-bucket cosine) at a FINER partition — 5 planes / 32 buckets,
+    * top-5, 12 queries — so the suite gates the LSH recall/cost knob at
+    * two operating points, not one. The multi-table xxhash fast path
+    * [[graft.operators.Ann.lshTopK]] stays spec-gated in `DedupAnnSpec`
+    * (recall vs brute force). Params from [[SketchParams.q34]]. */
   def q34LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q34
     val emb = t(s, dir, "embeddings")
-    Ann.lshTopK(emb, emb.filter(col("vec_id") < 8),
-      "embedding", "vec_id", "vec_id", k = 10, planes = 6, tables = 4)
+    Ann.lshTopKPortable(emb, emb.filter(col("vec_id") < p.maxQueryId),
+        "embedding", "vec_id", "vec_id", k = p.k, planes = p.planes)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** dense_rank top-3 per group (rank family beyond row_number). */
@@ -669,29 +735,42 @@ object SparkEntry {
       GROUP BY n_name""")
   }
 
-  /** Multimodal → embedding → ANN composition: documents as binary media
-    * payloads, per-partition decode stub extracting an 8-dim feature
-    * vector, brute-force cosine top-3 over the extracted features. The
-    * end-to-end shape of a media-similarity pipeline (rows-only — the
-    * decode stage is Dataset-API mapPartitions). */
+  /** Multimodal → embedding → ANN composition, hash-oracled: documents
+    * as binary media payloads, decoder-boundary featurize over
+    * `mapPartitions` with the md5-portable decoder
+    * ([[graft.operators.Multimodal.Decoder.PortableMd5]]), integer-exact
+    * quantized-cosine top-k — the q122 pipeline at a WIDER operating
+    * point (300-doc corpus, 6 queries, top-5), so the media composition
+    * gates at two scales. The FNV-1a JVM decoder fast path
+    * ([[graft.operators.Multimodal.Decoder.Deterministic]] +
+    * [[graft.operators.Ann.bruteForceTopK]]) stays spec-gated in
+    * `MultimodalSpec`/`DedupAnnSpec`. Params from
+    * [[SketchParams.q40]]. */
   def q40MediaPipeline(s: SparkSession, dir: String): DataFrame = {
     import operators.Multimodal
+    val p = SketchParams.q40
     val media = Multimodal.fromText(
-      t(s, dir, "documents").filter(col("doc_id") < 200),
+      t(s, dir, "documents").filter(col("doc_id") < p.corpusMax),
       "doc_id", "text", "image")
-    val feats = Multimodal.featurize(media, Multimodal.Decoder.Deterministic)
+    val feats = Multimodal.featurize(media, Multimodal.Decoder.PortableMd5)
       .toDF().select(col("id").as("vec_id"), col("feature").as("embedding"))
-    Ann.bruteForceTopK(feats, feats.filter(col("vec_id") < 4),
-        "embedding", "vec_id", "vec_id", k = 3)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    Ann.quantizedTopK(feats, feats.filter(col("vec_id") < p.maxQueryId),
+        "embedding", "vec_id", "vec_id", k = p.k, levels = 1)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("qdot"))
   }
 
-  /** token_sort_ratio custom expression (rapidfuzz-parity kernel) over a
-    * blocked fuzzy join — rows-only here; kernel parity is ScalaTest'd. */
+  /** Blocked fuzzy TOP-1 match per customer (the J4 argmax shape as a
+    * standalone hash-oracled query): token-sort normalization
+    * precomputed PER ROW before the blocked join (the standard
+    * similarity-join optimization), portable levenshtein-ratio score,
+    * best supplier per customer by (score DESC, suppkey ASC) — a total
+    * order, so DuckDB replays the pick exactly. The Indel
+    * `token_sort_ratio` kernel this family's fast path uses
+    * ([[graft.functions.exprs.indel_ratio]]) stays spec-gated with
+    * recorded rapidfuzz parity values in `SimKernelSpec`/`WRatioSpec`
+    * and hash-exercised by q73's per-block aggregate twin. */
   def q35TokenSortFuzzy(s: SparkSession, dir: String): DataFrame = {
-    // token-sort normalization is precomputed PER ROW before the blocked
-    // join (array_join∘sort_array∘split), so the O(block²) inner loop runs
-    // only the Indel kernel — the standard similarity-join optimization
     def tokenSorted(c: Column): Column =
       array_join(sort_array(split(trim(c), "\\s+")), " ")
     val c = t(s, dir, "customer").select(
@@ -700,11 +779,18 @@ object SparkEntry {
     val sup = t(s, dir, "supplier").select(
       col("s_suppkey"), col("s_nationkey").as("block"),
       tokenSorted(regexp_replace(col("s_name"), "[#0]+", " ")).as("sname"))
-    c.join(sup, Seq("block"))
-      .withColumn("score", exprs.indel_ratio(col("cname"), col("sname")))
-      .filter(col("score") >= 50)
-      .groupBy(col("block")).agg(count(lit(1)).as("n_pairs"),
-        max(col("score")).as("max_score"))
+    val scored = c.join(sup, Seq("block"))
+      .withColumn("score",
+        lit(100.0) * (lit(1.0) -
+          levenshtein(col("cname"), col("sname")).cast("double") /
+            greatest(length(col("cname")), length(col("sname")))))
+      .filter(col("score") >= 50.0)
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("score").desc, col("s_suppkey").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("c_custkey"), col("block").cast("long").as("block"),
+        col("s_suppkey").as("best_suppkey"), col("score"))
   }
 
   /** Portable twin of [[q35TokenSortFuzzy]] — the fuzzy-join path's
@@ -861,28 +947,23 @@ object SparkEntry {
         col("rank").cast("long").as("rank"))
   }
 
-  /** IVF (inverted-file) ANN: k-means coarse quantizer, nprobe-list probe,
-    * exact cosine within the probed lists — the tunable recall/cost scale
-    * path (rows-only; exactness at nprobe=nlist and recall bounds are
-    * ScalaTest'd in AnnIvfSpec). */
+  /** IVF (inverted-file) ANN, hash-oracled: the q68 portable pipeline
+    * (md5-sampled coarse quantizer, integer-exact assignment/probing,
+    * quantized-cosine in-list ranking) at a SECOND operating point —
+    * 6 lists / 2 probes / top-5 / 12 queries — gating the IVF
+    * recall/cost knob alongside q68's 8/3/10/8 point. The float kmeans
+    * fast path ([[graft.operators.Ann.ivfTopK]], incl. exactness at
+    * nprobe=nlist, recall bounds, and the env-gated
+    * `trainOrLoad` centroid serving) stays spec-gated in `AnnIvfSpec`
+    * and `CentroidPersistenceSpec`. Params from [[SketchParams.q55]]. */
   def q55IvfTopK(s: SparkSession, dir: String): DataFrame = {
-    implicit val spark: SparkSession = s
+    val p = SketchParams.q55
     val emb = t(s, dir, "embeddings")
-    // train-once-reuse: with SPARK_GRAFT_CENTROIDS_DIR set, the quantizer
-    // is served from its parquet artifact (doubles round-trip bit-exactly)
-    // and only the probe joins run per query — the production serving
-    // shape. Unset (the default, and what the driver gates measure), the
-    // quantizer trains inside the query as before.
-    val cents = sys.env.get("SPARK_GRAFT_CENTROIDS_DIR").map { root =>
-      val p = s"$root/q55_nlist8_iters2_seed42"
-      try Ann.loadCentroidsD(p)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        val c = Ann.kmeansCentroids(emb, "embedding", "vec_id", 8, 2, 42)
-        Ann.saveCentroidsD(c, p); c }
-    }
-    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8),
-      "embedding", "vec_id", "vec_id", k = 10, nlist = 8, nprobe = 3,
-      centroids = cents)
+    Ann.ivfTopKPortable(emb, emb.filter(col("vec_id") < p.maxQueryId),
+        "embedding", "vec_id", "vec_id", k = p.k, nlist = p.nlist,
+        nprobe = p.nprobe, scale = p.scale)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** Multi-level aggregation: ROLLUP over (region, nation) — subtotal and
@@ -3470,9 +3551,19 @@ object SparkEntry {
           .as("text"),
         lit(c).as("label"))
     }.reduce(_.unionByName(_))
-    val weights = operators.Classifier.perceptronTrainMulti(
+    // train-once-reuse (opt-in via SPARK_GRAFT_CENTROIDS_DIR, the q92
+    // convention): the trained multiclass table is the model artifact —
+    // persisted once, served from parquet, hash-identical either way
+    implicit val spark: SparkSession = s
+    def trained = operators.Classifier.perceptronTrainMulti(
       corpus.filter(col("doc_id") % p.evalMod =!= 0), "text", "doc_id",
       "label", p.nBuckets, p.epochs)
+    val weights = sys.env.get("SPARK_GRAFT_CENTROIDS_DIR") match {
+      case Some(root) => operators.Classifier.trainOrLoadWeightsMulti(
+        s"$root/q199_k${p.classes.size}_nb${p.nBuckets}_e${p.epochs}")(
+        trained)
+      case None => trained
+    }
     val eval = corpus.filter(col("doc_id") % p.evalMod === 0)
       .localCheckpoint(false)
     operators.Classifier.perceptronScoreMulti(eval, weights, "text",
@@ -3816,12 +3907,21 @@ object SparkEntry {
     * bit-equal doubles). Output drops the pool-count columns (the
     * pool PARTITION can differ between valid PAVA orders only where
     * pooled rates tie; the fitted values cannot). */
-  def q215IsotonicFit(s: SparkSession, dir: String): DataFrame =
-    operators.Classifier.isotonicCalibrate(
-        q211CalibrationBins(s, dir)
-          .select(col("bin"), col("lo"), col("n"), col("n_pos")))
-      .select(col("bin"), col("lo"), col("n"), col("n_pos"),
-        col("cal_rate"))
+  def q215IsotonicFit(s: SparkSession, dir: String): DataFrame = {
+    // train-once-reuse (opt-in via SPARK_GRAFT_CENTROIDS_DIR, the q92/
+    // q199 convention): the fitted calibrator is the model artifact
+    implicit val spark: SparkSession = s
+    def fitted = operators.Classifier.isotonicCalibrate(
+      q211CalibrationBins(s, dir)
+        .select(col("bin"), col("lo"), col("n"), col("n_pos")))
+    val cal = sys.env.get("SPARK_GRAFT_CENTROIDS_DIR") match {
+      case Some(root) => operators.Classifier.trainOrLoadCalibrator(
+        s"$root/q215_isotonic")(fitted)
+      case None => fitted
+    }
+    cal.select(col("bin"), col("lo"), col("n"), col("n_pos"),
+      col("cal_rate"))
+  }
 
   /** Curation funnel report — the per-stage accounting of the q193
     * decision chain as a TRUE funnel (stages attributed exclusively in

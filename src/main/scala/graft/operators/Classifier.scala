@@ -161,20 +161,28 @@ object Classifier {
     * fastText-supervised shape (Joulin et al. 2017) in exact integer
     * arithmetic: per class c the binary [[perceptronTrain]] runs with
     * y = +1 on c's docs and −1 on the rest, and the K weight tables
-    * stack tagged by class. Classes come from the data (collected
-    * DISTINCT — class count is small by definition; the model is
-    * K·nBuckets rows). Deterministic: classes train in sorted order
-    * and each binary run is the deterministic batch loop, so the q199
-    * DuckDB oracle unrolls all K·epochs weight for weight.
+    * stack tagged by class (per-class output EXACTLY equals the
+    * standalone binary run — `ClassifierSpec`). Classes come from the
+    * data (collected DISTINCT — class count is small by definition;
+    * the model is K·nBuckets rows). Deterministic: every epoch is the
+    * deterministic batch update in exact integers, so the q199 DuckDB
+    * oracle unrolls all K·epochs weight for weight.
     *
-    * Scale shape: the class axis lives IN the plan — ONE feature
-    * build (corpus tokenize/hash/aggregate), then per EPOCH one
-    * (label, bucket)-keyed join + two aggregations over the
-    * class-tagged feature frame trains all K models together:
-    * `epochs` driver round-trips, not K·epochs (classes are
-    * independent, so running the binary loop K times is identical
-    * math paying K sequential job chains). The tagged frame is K× the
-    * feature rows — the honest cost of the vectorization; for K
+    * Scale shape (VERDICT r16 item 1 — the feature frame stays
+    * K-FREE): ONE corpus tokenize/hash/aggregate builds (id, bucket,
+    * tf, class), id-partitioned and checkpointed once. The weight
+    * state is the MODEL — ≤ K·nBuckets longs, the driver/model-state
+    * class (same boundary as IVF centroids and isotonic bins) — and
+    * folds into each epoch's plan as a BROADCAST (bucket → K-vector)
+    * table. Per epoch: one broadcast join + per-doc agg producing all
+    * K scores as columns (no exchange — the agg reuses the pinned id
+    * partitioning), per-doc misclassification flags joined straight
+    * back (id-partitioned again), and ONE (bucket)-keyed aggregation
+    * emitting every class's delta and key-presence marker, collected
+    * at ≤ nBuckets rows. `epochs` driver round-trips, corpus scanned
+    * twice per epoch, and the class axis multiplies only per-doc/
+    * per-bucket COLUMNS, never corpus-scale rows (SCALE §9r's 3×-rows
+    * → 4.2×-time superlinearity was the K× tagged frame). For K
     * beyond dozens, shard the class list and union the weight
     * tables.
     *
@@ -182,65 +190,118 @@ object Classifier {
   def perceptronTrainMulti(train: DataFrame, textCol: String,
       idCol: String, labelCol: String, nBuckets: Int = 4096,
       epochs: Int = 3): DataFrame = {
+    require(epochs >= 1, "need at least one epoch")
     val spark = train.sparkSession
     import spark.implicits._
     val classes = train.select(col(labelCol).cast("string").as("__c"))
       .distinct().collect().map(_.getString(0)).sorted
     require(classes.nonEmpty, "no classes in training data")
-    // VECTORIZED over the class axis: ONE corpus tokenize/hash/
-    // aggregate, then every epoch trains ALL K one-vs-rest models in
-    // one (id, label)-keyed plan — epochs, not K·epochs, driver
-    // round-trips (the binary loop run K times is mathematically
-    // identical but pays K sequential job chains of mostly-idle tiny
-    // stages; classes are independent, so the class axis belongs IN
-    // the plan). y(id, label) = +1 iff the doc's class is `label`.
+    val k = classes.length
     val (lf, lfCkpt) = CheckpointHygiene.checkpointTracked(
       hashedFeatures(train, textCol, idCol, nBuckets)
         .join(train.select(col(idCol).as("id"),
           col(labelCol).cast("string").as("__c")), Seq("id"))
-        .crossJoin(broadcast(classes.toSeq.toDF("label")))
-        .select(col("label"), col("id"), col("bucket"), col("tf"),
-          when(col("__c") === col("label"), 1L).otherwise(-1L).as("y")),
+        .repartition(col("id")),
       eager = true)
-    var weights: DataFrame = null   // (label, bucket, w) at epoch t
-    var avg: DataFrame = null       // summed per-epoch weights
-    var ckpts = Seq.empty[Seq[org.apache.spark.rdd.RDD[_]]]
+    // driver-side model state: per class, bucket -> weight; key sets
+    // replicate the DataFrame formulation exactly (a (label, bucket)
+    // exists iff some epoch's delta touched it, even at weight 0)
+    val wState = Array.fill(k)(
+      scala.collection.mutable.LinkedHashMap.empty[Long, Long])
+    val avgState = Array.fill(k)(
+      scala.collection.mutable.LinkedHashMap.empty[Long, Long])
+    val wSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__ws",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        nullable = false)))
     (1 to epochs).foreach { _ =>
-      val scored =
-        if (weights == null)
-          lf.select(col("id"), col("label"), col("y")).distinct()
-            .withColumn("s", lit(0L))
-        else lf
-          .join(weights.select(col("label"), col("bucket"),
-            col("w")), Seq("label", "bucket"), "left")
-          .groupBy(col("id"), col("label"))
-          .agg(sum(col("tf") * coalesce(col("w"), lit(0L))).as("s"),
-            max(col("y")).as("y")) // y is constant per (id, label)
-      val mis = scored.filter(col("y") * col("s") <= 0)
-        .select(col("id"), col("label"))
-      val delta = lf.join(mis, Seq("id", "label"), "left_semi")
-        .groupBy(col("label"), col("bucket"))
-        .agg(sum(col("y") * col("tf")).as("w"))
-      val next = Option(weights)
-        .map(w => w.unionByName(delta).groupBy(col("label"), col("bucket"))
-          .agg(sum(col("w")).as("w")))
-        .getOrElse(delta)
-      val (nextCk, c1) = CheckpointHygiene.checkpointTracked(
-        next, eager = true)
-      val (avgCk, c2) = CheckpointHygiene.checkpointTracked(
-        Option(avg)
-          .map(a => a.unionByName(nextCk)
-            .groupBy(col("label"), col("bucket"))
-            .agg(sum(col("w")).as("w")))
-          .getOrElse(nextCk), eager = true)
-      ckpts.foreach(CheckpointHygiene.free)
-      ckpts = Seq(c1, c2)
-      weights = nextCk
-      avg = avgCk
+      // fold the current weights in as (bucket, [w_0..w_{K-1}]) —
+      // broadcast-sized by the model-state contract
+      val wRows = wState.zipWithIndex
+        .flatMap { case (m, ki) => m.iterator.map { case (b, w) =>
+          (b, ki, w) } }
+        .groupBy(_._1).toSeq
+        .map { case (b, ws) =>
+          val arr = Array.fill(k)(0L)
+          ws.foreach { case (_, ki, w) => arr(ki) = w }
+          org.apache.spark.sql.Row(b, arr.toSeq)
+        }
+      val wDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(wRows, 1), wSchema)
+      // one pass: every class's integer score per doc as K columns
+      val sCols = max(col("__c")).as("__c") +:
+        (0 until k).map(ki =>
+          sum(col("tf") *
+            coalesce(element_at(col("__ws"), ki + 1), lit(0L)))
+            .as(s"__s_$ki"))
+      val scored = lf.join(broadcast(wDf), Seq("bucket"), "left")
+        .groupBy(col("id"))
+        .agg(sCols.head, sCols.tail: _*)
+      // per-doc update multiplier per class: y if misclassified else 0
+      // (y = +1 iff the doc's class is classes(ki), else -1)
+      val fCols = (0 until k).map { ki =>
+        val y = when(col("__c") === classes(ki), 1L).otherwise(-1L)
+        when(y * col(s"__s_$ki") <= 0, y).otherwise(0L)
+      }
+      val flags = scored.select(col("id"), array(fCols: _*).as("__f"))
+      // one (bucket)-keyed agg: per class the delta Σ y·tf over
+      // misclassified docs and the key-presence marker (≥ 1 mis doc
+      // carries the bucket) — ≤ nBuckets output rows, collected as
+      // model state
+      val dCols = (0 until k).flatMap { ki =>
+        Seq(sum(col("tf") * element_at(col("__f"), ki + 1))
+            .as(s"__d_$ki"),
+          max(abs(element_at(col("__f"), ki + 1))).as(s"__p_$ki"))
+      }
+      val deltas = lf.join(flags, Seq("id"))
+        .groupBy(col("bucket"))
+        .agg(dCols.head, dCols.tail: _*)
+        .collect()
+      deltas.foreach { r =>
+        val b = r.getLong(0)
+        (0 until k).foreach { ki =>
+          if (r.getLong(2 + 2 * ki) == 1L) { // __p_ki: key present
+            val d = r.getLong(1 + 2 * ki)
+            wState(ki).update(b, wState(ki).getOrElse(b, 0L) + d)
+          }
+        }
+      }
+      (0 until k).foreach { ki =>
+        wState(ki).foreach { case (b, w) =>
+          avgState(ki).update(b, avgState(ki).getOrElse(b, 0L) + w) }
+      }
     }
     CheckpointHygiene.free(lfCkpt)
-    avg.select(col("label"), col("bucket"), col("w"))
+    avgState.zipWithIndex.flatMap { case (m, ki) =>
+      m.iterator.map { case (b, w) => (classes(ki), b, w) }
+    }.toSeq.toDF("label", "bucket", "w")
   }
+
+  /** Persist a multiclass (label, bucket, w) table — [[saveWeights]]
+    * with the class axis; bit-exact round trip (one STRING + two
+    * BIGINT columns). */
+  def saveWeightsMulti(weights: DataFrame, path: String): Unit =
+    weights.select(col("label").cast("string"),
+      col("bucket").cast("long"), col("w").cast("long"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Bit-exact inverse of [[saveWeightsMulti]]. */
+  def loadWeightsMulti(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read.parquet(path)
+      .select(col("label"), col("bucket"), col("w"))
+
+  /** Train-once-reuse for the multiclass model (the
+    * [[trainOrLoadWeights]] convention): load if present, else train,
+    * persist, and serve from the PERSISTED copy. */
+  def trainOrLoadWeightsMulti(path: String)(build: => DataFrame)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    try { val w = loadWeightsMulti(path); w.queryExecution.analyzed; w }
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      saveWeightsMulti(build, path); loadWeightsMulti(path) }
 
   /** Multiclass SCORE against a [[perceptronTrainMulti]] table: per
     * doc every class's integer score, argmax decision tie-broken

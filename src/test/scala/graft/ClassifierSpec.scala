@@ -171,6 +171,30 @@ class ClassifierSpec extends AnyFunSuite {
       "load not backed by the model file")
   }
 
+  test("multiclass weights persist bit-exactly; trainOrLoadWeightsMulti " +
+      "builds once then serves from the model file") {
+    implicit val s = spark
+    val train = (0 until 30).map { i =>
+      val c = s"k${i % 3}"
+      (i.toLong, s"${c}w${i % 4} ${c}w${(i + 1) % 4}", c)
+    }.toDF("doc_id", "text", "label")
+    val w = Classifier.perceptronTrainMulti(train, "text", "doc_id",
+      "label", NB, epochs = 2)
+    val path = java.nio.file.Files.createTempDirectory("perc-multi")
+      .toString + "/wm"
+    var builds = 0
+    def build = { builds += 1; w }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val first = Classifier.trainOrLoadWeightsMulti(path)(build)
+    assert(builds == 1)
+    assert(rows(first) == rows(w), "persisted multi weights diverged")
+    val second = Classifier.trainOrLoadWeightsMulti(path)(build)
+    assert(builds == 1, "second call re-trained instead of loading")
+    assert(second.inputFiles.nonEmpty,
+      "load not backed by the model file")
+  }
+
   test("training is deterministic run to run") {
     val train = (0 until 30).map { i =>
       (i.toLong, s"t${i % 7} u${i % 5} v${i % 3}",
