@@ -561,6 +561,75 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming CALIBRATED quality gate — the q190→q215 chain as one
+    * serving shape (the gate a production curation pipeline actually
+    * runs): the perceptron scores each micro-batch against the static
+    * weight table, the isotonic calibrator (fitted offline on the
+    * score's reliability bins, typically
+    * [[graft.operators.Classifier.trainOrLoadCalibrator]]-persisted)
+    * turns the raw integer margin into a calibrated probability via
+    * the step-function lookup
+    * ([[graft.operators.Classifier.calibrateScores]] — interior gap
+    * bins take the greatest trained bin below; scores under the lowest
+    * trained bin clamp up to it), and the decision is `cal_rate >=
+    * minProb` — a threshold with OPERATIONAL meaning ("estimated
+    * P(keep-worthy) ≥ 0.9"), unlike the raw margin sign. ALL rows land
+    * in the sink with their verdict (id, score, cal_rate, passed), so
+    * the sink doubles as the monitoring stream: a batch whose pass
+    * rate collapses is the drift alarm. Per-batch cost is one
+    * feature-explode + bucket join + broadcast bin lookup. */
+  def calibratedGateIngest(
+      docsStream: DataFrame, weights: DataFrame, calibrator: DataFrame,
+      textCol: String, idCol: String, binWidth: Long, minProb: Double,
+      sinkPath: String, checkpointPath: String,
+      nBuckets: Int = 4096): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = weights.localCheckpoint(false)
+    val cal = calibrator.localCheckpoint(false)
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val scored = graft.operators.Classifier
+          .perceptronScore(batch.toDF(), w, textCol, idCol, nBuckets)
+        graft.operators.Classifier
+          .calibrateScores(scored, cal, "score", binWidth)
+          .select(col(idCol), col("score"), col("cal_rate"),
+            (col("cal_rate") >= minProb).as("passed"))
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+  }
+
+  /** Calibrated multiclass ROUTER — [[multiclassTagIngest]] with the
+    * argmax margin calibrated to a CONFIDENCE before routing: the
+    * caller fits the calibrator on (argmax score, prediction-correct)
+    * reliability bins ([[graft.operators.Classifier.calibrationBins]]
+    * over a labeled holdout → [[graft.operators.Classifier
+    * .isotonicCalibrate]]), and each micro-batch's docs route to their
+    * predicted class only when the calibrated P(correct) clears
+    * `minProb` — low-confidence docs land with `routed = false`, the
+    * review lane of a production router. Rows append
+    * (id, predicted, score, cal_rate, routed). */
+  def calibratedTagIngest(
+      docsStream: DataFrame, weights: DataFrame, calibrator: DataFrame,
+      textCol: String, idCol: String, binWidth: Long, minProb: Double,
+      sinkPath: String, checkpointPath: String,
+      nBuckets: Int = 4096): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = weights.localCheckpoint(false)
+    val cal = calibrator.localCheckpoint(false)
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val scored = graft.operators.Classifier
+          .perceptronScoreMulti(batch.toDF(), w, textCol, idCol, nBuckets)
+        graft.operators.Classifier
+          .calibrateScores(scored, cal, "score", binWidth)
+          .select(col(idCol), col("predicted"), col("score"),
+            col("cal_rate"), (col("cal_rate") >= minProb).as("routed"))
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+  }
+
   /** Streaming multiclass router — q199's streaming twin: a
     * [[graft.operators.Classifier.perceptronTrainMulti]] table
     * (trained offline, typically
