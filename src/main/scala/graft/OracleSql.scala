@@ -585,6 +585,13 @@ object SketchParams {
   object q215 {
     val pavaRounds = 48
   }
+  /** q217 unigram-LM tokenizer: EM iterations, fixed-point quant,
+    * candidate-piece length cap, word-length cap (the corpus's max
+    * word is 8 at every SF), occurrence-weighted candidate floor. */
+  object q217 {
+    val iters = 2; val quant = 1000000L; val maxPiece = 4
+    val maxWord = 8; val minFreq = 2L
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -5185,6 +5192,120 @@ object OracleSql {
     )"""
   }
 
+  /** Unigram-LM tokenizer (q217): the whole Viterbi-EM training run +
+    * final segmentation unrolled as CTEs — candidate substring counts
+    * (occurrence-weighted, minFreq floor, chars always kept), per
+    * iteration the quantized scores `floor(quant·c/Σc)` (one IEEE
+    * divide of exact integers — bit-identical both engines), the
+    * unrolled q195-style DP carrying piece LISTS (multiplicities), the
+    * occurrence-weighted recount with unused non-char pieces pruned,
+    * then the final DP under the last scores. Generated from
+    * [[SketchParams.q217]]. */
+  private def q217: String = {
+    val p = SketchParams.q217
+    val big = 1L << 50
+    // one unrolled Viterbi DP over `types`, scored by CTE `scoreCte`
+    // (piece, q); ends in <tag>seg(w, n, parr)
+    def dp(tag: String, scoreCte: String): String = {
+      val steps = (1 to p.maxWord).map { i =>
+        val srcs = (math.max(0, i - p.maxPiece) until i)
+          .map(j => s"SELECT w, pos, cost, n, parr FROM ${tag}b$j")
+          .mkString("\n        UNION ALL ")
+        s""", ${tag}c$i AS (
+      SELECT b.w, b.cost + $big - v.q AS cost,
+        CAST(b.n + 1 AS BIGINT) AS n,
+        $i - b.pos AS l,
+        list_append(b.parr, v.piece) AS parr
+      FROM ($srcs) b
+      JOIN $scoreCte v
+        ON v.piece = substr(b.w, CAST(b.pos + 1 AS INT),
+          CAST($i - b.pos AS INT))
+      WHERE length(b.w) >= $i
+    ), ${tag}b$i AS MATERIALIZED (
+      SELECT w, $i AS pos, cost, n, parr FROM (
+        SELECT w, cost, n, parr,
+          row_number() OVER (PARTITION BY w ORDER BY cost, l) AS rn
+        FROM ${tag}c$i)
+      WHERE rn = 1
+    )"""
+      }.mkString
+      val finals = (1 to p.maxWord)
+        .map(j => s"SELECT w, n, parr FROM ${tag}b$j WHERE length(w) = $j")
+        .mkString("\n        UNION ALL ")
+      s"""${tag}b0 AS (
+      SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+        CAST(0 AS BIGINT) AS n, []::VARCHAR[] AS parr
+      FROM types
+    )$steps, ${tag}seg AS MATERIALIZED (
+      $finals
+    )"""
+    }
+    // per EM iteration t: scores from v{t-1}, DP s{t}, recount v{t}
+    def scoreCte(j: Int): String = s"""q$j AS MATERIALIZED (
+      SELECT piece, CAST(floor(${p.quant} *
+        (CAST(c AS DOUBLE) / CAST(T.t AS DOUBLE))) AS BIGINT) AS q
+      FROM v$j, (SELECT SUM(c) AS t FROM v$j) T
+    )"""
+    val iterCtes = (1 to p.iters).map { t =>
+      s""", ${scoreCte(t - 1)}, ${dp(s"s$t", s"q${t - 1}")},
+    used$t AS MATERIALIZED (
+      SELECT u.piece, CAST(SUM(wc.cnt) AS BIGINT) AS c
+      FROM s${t}seg sg JOIN wcnt wc ON sg.w = wc.w,
+        unnest(sg.parr) AS u(piece)
+      GROUP BY u.piece
+    ), v$t AS (
+      SELECT piece, c FROM used$t
+      UNION ALL
+      SELECT piece, CAST(0 AS BIGINT) FROM chars
+      WHERE piece NOT IN (SELECT piece FROM used$t)
+    )"""
+    }.mkString
+    val f = p.iters + 1
+    s"""
+    WITH allw AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+      WHERE w != ''
+    ), wcnt AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+      WHERE w != '' AND length(w) <= ${p.maxWord}
+      GROUP BY w
+    ), types AS (
+      SELECT w FROM wcnt
+    ), sub0 AS MATERIALIZED (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+        SELECT substr(w, CAST(v.s AS INT), CAST(u.l AS INT)) AS piece,
+          cnt
+        FROM wcnt,
+          unnest(generate_series(1, least(length(w), ${p.maxPiece})))
+            AS u(l),
+          unnest(generate_series(1, length(w) - CAST(u.l AS INT) + 1))
+            AS v(s))
+      GROUP BY piece
+    ), chars AS (
+      SELECT piece, c FROM sub0 WHERE length(piece) = 1
+    ), kept0 AS (
+      SELECT piece, c FROM sub0 WHERE c >= ${p.minFreq}
+    ), v0 AS MATERIALIZED (
+      SELECT piece, c FROM kept0
+      UNION ALL
+      SELECT piece, c FROM chars
+      WHERE piece NOT IN (SELECT piece FROM kept0)
+    )$iterCtes, ${scoreCte(p.iters)}, ${dp(s"s$f", s"q${p.iters}")}
+    SELECT w AS word, CAST(n AS BIGINT) AS n_pieces,
+      array_to_string(parr, '|') AS pieces, TRUE AS covered
+    FROM s${f}seg
+    UNION ALL
+    SELECT w, CAST(1 AS BIGINT), w, FALSE FROM types
+    WHERE w NOT IN (SELECT w FROM s${f}seg)
+    UNION ALL
+    SELECT w, CAST(1 AS BIGINT), w, FALSE FROM allw
+    WHERE length(w) > ${p.maxWord}"""
+  }
+
   private def q161: String = {
     val p = SketchParams.q161
     def sq(a: String, b: String): String =
@@ -8062,6 +8183,7 @@ object OracleSql {
     "q214_matryoshka_recall" -> q214,
     "q215_isotonic_fit" -> q215,
     "q216_dsir_bigrams" -> q216,
+    "q217_unigram_lm" -> q217,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

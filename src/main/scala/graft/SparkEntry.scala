@@ -3923,6 +3923,25 @@ object SparkEntry {
       col("cal_rate"))
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer — the missing member
+    * of the tokenizer family (BPE q153, WordPiece q195, fertility
+    * q202): [[graft.operators.TextAnalysis.unigramLmTrain]] runs
+    * Kudo-2018 Viterbi-EM in exact fixed point (candidate substrings →
+    * quantized unigram scores → Viterbi E-step → occurrence-weighted
+    * recount, pruning unused pieces, chars always kept) and
+    * [[graft.operators.TextAnalysis.unigramLmSegment]] emits the final
+    * per-word-type segmentation. The DuckDB twin unrolls BOTH EM
+    * iterations and the final DP as CTEs, so TRAINING and serving
+    * hash-verify end-to-end. Params from [[SketchParams.q217]]. */
+  def q217UnigramLm(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q217
+    val docs = t(s, dir, "documents")
+    val model = TextAnalysis.unigramLmTrain(docs, "text", p.iters,
+      p.quant, p.maxPiece, p.maxWord, p.minFreq)
+    TextAnalysis.unigramLmSegment(docs, "text", model, p.maxPiece,
+      p.maxWord)
+  }
+
   /** Curation funnel report — the per-stage accounting of the q193
     * decision chain as a TRUE funnel (stages attributed exclusively in
     * pipeline order: quality-fail first, then blocklist among the
@@ -4783,7 +4802,8 @@ object SparkEntry {
     "q213_curation_funnel" -> (q213CurationFunnel _),
     "q214_matryoshka_recall" -> (q214MatryoshkaRecall _),
     "q215_isotonic_fit" -> (q215IsotonicFit _),
-    "q216_dsir_bigrams" -> (q216DsirBigrams _))
+    "q216_dsir_bigrams" -> (q216DsirBigrams _),
+    "q217_unigram_lm" -> (q217UnigramLm _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

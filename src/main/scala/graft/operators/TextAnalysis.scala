@@ -1476,6 +1476,174 @@ object TextAnalysis {
           col("word").as("pieces"), lit(false).as("covered")))
   }
 
+  /** Shared Viterbi subword DP over word TYPES — the q195 unrolled
+    * integer dynamic program generalized to any (piece, score) table:
+    * per word the DP minimizes (piece count, then −Σ score, then
+    * shortest-last-piece), encoded as `pieces·2⁵⁰ − Σscore` with the
+    * (cost ASC, piece-length ASC) argmin unique at every position, so
+    * the segmentation is deterministic by induction and an external
+    * engine replays it cut for cut. Carries the piece multiset as an
+    * ARRAY (the E-step needs multiplicities; '|'-splitting would
+    * miscount words containing a literal '|').
+    *
+    * @param types one row per distinct in-range word: (word)
+    * @return (word, n_pieces, parr) for words the vocab covers */
+  private def viterbiSegmentArr(types: DataFrame, vocab: DataFrame,
+      maxPiece: Int): DataFrame = {
+    val big = lit(1L << 50)
+    val v = vocab.select(col("piece"), col("score").cast("long")
+      .as("score")).localCheckpoint(false)
+    val maxLen = types.agg(max(length(col("word")))).head match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    var frames = Seq(types.select(col("word"), lit(0).as("pos"),
+      lit(0L).as("cost"), lit(0L).as("n"),
+      array().cast("array<string>").as("parr"))
+      .localCheckpoint(false))
+    (1 to maxLen).foreach { i =>
+      val best = frames.reduce(_.unionByName(_))
+      val cands = best
+        .filter(col("pos") < length(col("word")))
+        .filter(col("pos") >= i - maxPiece && col("pos") <= i - 1)
+        .filter(length(col("word")) >= i)
+        .withColumn("__piece",
+          expr(s"substring(word, pos + 1, $i - pos)"))
+        .join(v.select(col("piece").as("__piece"), col("score")),
+          Seq("__piece"))
+        .select(col("word"), lit(i).as("__i"),
+          (col("cost") + big - col("score")).as("cost"),
+          (col("n") + 1L).as("n"),
+          (lit(i) - col("pos")).as("__l"),
+          concat(col("parr"), array(col("__piece"))).as("parr"))
+      val stepBest = cands
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("word"))
+            .orderBy(col("cost").asc, col("__l").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("word"), col("__i").as("pos"), col("cost"),
+          col("n"), col("parr"))
+      frames = frames :+ stepBest.localCheckpoint(false)
+    }
+    frames.reduce(_.unionByName(_))
+      .filter(col("pos") === length(col("word")))
+      .select(col("word"), col("n").as("n_pieces"), col("parr"))
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINER — Kudo 2018's
+    * EM over a bounded candidate-piece inventory, in exact fixed point
+    * so the whole training run hash-verifies cross-engine (the q126
+    * quantized-EM convention):
+    *
+    *   - candidates: every substring of length ≤ `maxPiece` of the
+    *     in-range word types, occurrence-weighted, thresholded at
+    *     `minFreq` — plus ALL single characters (kept through every
+    *     round, SentencePiece's coverage guarantee);
+    *   - E-step: Viterbi-segment the word types under the current
+    *     piece scores `q = floor(quant · c / Σc)` — one IEEE divide of
+    *     exact integers then floor, bit-identical in any engine — with
+    *     the [[viterbiSegmentArr]] lexicographic objective (fewest
+    *     pieces, then highest Σq, then shortest-last): the log-product
+    *     Viterbi objective is replaced by this integer total order for
+    *     cross-engine exactness (the q195 no-libm argument; libm logs
+    *     are not correctly-rounded, so floor(quant·log p) can differ
+    *     in the last bit across engines);
+    *   - M-step: re-estimate c as the occurrence-weighted piece counts
+    *     along the best segmentations; non-character pieces the E-step
+    *     never used PRUNE to zero and leave the vocabulary (Kudo's
+    *     shrink step, deterministic form).
+    *
+    * `iters` EM rounds, then final scores from the last counts. Words
+    * longer than `maxWord` are excluded from training (they'd
+    * byte-fall-back in a real tokenizer; [[unigramLmSegment]] reports
+    * them uncovered). Piece inventory is bounded (≤ types·maxPiece²
+    * candidates), so every vocab frame is broadcast-sized model state.
+    *
+    * @return (piece, c, q) — the model artifact; q non-zero only for
+    *         pieces the final E-step used (chars ride at their final
+    *         counts, possibly 0) */
+  def unigramLmTrain(docs: DataFrame, textCol: String, iters: Int = 2,
+      quant: Long = 1000000L, maxPiece: Int = 4, maxWord: Int = 8,
+      minFreq: Long = 2L): DataFrame = {
+    require(iters >= 1 && quant >= 1 && maxPiece >= 1 && maxWord >= 1)
+    val wcnt = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+"))
+        .as("word"))
+      .filter(col("word") =!= "")
+      .filter(length(col("word")) <= maxWord)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    // occurrence-weighted substring candidates (+ all chars, always)
+    val subs = wcnt
+      .select(col("cnt"), explode(flatten(transform(
+        sequence(lit(1), least(length(col("word")), lit(maxPiece))),
+        l => transform(sequence(lit(1), length(col("word")) - l + 1),
+          s => substring(col("word"), s, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+    val chars = subs.filter(length(col("piece")) === 1)
+    var counts = subs.filter(col("c") >= minFreq)
+      .unionByName(chars.join(
+        subs.filter(col("c") >= minFreq).select(col("piece")),
+        Seq("piece"), "left_anti"))
+      .localCheckpoint(true)
+    val charSet = chars.select(col("piece")).localCheckpoint(true)
+    val types = wcnt.select(col("word")).localCheckpoint(false)
+    def scoresOf(c: DataFrame): DataFrame = {
+      val t = c.agg(sum(col("c")).as("__T"))
+      c.crossJoin(broadcast(t))
+        .select(col("piece"), col("c"),
+          floor(lit(quant) * (col("c").cast("double") /
+            col("__T").cast("double"))).cast("long").as("q"))
+    }
+    (1 to iters).foreach { _ =>
+      val seg = viterbiSegmentArr(types,
+        scoresOf(counts).select(col("piece"), col("q").as("score")),
+        maxPiece)
+      val used = seg.select(col("word"), explode(col("parr")).as("piece"))
+        .join(wcnt, Seq("word"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+      // prune unused non-char pieces; chars always survive (count 0)
+      counts = used.unionByName(
+          charSet.join(used.select(col("piece")), Seq("piece"),
+              "left_anti")
+            .select(col("piece"), lit(0L).as("c")))
+        .localCheckpoint(true)
+    }
+    scoresOf(counts).select(col("piece"), col("c"), col("q"))
+  }
+
+  /** Viterbi segmentation under a trained [[unigramLmTrain]] table —
+    * the [[wordpieceSegment]] output contract (word, n_pieces,
+    * '|'-joined pieces, covered), so [[tokenizerFertility]] wires
+    * directly. Words longer than `maxWord`, and in-range words the
+    * model cannot cover, pass through unsegmented with
+    * `covered = false`. */
+  def unigramLmSegment(docs: DataFrame, textCol: String,
+      model: DataFrame, maxPiece: Int = 4,
+      maxWord: Int = 8): DataFrame = {
+    val words = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+"))
+        .as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+      .localCheckpoint(false)
+    val inRange = words.filter(length(col("word")) <= maxWord)
+    val seg = viterbiSegmentArr(inRange,
+        model.select(col("piece"), col("q").as("score")), maxPiece)
+      .select(col("word"), col("n_pieces"),
+        array_join(col("parr"), "|").as("pieces"),
+        lit(true).as("covered"))
+    val uncovered = inRange
+      .join(seg.select(col("word")), Seq("word"), "left_anti")
+      .select(col("word"), lit(1L).as("n_pieces"),
+        col("word").as("pieces"), lit(false).as("covered"))
+    seg.unionByName(uncovered).unionByName(
+      words.filter(length(col("word")) > maxWord)
+        .select(col("word"), lit(1L).as("n_pieces"),
+          col("word").as("pieces"), lit(false).as("covered")))
+  }
+
   /** Tokenizer fertility evaluation: join a [[wordpieceSegment]]
     * frame (one row per word TYPE) back to per-(group, occurrence)
     * counts and report, per group (typically language), the

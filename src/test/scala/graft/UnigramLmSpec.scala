@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** Unigram-LM tokenizer (Kudo 2018 in exact fixed point): the EM
+  * trainer and Viterbi segmenter against a corpus small enough to run
+  * by hand, plus the fertility wiring and determinism.
+  *
+  * Hand computation for corpus "ab ab abc" (quant 1000, maxPiece 2,
+  * minFreq 1, iters 2):
+  *   - word counts: ab×2, abc×1
+  *   - c₀ (occurrence-weighted substrings): a:3 b:3 ab:3 c:1 bc:1,
+  *     T=11 → q₀: a:272 b:272 ab:272 c:90 bc:90
+  *   - E-step 1: "ab" → [ab] (1 piece beats [a,b]); "abc" → [ab,c]
+  *     vs [a,bc] tie on cost (2·big−362) broken by shorter LAST piece
+  *     → [ab,c]
+  *   - c₁: ab:3 c:1, chars a,b ride at 0; T=4 → q₁: ab:750 c:250
+  *     a:0 b:0 (bc pruned)
+  *   - E-step 2 reproduces the same segmentations → fixed point:
+  *     final model {ab:(3,750), c:(1,250), a:(0,0), b:(0,0)} */
+class UnigramLmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def corpus = Seq((1L, "ab ab abc")).toDF("doc_id", "text")
+
+  test("trainer reproduces the hand-computed EM fixed point") {
+    val model = TextAnalysis.unigramLmTrain(corpus, "text", iters = 2,
+        quant = 1000L, maxPiece = 2, maxWord = 8, minFreq = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(model == Set(("ab", 3L, 750L), ("c", 1L, 250L),
+      ("a", 0L, 0L), ("b", 0L, 0L)), model.toString)
+  }
+
+  test("segmenter follows the trained scores; ties break on shorter " +
+      "last piece; overlong and uncoverable words pass uncovered") {
+    val model = TextAnalysis.unigramLmTrain(corpus, "text", iters = 2,
+      quant = 1000L, maxPiece = 2, maxWord = 8, minFreq = 1L)
+    val toSeg = Seq((1L, "ab abc abababababab xyz")).toDF("doc_id", "text")
+    val seg = TextAnalysis.unigramLmSegment(toSeg, "text", model,
+        maxPiece = 2, maxWord = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getBoolean(3))).toSet
+    assert(seg == Set(
+      ("ab", 1L, "ab", true),
+      ("abc", 2L, "ab|c", true),
+      // 18 chars > maxWord 8: the byte-fallback lane
+      ("abababababab", 1L, "abababababab", false),
+      // chars x/y/z absent from the model: uncoverable in range
+      ("xyz", 1L, "xyz", false)), seg.toString)
+  }
+
+  test("training is deterministic run to run and fertility wires over " +
+      "the unigram segmentation") {
+    def model() = TextAnalysis.unigramLmTrain(corpus, "text", iters = 2,
+        quant = 1000L, maxPiece = 2, maxWord = 8, minFreq = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(model() == model(), "two identical trainings diverged")
+    val docs = Seq((1L, "en", "ab abc"), (2L, "de", "ab ab"))
+      .toDF("doc_id", "lang", "text")
+    val seg = TextAnalysis.unigramLmSegment(docs, "text",
+      TextAnalysis.unigramLmTrain(corpus, "text", 2, 1000L, 2, 8, 1L),
+      maxPiece = 2, maxWord = 8)
+    val fert = TextAnalysis.tokenizerFertility(docs, "text", "lang",
+        seg, quant = 1000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4))).toSet
+    // en: ab(1 piece) + abc(2 pieces) over 2 occurrences -> 1500
+    // de: ab + ab -> 1000
+    assert(fert == Set(("en", 2L, 3L, 1500L), ("de", 2L, 2L, 1000L)),
+      fert.toString)
+  }
+}
