@@ -592,6 +592,14 @@ object SketchParams {
     val iters = 2; val quant = 1000000L; val maxPiece = 4
     val maxWord = 8; val minFreq = 2L
   }
+  /** q218 per-source data card: the mixture-recipe ppm weights over
+    * the fixed src0..src19 source domain (generated — Σ = 600,000
+    * ppm) and the kept-token budget the card plans against. */
+  object q218 {
+    val weights: Seq[(String, Long)] =
+      (0 until 20).map(i => (s"src$i", 20000L + 5000L * (i % 5)))
+    val budget = 200000L
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -4583,20 +4591,27 @@ object OracleSql {
     * runs the kept set through the q194 exact-fill sequence packer). */
   private def q193DecCtes: String = {
     val p = SketchParams.q190
+    decChainCtes(s"doc_id % ${p.evalMod} = 0")
+  }
+
+  /** [[q193DecCtes]] with the scored slice parameterized: `dec` over
+    * the REAL documents matching `where` (training unchanged — the
+    * q190 train split). q218's data card passes TRUE to score the
+    * whole corpus with the shared model. */
+  private def decChainCtes(where: String): String = {
     val p49 = SketchParams.q49
     val pc = SketchParams.q193
     val pats = pc.patterns.map(s => s"('${s.replace("'", "''")}')")
       .mkString(", ")
     s"""$q190TrainCtes,
-    ${q190FeatCtes("e",
-        s"doc_id % ${p.evalMod} = 0 AND doc_id < 1000000")},
+    ${q190FeatCtes("e", s"($where) AND doc_id < 1000000")},
     es AS (
       SELECT f.id, CAST(SUM(f.tf * COALESCE(w.w, 0)) AS BIGINT) AS s
       FROM efeat f LEFT JOIN wavg w ON f.bucket = w.bucket
       GROUP BY f.id
     ), slice AS (
       SELECT doc_id, text FROM documents
-      WHERE doc_id % ${p.evalMod} = 0
+      WHERE $where
     ), bl AS (
       SELECT s.doc_id, SUM(len(list_filter(
           generate_series(1, length(s.text) - length(pp.pat) + 1),
@@ -6366,6 +6381,108 @@ object OracleSql {
     SELECT source, n_docs, n_dups,
       CAST(n_dups AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
     FROM per_source"""
+
+  /** Per-source pretraining DATA CARD (q218): ONE report row per
+    * source over ONE population (every real document, scored with the
+    * shared q190 model — `decChainCtes(TRUE)`), composing the
+    * library's curation observability family — the q193/q213 funnel
+    * sliced by source (docs, kept, token yield), the q147 dedup-rate
+    * shape (q56 component resolution over the SAME full-corpus pair
+    * list the decision chain already binds as `pairs`), the q207
+    * per-source KS drift of the q206 language slice (LEFT joined —
+    * one-sided sources carry NULL), and the q146 mixture plan run
+    * over the KEPT token inventory (the post-curation mixture,
+    * weights from [[SketchParams.q218]]). */
+  private def q218: String = {
+    val p = SketchParams.q218
+    val lang = SketchParams.q206.lang
+    val cases = p.weights.map { case (g, w) => s"WHEN '$g' THEN $w" }
+      .mkString(" ")
+    val q = p.budget / 1000000L
+    val r = p.budget % 1000000L
+    s"""
+    WITH RECURSIVE ${decChainCtes("TRUE")}, edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, rr) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT re.id, e.dst FROM reach re JOIN edges e ON re.rr = e.src
+    ), comp AS (
+      SELECT id, MIN(rr) AS component FROM reach GROUP BY id
+    ), assign AS (
+      SELECT sl.doc_id AS id, COALESCE(c.component, sl.doc_id)
+        AS keep_id
+      FROM slice sl LEFT JOIN comp c ON sl.doc_id = c.id
+    ), dd AS (
+      SELECT d.source,
+        CAST(SUM(CASE WHEN a.id != a.keep_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_dups
+      FROM assign a JOIN documents d ON a.id = d.doc_id
+      GROUP BY d.source
+    ), fun AS (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN dec.kept THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(SUM(dec.n_tokens) AS BIGINT) AS total_tokens,
+        CAST(SUM(CASE WHEN dec.kept THEN dec.n_tokens ELSE 0 END)
+          AS BIGINT) AS kept_tokens
+      FROM dec JOIN documents d ON dec.doc_id = d.doc_id
+      GROUP BY d.source
+    ), dm AS (
+      SELECT source AS grp, n_chars AS v,
+        CAST(SUM(CASE WHEN lang = '$lang' THEN 1 ELSE 0 END) AS BIGINT)
+          AS ca,
+        CAST(SUM(CASE WHEN lang != '$lang' THEN 1 ELSE 0 END) AS BIGINT)
+          AS cb
+      FROM documents WHERE n_chars IS NOT NULL
+      GROUP BY source, n_chars
+    ), dc AS (
+      SELECT grp, v,
+        CAST(SUM(ca) OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+          AS cuma,
+        CAST(SUM(cb) OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+          AS cumb,
+        CAST(SUM(ca) OVER (PARTITION BY grp) AS BIGINT) AS na,
+        CAST(SUM(cb) OVER (PARTITION BY grp) AS BIGINT) AS nb
+      FROM dm
+    ), drift AS (
+      SELECT grp AS source,
+        CAST(d AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks_drift
+      FROM (
+        SELECT grp, na, nb, abs(cuma * nb - cumb * na) AS d,
+          row_number() OVER (PARTITION BY grp
+            ORDER BY abs(cuma * nb - cumb * na) DESC, v ASC) AS rn
+        FROM dc WHERE na > 0 AND nb > 0)
+      WHERE rn = 1
+    ), plan AS (
+      SELECT source, weight_ppm,
+        CAST($q * weight_ppm + ($r * weight_ppm) // 1000000 AS BIGINT)
+          AS target_tokens
+      FROM (
+        SELECT source,
+          CAST(CASE source $cases ELSE 0 END AS BIGINT) AS weight_ppm
+        FROM fun)
+    )
+    SELECT f.source, f.n_docs, f.n_kept, f.kept_tokens,
+      CAST(f.kept_tokens AS DOUBLE) / CAST(f.total_tokens AS DOUBLE)
+        AS token_yield,
+      dd.n_dups,
+      CAST(dd.n_dups AS DOUBLE) / CAST(f.n_docs AS DOUBLE) AS dup_rate,
+      dr.ks_drift,
+      pl.weight_ppm, pl.target_tokens,
+      CASE WHEN f.kept_tokens = 0 THEN 0.0
+        ELSE least(1.0, CAST(pl.target_tokens AS DOUBLE) /
+          CAST(f.kept_tokens AS DOUBLE)) END AS sample_rate,
+      CASE WHEN f.kept_tokens = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST((pl.target_tokens + f.kept_tokens - 1) // f.kept_tokens
+          AS BIGINT) END AS epochs
+    FROM fun f
+    JOIN dd ON f.source = dd.source
+    LEFT JOIN drift dr ON f.source = dr.source
+    JOIN plan pl ON f.source = pl.source"""
+  }
 
   /** Minimum spanning forest (q148): Borůvka rounds unrolled —
     * per round a cross-component edge join, a (w, lo, hi)-ordered
@@ -8184,6 +8301,7 @@ object OracleSql {
     "q215_isotonic_fit" -> q215,
     "q216_dsir_bigrams" -> q216,
     "q217_unigram_lm" -> q217,
+    "q218_data_card" -> q218,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

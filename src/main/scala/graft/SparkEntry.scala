@@ -3592,31 +3592,58 @@ object SparkEntry {
     (SparkSession, String), DataFrame]
   private def q193Flags(s: SparkSession, dir: String): DataFrame =
     memoCheckpoint(q193FlagsMemo, s, dir) {
+      val p = SketchParams.q190
+      val real = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      decisionFlags(s, dir,
+        real.filter(col("doc_id") % p.evalMod === 0))
+    }
+
+  /** The q190 trained weight table, memoized per (session, dir) — ONE
+    * training run shared by the q193 decision chain and the q218 data
+    * card (zero retraining across the observability family). */
+  private val q190WeightsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def q190CurWeights(s: SparkSession, dir: String): DataFrame =
+    memoCheckpoint(q190WeightsMemo, s, dir) {
+      val p = SketchParams.q190
+      val real = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val junkText = array_join(transform(
+        split(trim(lower(col("text"))), "\\s+"),
+        w => substring(md5(concat(w, lit(":junk"))), 1, 8)), " ")
+      val corpus = real.select(col("doc_id"), col("text"),
+          lit(1L).as("label"))
+        .unionByName(real.select(
+          (col("doc_id") + lit(1000000L)).as("doc_id"),
+          junkText.as("text"), lit(-1L).as("label")))
+      operators.Classifier.perceptronTrain(
+        corpus.filter(col("doc_id") % p.evalMod =!= 0), "text",
+        "doc_id", "label", p.nBuckets, p.epochs)
+    }
+
+  /** The q193 per-doc decision chain (score → blocklist → near-dup →
+    * keep) over an arbitrary real-doc slice, scored with the SHARED
+    * [[q190CurWeights]] model. `pairs` (if given) supplies a
+    * precomputed minhash pair list over the slice instead of running
+    * the sketch inside — the q218 card reuses ITS pair frame for both
+    * the dup flags and the cluster resolution. */
+  private def decisionFlags(s: SparkSession, dir: String,
+      eval0: DataFrame,
+      pairs: Option[DataFrame] = None): DataFrame = {
     val p = SketchParams.q190
     val p49 = SketchParams.q49
     val pc = SketchParams.q193
-    val real = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val junkText = array_join(transform(
-      split(trim(lower(col("text"))), "\\s+"),
-      w => substring(md5(concat(w, lit(":junk"))), 1, 8)), " ")
-    val corpus = real.select(col("doc_id"), col("text"),
-        lit(1L).as("label"))
-      .unionByName(real.select(
-        (col("doc_id") + lit(1000000L)).as("doc_id"),
-        junkText.as("text"), lit(-1L).as("label")))
-    val weights = operators.Classifier.perceptronTrain(
-      corpus.filter(col("doc_id") % p.evalMod =!= 0), "text", "doc_id",
-      "label", p.nBuckets, p.epochs)
-    val eval = real.filter(col("doc_id") % p.evalMod === 0)
-      .localCheckpoint(false)
+    val weights = q190CurWeights(s, dir)
+    val eval = eval0.localCheckpoint(false)
     val scored = operators.Classifier.perceptronScore(eval, weights,
       "text", "doc_id", p.nBuckets)
     val blocked = operators.TextAnalysis.blocklistGate(eval, "text",
         "doc_id", pc.patterns)
       .select(col("doc_id"), col("blocked"))
-    val dupIds = operators.Dedup.minhashLshPortable(eval, "text",
-        "doc_id", p49.ngram, p49.numHashes, p49.bands,
-        p49.jaccardThreshold)
+    val dupIds = pairs.getOrElse(
+        operators.Dedup.minhashLshPortable(eval, "text",
+          "doc_id", p49.ngram, p49.numHashes, p49.bands,
+          p49.jaccardThreshold))
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("__dup", lit(true))
     eval
@@ -3633,6 +3660,35 @@ object SparkEntry {
       .withColumn("kept",
         col("predicted") && !col("blocked") && !col("dup_drop"))
   }
+
+  /** The q218 card's FULL-corpus minhash pair list (the q49 portable
+    * kernel over every real doc), shared by the card's dup flags AND
+    * its cluster resolution — one sketch pass. */
+  private val q218PairsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def q218Pairs(s: SparkSession, dir: String): DataFrame =
+    memoCheckpoint(q218PairsMemo, s, dir) {
+      val p49 = SketchParams.q49
+      operators.Dedup.minhashLshPortable(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id",
+        p49.ngram, p49.numHashes, p49.bands, p49.jaccardThreshold)
+    }
+
+  /** The q218 card's decision frame: the SAME chain over the WHOLE
+    * real corpus (the q193 eval residue hits only 4 of the 20 sources
+    * — doc_id % 5 aliases src{doc_id % 20} — so the card scores every
+    * doc with the shared model instead; training still happens
+    * exactly once via [[q190CurWeights]], and the dup flags reuse
+    * [[q218Pairs]]). */
+  private val q218FlagsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def q218Flags(s: SparkSession, dir: String): DataFrame =
+    memoCheckpoint(q218FlagsMemo, s, dir) {
+      decisionFlags(s, dir,
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        pairs = Some(q218Pairs(s, dir)))
+    }
 
   def q193LearnedCuration(s: SparkSession, dir: String): DataFrame = {
     val pc = SketchParams.q193
@@ -3940,6 +3996,63 @@ object SparkEntry {
       p.quant, p.maxPiece, p.maxWord, p.minFreq)
     TextAnalysis.unigramLmSegment(docs, "text", model, p.maxPiece,
       p.maxWord)
+  }
+
+  /** Per-source pretraining DATA CARD — the artifact a curation team
+    * publishes with a dataset release: ONE report row per source over
+    * ONE population (every real document, scored with the SHARED
+    * [[q190CurWeights]] model — zero retraining), composing the
+    * observability family: the q193/q213 curation funnel sliced by
+    * source ([[q218Flags]] — docs, kept, token yield), the q147
+    * dedup-rate shape (q56 component resolution over the SAME
+    * memoized full-corpus pair list [[q218Pairs]] the dup flags use —
+    * one sketch pass), the q207 per-source KS drift of the q206
+    * language slice (LEFT joined — one-sided sources carry NULL), and
+    * the q146 mixture plan over the KEPT token inventory (the
+    * post-curation mixture a trainer would actually sample). Params
+    * from [[SketchParams.q218]]. */
+  def q218DataCard(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q218
+    val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val funnel = q218Flags(s, dir)
+      .join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+    val assign = operators.Components.dedupAssignments(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id",
+      q218Pairs(s, dir), "id_a", "id_b")
+    val dedup = assign
+      .select(col("id").as("doc_id"),
+        (col("id") =!= col("keep_id")).as("is_dup"))
+      .join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+    val drift = operators.Stats.ksStatisticByGroup(
+        t(s, dir, "documents"), "source",
+        col("lang") === SketchParams.q206.lang, "n_chars")
+      .select(col("source"), col("ks").as("ks_drift"))
+    val plan = operators.Sampling.mixturePlan(
+        funnel.select(col("source"), col("kept_tokens")),
+        "source", "kept_tokens", p.weights.toMap, p.budget)
+      .select(col("source"), col("weight_ppm"), col("target_tokens"),
+        col("sample_rate"), col("epochs"))
+    funnel
+      .join(dedup, Seq("source"))
+      .join(drift, Seq("source"), "left")
+      .join(broadcast(plan), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("kept_tokens"),
+        (col("kept_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("token_yield"),
+        col("n_dups"),
+        (col("n_dups").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"),
+        col("ks_drift"), col("weight_ppm"), col("target_tokens"),
+        col("sample_rate"), col("epochs"))
   }
 
   /** Curation funnel report — the per-stage accounting of the q193
@@ -4803,7 +4916,8 @@ object SparkEntry {
     "q214_matryoshka_recall" -> (q214MatryoshkaRecall _),
     "q215_isotonic_fit" -> (q215IsotonicFit _),
     "q216_dsir_bigrams" -> (q216DsirBigrams _),
-    "q217_unigram_lm" -> (q217UnigramLm _))
+    "q217_unigram_lm" -> (q217UnigramLm _),
+    "q218_data_card" -> (q218DataCard _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -397,6 +397,118 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming per-batch DATA CARD — q218's streaming twin: every
+    * micro-batch of (id, source, text, size) documents emits ONE card
+    * row per source into the sink, tagged with the batch id — the
+    * live dashboard a curation ingest publishes alongside its output:
+    *
+    *   - funnel: the trained quality gate
+    *     ([[graft.operators.Classifier.perceptronScore]], model
+    *     offline), the blocklist, and the near-dup screen against the
+    *     caller's static history index
+    *     ([[graft.operators.Dedup.incrementalDedupPrepared]]) — per
+    *     source the doc/kept counts, token yield, and the screen's
+    *     duplicate rate (here "duplicate" means rejected against
+    *     HISTORY, the streaming analog of q218's in-corpus clusters);
+    *   - drift: per-source exact KS
+    *     ([[graft.operators.Stats.ksStatisticByGroup]]) of the
+    *     batch's size distribution against a static reference
+    *     (one-sided sources carry NULL);
+    *   - mixture: the q146 plan over the batch's KEPT token inventory.
+    *
+    * Per-batch cost is batch-proportional (gates map-only, the screen
+    * probes prepared frames, drift joins the batch against the
+    * materialized reference). Rows append (batch_id, source, n_docs,
+    * n_kept, kept_tokens, token_yield, n_dups, dup_rate, ks_drift,
+    * weight_ppm, target_tokens, sample_rate, epochs). */
+  def dataCardIngest(
+      docsStream: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, sizeCol: String,
+      weights: DataFrame, patterns: Seq[String],
+      history: graft.operators.Dedup.PreparedCorpus,
+      reference: DataFrame, weightsPpm: Map[String, Long],
+      budgetTokens: Long, sinkPath: String, checkpointPath: String,
+      nBuckets: Int = 4096, jaccardThreshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = weights.localCheckpoint(false)
+    val ref = reference.select(col(sourceCol), col(sizeCol))
+      .localCheckpoint(false)
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        dataCardOfBatch(batch.toDF(), textCol, idCol, sourceCol,
+          sizeCol, w, patterns, history, ref, weightsPpm, budgetTokens,
+          nBuckets, jaccardThreshold)
+          .select(lit(id).as("batch_id"), col(sourceCol),
+            col("n_docs"), col("n_kept"), col("kept_tokens"),
+            col("token_yield"), col("n_dups"), col("dup_rate"),
+            col("ks_drift"), col("weight_ppm"), col("target_tokens"),
+            col("sample_rate"), col("epochs"))
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+  }
+
+  /** The per-batch card body of [[dataCardIngest]] — exposed so the
+    * spec replays a batch through the identical composition. */
+  private[graft] def dataCardOfBatch(
+      b: DataFrame, textCol: String, idCol: String, sourceCol: String,
+      sizeCol: String, weights: DataFrame, patterns: Seq[String],
+      history: graft.operators.Dedup.PreparedCorpus,
+      reference: DataFrame, weightsPpm: Map[String, Long],
+      budgetTokens: Long, nBuckets: Int,
+      jaccardThreshold: Double): DataFrame = {
+    val passedQ = graft.operators.Classifier
+      .perceptronScore(b, weights, textCol, idCol, nBuckets)
+      .select(col(idCol), col("predicted"))
+    val blockedIds = graft.operators.TextAnalysis
+      .blocklistGate(b, textCol, idCol, patterns)
+      .select(col("doc_id").as(idCol), col("blocked"))
+    val novel = graft.operators.Dedup
+      .incrementalDedupPrepared(b, history, textCol, idCol,
+        jaccardThreshold)
+      .select(col(idCol)).withColumn("__novel", lit(true))
+    val flags = b.select(col(idCol), col(sourceCol), col(sizeCol),
+        size(split(trim(col(textCol)), "\\s+")).cast("long")
+          .as("__tok"))
+      .join(passedQ, Seq(idCol))
+      .join(blockedIds, Seq(idCol))
+      .join(novel, Seq(idCol), "left")
+      .withColumn("__dup", !coalesce(col("__novel"), lit(false)))
+      .withColumn("__kept",
+        col("predicted") && !col("blocked") && !col("__dup"))
+    val funnel = flags.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("__tok")).as("total_tokens"),
+        sum(when(col("__kept"), col("__tok")).otherwise(0L))
+          .as("kept_tokens"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dups"))
+    val drift = graft.operators.Stats.ksStatisticByGroup(
+        b.select(col(sourceCol), col(sizeCol))
+          .withColumn("__a", lit(true))
+          .unionByName(reference.select(col(sourceCol), col(sizeCol))
+            .withColumn("__a", lit(false))),
+        sourceCol, col("__a"), sizeCol)
+      .select(col(sourceCol), col("ks").as("ks_drift"))
+    val plan = graft.operators.Sampling.mixturePlan(
+        funnel.select(col(sourceCol), col("kept_tokens")),
+        sourceCol, "kept_tokens", weightsPpm, budgetTokens)
+      .select(col(sourceCol), col("weight_ppm"), col("target_tokens"),
+        col("sample_rate"), col("epochs"))
+    funnel.join(drift, Seq(sourceCol), "left")
+      .join(broadcast(plan), Seq(sourceCol))
+      .select(col(sourceCol), col("n_docs"), col("n_kept"),
+        col("kept_tokens"),
+        (col("kept_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("token_yield"),
+        col("n_dups"),
+        (col("n_dups").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"),
+        col("ks_drift"), col("weight_ppm"), col("target_tokens"),
+        col("sample_rate"), col("epochs"))
+  }
+
   /** Streaming Kneser–Ney LM gate — q188's streaming twin: the KN
     * trigram model is trained ONCE on the static reference
     * ([[graft.operators.TextAnalysis.knTrigramModel]], every count
