@@ -5216,7 +5216,42 @@ object OracleSql {
     * occurrence-weighted recount with unused non-char pieces pruned,
     * then the final DP under the last scores. Generated from
     * [[SketchParams.q217]]. */
-  private def q217: String = {
+  private def q217: String = s"""
+    WITH $unigramCtes
+    SELECT word, n_pieces, pieces, covered FROM useg"""
+
+  /** Unigram-tokenizer fertility (q219): the q202 aggregation over the
+    * q217 segmentation chain. */
+  private def q219: String = {
+    val q = SketchParams.q202.quant
+    s"""
+    WITH $unigramCtes, lw AS (
+      SELECT lang, w AS word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT lang, unnest(string_split_regex(trim(lower(text)),
+          '\\s+')) AS w
+        FROM documents)
+      WHERE w != ''
+      GROUP BY lang, w
+    ), agg AS (
+      SELECT lang,
+        CAST(SUM(tf) AS BIGINT) AS n_occ,
+        CAST(SUM(tf * n_pieces) AS BIGINT) AS pieces_total,
+        CAST(SUM(CASE WHEN covered THEN tf ELSE 0 END) AS BIGINT)
+          AS covered_occ
+      FROM lw JOIN useg USING (word)
+      GROUP BY lang
+    )
+    SELECT lang, n_occ, pieces_total, covered_occ,
+      (CAST($q AS BIGINT) * pieces_total) // n_occ AS fertility_q,
+      (CAST($q AS BIGINT) * covered_occ) // n_occ AS covered_q
+    FROM agg"""
+  }
+
+  /** The q217 unigram-LM chain (candidates → quantized EM → final DP),
+    * ending in `useg(word, n_pieces, pieces, covered)` — shared by
+    * q217 and q219's fertility report. */
+  private def unigramCtes: String = {
     val p = SketchParams.q217
     val big = 1L << 50
     // one unrolled Viterbi DP over `types`, scored by CTE `scoreCte`
@@ -5276,8 +5311,7 @@ object OracleSql {
     )"""
     }.mkString
     val f = p.iters + 1
-    s"""
-    WITH allw AS (
+    s"""allw AS (
       SELECT DISTINCT w FROM (
         SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
         FROM documents)
@@ -5309,16 +5343,18 @@ object OracleSql {
       UNION ALL
       SELECT piece, c FROM chars
       WHERE piece NOT IN (SELECT piece FROM kept0)
-    )$iterCtes, ${scoreCte(p.iters)}, ${dp(s"s$f", s"q${p.iters}")}
-    SELECT w AS word, CAST(n AS BIGINT) AS n_pieces,
-      array_to_string(parr, '|') AS pieces, TRUE AS covered
-    FROM s${f}seg
-    UNION ALL
-    SELECT w, CAST(1 AS BIGINT), w, FALSE FROM types
-    WHERE w NOT IN (SELECT w FROM s${f}seg)
-    UNION ALL
-    SELECT w, CAST(1 AS BIGINT), w, FALSE FROM allw
-    WHERE length(w) > ${p.maxWord}"""
+    )$iterCtes, ${scoreCte(p.iters)}, ${dp(s"s$f", s"q${p.iters}")},
+    useg AS (
+      SELECT w AS word, CAST(n AS BIGINT) AS n_pieces,
+        array_to_string(parr, '|') AS pieces, TRUE AS covered
+      FROM s${f}seg
+      UNION ALL
+      SELECT w, CAST(1 AS BIGINT), w, FALSE FROM types
+      WHERE w NOT IN (SELECT w FROM s${f}seg)
+      UNION ALL
+      SELECT w, CAST(1 AS BIGINT), w, FALSE FROM allw
+      WHERE length(w) > ${p.maxWord}
+    )"""
   }
 
   private def q161: String = {
@@ -8302,6 +8338,7 @@ object OracleSql {
     "q216_dsir_bigrams" -> q216,
     "q217_unigram_lm" -> q217,
     "q218_data_card" -> q218,
+    "q219_unigram_fertility" -> q219,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -3989,14 +3989,43 @@ object SparkEntry {
     * per-word-type segmentation. The DuckDB twin unrolls BOTH EM
     * iterations and the final DP as CTEs, so TRAINING and serving
     * hash-verify end-to-end. Params from [[SketchParams.q217]]. */
-  def q217UnigramLm(s: SparkSession, dir: String): DataFrame = {
-    val p = SketchParams.q217
-    val docs = t(s, dir, "documents")
-    val model = TextAnalysis.unigramLmTrain(docs, "text", p.iters,
-      p.quant, p.maxPiece, p.maxWord, p.minFreq)
-    TextAnalysis.unigramLmSegment(docs, "text", model, p.maxPiece,
-      p.maxWord)
-  }
+  def q217UnigramLm(s: SparkSession, dir: String): DataFrame =
+    q217Seg(s, dir)
+
+  /** The q217 segmentation frame, memoized per (session, dir) — the
+    * EM training + final DP run once for q217 and q219's fertility
+    * report (the q195Seg convention). The trained model rides the
+    * SPARK_GRAFT_CENTROIDS_DIR artifact opt-in (the q92/q199
+    * convention; (piece, c, q) round-trips bit-exactly). */
+  private val q217SegMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def q217Seg(s: SparkSession, dir: String): DataFrame =
+    memoCheckpoint(q217SegMemo, s, dir) {
+      val p = SketchParams.q217
+      implicit val spark: SparkSession = s
+      val docs = t(s, dir, "documents")
+      def trained = TextAnalysis.unigramLmTrain(docs, "text", p.iters,
+        p.quant, p.maxPiece, p.maxWord, p.minFreq)
+      val model = sys.env.get("SPARK_GRAFT_CENTROIDS_DIR") match {
+        case Some(root) => TextAnalysis.trainOrLoadUnigramModel(
+          s"$root/q217_i${p.iters}_p${p.maxPiece}_w${p.maxWord}")(
+          trained)
+        case None => trained
+      }
+      TextAnalysis.unigramLmSegment(docs, "text", model, p.maxPiece,
+        p.maxWord)
+    }
+
+  /** Unigram-tokenizer fertility per language — q202's report over
+    * the q217 segmentation (the SentencePiece-style tokenizer graded
+    * by the same occurrence-weighted pieces-per-word metric as
+    * WordPiece, so the two tokenizers' fertility is directly
+    * comparable). Reuses the memoized [[q217Seg]] frame — the EM
+    * trains once across both queries. */
+  def q219UnigramFertility(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.tokenizerFertility(
+      t(s, dir, "documents"), "text", "lang", q217Seg(s, dir),
+      SketchParams.q202.quant)
 
   /** Per-source pretraining DATA CARD — the artifact a curation team
     * publishes with a dataset release: ONE report row per source over
@@ -4917,7 +4946,8 @@ object SparkEntry {
     "q215_isotonic_fit" -> (q215IsotonicFit _),
     "q216_dsir_bigrams" -> (q216DsirBigrams _),
     "q217_unigram_lm" -> (q217UnigramLm _),
-    "q218_data_card" -> (q218DataCard _))
+    "q218_data_card" -> (q218DataCard _),
+    "q219_unigram_fertility" -> (q219UnigramFertility _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

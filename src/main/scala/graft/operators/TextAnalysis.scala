@@ -1613,6 +1613,28 @@ object TextAnalysis {
     scoresOf(counts).select(col("piece"), col("c"), col("q"))
   }
 
+  /** Persist a [[unigramLmTrain]] model — one STRING + two BIGINT
+    * columns, bit-exact round trip (the tokenizer-artifact convention:
+    * BPE merge tables, WordPiece vocabularies). */
+  def saveUnigramModel(model: DataFrame, path: String): Unit =
+    model.select(col("piece").cast("string"), col("c").cast("long"),
+      col("q").cast("long"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Bit-exact inverse of [[saveUnigramModel]]. */
+  def loadUnigramModel(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read.parquet(path).select(col("piece"), col("c"), col("q"))
+
+  /** Train-once-reuse for the unigram-LM model (the
+    * `trainOrLoadBpeMerges` convention): load if present, else train,
+    * persist, serve from the PERSISTED copy. */
+  def trainOrLoadUnigramModel(path: String)(build: => DataFrame)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    try { val m = loadUnigramModel(path); m.queryExecution.analyzed; m }
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      saveUnigramModel(build, path); loadUnigramModel(path) }
+
   /** Viterbi segmentation under a trained [[unigramLmTrain]] table —
     * the [[wordpieceSegment]] output contract (word, n_pieces,
     * '|'-joined pieces, covered), so [[tokenizerFertility]] wires

@@ -55,6 +55,29 @@ class UnigramLmSpec extends AnyFunSuite {
       ("xyz", 1L, "xyz", false)), seg.toString)
   }
 
+  test("model persists bit-exactly; trainOrLoadUnigramModel builds " +
+      "once and the loaded model segments identically") {
+    implicit val s = spark
+    val m = TextAnalysis.unigramLmTrain(corpus, "text", iters = 2,
+      quant = 1000L, maxPiece = 2, maxWord = 8, minFreq = 1L)
+    val path = java.nio.file.Files.createTempDirectory("uni-model")
+      .toString + "/m"
+    var builds = 0
+    def build = { builds += 1; m }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val first = TextAnalysis.trainOrLoadUnigramModel(path)(build)
+    assert(builds == 1)
+    assert(rows(first) == rows(m), "persisted model diverged")
+    val second = TextAnalysis.trainOrLoadUnigramModel(path)(build)
+    assert(builds == 1, "second call re-trained instead of loading")
+    assert(second.inputFiles.nonEmpty, "load not backed by the file")
+    def seg(model: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.unigramLmSegment(corpus, "text", model, 2, 8)
+        .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(seg(second) == seg(m), "loaded model segments differently")
+  }
+
   test("training is deterministic run to run and fertility wires over " +
       "the unigram segmentation") {
     def model() = TextAnalysis.unigramLmTrain(corpus, "text", iters = 2,
