@@ -1684,14 +1684,12 @@ object OracleSql {
     ), banded AS (
       SELECT doc_id, simhash, b.band, (simhash >> b.off) & b.mask AS bv
       FROM fp CROSS JOIN (VALUES $bandVals) b(band, off, mask)
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        a.simhash AS ha, b.simhash AS hb
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-    FROM cand WHERE bit_count(xor(ha, hb)) <= ${p.maxHamming}"""
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= ${p.maxHamming}"""
   }
 
   /** Portable-LSH ANN (q51 at planes=4/k=10/8 queries; q34 at

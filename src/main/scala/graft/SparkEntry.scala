@@ -502,7 +502,12 @@ object SparkEntry {
     val docs = nearDupCorpus(s, dir)
       .filter(col("doc_id") % 1000000L < p.corpusMax)
       .filter(col("text").isNotNull && col("text") =!= "")
+    // fingerprints materialized ONCE: the banded join is a SELF-join,
+    // and without the checkpoint each side re-runs the corpus scan,
+    // normalization, and the 60-bit majority kernel (the r17 probe
+    // measured the un-materialized form at 22 s vs 5 s total here)
     val fp = Dedup.simhashPortable(docs, "text", "doc_id")
+      .localCheckpoint(false)
     val bandStructs = p.bandLayout.zipWithIndex.map {
       case ((off, wd), bi) =>
         struct(lit(bi).as("band"),
@@ -517,14 +522,19 @@ object SparkEntry {
       col("simhash").as("__ha"), col("band"), col("bv"))
     val b = banded.select(col("doc_id").as("id_b"),
       col("simhash").as("__hb"), col("band"), col("bv"))
+    // hamming filter BEFORE the distinct: band values over a shared
+    // vocabulary are heavily skewed, so the candidate join emits tens
+    // of millions of rows — the bit_count gate is a map-side codegen
+    // op that kills non-qualifying pairs in place, and only the ~0.3%
+    // survivors (× ≤ bands multiplicity) reach the distinct shuffle
+    // (the r17 bench caught the distinct-first version at 20 s)
     a.join(b, Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
-      .distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("__ha").bitwiseXOR(col("__hb")))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= p.maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard join over inverted-index candidates — oracled

@@ -807,6 +807,34 @@ class PlanQualitySpec extends AnyFunSuite {
       "q211 aggregation lost its map-side partial")
   }
 
+  test("q31: pigeonhole bands join as an equi join, never a cartesian; " +
+      "the pair distinct is a hash aggregate (r17)") {
+    val plan = executed("q31_simhash")
+    assert(!plan.contains("CartesianProduct"),
+      "banded self-join must stay an equi join")
+    assert(plan.contains("HashAggregate"),
+      "candidate-pair distinct must hash-aggregate")
+  }
+
+  test("q35: fuzzy top-1 joins on the block key (no cartesian) and " +
+      "takes one window pass (r17)") {
+    val plan = executed("q35_token_sort_fuzzy")
+    assert(!plan.contains("CartesianProduct"),
+      "blocked join must stay an equi join")
+    assert("Window".r.findAllIn(plan).size >= 1,
+      "per-customer argmax should be one window pass")
+  }
+
+  test("q218: card assembly broadcasts the per-source frames and never " +
+      "cartesians; the funnel aggregate keeps its map-side partial (r17)") {
+    val plan = executed("q218_data_card")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the ~20-row plan/dim sides must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "funnel aggregation lost its map-side partial")
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
