@@ -199,6 +199,92 @@ object Soak {
       return
     }
 
+    if (mode == "datacard") {
+      // the q218 per-source data card at replica scale, over the
+      // DIVERSIFIED-vocabulary corpus (§9o: families of true
+      // near-dups in a sea of mutually-dissimilar docs — the
+      // realistic regime for the card's pair sketch; the flat
+      // synthetic vocabulary would make the pair set quadratic by
+      // construction). Sources synthesized as doc_id % 20.
+      val fam = (col("doc_id") % 10000000L).cast("string")
+      val div = docs.select(col("doc_id"),
+          concat_ws(" ", transform(split(trim(lower(col("text"))), "\\s+"),
+            w => substring(md5(concat(w, lit(":"), fam)), 1, 8)))
+            .as("text"),
+          (col("doc_id") % 20).cast("string").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .localCheckpoint(false)
+      val n = div.count()
+      println(s"[soak] datacard corpus: $n docs, 20 sources")
+      val junk = div.select(
+        (col("doc_id") + lit(1000000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => substring(md5(concat(w, lit(":junk"))), 1, 8)))
+          .as("text"))
+      val train = div.select(col("doc_id"), col("text"),
+          lit(1L).as("label"))
+        .unionByName(junk.select(col("doc_id"), col("text"),
+          lit(-1L).as("label")))
+      val weights = timed("perceptron train (2 epochs, real+junk)") {
+        val w = operators.Classifier.perceptronTrain(
+          train.filter(col("doc_id") % 5 =!= 0), "text", "doc_id",
+          "label", 2048, 2).localCheckpoint(true)
+        println(s"[soak]   -> ${w.count()} weight rows"); w
+      }
+      val pairs = timed("minhash pair sketch (full corpus)") {
+        val p = operators.Dedup.minhashLshPortable(div, "text",
+          "doc_id", 3, 8, 4, 0.5).localCheckpoint(true)
+        println(s"[soak]   -> ${p.count()} pairs"); p
+      }
+      timed("card assembly (flags + CC + per-source KS + plan)") {
+        val scored = operators.Classifier.perceptronScore(div, weights,
+          "text", "doc_id", 2048)
+        val blocked = operators.TextAnalysis.blocklistGate(div, "text",
+            "doc_id", Seq("zzznever"))
+          .select(col("doc_id"), col("blocked"))
+        val dup = pairs.select(col("id_b").as("doc_id")).distinct()
+          .withColumn("__dup", lit(true))
+        val flags = div
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .join(scored.select(col("doc_id"), col("predicted")),
+            Seq("doc_id"))
+          .join(blocked, Seq("doc_id"))
+          .join(dup, Seq("doc_id"), "left")
+          .withColumn("kept", col("predicted") && !col("blocked") &&
+            !coalesce(col("__dup"), lit(false)))
+        val funnel = flags.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+              .as("kept_tokens"))
+        val assign = operators.Components.dedupAssignments(
+          div.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+        val dd = assign
+          .select(col("id").as("doc_id"),
+            (col("id") =!= col("keep_id")).as("is_dup"))
+          .join(div.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+        val drift = operators.Stats.ksStatisticByGroup(div, "source",
+            col("doc_id") % 2 === 0, "n_chars")
+          .select(col("source"), col("ks"))
+        val plan = operators.Sampling.mixturePlan(
+          funnel.select(col("source"), col("kept_tokens")), "source",
+          "kept_tokens",
+          (0 until 20).map(i => i.toString -> 30000L).toMap,
+          1000000L)
+        val rows = funnel.join(dd, Seq("source"))
+          .join(drift, Seq("source"), "left")
+          .join(broadcast(plan.select(col("source"),
+            col("target_tokens"))), Seq("source"))
+          .count()
+        println(s"[soak]   -> $rows card rows")
+      }
+      spark.stop()
+      return
+    }
+
     if (mode == "divvocab") {
       // diversified-vocabulary near-dup soak (the §9m caveat closed):
       // the flat synthetic corpus draws every doc from one ~50-word
