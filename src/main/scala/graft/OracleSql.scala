@@ -5246,6 +5246,42 @@ object OracleSql {
     FROM agg"""
   }
 
+  /** Tokenizer-aware exact-fill packing (q220): the q217 chain's
+    * per-doc token counts (Σ tf·n_pieces) through the q194
+    * running-offset pack — tokenize→count→pack in one WITH. */
+  private def q220: String = {
+    val L = SketchParams.q194.seqLen
+    s"""
+    WITH $unigramCtes, dw AS (
+      SELECT doc_id, w AS word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+          '\\s+')) AS w
+        FROM documents)
+      WHERE w != ''
+      GROUP BY doc_id, w
+    ), cnt AS (
+      SELECT doc_id, CAST(SUM(tf * n_pieces) AS BIGINT) AS n_tokens
+      FROM dw JOIN useg USING (word)
+      GROUP BY doc_id
+    ), offs AS (
+      SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+          AS off
+      FROM cnt WHERE n_tokens > 0
+    )
+    SELECT doc_id, CAST(s AS BIGINT) AS seq_id,
+      CAST(greatest(s * $L - off, 0) AS BIGINT) AS piece_start,
+      CAST(least((s + 1) * $L, off + n_tokens) -
+        greatest(s * $L, off) AS BIGINT) AS piece_tokens
+    FROM (
+      SELECT doc_id, off, n_tokens,
+        unnest(generate_series(CAST(off // $L AS BIGINT),
+          CAST((off + n_tokens - 1) // $L AS BIGINT))) AS s
+      FROM offs)"""
+  }
+
   /** The q217 unigram-LM chain (candidates → quantized EM → final DP),
     * ending in `useg(word, n_pieces, pieces, covered)` — shared by
     * q217 and q219's fertility report. */
@@ -8337,6 +8373,7 @@ object OracleSql {
     "q217_unigram_lm" -> q217,
     "q218_data_card" -> q218,
     "q219_unigram_fertility" -> q219,
+    "q220_tokenized_pack" -> q220,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

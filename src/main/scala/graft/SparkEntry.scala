@@ -4094,6 +4094,30 @@ object SparkEntry {
         col("sample_rate"), col("epochs"))
   }
 
+  /** Tokenizer-aware exact-fill packing — the q194 packer budgeted by
+    * what the trainer actually sees: per-doc UNIGRAM-TOKENIZER token
+    * counts (Σ tf·n_pieces off the memoized [[q217Seg]] segmentation —
+    * whitespace word counts under-count multilingual/rare-word text)
+    * flow through [[graft.operators.Packing.packSequences]]. The full
+    * tokenize→count→pack composition hash-verifies: the DuckDB twin
+    * replays the EM, the segmentation, the per-doc counts, and the
+    * running-offset pack in one WITH. */
+  def q220TokenizedPack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val seg = q217Seg(s, dir)
+    val counts = docs
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .join(seg.select(col("word"), col("n_pieces")), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("n_pieces")).as("n_tokens"))
+    operators.Packing.packSequences(counts, "n_tokens", "doc_id",
+      SketchParams.q194.seqLen)
+  }
+
   /** Curation funnel report — the per-stage accounting of the q193
     * decision chain as a TRUE funnel (stages attributed exclusively in
     * pipeline order: quality-fail first, then blocklist among the
@@ -4957,7 +4981,8 @@ object SparkEntry {
     "q216_dsir_bigrams" -> (q216DsirBigrams _),
     "q217_unigram_lm" -> (q217UnigramLm _),
     "q218_data_card" -> (q218DataCard _),
-    "q219_unigram_fertility" -> (q219UnigramFertility _))
+    "q219_unigram_fertility" -> (q219UnigramFertility _),
+    "q220_tokenized_pack" -> (q220TokenizedPack _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1666,6 +1666,32 @@ object TextAnalysis {
           col("word").as("pieces"), lit(false).as("covered")))
   }
 
+  /** Per-document TOKENIZER token counts under a trained
+    * [[unigramLmTrain]] model — the number the packer should budget
+    * by (whitespace word counts under-count what the trainer actually
+    * sees): per doc Σ over its words of tf · n_pieces, from a
+    * [[unigramLmSegment]] run over the input's word TYPES (uncovered
+    * words count 1 piece, the q202 byte-fallback convention). Docs
+    * with no words emit no row (they carry zero tokens).
+    *
+    * Scale shape: one corpus tokenize + (id, word) hash-agg, one join
+    * against the word-TYPE-scale segmentation, one per-doc agg — the
+    * fertility pipeline re-keyed by document. */
+  def unigramTokenCounts(docs: DataFrame, textCol: String,
+      idCol: String, model: DataFrame, maxPiece: Int = 4,
+      maxWord: Int = 8): DataFrame = {
+    val seg = unigramLmSegment(docs, textCol, model, maxPiece, maxWord)
+    docs
+      .select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .join(seg.select(col("word"), col("n_pieces")), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("n_pieces")).as("n_tokens"))
+  }
+
   /** Tokenizer fertility evaluation: join a [[wordpieceSegment]]
     * frame (one row per word TYPE) back to per-(group, occurrence)
     * counts and report, per group (typically language), the

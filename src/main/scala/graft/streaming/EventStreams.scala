@@ -287,6 +287,47 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming TOKENIZER-AWARE exact-fill packing — [[packedIngest]]
+    * budgeted by what the trainer actually sees (q220's streaming
+    * twin): each micro-batch's documents are counted under the static
+    * trained unigram-LM model
+    * ([[graft.operators.TextAnalysis.unigramTokenCounts]] — the
+    * segmentation DP runs over the BATCH's word types only, so
+    * per-batch cost is batch-proportional; the model is typically
+    * [[graft.operators.TextAnalysis.trainOrLoadUnigramModel]]-served)
+    * and packed as the continuation of the whole stream (the same
+    * one-number offset state, sink-re-derived on restart, with the
+    * same at-least-once caveat as [[packedIngest]]). */
+  def tokenizedPackIngest(
+      docsStream: DataFrame, textCol: String, idCol: String,
+      model: DataFrame, seqLen: Long, sinkPath: String,
+      checkpointPath: String, maxPiece: Int = 4, maxWord: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docsStream.sparkSession
+    val m = model.localCheckpoint(false)
+    val offset = new java.util.concurrent.atomic.AtomicLong(
+      try spark.read.parquet(sinkPath)
+        .agg(coalesce(sum(col("piece_tokens")), lit(0L))).head.getLong(0)
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L })
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val counts = graft.operators.TextAnalysis
+          .unigramTokenCounts(batch.toDF(), textCol, idCol, m,
+            maxPiece, maxWord)
+          .localCheckpoint(true)
+        graft.operators.Packing
+          .packSequences(counts, "n_tokens", idCol, seqLen,
+            baseOffset = offset.get())
+          .write.mode("append").parquet(sinkPath)
+        val batchTokens = counts
+          .agg(coalesce(sum(col("n_tokens")), lit(0L))).head.getLong(0)
+        offset.addAndGet(batchTokens)
+        ()
+      }
+      .start()
+  }
+
   /** END-TO-END streaming curation — the q196 pretraining data path as
     * a CONTINUOUS ingest, composing the library's stage twins in one
     * `foreachBatch` body per micro-batch of (id, text) documents:

@@ -78,6 +78,63 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(seg(second) == seg(m), "loaded model segments differently")
   }
 
+  test("unigramTokenCounts: per-doc tokenizer budget (tf x n_pieces, " +
+      "uncovered words count 1)") {
+    val m = TextAnalysis.unigramLmTrain(corpus, "text", iters = 2,
+      quant = 1000L, maxPiece = 2, maxWord = 8, minFreq = 1L)
+    // "ab"=1 piece, "abc"=2 pieces, "xyz" uncovered=1 piece
+    val docs = Seq((1L, "ab abc ab"), (2L, "xyz abc")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramTokenCounts(docs, "text", "doc_id",
+        m, 2, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 4L), (2L, 3L)), got.toString)
+  }
+
+  test("tokenizedPackIngest: micro-batches pack as the continuation " +
+      "of the stream under the static model (stream == batch replay)") {
+    val m = TextAnalysis.unigramLmTrain(corpus, "text", iters = 2,
+      quant = 1000L, maxPiece = 2, maxWord = 8, minFreq = 1L)
+      .localCheckpoint(true)
+    val inDir = java.nio.file.Files.createTempDirectory("tp-in")
+    val sink = java.nio.file.Files
+      .createTempDirectory("tp-out").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("tp-ck").toString
+    val b1 = Seq((1L, "ab abc ab"), (2L, "abc abc"))       // 4 + 4 tokens
+    val b2 = Seq((3L, "ab ab ab"))                          // 3 tokens
+    b1.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(inDir.resolve("b1").toString)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(inDir.toString + "/*")
+    val q = graft.streaming.EventStreams.tokenizedPackIngest(stream,
+      "text", "doc_id", m, seqLen = 5L, sink, ckpt, 2, 8)
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(inDir.resolve("b2").toString)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // batch replay with the same running offset
+      import graft.operators.{Packing, TextAnalysis => TA}
+      val c1 = TA.unigramTokenCounts(b1.toDF("doc_id", "text"),
+        "text", "doc_id", m, 2, 8)
+      val c2 = TA.unigramTokenCounts(b2.toDF("doc_id", "text"),
+        "text", "doc_id", m, 2, 8)
+      val expect = (Packing.packSequences(c1, "n_tokens", "doc_id", 5L)
+          .collect() ++
+        Packing.packSequences(c2, "n_tokens", "doc_id", 5L,
+          baseOffset = 8L).collect())
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(rows == expect, s"stream $rows != replay $expect")
+      // doc 3 continues the sequence doc 2 left open (offset 8 -> seq 1)
+      assert(rows.exists(r => r._1 == 3L && r._2 == 1L),
+        "cross-batch sequence must keep filling")
+    } finally q.stop()
+  }
+
   test("training is deterministic run to run and fertility wires over " +
       "the unigram segmentation") {
     def model() = TextAnalysis.unigramLmTrain(corpus, "text", iters = 2,
