@@ -383,9 +383,20 @@ object EventStreams {
     // cadenced overwrite-save below never invalidates the live frames
     val seed = indexPath
       .flatMap { p =>
-        try Some(graft.operators.Dedup.checkpointCorpusIndex(
-          graft.operators.Dedup.loadCorpusIndex(spark, p)))
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val loaded =
+          try Some(graft.operators.Dedup.loadCorpusIndex(spark, p))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        loaded.foreach { ix =>
+          // a persisted index trained under different band parameters
+          // would silently change the screen's semantics mid-pipeline
+          require(ix.ngram == history.ngram &&
+              ix.numHashes == history.numHashes &&
+              ix.bands == history.bands,
+            s"curationIngest: persisted index at $p has params " +
+              s"(${ix.ngram},${ix.numHashes},${ix.bands}) != the seed's " +
+              s"(${history.ngram},${history.numHashes},${history.bands})")
+        }
+        loaded.map(graft.operators.Dedup.checkpointCorpusIndex)
       }
       .getOrElse(history)
     val index = new java.util.concurrent.atomic.AtomicReference(seed)
