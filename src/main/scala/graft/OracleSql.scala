@@ -592,6 +592,11 @@ object SketchParams {
     val iters = 2; val quant = 1000000L; val maxPiece = 4
     val maxWord = 8; val minFreq = 2L
   }
+  /** q221 temperature-scaled mixture plan: token budget, α as sqrt
+    * halvings (1 → α=1/2, 2 → α=1/4), weight quantization. */
+  object q221 {
+    val budget = 500000L; val alphaHalvings = 1; val quant = 1000000L
+  }
   /** q218 per-source data card: the mixture-recipe ppm weights over
     * the fixed src0..src19 source domain (generated — Σ = 600,000
     * ppm) and the kept-token budget the card plans against. */
@@ -5246,6 +5251,45 @@ object OracleSql {
     FROM agg"""
   }
 
+  /** Temperature-scaled mixture plan (q221): per-language s_q =
+    * floor(sqrt^k(n)·quant) — IEEE sqrt is correctly rounded in both
+    * engines — then exact HUGEINT shares `budget·s_q // Σs_q`; the
+    * SQL twin of `Sampling.temperaturePlan`. Generated from
+    * [[SketchParams.q221]]. */
+  private def q221: String = {
+    val p = SketchParams.q221
+    val sqrtExpr =
+      if (p.alphaHalvings == 2) "sqrt(sqrt(CAST(n_tokens AS DOUBLE)))"
+      else "sqrt(CAST(n_tokens AS DOUBLE))"
+    s"""
+    WITH inv AS (
+      SELECT lang,
+        CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+          AS n_tokens
+      FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n_tokens,
+        CAST(floor($sqrtExpr * ${p.quant}) AS BIGINT) AS s_q
+      FROM inv
+    ), tot AS (
+      SELECT CAST(SUM(s_q) AS HUGEINT) AS S FROM w
+    ), tgt AS (
+      SELECT lang, n_tokens, s_q,
+        CAST(CASE WHEN tot.S = 0 THEN 0
+          ELSE (CAST(${p.budget} AS HUGEINT) * s_q) // tot.S END
+          AS BIGINT) AS target_tokens
+      FROM w, tot
+    )
+    SELECT lang, n_tokens, s_q, target_tokens,
+      CASE WHEN n_tokens = 0 THEN 0.0
+        ELSE least(1.0, CAST(target_tokens AS DOUBLE) /
+          CAST(n_tokens AS DOUBLE)) END AS sample_rate,
+      CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST((target_tokens + n_tokens - 1) // n_tokens AS BIGINT)
+        END AS epochs
+    FROM tgt"""
+  }
+
   /** Tokenizer-aware exact-fill packing (q220): the q217 chain's
     * per-doc token counts (Σ tf·n_pieces) through the q194
     * running-offset pack — tokenize→count→pack in one WITH. */
@@ -8374,6 +8418,7 @@ object OracleSql {
     "q218_data_card" -> q218,
     "q219_unigram_fertility" -> q219,
     "q220_tokenized_pack" -> q220,
+    "q221_temperature_plan" -> q221,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

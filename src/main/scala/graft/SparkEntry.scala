@@ -4094,6 +4094,23 @@ object SparkEntry {
         col("sample_rate"), col("epochs"))
   }
 
+  /** Temperature-scaled mixture plan
+    * ([[graft.operators.Sampling.temperaturePlan]]): per-language
+    * targets ∝ n^α over the corpus token inventory — the third
+    * mixture strategy alongside q146's explicit recipe and q201's
+    * UniMax waterfilling, exact end-to-end (IEEE sqrt + floor-quant +
+    * arbitrary-precision integer shares; the DuckDB twin replays with
+    * HUGEINT). Params from [[SketchParams.q221]]. */
+  def q221TemperaturePlan(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q221
+    val inv = t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .as("n_tokens"))
+    operators.Sampling.temperaturePlan(inv, "lang", "n_tokens",
+      p.budget, p.alphaHalvings, p.quant)
+  }
+
   /** Tokenizer-aware exact-fill packing — the q194 packer budgeted by
     * what the trainer actually sees: per-doc UNIGRAM-TOKENIZER token
     * counts (Σ tf·n_pieces off the memoized [[q217Seg]] segmentation —
@@ -4982,7 +4999,8 @@ object SparkEntry {
     "q217_unigram_lm" -> (q217UnigramLm _),
     "q218_data_card" -> (q218DataCard _),
     "q219_unigram_fertility" -> (q219UnigramFertility _),
-    "q220_tokenized_pack" -> (q220TokenizedPack _))
+    "q220_tokenized_pack" -> (q220TokenizedPack _),
+    "q221_temperature_plan" -> (q221TemperaturePlan _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -179,6 +179,63 @@ object Sampling {
           .as("epochs"))
   }
 
+  /** Temperature-scaled mixture plan — the multilingual sampling
+    * standard (the p_i ∝ n_i^α rule of XLM-R / mT5, Conneau et al.
+    * 2020 §3.1): each group's share of the token budget is
+    * proportional to its inventory raised to α, flattening the mix —
+    * at α = 1/2 a 100× bigger language gets 10× the target, at 1/4
+    * about 3.2×. The library's THIRD mixture strategy, between
+    * explicit recipe weights ([[mixturePlan]]) and UniMax
+    * waterfilling ([[tokenBudgetAllocate]]).
+    *
+    * EXACT and engine-portable by construction: α is restricted to
+    * {1/2, 1/4} so the scaling is one or two IEEE `sqrt`s —
+    * correctly-rounded REQUIRED ops (unlike pow/log) — and the scaled
+    * weight is floor-quantized to a BIGINT (`s_q = floor(sqrt^k(n)·
+    * quant)`), after which every share is integer arithmetic:
+    * `target_i = budget·s_q_i DIV Σs_q` in arbitrary precision
+    * (driver `BigInt`; the DuckDB twin uses HUGEINT — both truncate
+    * identically on nonnegative operands). Runs DRIVER-SIDE over the
+    * #groups-row inventory (the model-state boundary, the
+    * [[tokenBudgetAllocate]] totals convention — a mixture plan's
+    * input is per-language totals, never rows).
+    *
+    * @param domainTokens pre-aggregated inventory: one row per group
+    * @return (domainCol, n_tokens, s_q, target_tokens, sample_rate,
+    *         epochs) */
+  def temperaturePlan(domainTokens: DataFrame, domainCol: String,
+      tokensCol: String, budgetTokens: Long, alphaHalvings: Int = 1,
+      quant: Long = 1000000L): DataFrame = {
+    require(budgetTokens >= 0, "budget must be nonnegative")
+    require(alphaHalvings >= 1 && alphaHalvings <= 2,
+      "alphaHalvings in {1, 2}: alpha = 1/2 or 1/4")
+    require(quant >= 1, "quant must be positive")
+    val spark = domainTokens.sparkSession
+    import spark.implicits._
+    val rows = domainTokens
+      .select(col(domainCol).cast("string"), col(tokensCol).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val sq = rows.map { case (_, n) =>
+      require(n >= 0, s"negative inventory for a group: $n")
+      var s = math.sqrt(n.toDouble)
+      if (alphaHalvings == 2) s = math.sqrt(s)
+      math.floor(s * quant.toDouble).toLong
+    }
+    val total = sq.map(BigInt(_)).sum
+    rows.zip(sq).map { case ((g, n), s) =>
+      val target =
+        if (total == 0) 0L
+        else ((BigInt(budgetTokens) * s) / total).toLong
+      val rate =
+        if (n == 0L) 0.0
+        else math.min(1.0, target.toDouble / n.toDouble)
+      val epochs = if (n == 0L) 0L else (target + n - 1) / n
+      (g, n, s, target, rate, epochs)
+    }.toSeq.toDF(domainCol, "n_tokens", "s_q", "target_tokens",
+      "sample_rate", "epochs")
+  }
+
   /** UniMax-style token-budget allocation (Chung et al. 2023, "UniMax:
     * Fairer and More Effective Language Sampling for Large-Scale
     * Multilingual Pretraining"): split a total token budget across

@@ -362,6 +362,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(all.forall(_.getBoolean(5)))
   }
 
+  test("temperaturePlan: targets proportional to sqrt(n) (alpha=1/2), " +
+      "flattening the mix; alpha=1/4 flattens harder; degenerate " +
+      "cases exact") {
+    import spark.implicits._
+    // inventories 100 / 10000: sqrt ratio 1:10 (raw ratio 1:100)
+    val inv = Seq(("lo", 100L), ("hi", 10000L)).toDF("lang", "n_tokens")
+    val half = Sampling.temperaturePlan(inv, "lang", "n_tokens",
+        budgetTokens = 1100L, alphaHalvings = 1, quant = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).sortBy(_._1).toSeq
+    // s_q: floor(10*1000)=10000, floor(100*1000)=100000; S=110000
+    // targets: 1100*10000/110000=100, 1100*100000/110000=1000
+    assert(half == Seq(
+      ("hi", 10000L, 100000L, 1000L, 0.1, 1L),
+      ("lo", 100L, 10000L, 100L, 1.0, 1L)), half.toString)
+    val quarter = Sampling.temperaturePlan(inv, "lang", "n_tokens",
+        budgetTokens = 1100L, alphaHalvings = 2, quant = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    // sqrt(sqrt) ratio 1:sqrt(10)≈3.16 — lo's share grows vs alpha=1/2
+    assert(quarter("lo") > 100L && quarter("hi") < 1000L,
+      s"alpha=1/4 must flatten harder: $quarter")
+    assert(quarter("lo") + quarter("hi") <= 1100L)
+    // zero inventory group and zero total budget
+    val z = Sampling.temperaturePlan(
+        Seq(("a", 0L)).toDF("lang", "n_tokens"), "lang", "n_tokens",
+        1000L, 1, 1000L)
+      .collect().map(r => (r.getLong(3), r.getDouble(4), r.getLong(5)))
+    assert(z.toSeq == Seq((0L, 0.0, 0L)))
+  }
+
   test("tokenBudgetAllocate: empty input returns an empty frame with " +
       "the output schema (no groups is not an error)") {
     import spark.implicits._
