@@ -3626,9 +3626,17 @@ object SparkEntry {
         .unionByName(real.select(
           (col("doc_id") + lit(1000000L)).as("doc_id"),
           junkText.as("text"), lit(-1L).as("label")))
-      operators.Classifier.perceptronTrain(
+      implicit val spark: SparkSession = s
+      def trained = operators.Classifier.perceptronTrain(
         corpus.filter(col("doc_id") % p.evalMod =!= 0), "text",
         "doc_id", "label", p.nBuckets, p.epochs)
+      // the q92/q199 artifact opt-in: the curation filter the q193
+      // family and the q218 card score with is itself a servable model
+      sys.env.get("SPARK_GRAFT_CENTROIDS_DIR") match {
+        case Some(root) => operators.Classifier.trainOrLoadWeights(
+          s"$root/q190_nb${p.nBuckets}_e${p.epochs}")(trained)
+        case None => trained
+      }
     }
 
   /** The q193 per-doc decision chain (score → blocklist → near-dup →
