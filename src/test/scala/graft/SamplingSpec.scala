@@ -392,6 +392,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(z.toSeq == Seq((0L, 0.0, 0L)))
   }
 
+  test("temperaturePlan invariants on a random-ish inventory: targets " +
+      "never exceed the budget in sum, order follows inventory order, " +
+      "and alpha=1/4 always flattens at least as hard as alpha=1/2") {
+    import spark.implicits._
+    val inv = (1 to 12).map(i => (s"g$i", (i.toLong * i * 997) % 50021))
+      .toDF("lang", "n_tokens")
+    def plan(k: Int) = Sampling.temperaturePlan(inv, "lang", "n_tokens",
+        budgetTokens = 30000L, alphaHalvings = k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val h = plan(1); val q = plan(2)
+    assert(h.map(_._3).sum <= 30000L && q.map(_._3).sum <= 30000L,
+      "integer shares must never overshoot the budget")
+    Seq(h, q).foreach { p =>
+      p.sortBy(_._2).sliding(2).foreach { w =>
+        if (w.size == 2) assert(w(0)._3 <= w(1)._3,
+          "a bigger inventory must never get a smaller target") }
+    }
+    // flattening: the smallest group's share of the allocated budget
+    // is weakly larger under the flatter alpha
+    def shareOfMin(p: Array[(String, Long, Long)]) = {
+      val m = p.minBy(_._2)
+      m._3.toDouble / p.map(_._3).sum.toDouble
+    }
+    assert(shareOfMin(q) >= shareOfMin(h) - 1e-12,
+      s"alpha=1/4 must flatten at least as hard: ${shareOfMin(q)} vs " +
+        s"${shareOfMin(h)}")
+  }
+
   test("tokenBudgetAllocate: empty input returns an empty frame with " +
       "the output schema (no groups is not an error)") {
     import spark.implicits._
