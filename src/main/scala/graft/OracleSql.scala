@@ -29,9 +29,9 @@ object SketchParams {
     * Hamming-12 pigeonhole forces 4–5-bit bands whose buckets are
     * corpus-fraction-sized, so an unbounded slice grows the candidate
     * join quadratically), Hamming threshold, and the pigeonhole band
-    * layout — 13 disjoint (offset, width) bit bands covering all 60
-    * fingerprint bits, so any pair within Hamming 12 shares ≥ 1 exact
-    * band (bands ≥ maxHamming + 1). */
+    * layout — 11 disjoint (offset, width) bit bands (6×5-bit + 5×6-bit)
+    * covering all 60 fingerprint bits, so any pair within Hamming 10
+    * shares ≥ 1 exact band (bands ≥ maxHamming + 1). */
   object q31 {
     // maxHamming 10 covers every tail-truncated twin (measured max twin
     // distance 10, p99 = 9 at sf0.01) with 3× fewer background pairs
@@ -686,12 +686,14 @@ object SketchParams {
   }
   /** q186 Hamming-banding fidelity audit: corpus sampling moduli (the
     * gold generator's exact (h+1)-chunk banding has 64/(h+1)-bit
-    * buckets — coarse, so the audit runs on a slice) and the shipped
-    * production thresholds it audits: q31 SimHash at maxHamming 12,
+    * buckets — coarse, so the audit runs on a slice) and the
+    * thresholds it audits: token SimHash at Hamming 12 (a wider
+    * budget than q31's shipped 10-gate — the audit measures the
+    * 4×16-chunk banding's recall headroom beyond the shipped point),
     * q181 dHash at [[q181.maxHamming]]. */
   object q186 {
     val simMod = 4L; val phMod = 2L
-    val simMaxHamming = 12 // q31's shipped gate
+    val simMaxHamming = 12 // audit budget: q31 ships maxHamming 10
   }
   /** q187 kNN delete maintenance: the backbone slice to delete
     * (vec_id % delMod == delRem within the q157 old slice). */
@@ -1658,8 +1660,8 @@ object OracleSql {
     FROM sym GROUP BY doc_id"""
 
   /** Portable SimHash near-dup pairs (q31): the q50 fingerprint chain
-    * over the sliced near-dup corpus, the 13-band pigeonhole layout
-    * (any Hamming-≤12 pair agrees exactly on ≥ 1 band), candidate
+    * over the sliced near-dup corpus, the 11-band pigeonhole layout
+    * (any Hamming-≤10 pair agrees exactly on ≥ 1 band), candidate
     * pairs verified with bit_count(xor). Generated from
     * [[SketchParams.q31]] — the same layout the Spark side bands
     * with. */

@@ -3238,9 +3238,10 @@ object SparkEntry {
     * ([[graft.operators.Dedup.hammingFidelity]]): measured precision /
     * recall of the SHIPPED 4×16-chunk banding against exact Hamming
     * ground truth — the q144 sketch-audit convention applied to
-    * Hamming space, for BOTH 64-bit fingerprint families at their
-    * production thresholds: q31's token SimHash (maxHamming 12) and
-    * q181's perceptual dHash (maxHamming 6). Pigeonhole only
+    * Hamming space, for BOTH 64-bit fingerprint families: the token
+    * SimHash at an audit budget of Hamming 12 (wider than q31's
+    * shipped 10-gate, measuring the banding's recall headroom beyond
+    * it) and q181's perceptual dHash (maxHamming 6). Pigeonhole only
     * guarantees 4-chunk recall through 3 flips; these rows are the
     * measured answer beyond it. Ground truth needs no all-pairs join:
     * (h+1)-chunk banding is complete by pigeonhole, so the audit runs

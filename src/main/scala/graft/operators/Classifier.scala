@@ -197,6 +197,18 @@ object Classifier {
       .distinct().collect().map(_.getString(0)).sorted
     require(classes.nonEmpty, "no classes in training data")
     val k = classes.length
+    // driver model-state boundary, enforced: the per-epoch collect is a
+    // (≤ nBuckets+1) × (2K+1) long frame and the broadcast weight table
+    // is K·nBuckets longs — both O(K·nBuckets). 2^24 cells ≈ 128 MB of
+    // longs, comfortably inside a default driver; beyond it, shard the
+    // class list (train class groups separately and union the weight
+    // frames — per-class slices are independent by construction, the
+    // ClassifierSpec binary-parity property) or lower nBuckets.
+    require(k.toLong * (nBuckets + 1L) <= (1L << 24),
+      s"perceptronTrainMulti: K=$k classes x nBuckets=$nBuckets is " +
+        s"${k.toLong * (nBuckets + 1L)} weight cells > 2^24 — the " +
+        "per-epoch driver collect/broadcast would no longer be " +
+        "model-state-sized; shard the class list or reduce nBuckets")
     val (lf, lfCkpt) = CheckpointHygiene.checkpointTracked(
       hashedFeatures(train, textCol, idCol, nBuckets)
         .join(train.select(col(idCol).as("id"),

@@ -421,23 +421,72 @@ object Dedup {
     * the SAME index without re-scanning the historical corpus — the
     * operational requirement of a long-running dedup service at 100 TB
     * (re-preparing there means re-reading the corpus). Band parameters
-    * ride along in a one-row frame and are validated on load. */
+    * ride along in a one-row frame and are validated on load.
+    *
+    * CRASH-ATOMIC by generation pointer (ADVICE r17): the three frames
+    * are multi-file parquet writes, so a naive overwrite-in-place save
+    * that dies midway would leave a torn artifact that rehydrates with
+    * MIXED-generation frames (fingerprints gen N over banded gen N−1 —
+    * silently wrong screen semantics). Instead each save lands in a
+    * fresh `g<gen>/` directory and the one-row `params` table — which
+    * carries the generation pointer — is written LAST, as the commit
+    * point: a crash anywhere before the params write leaves the
+    * previous generation intact and still pointed-to (the loader sees a
+    * stale-but-CONSISTENT index, the documented ≤ save-cadence
+    * exposure); only a crash inside the single tiny params write itself
+    * leaves no readable pointer, and [[loadCorpusIndex]] then throws
+    * `AnalysisException` so callers fall back to their seed loudly at
+    * the boundary rather than loading inconsistent state. Superseded
+    * generation directories are garbage-collected best-effort AFTER the
+    * commit — callers holding lazy scans over a previously-loaded
+    * artifact must checkpoint before saving over it (the
+    * [[graft.streaming.EventStreams.curationIngest]] rehydrate does). */
   def saveCorpusIndex(prepared: PreparedCorpus, path: String): Unit = {
-    prepared.fingerprints.write.mode("overwrite")
-      .parquet(s"$path/fingerprints")
-    prepared.banded.write.mode("overwrite").parquet(s"$path/banded")
-    prepared.shingleSets.write.mode("overwrite").parquet(s"$path/shingles")
     val spark = prepared.banded.sparkSession
     import spark.implicits._
-    Seq((prepared.ngram, prepared.numHashes, prepared.bands))
-      .toDF("ngram", "num_hashes", "bands")
+    val gen = 1 + (
+      try {
+        val rows = spark.read.parquet(s"$path/params").collect()
+        if (rows.length == 1 && rows(0).schema.fieldNames.contains("gen")
+            && !rows(0).isNullAt(rows(0).fieldIndex("gen")))
+          rows(0).getAs[Int]("gen")
+        else 0
+      } catch { case _: org.apache.spark.sql.AnalysisException => 0 })
+    prepared.fingerprints.write.mode("overwrite")
+      .parquet(s"$path/g$gen/fingerprints")
+    prepared.banded.write.mode("overwrite").parquet(s"$path/g$gen/banded")
+    prepared.shingleSets.write.mode("overwrite")
+      .parquet(s"$path/g$gen/shingles")
+    // commit point: the pointer flips only after every frame of the new
+    // generation is fully on disk
+    Seq((prepared.ngram, prepared.numHashes, prepared.bands, gen))
+      .toDF("ngram", "num_hashes", "bands", "gen")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    // post-commit GC of superseded generations (and any pre-generation
+    // flat-layout frames) — best-effort: a leftover directory is dead
+    // weight, never a correctness hazard, so GC failures are swallowed
+    try {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val legacy = Set("fingerprints", "banded", "shingles")
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory &&
+            ((n.matches("g\\d+") && n != s"g$gen") || legacy(n)))
+          fs.delete(st.getPath, true)
+      }
+    } catch { case _: java.io.IOException => }
   }
 
   /** Load a [[saveCorpusIndex]] artifact. The frames come back as plain
     * parquet scans — serving probes read the index files, never the
     * original corpus — and [[incrementalDedupPrepared]] output is
-    * bit-identical to the freshly-prepared index (spec-gated). */
+    * bit-identical to the freshly-prepared index (spec-gated). The
+    * params table's generation pointer selects the frame directory
+    * (the [[saveCorpusIndex]] commit protocol); a pre-generation flat
+    * artifact (no `gen` column) loads from the legacy layout. A missing
+    * or torn params table surfaces as `AnalysisException` — the loud
+    * fall-back-to-seed signal, never a silently inconsistent index. */
   def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): PreparedCorpus = {
     val rows = spark.read.parquet(s"$path/params").collect()
@@ -459,10 +508,13 @@ object Dedup {
     require(numHashes % bands == 0,
       s"loadCorpusIndex: bands ($bands) must divide num_hashes " +
         s"($numHashes) — artifact at $path is inconsistent")
+    val frameDir =
+      if (p.schema.fieldNames.contains("gen")) s"$path/g${field("gen")}"
+      else path // legacy flat layout written before the commit protocol
     PreparedCorpus(
-      spark.read.parquet(s"$path/fingerprints"),
-      spark.read.parquet(s"$path/banded"),
-      spark.read.parquet(s"$path/shingles"),
+      spark.read.parquet(s"$frameDir/fingerprints"),
+      spark.read.parquet(s"$frameDir/banded"),
+      spark.read.parquet(s"$frameDir/shingles"),
       ngram, numHashes, bands)
   }
 

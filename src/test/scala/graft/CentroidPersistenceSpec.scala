@@ -115,6 +115,41 @@ class CentroidPersistenceSpec extends AnyFunSuite {
     assert(fresh.contains(103L), "novel doc must survive")
   }
 
+  test("corpus-index save is crash-atomic: a torn next-generation save " +
+      "never mixes frames — the loader keeps the last committed " +
+      "generation (ADVICE r18)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val prepared = Dedup.prepareCorpus(corpus, "text", "doc_id")
+    val path = Files.createTempDirectory("lsh-torn").resolve("ix").toString
+    Dedup.saveCorpusIndex(prepared, path)
+    val committedFps = Dedup.loadCorpusIndex(spark, path)
+      .fingerprints.collect().map(_.getString(0)).toSet
+    // simulate a crash MID-save of generation 2: frame directories land
+    // (with different content) but the params pointer never flips
+    val bigger = Dedup.prepareCorpus(corpus.unionByName(
+      Seq((3L, "totally new words appended after the crash began here"))
+        .toDF("doc_id", "text")), "text", "doc_id")
+    bigger.fingerprints.write.mode("overwrite")
+      .parquet(s"$path/g2/fingerprints")
+    bigger.banded.write.mode("overwrite").parquet(s"$path/g2/banded")
+    // (crash: shingles and params never written)
+    val reloaded = Dedup.loadCorpusIndex(spark, path)
+    assert(reloaded.fingerprints.collect().map(_.getString(0)).toSet ==
+      committedFps,
+      "loader must keep the committed generation, not the torn one")
+    assert(reloaded.banded.count() == prepared.banded.count())
+    // a completed save then commits gen 2+ and the stale torn dir is GC'd
+    Dedup.saveCorpusIndex(bigger, path)
+    val after = Dedup.loadCorpusIndex(spark, path)
+    assert(after.fingerprints.count() == 3L,
+      "a completed save must supersede the committed generation")
+  }
+
   test("PQ sub-codebooks round-trip parquet bit-exactly and a loaded " +
       "model reproduces the retrained pqTopK run") {
     implicit val s: org.apache.spark.sql.SparkSession = spark

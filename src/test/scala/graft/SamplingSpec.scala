@@ -438,12 +438,6 @@ class SamplingSpec extends AnyFunSuite {
     val docs = (1 to 200).map { i =>
       (i.toLong, s"g${i % 7}", (i % 13 + 1).toLong)
     }.toDF("doc_id", "grp", "n_tokens")
-    val got = Sampling.tokenBudgetAllocate(docs, "grp", "n_tokens",
-        "doc_id", 500L)
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getBoolean(5)))
-      .sortBy(_._1)
     // naive reference: per group, sort by (md5 key, id), running sum
     val rows = docs.select(col("doc_id"), col("grp"),
         col("n_tokens"),
@@ -451,14 +445,31 @@ class SamplingSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getLong(3)))
-    val budgets = got.map(r => r._2 -> r._4).toMap
-    val expect = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
-      var acc = 0L
-      rs.sortBy(r => (r._4, r._1)).map { r =>
-        val off = acc; acc += r._3
-        (r._1, g, r._3, budgets(g), off, off + r._3 <= budgets(g))
-      }
-    }.sortBy(_._1)
-    assert(got.toSeq == expect)
+    // the one-scan rewrite's correctness hinges on the range-partition /
+    // per-(pid, group) offset stitching being independent of the
+    // partition count (ADVICE r17), so the equivalence is asserted UNDER
+    // a sweep of spark.sql.shuffle.partitions — including 1 (everything
+    // in one partition: offsets must still stitch) and 211 (more
+    // partitions than rows: most partitions empty)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try Seq(1, 3, 17, 211).foreach { parts =>
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      val got = Sampling.tokenBudgetAllocate(docs, "grp", "n_tokens",
+          "doc_id", 500L)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5)))
+        .sortBy(_._1)
+      val budgets = got.map(r => r._2 -> r._4).toMap
+      val expect = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+        var acc = 0L
+        rs.sortBy(r => (r._4, r._1)).map { r =>
+          val off = acc; acc += r._3
+          (r._1, g, r._3, budgets(g), off, off + r._3 <= budgets(g))
+        }
+      }.sortBy(_._1)
+      assert(got.toSeq == expect,
+        s"one-scan output diverged at shuffle.partitions=$parts")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 }
