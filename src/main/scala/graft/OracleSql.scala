@@ -605,6 +605,40 @@ object SketchParams {
       (0 until 20).map(i => (s"src$i", 20000L + 5000L * (i % 5)))
     val budget = 200000L
   }
+  /** q222 suffix-array EXACTSUBSTR: duplicated-span length (Lee et
+    * al. 2022's 50), the direct base-ranking span, and the
+    * prefix-doubling round count — baseSpan·2^rounds must cover the
+    * longest document (fixture max is 100 tokens, and the twin
+    * variant only shortens), checked fail-fast in the operator. */
+  object q222 {
+    val minSpan = 50; val baseSpan = 16; val rounds = 3
+  }
+  /** q223 Gopher repetition table: the deterministic LINED-corpus
+    * derivation (the raw fixture carries no newlines) — tokens grouped
+    * `lineTokens`-to-a-line, lines `paraLines`-to-a-paragraph, joined
+    * with \n / \n\n. Gram orders and thresholds are the operator's
+    * published defaults. */
+  object q223 {
+    val lineTokens = 8; val paraLines = 4
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val topThresholds = Seq(0.20, 0.18, 0.16)
+    val dupThresholds = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+    val dupLineMax = 0.30; val dupParaMax = 0.30
+    val dupLineCharMax = 0.20; val dupParaCharMax = 0.20
+  }
+  /** q224 trained reranker over the q191 hybrid candidates: exact-kNN
+    * gold depth and perceptron epochs. Features are small integers
+    * (ranks ≤ k+1, flags, term overlap ≤ qTerms), so every epoch stays
+    * in exact BIGINT arithmetic. */
+  object q224 {
+    val gold = 10; val epochs = 3
+  }
+  /** q225 IVF-PQ exact-refine depth: the ADC scan keeps the top r per
+    * query, the exact re-score re-ranks them to q162's k. */
+  object q225 {
+    val r = 30
+  }
   /** q181 perceptual near-dup: 4 variants per image group (base,
     * brightness +16, alternating ±1 noise, a reseeded DISTINCT image),
     * PGM dims 16 or 24 square by group parity, dHash Hamming gate.
@@ -4237,7 +4271,11 @@ object OracleSql {
     * `SparkEntry.q191HybridRetrieval` composition. Generated from
     * [[SketchParams.q152]]/[[SketchParams.q157]]/[[SketchParams.q183]]/
     * [[SketchParams.q191]]. */
-  private def q191: String = {
+  /** The q191 candidate-generation CTEs — descent graph + one beam
+    * round (annr: per-query ANN ranks) and the BM25 chain (bmr: per-
+    * query lexical ranks) — shared by q191's RRF fusion and q224's
+    * trained reranker (r18). */
+  private def q191CandCtes: String = {
     val p112 = SketchParams.q112
     val p = SketchParams.q157
     val pb = SketchParams.q183
@@ -4245,8 +4283,7 @@ object OracleSql {
     require(pb.maxRounds == 1,
       "the q191 oracle unrolls exactly one beam round — keep " +
         "SketchParams.q183.maxRounds in sync or extend the unroll")
-    s"""
-    WITH ${q152Ctes("knn", s"vec_id % ${p.batchMod} != 0")}, $q157ProbeCtes,
+    s"""${q152Ctes("knn", s"vec_id % ${p.batchMod} != 0")}, $q157ProbeCtes,
     hb0 AS MATERIALIZED (${knnHeap("SELECT id, nb, d FROM s0", ph.k)}
     ), hbexp AS (
       SELECT DISTINCT b.id, u.c2 AS nb
@@ -4311,7 +4348,13 @@ object OracleSql {
             ORDER BY -score_q, CAST(doc_id AS VARCHAR)) AS rn
         FROM hagg)
       WHERE rn <= ${ph.k}
-    ), contrib AS (
+    )"""
+  }
+
+  private def q191: String = {
+    val ph = SketchParams.q191
+    s"""
+    WITH $q191CandCtes, contrib AS (
       SELECT query_id, doc_id, ${1L << 40} // (${ph.rrfK} + rank) AS c
       FROM bmr
       UNION ALL
@@ -4326,6 +4369,119 @@ object OracleSql {
           ORDER BY rrf_q DESC, doc_id ASC) AS BIGINT) AS fused_rank
       FROM fused)
     WHERE fused_rank <= ${ph.k}"""
+  }
+
+  /** Trained reranker over the hybrid candidates (q224): the q191
+    * candidate CTEs, exact-kNN gold over the quantized vectors, small-
+    * integer pair features (both ranks with absent = k+1, presence
+    * flags, query-term overlap, bias), the q190-convention perceptron
+    * epochs unrolled over the even-query training split, and the
+    * held-out queries reranked by the summed weight table. Generated
+    * from [[SketchParams.q157]]/[[SketchParams.q191]]/
+    * [[SketchParams.q224]]. */
+  private def q224: String = {
+    val p = SketchParams.q157
+    val ph = SketchParams.q191
+    val pr = SketchParams.q224
+    val absent = ph.k + 1
+    val laterEpochs = (2 to pr.epochs).map { t =>
+      s""", rs$t AS (
+      SELECT id, CAST(SUM(tf * COALESCE(w.w, 0)) AS BIGINT) AS s
+      FROM trf f LEFT JOIN rw${t - 1} w USING (bucket)
+      GROUP BY id
+    ), rm$t AS (
+      SELECT s.id FROM rs$t s
+      JOIN (SELECT DISTINCT id, y FROM trf) d USING (id)
+      WHERE d.y * s.s <= 0
+    ), rd$t AS (
+      SELECT bucket, CAST(SUM(y * tf) AS BIGINT) AS w
+      FROM trf WHERE id IN (SELECT id FROM rm$t)
+      GROUP BY bucket
+    ), rw$t AS MATERIALIZED (
+      SELECT bucket, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT bucket, w FROM rw${t - 1}
+        UNION ALL SELECT bucket, w FROM rd$t)
+      GROUP BY bucket
+    )"""
+    }.mkString
+    val avgUnion = (1 to pr.epochs)
+      .map(t => s"SELECT bucket, w FROM rw$t")
+      .mkString("\n        UNION ALL ")
+    val featRows = Seq(
+      "CAST(0 AS BIGINT) AS bucket, CAST(1 AS BIGINT) AS tf",
+      "CAST(1 AS BIGINT) AS bucket, f_bm25 AS tf",
+      "CAST(2 AS BIGINT) AS bucket, f_ann AS tf",
+      "CAST(3 AS BIGINT) AS bucket, f_inb AS tf",
+      "CAST(4 AS BIGINT) AS bucket, f_ina AS tf",
+      "CAST(5 AS BIGINT) AS bucket, f_ov AS tf")
+      .map(r => s"SELECT query_id, doc_id, $r FROM f0")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH $q191CandCtes, gold AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY ${knnSqd("a.q", "b.q")},
+              CAST(b.vec_id AS VARCHAR)) AS rn
+        FROM bqv a JOIN knnqv b ON b.vec_id <> a.vec_id)
+      WHERE rn <= ${pr.gold}
+    ), cand224 AS MATERIALIZED (
+      SELECT DISTINCT query_id, doc_id FROM (
+        SELECT query_id, doc_id FROM bmr
+        UNION ALL SELECT query_id, doc_id FROM annr)
+    ), dterm AS (
+      SELECT DISTINCT doc_id, unnest(t) AS term FROM cbase
+    ), qov AS (
+      SELECT q.query_id, d.doc_id, CAST(COUNT(*) AS BIGINT) AS ov
+      FROM hq q JOIN dterm d ON d.term = q.term
+      GROUP BY 1, 2
+    ), f0 AS MATERIALIZED (
+      SELECT c.query_id, c.doc_id,
+        CAST(COALESCE(b.rank, $absent) AS BIGINT) AS f_bm25,
+        CAST(COALESCE(a.rank, $absent) AS BIGINT) AS f_ann,
+        CAST(CASE WHEN b.rank IS NULL THEN 0 ELSE 1 END AS BIGINT)
+          AS f_inb,
+        CAST(CASE WHEN a.rank IS NULL THEN 0 ELSE 1 END AS BIGINT)
+          AS f_ina,
+        CAST(COALESCE(o.ov, 0) AS BIGINT) AS f_ov
+      FROM cand224 c
+      LEFT JOIN bmr b USING (query_id, doc_id)
+      LEFT JOIN annr a USING (query_id, doc_id)
+      LEFT JOIN qov o USING (query_id, doc_id)
+    ), pf AS MATERIALIZED (
+      $featRows
+    ), lab224 AS (
+      SELECT c.query_id, c.doc_id,
+        CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE -1 END AS y
+      FROM cand224 c LEFT JOIN gold g
+        ON g.query_id = c.query_id AND g.neighbor_id = c.doc_id
+    ), trf AS MATERIALIZED (
+      SELECT (pf.query_id * 1000000 + pf.doc_id) AS id, pf.bucket,
+        pf.tf, l.y
+      FROM pf JOIN lab224 l
+        ON l.query_id = pf.query_id AND l.doc_id = pf.doc_id
+      WHERE (pf.query_id // ${p.batchMod}) % 2 = 0
+    ), rw1 AS MATERIALIZED (
+      SELECT bucket, CAST(SUM(y * tf) AS BIGINT) AS w
+      FROM trf GROUP BY bucket
+    )$laterEpochs, rwavg AS (
+      SELECT bucket, CAST(SUM(w) AS BIGINT) AS w FROM (
+        $avgUnion)
+      GROUP BY bucket
+    ), hs AS (
+      SELECT query_id, doc_id,
+        CAST(SUM(tf * COALESCE(w.w, 0)) AS BIGINT) AS score
+      FROM pf LEFT JOIN rwavg w USING (bucket)
+      WHERE (query_id // ${p.batchMod}) % 2 != 0
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score, new_rank FROM (
+      SELECT query_id, doc_id, score,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) AS BIGINT)
+          AS new_rank
+      FROM hs)
+    WHERE new_rank <= ${ph.k}"""
   }
 
   /** Contrastive triplet mining (q192): the q152 descent chain over
@@ -5225,17 +5381,40 @@ object OracleSql {
     WITH $unigramCtes
     SELECT word, n_pieces, pieces, covered FROM useg"""
 
-  /** Unigram-tokenizer fertility (q219): the q202 aggregation over the
-    * q217 segmentation chain. */
+  /** Unigram-tokenizer fertility with BYTE FALLBACK (q219, r18 form):
+    * training CTEs unchanged (one EM, same as q217), the FINAL DP runs
+    * over the EXTENDED corpus's word types (documents + the ß-glued
+    * variant lane), uncovered words fall back to n_pieces = strlen
+    * (UTF-8 byte count) with covered = TRUE — coverage 1.0 by
+    * construction, the fallback columns carrying the byte-lane
+    * traffic. */
   private def q219: String = {
     val q = SketchParams.q202.quant
+    val mw = SketchParams.q217.maxWord
     s"""
-    WITH $unigramCtes, lw AS (
+    WITH xdocs AS MATERIALIZED (
+      SELECT lang, text FROM documents
+      UNION ALL
+      SELECT lang,
+        array_to_string(toks[1:2], 'ß') || ' ' ||
+          array_to_string(toks[1:3], 'ß') AS text
+      FROM (
+        SELECT lang, string_split_regex(trim(lower(text)), '\\s+')
+          AS toks
+        FROM documents WHERE doc_id % 7 = 0)
+    ), xallw AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM xdocs)
+      WHERE w != ''
+    ), xtypes AS (
+      SELECT w FROM xallw WHERE length(w) <= $mw
+    ), ${unigramCtes("xallw", "xtypes", fallback = true)}, lw AS (
       SELECT lang, w AS word, CAST(COUNT(*) AS BIGINT) AS tf
       FROM (
         SELECT lang, unnest(string_split_regex(trim(lower(text)),
           '\\s+')) AS w
-        FROM documents)
+        FROM xdocs)
       WHERE w != ''
       GROUP BY lang, w
     ), agg AS (
@@ -5243,13 +5422,16 @@ object OracleSql {
         CAST(SUM(tf) AS BIGINT) AS n_occ,
         CAST(SUM(tf * n_pieces) AS BIGINT) AS pieces_total,
         CAST(SUM(CASE WHEN covered THEN tf ELSE 0 END) AS BIGINT)
-          AS covered_occ
+          AS covered_occ,
+        CAST(SUM(CASE WHEN fallback THEN tf ELSE 0 END) AS BIGINT)
+          AS n_fallback_occ
       FROM lw JOIN useg USING (word)
       GROUP BY lang
     )
-    SELECT lang, n_occ, pieces_total, covered_occ,
+    SELECT lang, n_occ, pieces_total, covered_occ, n_fallback_occ,
       (CAST($q AS BIGINT) * pieces_total) // n_occ AS fertility_q,
-      (CAST($q AS BIGINT) * covered_occ) // n_occ AS covered_q
+      (CAST($q AS BIGINT) * covered_occ) // n_occ AS covered_q,
+      (CAST($q AS BIGINT) * n_fallback_occ) // n_occ AS fallback_q
     FROM agg"""
   }
 
@@ -5292,6 +5474,243 @@ object OracleSql {
     FROM tgt"""
   }
 
+  /** Suffix-array EXACTSUBSTR dedup (q222): the ENTIRE method replayed
+    * — suffixes, all [[SketchParams.q222]].rounds prefix-doubling
+    * rounds unrolled as CTEs (round k left-joins round k−1 at pos+2^
+    * (k−1); 0-sentinel = end-of-doc sorts first), the suffix array,
+    * the binary-decomposition LCP ≥ minSpan certificate over the saved
+    * rank tables (with the both-sides length gate), first-occurrence
+    * keeper per shared-prefix group, interval-union span removal, and
+    * ordered reassembly. DuckDB's dense_rank replaces the Spark side's
+    * distinct+global-row-number — identical by construction (binary
+    * UTF-8 string order both engines, the q142 precedent). */
+  private def q222: String = {
+    val p = SketchParams.q222
+    val baseLog = 31 - Integer.numberOfLeadingZeros(p.baseSpan)
+    val parts = graft.operators.SuffixArray.decompose(p.minSpan, baseLog)
+    val encF = 1L << (baseLog + p.rounds + 1)
+    // every rk CTE is referenced TWICE by its successor (self-join) —
+    // explicit MATERIALIZED stops DuckDB from inlining the doubling
+    // chain, which would blow up 2^rounds-fold
+    val rkCtes = (1 to p.rounds).map { k =>
+      val m = 1L << (baseLog + k - 1)
+      s"""rk$k AS MATERIALIZED (
+      SELECT a.doc_id, a.pos, a.n,
+        CAST(dense_rank() OVER (ORDER BY a.r, coalesce(b.r, 0))
+          AS BIGINT) AS r
+      FROM rk${k - 1} a LEFT JOIN rk${k - 1} b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + $m
+    )"""
+    }.mkString(", ")
+    val sigJoins = parts.zipWithIndex.map { case ((k, off), i) =>
+      s"JOIN rk${k - baseLog} j$i " +
+        s"ON j$i.doc_id = s.doc_id AND j$i.pos = s.pos + $off"
+    }.mkString("\n      ")
+    val sigCols = parts.indices.map(i => s"j$i.r AS s$i").mkString(", ")
+    val sigEq = parts.indices.map(i => s"sx.s$i = sy.s$i").mkString(" AND ")
+    val grpKey = parts.indices.map(i => s"s$i").mkString(", ")
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
+    ), tok AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus
+    ), sfx AS MATERIALIZED (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        toks[CAST(i AS INT)] AS tk,
+        toks[CAST(i AS INT):CAST(i + ${p.baseSpan - 1} AS INT)] AS w,
+        CAST(len(toks) AS BIGINT) AS n
+      FROM tok, unnest(generate_series(1, len(toks), 1)) AS u(i)
+    ), rk0 AS MATERIALIZED (
+      SELECT doc_id, pos, n,
+        CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS r
+      FROM sfx
+    ), $rkCtes, sa AS MATERIALIZED (
+      SELECT doc_id, pos, n,
+        CAST(row_number() OVER (ORDER BY r, doc_id, pos) AS BIGINT)
+          AS ord
+      FROM rk${p.rounds}
+    ), sig AS MATERIALIZED (
+      SELECT s.doc_id, s.pos, $sigCols
+      FROM sa s
+      $sigJoins
+      WHERE s.n - s.pos + 1 >= ${p.minSpan}
+    ), qual AS (
+      SELECT x.doc_id AS d1, x.pos AS p1, y.doc_id AS d2, y.pos AS p2
+      FROM sa x JOIN sa y ON y.ord = x.ord + 1
+      JOIN sig sx ON sx.doc_id = x.doc_id AND sx.pos = x.pos
+      JOIN sig sy ON sy.doc_id = y.doc_id AND sy.pos = y.pos
+      WHERE $sigEq
+    ), starts AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT d1 AS doc_id, p1 AS pos FROM qual
+        UNION ALL SELECT d2, p2 FROM qual)
+    ), grp AS (
+      SELECT st.doc_id, st.pos,
+        ${parts.indices.map(i => s"g.s$i").mkString(", ")}
+      FROM starts st
+      JOIN sig g ON g.doc_id = st.doc_id AND g.pos = st.pos
+    ), keepers AS (
+      SELECT $grpKey, min(doc_id * $encF + pos) AS keep
+      FROM grp GROUP BY $grpKey
+    ), removed AS (
+      SELECT grp.doc_id, grp.pos FROM grp JOIN keepers USING ($grpKey)
+      WHERE grp.doc_id * $encF + grp.pos <> keep
+    ), covered AS (
+      SELECT DISTINCT doc_id, CAST(q AS BIGINT) AS pos
+      FROM removed,
+        unnest(generate_series(pos, pos + ${p.minSpan - 1}, 1)) AS v(q)
+    ), dstats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped
+      FROM covered GROUP BY doc_id
+    ), rstats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed_starts
+      FROM removed GROUP BY doc_id
+    ), rebuilt AS (
+      SELECT s.doc_id, string_agg(s.tk, ' ' ORDER BY s.pos) AS text
+      FROM sfx s
+      LEFT JOIN covered c ON c.doc_id = s.doc_id AND c.pos = s.pos
+      WHERE c.doc_id IS NULL GROUP BY s.doc_id
+    ), base AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok)
+    SELECT base.doc_id, n_tokens,
+      CAST(coalesce(n_removed_starts, 0) AS BIGINT) AS n_removed_starts,
+      CAST(coalesce(n_dropped, 0) AS BIGINT) AS n_dropped,
+      coalesce(rebuilt.text, '') AS text
+    FROM base
+    LEFT JOIN rstats USING (doc_id)
+    LEFT JOIN dstats USING (doc_id)
+    LEFT JOIN rebuilt USING (doc_id)"""
+  }
+
+  /** Gopher repetition table (q223): the lined-corpus derivation, the
+    * dup line/paragraph fractions (occurrences beyond the first), the
+    * top-2/3/4-gram char fractions (argmax by count then gram length —
+    * replayed with a row_number), and the dup-5..10-gram char fractions
+    * as POSITION UNIONS (covered token positions made distinct; char
+    * mass = token lengths + one space per adjacent covered pair, which
+    * equals the Spark side's merged-interval char mass). Generated from
+    * [[SketchParams.q223]]. */
+  private def q223: String = {
+    val p = SketchParams.q223
+    val lt = p.lineTokens; val pl = p.paraLines
+    def gramCtes(n: Int): String = s"""g$n AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+        array_to_string(toks[CAST(i AS INT):CAST(i + ${n - 1} AS INT)],
+          ' ') AS u
+      FROM tok, unnest(generate_series(1, len(toks) - ${n - 1}, 1)) AS t(i)
+      WHERE len(toks) >= $n
+    ), tc$n AS (
+      SELECT doc_id, u, CAST(count(*) AS BIGINT) AS cnt
+      FROM g$n GROUP BY 1, 2
+    )"""
+    val topCtes = p.topNs.map { n =>
+      s"""${gramCtes(n)}, top$n AS (
+      SELECT doc_id, cnt * l AS topchars
+      FROM (
+        SELECT doc_id, cnt, CAST(len(u) AS BIGINT) AS l,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY cnt DESC, len(u) DESC) AS rn
+        FROM tc$n)
+      WHERE rn = 1
+    )"""
+    }.mkString(", ")
+    val dupCtes = p.dupNs.map { n =>
+      s"""${gramCtes(n)}, cov$n AS (
+      SELECT DISTINCT g.doc_id, CAST(q AS BIGINT) AS pos
+      FROM g$n g
+      JOIN (SELECT doc_id, u FROM tc$n WHERE cnt >= 2) d
+        USING (doc_id, u),
+        unnest(generate_series(g.i, g.i + ${n - 1}, 1)) AS v(q)
+    ), dch$n AS (
+      SELECT a.doc_id,
+        CAST(sum(len(st.tk)) +
+          count(*) FILTER (WHERE b.pos IS NOT NULL) AS BIGINT)
+          AS dupchars
+      FROM cov$n a
+      JOIN st ON st.doc_id = a.doc_id AND st.pos = a.pos
+      LEFT JOIN cov$n b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.doc_id
+    )"""
+    }.mkString(", ")
+    def unitCte(sepSql: String, tag: String): String = s"""u$tag AS (
+      SELECT doc_id, u, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id, unnest(string_split(text, $sepSql)) AS u
+        FROM lined)
+      WHERE u <> '' GROUP BY 1, 2
+    ), a$tag AS (
+      SELECT doc_id,
+        CAST(sum(cnt) AS BIGINT) AS n,
+        CAST(sum(cnt - 1) AS BIGINT) AS d,
+        CAST(sum(cnt * len(u)) AS BIGINT) AS ch,
+        CAST(sum((cnt - 1) * len(u)) AS BIGINT) AS dch
+      FROM u$tag GROUP BY 1
+    )"""
+    val topSel = p.topNs.map(n =>
+      s"coalesce(CAST(top$n.topchars AS DOUBLE) / NULLIF(tc, 0), 0.0)" +
+        s" AS top_${n}_gram_char_frac").mkString(",\n      ")
+    val dupSel = p.dupNs.map(n =>
+      s"coalesce(CAST(dch$n.dupchars AS DOUBLE) / NULLIF(tc, 0), 0.0)" +
+        s" AS dup_${n}_gram_char_frac").mkString(",\n      ")
+    val topJoins = p.topNs.map(n =>
+      s"LEFT JOIN top$n USING (doc_id)").mkString("\n    ")
+    val dupJoins = p.dupNs.map(n =>
+      s"LEFT JOIN dch$n USING (doc_id)").mkString("\n    ")
+    val passTop = p.topNs.zip(p.topThresholds).map { case (n, t) =>
+      s"top_${n}_gram_char_frac <= $t" }
+    val passDup = p.dupNs.zip(p.dupThresholds).map { case (n, t) =>
+      s"dup_${n}_gram_char_frac <= $t" }
+    val pass = (Seq(
+      s"dup_line_frac <= ${p.dupLineMax}",
+      s"dup_line_char_frac <= ${p.dupLineCharMax}",
+      s"dup_para_frac <= ${p.dupParaMax}",
+      s"dup_para_char_frac <= ${p.dupParaCharMax}") ++ passTop ++ passDup)
+      .mkString(" AND ")
+    s"""
+    WITH tok0 AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), lns AS (
+      SELECT doc_id, list_transform(
+        generate_series(0, CAST((len(toks) - 1) // $lt AS BIGINT)),
+        li -> array_to_string(
+          toks[CAST(li * $lt + 1 AS INT):CAST(li * $lt + $lt AS INT)],
+          ' ')) AS lns
+      FROM tok0
+    ), lined AS MATERIALIZED (
+      SELECT doc_id, array_to_string(list_transform(
+        generate_series(0, CAST((len(lns) - 1) // $pl AS BIGINT)),
+        pi -> array_to_string(
+          lns[CAST(pi * $pl + 1 AS INT):CAST(pi * $pl + $pl AS INT)],
+          chr(10))), chr(10) || chr(10)) AS text
+      FROM lns
+    ), tok AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM lined
+    ), base AS (
+      SELECT doc_id,
+        CAST(len(array_to_string(toks, ' ')) AS BIGINT) AS tc
+      FROM tok
+    ), st AS MATERIALIZED (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tk
+      FROM tok, unnest(generate_series(1, len(toks), 1)) AS t(i)
+    ), ${unitCte("chr(10)", "l")}, ${unitCte("chr(10) || chr(10)", "p")},
+    $topCtes, $dupCtes
+    SELECT base.doc_id,
+      coalesce(CAST(al.d AS DOUBLE) / al.n, 0.0) AS dup_line_frac,
+      coalesce(CAST(al.dch AS DOUBLE) / NULLIF(al.ch, 0), 0.0)
+        AS dup_line_char_frac,
+      coalesce(CAST(ap.d AS DOUBLE) / ap.n, 0.0) AS dup_para_frac,
+      coalesce(CAST(ap.dch AS DOUBLE) / NULLIF(ap.ch, 0), 0.0)
+        AS dup_para_char_frac,
+      $topSel,
+      $dupSel,
+      ($pass) AS repetition_pass
+    FROM base
+    LEFT JOIN al USING (doc_id)
+    LEFT JOIN ap USING (doc_id)
+    $topJoins
+    $dupJoins"""
+  }
+
   /** Tokenizer-aware exact-fill packing (q220): the q217 chain's
     * per-doc token counts (Σ tf·n_pieces) through the q194
     * running-offset pack — tokenize→count→pack in one WITH. */
@@ -5331,12 +5750,28 @@ object OracleSql {
   /** The q217 unigram-LM chain (candidates → quantized EM → final DP),
     * ending in `useg(word, n_pieces, pieces, covered)` — shared by
     * q217 and q219's fertility report. */
-  private def unigramCtes: String = {
+  private def unigramCtes: String =
+    unigramCtes("allw", "types", fallback = false)
+
+  /** The q217 training + final-segmentation CTE chain, parameterized
+    * (r18) so q219's byte-fallback twin can run the FINAL DP over an
+    * extended corpus's word types while training stays on `documents`:
+    * `segAllCte`/`segTypesCte` name the all-words / in-range-types
+    * CTEs the final segmentation covers (callers define them before
+    * this text when they differ from the training corpus), and
+    * `fallback = true` switches `useg` to the byte-fallback contract —
+    * uncovered words emit n_pieces = strlen (UTF-8 byte count),
+    * covered = TRUE, plus the `fallback` flag column. The default
+    * arguments reproduce the r17 text byte-for-byte (q217/q220 hashes
+    * unchanged). */
+  private def unigramCtes(segAllCte: String, segTypesCte: String,
+      fallback: Boolean): String = {
     val p = SketchParams.q217
     val big = 1L << 50
-    // one unrolled Viterbi DP over `types`, scored by CTE `scoreCte`
+    // one unrolled Viterbi DP over `typesCte`, scored by CTE `scoreCte`
     // (piece, q); ends in <tag>seg(w, n, parr)
-    def dp(tag: String, scoreCte: String): String = {
+    def dp(tag: String, scoreCte: String,
+        typesCte: String = "types"): String = {
       val steps = (1 to p.maxWord).map { i =>
         val srcs = (math.max(0, i - p.maxPiece) until i)
           .map(j => s"SELECT w, pos, cost, n, parr FROM ${tag}b$j")
@@ -5365,7 +5800,7 @@ object OracleSql {
       s"""${tag}b0 AS (
       SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost,
         CAST(0 AS BIGINT) AS n, []::VARCHAR[] AS parr
-      FROM types
+      FROM $typesCte
     )$steps, ${tag}seg AS MATERIALIZED (
       $finals
     )"""
@@ -5423,18 +5858,32 @@ object OracleSql {
       UNION ALL
       SELECT piece, c FROM chars
       WHERE piece NOT IN (SELECT piece FROM kept0)
-    )$iterCtes, ${scoreCte(p.iters)}, ${dp(s"s$f", s"q${p.iters}")},
-    useg AS (
+    )$iterCtes, ${scoreCte(p.iters)}, ${dp(s"s$f", s"q${p.iters}",
+      segTypesCte)},
+    useg AS (${
+      if (!fallback) s"""
       SELECT w AS word, CAST(n AS BIGINT) AS n_pieces,
         array_to_string(parr, '|') AS pieces, TRUE AS covered
       FROM s${f}seg
       UNION ALL
-      SELECT w, CAST(1 AS BIGINT), w, FALSE FROM types
+      SELECT w, CAST(1 AS BIGINT), w, FALSE FROM $segTypesCte
       WHERE w NOT IN (SELECT w FROM s${f}seg)
       UNION ALL
-      SELECT w, CAST(1 AS BIGINT), w, FALSE FROM allw
+      SELECT w, CAST(1 AS BIGINT), w, FALSE FROM $segAllCte
       WHERE length(w) > ${p.maxWord}
-    )"""
+    """ else s"""
+      SELECT w AS word, CAST(n AS BIGINT) AS n_pieces,
+        TRUE AS covered, FALSE AS fallback
+      FROM s${f}seg
+      UNION ALL
+      SELECT w, CAST(strlen(w) AS BIGINT), TRUE, TRUE
+      FROM $segTypesCte
+      WHERE w NOT IN (SELECT w FROM s${f}seg)
+      UNION ALL
+      SELECT w, CAST(strlen(w) AS BIGINT), TRUE, TRUE
+      FROM $segAllCte
+      WHERE length(w) > ${p.maxWord}
+    """})"""
   }
 
   private def q161: String = {
@@ -5489,7 +5938,12 @@ object OracleSql {
     * `Ann.ivfPqTopK`; generated from [[SketchParams.q162]]. */
   private def q162: String = q162Body
 
-  private def q162Body: String = {
+  private def q162Body: String = q162Body(SketchParams.q162.k)
+
+  /** The q162 IVFADC chain with an overridable top depth — `topK` =
+    * the SketchParams value for q162/q168; q225 widens it to the
+    * refine depth r before the exact re-score. */
+  private def q162Body(topK: Int): String = {
     val p = SketchParams.q162
     val d = p.dim / p.m
     def subspace(j: Int): String = {
@@ -5567,6 +6021,36 @@ object OracleSql {
         row_number() OVER (PARTITION BY query_id
           ORDER BY approx_d, CAST(neighbor_id AS VARCHAR)) AS rank
       FROM scored)
+    WHERE rank <= $topK"""
+  }
+
+  /** Two-stage IVF-PQ refine (q225): the q162 ADC chain at depth r,
+    * the r candidates re-scored with exact integer squared-L2, final
+    * top-k by (d, id-as-string). Generated from [[SketchParams.q162]]/
+    * [[SketchParams.q225]]. */
+  private def q225: String = {
+    val p = SketchParams.q162
+    val pr = SketchParams.q225
+    s"""
+    WITH approx AS (${q162Body(pr.r)}
+    ), xv AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${p.scale}) AS BIGINT)) AS q
+      FROM embeddings
+    ), rescored AS (
+      SELECT a.query_id, a.neighbor_id, a.approx_d,
+        CAST(${sqListSql("qa.q", "qb.q")} AS BIGINT) AS d
+      FROM approx a
+      JOIN xv qa ON qa.vec_id = a.query_id
+      JOIN xv qb ON qb.vec_id = a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, d,
+      approx_d FROM (
+      SELECT query_id, neighbor_id, d, approx_d,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY d, CAST(neighbor_id AS VARCHAR)) AS rank
+      FROM rescored)
     WHERE rank <= ${p.k}"""
   }
 
@@ -6598,6 +7082,107 @@ object OracleSql {
     JOIN dd ON f.source = dd.source
     LEFT JOIN drift dr ON f.source = dr.source
     JOIN plan pl ON f.source = pl.source"""
+  }
+
+  /** Tokenized temperature plan (q226): q221's p ∝ n^α arithmetic
+    * with the language inventory in q217 unigram-tokenizer tokens —
+    * the full EM + segmentation + counting + plan in one WITH.
+    * Generated from [[SketchParams.q217]]/[[SketchParams.q221]]. */
+  private def q226: String = {
+    val p = SketchParams.q221
+    val sqrtExpr =
+      if (p.alphaHalvings == 2) "sqrt(sqrt(CAST(n_tokens AS DOUBLE)))"
+      else "sqrt(CAST(n_tokens AS DOUBLE))"
+    s"""
+    WITH $unigramCtes, lw AS (
+      SELECT lang, w AS word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT lang, unnest(string_split_regex(trim(lower(text)),
+          '\\s+')) AS w
+        FROM documents)
+      WHERE w != ''
+      GROUP BY lang, w
+    ), inv AS (
+      SELECT lang, CAST(SUM(tf * n_pieces) AS BIGINT) AS n_tokens
+      FROM lw JOIN useg USING (word)
+      GROUP BY lang
+    ), wq AS (
+      SELECT lang, n_tokens,
+        CAST(floor($sqrtExpr * ${p.quant}) AS BIGINT) AS s_q
+      FROM inv
+    ), tot AS (
+      SELECT CAST(SUM(s_q) AS HUGEINT) AS S FROM wq
+    ), tgt AS (
+      SELECT lang, n_tokens, s_q,
+        CAST(CASE WHEN tot.S = 0 THEN 0
+          ELSE (CAST(${p.budget} AS HUGEINT) * s_q) // tot.S END
+          AS BIGINT) AS target_tokens
+      FROM wq, tot
+    )
+    SELECT lang, n_tokens, s_q, target_tokens,
+      CASE WHEN n_tokens = 0 THEN 0.0
+        ELSE least(1.0, CAST(target_tokens AS DOUBLE) /
+          CAST(n_tokens AS DOUBLE)) END AS sample_rate,
+      CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST((target_tokens + n_tokens - 1) // n_tokens AS BIGINT)
+        END AS epochs
+    FROM tgt"""
+  }
+
+  /** Tokenized card budget (q227): the q218 funnel + mixture plan with
+    * total/kept tokens measured by the q217 unigram tokenizer — the
+    * q193 decision chain (kept flags), the unigram CTEs, per-doc
+    * Σ tf·n_pieces, per-source aggregation, and the recipe plan.
+    * Generated from [[SketchParams.q218]]. */
+  private def q227: String = {
+    val p = SketchParams.q218
+    val cases = p.weights.map { case (g, w) => s"WHEN '$g' THEN $w" }
+      .mkString(" ")
+    val q = p.budget / 1000000L
+    val r = p.budget % 1000000L
+    s"""
+    WITH ${decChainCtes("TRUE")}, $unigramCtes, dw AS (
+      SELECT doc_id, w AS word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+          '\\s+')) AS w
+        FROM documents)
+      WHERE w != ''
+      GROUP BY doc_id, w
+    ), cnt AS (
+      SELECT doc_id, CAST(SUM(tf * n_pieces) AS BIGINT) AS n_tokens
+      FROM dw JOIN useg USING (word)
+      GROUP BY doc_id
+    ), fun AS (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN dec.kept THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(SUM(COALESCE(c.n_tokens, 0)) AS BIGINT) AS total_tokens,
+        CAST(SUM(CASE WHEN dec.kept THEN COALESCE(c.n_tokens, 0)
+          ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM dec JOIN documents d ON dec.doc_id = d.doc_id
+      LEFT JOIN cnt c ON c.doc_id = dec.doc_id
+      GROUP BY d.source
+    ), plan AS (
+      SELECT source, weight_ppm,
+        CAST($q * weight_ppm + ($r * weight_ppm) // 1000000 AS BIGINT)
+          AS target_tokens
+      FROM (
+        SELECT source,
+          CAST(CASE source $cases ELSE 0 END AS BIGINT) AS weight_ppm
+        FROM fun)
+    )
+    SELECT f.source, f.n_docs, f.n_kept, f.total_tokens, f.kept_tokens,
+      CAST(f.kept_tokens AS DOUBLE) / CAST(f.total_tokens AS DOUBLE)
+        AS token_yield,
+      pl.weight_ppm, pl.target_tokens,
+      CASE WHEN f.kept_tokens = 0 THEN 0.0
+        ELSE least(1.0, CAST(pl.target_tokens AS DOUBLE) /
+          CAST(f.kept_tokens AS DOUBLE)) END AS sample_rate,
+      CASE WHEN f.kept_tokens = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST((pl.target_tokens + f.kept_tokens - 1) // f.kept_tokens
+          AS BIGINT) END AS epochs
+    FROM fun f JOIN plan pl ON f.source = pl.source"""
   }
 
   /** Minimum spanning forest (q148): Borůvka rounds unrolled —
@@ -8421,6 +9006,12 @@ object OracleSql {
     "q219_unigram_fertility" -> q219,
     "q220_tokenized_pack" -> q220,
     "q221_temperature_plan" -> q221,
+    "q222_exact_substr" -> q222,
+    "q223_gopher_repetition" -> q223,
+    "q224_trained_reranker" -> q224,
+    "q225_ivfpq_refine" -> q225,
+    "q226_tokenized_temp_plan" -> q226,
+    "q227_tokenized_card_budget" -> q227,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -199,6 +199,73 @@ object Soak {
       return
     }
 
+    if (mode == "exactsubstr") {
+      // suffix-array EXACTSUBSTR (q222) at replica scale: replicas share
+      // everything past the marker token, so the duplicated-span mass
+      // grows linearly with replicas while every pipeline frame stays
+      // corpus-token-scale — the claim under test is that no doubling
+      // round (or the adjacency/removal tail) goes superlinear
+      val n = docs.count()
+      timed(s"exactSubstrDedup (minSpan 50, base 16, 3 doublings, $n docs)") {
+        val out = operators.SuffixArray.exactSubstrDedup(
+          docs, "text", "doc_id", minSpan = 50, rounds = 3, baseSpan = 16)
+        val agg = out.agg(count(lit(1)).as("docs"),
+          sum(col("n_removed_starts")).as("starts"),
+          sum(col("n_dropped")).as("dropped")).head
+        println(s"[soak]   -> ${agg.getLong(0)} docs, " +
+          s"${agg.getLong(1)} removed starts, " +
+          s"${agg.getLong(2)} tokens dropped")
+      }
+      spark.stop()
+      return
+    }
+
+    if (mode == "simhash") {
+      // the q31 pigeonhole banding at replica scale (SCALE §9s follow-up):
+      // a 150-family slice (the q31 corpusMax pattern) whose families are
+      // near-identical replicas, so GROUND TRUTH is quadratic in replicas
+      // — the claim under test is that the banded join's candidate mass
+      // tracks that family ground truth (never the corpus square) and
+      // recall stays exact (pigeonhole)
+      val p = SketchParams.q31
+      val sliced = docs.filter(col("doc_id") % 10000000L < 150)
+        .filter(col("text").isNotNull && col("text") =!= "")
+      val fp = operators.Dedup
+        .simhashPortable(sliced, "text", "doc_id").localCheckpoint(true)
+      val nf = fp.count()
+      val banded = operators.Dedup
+        .pigeonholeBands(fp, "simhash", "doc_id", p.bandLayout)
+        .localCheckpoint(true)
+      val candidates = timed(s"candidate mass ($nf fingerprints)") {
+        val a = banded.select(col("band"), col("bv"), col("doc_id").as("id_a"))
+        val b = banded.select(col("band"), col("bv"), col("doc_id").as("id_b"))
+        a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b")).count()
+      }
+      val pairs = timed("pigeonholeHammingPairs (verify + distinct)") {
+        operators.Dedup.pigeonholeHammingPairs(
+          fp, "simhash", "doc_id", p.bandLayout, p.maxHamming)
+          .localCheckpoint(true)
+      }
+      val nPairs = pairs.count()
+      // exact ground truth within families (replicas of one base doc):
+      // family all-pairs + bit_count — cheap because families are tiny
+      val fam = fp.select((col("doc_id") % 10000000L).as("__f"),
+        col("doc_id"), col("simhash"))
+      val truth = fam.as("x").join(fam.as("y"),
+          col("x.__f") === col("y.__f") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .filter(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          <= p.maxHamming)
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      val nTruth = truth.count()
+      val missed = truth.join(pairs, Seq("id_a", "id_b"), "left_anti").count()
+      println(s"[soak]   -> candidates $candidates, verified pairs " +
+        s"$nPairs, in-family truth $nTruth, in-family missed $missed " +
+        "(pigeonhole => 0)")
+      spark.stop()
+      return
+    }
+
     if (mode == "datacard") {
       // the q218 per-source data card at replica scale, over the
       // DIVERSIFIED-vocabulary corpus (§9o: families of true

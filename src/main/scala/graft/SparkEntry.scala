@@ -508,33 +508,11 @@ object SparkEntry {
     // measured the un-materialized form at 22 s vs 5 s total here)
     val fp = Dedup.simhashPortable(docs, "text", "doc_id")
       .localCheckpoint(false)
-    val bandStructs = p.bandLayout.zipWithIndex.map {
-      case ((off, wd), bi) =>
-        struct(lit(bi).as("band"),
-          shiftright(col("simhash"), off)
-            .bitwiseAND(lit((1L << wd) - 1)).as("bv"))
-    }
-    val banded = fp.select(col("doc_id"), col("simhash"),
-        explode(array(bandStructs: _*)).as("__b"))
-      .select(col("doc_id"), col("simhash"),
-        col("__b.band").as("band"), col("__b.bv").as("bv"))
-    val a = banded.select(col("doc_id").as("id_a"),
-      col("simhash").as("__ha"), col("band"), col("bv"))
-    val b = banded.select(col("doc_id").as("id_b"),
-      col("simhash").as("__hb"), col("band"), col("bv"))
-    // hamming filter BEFORE the distinct: band values over a shared
-    // vocabulary are heavily skewed, so the candidate join emits tens
-    // of millions of rows — the bit_count gate is a map-side codegen
-    // op that kills non-qualifying pairs in place, and only the ~0.3%
-    // survivors (× ≤ bands multiplicity) reach the distinct shuffle
-    // (the r17 bench caught the distinct-first version at 20 s)
-    a.join(b, Seq("band", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("__ha").bitwiseXOR(col("__hb")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= p.maxHamming)
-      .distinct()
+    // banding + hamming-before-distinct factored into
+    // Dedup.pigeonholeHammingPairs (r18) so the soak harness measures
+    // the exact join this query ships
+    Dedup.pigeonholeHammingPairs(fp, "simhash", "doc_id",
+      p.bandLayout, p.maxHamming)
   }
 
   /** Exact n-gram Jaccard join over inverted-index candidates — oracled
@@ -3776,53 +3754,164 @@ object SparkEntry {
     })
   }
 
+  /** The q191 candidate-generation parts (query terms, corpus docs,
+    * BM25 ranks, beam-ANN ranks), memoized per (session, dir) so the
+    * two consumers — q191's RRF fusion and q224's trained reranker —
+    * run the index probes ONCE (r18). */
+  private final case class HybridParts(
+      queryTerms: DataFrame, corpusDocs: DataFrame,
+      bmRanks: DataFrame, annRanks: DataFrame)
+  private val q191PartsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), HybridParts]
+  private def q191Parts(s: SparkSession, dir: String): HybridParts = {
+    q191PartsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    q191PartsMemo.computeIfAbsent((s, dir), _ => {
+      val p152 = SketchParams.q152
+      val p = SketchParams.q157
+      val pb = SketchParams.q183
+      val ph = SketchParams.q191
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val old = emb.filter(col("vec_id") % p.batchMod =!= 0)
+      val batch = emb.filter(col("vec_id") % p.batchMod === 0)
+      val corpusDocs = docs.join(
+        old.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      // query-by-example keeps each query doc's top `qTerms` terms by
+      // (tf DESC, term ASC) — Lucene MoreLikeThis semantics. Without the
+      // cap a query's FULL term set fans the scoring join out by
+      // |queries sharing each term|; with it the fan-out is bounded by
+      // qTerms per query regardless of vocabulary shape.
+      val queryTerms = docs.join(
+          batch.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+        .select(col("doc_id").as("query_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("query_id"), col("term"))
+        .agg(count(lit(1)).as("__tf"))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("__tf").desc, col("term").asc)))
+        .filter(col("__rn") <= ph.qTerms)
+        .select(col("query_id"), col("term"))
+        .localCheckpoint(true)
+      val bm25Ranks = operators.TextAnalysis
+        .bm25FixedPointTopKFromIndex(q191Bm25Index(s, dir, corpusDocs),
+          queryTerms, ph.k)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("score_q").desc,
+              col("doc_id").cast("string").asc)).cast("long"))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+        .localCheckpoint(true)
+      val annRanks = Ann.beamSearchPortable(q157OldGraph(s, dir), old,
+          batch, "embedding", "vec_id", ph.k, ph.k, pb.maxRounds,
+          stopOnNoImprove = true, p152.scale, p.tablePlanes, p.seedCap)
+        .select(col("id").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+        .localCheckpoint(true)
+      HybridParts(queryTerms, corpusDocs, bm25Ranks, annRanks)
+    })
+  }
+
   def q191HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val ph = SketchParams.q191
+    val parts = q191Parts(s, dir)
+    operators.TextAnalysis.reciprocalRankFusion(
+      Seq(parts.bmRanks, parts.annRanks), "query_id", "doc_id", "rank",
+      ph.rrfK, ph.k)
+  }
+
+  /** TRAINED reranker over the hybrid candidates (r18) — the learned
+    * second stage every retrieval pipeline ships: the q190 averaged
+    * perceptron ([[graft.operators.Classifier.perceptronTrainOnFeatures]])
+    * trained on PAIR FEATURES of the q191 candidate set (both ranks
+    * with absent = k+1, both presence flags, query-term overlap, bias —
+    * all small integers, so training and scoring stay in exact BIGINT
+    * arithmetic) against EXACT-kNN gold labels
+    * ([[graft.operators.Ann.exactTopKPortable]]). Queries split by
+    * parity: even (query_id/batchMod) pairs train, odd queries get
+    * reranked — the held-out lane the spec grades recall on. The DuckDB
+    * twin replays candidate generation, gold, every epoch, and the
+    * rerank. Params from [[SketchParams.q224]]. */
+  def q224TrainedReranker(s: SparkSession, dir: String): DataFrame = {
     val p152 = SketchParams.q152
     val p = SketchParams.q157
-    val pb = SketchParams.q183
     val ph = SketchParams.q191
+    val pr = SketchParams.q224
+    val parts = q191Parts(s, dir)
     val emb = t(s, dir, "embeddings")
-    val docs = t(s, dir, "documents")
     val old = emb.filter(col("vec_id") % p.batchMod =!= 0)
     val batch = emb.filter(col("vec_id") % p.batchMod === 0)
-    val corpusDocs = docs.join(
-      old.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
-    // query-by-example keeps each query doc's top `qTerms` terms by
-    // (tf DESC, term ASC) — Lucene MoreLikeThis semantics. Without the
-    // cap a query's FULL term set fans the scoring join out by
-    // |queries sharing each term|; with it the fan-out is bounded by
-    // qTerms per query regardless of vocabulary shape.
-    val queryTerms = docs.join(
-        batch.select(col("vec_id").as("doc_id")), Seq("doc_id"),
-        "left_semi")
-      .select(col("doc_id").as("query_id"),
+    val cand = parts.bmRanks.select(col("query_id"), col("doc_id"))
+      .unionByName(parts.annRanks.select(col("query_id"), col("doc_id")))
+      .distinct()
+    val docTerms = parts.corpusDocs
+      .select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
-      .groupBy(col("query_id"), col("term"))
-      .agg(count(lit(1)).as("__tf"))
-      .withColumn("__rn", row_number().over(
+      .distinct()
+    val overlap = parts.queryTerms.join(docTerms, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("__ov"))
+    val absent = lit((ph.k + 1).toLong)
+    val feats0 = cand
+      .join(parts.bmRanks.select(col("query_id"), col("doc_id"),
+        col("rank").as("__rb")), Seq("query_id", "doc_id"), "left")
+      .join(parts.annRanks.select(col("query_id"), col("doc_id"),
+        col("rank").as("__ra")), Seq("query_id", "doc_id"), "left")
+      .join(overlap, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("__rb"), absent).as("f_bm25"),
+        coalesce(col("__ra"), absent).as("f_ann"),
+        col("__rb").isNotNull.cast("long").as("f_inb"),
+        col("__ra").isNotNull.cast("long").as("f_ina"),
+        coalesce(col("__ov"), lit(0L)).as("f_ov"))
+      .localCheckpoint(true)
+    val pfeats = feats0.select(col("query_id"), col("doc_id"),
+        explode(array(
+          struct(lit(0L).as("bucket"), lit(1L).as("tf")),
+          struct(lit(1L).as("bucket"), col("f_bm25").as("tf")),
+          struct(lit(2L).as("bucket"), col("f_ann").as("tf")),
+          struct(lit(3L).as("bucket"), col("f_inb").as("tf")),
+          struct(lit(4L).as("bucket"), col("f_ina").as("tf")),
+          struct(lit(5L).as("bucket"), col("f_ov").as("tf"))))
+          .as("__f"))
+      .select(col("query_id"), col("doc_id"),
+        col("__f.bucket").as("bucket"), col("__f.tf").as("tf"))
+    val gold = Ann.exactTopKPortable(old, batch, "embedding", "vec_id",
+        "vec_id", pr.gold, p152.scale)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        lit(1L).as("__hit"))
+      .localCheckpoint(true)
+    val labeled = cand.join(gold, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"),
+        when(col("__hit").isNotNull, 1L).otherwise(-1L).as("y"))
+    // query ids are multiples of batchMod; integer-divide before the
+    // parity split (Column./ would promote to double)
+    val isTrain = expr(s"(query_id div ${p.batchMod}) % 2 = 0")
+    val trainFeats = pfeats.filter(isTrain)
+      .select((col("query_id") * 1000000L + col("doc_id")).as("id"),
+        col("bucket"), col("tf"))
+      .join(labeled.filter(isTrain)
+        .select((col("query_id") * 1000000L + col("doc_id")).as("id"),
+          col("y")), Seq("id"))
+    val weights = operators.Classifier
+      .perceptronTrainOnFeatures(trainFeats, pr.epochs)
+    pfeats.filter(!isTrain)
+      .join(weights.select(col("bucket"), col("w")), Seq("bucket"),
+        "left")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * coalesce(col("w"), lit(0L))).as("score"))
+      .withColumn("new_rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))
-          .orderBy(col("__tf").desc, col("term").asc)))
-      .filter(col("__rn") <= ph.qTerms)
-      .select(col("query_id"), col("term"))
-    val bm25Ranks = operators.TextAnalysis
-      .bm25FixedPointTopKFromIndex(q191Bm25Index(s, dir, corpusDocs),
-        queryTerms, ph.k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("score_q").desc,
+          .orderBy(col("score").desc,
             col("doc_id").cast("string").asc)).cast("long"))
-      .select(col("query_id"), col("doc_id"), col("rank"))
-    val annRanks = Ann.beamSearchPortable(q157OldGraph(s, dir), old,
-        batch, "embedding", "vec_id", ph.k, ph.k, pb.maxRounds,
-        stopOnNoImprove = true, p152.scale, p.tablePlanes, p.seedCap)
-      .select(col("id").as("query_id"),
-        col("neighbor_id").as("doc_id"), col("rank"))
-    operators.TextAnalysis.reciprocalRankFusion(
-      Seq(bm25Ranks, annRanks), "query_id", "doc_id", "rank",
-      ph.rrfK, ph.k)
+      .filter(col("new_rank") <= ph.k)
   }
 
   /** Contrastive triplet mining from the shared kNN backbone
@@ -4021,30 +4110,62 @@ object SparkEntry {
   private def q217Seg(s: SparkSession, dir: String): DataFrame =
     memoCheckpoint(q217SegMemo, s, dir) {
       val p = SketchParams.q217
+      TextAnalysis.unigramLmSegment(t(s, dir, "documents"), "text",
+        q217Model(s, dir), p.maxPiece, p.maxWord)
+    }
+
+  /** The TRAINED q217 model (piece, c, q), memoized separately from
+    * the segmentation so q219's byte-fallback run over an EXTENDED
+    * corpus re-uses the one EM training (r18: one training of q217
+    * for all consumers — q217/q219/q220). */
+  private val q217ModelMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def q217Model(s: SparkSession, dir: String): DataFrame =
+    memoCheckpoint(q217ModelMemo, s, dir) {
+      val p = SketchParams.q217
       implicit val spark: SparkSession = s
       val docs = t(s, dir, "documents")
       def trained = TextAnalysis.unigramLmTrain(docs, "text", p.iters,
         p.quant, p.maxPiece, p.maxWord, p.minFreq)
-      val model = sys.env.get("SPARK_GRAFT_CENTROIDS_DIR") match {
+      sys.env.get("SPARK_GRAFT_CENTROIDS_DIR") match {
         case Some(root) => TextAnalysis.trainOrLoadUnigramModel(
           s"$root/q217_i${p.iters}_p${p.maxPiece}_w${p.maxWord}")(
           trained)
         case None => trained
       }
-      TextAnalysis.unigramLmSegment(docs, "text", model, p.maxPiece,
-        p.maxWord)
     }
 
-  /** Unigram-tokenizer fertility per language — q202's report over
-    * the q217 segmentation (the SentencePiece-style tokenizer graded
-    * by the same occurrence-weighted pieces-per-word metric as
-    * WordPiece, so the two tokenizers' fertility is directly
-    * comparable). Reuses the memoized [[q217Seg]] frame — the EM
-    * trains once across both queries. */
-  def q219UnigramFertility(s: SparkSession, dir: String): DataFrame =
-    operators.TextAnalysis.tokenizerFertility(
-      t(s, dir, "documents"), "text", "lang", q217Seg(s, dir),
-      SketchParams.q202.quant)
+  /** Unigram-tokenizer fertility per language WITH BYTE FALLBACK
+    * (r18): the q202 occurrence-weighted report over a
+    * [[graft.operators.TextAnalysis.byteFallbackSegment]] of the q217
+    * tokenizer — every word segments (long/OOV-char words as their
+    * UTF-8 bytes), so coverage is 1.0 by construction (`covered_q` =
+    * quant proves it in the hash) and `n_fallback_occ`/`fallback_q`
+    * report the byte-lane traffic, the real coverage signal. The
+    * corpus is extended with a variant lane (doc_id % 7 == 0 docs emit
+    * one extra doc gluing their first tokens with 'ß' — a character
+    * the training corpus lacks — one short and one > maxWord gluing)
+    * so BOTH fallback lanes demonstrably fire in the oracle. The model
+    * is the memoized [[q217Model]] (one EM for q217/q219/q220); only
+    * the word-TYPE-scale final segmentation re-runs over the extended
+    * types. */
+  def q219UnigramFertility(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q217
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val base = t(s, dir, "documents").select(col("lang"), col("text"))
+    val variant = t(s, dir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("lang"),
+        concat_ws(" ",
+          concat_ws("ß", slice(toks, 1, 2)),
+          concat_ws("ß", slice(toks, 1, 3))).as("text"))
+    val xdocs = base.unionByName(variant)
+    val seg = operators.TextAnalysis.byteFallbackSegment(
+      operators.TextAnalysis.unigramLmSegment(xdocs, "text",
+        q217Model(s, dir), p.maxPiece, p.maxWord))
+    operators.TextAnalysis.tokenizerFertilityFallback(
+      xdocs, "text", "lang", seg, SketchParams.q202.quant)
+  }
 
   /** Per-source pretraining DATA CARD — the artifact a curation team
     * publishes with a dataset release: ONE report row per source over
@@ -4120,6 +4241,54 @@ object SparkEntry {
       p.budget, p.alphaHalvings, p.quant)
   }
 
+  /** Suffix-array EXACTSUBSTR dedup
+    * ([[graft.operators.SuffixArray.exactSubstrDedup]]) — the real Lee
+    * et al. 2022 method over the near-dup corpus: prefix-doubling
+    * suffix ranks (each round ONE range exchange via the q142
+    * global-rank trick), adjacent-rank LCP ≥ minSpan certified by the
+    * binary-decomposition rank checks, non-first occurrences of every
+    * duplicated span removed and documents reassembled (the q77
+    * first-occurrence policy). The truncated twins guarantee ≥
+    * minSpan-token shared prefixes, so removals demonstrably fire. The
+    * DuckDB twin unrolls all [[SketchParams.q222]].rounds doubling
+    * rounds as CTEs — the entire suffix array, not a sampled check,
+    * hash-verifies. */
+  def q222ExactSubstr(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q222
+    operators.SuffixArray.exactSubstrDedup(
+      nearDupCorpus(s, dir), "text", "doc_id", p.minSpan, p.rounds,
+      p.baseSpan)
+  }
+
+  /** The complete Gopher repetition table
+    * ([[graft.operators.TextAnalysis.gopherRepetitionReport]]): all 13
+    * published repetition fractions (dup line/para + char, top-2/3/4
+    * gram chars, dup-5..10 gram chars as true position unions) and the
+    * pass flag, per doc, over a LINED corpus derived deterministically
+    * from the fixture (the raw documents carry no newlines): tokens
+    * grouped 8-to-a-line, lines 4-to-a-paragraph, rejoined with
+    * \n / \n\n. Params from [[SketchParams.q223]]. */
+  def q223GopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q223
+    val toks = split(trim(col("text")), "\\s+")
+    val nLines = floor((size(toks) - 1).cast("double") / p.lineTokens)
+      .cast("int")
+    val lines = transform(sequence(lit(0), nLines),
+      li => concat_ws(" ",
+        slice(toks, li * p.lineTokens + 1, lit(p.lineTokens))))
+    val nParas = floor((size(lines) - 1).cast("double") / p.paraLines)
+      .cast("int")
+    val lined = t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws("\n\n", transform(sequence(lit(0), nParas),
+          pi => concat_ws("\n",
+            slice(lines, pi * p.paraLines + 1, lit(p.paraLines)))))
+          .as("text"))
+    operators.TextAnalysis.gopherRepetitionReport(lined, "text", "doc_id",
+      p.topNs, p.dupNs, p.topThresholds, p.dupThresholds,
+      p.dupLineMax, p.dupParaMax, p.dupLineCharMax, p.dupParaCharMax)
+  }
+
   /** Tokenizer-aware exact-fill packing — the q194 packer budgeted by
     * what the trainer actually sees: per-doc UNIGRAM-TOKENIZER token
     * counts (Σ tf·n_pieces off the memoized [[q217Seg]] segmentation —
@@ -4128,20 +4297,84 @@ object SparkEntry {
     * tokenize→count→pack composition hash-verifies: the DuckDB twin
     * replays the EM, the segmentation, the per-doc counts, and the
     * running-offset pack in one WITH. */
-  def q220TokenizedPack(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val seg = q217Seg(s, dir)
-    val counts = docs
+  def q220TokenizedPack(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.packSequences(q217DocTokens(s, dir), "n_tokens",
+      "doc_id", SketchParams.q194.seqLen)
+
+  /** Per-doc TRAINER-billable token counts (Σ tf·n_pieces off the
+    * memoized [[q217Seg]] segmentation) — the shared budget column of
+    * the tokenized pack (q220), the tokenized temperature plan (q226)
+    * and the tokenized card budget (q227): one q217 EM training feeds
+    * every consumer (r18). Docs with no words emit no row. */
+  private def q217DocTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      .join(seg.select(col("word"), col("n_pieces")), Seq("word"))
+      .join(q217Seg(s, dir).select(col("word"), col("n_pieces")),
+        Seq("word"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("n_pieces")).as("n_tokens"))
-    operators.Packing.packSequences(counts, "n_tokens", "doc_id",
-      SketchParams.q194.seqLen)
+
+  /** Temperature-scaled mixture plan in TRAINER-BILLABLE tokens (r18):
+    * q221's p ∝ n^α arithmetic with the language inventory measured by
+    * the q217 unigram tokenizer (Σ tf·n_pieces per language off the
+    * memoized segmentation) instead of whitespace words — the mixture
+    * numbers a trainer can actually bill against. One q217 training
+    * for all consumers; the DuckDB twin replays EM + counts + plan in
+    * one WITH. Params from [[SketchParams.q221]]. */
+  def q226TokenizedTempPlan(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q221
+    val inv = t(s, dir, "documents")
+      .select(col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .join(q217Seg(s, dir).select(col("word"), col("n_pieces")),
+        Seq("word"))
+      .groupBy(col("lang"))
+      .agg(sum(col("tf") * col("n_pieces")).as("n_tokens"))
+    operators.Sampling.temperaturePlan(inv, "lang", "n_tokens",
+      p.budget, p.alphaHalvings, p.quant)
+  }
+
+  /** Per-source card BUDGET in trainer-billable tokens (r18): the q218
+    * funnel and mixture plan re-measured under the q217 unigram
+    * tokenizer — same kept flags (the memoized [[q218Flags]] decision
+    * chain, zero retraining), same [[SketchParams.q218]] recipe, but
+    * total/kept tokens and the plan's sample rates computed over
+    * [[q217DocTokens]]. The dedup-rate and drift columns live on q218
+    * (token units don't move them); this is the card's budget page in
+    * the unit the trainer bills. */
+  def q227TokenizedCardBudget(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q218
+    val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val funnel = q218Flags(s, dir).select(col("doc_id"), col("kept"))
+      .join(q217DocTokens(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("kept"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+    val plan = operators.Sampling.mixturePlan(
+        funnel.select(col("source"), col("kept_tokens")),
+        "source", "kept_tokens", p.weights.toMap, p.budget)
+      .select(col("source"), col("weight_ppm"), col("target_tokens"),
+        col("sample_rate"), col("epochs"))
+    funnel.join(broadcast(plan), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("total_tokens"), col("kept_tokens"),
+        (col("kept_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("token_yield"),
+        col("weight_ppm"), col("target_tokens"), col("sample_rate"),
+        col("epochs"))
   }
 
   /** Curation funnel report — the per-stage accounting of the q193
@@ -4470,6 +4703,24 @@ object SparkEntry {
         nprobe = p.nprobe, m = p.m, ks = p.ks, iters = p.iters,
         scale = p.scale)
     }
+
+  /** Two-stage IVF-PQ serving
+    * ([[graft.operators.Ann.ivfPqRefineTopK]]): the q162 ADC scan
+    * widened to top-r candidates, then exact integer re-scoring of
+    * those r and the final top-k — the FAISS `IndexRefineFlat`
+    * refinement every production IVF-PQ deployment ships. The DuckDB
+    * twin replays the whole chain: coarse + sub-quantizer trainings,
+    * ADC at depth r, the exact re-score, the re-rank. Params from
+    * [[SketchParams.q162]]/[[SketchParams.q225]]. */
+  def q225IvfPqRefine(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q162
+    val pr = SketchParams.q225
+    val emb = t(s, dir, "embeddings")
+    Ann.ivfPqRefineTopK(emb, emb.filter(col("vec_id") < p.maxQueryId),
+      "embedding", "vec_id", "vec_id", k = p.k, r = pr.r,
+      nlist = p.nlist, nprobe = p.nprobe, m = p.m, ks = p.ks,
+      iters = p.iters, scale = p.scale)
+  }
 
   /** Signed random projection + projected exact top-k
     * ([[graft.operators.Ann.signedProjection]] +
@@ -5009,7 +5260,13 @@ object SparkEntry {
     "q218_data_card" -> (q218DataCard _),
     "q219_unigram_fertility" -> (q219UnigramFertility _),
     "q220_tokenized_pack" -> (q220TokenizedPack _),
-    "q221_temperature_plan" -> (q221TemperaturePlan _))
+    "q221_temperature_plan" -> (q221TemperaturePlan _),
+    "q222_exact_substr" -> (q222ExactSubstr _),
+    "q223_gopher_repetition" -> (q223GopherRepetition _),
+    "q224_trained_reranker" -> (q224TrainedReranker _),
+    "q225_ivfpq_refine" -> (q225IvfPqRefine _),
+    "q226_tokenized_temp_plan" -> (q226TokenizedTempPlan _),
+    "q227_tokenized_card_budget" -> (q227TokenizedCardBudget _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

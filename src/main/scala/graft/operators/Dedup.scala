@@ -1073,6 +1073,51 @@ object Dedup {
     * table is scanned, never shuffled wide — the streaming phash gate
     * ([[graft.streaming.EventStreams.phashGateIngest]]) runs this per
     * micro-batch. */
+  /** Banded view of 64-bit fingerprints under an EXPLICIT disjoint
+    * (offset, width) band layout — one row per (doc, band) with the
+    * band's extracted value. The q31 pigeonhole machinery, factored out
+    * so the soak harness measures the same join the query ships. */
+  def pigeonholeBands(fps: DataFrame, fpCol: String, idCol: String,
+      bandLayout: Seq[(Int, Int)]): DataFrame = {
+    val bandStructs = bandLayout.zipWithIndex.map {
+      case ((off, wd), bi) =>
+        struct(lit(bi).as("band"),
+          shiftright(col(fpCol), off)
+            .bitwiseAND(lit((1L << wd) - 1)).as("bv"))
+    }
+    fps.select(col(idCol).as("doc_id"), col(fpCol).as("__fp"),
+        explode(array(bandStructs: _*)).as("__b"))
+      .select(col("doc_id"), col("__fp"),
+        col("__b.band").as("band"), col("__b.bv").as("bv"))
+  }
+
+  /** Pigeonhole-banded Hamming near-dup pairs over precomputed 64-bit
+    * fingerprints: candidates = the per-(band, value) self-join of
+    * [[pigeonholeBands]], verified with bit_count(xor) ≤ maxHamming.
+    * EXACT recall when `bandLayout.size ≥ maxHamming + 1` and the bands
+    * are disjoint (pigeonhole: ≤ maxHamming flipped bits cannot touch
+    * every band). The Hamming gate runs BEFORE the distinct — band
+    * values over a shared vocabulary are heavily skewed, so the
+    * candidate join emits its mass into a map-side codegen filter, and
+    * only survivors (× ≤ bands multiplicity) reach the distinct shuffle
+    * (the r17 lesson: distinct-first cost 20 s where this shape costs
+    * 1.3 s). Output: (id_a, id_b, hamming) with id_a < id_b. */
+  def pigeonholeHammingPairs(fps: DataFrame, fpCol: String, idCol: String,
+      bandLayout: Seq[(Int, Int)], maxHamming: Int): DataFrame = {
+    val banded = pigeonholeBands(fps, fpCol, idCol, bandLayout)
+    val a = banded.select(col("doc_id").as("id_a"),
+      col("__fp").as("__ha"), col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("id_b"),
+      col("__fp").as("__hb"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   def hammingScreen(batch: DataFrame, corpusFps: DataFrame,
       fpCol: String, idCol: String, maxHamming: Int,
       chunks: Int = 4): DataFrame = {

@@ -348,17 +348,11 @@ object Linkage {
     * chosen well, and the candidate count is exactly
     * (window−1)·n − C(window,2) — linear in n, never all-pairs.
     *
-    * The global rank is computed WITHOUT a global window sort: records
-    * range-repartition on (key, id) — Spark's range partitioner assigns
-    * ascending key ranges to ascending partition ids — then each
-    * partition ranks locally (a window PARTITIONED by the captured
-    * partition id, so its sort is in-partition) and adds the
-    * (broadcast) running count of the partitions before it. The only
-    * single-task step is the running-count window over ONE ROW PER
-    * PARTITION (the Packing-subtotal model-state bound);
-    * record-proportional work is two exchanges (the range shuffle, then
-    * the pid hash shuffle the local window asks for) + one in-partition
-    * sort. Candidate emission is a `sequence(1, window−1)` explode +
+    * The global rank is computed WITHOUT a global window sort — the
+    * [[Ranks.globalRowNumber]] machinery (range-repartition on
+    * (key, id), local ranks, broadcast per-partition offsets; factored
+    * out in r18 for the [[SuffixArray]] doubling loop). Candidate
+    * emission is a `sequence(1, window−1)` explode +
     * ONE equi-join on the rank — no range/theta join, no cartesian.
     *
     * Determinism: (key, id) is a total order (ids unique by contract),
@@ -377,47 +371,11 @@ object Linkage {
   def sortedNeighborhood(records: DataFrame, idCol: String,
       keyCol: String, window: Int): DataFrame = {
     require(window >= 2, "window must cover at least adjacent records")
-    val ranged = records
-      .select(col(idCol).as("id"), col(keyCol).as("__k"))
-      .filter(col("__k").isNotNull)
-      .repartitionByRange(col("__k"), col("id"))
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(col("__k"), col("id"))
-    val local = ranged.withColumn("__lr",
-      row_number().over(wLocal).cast("long"))
-    // one row per partition; the running offset is a window over that
-    // tiny frame, then broadcast back — never a record-sized window
-    val wOff = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__pid"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, -1)
-    // defensive invariant (ADVICE r12): the offset arithmetic assumes
-    // range partition ids are KEY-ORDERED (partition i's keys all sort
-    // before partition i+1's) AND that __pid was evaluated in the
-    // post-range-shuffle stage. Both hold today (range partitioner
-    // contract; pid is captured under the pid-partitioned window), but
-    // nothing downstream would fail loudly if an optimizer/AQE/
-    // exchange-reuse change ever broke either — so each partition's
-    // (key, id) span is checked against its predecessor's ON THE TINY
-    // PER-PARTITION FRAME (lag over one row per partition; overlapping
-    // spans also catch a moved pid capture), and a violation throws
-    // instead of silently corrupting every rank
-    val offsets = local.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__n"),
-        min(struct(col("__k"), col("id"))).as("__lo"),
-        max(struct(col("__k"), col("id"))).as("__hi"))
-      .withColumn("__prevHi", lag(col("__hi"), 1).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))))
-      .filter(assert_true(
-        col("__prevHi").isNull || col("__prevHi") < col("__lo"),
-        lit("sortedNeighborhood: range partition ids are not key-ordered " +
-          "— the global rank would be corrupt")).isNull)
-      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    val ranked = local
-      .join(broadcast(offsets), Seq("__pid"))
-      .select(col("id"), col("__k"), (col("__off") + col("__lr")).as("__r"))
+    val ranked = Ranks.globalRowNumber(
+        records.select(col(idCol).as("id"), col(keyCol).as("__k"))
+          .filter(col("__k").isNotNull),
+        Seq(col("__k"), col("id")), out = "__r")
+      .select(col("id"), col("__k"), col("__r"))
     val probe = ranked
       .select(col("id").as("id_a"), col("__k").as("key_a"), col("__r"),
         explode(sequence(lit(1L), lit((window - 1).toLong))).as("__d"))

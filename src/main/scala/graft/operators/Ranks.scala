@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global-order ranking without a global single-partition window — the
+  * machinery behind [[Linkage.sortedNeighborhood]] (q142), factored out
+  * in r18 because the suffix-array doubling loop ([[SuffixArray]]) needs
+  * it once per round.
+  *
+  * A plain `row_number().over(Window.orderBy(...))` collapses the whole
+  * input into ONE task — the classic scale cliff. Here the input
+  * range-repartitions on the order columns (Spark's range partitioner
+  * assigns ascending key ranges to ascending partition ids), each
+  * partition ranks locally (a window PARTITIONED by the captured
+  * partition id, so its sort is in-partition), and the (broadcast)
+  * running count of the partitions before it turns local ranks into
+  * global ones. The only single-task step is the running-count window
+  * over ONE ROW PER PARTITION — the model-state bound.
+  */
+private[graft] object Ranks {
+
+  /** Append a global 1-based `out` column = row_number over `order`
+    * (which must be a TOTAL order over the rows — ties would make the
+    * result depend on partitioning). Record-proportional work: the range
+    * exchange, the pid hash exchange the local window asks for, and one
+    * in-partition sort.
+    *
+    * Defensive invariant (the q142/ADVICE-r12 guard): the offset
+    * arithmetic assumes range partition ids are KEY-ORDERED and that the
+    * pid column was evaluated post-range-shuffle. Both hold today, but
+    * nothing downstream fails loudly if an optimizer/AQE change ever
+    * broke either — so each partition's order-column span is checked
+    * against its predecessor's on the tiny per-partition frame, and a
+    * violation throws instead of silently corrupting every rank. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+      out: String = "__gr"): DataFrame = {
+    require(order.nonEmpty, "globalRowNumber needs order columns")
+    val ranged = df
+      .repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val local = ranged.withColumn("__lr",
+      row_number().over(wLocal).cast("long"))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(order: _*)).as("__lo"),
+        max(struct(order: _*)).as("__hi"))
+      .withColumn("__prevHi", lag(col("__hi"), 1).over(
+        Window.orderBy(col("__pid"))))
+      .filter(assert_true(
+        col("__prevHi").isNull || col("__prevHi") < col("__lo"),
+        lit("globalRowNumber: range partition ids are not key-ordered " +
+          "— the global rank would be corrupt")).isNull)
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(out, col("__off") + col("__lr"))
+      .drop("__pid", "__lr", "__off")
+  }
+
+  /** Append a global 1-based `out` column = dense_rank over `keys`,
+    * computed IN PLACE — no distinct, no join-back: the range
+    * partitioner puts equal keys in one partition (bound lookup is by
+    * ordering, so ties never straddle a boundary), each partition
+    * dense-ranks locally, and the broadcast running sum of per-partition
+    * DISTINCT-KEY counts (= the local max dense rank, a one-row-per-
+    * partition frame) lifts local ranks to global ones. Same defensive
+    * key-ordering invariant as [[globalRowNumber]]. This is the
+    * doubling-loop workhorse ([[SuffixArray]]): ranking n rows by a key
+    * costs one range exchange + the local window's pid hash exchange —
+    * versus distinct + rank + join-back's four. */
+  def globalDenseRank(df: DataFrame, keys: Seq[Column],
+      out: String = "__dr"): DataFrame = {
+    require(keys.nonEmpty, "globalDenseRank needs key columns")
+    val ranged = df
+      .repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+    val local = ranged.withColumn("__ldr",
+      dense_rank().over(wLocal).cast("long"))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(max(col("__ldr")).as("__n"),
+        min(struct(keys: _*)).as("__lo"),
+        max(struct(keys: _*)).as("__hi"))
+      .withColumn("__prevHi", lag(col("__hi"), 1).over(
+        Window.orderBy(col("__pid"))))
+      .filter(assert_true(
+        col("__prevHi").isNull || col("__prevHi") < col("__lo"),
+        lit("globalDenseRank: range partition ids are not key-ordered " +
+          "— the global rank would be corrupt")).isNull)
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(out, col("__off") + col("__ldr"))
+      .drop("__pid", "__ldr", "__off")
+  }
+}

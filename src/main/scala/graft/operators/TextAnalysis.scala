@@ -209,6 +209,173 @@ object TextAnalysis {
           .as("dup_char_frac"))
   }
 
+  /** The COMPLETE Gopher repetition table (Rae et al. 2021 §A1.1 Table
+    * A1) as one wide per-document report — the 13 repetition filters a
+    * real curation run applies together, previously covered only at
+    * n = 1 by [[repetitionStats]]:
+    *
+    *   - duplicate LINE / PARAGRAPH fraction: units = non-empty
+    *     `\n` / `\n\n` splits; fraction of unit occurrences beyond the
+    *     first of their (within-doc) distinct string — and the same as
+    *     a CHARACTER fraction (unit string lengths, separators
+    *     excluded from both numerator and denominator).
+    *   - top-{2,3,4}-gram character fraction: chars of the most
+    *     frequent word n-gram (count × gram char length, ties broken
+    *     to the longer gram — the gram string itself never needs to
+    *     survive the aggregation) over the single-space-joined doc
+    *     chars. Like the published filter, overlapping occurrences are
+    *     not collapsed, so pathological one-token docs can exceed 1 —
+    *     the gate only ever asks "> threshold".
+    *   - duplicate-{5..10}-gram character fraction: chars covered by
+    *     ANY occurrence of a within-doc duplicated n-gram, as a true
+    *     POSITION UNION (merged token intervals — overlapping
+    *     occurrences counted once; the reference implementations
+    *     approximate this with a sequential skip-scan, which is not
+    *     order-free — divergence documented here), over the same
+    *     denominator.
+    *
+    * `repetition_pass` applies the published thresholds (a doc FAILS if
+    * any fraction exceeds its bound): dup line/para 0.30/0.30, dup
+    * line/para chars 0.20/0.20, top-2/3/4 0.20/0.18/0.16, dup-5..10
+    * 0.15/0.14/0.13/0.12/0.11/0.10.
+    *
+    * Scale shape: everything is (doc, unit) hash aggregation or a
+    * PER-DOC window (the interval merge partitions by doc_id — never
+    * corpus-scale); the gram explodes cost Σn × tokens rows. The final
+    * assembly is per-doc-row joins on doc_id. All fractions are one
+    * IEEE divide of exact integers — engine-portable. */
+  def gopherRepetitionReport(docs: DataFrame, textCol: String,
+      idCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10),
+      topThresholds: Seq[Double] = Seq(0.20, 0.18, 0.16),
+      dupThresholds: Seq[Double] =
+        Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10),
+      dupLineMax: Double = 0.30, dupParaMax: Double = 0.30,
+      dupLineCharMax: Double = 0.20, dupParaCharMax: Double = 0.20)
+      : DataFrame = {
+    require(topNs.length == topThresholds.length &&
+      dupNs.length == dupThresholds.length,
+      "one threshold per n")
+    val tokf = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col("doc_id"), col("__text"), col("__toks"),
+        length(concat_ws(" ", col("__toks"))).cast("long").as("__tc"))
+      .localCheckpoint(false)
+
+    // duplicate line / paragraph fractions (occurrences beyond the
+    // first per distinct unit string, within the doc)
+    def unitDup(sep: String, prefix: String): DataFrame =
+      tokf.select(col("doc_id"),
+          explode(filter(split(col("__text"), sep), u => u =!= ""))
+            .as("u"))
+        .groupBy(col("doc_id"), col("u"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("__n"),
+          sum(col("cnt") - 1).as("__d"),
+          sum(col("cnt") * length(col("u"))).as("__ch"),
+          sum((col("cnt") - 1) * length(col("u"))).as("__dch"))
+        .select(col("doc_id"),
+          (col("__d").cast("double") / col("__n"))
+            .as(s"dup_${prefix}_frac"),
+          (col("__dch").cast("double") / nullif(col("__ch"), lit(0L)))
+            .as(s"dup_${prefix}_char_frac"))
+
+    // word n-gram occurrences with start position (1-based)
+    def grams(n: Int): DataFrame = tokf
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - (n - 1)))
+          .as("__i"))
+      .select(col("doc_id"), col("__i"),
+        concat_ws(" ", slice(col("__toks"), col("__i"), lit(n)))
+          .as("u"))
+
+    def topFrac(n: Int): DataFrame = grams(n)
+      .groupBy(col("doc_id"), col("u"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      // argmax by (count, gram char length) — the fraction needs only
+      // those two numbers, so the struct max carries no strings
+      .agg(max(struct(col("cnt"), length(col("u")).cast("long").as("l")))
+        .as("__m"))
+      .select(col("doc_id"),
+        (col("__m.cnt") * col("__m.l")).as(s"__topchars_$n"))
+
+    def dupFrac(n: Int): DataFrame = {
+      val occ = grams(n)
+      val dupStarts = occ.join(
+          occ.groupBy(col("doc_id"), col("u"))
+            .agg(count(lit(1)).as("cnt"))
+            .filter(col("cnt") >= 2)
+            .select(col("doc_id"), col("u")),
+          Seq("doc_id", "u"))
+        .select(col("doc_id"), col("__i").cast("long").as("s"),
+          (col("__i") + (n - 1)).cast("long").as("e"))
+      // per-doc interval union (gaps-and-islands; doc-scale windows)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("s"))
+      val merged = dupStarts
+        .withColumn("__pm", max(col("e")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+        .withColumn("__new",
+          when(col("__pm").isNull || col("s") > col("__pm"), 1L)
+            .otherwise(0L))
+        .withColumn("__isl", sum(col("__new")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("__isl"))
+        .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      merged.join(tokf.select(col("doc_id"), col("__toks")), Seq("doc_id"))
+        .select(col("doc_id"),
+          length(concat_ws(" ",
+            slice(col("__toks"), col("s").cast("int"),
+              (col("e") - col("s") + 1).cast("int")))).cast("long")
+            .as("__len"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("__len")).as(s"__dupchars_$n"))
+    }
+
+    val withUnits = tokf.select(col("doc_id"), col("__tc"))
+      .join(unitDup("\n", "line"), Seq("doc_id"), "left")
+      .join(unitDup("\n\n", "para"), Seq("doc_id"), "left")
+    val withTop = topNs.foldLeft(withUnits) { (acc, n) =>
+      acc.join(topFrac(n), Seq("doc_id"), "left") }
+    val joined = dupNs.foldLeft(withTop) { (acc, n) =>
+      acc.join(dupFrac(n), Seq("doc_id"), "left") }
+
+    // nullif: an all-whitespace doc has zero joined chars — NULL (then
+    // coalesce to 0.0) in both engines, never a 0/0 NaN-vs-NULL split
+    def fr(c: Column): Column =
+      c.cast("double") / nullif(col("__tc"), lit(0L))
+    val topCols = topNs.map(n =>
+      coalesce(fr(col(s"__topchars_$n")), lit(0.0))
+        .as(s"top_${n}_gram_char_frac"))
+    val dupCols = dupNs.map(n =>
+      coalesce(fr(col(s"__dupchars_$n")), lit(0.0))
+        .as(s"dup_${n}_gram_char_frac"))
+    val unitCols = Seq(
+      coalesce(col("dup_line_frac"), lit(0.0)).as("dup_line_frac"),
+      coalesce(col("dup_line_char_frac"), lit(0.0))
+        .as("dup_line_char_frac"),
+      coalesce(col("dup_para_frac"), lit(0.0)).as("dup_para_frac"),
+      coalesce(col("dup_para_char_frac"), lit(0.0))
+        .as("dup_para_char_frac"))
+    val out = joined.select(
+      (col("doc_id") +: (unitCols ++ topCols ++ dupCols)): _*)
+    val passCond = Seq(
+      col("dup_line_frac") <= dupLineMax,
+      col("dup_line_char_frac") <= dupLineCharMax,
+      col("dup_para_frac") <= dupParaMax,
+      col("dup_para_char_frac") <= dupParaCharMax) ++
+      topNs.zip(topThresholds).map { case (n, t) =>
+        col(s"top_${n}_gram_char_frac") <= t } ++
+      dupNs.zip(dupThresholds).map { case (n, t) =>
+        col(s"dup_${n}_gram_char_frac") <= t }
+    out.withColumn("repetition_pass", passCond.reduce(_ && _))
+  }
+
   /** Gopher-style document quality gate (Rae et al. 2021 §A1.1): word
     * count bounds, mean word length bounds, and a minimum number of
     * distinct probe stopwords present — the published rule is "≥ 2 of
@@ -1664,6 +1831,67 @@ object TextAnalysis {
       words.filter(length(col("word")) > maxWord)
         .select(col("word"), lit(1L).as("n_pieces"),
           col("word").as("pieces"), lit(false).as("covered")))
+  }
+
+  /** BYTE-FALLBACK lane over any word-type segmentation frame (the
+    * [[wordpieceSegment]]/[[unigramLmSegment]] output contract):
+    * SentencePiece's coverage completion — the 256 byte pieces are
+    * implicitly always in vocabulary, so rows the model could NOT
+    * cover (over-long words and in-range words with out-of-vocabulary
+    * characters) re-segment as their UTF-8 BYTES: n_pieces = the
+    * word's byte count, pieces rendered as `<0xHH>` tokens. EVERY word
+    * now segments — coverage is 1.0 by construction — and the new
+    * `fallback` column records which lane fired. Map-only (one
+    * projection); reconstruction is exact (the hex bytes decode back
+    * to the original word, spec-gated). */
+  def byteFallbackSegment(seg: DataFrame): DataFrame = {
+    val hexStr = upper(hex(encode(col("word"), "UTF-8")))
+    val bytePieces = array_join(
+      transform(sequence(lit(1), octet_length(col("word"))),
+        i => concat(lit("<0x"), hexStr.substr(i * 2 - 1, lit(2)),
+          lit(">"))),
+      "|")
+    seg.select(col("word"),
+      when(col("covered"), col("n_pieces"))
+        .otherwise(octet_length(col("word")).cast("long"))
+        .as("n_pieces"),
+      when(col("covered"), col("pieces")).otherwise(bytePieces)
+        .as("pieces"),
+      lit(true).as("covered"),
+      (!col("covered")).as("fallback"))
+  }
+
+  /** [[tokenizerFertility]] over a [[byteFallbackSegment]] frame: the
+    * same occurrence-weighted report plus the fallback accounting —
+    * coverage is 1.0 by construction (`covered_q` = quant, the column
+    * proves it) and `n_fallback_occ`/`fallback_q` report how often the
+    * byte lane fired (the real coverage signal once fallback exists).
+    * seg contract: (word, n_pieces, covered, fallback). */
+  def tokenizerFertilityFallback(docs: DataFrame, textCol: String,
+      groupCol: String, seg: DataFrame,
+      quant: Long = 1000000L): DataFrame = {
+    require(quant > 0, "quant must be positive")
+    val lw = docs
+      .select(col(groupCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col(groupCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    lw.join(seg.select(col("word"), col("n_pieces"), col("covered"),
+        col("fallback")), Seq("word"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("tf")).as("n_occ"),
+        sum(col("tf") * col("n_pieces")).as("pieces_total"),
+        sum(when(col("covered"), col("tf")).otherwise(0L))
+          .as("covered_occ"),
+        sum(when(col("fallback"), col("tf")).otherwise(0L))
+          .as("n_fallback_occ"))
+      .select(col(groupCol), col("n_occ"), col("pieces_total"),
+        col("covered_occ"), col("n_fallback_occ"),
+        expr(s"(${quant}L * pieces_total) div n_occ").as("fertility_q"),
+        expr(s"(${quant}L * covered_occ) div n_occ").as("covered_q"),
+        expr(s"(${quant}L * n_fallback_occ) div n_occ")
+          .as("fallback_q"))
   }
 
   /** Per-document TOKENIZER token counts under a trained

@@ -466,13 +466,19 @@ object EventStreams {
     *     ([[graft.operators.Stats.ksStatisticByGroup]]) of the
     *     batch's size distribution against a static reference
     *     (one-sided sources carry NULL);
-    *   - mixture: the q146 plan over the batch's KEPT token inventory.
+    *   - mixture: the q146 plan over the batch's KEPT token inventory,
+    *     PLUS the q221 temperature-scaled plan (p ∝ n^α over the same
+    *     per-source kept-token inventory, r18) — the two mixture
+    *     strategies a trainer compares, emitted side by side per
+    *     batch.
     *
     * Per-batch cost is batch-proportional (gates map-only, the screen
     * probes prepared frames, drift joins the batch against the
-    * materialized reference). Rows append (batch_id, source, n_docs,
+    * materialized reference; both plans are driver arithmetic over the
+    * per-source inventory). Rows append (batch_id, source, n_docs,
     * n_kept, kept_tokens, token_yield, n_dups, dup_rate, ks_drift,
-    * weight_ppm, target_tokens, sample_rate, epochs). */
+    * weight_ppm, target_tokens, sample_rate, epochs, temp_s_q,
+    * temp_target_tokens, temp_sample_rate, temp_epochs). */
   def dataCardIngest(
       docsStream: DataFrame, textCol: String, idCol: String,
       sourceCol: String, sizeCol: String,
@@ -480,7 +486,8 @@ object EventStreams {
       history: graft.operators.Dedup.PreparedCorpus,
       reference: DataFrame, weightsPpm: Map[String, Long],
       budgetTokens: Long, sinkPath: String, checkpointPath: String,
-      nBuckets: Int = 4096, jaccardThreshold: Double = 0.8)
+      nBuckets: Int = 4096, jaccardThreshold: Double = 0.8,
+      alphaHalvings: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = weights.localCheckpoint(false)
     val ref = reference.select(col(sourceCol), col(sizeCol))
@@ -490,12 +497,14 @@ object EventStreams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         dataCardOfBatch(batch.toDF(), textCol, idCol, sourceCol,
           sizeCol, w, patterns, history, ref, weightsPpm, budgetTokens,
-          nBuckets, jaccardThreshold)
+          nBuckets, jaccardThreshold, alphaHalvings)
           .select(lit(id).as("batch_id"), col(sourceCol),
             col("n_docs"), col("n_kept"), col("kept_tokens"),
             col("token_yield"), col("n_dups"), col("dup_rate"),
             col("ks_drift"), col("weight_ppm"), col("target_tokens"),
-            col("sample_rate"), col("epochs"))
+            col("sample_rate"), col("epochs"), col("temp_s_q"),
+            col("temp_target_tokens"), col("temp_sample_rate"),
+            col("temp_epochs"))
           .write.mode("append").parquet(sinkPath)
       }
       .start()
@@ -509,7 +518,7 @@ object EventStreams {
       history: graft.operators.Dedup.PreparedCorpus,
       reference: DataFrame, weightsPpm: Map[String, Long],
       budgetTokens: Long, nBuckets: Int,
-      jaccardThreshold: Double): DataFrame = {
+      jaccardThreshold: Double, alphaHalvings: Int = 1): DataFrame = {
     val passedQ = graft.operators.Classifier
       .perceptronScore(b, weights, textCol, idCol, nBuckets)
       .select(col(idCol), col("predicted"))
@@ -548,8 +557,18 @@ object EventStreams {
         sourceCol, "kept_tokens", weightsPpm, budgetTokens)
       .select(col(sourceCol), col("weight_ppm"), col("target_tokens"),
         col("sample_rate"), col("epochs"))
+    // the q221 temperature form over the SAME per-source kept-token
+    // inventory — per-batch, like every other card column (r18)
+    val tplan = graft.operators.Sampling.temperaturePlan(
+        funnel.select(col(sourceCol), col("kept_tokens")),
+        sourceCol, "kept_tokens", budgetTokens, alphaHalvings)
+      .select(col(sourceCol), col("s_q").as("temp_s_q"),
+        col("target_tokens").as("temp_target_tokens"),
+        col("sample_rate").as("temp_sample_rate"),
+        col("epochs").as("temp_epochs"))
     funnel.join(drift, Seq(sourceCol), "left")
       .join(broadcast(plan), Seq(sourceCol))
+      .join(broadcast(tplan), Seq(sourceCol))
       .select(col(sourceCol), col("n_docs"), col("n_kept"),
         col("kept_tokens"),
         (col("kept_tokens").cast("double") /
@@ -558,7 +577,9 @@ object EventStreams {
         (col("n_dups").cast("double") / col("n_docs").cast("double"))
           .as("dup_rate"),
         col("ks_drift"), col("weight_ppm"), col("target_tokens"),
-        col("sample_rate"), col("epochs"))
+        col("sample_rate"), col("epochs"), col("temp_s_q"),
+        col("temp_target_tokens"), col("temp_sample_rate"),
+        col("temp_epochs"))
   }
 
   /** Streaming Kneser–Ney LM gate — q188's streaming twin: the KN

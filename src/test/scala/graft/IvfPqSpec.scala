@@ -70,6 +70,37 @@ class IvfPqSpec extends AnyFunSuite {
     assert(rResid >= 0.5, s"residual recall $rResid")
   }
 
+  test("exact refine (q225): refined recall@k >= ADC recall@k at the " +
+      "same candidate depth, exact d is the true distance, ranks " +
+      "follow d") {
+    val r = 30
+    val adc = Ann.ivfPqTopK(clustered, queries, "embedding", "vec_id",
+        "vec_id", k = K, nlist = 8, nprobe = 3, m = 2, ks = 4,
+        iters = 1, scale = Scale)
+      .select("query_id", "neighbor_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val refined = Ann.ivfPqRefineTopK(clustered, queries, "embedding",
+        "vec_id", "vec_id", k = K, r = r, nlist = 8, nprobe = 3, m = 2,
+        ks = 4, iters = 1, scale = Scale)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(refined.nonEmpty)
+    // d is the EXACT integer distance, not the ADC estimate
+    refined.foreach { case (q, n, _, d) =>
+      assert(d == sq(qv(q), qv(n)), s"($q,$n): d $d != exact")
+    }
+    // ranks follow (d, id-as-string) per query
+    refined.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._3).map(r2 => (r2._4, r2._2.toString))
+      assert(byRank.sameElements(byRank.sortBy(identity)),
+        s"query $q rank order diverges from (d, id)")
+    }
+    val rAdc = recallOf(adc)
+    val rRef = recallOf(refined.map(x => (x._1, x._2)))
+    assert(rRef >= rAdc,
+      s"refined recall $rRef below ADC recall $rAdc at equal depth")
+  }
+
   test("probing prunes: every returned neighbor lives in one of the " +
       "query's nprobe nearest lists, and shrinking nprobe never expands " +
       "the candidate scope") {

@@ -93,6 +93,38 @@ class StreamingDataCardSpec extends AnyFunSuite {
       assert(byKey((0L, "s1"))._3 == 2 && byKey((0L, "s1"))._4 == 0 &&
         byKey((0L, "s1"))._6 == 1)
       assert(byKey((1L, "s0"))._3 == 1 && byKey((1L, "s0"))._4 == 1)
+      // the q221 temperature plan rides each batch's card rows (r18):
+      // stream rows equal a direct temperaturePlan over the batch's
+      // per-source kept-token inventory — stream ≡ batch for the
+      // temperature columns too
+      val gotTemp = spark.read.parquet(sink)
+        .select(col("batch_id"), col("source"), col("temp_s_q"),
+          col("temp_target_tokens"), col("temp_sample_rate"),
+          col("temp_epochs"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))))
+        .toMap
+      val inv = spark.read.parquet(sink)
+        .select(col("batch_id"), col("source"), col("kept_tokens"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      Seq(0L, 1L).foreach { bid =>
+        val bInv = inv.filter(_._1 == bid)
+          .map(r => (r._2, r._3)).toSeq
+        val direct = graft.operators.Sampling.temperaturePlan(
+            bInv.toDF("source", "kept_tokens"),
+            "source", "kept_tokens", 1000L, alphaHalvings = 1)
+          .collect()
+          .map(r => r.getString(0) ->
+            ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))))
+          .toMap
+        direct.foreach { case (src, want) =>
+          assert(gotTemp((bid, src)) == want,
+            s"batch $bid/$src temp plan ${gotTemp((bid, src))} != " +
+              s"direct $want")
+        }
+      }
     } finally q.stop()
   }
 }

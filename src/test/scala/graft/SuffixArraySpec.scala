@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, SuffixArray}
+
+/** Suffix-array EXACTSUBSTR dedup (q222): hand-computed removals, a
+  * brute-force n-gram reference oracle, the offset-copy case the
+  * strided q76 form misses, round idempotence, and the doc-length
+  * guard. */
+class SuffixArraySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  private def run(docs: DataFrame, minSpan: Int, rounds: Int,
+      baseSpan: Int = 4) =
+    SuffixArray.exactSubstrDedup(docs, "text", "doc_id", minSpan, rounds,
+        baseSpan)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+
+  test("decompose covers [0, minSpan) with available spans, overlapping " +
+      "tail window anchored at minSpan - base") {
+    assert(SuffixArray.decompose(50, 3) == Seq((5, 0), (4, 32), (3, 42)))
+    assert(SuffixArray.decompose(8, 3) == Seq((3, 0)))
+    assert(SuffixArray.decompose(5, 2) == Seq((2, 0), (2, 1)))
+    // every decomposition covers [0, minSpan) exactly
+    for (base <- 0 to 3; span <- (1 << base) to 40) {
+      val parts = SuffixArray.decompose(span, base)
+      val covered = parts.flatMap { case (k, off) =>
+        off until off + (1 << k) }.toSet
+      assert(covered == (0 until span).toSet,
+        s"decompose($span, $base) covers $covered")
+      assert(parts.forall { case (k, off) => off + (1 << k) <= span })
+    }
+  }
+
+  /** Driver-side reference: every minSpan-gram, grouped by its token
+    * string; groups of size ≥ 2 keep their min (doc, pos) member; every
+    * other member's [pos, pos+minSpan-1] is removed (interval union). */
+  private def reference(docs: Seq[(Long, String)], minSpan: Int)
+      : Map[Long, (Long, Long, Long, String)] = {
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val grams = for {
+      (id, tk) <- toks
+      p <- 1 to tk.length - minSpan + 1
+    } yield (tk.slice(p - 1, p - 1 + minSpan).mkString(" "), id, p.toLong)
+    val removed = grams.groupBy(_._1).valuesIterator
+      .filter(_.size >= 2)
+      .flatMap { g =>
+        val keep = g.map { case (_, id, p) => (id, p) }.min
+        g.collect { case (_, id, p) if (id, p) != keep => (id, p) }
+      }
+      .toSeq
+    toks.map { case (id, tk) =>
+      val starts = removed.collect { case (d, p) if d == id => p }.sorted
+      val covered = starts
+        .flatMap(p => p until p + minSpan).toSet
+      val kept = tk.zipWithIndex
+        .collect { case (t, i) if !covered.contains((i + 1).toLong) => t }
+      id -> ((tk.length.toLong, starts.size.toLong,
+        covered.size.toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("hand case: a misaligned shared 6-token run loses its non-first " +
+      "occurrence, merged into one interval") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z x y c d e f g h q"))
+      .toDF("doc_id", "text")
+    val out = run(docs, minSpan = 5, rounds = 2)
+    // shared 5-gram groups: "c d e f g" {1@3, 2@4} and "d e f g h"
+    // {1@4, 2@5} — doc 1 holds both keepers; doc 2 loses starts 4 and 5,
+    // intervals [4,8] ∪ [5,9] merge to [4,9] = 6 tokens
+    assert(out(1L) == ((10L, 0L, 0L, "a b c d e f g h i j")))
+    assert(out(2L) == ((10L, 2L, 6L, "z x y q")))
+  }
+
+  test("matches the brute-force n-gram reference on a mixed corpus " +
+      "(aligned copies, misaligned copies, full duplicates, shorts)") {
+    import spark.implicits._
+    val words = "w%d"
+    def seqText(from: Int, n: Int): String =
+      (from until from + n).map(words.format(_)).mkString(" ")
+    val docs = Seq(
+      1L -> (seqText(0, 12) + " " + seqText(100, 4)),
+      2L -> ("x0 x1 " + seqText(0, 12) + " tail0"), // misaligned copy
+      3L -> (seqText(0, 12) + " " + seqText(100, 4)), // full duplicate of 1
+      4L -> seqText(200, 7), // unique
+      5L -> ("y0 " + seqText(4, 8) + " y1 y2"), // copies a 8-token slice
+      6L -> seqText(300, 3), // shorter than minSpan
+      7L -> (seqText(5, 6) + " z9 " + seqText(5, 6))) // within-doc repeat
+      .toDF("doc_id", "text")
+    val minSpan = 6
+    val got = run(docs, minSpan, rounds = 2)
+    val want = reference(Seq(
+      1L -> (seqText(0, 12) + " " + seqText(100, 4)),
+      2L -> ("x0 x1 " + seqText(0, 12) + " tail0"),
+      3L -> (seqText(0, 12) + " " + seqText(100, 4)),
+      4L -> seqText(200, 7),
+      5L -> ("y0 " + seqText(4, 8) + " y1 y2"),
+      6L -> seqText(300, 3),
+      7L -> (seqText(5, 6) + " z9 " + seqText(5, 6))), minSpan)
+    assert(got == want)
+    // sanity on the reference itself: the full duplicate lost everything
+    assert(want(3L)._4 == "" && want(3L)._3 == 16L)
+  }
+
+  test("catches the offset copy the symmetric strided form misses at " +
+      "window+stride-1 boundaries") {
+    import spark.implicits._
+    // 8 shared tokens of 2 chars each = 26 shared chars, displaced by 3
+    // chars between the docs. Strided char windows (window 20, stride
+    // 10) sample both docs at absolute char positions 1, 11, 21, ... —
+    // the shared span covers chars [1,26] of doc 1 but [4,29] of doc 2,
+    // so no sampled 20-char window lands inside the span at the SAME
+    // span-relative offset in both docs (26 < window+stride-1 = 29
+    // would be the general-variant guarantee; the symmetric form needs
+    // alignment mod 10 and the 3-char displacement breaks it).
+    val span = (0 until 8).map(i => s"s$i").mkString(" ") // 23 chars
+    val docs = Seq(
+      (1L, span + " a0 a1 a2 a3 a4 a5"),
+      (2L, "z " + span + " b0 b1 b2 b3 b4"))
+      .toDF("doc_id", "text")
+    val strided = Dedup.exactSubstringDupJoin(
+      docs, "text", "doc_id", window = 20, stride = 10)
+    assert(strided.count() == 0L,
+      "fixture broken: the strided form was supposed to miss this copy")
+    val out = run(docs, minSpan = 8, rounds = 2)
+    assert(out(2L)._2 == 1L && out(2L)._3 == 8L,
+      s"suffix array must catch the offset copy: ${out(2L)}")
+    assert(out(2L)._4 == "z b0 b1 b2 b3 b4")
+    assert(out(1L)._4 == span + " a0 a1 a2 a3 a4 a5")
+  }
+
+  test("extra doubling rounds are idempotent: rounds=5 and rounds=9 " +
+      "produce identical output") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (0 until 20).map(i => s"t$i").mkString(" ")),
+      (2L, "pre " + (5 until 17).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(run(docs, minSpan = 7, rounds = 3) ==
+      run(docs, minSpan = 7, rounds = 9))
+  }
+
+  test("a document longer than 2^rounds tokens fails fast") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (0 until 20).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      SuffixArray.exactSubstrDedup(docs, "text", "doc_id",
+        minSpan = 4, rounds = 2, baseSpan = 4).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}

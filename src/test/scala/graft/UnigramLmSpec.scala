@@ -55,6 +55,45 @@ class UnigramLmSpec extends AnyFunSuite {
       ("xyz", 1L, "xyz", false)), seg.toString)
   }
 
+  test("byteFallbackSegment: a non-ASCII/long-word corpus segments " +
+      "TOTALLY — every word covered, fallback pieces are UTF-8 bytes " +
+      "that reconstruct the word exactly") {
+    val model = TextAnalysis.unigramLmTrain(corpus, "text", iters = 2,
+      quant = 1000L, maxPiece = 2, maxWord = 8, minFreq = 1L)
+    // 'héllo' (non-ASCII, in range), '日本語' (3 chars, 9 bytes),
+    // 'abababababab' (over-long), plus covered words
+    val toSeg = Seq((1L, "ab abc héllo 日本語 abababababab"))
+      .toDF("doc_id", "text")
+    val seg = TextAnalysis.byteFallbackSegment(
+        TextAnalysis.unigramLmSegment(toSeg, "text", model,
+          maxPiece = 2, maxWord = 8))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2),
+        r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    // total coverage: the covered column is identically true
+    assert(seg.values.forall(_._3), s"coverage must be 1.0: $seg")
+    // covered lane untouched, fallback = false
+    assert(seg("ab") == ((1L, "ab", true, false)))
+    assert(seg("abc") == ((2L, "ab|c", true, false)))
+    // fallback lanes: n_pieces = UTF-8 byte count, pieces decode back
+    def reconstruct(pieces: String): String = {
+      val bytes = pieces.split("\\|").map { p =>
+        assert(p.matches("<0x[0-9A-F]{2}>"), s"bad byte piece $p")
+        Integer.parseInt(p.substring(3, 5), 16).toByte
+      }
+      new String(bytes, "UTF-8")
+    }
+    Seq("héllo" -> 6L, "日本語" -> 9L, "abababababab" -> 12L)
+      .foreach { case (w, nBytes) =>
+        val (n, pieces, _, fb) = seg(w)
+        assert(fb, s"$w must take the byte lane")
+        assert(n == nBytes, s"$w: n_pieces $n != byte count $nBytes")
+        assert(reconstruct(pieces) == w,
+          s"$w failed to reconstruct from $pieces")
+      }
+  }
+
   test("model persists bit-exactly; trainOrLoadUnigramModel builds " +
       "once and the loaded model segments identically") {
     implicit val s = spark
