@@ -175,9 +175,11 @@ object Classifier {
     * class (same boundary as IVF centroids and isotonic bins) — and
     * folds into each epoch's plan as a BROADCAST (bucket → K-vector)
     * table. Per epoch: one broadcast join + per-doc agg producing all
-    * K scores as columns (no exchange — the agg reuses the pinned id
-    * partitioning), per-doc misclassification flags joined straight
-    * back (id-partitioned again), and ONE (bucket)-keyed aggregation
+    * K scores as columns (the agg partial-combines map-side; its id
+    * exchange carries one row per doc — NOT avoided by pre-pinning,
+    * which a checkpoint erases under AQE, SCALE §9w), per-doc
+    * misclassification flags joined straight
+    * back, and ONE (bucket)-keyed aggregation
     * emitting every class's delta and key-presence marker, collected
     * at ≤ nBuckets rows. `epochs` driver round-trips, corpus scanned
     * twice per epoch, and the class axis multiplies only per-doc/
@@ -209,11 +211,14 @@ object Classifier {
         s"${k.toLong * (nBuckets + 1L)} weight cells > 2^24 — the " +
         "per-epoch driver collect/broadcast would no longer be " +
         "model-state-sized; shard the class list or reduce nBuckets")
+    // no pre-pin before the checkpoint: AQE erases checkpoint
+    // partitioning (SCALE §9w), so a repartition here is a pure extra
+    // exchange — the per-epoch aggs pay their own (partial-combined)
+    // exchanges either way
     val (lf, lfCkpt) = CheckpointHygiene.checkpointTracked(
       hashedFeatures(train, textCol, idCol, nBuckets)
         .join(train.select(col(idCol).as("id"),
-          col(labelCol).cast("string").as("__c")), Seq("id"))
-        .repartition(col("id")),
+          col(labelCol).cast("string").as("__c")), Seq("id")),
       eager = true)
     // driver-side model state: per class, bucket -> weight; key sets
     // replicate the DataFrame formulation exactly (a (label, bucket)

@@ -104,13 +104,14 @@ object SuffixArray {
     * idempotent (once ranks are distinct the doubling key is distinct
     * too), so a generous bound is safe, just wasted work.
     *
-    * Shuffle shape: every rank table is pinned to hash(doc_id)
-    * partitioning before its checkpoint, so each round's partner
-    * lookup — a self-join on (doc_id, pos) — reuses the pinned
-    * exchange (HashPartitioning(doc_id) satisfies the join's
-    * clustered-distribution requirement); the per-round shuffles are
-    * the in-place dense rank's range + local-window exchanges and the
-    * doc_id re-pin. */
+    * Shuffle shape per round: the partner self-join's two hash
+    * exchanges on (doc, pos) plus the in-place dense rank's range +
+    * local-window exchanges — all corpus-token-scale rows of a few
+    * longs. (A doc_id pre-pin before each checkpoint would let the
+    * self-join reuse one exchange, but under AQE `localCheckpoint`
+    * reports UnknownPartitioning — the pin does not survive the
+    * checkpoint, measured in `PlanQualitySpec` — so the operator does
+    * not pay for one.) */
   def exactSubstrDedup(docs: DataFrame, textCol: String, idCol: String,
       minSpan: Int = 50, rounds: Int = 14, baseSpan: Int = 8): DataFrame = {
     require(minSpan >= 2,
@@ -156,7 +157,6 @@ object SuffixArray {
     // in-place dense rank over the window arrays
     val rkBase = Ranks.globalDenseRank(sfx, Seq(col("__w")), out = "__br")
       .select(col("doc_id"), col("pos"), col("n"), col("__br").as("r"))
-      .repartition(col("doc_id"))
     val tables = scala.collection.mutable.Map.empty[Int, DataFrame]
     val handles =
       scala.collection.mutable.Map.empty[Int, Seq[org.apache.spark.rdd.RDD[_]]]
@@ -167,8 +167,8 @@ object SuffixArray {
       val m = 1L << (e - 1)
       val prev = tables(e - 1)
       // partner rank at pos + m, fetched by shifting the table by −m so
-      // the lookup is a plain (doc, pos) equi-join over the pinned
-      // doc_id partitioning; 0-sentinel = "suffix ends before pos+m",
+      // the lookup is a plain (doc, pos) equi-join of the checkpointed
+      // table with itself; 0-sentinel = "suffix ends before pos+m",
       // sorting before every real rank (end-of-doc < any token —
       // standard lexicographic shorter-prefix-first)
       val partner = prev.select(col("doc_id"),
@@ -182,8 +182,7 @@ object SuffixArray {
         Ranks.globalDenseRank(keyed,
             Seq(col("__r1"), col("__r2")), out = "__nr")
           .select(col("doc_id"), col("pos"), col("n"),
-            col("__nr").as("r"))
-          .repartition(col("doc_id")),
+            col("__nr").as("r")),
         eager = true)
       tables(e) = next; handles(e) = h
       // predecessor superseded — free unless the LCP certificate needs it
@@ -202,9 +201,8 @@ object SuffixArray {
     // (the length gate). All parts exist (inner joins keep every gated
     // suffix: pos+off+2^k−1 ≤ pos+minSpan−1 ≤ n).
     val sigCols = parts.indices.map(i => s"__s$i")
-    // base the gated frame on the doc_id-pinned top rank table (not sa,
-    // whose partitioning is the rank machinery's) so every certificate
-    // join below reuses the pinned exchange
+    // base the gated frame on the top rank table (it already carries
+    // (doc_id, pos, n) — sa would add a useless column to the joins)
     var sig: DataFrame = tables(topExp)
       .filter(col("n") - col("pos") + 1 >= minSpan)
       .select(col("doc_id"), col("pos"))

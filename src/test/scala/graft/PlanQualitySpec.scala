@@ -835,6 +835,63 @@ class PlanQualitySpec extends AnyFunSuite {
       "funnel aggregation lost its map-side partial")
   }
 
+  test("q222: the visible SA tail never cartesians; AQE-vs-checkpoint " +
+      "partitioning behavior pinned (why the rounds don't pre-pin) (r18)") {
+    // the doubling rounds execute during construction (eager
+    // checkpoints), so the executed plan shows the adjacency/removal
+    // tail — it must stay equi-keyed
+    val plan = executed("q222_exact_substr")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // design-constraint regression pin (r18 discovery): under AQE a
+    // localCheckpoint reports UnknownPartitioning, so a pre-pinned
+    // repartition does NOT survive into downstream plans — which is
+    // why SuffixArray's rounds (and any checkpoint-loop operator)
+    // must budget the self-join exchanges instead of pre-pinning.
+    // With AQE OFF the pin IS preserved — if Spark ever starts
+    // preserving it under AQE too, this assertion flips and the
+    // repartition becomes worth re-adding.
+    import org.apache.spark.sql.functions._
+    def groupedPlan(): String = {
+      val a = spark.range(100)
+        .select((col("id") % 10).as("doc_id"), col("id").as("pos"))
+        .repartition(col("doc_id"))
+        .localCheckpoint(true)
+      val g = a.groupBy("doc_id").count()
+      g.collect()
+      g.queryExecution.executedPlan.toString
+    }
+    assert(groupedPlan().contains("Exchange hashpartitioning"),
+      "AQE now preserves checkpoint partitioning — re-add the " +
+        "SuffixArray/Classifier doc_id pre-pins and update their docs")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      assert(!groupedPlan().contains("Exchange"),
+        "AQE-off checkpoint no longer preserves partitioning")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("q223: repetition report stays hash-agg + per-doc windows — no " +
+      "cartesian, partial aggregation present (r18)") {
+    val plan = executed("q223_gopher_repetition")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "the gram aggregations lost their map-side partials")
+  }
+
+  test("q224/q225: reranker gold + refine probe sides broadcast; " +
+      "candidate joins never cartesian (r18)") {
+    val p224 = executed("q224_trained_reranker")
+    assert(!p224.contains("CartesianProduct"))
+    // the re-score's broadcast probe executes during construction (the
+    // rescored frame is checkpointed); the visible tail is the heap +
+    // the approx_d join-back — both must stay equi-keyed
+    val p225 = executed("q225_ivfpq_refine")
+    assert(!p225.contains("CartesianProduct"))
+    assert(!p225.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
