@@ -611,7 +611,16 @@ object SketchParams {
     * longest document (fixture max is 100 tokens, and the twin
     * variant only shortens), checked fail-fast in the operator. */
   object q222 {
-    val minSpan = 50; val baseSpan = 16; val rounds = 3
+    val minSpan = 50; val baseSpan = 32; val rounds = 2
+  }
+  /** q229 span-level exact-substring decontamination: the q222 SA
+    * parameters plus the benchmark lane — truncated twins of
+    * doc_id % benchMod == 0 at ids + benchOffset (disjoint by
+    * construction; the twin shares its base doc's (n−1)-token prefix,
+    * so ≥ minSpan contamination demonstrably fires for long docs). */
+  object q229 {
+    val minSpan = 50; val baseSpan = 32; val rounds = 2
+    val benchMod = 3L; val benchOffset = 1000000L
   }
   /** q223 Gopher repetition table: the deterministic LINED-corpus
     * derivation (the raw fixture carries no newlines) — tokens grouped
@@ -5484,15 +5493,17 @@ object OracleSql {
     * ordered reassembly. DuckDB's dense_rank replaces the Spark side's
     * distinct+global-row-number — identical by construction (binary
     * UTF-8 string order both engines, the q142 precedent). */
-  private def q222: String = {
-    val p = SketchParams.q222
-    val baseLog = 31 - Integer.numberOfLeadingZeros(p.baseSpan)
-    val parts = graft.operators.SuffixArray.decompose(p.minSpan, baseLog)
-    val encF = 1L << (baseLog + p.rounds + 1)
-    // every rk CTE is referenced TWICE by its successor (self-join) —
-    // explicit MATERIALIZED stops DuckDB from inlining the doubling
-    // chain, which would blow up 2^rounds-fold
-    val rkCtes = (1 to p.rounds).map { k =>
+  /** The shared q222/q229 suffix-rank + signature CTE chain over a
+    * `corpus(doc_id, text)` CTE the caller defines first: tokens,
+    * suffixes with base-span windows, the base dense rank, every
+    * doubling round (MATERIALIZED — DuckDB would otherwise inline the
+    * self-joined chain 2^rounds-fold), and the length-gated LCP
+    * signature frame `sig(doc_id, pos, s0..)`. */
+  private def saSigCtes(minSpan: Int, baseSpan: Int, rounds: Int)
+      : String = {
+    val baseLog = 31 - Integer.numberOfLeadingZeros(baseSpan)
+    val parts = graft.operators.SuffixArray.decompose(minSpan, baseLog)
+    val rkCtes = (1 to rounds).map { k =>
       val m = 1L << (baseLog + k - 1)
       s"""rk$k AS MATERIALIZED (
       SELECT a.doc_id, a.pos, a.n,
@@ -5507,32 +5518,71 @@ object OracleSql {
         s"ON j$i.doc_id = s.doc_id AND j$i.pos = s.pos + $off"
     }.mkString("\n      ")
     val sigCols = parts.indices.map(i => s"j$i.r AS s$i").mkString(", ")
-    val sigEq = parts.indices.map(i => s"sx.s$i = sy.s$i").mkString(" AND ")
-    val grpKey = parts.indices.map(i => s"s$i").mkString(", ")
-    s"""
-    WITH corpus AS ($nearDupCorpusSql
-    ), tok AS (
+    s"""tok AS (
       SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus
     ), sfx AS MATERIALIZED (
       SELECT doc_id, CAST(i AS BIGINT) AS pos,
         toks[CAST(i AS INT)] AS tk,
-        toks[CAST(i AS INT):CAST(i + ${p.baseSpan - 1} AS INT)] AS w,
+        toks[CAST(i AS INT):CAST(i + ${baseSpan - 1} AS INT)] AS w,
         CAST(len(toks) AS BIGINT) AS n
       FROM tok, unnest(generate_series(1, len(toks), 1)) AS u(i)
     ), rk0 AS MATERIALIZED (
       SELECT doc_id, pos, n,
         CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS r
       FROM sfx
-    ), $rkCtes, sa AS MATERIALIZED (
+    ), $rkCtes, sig AS MATERIALIZED (
+      SELECT s.doc_id, s.pos, $sigCols
+      FROM rk$rounds s
+      $sigJoins
+      WHERE s.n - s.pos + 1 >= $minSpan
+    )"""
+  }
+
+  /** The shared q222/q229 removal tail: interval union of the
+    * `removed(doc_id, pos)` starts as covered positions, per-doc stats,
+    * ordered reassembly, reported over the `$docWhere` slice of tok. */
+  private def saRemovalSql(minSpan: Int, docWhere: String): String = s"""
+    covered AS (
+      SELECT DISTINCT doc_id, CAST(q AS BIGINT) AS pos
+      FROM removed,
+        unnest(generate_series(pos, pos + ${minSpan - 1}, 1)) AS v(q)
+    ), dstats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped
+      FROM covered GROUP BY doc_id
+    ), rstats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed_starts
+      FROM removed GROUP BY doc_id
+    ), rebuilt AS (
+      SELECT s.doc_id, string_agg(s.tk, ' ' ORDER BY s.pos) AS text
+      FROM sfx s
+      LEFT JOIN covered c ON c.doc_id = s.doc_id AND c.pos = s.pos
+      WHERE c.doc_id IS NULL GROUP BY s.doc_id
+    ), base AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok
+      WHERE $docWhere)
+    SELECT base.doc_id, n_tokens,
+      CAST(coalesce(n_removed_starts, 0) AS BIGINT) AS n_removed_starts,
+      CAST(coalesce(n_dropped, 0) AS BIGINT) AS n_dropped,
+      coalesce(rebuilt.text, '') AS text
+    FROM base
+    LEFT JOIN rstats USING (doc_id)
+    LEFT JOIN dstats USING (doc_id)
+    LEFT JOIN rebuilt USING (doc_id)"""
+
+  private def q222: String = {
+    val p = SketchParams.q222
+    val baseLog = 31 - Integer.numberOfLeadingZeros(p.baseSpan)
+    val parts = graft.operators.SuffixArray.decompose(p.minSpan, baseLog)
+    val encF = 1L << (baseLog + p.rounds + 1)
+    val sigEq = parts.indices.map(i => s"sx.s$i = sy.s$i").mkString(" AND ")
+    val grpKey = parts.indices.map(i => s"s$i").mkString(", ")
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
+    ), ${saSigCtes(p.minSpan, p.baseSpan, p.rounds)}, sa AS MATERIALIZED (
       SELECT doc_id, pos, n,
         CAST(row_number() OVER (ORDER BY r, doc_id, pos) AS BIGINT)
           AS ord
       FROM rk${p.rounds}
-    ), sig AS MATERIALIZED (
-      SELECT s.doc_id, s.pos, $sigCols
-      FROM sa s
-      $sigJoins
-      WHERE s.n - s.pos + 1 >= ${p.minSpan}
     ), qual AS (
       SELECT x.doc_id AS d1, x.pos AS p1, y.doc_id AS d2, y.pos AS p2
       FROM sa x JOIN sa y ON y.ord = x.ord + 1
@@ -5554,31 +5604,35 @@ object OracleSql {
     ), removed AS (
       SELECT grp.doc_id, grp.pos FROM grp JOIN keepers USING ($grpKey)
       WHERE grp.doc_id * $encF + grp.pos <> keep
-    ), covered AS (
-      SELECT DISTINCT doc_id, CAST(q AS BIGINT) AS pos
-      FROM removed,
-        unnest(generate_series(pos, pos + ${p.minSpan - 1}, 1)) AS v(q)
-    ), dstats AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped
-      FROM covered GROUP BY doc_id
-    ), rstats AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed_starts
-      FROM removed GROUP BY doc_id
-    ), rebuilt AS (
-      SELECT s.doc_id, string_agg(s.tk, ' ' ORDER BY s.pos) AS text
-      FROM sfx s
-      LEFT JOIN covered c ON c.doc_id = s.doc_id AND c.pos = s.pos
-      WHERE c.doc_id IS NULL GROUP BY s.doc_id
-    ), base AS (
-      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok)
-    SELECT base.doc_id, n_tokens,
-      CAST(coalesce(n_removed_starts, 0) AS BIGINT) AS n_removed_starts,
-      CAST(coalesce(n_dropped, 0) AS BIGINT) AS n_dropped,
-      coalesce(rebuilt.text, '') AS text
-    FROM base
-    LEFT JOIN rstats USING (doc_id)
-    LEFT JOIN dstats USING (doc_id)
-    LEFT JOIN rebuilt USING (doc_id)"""
+    ), ${saRemovalSql(p.minSpan, "TRUE")}"""
+  }
+
+  /** Span-level exact-substring decontamination (q229): one
+    * generalized SA over corpus ∪ benchmark twins, a corpus suffix
+    * contaminated iff its minSpan-prefix signature appears on the
+    * bench side, interval-union removal reported over corpus docs
+    * only. Generated from [[SketchParams.q229]]. */
+  private def q229: String = {
+    val p = SketchParams.q229
+    val baseLog = 31 - Integer.numberOfLeadingZeros(p.baseSpan)
+    val parts = graft.operators.SuffixArray.decompose(p.minSpan, baseLog)
+    val sigEq = parts.indices.map(i => s"g.s$i = b.s$i").mkString(" AND ")
+    val sigSel = parts.indices.map(i => s"s$i").mkString(", ")
+    s"""
+    WITH corpus AS (
+      SELECT doc_id, ${normSql("text")} AS text FROM documents
+      UNION ALL
+      SELECT doc_id + ${p.benchOffset} AS doc_id,
+        regexp_replace(${normSql("text")}, ' [^ ]+$$', '', 'g') AS text
+      FROM documents WHERE doc_id % ${p.benchMod} = 0
+    ), ${saSigCtes(p.minSpan, p.baseSpan, p.rounds)}, bsig AS (
+      SELECT DISTINCT $sigSel FROM sig
+      WHERE doc_id >= ${p.benchOffset}
+    ), removed AS (
+      SELECT DISTINCT g.doc_id, g.pos FROM sig g
+      JOIN bsig b ON $sigEq
+      WHERE g.doc_id < ${p.benchOffset}
+    ), ${saRemovalSql(p.minSpan, s"doc_id < ${p.benchOffset}")}"""
   }
 
   /** Gopher repetition table (q223): the lined-corpus derivation, the
@@ -9012,6 +9066,7 @@ object OracleSql {
     "q225_ivfpq_refine" -> q225,
     "q226_tokenized_temp_plan" -> q226,
     "q227_tokenized_card_budget" -> q227,
+    "q229_exact_substr_decontam" -> q229,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

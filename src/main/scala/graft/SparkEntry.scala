@@ -4289,6 +4289,26 @@ object SparkEntry {
       p.dupLineMax, p.dupParaMax, p.dupLineCharMax, p.dupParaCharMax)
   }
 
+  /** Span-level exact-substring DECONTAMINATION
+    * ([[graft.operators.SuffixArray.exactSubstrContamination]]): the
+    * Lee et al. §6.2 train–test overlap at the method's own
+    * granularity — every ≥ minSpan-token run a corpus doc shares with
+    * any benchmark doc is removed, via ONE generalized suffix array
+    * over corpus ∪ benchmark (cross-side signature membership instead
+    * of q222's first-occurrence policy). Benchmark lane = truncated
+    * twins of doc_id % benchMod == 0 at offset ids, so contamination
+    * demonstrably fires. Params from [[SketchParams.q229]]. */
+  def q229ExactSubstrDecontam(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q229
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("text"))
+    val bench = docs.filter(col("doc_id") % p.benchMod === 0)
+      .select((col("doc_id") + p.benchOffset).as("doc_id"),
+        regexp_replace(col("text"), " [^ ]+$", "").as("text"))
+    operators.SuffixArray.exactSubstrContamination(docs, bench,
+      "text", "doc_id", p.minSpan, p.rounds, p.baseSpan)
+  }
+
   /** Tokenizer-aware exact-fill packing — the q194 packer budgeted by
     * what the trainer actually sees: per-doc UNIGRAM-TOKENIZER token
     * counts (Σ tf·n_pieces off the memoized [[q217Seg]] segmentation —
@@ -5266,7 +5286,8 @@ object SparkEntry {
     "q224_trained_reranker" -> (q224TrainedReranker _),
     "q225_ivfpq_refine" -> (q225IvfPqRefine _),
     "q226_tokenized_temp_plan" -> (q226TokenizedTempPlan _),
-    "q227_tokenized_card_budget" -> (q227TokenizedCardBudget _))
+    "q227_tokenized_card_budget" -> (q227TokenizedCardBudget _),
+    "q229_exact_substr_decontam" -> (q229ExactSubstrDecontam _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -24,8 +24,8 @@ private[graft] object Ranks {
   /** Append a global 1-based `out` column = row_number over `order`
     * (which must be a TOTAL order over the rows — ties would make the
     * result depend on partitioning). Record-proportional work: the range
-    * exchange, the pid hash exchange the local window asks for, and one
-    * in-partition sort.
+    * exchange, the pid hash exchange the local window asks for, one
+    * in-partition sort, and the consistency checkpoint below.
     *
     * Defensive invariant (the q142/ADVICE-r12 guard): the offset
     * arithmetic assumes range partition ids are KEY-ORDERED and that the
@@ -33,16 +33,41 @@ private[graft] object Ranks {
     * nothing downstream fails loudly if an optimizer/AQE change ever
     * broke either — so each partition's order-column span is checked
     * against its predecessor's on the tiny per-partition frame, and a
-    * violation throws instead of silently corrupting every rank. */
+    * violation throws instead of silently corrupting every rank.
+    *
+    * CONSISTENCY CHECKPOINT (r18, found by the q229 partition-count
+    * sweep): the ranked frame feeds TWO plan branches — the row itself
+    * and the per-partition offset aggregate. If the optimizer ever
+    * fails to reuse the range exchange between them, each branch runs
+    * its OWN RangePartitioner, whose bound SAMPLING is seeded by the
+    * runtime rdd id — two executions can draw different bounds, and
+    * then offsets computed under one partitioning are added to local
+    * ranks computed under another: silently corrupt global ranks that
+    * vary with spark.sql.shuffle.partitions. Materializing the ranked
+    * frame once (eager localCheckpoint) makes both branches scan the
+    * SAME data regardless of exchange-reuse behavior. */
   def globalRowNumber(df: DataFrame, order: Seq[Column],
-      out: String = "__gr"): DataFrame = {
+      out: String = "__gr"): DataFrame =
+    globalRowNumberTracked(df, order, out)._1
+
+  /** [[globalRowNumber]] plus the handle of its internal consistency
+    * checkpoint, for checkpoint-per-round loops that free superseded
+    * generations ([[CheckpointHygiene]]): once the CALLER's own
+    * checkpoint of the returned frame is materialized, the internal
+    * blocks are garbage. Callers that keep the returned frame LAZY
+    * must NOT free the handle (the lineage is truncated). */
+  def globalRowNumberTracked(df: DataFrame, order: Seq[Column],
+      out: String = "__gr")
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     require(order.nonEmpty, "globalRowNumber needs order columns")
     val ranged = df
       .repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    val local = ranged.withColumn("__lr",
-      row_number().over(wLocal).cast("long"))
+    val (local, h) = CheckpointHygiene.checkpointTracked(
+      ranged.withColumn("__lr",
+        row_number().over(wLocal).cast("long")),
+      eager = true)
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("__pid"))
@@ -57,9 +82,9 @@ private[graft] object Ranks {
           "— the global rank would be corrupt")).isNull)
       .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
       .select(col("__pid"), col("__off"))
-    local.join(broadcast(offsets), Seq("__pid"))
+    (local.join(broadcast(offsets), Seq("__pid"))
       .withColumn(out, col("__off") + col("__lr"))
-      .drop("__pid", "__lr", "__off")
+      .drop("__pid", "__lr", "__off"), h)
   }
 
   /** Append a global 1-based `out` column = dense_rank over `keys`,
@@ -74,14 +99,25 @@ private[graft] object Ranks {
     * costs one range exchange + the local window's pid hash exchange —
     * versus distinct + rank + join-back's four. */
   def globalDenseRank(df: DataFrame, keys: Seq[Column],
-      out: String = "__dr"): DataFrame = {
+      out: String = "__dr"): DataFrame =
+    globalDenseRankTracked(df, keys, out)._1
+
+  /** [[globalDenseRank]] plus the internal-checkpoint handle — see
+    * [[globalRowNumberTracked]] for the freeing contract. */
+  def globalDenseRankTracked(df: DataFrame, keys: Seq[Column],
+      out: String = "__dr")
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     require(keys.nonEmpty, "globalDenseRank needs key columns")
     val ranged = df
       .repartitionByRange(keys: _*)
       .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("__pid")).orderBy(keys: _*)
-    val local = ranged.withColumn("__ldr",
-      dense_rank().over(wLocal).cast("long"))
+    // same consistency checkpoint as globalRowNumber: the ranked frame
+    // feeds two branches, which must see ONE materialization
+    val (local, h) = CheckpointHygiene.checkpointTracked(
+      ranged.withColumn("__ldr",
+        dense_rank().over(wLocal).cast("long")),
+      eager = true)
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("__pid"))
@@ -96,8 +132,8 @@ private[graft] object Ranks {
           "— the global rank would be corrupt")).isNull)
       .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
       .select(col("__pid"), col("__off"))
-    local.join(broadcast(offsets), Seq("__pid"))
+    (local.join(broadcast(offsets), Seq("__pid"))
       .withColumn(out, col("__off") + col("__ldr"))
-      .drop("__pid", "__ldr", "__off")
+      .drop("__pid", "__ldr", "__off"), h)
   }
 }

@@ -114,6 +114,85 @@ object SuffixArray {
     * not pay for one.) */
   def exactSubstrDedup(docs: DataFrame, textCol: String, idCol: String,
       minSpan: Int = 50, rounds: Int = 14, baseSpan: Int = 8): DataFrame = {
+    val st = buildSignatures(docs, textCol, idCol, minSpan, rounds,
+      baseSpan, needSa = true)
+    val sigCols = st.sigCols
+    // adjacency in SA order, qualified by signature equality on both ends
+    val qual = st.sa
+      .select(col("doc_id").as("d1"), col("pos").as("p1"), col("__t"))
+      .join(st.sa.select(col("doc_id").as("d2"), col("pos").as("p2"),
+        (col("__t") - 1).as("__t")), Seq("__t"))
+      .join(st.sig.select((col("doc_id").as("d1") +: col("pos").as("p1") +:
+        sigCols.map(c => col(c).as(c + "a"))): _*), Seq("d1", "p1"))
+      .join(st.sig.select((col("doc_id").as("d2") +: col("pos").as("p2") +:
+        sigCols.map(c => col(c).as(c + "b"))): _*), Seq("d2", "p2"))
+      .filter(sigCols.map(c => col(c + "a") === col(c + "b"))
+        .reduce(_ && _))
+    val starts = qual.select(col("d1").as("doc_id"), col("p1").as("pos"))
+      .unionByName(qual.select(col("d2").as("doc_id"), col("p2").as("pos")))
+      .distinct()
+    // keeper per shared-prefix group: the signature IS the group key
+    // (equal signature + length gate ⟺ equal minSpan-token prefix), and
+    // group = maximal SA run, so the group min is the run's first
+    // occurrence — the q77 policy without island detection
+    val enc = col("doc_id") * lit(st.encF) + col("pos")
+    val grp = starts.join(st.sig, Seq("doc_id", "pos"))
+    val keepers = grp.groupBy(sigCols.map(col): _*)
+      .agg(min(enc).as("__keep"))
+    val removed = grp.join(keepers, sigCols)
+      .filter(enc =!= col("__keep"))
+      .select(col("doc_id"), col("pos"))
+    removeSpans(st.tokf, removed, minSpan)
+  }
+
+  /** Span-level EXACT-SUBSTRING DECONTAMINATION (Lee et al. 2022 §6.2's
+    * train–test overlap, at the method's own granularity): every run of
+    * ≥ `minSpan` tokens that a CORPUS document shares with ANY
+    * benchmark document is removed from the corpus document — the
+    * suffix-array-exact form of what the n-gram/Bloom decontamination
+    * family ([[Dedup.decontaminate]], q74/q159) approximates at
+    * fixed-n granularity. One generalized suffix array is built over
+    * corpus ∪ benchmark; a corpus suffix is contaminated iff its
+    * minSpan-prefix signature group contains a benchmark member (the
+    * group IS a maximal SA run — same machinery as
+    * [[exactSubstrDedup]], cross-side membership instead of
+    * first-occurrence policy). Benchmark text itself is never
+    * modified; ids must be DISJOINT across the two frames (the q74
+    * convention). Output: the q222 shape over corpus docs only —
+    * (doc_id, n_tokens, n_removed_starts, n_dropped, text). */
+  def exactSubstrContamination(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String,
+      minSpan: Int = 50, rounds: Int = 14, baseSpan: Int = 8)
+      : DataFrame = {
+    val union = corpus
+      .select(col(idCol), col(textCol), lit(false).as("__bench"))
+      .unionByName(bench.select(col(idCol), col(textCol),
+        lit(true).as("__bench")))
+      .localCheckpoint(false)
+    val st = buildSignatures(union, textCol, idCol, minSpan, rounds,
+      baseSpan, needSa = false)
+    val benchIds = union.filter(col("__bench"))
+      .select(col(idCol).as("doc_id"))
+    val benchSigs = st.sig.join(benchIds, Seq("doc_id"), "left_semi")
+      .select(st.sigCols.map(col): _*).distinct()
+    val contaminated = st.sig
+      .join(benchIds, Seq("doc_id"), "left_anti")
+      .join(benchSigs, st.sigCols, "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val corpusToks = st.tokf.join(benchIds, Seq("doc_id"), "left_anti")
+    removeSpans(corpusToks, contaminated, minSpan)
+  }
+
+  /** The shared rank/signature machinery: builds the doubling tables,
+    * the length-gated LCP ≥ minSpan signature frame (checkpointed),
+    * and — when `needSa` — the totalized suffix-array order. Frees
+    * every superseded rank checkpoint before returning. */
+  private[graft] final case class SigState(tokf: DataFrame, sig: DataFrame,
+      sigCols: Seq[String], sa: DataFrame, encF: Long)
+
+  private[graft] def buildSignatures(docs: DataFrame, textCol: String,
+      idCol: String, minSpan: Int, rounds: Int, baseSpan: Int,
+      needSa: Boolean): SigState = {
     require(minSpan >= 2,
       "minSpan 1 would mark every repeated token — use >= 2")
     require(rounds >= 1 && rounds <= 40, "rounds out of range")
@@ -154,14 +233,21 @@ object SuffixArray {
         col("n"),
         slice(col("__toks"), col("__p0") + 1, lit(baseSpan)).as("__w"))
     // round 0: rank by the first baseSpan tokens directly — one
-    // in-place dense rank over the window arrays
-    val rkBase = Ranks.globalDenseRank(sfx, Seq(col("__w")), out = "__br")
-      .select(col("doc_id"), col("pos"), col("n"), col("__br").as("r"))
+    // in-place dense rank over the window arrays. Each round's table is
+    // re-checkpointed after the (map-only) offset join so every
+    // consumer scans ONE flat frame; the rank call's internal
+    // consistency checkpoint is freed as soon as that lands
+    val (rkBaseRanked, rkBaseH) =
+      Ranks.globalDenseRankTracked(sfx, Seq(col("__w")), out = "__br")
     val tables = scala.collection.mutable.Map.empty[Int, DataFrame]
     val handles =
       scala.collection.mutable.Map.empty[Int, Seq[org.apache.spark.rdd.RDD[_]]]
-    val (rk0c, rk0h) = CheckpointHygiene.checkpointTracked(rkBase, eager = true)
+    val (rk0c, rk0h) = CheckpointHygiene.checkpointTracked(
+      rkBaseRanked
+        .select(col("doc_id"), col("pos"), col("n"), col("__br").as("r")),
+      eager = true)
     tables(baseLog) = rk0c; handles(baseLog) = rk0h
+    CheckpointHygiene.free(rkBaseH)
     (1 to rounds).foreach { j =>
       val e = baseLog + j
       val m = 1L << (e - 1)
@@ -178,12 +264,13 @@ object SuffixArray {
           col("r").as("__r1"), coalesce(col("__r2"), lit(0L)).as("__r2"))
       // in-place dense rank of the (r1, r2) key — never a global
       // window, never a distinct + join-back
+      val (ranked, rh) = Ranks.globalDenseRankTracked(keyed,
+        Seq(col("__r1"), col("__r2")), out = "__nr")
       val (next, h) = CheckpointHygiene.checkpointTracked(
-        Ranks.globalDenseRank(keyed,
-            Seq(col("__r1"), col("__r2")), out = "__nr")
-          .select(col("doc_id"), col("pos"), col("n"),
-            col("__nr").as("r")),
+        ranked.select(col("doc_id"), col("pos"), col("n"),
+          col("__nr").as("r")),
         eager = true)
+      CheckpointHygiene.free(rh)
       tables(e) = next; handles(e) = h
       // predecessor superseded — free unless the LCP certificate needs it
       if (!needed.contains(e - 1)) {
@@ -192,10 +279,17 @@ object SuffixArray {
     }
     // suffix array: the top rank totalized by (doc, pos) — referenced by
     // both adjacency sides, materialize once
-    val sa = Ranks.globalRowNumber(tables(topExp),
-        Seq(col("r"), col("doc_id"), col("pos")), out = "__t")
-      .select(col("doc_id"), col("pos"), col("n"), col("__t"))
-      .localCheckpoint(true)
+    val sa =
+      if (!needSa) null
+      else {
+        val (ranked, rh) = Ranks.globalRowNumberTracked(tables(topExp),
+          Seq(col("r"), col("doc_id"), col("pos")), out = "__t")
+        val out = ranked
+          .select(col("doc_id"), col("pos"), col("n"), col("__t"))
+          .localCheckpoint(true)
+        CheckpointHygiene.free(rh)
+        out
+      }
     // LCP ≥ minSpan signature: rank_{2^k} at pos+off for each
     // decomposition part, over suffixes long enough to hold the span
     // (the length gate). All parts exist (inner joins keep every gated
@@ -214,33 +308,16 @@ object SuffixArray {
     }
     sig = sig.localCheckpoint(true)
     handles.valuesIterator.foreach(CheckpointHygiene.free)
-    // adjacency in SA order, qualified by signature equality on both ends
-    val qual = sa.select(col("doc_id").as("d1"), col("pos").as("p1"), col("__t"))
-      .join(sa.select(col("doc_id").as("d2"), col("pos").as("p2"),
-        (col("__t") - 1).as("__t")), Seq("__t"))
-      .join(sig.select((col("doc_id").as("d1") +: col("pos").as("p1") +:
-        sigCols.map(c => col(c).as(c + "a"))): _*), Seq("d1", "p1"))
-      .join(sig.select((col("doc_id").as("d2") +: col("pos").as("p2") +:
-        sigCols.map(c => col(c).as(c + "b"))): _*), Seq("d2", "p2"))
-      .filter(sigCols.map(c => col(c + "a") === col(c + "b"))
-        .reduce(_ && _))
-    val starts = qual.select(col("d1").as("doc_id"), col("p1").as("pos"))
-      .unionByName(qual.select(col("d2").as("doc_id"), col("p2").as("pos")))
-      .distinct()
-    // keeper per shared-prefix group: the signature IS the group key
-    // (equal signature + length gate ⟺ equal minSpan-token prefix), and
-    // group = maximal SA run, so the group min is the run's first
-    // occurrence — the q77 policy without island detection
-    val enc = col("doc_id") * lit(encF) + col("pos")
-    val grp = starts.join(sig, Seq("doc_id", "pos"))
-    val keepers = grp.groupBy(sigCols.map(col): _*)
-      .agg(min(enc).as("__keep"))
-    val removed = grp.join(keepers, sigCols)
-      .filter(enc =!= col("__keep"))
-      .select(col("doc_id"), col("pos"))
-      .localCheckpoint(false)
-    // merge removed spans per doc (classic gaps-and-islands; windows are
-    // PER-DOC partitions, never corpus-scale)
+    SigState(tokf, sig, sigCols, sa, encF)
+  }
+
+  /** Shared span-removal tail: merge the removed (doc, pos) starts
+    * into per-doc interval unions (gaps-and-islands; windows are
+    * PER-DOC partitions, never corpus-scale) and reassemble each doc
+    * from its uncovered tokens. */
+  private def removeSpans(tokf: DataFrame, removedStarts: DataFrame,
+      minSpan: Int): DataFrame = {
+    val removed = removedStarts.localCheckpoint(false)
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"))
     val iv = removed
       .select(col("doc_id"), col("pos").as("s"),

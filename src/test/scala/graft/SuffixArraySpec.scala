@@ -137,6 +137,33 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(out(1L)._4 == span + " a0 a1 a2 a3 a4 a5")
   }
 
+  test("contamination: every >= minSpan run shared with a bench doc is " +
+      "removed from the corpus doc; bench text never returned") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, (0 until 20).map(i => s"t$i").mkString(" ")),
+      (2L, (100 until 118).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // bench doc 101 = the first 19 tokens of doc 1 (truncated twin);
+    // bench doc 102 is unrelated
+    val bench = Seq(
+      (101L, (0 until 19).map(i => s"t$i").mkString(" ")),
+      (102L, (200 until 215).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = SuffixArray.exactSubstrContamination(corpus, bench,
+        "text", "doc_id", minSpan = 10, rounds = 3, baseSpan = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L), s"bench rows leaked: ${out.keySet}")
+    // doc 1 shares 10-token runs with bench 101 at starts 1..10
+    // (bench len 19 => gate p <= 10): covered [1, 19], one survivor t19
+    assert(out(1L) == ((20L, 10L, 19L, "t19")), out(1L).toString)
+    assert(out(2L) == ((18L, 0L, 0L,
+      (100 until 118).map(i => s"u$i").mkString(" "))))
+  }
+
   test("extra doubling rounds are idempotent: rounds=5 and rounds=9 " +
       "produce identical output") {
     import spark.implicits._
