@@ -582,6 +582,29 @@ object EventStreams {
         col("temp_epochs"))
   }
 
+  /** Streaming Gopher repetition gate — q223's streaming twin (r18):
+    * each micro-batch of (id, text) documents gets the FULL
+    * 13-fraction repetition report
+    * ([[graft.operators.TextAnalysis.gopherRepetitionReport]] — per-doc
+    * hash-aggs and per-doc windows, so the per-batch cost is
+    * batch-proportional by construction) and ALL rows land with their
+    * `repetition_pass` verdict — the [[calibratedGateIngest]]
+    * convention: the sink doubles as the repetition-drift dashboard
+    * (a rising fail rate is the boilerplate-flood alarm). */
+  def repetitionGateIngest(
+      docsStream: DataFrame, textCol: String, idCol: String,
+      sinkPath: String, checkpointPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.TextAnalysis
+          .gopherRepetitionReport(batch.toDF(), textCol, idCol)
+          .write.mode("append").parquet(sinkPath)
+        ()
+      }
+      .start()
+
   /** Streaming Kneser–Ney LM gate — q188's streaming twin: the KN
     * trigram model is trained ONCE on the static reference
     * ([[graft.operators.TextAnalysis.knTrigramModel]], every count

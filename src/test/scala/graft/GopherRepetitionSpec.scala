@@ -108,6 +108,43 @@ class GopherRepetitionSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming twin: per-batch repetition reports equal the batch " +
+      "operator replayed, batch for batch (r18)") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("rep-in")
+    val sink = java.nio.file.Files
+      .createTempDirectory("rep-out").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("rep-ck").toString
+    val b1 = corpus.take(4)
+    val b2 = corpus.drop(4)
+    def replay(rows: Seq[(Long, String)]) = TextAnalysis
+      .gopherRepetitionReport(rows.toDF("doc_id", "text"), "text",
+        "doc_id", topNs, dupNs, topThr, dupThr)
+      .collect().map(r => r.toSeq).toSet
+    b1.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(inDir.resolve("b1").toString)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(inDir.toString + "/*")
+    val q = graft.streaming.EventStreams.repetitionGateIngest(
+      stream, "text", "doc_id", sink, ckpt)
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(inDir.resolve("b2").toString)
+      q.processAllAvailable()
+      val got = spark.read.parquet(sink).collect().map(_.toSeq).toSet
+      // note: the streaming gate runs the operator's DEFAULT thresholds
+      // — identical to this suite's constants by construction
+      assert(got == (replay(b1) ++ replay(b2)),
+        "stream rows diverged from the per-batch operator replay")
+      val failing = spark.read.parquet(sink)
+        .filter(!org.apache.spark.sql.functions.col("repetition_pass"))
+        .count()
+      assert(failing >= 9, s"planted offenders must fail: $failing")
+    } finally q.stop()
+  }
+
   test("each published threshold has a planted offender crossing it; " +
       "the control passes all 13 gates") {
     val got = run()

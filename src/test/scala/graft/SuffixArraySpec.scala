@@ -164,6 +164,53 @@ class SuffixArraySpec extends AnyFunSuite {
       (100 until 118).map(i => s"u$i").mkString(" "))))
   }
 
+  test("contamination matches a brute-force cross-side n-gram " +
+      "reference on a mixed corpus") {
+    import spark.implicits._
+    def seqText(from: Int, n: Int): String =
+      (from until from + n).map(i => s"w$i").mkString(" ")
+    val minSpan = 6
+    val corpusRows = Seq(
+      1L -> (seqText(0, 12) + " " + seqText(100, 4)), // prefix benched
+      2L -> ("x0 x1 " + seqText(0, 12) + " tail0"), // misaligned overlap
+      3L -> seqText(200, 9), // clean
+      4L -> ("y0 " + seqText(300, 7) + " y1"), // interior benched span
+      5L -> seqText(5, 7)) // overlaps the bench inside doc 1's range
+    val benchRows = Seq(
+      (101L, seqText(0, 12)),
+      (102L, seqText(300, 7)),
+      (103L, seqText(400, 8)))
+    val got = SuffixArray.exactSubstrContamination(
+        corpusRows.toDF("doc_id", "text"),
+        benchRows.toDF("doc_id", "text"),
+        "text", "doc_id", minSpan, rounds = 3, baseSpan = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // brute force: corpus position p contaminated iff its minSpan-gram
+    // appears in ANY bench doc
+    val bgrams = benchRows.flatMap { case (_, t) =>
+      val tk = t.split(" ")
+      (0 to tk.length - minSpan).map(i =>
+        tk.slice(i, i + minSpan).mkString(" "))
+    }.toSet
+    val want = corpusRows.map { case (id, t) =>
+      val tk = t.split(" ")
+      val starts = (1 to tk.length - minSpan + 1).filter(p =>
+        bgrams.contains(tk.slice(p - 1, p - 1 + minSpan).mkString(" ")))
+      val covered = starts.flatMap(p => p until p + minSpan).toSet
+      val kept = tk.zipWithIndex.collect {
+        case (w, i) if !covered.contains(i + 1) => w }
+      id -> ((tk.length.toLong, starts.size.toLong, covered.size.toLong,
+        kept.mkString(" ")))
+    }.toMap
+    assert(got == want, s"$got\n  vs\n$want")
+    // sanity: the reference itself found contamination in 1, 2, 4, 5
+    assert(want(1L)._2 > 0 && want(2L)._2 > 0 && want(4L)._2 > 0 &&
+      want(5L)._2 > 0 && want(3L)._2 == 0)
+  }
+
   test("extra doubling rounds are idempotent: rounds=5 and rounds=9 " +
       "produce identical output") {
     import spark.implicits._
