@@ -5643,7 +5643,53 @@ object OracleSql {
     * mass = token lengths + one space per adjacent covered pair, which
     * equals the Spark side's merged-interval char mass). Generated from
     * [[SketchParams.q223]]. */
-  private def q223: String = {
+  private def q223: String =
+    s"""
+    WITH $q223ReportCtes
+    SELECT doc_id, dup_line_frac, dup_line_char_frac, dup_para_frac,
+      dup_para_char_frac,
+      ${SketchParams.q223.topNs.map(n => s"top_${n}_gram_char_frac")
+        .mkString(", ")},
+      ${SketchParams.q223.dupNs.map(n => s"dup_${n}_gram_char_frac")
+        .mkString(", ")},
+      repetition_pass
+    FROM rep"""
+
+  /** Per-source repetition funnel (q228): the q223 report CTE joined
+    * to sources, exact BIGINT gate-family fail counts + the pass-rate
+    * divide. Generated from [[SketchParams.q223]]. */
+  private def q228: String = {
+    val p = SketchParams.q223
+    val failTop = p.topNs.zip(p.topThresholds)
+      .map { case (n, t) => s"top_${n}_gram_char_frac > $t" }
+      .mkString(" OR ")
+    val failDup = p.dupNs.zip(p.dupThresholds)
+      .map { case (n, t) => s"dup_${n}_gram_char_frac > $t" }
+      .mkString(" OR ")
+    s"""
+    WITH $q223ReportCtes, j AS (
+      SELECT r.*, d.source FROM rep r
+      JOIN documents d ON d.doc_id = r.doc_id)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN repetition_pass THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_pass,
+      CAST(SUM(CASE WHEN repetition_pass THEN 1 ELSE 0 END) AS DOUBLE) /
+        CAST(COUNT(*) AS DOUBLE) AS pass_rate,
+      CAST(SUM(CASE WHEN dup_line_frac > ${p.dupLineMax} OR
+        dup_line_char_frac > ${p.dupLineCharMax} THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_fail_line,
+      CAST(SUM(CASE WHEN dup_para_frac > ${p.dupParaMax} OR
+        dup_para_char_frac > ${p.dupParaCharMax} THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_fail_para,
+      CAST(SUM(CASE WHEN $failTop THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fail_top,
+      CAST(SUM(CASE WHEN $failDup THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fail_dupgram
+    FROM j GROUP BY source"""
+  }
+
+  /** The q223 report chain ending in `rep` — shared by q223 and q228. */
+  private def q223ReportCtes: String = {
     val p = SketchParams.q223
     val lt = p.lineTokens; val pl = p.paraLines
     def gramCtes(n: Int): String = s"""g$n AS (
@@ -5718,8 +5764,7 @@ object OracleSql {
       s"dup_para_frac <= ${p.dupParaMax}",
       s"dup_para_char_frac <= ${p.dupParaCharMax}") ++ passTop ++ passDup)
       .mkString(" AND ")
-    s"""
-    WITH tok0 AS (
+    s"""tok0 AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
       FROM documents
     ), lns AS (
@@ -5747,7 +5792,7 @@ object OracleSql {
       SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tk
       FROM tok, unnest(generate_series(1, len(toks), 1)) AS t(i)
     ), ${unitCte("chr(10)", "l")}, ${unitCte("chr(10) || chr(10)", "p")},
-    $topCtes, $dupCtes
+    $topCtes, $dupCtes, rep AS (
     SELECT base.doc_id,
       coalesce(CAST(al.d AS DOUBLE) / al.n, 0.0) AS dup_line_frac,
       coalesce(CAST(al.dch AS DOUBLE) / NULLIF(al.ch, 0), 0.0)
@@ -5762,7 +5807,7 @@ object OracleSql {
     LEFT JOIN al USING (doc_id)
     LEFT JOIN ap USING (doc_id)
     $topJoins
-    $dupJoins"""
+    $dupJoins)"""
   }
 
   /** Tokenizer-aware exact-fill packing (q220): the q217 chain's
@@ -9066,6 +9111,7 @@ object OracleSql {
     "q225_ivfpq_refine" -> q225,
     "q226_tokenized_temp_plan" -> q226,
     "q227_tokenized_card_budget" -> q227,
+    "q228_repetition_funnel" -> q228,
     "q229_exact_substr_decontam" -> q229,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -4268,25 +4268,67 @@ object SparkEntry {
     * from the fixture (the raw documents carry no newlines): tokens
     * grouped 8-to-a-line, lines 4-to-a-paragraph, rejoined with
     * \n / \n\n. Params from [[SketchParams.q223]]. */
-  def q223GopherRepetition(s: SparkSession, dir: String): DataFrame = {
+  def q223GopherRepetition(s: SparkSession, dir: String): DataFrame =
+    q223Report(s, dir)
+
+  /** The q223 lined corpus + per-doc repetition report, memoized —
+    * shared by q223 and q228's per-source funnel (r18). */
+  private val q223ReportMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def q223Report(s: SparkSession, dir: String): DataFrame =
+    memoCheckpoint(q223ReportMemo, s, dir) {
+      val p = SketchParams.q223
+      val toks = split(trim(col("text")), "\\s+")
+      val nLines = floor((size(toks) - 1).cast("double") / p.lineTokens)
+        .cast("int")
+      val lines = transform(sequence(lit(0), nLines),
+        li => concat_ws(" ",
+          slice(toks, li * p.lineTokens + 1, lit(p.lineTokens))))
+      val nParas = floor((size(lines) - 1).cast("double") / p.paraLines)
+        .cast("int")
+      val lined = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("\n\n", transform(sequence(lit(0), nParas),
+            pi => concat_ws("\n",
+              slice(lines, pi * p.paraLines + 1, lit(p.paraLines)))))
+            .as("text"))
+      operators.TextAnalysis.gopherRepetitionReport(lined, "text",
+        "doc_id", p.topNs, p.dupNs, p.topThresholds, p.dupThresholds,
+        p.dupLineMax, p.dupParaMax, p.dupLineCharMax, p.dupParaCharMax)
+    }
+
+  /** Per-source Gopher repetition FUNNEL (r18): the q223 report read
+    * the way a curation run reads it — per source, the doc count, the
+    * pass count/rate, and how many docs each gate FAMILY rejects
+    * (line/para duplication, top-gram domination, duplicated n-grams).
+    * Counts are exact BIGINT over threshold comparisons of the shared
+    * per-doc report (memoized — the 13-fraction pipeline runs once for
+    * q223 and q228); the only double is the final pass-rate divide. */
+  def q228RepetitionFunnel(s: SparkSession, dir: String): DataFrame = {
     val p = SketchParams.q223
-    val toks = split(trim(col("text")), "\\s+")
-    val nLines = floor((size(toks) - 1).cast("double") / p.lineTokens)
-      .cast("int")
-    val lines = transform(sequence(lit(0), nLines),
-      li => concat_ws(" ",
-        slice(toks, li * p.lineTokens + 1, lit(p.lineTokens))))
-    val nParas = floor((size(lines) - 1).cast("double") / p.paraLines)
-      .cast("int")
-    val lined = t(s, dir, "documents")
-      .select(col("doc_id"),
-        concat_ws("\n\n", transform(sequence(lit(0), nParas),
-          pi => concat_ws("\n",
-            slice(lines, pi * p.paraLines + 1, lit(p.paraLines)))))
-          .as("text"))
-    operators.TextAnalysis.gopherRepetitionReport(lined, "text", "doc_id",
-      p.topNs, p.dupNs, p.topThresholds, p.dupThresholds,
-      p.dupLineMax, p.dupParaMax, p.dupLineCharMax, p.dupParaCharMax)
+    val rep = q223Report(s, dir)
+      .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    val failLine = col("dup_line_frac") > p.dupLineMax ||
+      col("dup_line_char_frac") > p.dupLineCharMax
+    val failPara = col("dup_para_frac") > p.dupParaMax ||
+      col("dup_para_char_frac") > p.dupParaCharMax
+    val failTop = p.topNs.zip(p.topThresholds).map { case (n, th) =>
+      col(s"top_${n}_gram_char_frac") > th }.reduce(_ || _)
+    val failDup = p.dupNs.zip(p.dupThresholds).map { case (n, th) =>
+      col(s"dup_${n}_gram_char_frac") > th }.reduce(_ || _)
+    rep.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("repetition_pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(failLine, 1L).otherwise(0L)).as("n_fail_line"),
+        sum(when(failPara, 1L).otherwise(0L)).as("n_fail_para"),
+        sum(when(failTop, 1L).otherwise(0L)).as("n_fail_top"),
+        sum(when(failDup, 1L).otherwise(0L)).as("n_fail_dupgram"))
+      .select(col("source"), col("n_docs"), col("n_pass"),
+        (col("n_pass").cast("double") / col("n_docs").cast("double"))
+          .as("pass_rate"),
+        col("n_fail_line"), col("n_fail_para"), col("n_fail_top"),
+        col("n_fail_dupgram"))
   }
 
   /** Span-level exact-substring DECONTAMINATION
@@ -5287,6 +5329,7 @@ object SparkEntry {
     "q225_ivfpq_refine" -> (q225IvfPqRefine _),
     "q226_tokenized_temp_plan" -> (q226TokenizedTempPlan _),
     "q227_tokenized_card_budget" -> (q227TokenizedCardBudget _),
+    "q228_repetition_funnel" -> (q228RepetitionFunnel _),
     "q229_exact_substr_decontam" -> (q229ExactSubstrDecontam _))
 
   def oracleSql: Map[String, String] = OracleSql.all

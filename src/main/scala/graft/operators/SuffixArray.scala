@@ -169,6 +169,17 @@ object SuffixArray {
       .unionByName(bench.select(col(idCol), col(textCol),
         lit(true).as("__bench")))
       .localCheckpoint(false)
+    // an id collision across sides would silently merge two documents'
+    // suffixes — fail loudly instead (id-scale semi-join, one tiny
+    // action against the frame the pipeline materializes anyway)
+    val collisions = union.filter(col("__bench"))
+      .select(col(idCol))
+      .join(union.filter(!col("__bench")).select(col(idCol)),
+        Seq(idCol), "left_semi")
+      .limit(1).count()
+    require(collisions == 0L,
+      "exactSubstrContamination: corpus and benchmark ids must be " +
+        "disjoint (an overlap would merge two documents' suffixes)")
     val st = buildSignatures(union, textCol, idCol, minSpan, rounds,
       baseSpan, needSa = false)
     val benchIds = union.filter(col("__bench"))
