@@ -220,6 +220,32 @@ object Soak {
       return
     }
 
+    if (mode == "decontam") {
+      // q229's cross-side shape at replica scale: bench = truncated
+      // twins of every 3rd replica-0 doc; every replica of a benched
+      // doc shares its >= 50-token runs, so the contaminated-span load
+      // grows with the corpus while the SA build carries corpus+bench
+      val bench = docs
+        .filter(col("doc_id") < 10000000L && col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          regexp_replace(col("text"), " [^ ]+$", "").as("text"))
+      val n = docs.count(); val nb = bench.count()
+      timed(s"exactSubstrContamination (minSpan 50, base 32, " +
+          s"2 doublings, $n corpus + $nb bench docs)") {
+        val out = operators.SuffixArray.exactSubstrContamination(
+          docs, bench, "text", "doc_id", minSpan = 50, rounds = 2,
+          baseSpan = 32)
+        val agg = out.agg(count(lit(1)).as("docs"),
+          sum(col("n_removed_starts")).as("starts"),
+          sum(col("n_dropped")).as("dropped")).head
+        println(s"[soak]   -> ${agg.getLong(0)} corpus docs, " +
+          s"${agg.getLong(1)} contaminated starts, " +
+          s"${agg.getLong(2)} tokens dropped")
+      }
+      spark.stop()
+      return
+    }
+
     if (mode == "simhash") {
       // the q31 pigeonhole banding at replica scale (SCALE §9s follow-up):
       // a 150-family slice (the q31 corpusMax pattern) whose families are

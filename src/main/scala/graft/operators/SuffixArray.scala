@@ -8,13 +8,13 @@ import org.apache.spark.sql.functions._
   * EXACTSUBSTR of Lee et al. 2022 ("Deduplicating Training Data Makes
   * Language Models Better", ACL, §4.1), built from relational pieces:
   *
-  *   1. SUFFIX RANKS by prefix doubling (Manber–Myers): round k ranks
-  *      every suffix by its first 2^k tokens using the key
-  *      (rank_{2^(k-1)}(s), rank_{2^(k-1)}(s + 2^(k-1))) — log(maxlen)
-  *      rounds, each ONE equi-self-join on (doc, pos+2^(k-1)) plus ONE
-  *      dense rank computed WITHOUT a global window
-  *      ([[Ranks.globalDenseRank]], the q142 range-exchange trick
-  *      ranking rows in place).
+  *   1. SUFFIX RANKS by prefix doubling (Manber–Myers): a base round
+  *      ranks every suffix by its first `baseSpan` tokens directly,
+  *      then each doubling round ranks span m → 2m using the key
+  *      (rank_m(s), rank_m(s + m)) — log(maxlen/baseSpan) rounds, each
+  *      ONE equi-self-join on (doc, pos+m) plus ONE dense rank
+  *      computed WITHOUT a global window ([[Ranks.globalDenseRank]],
+  *      the q142 range-exchange trick ranking rows in place).
   *   2. SUFFIX ARRAY = the total order (rank_{2^R}, doc_id, pos); ties
   *      in rank_{2^R} are exactly identical suffix strings.
   *   3. ADJACENT-RANK LCP: a duplicated span is found where NEIGHBORING
@@ -48,10 +48,10 @@ import org.apache.spark.sql.functions._
   * loop.
   *
   * 100 TB design notes: every round's frames are corpus-token-scale
-  * rows of a few longs (never text — the token itself leaves the
-  * pipeline after round 0's vocabulary rank); all joins are equi-joins
-  * on (doc, pos) or on rank pairs; the only per-round global step is
-  * [[Ranks.globalRowNumber]]'s one-row-per-partition offset table.
+  * rows of a few longs (never text — tokens leave the pipeline after
+  * the base round's window rank); all joins are equi-joins on
+  * (doc, pos) or on rank pairs; the only per-round global step is
+  * [[Ranks.globalDenseRank]]'s one-row-per-partition offset table.
   * Rounds grow with log(max DOC length) — document length, not corpus
   * size, so 20 rounds covers million-token docs. Superseded round
   * checkpoints are freed as soon as their successor materializes

@@ -889,7 +889,15 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("q223: repetition report stays hash-agg + per-doc windows — no " +
       "cartesian, partial aggregation present (r18)") {
-    val plan = executed("q223_gopher_repetition")
+    // the registered query memoizes (q228 shares the report), so its
+    // executed plan is a checkpoint scan — assert on the operator
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.TextAnalysis.gopherRepetitionReport(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text")),
+      "text", "doc_id")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
       "the gram aggregations lost their map-side partials")
