@@ -3893,11 +3893,22 @@ object SparkEntry {
     // query ids are multiples of batchMod; integer-divide before the
     // parity split (Column./ would promote to double)
     val isTrain = expr(s"(query_id div ${p.batchMod}) % 2 = 0")
+    // the pair encoding query_id·1e6 + doc_id is sound ONLY while
+    // doc_id ∈ [0, 1e6) — a larger id would silently merge two distinct
+    // (query, doc) training examples, and the DuckDB twin shares the
+    // constant so the hash oracle could not catch it; fail fast
+    // map-side instead (r19 ADVICE)
+    def pairId(q: org.apache.spark.sql.Column,
+        d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(assert_true(d.between(0L, 999999L),
+        lit("q224: doc_id outside [0, 1e6) — the pair-id encoding " +
+          "would collide")).isNull,
+        q * 1000000L + d)
     val trainFeats = pfeats.filter(isTrain)
-      .select((col("query_id") * 1000000L + col("doc_id")).as("id"),
+      .select(pairId(col("query_id"), col("doc_id")).as("id"),
         col("bucket"), col("tf"))
       .join(labeled.filter(isTrain)
-        .select((col("query_id") * 1000000L + col("doc_id")).as("id"),
+        .select(pairId(col("query_id"), col("doc_id")).as("id"),
           col("y")), Seq("id"))
     val weights = operators.Classifier
       .perceptronTrainOnFeatures(trainFeats, pr.epochs)

@@ -594,34 +594,35 @@ object Ann {
       k, index.nlist, nprobe, index.scale, excludeSelf)
 
   /** Persist an [[IvfIndex]] — posting lists + centroids + a one-row
-    * params table under one root (the corpus-index convention of
-    * [[graft.operators.Dedup.saveCorpusIndex]]). */
+    * params table under one root, on the
+    * [[graft.model.IndexStore]] crash-atomic generation protocol
+    * shared with [[graft.operators.Dedup.saveCorpusIndex]]. */
   def saveIvfIndex(index: IvfIndex, root: String)(
       implicit spark: org.apache.spark.sql.SparkSession): Unit = {
-    index.lists
-      .select(col("neighbor_id"), col("__cq").as("qvec"),
-        col("__list").as("list_id"))
-      .write.mode("overwrite").parquet(s"$root/lists")
-    saveCentroids(index.centroids, s"$root/centroids")
     import spark.implicits._
-    Seq((index.nlist, index.scale)).toDF("nlist", "scale")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/params")
+    graft.model.IndexStore.save(root,
+      Seq(
+        "lists" -> index.lists
+          .select(col("neighbor_id"), col("__cq").as("qvec"),
+            col("__list").as("list_id")),
+        "centroids" -> index.centroids.zipWithIndex
+          .map { case (c, i) => (i, c) }.toDF("list_id", "centroid")
+          .coalesce(1)),
+      Seq((index.nlist, index.scale)).toDF("nlist", "scale"))
+    ()
   }
 
-  /** Bit-exact inverse of [[saveIvfIndex]]. */
+  /** Bit-exact inverse of [[saveIvfIndex]] (newest complete
+    * generation, via [[graft.model.IndexStore.load]]). */
   def loadIvfIndex(root: String)(
       implicit spark: org.apache.spark.sql.SparkSession): IvfIndex = {
-    val rows = spark.read.parquet(s"$root/params").collect()
-    require(rows.length == 1,
-      s"loadIvfIndex: params at $root/params must hold one row, " +
-        s"found ${rows.length}")
-    val (nlist, scale) = (rows(0).getAs[Int]("nlist"),
-      rows(0).getAs[Int]("scale"))
+    val (p, dir) = graft.model.IndexStore.load(spark, root)
+    val (nlist, scale) = (p.getAs[Int]("nlist"), p.getAs[Int]("scale"))
     require(nlist >= 1 && scale >= 1,
       s"loadIvfIndex: bad params nlist=$nlist scale=$scale")
     IvfIndex(
-      loadCentroids(s"$root/centroids"),
-      spark.read.parquet(s"$root/lists")
+      loadCentroids(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/lists")
         .select(col("neighbor_id"), col("qvec").as("__cq"),
           col("list_id").as("__list")),
       nlist, scale)

@@ -423,81 +423,47 @@ object Dedup {
     * (re-preparing there means re-reading the corpus). Band parameters
     * ride along in a one-row frame and are validated on load.
     *
-    * CRASH-ATOMIC by generation pointer (ADVICE r17): the three frames
-    * are multi-file parquet writes, so a naive overwrite-in-place save
-    * that dies midway would leave a torn artifact that rehydrates with
-    * MIXED-generation frames (fingerprints gen N over banded gen N−1 —
-    * silently wrong screen semantics). Instead each save lands in a
-    * fresh `g<gen>/` directory and the one-row `params` table — which
-    * carries the generation pointer — is written LAST, as the commit
-    * point: a crash anywhere before the params write leaves the
-    * previous generation intact and still pointed-to (the loader sees a
-    * stale-but-CONSISTENT index, the documented ≤ save-cadence
-    * exposure); only a crash inside the single tiny params write itself
-    * leaves no readable pointer, and [[loadCorpusIndex]] then throws
-    * `AnalysisException` so callers fall back to their seed loudly at
-    * the boundary rather than loading inconsistent state. Superseded
-    * generation directories are garbage-collected best-effort AFTER the
-    * commit — callers holding lazy scans over a previously-loaded
-    * artifact must checkpoint before saving over it (the
+    * CRASH-ATOMIC via [[graft.model.IndexStore]] (ADVICE r17/r19): the
+    * three frames are multi-file parquet writes, so a naive
+    * overwrite-in-place save that dies midway would leave a torn
+    * artifact that rehydrates with MIXED-generation frames
+    * (fingerprints gen N over banded gen N−1 — silently wrong screen
+    * semantics). Each save lands in a fresh `g<gen>/` directory whose
+    * one-row `params` table is written LAST as the IN-DIRECTORY commit
+    * marker, so nothing about any prior generation is touched mid-save
+    * and [[loadCorpusIndex]] walks back to the newest COMPLETE
+    * generation (the stale-but-consistent index, the documented
+    * ≤ save-cadence exposure). A genuinely absent artifact throws
+    * `AnalysisException` — the loud fall-back-to-seed signal. Callers
+    * holding lazy scans over a previously-loaded artifact must
+    * checkpoint before saving over it (the
     * [[graft.streaming.EventStreams.curationIngest]] rehydrate does). */
   def saveCorpusIndex(prepared: PreparedCorpus, path: String): Unit = {
     val spark = prepared.banded.sparkSession
     import spark.implicits._
-    val gen = 1 + (
-      try {
-        val rows = spark.read.parquet(s"$path/params").collect()
-        if (rows.length == 1 && rows(0).schema.fieldNames.contains("gen")
-            && !rows(0).isNullAt(rows(0).fieldIndex("gen")))
-          rows(0).getAs[Int]("gen")
-        else 0
-      } catch { case _: org.apache.spark.sql.AnalysisException => 0 })
-    prepared.fingerprints.write.mode("overwrite")
-      .parquet(s"$path/g$gen/fingerprints")
-    prepared.banded.write.mode("overwrite").parquet(s"$path/g$gen/banded")
-    prepared.shingleSets.write.mode("overwrite")
-      .parquet(s"$path/g$gen/shingles")
-    // commit point: the pointer flips only after every frame of the new
-    // generation is fully on disk
-    Seq((prepared.ngram, prepared.numHashes, prepared.bands, gen))
-      .toDF("ngram", "num_hashes", "bands", "gen")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    // post-commit GC of superseded generations (and any pre-generation
-    // flat-layout frames) — best-effort: a leftover directory is dead
-    // weight, never a correctness hazard, so GC failures are swallowed
-    try {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val legacy = Set("fingerprints", "banded", "shingles")
-      fs.listStatus(root).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory &&
-            ((n.matches("g\\d+") && n != s"g$gen") || legacy(n)))
-          fs.delete(st.getPath, true)
-      }
-    } catch { case _: java.io.IOException => }
+    graft.model.IndexStore.save(path,
+      Seq("fingerprints" -> prepared.fingerprints,
+        "banded" -> prepared.banded,
+        "shingles" -> prepared.shingleSets),
+      Seq((prepared.ngram, prepared.numHashes, prepared.bands))
+        .toDF("ngram", "num_hashes", "bands"))
+    ()
   }
 
   /** Load a [[saveCorpusIndex]] artifact. The frames come back as plain
     * parquet scans — serving probes read the index files, never the
     * original corpus — and [[incrementalDedupPrepared]] output is
-    * bit-identical to the freshly-prepared index (spec-gated). The
-    * params table's generation pointer selects the frame directory
-    * (the [[saveCorpusIndex]] commit protocol); a pre-generation flat
-    * artifact (no `gen` column) loads from the legacy layout. A missing
-    * or torn params table surfaces as `AnalysisException` — the loud
+    * bit-identical to the freshly-prepared index (spec-gated). Frame
+    * resolution (newest complete generation, torn saves skipped, legacy
+    * flat layout) is [[graft.model.IndexStore.load]]; a genuinely
+    * absent artifact surfaces as `AnalysisException` — the loud
     * fall-back-to-seed signal, never a silently inconsistent index. */
   def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): PreparedCorpus = {
-    val rows = spark.read.parquet(s"$path/params").collect()
-    require(rows.length == 1,
-      s"loadCorpusIndex: params table at $path/params must hold exactly " +
-        s"one row, found ${rows.length} — artifact corrupt or not a " +
-        "saveCorpusIndex output")
-    val p = rows(0)
+    val (p, frameDir) = graft.model.IndexStore.load(spark, path)
     def field(name: String): Int = {
       require(!p.isNullAt(p.fieldIndex(name)),
-        s"loadCorpusIndex: params field '$name' at $path/params is NULL")
+        s"loadCorpusIndex: params field '$name' at $path is NULL")
       p.getAs[Int](name)
     }
     val (ngram, numHashes, bands) =
@@ -508,9 +474,6 @@ object Dedup {
     require(numHashes % bands == 0,
       s"loadCorpusIndex: bands ($bands) must divide num_hashes " +
         s"($numHashes) — artifact at $path is inconsistent")
-    val frameDir =
-      if (p.schema.fieldNames.contains("gen")) s"$path/g${field("gen")}"
-      else path // legacy flat layout written before the commit protocol
     PreparedCorpus(
       spark.read.parquet(s"$frameDir/fingerprints"),
       spark.read.parquet(s"$frameDir/banded"),
@@ -1597,31 +1560,35 @@ object Dedup {
   }
 
   /** Persist a [[PreparedEmbeddings]] — the embedding twin of
-    * [[saveCorpusIndex]]: centroids (the [[Ann.saveCentroids]] model
-    * convention), the assignment frame, and a one-row params table.
-    * All BIGINT → bit-exact round trip. */
+    * [[saveCorpusIndex]], on the same [[graft.model.IndexStore]]
+    * crash-atomic generation protocol: centroids (the
+    * [[Ann.saveCentroids]] frame shape), the assignment frame, and a
+    * one-row params table land in `g<gen>/` with the params marker
+    * written last. All BIGINT → bit-exact round trip. */
   def saveEmbeddingIndex(prepared: PreparedEmbeddings, root: String)(
       implicit spark: org.apache.spark.sql.SparkSession): Unit = {
-    Ann.saveCentroids(prepared.centroids, s"$root/centroids")
-    prepared.assigned.write.mode("overwrite").parquet(s"$root/assigned")
     import spark.implicits._
-    Seq(prepared.scale).toDF("scale")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/params")
+    graft.model.IndexStore.save(root,
+      Seq(
+        "centroids" -> prepared.centroids.zipWithIndex
+          .map { case (c, i) => (i, c) }.toDF("list_id", "centroid")
+          .coalesce(1),
+        "assigned" -> prepared.assigned),
+      Seq(prepared.scale).toDF("scale"))
+    ()
   }
 
-  /** Bit-exact inverse of [[saveEmbeddingIndex]]. */
+  /** Bit-exact inverse of [[saveEmbeddingIndex]] (newest complete
+    * generation, via [[graft.model.IndexStore.load]]). */
   def loadEmbeddingIndex(root: String)(
       implicit spark: org.apache.spark.sql.SparkSession)
       : PreparedEmbeddings = {
-    val rows = spark.read.parquet(s"$root/params").collect()
-    require(rows.length == 1,
-      s"loadEmbeddingIndex: params at $root/params must hold one row, " +
-        s"found ${rows.length}")
-    val scale = rows(0).getAs[Int]("scale")
+    val (p, dir) = graft.model.IndexStore.load(spark, root)
+    val scale = p.getAs[Int]("scale")
     require(scale >= 1, s"loadEmbeddingIndex: bad scale $scale")
     PreparedEmbeddings(
-      Ann.loadCentroids(s"$root/centroids"),
-      spark.read.parquet(s"$root/assigned"),
+      Ann.loadCentroids(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assigned"),
       scale)
   }
 

@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   *      in SA order (a common prefix is an interval in lexicographic
   *      order), so the adjacency-qualified suffixes are exactly the
   *      members of runs of size ≥ 2. Each run keeps its globally-first
-  *      member (min doc·2^(R+1)+pos — the spanDedup encoding); every
+  *      member (min (doc_id, pos) struct — lexicographic, no overflow
+  *      at any id scale); every
   *      other run member starts a removed `minSpan`-token span. Spans
   *      merge per doc (interval union — merged intervals are disjoint
   *      and ≥ minSpan long, so ≤ len/minSpan per doc) and the doc is
@@ -134,13 +135,18 @@ object SuffixArray {
     // keeper per shared-prefix group: the signature IS the group key
     // (equal signature + length gate ⟺ equal minSpan-token prefix), and
     // group = maximal SA run, so the group min is the run's first
-    // occurrence — the q77 policy without island detection
-    val enc = col("doc_id") * lit(st.encF) + col("pos")
+    // occurrence — the q77 policy without island detection. The min is
+    // taken on the (doc_id, pos) STRUCT: structs order lexicographically
+    // with no arithmetic, so unlike a doc_id·encF+pos encoding it can
+    // neither overflow Long at large ids (encF reaches 2^41 at
+    // baseLog+rounds = 40, so ids past ~2^22 would wrap silently) nor
+    // assume the id column is numeric.
+    val occ = struct(col("doc_id"), col("pos"))
     val grp = starts.join(st.sig, Seq("doc_id", "pos"))
     val keepers = grp.groupBy(sigCols.map(col): _*)
-      .agg(min(enc).as("__keep"))
+      .agg(min(occ).as("__keep"))
     val removed = grp.join(keepers, sigCols)
-      .filter(enc =!= col("__keep"))
+      .filter(occ =!= col("__keep"))
       .select(col("doc_id"), col("pos"))
     removeSpans(st.tokf, removed, minSpan)
   }
@@ -199,7 +205,7 @@ object SuffixArray {
     * and — when `needSa` — the totalized suffix-array order. Frees
     * every superseded rank checkpoint before returning. */
   private[graft] final case class SigState(tokf: DataFrame, sig: DataFrame,
-      sigCols: Seq[String], sa: DataFrame, encF: Long)
+      sigCols: Seq[String], sa: DataFrame)
 
   private[graft] def buildSignatures(docs: DataFrame, textCol: String,
       idCol: String, minSpan: Int, rounds: Int, baseSpan: Int,
@@ -217,7 +223,6 @@ object SuffixArray {
     val parts = decompose(minSpan, baseLog)
     val topExp = baseLog + rounds
     val needed = parts.map(_._1).toSet + topExp
-    val encF = 1L << (topExp + 1) // pos ≤ 2^topExp < encF ⇒ total order
 
     // token frame is referenced by the suffix explode AND the final
     // reassembly — materialize once
@@ -319,7 +324,7 @@ object SuffixArray {
     }
     sig = sig.localCheckpoint(true)
     handles.valuesIterator.foreach(CheckpointHygiene.free)
-    SigState(tokf, sig, sigCols, sa, encF)
+    SigState(tokf, sig, sigCols, sa)
   }
 
   /** Shared span-removal tail: merge the removed (doc, pos) starts

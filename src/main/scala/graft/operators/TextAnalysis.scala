@@ -320,8 +320,13 @@ object TextAnalysis {
       val merged = dupStarts
         .withColumn("__pm", max(col("e")).over(w.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+        // TOUCHING intervals (s == prev_max + 1) stay in one island:
+        // the covered-position set is contiguous across the boundary,
+        // so the joining space between them is duplicated mass — the
+        // reference and the oracle both count a space for every
+        // adjacent covered pair. Splitting at s == pm+1 dropped it.
         .withColumn("__new",
-          when(col("__pm").isNull || col("s") > col("__pm"), 1L)
+          when(col("__pm").isNull || col("s") > col("__pm") + 1L, 1L)
             .otherwise(0L))
         .withColumn("__isl", sum(col("__new")).over(w.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))

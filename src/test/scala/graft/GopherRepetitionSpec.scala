@@ -81,11 +81,18 @@ class GopherRepetitionSpec extends AnyFunSuite {
       (20L + ix, phrase + " " + distinctTail.replace("f", s"g$ix") +
         " " + phrase)
     }
+    // touching (not overlapping) duplicated runs: "A..E A..E" covers
+    // positions 1..5 and 6..10 — contiguous across the boundary, so
+    // the joining space IS duplicated mass (the r19 ADVICE fixture:
+    // splitting islands at s == pm+1 undercounts by one char per
+    // touching pair)
+    val touching = "ta tb tc td te ta tb tc td te " +
+      (0 until 20).map(i => s"z$i").mkString(" ")
     Seq(
       (1L, (0 until 30).map(i => s"c$i").mkString(" ")),
       (2L, dupLine),
       (3L, dupPara),
-      (4L, topHeavy)) ++ phrases
+      (4L, topHeavy)) ++ phrases ++ Seq((40L, touching))
   }
 
   private def run(): Map[Long, (Seq[Double], Boolean)] = {
