@@ -47,6 +47,11 @@ object Bench {
     "q93_substring_general" -> 2.30
   )
   private val contentionFactor = 2.0
+  /** Rerun (not just flag) threshold: the r18 close run logged control
+    * ratios of 1.60x — visibly noisy to a reviewer yet under the 2.0x
+    * hard-contention flag, so the canonical artifact was the noisy one.
+    * Any attempt whose worst control exceeds this reruns the sweep. */
+  private val noisyFactor = 1.3
   /** Run one control every N sweep queries (r10 lesson: end-only controls
     * miss a load spike that subsides before the sweep finishes — BENCH_r10
     * self-reported calm while mid-sweep queries ran 17× inflated). */
@@ -79,14 +84,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (load1Start, load5Start) = loadAvg()
-    val (userStart, sysStart) = procCpu()
-    val wallStart = System.nanoTime()
-
     // warm JIT/codegen/parquet-footer caches so per-query timings measure
     // the plan, not first-run JVM compilation
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
+
+    // ---- one full sweep attempt: headline queries + interleaved controls,
+    // with its own telemetry window ----
+    final case class Attempt(
+        results: Seq[(String, Double)],
+        samples: Seq[(String, Double, Int)],
+        worst: Map[String, (Double, Double)],
+        load1Start: Double, load5Start: Double,
+        load1End: Double, load5End: Double,
+        userSec: Double, sysSec: Double, sysRatio: Double,
+        wallSec: Double, contended: Boolean, noisy: Boolean)
 
     def timeQuery(name: String): Double = {
       // best-of-2 warm timing: first run may still pay per-plan codegen
@@ -103,51 +115,88 @@ object Bench {
       }
       if (times.contains(-1.0)) -1.0 else times.min
     }
-
-    // Contention controls, INTERLEAVED through the sweep (not just after
-    // it): control code is frozen within a round, so a blow-up vs the
-    // pinned calm median is machine noise, not a regression — and sampling
-    // them mid-sweep catches a load spike that subsides before the end
-    // (the r10 blind spot). Each sample records where in the sweep it ran.
-    val controlNames = controlCalmMedians.keys.toSeq.sorted
-      .filter(SparkEntry.queries.contains)
-    val controlSamples =
-      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Int)]
-    val sweepNames = SparkEntry.queries.keys.toSeq.sorted
-    val results = sweepNames.zipWithIndex.map { case (n, i) =>
-      if (controlNames.nonEmpty && i > 0 && i % controlInterleaveEvery == 0) {
-        val cn = controlNames(controlSamples.size % controlNames.size)
-        controlSamples += ((cn, timeQuery(cn), i))
-      }
-      n -> timeQuery(n)
-    }
-    // full control set once more at the end (the r9 behavior, retained so
-    // end-of-sweep state is always sampled too)
-    controlNames.foreach { cn =>
-      controlSamples += ((cn, timeQuery(cn), sweepNames.size))
-    }
     def ratioOf(n: String, t: Double): Double =
       if (t <= 0) -1.0 else t / controlCalmMedians(n)
-    // worst ratio per control across all its samples — one spike anywhere
-    // in the sweep is enough to flag
-    val controlWorst: Map[String, (Double, Double)] =
-      controlSamples.groupBy(_._1).map { case (n, ss) =>
-        val worst = ss.map { case (_, t, _) => (t, ratioOf(n, t)) }
-          .maxBy(_._2)
-        n -> worst
+
+    def runAttempt(): Attempt = {
+      val (load1Start, load5Start) = loadAvg()
+      val (userStart, sysStart) = procCpu()
+      val wallStart = System.nanoTime()
+      // Contention controls, INTERLEAVED through the sweep (not just after
+      // it): control code is frozen within a round, so a blow-up vs the
+      // pinned calm median is machine noise, not a regression — and sampling
+      // them mid-sweep catches a load spike that subsides before the end
+      // (the r10 blind spot). Each sample records where in the sweep it ran.
+      val controlNames = controlCalmMedians.keys.toSeq.sorted
+        .filter(SparkEntry.queries.contains)
+      val controlSamples =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Double, Int)]
+      val sweepNames = SparkEntry.queries.keys.toSeq.sorted
+      val results = sweepNames.zipWithIndex.map { case (n, i) =>
+        if (controlNames.nonEmpty && i > 0 && i % controlInterleaveEvery == 0) {
+          val cn = controlNames(controlSamples.size % controlNames.size)
+          controlSamples += ((cn, timeQuery(cn), i))
+        }
+        n -> timeQuery(n)
       }
+      // full control set once more at the end (the r9 behavior, retained so
+      // end-of-sweep state is always sampled too)
+      controlNames.foreach { cn =>
+        controlSamples += ((cn, timeQuery(cn), sweepNames.size))
+      }
+      // worst ratio per control across all its samples — one spike anywhere
+      // in the sweep is enough to flag
+      val controlWorst: Map[String, (Double, Double)] =
+        controlSamples.groupBy(_._1).map { case (n, ss) =>
+          val worst = ss.map { case (_, t, _) => (t, ratioOf(n, t)) }
+            .maxBy(_._2)
+          n -> worst
+        }
+      val (load1End, load5End) = loadAvg()
+      val (userEnd, sysEnd) = procCpu()
+      val wallSec = (System.nanoTime() - wallStart) / 1e9
+      val userSec = userEnd - userStart
+      val sysSec = sysEnd - sysStart
+      val sysRatio = if (userSec > 1.0) sysSec / userSec else -1.0
+      val contended =
+        controlWorst.valuesIterator.exists(_._2 > contentionFactor) ||
+        sysRatio > sysCpuRatioMax
+      val noisy = contended ||
+        controlWorst.valuesIterator.exists(_._2 > noisyFactor)
+      Attempt(results, controlSamples.toSeq, controlWorst,
+        load1Start, load5Start, load1End, load5End,
+        userSec, sysSec, sysRatio, wallSec, contended, noisy)
+    }
 
-    val (load1End, load5End) = loadAvg()
-    val (userEnd, sysEnd) = procCpu()
-    val wallSec = (System.nanoTime() - wallStart) / 1e9
-
-    val userSec = userEnd - userStart
-    val sysSec = sysEnd - sysStart
-    val sysRatio = if (userSec > 1.0) sysSec / userSec else -1.0
+    // REFUSE to record a contended sweep (r19, VERDICT r18 item 3): a
+    // run whose own frozen controls blew past ~1.3x calm is measuring
+    // the machine, not the code — rerun the whole sweep (load spikes
+    // are transient; the retry costs wall time only when the first
+    // attempt was already worthless) and emit the first calm attempt.
+    // If every attempt is contended, the last one is emitted, loudly
+    // flagged, so an artifact always exists for a genuinely busy box.
+    val maxAttempts = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt)
+    var attemptsContended = List.empty[Boolean]
+    var att = runAttempt()
+    attemptsContended ::= att.noisy
+    while (att.noisy && attemptsContended.size < maxAttempts) {
+      System.err.println(f"[bench] attempt ${attemptsContended.size} " +
+        f"NOISY (worst control ratio ${
+          att.worst.valuesIterator.map(_._2).max}%.2f, sys ratio " +
+        f"${att.sysRatio}%.3f) — rerunning the sweep")
+      att = runAttempt()
+      attemptsContended ::= att.noisy
+    }
+    val results = att.results
+    val controlWorst = att.worst
+    val controlSamples = att.samples
+    val (load1Start, load5Start) = (att.load1Start, att.load5Start)
+    val (load1End, load5End) = (att.load1End, att.load5End)
+    val (userSec, sysSec, sysRatio) = (att.userSec, att.sysSec, att.sysRatio)
+    val wallSec = att.wallSec
     val loadElevated = load1Start > load1StartMax
-    val contended =
-      controlWorst.valuesIterator.exists(_._2 > contentionFactor) ||
-      sysRatio > sysCpuRatioMax
+    val contended = att.contended
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -168,7 +217,10 @@ object Bench {
       s""""sys_cpu_ratio":${f"$sysRatio%.3f"},""" +
       s""""wall_sec":${f"$wallSec%.1f"},"controls":$controlsJson,""" +
       s""""control_samples":$samplesJson,"load_elevated":$loadElevated,""" +
-      s""""contended":$contended}"""
+      s""""attempts":${attemptsContended.size},""" +
+      s""""attempts_noisy":${
+        attemptsContended.reverse.mkString("[", ",", "]")},""" +
+      s""""noisy":${att.noisy},"contended":$contended}"""
     // the long per-query line gets a distinct metric name so nothing that
     // filters/aggregates on metric=="total" can double-count it against the
     // short trailer below

@@ -622,6 +622,15 @@ object SketchParams {
     val minSpan = 50; val baseSpan = 32; val rounds = 2
     val benchMod = 3L; val benchOffset = 1000000L
   }
+  /** q230 persisted-suffix-array incremental probe: the q229 SA
+    * parameters over a coarser base span (so the index carries a real
+    * doubling-round key map), with the PROBE lane = truncated twins of
+    * doc_id % probeMod == 0 at ids + probeOffset — the batch a serving
+    * pipeline would decontaminate against the frozen corpus index. */
+  object q230 {
+    val minSpan = 50; val baseSpan = 16
+    val probeMod = 4L; val probeOffset = 1000000L
+  }
   /** q223 Gopher repetition table: the deterministic LINED-corpus
     * derivation (the raw fixture carries no newlines) — tokens grouped
     * `lineTokens`-to-a-line, lines `paraLines`-to-a-paragraph, joined
@@ -5635,6 +5644,38 @@ object OracleSql {
     ), ${saRemovalSql(p.minSpan, s"doc_id < ${p.benchOffset}")}"""
   }
 
+  /** Persisted-index incremental EXACTSUBSTR probe (q230): the DuckDB
+    * twin replays the probe's SEMANTICS — one generalized SA over
+    * corpus ∪ probe batch (the [[q229]] image with the sides swapped:
+    * the batch is decontaminated against the corpus), because the
+    * probe is spec-pinned ≡ full-rebuild contamination
+    * (`SubstrIndexSpec`) while the Spark side actually serves from the
+    * saved rank/signature tables. rounds = 1: decompose(50, 16)'s
+    * largest certificate span is 32 = one doubling past the base. */
+  private def q230: String = {
+    val p = SketchParams.q230
+    val baseLog = 31 - Integer.numberOfLeadingZeros(p.baseSpan)
+    val parts = graft.operators.SuffixArray.decompose(p.minSpan, baseLog)
+    val rounds = parts.map(_._1).max - baseLog
+    val sigEq = parts.indices.map(i => s"g.s$i = b.s$i").mkString(" AND ")
+    val sigSel = parts.indices.map(i => s"s$i").mkString(", ")
+    s"""
+    WITH corpus AS (
+      SELECT doc_id, ${normSql("text")} AS text FROM documents
+      UNION ALL
+      SELECT doc_id + ${p.probeOffset} AS doc_id,
+        regexp_replace(${normSql("text")}, ' [^ ]+$$', '', 'g') AS text
+      FROM documents WHERE doc_id % ${p.probeMod} = 0
+    ), ${saSigCtes(p.minSpan, p.baseSpan, rounds)}, isig AS (
+      SELECT DISTINCT $sigSel FROM sig
+      WHERE doc_id < ${p.probeOffset}
+    ), removed AS (
+      SELECT DISTINCT g.doc_id, g.pos FROM sig g
+      JOIN isig b ON $sigEq
+      WHERE g.doc_id >= ${p.probeOffset}
+    ), ${saRemovalSql(p.minSpan, s"doc_id >= ${p.probeOffset}")}"""
+  }
+
   /** Gopher repetition table (q223): the lined-corpus derivation, the
     * dup line/paragraph fractions (occurrences beyond the first), the
     * top-2/3/4-gram char fractions (argmax by count then gram length —
@@ -9113,6 +9154,7 @@ object OracleSql {
     "q227_tokenized_card_budget" -> q227,
     "q228_repetition_funnel" -> q228,
     "q229_exact_substr_decontam" -> q229,
+    "q230_substr_index_probe" -> q230,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -220,6 +220,41 @@ object Soak {
       return
     }
 
+    if (mode == "saprobe") {
+      // the r19 incremental contract: probe cost ∝ BATCH tokens at a
+      // FROZEN corpus. The index is built+persisted once over the
+      // unreplicated base corpus; replicas scale only the probe batch
+      // (truncated twins, ids disjoint per replica), so a superlinear
+      // batch sweep or any corpus-rescan would show directly.
+      val ix = timed(s"buildSubstrIndex + save/load ($baseN fixed docs)") {
+        val built = operators.SuffixArray.buildSubstrIndex(
+          base, "text", "doc_id", minSpan = 50, baseSpan = 16)
+        val root = s"/tmp/graft_soak_saix/ix"
+        operators.SuffixArray.saveSubstrIndex(built, root)
+        operators.SuffixArray.loadSubstrIndex(spark, root)
+      }
+      Seq(1, math.max(1, replicas / 3), replicas).distinct.foreach { k =>
+        val batch = (0 until k).map { j =>
+          base.select(
+            (col("doc_id") + lit(900000000L + j * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), " [^ ]+$", "").as("text"))
+        }.reduce(_.unionByName(_)).localCheckpoint(true)
+        val nb = batch.count()
+        timed(s"exactSubstrProbe (${k}x batch, $nb docs, frozen corpus)") {
+          val agg = operators.SuffixArray
+            .exactSubstrProbe(ix, batch, "text", "doc_id")
+            .agg(count(lit(1)).as("docs"),
+              sum(col("n_removed_starts")).as("starts"),
+              sum(col("n_dropped")).as("dropped")).head
+          println(s"[soak]   -> ${agg.getLong(0)} docs, " +
+            s"${agg.getLong(1)} contaminated starts, " +
+            s"${agg.getLong(2)} tokens dropped")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (mode == "decontam") {
       // q229's cross-side shape at replica scale: bench = truncated
       // twins of every 3rd replica-0 doc; every replica of a benched

@@ -4362,6 +4362,44 @@ object SparkEntry {
       "text", "doc_id", p.minSpan, p.rounds, p.baseSpan)
   }
 
+  /** Persisted-suffix-array incremental EXACTSUBSTR probe
+    * ([[graft.operators.SuffixArray.buildSubstrIndex]] →
+    * [[graft.operators.SuffixArray.saveSubstrIndex]] →
+    * [[graft.operators.SuffixArray.loadSubstrIndex]] →
+    * [[graft.operators.SuffixArray.exactSubstrProbe]]): the Lee et al.
+    * §6.2 serving form — the corpus's rank/signature tables are built
+    * ONCE, persisted on the IndexStore generation protocol, and an
+    * incoming batch (truncated twins, the q229 lane shape) is
+    * decontaminated against the FROZEN artifact at batch-proportional
+    * cost: batch suffixes re-rank themselves in corpus rank space
+    * through the saved base-window and doubling-key maps, then
+    * semi-join the corpus certificate set. The whole chain — save,
+    * load, probe — runs inside the query (memoized per session so
+    * repeat timings measure the PROBE, the serving cost); the DuckDB
+    * twin replays the equivalent full-rebuild contamination image
+    * (probe ≡ rebuild is spec-pinned in `SubstrIndexSpec`). Params
+    * from [[SketchParams.q230]]. */
+  def q230SubstrIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q230
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("text"))
+    val batch = docs.filter(col("doc_id") % p.probeMod === 0)
+      .select((col("doc_id") + p.probeOffset).as("doc_id"),
+        regexp_replace(col("text"), " [^ ]+$", "").as("text"))
+    q230IndexMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val ix = q230IndexMemo.computeIfAbsent((s, dir), _ => {
+      val built = operators.SuffixArray.buildSubstrIndex(docs,
+        "text", "doc_id", p.minSpan, p.baseSpan)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q230").resolve("ix").toString
+      operators.SuffixArray.saveSubstrIndex(built, root)
+      operators.SuffixArray.loadSubstrIndex(s, root)
+    })
+    operators.SuffixArray.exactSubstrProbe(ix, batch, "text", "doc_id")
+  }
+  private val q230IndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), operators.SuffixArray.SubstrIndex]
+
   /** Tokenizer-aware exact-fill packing — the q194 packer budgeted by
     * what the trainer actually sees: per-doc UNIGRAM-TOKENIZER token
     * counts (Σ tf·n_pieces off the memoized [[q217Seg]] segmentation —
@@ -5341,7 +5379,8 @@ object SparkEntry {
     "q226_tokenized_temp_plan" -> (q226TokenizedTempPlan _),
     "q227_tokenized_card_budget" -> (q227TokenizedCardBudget _),
     "q228_repetition_funnel" -> (q228RepetitionFunnel _),
-    "q229_exact_substr_decontam" -> (q229ExactSubstrDecontam _))
+    "q229_exact_substr_decontam" -> (q229ExactSubstrDecontam _),
+    "q230_substr_index_probe" -> (q230SubstrIndexProbe _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

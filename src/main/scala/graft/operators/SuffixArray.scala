@@ -114,9 +114,17 @@ object SuffixArray {
     * checkpoint, measured in `PlanQualitySpec` — so the operator does
     * not pay for one.) */
   def exactSubstrDedup(docs: DataFrame, textCol: String, idCol: String,
-      minSpan: Int = 50, rounds: Int = 14, baseSpan: Int = 8): DataFrame = {
+      minSpan: Int = 50, rounds: Int = 14, baseSpan: Int = 8): DataFrame =
+    exactSubstrDedupImpl(docs, textCol, idCol, minSpan, rounds, baseSpan,
+      earlyExit = true)
+
+  /** [[exactSubstrDedup]] with the convergence early-exit switchable —
+    * spec-pinned: earlyExit on ≡ off, row for row. */
+  private[graft] def exactSubstrDedupImpl(docs: DataFrame, textCol: String,
+      idCol: String, minSpan: Int, rounds: Int, baseSpan: Int,
+      earlyExit: Boolean): DataFrame = {
     val st = buildSignatures(docs, textCol, idCol, minSpan, rounds,
-      baseSpan, needSa = true)
+      baseSpan, needSa = true, earlyExit = earlyExit)
     val sigCols = st.sigCols
     // adjacency in SA order, qualified by signature equality on both ends
     val qual = st.sa
@@ -200,16 +208,199 @@ object SuffixArray {
     removeSpans(corpusToks, contaminated, minSpan)
   }
 
+  /** A FROZEN, persistable suffix-array index over a corpus — the
+    * serving form of the EXACTSUBSTR family (Lee et al. 2022 §6.2 is
+    * run per training-set refresh, not once): everything a batch probe
+    * needs to decide "does this ≥ minSpan-token span occur anywhere in
+    * the corpus?" WITHOUT rebuilding the suffix array.
+    *
+    *   - `base`: the distinct (baseSpan-token window → base rank) map —
+    *     the only content-addressable frame (token text survives the
+    *     build solely here);
+    *   - `roundMaps`: per doubling exponent e ∈ (baseLog, maxPartExp],
+    *     the distinct ((rank_{m}(s), rank_{m}(s+m)) → rank_{2m}) key
+    *     map of that round — a batch recomputes ITS suffixes' ranks in
+    *     CORPUS rank space bottom-up through these maps (an absent key
+    *     at any level means "this prefix occurs nowhere in the corpus",
+    *     which propagates as NULL);
+    *   - `sig`: the corpus's distinct LCP ≥ minSpan certificate tuples
+    *     (the [[decompose]] parts in the same rank space).
+    *
+    * Only exponents up to log2(minSpan) are stored — the certificate
+    * never reads beyond them — so the index build costs 2–3 doubling
+    * rounds, not the SA's full budget, and has NO document-length
+    * ceiling. Frame sizes are ≤ one row per distinct corpus prefix per
+    * level (≤ corpus tokens each). */
+  final case class SubstrIndex(base: DataFrame,
+      roundMaps: Seq[(Int, DataFrame)], sig: DataFrame, nSigCols: Int,
+      minSpan: Int, baseSpan: Int)
+
+  /** Build a [[SubstrIndex]] over `corpus` — one sig-only
+    * [[buildSignatures]] pass with the content/key maps retained. */
+  def buildSubstrIndex(corpus: DataFrame, textCol: String, idCol: String,
+      minSpan: Int = 50, baseSpan: Int = 8): SubstrIndex = {
+    val baseLog = 31 - Integer.numberOfLeadingZeros(baseSpan)
+    val maxPartExp = decompose(minSpan, baseLog).map(_._1).max
+    val st = buildSignatures(corpus, textCol, idCol, minSpan,
+      rounds = math.max(1, maxPartExp - baseLog), baseSpan,
+      needSa = false, collectIndex = true)
+    SubstrIndex(st.baseContent, st.roundMaps,
+      st.sig.select(st.sigCols.map(col): _*).distinct()
+        .localCheckpoint(true),
+      st.sigCols.length, minSpan, baseSpan)
+  }
+
+  /** Persist a [[SubstrIndex]] under `root` on the
+    * [[graft.model.IndexStore]] crash-atomic generation protocol (the
+    * convention shared with the LSH corpus index and the IVF index). */
+  def saveSubstrIndex(ix: SubstrIndex, root: String): Unit = {
+    val spark = ix.base.sparkSession
+    import spark.implicits._
+    graft.model.IndexStore.save(root,
+      Seq("base" -> ix.base, "sig" -> ix.sig) ++
+        ix.roundMaps.map { case (e, df) => s"round_$e" -> df },
+      Seq((ix.minSpan, ix.baseSpan, ix.nSigCols,
+        ix.roundMaps.map(_._1).mkString(",")))
+        .toDF("min_span", "base_span", "n_sig_cols", "round_exps"))
+    ()
+  }
+
+  /** Load a [[saveSubstrIndex]] artifact (newest complete generation);
+    * bit-exact inverse — a loaded index probes identically to the
+    * fresh one (spec-gated). */
+  def loadSubstrIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String): SubstrIndex = {
+    val (p, dir) = graft.model.IndexStore.load(spark, root)
+    val (minSpan, baseSpan, nSig) = (p.getAs[Int]("min_span"),
+      p.getAs[Int]("base_span"), p.getAs[Int]("n_sig_cols"))
+    require(minSpan >= 2 && baseSpan >= 1 && nSig >= 1,
+      s"loadSubstrIndex: bad params min_span=$minSpan " +
+        s"base_span=$baseSpan n_sig_cols=$nSig")
+    val exps = p.getAs[String]("round_exps") match {
+      case "" => Seq.empty[Int]
+      case ss => ss.split(",").toSeq.map(_.toInt)
+    }
+    SubstrIndex(
+      spark.read.parquet(s"$dir/base"),
+      exps.map(e => e -> spark.read.parquet(s"$dir/round_$e")),
+      spark.read.parquet(s"$dir/sig"),
+      nSig, minSpan, baseSpan)
+  }
+
+  /** Incremental EXACTSUBSTR decontamination/dedup PROBE: remove from
+    * each `batch` document every run of ≥ minSpan tokens that occurs
+    * anywhere in the FROZEN corpus behind `ix` — output is the q222
+    * shape over batch docs, and ≡
+    * [[exactSubstrContamination]](batch, corpus) exactly (spec-gated),
+    * at cost proportional to the BATCH, not the corpus.
+    *
+    * Mechanics: batch suffixes rank themselves in CORPUS rank space —
+    * the baseSpan window joins the content-addressable `base` map, then
+    * each doubling level joins its (r1, r2) key map; a missing key
+    * anywhere means no corpus suffix shares that prefix and the rank
+    * goes NULL (nulls never equi-join, so the miss propagates for
+    * free). The end-of-doc 0-sentinel is reproduced from the BATCH
+    * side's own partner-row absence, mirroring the build. Gated batch
+    * suffixes assemble the [[decompose]] certificate tuple and
+    * semi-join the corpus `sig` set; hits are removed spans.
+    *
+    * Scale shape: every join is batch-suffix-scale rows against a
+    * precomputed corpus-scale map — with a small batch Spark broadcasts
+    * the BATCH side, so each level costs one map-side scan of the
+    * stored table and zero shuffles of it; at warehouse scale the maps
+    * would be bucketed by their join key to turn those scans into
+    * partial reads. Nothing here re-reads or re-ranks the corpus. */
+  def exactSubstrProbe(ix: SubstrIndex, batch: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val baseLog = 31 - Integer.numberOfLeadingZeros(ix.baseSpan)
+    val parts = decompose(ix.minSpan, baseLog)
+    require(parts.length == ix.nSigCols,
+      s"exactSubstrProbe: index has ${ix.nSigCols} certificate parts " +
+        s"but minSpan=${ix.minSpan}, baseSpan=${ix.baseSpan} decompose " +
+        s"into ${parts.length} — artifact params are inconsistent")
+    val tokf = batch
+      .select(col(idCol).as("doc_id"),
+        split(coalesce(col(textCol), lit("")), "\\s+").as("__toks"))
+      .localCheckpoint(false)
+    val sfx = tokf
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n"),
+        col("__toks"), posexplode(col("__toks")).as(Seq("__p0", "__tk")))
+      .select(col("doc_id"), (col("__p0") + 1).cast("long").as("pos"),
+        col("n"),
+        slice(col("__toks"), col("__p0") + 1, lit(ix.baseSpan)).as("__w"))
+    val tables = scala.collection.mutable.Map.empty[Int, DataFrame]
+    tables(baseLog) = sfx
+      .join(ix.base.select(col("__w"), col("r").as("__cr")),
+        Seq("__w"), "left")
+      .select(col("doc_id"), col("pos"), col("n"), col("__cr").as("r"))
+      .localCheckpoint(false)
+    ix.roundMaps.foreach { case (e, rmap) =>
+      val m = 1L << (e - 1)
+      val prev = tables(e - 1)
+      // partner presence must be told apart from partner rank NULL: a
+      // missing partner ROW is end-of-doc (the corpus build's
+      // 0-sentinel); a present partner with NULL rank is
+      // absent-from-corpus and must poison the key
+      val partner = prev.select(col("doc_id"),
+        (col("pos") - m).as("pos"), col("r").as("__r2"),
+        lit(true).as("__pp"))
+      val keyed = prev.join(partner, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("n"),
+          col("r").as("__r1"),
+          when(col("__pp").isNull, lit(0L)).otherwise(col("__r2"))
+            .as("__r2"))
+      tables(e) = keyed
+        .join(rmap.select(col("r1").as("__r1"), col("r2").as("__r2"),
+          col("r").as("__cr")), Seq("__r1", "__r2"), "left")
+        .select(col("doc_id"), col("pos"), col("n"), col("__cr").as("r"))
+        .localCheckpoint(false)
+    }
+    // certificate tuple over gated batch suffixes, in corpus rank space
+    var sig: DataFrame = tables(parts.map(_._1).max)
+      .filter(col("n") - col("pos") + 1 >= ix.minSpan)
+      .select(col("doc_id"), col("pos"))
+    parts.zipWithIndex.foreach { case ((k, off), i) =>
+      sig = sig.join(
+        tables(k).select(col("doc_id"), (col("pos") - off).as("pos"),
+          col("r").as(s"__s$i")),
+        Seq("doc_id", "pos"))
+    }
+    val sigCols = parts.indices.map(i => s"__s$i")
+    val contaminated = sig
+      .filter(sigCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .join(ix.sig, sigCols, "left_semi")
+      .select(col("doc_id"), col("pos"))
+    removeSpans(tokf, contaminated, ix.minSpan)
+  }
+
   /** The shared rank/signature machinery: builds the doubling tables,
     * the length-gated LCP ≥ minSpan signature frame (checkpointed),
     * and — when `needSa` — the totalized suffix-array order. Frees
-    * every superseded rank checkpoint before returning. */
+    * every superseded rank checkpoint before returning.
+    *
+    * Round economics (r19): the LCP certificate itself only ever reads
+    * tables at the decomposition-part exponents (all ≤ log2 minSpan),
+    * so a sig-only build (`needSa = false` — contamination, the
+    * persisted index) stops there: 2–3 doubling rounds instead of the
+    * caller's SA budget, and no document-length ceiling (the ceiling
+    * exists only because the SA totalization must reach max doc
+    * length). An SA build doubles toward `baseLog + rounds` but EXITS
+    * EARLY once ranks converge (max rank == suffix count — every
+    * suffix already has a distinct rank, so further doubling is the
+    * identity): convergence arrives at ~log2(max doc length), rounds
+    * is a safe over-budget, and the convergence probe is one tiny
+    * aggregate per round over a frame that is already materialized.
+    * Early-exit output ≡ full-rounds output (spec-pinned via the
+    * `earlyExit` switch): rank equality at any span beyond convergence
+    * is equality at convergence. */
   private[graft] final case class SigState(tokf: DataFrame, sig: DataFrame,
-      sigCols: Seq[String], sa: DataFrame)
+      sigCols: Seq[String], sa: DataFrame,
+      baseContent: DataFrame, roundMaps: Seq[(Int, DataFrame)])
 
   private[graft] def buildSignatures(docs: DataFrame, textCol: String,
       idCol: String, minSpan: Int, rounds: Int, baseSpan: Int,
-      needSa: Boolean): SigState = {
+      needSa: Boolean, earlyExit: Boolean = true,
+      collectIndex: Boolean = false): SigState = {
     require(minSpan >= 2,
       "minSpan 1 would mark every repeated token — use >= 2")
     require(rounds >= 1 && rounds <= 40, "rounds out of range")
@@ -217,11 +408,18 @@ object SuffixArray {
     require(baseSpan >= 1 && (1 << baseLog) == baseSpan,
       s"baseSpan $baseSpan must be a power of two")
     require(baseLog + rounds <= 40, "baseSpan * 2^rounds out of range")
-    require(minSpan <= (1L << math.min(baseLog + rounds, 30)),
+    // the span ceiling constrains only SA builds — a sig-only build's
+    // certificate covers minSpan by decomposition into ≤ 2^maxPartExp
+    // spans, independent of the doubling budget
+    require(!needSa || minSpan <= (1L << math.min(baseLog + rounds, 30)),
       s"minSpan $minSpan exceeds the largest rank-table span " +
         s"baseSpan*2^rounds — raise rounds ($rounds)")
     val parts = decompose(minSpan, baseLog)
-    val topExp = baseLog + rounds
+    val maxPartExp = parts.map(_._1).max
+    // sig-only builds stop at the largest certificate span; SA builds
+    // must totalize, i.e. double until the caller's budget (or until
+    // ranks converge — checked per round below)
+    val topExp = if (needSa) baseLog + rounds else maxPartExp
     val needed = parts.map(_._1).toSet + topExp
 
     // token frame is referenced by the suffix explode AND the final
@@ -234,9 +432,12 @@ object SuffixArray {
     // end (generalized suffix array — no cross-document suffixes, which
     // is also what makes doc-unique end sentinels unnecessary: base
     // ranking by the truncated slice array and the doubling's 0-sentinel
-    // both encode "end < any token")
+    // both encode "end < any token"). The length ceiling applies only
+    // to SA builds — sig-only certificate spans never exceed
+    // 2^maxPartExp ≤ minSpan, so any doc length is fine there.
     val lenGuard =
-      when(size(col("__toks")).cast("long") <= (1L << topExp),
+      if (!needSa) size(col("__toks")).cast("long")
+      else when(size(col("__toks")).cast("long") <= (1L << topExp),
         size(col("__toks")).cast("long"))
         .otherwise(raise_error(lit(
           s"exactSubstrDedup: a document exceeds baseSpan*2^$rounds " +
@@ -263,42 +464,74 @@ object SuffixArray {
         .select(col("doc_id"), col("pos"), col("n"), col("__br").as("r")),
       eager = true)
     tables(baseLog) = rk0c; handles(baseLog) = rk0h
+    // the probe index needs CONTENT-addressable ranks: the distinct
+    // (window → base rank) map is the only place token text survives
+    val baseContent =
+      if (!collectIndex) null
+      else rkBaseRanked.select(col("__w"), col("__br").as("r"))
+        .distinct().localCheckpoint(true)
     CheckpointHygiene.free(rkBaseH)
-    (1 to rounds).foreach { j =>
+    val roundMaps = Seq.newBuilder[(Int, DataFrame)]
+    // suffix universe size, for the convergence probe — counted NOW,
+    // while the base table's checkpoint is certainly alive (it may be
+    // freed as superseded inside the first loop iteration)
+    val nSfx = if (earlyExit && needSa) rk0c.count() else -1L
+    var builtTop = baseLog
+    var converged = false
+    (1 to (topExp - baseLog)).foreach { j =>
       val e = baseLog + j
-      val m = 1L << (e - 1)
-      val prev = tables(e - 1)
-      // partner rank at pos + m, fetched by shifting the table by −m so
-      // the lookup is a plain (doc, pos) equi-join of the checkpointed
-      // table with itself; 0-sentinel = "suffix ends before pos+m",
-      // sorting before every real rank (end-of-doc < any token —
-      // standard lexicographic shorter-prefix-first)
-      val partner = prev.select(col("doc_id"),
-        (col("pos") - m).as("pos"), col("r").as("__r2"))
-      val keyed = prev.join(partner, Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"), col("n"),
-          col("r").as("__r1"), coalesce(col("__r2"), lit(0L)).as("__r2"))
-      // in-place dense rank of the (r1, r2) key — never a global
-      // window, never a distinct + join-back
-      val (ranked, rh) = Ranks.globalDenseRankTracked(keyed,
-        Seq(col("__r1"), col("__r2")), out = "__nr")
-      val (next, h) = CheckpointHygiene.checkpointTracked(
-        ranked.select(col("doc_id"), col("pos"), col("n"),
-          col("__nr").as("r")),
-        eager = true)
-      CheckpointHygiene.free(rh)
-      tables(e) = next; handles(e) = h
-      // predecessor superseded — free unless the LCP certificate needs it
-      if (!needed.contains(e - 1)) {
-        CheckpointHygiene.free(handles(e - 1)); handles.remove(e - 1)
+      if (!converged) {
+        val m = 1L << (e - 1)
+        val prev = tables(e - 1)
+        // partner rank at pos + m, fetched by shifting the table by −m so
+        // the lookup is a plain (doc, pos) equi-join of the checkpointed
+        // table with itself; 0-sentinel = "suffix ends before pos+m",
+        // sorting before every real rank (end-of-doc < any token —
+        // standard lexicographic shorter-prefix-first)
+        val partner = prev.select(col("doc_id"),
+          (col("pos") - m).as("pos"), col("r").as("__r2"))
+        val keyed = prev.join(partner, Seq("doc_id", "pos"), "left")
+          .select(col("doc_id"), col("pos"), col("n"),
+            col("r").as("__r1"), coalesce(col("__r2"), lit(0L)).as("__r2"))
+        // in-place dense rank of the (r1, r2) key — never a global
+        // window, never a distinct + join-back
+        val (ranked, rh) = Ranks.globalDenseRankTracked(keyed,
+          Seq(col("__r1"), col("__r2")), out = "__nr")
+        val (next, h) = CheckpointHygiene.checkpointTracked(
+          ranked.select(col("doc_id"), col("pos"), col("n"),
+            col("__nr").as("r")),
+          eager = true)
+        if (collectIndex && e <= maxPartExp)
+          roundMaps += ((e, ranked
+            .select(col("__r1").as("r1"), col("__r2").as("r2"),
+              col("__nr").as("r"))
+            .distinct().localCheckpoint(true)))
+        CheckpointHygiene.free(rh)
+        tables(e) = next; handles(e) = h
+        builtTop = e
+        // predecessor superseded — free unless the LCP certificate needs it
+        if (!needed.contains(e - 1)) {
+          CheckpointHygiene.free(handles(e - 1)); handles.remove(e - 1)
+        }
+        // convergence: once every suffix holds a distinct rank, further
+        // doubling is the identity — stop paying for it. Only legal at
+        // or beyond the largest certificate span (the parts tables must
+        // exist physically)
+        if (earlyExit && needSa && e >= maxPartExp && e < topExp)
+          converged =
+            next.agg(max(col("r"))).head.getLong(0) == nSfx
       }
     }
+    // table lookup with convergence substitution: rank equality at any
+    // span beyond the converged one is rank equality AT the converged
+    // one (all ranks distinct ⇒ no equalities either way)
+    def tbl(e: Int): DataFrame = tables(math.min(e, builtTop))
     // suffix array: the top rank totalized by (doc, pos) — referenced by
     // both adjacency sides, materialize once
     val sa =
       if (!needSa) null
       else {
-        val (ranked, rh) = Ranks.globalRowNumberTracked(tables(topExp),
+        val (ranked, rh) = Ranks.globalRowNumberTracked(tbl(topExp),
           Seq(col("r"), col("doc_id"), col("pos")), out = "__t")
         val out = ranked
           .select(col("doc_id"), col("pos"), col("n"), col("__t"))
@@ -313,18 +546,18 @@ object SuffixArray {
     val sigCols = parts.indices.map(i => s"__s$i")
     // base the gated frame on the top rank table (it already carries
     // (doc_id, pos, n) — sa would add a useless column to the joins)
-    var sig: DataFrame = tables(topExp)
+    var sig: DataFrame = tbl(topExp)
       .filter(col("n") - col("pos") + 1 >= minSpan)
       .select(col("doc_id"), col("pos"))
     parts.zipWithIndex.foreach { case ((k, off), i) =>
       sig = sig.join(
-        tables(k).select(col("doc_id"), (col("pos") - off).as("pos"),
+        tbl(k).select(col("doc_id"), (col("pos") - off).as("pos"),
           col("r").as(s"__s$i")),
         Seq("doc_id", "pos"))
     }
     sig = sig.localCheckpoint(true)
     handles.valuesIterator.foreach(CheckpointHygiene.free)
-    SigState(tokf, sig, sigCols, sa)
+    SigState(tokf, sig, sigCols, sa, baseContent, roundMaps.result())
   }
 
   /** Shared span-removal tail: merge the removed (doc, pos) starts

@@ -133,6 +133,34 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming EXACTSUBSTR decontamination — the suffix-array family's
+    * streaming twin and the serving loop of
+    * [[graft.operators.SuffixArray.SubstrIndex]]: each micro-batch of
+    * documents is probed against the FROZEN persisted index
+    * ([[graft.operators.SuffixArray.loadSubstrIndex]], loaded once
+    * before the query starts — never rebuilt) and lands in the sink
+    * with every ≥ minSpan-token run that occurs in the indexed corpus
+    * removed ([[graft.operators.SuffixArray.exactSubstrProbe]], cost
+    * proportional to the batch). Same `foreachBatch` boundary as
+    * [[dedupedIngest]]: the probe is a multi-stage batch program over
+    * precomputed corpus frames. Batch ≡ stream replay is spec-gated in
+    * `StreamingDedupSpec`. */
+  def substrDecontamIngest(
+      docsStream: DataFrame, indexPath: String,
+      textCol: String, idCol: String,
+      sinkPath: String, checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ix = graft.operators.SuffixArray
+      .loadSubstrIndex(docsStream.sparkSession, indexPath)
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.SuffixArray
+          .exactSubstrProbe(ix, batch.toDF(), textCol, idCol)
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+  }
+
   /** Streaming semantic dedup — the embedding twin of [[dedupedIngest]]
     * and the continuous-ingestion form of
     * [[graft.operators.Dedup.semanticDedup]]: each micro-batch of

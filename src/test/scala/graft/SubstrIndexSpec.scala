@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SuffixArray
+
+/** The persisted suffix-array index and its incremental probe (q230):
+  * probe ≡ full-rebuild contamination, save/load round trip on the
+  * IndexStore generation protocol, the doubling-loop convergence
+  * early-exit equivalence, and the streaming serving twin. */
+class SubstrIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  private def collectOut(df: DataFrame) = df.collect()
+    .map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+    .toMap
+
+  private def seqText(from: Int, n: Int): String =
+    (from until from + n).map(i => s"w$i").mkString(" ")
+
+  // frozen corpus + probe batch with planted cross-side spans: exact
+  // prefix copy, misaligned interior copy, a one-token-short near miss,
+  // and clean docs on both sides
+  private def corpusRows = Seq(
+    (1L, seqText(0, 20)),
+    (2L, seqText(100, 14) + " " + seqText(300, 4)),
+    (3L, seqText(200, 9)))
+  private def batchRows = Seq(
+    (101L, seqText(0, 12)), // prefix of corpus doc 1
+    (102L, "x0 x1 " + seqText(104, 10) + " x2"), // interior of doc 2
+    (103L, seqText(400, 15)), // clean
+    (104L, seqText(0, 9) + " zz " + seqText(9, 9)), // two near-miss halves
+    (105L, seqText(13, 3) + " " + seqText(200, 6))) // short + sub-span
+
+  test("probe against the frozen index equals full-rebuild " +
+      "contamination, row for row (minSpan with and without doubling " +
+      "rounds)") {
+    import spark.implicits._
+    for ((minSpan, baseSpan) <- Seq((10, 4), (6, 4), (8, 8))) {
+      val corpus = corpusRows.toDF("doc_id", "text")
+      val batch = batchRows.toDF("doc_id", "text")
+      val ix = SuffixArray.buildSubstrIndex(corpus, "text", "doc_id",
+        minSpan, baseSpan)
+      val got = collectOut(
+        SuffixArray.exactSubstrProbe(ix, batch, "text", "doc_id"))
+      val want = collectOut(SuffixArray.exactSubstrContamination(
+        batch, corpus, "text", "doc_id", minSpan, rounds = 5,
+        baseSpan = baseSpan))
+      assert(got == want, s"minSpan=$minSpan baseSpan=$baseSpan:\n" +
+        s"$got\n  vs\n$want")
+    }
+  }
+
+  test("planted spans behave: exact copy removed, near-miss kept, " +
+      "clean doc untouched, probe output covers every batch doc") {
+    import spark.implicits._
+    val ix = SuffixArray.buildSubstrIndex(
+      corpusRows.toDF("doc_id", "text"), "text", "doc_id",
+      minSpan = 10, baseSpan = 4)
+    val got = collectOut(SuffixArray.exactSubstrProbe(
+      ix, batchRows.toDF("doc_id", "text"), "text", "doc_id"))
+    assert(got.keySet == Set(101L, 102L, 103L, 104L, 105L))
+    assert(got(101L)._2 > 0, "12-token prefix copy must be hit")
+    assert(got(102L)._2 > 0, "interior 10-token copy must be hit")
+    assert(got(103L) == ((15L, 0L, 0L, seqText(400, 15))))
+    assert(got(104L)._2 == 0, "9-token halves are below minSpan")
+    assert(got(105L)._2 == 0, "6-token sub-span is below minSpan")
+  }
+
+  test("save/load round trip: the loaded index probes identically; a " +
+      "torn next generation is invisible; a completed save supersedes") {
+    import spark.implicits._
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val batch = batchRows.toDF("doc_id", "text")
+    val ix = SuffixArray.buildSubstrIndex(corpus, "text", "doc_id",
+      minSpan = 10, baseSpan = 4)
+    val root = java.nio.file.Files.createTempDirectory("saix")
+      .resolve("ix").toString
+    SuffixArray.saveSubstrIndex(ix, root)
+    val loaded = SuffixArray.loadSubstrIndex(spark, root)
+    assert((loaded.minSpan, loaded.baseSpan, loaded.nSigCols) ==
+      ((ix.minSpan, ix.baseSpan, ix.nSigCols)))
+    val fresh = collectOut(
+      SuffixArray.exactSubstrProbe(ix, batch, "text", "doc_id"))
+    assert(collectOut(
+      SuffixArray.exactSubstrProbe(loaded, batch, "text", "doc_id"))
+      == fresh)
+    // torn generation 2: frames land, the params commit marker never
+    // does — the loader must keep serving generation 1
+    val bigger = SuffixArray.buildSubstrIndex(
+      corpus.unionByName(batch), "text", "doc_id", 10, 4)
+    bigger.base.write.mode("overwrite").parquet(s"$root/g2/base")
+    bigger.sig.write.mode("overwrite").parquet(s"$root/g2/sig")
+    val afterTear = SuffixArray.loadSubstrIndex(spark, root)
+    assert(collectOut(SuffixArray.exactSubstrProbe(
+      afterTear, batch, "text", "doc_id")) == fresh)
+    // completed save commits a fresh generation and wins
+    SuffixArray.saveSubstrIndex(bigger, root)
+    val after = SuffixArray.loadSubstrIndex(spark, root)
+    // batch docs are now IN the indexed corpus: every gated span of the
+    // probe's own docs is a hit (full self-contamination)
+    val self = collectOut(SuffixArray.exactSubstrProbe(
+      after, batch, "text", "doc_id"))
+    assert(self(103L)._2 > 0, "post-absorb, doc 103 must self-hit")
+  }
+
+  test("convergence early-exit produces exactly the full-rounds dedup " +
+      "output (generous rounds budget, fixture converges early)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, seqText(0, 30)),
+      (2L, "pre " + seqText(5, 20) + " post"),
+      (3L, seqText(500, 12)))
+      .toDF("doc_id", "text")
+    def run(early: Boolean) = collectOut(
+      SuffixArray.exactSubstrDedupImpl(docs, "text", "doc_id",
+        minSpan = 8, rounds = 9, baseSpan = 4, earlyExit = early))
+    assert(run(early = true) == run(early = false))
+  }
+
+  test("streaming twin: substrDecontamIngest replays the batch probe, " +
+      "batch for batch, against the persisted index") {
+    import spark.implicits._
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val ix = SuffixArray.buildSubstrIndex(corpus, "text", "doc_id",
+      minSpan = 10, baseSpan = 4)
+    val root = java.nio.file.Files.createTempDirectory("saix-s")
+      .resolve("ix").toString
+    SuffixArray.saveSubstrIndex(ix, root)
+    val inDir = java.nio.file.Files.createTempDirectory("sa-in")
+    val sink = java.nio.file.Files
+      .createTempDirectory("sa-out").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("sa-ck").toString
+    val b1 = batchRows.take(2)
+    val b2 = batchRows.drop(2)
+    b1.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(inDir.resolve("b1").toString)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(inDir.toString + "/*")
+    val q = graft.streaming.EventStreams.substrDecontamIngest(
+      stream, root, "text", "doc_id", sink, ckpt)
+    q.processAllAvailable()
+    b2.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(inDir.resolve("b2").toString)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = collectOut(spark.read.parquet(sink))
+    val replayed = collectOut(SuffixArray.exactSubstrProbe(
+        ix, b1.toDF("doc_id", "text"), "text", "doc_id")) ++
+      collectOut(SuffixArray.exactSubstrProbe(
+        ix, b2.toDF("doc_id", "text"), "text", "doc_id"))
+    assert(streamed == replayed)
+  }
+}
