@@ -631,6 +631,15 @@ object SketchParams {
     val minSpan = 50; val baseSpan = 16
     val probeMod = 4L; val probeOffset = 1000000L
   }
+  /** q231 normalized-text decontamination: the q230 SA machinery over
+    * a per-token normalized view (lower → NFC → strip
+    * non-alphanumerics, punct-only tokens to side sentinels), removal
+    * mapped back to raw positions; the bench lane is the q229
+    * truncated twin UPPER-CASED — invisible to the raw matcher. */
+  object q231 {
+    val minSpan = 50; val baseSpan = 16; val rounds = 2
+    val benchMod = 3L; val benchOffset = 1000000L
+  }
   /** q223 Gopher repetition table: the deterministic LINED-corpus
     * derivation (the raw fixture carries no newlines) — tokens grouped
     * `lineTokens`-to-a-line, lines `paraLines`-to-a-paragraph, joined
@@ -651,6 +660,12 @@ object SketchParams {
     * in exact BIGINT arithmetic. */
   object q224 {
     val gold = 10; val epochs = 3
+    // raw-score level quantization (the q83 pattern): value·levels //
+    // per-query max — exact BIGINT, bounded by levels. 15 keeps the
+    // raw-score magnitudes in the same band as the rank features
+    // (1..k+1): at 127 the distance feature dominated the few-epoch
+    // perceptron's mistake set and measurably COST held-out recall.
+    val levels = 15L
   }
   /** q225 IVF-PQ exact-refine depth: the ADC scan keeps the top r per
     * query, the exact re-score re-ranks them to q162's k. */
@@ -4317,7 +4332,7 @@ object OracleSql {
       "SELECT id, nb, d FROM hb0 UNION ALL SELECT id, nb, d FROM hbs",
       ph.k)}
     ), annr AS (
-      SELECT id AS query_id, nb AS doc_id,
+      SELECT id AS query_id, nb AS doc_id, d,
         row_number() OVER (PARTITION BY id
           ORDER BY d, CAST(nb AS VARCHAR)) AS rank
       FROM hb1
@@ -4360,8 +4375,8 @@ object OracleSql {
       SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score_q
       FROM hsc GROUP BY query_id, doc_id
     ), bmr AS (
-      SELECT query_id, doc_id, rn AS rank FROM (
-        SELECT query_id, doc_id,
+      SELECT query_id, doc_id, score_q, rn AS rank FROM (
+        SELECT query_id, doc_id, score_q,
           row_number() OVER (PARTITION BY query_id
             ORDER BY -score_q, CAST(doc_id AS VARCHAR)) AS rn
         FROM hagg)
@@ -4431,7 +4446,9 @@ object OracleSql {
       "CAST(2 AS BIGINT) AS bucket, f_ann AS tf",
       "CAST(3 AS BIGINT) AS bucket, f_inb AS tf",
       "CAST(4 AS BIGINT) AS bucket, f_ina AS tf",
-      "CAST(5 AS BIGINT) AS bucket, f_ov AS tf")
+      "CAST(5 AS BIGINT) AS bucket, f_ov AS tf",
+      "CAST(6 AS BIGINT) AS bucket, f_bm25q AS tf",
+      "CAST(7 AS BIGINT) AS bucket, f_annd AS tf")
       .map(r => s"SELECT query_id, doc_id, $r FROM f0")
       .mkString("\n      UNION ALL ")
     s"""
@@ -4453,6 +4470,10 @@ object OracleSql {
       SELECT q.query_id, d.doc_id, CAST(COUNT(*) AS BIGINT) AS ov
       FROM hq q JOIN dterm d ON d.term = q.term
       GROUP BY 1, 2
+    ), qmx AS (
+      SELECT query_id, max(score_q) AS qmax FROM bmr GROUP BY query_id
+    ), dmx AS (
+      SELECT query_id, max(d) AS dmax FROM annr GROUP BY query_id
     ), f0 AS MATERIALIZED (
       SELECT c.query_id, c.doc_id,
         CAST(COALESCE(b.rank, $absent) AS BIGINT) AS f_bm25,
@@ -4461,11 +4482,17 @@ object OracleSql {
           AS f_inb,
         CAST(CASE WHEN a.rank IS NULL THEN 0 ELSE 1 END AS BIGINT)
           AS f_ina,
-        CAST(COALESCE(o.ov, 0) AS BIGINT) AS f_ov
+        CAST(COALESCE(o.ov, 0) AS BIGINT) AS f_ov,
+        CAST(COALESCE((b.score_q * ${pr.levels}) // NULLIF(m.qmax, 0),
+          0) AS BIGINT) AS f_bm25q,
+        CAST(COALESCE((a.d * ${pr.levels}) // NULLIF(x.dmax, 0),
+          ${pr.levels}) AS BIGINT) AS f_annd
       FROM cand224 c
       LEFT JOIN bmr b USING (query_id, doc_id)
       LEFT JOIN annr a USING (query_id, doc_id)
       LEFT JOIN qov o USING (query_id, doc_id)
+      LEFT JOIN qmx m USING (query_id)
+      LEFT JOIN dmx x USING (query_id)
     ), pf AS MATERIALIZED (
       $featRows
     ), lab224 AS (
@@ -5674,6 +5701,76 @@ object OracleSql {
       JOIN isig b ON $sigEq
       WHERE g.doc_id >= ${p.probeOffset}
     ), ${saRemovalSql(p.minSpan, s"doc_id >= ${p.probeOffset}")}"""
+  }
+
+  /** Normalized-text decontamination (q231): the matcher replayed
+    * over the per-token-normalized corpus view (DuckDB's own
+    * `nfc_normalize` — parity with the Spark expression is q177's
+    * pinned gate), removal re-assembled from RAW tokens at the same
+    * positions. Generated from [[SketchParams.q231]]. */
+  private def q231: String = {
+    val p = SketchParams.q231
+    val baseLog = 31 - Integer.numberOfLeadingZeros(p.baseSpan)
+    val parts = graft.operators.SuffixArray.decompose(p.minSpan, baseLog)
+    val rounds = parts.map(_._1).max - baseLog
+    val sigEq = parts.indices.map(i => s"g.s$i = b.s$i").mkString(" AND ")
+    val sigSel = parts.indices.map(i => s"s$i").mkString(", ")
+    def normTok(raw: String, sentinel: String): String =
+      s"""array_to_string(list_transform(
+        string_split_regex($raw, '\\s+'),
+        t -> CASE WHEN regexp_replace(nfc_normalize(lower(t)),
+            '[^\\p{L}\\p{N}]+', '', 'g') = '' THEN chr(1) || '$sentinel'
+          ELSE regexp_replace(nfc_normalize(lower(t)),
+            '[^\\p{L}\\p{N}]+', '', 'g') END), ' ')"""
+    s"""
+    WITH rawd AS (
+      SELECT doc_id, ${normSql("text")} AS raw FROM documents
+    ), corpus AS (
+      SELECT doc_id, raw, ${normTok("raw", "c")} AS text FROM rawd
+      UNION ALL
+      SELECT doc_id, braw AS raw, ${normTok("braw", "b")} AS text
+      FROM (
+        SELECT doc_id + ${p.benchOffset} AS doc_id,
+          upper(regexp_replace(raw, ' [^ ]+$$', '', 'g')) AS braw
+        FROM rawd WHERE doc_id % ${p.benchMod} = 0)
+    ), ${saSigCtes(p.minSpan, p.baseSpan, rounds)}, bsig AS (
+      SELECT DISTINCT $sigSel FROM sig
+      WHERE doc_id >= ${p.benchOffset}
+    ), removed AS (
+      SELECT DISTINCT g.doc_id, g.pos FROM sig g
+      JOIN bsig b ON $sigEq
+      WHERE g.doc_id < ${p.benchOffset}
+    ), rtok AS (
+      SELECT doc_id, string_split_regex(raw, '\\s+') AS toks
+      FROM corpus WHERE doc_id < ${p.benchOffset}
+    ), rsfx AS MATERIALIZED (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tk
+      FROM rtok, unnest(generate_series(1, len(toks), 1)) AS u(i)
+    ), covered AS (
+      SELECT DISTINCT doc_id, CAST(q AS BIGINT) AS pos
+      FROM removed,
+        unnest(generate_series(pos, pos + ${p.minSpan - 1}, 1)) AS v(q)
+    ), dstats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped
+      FROM covered GROUP BY doc_id
+    ), rstats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed_starts
+      FROM removed GROUP BY doc_id
+    ), rebuilt AS (
+      SELECT s.doc_id, string_agg(s.tk, ' ' ORDER BY s.pos) AS text
+      FROM rsfx s
+      LEFT JOIN covered c ON c.doc_id = s.doc_id AND c.pos = s.pos
+      WHERE c.doc_id IS NULL GROUP BY s.doc_id
+    ), rbase AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM rtok)
+    SELECT rbase.doc_id, n_tokens,
+      CAST(coalesce(n_removed_starts, 0) AS BIGINT) AS n_removed_starts,
+      CAST(coalesce(n_dropped, 0) AS BIGINT) AS n_dropped,
+      coalesce(rebuilt.text, '') AS text
+    FROM rbase
+    LEFT JOIN rstats USING (doc_id)
+    LEFT JOIN dstats USING (doc_id)
+    LEFT JOIN rebuilt USING (doc_id)"""
   }
 
   /** Gopher repetition table (q223): the lined-corpus derivation, the
@@ -9155,6 +9252,7 @@ object OracleSql {
     "q228_repetition_funnel" -> q228,
     "q229_exact_substr_decontam" -> q229,
     "q230_substr_index_probe" -> q230,
+    "q231_normalized_decontam" -> q231,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -220,6 +220,35 @@ object Soak {
       return
     }
 
+    if (mode == "fertility") {
+      // q219's shape at replica scale (SCALE §9y): the unigram model
+      // and the word-type Viterbi DP are VOCAB-scale (replicas add only
+      // the r<k> marker types), the occurrence-weighted fertility
+      // report is corpus-scale — the claim is wall grows with corpus
+      // tokens, never vocab × corpus
+      val p = SketchParams.q217
+      val model = timed("unigramLmTrain (base corpus)") {
+        operators.TextAnalysis.unigramLmTrain(base, "text", p.iters,
+          p.quant, p.maxPiece, p.maxWord, p.minFreq)
+          .localCheckpoint(true)
+      }
+      val langd = docs.withColumn("lang",
+        (col("doc_id") % 5).cast("string"))
+      timed(s"byte-fallback fertility (${replicas}x corpus)") {
+        val seg = operators.TextAnalysis.byteFallbackSegment(
+          operators.TextAnalysis.unigramLmSegment(langd, "text", model,
+            p.maxPiece, p.maxWord))
+        val out = operators.TextAnalysis.tokenizerFertilityFallback(
+          langd, "text", "lang", seg, p.quant)
+        val agg = out.agg(count(lit(1)).as("langs"),
+          sum(col("n_fallback_occ")).as("fallback")).head
+        println(s"[soak]   -> ${agg.getLong(0)} groups, " +
+          s"${agg.getLong(1)} fallback occurrences")
+      }
+      spark.stop()
+      return
+    }
+
     if (mode == "saprobe") {
       // the r19 incremental contract: probe cost ∝ BATCH tokens at a
       // FROZEN corpus. The index is built+persisted once over the

@@ -3805,13 +3805,14 @@ object SparkEntry {
             .partitionBy(col("query_id"))
             .orderBy(col("score_q").desc,
               col("doc_id").cast("string").asc)).cast("long"))
-        .select(col("query_id"), col("doc_id"), col("rank"))
+        .select(col("query_id"), col("doc_id"), col("rank"),
+          col("score_q"))
         .localCheckpoint(true)
       val annRanks = Ann.beamSearchPortable(q157OldGraph(s, dir), old,
           batch, "embedding", "vec_id", ph.k, ph.k, pb.maxRounds,
           stopOnNoImprove = true, p152.scale, p.tablePlanes, p.seedCap)
         .select(col("id").as("query_id"),
-          col("neighbor_id").as("doc_id"), col("rank"))
+          col("neighbor_id").as("doc_id"), col("rank"), col("d"))
         .localCheckpoint(true)
       HybridParts(queryTerms, corpusDocs, bm25Ranks, annRanks)
     })
@@ -3837,7 +3838,19 @@ object SparkEntry {
     * reranked — the held-out lane the spec grades recall on. The DuckDB
     * twin replays candidate generation, gold, every epoch, and the
     * rerank. Params from [[SketchParams.q224]]. */
-  def q224TrainedReranker(s: SparkSession, dir: String): DataFrame = {
+  def q224TrainedReranker(s: SparkSession, dir: String): DataFrame =
+    q224Reranked(s, dir, extended = true)
+
+  /** [[q224TrainedReranker]] with the r19 raw-score features
+    * switchable (`extended = false` = the r18 rank-only model) — the
+    * spec grades held-out recall of the extended model against the
+    * rank-only one. Raw scores enter as per-query level-quantized
+    * integers (the q83 pattern: value·levels // per-query max — exact
+    * BIGINT, scale-free, bounded by `levels`): `f_bm25q` from the
+    * fixed-point BM25 score (absent = 0, the worst), `f_annd` from the
+    * exact integer ANN distance (absent = levels, the worst). */
+  private[graft] def q224Reranked(s: SparkSession, dir: String,
+      extended: Boolean): DataFrame = {
     val p152 = SketchParams.q152
     val p = SketchParams.q157
     val ph = SketchParams.q191
@@ -3858,28 +3871,50 @@ object SparkEntry {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("__ov"))
     val absent = lit((ph.k + 1).toLong)
+    // per-query maxima for the level quantization: over each query's
+    // own top-k candidate scores, so the features are scale-free and
+    // bounded — and the quantization replays exactly in integer SQL
+    val qmaxB = parts.bmRanks.groupBy(col("query_id"))
+      .agg(max(col("score_q")).as("__qmax"))
+    val dmaxA = parts.annRanks.groupBy(col("query_id"))
+      .agg(max(col("d")).as("__dmax"))
     val feats0 = cand
       .join(parts.bmRanks.select(col("query_id"), col("doc_id"),
-        col("rank").as("__rb")), Seq("query_id", "doc_id"), "left")
+        col("rank").as("__rb"), col("score_q").as("__bs")),
+        Seq("query_id", "doc_id"), "left")
       .join(parts.annRanks.select(col("query_id"), col("doc_id"),
-        col("rank").as("__ra")), Seq("query_id", "doc_id"), "left")
+        col("rank").as("__ra"), col("d").as("__ad")),
+        Seq("query_id", "doc_id"), "left")
       .join(overlap, Seq("query_id", "doc_id"), "left")
+      .join(qmaxB, Seq("query_id"), "left")
+      .join(dmaxA, Seq("query_id"), "left")
       .select(col("query_id"), col("doc_id"),
         coalesce(col("__rb"), absent).as("f_bm25"),
         coalesce(col("__ra"), absent).as("f_ann"),
         col("__rb").isNotNull.cast("long").as("f_inb"),
         col("__ra").isNotNull.cast("long").as("f_ina"),
-        coalesce(col("__ov"), lit(0L)).as("f_ov"))
+        coalesce(col("__ov"), lit(0L)).as("f_ov"),
+        // both scores are non-negative, so Spark's `div` and DuckDB's
+        // `//` agree (floor = truncate); NULL anywhere -> the absent
+        // default via coalesce
+        coalesce(expr(s"(__bs * ${pr.levels}) div nullif(__qmax, 0)"),
+          lit(0L)).as("f_bm25q"),
+        coalesce(expr(s"(__ad * ${pr.levels}) div nullif(__dmax, 0)"),
+          lit(pr.levels.toLong)).as("f_annd"))
       .localCheckpoint(true)
+    val featStructs = Seq(
+      struct(lit(0L).as("bucket"), lit(1L).as("tf")),
+      struct(lit(1L).as("bucket"), col("f_bm25").as("tf")),
+      struct(lit(2L).as("bucket"), col("f_ann").as("tf")),
+      struct(lit(3L).as("bucket"), col("f_inb").as("tf")),
+      struct(lit(4L).as("bucket"), col("f_ina").as("tf")),
+      struct(lit(5L).as("bucket"), col("f_ov").as("tf"))) ++
+      (if (extended) Seq(
+        struct(lit(6L).as("bucket"), col("f_bm25q").as("tf")),
+        struct(lit(7L).as("bucket"), col("f_annd").as("tf")))
+      else Seq.empty)
     val pfeats = feats0.select(col("query_id"), col("doc_id"),
-        explode(array(
-          struct(lit(0L).as("bucket"), lit(1L).as("tf")),
-          struct(lit(1L).as("bucket"), col("f_bm25").as("tf")),
-          struct(lit(2L).as("bucket"), col("f_ann").as("tf")),
-          struct(lit(3L).as("bucket"), col("f_inb").as("tf")),
-          struct(lit(4L).as("bucket"), col("f_ina").as("tf")),
-          struct(lit(5L).as("bucket"), col("f_ov").as("tf"))))
-          .as("__f"))
+        explode(array(featStructs: _*)).as("__f"))
       .select(col("query_id"), col("doc_id"),
         col("__f.bucket").as("bucket"), col("__f.tf").as("tf"))
     val gold = Ann.exactTopKPortable(old, batch, "embedding", "vec_id",
@@ -4171,9 +4206,20 @@ object SparkEntry {
           concat_ws("ß", slice(toks, 1, 2)),
           concat_ws("ß", slice(toks, 1, 3))).as("text"))
     val xdocs = base.unionByName(variant)
+    // the memoized q217 segmentation already covers EVERY base word
+    // type — only the variant lane's glued types (a corpus-fraction-of-7
+    // vocabulary) still need the Viterbi DP, so the extended
+    // segmentation is the memo plus a tiny delta (r19: re-running the
+    // full-vocabulary DP here was the round's one regression, 3.7 s for
+    // work the memo had already done). The anti-join keeps the union a
+    // set: word types are unique across the two frames by construction,
+    // but a base word showing up glued would otherwise double-join the
+    // fertility count.
+    val extraSeg = operators.TextAnalysis.unigramLmSegment(variant,
+        "text", q217Model(s, dir), p.maxPiece, p.maxWord)
+      .join(q217Seg(s, dir).select(col("word")), Seq("word"), "left_anti")
     val seg = operators.TextAnalysis.byteFallbackSegment(
-      operators.TextAnalysis.unigramLmSegment(xdocs, "text",
-        q217Model(s, dir), p.maxPiece, p.maxWord))
+      q217Seg(s, dir).unionByName(extraSeg))
     operators.TextAnalysis.tokenizerFertilityFallback(
       xdocs, "text", "lang", seg, SketchParams.q202.quant)
   }
@@ -4399,6 +4445,38 @@ object SparkEntry {
   }
   private val q230IndexMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), operators.SuffixArray.SubstrIndex]
+
+  /** NORMALIZED-text exact-substring decontamination
+    * ([[graft.operators.SuffixArray.exactSubstrContaminationNormalized]])
+    * — the matcher run the way Lee et al. actually run it: matching on
+    * a per-token normalized view (lowercase → Unicode NFC → strip
+    * non-alphanumerics; punct-only tokens become SIDE-SPECIFIC
+    * sentinels so they can never certify a cross-side match), removal
+    * on the raw text via the position map per-token normalization
+    * preserves. The benchmark lane is the q229 truncated twin
+    * UPPER-CASED — contamination the raw q229 matcher provably misses
+    * (spec-pinned) and this one catches. Params from
+    * [[SketchParams.q231]]. */
+  def q231NormalizedDecontam(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q231
+    def tokNorm(c: Column, sentinel: String): Column =
+      concat_ws(" ", transform(split(c, "\\s+"), t => {
+        val n = regexp_replace(
+          functions.exprs.nfc_normalize(lower(t)),
+          "[^\\p{L}\\p{N}]+", "")
+        when(n === "", lit(sentinel)).otherwise(n)
+      }))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("raw"))
+    val corpus = docs
+      .withColumn("norm", tokNorm(col("raw"), "\u0001c"))
+    val bench = docs.filter(col("doc_id") % p.benchMod === 0)
+      .select((col("doc_id") + p.benchOffset).as("doc_id"),
+        upper(regexp_replace(col("raw"), " [^ ]+$", "")).as("raw"))
+      .withColumn("norm", tokNorm(col("raw"), "\u0001b"))
+    operators.SuffixArray.exactSubstrContaminationNormalized(corpus,
+      bench, "raw", "norm", "doc_id", p.minSpan, p.rounds, p.baseSpan)
+  }
 
   /** Tokenizer-aware exact-fill packing — the q194 packer budgeted by
     * what the trainer actually sees: per-doc UNIGRAM-TOKENIZER token
@@ -5380,7 +5458,8 @@ object SparkEntry {
     "q227_tokenized_card_budget" -> (q227TokenizedCardBudget _),
     "q228_repetition_funnel" -> (q228RepetitionFunnel _),
     "q229_exact_substr_decontam" -> (q229ExactSubstrDecontam _),
-    "q230_substr_index_probe" -> (q230SubstrIndexProbe _))
+    "q230_substr_index_probe" -> (q230SubstrIndexProbe _),
+    "q231_normalized_decontam" -> (q231NormalizedDecontam _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -208,6 +208,68 @@ object SuffixArray {
     removeSpans(corpusToks, contaminated, minSpan)
   }
 
+  /** NORMALIZED-TEXT exact-substring decontamination — how Lee et al.
+    * 2022 §6.2 actually run the matcher: matching happens on a
+    * NORMALIZED view of the text (case folding, punctuation stripping,
+    * Unicode NFC — without it, trivial case/punct variants of
+    * benchmark text evade the exact matcher), while REMOVAL happens on
+    * the raw text, via the token-index map the normalization must
+    * preserve.
+    *
+    * The caller supplies BOTH columns: `rawCol` (what the output
+    * reassembles) and `normCol` (what the suffix machinery matches
+    * on), with the contract that the two tokenize to the SAME count —
+    * per-token normalization preserves positions by construction, and
+    * the operator fail-fasts on any row where the counts diverge
+    * (a normalization that drops or splits tokens would silently
+    * shift every removal window after the first divergence). Matched
+    * span positions transfer 1:1 onto the raw token array. Output is
+    * the q222 shape over corpus docs, text reassembled from RAW
+    * tokens. */
+  def exactSubstrContaminationNormalized(corpus: DataFrame,
+      bench: DataFrame, rawCol: String, normCol: String, idCol: String,
+      minSpan: Int = 50, rounds: Int = 14, baseSpan: Int = 8)
+      : DataFrame = {
+    val union = corpus
+      .select(col(idCol), col(rawCol).as("__raw"),
+        col(normCol).as("__norm"), lit(false).as("__bench"))
+      .unionByName(bench.select(col(idCol), col(rawCol).as("__raw"),
+        col(normCol).as("__norm"), lit(true).as("__bench")))
+      // the 1:1 token map IS the correctness of the raw-offset
+      // transfer — enforce it where the rows stream
+      .filter(assert_true(
+        size(split(coalesce(col("__raw"), lit("")), "\\s+")) ===
+          size(split(coalesce(col("__norm"), lit("")), "\\s+")),
+        lit("exactSubstrContaminationNormalized: raw and normalized " +
+          "token counts diverge — per-token normalization must " +
+          "preserve positions")).isNull)
+      .localCheckpoint(false)
+    val collisions = union.filter(col("__bench"))
+      .select(col(idCol))
+      .join(union.filter(!col("__bench")).select(col(idCol)),
+        Seq(idCol), "left_semi")
+      .limit(1).count()
+    require(collisions == 0L,
+      "exactSubstrContaminationNormalized: corpus and benchmark ids " +
+        "must be disjoint")
+    val st = buildSignatures(union, "__norm", idCol, minSpan, rounds,
+      baseSpan, needSa = false)
+    val benchIds = union.filter(col("__bench"))
+      .select(col(idCol).as("doc_id"))
+    val benchSigs = st.sig.join(benchIds, Seq("doc_id"), "left_semi")
+      .select(st.sigCols.map(col): _*).distinct()
+    val contaminated = st.sig
+      .join(benchIds, Seq("doc_id"), "left_anti")
+      .join(benchSigs, st.sigCols, "left_semi")
+      .select(col("doc_id"), col("pos"))
+    // removal over the RAW token array: positions transfer 1:1
+    val rawTokf = union.filter(!col("__bench"))
+      .select(col(idCol).as("doc_id"),
+        split(coalesce(col("__raw"), lit("")), "\\s+").as("__toks"))
+      .localCheckpoint(false)
+    removeSpans(rawTokf, contaminated, minSpan)
+  }
+
   /** A FROZEN, persistable suffix-array index over a corpus — the
     * serving form of the EXACTSUBSTR family (Lee et al. 2022 §6.2 is
     * run per training-set refresh, not once): everything a batch probe

@@ -60,4 +60,24 @@ class RerankerSpec extends AnyFunSuite {
       f"reranked recall $rerankRecall%.4f < RRF recall $rrfRecall%.4f " +
         "on held-out queries")
   }
+
+  test("the r19 raw-score features do not lose held-out recall vs the " +
+      "rank-only model") {
+    val gold = goldSets
+    def recallOf(extended: Boolean): Double = {
+      val pairs = SparkEntry.q224Reranked(spark, dir, extended)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val byQ = pairs.groupBy(_._1)
+      val per = byQ.collect { case (q, rows) if gold.contains(q) =>
+        rows.count(r => gold(q).contains(r._2)).toDouble /
+          gold(q).size.toDouble
+      }
+      assert(per.nonEmpty, "no held-out query had gold")
+      per.sum / per.size
+    }
+    val rankOnly = recallOf(extended = false)
+    val ext = recallOf(extended = true)
+    assert(ext >= rankOnly,
+      f"extended-feature recall $ext%.4f < rank-only $rankOnly%.4f")
+  }
 }

@@ -120,6 +120,57 @@ class SubstrIndexSpec extends AnyFunSuite {
     assert(run(early = true) == run(early = false))
   }
 
+  test("normalized contamination catches the case/punct variant the " +
+      "raw matcher provably misses, and removal maps back to RAW text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpusRaw = Seq((1L,
+      "Alpha beta Gamma, delta EPSILON zeta eta Theta iota kappa " +
+        "lambda mu"))
+    // the bench doc = the corpus doc's first 10 tokens, case-garbled
+    // with different punctuation — invisible to the exact raw matcher
+    val benchRaw = Seq((101L,
+      "alpha BETA gamma Delta! epsilon ZETA eta theta Iota Kappa"))
+    def tokNorm(c: org.apache.spark.sql.Column, sentinel: String) =
+      concat_ws(" ", transform(split(c, "\\s+"), t => {
+        val n = regexp_replace(lower(t), "[^a-z0-9]+", "")
+        when(n === "", lit(sentinel)).otherwise(n)
+      }))
+    val corpus = corpusRaw.toDF("doc_id", "raw")
+      .withColumn("norm", tokNorm(col("raw"), "c"))
+    val bench = benchRaw.toDF("doc_id", "raw")
+      .withColumn("norm", tokNorm(col("raw"), "b"))
+    // raw matcher: zero removals — the variant evades it
+    val rawOut = SuffixArray.exactSubstrContamination(
+      corpusRaw.toDF("doc_id", "text"), benchRaw.toDF("doc_id", "text"),
+      "text", "doc_id", minSpan = 10, rounds = 3, baseSpan = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(rawOut(1L) == 0L,
+      "the raw matcher unexpectedly caught the case variant")
+    // normalized matcher: the 10-token span goes, RAW tail survives
+    val got = collectOut(SuffixArray.exactSubstrContaminationNormalized(
+      corpus, bench, "raw", "norm", "doc_id",
+      minSpan = 10, rounds = 3, baseSpan = 4))
+    assert(got(1L) == ((12L, 1L, 10L, "lambda mu")), got(1L).toString)
+  }
+
+  test("normalized contamination fail-fasts when normalization breaks " +
+      "the 1:1 token map") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = Seq((1L, "a b c d e f g h i j"))
+      .toDF("doc_id", "raw")
+      .withColumn("norm", lit("a b")) // token counts diverge
+    val bench = Seq((2L, "a b c d e f g h i j"))
+      .toDF("doc_id", "raw").withColumn("norm", col("raw"))
+    val e = intercept[Exception] {
+      SuffixArray.exactSubstrContaminationNormalized(corpus, bench,
+        "raw", "norm", "doc_id", minSpan = 8, rounds = 2, baseSpan = 4)
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("streaming twin: substrDecontamIngest replays the batch probe, " +
       "batch for batch, against the persisted index") {
     import spark.implicits._
