@@ -874,28 +874,38 @@ object TextAnalysis {
         col("__p.w3")): _*)
   }
 
-  /** Persist a trained [[KnTrigramModel]] — six parquet tables under
-    * one root (the `trainOrLoadKnnGraph`/codebook convention applied
-    * to the LM family). Bit-exact: every column is BIGINT or STRING. */
+  /** Persist a trained [[KnTrigramModel]] — six frames on the
+    * [[graft.model.IndexStore]] crash-atomic generation protocol
+    * (r19: a torn six-table overwrite-in-place save could rehydrate
+    * MIXED-generation count tables — silently wrong perplexities).
+    * Bit-exact: every column is BIGINT or STRING. */
   def saveKnModel(model: KnTrigramModel, root: String): Unit = {
-    model.rTri.write.mode("overwrite").parquet(s"$root/rtri")
-    model.rCtx3.write.mode("overwrite").parquet(s"$root/rctx3")
-    model.rMid.write.mode("overwrite").parquet(s"$root/rmid")
-    model.rMctx.write.mode("overwrite").parquet(s"$root/rmctx")
-    model.rUni.write.mode("overwrite").parquet(s"$root/runi")
-    model.btv.write.mode("overwrite").parquet(s"$root/btv")
+    val spark = model.rTri.sparkSession
+    import spark.implicits._
+    graft.model.IndexStore.save(root,
+      Seq("rtri" -> model.rTri, "rctx3" -> model.rCtx3,
+        "rmid" -> model.rMid, "rmctx" -> model.rMctx,
+        "runi" -> model.rUni, "btv" -> model.btv),
+      Seq("kn_trigram").toDF("kind"))
+    ()
   }
 
-  /** Bit-exact inverse of [[saveKnModel]]. */
+  /** Bit-exact inverse of [[saveKnModel]] (newest complete
+    * generation). A pre-r19 flat artifact carries no params marker, so
+    * it loads as "absent" and trainOrLoad retrains once — the safe
+    * direction. */
   def loadKnModel(root: String)(
       implicit spark: org.apache.spark.sql.SparkSession)
-      : KnTrigramModel = KnTrigramModel(
-    spark.read.parquet(s"$root/rtri"),
-    spark.read.parquet(s"$root/rctx3"),
-    spark.read.parquet(s"$root/rmid"),
-    spark.read.parquet(s"$root/rmctx"),
-    spark.read.parquet(s"$root/runi"),
-    spark.read.parquet(s"$root/btv"))
+      : KnTrigramModel = {
+    val (_, dir) = graft.model.IndexStore.load(spark, root)
+    KnTrigramModel(
+      spark.read.parquet(s"$dir/rtri"),
+      spark.read.parquet(s"$dir/rctx3"),
+      spark.read.parquet(s"$dir/rmid"),
+      spark.read.parquet(s"$dir/rmctx"),
+      spark.read.parquet(s"$dir/runi"),
+      spark.read.parquet(s"$dir/btv"))
+  }
 
   /** Train-once-reuse for the KN model: load from `root` if present,
     * else train via `build`, persist, and serve from the PERSISTED
@@ -1275,21 +1285,32 @@ object TextAnalysis {
     bm25FixedPointTail(bm25CoreFromIndex(index, queries),
       index.postings.select(col("doc")).schema.head.dataType, k, s1, s2)
 
-  /** Persist a [[Bm25Index]] — three parquet tables under one root
-    * (the KN-model multi-table convention). */
+  /** Persist a [[Bm25Index]] — three frames on the
+    * [[graft.model.IndexStore]] crash-atomic generation protocol
+    * (r19: postings of generation N over stats of N−1 would skew every
+    * idf silently). */
   def saveBm25Index(index: Bm25Index, root: String): Unit = {
-    index.postings.write.mode("overwrite").parquet(s"$root/postings")
-    index.termDf.write.mode("overwrite").parquet(s"$root/termdf")
-    index.stats.write.mode("overwrite").parquet(s"$root/stats")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    graft.model.IndexStore.save(root,
+      Seq("postings" -> index.postings, "termdf" -> index.termDf,
+        "stats" -> index.stats),
+      Seq("bm25").toDF("kind"))
+    ()
   }
 
-  /** Bit-exact inverse of [[saveBm25Index]]. */
+  /** Bit-exact inverse of [[saveBm25Index]] (newest complete
+    * generation). A pre-r19 flat artifact carries no params marker, so
+    * it loads as "absent" and trainOrLoad rebuilds once — the safe
+    * direction. */
   def loadBm25Index(root: String)(
-      implicit spark: org.apache.spark.sql.SparkSession): Bm25Index =
+      implicit spark: org.apache.spark.sql.SparkSession): Bm25Index = {
+    val (_, dir) = graft.model.IndexStore.load(spark, root)
     Bm25Index(
-      spark.read.parquet(s"$root/postings"),
-      spark.read.parquet(s"$root/termdf"),
-      spark.read.parquet(s"$root/stats"))
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/termdf"),
+      spark.read.parquet(s"$dir/stats"))
+  }
 
   /** Train-once-reuse for BM25 indexes: load `root` if present, else
     * build + persist, and serve from the PERSISTED copy — scoring
