@@ -640,6 +640,30 @@ object SketchParams {
     val minSpan = 50; val baseSpan = 16; val rounds = 2
     val benchMod = 3L; val benchOffset = 1000000L
   }
+  /** q232 memorization-frequency report: corpus = the q222 near-dup
+    * corpus (docs + 1-word-truncated twins, so every long span occurs
+    * ≥ 2× and the frequency grading is exercised beyond 0/1), bench =
+    * 2-word-truncated twins of doc_id % benchMod == 0 at
+    * ids + benchOffset (disjoint from both corpus lanes). */
+  object q232 {
+    val minSpan = 50; val baseSpan = 32
+    val benchMod = 3L; val benchOffset = 2000000L
+  }
+  /** q233 duplication-frequency spectrum over the q222 near-dup
+    * corpus: every ≥ minSpan-token doc contributes duplicated spans
+    * at frequency ≥ 2, so the histogram is provably non-empty. */
+  object q233 {
+    val minSpan = 50; val baseSpan = 32
+  }
+  /** q234 served memorization report: the q232 measurement off the
+    * FROZEN counted index (q230's serving convention — baseSpan 16 so
+    * the artifact carries a real doubling-round key map), batch =
+    * 2-word-truncated twins of doc_id % probeMod == 0 at
+    * ids + probeOffset. */
+  object q234 {
+    val minSpan = 50; val baseSpan = 16
+    val probeMod = 4L; val probeOffset = 2000000L
+  }
   /** q223 Gopher repetition table: the deterministic LINED-corpus
     * derivation (the raw fixture carries no newlines) — tokens grouped
     * `lineTokens`-to-a-line, lines `paraLines`-to-a-paragraph, joined
@@ -5773,6 +5797,135 @@ object OracleSql {
     LEFT JOIN rebuilt USING (doc_id)"""
   }
 
+  /** Memorization-frequency report (q232): the q229 CTE chain with the
+    * corpus side's signature groups aggregated to occurrence COUNTS
+    * (the Carlini et al. frequency grading) instead of a membership
+    * set; per-bench-doc stats plus the covered-token interval union.
+    * Corpus = the q222 near-dup corpus so counts ≥ 2 are exercised.
+    * Generated from [[SketchParams.q232]]. */
+  private def q232: String = {
+    val p = SketchParams.q232
+    val baseLog = 31 - Integer.numberOfLeadingZeros(p.baseSpan)
+    val parts = graft.operators.SuffixArray.decompose(p.minSpan, baseLog)
+    val rounds = math.max(1, parts.map(_._1).max - baseLog)
+    val sigEq = parts.indices.map(i => s"g.s$i = b.s$i").mkString(" AND ")
+    val sigSel = parts.indices.map(i => s"s$i").mkString(", ")
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
+      UNION ALL
+      SELECT doc_id + ${p.benchOffset} AS doc_id,
+        regexp_replace(${normSql("text")},
+          ' [^ ]+ [^ ]+$$', '', 'g') AS text
+      FROM documents WHERE doc_id % ${p.benchMod} = 0
+    ), ${saSigCtes(p.minSpan, p.baseSpan, rounds)}, ccnt AS (
+      SELECT $sigSel, CAST(count(*) AS BIGINT) AS c FROM sig
+      WHERE doc_id < ${p.benchOffset} GROUP BY $sigSel
+    ), hits AS (
+      SELECT g.doc_id, g.pos, b.c FROM sig g
+      JOIN ccnt b ON $sigEq
+      WHERE g.doc_id >= ${p.benchOffset}
+    ), hstats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_memorized_starts,
+        max(c) AS max_corpus_freq,
+        CAST(sum(c) AS BIGINT) AS total_corpus_hits
+      FROM hits GROUP BY doc_id
+    ), covered AS (
+      SELECT DISTINCT doc_id, CAST(q AS BIGINT) AS pos
+      FROM hits,
+        unnest(generate_series(pos, pos + ${p.minSpan - 1}, 1)) AS v(q)
+    ), cstats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS covered_tokens
+      FROM covered GROUP BY doc_id
+    ), bbase AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok
+      WHERE doc_id >= ${p.benchOffset})
+    SELECT bbase.doc_id, n_tokens,
+      CAST(coalesce(n_memorized_starts, 0) AS BIGINT)
+        AS n_memorized_starts,
+      CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+      CAST(coalesce(max_corpus_freq, 0) AS BIGINT) AS max_corpus_freq,
+      CAST(coalesce(total_corpus_hits, 0) AS BIGINT) AS total_corpus_hits
+    FROM bbase
+    LEFT JOIN hstats USING (doc_id)
+    LEFT JOIN cstats USING (doc_id)"""
+  }
+
+  /** Served memorization report (q234): the DuckDB twin replays the
+    * full-rebuild q232 image over q234's lanes (probe ≡ rebuild is
+    * spec-pinned in `SubstrIndexSpec`) while the Spark side serves the
+    * counted certificate table of the frozen q230-convention index.
+    * Generated from [[SketchParams.q234]]. */
+  private def q234: String = {
+    val p = SketchParams.q234
+    val baseLog = 31 - Integer.numberOfLeadingZeros(p.baseSpan)
+    val parts = graft.operators.SuffixArray.decompose(p.minSpan, baseLog)
+    val rounds = math.max(1, parts.map(_._1).max - baseLog)
+    val sigEq = parts.indices.map(i => s"g.s$i = b.s$i").mkString(" AND ")
+    val sigSel = parts.indices.map(i => s"s$i").mkString(", ")
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
+      UNION ALL
+      SELECT doc_id + ${p.probeOffset} AS doc_id,
+        regexp_replace(${normSql("text")},
+          ' [^ ]+ [^ ]+$$', '', 'g') AS text
+      FROM documents WHERE doc_id % ${p.probeMod} = 0
+    ), ${saSigCtes(p.minSpan, p.baseSpan, rounds)}, ccnt AS (
+      SELECT $sigSel, CAST(count(*) AS BIGINT) AS c FROM sig
+      WHERE doc_id < ${p.probeOffset} GROUP BY $sigSel
+    ), hits AS (
+      SELECT g.doc_id, g.pos, b.c FROM sig g
+      JOIN ccnt b ON $sigEq
+      WHERE g.doc_id >= ${p.probeOffset}
+    ), hstats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_memorized_starts,
+        max(c) AS max_corpus_freq,
+        CAST(sum(c) AS BIGINT) AS total_corpus_hits
+      FROM hits GROUP BY doc_id
+    ), covered AS (
+      SELECT DISTINCT doc_id, CAST(q AS BIGINT) AS pos
+      FROM hits,
+        unnest(generate_series(pos, pos + ${p.minSpan - 1}, 1)) AS v(q)
+    ), cstats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS covered_tokens
+      FROM covered GROUP BY doc_id
+    ), bbase AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok
+      WHERE doc_id >= ${p.probeOffset})
+    SELECT bbase.doc_id, n_tokens,
+      CAST(coalesce(n_memorized_starts, 0) AS BIGINT)
+        AS n_memorized_starts,
+      CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+      CAST(coalesce(max_corpus_freq, 0) AS BIGINT) AS max_corpus_freq,
+      CAST(coalesce(total_corpus_hits, 0) AS BIGINT) AS total_corpus_hits
+    FROM bbase
+    LEFT JOIN hstats USING (doc_id)
+    LEFT JOIN cstats USING (doc_id)"""
+  }
+
+  /** Duplication-frequency spectrum (q233): signature groups counted,
+    * singletons dropped, bucketed by floor(log2(count)) computed as
+    * binary-digit length − 1 (exact integer logic — format('{:b}')
+    * here, `bin()` on the Spark side). Generated from
+    * [[SketchParams.q233]]. */
+  private def q233: String = {
+    val p = SketchParams.q233
+    val baseLog = 31 - Integer.numberOfLeadingZeros(p.baseSpan)
+    val parts = graft.operators.SuffixArray.decompose(p.minSpan, baseLog)
+    val rounds = math.max(1, parts.map(_._1).max - baseLog)
+    val sigSel = parts.indices.map(i => s"s$i").mkString(", ")
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
+    ), ${saSigCtes(p.minSpan, p.baseSpan, rounds)}, g AS (
+      SELECT $sigSel, CAST(count(*) AS BIGINT) AS c FROM sig
+      GROUP BY $sigSel HAVING count(*) >= 2
+    )
+    SELECT CAST(length(format('{:b}', c)) - 1 AS INT) AS freq_bucket,
+      CAST(1 AS BIGINT) << (length(format('{:b}', c)) - 1) AS bucket_lo,
+      CAST(count(*) AS BIGINT) AS n_groups,
+      CAST(sum(c) AS BIGINT) AS n_dup_suffixes
+    FROM g GROUP BY 1, 2"""
+  }
+
   /** Gopher repetition table (q223): the lined-corpus derivation, the
     * dup line/paragraph fractions (occurrences beyond the first), the
     * top-2/3/4-gram char fractions (argmax by count then gram length —
@@ -9253,6 +9406,9 @@ object OracleSql {
     "q229_exact_substr_decontam" -> q229,
     "q230_substr_index_probe" -> q230,
     "q231_normalized_decontam" -> q231,
+    "q232_memorization_report" -> q232,
+    "q233_dup_spectrum" -> q233,
+    "q234_memorization_probe" -> q234,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

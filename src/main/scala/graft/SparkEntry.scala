@@ -4478,6 +4478,74 @@ object SparkEntry {
       bench, "raw", "norm", "doc_id", p.minSpan, p.rounds, p.baseSpan)
   }
 
+  /** Memorization-frequency report
+    * ([[graft.operators.SuffixArray.memorizationReport]]): the Carlini
+    * et al. 2022 measurement — per benchmark doc, how many of its
+    * ≥ minSpan-token spans occur verbatim in the corpus, the covered-
+    * token interval union, and the occurrence-COUNT grading (max /
+    * total corpus frequency of the overlapping spans — memorization
+    * likelihood grows log-linearly in duplication, so the count, not
+    * the boolean, is the risk signal). Corpus = the q222 near-dup
+    * corpus (so frequencies ≥ 2 are exercised); bench = 2-word
+    * truncated twins at disjoint ids. Params from
+    * [[SketchParams.q232]]. */
+  def q232MemorizationReport(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q232
+    val bench = t(s, dir, "documents")
+      .filter(col("doc_id") % p.benchMod === 0)
+      .select((col("doc_id") + p.benchOffset).as("doc_id"),
+        regexp_replace(normText(col("text")), " [^ ]+ [^ ]+$", "")
+          .as("text"))
+    operators.SuffixArray.memorizationReport(nearDupCorpus(s, dir),
+      bench, "text", "doc_id", p.minSpan, p.baseSpan)
+  }
+
+  /** Duplication-frequency spectrum
+    * ([[graft.operators.SuffixArray.duplicationSpectrum]]): Lee et
+    * al. 2022's histogram of duplicated ≥ minSpan-token span mass by
+    * occurrence-frequency scale (floor(log2 count) buckets, exact
+    * integer bucketing via binary-digit length) over the q222
+    * near-dup corpus. THE read before choosing dedup aggressiveness:
+    * high-frequency tail ⇒ template flooding, mass at 2–4 ⇒ organic
+    * quotation. Params from [[SketchParams.q233]]. */
+  def q233DupSpectrum(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q233
+    operators.SuffixArray.duplicationSpectrum(nearDupCorpus(s, dir),
+      "text", "doc_id", p.minSpan, p.baseSpan)
+  }
+
+  /** SERVED memorization report
+    * ([[graft.operators.SuffixArray.exactSubstrProbeReport]]): the
+    * q232 measurement at serving cost — the near-dup corpus's COUNTED
+    * certificate index is built/saved/loaded ONCE (the q230
+    * IndexStore convention, memoized per session), then the incoming
+    * batch re-ranks its suffixes through the frozen maps and
+    * inner-joins the counted signature table for the Carlini-style
+    * frequency grading, cost ∝ batch tokens. The DuckDB twin replays
+    * the full-rebuild image (probe ≡ rebuild spec-pinned in
+    * `SubstrIndexSpec`). Params from [[SketchParams.q234]]. */
+  def q234MemorizationProbe(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q234
+    val batch = t(s, dir, "documents")
+      .filter(col("doc_id") % p.probeMod === 0)
+      .select((col("doc_id") + p.probeOffset).as("doc_id"),
+        regexp_replace(normText(col("text")), " [^ ]+ [^ ]+$", "")
+          .as("text"))
+    q234IndexMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val ix = q234IndexMemo.computeIfAbsent((s, dir), _ => {
+      val built = operators.SuffixArray.buildSubstrIndex(
+        nearDupCorpus(s, dir), "text", "doc_id", p.minSpan, p.baseSpan)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q234").resolve("ix").toString
+      operators.SuffixArray.saveSubstrIndex(built, root)
+      operators.SuffixArray.loadSubstrIndex(s, root)
+    })
+    operators.SuffixArray.exactSubstrProbeReport(ix, batch, "text",
+      "doc_id")
+  }
+  private val q234IndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), operators.SuffixArray.SubstrIndex]
+
   /** Tokenizer-aware exact-fill packing — the q194 packer budgeted by
     * what the trainer actually sees: per-doc UNIGRAM-TOKENIZER token
     * counts (Σ tf·n_pieces off the memoized [[q217Seg]] segmentation —
@@ -5459,7 +5527,10 @@ object SparkEntry {
     "q228_repetition_funnel" -> (q228RepetitionFunnel _),
     "q229_exact_substr_decontam" -> (q229ExactSubstrDecontam _),
     "q230_substr_index_probe" -> (q230SubstrIndexProbe _),
-    "q231_normalized_decontam" -> (q231NormalizedDecontam _))
+    "q231_normalized_decontam" -> (q231NormalizedDecontam _),
+    "q232_memorization_report" -> (q232MemorizationReport _),
+    "q233_dup_spectrum" -> (q233DupSpectrum _),
+    "q234_memorization_probe" -> (q234MemorizationProbe _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

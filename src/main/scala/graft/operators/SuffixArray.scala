@@ -270,6 +270,145 @@ object SuffixArray {
     removeSpans(rawTokf, contaminated, minSpan)
   }
 
+  /** MEMORIZATION-FREQUENCY report (the measurement behind Carlini et
+    * al. 2022 "Quantifying Memorization Across Neural Language Models"
+    * §4 and Lee et al. 2022 §6.2's overlap counts): for each BENCHMARK
+    * document, how much of it occurs verbatim in the corpus and how
+    * HOT the overlapping spans are. A benchmark suffix is memorized
+    * iff its minSpan-token prefix occurs anywhere in the corpus; the
+    * per-group corpus occurrence COUNT (not just membership — the
+    * q229 decontamination's boolean, upgraded to a frequency) grades
+    * the risk: a span the corpus repeats 100× is far likelier to be
+    * emitted by a trained model than a singleton (Carlini et al.'s
+    * central result: memorization grows log-linearly in duplication).
+    *
+    * Output, one row per benchmark doc (zero-filled when clean):
+    *   - n_tokens: benchmark doc token count;
+    *   - n_memorized_starts: positions whose minSpan-prefix occurs in
+    *     the corpus;
+    *   - covered_tokens: the interval union of those spans — the
+    *     verbatim-recoverable fraction's numerator;
+    *   - max_corpus_freq: the hottest overlapping span's corpus
+    *     occurrence count;
+    *   - total_corpus_hits: Σ over memorized starts of their span's
+    *     corpus count (overlapping starts each count — the mass the
+    *     training stream would present to the model).
+    *
+    * Same machinery as [[exactSubstrContamination]] (one generalized
+    * sig-only build, 2–3 doubling rounds, no SA totalization, no
+    * document-length ceiling), with the corpus side's signature groups
+    * AGGREGATED to counts instead of distinct'd to a membership set —
+    * one extra map-side-combinable count over frames the
+    * decontamination already builds. Ids must be disjoint across the
+    * two frames (fail-fast, the q74/q229 convention). */
+  def memorizationReport(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String,
+      minSpan: Int = 50, baseSpan: Int = 8): DataFrame = {
+    val union = corpus
+      .select(col(idCol), col(textCol), lit(false).as("__bench"))
+      .unionByName(bench.select(col(idCol), col(textCol),
+        lit(true).as("__bench")))
+      .localCheckpoint(false)
+    val collisions = union.filter(col("__bench"))
+      .select(col(idCol))
+      .join(union.filter(!col("__bench")).select(col(idCol)),
+        Seq(idCol), "left_semi")
+      .limit(1).count()
+    require(collisions == 0L,
+      "memorizationReport: corpus and benchmark ids must be disjoint " +
+        "(an overlap would merge two documents' suffixes)")
+    val baseLog = 31 - Integer.numberOfLeadingZeros(baseSpan)
+    val maxPartExp = decompose(minSpan, baseLog).map(_._1).max
+    val st = buildSignatures(union, textCol, idCol, minSpan,
+      rounds = math.max(1, maxPartExp - baseLog), baseSpan,
+      needSa = false)
+    val benchIds = union.filter(col("__bench"))
+      .select(col(idCol).as("doc_id"))
+    // corpus-side occurrence count per signature group (group ⟺ a
+    // distinct minSpan-token prefix) — partial-aggregated map-side,
+    // one row per distinct corpus span
+    val corpusCnt = st.sig.join(benchIds, Seq("doc_id"), "left_anti")
+      .groupBy(st.sigCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    // benchmark starts that hit the corpus, annotated with the count;
+    // one row per (doc, pos) — sig is per-suffix, corpusCnt per-group
+    val hits = st.sig.join(benchIds, Seq("doc_id"), "left_semi")
+      .join(corpusCnt, st.sigCols)
+      .select(col("doc_id"), col("pos"), col("__c"))
+      .localCheckpoint(false)
+    val hstats = hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_memorized_starts"),
+        max(col("__c")).as("max_corpus_freq"),
+        sum(col("__c")).as("total_corpus_hits"))
+    // covered-token interval union — the removeSpans gaps-and-islands
+    // over PER-DOC windows, stats only (no reassembly needed here)
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val cstats = hits
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + (minSpan - 1)).as("e"))
+      .withColumn("__pm",
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pm").isNull || col("s") > col("__pm"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl",
+        sum(col("__new")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s") + 1).as("covered_tokens"))
+    union.filter(col("__bench"))
+      .select(col(idCol).as("doc_id"),
+        size(split(coalesce(col(textCol), lit("")), "\\s+"))
+          .cast("long").as("n_tokens"))
+      .join(hstats, Seq("doc_id"), "left")
+      .join(cstats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_memorized_starts"), lit(0L))
+          .as("n_memorized_starts"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("max_corpus_freq"), lit(0L)).as("max_corpus_freq"),
+        coalesce(col("total_corpus_hits"), lit(0L))
+          .as("total_corpus_hits"))
+  }
+
+  /** DUPLICATION-FREQUENCY SPECTRUM (Lee et al. 2022 Fig. 1/4's
+    * histogram): how much of the corpus's duplicated ≥ minSpan-token
+    * mass sits at each occurrence-frequency scale. Signature groups
+    * (⟺ distinct minSpan-token spans) are counted, singletons
+    * dropped, and groups bucketed by floor(log2(count)) — computed as
+    * binary-digit length − 1, EXACT integer logic in both engines
+    * (never a floating log2, whose rounding at exact powers of two is
+    * representation-dependent). Output, one row per occupied bucket:
+    * (freq_bucket, bucket_lo = 2^bucket, n_groups = distinct
+    * duplicated spans in the bucket, n_dup_suffixes = their total
+    * occurrence mass). The spectrum is THE diagnostic read before
+    * choosing dedup aggressiveness: a heavy high-frequency tail means
+    * template/boilerplate flooding (dedup helps); mass concentrated
+    * at 2–4 means organic quotation (dedup barely matters).
+    *
+    * Cost: the sig-only build (2–3 doubling rounds) plus two
+    * map-side-combinable aggregations — corpus-token-scale rows in,
+    * ≤ 63 rows out. */
+  def duplicationSpectrum(corpus: DataFrame, textCol: String,
+      idCol: String, minSpan: Int = 50, baseSpan: Int = 8): DataFrame = {
+    val baseLog = 31 - Integer.numberOfLeadingZeros(baseSpan)
+    val maxPartExp = decompose(minSpan, baseLog).map(_._1).max
+    val st = buildSignatures(corpus, textCol, idCol, minSpan,
+      rounds = math.max(1, maxPartExp - baseLog), baseSpan,
+      needSa = false)
+    st.sig.groupBy(st.sigCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select((length(bin(col("__c"))) - 1).cast("int").as("freq_bucket"),
+        col("__c"))
+      .groupBy(col("freq_bucket"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("__c")).as("n_dup_suffixes"))
+      .select(col("freq_bucket"),
+        expr("shiftleft(1L, freq_bucket)").as("bucket_lo"),
+        col("n_groups"), col("n_dup_suffixes"))
+  }
+
   /** A FROZEN, persistable suffix-array index over a corpus — the
     * serving form of the EXACTSUBSTR family (Lee et al. 2022 §6.2 is
     * run per training-set refresh, not once): everything a batch probe
@@ -286,7 +425,10 @@ object SuffixArray {
     *     at any level means "this prefix occurs nowhere in the corpus",
     *     which propagates as NULL);
     *   - `sig`: the corpus's distinct LCP ≥ minSpan certificate tuples
-    *     (the [[decompose]] parts in the same rank space).
+    *     (the [[decompose]] parts in the same rank space), each with
+    *     its corpus occurrence COUNT `cnt` — membership probes ignore
+    *     it ([[exactSubstrProbe]]'s semi-join), frequency probes read
+    *     it ([[exactSubstrProbeReport]]'s Carlini-style grading).
     *
     * Only exponents up to log2(minSpan) are stored — the certificate
     * never reads beyond them — so the index build costs 2–3 doubling
@@ -307,7 +449,8 @@ object SuffixArray {
       rounds = math.max(1, maxPartExp - baseLog), baseSpan,
       needSa = false, collectIndex = true)
     SubstrIndex(st.baseContent, st.roundMaps,
-      st.sig.select(st.sigCols.map(col): _*).distinct()
+      st.sig.groupBy(st.sigCols.map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true),
       st.sigCols.length, minSpan, baseSpan)
   }
@@ -374,6 +517,76 @@ object SuffixArray {
     * partial reads. Nothing here re-reads or re-ranks the corpus. */
   def exactSubstrProbe(ix: SubstrIndex, batch: DataFrame,
       textCol: String, idCol: String): DataFrame = {
+    val (tokf, sig, sigCols) = probeCertificates(ix, batch, textCol, idCol)
+    val contaminated = sig
+      .filter(sigCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .join(ix.sig, sigCols, "left_semi")
+      .select(col("doc_id"), col("pos"))
+    removeSpans(tokf, contaminated, ix.minSpan)
+  }
+
+  /** MEMORIZATION-FREQUENCY report served from a FROZEN [[SubstrIndex]]
+    * — [[memorizationReport]]'s output shape (Carlini et al. frequency
+    * grading: n_memorized_starts / covered_tokens / max_corpus_freq /
+    * total_corpus_hits per batch doc) at cost proportional to the
+    * BATCH, not the corpus: batch suffixes re-rank themselves through
+    * the saved maps exactly as in [[exactSubstrProbe]], then the
+    * certificate inner-joins the index's counted `sig` table instead
+    * of semi-joining it. Spec-pinned ≡ the fresh
+    * [[memorizationReport]](corpus, batch) rebuild. */
+  def exactSubstrProbeReport(ix: SubstrIndex, batch: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    require(ix.sig.columns.contains("cnt"),
+      "exactSubstrProbeReport: this index was built without occurrence " +
+        "counts (a pre-counted artifact) — rebuild with buildSubstrIndex")
+    val (tokf, sig, sigCols) = probeCertificates(ix, batch, textCol, idCol)
+    val hits = sig
+      .filter(sigCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .join(ix.sig, sigCols)
+      .select(col("doc_id"), col("pos"), col("cnt").as("__c"))
+      .localCheckpoint(false)
+    val hstats = hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_memorized_starts"),
+        max(col("__c")).as("max_corpus_freq"),
+        sum(col("__c")).as("total_corpus_hits"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val cstats = hits
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + (ix.minSpan - 1)).as("e"))
+      .withColumn("__pm",
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pm").isNull || col("s") > col("__pm"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl",
+        sum(col("__new")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s") + 1).as("covered_tokens"))
+    tokf
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"))
+      .join(hstats, Seq("doc_id"), "left")
+      .join(cstats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_memorized_starts"), lit(0L))
+          .as("n_memorized_starts"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("max_corpus_freq"), lit(0L)).as("max_corpus_freq"),
+        coalesce(col("total_corpus_hits"), lit(0L))
+          .as("total_corpus_hits"))
+  }
+
+  /** The shared batch-side probe chain: tokenize, re-rank the batch's
+    * suffixes in CORPUS rank space through the index's base and
+    * doubling-key maps (missing key ⇒ NULL rank ⇒ the miss
+    * propagates), and assemble the [[decompose]] certificate tuple
+    * over length-gated batch suffixes. Returns (token frame,
+    * certificate frame, certificate column names). */
+  private def probeCertificates(ix: SubstrIndex, batch: DataFrame,
+      textCol: String, idCol: String)
+      : (DataFrame, DataFrame, Seq[String]) = {
     val baseLog = 31 - Integer.numberOfLeadingZeros(ix.baseSpan)
     val parts = decompose(ix.minSpan, baseLog)
     require(parts.length == ix.nSigCols,
@@ -428,11 +641,7 @@ object SuffixArray {
         Seq("doc_id", "pos"))
     }
     val sigCols = parts.indices.map(i => s"__s$i")
-    val contaminated = sig
-      .filter(sigCols.map(c => col(c).isNotNull).reduce(_ && _))
-      .join(ix.sig, sigCols, "left_semi")
-      .select(col("doc_id"), col("pos"))
-    removeSpans(tokf, contaminated, ix.minSpan)
+    (tokf, sig, sigCols)
   }
 
   /** The shared rank/signature machinery: builds the doubling tables,

@@ -69,6 +69,46 @@ class SubstrIndexSpec extends AnyFunSuite {
     assert(got(105L)._2 == 0, "6-token sub-span is below minSpan")
   }
 
+  test("probe REPORT against the frozen index equals the fresh " +
+      "memorizationReport rebuild, row for row, counts included") {
+    import spark.implicits._
+    // duplicate corpus doc 1 so corpus frequencies ≥ 2 are exercised
+    val corpus = (corpusRows :+ ((4L, seqText(0, 20))))
+      .toDF("doc_id", "text")
+    val batch = batchRows.toDF("doc_id", "text")
+    for ((minSpan, baseSpan) <- Seq((10, 4), (8, 8))) {
+      val ix = SuffixArray.buildSubstrIndex(corpus, "text", "doc_id",
+        minSpan, baseSpan)
+      def stats(df: DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+      val got = stats(SuffixArray.exactSubstrProbeReport(
+        ix, batch, "text", "doc_id"))
+      val want = stats(SuffixArray.memorizationReport(
+        corpus, batch, "text", "doc_id", minSpan, baseSpan))
+      assert(got == want, s"minSpan=$minSpan baseSpan=$baseSpan:\n" +
+        s"$got\n  vs\n$want")
+      // the duplicated corpus doc makes batch 101's spans freq-2
+      assert(got(101L)._4 == 2L, s"max_corpus_freq: ${got(101L)}")
+      assert(got(103L) == ((15L, 0L, 0L, 0L, 0L)))
+    }
+  }
+
+  test("probe report fail-fasts on an index whose sig table carries " +
+      "no occurrence counts") {
+    import spark.implicits._
+    val ix = SuffixArray.buildSubstrIndex(
+      corpusRows.toDF("doc_id", "text"), "text", "doc_id",
+      minSpan = 10, baseSpan = 4)
+    val uncounted = ix.copy(sig = ix.sig.drop("cnt"))
+    val e = intercept[IllegalArgumentException] {
+      SuffixArray.exactSubstrProbeReport(uncounted,
+        batchRows.toDF("doc_id", "text"), "text", "doc_id")
+    }
+    assert(e.getMessage.contains("without occurrence counts"))
+  }
+
   test("save/load round trip: the loaded index probes identically; a " +
       "torn next generation is invisible; a completed save supersedes") {
     import spark.implicits._

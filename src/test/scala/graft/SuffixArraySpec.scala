@@ -222,6 +222,96 @@ class SuffixArraySpec extends AnyFunSuite {
       run(docs, minSpan = 7, rounds = 9))
   }
 
+  test("memorizationReport matches a brute-force cross-side n-gram " +
+      "frequency reference (freq grading, interval union, zero rows)") {
+    import spark.implicits._
+    def seqText(from: Int, n: Int): String =
+      (from until from + n).map(i => s"w$i").mkString(" ")
+    val minSpan = 5
+    val corpusRows = Seq(
+      1L -> seqText(0, 10),
+      2L -> seqText(0, 10),             // exact duplicate → freq 2 grams
+      3L -> ("p0 " + seqText(0, 9)),    // shifted partial overlap
+      4L -> seqText(50, 8),             // unique corpus doc
+      5L -> seqText(100, 4))            // shorter than minSpan
+    val benchRows = Seq(
+      10L -> seqText(0, 7),             // fully memorized, hot grams
+      11L -> (seqText(50, 6) + " q0 q1 q2"), // partially memorized
+      12L -> seqText(200, 9),           // clean
+      13L -> seqText(300, 3))           // too short — all-zero row
+    // brute force: corpus minSpan-gram occurrence counts, then per
+    // bench doc the memorized starts, their interval union, and the
+    // max/total frequency grading
+    val cCnt = corpusRows.flatMap { case (_, t) =>
+      val tk = t.split(" ")
+      (0 to tk.length - minSpan).map(i =>
+        tk.slice(i, i + minSpan).mkString(" "))
+    }.groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val want = benchRows.map { case (id, t) =>
+      val tk = t.split(" ")
+      val hits = (1 to tk.length - minSpan + 1).flatMap { p =>
+        cCnt.get(tk.slice(p - 1, p - 1 + minSpan).mkString(" "))
+          .map(c => (p, c))
+      }
+      val covered = hits.flatMap { case (p, _) => p until p + minSpan }
+        .toSet
+      id -> ((tk.length.toLong, hits.size.toLong, covered.size.toLong,
+        if (hits.isEmpty) 0L else hits.map(_._2).max,
+        hits.map(_._2).sum))
+    }.toMap
+    val got = SuffixArray.memorizationReport(
+        corpusRows.toDF("doc_id", "text"),
+        benchRows.toDF("doc_id", "text"),
+        "text", "doc_id", minSpan, baseSpan = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == want, s"$got\n  vs\n$want")
+    // fixture sanity: the grading is exercised beyond 0/1 — doc 10's
+    // grams occur in BOTH corpus duplicates (and some in doc 3 too)
+    assert(want(10L)._4 >= 2L && want(11L)._4 == 1L &&
+      want(12L)._2 == 0L && want(13L) == ((3L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("duplicationSpectrum matches brute-force gram counting with " +
+      "exact integer log2 buckets") {
+    import spark.implicits._
+    def seqText(from: Int, n: Int): String =
+      (from until from + n).map(i => s"w$i").mkString(" ")
+    val minSpan = 5
+    // freq profile: the seqText(0, 10) grams occur 4x (docs 1, 2, 6
+    // and shifted in 3 where the window fits), others 2x / unique
+    val corpusRows = Seq(
+      1L -> seqText(0, 10),
+      2L -> seqText(0, 10),
+      3L -> ("p0 " + seqText(0, 9)),
+      4L -> seqText(50, 8),
+      5L -> seqText(50, 8),
+      6L -> seqText(0, 10),
+      7L -> seqText(200, 6))
+    val cnt = corpusRows.flatMap { case (_, t) =>
+      val tk = t.split(" ")
+      (0 to tk.length - minSpan).map(i =>
+        tk.slice(i, i + minSpan).mkString(" "))
+    }.groupBy(identity).map { case (_, o) => o.size.toLong }
+      .filter(_ >= 2L).toSeq
+    val want = cnt.groupBy(c => 63 - java.lang.Long.numberOfLeadingZeros(c))
+      .map { case (b, cs) =>
+        b -> ((1L << b, cs.size.toLong, cs.sum)) }
+    val got = SuffixArray.duplicationSpectrum(
+        corpusRows.toDF("doc_id", "text"),
+        "text", "doc_id", minSpan, baseSpan = 4)
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want, s"$got\n  vs\n$want")
+    // fixture sanity: at least two distinct buckets (freq 2 → bucket 1,
+    // freq 4 → bucket 2), so the bucketing itself is exercised
+    assert(want.keySet.exists(_ >= 2) && want.contains(1))
+  }
+
   test("a document longer than 2^rounds tokens fails fast") {
     import spark.implicits._
     val docs = Seq(
