@@ -646,14 +646,14 @@ object SketchParams {
     * 2-word-truncated twins of doc_id % benchMod == 0 at
     * ids + benchOffset (disjoint from both corpus lanes). */
   object q232 {
-    val minSpan = 50; val baseSpan = 32
+    val minSpan = 50; val baseSpan = 8
     val benchMod = 3L; val benchOffset = 2000000L
   }
   /** q233 duplication-frequency spectrum over the q222 near-dup
     * corpus: every ≥ minSpan-token doc contributes duplicated spans
     * at frequency ≥ 2, so the histogram is provably non-empty. */
   object q233 {
-    val minSpan = 50; val baseSpan = 32
+    val minSpan = 50; val baseSpan = 8
   }
   /** q234 served memorization report: the q232 measurement off the
     * FROZEN counted index (q230's serving convention — baseSpan 16 so

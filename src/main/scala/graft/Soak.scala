@@ -310,6 +310,96 @@ object Soak {
       return
     }
 
+    if (mode == "memorization" || mode == "memreport") {
+      // q233's spectrum + q232's report at replica scale: every replica
+      // shares its base doc's interior >= 50-token runs (the replica
+      // marker shifts positions by one, which exact spans don't mind),
+      // so signature-group frequencies track the replica count and the
+      // spectrum's heavy bucket moves with log2(replicas) — ground
+      // truth by construction. The bench side stays FIXED so the
+      // report's growth isolates the corpus-side count aggregation.
+      if (mode != "memreport") timed(s"duplicationSpectrum (minSpan 50, " +
+          s"base 8, ${replicas}x corpus)") {
+        val sp = operators.SuffixArray.duplicationSpectrum(
+            docs, "text", "doc_id", minSpan = 50, baseSpan = 8)
+          .orderBy(col("freq_bucket")).collect()
+        sp.foreach(r => println(s"[soak]   -> bucket ${r.getInt(0)} " +
+          s"(>=${r.getLong(1)}): ${r.getLong(2)} groups, " +
+          s"${r.getLong(3)} occurrences"))
+      }
+      val bench = base
+        .filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          regexp_replace(col("text"), " [^ ]+$", "").as("text"))
+      val nb = bench.count()
+      timed(s"memorizationReport ($nb fixed bench docs, " +
+          s"${replicas}x corpus)") {
+        val agg = operators.SuffixArray.memorizationReport(
+            docs, bench, "text", "doc_id", minSpan = 50, baseSpan = 8)
+          .agg(count(lit(1)).as("d"),
+            sum(col("n_memorized_starts")).as("s"),
+            max(col("max_corpus_freq")).as("m"),
+            sum(col("covered_tokens")).as("c")).head
+        println(s"[soak]   -> ${agg.getLong(0)} bench docs, " +
+          s"${agg.getLong(1)} memorized starts, " +
+          s"max corpus freq ${agg.getLong(2)}, " +
+          s"${agg.getLong(3)} covered tokens")
+      }
+      spark.stop()
+      return
+    }
+
+    if (mode == "memprofile") {
+      // dev-only stage breakdown of memorizationReport's plan
+      val bench = base
+        .filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          regexp_replace(col("text"), " [^ ]+$", "").as("text"))
+      val union = docs
+        .select(col("doc_id"), col("text"), lit(false).as("__bench"))
+        .unionByName(bench.select(col("doc_id"), col("text"),
+          lit(true).as("__bench")))
+        .localCheckpoint(false)
+      timed("collision check") {
+        union.filter(col("__bench")).select(col("doc_id"))
+          .join(union.filter(!col("__bench")).select(col("doc_id")),
+            Seq("doc_id"), "left_semi").limit(1).count()
+      }
+      for (bs <- Seq(32, 16, 8)) {
+        val bl = 31 - Integer.numberOfLeadingZeros(bs)
+        val rr = math.max(1,
+          operators.SuffixArray.decompose(50, bl).map(_._1).max - bl)
+        timed(s"buildSignatures (sig-only, baseSpan $bs, $rr doublings)") {
+          operators.SuffixArray.buildSignatures(union, "text",
+            "doc_id", 50, rounds = rr, baseSpan = bs, needSa = false)
+            .sig.count()
+        }
+      }
+      val st = timed("buildSignatures (sig-only)") {
+        val s0 = operators.SuffixArray.buildSignatures(union, "text",
+          "doc_id", 50, rounds = 1, baseSpan = 32, needSa = false)
+        s0.sig.count()
+        s0
+      }
+      val benchIds = union.filter(col("__bench"))
+        .select(col("doc_id"))
+      val corpusCnt = timed("corpusCnt groupBy") {
+        val c = st.sig.join(benchIds, Seq("doc_id"), "left_anti")
+          .groupBy(st.sigCols.map(col): _*)
+          .agg(count(lit(1)).as("__c")).localCheckpoint(false)
+        println(s"[soak]   -> ${c.count()} groups")
+        c
+      }
+      timed("hits join + stats") {
+        val hits = st.sig.join(benchIds, Seq("doc_id"), "left_semi")
+          .join(corpusCnt, st.sigCols)
+          .select(col("doc_id"), col("pos"), col("__c"))
+        println(s"[soak]   -> ${hits.count()} hits")
+      }
+      spark.stop()
+      return
+    }
+
     if (mode == "simhash") {
       // the q31 pigeonhole banding at replica scale (SCALE §9s follow-up):
       // a 150-family slice (the q31 corpusMax pattern) whose families are
