@@ -664,6 +664,12 @@ object SketchParams {
     val minSpan = 50; val baseSpan = 16
     val probeMod = 4L; val probeOffset = 2000000L
   }
+  /** q236 dedup-aware temperature plan: the q221 arithmetic over
+    * per-source EFFECTIVE (post-q222-EXACTSUBSTR kept-token)
+    * inventories — α = 1/2 (one sqrt), exact HUGEINT shares. */
+  object q236 {
+    val budget = 400000L; val alphaHalvings = 1; val quant = 1000000L
+  }
   /** q223 Gopher repetition table: the deterministic LINED-corpus
     * derivation (the raw fixture carries no newlines) — tokens grouped
     * `lineTokens`-to-a-line, lines `paraLines`-to-a-paragraph, joined
@@ -5629,20 +5635,22 @@ object OracleSql {
     LEFT JOIN dstats USING (doc_id)
     LEFT JOIN rebuilt USING (doc_id)"""
 
-  private def q222: String = {
-    val p = SketchParams.q222
-    val baseLog = 31 - Integer.numberOfLeadingZeros(p.baseSpan)
-    val parts = graft.operators.SuffixArray.decompose(p.minSpan, baseLog)
-    val encF = 1L << (baseLog + p.rounds + 1)
+  /** The q222 dedup mid-section (shared with q236): suffix array,
+    * signature-qualified adjacency, first-occurrence keepers, and the
+    * `removed(doc_id, pos)` starts, as CTEs over the [[saSigCtes]]
+    * frames. */
+  private def saDedupRemovedCtes(minSpan: Int, baseSpan: Int,
+      rounds: Int): String = {
+    val baseLog = 31 - Integer.numberOfLeadingZeros(baseSpan)
+    val parts = graft.operators.SuffixArray.decompose(minSpan, baseLog)
+    val encF = 1L << (baseLog + rounds + 1)
     val sigEq = parts.indices.map(i => s"sx.s$i = sy.s$i").mkString(" AND ")
     val grpKey = parts.indices.map(i => s"s$i").mkString(", ")
-    s"""
-    WITH corpus AS ($nearDupCorpusSql
-    ), ${saSigCtes(p.minSpan, p.baseSpan, p.rounds)}, sa AS MATERIALIZED (
+    s"""sa AS MATERIALIZED (
       SELECT doc_id, pos, n,
         CAST(row_number() OVER (ORDER BY r, doc_id, pos) AS BIGINT)
           AS ord
-      FROM rk${p.rounds}
+      FROM rk$rounds
     ), qual AS (
       SELECT x.doc_id AS d1, x.pos AS p1, y.doc_id AS d2, y.pos AS p2
       FROM sa x JOIN sa y ON y.ord = x.ord + 1
@@ -5664,7 +5672,72 @@ object OracleSql {
     ), removed AS (
       SELECT grp.doc_id, grp.pos FROM grp JOIN keepers USING ($grpKey)
       WHERE grp.doc_id * $encF + grp.pos <> keep
-    ), ${saRemovalSql(p.minSpan, "TRUE")}"""
+    )"""
+  }
+
+  private def q222: String = {
+    val p = SketchParams.q222
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
+    ), ${saSigCtes(p.minSpan, p.baseSpan, p.rounds)},
+    ${saDedupRemovedCtes(p.minSpan, p.baseSpan, p.rounds)},
+    ${saRemovalSql(p.minSpan, "TRUE")}"""
+  }
+
+  /** Dedup-aware temperature plan (q236): the ENTIRE q222 EXACTSUBSTR
+    * chain re-composed to per-source EFFECTIVE (kept-token)
+    * inventories — twins mapped back to their base doc's source — then
+    * the q221 plan replay over the effective counts (IEEE sqrt + exact
+    * HUGEINT shares). Generated from [[SketchParams.q236]] +
+    * [[SketchParams.q222]]. */
+  private def q236: String = {
+    val p = SketchParams.q236
+    val q = SketchParams.q222
+    s"""
+    WITH corpus AS ($nearDupCorpusSql
+    ), ${saSigCtes(q.minSpan, q.baseSpan, q.rounds)},
+    ${saDedupRemovedCtes(q.minSpan, q.baseSpan, q.rounds)},
+    covered AS (
+      SELECT DISTINCT doc_id, CAST(v.q AS BIGINT) AS pos
+      FROM removed,
+        unnest(generate_series(pos, pos + ${q.minSpan - 1}, 1)) AS v(q)
+    ), dstats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped
+      FROM covered GROUP BY doc_id
+    ), kept AS (
+      SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(toks) AS BIGINT) - coalesce(d.n_dropped, 0) AS kept
+      FROM tok t LEFT JOIN dstats d USING (doc_id)
+    ), inv AS (
+      SELECT d.source,
+        CAST(SUM(k.n_tokens) AS BIGINT) AS raw_tokens,
+        CAST(SUM(k.kept) AS BIGINT) AS eff_tokens
+      FROM kept k
+      JOIN documents d ON d.doc_id = CASE WHEN k.doc_id >= 1000000
+        THEN k.doc_id - 1000000 ELSE k.doc_id END
+      GROUP BY d.source
+    ), w AS (
+      SELECT source, raw_tokens, eff_tokens,
+        CAST(floor(sqrt(CAST(eff_tokens AS DOUBLE)) * ${p.quant})
+          AS BIGINT) AS s_q
+      FROM inv
+    ), tot AS (
+      SELECT CAST(SUM(s_q) AS HUGEINT) AS S FROM w
+    ), tgt AS (
+      SELECT source, raw_tokens, eff_tokens, s_q,
+        CAST(CASE WHEN tot.S = 0 THEN 0
+          ELSE (CAST(${p.budget} AS HUGEINT) * s_q) // tot.S END
+          AS BIGINT) AS target_tokens
+      FROM w, tot
+    )
+    SELECT source, raw_tokens, eff_tokens, s_q, target_tokens,
+      CASE WHEN eff_tokens = 0 THEN 0.0
+        ELSE least(1.0, CAST(target_tokens AS DOUBLE) /
+          CAST(eff_tokens AS DOUBLE)) END AS sample_rate,
+      CASE WHEN eff_tokens = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST((target_tokens + eff_tokens - 1) // eff_tokens
+          AS BIGINT) END AS epochs
+    FROM tgt"""
   }
 
   /** Span-level exact-substring decontamination (q229): one
@@ -9409,6 +9482,7 @@ object OracleSql {
     "q232_memorization_report" -> q232,
     "q233_dup_spectrum" -> q233,
     "q234_memorization_probe" -> q234,
+    "q236_dedup_temp_plan" -> q236,
     "q102_grouped_quantiles" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         quantile_cont(n_chars, 0.25) AS p25,

@@ -4310,12 +4310,21 @@ object SparkEntry {
     * DuckDB twin unrolls all [[SketchParams.q222]].rounds doubling
     * rounds as CTEs — the entire suffix array, not a sampled check,
     * hash-verifies. */
-  def q222ExactSubstr(s: SparkSession, dir: String): DataFrame = {
-    val p = SketchParams.q222
-    operators.SuffixArray.exactSubstrDedup(
-      nearDupCorpus(s, dir), "text", "doc_id", p.minSpan, p.rounds,
-      p.baseSpan)
-  }
+  def q222ExactSubstr(s: SparkSession, dir: String): DataFrame =
+    q222Dedup(s, dir)
+
+  /** The q222 EXACTSUBSTR dedup result, memoized — shared by q222 and
+    * q236's dedup-aware mixture plan (r19): the SA build runs once per
+    * session per sf dir. */
+  private val q222DedupMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def q222Dedup(s: SparkSession, dir: String): DataFrame =
+    memoCheckpoint(q222DedupMemo, s, dir) {
+      val p = SketchParams.q222
+      operators.SuffixArray.exactSubstrDedup(
+        nearDupCorpus(s, dir), "text", "doc_id", p.minSpan, p.rounds,
+        p.baseSpan)
+    }
 
   /** The complete Gopher repetition table
     * ([[graft.operators.TextAnalysis.gopherRepetitionReport]]): all 13
@@ -4545,6 +4554,42 @@ object SparkEntry {
   }
   private val q234IndexMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), operators.SuffixArray.SubstrIndex]
+
+  /** DEDUP-AWARE temperature plan: the q221 mixture arithmetic run
+    * over EFFECTIVE (post-EXACTSUBSTR) per-source token inventories
+    * instead of raw counts — a source whose mass is mostly duplicated
+    * spans (mirrors, templates) contributes its UNIQUE tokens to the
+    * plan, so the temperature flattening cannot be gamed by
+    * duplication (the Lee et al. §5 observation that duplicated text
+    * inflates naive mixture weights, applied to the planning stage).
+    * Inventory = Σ per doc of (n_tokens − n_dropped) from the MEMOIZED
+    * q222 dedup (the SA build runs once for both queries), twins
+    * mapped back to their base doc's source; raw_tokens kept alongside
+    * so the discount is observable per source. Params from
+    * [[SketchParams.q236]]. */
+  def q236DedupTempPlan(s: SparkSession, dir: String): DataFrame = {
+    val p = SketchParams.q236
+    val dd = q222Dedup(s, dir)
+      .select(
+        when(col("doc_id") >= 1000000L, col("doc_id") - 1000000L)
+          .otherwise(col("doc_id")).as("base_id"),
+        col("n_tokens"), (col("n_tokens") - col("n_dropped")).as("kept"))
+    val inv = dd
+      .join(t(s, dir, "documents")
+        .select(col("doc_id").as("base_id"), col("source")),
+        Seq("base_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("raw_tokens"),
+        sum(col("kept")).as("eff_tokens"))
+      .localCheckpoint(false)
+    operators.Sampling.temperaturePlan(
+        inv.select(col("source"), col("eff_tokens")), "source",
+        "eff_tokens", p.budget, p.alphaHalvings, p.quant)
+      .join(inv.select(col("source"), col("raw_tokens")), Seq("source"))
+      .select(col("source"), col("raw_tokens"),
+        col("n_tokens").as("eff_tokens"), col("s_q"),
+        col("target_tokens"), col("sample_rate"), col("epochs"))
+  }
 
   /** Tokenizer-aware exact-fill packing — the q194 packer budgeted by
     * what the trainer actually sees: per-doc UNIGRAM-TOKENIZER token
@@ -5530,7 +5575,8 @@ object SparkEntry {
     "q231_normalized_decontam" -> (q231NormalizedDecontam _),
     "q232_memorization_report" -> (q232MemorizationReport _),
     "q233_dup_spectrum" -> (q233DupSpectrum _),
-    "q234_memorization_probe" -> (q234MemorizationProbe _))
+    "q234_memorization_probe" -> (q234MemorizationProbe _),
+    "q236_dedup_temp_plan" -> (q236DedupTempPlan _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -472,4 +472,44 @@ class SamplingSpec extends AnyFunSuite {
         s"one-scan output diverged at shuffle.partitions=$parts")
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("dedup-aware temperature plan (q236 semantics): a duplicated " +
+      "source plans on its UNIQUE token mass, a clean source on its " +
+      "full mass") {
+    import spark.implicits._
+    def seqText(from: Int, n: Int): String =
+      (from until from + n).map(i => s"w$i").mkString(" ")
+    // source A: two byte-identical 20-token docs (the second is one
+    // duplicated span end to end); source B: two distinct 20-token docs
+    val docs = Seq(
+      (1L, "A", seqText(0, 20)),
+      (2L, "A", seqText(0, 20)),
+      (3L, "B", seqText(100, 20)),
+      (4L, "B", seqText(200, 20)))
+      .toDF("doc_id", "source", "text")
+    val minSpan = 5
+    val dd = graft.operators.SuffixArray.exactSubstrDedup(
+      docs, "text", "doc_id", minSpan, rounds = 3, baseSpan = 4)
+    val inv = dd
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("raw_tokens"),
+        sum(col("n_tokens") - col("n_dropped")).as("eff_tokens"))
+    val rows = inv.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // A keeps doc 1 whole, doc 2 is one merged removed interval
+    assert(rows("A") == ((40L, 20L)), rows("A").toString)
+    assert(rows("B") == ((40L, 40L)), rows("B").toString)
+    val plan = Sampling.temperaturePlan(
+        inv.select(col("source"), col("eff_tokens")), "source",
+        "eff_tokens", budgetTokens = 30L, alphaHalvings = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3)))).toMap
+    // sqrt flattening over EFFECTIVE mass: s_A = sqrt(20), s_B =
+    // sqrt(40) -> A's target strictly below B's, and both nonzero --
+    // a raw-mass plan would have tied them at 15/15
+    assert(plan("A")._1 == 20L && plan("B")._1 == 40L)
+    assert(plan("A")._2 < plan("B")._2 && plan("A")._2 > 0,
+      plan.toString)
+  }
 }
