@@ -619,7 +619,7 @@ object SketchParams {
     * construction; the twin shares its base doc's (n−1)-token prefix,
     * so ≥ minSpan contamination demonstrably fires for long docs). */
   object q229 {
-    val minSpan = 50; val baseSpan = 32; val rounds = 2
+    val minSpan = 50; val baseSpan = 8; val rounds = 2
     val benchMod = 3L; val benchOffset = 1000000L
   }
   /** q230 persisted-suffix-array incremental probe: the q229 SA
@@ -637,7 +637,7 @@ object SketchParams {
     * mapped back to raw positions; the bench lane is the q229
     * truncated twin UPPER-CASED — invisible to the raw matcher. */
   object q231 {
-    val minSpan = 50; val baseSpan = 16; val rounds = 2
+    val minSpan = 50; val baseSpan = 8; val rounds = 2
     val benchMod = 3L; val benchOffset = 1000000L
   }
   /** q232 memorization-frequency report: corpus = the q222 near-dup

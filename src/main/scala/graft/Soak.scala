@@ -310,6 +310,43 @@ object Soak {
       return
     }
 
+    if (mode == "spectrum") {
+      println(s"[soak] docs partitions: ${docs.rdd.getNumPartitions}")
+      timed("buildSignatures over a MATERIALIZED checkpoint of docs") {
+        val cp = docs.localCheckpoint(false)
+        cp.count()
+        operators.SuffixArray.buildSignatures(cp,
+          "text", "doc_id", 50, rounds = 1, baseSpan = 8, needSa = false)
+          .sig.count()
+      }
+      val st = timed("buildSignatures over docs (flat, base 8)") {
+        val s0 = operators.SuffixArray.buildSignatures(docs, "text",
+          "doc_id", 50, rounds = 1, baseSpan = 8, needSa = false)
+        println(s"[soak]   -> ${s0.sig.count()} sig rows")
+        s0
+      }
+      val g = timed("sig groupBy count") {
+        val g0 = st.sig.groupBy(st.sigCols.map(col): _*)
+          .agg(count(lit(1)).as("__c"))
+          .filter(col("__c") >= 2).localCheckpoint(false)
+        println(s"[soak]   -> ${g0.count()} dup groups")
+        g0
+      }
+      timed("bucket agg") {
+        g.select((length(bin(col("__c"))) - 1).cast("int")
+            .as("freq_bucket"), col("__c"))
+          .groupBy(col("freq_bucket"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(col("__c")).as("n_dup_suffixes")).count()
+      }
+      timed(s"duplicationSpectrum end-to-end") {
+        operators.SuffixArray.duplicationSpectrum(
+          docs, "text", "doc_id", minSpan = 50, baseSpan = 8).count()
+      }
+      spark.stop()
+      return
+    }
+
     if (mode == "memorization" || mode == "memreport") {
       // q233's spectrum + q232's report at replica scale: every replica
       // shares its base doc's interior >= 50-token runs (the replica

@@ -650,12 +650,13 @@ object SuffixArray {
     * every superseded rank checkpoint before returning.
     *
     * Round economics (r19): the LCP certificate itself only ever reads
-    * tables at the decomposition-part exponents (all ≤ log2 minSpan),
-    * so a sig-only build (`needSa = false` — contamination, the
-    * persisted index) stops there: 2–3 doubling rounds instead of the
-    * caller's SA budget, and no document-length ceiling (the ceiling
-    * exists only because the SA totalization must reach max doc
-    * length). An SA build doubles toward `baseLog + rounds` but EXITS
+    * tables at the certificate-part exponents, so a sig-only build
+    * (`needSa = false` — contamination, memorization, spectrum) uses
+    * the FLAT base certificate (stride-baseSpan windows, zero doubling
+    * rounds — see the `flatSig` comment below) and has no
+    * document-length ceiling; the serving-index build keeps the
+    * [[decompose]] doubling (2–3 rounds) because its probe maps
+    * re-rank a batch level by level. An SA build doubles toward `baseLog + rounds` but EXITS
     * EARLY once ranks converge (max rank == suffix count — every
     * suffix already has a distinct rank, so further doubling is the
     * identity): convergence arrives at ~log2(max doc length), rounds
@@ -685,7 +686,23 @@ object SuffixArray {
     require(!needSa || minSpan <= (1L << math.min(baseLog + rounds, 30)),
       s"minSpan $minSpan exceeds the largest rank-table span " +
         s"baseSpan*2^rounds — raise rounds ($rounds)")
-    val parts = decompose(minSpan, baseLog)
+    // FLAT certificate (r19) for pure sig-only builds: equality of the
+    // BASE ranks at stride-baseSpan offsets covering [0, minSpan) — the
+    // tail window overlapping at minSpan − baseSpan, the same
+    // sound-overlap argument as [[decompose]] — certifies prefix
+    // equality directly, with ZERO doubling rounds (each doubling's
+    // in-place dense rank costs a range + window exchange of the whole
+    // suffix frame; the flat form trades them for a few extra long
+    // columns on the sig frame, which shuffles anyway). Only the
+    // serving-index build keeps the doubling (its probe maps re-rank a
+    // batch level by level) and only SA builds totalize.
+    val flatSig = !needSa && !collectIndex
+    val parts: Seq[(Int, Int)] =
+      if (flatSig) {
+        val offs = (0 to (minSpan - baseSpan) by baseSpan).toSeq
+        (if (offs.last == minSpan - baseSpan) offs
+         else offs :+ (minSpan - baseSpan)).map(o => (baseLog, o))
+      } else decompose(minSpan, baseLog)
     val maxPartExp = parts.map(_._1).max
     // sig-only builds stop at the largest certificate span; SA builds
     // must totalize, i.e. double until the caller's budget (or until
@@ -720,13 +737,27 @@ object SuffixArray {
       .select(col("doc_id"), (col("__p0") + 1).cast("long").as("pos"),
         col("n"),
         slice(col("__toks"), col("__p0") + 1, lit(baseSpan)).as("__w"))
-    // round 0: rank by the first baseSpan tokens directly — one
-    // in-place dense rank over the window arrays. Each round's table is
-    // re-checkpointed after the (map-only) offset join so every
-    // consumer scans ONE flat frame; the rank call's internal
-    // consistency checkpoint is freed as soon as that lands
-    val (rkBaseRanked, rkBaseH) =
-      Ranks.globalDenseRankTracked(sfx, Seq(col("__w")), out = "__br")
+    // round 0: rank by the first baseSpan tokens directly — via the
+    // DISTINCT windows (r19): dense-rank the window VOCABULARY (equal
+    // windows share a rank either way, so the rank VALUES are
+    // identical to ranking the suffix frame in place), then map ranks
+    // onto suffixes by equi-join. The in-place form range-exchanged
+    // the corpus-scale suffix frame ON THE WIDE WINDOW-ARRAY KEY and —
+    // the measured killer — had the RangePartitioner collect
+    // corpus-scale ARRAY samples to the driver (single-threaded sort +
+    // GC, the §9z variance); the distinct form's vocabulary frame is
+    // corpus-fraction-sized (map-side-combined distinct), its sampling
+    // trivial, and the join-back is AQE-broadcastable when the
+    // vocabulary is small. Each round's table is re-checkpointed so
+    // every consumer scans ONE flat frame.
+    val (wRanked, wRankedH) = {
+      val (r0, h) = Ranks.globalDenseRankTracked(
+        sfx.select(col("__w")).distinct(), Seq(col("__w")), out = "__br")
+      val out = CheckpointHygiene.checkpointTracked(r0, eager = true)
+      CheckpointHygiene.free(h)
+      out
+    }
+    val rkBaseRanked = sfx.join(wRanked, Seq("__w"))
     val tables = scala.collection.mutable.Map.empty[Int, DataFrame]
     val handles =
       scala.collection.mutable.Map.empty[Int, Seq[org.apache.spark.rdd.RDD[_]]]
@@ -736,12 +767,13 @@ object SuffixArray {
       eager = true)
     tables(baseLog) = rk0c; handles(baseLog) = rk0h
     // the probe index needs CONTENT-addressable ranks: the distinct
-    // (window → base rank) map is the only place token text survives
+    // (window → base rank) map is the only place token text survives —
+    // exactly the vocabulary frame the base rank was computed on (kept
+    // alive for the index; freed here otherwise, the suffix table
+    // carries the ranks from now on)
     val baseContent =
-      if (!collectIndex) null
-      else rkBaseRanked.select(col("__w"), col("__br").as("r"))
-        .distinct().localCheckpoint(true)
-    CheckpointHygiene.free(rkBaseH)
+      if (collectIndex) wRanked.select(col("__w"), col("__br").as("r"))
+      else { CheckpointHygiene.free(wRankedH); null }
     val roundMaps = Seq.newBuilder[(Int, DataFrame)]
     // suffix universe size, for the convergence probe — counted NOW,
     // while the base table's checkpoint is certainly alive (it may be
