@@ -71,7 +71,41 @@ object Bench {
     * can see the starting state. */
   private val load1StartMax = 3.0
 
+  /** One full sweep attempt: headline queries + interleaved controls, with
+    * its own telemetry window. Object-level so the winner-selection rule is
+    * spec-testable (r19 lesson: the untested rule classified an all-failed
+    * attempt as the calm winner). */
+  final case class Attempt(
+      results: Seq[(String, Double)],
+      samples: Seq[(String, Double, Int)],
+      worst: Map[String, (Double, Double)],
+      load1Start: Double, load5Start: Double,
+      load1End: Double, load5End: Double,
+      userSec: Double, sysSec: Double, sysRatio: Double,
+      wallSec: Double, contended: Boolean, noisy: Boolean,
+      valid: Boolean) {
+    /** worst control ratio, for picking the least-noisy fallback */
+    def worstRatio: Double =
+      if (worst.isEmpty) -1.0 else worst.valuesIterator.map(_._2).max
+  }
+
+  /** Winner among attempts (newest first): the first calm+valid attempt in
+    * CHRONOLOGICAL order, else the valid attempt with the least-bad worst
+    * control ratio, else (every attempt had a failed query — a code bug,
+    * not machine noise) the last attempt so the failure is visible in the
+    * artifact. An invalid attempt (any -1.0 query/control) can never beat a
+    * valid one, no matter how calm its controls look. */
+  private[graft] def chooseAttempt(attempts: List[Attempt]): Attempt =
+    attempts.reverse.find(a => !a.noisy && a.valid)
+      .orElse {
+        val valid = attempts.filter(_.valid)
+        if (valid.isEmpty) None else Some(valid.minBy(_.worstRatio))
+      }
+      .getOrElse(attempts.head)
+
   def main(args: Array[String]): Unit = {
+    val benchStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -88,17 +122,6 @@ object Bench {
     // the plan, not first-run JVM compilation
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
-
-    // ---- one full sweep attempt: headline queries + interleaved controls,
-    // with its own telemetry window ----
-    final case class Attempt(
-        results: Seq[(String, Double)],
-        samples: Seq[(String, Double, Int)],
-        worst: Map[String, (Double, Double)],
-        load1Start: Double, load5Start: Double,
-        load1End: Double, load5End: Double,
-        userSec: Double, sysSec: Double, sysRatio: Double,
-        wallSec: Double, contended: Boolean, noisy: Boolean)
 
     def timeQuery(name: String): Double = {
       // best-of-2 warm timing: first run may still pay per-plan codegen
@@ -161,33 +184,60 @@ object Bench {
       val contended =
         controlWorst.valuesIterator.exists(_._2 > contentionFactor) ||
         sysRatio > sysCpuRatioMax
-      val noisy = contended ||
+      // an attempt is VALID only when every sweep query and every control
+      // sample actually ran (no -1.0 sentinels). r19 lesson: an attempt
+      // whose every query failed had all control ratios -1.0, which the
+      // `> noisyFactor` test classified as calm — and it clobbered the
+      // committed per-query record with sentinel garbage. A failed
+      // control/query is noisy-and-invalid, never a calm winner.
+      val valid = results.forall(_._2 >= 0) &&
+        controlSamples.forall(_._2 >= 0)
+      val noisy = contended || !valid ||
         controlWorst.valuesIterator.exists(_._2 > noisyFactor)
       Attempt(results, controlSamples.toSeq, controlWorst,
         load1Start, load5Start, load1End, load5End,
-        userSec, sysSec, sysRatio, wallSec, contended, noisy)
+        userSec, sysSec, sysRatio, wallSec, contended, noisy, valid)
     }
 
     // REFUSE to record a contended sweep (r19, VERDICT r18 item 3): a
     // run whose own frozen controls blew past ~1.3x calm is measuring
     // the machine, not the code — rerun the whole sweep (load spikes
     // are transient; the retry costs wall time only when the first
-    // attempt was already worthless) and emit the first calm attempt.
-    // If every attempt is contended, the last one is emitted, loudly
-    // flagged, so an artifact always exists for a genuinely busy box.
+    // attempt was already worthless) and emit the first calm+valid
+    // attempt. The loop is WALL-BUDGETED (r20, VERDICT r19 item 1c):
+    // the r19 driver run burned 3 × ~750 s attempts on a loaded box and
+    // blew the driver's own timeout, leaving NO artifact at all — a
+    // flagged-noisy artifact beats a missing one, so a rerun that can't
+    // fit inside the budget is skipped and the best attempt so far is
+    // emitted, loudly flagged. If every attempt is noisy/invalid the
+    // least-noisy VALID one is emitted (never an all-failed sentinel).
     val maxAttempts = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt)
-    var attemptsContended = List.empty[Boolean]
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "600").toDouble
+    var attempts = List.empty[Attempt] // newest first
+    var budgetSkipped = false
     var att = runAttempt()
-    attemptsContended ::= att.noisy
-    while (att.noisy && attemptsContended.size < maxAttempts) {
-      System.err.println(f"[bench] attempt ${attemptsContended.size} " +
-        f"NOISY (worst control ratio ${
-          att.worst.valuesIterator.map(_._2).max}%.2f, sys ratio " +
-        f"${att.sysRatio}%.3f) — rerunning the sweep")
-      att = runAttempt()
-      attemptsContended ::= att.noisy
+    attempts ::= att
+    while (att.noisy && attempts.size < maxAttempts && !budgetSkipped) {
+      // estimate the next sweep at ~1.1x the slowest attempt so far:
+      // if it can't finish inside the budget, emit what we have
+      val estNext = attempts.map(_.wallSec).max * 1.1
+      if (elapsedSec + estNext > budgetSec) {
+        budgetSkipped = true
+        System.err.println(f"[bench] attempt ${attempts.size} noisy but " +
+          f"rerun skipped: elapsed $elapsedSec%.0f s + est $estNext%.0f s " +
+          f"> budget $budgetSec%.0f s — emitting best attempt, flagged")
+      } else {
+        System.err.println(f"[bench] attempt ${attempts.size} " +
+          f"NOISY (worst control ratio ${att.worstRatio}%.2f, sys ratio " +
+          f"${att.sysRatio}%.3f, valid ${att.valid}) — rerunning the sweep")
+        att = runAttempt()
+        attempts ::= att
+      }
     }
+    att = chooseAttempt(attempts)
+    val attemptsContended = attempts.map(_.noisy)
     val results = att.results
     val controlWorst = att.worst
     val controlSamples = att.samples
@@ -220,6 +270,10 @@ object Bench {
       s""""attempts":${attemptsContended.size},""" +
       s""""attempts_noisy":${
         attemptsContended.reverse.mkString("[", ",", "]")},""" +
+      s""""attempts_valid":${
+        attempts.map(_.valid).reverse.mkString("[", ",", "]")},""" +
+      s""""budget_sec":$budgetSec,"budget_skipped":$budgetSkipped,""" +
+      s""""valid":${att.valid},""" +
       s""""noisy":${att.noisy},"contended":$contended}"""
     // the long per-query line gets a distinct metric name so nothing that
     // filters/aggregates on metric=="total" can double-count it against the
@@ -229,17 +283,29 @@ object Bench {
     // above outgrew the driver's bounded log-tail window at ~120 queries
     // (r9's BENCH artifact truncated mid-object, losing q100+ timings), so
     // a file is the only form the full profile reliably survives in
+    // the committed per-query record is only ever REPLACED by a calm,
+    // fully-successful sweep (r20, VERDICT r19 item 1b): a noisy or
+    // partially-failed attempt lands in a side file instead, so the last
+    // good record survives a bad round (r19's all-failed attempt rewrote
+    // the record with -1.0 sentinels; this makes that impossible)
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_queries.json")
+    val target =
+      if (!att.noisy && att.valid) benchOut
+      else {
+        System.err.println(s"[bench] winning attempt noisy=${att.noisy} " +
+          s"valid=${att.valid} — NOT replacing $benchOut; writing side file")
+        benchOut.stripSuffix(".json") + "_attempt.json"
+      }
     try {
       val perQuery = results.map { case (k, v) =>
         s"""    "$k": $v""" }.mkString("{\n", ",\n", "\n  }")
-      java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
+      java.nio.file.Files.write(java.nio.file.Paths.get(target),
         (s"""{\n  "total_sec": $total,\n  "n_queries": ${results.size},""" +
          s"""\n  "sf": "$sfDir",\n  $telemetry,""" +
          s"""\n  "queries": $perQuery\n}\n""").getBytes("UTF-8"))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $target: ${e.getMessage}")
     }
     // repeat the headline WITHOUT the per-query map: the full line above can
     // exceed a bounded log-tail window as the query count grows (r3's

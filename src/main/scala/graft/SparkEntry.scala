@@ -60,6 +60,51 @@ object SparkEntry {
     memo.computeIfAbsent((s, dir), _ => build.localCheckpoint(eager = true))
   }
 
+  /** [[memoCheckpoint]]'s hygiene applied to persisted
+    * [[graft.operators.SuffixArray.SubstrIndex]] artifacts (q230/q234's
+    * build-save-load serving convention): stopped-session keys pruned;
+    * same-session different-dir entries evicted WITH their temp save
+    * roots deleted (ADVICE r19 — the old memos only pruned stopped
+    * sessions, so a session sweeping many dirs accreted one
+    * checkpointed index and one uncleaned temp directory per dir).
+    * The build runs once per (session, dir): built, persisted on the
+    * IndexStore generation protocol, re-loaded — so repeat query
+    * timings measure the PROBE, the serving cost. */
+  private def memoSubstrIndex(
+      memo: java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+        (operators.SuffixArray.SubstrIndex, java.nio.file.Path)],
+      s: SparkSession, dir: String, tmpPrefix: String)(
+      build: => operators.SuffixArray.SubstrIndex)
+      : operators.SuffixArray.SubstrIndex = {
+    memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq s) && e.getKey._2 != dir) {
+        deleteTreeBestEffort(e.getValue._2)
+        it.remove()
+      }
+    }
+    memo.computeIfAbsent((s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory(tmpPrefix)
+      val root = tmp.resolve("ix").toString
+      operators.SuffixArray.saveSubstrIndex(build, root)
+      (operators.SuffixArray.loadSubstrIndex(s, root), tmp)
+    })._1
+  }
+
+  /** Best-effort recursive delete of an evicted memo's temp root —
+    * failure is ignorable (the JVM's temp dir is reaped by the
+    * container anyway; eviction correctness never depends on it). */
+  private def deleteTreeBestEffort(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case scala.util.control.NonFatal(_) => () })
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Exact decimal sum of a ~2-decimal double column, surfaced as double
     * (order-independent, so hash-stable across engines). */
   private def dsum(c: Column): Column =
@@ -4441,19 +4486,15 @@ object SparkEntry {
     val batch = docs.filter(col("doc_id") % p.probeMod === 0)
       .select((col("doc_id") + p.probeOffset).as("doc_id"),
         regexp_replace(col("text"), " [^ ]+$", "").as("text"))
-    q230IndexMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val ix = q230IndexMemo.computeIfAbsent((s, dir), _ => {
-      val built = operators.SuffixArray.buildSubstrIndex(docs,
+    val ix = memoSubstrIndex(q230IndexMemo, s, dir, "graft-q230") {
+      operators.SuffixArray.buildSubstrIndex(docs,
         "text", "doc_id", p.minSpan, p.baseSpan)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q230").resolve("ix").toString
-      operators.SuffixArray.saveSubstrIndex(built, root)
-      operators.SuffixArray.loadSubstrIndex(s, root)
-    })
+    }
     operators.SuffixArray.exactSubstrProbe(ix, batch, "text", "doc_id")
   }
   private val q230IndexMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), operators.SuffixArray.SubstrIndex]
+    (SparkSession, String),
+    (operators.SuffixArray.SubstrIndex, java.nio.file.Path)]
 
   /** NORMALIZED-text exact-substring decontamination
     * ([[graft.operators.SuffixArray.exactSubstrContaminationNormalized]])
@@ -4505,8 +4546,14 @@ object SparkEntry {
       .select((col("doc_id") + p.benchOffset).as("doc_id"),
         regexp_replace(normText(col("text")), " [^ ]+ [^ ]+$", "")
           .as("text"))
-    operators.SuffixArray.memorizationReport(nearDupCorpus(s, dir),
-      bench, "text", "doc_id", p.minSpan, p.baseSpan)
+    // served off the SHARED near-dup-corpus counted index (one sig
+    // build for q232+q233+q234, VERDICT r19 item 2) — output ≡ the
+    // fresh memorizationReport rebuild at p.baseSpan: the report
+    // depends only on which minSpan-token spans occur at which corpus
+    // counts, not on the rank space (cross-baseSpan spec-pinned in
+    // `SubstrIndexSpec`)
+    operators.SuffixArray.exactSubstrProbeReport(
+      nearDupIndex(s, dir), bench, "text", "doc_id")
   }
 
   /** Duplication-frequency spectrum
@@ -4518,9 +4565,14 @@ object SparkEntry {
     * high-frequency tail ⇒ template flooding, mass at 2–4 ⇒ organic
     * quotation. Params from [[SketchParams.q233]]. */
   def q233DupSpectrum(s: SparkSession, dir: String): DataFrame = {
-    val p = SketchParams.q233
-    operators.SuffixArray.duplicationSpectrum(nearDupCorpus(s, dir),
-      "text", "doc_id", p.minSpan, p.baseSpan)
+    // served off the SHARED counted index (one sig build for
+    // q232+q233+q234): the spectrum reads only the per-group counts
+    // ix.sig already carries — two aggregations, no rank build.
+    // Output ≡ duplicationSpectrum(nearDupCorpus, minSpan=50) at any
+    // baseSpan (cross-baseSpan spec-pinned in `SubstrIndexSpec`);
+    // [[SketchParams.q233]] documents the oracle's replay params.
+    operators.SuffixArray.duplicationSpectrumFromIndex(
+      nearDupIndex(s, dir))
   }
 
   /** SERVED memorization report
@@ -4540,20 +4592,28 @@ object SparkEntry {
       .select((col("doc_id") + p.probeOffset).as("doc_id"),
         regexp_replace(normText(col("text")), " [^ ]+ [^ ]+$", "")
           .as("text"))
-    q234IndexMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val ix = q234IndexMemo.computeIfAbsent((s, dir), _ => {
-      val built = operators.SuffixArray.buildSubstrIndex(
-        nearDupCorpus(s, dir), "text", "doc_id", p.minSpan, p.baseSpan)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q234").resolve("ix").toString
-      operators.SuffixArray.saveSubstrIndex(built, root)
-      operators.SuffixArray.loadSubstrIndex(s, root)
-    })
-    operators.SuffixArray.exactSubstrProbeReport(ix, batch, "text",
-      "doc_id")
+    operators.SuffixArray.exactSubstrProbeReport(
+      nearDupIndex(s, dir), batch, "text", "doc_id")
   }
-  private val q234IndexMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), operators.SuffixArray.SubstrIndex]
+
+  /** The near-dup-corpus COUNTED certificate index (minSpan/baseSpan
+    * from [[SketchParams.q234]]) — built, persisted, and re-loaded
+    * ONCE per (session, dir), shared by q232 (memorization report),
+    * q233 (duplication spectrum), and q234 (served probe): the three
+    * measurements read the same counted signature groups, so one
+    * build serves all (VERDICT r19 item 2 — q232/q233 each rebuilt an
+    * identical ~8 s sig frame). */
+  private def nearDupIndex(s: SparkSession,
+      dir: String): operators.SuffixArray.SubstrIndex = {
+    val p = SketchParams.q234
+    memoSubstrIndex(nearDupIndexMemo, s, dir, "graft-neardup-ix") {
+      operators.SuffixArray.buildSubstrIndex(
+        nearDupCorpus(s, dir), "text", "doc_id", p.minSpan, p.baseSpan)
+    }
+  }
+  private val nearDupIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (operators.SuffixArray.SubstrIndex, java.nio.file.Path)]
 
   /** DEDUP-AWARE temperature plan: the q221 mixture arithmetic run
     * over EFFECTIVE (post-EXACTSUBSTR) per-source token inventories

@@ -397,8 +397,31 @@ object SuffixArray {
     val st = buildSignatures(corpus, textCol, idCol, minSpan,
       rounds = math.max(1, maxPartExp - baseLog), baseSpan,
       needSa = false)
-    st.sig.groupBy(st.sigCols.map(col): _*)
-      .agg(count(lit(1)).as("__c"))
+    spectrumOf(st.sig.groupBy(st.sigCols.map(col): _*)
+      .agg(count(lit(1)).as("__c")).select(col("__c")))
+  }
+
+  /** [[duplicationSpectrum]] served from a FROZEN counted
+    * [[SubstrIndex]] — the signature groups (⟺ distinct minSpan-token
+    * spans) already carry their occurrence counts in `ix.sig`, so the
+    * spectrum is two map-side-combinable aggregations over an
+    * already-materialized frame: no tokenize, no rank build. Output ≡
+    * the fresh [[duplicationSpectrum]] over the same corpus at ANY
+    * baseSpan (spec-pinned): the histogram depends only on which
+    * distinct spans exist at which counts, not on the rank space that
+    * named them. */
+  def duplicationSpectrumFromIndex(ix: SubstrIndex): DataFrame = {
+    require(ix.sig.columns.contains("cnt"),
+      "duplicationSpectrumFromIndex: this index was built without " +
+        "occurrence counts — rebuild with buildSubstrIndex")
+    spectrumOf(ix.sig.select(col("cnt").as("__c")))
+  }
+
+  /** The frequency-bucket histogram over a counted-group column:
+    * singletons dropped, floor(log2 count) via binary-digit length −
+    * 1 (EXACT integer logic in both engines). */
+  private def spectrumOf(counts: DataFrame): DataFrame =
+    counts
       .filter(col("__c") >= 2)
       .select((length(bin(col("__c"))) - 1).cast("int").as("freq_bucket"),
         col("__c"))
@@ -407,7 +430,6 @@ object SuffixArray {
       .select(col("freq_bucket"),
         expr("shiftleft(1L, freq_bucket)").as("bucket_lo"),
         col("n_groups"), col("n_dup_suffixes"))
-  }
 
   /** A FROZEN, persistable suffix-array index over a corpus — the
     * serving form of the EXACTSUBSTR family (Lee et al. 2022 §6.2 is
@@ -699,6 +721,14 @@ object SuffixArray {
     val flatSig = !needSa && !collectIndex
     val parts: Seq[(Int, Int)] =
       if (flatSig) {
+        // the flat path bypasses decompose(), so it re-states its
+        // guard: with baseSpan > minSpan the offset list below would
+        // be EMPTY and `offs.last` would throw an opaque
+        // NoSuchElementException instead of this message (ADVICE r19)
+        require(minSpan >= baseSpan,
+          s"minSpan $minSpan must be >= the base span $baseSpan — the " +
+            "certificate cannot cover a span shorter than its base " +
+            "window")
         val offs = (0 to (minSpan - baseSpan) by baseSpan).toSeq
         (if (offs.last == minSpan - baseSpan) offs
          else offs :+ (minSpan - baseSpan)).map(o => (baseLog, o))

@@ -92,7 +92,53 @@ class SubstrIndexSpec extends AnyFunSuite {
       // the duplicated corpus doc makes batch 101's spans freq-2
       assert(got(101L)._4 == 2L, s"max_corpus_freq: ${got(101L)}")
       assert(got(103L) == ((15L, 0L, 0L, 0L, 0L)))
+      // CROSS-baseSpan invariance (the q232 shared-index serving
+      // path): the report depends only on which minSpan-token spans
+      // occur at which corpus counts — a rebuild at a DIFFERENT
+      // baseSpan names the same spans in a different rank space and
+      // must produce the identical report
+      val otherBase = if (baseSpan == 4) 8 else 4
+      val wantOther = stats(SuffixArray.memorizationReport(
+        corpus, batch, "text", "doc_id", minSpan, otherBase))
+      assert(got == wantOther,
+        s"probe@$baseSpan vs rebuild@$otherBase diverged:\n" +
+          s"$got\n  vs\n$wantOther")
     }
+  }
+
+  test("duplicationSpectrum served from the counted index equals the " +
+      "fresh spectrum build, across baseSpans") {
+    import spark.implicits._
+    // duplicate corpus doc 1 twice so a frequency-3 group exists
+    // (bucket 1) alongside the freq-2 groups
+    val corpus = (corpusRows ++ Seq((4L, seqText(0, 20)),
+      (5L, seqText(0, 20)))).toDF("doc_id", "text")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val minSpan = 10
+    val want = rows(SuffixArray.duplicationSpectrum(
+      corpus, "text", "doc_id", minSpan, baseSpan = 4))
+    assert(want.nonEmpty && want.exists(_._1 == 1),
+      s"fixture must occupy bucket 1 (freq 2-3): $want")
+    for (ixBase <- Seq(4, 8)) {
+      val ix = SuffixArray.buildSubstrIndex(corpus, "text", "doc_id",
+        minSpan, ixBase)
+      val got = rows(SuffixArray.duplicationSpectrumFromIndex(ix))
+      assert(got == want, s"ixBase=$ixBase: $got vs $want")
+    }
+  }
+
+  test("spectrum-from-index fail-fasts on an uncounted sig table") {
+    import spark.implicits._
+    val ix = SuffixArray.buildSubstrIndex(
+      corpusRows.toDF("doc_id", "text"), "text", "doc_id",
+      minSpan = 10, baseSpan = 4)
+    val e = intercept[IllegalArgumentException] {
+      SuffixArray.duplicationSpectrumFromIndex(
+        ix.copy(sig = ix.sig.drop("cnt")))
+    }
+    assert(e.getMessage.contains("without occurrence counts"))
   }
 
   test("probe report fail-fasts on an index whose sig table carries " +

@@ -312,6 +312,17 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(want.keySet.exists(_ >= 2) && want.contains(1))
   }
 
+  test("a flat sig-only build with baseSpan > minSpan fails fast with " +
+      "the decompose guard's message, not an empty-list error") {
+    import spark.implicits._
+    val docs = Seq(1L -> "a b c d e f g h").toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SuffixArray.duplicationSpectrum(docs, "text", "doc_id",
+        minSpan = 4, baseSpan = 8).collect()
+    }
+    assert(e.getMessage.contains("must be >= the base span"))
+  }
+
   test("a document longer than 2^rounds tokens fails fast") {
     import spark.implicits._
     val docs = Seq(
