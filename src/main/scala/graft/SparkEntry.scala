@@ -1478,20 +1478,23 @@ object SparkEntry {
     TextAnalysis.charDiversity(t(s, dir, "documents"), "text", "doc_id")
 
   /** Z-order layout key + range buckets
-    * ([[graft.operators.Layout.zorderKey]]): Morton-interleaved key over
-    * two derived part dimensions, bucketed by an exact ntile window (the
-    * oracle-checkable stand-in for production `repartitionByRange`).
-    * Params from [[SketchParams.q89]]. */
+    * ([[graft.operators.Layout.zorderKey]] +
+    * [[graft.operators.Layout.rangeBuckets]]): Morton-interleaved key
+    * over two derived part dimensions, bucketed ntile-exactly by the
+    * distributed global row number — no single-partition window
+    * (VERDICT r19 item 4: the previous global `ntile` collapsed the
+    * whole table into one task). The oracle-checkable stand-in for
+    * production `repartitionByRange`. Params from
+    * [[SketchParams.q89]]. */
   def q89Zorder(s: SparkSession, dir: String): DataFrame = {
     val p = SketchParams.q89
     val zk = operators.Layout.zorderKey(
       col("p_partkey") % p.aMod, (col("p_size") * p.bMul) % p.bMod, p.bits)
-    t(s, dir, "part")
-      .select(col("p_partkey").cast("long").as("p_partkey"), zk.as("zkey"))
-      .withColumn("zbucket",
-        ntile(p.nBuckets)
-          .over(Window.orderBy(col("zkey"), col("p_partkey")))
-          .cast("long"))
+    operators.Layout.rangeBuckets(
+      t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          zk.as("zkey")),
+      Seq(col("zkey"), col("p_partkey")), p.nBuckets, "zbucket")
   }
 
   /** Language-balanced resampling
@@ -2911,19 +2914,19 @@ object SparkEntry {
     * q89's Z-order shape with the higher-locality linearization —
     * consecutive keys are always grid 4-neighbors, so range buckets
     * hold tighter 2-D rectangles (spec-measured against Z-order).
-    * Bucketing via explicit ntile for oracle exactness (production:
-    * `repartitionByRange` on the key). Params from
-    * [[SketchParams.q149]]. */
+    * Bucketing via [[graft.operators.Layout.rangeBuckets]] — ntile
+    * semantics off the distributed global row number, no
+    * single-partition window (production: `repartitionByRange` on the
+    * key). Params from [[SketchParams.q149]]. */
   def q149HilbertLayout(s: SparkSession, dir: String): DataFrame = {
     val p = SketchParams.q149
     val hk = operators.Layout.hilbertKey(
       col("p_partkey") % p.aMod, (col("p_size") * p.bMul) % p.bMod, p.bits)
-    t(s, dir, "part")
-      .select(col("p_partkey").cast("long").as("p_partkey"), hk.as("hkey"))
-      .withColumn("hbucket",
-        ntile(p.nBuckets)
-          .over(Window.orderBy(col("hkey"), col("p_partkey")))
-          .cast("long"))
+    operators.Layout.rangeBuckets(
+      t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          hk.as("hkey")),
+      Seq(col("hkey"), col("p_partkey")), p.nBuckets, "hbucket")
   }
 
   /** Directed n-gram containment join

@@ -1,7 +1,7 @@
 package graft.operators
 // (rendezvous routing lives here with the layout/placement family)
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-layout keys for multi-dimensional clustering at write time.
@@ -87,6 +87,38 @@ object Layout {
     }.mkString(", ")
     s"""h0 AS (SELECT $keep, x, y, CAST(0 AS BIGINT) AS d FROM $srcCte),
     $levels"""
+  }
+
+  /** Exact equal-fill range buckets over a TOTAL order — `ntile(n)`
+    * semantics (the first `N mod n` buckets take one extra row)
+    * WITHOUT the single-partition global window `ntile` plans to: the
+    * global 1-based row number comes from
+    * [[Ranks.globalRowNumber]] (range exchange + per-partition rank +
+    * broadcast one-row-per-partition offsets — the named scale shape),
+    * the total count is one bounded aggregate attached by broadcast,
+    * and the bucket is pure arithmetic on (rank, N). Bit-exact ntile:
+    * with q = N/n and m = N mod n, ranks ≤ m·(q+1) land in bucket
+    * ⌈rank/(q+1)⌉ and the rest in m + ⌈(rank − m·(q+1))/q⌉. This is
+    * the oracle-checkable layout-bucketing form (q89/q149) — the
+    * write path itself would `repartitionByRange(n, key)`, whose
+    * sampled boundaries are not byte-deterministic. */
+  def rangeBuckets(df: DataFrame, order: Seq[Column], nBuckets: Int,
+      out: String): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val ranked = graft.operators.Ranks.globalRowNumber(df, order, "__gr")
+    val n = ranked.agg(count(lit(1)).as("__N")) // one-row scalar attach
+    ranked.crossJoin(broadcast(n))
+      .withColumn("__q", expr(s"__N div $nBuckets"))
+      .withColumn("__m", col("__N") % nBuckets.toLong)
+      .withColumn(out,
+        // CaseWhen is lazy, so the `div __q` below never sees __q = 0:
+        // with N < nBuckets every rank satisfies the first branch
+        when(col("__gr") <= col("__m") * (col("__q") + 1L),
+          expr("(__gr - 1) div (__q + 1) + 1"))
+          .otherwise(
+            expr("__m + (__gr - __m * (__q + 1) - 1) div __q + 1"))
+          .cast("long"))
+      .drop("__gr", "__N", "__q", "__m")
   }
 
   /** Rendezvous (highest-random-weight) routing — Thaler & Ravishankar

@@ -68,24 +68,44 @@ private[graft] object Ranks {
       ranged.withColumn("__lr",
         row_number().over(wLocal).cast("long")),
       eager = true)
-    val wOff = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__n"),
-        min(struct(order: _*)).as("__lo"),
-        max(struct(order: _*)).as("__hi"))
-      .withColumn("__prevHi", lag(col("__hi"), 1).over(
-        Window.orderBy(col("__pid"))))
-      .filter(assert_true(
-        col("__prevHi").isNull || col("__prevHi") < col("__lo"),
-        lit("globalRowNumber: range partition ids are not key-ordered " +
-          "— the global rank would be corrupt")).isNull)
-      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__off"))
+    val offsets = runningOffsets(
+      local.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("__n"),
+          min(struct(order: _*)).as("__lo"),
+          max(struct(order: _*)).as("__hi")),
+      "globalRowNumber")
     (local.join(broadcast(offsets), Seq("__pid"))
       .withColumn(out, col("__off") + col("__lr"))
       .drop("__pid", "__lr", "__off"), h)
   }
+
+  /** The per-partition frame's running offsets (Σ `__n` of all lower
+    * pids) and the key-ordering invariant check, computed over ONE
+    * pid-sorted ARRAY row instead of an unpartitioned window: the
+    * frame is one row per range partition (P ≤ shuffle partitions), so
+    * packing it into a single array and running the O(P²) prefix sums
+    * with `aggregate`/`slice` is trivial — and unlike the old
+    * `Window.orderBy(__pid)` form, nothing here plans a
+    * single-partition WindowExec, whose log warning drowned out REAL
+    * single-task-window alarms in bench tails (VERDICT r19 item 6).
+    * The ordering check is the window form's `lag`: each element's low
+    * bound must exceed its pid-predecessor's high bound. */
+  private def runningOffsets(perPart: DataFrame,
+      caller: String): DataFrame =
+    perPart
+      .agg(sort_array(collect_list(struct(
+        col("__pid"), col("__n"), col("__lo"), col("__hi")))).as("__a"))
+      .select(col("__a"), posexplode(col("__a")).as(Seq("__i", "__x")))
+      .filter(assert_true(
+        // Or short-circuits, so element_at(__a, 0) is never evaluated
+        col("__i") === 0 ||
+          element_at(col("__a"), col("__i")).getField("__hi") <
+            col("__x").getField("__lo"),
+        lit(s"$caller: range partition ids are not key-ordered " +
+          "— the global rank would be corrupt")).isNull)
+      .select(col("__x").getField("__pid").as("__pid"),
+        expr("aggregate(slice(__a, 1, __i), CAST(0 AS BIGINT), " +
+          "(acc, e) -> acc + e.__n)").as("__off"))
 
   /** Append a global 1-based `out` column = dense_rank over `keys`,
     * computed IN PLACE — no distinct, no join-back: the range
@@ -118,20 +138,12 @@ private[graft] object Ranks {
       ranged.withColumn("__ldr",
         dense_rank().over(wLocal).cast("long")),
       eager = true)
-    val wOff = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("__pid"))
-      .agg(max(col("__ldr")).as("__n"),
-        min(struct(keys: _*)).as("__lo"),
-        max(struct(keys: _*)).as("__hi"))
-      .withColumn("__prevHi", lag(col("__hi"), 1).over(
-        Window.orderBy(col("__pid"))))
-      .filter(assert_true(
-        col("__prevHi").isNull || col("__prevHi") < col("__lo"),
-        lit("globalDenseRank: range partition ids are not key-ordered " +
-          "— the global rank would be corrupt")).isNull)
-      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__off"))
+    val offsets = runningOffsets(
+      local.groupBy(col("__pid"))
+        .agg(max(col("__ldr")).as("__n"),
+          min(struct(keys: _*)).as("__lo"),
+          max(struct(keys: _*)).as("__hi")),
+      "globalDenseRank")
     (local.join(broadcast(offsets), Seq("__pid"))
       .withColumn(out, col("__off") + col("__ldr"))
       .drop("__pid", "__ldr", "__off"), h)

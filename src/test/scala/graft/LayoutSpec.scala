@@ -138,4 +138,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(graft.functions.HilbertKernel.xy2d(bits, 5 + (1L << bits) * 3, 9) ==
       graft.functions.HilbertKernel.xy2d(bits, 5, 9))
   }
+
+  test("rangeBuckets equals ntile bit-for-bit across N mod n shapes " +
+      "(including N < n and n = 1), without a global window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // (N, nBuckets): exact division, remainder, N < n, single bucket,
+    // n = N, and a prime N against a power-of-two n
+    for ((n, buckets) <- Seq((48, 16), (50, 16), (5, 16), (50, 1),
+        (16, 16), (97, 8))) {
+      val df = (0 until n).map(i => (i.toLong, (i * 37 % 23).toLong))
+        .toDF("id", "key")
+      val want = df.withColumn("b",
+          ntile(buckets).over(Window.orderBy(col("key"), col("id")))
+            .cast("long"))
+        .select(col("id"), col("b")).as[(Long, Long)].collect().toMap
+      val got = graft.operators.Layout.rangeBuckets(df,
+          Seq(col("key"), col("id")), buckets, "b")
+        .select(col("id"), col("b")).as[(Long, Long)].collect().toMap
+      assert(got == want, s"N=$n buckets=$buckets")
+      // the plan never windows over an empty partition spec — that is
+      // the single-task global sort rangeBuckets exists to avoid
+      val plan = graft.operators.Layout.rangeBuckets(df,
+          Seq(col("key"), col("id")), buckets, "b")
+        .queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"unpartitioned Window in plan: $bad")
+    }
+  }
 }

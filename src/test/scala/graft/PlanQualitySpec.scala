@@ -915,6 +915,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p225.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q89/q149: layout bucketing plans contain NO unpartitioned " +
+      "window (the single-task global sort is gone, r20)") {
+    for (q <- Seq("q89_zorder", "q149_hilbert_layout")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q: unpartitioned Window would collapse the table to one " +
+          s"task at scale: $bad")
+    }
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
