@@ -1679,49 +1679,68 @@ object TextAnalysis {
     * ARRAY (the E-step needs multiplicities; '|'-splitting would
     * miscount words containing a literal '|').
     *
+    * SINGLE-PASS shape (r20): the per-position DP runs INSIDE one
+    * `aggregate` higher-order expression over each word's scored-edge
+    * list — one substring explode, one model join (vocab is
+    * broadcast-sized model state), one per-word collect, one map-only
+    * projection. The previous form looped maxWord Spark JOBS (a join +
+    * a word-window + a checkpoint per character position): ~24 global
+    * stage barriers to segment a vocabulary whose per-word DP is ≤
+    * maxWord·maxPiece cells — pure scheduling overhead at ANY scale
+    * (it was ~5 s on a 1,199-type frame and dominated the q217 model
+    * build). The runtime `aggregate` evaluates the same recurrence
+    * per row with zero barriers; `array_min` over (cost, last-piece
+    * length) is the same argmin, and ties beyond that prefix are
+    * byte-identical candidates (predecessor per (end, length) is
+    * unique), so the output is bit-equal to the loop form.
+    *
     * @param types one row per distinct in-range word: (word)
     * @return (word, n_pieces, parr) for words the vocab covers */
   private def viterbiSegmentArr(types: DataFrame, vocab: DataFrame,
       maxPiece: Int): DataFrame = {
-    val big = lit(1L << 50)
+    val big = 1L << 50
     val v = vocab.select(col("piece"), col("score").cast("long")
       .as("score")).localCheckpoint(false)
-    val maxLen = types.agg(max(length(col("word")))).head match {
-      case r if r.isNullAt(0) => 0
-      case r => r.getInt(0)
-    }
-    var frames = Seq(types.select(col("word"), lit(0).as("pos"),
-      lit(0L).as("cost"), lit(0L).as("n"),
-      array().cast("array<string>").as("parr"))
-      .localCheckpoint(false))
-    (1 to maxLen).foreach { i =>
-      val best = frames.reduce(_.unionByName(_))
-      val cands = best
-        .filter(col("pos") < length(col("word")))
-        .filter(col("pos") >= i - maxPiece && col("pos") <= i - 1)
-        .filter(length(col("word")) >= i)
-        .withColumn("__piece",
-          expr(s"substring(word, pos + 1, $i - pos)"))
-        .join(v.select(col("piece").as("__piece"), col("score")),
-          Seq("__piece"))
-        .select(col("word"), lit(i).as("__i"),
-          (col("cost") + big - col("score")).as("cost"),
-          (col("n") + 1L).as("n"),
-          (lit(i) - col("pos")).as("__l"),
-          concat(col("parr"), array(col("__piece"))).as("parr"))
-      val stepBest = cands
-        .withColumn("__rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("word"))
-            .orderBy(col("cost").asc, col("__l").asc)))
-        .filter(col("__rn") === 1)
-        .select(col("word"), col("__i").as("pos"), col("cost"),
-          col("n"), col("parr"))
-      frames = frames :+ stepBest.localCheckpoint(false)
-    }
-    frames.reduce(_.unionByName(_))
-      .filter(col("pos") === length(col("word")))
-      .select(col("word"), col("n").as("n_pieces"), col("parr"))
+    // every (pos, end] substring of length <= maxPiece, scored by the
+    // model — edges the DP may traverse; words with NO scored edge
+    // (or no full path below) are simply absent, the uncovered lane
+    val cand = types.select(col("word"),
+        explode(expr(
+          s"""flatten(transform(sequence(1, length(word)), endp ->
+             |  transform(sequence(1, least($maxPiece, endp)), l ->
+             |    named_struct(
+             |      'pos', endp - l,
+             |      'endp', endp,
+             |      'piece', substring(word, endp - l + 1, l)))))"""
+            .stripMargin)).as("e"))
+      .select(col("word"), col("e.pos").as("pos"),
+        col("e.endp").as("endp"), col("e.piece").as("piece"))
+    val byWord = cand.join(v, Seq("piece"))
+      .groupBy(col("word"))
+      .agg(collect_list(struct(col("pos"), col("endp"), col("piece"),
+        col("score"))).as("__es"))
+    byWord
+      .withColumn("__best", expr(
+        s"""aggregate(
+           |  sequence(1, length(word)),
+           |  array(named_struct('cost', CAST(0 AS BIGINT), 'l', 0,
+           |    'n', CAST(0 AS BIGINT),
+           |    'parr', CAST(array() AS array<string>))),
+           |  (acc, i) -> concat(acc, array(
+           |    array_min(transform(
+           |      filter(__es, e -> e.endp = i
+           |        AND isnotnull(element_at(acc, e.pos + 1))),
+           |      e -> named_struct(
+           |        'cost', element_at(acc, e.pos + 1).cost
+           |          + CAST($big AS BIGINT) - e.score,
+           |        'l', i - e.pos,
+           |        'n', element_at(acc, e.pos + 1).n + CAST(1 AS BIGINT),
+           |        'parr', concat(element_at(acc, e.pos + 1).parr,
+           |          array(e.piece))))))),
+           |  acc -> element_at(acc, length(word) + 1))""".stripMargin))
+      .filter(col("__best").isNotNull)
+      .select(col("word"), col("__best.n").as("n_pieces"),
+        col("__best.parr").as("parr"))
   }
 
   /** Unigram-LM (SentencePiece-style) tokenizer TRAINER — Kudo 2018's
