@@ -30,8 +30,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 16g default heap (was 8g): the bench sweep accumulates memoized
+// localCheckpoint blocks across 234 queries in ONE JVM — at 8g the
+// tail of the sweep ran under visible GC pressure (r19's uniform
+// 1.5-2x inflation of untouched late-sweep queries), on a 128 GiB
+// box. SPARK_GRAFT_EXTRA_JAVA_OPTS is the experiment hook (GC logs,
+// code-cache sizing) so diagnosing this never needs a build edit.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+  .flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))

@@ -477,6 +477,125 @@ object SuffixArray {
       st.sigCols.length, minSpan, baseSpan)
   }
 
+  /** Index MAINTENANCE — absorb a batch of documents into a frozen
+    * [[SubstrIndex]] without re-ranking the corpus: the streaming-
+    * decontam analog of [[graft.operators.Dedup.updateCorpusIndex]],
+    * closing the serving loop (probe batch → remove contaminated →
+    * absorb survivors → the NEXT batch's probe also rejects copies of
+    * THIS batch's spans).
+    *
+    * Mechanics: batch suffixes re-rank themselves through the frozen
+    * maps exactly as in [[exactSubstrProbe]], except that a missing
+    * key — a window or rank pair the corpus has never seen — mints a
+    * FRESH rank (dense rank over the novel keys, offset past the
+    * level's existing maximum) instead of propagating NULL, and the
+    * extended key maps are retained. The batch's certificate tuples
+    * then MERGE into the counted `sig` table (occurrence counts sum on
+    * matching tuples, novel tuples insert). Probe semantics need rank
+    * INJECTIVITY per level, not the rebuild's exact dense values, so
+    * probes against the absorbed index answer identically to a fresh
+    * [[buildSubstrIndex]] over corpus ∪ batch — membership AND counts
+    * (spec-gated in `SubstrIndexSpec`). Cost ∝ batch: every join is
+    * batch-scale against a stored map; the corpus is never re-read.
+    *
+    * The returned index is in-memory; persist it with
+    * [[saveSubstrIndex]] under the SAME root — the IndexStore writes a
+    * new generation and readers atomically see the newer corpus. */
+  def absorbSubstrIndex(ix: SubstrIndex, batch: DataFrame,
+      textCol: String, idCol: String): SubstrIndex = {
+    val baseLog = 31 - Integer.numberOfLeadingZeros(ix.baseSpan)
+    val parts = decompose(ix.minSpan, baseLog)
+    require(parts.length == ix.nSigCols,
+      s"absorbSubstrIndex: index has ${ix.nSigCols} certificate parts " +
+        s"but minSpan=${ix.minSpan}, baseSpan=${ix.baseSpan} decompose " +
+        s"into ${parts.length} — artifact params are inconsistent")
+    require(ix.sig.columns.contains("cnt"),
+      "absorbSubstrIndex: this index carries no occurrence counts — " +
+        "rebuild with buildSubstrIndex")
+    val tokf = batch
+      .select(col(idCol).as("doc_id"),
+        split(coalesce(col(textCol), lit("")), "\\s+").as("__toks"))
+      .localCheckpoint(false)
+    val sfx = tokf
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n"),
+        col("__toks"), posexplode(col("__toks")).as(Seq("__p0", "__tk")))
+      .select(col("doc_id"), (col("__p0") + 1).cast("long").as("pos"),
+        col("n"),
+        slice(col("__toks"), col("__p0") + 1, lit(ix.baseSpan)).as("__w"))
+      .localCheckpoint(false)
+    // base level: known windows keep their corpus rank; novel windows
+    // mint fresh ranks past the corpus maximum (dense over the novel
+    // vocabulary — batch-scale, the only content-addressable frame)
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val baseMax = maxOf(ix.base, "r")
+    val novelWins = sfx.select(col("__w")).distinct()
+      .join(ix.base.select(col("__w")), Seq("__w"), "left_anti")
+    val base2 = ix.base.unionByName(
+      Ranks.globalDenseRank(novelWins, Seq(col("__w")), "__nr")
+        .select(col("__w"), (col("__nr") + baseMax).as("r")))
+      .localCheckpoint(false)
+    val tables = scala.collection.mutable.Map.empty[Int, DataFrame]
+    tables(baseLog) = sfx
+      .join(base2.select(col("__w"), col("r").as("__cr")), Seq("__w"))
+      .select(col("doc_id"), col("pos"), col("n"), col("__cr").as("r"))
+      .localCheckpoint(false)
+    // doubling levels: extend each key map with the batch's novel
+    // (r1, r2) pairs, same fresh-rank minting; the 0-sentinel for the
+    // missing partner ROW mirrors the corpus build exactly
+    val roundMaps2 = ix.roundMaps.map { case (e, rmap) =>
+      val m = 1L << (e - 1)
+      val prev = tables(e - 1)
+      val partner = prev.select(col("doc_id"),
+        (col("pos") - m).as("pos"), col("r").as("__r2"))
+      val keyed = prev.join(partner, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("n"),
+          col("r").as("__r1"),
+          coalesce(col("__r2"), lit(0L)).as("__r2"))
+      val rMax = maxOf(rmap, "r")
+      val novelKeys = keyed.select(col("__r1").as("r1"),
+          col("__r2").as("r2")).distinct()
+        .join(rmap.select(col("r1"), col("r2")), Seq("r1", "r2"),
+          "left_anti")
+      val rmap2 = rmap.unionByName(
+        Ranks.globalDenseRank(novelKeys,
+            Seq(col("r1"), col("r2")), "__nr")
+          .select(col("r1"), col("r2"), (col("__nr") + rMax).as("r")))
+        .localCheckpoint(false)
+      tables(e) = keyed
+        .join(rmap2.select(col("r1").as("__r1"), col("r2").as("__r2"),
+          col("r").as("__cr")), Seq("__r1", "__r2"))
+        .select(col("doc_id"), col("pos"), col("n"), col("__cr").as("r"))
+        .localCheckpoint(false)
+      e -> rmap2
+    }
+    // batch certificate tuples in the extended rank space (every rank
+    // resolves by construction), counted and merged into sig
+    var bsig: DataFrame = tables(parts.map(_._1).max)
+      .filter(col("n") - col("pos") + 1 >= ix.minSpan)
+      .select(col("doc_id"), col("pos"))
+    parts.zipWithIndex.foreach { case ((k, off), i) =>
+      bsig = bsig.join(
+        tables(k).select(col("doc_id"), (col("pos") - off).as("pos"),
+          col("r").as(s"__s$i")),
+        Seq("doc_id", "pos"))
+    }
+    val sigCols = parts.indices.map(i => s"__s$i")
+    val batchCnt = bsig.groupBy(sigCols.map(col): _*)
+      .agg(count(lit(1)).as("__bc"))
+    val sig2 = ix.sig
+      .join(batchCnt, sigCols, "full_outer")
+      .select(sigCols.map(col) :+
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("__bc"), lit(0L)))
+          .as("cnt"): _*)
+      .localCheckpoint(true)
+    SubstrIndex(base2, roundMaps2, sig2, ix.nSigCols,
+      ix.minSpan, ix.baseSpan)
+  }
+
   /** Persist a [[SubstrIndex]] under `root` on the
     * [[graft.model.IndexStore]] crash-atomic generation protocol (the
     * convention shared with the LSH corpus index and the IVF index). */

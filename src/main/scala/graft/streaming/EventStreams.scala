@@ -161,6 +161,52 @@ object EventStreams {
       .start()
   }
 
+  /** [[substrDecontamIngest]] with a GROWING corpus — the EXACTSUBSTR
+    * analog of [[curationIngest]]'s absorb loop: each micro-batch is
+    * probed against the CURRENT index, the cleaned survivors append to
+    * the sink, and their (post-removal) text ABSORBS into the index
+    * ([[graft.operators.SuffixArray.absorbSubstrIndex]]) so the NEXT
+    * batch's probe also rejects copies of THIS batch's spans. Every
+    * `checkpointEvery` batches the index persists as a new IndexStore
+    * generation under `indexPath` and the live reference swaps to the
+    * parquet-backed reload (bounding accumulated checkpoint lineage —
+    * the curationIngest cadence; generations make the overwrite
+    * crash-atomic for free). Batch-for-batch ≡ the sequential
+    * probe→absorb replay (spec-gated in `SubstrIndexSpec`). */
+  def substrDecontamIngestAccumulating(
+      docsStream: DataFrame, indexPath: String,
+      textCol: String, idCol: String,
+      sinkPath: String, checkpointPath: String,
+      checkpointEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docsStream.sparkSession
+    val index = new java.util.concurrent.atomic.AtomicReference(
+      graft.operators.SuffixArray.loadSubstrIndex(spark, indexPath))
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cleaned = graft.operators.SuffixArray
+          .exactSubstrProbe(index.get(), batch.toDF(), textCol, idCol)
+          .localCheckpoint(true)
+        cleaned.write.mode("append").parquet(sinkPath)
+        // the probe output carries the q222 fixed shape (doc_id, ...,
+        // text) — re-alias to the caller's column names for the absorb
+        val absorbed = graft.operators.SuffixArray.absorbSubstrIndex(
+          index.get(),
+          cleaned.select(col("doc_id").as(idCol),
+            col("text").as(textCol)), textCol, idCol)
+        index.set(
+          if (gen.incrementAndGet() % checkpointEvery == 0) {
+            graft.operators.SuffixArray
+              .saveSubstrIndex(absorbed, indexPath)
+            graft.operators.SuffixArray
+              .loadSubstrIndex(spark, indexPath)
+          } else absorbed)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming semantic dedup — the embedding twin of [[dedupedIngest]]
     * and the continuous-ingestion form of
     * [[graft.operators.Dedup.semanticDedup]]: each micro-batch of

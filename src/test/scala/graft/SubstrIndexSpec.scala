@@ -291,4 +291,137 @@ class SubstrIndexSpec extends AnyFunSuite {
         ix, b2.toDF("doc_id", "text"), "text", "doc_id"))
     assert(streamed == replayed)
   }
+
+  test("accumulating streaming twin: each batch is probed against the " +
+      "index GROWN by every prior batch (batch-2 copy of a batch-1 " +
+      "span is rejected), checkpoint-save cadence included") {
+    import spark.implicits._
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val ix = SuffixArray.buildSubstrIndex(corpus, "text", "doc_id",
+      minSpan = 10, baseSpan = 4)
+    val root = java.nio.file.Files.createTempDirectory("saix-acc")
+      .resolve("ix").toString
+    SuffixArray.saveSubstrIndex(ix, root)
+    val inDir = java.nio.file.Files.createTempDirectory("saacc-in")
+    val sink = java.nio.file.Files
+      .createTempDirectory("saacc-out").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("saacc-ck").toString
+    val b1 = Seq((201L, seqText(500, 15)), (202L, seqText(0, 12)))
+    val b2 = Seq((301L, seqText(500, 12)), (302L, seqText(700, 12)))
+    b1.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(inDir.resolve("b1").toString)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(inDir.toString + "/*")
+    // checkpointEvery = 1: every batch exercises the save + reload lane
+    val q = graft.streaming.EventStreams.substrDecontamIngestAccumulating(
+      stream, root, "text", "doc_id", sink, ckpt, checkpointEvery = 1)
+    q.processAllAvailable()
+    b2.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(inDir.resolve("b2").toString)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = collectOut(spark.read.parquet(sink))
+    // sequential replay: probe b1 on the seed, absorb b1's cleaned
+    // text, probe b2 on the grown index
+    val c1 = SuffixArray.exactSubstrProbe(ix,
+      b1.toDF("doc_id", "text"), "text", "doc_id")
+    val grown = SuffixArray.absorbSubstrIndex(ix,
+      c1.select("doc_id", "text"), "text", "doc_id")
+    val replayed = collectOut(c1) ++
+      collectOut(SuffixArray.exactSubstrProbe(grown,
+        b2.toDF("doc_id", "text"), "text", "doc_id"))
+    assert(streamed == replayed)
+    // the loop actually closed: 301 copies a batch-1-only span
+    assert(streamed(301L)._2 > 0,
+      s"batch-2 copy of a batch-1 span must be rejected: $streamed")
+    assert(streamed(302L)._2 == 0)
+    // the persisted root serves the fully-grown corpus after the run
+    val served = SuffixArray.loadSubstrIndex(spark, root)
+    val probeAgain = collectOut(SuffixArray.exactSubstrProbe(served,
+      Seq((401L, seqText(500, 11))).toDF("doc_id", "text"),
+      "text", "doc_id"))
+    assert(probeAgain(401L)._2 > 0,
+      s"persisted generation must carry batch-1 spans: $probeAgain")
+  }
+
+  test("absorb == rebuild: probe and frequency report against the " +
+      "absorbed index equal a fresh build over corpus UNION batch, " +
+      "and a batch-2 copy of a batch-1-only span is now rejected") {
+    import spark.implicits._
+    val corpus = corpusRows.toDF("doc_id", "text")
+    // batch 1: one novel doc, one copy of a corpus prefix (so the
+    // count merge is exercised on BOTH novel and existing tuples)
+    val batch1 = Seq(
+      (201L, seqText(500, 15)),
+      (202L, seqText(0, 12))).toDF("doc_id", "text")
+    // batch 2: a copy of batch 1's NOVEL span (invisible to the
+    // original corpus), and fresh content
+    val batch2 = Seq(
+      (301L, seqText(500, 12)),
+      (302L, seqText(700, 12))).toDF("doc_id", "text")
+    val ix = SuffixArray.buildSubstrIndex(corpus, "text", "doc_id",
+      minSpan = 10, baseSpan = 4)
+    val absorbed = SuffixArray.absorbSubstrIndex(ix, batch1,
+      "text", "doc_id")
+    val rebuilt = SuffixArray.buildSubstrIndex(
+      corpus.unionByName(batch1), "text", "doc_id",
+      minSpan = 10, baseSpan = 4)
+    assert(collectOut(SuffixArray.exactSubstrProbe(absorbed, batch2,
+        "text", "doc_id")) ==
+      collectOut(SuffixArray.exactSubstrProbe(rebuilt, batch2,
+        "text", "doc_id")))
+    def stats(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val gotRep = stats(SuffixArray.exactSubstrProbeReport(absorbed,
+      batch2, "text", "doc_id"))
+    assert(gotRep == stats(SuffixArray.exactSubstrProbeReport(rebuilt,
+      batch2, "text", "doc_id")))
+    // the closing-the-loop property: the original index does NOT
+    // reject batch 2's copy of the batch-1-only span; the absorbed
+    // index does — and fresh content stays clean either way
+    val before = collectOut(SuffixArray.exactSubstrProbe(ix, batch2,
+      "text", "doc_id"))
+    val after = collectOut(SuffixArray.exactSubstrProbe(absorbed,
+      batch2, "text", "doc_id"))
+    assert(before(301L)._2 == 0, s"corpus never saw w500..: $before")
+    assert(after(301L)._2 > 0, s"absorbed index must reject: $after")
+    assert(before(302L)._2 == 0 && after(302L)._2 == 0)
+    // count semantics survive the merge: doc 202 duplicated a corpus
+    // prefix, so a batch-2 probe of that prefix now sees frequency 3
+    // (corpus doc 1 + corpus-prefix positions + batch-1 copy)
+    val probe3 = Seq((401L, seqText(0, 10))).toDF("doc_id", "text")
+    val rep3 = stats(SuffixArray.exactSubstrProbeReport(absorbed,
+      probe3, "text", "doc_id"))
+    val rep3Rebuilt = stats(SuffixArray.exactSubstrProbeReport(rebuilt,
+      probe3, "text", "doc_id"))
+    assert(rep3 == rep3Rebuilt, s"$rep3 vs $rep3Rebuilt")
+    assert(rep3(401L)._4 >= 2L, s"merged count must be >= 2: $rep3")
+  }
+
+  test("absorbed index persists as a NEW generation under the same " +
+      "root: reload serves the absorbed corpus") {
+    import spark.implicits._
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val batch1 = Seq((201L, seqText(500, 15))).toDF("doc_id", "text")
+    val probe = Seq((301L, seqText(500, 12))).toDF("doc_id", "text")
+    val ix = SuffixArray.buildSubstrIndex(corpus, "text", "doc_id",
+      minSpan = 10, baseSpan = 4)
+    val root = java.nio.file.Files.createTempDirectory("saix-a")
+      .resolve("ix").toString
+    SuffixArray.saveSubstrIndex(ix, root)
+    SuffixArray.saveSubstrIndex(
+      SuffixArray.absorbSubstrIndex(
+        SuffixArray.loadSubstrIndex(spark, root), batch1,
+        "text", "doc_id"),
+      root)
+    val served = SuffixArray.loadSubstrIndex(spark, root)
+    val out = collectOut(SuffixArray.exactSubstrProbe(served, probe,
+      "text", "doc_id"))
+    assert(out(301L)._2 > 0,
+      s"reloaded generation must carry the absorbed batch: $out")
+  }
 }
