@@ -880,12 +880,24 @@ object SuffixArray {
           s"exactSubstrDedup: a document exceeds baseSpan*2^$rounds " +
             "tokens — the doubling cannot totalize the suffix order; " +
             "raise rounds")).cast("long"))
+    // window representation: the SA/index paths need the token ARRAY
+    // (lexicographic order of the rank must follow element-wise token
+    // order — a joined string would mis-order tokens beginning below
+    // 0x20, e.g. the q231 U+0001 sentinels); the flat sig-only path
+    // needs only INJECTIVITY, and the space-joined STRING is injective
+    // (tokens are \s+-split so they cannot contain ' ') while being
+    // far cheaper to range-partition, sort, and join than an
+    // array<string> key (r20: the array-keyed base rank was ~70% of
+    // q229/q231's runtime)
+    val winOf = (toks: Column, p0: Column) =>
+      if (flatSig) concat_ws(" ", slice(toks, p0 + 1, lit(baseSpan)))
+      else slice(toks, p0 + 1, lit(baseSpan))
     val sfx = tokf
       .select(col("doc_id"), lenGuard.as("n"), col("__toks"),
         posexplode(col("__toks")).as(Seq("__p0", "__tk")))
       .select(col("doc_id"), (col("__p0") + 1).cast("long").as("pos"),
         col("n"),
-        slice(col("__toks"), col("__p0") + 1, lit(baseSpan)).as("__w"))
+        winOf(col("__toks"), col("__p0")).as("__w"))
     // round 0: rank by the first baseSpan tokens directly — via the
     // DISTINCT windows (r19): dense-rank the window VOCABULARY (equal
     // windows share a rank either way, so the rank VALUES are
@@ -899,30 +911,52 @@ object SuffixArray {
     // trivial, and the join-back is AQE-broadcastable when the
     // vocabulary is small. Each round's table is re-checkpointed so
     // every consumer scans ONE flat frame.
-    val (wRanked, wRankedH) = {
-      val (r0, h) = Ranks.globalDenseRankTracked(
-        sfx.select(col("__w")).distinct(), Seq(col("__w")), out = "__br")
-      val out = CheckpointHygiene.checkpointTracked(r0, eager = true)
-      CheckpointHygiene.free(h)
-      out
-    }
-    val rkBaseRanked = sfx.join(wRanked, Seq("__w"))
     val tables = scala.collection.mutable.Map.empty[Int, DataFrame]
     val handles =
       scala.collection.mutable.Map.empty[Int, Seq[org.apache.spark.rdd.RDD[_]]]
-    val (rk0c, rk0h) = CheckpointHygiene.checkpointTracked(
-      rkBaseRanked
-        .select(col("doc_id"), col("pos"), col("n"), col("__br").as("r")),
-      eager = true)
+    // base round. SA/index paths: dense-rank the DISTINCT window
+    // vocabulary, then map ranks onto suffixes by equi-join — the
+    // in-place form's range exchange on a wide ARRAY key had the
+    // RangePartitioner collecting corpus-scale array samples to the
+    // driver (the §9z variance). Flat sig-only path: the window is a
+    // plain STRING (see winOf), whose range sampling is trivial — rank
+    // IN PLACE and skip both the distinct and the join-back.
+    val (baseContent, rk0c, rk0h) =
+      if (flatSig) {
+        val (r0, h) = Ranks.globalDenseRankTracked(
+          sfx.select(col("doc_id"), col("pos"), col("n"), col("__w")),
+          Seq(col("__w")), out = "__br")
+        val (out, oh) = CheckpointHygiene.checkpointTracked(
+          r0.select(col("doc_id"), col("pos"), col("n"),
+            col("__br").as("r")),
+          eager = true)
+        CheckpointHygiene.free(h)
+        (null, out, oh)
+      } else {
+        val (wRanked, wRankedH) = {
+          val (r0, h) = Ranks.globalDenseRankTracked(
+            sfx.select(col("__w")).distinct(), Seq(col("__w")),
+            out = "__br")
+          val out = CheckpointHygiene.checkpointTracked(r0, eager = true)
+          CheckpointHygiene.free(h)
+          out
+        }
+        val (out, oh) = CheckpointHygiene.checkpointTracked(
+          sfx.join(wRanked, Seq("__w"))
+            .select(col("doc_id"), col("pos"), col("n"),
+              col("__br").as("r")),
+          eager = true)
+        // the probe index needs CONTENT-addressable ranks: the distinct
+        // (window → base rank) map is the only place token text
+        // survives — exactly the vocabulary frame the base rank was
+        // computed on (kept alive for the index; freed here otherwise,
+        // the suffix table carries the ranks from now on)
+        val bc =
+          if (collectIndex) wRanked.select(col("__w"), col("__br").as("r"))
+          else { CheckpointHygiene.free(wRankedH); null }
+        (bc, out, oh)
+      }
     tables(baseLog) = rk0c; handles(baseLog) = rk0h
-    // the probe index needs CONTENT-addressable ranks: the distinct
-    // (window → base rank) map is the only place token text survives —
-    // exactly the vocabulary frame the base rank was computed on (kept
-    // alive for the index; freed here otherwise, the suffix table
-    // carries the ranks from now on)
-    val baseContent =
-      if (collectIndex) wRanked.select(col("__w"), col("__br").as("r"))
-      else { CheckpointHygiene.free(wRankedH); null }
     val roundMaps = Seq.newBuilder[(Int, DataFrame)]
     // suffix universe size, for the convergence probe — counted NOW,
     // while the base table's checkpoint is certainly alive (it may be
@@ -998,15 +1032,38 @@ object SuffixArray {
     val sigCols = parts.indices.map(i => s"__s$i")
     // base the gated frame on the top rank table (it already carries
     // (doc_id, pos, n) — sa would add a useless column to the joins)
-    var sig: DataFrame = tbl(topExp)
-      .filter(col("n") - col("pos") + 1 >= minSpan)
-      .select(col("doc_id"), col("pos"))
-    parts.zipWithIndex.foreach { case ((k, off), i) =>
-      sig = sig.join(
-        tbl(k).select(col("doc_id"), (col("pos") - off).as("pos"),
-          col("r").as(s"__s$i")),
-        Seq("doc_id", "pos"))
-    }
+    var sig: DataFrame =
+      if (flatSig) {
+        // every flat certificate part reads the SAME base table at a
+        // fixed positive offset, so the whole tuple is ONE per-doc
+        // window pass (`lead(r, off)` — each pos in 1..n is present
+        // exactly once, so the lead at off IS the rank at pos + off,
+        // and gated rows satisfy pos + off <= pos + minSpan − baseSpan
+        // <= n so no lead is null): one doc-keyed exchange instead of
+        // the join chain's |parts| suffix-table shuffles (r20 — q229/
+        // q231 spent most of their time in those seven joins)
+        val wDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        parts.zipWithIndex.foldLeft(tables(baseLog)) {
+          case (df, ((_, off), i)) =>
+            df.withColumn(s"__s$i",
+              if (off == 0) col("r")
+              else lead(col("r"), off).over(wDoc))
+        }
+          .filter(col("n") - col("pos") + 1 >= minSpan)
+          .select(col("doc_id") +: col("pos") +: sigCols.map(col): _*)
+      } else {
+        var s0: DataFrame = tbl(topExp)
+          .filter(col("n") - col("pos") + 1 >= minSpan)
+          .select(col("doc_id"), col("pos"))
+        parts.zipWithIndex.foreach { case ((k, off), i) =>
+          s0 = s0.join(
+            tbl(k).select(col("doc_id"), (col("pos") - off).as("pos"),
+              col("r").as(s"__s$i")),
+            Seq("doc_id", "pos"))
+        }
+        s0
+      }
     sig = sig.localCheckpoint(true)
     handles.valuesIterator.foreach(CheckpointHygiene.free)
     SigState(tokf, sig, sigCols, sa, baseContent, roundMaps.result())
