@@ -914,48 +914,36 @@ object SuffixArray {
     val tables = scala.collection.mutable.Map.empty[Int, DataFrame]
     val handles =
       scala.collection.mutable.Map.empty[Int, Seq[org.apache.spark.rdd.RDD[_]]]
-    // base round. SA/index paths: dense-rank the DISTINCT window
-    // vocabulary, then map ranks onto suffixes by equi-join — the
-    // in-place form's range exchange on a wide ARRAY key had the
-    // RangePartitioner collecting corpus-scale array samples to the
-    // driver (the §9z variance). Flat sig-only path: the window is a
-    // plain STRING (see winOf), whose range sampling is trivial — rank
-    // IN PLACE and skip both the distinct and the join-back.
-    val (baseContent, rk0c, rk0h) =
-      if (flatSig) {
-        val (r0, h) = Ranks.globalDenseRankTracked(
-          sfx.select(col("doc_id"), col("pos"), col("n"), col("__w")),
-          Seq(col("__w")), out = "__br")
-        val (out, oh) = CheckpointHygiene.checkpointTracked(
-          r0.select(col("doc_id"), col("pos"), col("n"),
-            col("__br").as("r")),
-          eager = true)
-        CheckpointHygiene.free(h)
-        (null, out, oh)
-      } else {
-        val (wRanked, wRankedH) = {
-          val (r0, h) = Ranks.globalDenseRankTracked(
-            sfx.select(col("__w")).distinct(), Seq(col("__w")),
-            out = "__br")
-          val out = CheckpointHygiene.checkpointTracked(r0, eager = true)
-          CheckpointHygiene.free(h)
-          out
-        }
-        val (out, oh) = CheckpointHygiene.checkpointTracked(
-          sfx.join(wRanked, Seq("__w"))
-            .select(col("doc_id"), col("pos"), col("n"),
-              col("__br").as("r")),
-          eager = true)
-        // the probe index needs CONTENT-addressable ranks: the distinct
-        // (window → base rank) map is the only place token text
-        // survives — exactly the vocabulary frame the base rank was
-        // computed on (kept alive for the index; freed here otherwise,
-        // the suffix table carries the ranks from now on)
-        val bc =
-          if (collectIndex) wRanked.select(col("__w"), col("__br").as("r"))
-          else { CheckpointHygiene.free(wRankedH); null }
-        (bc, out, oh)
-      }
+    // base round, ALL paths: dense-rank the DISTINCT window
+    // vocabulary, then map ranks onto suffixes by equi-join. The
+    // distinct stays even for cheap string keys (r20 soak): under
+    // real duplication the vocabulary is corpus-FRACTION-sized (the
+    // 30× replica corpus holds 15M suffixes but the same ~258k
+    // distinct windows), so ranking in place would range-exchange and
+    // sort the full suffix frame where the distinct form exchanges
+    // only the vocabulary — measured 2× on the 30× memorization
+    // report. The string key (flat path, see winOf) still halves the
+    // rank+join-back cost vs the array key, and the §9z driver-side
+    // array-sampling hazard is gone either way.
+    val (wRanked, wRankedH) = {
+      val (r0, h) = Ranks.globalDenseRankTracked(
+        sfx.select(col("__w")).distinct(), Seq(col("__w")), out = "__br")
+      val out = CheckpointHygiene.checkpointTracked(r0, eager = true)
+      CheckpointHygiene.free(h)
+      out
+    }
+    val (rk0c, rk0h) = CheckpointHygiene.checkpointTracked(
+      sfx.join(wRanked, Seq("__w"))
+        .select(col("doc_id"), col("pos"), col("n"), col("__br").as("r")),
+      eager = true)
+    // the probe index needs CONTENT-addressable ranks: the distinct
+    // (window → base rank) map is the only place token text survives —
+    // exactly the vocabulary frame the base rank was computed on (kept
+    // alive for the index; freed here otherwise, the suffix table
+    // carries the ranks from now on)
+    val baseContent =
+      if (collectIndex) wRanked.select(col("__w"), col("__br").as("r"))
+      else { CheckpointHygiene.free(wRankedH); null }
     tables(baseLog) = rk0c; handles(baseLog) = rk0h
     val roundMaps = Seq.newBuilder[(Int, DataFrame)]
     // suffix universe size, for the convergence probe — counted NOW,
