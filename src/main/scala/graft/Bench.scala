@@ -23,6 +23,21 @@ object Bench {
       (rest(11).toLong / hz, rest(12).toLong / hz) // utime, stime
     } catch { case _: Throwable => (-1.0, -1.0) }
 
+  /** (read_bytes, write_bytes) this process has sent to the storage
+    * layer, from /proc/self/io — distinguishes "our own shuffle/
+    * checkpoint traffic" from ambient contention: a sweep whose
+    * controls inflate while its OWN io delta matches a calm run's is
+    * being starved by the HOST (the r20 pattern: q73, CPU-bound,
+    * stays 1.0x while the shuffle-heavy q76/q93 controls inflate 2x
+    * with proc_sys_sec doubled). (-1,-1) off-Linux. */
+  private def procIo(): (Long, Long) =
+    try {
+      val m = scala.io.Source.fromFile("/proc/self/io").getLines()
+        .map(_.split(":\\s*")).collect { case Array(k, v) => k -> v.toLong }
+        .toMap
+      (m.getOrElse("read_bytes", -1L), m.getOrElse("write_bytes", -1L))
+    } catch { case _: Throwable => (-1L, -1L) }
+
   /** Pinned calm medians (sec, sf0.1, this container class at load<0.3) for
     * the contention controls. Re-running these three at the END of the sweep
     * and comparing against the pinned figures makes a contended run
@@ -82,6 +97,7 @@ object Bench {
       load1Start: Double, load5Start: Double,
       load1End: Double, load5End: Double,
       userSec: Double, sysSec: Double, sysRatio: Double,
+      readBytes: Long, writeBytes: Long,
       wallSec: Double, contended: Boolean, noisy: Boolean,
       valid: Boolean) {
     /** worst control ratio, for picking the least-noisy fallback */
@@ -144,6 +160,7 @@ object Bench {
     def runAttempt(): Attempt = {
       val (load1Start, load5Start) = loadAvg()
       val (userStart, sysStart) = procCpu()
+      val (readStart, writeStart) = procIo()
       val wallStart = System.nanoTime()
       // Contention controls, INTERLEAVED through the sweep (not just after
       // it): control code is frozen within a round, so a blow-up vs the
@@ -177,9 +194,14 @@ object Bench {
         }
       val (load1End, load5End) = loadAvg()
       val (userEnd, sysEnd) = procCpu()
+      val (readEnd, writeEnd) = procIo()
       val wallSec = (System.nanoTime() - wallStart) / 1e9
       val userSec = userEnd - userStart
       val sysSec = sysEnd - sysStart
+      val readBytes =
+        if (readStart < 0 || readEnd < 0) -1L else readEnd - readStart
+      val writeBytes =
+        if (writeStart < 0 || writeEnd < 0) -1L else writeEnd - writeStart
       val sysRatio = if (userSec > 1.0) sysSec / userSec else -1.0
       val contended =
         controlWorst.valuesIterator.exists(_._2 > contentionFactor) ||
@@ -196,7 +218,8 @@ object Bench {
         controlWorst.valuesIterator.exists(_._2 > noisyFactor)
       Attempt(results, controlSamples.toSeq, controlWorst,
         load1Start, load5Start, load1End, load5End,
-        userSec, sysSec, sysRatio, wallSec, contended, noisy, valid)
+        userSec, sysSec, sysRatio, readBytes, writeBytes,
+        wallSec, contended, noisy, valid)
     }
 
     // REFUSE to record a contended sweep (r19, VERDICT r18 item 3): a
@@ -265,6 +288,8 @@ object Bench {
       s""""load1_end":$load1End,"load5_end":$load5End,""" +
       s""""proc_user_sec":$userSec,"proc_sys_sec":$sysSec,""" +
       s""""sys_cpu_ratio":${f"$sysRatio%.3f"},""" +
+      s""""io_read_bytes":${att.readBytes},""" +
+      s""""io_write_bytes":${att.writeBytes},""" +
       s""""wall_sec":${f"$wallSec%.1f"},"controls":$controlsJson,""" +
       s""""control_samples":$samplesJson,"load_elevated":$loadElevated,""" +
       s""""attempts":${attemptsContended.size},""" +

@@ -18,6 +18,7 @@ class BenchSelectionSpec extends AnyFunSuite {
       worst = Map("c" -> (worstRatio, worstRatio)),
       load1Start = 0, load5Start = 0, load1End = 0, load5End = 0,
       userSec = 1, sysSec = 0, sysRatio = 0,
+      readBytes = 0L, writeBytes = 0L,
       wallSec = 1, contended = false, noisy = noisy, valid = valid)
 
   private def tagOf(a: Bench.Attempt): Double = a.results.head._2
