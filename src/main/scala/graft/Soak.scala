@@ -310,6 +310,64 @@ object Soak {
       return
     }
 
+    if (mode == "absorb") {
+      // the r20 index-maintenance lifecycle at replica scale: ONE
+      // frozen counted index over the replicated corpus, then absorb
+      // batches of 1x and 4x size against it — absorb wall must track
+      // the BATCH (the corpus never re-ranks; its stored maps are only
+      // scanned map-side by the level joins), and a second batch
+      // copying the first batch's spans must be rejected by the grown
+      // index (the streaming loop's observable).
+      val ixRoot = java.nio.file.Files
+        .createTempDirectory("graft-soak-absorb").resolve("ix").toString
+      val ix = timed(s"buildSubstrIndex (${replicas}x corpus, base 16)") {
+        val built = operators.SuffixArray.buildSubstrIndex(
+          docs, "text", "doc_id", minSpan = 50, baseSpan = 16)
+        operators.SuffixArray.saveSubstrIndex(built, ixRoot)
+        operators.SuffixArray.loadSubstrIndex(spark, ixRoot)
+      }
+      val b1 = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 950000000L).as("doc_id"),
+          regexp_replace(col("text"), " [^ ]+$", "").as("text"))
+        .localCheckpoint(true)
+      // 4x batch: distinct content per slice (novel windows scale with
+      // the batch — the absorb's worst case)
+      val b4 = (0 until 4).map { k =>
+        b1.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          concat_ws(" ", lit(s"b$k"), col("text")).as("text"))
+      }.reduce(_.unionByName(_)).localCheckpoint(true)
+      val n1 = b1.count(); val n4 = b4.count()
+      def absorbTimed(tag: String, b: org.apache.spark.sql.DataFrame)
+          : Unit =
+        timed(s"absorb + persist ($tag)") {
+          val root2 = java.nio.file.Files
+            .createTempDirectory(s"graft-soak-absorb-b")
+            .resolve("ix").toString
+          val grown = operators.SuffixArray.absorbSubstrIndex(
+            ix, b, "text", "doc_id")
+          operators.SuffixArray.saveSubstrIndex(grown, root2)
+        }
+      // untimed warm-up: the first absorb pays per-plan codegen JIT
+      // (measured 1.5x on the first timing otherwise)
+      absorbTimed(s"warm-up, $n1 docs", b1)
+      absorbTimed(s"batch 1x, $n1 docs", b1)
+      absorbTimed(s"batch 4x, $n4 docs", b4)
+      val grown = operators.SuffixArray.absorbSubstrIndex(
+        ix, b1, "text", "doc_id")
+      val b2 = b1.select((col("doc_id") + 5000000L).as("doc_id"),
+        regexp_replace(col("text"), " [^ ]+$", "").as("text"))
+      timed("probe-after-absorb (batch-2 copies of batch-1 spans)") {
+        val out = operators.SuffixArray.exactSubstrProbe(
+          grown, b2, "text", "doc_id")
+        val agg = out.agg(count(lit(1)).as("d"),
+          sum(col("n_removed_starts")).as("s")).head
+        println(s"[soak]   -> ${agg.getLong(0)} batch-2 docs, " +
+          s"${agg.getLong(1)} rejected duplicate starts")
+      }
+      spark.stop()
+      return
+    }
+
     if (mode == "spectrum") {
       println(s"[soak] docs partitions: ${docs.rdd.getNumPartitions}")
       timed("buildSignatures over a MATERIALIZED checkpoint of docs") {
