@@ -521,7 +521,9 @@ object SuffixArray {
         col("__toks"), posexplode(col("__toks")).as(Seq("__p0", "__tk")))
       .select(col("doc_id"), (col("__p0") + 1).cast("long").as("pos"),
         col("n"),
-        slice(col("__toks"), col("__p0") + 1, lit(ix.baseSpan)).as("__w"))
+        concat_ws(" ",
+          slice(col("__toks"), col("__p0") + 1, lit(ix.baseSpan)))
+          .as("__w")) // string key — matches the index build (winOf)
       .localCheckpoint(false)
     // base level: known windows keep their corpus rank; novel windows
     // mint fresh ranks past the corpus maximum (dense over the novel
@@ -743,7 +745,9 @@ object SuffixArray {
         col("__toks"), posexplode(col("__toks")).as(Seq("__p0", "__tk")))
       .select(col("doc_id"), (col("__p0") + 1).cast("long").as("pos"),
         col("n"),
-        slice(col("__toks"), col("__p0") + 1, lit(ix.baseSpan)).as("__w"))
+        concat_ws(" ",
+          slice(col("__toks"), col("__p0") + 1, lit(ix.baseSpan)))
+          .as("__w")) // string key — matches the index build (winOf)
     val tables = scala.collection.mutable.Map.empty[Int, DataFrame]
     tables(baseLog) = sfx
       .join(ix.base.select(col("__w"), col("r").as("__cr")),
@@ -880,17 +884,20 @@ object SuffixArray {
           s"exactSubstrDedup: a document exceeds baseSpan*2^$rounds " +
             "tokens — the doubling cannot totalize the suffix order; " +
             "raise rounds")).cast("long"))
-    // window representation: the SA/index paths need the token ARRAY
+    // window representation: SA builds need the token ARRAY
     // (lexicographic order of the rank must follow element-wise token
     // order — a joined string would mis-order tokens beginning below
-    // 0x20, e.g. the q231 U+0001 sentinels); the flat sig-only path
-    // needs only INJECTIVITY, and the space-joined STRING is injective
-    // (tokens are \s+-split so they cannot contain ' ') while being
-    // far cheaper to range-partition, sort, and join than an
-    // array<string> key (r20: the array-keyed base rank was ~70% of
-    // q229/q231's runtime)
+    // 0x20, e.g. the q231 U+0001 sentinels); every sig-only path —
+    // flat AND doubling/index — needs only rank EQUALITY structure
+    // (certificates test equality, probes join keys, the 0-sentinel
+    // needs ranks ≥ 1, never their order), and the space-joined
+    // STRING is injective (tokens are \s+-split so they cannot
+    // contain ' ') while being far cheaper to range-partition, sort,
+    // and join than an array<string> key (r20: the array-keyed base
+    // rank was ~70% of q229/q231's runtime). The index's probe/absorb
+    // sides build the SAME string ([[probeCertificates]]).
     val winOf = (toks: Column, p0: Column) =>
-      if (flatSig) concat_ws(" ", slice(toks, p0 + 1, lit(baseSpan)))
+      if (!needSa) concat_ws(" ", slice(toks, p0 + 1, lit(baseSpan)))
       else slice(toks, p0 + 1, lit(baseSpan))
     val sfx = tokf
       .select(col("doc_id"), lenGuard.as("n"), col("__toks"),
