@@ -97,41 +97,48 @@ object Classifier {
   def perceptronTrainOnFeatures(labeledFeats: DataFrame,
       epochs: Int): DataFrame = {
     require(epochs >= 1, "need at least one epoch")
+    val spark = labeledFeats.sparkSession
+    import spark.implicits._
     val (feats, featsCkpt) = CheckpointHygiene.checkpointTracked(
       labeledFeats, eager = true)
-    var weights: DataFrame = null   // w_t (null = all-zero w_0)
-    var avg: DataFrame = null       // Σ_{u<=t} w_u
-    var ckpts = Seq.empty[Seq[org.apache.spark.rdd.RDD[_]]]
+    // driver model state (the [[perceptronTrainMulti]] convention,
+    // applied to the binary trainer in r20): the weight table is
+    // <= nBuckets longs, so each epoch is ONE distributed pass —
+    // per-id score under the broadcast current weights, mistake
+    // filter, per-bucket delta, <= nBuckets-row collect — instead of
+    // the old per-epoch pair of eager weight-table checkpoints (the
+    // q224 trainer spent most of its time scheduling those block
+    // writes). Key-set semantics preserved exactly: a bucket exists
+    // in the output iff some epoch's delta touched it, even at summed
+    // weight 0.
+    val wState = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    val avgState = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
     (1 to epochs).foreach { _ =>
-      val scored =
-        if (weights == null)
-          feats.select(col("id")).distinct().withColumn("s", lit(0L))
-        else scoreWith(feats, weights)
-      val mis = scored
-        .join(feats.select(col("id"), col("y")).distinct(), Seq("id"))
-        .filter(col("y") * col("s") <= 0)
+      val wDf = wState.toSeq.toDF("bucket", "__w")
+      val mis = feats
+        .join(broadcast(wDf), Seq("bucket"), "left")
+        .groupBy(col("id"))
+        .agg(sum(col("tf") * coalesce(col("__w"), lit(0L))).as("__s"),
+          max(col("y")).as("__y")) // y is constant per id
+        .filter(col("__y") * col("__s") <= 0)
         .select(col("id"))
       val delta = feats.join(mis, Seq("id"), "left_semi")
         .groupBy(col("bucket"))
-        .agg(sum(col("y") * col("tf")).as("w"))
-      val next = Option(weights)
-        .map(w => w.unionByName(delta).groupBy(col("bucket"))
-          .agg(sum(col("w")).as("w")))
-        .getOrElse(delta)
-      val (nextCk, c1) = CheckpointHygiene.checkpointTracked(
-        next, eager = true)
-      val (avgCk, c2) = CheckpointHygiene.checkpointTracked(
-        Option(avg)
-          .map(a => a.unionByName(nextCk).groupBy(col("bucket"))
-            .agg(sum(col("w")).as("w")))
-          .getOrElse(nextCk), eager = true)
-      ckpts.foreach(CheckpointHygiene.free)
-      ckpts = Seq(c1, c2)
-      weights = nextCk
-      avg = avgCk
+        .agg(sum(col("y") * col("tf")).as("__d"))
+        .collect()
+      delta.foreach { r =>
+        val b = r.getLong(0)
+        wState(b) = wState.getOrElse(b, 0L) + r.getLong(1)
+      }
+      // avg accumulates the POST-update weights over this epoch's key
+      // set (keys only ever enter via deltas — same set the DataFrame
+      // formulation's union-and-regroup produced)
+      wState.foreach { case (b, w) =>
+        avgState(b) = avgState.getOrElse(b, 0L) + w
+      }
     }
     CheckpointHygiene.free(featsCkpt)
-    avg
+    avgState.toSeq.toDF("bucket", "w")
   }
 
   /** Persist a trained (bucket, w) table — the model artifact the
