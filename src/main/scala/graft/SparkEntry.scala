@@ -2275,7 +2275,17 @@ object SparkEntry {
     * rational and every double a fixed op shape, so the DuckDB oracle
     * replays estimation AND scoring bit-for-bit. Params from
     * [[SketchParams.q123]]. */
-  def q123FellegiSunter(s: SparkSession, dir: String): DataFrame = {
+  def q123FellegiSunter(s: SparkSession, dir: String): DataFrame =
+    // memoized: q128 (mutual-best) consumes the scored frame whole — it
+    // re-derived the full estimate+score chain per call (VERDICT r20
+    // item 5, the measured q128 drift), while the memo makes the chain
+    // build once per (session, dir) like every other shared stage
+    memoCheckpoint(q123ScoredMemo, s, dir) { q123FellegiSunterBuild(s, dir) }
+  private val q123ScoredMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
+  private def q123FellegiSunterBuild(s: SparkSession, dir: String)
+      : DataFrame = {
     val p = SketchParams.q123
     val cust = t(s, dir, "customer").select(col("c_custkey"),
       col("c_mktsegment"),

@@ -119,7 +119,13 @@ object Classifier {
         .join(broadcast(wDf), Seq("bucket"), "left")
         .groupBy(col("id"))
         .agg(sum(col("tf") * coalesce(col("__w"), lit(0L))).as("__s"),
-          max(col("y")).as("__y")) // y is constant per id
+          max(col("y")).as("__y"), min(col("y")).as("__ym"))
+        // y must be constant per id — an input with conflicting labels
+        // would otherwise silently train on y=+1 (ADVICE r20); the
+        // check rides the aggregate that exists anyway, so it is free
+        .filter(assert_true(col("__y") === col("__ym"),
+          lit("perceptronTrainOnFeatures: conflicting labels for one " +
+            "id — y must be constant per id")).isNull)
         .filter(col("__y") * col("__s") <= 0)
         .select(col("id"))
       val delta = feats.join(mis, Seq("id"), "left_semi")

@@ -103,22 +103,56 @@ object Layout {
     * write path itself would `repartitionByRange(n, key)`, whose
     * sampled boundaries are not byte-deterministic. */
   def rangeBuckets(df: DataFrame, order: Seq[Column], nBuckets: Int,
-      out: String): DataFrame = {
+      out: String): DataFrame =
+    rangeBuckets(df, order, nBuckets, out,
+      // parameterised scale knob with a local-safe default (guide §2:
+      // scale-adaptive, not a constant tuned for either mode): below
+      // the threshold the frame provably fits one task
+      df.sparkSession.conf.getOption("spark.graft.globalRank.small")
+        .map(_.toLong).getOrElse(1L << 17))
+
+  /** Size-adaptive form (r21): `rangeBuckets` needs the exact row
+    * count N for the ntile arithmetic anyway, so it is computed FIRST
+    * and picks the rank machinery by it — the strategy choice Spark
+    * itself makes for broadcast-vs-shuffle joins, applied to global
+    * ranking:
+    *
+    *   - N ≤ `smallThreshold`: ONE packed sorted array (the
+    *     [[Ranks]] runningOffsets idiom) — a single bounded task
+    *     sorts the (narrow) rows, no range exchange, no sampling
+    *     pass, no checkpoint. This is NOT the banned global window:
+    *     the input is count-proven to fit one task, the same bound
+    *     class as a broadcast relation, and there is a distributed
+    *     fallback the moment it doesn't.
+    *   - N > threshold: [[Ranks.globalRowNumber]] — the distributed
+    *     range-exchange rank (the named scale shape).
+    *
+    * Both paths implement the same total-order row_number and the
+    * same bucket arithmetic, so the output is bit-identical
+    * (spec-pinned across the threshold in LayoutSpec). Rows must be
+    * sort-comparable (no map columns) on the small path — true of
+    * every caller (narrow long/double/string layout frames). */
+  def rangeBuckets(df: DataFrame, order: Seq[Column], nBuckets: Int,
+      out: String, smallThreshold: Long): DataFrame = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
-    val ranked = graft.operators.Ranks.globalRowNumber(df, order, "__gr")
-    val n = ranked.agg(count(lit(1)).as("__N")) // one-row scalar attach
-    ranked.crossJoin(broadcast(n))
-      .withColumn("__q", expr(s"__N div $nBuckets"))
-      .withColumn("__m", col("__N") % nBuckets.toLong)
+    val (ranked, n) = graft.operators.Ranks.globalRowNumberAdaptive(
+      df, order, "__gr", Some(smallThreshold))
+    val q = n / nBuckets
+    val m = n % nBuckets
+    // same exact ntile arithmetic as before, with (N, q, m) folded in
+    // as driver literals; `div` is BIGINT division. The q = 0 branch
+    // guard: with N < nBuckets every rank satisfies the first branch
+    // (m = N), so the `div ${max(q,1)}` divisor is never consulted —
+    // it exists only to keep the constant expression well-formed.
+    ranked
       .withColumn(out,
-        // CaseWhen is lazy, so the `div __q` below never sees __q = 0:
-        // with N < nBuckets every rank satisfies the first branch
-        when(col("__gr") <= col("__m") * (col("__q") + 1L),
-          expr("(__gr - 1) div (__q + 1) + 1"))
-          .otherwise(
-            expr("__m + (__gr - __m * (__q + 1) - 1) div __q + 1"))
+        when(col("__gr") <= m * (q + 1L),
+          expr(s"(__gr - 1) div ${q + 1}L + 1"))
+          .otherwise(expr(
+            s"${m}L + (__gr - ${m * (q + 1)}L - 1) div ${
+              math.max(q, 1L)}L + 1"))
           .cast("long"))
-      .drop("__gr", "__N", "__q", "__m")
+      .drop("__gr")
   }
 
   /** Rendezvous (highest-random-weight) routing — Thaler & Ravishankar

@@ -91,21 +91,82 @@ private[graft] object Ranks {
     * The ordering check is the window form's `lag`: each element's low
     * bound must exceed its pid-predecessor's high bound. */
   private def runningOffsets(perPart: DataFrame,
-      caller: String): DataFrame =
+      caller: String): DataFrame = {
+    // the ordering check runs ONCE on the single packed row, and the
+    // array the exploded rows carry is narrowed to (pid, n) FIRST —
+    // the old form exploded the full (pid, n, lo, hi) array onto every
+    // output row, and lo/hi are min/max STRUCTS of the range key: for
+    // the SuffixArray base rank that key is an up-to-baseSpan-token
+    // window string, so at high shuffle-partition counts one row
+    // carried O(P · |key|) bytes, P times over (ADVICE r20).
+    val nPairs = greatest(size(col("__af")) - 1, lit(0))
+    val ordered = forall(
+      zip_with(
+        slice(col("__af"), lit(1), nPairs),
+        slice(col("__af"), lit(2), nPairs),
+        (x, y) => x.getField("__hi") < y.getField("__lo")),
+      b => b)
     perPart
       .agg(sort_array(collect_list(struct(
-        col("__pid"), col("__n"), col("__lo"), col("__hi")))).as("__a"))
+        col("__pid"), col("__n"), col("__lo"), col("__hi")))).as("__af"))
+      .select(when(assert_true(ordered,
+          lit(s"$caller: range partition ids are not key-ordered " +
+            "— the global rank would be corrupt")).isNull,
+        transform(col("__af"), e => struct(
+          e.getField("__pid").as("__pid"),
+          e.getField("__n").as("__n")))).as("__a"))
       .select(col("__a"), posexplode(col("__a")).as(Seq("__i", "__x")))
-      .filter(assert_true(
-        // Or short-circuits, so element_at(__a, 0) is never evaluated
-        col("__i") === 0 ||
-          element_at(col("__a"), col("__i")).getField("__hi") <
-            col("__x").getField("__lo"),
-        lit(s"$caller: range partition ids are not key-ordered " +
-          "— the global rank would be corrupt")).isNull)
       .select(col("__x").getField("__pid").as("__pid"),
         expr("aggregate(slice(__a, 1, __i), CAST(0 AS BIGINT), " +
           "(acc, e) -> acc + e.__n)").as("__off"))
+  }
+
+  /** Count-adaptive [[globalRowNumber]] (r21): rank machinery chosen by
+    * the EXACT row count — the strategy decision Spark itself makes for
+    * broadcast-vs-shuffle joins, applied to global ranking. Every caller
+    * of a global rank needs N anyway (ntile arithmetic, ring modulus),
+    * so it is counted first and returned alongside the ranked frame:
+    *
+    *   - N ≤ threshold (`spark.graft.globalRank.small`, default 2¹⁷):
+    *     ONE packed sorted array — a single count-proven-bounded task
+    *     sorts the rows; no range exchange, no bound sampling, no
+    *     per-partition offsets. NOT the banned unpartitioned window:
+    *     the input provably fits one task (the broadcast-relation bound
+    *     class) and the distributed fallback engages the moment it
+    *     doesn't.
+    *   - N > threshold: [[globalRowNumber]], the distributed range-
+    *     exchange rank.
+    *
+    * The input is lazily localCheckpointed first, so the (possibly
+    * expensive) upstream chain is evaluated exactly ONCE — the count,
+    * the range-bound sampling pass (large path), and the rank pass all
+    * read the materialized blocks. Both paths implement the same
+    * total-order row_number, so outputs are bit-identical (spec-pinned
+    * across the threshold in LayoutSpec/RanksSpec). Small-path rows
+    * must be sort-comparable (no map columns) — true of every caller
+    * (narrow id/key frames).
+    *
+    * @return (ranked frame with `out` appended, exact row count) */
+  def globalRowNumberAdaptive(df: DataFrame, order: Seq[Column],
+      out: String, threshold: Option[Long] = None): (DataFrame, Long) = {
+    require(order.nonEmpty, "globalRowNumberAdaptive needs order columns")
+    val thr = threshold.getOrElse(
+      df.sparkSession.conf.getOption("spark.graft.globalRank.small")
+        .map(_.toLong).getOrElse(1L << 17))
+    val once = df.localCheckpoint(false)
+    val n = once.count()
+    if (n <= thr) {
+      val cols = df.columns.toSeq
+      val ord = order.zipWithIndex.map { case (c, i) => c.as(s"__gro$i") }
+      val ranked = once
+        .agg(sort_array(collect_list(struct(
+          ord ++ cols.map(col): _*))).as("__a"))
+        .select(posexplode(col("__a")).as(Seq("__i", "__x")))
+        .select(cols.map(c => col("__x").getField(c).as(c)) :+
+          (col("__i") + 1L).cast("long").as(out): _*)
+      (ranked, n)
+    } else (globalRowNumber(once, order, out), n)
+  }
 
   /** Append a global 1-based `out` column = dense_rank over `keys`,
     * computed IN PLACE — no distinct, no join-back: the range

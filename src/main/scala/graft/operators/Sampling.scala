@@ -450,9 +450,23 @@ object Sampling {
     // TakeOrderedAndProject: per-partition top-(k+1), driver merge
     val top = pri.orderBy(col("priority").desc, col("id").asc)
       .limit(k + 1)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("priority").desc, col("id").asc)
-    val ranked = top.withColumn("__rn", row_number().over(w))
+    // rank the ≤ k+1 survivors via ONE packed sorted array (the
+    // Ranks.runningOffsets idiom) instead of an unpartitioned window:
+    // the input is bounded at k+1 rows, but WindowExec still plans a
+    // single-partition sort and fires the global-window warning the
+    // r21 suite-wide sweep forbids. Priorities are strictly positive
+    // (weight > 0, u ≥ 2⁻⁶⁰), so negation gives the exact descending
+    // order with the same id tie-break; ranks — and the hash — are
+    // identical to the window form's.
+    val ranked = top
+      .agg(sort_array(collect_list(struct(
+        (-col("priority")).as("__np"), col("id").as("id"),
+        col("weight").as("weight"), col("priority").as("priority"))))
+        .as("__a"))
+      .select(posexplode(col("__a")).as(Seq("__i", "__x")))
+      .select(col("__x.id").as("id"), col("__x.weight").as("weight"),
+        col("__x.priority").as("priority"),
+        (col("__i") + 1).as("__rn"))
     val tau = ranked.agg(
       coalesce(max(when(col("__rn") === k + 1, col("priority"))),
         lit(0.0)).as("__tau"))

@@ -608,10 +608,19 @@ object SuffixArray {
       Seq("base" -> ix.base, "sig" -> ix.sig) ++
         ix.roundMaps.map { case (e, df) => s"round_$e" -> df },
       Seq((ix.minSpan, ix.baseSpan, ix.nSigCols,
-        ix.roundMaps.map(_._1).mkString(",")))
-        .toDF("min_span", "base_span", "n_sig_cols", "round_exps"))
+        ix.roundMaps.map(_._1).mkString(","), substrIndexFormatVersion))
+        .toDF("min_span", "base_span", "n_sig_cols", "round_exps",
+          "format_version"))
     ()
   }
+
+  /** On-disk [[SubstrIndex]] format version. v2 (r20): the base/round
+    * window key `__w` is a space-joined STRING; v1 artifacts carried
+    * an array<string> key, which a v2 probe/absorb would fail against
+    * with an opaque join-type AnalysisException (ADVICE r20) — so the
+    * version is written by [[saveSubstrIndex]] and required by
+    * [[loadSubstrIndex]]. */
+  private val substrIndexFormatVersion = 2
 
   /** Load a [[saveSubstrIndex]] artifact (newest complete generation);
     * bit-exact inverse — a loaded index probes identically to the
@@ -619,6 +628,15 @@ object SuffixArray {
   def loadSubstrIndex(spark: org.apache.spark.sql.SparkSession,
       root: String): SubstrIndex = {
     val (p, dir) = graft.model.IndexStore.load(spark, root)
+    val ver =
+      if (p.schema.fieldNames.contains("format_version"))
+        p.getAs[Int]("format_version")
+      else 1 // pre-r21 artifacts carried no version field
+    require(ver == substrIndexFormatVersion,
+      s"loadSubstrIndex: artifact at $root is format v$ver but this " +
+        s"build reads v$substrIndexFormatVersion (the window-key " +
+        "representation changed) — rebuild the index with " +
+        "buildSubstrIndex + saveSubstrIndex")
     val (minSpan, baseSpan, nSig) = (p.getAs[Int]("min_span"),
       p.getAs[Int]("base_span"), p.getAs[Int]("n_sig_cols"))
     require(minSpan >= 2 && baseSpan >= 1 && nSig >= 1,

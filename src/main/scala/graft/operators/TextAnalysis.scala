@@ -832,10 +832,16 @@ object TextAnalysis {
         sum(col("__fam_sum")).as("__fam_total"),
         min(col("__para_fp")).as("min_para_fp"))
       .withColumn("fam_fp", expr("__fam_total DIV n_bigrams"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("fam_fp").desc, col("__doc").asc)
-    docScores
-      .withColumn("__tile", ntile(nBuckets).over(w))
+    // exact global-ntile semantics via Layout.rangeBuckets (distributed
+    // global row number + integer bucket arithmetic) — the old
+    // ntile().over(Window.orderBy(...)) collapsed every doc score into
+    // ONE task (r21 sweep finding; the q89/q149 fix applied here).
+    // DESC is expressed as the negated key (fam_fp is BIGINT ≥ 0, so
+    // -fam_fp ASC ≡ fam_fp DESC exactly); (fam_fp desc, doc asc) is
+    // total, so buckets — and the hash — are bit-identical to the
+    // window form's.
+    Layout.rangeBuckets(docScores,
+        Seq(-col("fam_fp"), col("__doc")), nBuckets, "__tile")
       .select(col("__doc").as(idCol), col("n_paras"), col("n_bigrams"),
         col("fam_fp"), col("min_para_fp"),
         when(col("__tile") === 1, lit("head"))
@@ -1089,9 +1095,15 @@ object TextAnalysis {
     require(nBuckets >= 2, "need at least head/tail")
     val perDoc = knTrigramScore(docs,
       knTrigramModel(reference, textCol), textCol, idCol, quant)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("kn_mean").desc, col(idCol).asc)
-    perDoc.withColumn("__tile", ntile(nBuckets).over(w))
+    // exact global-ntile semantics via Layout.rangeBuckets — the old
+    // ntile().over(Window.orderBy(...)) collapsed every doc score into
+    // ONE task (r21 sweep finding; the q89/q149 fix). DESC as the
+    // negated key: kn_mean is a non-NaN double ≥ 0, so -kn_mean ASC ≡
+    // kn_mean DESC exactly (a 0.0 → -0.0 flip compares equal and the
+    // id tie-break keeps the order total); buckets — and the hash —
+    // are bit-identical to the window form's.
+    Layout.rangeBuckets(perDoc,
+        Seq(-col("kn_mean"), col(idCol)), nBuckets, "__tile")
       .select(col(idCol), col("n_trigrams"), col("kn_sum"),
         col("kn_mean"),
         when(col("__tile") === 1, lit("head"))
@@ -1555,12 +1567,19 @@ object TextAnalysis {
         l => transform(sequence(lit(1), length(col("__w")) - l + 1),
           s => substring(col("__w"), s, l))))).as("piece"))
       .groupBy(col("piece")).agg(count(lit(1)).as("freq"))
+    // global top-vocabSize WITHOUT a global window: the old
+    // row_number().over(Window.orderBy(...)) collapsed the ENTIRE
+    // substring-frequency table into one task (r21 sweep finding —
+    // this was an unbounded single-task sort, the q195 scale cliff);
+    // orderBy+limit plans TakeOrderedAndProject — per-partition
+    // top-vocabSize heaps and a driver merge bounded by the vocab
+    // size, the model-state budget class. The order is total (piece
+    // is unique after the groupBy), so the selected set — and the
+    // hash — are identical.
     val top = subs
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy((col("freq") * (length(col("piece")) - 1)).desc,
-            col("piece").asc)))
-      .filter(col("__rn") <= vocabSize)
+      .orderBy((col("freq") * (length(col("piece")) - 1)).desc,
+        col("piece").asc)
+      .limit(vocabSize)
       .select(col("piece"), col("freq"))
     // chars ride along with their true frequency (dedup vs top)
     top.unionByName(
@@ -1703,8 +1722,12 @@ object TextAnalysis {
       .as("score")).localCheckpoint(false)
     // every (pos, end] substring of length <= maxPiece, scored by the
     // model — edges the DP may traverse; words with NO scored edge
-    // (or no full path below) are simply absent, the uncovered lane
-    val cand = types.select(col("word"),
+    // (or no full path below) are simply absent, the uncovered lane.
+    // Empty words are excluded up front: sequence(1, 0) auto-steps
+    // DOWN to [1, 0] (ADVICE r20), so a zero-length word would feed
+    // the DP a descending position walk instead of dropping cleanly.
+    val inRange = types.filter(length(col("word")) >= 1)
+    val cand = inRange.select(col("word"),
         explode(expr(
           s"""flatten(transform(sequence(1, length(word)), endp ->
              |  transform(sequence(1, least($maxPiece, endp)), l ->

@@ -153,10 +153,16 @@ class LayoutSpec extends AnyFunSuite {
           ntile(buckets).over(Window.orderBy(col("key"), col("id")))
             .cast("long"))
         .select(col("id"), col("b")).as[(Long, Long)].collect().toMap
-      val got = graft.operators.Layout.rangeBuckets(df,
-          Seq(col("key"), col("id")), buckets, "b")
-        .select(col("id"), col("b")).as[(Long, Long)].collect().toMap
-      assert(got == want, s"N=$n buckets=$buckets")
+      // BOTH rank paths of the size-adaptive form (r21): the packed
+      // single-task array (threshold above N) and the distributed
+      // globalRowNumber fallback (threshold 0) must be bit-identical
+      // to ntile and to each other
+      for (thr <- Seq(Long.MaxValue, 0L)) {
+        val got = graft.operators.Layout.rangeBuckets(df,
+            Seq(col("key"), col("id")), buckets, "b", thr)
+          .select(col("id"), col("b")).as[(Long, Long)].collect().toMap
+        assert(got == want, s"N=$n buckets=$buckets threshold=$thr")
+      }
       // the plan never windows over an empty partition spec — that is
       // the single-task global sort rangeBuckets exists to avoid
       val plan = graft.operators.Layout.rangeBuckets(df,

@@ -929,6 +929,56 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("ALL queries: no unpartitioned WindowExec anywhere — suite-wide " +
+      "sweep, including checkpoint-hidden internal plans (r21)") {
+    // A final-plan inspection misses windows buried behind
+    // localCheckpoints (most builders checkpoint eagerly DURING query
+    // construction), so the sweep listens for the physical operator's
+    // own runtime warning — "No Partition Defined for Window
+    // operation" is logged by WindowExec.doExecute on EVERY execution,
+    // checkpoint materializations included. Running every query with
+    // zero captured warnings is the enforceable form of SCALE §9aa's
+    // "no single-task window on any production path" claim (VERDICT
+    // r20 item 1: the nnDescent/tripletMining md5 rings falsified the
+    // per-query spot asserts).
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LoggerContext
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var current = "<init>"
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-win-sweep", null, null, true,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        if (e.getMessage.getFormattedMessage
+            .contains("No Partition Defined for Window operation"))
+          hits.add(current)
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        current = name
+        // noop write, NOT count(): count() lets the optimizer prune
+        // window subtrees whose columns it can prove unused (a Window
+        // never changes cardinality), silently skipping the very
+        // operator this sweep polices — the first sweep draft passed
+        // on count() while the Verify parquet writes of the same
+        // queries fired 60 warnings (guide §1.4)
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+      }
+    } finally {
+      rootCfg.removeAppender("graft-win-sweep")
+      ctx.updateLoggers()
+      appender.stop()
+    }
+    val offenders = hits.toArray.distinct
+    assert(offenders.isEmpty,
+      s"single-task global windows executed under: ${offenders.mkString(", ")}")
+  }
+
   test("custom expressions stay inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("q11_abn_validate")(spark, dir)
     df.count()
