@@ -393,6 +393,96 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Exact BIGINT squared-L2 distance of two quantized long vectors —
+  * the codegen'd replacement for `aggregate(zip_with(...))` on the ANN
+  * hot paths (r21); see [[VecKernel.sqL2Long]]. */
+case class SqL2Long(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq_l2_long"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernel.sqL2Long(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernel.sqL2Long($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqL2Long =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared-L2 distance of two array<double> vectors, left-to-right
+  * fold order (bit-parity with the `aggregate` sequential fold) — see
+  * [[VecKernel.sqL2Double]]. */
+case class SqL2Double(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq_l2_double"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernel.sqL2Double(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernel.sqL2Double($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqL2Double =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product of two array<double> vectors, left-to-right fold order
+  * — see [[VecKernel.dotDouble]]. */
+case class DotDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_double"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernel.dotDouble(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernel.dotDouble($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotDouble =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact BIGINT dot product of two quantized long vectors — see
+  * [[VecKernel.dotLong]]. */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_long"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernel.dotLong(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernel.dotLong($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points + SQL registration. */
 object exprs {
   private def col(e: Expression): Column = Bridge.column(e)
@@ -429,6 +519,14 @@ object exprs {
   def blocklist_stats(text: Column, patterns: Seq[String]): Column =
     col(BlocklistStats(ex(text), patterns))
   def nfc_normalize(text: Column): Column = col(NfcNormalize(ex(text)))
+  def sq_l2_long(a: Column, b: Column): Column =
+    col(SqL2Long(ex(a), ex(b)))
+  def sq_l2_double(a: Column, b: Column): Column =
+    col(SqL2Double(ex(a), ex(b)))
+  def dot_long(a: Column, b: Column): Column =
+    col(DotLong(ex(a), ex(b)))
+  def dot_double(a: Column, b: Column): Column =
+    col(DotDouble(ex(a), ex(b)))
 
   /** Register `token_sort_ratio`, `indel_ratio`, `abn_valid` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

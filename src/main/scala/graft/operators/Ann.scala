@@ -33,11 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity of two array<double> columns, built from codegen'd
-    * higher-order functions (`zip_with` dot product + `aggregate` fold). */
+  /** Cosine similarity of two array<double> columns — the dot products
+    * are the r21 codegen kernel (the zip_with/aggregate lambda form ran
+    * interpreted per element), same left-to-right fold order, so the
+    * doubles are bit-identical. */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      graft.functions.exprs.dot_double(x, y)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
@@ -60,8 +62,7 @@ object Ann {
     val v = transform(vec, _.cast("double"))
     val bits = ps.zipWithIndex.map { case (p, j) =>
       val planeLit = typedlit(p.toSeq)
-      val d = aggregate(zip_with(v, planeLit, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val d = graft.functions.exprs.dot_double(v, planeLit) // codegen (r21)
       when(d > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a + b)
@@ -129,8 +130,9 @@ object Ann {
   /** Squared L2 distance between an array<double> column and a literal
     * centroid (sequential fold — deterministic). */
   private def sqDistToLit(v: Column, centroid: Seq[Double]): Column =
-    aggregate(zip_with(v, typedlit(centroid), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, d) => acc + d)
+    // codegen kernel (r21), same left-to-right fold order as the old
+    // aggregate(zip_with(...)) — bit-identical doubles
+    graft.functions.exprs.sq_l2_double(v, typedlit(centroid))
 
   /** (distance, index) struct array sorted ascending — distances ties
     * break to the lower index by the struct field order. Each distance
@@ -167,10 +169,16 @@ object Ann {
     * picks the domain (`lit(0L)` integer / `lit(0.0)` double); the
     * (x−y)² fold is the same expression shape and sequential fold order
     * as the literal-path chains, so distances match bit-for-bit. */
-  private def distStructs(cents: Column, v: Column, zero: Column): Column =
+  private def distStructs(cents: Column, v: Column,
+      integerDomain: Boolean): Column =
+    // codegen kernels (r21): same element order and arithmetic as the
+    // old aggregate(zip_with(...)) sequential fold — bit-identical in
+    // both domains
     transform(cents, e => struct(
-      aggregate(zip_with(v, e.getField("c"), (x, y) => (x - y) * (x - y)),
-        zero, (acc, d) => acc + d).as("d"),
+      (if (integerDomain)
+        graft.functions.exprs.sq_l2_long(v, e.getField("c"))
+      else
+        graft.functions.exprs.sq_l2_double(v, e.getField("c"))).as("d"),
       e.getField("i").as("i")))
 
   /** One-row frame holding a whole `(list_id, centroid)` matrix as a
@@ -202,8 +210,9 @@ object Ann {
     * (d, i) structs — same lexicographic order, NaN-last, as the literal
     * path's `array_sort` head) or the full sorted distance array. */
   private def withDistColViaTable(df: DataFrame, centsRow: DataFrame,
-      v: Column, out: String, zero: Column, sortedAll: Boolean): DataFrame = {
-    val ds = distStructs(col("__cents"), v, zero)
+      v: Column, out: String, integerDomain: Boolean,
+      sortedAll: Boolean): DataFrame = {
+    val ds = distStructs(col("__cents"), v, integerDomain)
     val c = if (sortedAll) array_sort(ds)
             else array_min(ds).getField("i")
     df.crossJoin(broadcast(centsRow)).withColumn(out, c).drop("__cents")
@@ -218,7 +227,7 @@ object Ann {
       df.withColumn(out,
         element_at(centroidSortedDists(cents, v), 1).getField("i"))
     else withDistColViaTable(df, centroidRowL(df.sparkSession, cents),
-      v, out, lit(0L), sortedAll = false)
+      v, out, integerDomain = true, sortedAll = false)
 
   /** Append `out` = full ascending (d, i) distance array (integer
     * domain) — the probe-selection shape. Path chosen as in
@@ -228,7 +237,7 @@ object Ann {
     if (cents.size <= centroidTableThreshold)
       df.withColumn(out, centroidSortedDists(cents, v))
     else withDistColViaTable(df, centroidRowL(df.sparkSession, cents),
-      v, out, lit(0L), sortedAll = true)
+      v, out, integerDomain = true, sortedAll = true)
 
   /** Double-domain twin of [[withNearestCentroidL]]. */
   def withNearestCentroidD(df: DataFrame, cents: Seq[Seq[Double]],
@@ -236,7 +245,7 @@ object Ann {
     if (cents.size <= centroidTableThreshold)
       df.withColumn(out, nearestCentroid(v, cents))
     else withDistColViaTable(df, centroidRowD(df.sparkSession, cents),
-      v, out, lit(0.0), sortedAll = false)
+      v, out, integerDomain = false, sortedAll = false)
 
   /** Double-domain twin of [[withSortedCentroidDistsL]]. */
   def withSortedCentroidDistsD(df: DataFrame, cents: Seq[Seq[Double]],
@@ -244,7 +253,7 @@ object Ann {
     if (cents.size <= centroidTableThreshold)
       df.withColumn(out, sortedCentroidDists(v, cents))
     else withDistColViaTable(df, centroidRowD(df.sparkSession, cents),
-      v, out, lit(0.0), sortedAll = true)
+      v, out, integerDomain = false, sortedAll = true)
 
   /** K-means coarse quantizer: `iters` Lloyd iterations over the corpus,
     * initialized from a DETERMINISTIC hash-sample (the `nlist` vectors
@@ -343,9 +352,10 @@ object Ann {
     transform(v, x => floor(x.cast("double") * scale).cast("long"))
 
   /** Exact integer dot product of two quantized vectors — both engines
-    * compute the identical BIGINT. */
+    * compute the identical BIGINT. Codegen kernel (r21): the
+    * zip_with/aggregate lambda form ran interpreted per element. */
   private[operators] def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, d) => acc + d)
+    graft.functions.exprs.dot_long(a, b)
 
   /** Deterministic coarse quantizer shared by the portable IVF / semantic
     * dedup paths: the `nlist` quantized corpus vectors with the smallest
@@ -410,8 +420,7 @@ object Ann {
   def centroidSortedDists(
       centroids: Seq[Seq[Long]], v: Column): Column = {
     def sqDist(c: Seq[Long]): Column =
-      aggregate(zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
+      graft.functions.exprs.sq_l2_long(v, typedlit(c)) // codegen (r21)
     array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
       struct(sqDist(c).as("d"), lit(i).as("i")) }: _*))
   }
@@ -426,8 +435,7 @@ object Ann {
     val q = transform(vec, x => floor(x.cast("double") * scale).cast("long"))
     val bits = (0 until planes).map { j =>
       val signs = typedlit((1 to dim).map(i => portableSign(j, i)))
-      val proj = aggregate(zip_with(q, signs, (x, s) => x * s),
-        lit(0L), (acc, x) => acc + x)
+      val proj = graft.functions.exprs.dot_long(q, signs) // codegen (r21)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -452,8 +460,7 @@ object Ann {
     val q = quantizeVec(vec, scale)
     array((0 until outDims).map { j =>
       val signs = typedlit((1 to dim).map(i => portableSign(j, i)))
-      aggregate(zip_with(q, signs, (x, s) => x * s),
-        lit(0L), (acc, x) => acc + x)
+      graft.functions.exprs.dot_long(q, signs) // codegen (r21)
     }: _*)
   }
 
@@ -479,8 +486,7 @@ object Ann {
     c.join(broadcast(q),
         if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("pd",
-        aggregate(zip_with(col("__qp"), col("__cp"),
-          (x, y) => (x - y) * (x - y)), lit(0L), (acc, e) => acc + e))
+        graft.functions.exprs.sq_l2_long(col("__qp"), col("__cp")))
       .groupBy(col("query_id"))
       .agg(graft.functions.BottomK.bottom_k(col("pd"),
         col("neighbor_id").cast("string"), k).as("top"))
@@ -830,8 +836,7 @@ object Ann {
       "codebooks must be m × ks")
     val idType = corpus.select(col(idCol)).schema.head.dataType
     def sqDistLit(sub: Column, c: Seq[Long]): Column =
-      aggregate(zip_with(sub, typedlit(c), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, e) => acc + e)
+      graft.functions.exprs.sq_l2_long(sub, typedlit(c)) // codegen (r21)
     def subOf(v: Column, j: Int): Column = slice(v, j * d + 1, d)
     // encode: nearest sub-centroid per subspace, ties to the lower index
     def codeOf(v: Column, j: Int): Column =
@@ -915,8 +920,7 @@ object Ann {
         transform(col("__rv"), _.cast("double")).as("__rvd")),
       "__rvd", "neighbor_id", m, ks, iters, scale = 1)
     def sqDistLit(sub: Column, c: Seq[Long]): Column =
-      aggregate(zip_with(sub, typedlit(c), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, e) => acc + e)
+      graft.functions.exprs.sq_l2_long(sub, typedlit(c)) // codegen (r21)
     def subOf(v: Column, j: Int): Column = slice(v, j * d + 1, d)
     def codeOf(v: Column, j: Int): Column =
       array_min(array(books(j).zipWithIndex.map { case (c, i) =>
@@ -986,8 +990,8 @@ object Ann {
     val rescored = cands
       .join(cq, Seq("neighbor_id"))
       .join(broadcast(qq), Seq("query_id"))
-      .withColumn("d", aggregate(zip_with(col("__qq"), col("__cq"),
-        (x, y) => (x - y) * (x - y)), lit(0L), (acc, e) => acc + e))
+      .withColumn("d",
+        graft.functions.exprs.sq_l2_long(col("__qq"), col("__cq")))
       .select(col("query_id"), col("neighbor_id"), col("d"),
         col("approx_d"))
       .localCheckpoint(false)
@@ -1021,8 +1025,8 @@ object Ann {
       quantizeVec(col(vecCol), scale).as("__qq"))
     c.join(broadcast(q),
         if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
-      .withColumn("d", aggregate(zip_with(col("__qq"), col("__cq"),
-        (x, y) => (x - y) * (x - y)), lit(0L), (acc, e) => acc + e))
+      .withColumn("d",
+        graft.functions.exprs.sq_l2_long(col("__qq"), col("__cq")))
       .groupBy(col("query_id"))
       .agg(graft.functions.BottomK.bottom_k(col("d"),
         col("neighbor_id").cast("string"), k).as("top"))
@@ -1330,8 +1334,7 @@ object Ann {
           quantizeVec(col(vecCol), scale).as("__q")),
       eager = true)
     def sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
+      graft.functions.exprs.sq_l2_long(a, b) // codegen (r21)
     // score a distinct (id, nb) edge list: two equi-joins onto the
     // quantized vectors, one exact BIGINT distance per edge
     def score(edges: DataFrame): DataFrame = edges
@@ -1504,8 +1507,7 @@ object Ann {
       pairs: DataFrame, smallPrep: DataFrame,
       cPrep: DataFrame): DataFrame = {
     def sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
+      graft.functions.exprs.sq_l2_long(a, b) // codegen (r21)
     cPrep.select(col("__vid").as("nb"), col("__q").as("__qb"))
       .join(broadcast(pairs), Seq("nb"))
       .join(broadcast(smallPrep.select(col("__vid").as("id"),
@@ -1852,8 +1854,7 @@ object Ann {
     // corpus–corpus (batch pivot), so scoring needs both sides
     val allVecs = quant(corpus).unionByName(quant(batch))
     def sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
+      graft.functions.exprs.sq_l2_long(a, b) // codegen (r21)
     // edge lists here are batch-proportional; the vector table is the
     // big probe side of both equi-joins (the knnGraphProbePortable shape)
     def score(edges: DataFrame): DataFrame = broadcast(edges)
@@ -2001,8 +2002,7 @@ object Ann {
       .select(col(idCol).as("__vid"),
         quantizeVec(col(vecCol), scale).as("__q"))
     def sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
+      graft.functions.exprs.sq_l2_long(a, b) // codegen (r21)
     // the nnDescent md5 ring, keyed ':trip' so the walk is independent
     // of the descent's own init ring. Ranked via Ranks.globalRowNumber
     // (distributed range-partitioned ranking) — the global
@@ -2121,8 +2121,7 @@ object Ann {
       .select(col(idCol).as("__vid"), quantizeVec(col(vecCol), scale).as("__q"))
     val vecs = quant(corpus)
     def sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
+      graft.functions.exprs.sq_l2_long(a, b) // codegen (r21)
     val scored = broadcast(cand)
       .join(vecs.select(col("__vid").as("id"), col("__q").as("__qa")),
         Seq("id"))

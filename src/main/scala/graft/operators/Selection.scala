@@ -231,8 +231,7 @@ object Selection {
       .persist()
     try {
       def sqDistLit(c: Seq[Long]): Column =
-        aggregate(zip_with(col("__q"), typedlit(c),
-          (x, y) => (x - y) * (x - y)), lit(0L), (acc, e) => acc + e)
+        graft.functions.exprs.sq_l2_long(col("__q"), typedlit(c)) // codegen (r21)
       val seed = qvecs
         .withColumn("__key", graft.functions.PortableHash.md5Long60(
           concat(col("__id").cast("string"), lit(":kcenter"))))
@@ -264,8 +263,7 @@ object Selection {
     val centers = kCenterSelect(df, vecCol, idCol, k, scale)
     val q = graft.operators.Ann.quantizeVec(col(vecCol), scale)
     def sqDistLit(v: Column, c: Seq[Long]): Column =
-      aggregate(zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, e) => acc + e)
+      graft.functions.exprs.sq_l2_long(v, typedlit(c)) // codegen (r21)
     df.select(col(idCol).cast("long").as(idCol), q.as("__q"))
       .withColumn("__best", array_min(array(centers.map { case (r, cid, _, cv) =>
         struct(sqDistLit(col("__q"), cv).as("d"),
