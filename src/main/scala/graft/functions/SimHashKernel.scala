@@ -27,6 +27,40 @@ object SimHashKernel {
     h
   }
 
+  /** PORTABLE 60-bit SimHash over md5 token hashes (r21) — the kernel
+    * form of the q50/q186 `simhashPortable` expression: per token
+    * h = md5Long60(token), bit i of the fingerprint set iff
+    * 2·|{tokens: bit i of h = 1}| > n (strict-majority of 1-bits, the
+    * exact arithmetic of the old
+    * `aggregate(sequence(0,59), ... 2*size(filter(...)) > size(...))`
+    * expression, which allocated a filtered array per bit per doc and
+    * ran 60·n interpreted lambda steps). NULL tokens count toward n
+    * with zero bits — exactly as the old form's size(__hs) did (split
+    * never yields nulls in practice). Bit-identical, spec-pinned. */
+  def simhashMd5_60(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = PortableHashKernel.md5Long60(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (2 * counts(b) > n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Entry point for both interpreted eval and generated code. */
   def simhash64(tokens: ArrayData): Long = {
     val n = tokens.numElements()

@@ -483,6 +483,48 @@ case class DotLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** First 60 bits of md5 as a non-negative BIGINT — the portable-hash
+  * primitive as one codegen kernel call; see
+  * [[PortableHashKernel.md5Long60]] and [[PortableHash.md5Long60]]
+  * for the bit-parity argument. */
+case class Md5Long60(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_long60"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PortableHashKernel.md5Long60(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PortableHashKernel.md5Long60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Long60 =
+    copy(child = newChild)
+}
+
+/** Portable 60-bit md5-SimHash of a token array — see
+  * [[SimHashKernel.simhashMd5_60]]. */
+case class SimHashMd5_60(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_md5_60"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SimHashKernel.simhashMd5_60(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimHashKernel.simhashMd5_60($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHashMd5_60 =
+    copy(child = newChild)
+}
+
 /** Column-level entry points + SQL registration. */
 object exprs {
   private def col(e: Expression): Column = Bridge.column(e)
@@ -527,6 +569,9 @@ object exprs {
     col(DotLong(ex(a), ex(b)))
   def dot_double(a: Column, b: Column): Column =
     col(DotDouble(ex(a), ex(b)))
+  def md5_long60(a: Column): Column = col(Md5Long60(ex(a)))
+  def simhash_md5_60(tokens: Column): Column =
+    col(SimHashMd5_60(ex(tokens)))
 
   /** Register `token_sort_ratio`, `indel_ratio`, `abn_valid` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -947,16 +947,13 @@ object Dedup {
     * exists so the sketch itself is verifiable in any md5-capable engine.
     * Returns (doc_id, simhash). */
   def simhashPortable(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs
-      // token hashes materialized ONCE: the bit loop references __hs 60
-      // times, and an inlined alias would re-run the md5 transform per ref
-      .select(col(idCol).as("doc_id"),
-        transform(split(trim(col(textCol)), "\\s+"),
-          t => graft.functions.PortableHash.md5Long60(t)).as("__hs"))
-      .select(col("doc_id"),
-        expr("""aggregate(sequence(0, 59), 0L, (acc, i) -> acc +
-          IF(2 * size(filter(__hs, h -> shiftright(h, i) % 2 = 1)) > size(__hs),
-             shiftleft(1L, i), 0L))""").as("simhash"))
+    // one codegen kernel call per doc (r21): the old expression ran a
+    // 60-iteration interpreted aggregate that allocated a filtered
+    // token-hash array PER BIT per doc; the kernel is one primitive
+    // majority loop, bit-identical (spec-pinned vs the expression form)
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.exprs.simhash_md5_60(
+        split(trim(col(textCol)), "\\s+")).as("simhash"))
 
   /** SimHash near-dup: 64-bit simhash over tokens (custom codegen'd
     * expression), banded into 16-bit chunks for LSH bucketing; candidates

@@ -76,6 +76,44 @@ class VecKernelSpec extends AnyFunSuite {
       messages(e).mkString(" | "))
   }
 
+  test("md5_long60 kernel == the md5/substring/conv builtin chain on " +
+      "unicode, empty, and long strings") {
+    val rows = (Seq("", "a", "hello world", "café ≠ cafe",
+      "日本語テキスト", "x" * 10000) ++
+      (1 to 100).map(i => s"token$i:${rng.nextLong()}")).map(Tuple1(_))
+    val df = rows.toDF("s").repartition(3) // force distributed eval
+    val got = df.select(
+      graft.functions.exprs.md5_long60(col("s")).as("k"),
+      graft.functions.PortableHash.md5Long60Builtins(col("s")).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("simhash_md5_60 kernel == the per-bit aggregate/filter expression " +
+      "form") {
+    val rows = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "one",
+      "a b c d e f g h i j k l m n o p",
+      "repeated repeated repeated repeated x").map(Tuple1(_))
+    val df = rows.toDF("text").repartition(2)
+    val ref = df
+      .select(col("text"),
+        transform(split(trim(col("text")), "\\s+"),
+          t => graft.functions.PortableHash.md5Long60(t)).as("__hs"))
+      .select(col("text"),
+        expr("""aggregate(sequence(0, 59), 0L, (acc, i) -> acc +
+          IF(2 * size(filter(__hs, h -> shiftright(h, i) % 2 = 1)) > size(__hs),
+             shiftleft(1L, i), 0L))""").as("ref"))
+    val got = df.select(col("text"),
+        graft.functions.exprs.simhash_md5_60(
+          split(trim(col("text")), "\\s+")).as("k"))
+      .join(ref, Seq("text"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2), r.getString(0)))
+  }
+
   test("kernels execute inside whole-stage codegen (no fallback)") {
     // spark.range (a Seq-backed frame collapses to LocalTableScan with
     // the projection evaluated at plan time — no codegen stage to see)
