@@ -21,6 +21,15 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev knob: SPARK_GRAFT_EXPLAIN_CONF="k=v,k2=v2" — lets a plan be
+    // captured under a non-default runtime conf (e.g. forcing the
+    // distributed path of a count-adaptive operator for a before/after
+    // plan diff) without touching the query code
+    sys.env.get("SPARK_GRAFT_EXPLAIN_CONF").foreach(_.split(",")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).explain("formatted")
     (1 to 3).foreach { i =>

@@ -18,6 +18,97 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Count-proven small-graph cap for the driver union-find paths
+    * (r21): the [[minimumSpanningForest]] `driverMergeCap` idea applied
+    * to the WHOLE clustering call — when the deduped edge list is
+    * provably at or below this many rows (an exact count over the
+    * already-checkpointed frame, never an estimate), the iterative
+    * distributed loop (3–5 Spark jobs per round, O(log n) rounds) is
+    * replaced by one collect + driver union-find + one tiny
+    * one-partition result frame: bounded model state of ≤ cap edge
+    * rows, the broadcast-relation bound class. Above the cap the
+    * distributed loop runs unchanged — at 100 TB that is the path that
+    * engages; the knob exists so production can retune the boundary
+    * (`spark.graft.components.small`, default 2¹⁷ ≈ a few MB of ids). */
+  private def smallGraphCap(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.components.small")
+      .map(_.toLong).getOrElse(1L << 17)
+
+  /** Driver-side `<` matching Catalyst's ordering on atomic types:
+    * strings compare as UTF-8 bytes (UTF8String semantics — java
+    * String.compareTo is UTF-16 code-unit order, which DIVERGES above
+    * the BMP), everything else through Comparable. */
+  private def atomLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    case (x: Comparable[_], y) =>
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    case _ => throw new IllegalArgumentException(
+      s"unorderable id values: ${a.getClass}")
+  }
+
+  /** Small paths only engage for id types whose driver values order
+    * exactly like Catalyst's (atomic, non-binary) — every production
+    * caller (long / string ids). Anything exotic keeps the distributed
+    * loop. */
+  private def driverOrderable(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | StringType |
+           DoubleType | FloatType | DateType | TimestampType |
+           BooleanType | _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Iterative find with path compression (recursion would risk stack
+    * depth on cap-sized chains). */
+  private def ufFind(parent: scala.collection.mutable.HashMap[Any, Any],
+      x: Any): Any = {
+    var r = x
+    while (parent.getOrElse(r, r) != r) r = parent(r)
+    var c = x
+    while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+    r
+  }
+
+  /** Union-find over collected edge pairs with MIN-id roots: returns
+    * every endpoint mapped to the minimum id reachable from it — the
+    * exact contract of both CC variants. */
+  private def unionFindMinLabels(rows: Array[org.apache.spark.sql.Row])
+      : Iterator[(Any, Any)] = {
+    val parent = scala.collection.mutable.HashMap[Any, Any]()
+    rows.foreach { r =>
+      val (ra, rb) = (ufFind(parent, r.get(0)), ufFind(parent, r.get(1)))
+      if (ra != rb) {
+        if (atomLt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val nodes = scala.collection.mutable.LinkedHashSet[Any]()
+    rows.foreach { r => nodes += r.get(0); nodes += r.get(1) }
+    nodes.iterator.map(n => n -> ufFind(parent, n))
+  }
+
+  /** The (id, component) result frame for a driver-resolved labeling:
+    * one partition, schema matching the id type. */
+  private def labelFrame(spark: org.apache.spark.sql.SparkSession,
+      dt: org.apache.spark.sql.types.DataType,
+      labels: Iterator[(Any, Any)]): DataFrame =
+    // broadcast hint: the frame is count-proven ≤ cap rows, but Spark
+    // can't estimate an RDD scan — without the hint downstream joins
+    // against it plan sort-merge (q154's label join paid 2 extra
+    // exchanges + sorts for a 2k-row driver-built side)
+    broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        labels.map { case (n, c) =>
+          org.apache.spark.sql.Row(n, c) }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", dt),
+        org.apache.spark.sql.types.StructField("component", dt)))))
+
   /** @param pairs DataFrame with two id columns (edges, undirected)
     * @return (id, component) — component = min id in the component */
   def connectedComponents(
@@ -27,6 +118,17 @@ object Components {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
+    // count-adaptive (r21): the loop below costs ~2 jobs per round; a
+    // count-proven-small edge list resolves in one collect instead
+    val dt = edges.schema("src").dataType
+    if (driverOrderable(dt)) {
+      val n = edges.count()
+      if (n <= smallGraphCap(edges)) {
+        val rows = edges.collect()
+        CheckpointHygiene.free(edgesCkpt)
+        return labelFrame(edges.sparkSession, dt, unionFindMinLabels(rows))
+      }
+    }
     var (labels, prevCkpt) = CheckpointHygiene.checkpointTracked(
       edges.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")))
@@ -96,6 +198,16 @@ object Components {
           greatest(col(aCol), col(bCol)).as("hi"))
         .filter(col("lo") =!= col("hi")).distinct())
     var nEdges = edges.count()
+    // count-adaptive (r21): the star rounds below cost ~3 jobs each over
+    // O(log² n) rounds; a count-proven-small edge list (the count above
+    // exists anyway) resolves in one collect + driver union-find — same
+    // min-id contract, bounded by the cap
+    val dtStar = edges.schema("lo").dataType
+    if (nEdges <= smallGraphCap(edges) && driverOrderable(dtStar)) {
+      val rows = edges.collect()
+      CheckpointHygiene.free(prevCkpt)
+      return labelFrame(edges.sparkSession, dtStar, unionFindMinLabels(rows))
+    }
     var converged = nEdges == 0
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -719,6 +831,40 @@ object Components {
         .filter(col("lo").isNotNull && col("hi").isNotNull &&
           col("w").isNotNull && col("lo") =!= col("hi"))
         .groupBy("lo", "hi").agg(min("w").as("w")), eager = true)
+    // count-adaptive (r21): Borůvka costs ~4 jobs per round over
+    // O(log n) rounds; a count-proven-small edge list yields THE unique
+    // forest by driver Kruskal instead. The (w, lo, hi) triple is a
+    // total order over the deduped edges (lo,hi unique after the
+    // groupBy), so the MSF is unique and Borůvka-with-min_by(w,lo,hi)
+    // and Kruskal-sorted-by-(w,lo,hi) return the SAME edge set — the
+    // equivalence ComponentsSpec's Kruskal-reference test has pinned
+    // since r12, now spanning both paths.
+    val dtMsf = e0.schema("lo").dataType
+    if (driverOrderable(dtMsf)) {
+      val nE0 = e0.count()
+      if (nE0 <= smallGraphCap(e0)) {
+        val rows = e0.collect().sortWith { (x, y) =>
+          val (wx, wy) = (x.getLong(2), y.getLong(2))
+          if (wx != wy) wx < wy
+          else if (x.get(0) != y.get(0)) atomLt(x.get(0), y.get(0))
+          else atomLt(x.get(1), y.get(1))
+        }
+        val parent = scala.collection.mutable.HashMap[Any, Any]()
+        val kept = rows.filter { r =>
+          val (ra, rb) = (ufFind(parent, r.get(0)), ufFind(parent, r.get(1)))
+          if (ra == rb) false else { parent(ra) = rb; true }
+        }
+        CheckpointHygiene.free(e0Ckpt)
+        val spark = e0.sparkSession
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(kept.toSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id_a", dtMsf),
+            org.apache.spark.sql.types.StructField("id_b", dtMsf),
+            org.apache.spark.sql.types.StructField("weight",
+              org.apache.spark.sql.types.LongType))))
+      }
+    }
     val (nodes, nodesCkpt) = CheckpointHygiene.checkpointTracked(
       e0.select(col("lo").as("node"))
         .unionByName(e0.select(col("hi").as("node"))).distinct(),

@@ -101,19 +101,78 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == lp)
   }
 
+  /** Run `f` with the driver-union-find cap forced to `cap` (0 ⇒ the
+    * distributed loop always runs; unset ⇒ the default 2¹⁷). */
+  private def withComponentsCap[T](cap: Option[Long])(f: => T): T = {
+    val key = "spark.graft.components.small"
+    val old = spark.conf.getOption(key)
+    cap match {
+      case Some(v) => spark.conf.set(key, v.toString)
+      case None => spark.conf.unset(key)
+    }
+    try f finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("exhausting the iteration budget throws instead of returning wrong labels") {
     import spark.implicits._
-    // diameter-5 chain: min label needs 5 propagation rounds to reach the
-    // tail — maxIter = 2 must fail fast, not hand back a split clustering
-    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val ex = intercept[IllegalStateException] {
-      Components.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
+    // the budget is a property of the DISTRIBUTED loop — force it (the
+    // count-adaptive driver path always converges)
+    withComponentsCap(Some(0L)) {
+      // diameter-5 chain: min label needs 5 propagation rounds to reach the
+      // tail — maxIter = 2 must fail fast, not hand back a split clustering
+      val chain = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val ex = intercept[IllegalStateException] {
+        Components.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
+      }
+      assert(ex.getMessage.contains("did not converge"))
+      val ex2 = intercept[IllegalStateException] {
+        Components.connectedComponentsStar(chain, "id_a", "id_b", maxIter = 1)
+      }
+      assert(ex2.getMessage.contains("did not converge"))
     }
-    assert(ex.getMessage.contains("did not converge"))
-    val ex2 = intercept[IllegalStateException] {
-      Components.connectedComponentsStar(chain, "id_a", "id_b", maxIter = 1)
+  }
+
+  test("count-adaptive driver paths == the distributed loops: CC, star " +
+      "CC, and MSF agree across the threshold on long and string ids, " +
+      "tie-heavy weights, and the empty graph") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val longEdges = Seq.tabulate(300)(_ =>
+      (rng.nextInt(80).toLong, rng.nextInt(80).toLong)).toDF("a", "b")
+    val strEdges = Seq.tabulate(200)(_ =>
+      (s"n${rng.nextInt(50)}", s"n${rng.nextInt(50)}")).toDF("a", "b")
+    val wEdges = Seq.tabulate(350)(_ =>
+      (rng.nextInt(70).toLong, rng.nextInt(70).toLong,
+        1L + rng.nextInt(3))).toDF("a", "b", "w")
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    def ccMap(df: org.apache.spark.sql.DataFrame) =
+      Components.connectedComponents(df, "a", "b", maxIter = 30)
+        .collect().map(r => r.get(0) -> r.get(1)).toMap
+    def starMap(df: org.apache.spark.sql.DataFrame) =
+      Components.connectedComponentsStar(df, "a", "b")
+        .collect().map(r => r.get(0) -> r.get(1)).toMap
+    def msfSet(df: org.apache.spark.sql.DataFrame) =
+      Components.minimumSpanningForest(df, "a", "b", "w")
+        .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    for (df <- Seq(longEdges, strEdges, empty)) {
+      assert(withComponentsCap(None)(ccMap(df)) ==
+        withComponentsCap(Some(0L))(ccMap(df)), "connectedComponents")
+      assert(withComponentsCap(None)(starMap(df)) ==
+        withComponentsCap(Some(0L))(starMap(df)), "connectedComponentsStar")
     }
-    assert(ex2.getMessage.contains("did not converge"))
+    assert(withComponentsCap(None)(msfSet(wEdges)) ==
+      withComponentsCap(Some(0L))(msfSet(wEdges)), "minimumSpanningForest")
+    // a sub-threshold graph plans NO exchange on the small path (the
+    // whole point): the result frame is one driver-built partition
+    withComponentsCap(None) {
+      val planned = Components.connectedComponentsStar(longEdges, "a", "b")
+      assert(planned.rdd.getNumPartitions == 1)
+    }
   }
 
   test("large-star/small-star: empty pair list yields empty labels") {
