@@ -1117,26 +1117,37 @@ object Dedup {
       maxHamming: Int, chunks: Int = 4): DataFrame = {
     val f = fps.select(col(idCol).as("__doc"), col(fpCol).as("__fp"))
       .localCheckpoint(false)
-    def pairs(c: Int): DataFrame = {
+    // a pair's hamming is band-INDEPENDENT (bit_count of the full-fp
+    // xor), so the old per-pair groupBy+min was just a dedup: both
+    // passes are distinct() now, with everything the distinct doesn't
+    // need dropped BEFORE its exchange (r21, guide §2.3) — the
+    // candidate join carries ids only (no fingerprints at all), and
+    // the gold pass applies the exact ≤ maxHamming filter map-side, so
+    // only TRUE pairs reach the dedup shuffle instead of every
+    // co-bucket pair of the (maxHamming+1)-chunk banding
+    def pairs(c: Int, keepFps: Boolean): DataFrame = {
       val banded = f.select(col("__doc"), col("__fp"),
         posexplode(array(hammingChunks(col("__fp"), c): _*))
           .as(Seq("band", "chunk")))
-      banded.select(col("band"), col("chunk"),
-          col("__doc").as("id_a"), col("__fp").as("fp_a"))
-        .join(banded.select(col("band"), col("chunk"),
-          col("__doc").as("id_b"), col("__fp").as("fp_b")),
+      def side(id: String, fp: String) = {
+        val s = banded.select(col("band"), col("chunk"),
+          col("__doc").as(id), col("__fp").as(fp))
+        if (keepFps) s else s.drop(fp)
+      }
+      val joined = side("id_a", "fp_a").join(side("id_b", "fp_b"),
           Seq("band", "chunk"))
         .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-        .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+      (if (keepFps)
+        joined.filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
+          <= maxHamming)
+      else joined)
+        .select("id_a", "id_b").distinct()
     }
     // production candidates: pre-verify (the banding's raw output)
-    val candidates = pairs(chunks).select("id_a", "id_b")
+    val candidates = pairs(chunks, keepFps = false)
       .localCheckpoint(false)
-    val gold = pairs(maxHamming + 1)
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b").localCheckpoint(false)
+    val gold = pairs(maxHamming + 1, keepFps = true)
+      .localCheckpoint(false)
     val covered = gold.join(candidates, Seq("id_a", "id_b"), "left_semi")
     candidates.agg(count(lit(1)).as("n_candidates"))
       .crossJoin(broadcast(gold.agg(count(lit(1)).as("n_gold"))))
