@@ -45,22 +45,32 @@ object Pipeline {
     *  abr: abn/entity_name/entity_type/state/postcode). */
   def matchEntities(spark: SparkSession, cleanedCrawl: DataFrame,
       cleanedAbr: DataFrame, cfg: Config = Config()): DataFrame = {
+    // Each cascade stage reads the cleaned frames AND the prior stages
+    // (residue anti-joins), so without materialization the regex-heavy
+    // cleaning + dedup exchanges re-execute once PER BRANCH of the
+    // final union (rule, fuzzy, llm, and both residue chains — the
+    // optimizer does not reuse exchanges across them). Lazy
+    // localCheckpoints make each shared frame compute exactly once per
+    // action (guide §3.3 "materialise an intermediate to truncate the
+    // plan"); the blocks are corpus-proportional — the same bytes any
+    // ONE branch already materialized in its shuffles.
     val crawl = cleanedCrawl.select(
       col("domain").as("crawl_domain"),
       col("company_name").as("crawl_company_name"),
       col("abn").as("crawl_abn"),
-      col("postcode").as("crawl_postcode"))
+      col("postcode").as("crawl_postcode")).localCheckpoint(false)
     val abr = cleanedAbr.select(
       col("abn").as("abr_abn"),
       col("entity_name").as("abr_company_name"),
       col("entity_type").as("abr_entity_type"),
       col("state").as("abr_state"),
-      col("postcode").as("abr_postcode"))
+      col("postcode").as("abr_postcode")).localCheckpoint(false)
 
     // J1 — exact ABN equi-join (keys cleaned upstream, so plain ===)
     val rule = Cascade.ruleMatch(
       crawl.filter(col("crawl_abn").isNotNull),
       abr.filter(col("abr_abn").isNotNull), "crawl_abn", "abr_abn")
+      .localCheckpoint(false)
 
     // J3 — residue keyed on domain (entity_matching.py:172-173)
     val afterRule = Cascade.residue(crawl, rule, "crawl_domain", "crawl_domain")
@@ -79,7 +89,12 @@ object Pipeline {
       .withColumn("crawl_postcode", col("block"))
       .withColumn("abr_postcode", col("block"))
       .drop("block")
+      .localCheckpoint(false)
 
+    // NOT checkpointed (measured 2.5 → 3.4 s when tried): the llm
+    // stage's candidate gather reads only 3 columns of this frame, and
+    // a checkpoint would materialize every column, defeating pruning —
+    // the residue recompute over the checkpointed inputs is cheaper
     val afterFuzzy = Cascade.residue(afterRule, fuzzy,
       "crawl_domain", "crawl_domain")
 
