@@ -2284,7 +2284,7 @@ object SparkEntry {
   private val q123ScoredMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]
 
-  private def q123FellegiSunterBuild(s: SparkSession, dir: String)
+  private[graft] def q123FellegiSunterBuild(s: SparkSession, dir: String)
       : DataFrame = {
     val p = SketchParams.q123
     val cust = t(s, dir, "customer").select(col("c_custkey"),

@@ -404,8 +404,13 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("q123 + serving probe: linkage blocking and scoring join on " +
       "keys, never cartesian (r10)") {
-    // q123 executes the full estimate+score chain in its result plan
-    val plan = executed("q123_fellegi_sunter")
+    // the q123 RESULT is a memoized checkpoint since r21 (the q128
+    // sharing fix), so its plan is a scan — the join-shape guard moves
+    // to the underlying builder, which is the plan the memo executes
+    val built = SparkEntry.q123FellegiSunterBuild(spark,
+      "/root/testdata/sf0.001")
+    built.count()
+    val plan = built.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "q123 cartesians")
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       "q123: expected key joins")
